@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Standard session factory for the graft engine.
+ *
+ * Sets the configs every entry point (tests, Verify, Bench, user code) needs:
+ *  - `spark.sql.shuffle.partitions` sized to the local core count rather than
+ *    the 200 default (on a real cluster users override this; AQE coalesces
+ *    down when partitions are small).
+ *  - AQE on: runtime re-planning (skew-join splitting, partition coalescing)
+ *    is part of the 100 TB story.
+ *  - `spark.sql.legacy.parquet.nanosAsLong`: the events table stores
+ *    TIMESTAMP(NANOS) which Spark cannot represent natively; we read it as a
+ *    long (nanoseconds since epoch) and convert explicitly where needed.
+ *  - UTC session time zone so timestamp arithmetic matches the DuckDB oracle.
+ */
+object GraftSession {
+  def builder(master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"),
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.mergeSchema", "false")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft's required runtime confs to an externally-built session. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

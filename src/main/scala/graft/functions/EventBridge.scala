@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Compiler from the AWS-EventBridge-style pattern language (the reference's
+ * `"eventbridge"` validator — grammar exercised in
+ * `/root/reference/tests/MofkaEventbridgeTest.cpp:35-120`) to a Catalyst
+ * [[Column]] predicate over a JSON-string metadata column.
+ *
+ * Because the output is a plain `Column` tree built from built-in functions
+ * (`get_json_object`, `startswith`, `rlike`, comparisons), Catalyst can push
+ * the predicate into scans, fold constants, and keep it inside whole-stage
+ * codegen — no UDF, no custom Expression.
+ *
+ * Grammar (each top-level key is ANDed; a JSON-array value is an OR of
+ * matchers):
+ *  - exact scalar:              `"a1": "a_value"`, `"e": 42`, `"b": true`
+ *  - value-in-list:             `"a2": ["v1", "v2"]`
+ *  - nested object:             `"i1": {"i1_1": "v"}` (recursive sub-pattern)
+ *  - dotted path:               `"i2.i2_1": "v"`
+ *  - `{"prefix": p}` where p is string | [string] | {"equals-ignore-case": string|[string]}
+ *  - `{"suffix": s}` same shapes
+ *  - `{"equals-ignore-case": v | [v]}`
+ *  - `{"wildcard": "abc*def*ghi"}` (`*` = any run of characters)
+ *  - `{"numeric": ["<", 42, ">=", 10]}` (op/operand pairs, ANDed)
+ *  - `{"exists": true|false}`
+ *  - `{"anything-but": X}` where X is scalar | [scalar] | {"prefix"|"suffix"|
+ *    "equals-ignore-case"|"wildcard": ...} — field must exist and NOT match
+ *  - `{"$or": [subpattern, ...]}` — sub-patterns resolved relative to the
+ *    current path
+ *
+ * Limitation vs AWS: JSON `null` values and *absent* keys are
+ * indistinguishable through `get_json_object`, so `exists: true` is
+ * "key present with non-null value". The reference test fixture does not
+ * exercise null-valued keys.
+ */
+object EventBridge {
+
+  /** Parse `patternJson` and compile it against `metadata` (JSON string column). */
+  def compile(patternJson: String, metadata: Column): Column =
+    JsonMethods.parse(patternJson) match {
+      case o: JObject => compilePattern(o, metadata, Nil)
+      case other => throw new IllegalArgumentException(
+        s"eventbridge pattern must be a JSON object, got: ${JsonMethods.compact(other)}")
+    }
+
+  /** SQL-string convenience: `eventbridge_match(col("props"), pattern)`. */
+  def matches(metadata: Column, patternJson: String): Column =
+    compile(patternJson, metadata)
+
+  // ---- internals ----------------------------------------------------------
+
+  private def compilePattern(obj: JObject, md: Column, base: Seq[String]): Column = {
+    val conjuncts = obj.obj.map {
+      case ("$or", JArray(subs)) =>
+        subs.map {
+          case o: JObject => compilePattern(o, md, base)
+          case other => fail("$or", other)
+        }.reduce(_ || _)
+      case (key, value) =>
+        val path = base ++ key.split('.').toSeq
+        value match {
+          case o: JObject       => compilePattern(o, md, path)
+          case JArray(matchers) =>
+            require(matchers.nonEmpty, s"empty matcher list for ${path.mkString(".")}")
+            matchers.map(m => compileMatcher(m, md, path)).reduce(_ || _)
+          case scalar           => exact(scalar, field(md, path))
+        }
+    }
+    require(conjuncts.nonEmpty, "empty eventbridge pattern object")
+    conjuncts.reduce(_ && _)
+  }
+
+  private def compileMatcher(m: JValue, md: Column, path: Seq[String]): Column = m match {
+    case JObject(List(("prefix", v)))             => prefixLike(v, field(md, path), isPrefix = true)
+    case JObject(List(("suffix", v)))             => prefixLike(v, field(md, path), isPrefix = false)
+    case JObject(List(("equals-ignore-case", v))) => equalsIgnoreCase(v, field(md, path))
+    case JObject(List(("wildcard", JString(w))))  => field(md, path).rlike(wildcardToRegex(w))
+    case JObject(List(("numeric", JArray(ops))))  => numericRange(ops, field(md, path))
+    case JObject(List(("exists", JBool(b))))      =>
+      if (b) field(md, path).isNotNull else field(md, path).isNull
+    case JObject(List(("anything-but", v)))       => anythingBut(v, field(md, path))
+    case JObject(List(("$or", JArray(subs))))     =>
+      subs.map {
+        case o: JObject => compilePattern(o, md, path)
+        case other => fail("$or", other)
+      }.reduce(_ || _)
+    case o: JObject                               => compilePattern(o, md, path)
+    case scalar                                   => exact(scalar, field(md, path))
+  }
+
+  /** `$.a.b` accessor over the JSON metadata document. */
+  private def field(md: Column, path: Seq[String]): Column =
+    get_json_object(md, "$." + path.mkString("."))
+
+  private val NumericRe = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+  /** ANSI-safe numeric view of a JSON scalar: null unless it looks numeric. */
+  private def asNum(f: Column): Column =
+    when(f.rlike(NumericRe), f.cast(DoubleType))
+
+  private def exact(v: JValue, f: Column): Column = v match {
+    case JString(s)  => f === lit(s)
+    case JInt(i)     => asNum(f) === lit(i.toDouble)
+    case JLong(l)    => asNum(f) === lit(l.toDouble)
+    case JDouble(d)  => asNum(f) === lit(d)
+    case JDecimal(d) => asNum(f) === lit(d.toDouble)
+    case JBool(b)    => f === lit(b.toString)
+    case JNull       => f.isNull
+    case other       => fail("exact matcher", other)
+  }
+
+  /** prefix/suffix matcher bodies: string | [string] | {"equals-ignore-case": ...}. */
+  private def prefixLike(v: JValue, f: Column, isPrefix: Boolean): Column = {
+    def one(s: String, ci: Boolean): Column = {
+      val (l, r) = if (ci) (lower(f), lit(s.toLowerCase)) else (f, lit(s))
+      if (isPrefix) l.startsWith(r) else l.endsWith(r)
+    }
+    v match {
+      case JString(s)   => one(s, ci = false)
+      case JArray(xs)   => xs.map(x => one(str(x), ci = false)).reduce(_ || _)
+      case JObject(List(("equals-ignore-case", JString(s)))) => one(s, ci = true)
+      case JObject(List(("equals-ignore-case", JArray(xs)))) =>
+        xs.map(x => one(str(x), ci = true)).reduce(_ || _)
+      case other => fail(if (isPrefix) "prefix" else "suffix", other)
+    }
+  }
+
+  private def equalsIgnoreCase(v: JValue, f: Column): Column = v match {
+    case JString(s) => lower(f) === lit(s.toLowerCase)
+    case JArray(xs) => xs.map(x => lower(f) === lit(str(x).toLowerCase)).reduce(_ || _)
+    case other      => fail("equals-ignore-case", other)
+  }
+
+  private def numericRange(ops: List[JValue], f: Column): Column = {
+    require(ops.size % 2 == 0 && ops.nonEmpty, "numeric matcher needs op/value pairs")
+    val n = asNum(f)
+    ops.grouped(2).map {
+      case List(JString(op), jv) =>
+        val d = lit(num(jv))
+        op match {
+          case "<"  => n < d
+          case "<=" => n <= d
+          case ">"  => n > d
+          case ">=" => n >= d
+          case "="  => n === d
+          case o    => throw new IllegalArgumentException(s"unknown numeric op '$o'")
+        }
+      case other => fail("numeric", JArray(other))
+    }.reduce(_ && _)
+  }
+
+  private def anythingBut(v: JValue, f: Column): Column = {
+    val positive: Column = v match {
+      case JArray(xs)                => xs.map(x => exact(x, f)).reduce(_ || _)
+      case JObject(List(("prefix", pv)))             => prefixLike(pv, f, isPrefix = true)
+      case JObject(List(("suffix", sv)))             => prefixLike(sv, f, isPrefix = false)
+      case JObject(List(("equals-ignore-case", ev))) => equalsIgnoreCase(ev, f)
+      case JObject(List(("wildcard", JString(w))))   => f.rlike(wildcardToRegex(w))
+      case scalar                    => exact(scalar, f)
+    }
+    f.isNotNull && !coalesce(positive, lit(false))
+  }
+
+  /** `abc*def` → `^\Qabc\E.*\Qdef\E$` (each literal run regex-quoted). */
+  private[functions] def wildcardToRegex(w: String): String = {
+    val parts = w.split("\\*", -1).map {
+      case "" => ""
+      case s  => java.util.regex.Pattern.quote(s)
+    }
+    "^" + parts.mkString(".*") + "$"
+  }
+
+  private def str(v: JValue): String = v match {
+    case JString(s) => s
+    case other      => fail("string", other)
+  }
+
+  private def num(v: JValue): Double = v match {
+    case JInt(i)     => i.toDouble
+    case JLong(l)    => l.toDouble
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case other       => fail("number", other)
+  }
+
+  private def fail(what: String, v: JValue): Nothing =
+    throw new IllegalArgumentException(
+      s"invalid $what in eventbridge pattern: ${JsonMethods.compact(JsonMethods.render(v))}")
+}
