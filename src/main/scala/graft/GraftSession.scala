@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
  *  - UTC session time zone so timestamp arithmetic matches the DuckDB oracle.
  */
 object GraftSession {
-  def builder(master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"),
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+  /** Local parallelism: SPARK_GRAFT_CPUS if set, else the machine's cores. */
+  private def localCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+
+  def builder(master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$localCpus]"),
+              shufflePartitions: Int = localCpus)
       : SparkSession.Builder =
     SparkSession.builder()
       .master(master)

@@ -90,9 +90,27 @@ object EventBridge {
         case o: JObject => compilePattern(o, md, path)
         case other => fail("$or", other)
       }.reduce(_ || _)
-    case o: JObject                               => compilePattern(o, md, path)
+    case o: JObject                               =>
+      // A sub-pattern object must not smuggle matcher keywords: {"prefix":..,
+      // "suffix":..} or {"numeric": 5} would otherwise compile the keyword as
+      // a field name and silently produce a wrong predicate.
+      o.obj.collectFirst {
+        case (k, _) if MatcherKeywords(k) => k
+      }.foreach { k =>
+        throw new IllegalArgumentException(
+          s"malformed matcher at ${path.mkString(".")}: object mixes matcher " +
+          s"keyword '$k' with other keys or has a mistyped body: " +
+          JsonMethods.compact(JsonMethods.render(o)))
+      }
+      compilePattern(o, md, path)
     case scalar                                   => exact(scalar, field(md, path))
   }
+
+  // "$or" is absent on purpose: compilePattern supports it alongside other
+  // keys (ANDed), matching the AWS grammar.
+  private val MatcherKeywords = Set(
+    "prefix", "suffix", "equals-ignore-case", "wildcard", "numeric",
+    "exists", "anything-but")
 
   /** `$.a.b` accessor over the JSON metadata document. */
   private def field(md: Column, path: Seq[String]): Column =

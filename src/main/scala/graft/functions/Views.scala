@@ -35,6 +35,12 @@ sealed trait DataView {
     case DataView.Sub(base, off, size) =>
       remap(base.flatten, Seq((off, size)))
     case DataView.Strided(base, off, n, bs, gap) =>
+      // One (offset,size) pair — and later one substring expression — is
+      // materialized per block; bound it before building an enormous Seq.
+      require(n >= 0 && n <= DataView.MaxSegments,
+        s"strided view with $n blocks exceeds the ${DataView.MaxSegments} segment bound")
+      require(off >= 0 && bs >= 0 && gap >= 0,
+        s"strided view parameters must be non-negative: ($off, $n, $bs, $gap)")
       val segs = (0L until n).map(i => (off + i * (bs + gap), bs))
       remap(base.flatten, segs)
     case DataView.Unstructured(base, segs) =>
@@ -85,6 +91,10 @@ object DataView {
   final case class Strided(base: DataView, offset: Long, numBlocks: Long,
                            blockSize: Long, gap: Long) extends DataView
   final case class Unstructured(base: DataView, segments: Seq[(Long, Long)]) extends DataView
+
+  /** Cap on materialized segments per view — each becomes a `substring` in
+    * the compiled expression, so an unbounded count would blow up the plan. */
+  val MaxSegments: Long = 65536L
 
   /** Take bytes [off, off+size) of the concatenation of `base` segments. */
   private[functions] def sliceSegments(base: Seq[(Long, Long)], off: Long,
