@@ -12,7 +12,7 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query packs. */
-  private val packs: Seq[QueryPack] = Seq(Relational, EventPack)
+  private val packs: Seq[QueryPack] = Seq(Relational, EventPack, EnginePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

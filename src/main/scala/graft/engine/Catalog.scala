@@ -1,0 +1,170 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Filesystem-backed topic catalog — the Spark-side master database
+ * (`/root/reference/src/MofkaDriver.cpp:212-257` keys
+ * `MOFKA:GLOBAL:<topic>:*`). Uses the Hadoop FileSystem API so the same code
+ * addresses local disk, HDFS, or object stores on a real cluster.
+ *
+ * Layout under the warehouse directory:
+ * {{{
+ * <warehouse>/<topic>/
+ *   _topic.json            TopicConfig (validator/selector/serializer triple,
+ *                          partition count, completed flag)
+ *   _ids.json              per-partition next EventID (producer commit state)
+ *   _cursors/<name>.json   per-consumer-name cursor (acknowledge state)
+ *   log/partition=<p>/     the event log, Parquet
+ * }}}
+ *
+ * Small-file updates are atomic (write temp + rename). Single concurrent
+ * writer per topic is assumed — the documented divergence of SURVEY §7.3
+ * (the reference linearizes via a per-partition lock + single write loop).
+ */
+final class Catalog(spark: SparkSession, val warehouse: String) {
+
+  private val fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def topicPath(name: String): Path = new Path(warehouse, name)
+  def logPath(name: String): String = new Path(topicPath(name), "log").toString
+
+  // -- DDL (C1-C5) ----------------------------------------------------------
+
+  /** C1 `createTopic` — errors on duplicates; ≤256-char names
+    * (`MofkaDriver.cpp:157,260`). */
+  def createTopic(config: TopicConfig): Unit = {
+    val name = config.name
+    require(name.nonEmpty, "Topic name cannot be empty")
+    if (name.length > 256)
+      throw new IllegalArgumentException("Topic names cannot exceed 256 characters")
+    if (!name.matches("[A-Za-z0-9_.-]+"))
+      throw new IllegalArgumentException(
+        s"Invalid topic name '$name': only [A-Za-z0-9_.-] allowed")
+    require(config.partitions > 0, "Topic needs at least one partition")
+    if (topicExists(name))
+      throw new IllegalStateException("Topic already exists")
+    fs.mkdirs(topicPath(name))
+    writeAtomic(new Path(topicPath(name), "_topic.json"), config.toJson)
+    writeAtomic(new Path(topicPath(name), "_ids.json"),
+      idsJson((0 until config.partitions).map(_ -> 0L).toMap))
+  }
+
+  /** C2 `openTopic` — "not found" on missing (`MofkaDriver.cpp:351-358`). */
+  def openTopic(name: String): TopicConfig = {
+    val p = new Path(topicPath(name), "_topic.json")
+    if (!fs.exists(p))
+      throw new NoSuchElementException(s"""Topic "$name" not found""")
+    TopicConfig.fromJson(readString(p))
+  }
+
+  /** C3 `listTopics`. */
+  def listTopics(): Seq[String] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_topic.json")))
+      .map(_.getPath.getName)
+      .sorted
+  }
+
+  /** C4 `topicExists`. */
+  def topicExists(name: String): Boolean =
+    fs.exists(new Path(topicPath(name), "_topic.json"))
+
+  /** C5 `addPartition` — grows the partition count by one. */
+  def addPartition(name: String): Int = {
+    val config = openTopic(name)
+    val grown = config.copy(partitions = config.partitions + 1)
+    writeAtomic(new Path(topicPath(name), "_topic.json"), grown.toJson)
+    val ids = nextIds(name)
+    writeNextIds(name, ids + ((grown.partitions - 1) -> 0L))
+    grown.partitions
+  }
+
+  /** D5 `markAsComplete` — persisted completion flag; consumers resolve
+    * NoMoreEvents once drained (`MofkaConsumer.cpp:117-132`). */
+  def markAsComplete(name: String): Unit = {
+    val config = openTopic(name)
+    writeAtomic(new Path(topicPath(name), "_topic.json"),
+      config.copy(completed = true).toJson)
+  }
+
+  // -- producer commit state ------------------------------------------------
+
+  /** Next EventID per partition (dense id assignment base). */
+  def nextIds(name: String): Map[Int, Long] = {
+    val p = new Path(topicPath(name), "_ids.json")
+    if (!fs.exists(p)) Map.empty
+    else JsonMethods.parse(readString(p)) match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k.toInt -> v.toLong
+        case (k, JLong(v)) => k.toInt -> v
+        case (k, other) => throw new IllegalStateException(
+          s"bad _ids.json entry $k: ${JsonMethods.compact(other)}")
+      }.toMap
+      case other => throw new IllegalStateException(
+        s"bad _ids.json: ${JsonMethods.compact(other)}")
+    }
+  }
+
+  def writeNextIds(name: String, ids: Map[Int, Long]): Unit =
+    writeAtomic(new Path(topicPath(name), "_ids.json"), idsJson(ids))
+
+  // -- consumer cursors (D4) ------------------------------------------------
+
+  private def cursorPath(topic: String, consumer: String): Path =
+    new Path(new Path(topicPath(topic), "_cursors"), s"$consumer.json")
+
+  /** Cursor = first un-acknowledged EventID per partition (0 when absent). */
+  def cursor(topic: String, consumer: String): Map[Int, Long] = {
+    val p = cursorPath(topic, consumer)
+    if (!fs.exists(p)) Map.empty
+    else JsonMethods.parse(readString(p)) match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k.toInt -> v.toLong
+        case (k, JLong(v)) => k.toInt -> v
+        case (k, other) => throw new IllegalStateException(
+          s"bad cursor entry $k: ${JsonMethods.compact(other)}")
+      }.toMap
+      case other => throw new IllegalStateException(
+        s"bad cursor file: ${JsonMethods.compact(other)}")
+    }
+  }
+
+  /** `acknowledge` stores event_id + 1
+    * (`DefaultPartitionManager.cpp:506-514`). */
+  def acknowledge(topic: String, consumer: String, partition: Int, eventId: Long): Unit = {
+    val cur = cursor(topic, consumer)
+    val advanced = math.max(cur.getOrElse(partition, 0L), eventId + 1)
+    writeAtomic(cursorPath(topic, consumer), idsJson(cur + (partition -> advanced)))
+  }
+
+  // -- helpers --------------------------------------------------------------
+
+  private def idsJson(ids: Map[Int, Long]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject(ids.toSeq.sortBy(_._1).map { case (k, v) => k.toString -> (JLong(v): JValue) }: _*)))
+
+  private def readString(p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeAtomic(p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"atomic write failed: rename $tmp -> $p")
+  }
+}

@@ -1,0 +1,182 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.DataView
+
+/**
+ * Consumer-side payload selection (reference F4/P1,
+ * `/root/reference/src/MofkaConsumer.cpp:240-259`): a predicate over the
+ * event's metadata decides, per event, whether the payload ships as the
+ * configured byte [[DataView]] or as the `otherwise` view (default: no
+ * bytes).
+ *
+ * In Spark the "laziness" of the reference's two-phase metadata-then-data
+ * fetch becomes physical, not procedural: when both branches select nothing
+ * the `data` column is never read from Parquet (column pruning), and the
+ * predicate is an ordinary pushdown-eligible filter expression.
+ */
+final case class DataSelector(
+    predicate: Column => Column,
+    view: DataView,
+    otherwise: DataView = DataView.Empty) {
+
+  /** The payload expression over (metadata, data). */
+  def dataColumn(metadata: Column, data: Column): Column = {
+    def emptyBinary = lit(Array.empty[Byte])
+    def compiled(v: DataView) = v.flatten match {
+      case Some(Nil) => emptyBinary
+      case _ => v.toColumn(data)
+    }
+    (view.flatten, otherwise.flatten) match {
+      case (Some(Nil), Some(Nil)) => emptyBinary // metadata-only: data never read
+      case _ => when(predicate(metadata), compiled(view)).otherwise(compiled(otherwise))
+    }
+  }
+}
+
+object DataSelector {
+  /** Ship the full payload for every event (a fresh DataDescriptor). */
+  val All: DataSelector = DataSelector(_ => lit(true), DataView.Full, DataView.Full)
+  /** Metadata-only consumption (reference P1): never fetch payload bytes. */
+  val MetadataOnly: DataSelector = DataSelector(_ => lit(false), DataView.Empty)
+}
+
+/** One consumed event (the reference's `MofkaEvent`,
+  * `include/mofka/MofkaEvent.hpp:20-84`). */
+final case class ConsumedEvent(
+    partition: Int, eventId: Long, metadata: String, data: Array[Byte])
+
+/** `pull()` outcome: an event, nothing-yet, or end-of-stream. */
+sealed trait Pull
+object Pull {
+  final case class Next(event: ConsumedEvent) extends Pull
+  /** Topic not completed and no new events at the moment. */
+  case object Empty extends Pull
+  /** Topic completed and the cursor walk is drained
+    * (`MofkaConsumer.cpp:117-132`). */
+  case object NoMoreEvents extends Pull
+}
+
+/**
+ * Consumer (reference D1-D6): a named cursor walk over the topic log.
+ *
+ *  - subscribe ≡ construction: the walk starts at the persisted acknowledge
+ *    cursor for this consumer name (`DefaultPartitionManager.cpp:425-427`) —
+ *    at-least-once: un-acked events reappear for a re-created consumer;
+ *  - `acknowledge(e)` persists `event_id + 1`
+ *    (`DefaultPartitionManager.cpp:506-514`);
+ *  - `pull()` returns [[Pull.NoMoreEvents]] once the topic is completed and
+ *    every target partition is drained;
+ *  - `events()` is the engine-native surface: the same walk as one DataFrame
+ *    (use this for analytics; `pull()` is the API-parity iterator).
+ */
+final class Consumer(
+    spark: SparkSession,
+    catalog: Catalog,
+    config: TopicConfig,
+    val name: String,
+    targets: Seq[Int],
+    selector: Option[DataSelector]) {
+
+  private val topic = config.name
+  private val targetList: Seq[Int] =
+    if (targets.nonEmpty) targets.map(p => math.floorMod(p, config.partitions)).distinct.sorted
+    else 0 until config.partitions
+
+  /** Local walk position per partition (server-side feed cursor; starts at
+    * the acknowledge cursor, advances on pull regardless of acks). */
+  private val position: scala.collection.mutable.Map[Int, Long] = {
+    val acked = catalog.cursor(topic, name)
+    scala.collection.mutable.Map(targetList.map(p => p -> acked.getOrElse(p, 0L)): _*)
+  }
+
+  private var buffered: Iterator[ConsumedEvent] = Iterator.empty
+
+  private def eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("metadata", StringType),
+    StructField("data", BinaryType), StructField("partition", IntegerType)))
+
+  /** The raw log restricted to target partitions (no cursor filter). */
+  private def log(): DataFrame = {
+    val path = catalog.logPath(topic)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
+    else spark.read.schema(eventSchema).parquet(path)
+  }
+
+  /**
+   * Un-pulled events from the given per-partition floor as one DataFrame,
+   * with the DataSelector applied. Partition pruning (`partition IN ...`)
+   * and the id floor are pushdown-eligible filters.
+   */
+  def eventsFrom(floor: Map[Int, Long]): DataFrame = {
+    val base = log().filter(col("partition").isin(targetList: _*))
+    val cursored =
+      if (floor.isEmpty || floor.values.forall(_ == 0L)) base
+      else base.filter(col("event_id") >=
+        coalesce(element_at(typedLit(floor), col("partition")), lit(0L)))
+    val withData = selector match {
+      case None => cursored
+      case Some(sel) => cursored.withColumn("data",
+        sel.dataColumn(col("metadata"), col("data")))
+    }
+    withData.select(col("partition"), col("event_id"), col("metadata"), col("data"))
+  }
+
+  /** The consumer's view: everything at or after the acknowledge cursor. */
+  def events(): DataFrame = eventsFrom(catalog.cursor(topic, name))
+
+  /** D1 `pull` — next event (partition-ordered, interleaved across
+    * partitions by partition id), or Empty/NoMoreEvents. */
+  def pull(): Pull = synchronized {
+    if (!buffered.hasNext) refresh()
+    if (buffered.hasNext) Pull.Next(buffered.next())
+    else if (catalog.openTopic(topic).completed) Pull.NoMoreEvents
+    else Pull.Empty
+  }
+
+  /** D4 `acknowledge`. */
+  def acknowledge(e: ConsumedEvent): Unit =
+    catalog.acknowledge(topic, name, e.partition, e.eventId)
+
+  /** D2 `unsubscribe` — drops locally buffered, un-pulled events. */
+  def unsubscribe(): Unit = synchronized { buffered = Iterator.empty }
+
+  /**
+   * D6 `Consumer.process` — apply `f` to every remaining event (the
+   * reference's callback consumption, declared-but-unimplemented at
+   * `include/mofka/MofkaConsumer.hpp:153-163`). This parity surface collects
+   * to the driver; the scalable path is `events()` + `foreachBatch`.
+   */
+  def process(f: ConsumedEvent => Unit): Unit = synchronized {
+    eventsFrom(position.toMap)
+      .orderBy(col("partition"), col("event_id"))
+      .collect()
+      .foreach { r =>
+        val e = rowToEvent(r)
+        position(e.partition) = math.max(position.getOrElse(e.partition, 0L), e.eventId + 1)
+        f(e)
+      }
+  }
+
+  private def refresh(): Unit = {
+    val floor = position.toMap
+    val rows = eventsFrom(floor)
+      .orderBy(col("partition"), col("event_id"))
+      .collect()
+    rows.foreach { r =>
+      val p = r.getAs[Int]("partition"); val id = r.getAs[Long]("event_id")
+      position(p) = math.max(position.getOrElse(p, 0L), id + 1)
+    }
+    buffered = rows.iterator.map(rowToEvent)
+  }
+
+  private def rowToEvent(r: Row): ConsumedEvent =
+    ConsumedEvent(r.getAs[Int]("partition"), r.getAs[Long]("event_id"),
+      r.getAs[String]("metadata"), r.getAs[Array[Byte]]("data"))
+}

@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+
+/**
+ * The engine's driver/DDL facade — the Spark-native counterpart of
+ * `MofkaDriver` (`/root/reference/include/mofka/MofkaDriver.hpp:38`,
+ * `/root/reference/src/MofkaDriver.cpp:151-508`): topic DDL plus handles
+ * for producing/consuming. Where the reference provisions RPC providers per
+ * partition, this engine provisions directories of a Parquet log — placement
+ * and transport are Spark's problem.
+ */
+final class GraftDriver(val spark: SparkSession, val warehouse: String) {
+
+  val catalog = new Catalog(spark, warehouse)
+
+  /** C1 `createTopic` — with the plugin triple persisted as table metadata. */
+  def createTopic(
+      name: String,
+      partitions: Int = 1,
+      validator: Validator = Validator.Default,
+      selector: PartitionSelector = PartitionSelector.RoundRobin): Unit =
+    catalog.createTopic(TopicConfig(name, partitions,
+      validator.descriptor, selector.descriptor,
+      TopicConfig.DefaultSerializer, completed = false))
+
+  /** C2 `openTopic` — throws "not found" for missing topics. */
+  def openTopic(name: String): TopicHandle =
+    new TopicHandle(spark, catalog, name)
+
+  /** C3 `listTopics`. */
+  def listTopics(): Seq[String] = catalog.listTopics()
+
+  /** C4 `topicExists`. */
+  def topicExists(name: String): Boolean = catalog.topicExists(name)
+
+  /** C5 `addPartition` — returns the new partition count. */
+  def addPartition(name: String): Int = catalog.addPartition(name)
+}
+
+/**
+ * A named topic (reference `MofkaTopicHandle`,
+ * `include/mofka/MofkaTopicHandle.hpp:27-103`).
+ */
+final class TopicHandle(spark: SparkSession, catalog: Catalog, name: String) {
+
+  /** Re-read on demand so addPartition/markAsComplete are visible. */
+  def config: TopicConfig = catalog.openTopic(name)
+
+  // fail fast on open, like the reference
+  config
+
+  def producer(): Producer = new Producer(spark, catalog, config)
+
+  def consumer(
+      consumerName: String,
+      selector: Option[DataSelector] = None,
+      targets: Seq[Int] = Nil): Consumer =
+    new Consumer(spark, catalog, config, consumerName, targets, selector)
+
+  /** The full event log as a DataFrame — the engine-native analytics
+    * surface (metadata/data split = Parquet column pruning). */
+  def events(): DataFrame =
+    new Consumer(spark, catalog, config, s"__scan_${name}", Nil, None)
+      .eventsFrom(Map.empty)
+
+  /** D5 `markAsComplete`. */
+  def markAsComplete(): Unit = catalog.markAsComplete(name)
+
+  /** The validator compiled from the topic's persisted descriptor. */
+  def validator: Validator = Validator.fromDescriptor(config.validator)
+
+  /** Typed metadata view for schema-validated topics. */
+  def typedMetadata(df: DataFrame): DataFrame = validator match {
+    case sv: Validator.SchemaValidator =>
+      df.withColumn("metadata_typed", sv.typedColumn(org.apache.spark.sql.functions.col("metadata")))
+    case _ => df
+  }
+}

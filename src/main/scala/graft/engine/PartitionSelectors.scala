@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+/**
+ * Producer-side partition selection (reference X1/X2): given an event's
+ * metadata and an optional explicitly-requested partition, pick the target
+ * partition in [0, n).
+ *
+ * Semantics ported from `/root/reference/src/DefaultPartitionSelector.hpp:17-50`:
+ * an explicit request is honored modulo the partition count; otherwise the
+ * default is round-robin and a custom selector derives the partition from
+ * metadata (hash partitioning — the Spark-native equivalent of a
+ * metadata-driven plugin, invoked at `MofkaProducer.cpp:71`).
+ */
+sealed trait PartitionSelector {
+  /**
+   * Partition assignment expression. `requested` is the explicit per-event
+   * partition column if the producer supplied one (nullable).
+   *
+   * Round-robin has no per-row expression form — [[Producer]] implements it
+   * with `repartition(n)` (Spark's round-robin exchange) for rows with no
+   * explicit request; this method then only resolves explicit requests.
+   */
+  def assign(metadata: Column, requested: Column, n: Int): Column
+  def descriptor: JObject
+}
+
+object PartitionSelector {
+
+  /** X1: explicit request honored mod n; otherwise round-robin (see Producer). */
+  case object RoundRobin extends PartitionSelector {
+    override def assign(metadata: Column, requested: Column, n: Int): Column =
+      when(requested.isNotNull, pmod(requested.cast("int"), lit(n)))
+    override def descriptor: JObject = TopicConfig.DefaultSelector
+  }
+
+  /** X2: metadata-driven — hash of a JSON field path (e.g. `"$.key"`). */
+  final case class MetadataHash(fieldPath: String) extends PartitionSelector {
+    override def assign(metadata: Column, requested: Column, n: Int): Column = {
+      val key = get_json_object(metadata, fieldPath)
+      when(requested.isNotNull, pmod(requested.cast("int"), lit(n)))
+        .otherwise(pmod(abs(xxhash64(key)), lit(n)).cast("int"))
+    }
+    override def descriptor: JObject = JObject(
+      "type" -> JString("metadata_hash"), "field" -> JString(fieldPath))
+  }
+
+  /** X2 variant: partition = integer metadata field modulo n — for workloads
+    * that carry their own shard key (unlike [[MetadataHash]], reproducible
+    * in plain SQL, so oracle-checkable end-to-end). */
+  final case class FieldMod(fieldPath: String) extends PartitionSelector {
+    override def assign(metadata: Column, requested: Column, n: Int): Column = {
+      val key = get_json_object(metadata, fieldPath).cast("long")
+      when(requested.isNotNull, pmod(requested.cast("int"), lit(n)))
+        .otherwise(pmod(key, lit(n)).cast("int"))
+    }
+    override def descriptor: JObject = JObject(
+      "type" -> JString("metadata_field_mod"), "field" -> JString(fieldPath))
+  }
+
+  def fromDescriptor(desc: JObject): PartitionSelector = desc \ "type" match {
+    case JString("roundrobin") | JNothing => RoundRobin
+    case JString("metadata_hash") => desc \ "field" match {
+      case JString(f) => MetadataHash(f)
+      case _ => throw new IllegalArgumentException("metadata_hash selector needs 'field'")
+    }
+    case JString("metadata_field_mod") => desc \ "field" match {
+      case JString(f) => FieldMod(f)
+      case _ => throw new IllegalArgumentException("metadata_field_mod selector needs 'field'")
+    }
+    case other => throw new IllegalArgumentException(
+      s"unknown selector type: ${org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(other))}")
+  }
+}

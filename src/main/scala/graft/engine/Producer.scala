@@ -1,0 +1,168 @@
+package graft.engine
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Producer write path (reference S1-S6): validate → select partition →
+ * assign dense per-partition EventIDs → append Parquet.
+ *
+ * ID assignment is the port of the reference's linearization contract
+ * (`/root/reference/src/DefaultPartitionManager.cpp:398-409`: ids assigned
+ * under a queue lock, appends serialized by one write loop per partition):
+ * here every event of a partition flows through ONE window task
+ * (`row_number` over a hash-partitioned window), so ids are dense and
+ * ordered by producer push order within the partition. Single concurrent
+ * producer per topic is assumed (SURVEY §7.3 divergence note).
+ *
+ * Scale shape (100 TB): exactly one shuffle of the incoming batch (by target
+ * partition — unavoidable: that IS the partitioning operator), plus a cheap
+ * map-side-combined count pass to advance the id watermark. Files are
+ * bounded via `maxRecordsPerFile` — the analog of the reference's 64 MiB /
+ * 1M-event chunk rotation (`DefaultPartitionManager.hpp:29-30`).
+ */
+final class Producer(
+    spark: SparkSession,
+    catalog: Catalog,
+    config: TopicConfig,
+    chunkMaxRecords: Long = 1000000L) {
+
+  private val validator = Validator.fromDescriptor(config.validator)
+  private val selector = PartitionSelector.fromDescriptor(config.selector)
+  private val n = config.partitions
+
+  /** Per-partition (firstId, count) ranges assigned by a produce call. */
+  type ProduceResult = Map[Int, (Long, Long)]
+
+  /**
+   * Batch produce. `df` must have a `metadata` string column; optional
+   * `data` binary column; optional `partition` int column (explicit request,
+   * honored modulo the partition count).
+   *
+   * Invalid metadata (validator predicate false) aborts the job via
+   * `raise_error` — the Spark analog of `Producer.push` throwing
+   * (`MofkaProducer.cpp:69`).
+   */
+  def produce(df: DataFrame): ProduceResult = {
+    require(df.columns.contains("metadata"), "produce() input needs a 'metadata' column")
+    val withData =
+      if (df.columns.contains("data")) df
+      else df.withColumn("data", lit(null).cast(BinaryType))
+    val requested =
+      if (df.columns.contains("partition")) col("partition").cast("int")
+      else lit(null).cast("int")
+
+    // Validation is fused into the partition expression so it cannot be
+    // pruned away and costs no extra pass.
+    val valid = validator.predicate(col("metadata"))
+    val assigned = coalesce(
+      selector.assign(col("metadata"), requested, n),
+      pmod(monotonically_increasing_id(), lit(n)).cast("int"))
+    val partitionExpr = when(valid, assigned).otherwise(
+      raise_error(concat(lit("Invalid metadata rejected by validator: "),
+        col("metadata"))).cast("int"))
+
+    val staged = withData
+      .withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__p", partitionExpr)
+
+    // Pass 1 (cheap, map-side combined): per-partition incoming counts →
+    // new id watermarks. Also the validation barrier: bad rows throw here.
+    val counts: Map[Int, Long] = staged.groupBy(col("__p")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val base = catalog.nextIds(config.name)
+    val firstIds: Map[Int, Long] =
+      counts.map { case (p, _) => p -> base.getOrElse(p, 0L) }
+
+    if (counts.nonEmpty) {
+      // Pass 2: one shuffle by target partition; a single window task per
+      // partition linearizes id assignment (dense, push-order).
+      val baseMap = typedLit(firstIds)
+      val w = Window.partitionBy(col("__p")).orderBy(col("__ord"))
+      val events = staged
+        .withColumn("event_id",
+          element_at(baseMap, col("__p")) + row_number().over(w) - 1)
+        .select(col("__p").as("partition"), col("event_id"),
+          col("metadata").cast(StringType), col("data").cast(BinaryType))
+
+      events.write
+        .mode("append")
+        .option("maxRecordsPerFile", chunkMaxRecords)
+        .partitionBy("partition")
+        .parquet(catalog.logPath(config.name))
+
+      catalog.writeNextIds(config.name,
+        base ++ counts.map { case (p, c) => p -> (firstIds(p) + c) })
+    }
+    counts.map { case (p, c) => p -> (firstIds(p), c) }
+  }
+
+  // -- buffered push/flush (reference S1/S2 parity surface) -----------------
+
+  /** A pushed event whose id resolves at the next flush (the reference's
+    * `Future<EventID>`, `MofkaProducer.cpp:54-67`). */
+  final class PendingEvent private[Producer] (
+      private[Producer] val partition: Int,
+      private[Producer] val seqInPartition: Long) {
+    private[Producer] var assigned: Option[Long] = None
+    def isCompleted: Boolean = assigned.isDefined
+    /** The assigned EventID; throws if flush() has not run yet. */
+    def eventId: Long = assigned.getOrElse(
+      throw new IllegalStateException("event id not assigned yet — call flush()"))
+  }
+
+  private val buffer = ArrayBuffer.empty[(String, Array[Byte], Int, PendingEvent)]
+  private var rrCounter = 0L
+  private val perPartitionSeq = scala.collection.mutable.Map.empty[Int, Long]
+
+  /** S1 `push` — buffers locally; partition chosen eagerly client-side
+    * (explicit request honored mod n, else round-robin / metadata hash). */
+  def push(metadata: String, data: Array[Byte] = null,
+           partition: Option[Int] = None): PendingEvent = synchronized {
+    val p = partition match {
+      case Some(req) => math.floorMod(req, n)
+      case None => selector match {
+        case PartitionSelector.MetadataHash(path) =>
+          // client-side deterministic hash of the selected field's text
+          val key = fieldText(metadata, path)
+          math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), n)
+        case PartitionSelector.FieldMod(path) =>
+          math.floorMod(fieldText(metadata, path).trim.stripPrefix("\"")
+            .stripSuffix("\"").toLong, n.toLong).toInt
+        case _ =>
+          val p = (rrCounter % n).toInt; rrCounter += 1; p
+      }
+    }
+    val seq = perPartitionSeq.getOrElse(p, 0L)
+    perPartitionSeq(p) = seq + 1
+    val pending = new PendingEvent(p, seq)
+    buffer += ((metadata, data, p, pending))
+    pending
+  }
+
+  /** S2 `flush` — drains the buffer as one produce() batch and resolves all
+    * pending EventIDs. */
+  def flush(): Unit = synchronized {
+    if (buffer.isEmpty) return
+    val rows = buffer.toSeq.map { case (md, data, p, _) => (md, data, p) }
+    import spark.implicits._
+    val df = rows.toDF("metadata", "data", "partition")
+    val ranges = produce(df)
+    buffer.foreach { case (_, _, p, pending) =>
+      pending.assigned = Some(ranges(p)._1 + pending.seqInPartition)
+    }
+    buffer.clear()
+    perPartitionSeq.clear()
+  }
+
+  private def fieldText(metadataJson: String, path: String): String = {
+    import org.json4s._
+    val keys = path.stripPrefix("$.").split('.')
+    val v = keys.foldLeft(org.json4s.jackson.JsonMethods.parse(metadataJson): JValue)(_ \ _)
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v))
+  }
+}

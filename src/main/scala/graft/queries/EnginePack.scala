@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+import Q._
+
+/**
+ * End-to-end engine contract queries: each one drives the REAL write/read
+ * path (createTopic → produce → consume) against a fresh temp warehouse and
+ * surfaces the result as a DataFrame whose expected content is re-derivable
+ * in plain SQL from the input table — so the DuckDB oracle independently
+ * checks the engine's core contracts:
+ *
+ *  - `q_producer_ids`: dense per-partition EventIDs
+ *    (`/root/reference/src/DefaultPartitionManager.cpp:398-409`);
+ *  - `q_producer_selector`: metadata-driven partition selection (X2);
+ *  - `q_consumer_ack`: acknowledge cursor = id+1 and at-least-once resume
+ *    (`DefaultPartitionManager.cpp:506-514`).
+ */
+object EnginePack extends QueryPack {
+
+  private def tempDriver(s: SparkSession): GraftDriver =
+    new GraftDriver(s, Files.createTempDirectory("graft-engine-q").toString)
+
+  /** events table → (metadata `{"eid":<event_id>}`, partition eid%4), in
+    * event_id push order — makes engine-assigned ids SQL-predictable. */
+  private def sourceByEid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .orderBy(col("event_id"))
+      .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+        pmod(col("event_id"), lit(4)).cast("int").as("partition"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_producer_ids" -> { (s, dir) =>
+      val d = tempDriver(s)
+      d.createTopic("ids_demo", partitions = 4)
+      val topic = d.openTopic("ids_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy(col("partition"))
+    },
+    "q_producer_selector" -> { (s, dir) =>
+      val d = tempDriver(s)
+      d.createTopic("sel_demo", partitions = 4,
+        selector = PartitionSelector.FieldMod("$.k"))
+      val topic = d.openTopic("sel_demo")
+      // no explicit partition column: the topic's own selector routes rows
+      topic.producer().produce(
+        t(s, dir, "events").select(col("props").as("metadata")))
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(get_json_object(col("metadata"), "$.k")).as("n_keys"))
+        .orderBy(col("partition"))
+    },
+    "q_consumer_ack" -> { (s, dir) =>
+      val d = tempDriver(s)
+      d.createTopic("ack_demo", partitions = 4)
+      val topic = d.openTopic("ack_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      // acknowledge event 9 on every partition → cursor 10 (id+1)
+      (0 until 4).foreach(p => d.catalog.acknowledge("ack_demo", "acker", p, 9L))
+      topic.consumer("acker").events()
+        .select(col("partition"), col("event_id").as("engine_id"),
+          get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
+        .orderBy(col("partition"), col("engine_id"))
+    },
+  )
+
+  override def oracles: Map[String, String] = Map(
+    // ids dense 0..cnt-1 per partition, one id per event
+    "q_producer_ids" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // the topic's FieldMod('$.k') selector must equal k % 4 routing
+    "q_producer_selector" ->
+      """SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS INT) AS partition,
+        | count(*) AS cnt, count(DISTINCT json_extract_string(props, '$.k')) AS n_keys
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // engine id = rank of the event within its partition (push order); the
+    // acked prefix (< 10) must not reappear
+    "q_consumer_ack" ->
+      """SELECT partition, engine_id, eid
+        |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,
+        |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id,
+        |        event_id AS eid
+        |      FROM events) s
+        |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/**
+ * Topic DDL contract, mirroring `/root/reference/tests/MofkaDriverTest.cpp:35-61`
+ * (duplicate create throws, open of missing throws, 4 partitions listed) plus
+ * the name rules of `MofkaDriver.cpp:157`.
+ */
+class DriverSpec extends SparkSpec {
+
+  private def freshDriver(): GraftDriver =
+    new GraftDriver(spark, Files.createTempDirectory("graft-driver-spec").toString)
+
+  test("createTopic / topicExists / duplicate create throws") {
+    val d = freshDriver()
+    assert(!d.topicExists("mytopic"))
+    d.createTopic("mytopic")
+    assert(d.topicExists("mytopic"))
+    val e = intercept[IllegalStateException] { d.createTopic("mytopic") }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("openTopic of a missing topic throws 'not found'") {
+    val d = freshDriver()
+    val e = intercept[NoSuchElementException] { d.openTopic("mytopic2") }
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("addPartition grows to 4 partitions, visible on open") {
+    val d = freshDriver()
+    d.createTopic("mytopic", partitions = 1)
+    (0 until 3).foreach(_ => d.addPartition("mytopic"))
+    assert(d.openTopic("mytopic").config.partitions == 4)
+    assert(d.catalog.nextIds("mytopic").keySet == Set(0, 1, 2, 3))
+  }
+
+  test("listTopics lists created topics sorted") {
+    val d = freshDriver()
+    d.createTopic("t_b"); d.createTopic("t_a"); d.createTopic("t_c")
+    assert(d.listTopics() == Seq("t_a", "t_b", "t_c"))
+  }
+
+  test("topic names: length cap and character set") {
+    val d = freshDriver()
+    val long = "x" * 257
+    assert(intercept[IllegalArgumentException] { d.createTopic(long) }
+      .getMessage.contains("256"))
+    intercept[IllegalArgumentException] { d.createTopic("bad/name") }
+    // within the contract cap (note: local filesystems cap path components
+    // at 255 bytes, so the acceptance probe stays under that)
+    d.createTopic("x" * 255)
+  }
+
+  test("config round-trip preserves the validator/selector descriptors") {
+    val d = freshDriver()
+    d.createTopic("cfg", partitions = 2,
+      validator = Validator.EventBridgeValidator("""{"a":[1]}"""),
+      selector = PartitionSelector.MetadataHash("$.key"))
+    val cfg = d.openTopic("cfg").config
+    assert(Validator.fromDescriptor(cfg.validator)
+      .isInstanceOf[Validator.EventBridgeValidator])
+    assert(PartitionSelector.fromDescriptor(cfg.selector) ==
+      PartitionSelector.MetadataHash("$.key"))
+    assert(!cfg.completed)
+    d.openTopic("cfg").markAsComplete()
+    assert(d.openTopic("cfg").config.completed)
+  }
+}

@@ -1,0 +1,183 @@
+package graft.engine
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Produce→consume lifecycle, replaying
+ * `/root/reference/tests/MofkaEventConsumerTest.cpp:45-135`: 100 events
+ * `{"event_num":i}` with payload "This is data for event i", flush,
+ * markAsComplete; pull returns ids 0..99 in order with metadata intact,
+ * acknowledge every 5th, extra pulls yield NoMoreEvents; at-least-once
+ * resume for a re-created consumer of the same name.
+ */
+class ProducerConsumerSpec extends SparkSpec {
+
+  private def newTopic(partitions: Int = 1): (GraftDriver, TopicHandle) = {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
+    d.createTopic("mytopic", partitions = partitions)
+    (d, d.openTopic("mytopic"))
+  }
+
+  private def produce100(topic: TopicHandle): Unit = {
+    val producer = topic.producer()
+    (0 until 100).foreach { i =>
+      producer.push(s"""{"event_num":$i}""",
+        s"This is data for event $i".getBytes(StandardCharsets.UTF_8))
+    }
+    producer.flush()
+  }
+
+  test("ids are dense 0..99 in push order; metadata and payload round-trip") {
+    val (_, topic) = newTopic()
+    produce100(topic)
+    topic.markAsComplete()
+
+    val consumer = topic.consumer("myconsumer")
+    (0 until 100).foreach { i =>
+      val Pull.Next(e) = consumer.pull(): @unchecked
+      assert(e.eventId == i)
+      assert(e.metadata == s"""{"event_num":$i}""")
+      assert(new String(e.data, StandardCharsets.UTF_8) == s"This is data for event $i")
+      if (i % 5 == 0) consumer.acknowledge(e)
+    }
+    (0 until 10).foreach { _ => assert(consumer.pull() == Pull.NoMoreEvents) }
+  }
+
+  test("push futures resolve to the assigned ids at flush") {
+    val (_, topic) = newTopic()
+    val producer = topic.producer()
+    val pending = (0 until 10).map(i => producer.push(s"""{"i":$i}"""))
+    assert(!pending.head.isCompleted)
+    intercept[IllegalStateException] { pending.head.eventId }
+    producer.flush()
+    assert(pending.map(_.eventId) == (0L until 10L))
+    // a second flush continues the dense sequence
+    val more = (0 until 5).map(i => producer.push(s"""{"i":${10 + i}}"""))
+    producer.flush()
+    assert(more.map(_.eventId) == (10L until 15L))
+  }
+
+  test("at-least-once: a re-created consumer resumes from the acked cursor") {
+    val (_, topic) = newTopic()
+    produce100(topic)
+    topic.markAsComplete()
+
+    val c1 = topic.consumer("myconsumer")
+    (0 until 100).foreach { i =>
+      val Pull.Next(e) = c1.pull(): @unchecked
+      if (i % 5 == 0) c1.acknowledge(e) // last ack: id 95 → cursor 96
+    }
+    // same name ⇒ resume at 96 (ids 96..99 were pulled but never acked)
+    val c2 = topic.consumer("myconsumer")
+    val replayed = Iterator.continually(c2.pull())
+      .takeWhile(_ != Pull.NoMoreEvents)
+      .collect { case Pull.Next(e) => e.eventId }.toSeq
+    assert(replayed == Seq(96L, 97L, 98L, 99L))
+    // a different name starts from scratch
+    val fresh = topic.consumer("other")
+    val Pull.Next(first) = fresh.pull(): @unchecked
+    assert(first.eventId == 0L)
+  }
+
+  test("ids are dense per partition across 4 partitions (explicit requests)") {
+    val (d, topic) = newTopic(partitions = 4)
+    val producer = topic.producer()
+    (0 until 100).foreach { i =>
+      producer.push(s"""{"event_num":$i}""", partition = Some(i % 4))
+    }
+    producer.flush()
+
+    val byPartition = topic.events()
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+        max(col("event_id")).as("hi"),
+        countDistinct(col("event_id")).as("d"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(byPartition.keySet == Set(0, 1, 2, 3))
+    byPartition.values.foreach { case (n, lo, hi, d) =>
+      assert(n == 25 && lo == 0 && hi == 24 && d == 25)
+    }
+    assert(d.catalog.nextIds("mytopic") == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
+  }
+
+  test("round-robin spreads events across all partitions; batch produce works") {
+    val (_, topic) = newTopic(partitions = 4)
+    import spark.implicits._
+    val df = (0 until 80).map(i => s"""{"i":$i}""").toDF("metadata")
+    val ranges = topic.producer().produce(df)
+    assert(ranges.keySet == Set(0, 1, 2, 3))
+    assert(ranges.values.map(_._2).sum == 80)
+    ranges.values.foreach { case (first, _) => assert(first == 0L) }
+  }
+
+  test("eventbridge validator rejects invalid events at produce time") {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
+    d.createTopic("validated",
+      validator = Validator.EventBridgeValidator("""{"kind": ["good"]}"""))
+    val topic = d.openTopic("validated")
+    val producer = topic.producer()
+    producer.push("""{"kind":"good","x":1}""")
+    producer.flush() // fine
+    producer.push("""{"kind":"bad","x":2}""")
+    val e = intercept[Exception] { producer.flush() }
+    assert(e.getMessage != null)
+    // the good event is still there and ids stay dense for the next good push
+    val p2 = topic.producer()
+    val ok = p2.push("""{"kind":"good","x":3}""")
+    p2.flush()
+    assert(ok.eventId == 1L)
+  }
+
+  test("schema validator: invalid doc rejected, valid doc exposes typed struct") {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
+    val schema =
+      """{"type":"object",
+        | "properties":{"name":{"type":"string"},"x":{"type":"integer"}},
+        | "required":["name","x"]}""".stripMargin
+    d.createTopic("schematopic", validator = Validator.SchemaValidator(schema))
+    val topic = d.openTopic("schematopic")
+    val producer = topic.producer()
+    producer.push("""{"name":"bob","x":42}""")
+    producer.flush()
+    producer.push("""{"name":"eve"}""") // missing required x
+    intercept[Exception] { producer.flush() }
+
+    val typed = topic.typedMetadata(topic.events())
+      .select(col("metadata_typed.name"), col("metadata_typed.x"))
+      .collect()
+    assert(typed.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("bob", 42L)))
+  }
+
+  test("metadata-hash selector routes equal keys to equal partitions") {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
+    d.createTopic("hashed", partitions = 4,
+      selector = PartitionSelector.MetadataHash("$.key"))
+    val topic = d.openTopic("hashed")
+    import spark.implicits._
+    val df = (0 until 100).map(i => s"""{"key":"user${i % 10}","i":$i}""").toDF("metadata")
+    topic.producer().produce(df)
+    // every key lands in exactly one partition
+    val spread = topic.events()
+      .select(get_json_object(col("metadata"), "$.key").as("k"), col("partition"))
+      .groupBy("k").agg(countDistinct(col("partition")).as("nparts"))
+      .collect()
+    assert(spread.nonEmpty && spread.forall(_.getLong(1) == 1L))
+  }
+
+  test("consumer partition targeting prunes to the requested partitions") {
+    val (_, topic) = newTopic(partitions = 4)
+    val producer = topic.producer()
+    (0 until 40).foreach(i => producer.push(s"""{"i":$i}""", partition = Some(i % 4)))
+    producer.flush()
+    val c = topic.consumer("targeted", targets = Seq(1, 3))
+    val parts = c.events().select(col("partition")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(parts == Set(1, 3))
+  }
+}
