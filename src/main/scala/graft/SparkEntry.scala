@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   /** All registered query packs. */
-  private val packs: Seq[QueryPack] = Seq(Relational, EventPack, EnginePack)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, EventPack, EnginePack, TextPack, VectorPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

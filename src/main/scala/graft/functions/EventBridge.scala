@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -41,10 +41,14 @@ import org.json4s.jackson.JsonMethods
  */
 object EventBridge {
 
-  /** Parse `patternJson` and compile it against `metadata` (JSON string column). */
+  /** Parse `patternJson` and compile it against `metadata` (JSON string
+    * column). Each referenced field is a `get_json_object` access — i.e. one
+    * JSON parse per referenced field per row. Fine for a handful of fields;
+    * for wide patterns use the single-parse path ([[schemaFor]] +
+    * [[compileWithStruct]], or [[filterFast]]). */
   def compile(patternJson: String, metadata: Column): Column =
     JsonMethods.parse(patternJson) match {
-      case o: JObject => compilePattern(o, metadata, Nil)
+      case o: JObject => compilePattern(o, jsonResolver(metadata), Nil)
       case other => throw new IllegalArgumentException(
         s"eventbridge pattern must be a JSON object, got: ${JsonMethods.compact(other)}")
     }
@@ -53,9 +57,70 @@ object EventBridge {
   def matches(metadata: Column, patternJson: String): Column =
     compile(patternJson, metadata)
 
+  /**
+   * Minimal read schema for evaluating `patternJson`: every referenced leaf
+   * as a string field, intermediate segments as nested structs. Parse the
+   * metadata ONCE with `from_json(metadata, schemaFor(p))` and evaluate the
+   * predicate with [[compileWithStruct]] — the big-pattern fast path (the
+   * reference's production patterns reference ~30 fields; one parse per row
+   * instead of 30).
+   *
+   * String-leaf semantics match the `get_json_object` path: scalars surface
+   * as their text, so `null` vs absent stays conflated and array-valued
+   * fields still don't match element-wise (documented divergence from AWS).
+   */
+  def schemaFor(patternJson: String): StructType = {
+    val paths = referencedPaths(patternJson)
+    paths.foreach { p =>
+      paths.find(q => q.length > p.length && q.startsWith(p)).foreach { q =>
+        throw new IllegalArgumentException(
+          s"pattern references both '${p.mkString(".")}' and '${q.mkString(".")}' — " +
+          "a field cannot be both a leaf and an object; use compile() instead")
+      }
+    }
+    def build(ps: Seq[Seq[String]]): StructType =
+      StructType(ps.groupBy(_.head).toSeq.sortBy(_._1).map { case (head, group) =>
+        val children = group.filter(_.length > 1).map(_.tail)
+        if (children.isEmpty) StructField(head, StringType)
+        else StructField(head, build(children))
+      })
+    build(paths.toSeq)
+  }
+
+  /** Compile against a struct column produced by
+    * `from_json(metadata, schemaFor(pattern))` — zero parses per access. */
+  def compileWithStruct(patternJson: String, parsed: Column): Column =
+    JsonMethods.parse(patternJson) match {
+      case o: JObject => compilePattern(o, structResolver(parsed), Nil)
+      case other => throw new IllegalArgumentException(
+        s"eventbridge pattern must be a JSON object, got: ${JsonMethods.compact(other)}")
+    }
+
+  /** One-stop fast path: filter `df` by the pattern with a single JSON parse
+    * per row (projects a temporary parsed-struct column). */
+  def filterFast(df: org.apache.spark.sql.DataFrame, metadataCol: String,
+                 patternJson: String): org.apache.spark.sql.DataFrame = {
+    val tmp = s"__eb_parsed_${math.abs(patternJson.hashCode)}"
+    df.withColumn(tmp, from_json(col(metadataCol), schemaFor(patternJson)))
+      .filter(compileWithStruct(patternJson, col(tmp)))
+      .drop(tmp)
+  }
+
+  /** All field paths referenced by a pattern. */
+  def referencedPaths(patternJson: String): Set[Seq[String]] = {
+    val acc = scala.collection.mutable.Set.empty[Seq[String]]
+    val recorder: FieldResolver = { path => acc += path; lit("x") }
+    JsonMethods.parse(patternJson) match {
+      case o: JObject => compilePattern(o, recorder, Nil)
+      case other => throw new IllegalArgumentException(
+        s"eventbridge pattern must be a JSON object, got: ${JsonMethods.compact(other)}")
+    }
+    acc.toSet
+  }
+
   // ---- internals ----------------------------------------------------------
 
-  private def compilePattern(obj: JObject, md: Column, base: Seq[String]): Column = {
+  private def compilePattern(obj: JObject, md: FieldResolver, base: Seq[String]): Column = {
     val conjuncts = obj.obj.map {
       case ("$or", JArray(subs)) =>
         subs.map {
@@ -69,22 +134,22 @@ object EventBridge {
           case JArray(matchers) =>
             require(matchers.nonEmpty, s"empty matcher list for ${path.mkString(".")}")
             matchers.map(m => compileMatcher(m, md, path)).reduce(_ || _)
-          case scalar           => exact(scalar, field(md, path))
+          case scalar           => exact(scalar, md(path))
         }
     }
     require(conjuncts.nonEmpty, "empty eventbridge pattern object")
     conjuncts.reduce(_ && _)
   }
 
-  private def compileMatcher(m: JValue, md: Column, path: Seq[String]): Column = m match {
-    case JObject(List(("prefix", v)))             => prefixLike(v, field(md, path), isPrefix = true)
-    case JObject(List(("suffix", v)))             => prefixLike(v, field(md, path), isPrefix = false)
-    case JObject(List(("equals-ignore-case", v))) => equalsIgnoreCase(v, field(md, path))
-    case JObject(List(("wildcard", JString(w))))  => field(md, path).rlike(wildcardToRegex(w))
-    case JObject(List(("numeric", JArray(ops))))  => numericRange(ops, field(md, path))
+  private def compileMatcher(m: JValue, md: FieldResolver, path: Seq[String]): Column = m match {
+    case JObject(List(("prefix", v)))             => prefixLike(v, md(path), isPrefix = true)
+    case JObject(List(("suffix", v)))             => prefixLike(v, md(path), isPrefix = false)
+    case JObject(List(("equals-ignore-case", v))) => equalsIgnoreCase(v, md(path))
+    case JObject(List(("wildcard", JString(w))))  => md(path).rlike(wildcardToRegex(w))
+    case JObject(List(("numeric", JArray(ops))))  => numericRange(ops, md(path))
     case JObject(List(("exists", JBool(b))))      =>
-      if (b) field(md, path).isNotNull else field(md, path).isNull
-    case JObject(List(("anything-but", v)))       => anythingBut(v, field(md, path))
+      if (b) md(path).isNotNull else md(path).isNull
+    case JObject(List(("anything-but", v)))       => anythingBut(v, md(path))
     case JObject(List(("$or", JArray(subs))))     =>
       subs.map {
         case o: JObject => compilePattern(o, md, path)
@@ -103,7 +168,7 @@ object EventBridge {
           JsonMethods.compact(JsonMethods.render(o)))
       }
       compilePattern(o, md, path)
-    case scalar                                   => exact(scalar, field(md, path))
+    case scalar                                   => exact(scalar, md(path))
   }
 
   // "$or" is absent on purpose: compilePattern supports it alongside other
@@ -112,9 +177,16 @@ object EventBridge {
     "prefix", "suffix", "equals-ignore-case", "wildcard", "numeric",
     "exists", "anything-but")
 
-  /** `$.a.b` accessor over the JSON metadata document. */
-  private def field(md: Column, path: Seq[String]): Column =
-    get_json_object(md, "$." + path.mkString("."))
+  /** How a field path resolves to a Column (raw-JSON or parsed-struct). */
+  private type FieldResolver = Seq[String] => Column
+
+  /** `$.a.b` accessor over the raw JSON document (one parse per access). */
+  private def jsonResolver(metadata: Column): FieldResolver =
+    path => get_json_object(metadata, "$." + path.mkString("."))
+
+  /** Accessor over an already-parsed struct (zero parses per access). */
+  private def structResolver(parsed: Column): FieldResolver =
+    path => path.foldLeft(parsed)(_.getField(_))
 
   private val NumericRe = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
 

@@ -1,0 +1,188 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators: exact (hash groupBy), MinHash + banded LSH
+ * near-dup with exact-Jaccard verification, and SimHash with pigeonhole
+ * band buckets.
+ *
+ * Scale design (100 TB): every candidate-generation step is a BUCKETED
+ * equality join (band value, shingle, or 16-bit simhash band) — there is no
+ * cross join anywhere; verification cost is proportional to the candidate
+ * set, not to n².
+ */
+object Dedup {
+
+  // -- exact dedup ----------------------------------------------------------
+
+  /**
+   * Exact dedup by content hash: one row per distinct content with the
+   * representative (minimum) id and the copy count.
+   */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // -- MinHash + LSH --------------------------------------------------------
+
+  /**
+   * MinHash signatures as `numHashes` independent min-order statistics over
+   * an exploded (id, shingle) relation. Hash family: `xxhash64(j, shingle)`
+   * — fully codegen'd 64-bit hashing, ~10× cheaper than a cryptographic
+   * hash. (Correctness does not depend on the family: the near-dup contract
+   * is checked against EXACT all-pairs Jaccard, which never touches these
+   * hashes.)
+   *
+   * Shape matters: computing the signature as 64 `array_min(transform(...))`
+   * expressions over an array column would re-evaluate the (non-codegen)
+   * shingle construction once per hash function per row — explode + hash
+   * aggregate keeps everything inside whole-stage codegen and evaluates each
+   * shingle exactly once.
+   */
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { j =>
+      min(xxhash64(lit(j), col("s"))).as(s"h$j")
+    }
+    shingleRows.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /**
+   * Near-duplicate pairs via banded MinHash LSH, verified with EXACT Jaccard
+   * over the shingle sets — LSH only proposes candidates; every reported
+   * pair carries its true similarity.
+   *
+   * Pipeline (all bucketed joins):
+   *  1. distinct shingles per doc;
+   *  2. signature of `bands*rowsPerBand` min-hashes; explode one row per band;
+   *  3. docs sharing a band value pair up (equality join on band hash);
+   *  4. exact |A∩B| via shingle-equality join restricted to candidates;
+   *  5. jaccard = i/(|A|+|B|-i), threshold filter.
+   *
+   * Output: (doc_a, doc_b, jac_micro) with jac_micro = round(jaccard*1e6).
+   */
+  def nearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+
+    // Repartition by id up front: spreads shingle hashing across the cluster
+    // even when the input is a handful of files, and pre-aligns the
+    // partitioning with every downstream groupBy(id) (no second shuffle).
+    // Tokenizing BEFORE the exchange materializes the token array, so the
+    // (interpreted) shingle lambda reads it O(1) per element instead of
+    // re-splitting the text per access.
+    val base = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col("id"))
+
+    val sh = base.select(col("id"),
+      explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+
+    val sig = minhashSignatures(sh, numHashes)
+
+    val banded = sig.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      }: _*)))
+      .toDF("id", "band", "bandval")
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.id"))
+      .withColumn("jac", col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jac") * 1000000).cast("long").as("jac_micro"))
+  }
+
+  /**
+   * Exact n-gram Jaccard between explicitly paired rows (e.g. consecutive
+   * ids, or an LSH candidate list) — the verification kernel exposed as its
+   * own operator.
+   */
+  def pairJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                  shingles: Column): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles)).as("s"))
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.as("ca"), col("doc_a") === col("ca.id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.id"))
+      .withColumn("jac", coalesce(col("i"), lit(0L)).cast("double") /
+        (col("ca.n") + col("cb.n") - coalesce(col("i"), lit(0L))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jac") * 1000000).cast("long").as("jac_micro"))
+  }
+
+  // -- SimHash --------------------------------------------------------------
+
+  /** Number of simhash bits: 63 keeps `1L << i` positive in every engine. */
+  val SimHashBits = 63
+
+  /**
+   * 63-bit SimHash over whitespace tokens: bit i of `md5(token)` votes ±1;
+   * the sign of the per-document vote sum sets bit i of the fingerprint.
+   * Pure built-ins (md5 + conv + bit ops) — reproducible anywhere.
+   */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(col("id"))
+      .select(col("id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val h = md5(col("tok"))
+    val votes = (0 until SimHashBits).map { i =>
+      val nibble = conv(substring(h, 1 + i / 4, 1), 16, 10).cast("int")
+      sum(shiftright(nibble, i % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"b$i")
+    }
+    val acc = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until SimHashBits).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    acc.select(col("id"), fp.as("simhash"))
+  }
+
+  /**
+   * Near-dup pairs by SimHash hamming distance ≤ `maxHamming`, found via
+   * pigeonhole banding: with `maxHamming+1` disjoint bit bands, any pair
+   * within the distance budget must agree on at least one whole band — so
+   * the band-equality join has 100% recall, no cross join, and the exact
+   * `bit_count(xor)` check filters false candidates.
+   */
+  def simhashPairs(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = SimHashBits / nBands + (if (SimHashBits % nBands == 0) 0 else 1)
+    val banded = signatures.select(col("id"), col("simhash"), posexplode(
+      array((0 until nBands).map { b =>
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << math.min(bandBits, 62)) - 1))
+      }: _*)))
+      .toDF("id", "simhash", "band", "bandval")
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines (beyond
+ * the reference surface, per the project north star): tokenization, quality
+ * stats, stopword/marker scoring, language-ID heuristic, fingerprinting,
+ * shingling.
+ *
+ * Everything is a pure Column tree over built-ins (split/transform/filter/
+ * aggregate lambdas, md5) — codegen-friendly, no UDFs, no driver-side state;
+ * at 100 TB these are embarrassingly parallel map operators.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of a document. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Total characters across tokens (i.e. non-whitespace characters). */
+  def tokenChars(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t).cast("long")), lit(0L), _ + _)
+
+  /** How many tokens fall in `words` (stopword/marker counting). */
+  def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** Exact-integer (1e6-scaled) type-token ratio: distinct/total tokens. */
+  def typeTokenRatioMicro(text: Column): Column =
+    round(distinctTokenCount(text).cast("double") / tokenCount(text) * 1000000).cast("long")
+
+  /** Exact-integer (1e6-scaled) mean token length. */
+  def meanTokenLenMicro(text: Column): Column =
+    round(tokenChars(text).cast("double") / tokenCount(text) * 1000000).cast("long")
+
+  /** Content fingerprint: md5 of the normalized (lower/trim) document. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Word n-gram shingles, space-joined (the near-dup dedup unit). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /**
+   * N-gram shingles from an ALREADY-MATERIALIZED token-array column.
+   *
+   * Prefer this over [[wordShingles]] when the tokens column sits behind an
+   * exchange/aggregation boundary: higher-order functions are interpreted
+   * (no codegen), so a `split` nested inside the lambda would re-run once
+   * per element access — O(tokens²) per row. On a materialized array the
+   * element accesses are O(1).
+   */
+  def shinglesFromTokens(w: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    val count = size(w) - (n - 1)
+    when(count <= 0, array(concat_ws(" ", w))) // short doc: one shingle = all tokens
+      .otherwise(transform(sequence(lit(1), count), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    val t = trim(text)
+    when(length(t) <= n, array(t))
+      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)), i =>
+        t.substr(i, lit(n))))
+  }
+
+  /**
+   * Marker-word language-ID heuristic: score each candidate language by its
+   * function-word hits; highest score wins, earlier language wins ties.
+   * Cheap, deterministic, fully distributed — the classic fastText/cld fall-
+   * back for pipelines that cannot afford a model pass per document.
+   */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un", "una"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) => lang -> markerCount(text, words) }
+
+  /** Winning language (ties → first in [[LangMarkers]] order); "und"
+    * (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

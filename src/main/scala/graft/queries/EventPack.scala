@@ -103,6 +103,19 @@ object EventPack extends QueryPack {
         .orderBy($"event_type")
     },
 
+    "q_eb_struct" -> { (s, dir) =>
+      import s.implicits._
+      // single-parse fast path: from_json once per row against the
+      // pattern-derived schema, predicate over the parsed struct
+      t(s, dir, "events")
+        .withColumn("md", to_json(struct(
+          struct($"event_type".as("t")).as("info"),
+          $"user_id".as("uid"), $"value".as("v"))))
+        .transform(df => EventBridge.filterFast(df, "md", ebComplexPattern))
+        .select($"event_id", $"event_type", $"user_id")
+        .orderBy($"event_id")
+    },
+
     "q_view_sub" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "documents")
@@ -167,6 +180,11 @@ object EventPack extends QueryPack {
         |WHERE event_type NOT IN ('view', 'click')
         |  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_eb_struct" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE (lower(event_type) = 'click' OR event_type LIKE '%up' OR event_type LIKE 'err%')
+        |  AND (user_id >= 120 OR value < 50)
+        |ORDER BY event_id""".stripMargin,
     "q_view_sub" ->
       s"""SELECT doc_id, ${viewOracle(subView, "text")} AS slice
          |FROM documents ORDER BY doc_id""".stripMargin,

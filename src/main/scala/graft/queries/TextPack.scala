@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, TextFunctions => TF}
+import Q._
+
+/**
+ * LLM-training-data text operators over `documents`: stats/quality, lang-id,
+ * fingerprinting, exact dedup, MinHash-LSH near-dup with exact-Jaccard
+ * verification, pairwise n-gram Jaccard, SimHash (+ pigeonhole-banded
+ * near-dup pairs), and the multimodal binary-column pipeline.
+ *
+ * Every oracle is an independent SQL formulation (DuckDB list/lambda
+ * functions, or machine-generated bit arithmetic for SimHash); the MinHash
+ * query's oracle is the EXACT all-pairs Jaccard — so the LSH path is graded
+ * on true recall, not against itself.
+ */
+object TextPack extends QueryPack {
+
+  private val SplitRe = "\\s+"
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        TF.distinctTokenCount(col("text")).as("n_distinct"),
+        TF.markerCount(col("text"), Seq("the", "a", "of", "and", "is", "to", "in")).as("n_stop"),
+        TF.typeTokenRatioMicro(col("text")).as("ttr_micro"),
+        TF.meanTokenLenMicro(col("text")).as("mtl_micro"))
+        .orderBy(col("doc_id"))
+    },
+    "q_text_langid" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val scores = TF.langScores(col("text"))
+      d.select(Seq(col("doc_id")) ++
+        scores.map { case (lang, c) => c.as(s"s_$lang") } :+
+        TF.langId(col("text")).as("guess"): _*)
+        .orderBy(col("doc_id"))
+    },
+    "q_text_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.fingerprint(col("text")).as("fp"),
+        substring(TF.fingerprint(col("text")), 1, 8).as("fp8"))
+        .orderBy(col("doc_id"))
+    },
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q_text_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_b")), "doc_b")
+      Dedup.pairJaccard(pairs, docs, "doc_id", TF.charShingles(col("text"), 4))
+        .orderBy(col("doc_a"))
+    },
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    "q_dedup_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q_media_meta" -> { (s, dir) =>
+      Multimodal.decode(Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("fingerprint").as("payload_fp"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private val W = s"string_split_regex(trim(text), '\\s+')"
+
+  /** DuckDB mirror of the 63-bit simhash as a doc_id→simhash CTE body. */
+  private def simhashCte: String = {
+    val votes = (0 until Dedup.SimHashBits).map { i =>
+      s"sum((((strpos('0123456789abcdef', substr(h, ${1 + i / 4}, 1)) - 1) >> ${i % 4}) & 1) * 2 - 1) AS b$i"
+    }.mkString(", ")
+    val bits = (0 until Dedup.SimHashBits).map { i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""toks AS (SELECT doc_id, unnest($W) AS tok FROM documents),
+       |hb AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |acc AS (SELECT doc_id, $votes FROM hb GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM acc)""".stripMargin
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         | len($W) AS n_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | len(list_distinct($W)) AS n_distinct,
+         | len(list_filter($W, x -> x IN ('the','a','of','and','is','to','in'))) AS n_stop,
+         | CAST(round(len(list_distinct($W)) * 1.0 / len($W) * 1000000) AS BIGINT) AS ttr_micro,
+         | CAST(round(CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 1.0 / len($W) * 1000000) AS BIGINT) AS mtl_micro
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" -> {
+      val markers = TF.LangMarkers
+      val scoreCols = markers.map { case (lang, words) =>
+        s"len(list_filter($W, x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+      }.mkString(", ")
+      val best = s"greatest(${markers.map { case (l, _) => s"s_$l" }.mkString(",")})"
+      // mirror of TF.langId: highest score wins, earlier language wins ties
+      val guess = markers.map { case (l, _) =>
+        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es, $guess AS guess
+         |FROM (SELECT doc_id, $scoreCols FROM documents) s
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        | substr(md5(lower(trim(text))), 1, 8) AS fp8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // EXACT all-pairs jaccard — independent of the LSH implementation
+    "q_dedup_minhash" ->
+      s"""WITH docs AS (SELECT doc_id, $W AS w FROM documents),
+         |shg AS (SELECT DISTINCT doc_id,
+         |         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |                ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] END) AS s
+         |        FROM docs),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(round((i * 1.0 / (ca.n + cb.n - i)) * 1000000) AS BIGINT) AS jac_micro
+         |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_text_jaccard" ->
+      """WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+        |shg AS (SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN length(t) <= 4 THEN [t]
+        |                ELSE [substr(t, i, 4) for i in range(1, length(t) - 2)] END) AS s
+        |        FROM docs),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i
+        |          FROM pairs JOIN shg sa ON sa.doc_id = doc_a
+        |                     JOIN shg sb ON sb.doc_id = doc_b AND sa.s = sb.s
+        |          GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |  CAST(round((coalesce(i, 0) * 1.0 / (ca.n + cb.n - coalesce(i, 0))) * 1000000) AS BIGINT) AS jac_micro
+        |FROM pairs p LEFT JOIN inter USING (doc_a, doc_b)
+        |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
+        |ORDER BY doc_a""".stripMargin,
+    "q_dedup_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "q_dedup_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        | CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,
+        | CAST(ascii(substr(text, 2, 1)) AS BIGINT) AS height,
+        | md5(text) AS payload_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+import Q._
+
+/**
+ * Similarity-search operators over `embeddings` (64-dim float vectors):
+ * exact brute-force cosine top-k (query side broadcast), IVF-bucketed
+ * approximate top-k (deterministic, hence oracle-checkable), and vector
+ * norm/statistics kernels.
+ *
+ * Cross-engine exactness: all dot products are sequential double folds and
+ * all similarities are published as `round(cos*1e6)` integers; per-label
+ * sums aggregate those exact integers, never raw doubles.
+ */
+object VectorPack extends QueryPack {
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def candidatesDf(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def centroidsDf(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_brute" -> { (s, dir) =>
+      Similarity.bruteForceTopK(queriesDf(s, dir), candidatesDf(s, dir), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_knn_ivf" -> { (s, dir) =>
+      Similarity.ivfTopK(queriesDf(s, dir), candidatesDf(s, dir),
+        centroidsDf(s, dir), k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_embed_norm" -> { (s, dir) =>
+      embeddings(s, dir).select(col("vec_id"),
+        round(Similarity.norm(col("embedding")) * 1000000).cast("long").as("norm_micro"),
+        col("label"))
+        .orderBy(col("vec_id"))
+    },
+    "q_embed_label_stats" -> { (s, dir) =>
+      embeddings(s, dir)
+        .select(col("label"),
+          round(Similarity.norm(col("embedding")) * 1000000).cast("long").as("nm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(col("nm")).as("min_norm_micro"),
+          max(col("nm")).as("max_norm_micro"), sum(col("nm")).as("sum_norm_micro"))
+        .orderBy(col("label"))
+    },
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  /** 64-dim cosine as `round(cos*1e6)` BIGINT — a sequential double fold,
+    * mirroring [[Similarity.dot]] exactly. */
+  private def cosMicro(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1,65)])"
+    s"CAST(round((${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))) * 1000000) AS BIGINT)"
+  }
+
+  private def normMicro(a: String): String = {
+    val dot = s"list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1,65)])"
+    s"CAST(round(sqrt($dot) * 1000000) AS BIGINT)"
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "q_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |pairs AS (SELECT qid, cid, ${cosMicro("qe", "ce")} AS cos_micro FROM q, c)
+         |SELECT query_id, rank, cand_id, cos_micro FROM (
+         |  SELECT qid AS query_id, cid AS cand_id, cos_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos_micro DESC, cid) AS rank
+         |  FROM pairs) r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_knn_ivf" ->
+      s"""WITH ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
+         |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |candcell AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT cid, ce, ctrid AS cell,
+         |      row_number() OVER (PARTITION BY cid
+         |        ORDER BY ${cosMicro("ce", "ctre")} DESC, ctrid) AS cr
+         |    FROM cand, ctr) x WHERE cr <= 1),
+         |qcell AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT qid, qe, ctrid AS cell,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY ${cosMicro("qe", "ctre")} DESC, ctrid) AS cr
+         |    FROM q, ctr) x WHERE cr <= 2),
+         |scored AS (
+         |  SELECT DISTINCT qid AS query_id, cid AS cand_id,
+         |    ${cosMicro("qe", "ce")} AS cos_micro
+         |  FROM qcell JOIN candcell USING (cell))
+         |SELECT query_id, rank, cand_id, cos_micro FROM (
+         |  SELECT query_id, cand_id, cos_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_micro DESC, cand_id) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_embed_norm" ->
+      s"""SELECT vec_id, ${normMicro("embedding")} AS norm_micro, label
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_embed_label_stats" ->
+      s"""SELECT label, count(*) AS n,
+         | min(nm) AS min_norm_micro, max(nm) AS max_norm_micro, sum(nm) AS sum_norm_micro
+         |FROM (SELECT label, ${normMicro("embedding")} AS nm FROM embeddings) s
+         |GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

@@ -74,8 +74,31 @@ class EventBridgeSpec extends SparkSpec {
     df.filter(EventBridge.compile(pat, col("md"))).count() == 1
   }
 
+  private def matchesFast(pat: String, doc: String): Boolean =
+    EventBridge.filterFast(Seq(doc).toDF("md"), "md", pat).count() == 1
+
   test("reference example document validates against the full pattern") {
     assert(matches(pattern, example))
+  }
+
+  test("single-parse struct path agrees with the per-field path") {
+    assert(matchesFast(pattern, example))
+    assert(!matchesFast(pattern, example.replace("\"a1\": \"a_value\"", "\"a1\": \"wrong\"")))
+    // grammar features through the struct resolver
+    assert(matchesFast("""{"i1.i1_1": "v"}""", """{"i1": {"i1_1": "v"}}"""))
+    assert(matchesFast("""{"e": [{"numeric": ["<", 42, ">=", 10]}]}""", """{"e": 10}"""))
+    assert(!matchesFast("""{"f": [{"exists": true}]}""", """{"g": 1}"""))
+  }
+
+  test("schemaFor derives the minimal nested read schema") {
+    val s = EventBridge.schemaFor("""{"a": 1, "i1": {"i1_1": "v"}, "i2.i2_1": "w"}""")
+    assert(s.fieldNames.toSet == Set("a", "i1", "i2"))
+    assert(s("i1").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("i1_1"))
+    // leaf/object conflicts are rejected toward the safe path
+    intercept[IllegalArgumentException] {
+      EventBridge.schemaFor("""{"a": 1, "a.b": 2}""")
+    }
   }
 
   test("exact value mismatch rejects") {

@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit checks for the LLM-pipeline operators (the oracle-checked queries in
+  * TextPack/VectorPack are the integration gate; these pin the semantics). */
+class LlmSpec extends SparkSpec {
+
+  import SparkSpec._
+
+  private lazy val docs = {
+    import session.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs home"),
+      (2L, "completely different content with no overlap whatsoever here now"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs away"), // exact dup of 0
+      (4L, "der hund ist nicht ein fuchs und das ist gut"),
+      (5L, "le chat est un animal et la vie est belle")
+    ).toDF("doc_id", "text")
+  }
+
+  test("tokenCount / distinctTokenCount / markerCount") {
+    val r = docs.filter(col("doc_id") === 0)
+      .select(TextFunctions.tokenCount(col("text")),
+        TextFunctions.distinctTokenCount(col("text")),
+        TextFunctions.markerCount(col("text"), Seq("the", "and")))
+      .collect()(0)
+    assert(r.getLong(0) == 12)
+    assert(r.getLong(1) == 11) // 'the' twice
+    assert(r.getLong(2) == 3)  // the, the, and
+  }
+
+  test("langId picks the dominant marker language on real sentences") {
+    val guesses = docs.select(col("doc_id"), TextFunctions.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(guesses(0) == "en")
+    assert(guesses(4) == "de")
+    assert(guesses(5) == "fr")
+  }
+
+  test("wordShingles: n-grams, and short docs collapse to one shingle") {
+    import session.implicits._
+    val one = Seq((0L, "a b c d")).toDF("doc_id", "text")
+      .select(TextFunctions.wordShingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(one == Seq("a b c", "b c d"))
+    val short = Seq((0L, "a b")).toDF("doc_id", "text")
+      .select(TextFunctions.wordShingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("exactGroups: dup docs collapse to the min id with copy count") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups(0L) == 2) // docs 0 and 3
+    assert(groups(1L) == 1)
+  }
+
+  test("nearDuplicates finds the near pair and not the unrelated ones") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L))) // one word differs
+    assert(keys.contains((0L, 3L)) && pairs.find(p => p._1 == 0 && p._2 == 3).get._3 == 1000000L)
+    assert(!keys.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash: identical docs share the hash; near docs are close; far docs far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("simhashPairs honors the pigeonhole recall guarantee") {
+    import session.implicits._
+    // craft signatures: b differs from a in 3 bits, c differs in 30
+    val a = 0x0123456789abcdL
+    val b = a ^ ((1L << 2) | (1L << 20) | (1L << 40))
+    val c = a ^ ((1L << 60) - 1L >> 15 << 15) // many differing bits
+    val sigs = Seq((0L, a), (1L, b), (2L, c)).toDF("id", "simhash")
+    val pairs = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((0L, 1L, 3L)))
+  }
+
+  test("cosine: identity is 1.0, orthogonal is 0.0") {
+    import session.implicits._
+    val v = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(
+      v.filter(col("id") === 0), v.filter(col("id") > 0), k = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toList
+    assert(top == List((2L, 1000000L), (1L, 0L)))
+  }
+
+  test("ivfTopK returns each query's neighbors from probed cells only") {
+    import session.implicits._
+    // two tight clusters around e1 and e2
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.01f)), (1L, Seq(1.0f, 0.02f)), (2L, Seq(1.0f, 0.03f)),
+      (10L, Seq(0.01f, 1.0f)), (11L, Seq(0.02f, 1.0f))).toDF("id", "vec")
+    val res = Similarity.ivfTopK(
+      queries = vecs.filter(col("id") === 0),
+      candidates = vecs.filter(col("id") > 0),
+      centroids = vecs.filter(col("id") === 1 || col("id") === 10),
+      k = 3, nprobe = 1)
+      .collect().map(_.getLong(2)).toList
+    // probe=1 → only the e1 cell is scanned: ids 1,2 (not 10,11)
+    assert(res == List(1L, 2L))
+  }
+
+  test("multimodal decode: batch plumbing with stubbed decoder") {
+    import session.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image/fake", Array[Byte](64, 32, 1, 2, 3)),
+      MediaRecord(2L, "image/fake", Array.empty[Byte])).toDS()
+    val meta = Multimodal.decode(media).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 64 && meta(1L).height == 32 && meta(1L).n_bytes == 5)
+    assert(meta(2L).width == 0 && meta(2L).height == 0 && meta(2L).n_bytes == 0)
+    assert(meta(1L).fingerprint.length == 32)
+  }
+}
