@@ -61,6 +61,21 @@ object EnginePack extends QueryPack {
           countDistinct(get_json_object(col("metadata"), "$.k")).as("n_keys"))
         .orderBy(col("partition"))
     },
+    "q_source_scan" -> { (s, dir) =>
+      // DSv2 source path: produce, then read back via format("graft") with a
+      // pushed id-range filter; checks the custom reader end to end.
+      val d = tempDriver(s)
+      d.createTopic("dsv2_demo", partitions = 4)
+      val topic = d.openTopic("dsv2_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "dsv2_demo")
+        .load()
+        .filter(col("event_id") >= 10)
+        .select(col("partition"), col("event_id").as("engine_id"),
+          get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
+        .orderBy(col("partition"), col("engine_id"))
+    },
     "q_consumer_ack" -> { (s, dir) =>
       val d = tempDriver(s)
       d.createTopic("ack_demo", partitions = 4)
@@ -86,6 +101,14 @@ object EnginePack extends QueryPack {
       """SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS INT) AS partition,
         | count(*) AS cnt, count(DISTINCT json_extract_string(props, '$.k')) AS n_keys
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // same contract as q_consumer_ack but via the DSv2 reader
+    "q_source_scan" ->
+      """SELECT partition, engine_id, eid
+        |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,
+        |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id,
+        |        event_id AS eid
+        |      FROM events) s
+        |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
     // engine id = rank of the event within its partition (push order); the
     // acked prefix (< 10) must not reappear
     "q_consumer_ack" ->

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+
+import graft.engine.Catalog
+
+/**
+ * Scan builder with the two pushdowns that carry the reference's physical
+ * ideas (SURVEY §4):
+ *
+ *  - column pruning (`SupportsPushDownRequiredColumns`): the metadata/data
+ *    split — a metadata-only consumer never reads payload pages (P1);
+ *  - filter pushdown (`SupportsPushDownFilters`) on `partition` (F5
+ *    targeting → whole directories skipped) and `event_id` (cursor ranges →
+ *    row groups skipped via footer statistics).
+ *
+ * Pushed filters are used for skipping only; Spark re-applies every filter
+ * on the surfaced rows, so acceptance is never a correctness risk.
+ */
+final class GraftScanBuilder(
+    catalog: Catalog, topic: String, consumer: Option[String],
+    targets: Option[Seq[Int]], maxEventsPerTrigger: Option[Long])
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var requiredSchema: StructType = GraftTopicTable.EventSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  // narrowed by pushed filters
+  private var partitionSubset: Option[Set[Int]] = None
+  private var idLo: Option[Long] = None // inclusive
+  private var idHi: Option[Long] = None // exclusive
+
+  override def pruneColumns(required: StructType): Unit = {
+    requiredSchema = StructType(
+      GraftTopicTable.EventSchema.filter(f => required.fieldNames.contains(f.name)))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case EqualTo("partition", v: Int) =>
+        partitionSubset = Some(intersect(Set(v))); true
+      case In("partition", vs) if vs.forall(_.isInstanceOf[Int]) =>
+        partitionSubset = Some(intersect(vs.map(_.asInstanceOf[Int]).toSet)); true
+      case GreaterThanOrEqual("event_id", v: Long) => idLo = Some(max(idLo, v)); true
+      case GreaterThan("event_id", v: Long) => idLo = Some(max(idLo, v + 1)); true
+      case LessThan("event_id", v: Long) => idHi = Some(min(idHi, v)); true
+      case LessThanOrEqual("event_id", v: Long) => idHi = Some(min(idHi, v + 1)); true
+      case EqualTo("event_id", v: Long) =>
+        idLo = Some(max(idLo, v)); idHi = Some(min(idHi, v + 1)); true
+      case _ => false
+    }
+    pushed = accepted
+    filters // Spark re-evaluates everything; we only skip data
+  }
+
+  private def intersect(s: Set[Int]): Set[Int] =
+    partitionSubset.map(_.intersect(s)).getOrElse(s)
+  private def max(a: Option[Long], b: Long): Long = math.max(a.getOrElse(Long.MinValue), b)
+  private def min(a: Option[Long], b: Long): Long = math.min(a.getOrElse(Long.MaxValue), b)
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val explicitTargets = targets.map(_.toSet)
+    val effective = (explicitTargets, partitionSubset) match {
+      case (Some(a), Some(b)) => Some(a.intersect(b))
+      case (a, b) => a.orElse(b)
+    }
+    new GraftScan(catalog, topic, consumer, effective, requiredSchema,
+      idLo, idHi, maxEventsPerTrigger)
+  }
+}
+
+final class GraftScan(
+    catalog: Catalog, topic: String, consumer: Option[String],
+    targets: Option[Set[Int]], requiredSchema: StructType,
+    idLo: Option[Long], idHi: Option[Long], maxEventsPerTrigger: Option[Long])
+  extends Scan {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def description(): String =
+    s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
+      s"targets=$targets, idRange=[${idLo.getOrElse(0L)}, ${idHi.getOrElse("∞")}))"
+
+  /** Batch read: the whole log (within pushed ranges) as of planning time. */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val next = catalog.nextIds(topic)
+      GraftPartitions.plan(catalog, topic, targets,
+        from = p => math.max(idLo.getOrElse(0L), 0L),
+        until = p => math.min(idHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L)))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftReaderFactory(requiredSchema)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(catalog, topic, consumer, targets, requiredSchema,
+      maxEventsPerTrigger)
+}

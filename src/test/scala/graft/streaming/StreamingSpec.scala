@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.engine._
+
+/**
+ * DSv2 source/sink over topic logs: batch read parity with the engine view,
+ * column pruning + id/partition pushdown, Trigger.AvailableNow drain +
+ * checkpointed resume (the MicroBatchStream port of `feedConsumer`,
+ * SURVEY §2.1 S8), admission control, and the foreachBatch producer sink.
+ */
+class StreamingSpec extends SparkSpec {
+
+  private def newTopic(partitions: Int = 2): (GraftDriver, TopicHandle, String) = {
+    val wh = Files.createTempDirectory("graft-stream-spec").toString
+    val d = new GraftDriver(spark, wh)
+    d.createTopic("stream_topic", partitions = partitions)
+    (d, d.openTopic("stream_topic"), wh)
+  }
+
+  private def produceRange(topic: TopicHandle, from: Int, until: Int): Unit = {
+    val producer = topic.producer()
+    (from until until).foreach { i =>
+      producer.push(s"""{"i":$i}""", s"payload-$i".getBytes("UTF-8"),
+        partition = Some(i % 2))
+    }
+    producer.flush()
+  }
+
+  private def read(wh: String, extra: (String, String)*) = {
+    val base = spark.read.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("batch read matches the engine's events() view") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 40)
+    val viaSource = read(wh)
+      .select("partition", "event_id", "metadata")
+      .orderBy("partition", "event_id").collect().toSeq
+    val viaEngine = topic.events()
+      .select("partition", "event_id", "metadata")
+      .orderBy("partition", "event_id").collect().toSeq
+    assert(viaSource == viaEngine)
+    assert(viaSource.size == 40)
+  }
+
+  test("payload bytes round-trip through the source") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 4)
+    val rows = read(wh).orderBy("partition", "event_id").collect()
+    val byMeta = rows.map(r => r.getAs[String]("metadata") ->
+      new String(r.getAs[Array[Byte]]("data"), "UTF-8")).toMap
+    assert(byMeta("""{"i":3}""") == "payload-3")
+  }
+
+  test("column pruning reaches the scan; pushed id range prunes row groups") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 40)
+    val plan = read(wh).filter(col("event_id") >= 10 && col("partition") === 1)
+      .select("event_id", "metadata")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), plan)
+    // pruned: no data column in the scan's read schema
+    assert(plan.contains("cols=partition,event_id,metadata") ||
+      !plan.contains("data"), plan)
+    val rows = read(wh).filter(col("event_id") >= 10 && col("partition") === 1)
+      .select("event_id").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (10L until 20L))
+  }
+
+  test("AvailableNow drains the topic and terminates; checkpoint resumes incrementally") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 30)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "stream_topic")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = batch.select("partition", "event_id").collect()
+            .map(r => (r.getInt(0), r.getLong(1)))
+          seen.synchronized { seen ++= rows }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    runOnce()
+    assert(seen.size == 30)
+
+    produceRange(topic, 30, 50)
+    runOnce() // resumes from the checkpointed offset: only the 20 new events
+    assert(seen.size == 50)
+    assert(seen.toSet == (for (p <- 0 until 2; i <- 0L until 25L) yield (p, i)).toSet)
+  }
+
+  test("maxEventsPerTrigger bounds each micro-batch (admission control)") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 40)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val outName = s"stream_bounded_${System.nanoTime()}"
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .option("maxEventsPerTrigger", "15")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(batchSizes.sum == 40, batchSizes)
+    assert(batchSizes.forall(_ <= 15), batchSizes)
+    assert(batchSizes.size >= 3, batchSizes)
+  }
+
+  test("consumer option starts the stream at the acknowledge cursor") {
+    val (d, topic, wh) = newTopic()
+    produceRange(topic, 0, 20)
+    // ack first 5 per partition → cursor 5
+    (0 until 2).foreach(p => d.catalog.acknowledge("stream_topic", "walker", p, 4L))
+    val rows = read(wh, "consumer" -> "walker").collect()
+    assert(rows.length == 20) // batch read ignores cursor (full log)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val outName = s"stream_cursor_${System.nanoTime()}"
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .option("consumer", "walker")
+      .load()
+      .writeStream.format("memory").queryName(outName)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table(outName).select("partition", "event_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == (for (p <- 0 until 2; i <- 5L until 10L) yield (p, i)).toSet)
+  }
+
+  test("streaming sink: graft source -> foreachBatch produce keeps ids dense") {
+    val (_, src, wh) = newTopic()
+    produceRange(src, 0, 30)
+    val whB = Files.createTempDirectory("graft-stream-sink").toString
+    val dB = new GraftDriver(spark, whB)
+    dB.createTopic("sink_topic", partitions = 3)
+    val sink = dB.openTopic("sink_topic")
+
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val stream = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .load()
+      .select(col("metadata")) // re-produce metadata into the sink topic
+      .writeStream
+    val q = GraftSink.toTopic(stream, sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    val stats = sink.events().groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == 30)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
+    }
+  }
+}
