@@ -28,6 +28,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -41,10 +42,12 @@ object GraftSession {
     s
   }
 
-  /** Apply graft's required runtime confs to an externally-built session. */
+  /** Apply graft's required runtime confs to an externally-built session
+    * (and register graft's native SQL functions). */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

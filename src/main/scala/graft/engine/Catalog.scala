@@ -98,10 +98,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   // -- producer commit state ------------------------------------------------
 
-  /** Next EventID per partition (dense id assignment base). */
+  /** Next EventID per partition (dense id assignment base). If the watermark
+    * file is missing but a log exists, recover from the log itself — the
+    * restart-recovery scan of the reference
+    * (`DefaultPartitionManager.cpp:682-735`: rebuild counters from chunk
+    * indices; here the Parquet footers are the index). */
   def nextIds(name: String): Map[Int, Long] = {
     val p = new Path(topicPath(name), "_ids.json")
-    if (!fs.exists(p)) Map.empty
+    if (!fs.exists(p)) recoverIds(name)
     else JsonMethods.parse(readString(p)) match {
       case JObject(fields) => fields.map {
         case (k, JInt(v)) => k.toInt -> v.toLong
@@ -116,6 +120,24 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   def writeNextIds(name: String, ids: Map[Int, Long]): Unit =
     writeAtomic(new Path(topicPath(name), "_ids.json"), idsJson(ids))
+
+  /** S10 recovery: rebuild per-partition next ids as `max(event_id)+1` from
+    * the log, persist, and return them. Partitions with no data yet map to
+    * 0 via the topic's partition count. */
+  def recoverIds(name: String): Map[Int, Long] = {
+    val log = new Path(logPath(name))
+    val known: Map[Int, Long] =
+      if (topicExists(name)) (0 until openTopic(name).partitions).map(_ -> 0L).toMap
+      else Map.empty
+    if (!fs.exists(log)) return known
+    import org.apache.spark.sql.functions.{col, max}
+    val recovered = spark.read.parquet(log.toString)
+      .groupBy(col("partition")).agg(max(col("event_id")).as("m"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+    val ids = known ++ recovered
+    if (ids.nonEmpty) writeNextIds(name, ids)
+    ids
+  }
 
   // -- consumer cursors (D4) ------------------------------------------------
 

@@ -51,7 +51,11 @@ final class TopicHandle(spark: SparkSession, catalog: Catalog, name: String) {
   // fail fast on open, like the reference
   config
 
-  def producer(): Producer = new Producer(spark, catalog, config)
+  /** @param batchSize fixed client-side batch: a full buffer auto-flushes
+    *                   (S3); None = adaptive (flush on demand), the default
+    *                   like the reference's `BatchSize::Adaptive`. */
+  def producer(batchSize: Option[Int] = None): Producer =
+    new Producer(spark, catalog, config, batchSize = batchSize)
 
   def consumer(
       consumerName: String,

@@ -29,7 +29,8 @@ final class Producer(
     spark: SparkSession,
     catalog: Catalog,
     config: TopicConfig,
-    chunkMaxRecords: Long = 1000000L) {
+    chunkMaxRecords: Long = 1000000L,
+    batchSize: Option[Int] = None) {
 
   private val validator = Validator.fromDescriptor(config.validator)
   private val selector = PartitionSelector.fromDescriptor(config.selector)
@@ -141,6 +142,11 @@ final class Producer(
     perPartitionSeq(p) = seq + 1
     val pending = new PendingEvent(p, seq)
     buffer += ((metadata, data, p, pending))
+    // S3 micro-batching: a fixed batch size auto-flushes a full buffer (the
+    // reference's ActiveProducerBatchQueue fixed mode); None = adaptive —
+    // everything goes out on the next explicit flush(), like BatchSize::
+    // Adaptive funneling into whatever batch is open.
+    batchSize.foreach { n => if (buffer.size >= n) flush() }
     pending
   }
 

@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns, in double. */
+  /** Sequential-fold dot product of two float-array columns, in double —
+    * a native codegen expression (see [[graft.functions.DotProduct]]); the
+    * summation order is identical to an `aggregate(zip_with(...))` fold, so
+    * results are bit-identical, just without the interpreted lambda chain. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), _ + _)
+    graft.functions.GraftFunctions.dot(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -229,6 +229,18 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n"), cents(sum($"value")).as("sum_v_c"))
         .orderBy($"hour")
     },
+    "q_events_window10m" -> { (s, dir) =>
+      import s.implicits._
+      // R7 extension (beyond reference — mofka has no event time): tumbling
+      // event-time windows via the real window() operator; ts arrives as
+      // TIMESTAMP(NANOS)-as-long, converted exactly through microseconds.
+      t(s, dir, "events")
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window($"event_time", "10 minutes"))
+        .agg(count(lit(1)).as("n"), cents(sum($"value")).as("sum_v_c"))
+        .select(unix_timestamp($"window.start").as("ws"), $"n", $"sum_v_c")
+        .orderBy($"ws")
+    },
     "q_events_seq" -> { (s, dir) =>
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -350,6 +362,10 @@ object Relational extends QueryPack {
       """SELECT (epoch_ns(ts) // 3600000000000) % 24 AS hour, count(*) AS n,
         | CAST(round(sum(value)*100) AS BIGINT) AS sum_v_c
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_events_window10m" ->
+      """SELECT (epoch_ns(ts) // 600000000000) * 600 AS ws, count(*) AS n,
+        | CAST(round(sum(value)*100) AS BIGINT) AS sum_v_c
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
     "q_events_seq" ->
       """SELECT user_id, rn, event_id
         |FROM (SELECT user_id, event_id,

@@ -170,6 +170,35 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(spread.nonEmpty && spread.forall(_.getLong(1) == 1L))
   }
 
+  test("fixed batchSize auto-flushes full buffers (S3 micro-batching)") {
+    val (_, topic) = newTopic()
+    val producer = topic.producer(batchSize = Some(10))
+    val first = (0 until 10).map(i => producer.push(s"""{"i":$i}"""))
+    // buffer hit the batch size → auto-flushed, ids already resolved
+    assert(first.forall(_.isCompleted))
+    assert(first.map(_.eventId) == (0L until 10L))
+    val straggler = producer.push("""{"i":10}""")
+    assert(!straggler.isCompleted)
+    producer.flush()
+    assert(straggler.eventId == 10L)
+  }
+
+  test("S10 recovery: next ids rebuild from the log when the watermark file is lost") {
+    val (d, topic) = newTopic(partitions = 2)
+    val producer = topic.producer()
+    (0 until 20).foreach(i => producer.push(s"""{"i":$i}""", partition = Some(i % 2)))
+    producer.flush()
+    // simulate losing the commit watermark
+    val ids = new org.apache.hadoop.fs.Path(d.catalog.topicPath("mytopic"), "_ids.json")
+    ids.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ids, false)
+    assert(d.catalog.nextIds("mytopic") == Map(0 -> 10L, 1 -> 10L))
+    // ids stay dense across the recovery
+    val p2 = topic.producer()
+    val e = p2.push("""{"i":99}""", partition = Some(0))
+    p2.flush()
+    assert(e.eventId == 10L)
+  }
+
   test("consumer partition targeting prunes to the requested partitions") {
     val (_, topic) = newTopic(partitions = 4)
     val producer = topic.producer()

@@ -113,6 +113,27 @@ class LlmSpec extends SparkSpec {
     assert(res == List(1L, 2L))
   }
 
+  test("graft_dot: codegen expression, SQL registration, fold parity") {
+    import session.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    // direct column path
+    val direct = df.select(Similarity.dot(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(direct == 32.0)
+    // SQL path via the extensions-registered function
+    df.createOrReplaceTempView("vecs")
+    val viaSql = session.sql("SELECT graft_dot(a, b) FROM vecs").collect()(0).getDouble(0)
+    assert(viaSql == 32.0)
+    // identical to the interpreted fold, bit for bit
+    val fold = df.select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), _ + _)).collect()(0).getDouble(0)
+    assert(direct == fold)
+    // null element → null result
+    val withNull = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
   test("multimodal decode: batch plumbing with stubbed decoder") {
     import session.implicits._
     val media = Seq(

@@ -153,6 +153,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == (for (p <- 0 until 2; i <- 5L until 10L) yield (p, i)).toSet)
   }
 
+  test("event-time windows with watermark over the graft source (R7 extension)") {
+    val (_, topic, wh) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    // event times 0..99s; 30s tumbling windows; 10s watermark → with max
+    // event time 99s the watermark lands at 89s; a window emits once the
+    // watermark passes its END, so [0,30) and [30,60) emit while [60,90)
+    // (end 90 > 89) and [90,120) are withheld as potentially-late.
+    (0 until 100).foreach(i => producer.push(s"""{"sec":$i}"""))
+    producer.flush()
+
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val results = scala.collection.mutable.Map.empty[Long, Long]
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .load()
+      .withColumn("event_time",
+        timestamp_seconds(get_json_object(col("metadata"), "$.sec").cast("long")))
+      .withWatermark("event_time", "10 seconds")
+      .groupBy(window(col("event_time"), "30 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("n"))
+      .writeStream
+      .outputMode("append") // only closed (below-watermark) windows emit
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => results.synchronized {
+          results(r.getLong(0)) = r.getLong(1)
+        }): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(results.toMap == Map(0L -> 30L, 30L -> 30L))
+  }
+
   test("streaming sink: graft source -> foreachBatch produce keeps ids dense") {
     val (_, src, wh) = newTopic()
     produceRange(src, 0, 30)
