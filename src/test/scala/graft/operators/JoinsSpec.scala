@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+
+  import SparkSpec._
+
+  test("asOf: latest right row at or before each left time, per key") {
+    import session.implicits._
+    val left = Seq((1, 10L, "l1"), (1, 20L, "l2"), (1, 5L, "l0"), (2, 10L, "l3"))
+      .toDF("k", "t", "lname")
+    val right = Seq((1, 10L, 100L, 1.0), (1, 15L, 101L, 2.0), (2, 11L, 102L, 3.0))
+      .toDF("k", "t", "rid", "v")
+    val out = Joins.asOf(left, right, key = "k", leftTime = "t", rightTime = "t",
+      rightPayload = Seq("rid" -> "rid", "v" -> "rv"), rightOrder = "rid")
+      .select($"lname", $"rid", $"rv")
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+
+    assert(out("l1") == ((Some(100L), Some(1.0))))  // tie at t=10: <= matches
+    assert(out("l2") == ((Some(101L), Some(2.0))))  // latest of {10, 15}
+    assert(out("l0") == ((None, None)))             // nothing at or before t=5
+    assert(out("l3") == ((None, None)))             // right row is later (11 > 10)
+  }
+
+  test("asOf: equal-time right duplicates resolve to the largest order key") {
+    import session.implicits._
+    val left = Seq((1, 10L)).toDF("k", "t")
+    val right = Seq((1, 10L, 7L), (1, 10L, 9L), (1, 10L, 8L)).toDF("k", "t", "rid")
+    val out = Joins.asOf(left, right, "k", "t", "t", Seq("rid" -> "rid"), "rid")
+      .collect()(0).getAs[Long]("rid")
+    assert(out == 9L)
+  }
+
+  test("rangeBinned: exact containment across bin boundaries") {
+    import session.implicits._
+    val points = Seq(0L, 5L, 7L, 10L, 15L, 21L).toDF("p")
+    val intervals = Seq((1L, 5L, 9L), (2L, 0L, 21L), (3L, 16L, 16L))
+      .toDF("iid", "lo", "hi")
+    val out = Joins.rangeBinned(points, intervals, "p", "lo", "hi", binWidth = 7)
+      .select($"p", $"iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set(
+      0L -> 2L, 5L -> 1L, 5L -> 2L, 7L -> 1L, 7L -> 2L,
+      10L -> 2L, 15L -> 2L, 21L -> 2L)
+    assert(out == expected)
+  }
+
+  test("rangeBinned produces no duplicate pairs (one bin per point)") {
+    import session.implicits._
+    val points = Seq(10L).toDF("p")
+    val intervals = Seq((1L, 0L, 100L)).toDF("iid", "lo", "hi") // spans many bins
+    val out = Joins.rangeBinned(points, intervals, "p", "lo", "hi", binWidth = 7)
+    assert(out.count() == 1)
+  }
+
+  test("approx_count_distinct (rsd 1%) lands within 5% of exact on real data") {
+    val r = session.read.parquet(sf("sf0.01") + "/orders.parquet")
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a"),
+        countDistinct(col("o_custkey")).as("e"))
+      .collect()(0)
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx=$a exact=$e")
+  }
+}
