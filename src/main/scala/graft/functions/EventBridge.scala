@@ -34,10 +34,20 @@ import org.json4s.jackson.JsonMethods
  *  - `{"$or": [subpattern, ...]}` — sub-patterns resolved relative to the
  *    current path
  *
- * Limitation vs AWS: JSON `null` values and *absent* keys are
- * indistinguishable through `get_json_object`, so `exists: true` is
- * "key present with non-null value". The reference test fixture does not
- * exercise null-valued keys.
+ * Documented divergences vs the AWS grammar (all shared by the
+ * `get_json_object` and parsed-struct paths, which surface scalars as their
+ * text):
+ *  - JSON `null` values and *absent* keys are indistinguishable, so
+ *    `exists: true` means "key present with non-null value". The reference
+ *    test fixture does not exercise null-valued keys.
+ *  - Exact matching is text-typed: numeric pattern `{"e": 42}` also matches
+ *    a *string* document value `"42"` (and `{"b": true}` matches `"true"`)
+ *    because scalar extraction erases the JSON type. Type-sensitive
+ *    matching would need a variant/typed-schema representation.
+ *  - Array-valued document fields never match scalar matchers (AWS matches
+ *    element-wise); an array field surfaces as its JSON text.
+ *  - Numeric comparison runs in double: int64 values above 2^53 compare
+ *    with double precision.
  */
 object EventBridge {
 

@@ -151,6 +151,14 @@ class EventBridgeSpec extends SparkSpec {
     assert(!matches("""{"e": 42}""", """{"e": "42x"}"""))
   }
 
+  test("documented divergences vs AWS: text-typed exact match, arrays opaque") {
+    // numeric pattern matches the string form of the number (type erased)
+    assert(matches("""{"e": 42}""", """{"e": "42"}"""))
+    assert(matches("""{"b": true}""", """{"b": "true"}"""))
+    // array-valued fields never match scalar matchers (AWS is element-wise)
+    assert(!matches("""{"a": "x"}""", """{"a": ["x", "y"]}"""))
+  }
+
   test("boolean and list-of-values") {
     assert(matches("""{"b": true}""", """{"b": true}"""))
     assert(!matches("""{"b": true}""", """{"b": false}"""))

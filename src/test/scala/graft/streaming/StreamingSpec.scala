@@ -188,6 +188,47 @@ class StreamingSpec extends SparkSpec {
     assert(results.toMap == Map(0L -> 30L, 30L -> 30L))
   }
 
+  test("custom state: mapGroupsWithState carries per-user counts across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val (_, topic, wh) = newTopic(partitions = 2)
+    val producer = topic.producer()
+    (0 until 40).foreach(i => producer.push(s"""{"u":${i % 5}}"""))
+    producer.flush()
+
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val finalCounts = scala.collection.mutable.Map.empty[Long, Long]
+    var batches = 0
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .option("maxEventsPerTrigger", "10") // force several batches → state must carry
+      .load()
+      .select(get_json_object(col("metadata"), "$.u").cast("long").as("u"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (u: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          (u, total)
+      }
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        val rows = batch.collect()
+        finalCounts.synchronized {
+          batches += 1
+          rows.foreach { case (u, c) => finalCounts(u) = c }
+        }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(batches >= 3, s"expected several bounded batches, got $batches")
+    assert(finalCounts.toMap == (0L until 5L).map(_ -> 8L).toMap)
+  }
+
   test("streaming sink: graft source -> foreachBatch produce keeps ids dense") {
     val (_, src, wh) = newTopic()
     produceRange(src, 0, 30)
