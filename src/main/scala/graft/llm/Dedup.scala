@@ -78,10 +78,17 @@ object Dedup {
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col("id"))
 
+    // sh feeds both the signature aggregate and the exact-verify join;
+    // cache the exploded shingles once (spills to disk when large) instead
+    // of re-tokenizing the corpus per consumer
     val sh = base.select(col("id"),
       explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // signatures are numHashes longs per doc — cache so the band self-join
+    // does not run the min-aggregate once per side
     val sig = minhashSignatures(sh, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
@@ -171,7 +178,11 @@ object Dedup {
   def simhashPairs(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimHashBits / nBands + (if (SimHashBits % nBands == 0) 0 else 1)
-    val banded = signatures.select(col("id"), col("simhash"), posexplode(
+    // the self-join consumes the signature lineage twice; signatures are
+    // tiny (one long per doc) — cache them rather than recompute the
+    // token-explosion aggregate per side (MLlib-style: LRU eviction cleans up)
+    val cached = signatures.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = cached.select(col("id"), col("simhash"), posexplode(
       array((0 until nBands).map { b =>
         shiftright(col("simhash"), b * bandBits)
           .bitwiseAND(lit((1L << math.min(bandBits, 62)) - 1))
