@@ -79,7 +79,8 @@ final class Consumer(
     config: TopicConfig,
     val name: String,
     targets: Seq[Int],
-    selector: Option[DataSelector]) {
+    selector: Option[DataSelector],
+    batchSize: Option[Int] = None) {
 
   private val topic = config.name
   private val targetList: Seq[Int] =
@@ -166,9 +167,10 @@ final class Consumer(
 
   private def refresh(): Unit = {
     val floor = position.toMap
-    val rows = eventsFrom(floor)
-      .orderBy(col("partition"), col("event_id"))
-      .collect()
+    val walk = eventsFrom(floor).orderBy(col("partition"), col("event_id"))
+    // batchSize bounds one feed (the reference consumer's batch size, D3);
+    // the next pull() past the buffer triggers the next feed
+    val rows = batchSize.map(walk.limit).getOrElse(walk).collect()
     rows.foreach { r =>
       val p = r.getAs[Int]("partition"); val id = r.getAs[Long]("event_id")
       position(p) = math.max(position.getOrElse(p, 0L), id + 1)

@@ -53,15 +53,21 @@ final class TopicHandle(spark: SparkSession, catalog: Catalog, name: String) {
 
   /** @param batchSize fixed client-side batch: a full buffer auto-flushes
     *                   (S3); None = adaptive (flush on demand), the default
-    *                   like the reference's `BatchSize::Adaptive`. */
-  def producer(batchSize: Option[Int] = None): Producer =
-    new Producer(spark, catalog, config, batchSize = batchSize)
+    *                   like the reference's `BatchSize::Adaptive`.
+    * @param chunkMaxRecords log-file rotation bound — the reference's
+    *                   1M-event chunk cap (`DefaultPartitionManager.hpp:29`). */
+  def producer(batchSize: Option[Int] = None,
+               chunkMaxRecords: Long = 1000000L): Producer =
+    new Producer(spark, catalog, config, chunkMaxRecords, batchSize)
 
+  /** @param batchSize bound on events fetched per pull-refresh (the
+    *                  reference consumer's batch size; None = adaptive). */
   def consumer(
       consumerName: String,
       selector: Option[DataSelector] = None,
-      targets: Seq[Int] = Nil): Consumer =
-    new Consumer(spark, catalog, config, consumerName, targets, selector)
+      targets: Seq[Int] = Nil,
+      batchSize: Option[Int] = None): Consumer =
+    new Consumer(spark, catalog, config, consumerName, targets, selector, batchSize)
 
   /** The full event log as a DataFrame — the engine-native analytics
     * surface (metadata/data split = Parquet column pruning). */

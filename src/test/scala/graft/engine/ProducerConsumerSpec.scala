@@ -199,6 +199,31 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(e.eventId == 10L)
   }
 
+  test("chunk rotation: small chunkMaxRecords splits the log into bounded files") {
+    val (d, topic) = newTopic()
+    val producer = topic.producer(chunkMaxRecords = 10)
+    (0 until 45).foreach(i => producer.push(s"""{"i":$i}"""))
+    producer.flush()
+    val dir = new org.apache.hadoop.fs.Path(d.catalog.logPath("mytopic"), "partition=0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+    assert(files.length >= 5, s"expected >=5 chunks of <=10 events, got ${files.length}")
+    // the multi-chunk log reads back complete and dense
+    val ids = topic.events().select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 45L))
+  }
+
+  test("consumer batchSize bounds each feed; pull still drains everything") {
+    val (_, topic) = newTopic()
+    produce100(topic)
+    topic.markAsComplete()
+    val c = topic.consumer("bounded", batchSize = Some(7))
+    val ids = Iterator.continually(c.pull())
+      .takeWhile(_ != Pull.NoMoreEvents)
+      .collect { case Pull.Next(e) => e.eventId }.toSeq
+    assert(ids == (0L until 100L))
+  }
+
   test("consumer partition targeting prunes to the requested partitions") {
     val (_, topic) = newTopic(partitions = 4)
     val producer = topic.producer()
