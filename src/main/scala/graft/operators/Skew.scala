@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-resistant aggregation: when the group-key cardinality is far below
+ * the cluster's parallelism (or one key dominates), a single-phase
+ * `groupBy(key)` funnels each key through one reducer. Salting splits each
+ * key into `saltBuckets` sub-groups for a parallel partial aggregate, then
+ * combines partials per key — two small shuffles instead of one skewed one.
+ *
+ * (AQE's skew-join splitting handles *join* skew automatically; aggregation
+ * skew on low-cardinality keys is the case it does not cover.)
+ */
+object Skew {
+
+  /**
+   * Two-phase salted aggregation for algebraic aggregates.
+   *
+   * @param partials per-column (partialAgg, finalCombine) pairs keyed by
+   *                 output name, e.g. `"n" -> (count(lit(1)), sum)` or
+   *                 `"s" -> (sum($"v"), sum)`
+   */
+  def saltedAgg(df: DataFrame, key: Column, saltBuckets: Int,
+                partials: Seq[(String, (Column, Column => Column))]): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    val salted = df
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partials.head._2._1.as(s"__p_${partials.head._1}"),
+        partials.tail.map { case (n, (p, _)) => p.as(s"__p_$n") }: _*)
+    salted
+      .groupBy(col("__key"))
+      .agg(partials.head._2._2(col(s"__p_${partials.head._1}")).as(partials.head._1),
+        partials.tail.map { case (n, (_, f)) => f(col(s"__p_$n")).as(n) }: _*)
+      .withColumnRenamed("__key", "key")
+  }
+}

@@ -82,6 +82,18 @@ object AdvancedPack extends QueryPack {
           slice($"w", 1, 2).as("first2"))
         .orderBy($"p_partkey")
     },
+    "q_agg_salted" -> { (s, dir) =>
+      import s.implicits._
+      // 100k events funneling into 5 keys: salting keeps the partial
+      // aggregate parallel; the final combine shuffles only keys×salt rows
+      graft.operators.Skew.saltedAgg(
+        t(s, dir, "events"), $"event_type", saltBuckets = 16,
+        Seq(
+          "n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))),
+          "sum_v_c" -> ((sum($"value"), (c: org.apache.spark.sql.Column) => cents(sum(c))))))
+        .withColumnRenamed("key", "event_type")
+        .orderBy($"event_type")
+    },
     "q_agg_approx_distinct" -> { (s, dir) =>
       import s.implicits._
       // rows-only: HLL++ estimates have no cross-engine oracle; LlmSpec-style
@@ -150,6 +162,9 @@ object AdvancedPack extends QueryPack {
         |  (string_split(p_name, ' '))[-1] AS last_w,
         |  (string_split(p_name, ' '))[1:2] AS first2
         |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT event_type, count(*) AS n, CAST(round(sum(value)*100) AS BIGINT) AS sum_v_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q_agg_approx_distinct: intentionally no oracle (rows-only) — sketch
     // estimates are engine-specific.
   )

@@ -56,6 +56,19 @@ class JoinsSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("saltedAgg matches single-phase aggregation exactly") {
+    import session.implicits._
+    val df = session.read.parquet(sf("sf0.001") + "/events.parquet")
+    val salted = Skew.saltedAgg(df, col("event_type"), saltBuckets = 8,
+      Seq("n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c))),
+        "mx" -> ((max($"value"), (c: org.apache.spark.sql.Column) => max(c)))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val plain = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), max($"value").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted == plain)
+  }
+
   test("approx_count_distinct (rsd 1%) lands within 5% of exact on real data") {
     val r = session.read.parquet(sf("sf0.01") + "/orders.parquet")
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a"),
