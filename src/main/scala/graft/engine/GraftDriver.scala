@@ -55,10 +55,13 @@ final class TopicHandle(spark: SparkSession, catalog: Catalog, name: String) {
     *                   (S3); None = adaptive (flush on demand), the default
     *                   like the reference's `BatchSize::Adaptive`.
     * @param chunkMaxRecords log-file rotation bound — the reference's
-    *                   1M-event chunk cap (`DefaultPartitionManager.hpp:29`). */
+    *                   1M-event chunk cap (`DefaultPartitionManager.hpp:29`).
+    * @param ordering "strict" | "loose" (API parity; modes behave
+    *                   identically, as in the reference — see [[Producer]]). */
   def producer(batchSize: Option[Int] = None,
-               chunkMaxRecords: Long = 1000000L): Producer =
-    new Producer(spark, catalog, config, chunkMaxRecords, batchSize)
+               chunkMaxRecords: Long = 1000000L,
+               ordering: String = "strict"): Producer =
+    new Producer(spark, catalog, config, chunkMaxRecords, batchSize, ordering)
 
   /** @param batchSize bound on events fetched per pull-refresh (the
     *                  reference consumer's batch size; None = adaptive). */

@@ -24,13 +24,22 @@ import org.apache.spark.sql.types._
  * map-side-combined count pass to advance the id watermark. Files are
  * bounded via `maxRecordsPerFile` — the analog of the reference's 64 MiB /
  * 1M-event chunk rotation (`DefaultPartitionManager.hpp:29-30`).
+ *
+ * @param ordering "strict" | "loose" — carried for API parity with the
+ *        reference (`include/mofka/MofkaProducer.hpp:37`); both modes funnel
+ *        through the same per-partition linearization there
+ *        (`MofkaProducer.cpp:72-96`) and here, so behavior is identical.
  */
 final class Producer(
     spark: SparkSession,
     catalog: Catalog,
     config: TopicConfig,
     chunkMaxRecords: Long = 1000000L,
-    batchSize: Option[Int] = None) {
+    batchSize: Option[Int] = None,
+    val ordering: String = "strict") {
+
+  require(ordering == "strict" || ordering == "loose",
+    s"ordering must be 'strict' or 'loose', got '$ordering'")
 
   private val validator = Validator.fromDescriptor(config.validator)
   private val selector = PartitionSelector.fromDescriptor(config.selector)
