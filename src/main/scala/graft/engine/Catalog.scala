@@ -106,24 +106,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def nextIds(name: String): Map[Int, Long] = {
     val p = new Path(topicPath(name), "_ids.json")
     if (!fs.exists(p)) recoverIds(name)
-    else JsonMethods.parse(readString(p)) match {
-      case JObject(fields) => fields.map {
-        case (k, JInt(v)) => k.toInt -> v.toLong
-        case (k, JLong(v)) => k.toInt -> v
-        case (k, other) => throw new IllegalStateException(
-          s"bad _ids.json entry $k: ${JsonMethods.compact(other)}")
-      }.toMap
-      case other => throw new IllegalStateException(
-        s"bad _ids.json: ${JsonMethods.compact(other)}")
-    }
+    else Catalog.idMapFromJson(readString(p))
   }
 
   def writeNextIds(name: String, ids: Map[Int, Long]): Unit =
     writeAtomic(new Path(topicPath(name), "_ids.json"), idsJson(ids))
 
   /** S10 recovery: rebuild per-partition next ids as `max(event_id)+1` from
-    * the log, persist, and return them. Partitions with no data yet map to
-    * 0 via the topic's partition count. */
+    * the log itself. Compute-only — persisting happens on the next producer
+    * commit. (The read path must never write: `nextIds` is called by
+    * concurrent readers — e.g. the streaming source on every trigger — and
+    * a reader racing `writeAtomic`'s delete→rename window would otherwise
+    * write back a mid-append stale watermark.) Partitions with no data yet
+    * map to 0 via the topic's partition count. */
   def recoverIds(name: String): Map[Int, Long] = {
     val log = new Path(logPath(name))
     val known: Map[Int, Long] =
@@ -134,9 +129,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val recovered = spark.read.parquet(log.toString)
       .groupBy(col("partition")).agg(max(col("event_id")).as("m"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
-    val ids = known ++ recovered
-    if (ids.nonEmpty) writeNextIds(name, ids)
-    ids
+    known ++ recovered
   }
 
   // -- consumer cursors (D4) ------------------------------------------------
@@ -148,16 +141,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def cursor(topic: String, consumer: String): Map[Int, Long] = {
     val p = cursorPath(topic, consumer)
     if (!fs.exists(p)) Map.empty
-    else JsonMethods.parse(readString(p)) match {
-      case JObject(fields) => fields.map {
-        case (k, JInt(v)) => k.toInt -> v.toLong
-        case (k, JLong(v)) => k.toInt -> v
-        case (k, other) => throw new IllegalStateException(
-          s"bad cursor entry $k: ${JsonMethods.compact(other)}")
-      }.toMap
-      case other => throw new IllegalStateException(
-        s"bad cursor file: ${JsonMethods.compact(other)}")
-    }
+    else Catalog.idMapFromJson(readString(p))
   }
 
   /** `acknowledge` stores event_id + 1
@@ -168,11 +152,30 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     writeAtomic(cursorPath(topic, consumer), idsJson(cur + (partition -> advanced)))
   }
 
+  // -- streaming-sink commit markers (replay idempotence) -------------------
+
+  private def sinkPath(topic: String, sinkId: String): Path =
+    new Path(new Path(topicPath(topic), "_sinks"), s"$sinkId.json")
+
+  /** Last micro-batch id produced into `topic` by sink `sinkId`, if any. */
+  def sinkCommit(topic: String, sinkId: String): Option[Long] = {
+    val p = sinkPath(topic, sinkId)
+    if (!fs.exists(p)) None
+    else JsonMethods.parse(readString(p)) \ "last" match {
+      case JInt(v) => Some(v.toLong)
+      case JLong(v) => Some(v)
+      case other => throw new IllegalStateException(
+        s"bad sink marker: ${JsonMethods.compact(other)}")
+    }
+  }
+
+  def writeSinkCommit(topic: String, sinkId: String, batchId: Long): Unit =
+    writeAtomic(sinkPath(topic, sinkId),
+      JsonMethods.compact(JsonMethods.render(JObject("last" -> JLong(batchId)))))
+
   // -- helpers --------------------------------------------------------------
 
-  private def idsJson(ids: Map[Int, Long]): String =
-    JsonMethods.compact(JsonMethods.render(
-      JObject(ids.toSeq.sortBy(_._1).map { case (k, v) => k.toString -> (JLong(v): JValue) }: _*)))
+  private def idsJson(ids: Map[Int, Long]): String = Catalog.idMapToJson(ids)
 
   private def readString(p: Path): String = {
     val in = fs.open(p)
@@ -188,5 +191,25 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"atomic write failed: rename $tmp -> $p")
+  }
+}
+
+object Catalog {
+
+  /** The shared `{ "partition": nextId }` map codec — used by the watermark
+    * file, consumer cursors, and streaming offsets (one format, one place). */
+  def idMapToJson(ids: Map[Int, Long]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject(ids.toSeq.sortBy(_._1).map { case (k, v) => k.toString -> (JLong(v): JValue) }: _*)))
+
+  def idMapFromJson(json: String): Map[Int, Long] = JsonMethods.parse(json) match {
+    case JObject(fields) => fields.map {
+      case (k, JInt(v)) => k.toInt -> v.toLong
+      case (k, JLong(v)) => k.toInt -> v
+      case (k, other) => throw new IllegalStateException(
+        s"bad id-map entry $k: ${JsonMethods.compact(other)}")
+    }.toMap
+    case other => throw new IllegalStateException(
+      s"bad id-map json: ${JsonMethods.compact(other)}")
   }
 }

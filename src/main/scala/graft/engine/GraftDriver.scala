@@ -43,7 +43,9 @@ final class GraftDriver(val spark: SparkSession, val warehouse: String) {
  * A named topic (reference `MofkaTopicHandle`,
  * `include/mofka/MofkaTopicHandle.hpp:27-103`).
  */
-final class TopicHandle(spark: SparkSession, catalog: Catalog, name: String) {
+final class TopicHandle(spark: SparkSession,
+                        private[graft] val catalog: Catalog,
+                        val name: String) {
 
   /** Re-read on demand so addPartition/markAsComplete are visible. */
   def config: TopicConfig = catalog.openTopic(name)

@@ -21,11 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * 64-dim vectors at corpus scale).
  *
  * Semantics are IDENTICAL to the fold: strict left-to-right summation in
- * double (bit-reproducible across engines), null if either array or any
- * touched element is null, length = min of the two lengths.
+ * double (bit-reproducible across engines), null if either array is null,
+ * any element is null, or the lengths differ (matching `zip_with`'s
+ * null-padding of the shorter side, which nulls the fold).
  */
 final case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // nullSafeEval/doGenCode introduce null beyond the children's nullability
+  // (null elements, length mismatch) — without this override the optimizer
+  // would fold isNull checks wrongly and codegen would assign an undeclared
+  // ev.isNull for non-nullable inputs.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -40,7 +47,8 @@ final case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -57,11 +65,14 @@ final case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |if ($n != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -62,10 +62,17 @@ object Dedup {
    *
    * Output: (doc_a, doc_b, jac_micro) with jac_micro = round(jaccard*1e6).
    */
+  /**
+   * @param cache persist the shingle/signature intermediates (each is read
+   *        by two downstream stages). NOTE: persisted blocks live until the
+   *        session ends or the caller unpersists (memory is LRU-evicted,
+   *        disk spill is not) — long-lived pipelines sweeping many corpora
+   *        should `spark.catalog.clearCache()` between sweeps or pass false.
+   */
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, cache: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
 
     // Repartition by id up front: spreads shingle hashing across the cluster
@@ -79,16 +86,13 @@ object Dedup {
       .repartition(col("id"))
 
     // sh feeds both the signature aggregate and the exact-verify join;
-    // cache the exploded shingles once (spills to disk when large) instead
-    // of re-tokenizing the corpus per consumer
-    val sh = base.select(col("id"),
-      explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sig sits on both sides of the band self-join
+    def maybeCache(d: DataFrame): DataFrame =
+      if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
+    val sh = maybeCache(base.select(col("id"),
+      explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s")))
 
-    // signatures are numHashes longs per doc — cache so the band self-join
-    // does not run the min-aggregate once per side
-    val sig = minhashSignatures(sh, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = maybeCache(minhashSignatures(sh, numHashes))
 
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
@@ -175,13 +179,17 @@ object Dedup {
    * the band-equality join has 100% recall, no cross join, and the exact
    * `bit_count(xor)` check filters false candidates.
    */
-  def simhashPairs(signatures: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** @param cache see [[nearDuplicates]] — same lifetime caveat. */
+  def simhashPairs(signatures: DataFrame, maxHamming: Int = 3,
+                   cache: Boolean = true): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimHashBits / nBands + (if (SimHashBits % nBands == 0) 0 else 1)
     // the self-join consumes the signature lineage twice; signatures are
     // tiny (one long per doc) — cache them rather than recompute the
-    // token-explosion aggregate per side (MLlib-style: LRU eviction cleans up)
-    val cached = signatures.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // token-explosion aggregate per side
+    val cached =
+      if (cache) signatures.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else signatures
     val banded = cached.select(col("id"), col("simhash"), posexplode(
       array((0 until nBands).map { b =>
         shiftright(col("simhash"), b * bandBits)

@@ -23,8 +23,10 @@ object Similarity {
 
   /** Sequential-fold dot product of two float-array columns, in double —
     * a native codegen expression (see [[graft.functions.DotProduct]]); the
-    * summation order is identical to an `aggregate(zip_with(...))` fold, so
-    * results are bit-identical, just without the interpreted lambda chain. */
+    * summation order is identical to an `aggregate(zip_with(...))` fold
+    * (and mismatched lengths yield null, exactly like the zip_with null
+    * padding), so results are bit-identical — just without the interpreted
+    * lambda chain. */
   def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dot(a.cast("array<double>"), b.cast("array<double>"))
 

