@@ -40,6 +40,8 @@ final class GraftMicroBatchStream(
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private var availableNowTarget: Option[TopicOffset] = None
+  /** chunk files are immutable — footer ranges cached for the stream's life */
+  private val fileStats = new FileStatsCache
 
   private def currentNext(): Map[Int, Long] = {
     val next = catalog.nextIds(topic)
@@ -105,7 +107,8 @@ final class GraftMicroBatchStream(
     val e = end.asInstanceOf[TopicOffset].next
     GraftPartitions.plan(catalog, topic, targets,
       from = p => s.getOrElse(p, 0L),
-      until = p => e.getOrElse(p, 0L))
+      until = p => e.getOrElse(p, 0L),
+      fileStats)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -118,20 +121,52 @@ final class GraftMicroBatchStream(
   override def stop(): Unit = ()
 }
 
+/**
+ * Driver-side cache of per-file `event_id` footer ranges. Chunk files are
+ * immutable once written, so a range read once is valid forever; a stream
+ * pays one footer read per NEW file per lifetime, and fully-acked tail-read
+ * slices ship only the files that overlap the cursor range — the file-level
+ * analog of the reference's chunk index
+ * (`/root/reference/src/DefaultPartitionManager.cpp:682-735`).
+ */
+final class FileStatsCache {
+  private val ranges = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** (min, max) event_id of the file, from its footer. */
+  def range(path: String, conf: org.apache.hadoop.conf.Configuration): (Long, Long) =
+    ranges.computeIfAbsent(path, { p =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        reader.getRowGroups.forEach { block =>
+          block.getColumns.forEach { c =>
+            if (c.getPath.toDotString == "event_id") c.getStatistics match {
+              case ls: org.apache.parquet.column.statistics.LongStatistics
+                if ls.hasNonNullValue =>
+                lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
+              case _ =>
+            }
+          }
+        }
+        if (lo > hi) (Long.MinValue, Long.MaxValue) // no stats: never prune
+        else (lo, hi)
+      } finally reader.close()
+    })
+}
+
 /** Shared partition planning: one input slice per topic partition holding
-  * the partition's file list.
-  *
-  * Known limitation (documented, not hidden): the slice carries ALL chunk
-  * files of the partition; the reader prunes at ROW-GROUP granularity from
-  * footer statistics, so a tail read still opens each file's footer once.
-  * File-level pruning needs an id→file index (e.g. recording per-commit max
-  * ids in the catalog) — a natural next step for very long retention. */
+  * the partition's OVERLAPPING chunk files (file-level pruning via the
+  * footer-stats cache; the reader then prunes at row-group granularity). */
 object GraftPartitions {
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
-           from: Int => Long, until: Int => Long): Array[InputPartition] = {
+           from: Int => Long, until: Int => Long,
+           stats: FileStatsCache = new FileStatsCache): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
-    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = logPath.getFileSystem(conf)
     if (!fs.exists(logPath)) return Array.empty
     val partDirs = fs.listStatus(logPath).filter(_.isDirectory)
       .map(_.getPath)
@@ -146,8 +181,13 @@ object GraftPartitions {
       val lo = from(p); val hi = until(p)
       if (hi <= lo) None
       else {
-        val files = fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val files = fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString).sorted
+          .filter { f =>
+            val (fLo, fHi) = stats.range(f, conf)
+            fHi >= lo && fLo < hi
+          }
         if (files.isEmpty) None
         else Some(GraftInputPartition(p, lo, hi, files))
       }

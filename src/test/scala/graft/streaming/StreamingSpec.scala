@@ -229,6 +229,25 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts.toMap == (0L until 5L).map(_ -> 8L).toMap)
   }
 
+  test("tail reads prune non-overlapping chunk files at plan time") {
+    val (d, topic, wh) = newTopic(partitions = 1)
+    val producer = topic.producer(chunkMaxRecords = 10)
+    (0 until 45).foreach(i => producer.push(s"""{"i":$i}"""))
+    producer.flush()
+    val all = GraftPartitions.plan(d.catalog, "stream_topic", None,
+      from = _ => 0L, until = _ => 45L)
+    val tail = GraftPartitions.plan(d.catalog, "stream_topic", None,
+      from = _ => 40L, until = _ => 45L)
+    val allFiles = all.head.asInstanceOf[GraftInputPartition].files
+    val tailFiles = tail.head.asInstanceOf[GraftInputPartition].files
+    assert(allFiles.size >= 5)
+    assert(tailFiles.size < allFiles.size,
+      s"tail slice should not carry every chunk: $tailFiles")
+    // pruned slice still reads the right rows
+    val got = read(wh).filter(col("event_id") >= 40).count()
+    assert(got == 5)
+  }
+
   test("sink replay idempotence: a re-delivered micro-batch is produced once") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-sink-idem").toString
