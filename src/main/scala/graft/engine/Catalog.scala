@@ -105,9 +105,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * indices; here the Parquet footers are the index). */
   def nextIds(name: String): Map[Int, Long] = {
     val p = new Path(topicPath(name), "_ids.json")
-    if (!fs.exists(p)) recoverIds(name)
-    else Catalog.idMapFromJson(readString(p))
+    if (!fs.exists(p)) {
+      // memoized per Catalog instance: a consumer-only deployment with a
+      // lost watermark file would otherwise re-run the full log aggregation
+      // on every call (the streaming source calls this per trigger). The
+      // cache is only consulted while the file stays missing; any producer
+      // commit writes the file and takes precedence.
+      recoveredCache.computeIfAbsent(name, recoverIds(_))
+    } else Catalog.idMapFromJson(readString(p))
   }
+
+  private val recoveredCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
 
   def writeNextIds(name: String, ids: Map[Int, Long]): Unit =
     writeAtomic(new Path(topicPath(name), "_ids.json"), idsJson(ids))
@@ -134,8 +143,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   // -- consumer cursors (D4) ------------------------------------------------
 
+  /** Names that become path components (consumer names, sink ids) must not
+    * traverse or collide with catalog files. */
+  private def validComponent(kind: String, s: String): String = {
+    if (s.isEmpty || !s.matches("[A-Za-z0-9_.-]+") || s == "." || s == "..")
+      throw new IllegalArgumentException(
+        s"Invalid $kind '$s': only [A-Za-z0-9_.-]+ allowed")
+    s
+  }
+
   private def cursorPath(topic: String, consumer: String): Path =
-    new Path(new Path(topicPath(topic), "_cursors"), s"$consumer.json")
+    new Path(new Path(topicPath(topic), "_cursors"),
+      s"${validComponent("consumer name", consumer)}.json")
 
   /** Cursor = first un-acknowledged EventID per partition (0 when absent). */
   def cursor(topic: String, consumer: String): Map[Int, Long] = {
@@ -155,7 +174,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   // -- streaming-sink commit markers (replay idempotence) -------------------
 
   private def sinkPath(topic: String, sinkId: String): Path =
-    new Path(new Path(topicPath(topic), "_sinks"), s"$sinkId.json")
+    new Path(new Path(topicPath(topic), "_sinks"),
+      s"${validComponent("sink id", sinkId)}.json")
 
   /** Last micro-batch id produced into `topic` by sink `sinkId`, if any. */
   def sinkCommit(topic: String, sinkId: String): Option[Long] = {

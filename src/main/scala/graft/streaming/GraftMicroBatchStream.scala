@@ -74,9 +74,15 @@ final class GraftMicroBatchStream(
     val capped = limit match {
       case rows: ReadMaxRows =>
         // fair budget split: rounds of equal chunks over partitions that
-        // still have backlog, so one hot partition can never starve the
-        // rest (greedy by-partition-id allocation would)
+        // still have backlog, with the visit order ROTATED per batch (keyed
+        // off the advancing start offsets) — so even a budget smaller than
+        // the partition count cannot starve high-id partitions forever
         var budget = rows.maxRows()
+        val parts = target.keys.toSeq.sorted
+        val rotation =
+          if (parts.isEmpty) 0
+          else math.floorMod(from.values.sum, parts.size.toLong).toInt
+        val visitOrder = parts.drop(rotation) ++ parts.take(rotation)
         val backlog = scala.collection.mutable.Map(
           target.toSeq.map { case (p, end) =>
             p -> math.max(end - from.getOrElse(p, 0L), 0L)
@@ -85,7 +91,8 @@ final class GraftMicroBatchStream(
         while (budget > 0 && backlog.values.exists(_ > 0)) {
           val active = backlog.count(_._2 > 0)
           val chunk = math.max(budget / active, 1L)
-          backlog.toSeq.sortBy(_._1).foreach { case (p, rem) =>
+          visitOrder.foreach { p =>
+            val rem = backlog(p)
             if (rem > 0 && budget > 0) {
               val take = math.min(math.min(rem, chunk), budget)
               taken(p) += take
@@ -108,7 +115,7 @@ final class GraftMicroBatchStream(
     GraftPartitions.plan(catalog, topic, targets,
       from = p => s.getOrElse(p, 0L),
       until = p => e.getOrElse(p, 0L),
-      fileStats)
+      Some(fileStats))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -132,8 +139,12 @@ final class GraftMicroBatchStream(
 final class FileStatsCache {
   private val ranges = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  /** (min, max) event_id of the file, from its footer. */
-  def range(path: String, conf: org.apache.hadoop.conf.Configuration): (Long, Long) =
+  /** (min, max) event_id of the file, from its footer. The cache is
+    * size-bounded: past the cap it resets and repopulates on demand (a
+    * months-long stream over millions of rotated chunks must not grow
+    * driver heap without bound). */
+  def range(path: String, conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+    if (ranges.size() > FileStatsCache.MaxEntries) ranges.clear()
     ranges.computeIfAbsent(path, { p =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
@@ -154,15 +165,23 @@ final class FileStatsCache {
         else (lo, hi)
       } finally reader.close()
     })
+  }
+}
+
+object FileStatsCache {
+  val MaxEntries = 200000
 }
 
 /** Shared partition planning: one input slice per topic partition holding
   * the partition's OVERLAPPING chunk files (file-level pruning via the
   * footer-stats cache; the reader then prunes at row-group granularity). */
 object GraftPartitions {
+  /** @param stats when set, prune files by footer event_id ranges; pass
+    *        None when nothing can be pruned (e.g. unbounded batch scans) —
+    *        footer reads on the driver are not free. */
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
-           stats: FileStatsCache = new FileStatsCache): Array[InputPartition] = {
+           stats: Option[FileStatsCache] = None): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
@@ -185,8 +204,10 @@ object GraftPartitions {
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.toString).sorted
           .filter { f =>
-            val (fLo, fHi) = stats.range(f, conf)
-            fHi >= lo && fLo < hi
+            stats.forall { cache =>
+              val (fLo, fHi) = cache.range(f, conf)
+              fHi >= lo && fLo < hi
+            }
           }
         if (files.isEmpty) None
         else Some(GraftInputPartition(p, lo, hi, files))

@@ -93,9 +93,13 @@ final class GraftScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val next = catalog.nextIds(topic)
+      // footer-based file pruning only pays off when an id bound was pushed;
+      // an unbounded scan keeps every file, so skip the driver-side footer reads
+      val stats = if (idLo.isDefined || idHi.isDefined) Some(new FileStatsCache) else None
       GraftPartitions.plan(catalog, topic, targets,
         from = p => math.max(idLo.getOrElse(0L), 0L),
-        until = p => math.min(idHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L)))
+        until = p => math.min(idHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L)),
+        stats)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(requiredSchema)

@@ -13,20 +13,27 @@ import graft.engine.TopicHandle
  * linearization, `DefaultPartitionManager.cpp:398-409`) needs one committer
  * per partition per batch — exactly what `produce()` enforces.
  *
- * Replay semantics: a commit marker per (topic, sinkId) records the last
- * produced micro-batch id, so the common restart path (crash after the
- * marker write, replayed batch skipped) is exactly-once. A crash in the
- * window between `produce()` and the marker write replays the batch —
- * the at-least-once floor, matching the reference's own delivery contract
+ * Replay semantics (the Delta `txnAppId` pattern): `sinkId` identifies one
+ * logical stream INTO the topic and must be stable for the life of that
+ * stream's checkpoint — micro-batch ids are only monotonic within one
+ * checkpoint lineage, so a new query (fresh checkpoint) MUST use a new
+ * sinkId, and two concurrent queries must never share one. Under that
+ * contract the common restart path (crash after the marker write, replayed
+ * batch skipped) is exactly-once; a crash in the window between `produce()`
+ * and the marker write replays the batch — the at-least-once floor,
+ * matching the reference's own delivery contract
  * (`DefaultPartitionManager.cpp:425-427`).
  */
 object GraftSink {
 
   /** Attach a topic-producing sink: each micro-batch is produced into the
     * topic as one append (id-dense per partition), idempotent per
-    * `(topic, sinkId)` across checkpoint replays. */
+    * `(topic, sinkId)` across checkpoint replays.
+    *
+    * @param sinkId stable id of this logical stream (see class doc: one per
+    *               checkpoint lineage, never shared, never reused) */
   def toTopic(writer: DataStreamWriter[Row], topic: TopicHandle,
-              sinkId: String = "default"): DataStreamWriter[Row] =
+              sinkId: String): DataStreamWriter[Row] =
     writer.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       produceBatch(topic, sinkId)(batch.toDF(), batchId)
     }

@@ -235,9 +235,9 @@ class StreamingSpec extends SparkSpec {
     (0 until 45).foreach(i => producer.push(s"""{"i":$i}"""))
     producer.flush()
     val all = GraftPartitions.plan(d.catalog, "stream_topic", None,
-      from = _ => 0L, until = _ => 45L)
+      from = _ => 0L, until = _ => 45L, Some(new FileStatsCache))
     val tail = GraftPartitions.plan(d.catalog, "stream_topic", None,
-      from = _ => 40L, until = _ => 45L)
+      from = _ => 40L, until = _ => 45L, Some(new FileStatsCache))
     val allFiles = all.head.asInstanceOf[GraftInputPartition].files
     val tailFiles = tail.head.asInstanceOf[GraftInputPartition].files
     assert(allFiles.size >= 5)
@@ -263,6 +263,10 @@ class StreamingSpec extends SparkSpec {
     // a different sink id has its own marker
     GraftSink.produceBatch(topic, "s2")(batch, batchId = 0L)
     assert(topic.events().count() == 30)
+    // sink ids become catalog path components — traversal is rejected
+    intercept[IllegalArgumentException] {
+      GraftSink.produceBatch(topic, "../_ids")(batch, batchId = 0L)
+    }
   }
 
   test("admission control splits the budget fairly across partition backlogs") {
@@ -310,7 +314,7 @@ class StreamingSpec extends SparkSpec {
       .load()
       .select(col("metadata")) // re-produce metadata into the sink topic
       .writeStream
-    val q = GraftSink.toTopic(stream, sink)
+    val q = GraftSink.toTopic(stream, sink, sinkId = "relay_1")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
