@@ -81,10 +81,11 @@ object Similarity {
     val assigned = nearestCells(candidates, "c", 1) // corpus: 1 cell each
     val probed = nearestCells(queries, "q", nprobe) // query: nprobe cells
 
+    // no dedup needed: each candidate lives in exactly ONE cell (n=1), so a
+    // (query, candidate) pair can appear through at most one probed cell
     val scored = probed.as("p").join(assigned.as("a"), col("p.cell") === col("a.cell"))
       .select(col("p.id").as("query_id"), col("a.id").as("cand_id"),
         cosineMicro(col("p.vec"), col("a.vec")).as("cos_micro"))
-      .distinct() // a candidate may appear via several probed cells
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_micro").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

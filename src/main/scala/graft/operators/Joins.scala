@@ -40,7 +40,12 @@ object Joins {
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
+    // join semantics for NULLs: a NULL right time can never satisfy
+    // `rightTime <= leftTime`, and NULL keys never equal anything — drop
+    // such right rows up front (otherwise asc_nulls_first would sort a
+    // NULL-time row before every real row and make it a bogus match)
     val r = right
+      .filter(col(rightTime).isNotNull && col(key).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__r", payloadStruct)

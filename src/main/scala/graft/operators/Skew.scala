@@ -25,6 +25,9 @@ object Skew {
   def saltedAgg(df: DataFrame, key: Column, saltBuckets: Int,
                 partials: Seq[(String, (Column, Column => Column))]): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
+    require(partials.nonEmpty, "saltedAgg needs at least one aggregate")
+    require(!partials.exists(_._1 == "key"),
+      "output name 'key' is reserved for the group key column")
     val salted = df
       .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
       .groupBy(key.as("__key"), col("__salt"))

@@ -19,13 +19,16 @@ object AdvancedPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_asof" -> { (s, dir) =>
       import s.implicits._
-      val ev = t(s, dir, "events")
+      // as-of in the MICROSECOND domain: DuckDB's TIMESTAMP_NS compares at
+      // microsecond precision, so matching on raw nanos could diverge from
+      // the oracle for same-microsecond events
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       val clicks = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts", $"event_id")
+        .select($"user_id", $"ts_us", $"event_id")
       val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts", $"event_id".as("p_event_id"), $"value")
+        .select($"user_id", $"ts_us", $"event_id".as("p_event_id"), $"value")
       Joins.asOf(clicks, purchases, key = "user_id",
-        leftTime = "ts", rightTime = "ts",
+        leftTime = "ts_us", rightTime = "ts_us",
         rightPayload = Seq("p_event_id" -> "p_event_id", "value" -> "p_value"),
         rightOrder = "p_event_id")
         .select($"event_id", $"user_id", $"p_event_id",

@@ -23,8 +23,28 @@ import Q._
  */
 object EnginePack extends QueryPack {
 
-  private def tempDriver(s: SparkSession): GraftDriver =
-    new GraftDriver(s, Files.createTempDirectory("graft-engine-q").toString)
+  private def tempDriver(s: SparkSession): GraftDriver = {
+    val dir = Files.createTempDirectory("graft-engine-q")
+    EnginePack.cleanupOnExit(dir)
+    new GraftDriver(s, dir.toString)
+  }
+
+  /** Engine queries copy the events table into scratch warehouses; clean
+    * them up when the JVM exits so repeated runs don't accumulate. */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit = sys.addShutdownHook {
+    tempDirs.forEach { dir =>
+      try {
+        import java.nio.file.{Files => F}
+        import scala.jdk.CollectionConverters._
+        F.walk(dir).iterator().asScala.toSeq.reverse.foreach(p => F.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+  private def cleanupOnExit(dir: java.nio.file.Path): Unit = {
+    hookInstalled
+    tempDirs.add(dir): Unit
+  }
 
   /** events table → (metadata `{"eid":<event_id>}`, partition eid%4), in
     * event_id push order — makes engine-assigned ids SQL-predictable. */

@@ -243,7 +243,11 @@ object Relational extends QueryPack {
     },
     "q_events_seq" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      // order in the MICROSECOND domain (ts div 1000) with an event_id
+      // tie-break: DuckDB's TIMESTAMP_NS surfaces as microseconds, so
+      // ordering on raw nanos would diverge from the oracle if two events
+      // of one user ever landed in the same microsecond
+      val w = Window.partitionBy($"user_id").orderBy(expr("ts div 1000"), $"event_id")
       t(s, dir, "events")
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)

