@@ -64,22 +64,42 @@ object Similarity {
    * centroid id, result ranking on candidate id — so the (approximate)
    * result is reproducible in any engine, and checkable against an oracle.
    */
+  /** Assign each vector to its `n` nearest coarse centroids (ties toward
+    * the smaller centroid id) — the IVF coarse quantizer. */
+  def nearestCells(df: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCell = df.as("v").join(broadcast(centroids.as("ctr")))
+      .select(col("v.id").as("id"), col("v.vec").as("vec"),
+        col("ctr.id").as("cell"),
+        cosineMicro(col("v.vec"), col("ctr.vec")).as("cc"))
+    val w = Window.partitionBy(col("id")).orderBy(col("cc").desc, col("cell"))
+    byCell.withColumn("cr", row_number().over(w)).filter(col("cr") <= n)
+      .select(col("id"), col("vec"), col("cell"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, cell-blocked: vectors pair up
+   * only within their IVF cell (bucketed self-join — no cross join), then
+   * the exact cosine threshold filters. Approximate by construction
+   * (cross-cell near-dups are unseen — same recall shape as any blocked
+   * dedup), fully deterministic, oracle-reproducible.
+   */
+  def cellBlockedNearDuplicates(vectors: DataFrame, centroids: DataFrame,
+                                thresholdMicro: Long): DataFrame = {
+    val cells = nearestCells(vectors, centroids, 1)
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        cosineMicro(col("a.vec"), col("b.vec")).as("cos_micro"))
+      .filter(col("cos_micro") >= thresholdMicro)
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    def nearestCells(df: DataFrame, alias: String, n: Int): DataFrame = {
-      val byCell = df.as(alias).join(broadcast(centroids.as("ctr")))
-        .select(col(s"$alias.id").as("id"), col(s"$alias.vec").as("vec"),
-          col("ctr.id").as("cell"),
-          cosineMicro(col(s"$alias.vec"), col("ctr.vec")).as("cc"))
-      val w = Window.partitionBy(col("id")).orderBy(col("cc").desc, col("cell"))
-      byCell.withColumn("cr", row_number().over(w)).filter(col("cr") <= n)
-        .select(col("id"), col("vec"), col("cell"))
-    }
-
-    val assigned = nearestCells(candidates, "c", 1) // corpus: 1 cell each
-    val probed = nearestCells(queries, "q", nprobe) // query: nprobe cells
+    val assigned = nearestCells(candidates, centroids, 1) // corpus: 1 cell each
+    val probed = nearestCells(queries, centroids, nprobe) // query: nprobe cells
 
     // no dedup needed: each candidate lives in exactly ONE cell (n=1), so a
     // (query, candidate) pair can appear through at most one probed cell

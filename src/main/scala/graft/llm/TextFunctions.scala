@@ -42,6 +42,36 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized (lower/trim) document. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** 1e6-scaled ratio of punctuation characters to total characters. */
+  def punctRatioMicro(text: Column): Column = {
+    val t = trim(text)
+    val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    round(punct.cast("double") / length(t) * 1000000).cast("long")
+  }
+
+  /** 1e6-scaled stopword ratio over the given marker set. */
+  def stopwordRatioMicro(text: Column, words: Seq[String]): Column =
+    round(markerCount(text, words).cast("double") / tokenCount(text) * 1000000).cast("long")
+
+  /**
+   * Rule-based quality gate for training-data filtering — the classic
+   * cheap pre-filter (Gopher/C4-style): length band, mean-token-length
+   * band, lexical diversity floor, stopword-presence floor. Every signal
+   * is an exact integer, so the verdict reproduces anywhere.
+   */
+  def qualityFlag(text: Column,
+                  minTokens: Long = 10, maxTokens: Long = 100000,
+                  minMeanTokenLenMicro: Long = 2000000,
+                  maxMeanTokenLenMicro: Long = 12000000,
+                  minTtrMicro: Long = 100000,
+                  minStopMicro: Long = 10000): Column = {
+    val stop = stopwordRatioMicro(text, LangMarkers.flatMap(_._2))
+    tokenCount(text).between(minTokens, maxTokens) &&
+      meanTokenLenMicro(text).between(minMeanTokenLenMicro, maxMeanTokenLenMicro) &&
+      typeTokenRatioMicro(text) >= minTtrMicro &&
+      stop >= minStopMicro
+  }
+
   /** Word n-gram shingles, space-joined (the near-dup dedup unit). */
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)

@@ -41,6 +41,17 @@ object TextPack extends QueryPack {
         TF.langId(col("text")).as("guess"): _*)
         .orderBy(col("doc_id"))
     },
+    "q_text_quality" -> { (s, dir) =>
+      val text = col("text")
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.tokenCount(text).as("n_tokens"),
+        TF.meanTokenLenMicro(text).as("mtl_micro"),
+        TF.typeTokenRatioMicro(text).as("ttr_micro"),
+        TF.stopwordRatioMicro(text, TF.LangMarkers.flatMap(_._2)).as("stop_micro"),
+        TF.punctRatioMicro(text).as("punct_micro"),
+        TF.qualityFlag(text).as("quality"))
+        .orderBy(col("doc_id"))
+    },
     "q_text_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TF.fingerprint(col("text")).as("fp"),
@@ -135,6 +146,24 @@ object TextPack extends QueryPack {
       s"""SELECT doc_id, s_en, s_de, s_fr, s_es, $guess AS guess
          |FROM (SELECT doc_id, $scoreCols FROM documents) s
          |ORDER BY doc_id""".stripMargin
+    },
+    "q_text_quality" -> {
+      val stopList = TF.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString(",")
+      val mtl = s"CAST(round(CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 1.0 / len($W) * 1000000) AS BIGINT)"
+      val ttr = s"CAST(round(len(list_distinct($W)) * 1.0 / len($W) * 1000000) AS BIGINT)"
+      val stop = s"CAST(round(len(list_filter($W, x -> x IN ($stopList))) * 1.0 / len($W) * 1000000) AS BIGINT)"
+      val punct = "CAST(round((length(trim(text)) - length(regexp_replace(trim(text), '[[:punct:]]', '', 'g'))) * 1.0 / length(trim(text)) * 1000000) AS BIGINT)"
+      s"""SELECT doc_id,
+         | len($W) AS n_tokens,
+         | $mtl AS mtl_micro,
+         | $ttr AS ttr_micro,
+         | $stop AS stop_micro,
+         | $punct AS punct_micro,
+         | (len($W) BETWEEN 10 AND 100000
+         |  AND $mtl BETWEEN 2000000 AND 12000000
+         |  AND $ttr >= 100000
+         |  AND $stop >= 10000) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp,

@@ -43,6 +43,15 @@ object VectorPack extends QueryPack {
         centroidsDf(s, dir), k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
+    "q_dedup_embed" -> { (s, dir) =>
+      // embedding-cosine near-dup: IVF-cell-blocked pairs over the whole
+      // corpus, exact cosine threshold (0.40 — the fixture has no planted
+      // vector dups, so this surfaces the natural high-similarity tail)
+      Similarity.cellBlockedNearDuplicates(
+        embeddings(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        centroidsDf(s, dir), thresholdMicro = 400000L)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
     "q_embed_norm" -> { (s, dir) =>
       embeddings(s, dir).select(col("vec_id"),
         round(Similarity.norm(col("embedding")) * 1000000).cast("long").as("norm_micro"),
@@ -111,6 +120,19 @@ object VectorPack extends QueryPack {
          |      ORDER BY cos_micro DESC, cand_id) AS rank
          |  FROM scored) r
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_embed" ->
+      s"""WITH ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
+         |cells AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, ctrid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosMicro("v.embedding", "ctre")} DESC, ctrid) AS cr
+         |    FROM embeddings v, ctr) x WHERE cr <= 1)
+         |SELECT vec_a, vec_b, cos_micro FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosMicro("a.embedding", "b.embedding")} AS cos_micro
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id) p
+         |WHERE cos_micro >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
     "q_embed_norm" ->
       s"""SELECT vec_id, ${normMicro("embedding")} AS norm_micro, label
          |FROM embeddings ORDER BY vec_id""".stripMargin,

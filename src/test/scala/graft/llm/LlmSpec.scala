@@ -144,6 +144,33 @@ class LlmSpec extends SparkSpec {
     assert(nonNullable == 11.0)
   }
 
+  test("qualityFlag: length/diversity/stopword gates behave as documented") {
+    import session.implicits._
+    val docs2 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and then it runs far away home"),
+      (1L, "a b"), // too short
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"), // zero stopwords, low TTR
+      (3L, "pneumonoultramicroscopicsilicovolcanoconiosis " * 12) // mean token length too high
+    ).toDF("doc_id", "text")
+    val flags = docs2.select($"doc_id", TextFunctions.qualityFlag($"text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(0L))
+    assert(!flags(1L) && !flags(2L) && !flags(3L))
+  }
+
+  test("cellBlockedNearDuplicates: within-cell pairs above threshold only") {
+    import session.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.05f)), (2L, Seq(0.7f, 0.7f)),
+      (10L, Seq(0.0f, 1.0f)), (11L, Seq(0.05f, 0.99f))).toDF("id", "vec")
+    val centroids = vecs.filter(col("id").isin(0L, 10L))
+    val pairs = Similarity.cellBlockedNearDuplicates(vecs, centroids, 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1) and (10,11) are same-cell near-dups; 2 is same cell as 0/1 but
+    // below 0.9; cross-cell pairs are never considered
+    assert(pairs == Set((0L, 1L), (10L, 11L)))
+  }
+
   test("multimodal decode: batch plumbing with stubbed decoder") {
     import session.implicits._
     val media = Seq(
