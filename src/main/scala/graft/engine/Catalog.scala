@@ -32,6 +32,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private val fs: FileSystem =
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The session's effective Hadoop configuration — snapshot this into any
+    * executor-shipped reader so non-default filesystems (s3a, HDFS HA)
+    * resolve identically on executors and driver. */
+  def hadoopConf: org.apache.hadoop.conf.Configuration =
+    spark.sparkContext.hadoopConfiguration
+
   def topicPath(name: String): Path = new Path(warehouse, name)
   def logPath(name: String): String = new Path(topicPath(name), "log").toString
 

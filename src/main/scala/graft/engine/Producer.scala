@@ -76,12 +76,22 @@ final class Producer(
       raise_error(concat(lit("Invalid metadata rejected by validator: "),
         col("metadata"))).cast("int"))
 
+    // __ord and the round-robin fallback in __p embed
+    // monotonically_increasing_id, which is non-deterministic across jobs:
+    // the count pass and the write pass MUST observe identical assignments
+    // or id ranges gap/collide. localCheckpoint materializes the assignment
+    // exactly once and truncates lineage, so re-evaluation (AQE re-plan,
+    // task retry against a shuffled/sampled upstream) is impossible; a lost
+    // cached block fails the job loudly instead of silently corrupting the
+    // id space. Batches are micro-batch sized, so the cached copy is bounded.
     val staged = withData
       .withColumn("__ord", monotonically_increasing_id())
       .withColumn("__p", partitionExpr)
+      .localCheckpoint(true)
 
-    // Pass 1 (cheap, map-side combined): per-partition incoming counts →
-    // new id watermarks. Also the validation barrier: bad rows throw here.
+    // Pass 1 (cheap, map-side combined over the checkpointed blocks):
+    // per-partition incoming counts → new id watermarks. The eager
+    // checkpoint above is also the validation barrier: bad rows throw there.
     val counts: Map[Int, Long] = staged.groupBy(col("__p")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val base = catalog.nextIds(config.name)
@@ -108,6 +118,9 @@ final class Producer(
       catalog.writeNextIds(config.name,
         base ++ counts.map { case (p, c) => p -> (firstIds(p) + c) })
     }
+    // (the checkpointed blocks are released by the ContextCleaner once this
+    // frame goes out of scope — no explicit unpersist hook exists for
+    // localCheckpoint, and batches are bounded anyway)
     counts.map { case (p, c) => p -> (firstIds(p), c) }
   }
 
@@ -137,9 +150,12 @@ final class Producer(
       case Some(req) => math.floorMod(req, n)
       case None => selector match {
         case PartitionSelector.MetadataHash(path) =>
-          // client-side deterministic hash of the selected field's text
-          val key = fieldText(metadata, path)
-          math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), n)
+          // Exact mirror of MetadataHash.assign — the SAME catalyst
+          // expressions (get_json_object → xxhash64) evaluated eagerly on
+          // the driver, so a key pushed here and the same key produce()d
+          // directly land on the same partition (co-location holds across
+          // both API surfaces, including null-key handling).
+          metadataHashPartition(metadata, path)
         case PartitionSelector.FieldMod(path) =>
           math.floorMod(fieldText(metadata, path).trim.stripPrefix("\"")
             .stripSuffix("\"").toLong, n.toLong).toInt
@@ -172,6 +188,19 @@ final class Producer(
     }
     buffer.clear()
     perPartitionSeq.clear()
+  }
+
+  private def metadataHashPartition(metadataJson: String, path: String): Int = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, Literal, XxHash64}
+    val key = GetJsonObject(
+      Literal.create(metadataJson, StringType),
+      Literal.create(path, StringType)).eval(InternalRow.empty)
+    val h = XxHash64(Seq(Literal.create(key, StringType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    // pmod(abs(h), n) — java abs/floorMod agree with Spark's Abs/Pmod on
+    // longs, including the Long.MinValue wrap
+    math.floorMod(math.abs(h), n.toLong).toInt
   }
 
   private def fieldText(metadataJson: String, path: String): String = {

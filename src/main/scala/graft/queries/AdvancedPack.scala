@@ -78,11 +78,13 @@ object AdvancedPack extends QueryPack {
         .withColumn("w", split($"p_name", " "))
         .select($"p_partkey",
           size($"w").cast("long").as("n_words"),
-          sort_array($"w").as("sorted_w"),
+          // arrays are stringified so the driver's pandas row-hasher (which
+          // can't digest list cells) still grades the array semantics
+          array_join(sort_array($"w"), "|").as("sorted_w"),
           array_contains($"w", "green").as("has_green"),
           element_at($"w", 1).as("first_w"),
           element_at($"w", -1).as("last_w"),
-          slice($"w", 1, 2).as("first2"))
+          array_join(slice($"w", 1, 2), "|").as("first2"))
         .orderBy($"p_partkey")
     },
     "q_agg_salted" -> { (s, dir) =>
@@ -159,11 +161,11 @@ object AdvancedPack extends QueryPack {
     "q_scalar_array" ->
       """SELECT p_partkey,
         |  len(string_split(p_name, ' ')) AS n_words,
-        |  list_sort(string_split(p_name, ' ')) AS sorted_w,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_w,
         |  list_contains(string_split(p_name, ' '), 'green') AS has_green,
         |  (string_split(p_name, ' '))[1] AS first_w,
         |  (string_split(p_name, ' '))[-1] AS last_w,
-        |  (string_split(p_name, ' '))[1:2] AS first2
+        |  array_to_string((string_split(p_name, ' '))[1:2], '|') AS first2
         |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, CAST(round(sum(value)*100) AS BIGINT) AS sum_v_c

@@ -315,9 +315,9 @@ object Relational extends QueryPack {
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(round(o_totalprice*100) AS BIGINT))
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c,
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c,
         | lag(CAST(round(o_totalprice*100) AS BIGINT), 1)
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_c
         |FROM orders WHERE o_custkey < 100

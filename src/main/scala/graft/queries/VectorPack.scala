@@ -138,7 +138,8 @@ object VectorPack extends QueryPack {
          |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_embed_label_stats" ->
       s"""SELECT label, count(*) AS n,
-         | min(nm) AS min_norm_micro, max(nm) AS max_norm_micro, sum(nm) AS sum_norm_micro
+         | min(nm) AS min_norm_micro, max(nm) AS max_norm_micro,
+         | CAST(sum(nm) AS BIGINT) AS sum_norm_micro
          |FROM (SELECT label, ${normMicro("embedding")} AS nm FROM embeddings) s
          |GROUP BY label ORDER BY label""".stripMargin,
   )

@@ -119,7 +119,7 @@ final class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(requiredSchema)
+    GraftReaderFactory(requiredSchema, catalog.hadoopConf)
 
   /** Offsets are checkpoint-managed by Spark; the engine-level acknowledge
     * cursor stays an explicit consumer API call (at-least-once contract). */

@@ -26,17 +26,37 @@ import org.apache.spark.unsafe.types.UTF8String
  * (`/root/reference/src/DefaultPartitionManager.cpp:461-486`: cursor →
  * IndexRecord range → targeted chunk reads).
  */
-final class GraftReaderFactory(requiredSchema: StructType)
+final class GraftReaderFactory(
+    requiredSchema: StructType, confEntries: Array[(String, String)])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], requiredSchema)
+    new GraftPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], requiredSchema, confEntries)
+}
+
+object GraftReaderFactory {
+  /** Snapshot the driver's Hadoop configuration into a serializable form so
+    * executor-side readers see the same filesystem settings (s3a
+    * credentials/endpoints, HDFS nameservices, …) as driver-side planning —
+    * a bare `new Configuration()` would only load the defaults. */
+  def apply(requiredSchema: StructType, conf: Configuration): GraftReaderFactory = {
+    val it = conf.iterator()
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); entries += e.getKey -> e.getValue }
+    new GraftReaderFactory(requiredSchema, entries.toArray)
+  }
 }
 
 final class GraftPartitionReader(
-    slice: GraftInputPartition, requiredSchema: StructType)
+    slice: GraftInputPartition, requiredSchema: StructType,
+    confEntries: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
-  private val conf = new Configuration()
+  private val conf = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private val fileQueue = scala.collection.mutable.Queue(slice.files: _*)
 
   private var reader: ParquetFileReader = _

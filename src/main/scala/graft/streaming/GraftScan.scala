@@ -102,7 +102,7 @@ final class GraftScan(
         stats)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftReaderFactory(requiredSchema)
+      GraftReaderFactory(requiredSchema, catalog.hadoopConf)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

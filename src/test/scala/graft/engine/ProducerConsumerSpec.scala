@@ -116,6 +116,51 @@ class ProducerConsumerSpec extends SparkSpec {
     ranges.values.foreach { case (first, _) => assert(first == 0L) }
   }
 
+  test("ids stay dense when producing from a shuffled, repartitioned source") {
+    // round-robin repartition makes row→task placement non-deterministic
+    // across jobs — exactly the divergence hazard between the count pass
+    // and the write pass; the eager checkpoint in produce() pins one
+    // assignment for both
+    val (d, topic) = newTopic(partitions = 4)
+    import spark.implicits._
+    val df = (0 until 200).map(i => s"""{"i":$i}""").toDF("metadata")
+      .repartition(16) // round-robin exchange, no deterministic key
+    val ranges = topic.producer().produce(df)
+    assert(ranges.values.map(_._2).sum == 200)
+    val byPartition = topic.events()
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+        max(col("event_id")).as("hi"), countDistinct(col("event_id")).as("d"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    byPartition.foreach { case (n, lo, hi, dct) =>
+      assert(lo == 0 && hi == n - 1 && dct == n, s"ids not dense: $byPartition")
+    }
+    assert(topic.events().filter(col("event_id").isNull).count() == 0)
+    assert(d.catalog.nextIds("mytopic").values.sum == 200L)
+  }
+
+  test("push() and produce() route the same metadata key to the same partition") {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
+    d.createTopic("colocated", partitions = 8,
+      selector = PartitionSelector.MetadataHash("$.key"))
+    val topic = d.openTopic("colocated")
+    // half the keys through the buffered push surface ...
+    val producer = topic.producer()
+    (0 until 20).foreach(i => producer.push(s"""{"key":"user${i % 10}","via":"push"}"""))
+    producer.flush()
+    // ... the other half through batch produce
+    import spark.implicits._
+    val df = (0 until 20).map(i => s"""{"key":"user${i % 10}","via":"produce"}""").toDF("metadata")
+    topic.producer().produce(df)
+    // a key must live in exactly one partition regardless of API surface
+    val spread = topic.events()
+      .select(get_json_object(col("metadata"), "$.key").as("k"), col("partition"))
+      .groupBy("k").agg(countDistinct(col("partition")).as("nparts"))
+      .collect()
+    assert(spread.length == 10 && spread.forall(_.getLong(1) == 1L),
+      spread.mkString(","))
+  }
+
   test("eventbridge validator rejects invalid events at produce time") {
     val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
     d.createTopic("validated",
