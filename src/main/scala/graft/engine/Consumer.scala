@@ -18,26 +18,44 @@ import graft.functions.DataView
  * the `data` column is never read from Parquet (column pruning), and the
  * predicate is an ordinary pushdown-eligible filter expression.
  */
-final case class DataSelector(
-    predicate: Column => Column,
-    view: DataView,
-    otherwise: DataView = DataView.Empty) {
-
+sealed trait DataSelector {
   /** The payload expression over (metadata, data). */
-  def dataColumn(metadata: Column, data: Column): Column = {
-    def emptyBinary = lit(Array.empty[Byte])
-    def compiled(v: DataView) = v.flatten match {
-      case Some(Nil) => emptyBinary
-      case _ => v.toColumn(data)
-    }
-    (view.flatten, otherwise.flatten) match {
-      case (Some(Nil), Some(Nil)) => emptyBinary // metadata-only: data never read
-      case _ => when(predicate(metadata), compiled(view)).otherwise(compiled(otherwise))
-    }
-  }
+  def dataColumn(metadata: Column, data: Column): Column
 }
 
 object DataSelector {
+  import graft.functions.EventView
+
+  /**
+   * The general form of the reference's arbitrary selector lambda: an
+   * ORDERED list of (predicate over metadata → view); the first matching
+   * predicate decides the event's view, no match → `default`. Views may be
+   * static [[DataView]]s or metadata-parameterized [[EventView]]s, so the
+   * reference's shipped three-way example
+   * (`/root/reference/example/consumer.cpp:38-49`: full data / subview /
+   * nothing, dispatched per event) is directly expressible — as are views
+   * whose offsets come from metadata fields.
+   *
+   * Compiles to one nested `when` chain — a plain codegen'd Column tree; if
+   * every branch provably selects nothing the data column is never read
+   * from Parquet at all (column pruning, reference P1).
+   */
+  final case class Cases(
+      cases: Seq[(Column => Column, EventView)],
+      default: EventView = EventView.Static(DataView.Empty)) extends DataSelector {
+    override def dataColumn(metadata: Column, data: Column): Column =
+      if (default.isStaticallyEmpty && cases.forall(_._2.isStaticallyEmpty))
+        lit(Array.empty[Byte]) // metadata-only: data never read
+      else cases.foldRight(default.toColumn(metadata, data)) {
+        case ((pred, v), els) => when(pred(metadata), v.toColumn(metadata, data)).otherwise(els)
+      }
+  }
+
+  /** The original two-way surface: predicate true → `view`, else `otherwise`. */
+  def apply(predicate: Column => Column, view: DataView,
+            otherwise: DataView = DataView.Empty): DataSelector =
+    Cases(Seq(predicate -> EventView.Static(view)), EventView.Static(otherwise))
+
   /** Ship the full payload for every event (a fresh DataDescriptor). */
   val All: DataSelector = DataSelector(_ => lit(true), DataView.Full, DataView.Full)
   /** Metadata-only consumption (reference P1): never fetch payload bytes. */
@@ -155,22 +173,33 @@ final class Consumer(
    * to the driver; the scalable path is `events()` + `foreachBatch`.
    */
   def process(f: ConsumedEvent => Unit): Unit = synchronized {
-    eventsFrom(position.toMap)
-      .orderBy(col("partition"), col("event_id"))
-      .collect()
-      .foreach { r =>
+    val feed = batchSize.getOrElse(Consumer.DefaultBatchSize)
+    var more = true
+    while (more) {
+      // bounded feeds, like pull(): the callback walk must not collect an
+      // unbounded log to the driver either
+      val batch = eventsFrom(position.toMap)
+        .orderBy(col("partition"), col("event_id"))
+        .limit(feed)
+        .collect()
+      more = batch.nonEmpty
+      batch.foreach { r =>
         val e = rowToEvent(r)
         position(e.partition) = math.max(position.getOrElse(e.partition, 0L), e.eventId + 1)
         f(e)
       }
+    }
   }
 
   private def refresh(): Unit = {
     val floor = position.toMap
     val walk = eventsFrom(floor).orderBy(col("partition"), col("event_id"))
     // batchSize bounds one feed (the reference consumer's batch size, D3);
-    // the next pull() past the buffer triggers the next feed
-    val rows = batchSize.map(walk.limit).getOrElse(walk).collect()
+    // the next pull() past the buffer triggers the next feed. No explicit
+    // size → a bounded default: the reference ALWAYS feeds in batches
+    // (`YokanEventStore.hpp:141-142`), and an unbounded default would
+    // collect the whole remaining log to the driver.
+    val rows = walk.limit(batchSize.getOrElse(Consumer.DefaultBatchSize)).collect()
     rows.foreach { r =>
       val p = r.getAs[Int]("partition"); val id = r.getAs[Long]("event_id")
       position(p) = math.max(position.getOrElse(p, 0L), id + 1)
@@ -181,4 +210,10 @@ final class Consumer(
   private def rowToEvent(r: Row): ConsumedEvent =
     ConsumedEvent(r.getAs[Int]("partition"), r.getAs[Long]("event_id"),
       r.getAs[String]("metadata"), r.getAs[Array[Byte]]("data"))
+}
+
+object Consumer {
+  /** Events per pull-refresh when the caller sets no batchSize — keeps the
+    * parity iterator's driver memory bounded regardless of log size. */
+  val DefaultBatchSize: Int = 1024
 }

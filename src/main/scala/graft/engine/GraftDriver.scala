@@ -66,7 +66,9 @@ final class TopicHandle(spark: SparkSession,
     new Producer(spark, catalog, config, chunkMaxRecords, batchSize, ordering)
 
   /** @param batchSize bound on events fetched per pull-refresh (the
-    *                  reference consumer's batch size; None = adaptive). */
+    *                  reference consumer's batch size; None = the bounded
+    *                  [[Consumer.DefaultBatchSize]] — feeds are always
+    *                  batched, like the reference's event stores). */
   def consumer(
       consumerName: String,
       selector: Option[DataSelector] = None,

@@ -44,12 +44,22 @@ object Validator {
 
   /**
    * JSON-Schema subset: `type` (object/string/number/integer/boolean/array),
-   * `properties`, `required`, `items`. Valid ⇔ the document parses against
-   * the derived StructType AND every `required` property is non-null.
+   * `properties`, `required`, `items`, plus the constraint keywords `enum`,
+   * `minimum`/`maximum`, `pattern` (unanchored search, like the spec), and
+   * `additionalProperties: false` (key-set check via `json_object_keys`,
+   * recursing into nested objects). Valid ⇔ the document parses against the
+   * derived StructType AND every `required` property is non-null AND every
+   * constraint conjunct holds. Constraints follow JSON-Schema applicability:
+   * an absent (null) property passes its own constraints — presence is
+   * `required`'s job. The reference delegates to a full JSON-Schema engine
+   * (`/root/reference/src/JsonUtil.hpp:182-224`); this covers the keywords
+   * its surfaces exercise.
    *
    * Divergence (documented): a present-but-mistyped optional field parses to
    * null and is accepted; full JSON-Schema would reject. The required-field
-   * path — what the reference test surface exercises — matches.
+   * path — what the reference test surface exercises — matches. `enum` is
+   * checked in the property's declared-type domain (mixed-type enums only
+   * match values of the declared type).
    */
   final case class SchemaValidator(schemaJson: String) extends Validator {
     private val parsed = JsonMethods.parse(schemaJson)
@@ -61,7 +71,9 @@ object Validator {
       val requiredOk = SchemaValidator.required(parsed)
         .map(f => doc.getField(f).isNotNull)
         .foldLeft(lit(true))(_ && _)
-      doc.isNotNull && requiredOk
+      val constraintsOk = SchemaValidator.constraints(parsed, metadata, "$", doc)
+        .foldLeft(lit(true))(_ && _)
+      doc.isNotNull && requiredOk && constraintsOk
     }
 
     /** Typed struct view of the metadata (for consumers of schema topics). */
@@ -77,6 +89,62 @@ object Validator {
     private[engine] def required(schema: JValue): Seq[String] = schema \ "required" match {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case _ => Nil
+    }
+
+    /** Constraint conjuncts for one schema node. `path` is the JSON path of
+      * the node in the root document; `typed` its from_json-extracted value. */
+    private[engine] def constraints(
+        schema: JValue, metadata: Column, path: String, typed: Column): Seq[Column] = {
+      val buf = Seq.newBuilder[Column]
+      schema \ "type" match {
+        case JString("object") =>
+          val props: Seq[(String, JValue)] = schema \ "properties" match {
+            case JObject(fields) => fields
+            case _ => Nil
+          }
+          schema \ "additionalProperties" match {
+            case JBool(false) =>
+              // key-set containment on the raw JSON text (the typed struct
+              // cannot see unexpected keys); an absent nested object passes
+              val txt = if (path == "$") metadata else get_json_object(metadata, path)
+              buf += coalesce(
+                size(array_except(json_object_keys(txt),
+                  typedLit(props.map(_._1)))) === 0, lit(true))
+            case _ =>
+          }
+          props.foreach { case (name, sub) =>
+            buf ++= constraints(sub, metadata, s"$path.$name", typed.getField(name))
+          }
+        case _ =>
+          def num(j: JValue): Option[Double] = j match {
+            case JInt(i) => Some(i.toDouble)
+            case JLong(l) => Some(l.toDouble)
+            case JDouble(d) => Some(d)
+            case JDecimal(d) => Some(d.toDouble)
+            case _ => None
+          }
+          schema \ "enum" match {
+            case JArray(vals) =>
+              val inDomain = vals.collect {
+                case JString(s) => s: Any
+                case JInt(i) => i.toLong: Any
+                case JLong(l) => l: Any
+                case JDouble(d) => d: Any
+                case JDecimal(d) => d.toDouble: Any
+                case JBool(b) => b: Any
+              }
+              buf += (if (inDomain.isEmpty) typed.isNull
+                      else typed.isNull || typed.isin(inDomain: _*))
+            case _ =>
+          }
+          num(schema \ "minimum").foreach(m => buf += typed.isNull || typed >= m)
+          num(schema \ "maximum").foreach(m => buf += typed.isNull || typed <= m)
+          schema \ "pattern" match {
+            case JString(re) => buf += typed.isNull || typed.rlike(re)
+            case _ =>
+          }
+      }
+      buf.result()
     }
 
     private[engine] def toSparkType(schema: JValue): DataType = schema \ "type" match {

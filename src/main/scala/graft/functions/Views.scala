@@ -82,6 +82,62 @@ sealed trait DataView {
     DataView.Unstructured(this, segments)
 }
 
+/**
+ * A per-event view: what a reference DataSelector *returns* for one event
+ * (`/root/reference/src/MofkaConsumer.cpp:240-259` — an arbitrary function
+ * `(metadata, descriptor) → descriptor`). Either a static [[DataView]]
+ * (offsets fixed at plan time — the common, fully mergeable case) or a view
+ * whose offsets are themselves expressions over the event's metadata, which
+ * the reference's arbitrary-lambda selector permits and no static view can
+ * express.
+ */
+sealed trait EventView {
+  /** Compile against the (metadata, data) columns of one event. */
+  def toColumn(metadata: Column, data: Column): Column
+  /** True iff this view provably selects no bytes for every event. */
+  def isStaticallyEmpty: Boolean
+}
+
+object EventView {
+  /** A plan-time-constant view (the usual case — stays fully mergeable). */
+  final case class Static(view: DataView) extends EventView {
+    override def toColumn(metadata: Column, data: Column): Column =
+      view.flatten match {
+        case Some(Nil) => lit(Array.empty[Byte])
+        case _ => view.toColumn(data)
+      }
+    override def isStaticallyEmpty: Boolean = view.flatten.contains(Nil)
+  }
+
+  /** `makeSubView(offset, size)` where offset/size are computed FROM the
+    * event's metadata (e.g. `get_json_object(m, "$.off")`). Compiles to a
+    * per-row `substr` — still codegen'd, still column-pruning friendly. */
+  final case class DynamicSub(
+      offset: Column => Column, size: Column => Column) extends EventView {
+    override def toColumn(metadata: Column, data: Column): Column =
+      data.substr(offset(metadata).cast("int") + lit(1), size(metadata).cast("int"))
+    override def isStaticallyEmpty: Boolean = false
+  }
+
+  /** Scatter/gather with metadata-driven segments. Each (offset, size) pair
+    * is a pair of expressions over the metadata column. */
+  final case class DynamicUnstructured(
+      segments: Seq[(Column => Column, Column => Column)]) extends EventView {
+    require(segments.nonEmpty, "dynamic unstructured view needs >= 1 segment")
+    override def toColumn(metadata: Column, data: Column): Column = {
+      val slices = segments.map { case (off, sz) =>
+        data.substr(off(metadata).cast("int") + lit(1), sz(metadata).cast("int"))
+      }
+      if (slices.size == 1) slices.head else concat(slices: _*)
+    }
+    override def isStaticallyEmpty: Boolean = false
+  }
+
+  /** Lets call sites pass a plain [[DataView]] wherever an EventView is
+    * expected (ordered selector cases, defaults). */
+  implicit def fromDataView(view: DataView): EventView = Static(view)
+}
+
 object DataView {
   /** The whole stored payload (a freshly received DataDescriptor). */
   case object Full extends DataView

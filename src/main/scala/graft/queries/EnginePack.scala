@@ -108,6 +108,69 @@ object EnginePack extends QueryPack {
           get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
         .orderBy(col("partition"), col("engine_id"))
     },
+    "q_producer_validated" -> { (s, dir) =>
+      // F2: schema-validated produce — a batch containing invalid rows
+      // aborts atomically (nothing lands); the valid subset then lands whole.
+      val d = tempDriver(s)
+      d.createTopic("val_demo", partitions = 2, validator = Validator.SchemaValidator(
+        """{"type":"object","required":["k"],
+          | "properties":{"k":{"type":"integer","minimum":0,"maximum":69}}}""".stripMargin))
+      val topic = d.openTopic("val_demo")
+      val all = t(s, dir, "events").select(col("props").as("metadata"))
+      val rejected =
+        try { topic.producer().produce(all); false }
+        catch { case _: Exception => true }
+      val landedAfterAbort = topic.events().count()
+      topic.producer().produce(
+        all.filter(get_json_object(col("metadata"), "$.k").cast("long") <= 69))
+      topic.events()
+        .agg(count(lit(1)).as("n_valid"),
+          countDistinct(get_json_object(col("metadata"), "$.k").cast("long")).as("n_keys"))
+        .select(lit(rejected && landedAfterAbort == 0L).as("batch_aborted"),
+          col("n_valid"), col("n_keys"))
+    },
+    "q_recovery" -> { (s, dir) =>
+      // S10: delete the id-watermark file between two produces — next ids
+      // rebuild from the log itself, so ids stay dense across the loss.
+      val d = tempDriver(s)
+      d.createTopic("rec_demo", partitions = 4)
+      val topic = d.openTopic("rec_demo")
+      val src = sourceByEid(s, dir)
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.producer().produce(src.filter(pmod(eid, lit(2)) === 0))
+      val ids = new org.apache.hadoop.fs.Path(d.catalog.topicPath("rec_demo"), "_ids.json")
+      ids.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ids, false): Unit
+      topic.producer().produce(src.filter(pmod(eid, lit(2)) === 1))
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .orderBy(col("partition"))
+    },
+    "q_drain" -> { (s, dir) =>
+      // D5: after markAsComplete, the pull walk drains exactly the produced
+      // events and then reports NoMoreEvents — repeatably.
+      val d = tempDriver(s)
+      d.createTopic("drain_demo", partitions = 2)
+      val topic = d.openTopic("drain_demo")
+      topic.producer().produce(
+        t(s, dir, "events")
+          .filter(get_json_object(col("props"), "$.k").cast("long") < 5)
+          .orderBy(col("event_id"))
+          .select(col("props").as("metadata")))
+      topic.markAsComplete()
+      val c = topic.consumer("drainer") // default bounded feed
+      var n = 0L
+      var done = false
+      while (!done) c.pull() match {
+        case Pull.Next(_) => n += 1
+        case _ => done = true
+      }
+      val still = (0 until 3).forall(_ => c.pull() == Pull.NoMoreEvents)
+      import s.implicits._
+      Seq((n, still)).toDF("n_drained", "no_more_events")
+    },
   )
 
   override def oracles: Map[String, String] = Map(
@@ -138,5 +201,19 @@ object EnginePack extends QueryPack {
         |        event_id AS eid
         |      FROM events) s
         |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
+    // only k <= 69 rows land; the mixed batch aborted without landing rows
+    "q_producer_validated" ->
+      """SELECT true AS batch_aborted, count(*) AS n_valid,
+        | count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_keys
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) <= 69""".stripMargin,
+    // dense ids survive watermark loss: identical contract to q_producer_ids
+    "q_recovery" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // the drain count equals the produced subset, and the walk stays drained
+    "q_drain" ->
+      """SELECT count(*) AS n_drained, true AS no_more_events FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 5""".stripMargin,
   )
 }

@@ -153,6 +153,29 @@ object EventPack extends QueryPack {
             .otherwise(lit("")).as("payload"))
         .orderBy($"event_id")
     },
+
+    "q_selector_cases" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.Column
+      import graft.engine.DataSelector
+      import graft.functions.EventView
+      // F4 generalized: the reference's three-way dynamic selector
+      // (`/root/reference/example/consumer.cpp:38-49` — full / subview /
+      // nothing, decided per event) through the ordered-cases API, plus a
+      // view whose offset is computed from a metadata field.
+      val k = (md: Column) => get_json_object(md, "$.k").cast("long")
+      val sel = DataSelector.Cases(Seq(
+        ((md: Column) => k(md) % 2 === 0 && k(md) < 70) ->
+          EventView.Static(DataView.Full),
+        ((md: Column) => k(md) % 2 === 0) ->
+          EventView.Static(DataView.Full.makeSubView(2, 4))))
+      val dyn = EventView.DynamicSub(md => k(md) % 3, _ => lit(4))
+      t(s, dir, "events")
+        .select($"event_id",
+          sel.dataColumn($"props", $"props".cast("binary")).cast("string").as("payload"),
+          dyn.toColumn($"props", $"props").as("payload_dyn"))
+        .orderBy($"event_id")
+    },
   )
 
   override def oracles: Map[String, String] = Map(
@@ -201,6 +224,18 @@ object EventPack extends QueryPack {
       """SELECT event_id,
         | CASE WHEN CAST(json_extract_string(props, '$.k') AS DOUBLE) < 50
         |      THEN substr(props, 1, 4) ELSE '' END AS payload
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_selector_cases" ->
+      """SELECT event_id,
+        | CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+        |       AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 70
+        |      THEN props
+        |      WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+        |      THEN substr(props, 3, 4)
+        |      ELSE '' END AS payload,
+        | substr(props,
+        |   CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS INT) + 1,
+        |   4) AS payload_dyn
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -100,6 +100,66 @@ class DataSelectionSpec extends SparkSpec {
     assert(c.pull() == Pull.NoMoreEvents)
   }
 
+  test("dynamic three-way selector replays example/consumer.cpp:38-49 exactly") {
+    // reference fixture: id even && value < 70 → full data; id even → 4
+    // bytes from offset 2; id odd → nothing
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-ds-spec").toString)
+    d.createTopic("mytopic")
+    val topic = d.openTopic("mytopic")
+    val producer = topic.producer()
+    (0 until 100).foreach { i =>
+      producer.push(s"""{"id":$i,"value":${(i * 37) % 100}}""",
+        s"payload-for-event-$i".getBytes(StandardCharsets.UTF_8))
+    }
+    producer.flush()
+    topic.markAsComplete()
+
+    def f(path: String) = (md: org.apache.spark.sql.Column) =>
+      get_json_object(md, path).cast("long")
+    val selector = DataSelector.Cases(Seq(
+      ((md: org.apache.spark.sql.Column) =>
+        f("$.id")(md) % 2 === 0 && f("$.value")(md) < 70) -> DataView.Full,
+      ((md: org.apache.spark.sql.Column) =>
+        f("$.id")(md) % 2 === 0) -> DataView.Full.makeSubView(2, 4)))
+
+    val c = topic.consumer("threeway", selector = Some(selector))
+    (0 until 100).foreach { i =>
+      val Pull.Next(e) = c.pull(): @unchecked
+      val full = s"payload-for-event-$i"
+      val expected =
+        if (i % 2 != 0) ""
+        else if ((i * 37) % 100 < 70) full
+        else full.substring(2, 6)
+      assert(new String(e.data, StandardCharsets.UTF_8) == expected,
+        s"event $i (value=${(i * 37) % 100})")
+    }
+    assert(c.pull() == Pull.NoMoreEvents)
+  }
+
+  test("metadata-parameterized view: offsets come from the event's metadata") {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-ds-spec").toString)
+    d.createTopic("mytopic")
+    val topic = d.openTopic("mytopic")
+    val producer = topic.producer()
+    // each event says where its interesting bytes live
+    producer.push("""{"off":0,"len":3}""", "abcdefgh".getBytes(StandardCharsets.UTF_8))
+    producer.push("""{"off":4,"len":4}""", "abcdefgh".getBytes(StandardCharsets.UTF_8))
+    producer.push("""{"off":2,"len":2}""", "abcdefgh".getBytes(StandardCharsets.UTF_8))
+    producer.flush()
+    topic.markAsComplete()
+
+    val dynamic = DataSelector.Cases(Seq(
+      ((_: org.apache.spark.sql.Column) => lit(true)) ->
+        graft.functions.EventView.DynamicSub(
+          md => get_json_object(md, "$.off"),
+          md => get_json_object(md, "$.len"))))
+    val c = topic.consumer("dynamic", selector = Some(dynamic))
+    val got = Iterator.continually(c.pull())
+      .takeWhile(_ != Pull.NoMoreEvents)
+      .collect { case Pull.Next(e) => new String(e.data, StandardCharsets.UTF_8) }.toSeq
+    assert(got == Seq("abc", "efgh", "cd"))
+  }
+
   test("metadata-only consumption never reads the data column (P1 pruning)") {
     val topic = topicWithOneEvent()
     val plan = topic.consumer("pruned", selector = Some(DataSelector.MetadataOnly))
