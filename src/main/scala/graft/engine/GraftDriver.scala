@@ -37,6 +37,22 @@ final class GraftDriver(val spark: SparkSession, val warehouse: String) {
 
   /** C5 `addPartition` — returns the new partition count. */
   def addPartition(name: String): Int = catalog.addPartition(name)
+
+  /**
+   * Multi-topic subscribe: the union of several topic logs as one
+   * DataFrame, tagged with a `topic` column (SURVEY §2.7 — the reference
+   * consumer targets one topic per handle, `MofkaTopicHandle.cpp:40-73`;
+   * cross-topic analytics is a union of sources). Column-pruning and
+   * partition/id pushdowns still apply per branch: a union is a plan node,
+   * not a materialization.
+   */
+  def events(topics: Seq[String]): DataFrame = {
+    require(topics.nonEmpty, "events() needs at least one topic")
+    topics.map { name =>
+      openTopic(name).events()
+        .withColumn("topic", org.apache.spark.sql.functions.lit(name))
+    }.reduce(_.unionByName(_))
+  }
 }
 
 /**

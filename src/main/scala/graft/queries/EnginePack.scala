@@ -148,6 +148,23 @@ object EnginePack extends QueryPack {
           countDistinct(col("event_id")).as("n_distinct"))
         .orderBy(col("partition"))
     },
+    "q_multi_topic" -> { (s, dir) =>
+      // multi-topic subscribe: union of two topic logs with a `topic` tag
+      val d = tempDriver(s)
+      d.createTopic("t_even", partitions = 2)
+      d.createTopic("t_odd", partitions = 2)
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      val src = t(s, dir, "events").select(col("props").as("metadata"), k.as("k"))
+      d.openTopic("t_even").producer().produce(
+        src.filter(pmod(col("k"), lit(2)) === 0).select("metadata"))
+      d.openTopic("t_odd").producer().produce(
+        src.filter(pmod(col("k"), lit(2)) === 1).select("metadata"))
+      d.events(Seq("t_even", "t_odd"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(get_json_object(col("metadata"), "$.k").cast("long")).as("n_keys"))
+        .orderBy(col("topic"))
+    },
     "q_drain" -> { (s, dir) =>
       // D5: after markAsComplete, the pull walk drains exactly the produced
       // events and then reports NoMoreEvents — repeatably.
@@ -211,6 +228,14 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // per-topic counts equal the parity split of the source table
+    "q_multi_topic" ->
+      """SELECT topic, count(*) AS n, count(DISTINCT k) AS n_keys FROM (
+        |  SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+        |              THEN 't_even' ELSE 't_odd' END AS topic,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events) s
+        |GROUP BY topic ORDER BY topic""".stripMargin,
     // the drain count equals the produced subset, and the walk stays drained
     "q_drain" ->
       """SELECT count(*) AS n_drained, true AS no_more_events FROM events

@@ -4,15 +4,17 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.engine.Catalog
+import graft.engine.{Catalog, GraftDriver}
 
 /**
  * DSv2 entry point for topic logs: `spark.read.format("graft")` /
@@ -33,12 +35,40 @@ import graft.engine.Catalog
  * EventIDs, each micro-batch plans one input slice per topic partition, and
  * a completed topic ends an `Trigger.AvailableNow` query (NoMoreEvents, D5).
  *
- * The write path is intentionally `foreachBatch` + `Producer.produce` — the
- * id-linearization contract lives in one place (see `GraftSink`).
+ * The streaming WRITE path (`df.writeStream.format("graft")`) is a
+ * driver-coordinated per-batch sink (the `StreamSinkProvider` surface —
+ * the same route Delta's streaming sink takes): each micro-batch arrives as
+ * one DataFrame and flows through `Producer.produce` + the sink-marker
+ * idempotence of [[GraftSink.produceBatch]]. A task-parallel DSv2
+ * `StreamingWrite` is architecturally wrong here — dense per-partition id
+ * assignment is ONE coordinated job per batch (the reference's write-queue
+ * linearization), not N independent task writers. Write options:
+ *
+ *  - `warehouse`, `topic` (required, as for reads)
+ *  - `sinkId` (optional): stable id of this logical stream for replay
+ *    idempotence; defaults to a hash of `checkpointLocation`, which has
+ *    exactly the required lifetime (one checkpoint lineage = one sinkId —
+ *    see `GraftSink`'s contract)
  */
-final class GraftTopicProvider extends TableProvider with DataSourceRegister {
+final class GraftTopicProvider extends TableProvider with DataSourceRegister
+  with StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    def required(key: String): String = parameters.getOrElse(key,
+      throw new IllegalArgumentException(s"""writeStream.format("graft") requires option '$key'"""))
+    if (outputMode != OutputMode.Append())
+      throw new IllegalArgumentException(
+        s"graft topics are append-only event logs; got OutputMode $outputMode")
+    val sinkId = parameters.get("sinkid")
+      .orElse(parameters.get("checkpointlocation").map(p =>
+        "ckpt-" + java.util.UUID.nameUUIDFromBytes(p.getBytes("UTF-8")).toString))
+      .getOrElse(throw new IllegalArgumentException(
+        """writeStream.format("graft") needs 'sinkId' or 'checkpointLocation'"""))
+    new GraftStreamSink(required("warehouse"), required("topic"), sinkId)
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     GraftTopicTable.EventSchema
@@ -59,6 +89,24 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister {
     if (v == null || v.isEmpty)
       throw new IllegalArgumentException(s"format(\"graft\") requires option '$key'")
     v
+  }
+}
+
+/** Per-micro-batch streaming sink: produce unless `(topic, sinkId)` already
+  * committed this batch id (exactly-once across checkpoint replays, see
+  * [[GraftSink]]). */
+final class GraftStreamSink(warehouse: String, topic: String, sinkId: String)
+  extends Sink {
+
+  override def name(): String = s"graft:$topic"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val handle = new GraftDriver(spark, warehouse).openTopic(topic)
+    // rewrap the micro-batch rows as a batch DataFrame: produce() runs its
+    // own jobs, which the streaming-tagged plan would refuse
+    val batch = org.apache.spark.sql.graftshim.Shims.asBatchDataFrame(spark, data)
+    GraftSink.produceBatch(handle, sinkId)(batch, batchId)
   }
 }
 

@@ -68,4 +68,28 @@ class DriverSpec extends SparkSpec {
     d.openTopic("cfg").markAsComplete()
     assert(d.openTopic("cfg").config.completed)
   }
+
+  test("multi-topic events() unions logs with a topic tag") {
+    import org.apache.spark.sql.functions._
+    val d = freshDriver()
+    d.createTopic("alpha", partitions = 2)
+    d.createTopic("beta")
+    val pa = d.openTopic("alpha").producer()
+    (0 until 6).foreach(i => pa.push(s"""{"i":$i}"""))
+    pa.flush()
+    val pb = d.openTopic("beta").producer()
+    (0 until 4).foreach(i => pb.push(s"""{"i":$i}"""))
+    pb.flush()
+
+    val union = d.events(Seq("alpha", "beta"))
+    assert(union.columns.toSet ==
+      Set("topic", "partition", "event_id", "metadata", "data"))
+    val counts = union.groupBy("topic").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("alpha" -> 6L, "beta" -> 4L))
+    // per-topic id spaces are independent
+    assert(union.filter(col("topic") === "beta" && col("event_id") === 0).count() == 1)
+    intercept[IllegalArgumentException] { d.events(Nil) }
+    intercept[Exception] { d.events(Seq("alpha", "missing")).count() }
+  }
 }

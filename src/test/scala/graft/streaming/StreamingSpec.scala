@@ -329,4 +329,58 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
     }
   }
+
+  test("writeStream.format(graft): native sink keeps ids dense, replay idempotent") {
+    val (_, src, wh) = newTopic()
+    produceRange(src, 0, 30)
+    val whB = Files.createTempDirectory("graft-fmt-sink").toString
+    val dB = new GraftDriver(spark, whB)
+    dB.createTopic("fmt_topic", partitions = 3)
+    val sink = dB.openTopic("fmt_topic")
+    val ckpt = Files.createTempDirectory("graft-fmt-ckpt").toString
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "stream_topic")
+        .load()
+        .select(col("metadata"))
+        .writeStream.format("graft")
+        .option("warehouse", whB).option("topic", "fmt_topic")
+        .option("checkpointLocation", ckpt) // sinkId defaults from this
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000): Unit
+    }
+    run()
+    assert(sink.events().count() == 30)
+
+    // restart on the same checkpoint with nothing new: no duplicates
+    run()
+    assert(sink.events().count() == 30)
+
+    // new upstream events flow incrementally through the same checkpoint
+    produceRange(src, 30, 40)
+    run()
+    val stats = sink.events().groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == 40)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("lo") == 0L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
+    }
+
+    // non-append output modes are rejected up front
+    val err = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "stream_topic").load()
+        .groupBy(lit(1)).count()
+        .writeStream.format("graft")
+        .option("warehouse", whB).option("topic", "fmt_topic")
+        .option("checkpointLocation", Files.createTempDirectory("graft-cm").toString)
+        .outputMode("complete")
+        .start()
+    }
+    assert(err.getMessage.toLowerCase.contains("append"))
+  }
 }
