@@ -36,7 +36,7 @@ object Validator {
 
   final case class EventBridgeValidator(pattern: String) extends Validator {
     override def predicate(metadata: Column): Column =
-      EventBridge.compile(pattern, metadata)
+      EventBridge.matches(metadata, pattern)
     override def descriptor: JObject = JObject(
       "type" -> JString("eventbridge"),
       "pattern" -> JsonMethods.parse(pattern))

@@ -63,9 +63,20 @@ object EventBridge {
         s"eventbridge pattern must be a JSON object, got: ${JsonMethods.compact(other)}")
     }
 
-  /** SQL-string convenience: `eventbridge_match(col("props"), pattern)`. */
+  /** The default matching surface. Multi-field patterns automatically take
+    * the single-parse path (one `from_json` against the pattern-derived
+    * schema; whole-stage codegen's subexpression elimination evaluates the
+    * shared parse once per row) — the multi-parse `get_json_object` form
+    * only remains for single-field patterns, where it is the cheaper parse,
+    * and for patterns a static schema cannot express (a path used as both
+    * leaf and object). */
   def matches(metadata: Column, patternJson: String): Column =
-    compile(patternJson, metadata)
+    if (referencedPaths(patternJson).size < 2) compile(patternJson, metadata)
+    else scala.util.Try(schemaFor(patternJson)) match {
+      case scala.util.Success(schema) =>
+        compileWithStruct(patternJson, from_json(metadata, schema))
+      case scala.util.Failure(_) => compile(patternJson, metadata)
+    }
 
   /**
    * Minimal read schema for evaluating `patternJson`: every referenced leaf
