@@ -2,29 +2,28 @@ package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.column.statistics.LongStatistics
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.io.ColumnIOFactory
-import org.apache.parquet.schema.MessageType
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.hadoop.mapred.FileSplit // extends the mapreduce one; Spark's base reader casts to it
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.filter2.predicate.FilterApi
+import org.apache.parquet.hadoop.ParquetInputFormat
+import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.types.StructType
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.types._
 
 /**
  * Executor-side reader for one topic-partition slice `[fromId, untilId)`.
  *
- * Reads the partition's Parquet chunk files with the parquet-hadoop Group
- * API, requesting ONLY the pruned columns (plus `event_id` for range
- * filtering) and skipping whole row groups whose `event_id` footer
- * statistics fall outside the range — the consumer-side analog of the
- * reference's index-based chunk addressing
- * (`/root/reference/src/DefaultPartitionManager.cpp:461-486`: cursor →
- * IndexRecord range → targeted chunk reads).
+ * Decoding runs through Spark's own vectorized Parquet reader (columnar
+ * page decode, the same engine `spark.read.parquet` uses), surfaced
+ * row-at-a-time so the slice's id range — the commit watermark — can be
+ * enforced exactly per row. Row groups wholly outside the range are skipped
+ * by a pushed parquet `FilterPredicate` over the `event_id` footer
+ * statistics — the consumer-side analog of the reference's index-based
+ * chunk addressing (`/root/reference/src/DefaultPartitionManager.cpp:461-486`:
+ * cursor → IndexRecord range → targeted chunk reads).
  */
 final class GraftReaderFactory(
     requiredSchema: StructType, confEntries: Array[(String, String)])
@@ -52,34 +51,64 @@ final class GraftPartitionReader(
     confEntries: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
+  /** Columns actually decoded from Parquet: the pruned schema minus the
+    * virtual `partition` column (a per-slice constant appended by the
+    * vectorized reader), plus `event_id` — always read, because the slice
+    * bounds ARE the commit watermark and must hold exactly even when the
+    * consumer projected the id away. */
+  private val readSchema: StructType = {
+    val dataCols = requiredSchema.filter(_.name != "partition")
+    if (dataCols.exists(_.name == "event_id")) StructType(dataCols)
+    else StructType(dataCols :+ StructField("event_id", LongType, nullable = false))
+  }
+  private val idOrdinal = readSchema.fieldIndex("event_id")
+
   private val conf = {
     val c = new Configuration(false)
     confEntries.foreach { case (k, v) => c.set(k, v) }
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", readSchema.json)
+    c.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    // the parquet→spark schema converter reads these five keys with a raw
+    // .toBoolean (normally injected by ParquetFileFormat); the event schema
+    // has no timestamp columns, so the timestamp-related values are inert
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", false)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    // row groups provably outside [fromId, untilId) are dropped from the
+    // footer before any page is read
+    ParquetInputFormat.setFilterPredicate(c, FilterApi.and(
+      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(slice.fromId)),
+      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(slice.untilId))))
     c
   }
-  private val fileQueue = scala.collection.mutable.Queue(slice.files: _*)
 
-  private var reader: ParquetFileReader = _
-  private var fileSchema: MessageType = _
-  private var readSchema: MessageType = _
-  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
-  private var rowsLeftInGroup: Long = 0L
-  private var current: InternalRow = _
+  /** The reader emits `readSchema ++ partition`; this maps it back to the
+    * pruned schema's column order. */
+  private val projection = ProjectingInternalRow(
+    requiredSchema,
+    requiredSchema.map { f =>
+      if (f.name == "partition") readSchema.length else readSchema.fieldIndex(f.name)
+    }.toIndexedSeq)
+
+  private val fileQueue = scala.collection.mutable.Queue(slice.files: _*)
+  private var reader: VectorizedParquetRecordReader = _
 
   override def next(): Boolean = {
     while (true) {
-      if (rowsLeftInGroup > 0) {
-        rowsLeftInGroup -= 1
-        val g = recordReader.read()
-        if (g != null) {
-          val id = g.getLong("event_id", 0)
+      if (reader != null) {
+        if (reader.nextKeyValue()) {
+          val r = reader.getCurrentValue.asInstanceOf[InternalRow]
+          val id = r.getLong(idOrdinal)
           if (id >= slice.fromId && id < slice.untilId) {
-            current = toRow(g)
+            projection.project(r)
             return true
           }
+        } else {
+          reader.close(); reader = null
         }
-      } else if (reader != null) {
-        if (!advanceRowGroup()) { reader.close(); reader = null }
       } else if (fileQueue.nonEmpty) {
         openFile(fileQueue.dequeue())
       } else {
@@ -89,73 +118,24 @@ final class GraftPartitionReader(
     false
   }
 
-  override def get(): InternalRow = current
+  override def get(): InternalRow = projection
 
   override def close(): Unit = if (reader != null) { reader.close(); reader = null }
 
-  private var readGroupIndex = 0
-
   private def openFile(path: String): Unit = {
-    reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
-    fileSchema = reader.getFooter.getFileMetaData.getSchema
-    readGroupIndex = 0
-    // project to required columns + event_id (needed for range filtering)
-    val wanted = (requiredSchema.fieldNames.toSeq :+ "event_id").distinct
-      .filter(fileSchema.containsField)
-    readSchema = new MessageType("event",
-      wanted.map(n => fileSchema.getType(Seq(n): _*)): _*)
-    reader.setRequestedSchema(readSchema)
+    val p = new Path(path)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    val r = new VectorizedParquetRecordReader(
+      null, // no timestamp columns in the event schema → no tz conversion
+      "CORRECTED", "UTC", "CORRECTED", "UTC",
+      false, 4096)
+    r.initialize(
+      new FileSplit(p, 0, len, Array.empty[String]),
+      new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    // append the directory-partition value as a constant column
+    r.initBatch(
+      StructType(Seq(StructField("partition", IntegerType, nullable = false))),
+      new GenericInternalRow(Array[Any](slice.partition)))
+    reader = r
   }
-
-  /** Position on the next row group, skipping those provably outside
-    * `[fromId, untilId)` per footer statistics. */
-  private def advanceRowGroup(): Boolean = {
-    val blocks = reader.getRowGroups
-    while (readGroupIndex < blocks.size()) {
-      val block = blocks.get(readGroupIndex)
-      readGroupIndex += 1
-      val idStats: Option[LongStatistics] = {
-        var found: LongStatistics = null
-        val it = block.getColumns.iterator()
-        while (it.hasNext && found == null) {
-          val c = it.next()
-          if (c.getPath.toDotString == "event_id") c.getStatistics match {
-            case ls: LongStatistics if ls.hasNonNullValue => found = ls
-            case _ =>
-          }
-        }
-        Option(found)
-      }
-      val skip = idStats.exists(s => s.getMax < slice.fromId || s.getMin >= slice.untilId)
-      if (skip) {
-        reader.skipNextRowGroup()
-      } else {
-        val pages = reader.readNextRowGroup()
-        if (pages == null) return false
-        val columnIO = new ColumnIOFactory().getColumnIO(readSchema, fileSchema)
-        recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(readSchema))
-        rowsLeftInGroup = pages.getRowCount
-        return true
-      }
-    }
-    false
-  }
-
-  private def toRow(g: Group): InternalRow = {
-    val values = requiredSchema.fields.map { f =>
-      f.name match {
-        case "partition" => slice.partition
-        case "event_id" => g.getLong("event_id", 0)
-        case "metadata" =>
-          if (present(g, "metadata")) UTF8String.fromString(g.getString("metadata", 0)) else null
-        case "data" =>
-          if (present(g, "data")) g.getBinary("data", 0).getBytes else null
-        case other => throw new IllegalStateException(s"unexpected column $other")
-      }
-    }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
-  }
-
-  private def present(g: Group, field: String): Boolean =
-    readSchema.containsField(field) && g.getFieldRepetitionCount(field) > 0
 }
