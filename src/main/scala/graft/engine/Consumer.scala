@@ -173,21 +173,16 @@ final class Consumer(
    * to the driver; the scalable path is `events()` + `foreachBatch`.
    */
   def process(f: ConsumedEvent => Unit): Unit = synchronized {
-    val feed = batchSize.getOrElse(Consumer.DefaultBatchSize)
-    var more = true
-    while (more) {
-      // bounded feeds, like pull(): the callback walk must not collect an
-      // unbounded log to the driver either
-      val batch = eventsFrom(position.toMap)
-        .orderBy(col("partition"), col("event_id"))
-        .limit(feed)
-        .collect()
-      more = batch.nonEmpty
-      batch.foreach { r =>
-        val e = rowToEvent(r)
-        position(e.partition) = math.max(position.getOrElse(e.partition, 0L), e.eventId + 1)
-        f(e)
-      }
+    // one pass, bounded driver memory: toLocalIterator streams partition
+    // results instead of collecting the whole remaining log (and unlike a
+    // limit-loop, never rescans what was already processed)
+    val it = eventsFrom(position.toMap)
+      .orderBy(col("partition"), col("event_id"))
+      .toLocalIterator()
+    while (it.hasNext) {
+      val e = rowToEvent(it.next())
+      position(e.partition) = math.max(position.getOrElse(e.partition, 0L), e.eventId + 1)
+      f(e)
     }
   }
 

@@ -37,13 +37,38 @@ object PartitionSelector {
     override def descriptor: JObject = TopicConfig.DefaultSelector
   }
 
-  /** X2: metadata-driven — hash of a JSON field path (e.g. `"$.key"`). */
+  /** X2: metadata-driven — hash of a JSON field path (e.g. `"$.key"`).
+    *
+    * `assign` (the distributed expression) and `partitionFor` (the eager
+    * driver-side twin used by the buffered push() surface) MUST stay
+    * bit-identical — a key pushed client-side and the same key produce()d
+    * directly have to land on one partition. Keep every ingredient (the
+    * get_json_object extraction, xxhash64 seed 42, abs, pmod) paired
+    * between the two methods when changing either.
+    */
   final case class MetadataHash(fieldPath: String) extends PartitionSelector {
     override def assign(metadata: Column, requested: Column, n: Int): Column = {
       val key = get_json_object(metadata, fieldPath)
       when(requested.isNotNull, pmod(requested.cast("int"), lit(n)))
         .otherwise(pmod(abs(xxhash64(key)), lit(n)).cast("int"))
     }
+
+    /** Eager evaluation of `assign`'s no-request branch through the SAME
+      * catalyst expressions (including null-key handling: xxhash64 of a
+      * null key yields the seed). java abs/floorMod agree with Spark's
+      * Abs/Pmod on longs, including the Long.MinValue wrap. */
+    def partitionFor(metadataJson: String, n: Int): Int = {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, Literal, XxHash64}
+      import org.apache.spark.sql.types.StringType
+      val key = GetJsonObject(
+        Literal.create(metadataJson, StringType),
+        Literal.create(fieldPath, StringType)).eval(InternalRow.empty)
+      val h = XxHash64(Seq(Literal.create(key, StringType)), 42L)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      math.floorMod(math.abs(h), n.toLong).toInt
+    }
+
     override def descriptor: JObject = JObject(
       "type" -> JString("metadata_hash"), "field" -> JString(fieldPath))
   }

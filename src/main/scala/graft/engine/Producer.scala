@@ -149,13 +149,10 @@ final class Producer(
     val p = partition match {
       case Some(req) => math.floorMod(req, n)
       case None => selector match {
-        case PartitionSelector.MetadataHash(path) =>
-          // Exact mirror of MetadataHash.assign — the SAME catalyst
-          // expressions (get_json_object → xxhash64) evaluated eagerly on
-          // the driver, so a key pushed here and the same key produce()d
-          // directly land on the same partition (co-location holds across
-          // both API surfaces, including null-key handling).
-          metadataHashPartition(metadata, path)
+        case mh: PartitionSelector.MetadataHash =>
+          // same partition as produce()'s distributed assign — co-location
+          // holds across both API surfaces
+          mh.partitionFor(metadata, n)
         case PartitionSelector.FieldMod(path) =>
           math.floorMod(fieldText(metadata, path).trim.stripPrefix("\"")
             .stripSuffix("\"").toLong, n.toLong).toInt
@@ -188,19 +185,6 @@ final class Producer(
     }
     buffer.clear()
     perPartitionSeq.clear()
-  }
-
-  private def metadataHashPartition(metadataJson: String, path: String): Int = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, Literal, XxHash64}
-    val key = GetJsonObject(
-      Literal.create(metadataJson, StringType),
-      Literal.create(path, StringType)).eval(InternalRow.empty)
-    val h = XxHash64(Seq(Literal.create(key, StringType)), 42L)
-      .eval(InternalRow.empty).asInstanceOf[Long]
-    // pmod(abs(h), n) — java abs/floorMod agree with Spark's Abs/Pmod on
-    // longs, including the Long.MinValue wrap
-    math.floorMod(math.abs(h), n.toLong).toInt
   }
 
   private def fieldText(metadataJson: String, path: String): String = {

@@ -44,7 +44,8 @@ object Validator {
 
   /**
    * JSON-Schema subset: `type` (object/string/number/integer/boolean/array),
-   * `properties`, `required`, `items`, plus the constraint keywords `enum`,
+   * `properties`, `required` (root and nested objects), `items` (scalar
+   * keywords applied per element), plus the constraint keywords `enum`,
    * `minimum`/`maximum`, `pattern` (unanchored search, like the spec), and
    * `additionalProperties: false` (key-set check via `json_object_keys`,
    * recursing into nested objects). Valid ⇔ the document parses against the
@@ -53,7 +54,8 @@ object Validator {
    * an absent (null) property passes its own constraints — presence is
    * `required`'s job. The reference delegates to a full JSON-Schema engine
    * (`/root/reference/src/JsonUtil.hpp:182-224`); this covers the keywords
-   * its surfaces exercise.
+   * its surfaces exercise. Outside the subset (documented): `enum` on
+   * object-typed nodes, keywords nested inside array-element objects.
    *
    * Divergence (documented): a present-but-mistyped optional field parses to
    * null and is accepted; full JSON-Schema would reject. The required-field
@@ -91,6 +93,13 @@ object Validator {
       case _ => Nil
     }
 
+    /** JSON-path segment for a property name: dotted access for simple
+      * identifiers, bracket-quoted otherwise ('a.b', 'x[0]' as literal key
+      * names would mis-resolve — and silently fail open — if concatenated
+      * into `$.a.b`). */
+    private def pathSegment(name: String): String =
+      if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) s".$name" else s"['$name']"
+
     /** Constraint conjuncts for one schema node. `path` is the JSON path of
       * the node in the root document; `typed` its from_json-extracted value. */
     private[engine] def constraints(
@@ -112,37 +121,61 @@ object Validator {
                   typedLit(props.map(_._1)))) === 0, lit(true))
             case _ =>
           }
+          // `required` on a nested object (the root's is checked in
+          // predicate()): applies only when the object itself is present
+          if (path != "$") required(schema).foreach { r =>
+            buf += typed.isNull || typed.getField(r).isNotNull
+          }
           props.foreach { case (name, sub) =>
-            buf ++= constraints(sub, metadata, s"$path.$name", typed.getField(name))
+            buf ++= constraints(sub, metadata,
+              path + pathSegment(name), typed.getField(name))
+          }
+        case JString("array") =>
+          // scalar keywords on the `items` node apply to EVERY element
+          // (JSON-Schema `items`); keywords nested deeper inside object-typed
+          // elements are outside the subset (documented bound)
+          val itemSchema = schema \ "items"
+          if (itemSchema != JNothing) {
+            val elemConstraints = scalarConstraints(itemSchema, _: Column)
+            if (elemConstraints(lit(null)).nonEmpty)
+              buf += typed.isNull ||
+                forall(typed, e => elemConstraints(e).foldLeft(lit(true))(_ && _))
           }
         case _ =>
-          def num(j: JValue): Option[Double] = j match {
-            case JInt(i) => Some(i.toDouble)
-            case JLong(l) => Some(l.toDouble)
-            case JDouble(d) => Some(d)
-            case JDecimal(d) => Some(d.toDouble)
-            case _ => None
+          buf ++= scalarConstraints(schema, typed)
+      }
+      buf.result()
+    }
+
+    /** enum / minimum / maximum / pattern for one scalar-valued node. */
+    private def scalarConstraints(schema: JValue, typed: Column): Seq[Column] = {
+      val buf = Seq.newBuilder[Column]
+      def num(j: JValue): Option[Double] = j match {
+        case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case JDouble(d) => Some(d)
+        case JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      schema \ "enum" match {
+        case JArray(vals) =>
+          val inDomain = vals.collect {
+            case JString(s) => s: Any
+            case JInt(i) => i.toLong: Any
+            case JLong(l) => l: Any
+            case JDouble(d) => d: Any
+            case JDecimal(d) => d.toDouble: Any
+            case JBool(b) => b: Any
           }
-          schema \ "enum" match {
-            case JArray(vals) =>
-              val inDomain = vals.collect {
-                case JString(s) => s: Any
-                case JInt(i) => i.toLong: Any
-                case JLong(l) => l: Any
-                case JDouble(d) => d: Any
-                case JDecimal(d) => d.toDouble: Any
-                case JBool(b) => b: Any
-              }
-              buf += (if (inDomain.isEmpty) typed.isNull
-                      else typed.isNull || typed.isin(inDomain: _*))
-            case _ =>
-          }
-          num(schema \ "minimum").foreach(m => buf += typed.isNull || typed >= m)
-          num(schema \ "maximum").foreach(m => buf += typed.isNull || typed <= m)
-          schema \ "pattern" match {
-            case JString(re) => buf += typed.isNull || typed.rlike(re)
-            case _ =>
-          }
+          buf += (if (inDomain.isEmpty) typed.isNull
+                  else typed.isNull || typed.isin(inDomain: _*))
+        case _ =>
+      }
+      num(schema \ "minimum").foreach(m => buf += typed.isNull || typed >= m)
+      num(schema \ "maximum").foreach(m => buf += typed.isNull || typed <= m)
+      schema \ "pattern" match {
+        case JString(re) => buf += typed.isNull || typed.rlike(re)
+        case _ =>
       }
       buf.result()
     }

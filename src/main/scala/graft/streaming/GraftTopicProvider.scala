@@ -63,8 +63,13 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException(
         s"graft topics are append-only event logs; got OutputMode $outputMode")
     val sinkId = parameters.get("sinkid")
-      .orElse(parameters.get("checkpointlocation").map(p =>
-        "ckpt-" + java.util.UUID.nameUUIDFromBytes(p.getBytes("UTF-8")).toString))
+      .orElse(parameters.get("checkpointlocation").map { p =>
+        // normalize before hashing: "/tmp/ckpt", "file:/tmp/ckpt" and
+        // "/tmp/ckpt/" are the same lineage and must map to one sinkId,
+        // or a replayed batch would miss its idempotence marker
+        val uri = new org.apache.hadoop.fs.Path(p).toUri.toString.stripSuffix("/")
+        "ckpt-" + java.util.UUID.nameUUIDFromBytes(uri.getBytes("UTF-8")).toString
+      })
       .getOrElse(throw new IllegalArgumentException(
         """writeStream.format("graft") needs 'sinkId' or 'checkpointLocation'"""))
     new GraftStreamSink(required("warehouse"), required("topic"), sinkId)

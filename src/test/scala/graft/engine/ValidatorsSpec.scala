@@ -82,6 +82,32 @@ class ValidatorsSpec extends SparkSpec {
       """{"name":"a","geo":{"lat":1.0,"alt":3.0}}""" -> false)
   }
 
+  test("items: scalar keywords apply to every array element") {
+    val schema =
+      """{"type":"object","properties":{
+        |  "scores":{"type":"array","items":{"type":"integer","minimum":0,"maximum":10}},
+        |  "tags":{"type":"array","items":{"type":"string","pattern":"^[a-z]+$"}}}}""".stripMargin
+    check(schema,
+      """{"scores":[0,5,10]}""" -> true,
+      """{"scores":[3,-1]}""" -> false,
+      """{"scores":[3,11]}""" -> false,
+      """{"scores":[]}""" -> true,
+      """{"tags":["ab","cd"]}""" -> true,
+      """{"tags":["ab","CD"]}""" -> false,
+      """{}""" -> true)
+  }
+
+  test("required on nested objects; absent nested object still passes") {
+    val schema =
+      """{"type":"object","properties":{
+        |  "geo":{"type":"object","required":["lat"],
+        |         "properties":{"lat":{"type":"number"},"lon":{"type":"number"}}}}}""".stripMargin
+    check(schema,
+      """{"geo":{"lat":1.5}}""" -> true,
+      """{"geo":{"lon":2.5}}""" -> false, // nested required fails
+      """{}""" -> true) // geo itself is not required
+  }
+
   test("keywords compose with required and type parsing") {
     val schema =
       """{"type":"object","required":["kind","n"],
