@@ -13,6 +13,12 @@ final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[By
 final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                            width: Long, height: Long, fingerprint: String)
 
+/** One sampled frame of a (video-like) payload. */
+final case class MediaFrame(doc_id: Long, frame_index: Long, frame: Array[Byte])
+
+/** Fixed-dimension feature vector extracted from a payload. */
+final case class MediaFeatures(doc_id: Long, media_type: String, features: Array[Float])
+
 /**
  * Multimodal column plumbing: image/audio/video payloads ride as `binary`
  * columns; decode / feature-extraction runs as a partition-wise typed map —
@@ -42,6 +48,70 @@ object Multimodal {
     ds.mapPartitions { it =>
       // per-partition decoder setup would go here
       it.map(decodeStub)
+    }
+  }
+
+  /** STUB resize (real impl: decode → scale to w×h → re-encode): the stub
+    * deterministically re-frames the payload to exactly `w*h` bytes by
+    * truncating/cycling. The operator shape — a partition-wise typed map
+    * whose output schema equals its input schema — is the production one. */
+  def resizeStub(r: MediaRecord, w: Int, h: Int): MediaRecord = {
+    val out =
+      if (r.payload.isEmpty) new Array[Byte](w * h)
+      else Array.tabulate(w * h)(i => r.payload(i % r.payload.length))
+    MediaRecord(r.doc_id, r.media_type, out)
+  }
+
+  def resize(ds: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    require(width > 0 && height > 0, s"resize target must be positive: ${width}x$height")
+    ds.mapPartitions { it =>
+      // per-partition codec/scaler setup would go here
+      it.map(resizeStub(_, width, height))
+    }
+  }
+
+  /**
+   * Frame sampling: treat the payload as consecutive `frameBytes`-sized
+   * frames and keep every `everyNth` one. Framing is the STUB for a real
+   * container demux; the batch shape — one input record fanning out to
+   * 0..k output rows inside one task, no shuffle — is the production shape
+   * for video pipelines.
+   */
+  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int,
+                   everyNth: Int): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    require(frameBytes > 0 && everyNth > 0,
+      s"frameBytes/everyNth must be positive: $frameBytes/$everyNth")
+    ds.flatMap { r =>
+      val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+      Iterator.range(0, nFrames).filter(_ % everyNth == 0).map { i =>
+        MediaFrame(r.doc_id, i.toLong, java.util.Arrays.copyOfRange(
+          r.payload, i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length)))
+      }
+    }
+  }
+
+  /** STUB feature extraction (real impl: a vision/audio encoder invoked in
+    * batches per partition): a deterministic dim-d float vector folding
+    * payload bytes. Output feeds directly into the `graft.llm.Similarity`
+    * ANN/near-dup operators (same `Array[Float]` convention). */
+  def extractFeaturesStub(r: MediaRecord, dim: Int): MediaFeatures = {
+    val f = new Array[Float](dim)
+    var i = 0
+    while (i < r.payload.length) {
+      f(i % dim) += (r.payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    MediaFeatures(r.doc_id, r.media_type, f)
+  }
+
+  def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    require(dim > 0, s"feature dimension must be positive: $dim")
+    ds.mapPartitions { it =>
+      // per-partition encoder (model weights) init would go here
+      it.map(extractFeaturesStub(_, dim))
     }
   }
 

@@ -39,8 +39,36 @@ object TextFunctions {
   def meanTokenLenMicro(text: Column): Column =
     round(tokenChars(text).cast("double") / tokenCount(text) * 1000000).cast("long")
 
+  /**
+   * GPT-2-style pre-tokenizer units (the BPE-ish token count the brief for
+   * model-facing pipelines needs — whitespace words under-count punctuation
+   * and digit runs badly). RE2-safe subset: optionally-space-prefixed
+   * letter runs, digit runs, punctuation runs — no lookahead, so the same
+   * pattern runs in Java regex (Spark) and RE2 (DuckDB oracle) identically.
+   */
+  val BpeTokenPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(trim(text), lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   /** Content fingerprint: md5 of the normalized (lower/trim) document. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /**
+   * Rabin-style polynomial rolling fingerprint: a strict left fold
+   * `h := (h*257 + codepoint) mod (2^31-1)` over the document's characters.
+   * Sequential fold order is part of the contract (bit-identical across
+   * engines); linear per document and embarrassingly parallel across them.
+   * [[fingerprint]] (md5, codegen'd) is the fast path; this is the classic
+   * incremental-hash building block for winnowing/content-defined chunking.
+   */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(split(trim(text), ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => pmod(h * lit(257L) + c, lit(2147483647L)))
 
   /** 1e6-scaled ratio of punctuation characters to total characters. */
   def punctRatioMicro(text: Column): Column = {

@@ -58,6 +58,15 @@ object TextPack extends QueryPack {
         substring(TF.fingerprint(col("text")), 1, 8).as("fp8"))
         .orderBy(col("doc_id"))
     },
+    "q_text_bpe" -> { (s, dir) =>
+      // BPE-ish token counting + rolling-hash fingerprint, both with
+      // independent SQL formulations (RE2 regex / list_reduce fold)
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.bpeTokenCount(col("text")).as("n_bpe"),
+        TF.tokenCount(col("text")).as("n_ws"),
+        TF.rollingFingerprint(col("text")).as("roll_fp"))
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .select(col("keep_id"), col("n_copies"))
@@ -101,6 +110,17 @@ object TextPack extends QueryPack {
         .toDF()
         .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
           col("fingerprint").as("payload_fp"))
+        .orderBy(col("doc_id"))
+    },
+    "q_media_frames" -> { (s, dir) =>
+      // frame-sampling batch shape: payload → 16-byte frames, every 2nd
+      // kept; counts and byte totals re-derivable from text length (ASCII
+      // corpus, same q_media_meta caveat)
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 2).toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame"))).cast("long").as("sampled_bytes"))
         .orderBy(col("doc_id"))
     },
   )
@@ -169,6 +189,26 @@ object TextPack extends QueryPack {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         | substr(md5(lower(trim(text))), 1, 8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // 16-byte frames, every 2nd sampled: all sampled frames are full except
+    // possibly the last frame (index nf-1), included only when nf-1 is even
+    "q_media_frames" ->
+      """WITH f AS (SELECT doc_id,
+        |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS nf,
+        |   CAST(length(text) AS BIGINT) AS len FROM documents)
+        |SELECT doc_id, (nf + 1) // 2 AS n_sampled,
+        |  CASE WHEN (nf - 1) % 2 = 0
+        |       THEN ((nf + 1) // 2 - 1) * 16 + (len - 16 * (nf - 1))
+        |       ELSE ((nf + 1) // 2) * 16 END AS sampled_bytes
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_bpe" ->
+      s"""SELECT doc_id,
+         | len(regexp_extract_all(trim(text), ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_bpe,
+         | len($W) AS n_ws,
+         | list_reduce(
+         |   list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(trim(text))+1),
+         |     i -> CAST(ord(substr(trim(text), i, 1)) AS BIGINT))),
+         |   (a, b) -> (a * 257 + b) % 2147483647) AS roll_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

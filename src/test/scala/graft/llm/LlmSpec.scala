@@ -181,4 +181,56 @@ class LlmSpec extends SparkSpec {
     assert(meta(2L).width == 0 && meta(2L).height == 0 && meta(2L).n_bytes == 0)
     assert(meta(1L).fingerprint.length == 32)
   }
+
+  test("multimodal resize: output is exactly w*h bytes, schema-preserving") {
+    import session.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image/fake", Array[Byte](10, 20, 30)),
+      MediaRecord(2L, "image/fake", Array.empty[Byte])).toDS()
+    val resized = Multimodal.resize(media, 4, 2).collect().map(r => r.doc_id -> r).toMap
+    assert(resized(1L).payload.toSeq == Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20))
+    assert(resized(2L).payload.length == 8 && resized(2L).payload.forall(_ == 0))
+    assert(resized(1L).media_type == "image/fake")
+  }
+
+  test("multimodal sampleFrames: every-Nth framing; everyNth=1 reassembles") {
+    import session.implicits._
+    val payload = Array.tabulate(37)(_.toByte) // 10 frames of 4 (last short)
+    val media = Seq(MediaRecord(7L, "video/fake", payload)).toDS()
+    val sampled = Multimodal.sampleFrames(media, frameBytes = 4, everyNth = 3)
+      .collect().sortBy(_.frame_index)
+    assert(sampled.map(_.frame_index).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(sampled.head.frame.toSeq == Seq[Byte](0, 1, 2, 3))
+    assert(sampled.last.frame.toSeq == Seq[Byte](36)) // short tail frame
+    val all = Multimodal.sampleFrames(media, frameBytes = 4, everyNth = 1)
+      .collect().sortBy(_.frame_index).flatMap(_.frame)
+    assert(all.toSeq == payload.toSeq) // lossless framing
+  }
+
+  test("multimodal extractFeatures: deterministic dim-d vectors feed Similarity ops") {
+    import session.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image/fake", Array[Byte](-1, -1, 0, 0)), // 255s fold to f(0),f(1)
+      MediaRecord(2L, "image/fake", Array[Byte](-1, -1, 0, 0)),
+      MediaRecord(3L, "image/fake", Array[Byte](0, 0, -1, -1))).toDS()
+    val feats = Multimodal.extractFeatures(media, dim = 2)
+      .collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(feats(1L) == Seq(1.0f, 1.0f))
+    assert(feats(1L) == feats(2L)) // deterministic
+    assert(feats(3L) == Seq(1.0f, 1.0f)) // wraps mod dim
+    assert(feats(1L).size == 2)
+  }
+
+  test("bpe tokens and rolling fingerprint") {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq("hello, world42 ok", "abc").toDF("text")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("n"),
+        TextFunctions.rollingFingerprint(col("text")).as("fp"))
+      .collect()
+    // " ?letters | ?digits | ?punct-runs": hello / , / world / 42 / ok
+    assert(df(0).getLong(0) == 5L)
+    // 97*257^2 + 98*257 + 99 (cross-checked against the DuckDB fold)
+    assert(df(1).getLong(1) == 6432038L)
+  }
 }
