@@ -221,6 +221,39 @@ class LlmSpec extends SparkSpec {
     assert(feats(1L).size == 2)
   }
 
+  test("rollingFingerprint matches a JVM fold model on random ASCII docs") {
+    import session.implicits._
+    val rnd = new scala.util.Random(42)
+    val docs3 = (0 until 200).map { i =>
+      val len = 1 + rnd.nextInt(300)
+      (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }
+    def model(s: String): Long =
+      s.trim.foldLeft(0L)((h, c) => math.floorMod(h * 257L + c.toLong, 2147483647L))
+    val got = docs3.toDF("id", "text")
+      .select($"id", TextFunctions.rollingFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs3.foreach { case (id, text) =>
+      assert(got(id) == model(text), s"doc $id: ${text.take(40)}")
+    }
+  }
+
+  test("bpeTokenCount matches a JVM regex model on random ASCII docs") {
+    import session.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs3 = (0 until 200).map { i =>
+      val len = 1 + rnd.nextInt(200)
+      (i.toLong, (0 until len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }
+    val re = TextFunctions.BpeTokenPattern.r
+    val got = docs3.toDF("id", "text")
+      .select($"id", TextFunctions.bpeTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs3.foreach { case (id, text) =>
+      assert(got(id) == re.findAllIn(text.trim).length.toLong, s"doc $id")
+    }
+  }
+
   test("bpe tokens and rolling fingerprint") {
     import session.implicits._
     import org.apache.spark.sql.functions.col

@@ -370,6 +370,20 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
     }
 
+    // sinkId normalization: a differently-spelled path for the SAME
+    // checkpoint lineage must hit the same idempotence marker
+    val qAlt = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .load()
+      .select(col("metadata"))
+      .writeStream.format("graft")
+      .option("warehouse", whB).option("topic", "fmt_topic")
+      .option("checkpointLocation", "file:" + ckpt + "/") // spelled differently
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qAlt.awaitTermination(60000)
+    assert(sink.events().count() == 40) // still no duplicates
+
     // non-append output modes are rejected up front
     val err = intercept[Exception] {
       spark.readStream.format("graft")
