@@ -147,6 +147,52 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     known ++ recovered
   }
 
+  // -- log maintenance ------------------------------------------------------
+
+  /**
+   * Compact a topic's log: rewrite each partition's chunk files into files
+   * of up to `chunkMaxRecords` events, preserving every event and its id.
+   * Streaming producers append at least one file per partition per
+   * micro-batch, so a long-lived topic accumulates small files — the
+   * classic log-store failure mode at scale (listing/open overhead dwarfs
+   * the data). One job rewrites the log with one shuffle (by partition)
+   * and per-file id ordering identical to fresh produce output.
+   *
+   * Maintenance-window operation under the catalog's single-writer
+   * contract: must not run concurrently with produces to the same topic.
+   * The swap is rename-based — atomic on HDFS/local filesystems, the same
+   * documented caveat as the catalog's other metadata writes on object
+   * stores without atomic rename.
+   */
+  def compactTopic(name: String, chunkMaxRecords: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val log = new Path(logPath(name))
+    if (!fs.exists(log)) return
+    val n = openTopic(name).partitions
+    val tmp = new Path(topicPath(name), "log.compact.tmp")
+    val old = new Path(topicPath(name), "log.compact.old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("metadata", StringType),
+      StructField("data", BinaryType), StructField("partition", IntegerType)))
+    spark.read.schema(schema).parquet(log.toString)
+      .repartition(n, col("partition"))
+      .sortWithinPartitions(col("partition"), col("event_id"))
+      .write
+      .option("maxRecordsPerFile", chunkMaxRecords)
+      .partitionBy("partition")
+      .parquet(tmp.toString)
+    if (!fs.rename(log, old))
+      throw new java.io.IOException(s"compact: cannot move live log aside: $log")
+    if (!fs.rename(tmp, log)) {
+      fs.rename(old, log): Unit // restore the live log before failing
+      throw new java.io.IOException(s"compact: cannot install compacted log: $tmp")
+    }
+    fs.delete(old, true): Unit
+  }
+
   // -- consumer cursors (D4) ------------------------------------------------
 
   /** Names that become path components (consumer names, sink ids) must not

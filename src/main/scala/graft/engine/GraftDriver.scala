@@ -101,6 +101,11 @@ final class TopicHandle(spark: SparkSession,
   /** D5 `markAsComplete`. */
   def markAsComplete(): Unit = catalog.markAsComplete(name)
 
+  /** Log maintenance: rewrite accumulated small chunk files into bounded
+    * ones, ids and content preserved (see [[Catalog.compactTopic]]). */
+  def compact(chunkMaxRecords: Long = 1000000L): Unit =
+    catalog.compactTopic(name, chunkMaxRecords)
+
   /** The validator compiled from the topic's persisted descriptor. */
   def validator: Validator = Validator.fromDescriptor(config.validator)
 

@@ -258,6 +258,34 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 45L))
   }
 
+  test("compaction collapses small chunks into bounded files, ids preserved") {
+    val (d, topic) = newTopic()
+    val producer = topic.producer(chunkMaxRecords = 10)
+    (0 until 45).foreach(i => producer.push(s"""{"i":$i}""",
+      s"payload-$i".getBytes(StandardCharsets.UTF_8)))
+    producer.flush()
+    val dir = new org.apache.hadoop.fs.Path(d.catalog.logPath("mytopic"), "partition=0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles = fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+    assert(nFiles >= 5)
+
+    topic.compact(chunkMaxRecords = 100)
+    assert(nFiles == 1, s"expected one compacted chunk, got $nFiles")
+    // every event and id survives, payloads intact
+    val rows = topic.events().orderBy(col("event_id")).collect()
+    assert(rows.map(_.getAs[Long]("event_id")).toSeq == (0L until 45L))
+    assert(new String(rows(7).getAs[Array[Byte]]("data"), StandardCharsets.UTF_8) == "payload-7")
+    // id space continues densely after compaction
+    val p2 = topic.producer()
+    val e = p2.push("""{"i":45}""")
+    p2.flush()
+    assert(e.eventId == 45L)
+    // cursored consumption is unaffected
+    val c = topic.consumer("post-compact")
+    val Pull.Next(first) = c.pull(): @unchecked
+    assert(first.eventId == 0L)
+  }
+
   test("consumer batchSize bounds each feed; pull still drains everything") {
     val (_, topic) = newTopic()
     produce100(topic)
