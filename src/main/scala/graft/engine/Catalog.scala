@@ -159,25 +159,33 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * and per-file id ordering identical to fresh produce output.
    *
    * Maintenance-window operation under the catalog's single-writer
-   * contract: must not run concurrently with produces to the same topic.
-   * The swap is rename-based — atomic on HDFS/local filesystems, the same
-   * documented caveat as the catalog's other metadata writes on object
-   * stores without atomic rename.
+   * contract: must not run concurrently with produces OR reads of this
+   * topic — a reader racing the swap window fails loudly (plan-time check
+   * against the id watermark), never silently skips. The swap is
+   * rename-based — atomic on HDFS/local filesystems, the same documented
+   * caveat as the catalog's other metadata writes on object stores without
+   * atomic rename. A crash mid-swap is recovered on the next call (the
+   * moved-aside log is restored before anything is deleted).
    */
   def compactTopic(name: String, chunkMaxRecords: Long = 1000000L): Unit = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types._
     val log = new Path(logPath(name))
-    if (!fs.exists(log)) return
-    val n = openTopic(name).partitions
     val tmp = new Path(topicPath(name), "log.compact.tmp")
     val old = new Path(topicPath(name), "log.compact.old")
+    // Crash recovery ordering: `old` is the ONLY copy of the data when a
+    // previous run died between its two renames (log missing). Restore it
+    // before any delete; only a leftover `old` alongside a live log (crash
+    // after the second rename) is safe garbage.
+    if (fs.exists(old) && !fs.exists(log)) {
+      if (!fs.rename(old, log))
+        throw new java.io.IOException(
+          s"compact: cannot restore moved-aside log from crashed run: $old")
+    }
     fs.delete(tmp, true)
     fs.delete(old, true)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("metadata", StringType),
-      StructField("data", BinaryType), StructField("partition", IntegerType)))
-    spark.read.schema(schema).parquet(log.toString)
+    if (!fs.exists(log)) return
+    val n = openTopic(name).partitions
+    spark.read.schema(Catalog.EventSchema).parquet(log.toString)
       .repartition(n, col("partition"))
       .sortWithinPartitions(col("partition"), col("event_id"))
       .write
@@ -267,6 +275,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 }
 
 object Catalog {
+
+  /** THE canonical event schema (SURVEY §1.3) — the single definition the
+    * consumer view, the DSv2 table, and log maintenance all read with, so a
+    * schema evolution can never silently drop a column in one of them. */
+  val EventSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("partition", IntegerType, nullable = false),
+      StructField("event_id", LongType, nullable = false),
+      StructField("metadata", StringType),
+      StructField("data", BinaryType)))
+  }
 
   /** The shared `{ "partition": nextId }` map codec — used by the watermark
     * file, consumer cursors, and streaming offsets (one format, one place). */

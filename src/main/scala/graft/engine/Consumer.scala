@@ -114,9 +114,7 @@ final class Consumer(
 
   private var buffered: Iterator[ConsumedEvent] = Iterator.empty
 
-  private def eventSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("metadata", StringType),
-    StructField("data", BinaryType), StructField("partition", IntegerType)))
+  private def eventSchema = Catalog.EventSchema
 
   /** The raw log restricted to target partitions (no cursor filter). */
   private def log(): DataFrame = {

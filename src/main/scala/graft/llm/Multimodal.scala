@@ -65,6 +65,8 @@ object Multimodal {
   def resize(ds: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._
     require(width > 0 && height > 0, s"resize target must be positive: ${width}x$height")
+    require(width.toLong * height <= Int.MaxValue,
+      s"resize target ${width}x$height exceeds the 2 GiB per-cell binary limit")
     ds.mapPartitions { it =>
       // per-partition codec/scaler setup would go here
       it.map(resizeStub(_, width, height))
@@ -84,10 +86,14 @@ object Multimodal {
     require(frameBytes > 0 && everyNth > 0,
       s"frameBytes/everyNth must be positive: $frameBytes/$everyNth")
     ds.flatMap { r =>
-      val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+      // frame bounds in Long: i*frameBytes can exceed Int.MaxValue before
+      // the min() for payloads near the 2 GiB cell limit
+      val nFrames = ((r.payload.length.toLong + frameBytes - 1) / frameBytes).toInt
       Iterator.range(0, nFrames).filter(_ % everyNth == 0).map { i =>
-        MediaFrame(r.doc_id, i.toLong, java.util.Arrays.copyOfRange(
-          r.payload, i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length)))
+        val from = i.toLong * frameBytes
+        val until = math.min(from + frameBytes, r.payload.length.toLong)
+        MediaFrame(r.doc_id, i.toLong,
+          java.util.Arrays.copyOfRange(r.payload, from.toInt, until.toInt))
       }
     }
   }

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
+  /** ASCII whitespace, spelled as an explicit class: Java's `\s` includes
+    * vertical tab (\x0B) but RE2's (the DuckDB oracle's engine) does not —
+    * an explicit class is the only spelling both engines read identically. */
+  private[llm] val Ws = " \\t\\n\\x0B\\f\\r"
+
   /** Whitespace tokens of a document. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), s"[$Ws]+")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
@@ -43,10 +48,11 @@ object TextFunctions {
    * GPT-2-style pre-tokenizer units (the BPE-ish token count the brief for
    * model-facing pipelines needs — whitespace words under-count punctuation
    * and digit runs badly). RE2-safe subset: optionally-space-prefixed
-   * letter runs, digit runs, punctuation runs — no lookahead, so the same
-   * pattern runs in Java regex (Spark) and RE2 (DuckDB oracle) identically.
+   * letter runs, digit runs, punctuation runs — no lookahead and no `\s`
+   * shorthand (see [[Ws]]), so the same pattern text runs in Java regex
+   * (Spark) and RE2 (DuckDB oracle) identically.
    */
-  val BpeTokenPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  val BpeTokenPattern = s" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$Ws]+"
 
   def bpeTokens(text: Column): Column =
     regexp_extract_all(trim(text), lit(BpeTokenPattern), lit(0))
@@ -63,6 +69,11 @@ object TextFunctions {
    * engines); linear per document and embarrassingly parallel across them.
    * [[fingerprint]] (md5, codegen'd) is the fast path; this is the classic
    * incremental-hash building block for winnowing/content-defined chunking.
+   *
+   * Contract bound: BMP text only. For astral characters (emoji), Spark's
+   * `ascii()` surfaces the UTF-16 high surrogate while DuckDB's `ord()`
+   * surfaces the full code point, so the folds diverge — normalize or strip
+   * non-BMP content first (the test corpus is pure ASCII).
    */
   def rollingFingerprint(text: Column): Column =
     aggregate(

@@ -19,7 +19,6 @@ import Q._
  */
 object TextPack extends QueryPack {
 
-  private val SplitRe = "\\s+"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> { (s, dir) =>
@@ -115,8 +114,10 @@ object TextPack extends QueryPack {
     "q_media_frames" -> { (s, dir) =>
       // frame-sampling batch shape: payload → 16-byte frames, every 2nd
       // kept; counts and byte totals re-derivable from text length (ASCII
-      // corpus, same q_media_meta caveat)
-      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      // corpus, same q_media_meta caveat). Zero-byte payloads fan out to
+      // zero frames, so both sides exclude empty docs explicitly.
+      val media = Multimodal.mediaFromDocuments(s,
+        t(s, dir, "documents").filter(length(col("text")) > 0))
       Multimodal.sampleFrames(media, frameBytes = 16, everyNth = 2).toDF()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_sampled"),
@@ -127,7 +128,9 @@ object TextPack extends QueryPack {
 
   // ---- oracle SQL ---------------------------------------------------------
 
-  private val W = s"string_split_regex(trim(text), '\\s+')"
+  // whitespace class shared verbatim with the Spark side (TF.Ws): Java \s
+  // and RE2 \s disagree on \x0B, an explicit class cannot
+  private val W = s"string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
 
   /** DuckDB mirror of the 63-bit simhash as a doc_id→simhash CTE body. */
   private def simhashCte: String = {
@@ -194,7 +197,8 @@ object TextPack extends QueryPack {
     "q_media_frames" ->
       """WITH f AS (SELECT doc_id,
         |   CAST(ceil(length(text) / 16.0) AS BIGINT) AS nf,
-        |   CAST(length(text) AS BIGINT) AS len FROM documents)
+        |   CAST(length(text) AS BIGINT) AS len FROM documents
+        |   WHERE length(text) > 0)
         |SELECT doc_id, (nf + 1) // 2 AS n_sampled,
         |  CASE WHEN (nf - 1) % 2 = 0
         |       THEN ((nf + 1) // 2 - 1) * 16 + (len - 16 * (nf - 1))
@@ -202,7 +206,7 @@ object TextPack extends QueryPack {
         |FROM f ORDER BY doc_id""".stripMargin,
     "q_text_bpe" ->
       s"""SELECT doc_id,
-         | len(regexp_extract_all(trim(text), ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_bpe,
+         | len(regexp_extract_all(trim(text), '${TF.BpeTokenPattern}')) AS n_bpe,
          | len($W) AS n_ws,
          | list_reduce(
          |   list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(trim(text))+1),

@@ -186,7 +186,20 @@ object GraftPartitions {
     val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
     val fs = logPath.getFileSystem(conf)
-    if (!fs.exists(logPath)) return Array.empty
+    if (!fs.exists(logPath)) {
+      // A missing log dir is only legitimate when the id watermark says no
+      // events were ever committed. Otherwise fail LOUDLY: silently planning
+      // zero slices would let a streaming checkpoint commit past events that
+      // were never read (e.g. a reader racing compactTopic's rename window,
+      // or an accidentally deleted log) — permanent data loss.
+      val expected = (0 until catalog.openTopic(topic).partitions)
+        .filter(p => targets.forall(_.contains(p)))
+        .exists(p => until(p) > math.max(from(p), 0L))
+      if (expected) throw new java.io.IOException(
+        s"topic '$topic': log directory missing but the id watermark expects " +
+        s"events ($logPath) — log deleted, or read raced a compactTopic swap")
+      return Array.empty
+    }
     val partDirs = fs.listStatus(logPath).filter(_.isDirectory)
       .map(_.getPath)
       .flatMap { dir =>

@@ -63,13 +63,9 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
       throw new IllegalArgumentException(
         s"graft topics are append-only event logs; got OutputMode $outputMode")
     val sinkId = parameters.get("sinkid")
-      .orElse(parameters.get("checkpointlocation").map { p =>
-        // normalize before hashing: "/tmp/ckpt", "file:/tmp/ckpt" and
-        // "/tmp/ckpt/" are the same lineage and must map to one sinkId,
-        // or a replayed batch would miss its idempotence marker
-        val uri = new org.apache.hadoop.fs.Path(p).toUri.toString.stripSuffix("/")
-        "ckpt-" + java.util.UUID.nameUUIDFromBytes(uri.getBytes("UTF-8")).toString
-      })
+      .orElse(parameters.get("checkpointlocation").map(p =>
+        GraftTopicProvider.checkpointSinkId(
+          p, sqlContext.sparkContext.hadoopConfiguration)))
       .getOrElse(throw new IllegalArgumentException(
         """writeStream.format("graft") needs 'sinkId' or 'checkpointLocation'"""))
     new GraftStreamSink(required("warehouse"), required("topic"), sinkId)
@@ -97,6 +93,25 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
   }
 }
 
+object GraftTopicProvider {
+  /** Default sinkId from a checkpoint location: hash of the FULLY-QUALIFIED
+    * URI (filesystem scheme + authority resolved), so every spelling of one
+    * checkpoint lineage — "/tmp/ckpt", "file:/tmp/ckpt", trailing slash —
+    * maps to one idempotence marker. An unnormalized string here would make
+    * a respelled restart miss the marker and re-produce a replayed batch. */
+  private[streaming] def checkpointSinkId(
+      location: String, conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(location)
+    val u = p.getFileSystem(conf).makeQualified(p).toUri
+    // rebuild scheme://authority/path explicitly: URI renders a null vs
+    // empty authority differently ("file:/x" vs "file:///x") even after
+    // qualification, and those must not split the lineage
+    val canonical = s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}" +
+      (if (u.getPath == "/") "/" else u.getPath.stripSuffix("/"))
+    "ckpt-" + java.util.UUID.nameUUIDFromBytes(canonical.getBytes("UTF-8")).toString
+  }
+}
+
 /** Per-micro-batch streaming sink: produce unless `(topic, sinkId)` already
   * committed this batch id (exactly-once across checkpoint replays, see
   * [[GraftSink]]). */
@@ -116,12 +131,8 @@ final class GraftStreamSink(warehouse: String, topic: String, sinkId: String)
 }
 
 object GraftTopicTable {
-  /** The canonical event schema (SURVEY §1.3). */
-  val EventSchema: StructType = StructType(Seq(
-    StructField("partition", IntegerType, nullable = false),
-    StructField("event_id", LongType, nullable = false),
-    StructField("metadata", StringType),
-    StructField("data", BinaryType)))
+  /** The canonical event schema (single definition: [[Catalog.EventSchema]]). */
+  val EventSchema: StructType = Catalog.EventSchema
 }
 
 final class GraftTopicTable(

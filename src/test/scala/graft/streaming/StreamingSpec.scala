@@ -370,19 +370,13 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Long]("hi") == r.getAs[Long]("n") - 1)
     }
 
-    // sinkId normalization: a differently-spelled path for the SAME
-    // checkpoint lineage must hit the same idempotence marker
-    val qAlt = spark.readStream.format("graft")
-      .option("warehouse", wh).option("topic", "stream_topic")
-      .load()
-      .select(col("metadata"))
-      .writeStream.format("graft")
-      .option("warehouse", whB).option("topic", "fmt_topic")
-      .option("checkpointLocation", "file:" + ckpt + "/") // spelled differently
-      .trigger(Trigger.AvailableNow())
-      .start()
-    qAlt.awaitTermination(60000)
-    assert(sink.events().count() == 40) // still no duplicates
+    // sinkId normalization: every spelling of one checkpoint lineage must
+    // map to ONE idempotence marker (else a respelled crash-restart
+    // re-produces the replayed batch)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val canonical = GraftTopicProvider.checkpointSinkId(ckpt, conf)
+    assert(GraftTopicProvider.checkpointSinkId("file:" + ckpt, conf) == canonical)
+    assert(GraftTopicProvider.checkpointSinkId(ckpt + "/", conf) == canonical)
 
     // non-append output modes are rejected up front
     val err = intercept[Exception] {
