@@ -148,6 +148,35 @@ object EnginePack extends QueryPack {
           countDistinct(col("event_id")).as("n_distinct"))
         .orderBy(col("partition"))
     },
+    "q_compact" -> { (s, dir) =>
+      // log maintenance: many small produces, then compact — every event
+      // and id must survive the rewrite, in fewer files
+      val d = tempDriver(s)
+      d.createTopic("compact_demo", partitions = 4)
+      val topic = d.openTopic("compact_demo")
+      val src = sourceByEid(s, dir)
+      // 4 separate produces, each hitting EVERY partition (split on an axis
+      // orthogonal to the eid%4 partition assignment) → ≥4 chunk files per
+      // partition before compaction
+      (0 until 4).foreach { b =>
+        val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+        topic.producer().produce(src.filter(pmod(eid.divide(4).cast("long"), lit(4)) === b))
+      }
+      val partDir = new org.apache.hadoop.fs.Path(
+        d.catalog.logPath("compact_demo"), "partition=0")
+      val fs = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def nFiles = fs.listStatus(partDir).count(_.getPath.getName.endsWith(".parquet"))
+      val before = nFiles
+      topic.compact()
+      val collapsed = before > 1 && nFiles == 1
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .withColumn("collapsed", lit(collapsed))
+        .orderBy(col("partition"))
+    },
     "q_multi_topic" -> { (s, dir) =>
       // multi-topic subscribe: union of two topic logs with a `topic` tag
       val d = tempDriver(s)
@@ -227,6 +256,13 @@ object EnginePack extends QueryPack {
     "q_recovery" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // compaction preserves the id space exactly (dense per partition) and
+    // provably collapsed the chunk files
+    "q_compact" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
+        | true AS collapsed
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // per-topic counts equal the parity split of the source table
     "q_multi_topic" ->
