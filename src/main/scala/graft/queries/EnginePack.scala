@@ -155,12 +155,12 @@ object EnginePack extends QueryPack {
       d.createTopic("compact_demo", partitions = 4)
       val topic = d.openTopic("compact_demo")
       val src = sourceByEid(s, dir)
-      // 4 separate produces, each hitting EVERY partition (split on an axis
-      // orthogonal to the eid%4 partition assignment) → ≥4 chunk files per
+      // 2 separate produces, each hitting EVERY partition (split on an axis
+      // orthogonal to the eid%4 partition assignment) → ≥2 chunk files per
       // partition before compaction
-      (0 until 4).foreach { b =>
+      (0 until 2).foreach { b =>
         val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-        topic.producer().produce(src.filter(pmod(eid.divide(4).cast("long"), lit(4)) === b))
+        topic.producer().produce(src.filter(pmod(eid.divide(4).cast("long"), lit(2)) === b))
       }
       val partDir = new org.apache.hadoop.fs.Path(
         d.catalog.logPath("compact_demo"), "partition=0")
