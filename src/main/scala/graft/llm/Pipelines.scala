@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Composed training-data pipelines: the individual operators (quality gate,
+ * exact dedup, near-dup removal) chained the way a real corpus-cleaning job
+ * runs them. Kept as library code — the composition order and the survivor
+ * rules ARE semantics (e.g. near-dup pairs are computed among exact-dedup
+ * survivors, not raw documents), so they belong behind one tested surface.
+ */
+object Pipelines {
+
+  /**
+   * The canonical cleaning pass:
+   *
+   *  1. rule-based quality gate ([[TextFunctions.qualityFlag]]);
+   *  2. exact dedup — one survivor (min id) per content hash, via a
+   *     window over the hash (ONE shuffle, no groupBy+join-back);
+   *  3. near-dup removal — MinHash-LSH candidates verified by exact
+   *     Jaccard ([[Dedup.nearDuplicates]]); of every verified pair the
+   *     higher id drops, i.e. a document survives iff it has no
+   *     smaller-id near-duplicate among the step-2 survivors.
+   *
+   * Scale shape: one window shuffle (step 2), the LSH banded self-join
+   * (step 3, no all-pairs), and a left-anti join against the (small)
+   * dropped-id set. Nothing quadratic, nothing collected.
+   *
+   * @return the surviving rows of `docs`, original columns preserved
+   */
+  def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  nearDupThreshold: Double = 0.9,
+                  bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val text: Column = col(textCol)
+    val quality = docs.filter(TextFunctions.qualityFlag(text))
+    val uniq = quality
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(text)).orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val dropped = Dedup.nearDuplicates(uniq, idCol, textCol,
+      bands = bands, rowsPerBand = rowsPerBand, threshold = nearDupThreshold)
+      .select(col("doc_b").as(idCol))
+      .distinct()
+    uniq.join(dropped, Seq(idCol), "left_anti")
+  }
+}

@@ -66,6 +66,16 @@ object TextPack extends QueryPack {
         TF.rollingFingerprint(col("text")).as("roll_fp"))
         .orderBy(col("doc_id"))
     },
+    "q_pipeline_clean" -> { (s, dir) =>
+      // the composed cleaning pass: quality gate → exact dedup → verified
+      // near-dup removal; the oracle independently re-derives the survivor
+      // set (including the all-pairs Jaccard step), so the whole chain —
+      // not just each operator — is graded
+      graft.llm.Pipelines.cleanCorpus(t(s, dir, "documents"),
+        nearDupThreshold = 0.9)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .select(col("keep_id"), col("n_copies"))
@@ -192,6 +202,36 @@ object TextPack extends QueryPack {
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         | substr(md5(lower(trim(text))), 1, 8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pipeline_clean" -> {
+      val stopList = TF.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString(",")
+      val mtl = s"CAST(round(CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 1.0 / len($W) * 1000000) AS BIGINT)"
+      val ttr = s"CAST(round(len(list_distinct($W)) * 1.0 / len($W) * 1000000) AS BIGINT)"
+      val stop = s"CAST(round(len(list_filter($W, x -> x IN ($stopList))) * 1.0 / len($W) * 1000000) AS BIGINT)"
+      s"""WITH q AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len($W) BETWEEN 10 AND 100000
+         |    AND $mtl BETWEEN 2000000 AND 12000000
+         |    AND $ttr >= 100000
+         |    AND $stop >= 10000),
+         |u AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |uq AS (SELECT q.doc_id, q.text FROM q JOIN u USING (doc_id)),
+         |dw AS (SELECT doc_id, $W AS w FROM uq),
+         |shg AS (SELECT DISTINCT doc_id,
+         |         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |                ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] END) AS s
+         |        FROM dw),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT db AS doc_id
+         |            FROM inter JOIN cnt ca ON ca.doc_id = da
+         |                       JOIN cnt cb ON cb.doc_id = db
+         |            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9)
+         |SELECT doc_id FROM uq
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin
+    },
     // 16-byte frames, every 2nd sampled: all sampled frames are full except
     // possibly the last frame (index nf-1), included only when nf-1 is even
     "q_media_frames" ->

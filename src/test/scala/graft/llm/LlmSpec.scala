@@ -171,6 +171,21 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L), (10L, 11L)))
   }
 
+  test("cleanCorpus: quality gate, exact dedup, and near-dup removal compose") {
+    import session.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then it runs far away home"
+    val corpus = Seq(
+      (0L, base),                                // survives
+      (1L, base),                                // exact dup of 0 → dropped
+      (2L, base.replace("home", "tonight")),     // near dup of 0 → dropped
+      (3L, "a b"),                               // fails quality gate
+      (4L, "it is a completely different story full of the other words and nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val survivors = Pipelines.cleanCorpus(corpus, nearDupThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors == Seq(0L, 4L))
+  }
+
   test("multimodal decode: batch plumbing with stubbed decoder") {
     import session.implicits._
     val media = Seq(
