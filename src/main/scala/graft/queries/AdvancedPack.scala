@@ -87,6 +87,22 @@ object AdvancedPack extends QueryPack {
           array_join(slice($"w", 1, 2), "|").as("first2"))
         .orderBy($"p_partkey")
     },
+    "q_scalar_map" -> { (s, dir) =>
+      import s.implicits._
+      // MapType surface: JSON → map<string,string>, key lookup, key set,
+      // cardinality (the oracle derives the same values from the raw JSON)
+      t(s, dir, "events").filter($"event_id" < 1000)
+        .select($"event_id",
+          from_json($"props",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)).as("m"))
+        .select($"event_id",
+          element_at($"m", "k").cast("long").as("k_val"),
+          size($"m").cast("long").as("n_keys"),
+          array_join(map_keys($"m"), ",").as("keys"))
+        .orderBy($"event_id")
+    },
     "q_agg_salted" -> { (s, dir) =>
       import s.implicits._
       // 100k events funneling into 5 keys: salting keeps the partial
@@ -167,6 +183,12 @@ object AdvancedPack extends QueryPack {
         |  (string_split(p_name, ' '))[-1] AS last_w,
         |  array_to_string((string_split(p_name, ' '))[1:2], '|') AS first2
         |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin,
+    "q_scalar_map" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        | array_to_string(json_keys(props), ',') AS keys
+        |FROM events WHERE event_id < 1000 ORDER BY event_id""".stripMargin,
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, CAST(round(sum(value)*100) AS BIGINT) AS sum_v_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -53,6 +53,20 @@ object Relational extends QueryPack {
           count(lit(1)).as("n"))
         .orderBy($"s_nationkey")
     },
+    "q_agg_percentile" -> { (s, dir) =>
+      import s.implicits._
+      // EXACT percentiles (distribution aggregates beyond the HLL sketch):
+      // both engines interpolate linearly; compared as rounded cents, where
+      // the algebraic a+(b-a)f vs (1-f)a+fb ulp difference cannot flip
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          cents(percentile($"l_extendedprice", lit(0.5))).as("p50_c"),
+          cents(percentile($"l_extendedprice", lit(0.95))).as("p95_c"),
+          cents(min($"l_extendedprice")).as("min_c"),
+          cents(max($"l_extendedprice")).as("max_c"))
+        .orderBy($"l_returnflag")
+    },
     "q_agg_rollup" -> { (s, dir) =>
       import s.implicits._
       t(s, dir, "lineitem")
@@ -273,6 +287,13 @@ object Relational extends QueryPack {
     "q_agg_minmax" ->
       """SELECT s_nationkey, min(s_acctbal) AS min_bal, max(s_acctbal) AS max_bal, count(*) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        | CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_c,
+        | CAST(round(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS p95_c,
+        | CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS min_c,
+        | CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS max_c
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, GROUPING(l_returnflag, l_linestatus) AS gid,
         | count(*) AS cnt, CAST(round(sum(l_quantity)*100) AS BIGINT) AS qty_c
