@@ -28,12 +28,18 @@ object Pipelines {
    * (step 3, no all-pairs), and a left-anti join against the (small)
    * dropped-id set. Nothing quadratic, nothing collected.
    *
+   * @param cache persist the LSH intermediates (forwarded to
+   *        [[Dedup.nearDuplicates]]). Leave true for one-shot jobs; pass
+   *        false when sweeping many corpora in one session, or the pinned
+   *        shingle/signature relations accumulate until executor memory
+   *        pressure (see the nearDuplicates scaladoc).
    * @return the surviving rows of `docs`, original columns preserved
    */
   def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text",
                   nearDupThreshold: Double = 0.9,
-                  bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                  bands: Int = 16, rowsPerBand: Int = 4,
+                  cache: Boolean = true): DataFrame = {
     val text: Column = col(textCol)
     val quality = docs.filter(TextFunctions.qualityFlag(text))
     val uniq = quality
@@ -42,7 +48,8 @@ object Pipelines {
       .filter(col("__rn") === 1)
       .drop("__rn")
     val dropped = Dedup.nearDuplicates(uniq, idCol, textCol,
-      bands = bands, rowsPerBand = rowsPerBand, threshold = nearDupThreshold)
+      bands = bands, rowsPerBand = rowsPerBand, threshold = nearDupThreshold,
+      cache = cache)
       .select(col("doc_b").as(idCol))
       .distinct()
     uniq.join(dropped, Seq(idCol), "left_anti")

@@ -162,13 +162,17 @@ object EnginePack extends QueryPack {
         val eid = get_json_object(col("metadata"), "$.eid").cast("long")
         topic.producer().produce(src.filter(pmod(eid.divide(4).cast("long"), lit(2)) === b))
       }
-      val partDir = new org.apache.hadoop.fs.Path(
-        d.catalog.logPath("compact_demo"), "partition=0")
-      val fs = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      def nFiles = fs.listStatus(partDir).count(_.getPath.getName.endsWith(".parquet"))
-      val before = nFiles
+      val logDir = new org.apache.hadoop.fs.Path(d.catalog.logPath("compact_demo"))
+      val fs = logDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // chunk-file count per partition dir — EVERY partition must collapse,
+      // not just partition 0
+      def filesPerPartition: Seq[Int] = (0 until 4).map { p =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(logDir, s"partition=$p"))
+          .count(_.getPath.getName.endsWith(".parquet"))
+      }
+      val before = filesPerPartition
       topic.compact()
-      val collapsed = before > 1 && nFiles == 1
+      val collapsed = before.forall(_ > 1) && filesPerPartition.forall(_ == 1)
       topic.events()
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),

@@ -55,14 +55,18 @@ object Relational extends QueryPack {
     },
     "q_agg_percentile" -> { (s, dir) =>
       import s.implicits._
-      // EXACT percentiles (distribution aggregates beyond the HLL sketch):
-      // both engines interpolate linearly; compared as rounded cents, where
-      // the algebraic a+(b-a)f vs (1-f)a+fb ulp difference cannot flip
+      // EXACT percentiles (distribution aggregates beyond the HLL sketch).
+      // Compared at 1e4 scale, NOT cents: prices have 2 decimals and the
+      // interpolation fraction has ≤2 (p∈{.5,.95} over integer n-1), so the
+      // exact percentile×1e4 is integral — a rounding boundary can never sit
+      // within ulp of the value, making the cross-engine compare categorical
+      // rather than fixture-lucky (cents would tie at half-cent midpoints).
+      def tc(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          cents(percentile($"l_extendedprice", lit(0.5))).as("p50_c"),
-          cents(percentile($"l_extendedprice", lit(0.95))).as("p95_c"),
+          tc(percentile($"l_extendedprice", lit(0.5))).as("p50_tc"),
+          tc(percentile($"l_extendedprice", lit(0.95))).as("p95_tc"),
           cents(min($"l_extendedprice")).as("min_c"),
           cents(max($"l_extendedprice")).as("max_c"))
         .orderBy($"l_returnflag")
@@ -289,8 +293,8 @@ object Relational extends QueryPack {
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
-        | CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_c,
-        | CAST(round(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS p95_c,
+        | CAST(round(quantile_cont(l_extendedprice, 0.5) * 10000) AS BIGINT) AS p50_tc,
+        | CAST(round(quantile_cont(l_extendedprice, 0.95) * 10000) AS BIGINT) AS p95_tc,
         | CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS min_c,
         | CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS max_c
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -70,9 +70,15 @@ object TextPack extends QueryPack {
       // the composed cleaning pass: quality gate → exact dedup → verified
       // near-dup removal; the oracle independently re-derives the survivor
       // set (including the all-pairs Jaccard step), so the whole chain —
-      // not just each operator — is graded
-      graft.llm.Pipelines.cleanCorpus(t(s, dir, "documents"),
-        nearDupThreshold = 0.9)
+      // not just each operator — is graded. The corpus has no duplicate
+      // texts at the graded scale factors, so copies of the first 25 docs
+      // are synthesized under high ids (mirrored in the oracle): a broken
+      // exact-dedup stage leaks them and fails the row count.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.llm.Pipelines.cleanCorpus(corpus, nearDupThreshold = 0.9)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
@@ -142,6 +148,38 @@ object TextPack extends QueryPack {
   // and RE2 \s disagree on \x0B, an explicit class cannot
   private val W = s"string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
 
+  // SQL mirrors of the TF quality signals — single definitions shared by
+  // every oracle that states the quality gate, so the gate cannot drift
+  // between oracles when TF.qualityFlag's formula or defaults change
+  private val stopListSql = TF.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString(",")
+  private val mtlSql =
+    s"CAST(round(CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 1.0 / len($W) * 1000000) AS BIGINT)"
+  private val ttrSql =
+    s"CAST(round(len(list_distinct($W)) * 1.0 / len($W) * 1000000) AS BIGINT)"
+  private val stopSql =
+    s"CAST(round(len(list_filter($W, x -> x IN ($stopListSql))) * 1.0 / len($W) * 1000000) AS BIGINT)"
+  /** WHERE body of TF.qualityFlag with its default thresholds. */
+  private val qualityCond =
+    s"""len($W) BETWEEN 10 AND 100000
+       |    AND $mtlSql BETWEEN 2000000 AND 12000000
+       |    AND $ttrSql >= 100000
+       |    AND $stopSql >= 10000""".stripMargin
+
+  /** 3-gram-shingle exact-Jaccard CTE chain over `rel`(doc_id, text):
+    * produces `shg` (distinct shingles), `cnt`, and `inter` (pair
+    * intersections, doc_a < doc_b) — shared by the minhash-recall oracle
+    * and the pipeline oracle so the shingle semantics stay in lockstep. */
+  private def jaccardCtes(rel: String): String =
+    s"""dw AS (SELECT doc_id, $W AS w FROM $rel),
+       |shg AS (SELECT DISTINCT doc_id,
+       |         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |                ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] END) AS s
+       |        FROM dw),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB mirror of the 63-bit simhash as a doc_id→simhash CTE body. */
   private def simhashCte: String = {
     val votes = (0 until Dedup.SimHashBits).map { i =>
@@ -181,57 +219,38 @@ object TextPack extends QueryPack {
          |ORDER BY doc_id""".stripMargin
     },
     "q_text_quality" -> {
-      val stopList = TF.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString(",")
-      val mtl = s"CAST(round(CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 1.0 / len($W) * 1000000) AS BIGINT)"
-      val ttr = s"CAST(round(len(list_distinct($W)) * 1.0 / len($W) * 1000000) AS BIGINT)"
-      val stop = s"CAST(round(len(list_filter($W, x -> x IN ($stopList))) * 1.0 / len($W) * 1000000) AS BIGINT)"
       val punct = "CAST(round((length(trim(text)) - length(regexp_replace(trim(text), '[[:punct:]]', '', 'g'))) * 1.0 / length(trim(text)) * 1000000) AS BIGINT)"
       s"""SELECT doc_id,
          | len($W) AS n_tokens,
-         | $mtl AS mtl_micro,
-         | $ttr AS ttr_micro,
-         | $stop AS stop_micro,
+         | $mtlSql AS mtl_micro,
+         | $ttrSql AS ttr_micro,
+         | $stopSql AS stop_micro,
          | $punct AS punct_micro,
-         | (len($W) BETWEEN 10 AND 100000
-         |  AND $mtl BETWEEN 2000000 AND 12000000
-         |  AND $ttr >= 100000
-         |  AND $stop >= 10000) AS quality
+         | ($qualityCond) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         | substr(md5(lower(trim(text))), 1, 8) AS fp8
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_pipeline_clean" -> {
-      val stopList = TF.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString(",")
-      val mtl = s"CAST(round(CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 1.0 / len($W) * 1000000) AS BIGINT)"
-      val ttr = s"CAST(round(len(list_distinct($W)) * 1.0 / len($W) * 1000000) AS BIGINT)"
-      val stop = s"CAST(round(len(list_filter($W, x -> x IN ($stopList))) * 1.0 / len($W) * 1000000) AS BIGINT)"
-      s"""WITH q AS (
+    "q_pipeline_clean" ->
+      s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
-         |  WHERE len($W) BETWEEN 10 AND 100000
-         |    AND $mtl BETWEEN 2000000 AND 12000000
-         |    AND $ttr >= 100000
-         |    AND $stop >= 10000),
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+         |q AS (
+         |  SELECT doc_id, text FROM corpus
+         |  WHERE $qualityCond),
          |u AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
          |uq AS (SELECT q.doc_id, q.text FROM q JOIN u USING (doc_id)),
-         |dw AS (SELECT doc_id, $W AS w FROM uq),
-         |shg AS (SELECT DISTINCT doc_id,
-         |         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |                ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] END) AS s
-         |        FROM dw),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-         |          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2),
+         |${jaccardCtes("uq")},
          |dropped AS (SELECT DISTINCT db AS doc_id
          |            FROM inter JOIN cnt ca ON ca.doc_id = da
          |                       JOIN cnt cb ON cb.doc_id = db
          |            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9)
          |SELECT doc_id FROM uq
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
     // 16-byte frames, every 2nd sampled: all sampled frames are full except
     // possibly the last frame (index nf-1), included only when nf-1 is even
     "q_media_frames" ->
@@ -258,15 +277,7 @@ object TextPack extends QueryPack {
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     // EXACT all-pairs jaccard — independent of the LSH implementation
     "q_dedup_minhash" ->
-      s"""WITH docs AS (SELECT doc_id, $W AS w FROM documents),
-         |shg AS (SELECT DISTINCT doc_id,
-         |         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-         |                ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] END) AS s
-         |        FROM docs),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-         |          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
-         |          GROUP BY 1, 2)
+      s"""WITH ${jaccardCtes("documents")}
          |SELECT da AS doc_a, db AS doc_b,
          |  CAST(round((i * 1.0 / (ca.n + cb.n - i)) * 1000000) AS BIGINT) AS jac_micro
          |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
