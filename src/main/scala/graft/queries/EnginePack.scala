@@ -148,6 +148,78 @@ object EnginePack extends QueryPack {
           countDistinct(col("event_id")).as("n_distinct"))
         .orderBy(col("partition"))
     },
+    "q_producer_batched" -> { (s, dir) =>
+      // S1-S3 through the oracle: the buffered push() surface with a fixed
+      // client batch (auto-flush on full buffer) + a final explicit flush;
+      // ids must come out dense in push order, and every pending future
+      // must resolve to its id
+      val d = tempDriver(s)
+      d.createTopic("push_demo", partitions = 2)
+      val topic = d.openTopic("push_demo")
+      val producer = topic.producer(batchSize = Some(256))
+      val rows = t(s, dir, "events")
+        .filter(get_json_object(col("props"), "$.k").cast("long") < 2)
+        .orderBy(col("event_id"))
+        .select(col("props"), pmod(col("event_id"), lit(2)).cast("int").as("p"))
+        .collect()
+      val pending = rows.map(r => producer.push(r.getString(0), partition = Some(r.getInt(1))))
+      producer.flush()
+      val resolved = pending.forall(_.isCompleted)
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .withColumn("futures_resolved", lit(resolved))
+        .orderBy(col("partition"))
+    },
+    "q_add_partition" -> { (s, dir) =>
+      // C5 through the oracle: grow a 2-partition topic to 3, route new
+      // events to the new partition, id spaces stay independent and dense
+      val d = tempDriver(s)
+      d.createTopic("grow_demo", partitions = 2)
+      val topic = d.openTopic("grow_demo")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = sourceByEid(s, dir)
+        .withColumn("partition", pmod(eid, lit(2)).cast("int"))
+      topic.producer().produce(src)
+      val grown = d.addPartition("grow_demo")
+      // re-open so the producer sees 3 partitions; explicit requests to 2
+      d.openTopic("grow_demo").producer().produce(
+        src.filter(pmod(eid, lit(4)) === 1).withColumn("partition", lit(2)))
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .withColumn("n_partitions", lit(grown))
+        .orderBy(col("partition"))
+    },
+    "q_config_checks" -> { (s, dir) =>
+      // F6/C1/C2 error contracts as oracle-visible booleans: duplicate
+      // create rejected, unknown topic rejected, invalid names rejected,
+      // the valid topic still opens — plus a row count proving the engine
+      // stayed usable after every rejection
+      val d = tempDriver(s)
+      d.createTopic("cfg_demo", partitions = 2)
+      def rejects(f: => Unit): Boolean =
+        try { f; false } catch { case _: Exception => true }
+      val dupRejected = rejects(d.createTopic("cfg_demo"))
+      val missingRejected = rejects(d.openTopic("no_such_topic"))
+      val badNameRejected = rejects(d.createTopic("a/b")) &&
+        rejects(d.createTopic("x" * 300))
+      val badSelectorRejected = rejects(
+        PartitionSelector.fromDescriptor(org.json4s.JObject(
+          "type" -> org.json4s.JString("no_such_selector"))))
+      val topic = d.openTopic("cfg_demo")
+      topic.producer().produce(
+        t(s, dir, "events").limit(0).select(col("props").as("metadata")))
+      import s.implicits._
+      Seq((dupRejected, missingRejected, badNameRejected, badSelectorRejected,
+        d.listTopics() == Seq("cfg_demo"), d.topicExists("cfg_demo"),
+        !d.topicExists("no_such_topic")))
+        .toDF("dup_rejected", "missing_rejected", "bad_name_rejected",
+          "bad_selector_rejected", "list_ok", "exists_ok", "not_exists_ok")
+    },
     "q_compact" -> { (s, dir) =>
       // log maintenance: many small produces, then compact — every event
       // and id must survive the rewrite, in fewer files
@@ -261,6 +333,29 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // buffered push with auto-flush: same dense-id contract as batch produce
+    "q_producer_batched" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
+        | true AS futures_resolved
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 2
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // partition growth: old id spaces untouched, the new partition starts at 0
+    "q_add_partition" ->
+      """WITH base AS (
+        |  SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT 2, count(*) FROM events WHERE event_id % 4 = 1)
+        |SELECT partition, cnt, CAST(0 AS BIGINT) AS min_id, cnt - 1 AS max_id,
+        |  3 AS n_partitions
+        |FROM base ORDER BY partition""".stripMargin,
+    // DDL/config error contracts: every rejection fired AND the engine
+    // stayed usable afterwards
+    "q_config_checks" ->
+      """SELECT true AS dup_rejected, true AS missing_rejected,
+        | true AS bad_name_rejected, true AS bad_selector_rejected,
+        | true AS list_ok, true AS exists_ok, true AS not_exists_ok""".stripMargin,
     // compaction preserves the id space exactly (dense per partition) and
     // provably collapsed the chunk files
     "q_compact" ->
