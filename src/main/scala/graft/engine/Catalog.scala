@@ -54,6 +54,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       throw new IllegalArgumentException(
         s"Invalid topic name '$name': only [A-Za-z0-9_.-] allowed")
     require(config.partitions > 0, "Topic needs at least one partition")
+    // F6/Z1: the whole plugin triple must compile from its descriptors —
+    // unknown types are DDL-time errors, not produce-time surprises
+    // (`MofkaDriver.cpp:390-395` rejects unknown plugins the same way)
+    Validator.fromDescriptor(config.validator)
+    PartitionSelector.fromDescriptor(config.selector)
+    Serializer.fromDescriptor(config.serializer)
     if (topicExists(name))
       throw new IllegalStateException("Topic already exists")
     fs.mkdirs(topicPath(name))

@@ -101,6 +101,7 @@ final class Consumer(
     batchSize: Option[Int] = None) {
 
   private val topic = config.name
+  private val serializer = Serializer.fromDescriptor(config.serializer)
   private val targetList: Seq[Int] =
     if (targets.nonEmpty) targets.map(p => math.floorMod(p, config.partitions)).distinct.sorted
     else 0 until config.partitions
@@ -137,9 +138,18 @@ final class Consumer(
       if (floor.isEmpty || floor.values.forall(_ == 0L)) base
       else base.filter(col("event_id") >=
         coalesce(element_at(typedLit(floor), col("partition")), lit(0L)))
+    // Z1: decode the stored form back to logical metadata BEFORE the data
+    // selector runs — predicates always see JSON text regardless of the
+    // topic's serializer. Json is identity, so default topics keep metadata
+    // pushdown untouched.
+    val decoded = serializer match {
+      case Serializer.Json => cursored
+      case ser => cursored.withColumn("metadata",
+        ser.deserialize(col("metadata")).cast(StringType))
+    }
     val withData = selector match {
-      case None => cursored
-      case Some(sel) => cursored.withColumn("data",
+      case None => decoded
+      case Some(sel) => decoded.withColumn("data",
         sel.dataColumn(col("metadata"), col("data")))
     }
     withData.select(col("partition"), col("event_id"), col("metadata"), col("data"))

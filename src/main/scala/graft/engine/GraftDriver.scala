@@ -1,7 +1,6 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.json4s._
 
 /**
  * The engine's driver/DDL facade — the Spark-native counterpart of
@@ -20,10 +19,11 @@ final class GraftDriver(val spark: SparkSession, val warehouse: String) {
       name: String,
       partitions: Int = 1,
       validator: Validator = Validator.Default,
-      selector: PartitionSelector = PartitionSelector.RoundRobin): Unit =
+      selector: PartitionSelector = PartitionSelector.RoundRobin,
+      serializer: Serializer = Serializer.Json): Unit =
     catalog.createTopic(TopicConfig(name, partitions,
       validator.descriptor, selector.descriptor,
-      TopicConfig.DefaultSerializer, completed = false))
+      serializer.descriptor, completed = false))
 
   /** C2 `openTopic` — throws "not found" for missing topics. */
   def openTopic(name: String): TopicHandle =

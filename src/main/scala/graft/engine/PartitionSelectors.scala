@@ -75,13 +75,36 @@ object PartitionSelector {
 
   /** X2 variant: partition = integer metadata field modulo n — for workloads
     * that carry their own shard key (unlike [[MetadataHash]], reproducible
-    * in plain SQL, so oracle-checkable end-to-end). */
+    * in plain SQL, so oracle-checkable end-to-end).
+    *
+    * Failure semantics are UNIFORM across both API surfaces: a missing or
+    * non-numeric field yields a null key (`try_cast`, ANSI-independent), and
+    * the null assignment falls back to round-robin — in `produce()` via the
+    * Producer's coalesce, in `push()` via [[keyFor]] returning None. Keep
+    * `assign` and `keyFor` paired (same extraction, same cast family).
+    */
   final case class FieldMod(fieldPath: String) extends PartitionSelector {
     override def assign(metadata: Column, requested: Column, n: Int): Column = {
-      val key = get_json_object(metadata, fieldPath).cast("long")
+      val key = get_json_object(metadata, fieldPath).try_cast("long")
       when(requested.isNotNull, pmod(requested.cast("int"), lit(n)))
         .otherwise(pmod(key, lit(n)).cast("int"))
     }
+
+    /** Eager twin of `assign`'s no-request branch, through the SAME catalyst
+      * expressions (GetJsonObject + TRY-mode Cast): Some(key mod n) when the
+      * field parses, None when missing or malformed. */
+    def keyFor(metadataJson: String, n: Int): Option[Int] = {
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, GetJsonObject, Literal}
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val key = GetJsonObject(
+        Literal.create(metadataJson, StringType),
+        Literal.create(fieldPath, StringType)).eval(InternalRow.empty)
+      val v = Cast(Literal.create(key, StringType), LongType, None, EvalMode.TRY)
+        .eval(InternalRow.empty)
+      Option(v).map(l => math.floorMod(l.asInstanceOf[Long], n.toLong).toInt)
+    }
+
     override def descriptor: JObject = JObject(
       "type" -> JString("metadata_field_mod"), "field" -> JString(fieldPath))
   }

@@ -43,6 +43,7 @@ final class Producer(
 
   private val validator = Validator.fromDescriptor(config.validator)
   private val selector = PartitionSelector.fromDescriptor(config.selector)
+  private val serializer = Serializer.fromDescriptor(config.serializer)
   private val n = config.partitions
 
   /** Per-partition (firstId, count) ranges assigned by a produce call. */
@@ -107,7 +108,8 @@ final class Producer(
         .withColumn("event_id",
           element_at(baseMap, col("__p")) + row_number().over(w) - 1)
         .select(col("__p").as("partition"), col("event_id"),
-          col("metadata").cast(StringType), col("data").cast(BinaryType))
+          serializer.serialize(col("metadata")).cast(StringType).as("metadata"),
+          col("data").cast(BinaryType))
 
       events.write
         .mode("append")
@@ -153,9 +155,13 @@ final class Producer(
           // same partition as produce()'s distributed assign — co-location
           // holds across both API surfaces
           mh.partitionFor(metadata, n)
-        case PartitionSelector.FieldMod(path) =>
-          math.floorMod(fieldText(metadata, path).trim.stripPrefix("\"")
-            .stripSuffix("\"").toLong, n.toLong).toInt
+        case fm: PartitionSelector.FieldMod =>
+          // same catalyst extraction+cast as produce()'s distributed path;
+          // missing/malformed key → the SAME round-robin fallback produce()
+          // applies to null assignments
+          fm.keyFor(metadata, n).getOrElse {
+            val p = (rrCounter % n).toInt; rrCounter += 1; p
+          }
         case _ =>
           val p = (rrCounter % n).toInt; rrCounter += 1; p
       }
@@ -187,10 +193,4 @@ final class Producer(
     perPartitionSeq.clear()
   }
 
-  private def fieldText(metadataJson: String, path: String): String = {
-    import org.json4s._
-    val keys = path.stripPrefix("$.").split('.')
-    val v = keys.foldLeft(org.json4s.jackson.JsonMethods.parse(metadataJson): JValue)(_ \ _)
-    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v))
-  }
 }

@@ -117,12 +117,18 @@ object AdvancedPack extends QueryPack {
     },
     "q_agg_approx_distinct" -> { (s, dir) =>
       import s.implicits._
-      // rows-only: HLL++ estimates have no cross-engine oracle; LlmSpec-style
-      // accuracy bound asserted in RelationalSpec instead.
+      // HLL++ estimates are engine-specific, so the oracle states the
+      // CONTRACT: the exact distinct count plus a Spark-computed boolean
+      // asserting the sketch landed within 5% of it (rsd=1% guarantees far
+      // tighter). DuckDB independently recomputes exact_cust and expects
+      // within_5pct = true for every group.
       t(s, dir, "orders")
         .groupBy($"o_orderstatus")
-        .agg(approx_count_distinct($"o_custkey").as("approx_cust"),
+        .agg(approx_count_distinct($"o_custkey", rsd = 0.01).as("approx_cust"),
           countDistinct($"o_custkey").as("exact_cust"))
+        .select($"o_orderstatus", $"exact_cust",
+          (abs($"approx_cust" - $"exact_cust") <= $"exact_cust" * 0.05)
+            .as("within_5pct"))
         .orderBy($"o_orderstatus")
     },
   )
@@ -192,7 +198,11 @@ object AdvancedPack extends QueryPack {
     "q_agg_salted" ->
       """SELECT event_type, count(*) AS n, CAST(round(sum(value)*100) AS BIGINT) AS sum_v_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q_agg_approx_distinct: intentionally no oracle (rows-only) — sketch
-    // estimates are engine-specific.
+    // q_agg_approx_distinct: the sketch value itself is engine-specific, so
+    // the oracle checks the contract — exact count + accuracy-bound boolean.
+    "q_agg_approx_distinct" ->
+      """SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        | true AS within_5pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -197,6 +197,33 @@ object EnginePack extends QueryPack {
         .withColumn("n_partitions", lit(grown))
         .orderBy(col("partition"))
     },
+    "q_serializer" -> { (s, dir) =>
+      // Z1: non-default serializer persisted in the catalog, rehydrated on
+      // open — stored form is base64 (opaque to a raw reader), while every
+      // engine surface (consumer view AND the DSv2 reader) decodes
+      // transparently back to the logical JSON metadata.
+      val d = tempDriver(s)
+      d.createTopic("ser_demo", partitions = 2, serializer = Serializer.Base64)
+      val topic = d.openTopic("ser_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      // raw log bypassing the engine: metadata must NOT be JSON text
+      val storedOpaque = s.read.parquet(d.catalog.logPath("ser_demo"))
+        .filter(col("metadata").startsWith("{")).count() == 0L
+      // DSv2 path decodes through the same rehydrated plugin
+      val dsv2 = s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "ser_demo").load()
+        .agg(count(lit(1)).as("n"),
+          count(get_json_object(col("metadata"), "$.eid")).as("n_decoded"))
+        .collect()(0)
+      val dsv2Decoded = dsv2.getLong(0) > 0 && dsv2.getLong(0) == dsv2.getLong(1)
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(get_json_object(col("metadata"), "$.eid").cast("long")).as("n_eids"))
+        .withColumn("stored_opaque", lit(storedOpaque))
+        .withColumn("dsv2_decoded", lit(dsv2Decoded))
+        .orderBy(col("partition"))
+    },
     "q_config_checks" -> { (s, dir) =>
       // F6/C1/C2 error contracts as oracle-visible booleans: duplicate
       // create rejected, unknown topic rejected, invalid names rejected,
@@ -213,15 +240,23 @@ object EnginePack extends QueryPack {
       val badSelectorRejected = rejects(
         PartitionSelector.fromDescriptor(org.json4s.JObject(
           "type" -> org.json4s.JString("no_such_selector"))))
+      // Z1: an unknown serializer type must be a DDL-time error too
+      val badSerializerRejected = rejects(
+        d.catalog.createTopic(TopicConfig("bad_ser", 1,
+          TopicConfig.DefaultValidator, TopicConfig.DefaultSelector,
+          org.json4s.JObject("type" -> org.json4s.JString("no_such_serializer")),
+          completed = false))) && !d.topicExists("bad_ser")
       val topic = d.openTopic("cfg_demo")
       topic.producer().produce(
         t(s, dir, "events").limit(0).select(col("props").as("metadata")))
       import s.implicits._
       Seq((dupRejected, missingRejected, badNameRejected, badSelectorRejected,
+        badSerializerRejected,
         d.listTopics() == Seq("cfg_demo"), d.topicExists("cfg_demo"),
         !d.topicExists("no_such_topic")))
         .toDF("dup_rejected", "missing_rejected", "bad_name_rejected",
-          "bad_selector_rejected", "list_ok", "exists_ok", "not_exists_ok")
+          "bad_selector_rejected", "bad_serializer_rejected",
+          "list_ok", "exists_ok", "not_exists_ok")
     },
     "q_compact" -> { (s, dir) =>
       // log maintenance: many small produces, then compact — every event
@@ -358,7 +393,15 @@ object EnginePack extends QueryPack {
     "q_config_checks" ->
       """SELECT true AS dup_rejected, true AS missing_rejected,
         | true AS bad_name_rejected, true AS bad_selector_rejected,
+        | true AS bad_serializer_rejected,
         | true AS list_ok, true AS exists_ok, true AS not_exists_ok""".stripMargin,
+    // base64-serialized topic: same per-partition contract as q_producer_ids
+    // (events decoded back losslessly), plus the stored-form/DSv2 booleans
+    "q_serializer" ->
+      """SELECT CAST(event_id % 4 % 2 AS INT) AS partition, count(*) AS cnt,
+        | count(DISTINCT event_id) AS n_eids,
+        | true AS stored_opaque, true AS dsv2_decoded
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // compaction preserves the id space exactly (dense per partition) and
     // provably collapsed the chunk files
     "q_compact" ->

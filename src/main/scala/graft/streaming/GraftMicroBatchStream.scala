@@ -36,7 +36,8 @@ object TopicOffset {
 final class GraftMicroBatchStream(
     catalog: Catalog, topic: String, consumer: Option[String],
     targets: Option[Set[Int]], requiredSchema: StructType,
-    maxEventsPerTrigger: Option[Long])
+    maxEventsPerTrigger: Option[Long],
+    serializerJson: String = """{"type":"json"}""")
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private var availableNowTarget: Option[TopicOffset] = None
@@ -119,7 +120,7 @@ final class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(requiredSchema, catalog.hadoopConf)
+    GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson)
 
   /** Offsets are checkpoint-managed by Spark; the engine-level acknowledge
     * cursor stays an explicit consumer API call (at-least-once contract). */

@@ -26,11 +26,13 @@ import org.apache.spark.sql.types._
  * cursor → IndexRecord range → targeted chunk reads).
  */
 final class GraftReaderFactory(
-    requiredSchema: StructType, confEntries: Array[(String, String)])
+    requiredSchema: StructType, confEntries: Array[(String, String)],
+    serializerJson: String)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
-      partition.asInstanceOf[GraftInputPartition], requiredSchema, confEntries)
+      partition.asInstanceOf[GraftInputPartition], requiredSchema, confEntries,
+      serializerJson)
 }
 
 object GraftReaderFactory {
@@ -38,17 +40,19 @@ object GraftReaderFactory {
     * executor-side readers see the same filesystem settings (s3a
     * credentials/endpoints, HDFS nameservices, …) as driver-side planning —
     * a bare `new Configuration()` would only load the defaults. */
-  def apply(requiredSchema: StructType, conf: Configuration): GraftReaderFactory = {
+  def apply(requiredSchema: StructType, conf: Configuration,
+            serializerJson: String = """{"type":"json"}"""): GraftReaderFactory = {
     val it = conf.iterator()
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (it.hasNext) { val e = it.next(); entries += e.getKey -> e.getValue }
-    new GraftReaderFactory(requiredSchema, entries.toArray)
+    new GraftReaderFactory(requiredSchema, entries.toArray, serializerJson)
   }
 }
 
 final class GraftPartitionReader(
     slice: GraftInputPartition, requiredSchema: StructType,
-    confEntries: Array[(String, String)])
+    confEntries: Array[(String, String)],
+    serializerJson: String = """{"type":"json"}""")
   extends PartitionReader[InternalRow] {
 
   /** Columns actually decoded from Parquet: the pruned schema minus the
@@ -93,6 +97,30 @@ final class GraftPartitionReader(
       if (f.name == "partition") readSchema.length else readSchema.fieldIndex(f.name)
     }.toIndexedSeq)
 
+  /** Z1: topics with a non-default serializer store metadata in its encoded
+    * form — decode it through the SAME rehydrated plugin the consumer view
+    * uses. Default-json topics keep the zero-copy projection path
+    * (`decodeOrdinal < 0` ⇒ no per-row allocation). */
+  private val serializer = graft.engine.Serializer.fromDescriptorJson(serializerJson)
+  private val decodeOrdinal: Int =
+    if (serializer == graft.engine.Serializer.Json) -1
+    else requiredSchema.fieldNames.indexOf("metadata")
+  private val decodedRow =
+    if (decodeOrdinal < 0) null else new GenericInternalRow(requiredSchema.length)
+
+  private def fillDecoded(): Unit = {
+    var i = 0
+    while (i < requiredSchema.length) {
+      decodedRow.update(i,
+        if (projection.isNullAt(i)) null
+        else projection.get(i, requiredSchema(i).dataType))
+      i += 1
+    }
+    if (!projection.isNullAt(decodeOrdinal))
+      decodedRow.update(decodeOrdinal,
+        serializer.decode(projection.getUTF8String(decodeOrdinal)))
+  }
+
   private val fileQueue = scala.collection.mutable.Queue(slice.files: _*)
   private var reader: VectorizedParquetRecordReader = _
 
@@ -104,6 +132,7 @@ final class GraftPartitionReader(
           val id = r.getLong(idOrdinal)
           if (id >= slice.fromId && id < slice.untilId) {
             projection.project(r)
+            if (decodeOrdinal >= 0) fillDecoded()
             return true
           }
         } else {
@@ -118,7 +147,8 @@ final class GraftPartitionReader(
     false
   }
 
-  override def get(): InternalRow = projection
+  override def get(): InternalRow =
+    if (decodeOrdinal >= 0) decodedRow else projection
 
   override def close(): Unit = if (reader != null) { reader.close(); reader = null }
 

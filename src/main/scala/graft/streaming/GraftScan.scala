@@ -85,6 +85,11 @@ final class GraftScan(
 
   override def readSchema(): StructType = requiredSchema
 
+  /** The topic's persisted serializer descriptor (compact JSON) — shipped to
+    * executor readers so they decode the stored metadata form (Z1). */
+  private val serializerJson = org.json4s.jackson.JsonMethods.compact(
+    org.json4s.jackson.JsonMethods.render(catalog.openTopic(topic).serializer))
+
   override def description(): String =
     s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
       s"targets=$targets, idRange=[${idLo.getOrElse(0L)}, ${idHi.getOrElse("∞")}))"
@@ -102,10 +107,10 @@ final class GraftScan(
         stats)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftReaderFactory(requiredSchema, catalog.hadoopConf)
+      GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(catalog, topic, consumer, targets, requiredSchema,
-      maxEventsPerTrigger)
+      maxEventsPerTrigger, serializerJson)
 }

@@ -69,6 +69,61 @@ class DriverSpec extends SparkSpec {
     assert(d.openTopic("cfg").config.completed)
   }
 
+  test("unknown serializer types are rejected at createTopic, topic not created") {
+    val d = freshDriver()
+    val bad = org.json4s.JObject(
+      "type" -> org.json4s.JString("no_such_serializer"))
+    val e = intercept[IllegalArgumentException] {
+      d.catalog.createTopic(TopicConfig("badser", 1,
+        TopicConfig.DefaultValidator, TopicConfig.DefaultSelector, bad,
+        completed = false))
+    }
+    assert(e.getMessage.contains("unknown serializer"))
+    assert(!d.topicExists("badser"))
+    // the factory itself rejects too (open-path guard)
+    intercept[IllegalArgumentException] { Serializer.fromDescriptor(bad) }
+  }
+
+  test("base64 serializer: descriptor round-trips; all read surfaces decode") {
+    import org.apache.spark.sql.functions._
+    val d = freshDriver()
+    d.createTopic("b64", partitions = 2, serializer = Serializer.Base64)
+    // rehydrate from persisted config alone (a fresh handle, not the builder)
+    val cfg = d.openTopic("b64").config
+    assert(Serializer.fromDescriptor(cfg.serializer) == Serializer.Base64)
+
+    val producer = d.openTopic("b64").producer()
+    (0 until 10).foreach(i => producer.push(s"""{"i":$i}""",
+      s"payload $i".getBytes("UTF-8")))
+    producer.flush()
+    d.openTopic("b64").markAsComplete()
+
+    // raw log: stored metadata is base64 text, not JSON
+    val raw = spark.read.parquet(d.catalog.logPath("b64"))
+      .select(col("metadata")).collect().map(_.getString(0))
+    assert(raw.forall(m => !m.startsWith("{")), raw.take(3).mkString(","))
+    assert(raw.forall(m =>
+      new String(java.util.Base64.getDecoder.decode(m), "UTF-8").startsWith("""{"i":""")))
+
+    // consumer view decodes
+    val viaEvents = d.openTopic("b64").events()
+      .select(get_json_object(col("metadata"), "$.i").cast("long")).collect()
+    assert(viaEvents.length == 10 && viaEvents.forall(!_.isNullAt(0)))
+
+    // pull() surface decodes (goes through eventsFrom)
+    val c = d.openTopic("b64").consumer("reader")
+    val Pull.Next(first) = c.pull(): @unchecked
+    assert(first.metadata.startsWith("""{"i":"""))
+    assert(new String(first.data, "UTF-8").startsWith("payload"))
+
+    // DSv2 reader decodes (batch scan, vectorized path + decode shim)
+    val viaDsv2 = spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "b64").load()
+      .select(get_json_object(col("metadata"), "$.i").cast("long").as("i"))
+      .collect().map(_.getLong(0)).sorted
+    assert(viaDsv2.toSeq == (0L until 10L))
+  }
+
   test("multi-topic events() unions logs with a topic tag") {
     import org.apache.spark.sql.functions._
     val d = freshDriver()

@@ -161,6 +161,37 @@ class ProducerConsumerSpec extends SparkSpec {
       spread.mkString(","))
   }
 
+  test("FieldMod routing is identical across push() and produce(), including failures") {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
+    d.createTopic("fieldmod", partitions = 4,
+      selector = PartitionSelector.FieldMod("$.k"))
+    val topic = d.openTopic("fieldmod")
+    // valid, missing, and malformed keys — the same mix through BOTH surfaces
+    val rows = Seq(
+      """{"k":7,"via":"a"}""", """{"k":10,"via":"a"}""", """{"k":-3,"via":"a"}""",
+      """{"x":1,"via":"a"}""",          // missing field
+      """{"k":"abc","via":"a"}""")     // non-numeric field
+    val producer = topic.producer()
+    rows.foreach(m => producer.push(m))  // must not throw on any row
+    producer.flush()
+    import spark.implicits._
+    topic.producer().produce(
+      rows.map(_.replace("\"a\"", "\"b\"")).toDF("metadata")) // must not throw
+    // valid keys: exactly one partition per key across both surfaces, and it
+    // is floorMod(k, 4)
+    val placed = topic.events()
+      .select(get_json_object(col("metadata"), "$.k").try_cast("long").as("k"),
+        col("partition"))
+      .filter(col("k").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(placed.length == 6)
+    placed.foreach { case (k, p) =>
+      assert(p == math.floorMod(k, 4L).toInt, s"key $k landed on $p")
+    }
+    // the fallback rows landed SOMEWHERE (round-robin), nothing was dropped
+    assert(topic.events().count() == 10)
+  }
+
   test("eventbridge validator rejects invalid events at produce time") {
     val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
     d.createTopic("validated",
