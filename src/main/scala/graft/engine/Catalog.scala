@@ -153,6 +153,90 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     known ++ recovered
   }
 
+  // -- chunk-file manifest (scale: O(new files) trigger planning) -----------
+
+  /**
+   * Per-partition chunk-file manifest — the engine's analog of the
+   * reference's chunk index (`DefaultPartitionManager.cpp:682-735`): every
+   * produce commit registers the files it appended together with their
+   * `event_id` footer ranges, so streaming-trigger planning reads ONE small
+   * JSON file instead of re-listing every partition directory (O(total
+   * files) per trigger — the scale killer for a months-long stream over
+   * millions of rotated chunks).
+   *
+   * `watermarks(p)` is the next-EventID the file list is complete up to: a
+   * reader may plan from the manifest iff `watermarks(p) >= until(p)`, and
+   * must fall back to a directory listing otherwise (manifest lost, or the
+   * topic predates manifests). Written BEFORE the id watermark commit, so a
+   * crash between the two leaves a manifest that over-covers — harmless:
+   * the extra files are exactly this produce's output, and id-range pruning
+   * bounds what readers surface.
+   */
+  def readManifest(name: String): Option[TopicManifest] = {
+    val p = new Path(topicPath(name), "_manifest.json")
+    if (!fs.exists(p)) None
+    else Some(TopicManifest.fromJson(readString(p)))
+  }
+
+  private def writeManifest(name: String, m: TopicManifest): Unit =
+    writeAtomic(new Path(topicPath(name), "_manifest.json"), m.toJson)
+
+  /**
+   * Register a produce commit: diff each written partition directory against
+   * the manifest's known files (normally finding exactly this produce's new
+   * chunks), read the new files' footer id-ranges once, and advance the
+   * manifest watermark to `newNext`. Also HEALS partitions whose manifest
+   * fell behind the on-disk state (pre-manifest topics, lost manifest): any
+   * unknown file is picked up with its real footer range.
+   */
+  def updateManifest(name: String, newNext: Map[Int, Long]): Unit = {
+    val prior = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
+    val conf = hadoopConf
+    val files = newNext.keys.foldLeft(prior.files) { (acc, p) =>
+      val dir = new Path(logPath(name), s"partition=$p")
+      if (!fs.exists(dir)) acc
+      else {
+        val known = acc.getOrElse(p, Vector.empty)
+        val knownNames = known.map(_.path).toSet
+        val fresh = fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => s"partition=$p/${f.getPath.getName}")
+          .filterNot(knownNames).sorted
+          .map { rel =>
+            val (lo, hi) = Catalog.fileIdRange(new Path(logPath(name), rel), conf)
+            ManifestFile(rel, lo, hi)
+          }
+        if (fresh.isEmpty) acc else acc + (p -> (known ++ fresh))
+      }
+    }
+    writeManifest(name, TopicManifest(prior.watermarks ++ newNext, files))
+  }
+
+  /** Rebuild the manifest wholesale from the log (compaction replaced every
+    * file; a fresh listing + footer pass is cheap relative to the rewrite). */
+  def rebuildManifest(name: String): Unit = {
+    val log = new Path(logPath(name))
+    val conf = hadoopConf
+    val next = nextIds(name)
+    val files: Map[Int, Vector[ManifestFile]] =
+      if (!fs.exists(log)) Map.empty
+      else fs.listStatus(log).filter(_.isDirectory).flatMap { d =>
+        d.getPath.getName.split('=') match {
+          case Array("partition", p) =>
+            val entries = fs.listStatus(d.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(f => s"partition=$p/${f.getPath.getName}").sorted
+              .map { rel =>
+                val (lo, hi) = Catalog.fileIdRange(new Path(log, rel), conf)
+                ManifestFile(rel, lo, hi)
+              }.toVector
+            Some(p.toInt -> entries)
+          case _ => None
+        }
+      }.toMap
+    writeManifest(name, TopicManifest(next, files))
+  }
+
   // -- log maintenance ------------------------------------------------------
 
   /**
@@ -198,6 +282,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .option("maxRecordsPerFile", chunkMaxRecords)
       .partitionBy("partition")
       .parquet(tmp.toString)
+    // drop the manifest BEFORE touching the log: a crash anywhere in the
+    // swap window then leaves no manifest (readers fall back to listing the
+    // restored log) rather than a manifest pointing at replaced files
+    fs.delete(new Path(topicPath(name), "_manifest.json"), false)
     if (!fs.rename(log, old))
       throw new java.io.IOException(s"compact: cannot move live log aside: $log")
     if (!fs.rename(tmp, log)) {
@@ -205,6 +293,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       throw new java.io.IOException(s"compact: cannot install compacted log: $tmp")
     }
     fs.delete(old, true): Unit
+    // every chunk file was replaced — re-derive the manifest from the
+    // compacted log so readers never plan against the dead files
+    rebuildManifest(name)
   }
 
   // -- consumer cursors (D4) ------------------------------------------------
@@ -309,5 +400,91 @@ object Catalog {
     }.toMap
     case other => throw new IllegalStateException(
       s"bad id-map json: ${JsonMethods.compact(other)}")
+  }
+
+  /** (min, max) `event_id` from a chunk file's footer statistics; a file
+    * with no usable stats maps to the never-prunable full range. Shared by
+    * the manifest writer and the streaming [[graft.streaming.FileStatsCache]]
+    * fallback — one definition of "a file's id range". */
+  def fileIdRange(path: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      reader.getRowGroups.forEach { block =>
+        block.getColumns.forEach { c =>
+          if (c.getPath.toDotString == "event_id") c.getStatistics match {
+            case ls: org.apache.parquet.column.statistics.LongStatistics
+              if ls.hasNonNullValue =>
+              lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
+            case _ =>
+          }
+        }
+      }
+      if (lo > hi) (Long.MinValue, Long.MaxValue) // no stats: never prune
+      else (lo, hi)
+    } finally reader.close()
+  }
+}
+
+/** One manifest-registered chunk file: path relative to the topic's log
+  * directory plus its footer `event_id` range (closed interval). */
+final case class ManifestFile(path: String, lo: Long, hi: Long)
+
+/** See [[Catalog.readManifest]]. `watermarks(p)` = next EventID the file
+  * list is complete up to; `files(p)` in filename order (= id order for
+  * produce output). */
+final case class TopicManifest(
+    watermarks: Map[Int, Long], files: Map[Int, Vector[ManifestFile]]) {
+
+  def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
+    "watermarks" -> JObject(watermarks.toSeq.sortBy(_._1).map {
+      case (k, v) => k.toString -> (JLong(v): JValue) }: _*),
+    "files" -> JObject(files.toSeq.sortBy(_._1).map { case (p, fsq) =>
+      p.toString -> (JArray(fsq.toList.map(f => JObject(
+        "f" -> JString(f.path), "lo" -> JLong(f.lo), "hi" -> JLong(f.hi)))): JValue)
+    }: _*))))
+}
+
+object TopicManifest {
+  private def long(j: JValue, what: String): Long = j match {
+    case JInt(v) => v.toLong
+    case JLong(v) => v
+    case other => throw new IllegalStateException(
+      s"bad manifest $what: ${JsonMethods.compact(other)}")
+  }
+
+  def fromJson(json: String): TopicManifest = JsonMethods.parse(json) match {
+    case o: JObject =>
+      val watermarks = o \ "watermarks" match {
+        case JObject(fields) => fields.map { case (k, v) => k.toInt -> long(v, "watermark") }.toMap
+        case other => throw new IllegalStateException(
+          s"bad manifest watermarks: ${JsonMethods.compact(other)}")
+      }
+      val files = o \ "files" match {
+        case JObject(fields) => fields.map { case (p, v) =>
+          p.toInt -> (v match {
+            case JArray(xs) => xs.map {
+              case f: JObject =>
+                val path = f \ "f" match {
+                  case JString(s) => s
+                  case other => throw new IllegalStateException(
+                    s"bad manifest file path: ${JsonMethods.compact(other)}")
+                }
+                ManifestFile(path, long(f \ "lo", "lo"), long(f \ "hi", "hi"))
+              case other => throw new IllegalStateException(
+                s"bad manifest file entry: ${JsonMethods.compact(other)}")
+            }.toVector
+            case other => throw new IllegalStateException(
+              s"bad manifest file list: ${JsonMethods.compact(other)}")
+          })
+        }.toMap
+        case other => throw new IllegalStateException(
+          s"bad manifest files: ${JsonMethods.compact(other)}")
+      }
+      TopicManifest(watermarks, files)
+    case other => throw new IllegalStateException(
+      s"manifest must be a JSON object: ${JsonMethods.compact(other)}")
   }
 }

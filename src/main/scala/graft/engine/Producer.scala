@@ -117,8 +117,14 @@ final class Producer(
         .partitionBy("partition")
         .parquet(catalog.logPath(config.name))
 
-      catalog.writeNextIds(config.name,
-        base ++ counts.map { case (p, c) => p -> (firstIds(p) + c) })
+      // Manifest BEFORE the id-watermark commit: register this produce's new
+      // chunk files (+footer ranges) so trigger planning is O(new files),
+      // never a full directory re-list. A crash between the two writes
+      // leaves an over-covering manifest — harmless (see Catalog Scaladoc).
+      val advanced = base ++ counts.map { case (p, c) => p -> (firstIds(p) + c) }
+      catalog.updateManifest(config.name,
+        counts.map { case (p, _) => p -> advanced(p) })
+      catalog.writeNextIds(config.name, advanced)
     }
     // (the checkpointed blocks are released by the ContextCleaner once this
     // frame goes out of scope — no explicit unpersist hook exists for

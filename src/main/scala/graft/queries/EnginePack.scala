@@ -46,6 +46,9 @@ object EnginePack extends QueryPack {
     tempDirs.add(dir): Unit
   }
 
+  /** Unique memory-sink names across repeated in-JVM runs (bench iterations). */
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** events table → (metadata `{"eid":<event_id>}`, partition eid%4), in
     * event_id push order — makes engine-assigned ids SQL-predictable. */
   private def sourceByEid(s: SparkSession, dir: String): DataFrame =
@@ -308,6 +311,43 @@ object EnginePack extends QueryPack {
           countDistinct(get_json_object(col("metadata"), "$.k").cast("long")).as("n_keys"))
         .orderBy(col("topic"))
     },
+    "q_stream_drain" -> { (s, dir) =>
+      // S8 through the oracle: the DSv2 MICRO-BATCH path (offset cursor walk,
+      // admission control, AvailableNow drain — the `feedConsumer` analog of
+      // `DefaultPartitionManager.cpp:415-504`), not the batch Scan. Three
+      // separate produces build a multi-chunk log; the stream must drain it
+      // across several admission-bounded micro-batches into exactly the
+      // source rows, dense per partition.
+      val d = tempDriver(s)
+      d.createTopic("sdrain_demo", partitions = 4)
+      val topic = d.openTopic("sdrain_demo")
+      val src = sourceByEid(s, dir)
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      (0 until 3).foreach(b =>
+        topic.producer().produce(src.filter(pmod(eid, lit(3)) === b)))
+      val total = t(s, dir, "events").count()
+      // admission budget sized so the drain takes ~4 micro-batches at any sf
+      val perTrigger = math.max(256L, total / 4)
+      val qname = s"q_stream_drain_${EnginePack.streamRun.incrementAndGet()}"
+      val query = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "sdrain_demo")
+        .option("maxEventsPerTrigger", perTrigger.toString)
+        .load()
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sdrain-ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val batches = query.recentProgress.count(_.numInputRows > 0)
+      s.table(qname)
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .withColumn("multi_batch", lit(batches >= 2))
+        .orderBy(col("partition"))
+    },
     "q_drain" -> { (s, dir) =>
       // D5: after markAsComplete, the pull walk drains exactly the produced
       // events and then reports NoMoreEvents — repeatably.
@@ -417,6 +457,13 @@ object EnginePack extends QueryPack {
         |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events) s
         |GROUP BY topic ORDER BY topic""".stripMargin,
+    // the micro-batch stream drains exactly the produced log: dense ids per
+    // partition, across ≥2 admission-bounded batches
+    "q_stream_drain" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
+        | true AS multi_batch
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // the drain count equals the produced subset, and the walk stays drained
     "q_drain" ->
       """SELECT count(*) AS n_drained, true AS no_more_events FROM events

@@ -138,35 +138,29 @@ final class GraftMicroBatchStream(
  * (`/root/reference/src/DefaultPartitionManager.cpp:682-735`).
  */
 final class FileStatsCache {
-  private val ranges = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-
-  /** (min, max) event_id of the file, from its footer. The cache is
-    * size-bounded: past the cap it resets and repopulates on demand (a
+  /** Access-ordered LRU, bounded at [[FileStatsCache.MaxEntries]]: a
     * months-long stream over millions of rotated chunks must not grow
-    * driver heap without bound). */
-  def range(path: String, conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
-    if (ranges.size() > FileStatsCache.MaxEntries) ranges.clear()
-    ranges.computeIfAbsent(path, { p =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
-      try {
-        var lo = Long.MaxValue
-        var hi = Long.MinValue
-        reader.getRowGroups.forEach { block =>
-          block.getColumns.forEach { c =>
-            if (c.getPath.toDotString == "event_id") c.getStatistics match {
-              case ls: org.apache.parquet.column.statistics.LongStatistics
-                if ls.hasNonNullValue =>
-                lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
-              case _ =>
-            }
-          }
-        }
-        if (lo > hi) (Long.MinValue, Long.MaxValue) // no stats: never prune
-        else (lo, hi)
-      } finally reader.close()
-    })
-  }
+    * driver heap without bound, and eviction is per-entry — no clear-at-cap
+    * cliff where every live footer gets re-read at once. */
+  private val ranges =
+    new java.util.LinkedHashMap[String, (Long, Long)](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long)]): Boolean =
+        size() > FileStatsCache.MaxEntries
+    }
+
+  /** (min, max) event_id of the file, from its footer (files are immutable
+    * once written, so a range read once is valid for the file's lifetime). */
+  def range(path: String, conf: org.apache.hadoop.conf.Configuration): (Long, Long) =
+    synchronized {
+      val cached = ranges.get(path)
+      if (cached != null) cached
+      else {
+        val r = graft.engine.Catalog.fileIdRange(new Path(path), conf)
+        ranges.put(path, r)
+        r
+      }
+    }
 }
 
 object FileStatsCache {
@@ -175,11 +169,13 @@ object FileStatsCache {
 
 /** Shared partition planning: one input slice per topic partition holding
   * the partition's OVERLAPPING chunk files (file-level pruning via the
+  * produce-committed manifest, falling back to directory listing + the
   * footer-stats cache; the reader then prunes at row-group granularity). */
 object GraftPartitions {
-  /** @param stats when set, prune files by footer event_id ranges; pass
-    *        None when nothing can be pruned (e.g. unbounded batch scans) —
-    *        footer reads on the driver are not free. */
+  /** @param stats when set, prune files by footer event_id ranges on the
+    *        LISTING fallback path; pass None when nothing can be pruned
+    *        (e.g. unbounded batch scans) — footer reads on the driver are
+    *        not free. The manifest path always prunes (ranges are free). */
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
            stats: Option[FileStatsCache] = None): Array[InputPartition] = {
@@ -187,6 +183,36 @@ object GraftPartitions {
     val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
     val fs = logPath.getFileSystem(conf)
+
+    // Manifest-first: when every partition with backlog is covered by the
+    // produce-committed manifest (watermark ≥ the slice end), planning is
+    // two small-file reads — NO directory listing, NO footer reads. This is
+    // the O(new files) shape a per-trigger walk needs at 100× scale; the
+    // listing path below remains the fallback for pre-manifest topics or a
+    // deleted manifest.
+    catalog.readManifest(topic) match {
+      case Some(m) =>
+        val needed = (0 until catalog.openTopic(topic).partitions)
+          .filter(p => targets.forall(_.contains(p)))
+          .filter(p => until(p) > math.max(from(p), 0L))
+        if (needed.forall(p => m.watermarks.getOrElse(p, 0L) >= until(p))) {
+          return needed.flatMap { p =>
+            val lo = math.max(from(p), 0L)
+            val hi = until(p)
+            val files = m.files.getOrElse(p, Vector.empty)
+              .filter(f => f.hi >= lo && f.lo < hi)
+              // qualify like fs.listStatus would, so both planning paths
+              // yield identical strings (FileStatsCache keys, dedup, tests)
+              .map(f => fs.makeQualified(new Path(logPath, f.path)).toString)
+            if (files.nonEmpty) Some(GraftInputPartition(p, lo, hi, files))
+            else throw new java.io.IOException(
+              s"topic '$topic' partition $p: manifest covers ids [$lo, $hi) " +
+              "but lists no overlapping chunk file — manifest/log divergence " +
+              "(log deleted, or an unregistered writer touched the topic)")
+          }.toArray
+        }
+      case None =>
+    }
     if (!fs.exists(logPath)) {
       // A missing log dir is only legitimate when the id watermark says no
       // events were ever committed. Otherwise fail LOUDLY: silently planning

@@ -248,6 +248,69 @@ class StreamingSpec extends SparkSpec {
     assert(got == 5)
   }
 
+  test("manifest: trigger planning needs no directory listing; heals and survives compaction") {
+    val (d, topic, _) = newTopic(partitions = 2)
+    produceRange(topic, 0, 20)
+    produceRange(topic, 20, 40)
+
+    // produce committed a manifest covering the watermark, with real ranges
+    val m = d.catalog.readManifest("stream_topic").get
+    assert(m.watermarks == Map(0 -> 20L, 1 -> 20L))
+    assert(m.files(0).size >= 2, "each produce registers its own chunk files")
+    assert(m.files(0).map(_.lo).min == 0L && m.files(0).map(_.hi).max == 19L)
+
+    val planned = GraftPartitions.plan(d.catalog, "stream_topic", None,
+      from = _ => 0L, until = _ => 20L)
+    // PROOF of no re-listing: delete the log directory out from under the
+    // planner — manifest-covered planning must return identical slices
+    // because it never touches the directory
+    val logDir = new org.apache.hadoop.fs.Path(d.catalog.logPath("stream_topic"))
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hidden = new org.apache.hadoop.fs.Path(logDir.getParent, "log.hidden")
+    assert(fs.rename(logDir, hidden))
+    try {
+      val replanned = GraftPartitions.plan(d.catalog, "stream_topic", None,
+        from = _ => 0L, until = _ => 20L)
+      assert(planned.toSeq == replanned.toSeq, "manifest planning re-listed the directory")
+    } finally assert(fs.rename(hidden, logDir))
+
+    // manifest ranges prune tail reads without a FileStatsCache
+    val tail = GraftPartitions.plan(d.catalog, "stream_topic", None,
+      from = _ => 15L, until = _ => 20L)
+    val full = planned.map(_.asInstanceOf[GraftInputPartition].files.size).sum
+    assert(tail.map(_.asInstanceOf[GraftInputPartition].files.size).sum < full)
+
+    // lost manifest → listing fallback still plans; next produce heals it
+    val manifestFile = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("stream_topic"), "_manifest.json")
+    fs.delete(manifestFile, false)
+    val fallback = GraftPartitions.plan(d.catalog, "stream_topic", None,
+      from = _ => 0L, until = _ => 20L, Some(new FileStatsCache))
+    assert(fallback.map(_.asInstanceOf[GraftInputPartition].files.toSet).toSet ==
+      planned.map(_.asInstanceOf[GraftInputPartition].files.toSet).toSet)
+    produceRange(topic, 40, 44)
+    val healed = d.catalog.readManifest("stream_topic").get
+    assert(healed.watermarks == Map(0 -> 22L, 1 -> 22L))
+    // the heal re-registers every pre-manifest file plus the new produce's
+    val oldP0 = planned.head.asInstanceOf[GraftInputPartition].files
+      .map(f => f.substring(f.indexOf("partition="))).toSet
+    assert(oldP0.subsetOf(healed.files(0).map(_.path).toSet),
+      "heal must re-register pre-manifest files")
+    assert(healed.files(0).map(_.path).toSet.size > oldP0.size)
+
+    // compaction replaces every chunk → manifest rebuilt, still covering
+    topic.compact()
+    val compacted = d.catalog.readManifest("stream_topic").get
+    assert(compacted.watermarks == Map(0 -> 22L, 1 -> 22L))
+    assert(compacted.files(0).size == 1 && compacted.files(1).size == 1)
+    assert(compacted.files(0).head.lo == 0L && compacted.files(0).head.hi == 21L)
+    // and planning from the rebuilt manifest reads the right rows
+    val total = spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "stream_topic")
+      .load().count()
+    assert(total == 44)
+  }
+
   test("sink replay idempotence: a re-delivered micro-batch is produced once") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-sink-idem").toString
