@@ -237,6 +237,53 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     writeManifest(name, TopicManifest(next, files))
   }
 
+  // -- compaction lock ------------------------------------------------------
+
+  private def compactLockPath(name: String): Path =
+    new Path(topicPath(name), "_compact.lock")
+
+  /**
+   * Best-effort compaction/producer mutual exclusion. `compactTopic`
+   * documents "must not run concurrently with produces"; this marker makes a
+   * violation fail LOUDLY instead of corrupting the log. A lock older than
+   * [[Catalog.CompactLockStaleMs]] is treated as a crashed compactor's
+   * leftover and reclaimed. Best-effort by design (exists-then-create is not
+   * atomic on every filesystem) — the single-writer contract remains the
+   * real guarantee; the lock turns an operational mistake into an error.
+   */
+  private[engine] def acquireCompactLock(name: String): Unit = {
+    val p = compactLockPath(name)
+    if (fs.exists(p)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      if (age < Catalog.CompactLockStaleMs)
+        throw new IllegalStateException(
+          s"topic '$name': a compaction is already in progress (lock $p, " +
+          s"age ${age / 1000}s) — retry after it finishes, or delete the lock " +
+          "if the compactor crashed")
+      fs.delete(p, false)
+    }
+    writeAtomic(p, JsonMethods.compact(JsonMethods.render(JObject(
+      "owner" -> JString(java.lang.management.ManagementFactory.getRuntimeMXBean.getName),
+      "start" -> JLong(System.currentTimeMillis())))))
+  }
+
+  private[engine] def releaseCompactLock(name: String): Unit =
+    fs.delete(compactLockPath(name), false): Unit
+
+  /** Producer-side guard: refuse to append while a live compaction holds the
+    * topic (a produce racing the swap window would land files in the
+    * moved-aside log — silent data loss). */
+  private[engine] def failIfCompacting(name: String): Unit = {
+    val p = compactLockPath(name)
+    if (fs.exists(p)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      if (age < Catalog.CompactLockStaleMs)
+        throw new IllegalStateException(
+          s"topic '$name': cannot produce while compaction is in progress " +
+          s"(lock $p, age ${age / 1000}s)")
+    }
+  }
+
   // -- log maintenance ------------------------------------------------------
 
   /**
@@ -258,6 +305,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * moved-aside log is restored before anything is deleted).
    */
   def compactTopic(name: String, chunkMaxRecords: Long = 1000000L): Unit = {
+    acquireCompactLock(name)
+    try compactLocked(name, chunkMaxRecords)
+    finally releaseCompactLock(name)
+  }
+
+  private def compactLocked(name: String, chunkMaxRecords: Long): Unit = {
     import org.apache.spark.sql.functions.col
     val log = new Path(logPath(name))
     val tmp = new Path(topicPath(name), "log.compact.tmp")
@@ -372,6 +425,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 }
 
 object Catalog {
+
+  /** Compact-lock staleness horizon: a lock older than this is presumed a
+    * crashed compactor's leftover and reclaimed. Var (not val) so tests can
+    * compress the window; production compactions running longer than this
+    * must bump it. */
+  @volatile var CompactLockStaleMs: Long = 30L * 60 * 1000
 
   /** THE canonical event schema (SURVEY §1.3) — the single definition the
     * consumer view, the DSv2 table, and log maintenance all read with, so a

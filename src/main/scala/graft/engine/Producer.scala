@@ -60,6 +60,9 @@ final class Producer(
    */
   def produce(df: DataFrame): ProduceResult = {
     require(df.columns.contains("metadata"), "produce() input needs a 'metadata' column")
+    // refuse to append while a live compaction holds the topic — a produce
+    // racing the swap window would land in the moved-aside log (data loss)
+    catalog.failIfCompacting(config.name)
     val withData =
       if (df.columns.contains("data")) df
       else df.withColumn("data", lit(null).cast(BinaryType))

@@ -69,10 +69,51 @@ object Dedup {
    *        disk spill is not) — long-lived pipelines sweeping many corpora
    *        should `spark.catalog.clearCache()` between sweeps or pass false.
    */
+  /**
+   * Band-bucket skew guard shared by both LSH variants. A degenerate corpus
+   * (millions of identical boilerplate docs) collects huge buckets on one
+   * (band, bandval) key; an all-pairs self-join there emits O(k²) rows in
+   * one task — the classic LSH scale killer. Buckets over `maxBucket`
+   * switch to STAR candidates: every member pairs with the bucket's
+   * representative (min id) only — O(k) pairs. For dedup this preserves
+   * what matters: no member of an oversized bucket escapes candidacy (each
+   * still reaches exact verification against the representative); only
+   * completeness of *within-bucket pairwise* reporting is sacrificed, and
+   * mass-duplicate buckets are precisely where a star is the right shape
+   * (keep the representative, drop the rest).
+   *
+   * `extra` columns (e.g. simhash) are carried through from both sides as
+   * `x_<name>` / `y_<name>`.
+   */
+  private[llm] def bandCandidates(
+      banded: DataFrame, maxBucket: Int, extra: Seq[String]): DataFrame = {
+    val stats = banded.groupBy(col("band"), col("bandval"))
+      .agg(count(lit(1)).as("bsz"),
+        min_by(struct(col("id") +: extra.map(col): _*), col("id")).as("rep"))
+    val tagged = banded.join(stats, Seq("band", "bandval"))
+    def out(a: Column, b: Column, ax: String => Column, bx: String => Column) = {
+      val cols = Seq(a.as("doc_a"), b.as("doc_b")) ++
+        extra.flatMap(e => Seq(ax(e).as(s"x_$e"), bx(e).as(s"y_$e")))
+      cols
+    }
+    val small = tagged.filter(col("bsz") <= maxBucket)
+    val smallPairs = small.as("x").join(small.as("y"),
+        col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
+          col("x.id") < col("y.id"))
+      .select(out(col("x.id"), col("y.id"),
+        e => col(s"x.$e"), e => col(s"y.$e")): _*)
+    val bigPairs = tagged
+      .filter(col("bsz") > maxBucket && col("id") =!= col("rep.id"))
+      .select(out(col("rep.id"), col("id"),
+        e => col(s"rep.$e"), e => col(e)): _*)
+    smallPairs.union(bigPairs).distinct()
+  }
+
   def nearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.8, cache: Boolean = true): DataFrame = {
+      threshold: Double = 0.8, cache: Boolean = true,
+      maxBucket: Int = 4096): DataFrame = {
     val numHashes = bands * rowsPerBand
 
     // Repartition by id up front: spreads shingle hashing across the cluster
@@ -100,11 +141,7 @@ object Dedup {
       }: _*)))
       .toDF("id", "band", "bandval")
 
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
-      .distinct()
+    val candidates = bandCandidates(banded, maxBucket, extra = Nil)
 
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
 
@@ -179,9 +216,14 @@ object Dedup {
    * the band-equality join has 100% recall, no cross join, and the exact
    * `bit_count(xor)` check filters false candidates.
    */
-  /** @param cache see [[nearDuplicates]] — same lifetime caveat. */
+  /** @param cache see [[nearDuplicates]] — same lifetime caveat.
+    * @param maxBucket band-bucket skew cap — see [[bandCandidates]]. NOTE
+    *        the pigeonhole recall guarantee (every pair ≤ maxHamming found)
+    *        holds unconditionally only for pairs in small buckets; oversized
+    *        (mass-duplicate) buckets guarantee each member a candidate
+    *        against the bucket representative instead. */
   def simhashPairs(signatures: DataFrame, maxHamming: Int = 3,
-                   cache: Boolean = true): DataFrame = {
+                   cache: Boolean = true, maxBucket: Int = 4096): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimHashBits / nBands + (if (SimHashBits % nBands == 0) 0 else 1)
     // the self-join consumes the signature lineage twice; signatures are
@@ -196,11 +238,9 @@ object Dedup {
           .bitwiseAND(lit((1L << math.min(bandBits, 62)) - 1))
       }: _*)))
       .toDF("id", "simhash", "band", "bandval")
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bandval") === col("y.bandval") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+    bandCandidates(banded, maxBucket, extra = Seq("simhash"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("x_simhash").bitwiseXOR(col("y_simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -24,30 +24,59 @@ final case class MediaFeatures(doc_id: Long, media_type: String, features: Array
  * columns; decode / feature-extraction runs as a partition-wise typed map —
  * the Scala analog of `mapInPandas` batch processing.
  *
- * The DECODE STEP IS A STUB: real codecs (JPEG/PNG/audio) are not available
- * in this environment, so [[decodeStub]] derives deterministic fake
- * dimensions from the first payload bytes. Everything around it — the
- * Dataset schema, the per-partition batch iteration, the binary transport,
- * the fingerprinting — is the real production shape: swap `decodeStub` for
- * a codec call and nothing else changes.
+ * The decode step is REAL for image payloads (the JDK's built-in
+ * `javax.imageio` reads PNG/JPEG/GIF/BMP headers — no external codec
+ * needed); audio/video codecs are not available in this environment, so
+ * non-image types keep [[decodeStub]]'s deterministic fake dimensions.
+ * Everything around the codec — the Dataset schema, the per-partition batch
+ * iteration, the binary transport, the fingerprinting — is the production
+ * shape either way: swap the stub for a codec call and nothing else changes.
  */
 object Multimodal {
 
-  /** STUB decoder (see class doc): dimensions := first two payload bytes. */
+  /** STUB decoder for non-image types (see class doc): dimensions := first
+    * two payload bytes. */
   def decodeStub(r: MediaRecord): MediaMeta = {
     val w = if (r.payload.nonEmpty) (r.payload(0) & 0xff).toLong else 0L
     val h = if (r.payload.length > 1) (r.payload(1) & 0xff).toLong else 0L
     MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong, w, h, md5Hex(r.payload))
   }
 
-  /** Partition-wise decode: one decoder instance per partition (real codecs
+  /** Real decode for image-typed payloads: header-only width/height via
+    * `javax.imageio` — the reader parses image metadata without decoding
+    * pixel data, so cost per record is O(header), not O(pixels). An
+    * undecodable image payload fails loudly (a corrupt corpus should not
+    * silently yield fake dimensions). */
+  def decodeImage(r: MediaRecord): MediaMeta = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException(
+          s"doc ${r.doc_id}: no image reader for declared type ${r.media_type}")
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong,
+          reader.getWidth(0).toLong, reader.getHeight(0).toLong, md5Hex(r.payload))
+      } finally reader.dispose()
+    } finally in.close()
+  }
+
+  /** Type-dispatched per-record decode: real codec for images, stub else. */
+  def decodeRecord(r: MediaRecord): MediaMeta =
+    if (r.media_type.startsWith("image/")) decodeImage(r) else decodeStub(r)
+
+  /** Partition-wise decode: one decoder instance per partition (heavy codecs
     * are expensive to construct — this is where they would be initialized,
-    * once per task, not once per record). */
+    * once per task, not once per record; imageio readers are per-record by
+    * design, they bind to one input stream). */
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition decoder setup would go here
-      it.map(decodeStub)
+      it.map(decodeRecord)
     }
   }
 

@@ -119,7 +119,11 @@ object EnginePack extends QueryPack {
         """{"type":"object","required":["k"],
           | "properties":{"k":{"type":"integer","minimum":0,"maximum":69}}}""".stripMargin))
       val topic = d.openTopic("val_demo")
-      val all = t(s, dir, "events").select(col("props").as("metadata"))
+      // deterministic cap (oracle applies the same slice): the contract is
+      // the abort/land behavior, not volume — two full-table produces at
+      // bench sf would measure demo scaffolding, not the engine
+      val all = t(s, dir, "events").orderBy(col("event_id")).limit(2048)
+        .select(col("props").as("metadata"))
       val rejected =
         try { topic.producer().produce(all); false }
         catch { case _: Exception => true }
@@ -159,9 +163,14 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("push_demo", partitions = 2)
       val topic = d.openTopic("push_demo")
+      // deterministic cap: the push loop is definitionally driver-side (the
+      // reference's client surface), so its demo cost must not scale with sf
+      // — the contract (dense ids, resolved futures, auto-flush) is
+      // per-partition, not volume; the oracle applies the same LIMIT slice
       val rows = t(s, dir, "events")
         .filter(get_json_object(col("props"), "$.k").cast("long") < 2)
         .orderBy(col("event_id"))
+        .limit(512)
         .select(col("props"), pmod(col("event_id"), lit(2)).cast("int").as("p"))
         .collect()
       // scale-aware client batch: ~4 auto-flushes at every sf, so the
@@ -402,21 +411,26 @@ object EnginePack extends QueryPack {
         |      FROM events) s
         |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
     // only k <= 69 rows land; the mixed batch aborted without landing rows
+    // (same deterministic 2048-row slice as the Spark side)
     "q_producer_validated" ->
       """SELECT true AS batch_aborted, count(*) AS n_valid,
         | count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_keys
-        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) <= 69""".stripMargin,
+        |FROM (SELECT * FROM events ORDER BY event_id LIMIT 2048)
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) <= 69""".stripMargin,
     // dense ids survive watermark loss: identical contract to q_producer_ids
     "q_recovery" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // buffered push with auto-flush: same dense-id contract as batch produce
+    // (the same deterministic 512-row slice the Spark side pushes)
     "q_producer_batched" ->
       """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS futures_resolved
-        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 2
+        |FROM (SELECT * FROM events
+        |      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 2
+        |      ORDER BY event_id LIMIT 512)
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // partition growth: old id spaces untouched, the new partition starts at 0
     "q_add_partition" ->

@@ -317,6 +317,39 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(first.eventId == 0L)
   }
 
+  test("produce during a live compaction fails loudly; stale locks are reclaimed") {
+    val (d, topic) = newTopic(partitions = 2)
+    val producer = topic.producer()
+    (0 until 10).foreach(i => producer.push(s"""{"i":$i}"""))
+    producer.flush()
+    // simulate an in-progress compaction holding the topic
+    d.catalog.acquireCompactLock("mytopic")
+    val e = intercept[IllegalStateException] {
+      (0 until 5).foreach(i => producer.push(s"""{"j":$i}"""))
+      producer.flush()
+    }
+    assert(e.getMessage.contains("compaction is in progress"))
+    // a second compactor is refused too
+    intercept[IllegalStateException] { d.catalog.acquireCompactLock("mytopic") }
+    d.catalog.releaseCompactLock("mytopic")
+    // released → produce works again, ids continue densely
+    producer.flush()
+    assert(topic.events().count() == 15)
+    // stale lock (crashed compactor): reclaimed instead of blocking forever
+    val prev = Catalog.CompactLockStaleMs
+    try {
+      d.catalog.acquireCompactLock("mytopic")
+      Catalog.CompactLockStaleMs = 0L
+      (0 until 2).foreach(i => producer.push(s"""{"k":$i}"""))
+      producer.flush() // stale lock ignored
+      topic.compact()  // stale lock reclaimed by a new compactor
+      assert(topic.events().count() == 17)
+    } finally {
+      Catalog.CompactLockStaleMs = prev
+      d.catalog.releaseCompactLock("mytopic")
+    }
+  }
+
   test("consumer batchSize bounds each feed; pull still drains everything") {
     val (_, topic) = newTopic()
     produce100(topic)

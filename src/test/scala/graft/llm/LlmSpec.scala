@@ -87,6 +87,34 @@ class LlmSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L, 3L)))
   }
 
+  test("band-bucket skew guard: mass-duplicate corpus yields O(k) star pairs, full recall") {
+    import session.implicits._
+    // adversarial corpus: 1000 identical docs (every band bucket degenerate)
+    // plus one unrelated doc
+    val corpus = ((0L until 1000L).map(i =>
+      (i, "the same boilerplate text repeated everywhere in this corpus")) :+
+      (5000L, "completely different content about unrelated matters entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text",
+      threshold = 0.9, cache = false, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // star shape: k-1 pairs (rep=0 vs each member), NOT k*(k-1)/2 ≈ 500k
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(p => p._1 == 0L && p._3 == 1000000L))
+    // full dedup recall: every duplicate doc is in at least one pair
+    assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
+    assert(!pairs.exists(p => p._1 == 5000L || p._2 == 5000L))
+
+    // same guard on the simhash path: identical signatures, capped buckets
+    val sigs = ((0L until 500L).map(i => (i, 0x0123456789abcdL)) :+
+      (9000L, 0x7edcba9876543210L)).toDF("id", "simhash")
+    val sp = Dedup.simhashPairs(sigs, maxHamming = 3, cache = false, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sp.length == 499, s"expected 499 star pairs, got ${sp.length}")
+    assert(sp.forall(p => p._1 == 0L && p._3 == 0L))
+    assert(sp.map(_._2).toSet == (1L until 500L).toSet)
+  }
+
   test("cosine: identity is 1.0, orthogonal is 0.0") {
     import session.implicits._
     val v = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
@@ -186,15 +214,42 @@ class LlmSpec extends SparkSpec {
     assert(survivors == Seq(0L, 4L))
   }
 
-  test("multimodal decode: batch plumbing with stubbed decoder") {
+  test("multimodal decode: batch plumbing with stubbed decoder for opaque types") {
     import session.implicits._
     val media = Seq(
-      MediaRecord(1L, "image/fake", Array[Byte](64, 32, 1, 2, 3)),
-      MediaRecord(2L, "image/fake", Array.empty[Byte])).toDS()
+      MediaRecord(1L, "application/octet-stream", Array[Byte](64, 32, 1, 2, 3)),
+      MediaRecord(2L, "application/octet-stream", Array.empty[Byte])).toDS()
     val meta = Multimodal.decode(media).collect().map(m => m.doc_id -> m).toMap
     assert(meta(1L).width == 64 && meta(1L).height == 32 && meta(1L).n_bytes == 5)
     assert(meta(2L).width == 0 && meta(2L).height == 0 && meta(2L).n_bytes == 0)
     assert(meta(1L).fingerprint.length == 32)
+  }
+
+  test("multimodal decode: real imageio header decode for image/* payloads") {
+    import session.implicits._
+    def imageBytes(format: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, out))
+      out.toByteArray
+    }
+    val media = Seq(
+      MediaRecord(1L, "image/png", imageBytes("png", 7, 5)),
+      MediaRecord(2L, "image/jpeg", imageBytes("jpg", 12, 3)),
+      // opaque type alongside: stub path still taken in the same batch
+      MediaRecord(3L, "audio/wav", Array[Byte](9, 4, 1))).toDS()
+    val meta = Multimodal.decode(media).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 7 && meta(1L).height == 5)
+    assert(meta(2L).width == 12 && meta(2L).height == 3)
+    assert(meta(3L).width == 9 && meta(3L).height == 4)
+    // a declared image that no reader can parse fails loudly, not fake dims
+    val bad = Seq(MediaRecord(4L, "image/png", Array[Byte](1, 2, 3))).toDS()
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decode(bad).collect()
+    }
   }
 
   test("multimodal resize: output is exactly w*h bytes, schema-preserving") {
