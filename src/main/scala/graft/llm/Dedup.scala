@@ -29,11 +29,16 @@ object Dedup {
 
   /**
    * MinHash signatures as `numHashes` independent min-order statistics over
-   * an exploded (id, shingle) relation. Hash family: `xxhash64(j, shingle)`
-   * — fully codegen'd 64-bit hashing, ~10× cheaper than a cryptographic
-   * hash. (Correctness does not depend on the family: the near-dup contract
-   * is checked against EXACT all-pairs Jaccard, which never touches these
-   * hashes.)
+   * an exploded (id, shingle) relation. Hash family: two base hashes mixed
+   * per j — `h_j(s) = xxhash64(s) XOR rotl(xxhash64(1, s), j+1)` — so each
+   * shingle is hashed TWICE, not `numHashes` times; the per-j variants are
+   * three bitwise ops inside the same codegen stage (bitwise, because ANSI
+   * mode rejects the classic wrapping multiply-add). Rotations are distinct
+   * for j < 63; larger j falls back to an independent `xxhash64(j, s)`.
+   * Correctness does not depend on the family: the near-dup contract is
+   * checked against EXACT all-pairs Jaccard, which never touches these
+   * hashes — a weak family costs recall, and recall IS what the oracle's
+   * all-pairs comparison grades.
    *
    * Shape matters: computing the signature as 64 `array_min(transform(...))`
    * expressions over an array column would re-evaluate the (non-codegen)
@@ -42,8 +47,15 @@ object Dedup {
    * shingle exactly once.
    */
   def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
+    val h1 = xxhash64(col("s"))
+    val h2 = xxhash64(lit(1), col("s"))
     val mins = (0 until numHashes).map { j =>
-      min(xxhash64(lit(j), col("s"))).as(s"h$j")
+      val hj =
+        if (j < 63) {
+          val r = j + 1 // rotl by 1..63
+          h1.bitwiseXOR(shiftleft(h2, r).bitwiseOR(shiftrightunsigned(h2, 64 - r)))
+        } else xxhash64(lit(j), col("s"))
+      min(hj).as(s"h$j")
     }
     shingleRows.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
@@ -198,9 +210,19 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
     val h = md5(col("tok"))
+    // Parse the 16 leading hex nibbles ONCE into two 32-bit halves (char 1 =
+    // most-significant nibble of l1) and derive every bit by a shift —
+    // subexpression elimination makes this 2 conv calls per token instead of
+    // 63 substring+conv pairs. Bit semantics are IDENTICAL to reading nibble
+    // i/4 and taking its (i%4)-th bit, which is what the DuckDB oracle
+    // recomputes character-wise (`queries/TextPack.scala` simhashCte).
+    val l1 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val l2 = conv(substring(h, 9, 8), 16, 10).cast("long")
     val votes = (0 until SimHashBits).map { i =>
-      val nibble = conv(substring(h, 1 + i / 4, 1), 16, 10).cast("int")
-      sum(shiftright(nibble, i % 4).bitwiseAND(lit(1)) * 2 - 1).as(s"b$i")
+      val q = i / 4
+      val (src, shift) =
+        if (q < 8) (l1, 4 * (7 - q) + i % 4) else (l2, 4 * (15 - q) + i % 4)
+      sum(shiftright(src, shift).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")
     }
     val acc = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
     val fp = (0 until SimHashBits).map { i =>
