@@ -68,13 +68,33 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       idsJson((0 until config.partitions).map(_ -> 0L).toMap))
   }
 
-  /** C2 `openTopic` — "not found" on missing (`MofkaDriver.cpp:351-358`). */
+  /** C2 `openTopic` — "not found" on missing (`MofkaDriver.cpp:351-358`).
+    * (mtime, length)-keyed parse cache: the streaming planner opens the
+    * config every trigger; steady-state cost is one getFileStatus. Config
+    * rewrites (addPartition, markAsComplete) change the mtime and refresh
+    * the entry. */
   def openTopic(name: String): TopicConfig = {
     val p = new Path(topicPath(name), "_topic.json")
-    if (!fs.exists(p))
-      throw new NoSuchElementException(s"""Topic "$name" not found""")
-    TopicConfig.fromJson(readString(p))
+    val status =
+      try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    status match {
+      case None => throw new NoSuchElementException(s"""Topic "$name" not found""")
+      case Some(st) =>
+        val key = (st.getModificationTime, st.getLen)
+        val cached = configCache.get(name)
+        if (cached != null && cached._1 == key) cached._2
+        else {
+          val cfg = readStringResilient(p).map(TopicConfig.fromJson).getOrElse(
+            throw new NoSuchElementException(s"""Topic "$name" not found"""))
+          configCache.put(name, (key, cfg))
+          cfg
+        }
+    }
   }
+
+  private val configCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), TopicConfig)]()
 
   /** C3 `listTopics`. */
   def listTopics(): Seq[String] = {
@@ -117,14 +137,16 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * indices; here the Parquet footers are the index). */
   def nextIds(name: String): Map[Int, Long] = {
     val p = new Path(topicPath(name), "_ids.json")
-    if (!fs.exists(p)) {
-      // memoized per Catalog instance: a consumer-only deployment with a
-      // lost watermark file would otherwise re-run the full log aggregation
-      // on every call (the streaming source calls this per trigger). The
-      // cache is only consulted while the file stays missing; any producer
-      // commit writes the file and takes precedence.
-      recoveredCache.computeIfAbsent(name, recoverIds(_))
-    } else Catalog.idMapFromJson(readString(p))
+    readStringResilient(p) match {
+      case Some(json) => Catalog.idMapFromJson(json)
+      case None =>
+        // memoized per Catalog instance: a consumer-only deployment with a
+        // lost watermark file would otherwise re-run the full log aggregation
+        // on every call (the streaming source calls this per trigger). The
+        // cache is only consulted while the file stays missing; any producer
+        // commit writes the file and takes precedence.
+        recoveredCache.computeIfAbsent(name, recoverIds(_))
+    }
   }
 
   private val recoveredCache =
@@ -171,12 +193,46 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * crash between the two leaves a manifest that over-covers — harmless:
    * the extra files are exactly this produce's output, and id-range pruning
    * bounds what readers surface.
+   *
+   * Metadata scale bound: the manifest is one JSON document rewritten per
+   * produce commit (~100 bytes/file — the same single-snapshot shape Delta
+   * Lake uses for its checkpoint files). It stays small iff `compactTopic`
+   * runs periodically to bound live-file count; a topic that never compacts
+   * degrades the produce path to O(total files) metadata rewrite long after
+   * the read path stopped listing directories. (A snapshot+delta manifest
+   * log would lift that bound; not needed while compaction is in the
+   * maintenance loop.)
    */
   def readManifest(name: String): Option[TopicManifest] = {
     val p = new Path(topicPath(name), "_manifest.json")
-    if (!fs.exists(p)) None
-    else Some(TopicManifest.fromJson(readString(p)))
+    val status =
+      try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    status match {
+      case None => None
+      case Some(st) =>
+        // (mtime, length)-keyed parse cache: trigger planning calls this
+        // every micro-batch, and the manifest scales with live-file count —
+        // steady-state triggers must pay one getFileStatus, not a multi-MB
+        // JSON parse. A stale hit is impossible for correctness: manifests
+        // only grow watermarks, and an under-covering (older) manifest just
+        // routes plan() to the listing fallback.
+        val key = (st.getModificationTime, st.getLen)
+        val cached = manifestCache.get(name)
+        if (cached != null && cached._1 == key) cached._2
+        else {
+          // tolerate writeAtomic's delete→rename window: a reader racing a
+          // produce commit falls back to None (= listing path) rather than
+          // crashing the streaming query on FileNotFoundException
+          val parsed = readStringResilient(p).map(TopicManifest.fromJson)
+          manifestCache.put(name, (key, parsed))
+          parsed
+        }
+    }
   }
+
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Option[TopicManifest])]()
 
   private def writeManifest(name: String, m: TopicManifest): Unit =
     writeAtomic(new Path(topicPath(name), "_manifest.json"), m.toJson)
@@ -367,11 +423,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"${validComponent("consumer name", consumer)}.json")
 
   /** Cursor = first un-acknowledged EventID per partition (0 when absent). */
-  def cursor(topic: String, consumer: String): Map[Int, Long] = {
-    val p = cursorPath(topic, consumer)
-    if (!fs.exists(p)) Map.empty
-    else Catalog.idMapFromJson(readString(p))
-  }
+  def cursor(topic: String, consumer: String): Map[Int, Long] =
+    readStringResilient(cursorPath(topic, consumer))
+      .map(Catalog.idMapFromJson).getOrElse(Map.empty)
 
   /** `acknowledge` stores event_id + 1
     * (`DefaultPartitionManager.cpp:506-514`). */
@@ -388,16 +442,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"${validComponent("sink id", sinkId)}.json")
 
   /** Last micro-batch id produced into `topic` by sink `sinkId`, if any. */
-  def sinkCommit(topic: String, sinkId: String): Option[Long] = {
-    val p = sinkPath(topic, sinkId)
-    if (!fs.exists(p)) None
-    else JsonMethods.parse(readString(p)) \ "last" match {
-      case JInt(v) => Some(v.toLong)
-      case JLong(v) => Some(v)
-      case other => throw new IllegalStateException(
-        s"bad sink marker: ${JsonMethods.compact(other)}")
+  def sinkCommit(topic: String, sinkId: String): Option[Long] =
+    readStringResilient(sinkPath(topic, sinkId)).map { json =>
+      JsonMethods.parse(json) \ "last" match {
+        case JInt(v) => v.toLong
+        case JLong(v) => v
+        case other => throw new IllegalStateException(
+          s"bad sink marker: ${JsonMethods.compact(other)}")
+      }
     }
-  }
 
   def writeSinkCommit(topic: String, sinkId: String, batchId: Long): Unit =
     writeAtomic(sinkPath(topic, sinkId),
@@ -411,6 +464,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val in = fs.open(p)
     try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  /** Read a small metadata file, tolerating `writeAtomic`'s delete→rename
+    * window: a reader racing a concurrent rewrite retries briefly (renames
+    * complete in microseconds); a file that stays missing reads as None.
+    * Every per-trigger metadata read must come through here — an
+    * exists-then-open pair would crash a streaming query on the race. */
+  private def readStringResilient(p: Path): Option[String] = {
+    var attempt = 0
+    while (attempt < 3) {
+      if (!fs.exists(p)) return None
+      try return Some(readString(p))
+      catch { case _: java.io.FileNotFoundException => attempt += 1 }
+    }
+    None
   }
 
   private def writeAtomic(p: Path, content: String): Unit = {

@@ -56,18 +56,28 @@ object PartitionSelector {
     /** Eager evaluation of `assign`'s no-request branch through the SAME
       * catalyst expressions (including null-key handling: xxhash64 of a
       * null key yields the seed). java abs/floorMod agree with Spark's
-      * Abs/Pmod on longs, including the Long.MinValue wrap. */
-    def partitionFor(metadataJson: String, n: Int): Int = {
-      import org.apache.spark.sql.catalyst.InternalRow
-      import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, Literal, XxHash64}
+      * Abs/Pmod on longs, including the Long.MinValue wrap.
+      *
+      * The expression tree is compiled ONCE per selector (the push hot loop
+      * must not re-build GetJsonObject/XxHash64 and re-parse the JSON path
+      * per record); the bound input row is reused — callers serialize
+      * (Producer.push is synchronized). */
+    @transient private lazy val hashOf: String => Long = {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, GetJsonObject, Literal, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
       import org.apache.spark.sql.types.StringType
-      val key = GetJsonObject(
-        Literal.create(metadataJson, StringType),
-        Literal.create(fieldPath, StringType)).eval(InternalRow.empty)
-      val h = XxHash64(Seq(Literal.create(key, StringType)), 42L)
-        .eval(InternalRow.empty).asInstanceOf[Long]
-      math.floorMod(math.abs(h), n.toLong).toInt
+      val expr = XxHash64(Seq(GetJsonObject(
+        BoundReference(0, StringType, nullable = true),
+        Literal.create(fieldPath, StringType))), 42L)
+      val row = new GenericInternalRow(1)
+      md => {
+        row.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(md))
+        expr.eval(row).asInstanceOf[Long]
+      }
     }
+
+    def partitionFor(metadataJson: String, n: Int): Int =
+      math.floorMod(math.abs(hashOf(metadataJson)), n.toLong).toInt
 
     override def descriptor: JObject = JObject(
       "type" -> JString("metadata_hash"), "field" -> JString(fieldPath))
@@ -92,18 +102,25 @@ object PartitionSelector {
 
     /** Eager twin of `assign`'s no-request branch, through the SAME catalyst
       * expressions (GetJsonObject + TRY-mode Cast): Some(key mod n) when the
-      * field parses, None when missing or malformed. */
-    def keyFor(metadataJson: String, n: Int): Option[Int] = {
-      import org.apache.spark.sql.catalyst.InternalRow
-      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, GetJsonObject, Literal}
+      * field parses, None when missing or malformed. Compiled once per
+      * selector (see [[MetadataHash.hashOf]] — same hot-loop rationale);
+      * the reused row is safe because Producer.push serializes callers. */
+    @transient private lazy val longOf: String => Option[Long] = {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, EvalMode, GetJsonObject, Literal}
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
       import org.apache.spark.sql.types.{LongType, StringType}
-      val key = GetJsonObject(
-        Literal.create(metadataJson, StringType),
-        Literal.create(fieldPath, StringType)).eval(InternalRow.empty)
-      val v = Cast(Literal.create(key, StringType), LongType, None, EvalMode.TRY)
-        .eval(InternalRow.empty)
-      Option(v).map(l => math.floorMod(l.asInstanceOf[Long], n.toLong).toInt)
+      val expr = Cast(GetJsonObject(
+        BoundReference(0, StringType, nullable = true),
+        Literal.create(fieldPath, StringType)), LongType, None, EvalMode.TRY)
+      val row = new GenericInternalRow(1)
+      md => {
+        row.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(md))
+        Option(expr.eval(row)).map(_.asInstanceOf[Long])
+      }
     }
+
+    def keyFor(metadataJson: String, n: Int): Option[Int] =
+      longOf(metadataJson).map(l => math.floorMod(l, n.toLong).toInt)
 
     override def descriptor: JObject = JObject(
       "type" -> JString("metadata_field_mod"), "field" -> JString(fieldPath))

@@ -120,6 +120,12 @@ final class Producer(
         .partitionBy("partition")
         .parquet(catalog.logPath(config.name))
 
+      // The write job above may have run for minutes — re-check the compact
+      // lock before committing, so a compaction that started mid-produce
+      // fails this commit loudly (the written files may sit in the
+      // moved-aside log) instead of advancing watermarks over lost data.
+      catalog.failIfCompacting(config.name)
+
       // Manifest BEFORE the id-watermark commit: register this produce's new
       // chunk files (+footer ranges) so trigger planning is O(new files),
       // never a full directory re-list. A crash between the two writes

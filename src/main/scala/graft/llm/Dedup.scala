@@ -28,17 +28,15 @@ object Dedup {
   // -- MinHash + LSH --------------------------------------------------------
 
   /**
-   * MinHash signatures as `numHashes` independent min-order statistics over
-   * an exploded (id, shingle) relation. Hash family: two base hashes mixed
-   * per j — `h_j(s) = xxhash64(s) XOR rotl(xxhash64(1, s), j+1)` — so each
-   * shingle is hashed TWICE, not `numHashes` times; the per-j variants are
-   * three bitwise ops inside the same codegen stage (bitwise, because ANSI
-   * mode rejects the classic wrapping multiply-add). Rotations are distinct
-   * for j < 63; larger j falls back to an independent `xxhash64(j, s)`.
-   * Correctness does not depend on the family: the near-dup contract is
-   * checked against EXACT all-pairs Jaccard, which never touches these
-   * hashes — a weak family costs recall, and recall IS what the oracle's
-   * all-pairs comparison grades.
+   * MinHash signatures as `numHashes` INDEPENDENT min-order statistics over
+   * an exploded (id, shingle) relation. Hash family: `xxhash64(j, shingle)`
+   * — fully codegen'd 64-bit hashing. Independence is deliberate: the
+   * documented LSH miss-probability margin (`queries/TextPack.scala`)
+   * assumes independent coordinates; a two-hash mixed family was measured
+   * at only ~15% query speedup (exact verification dominates) and was
+   * reverted as not worth weakening that analysis. Correctness never
+   * depends on the family regardless: the near-dup contract is checked
+   * against EXACT all-pairs Jaccard, which never touches these hashes.
    *
    * Shape matters: computing the signature as 64 `array_min(transform(...))`
    * expressions over an array column would re-evaluate the (non-codegen)
@@ -47,15 +45,8 @@ object Dedup {
    * shingle exactly once.
    */
   def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
-    val h1 = xxhash64(col("s"))
-    val h2 = xxhash64(lit(1), col("s"))
     val mins = (0 until numHashes).map { j =>
-      val hj =
-        if (j < 63) {
-          val r = j + 1 // rotl by 1..63
-          h1.bitwiseXOR(shiftleft(h2, r).bitwiseOR(shiftrightunsigned(h2, 64 - r)))
-        } else xxhash64(lit(j), col("s"))
-      min(hj).as(s"h$j")
+      min(xxhash64(lit(j), col("s"))).as(s"h$j")
     }
     shingleRows.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }

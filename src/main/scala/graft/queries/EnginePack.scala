@@ -343,8 +343,11 @@ object EnginePack extends QueryPack {
         .option("maxEventsPerTrigger", perTrigger.toString)
         .load()
         .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-sdrain-ckpt").toString)
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-sdrain-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
