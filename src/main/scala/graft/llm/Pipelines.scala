@@ -54,4 +54,38 @@ object Pipelines {
       .distinct()
     uniq.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Benchmark decontamination: count, per corpus document, the distinct
+   * word `shingleN`-grams it shares with ANY benchmark document, and flag
+   * documents at or above `minShared` — the standard eval-contamination
+   * check a training corpus runs before release (n-gram overlap against
+   * held-out benchmarks).
+   *
+   * Scale shape: the benchmark side collapses to a DISTINCT shingle set
+   * (its size is bounded by benchmark text volume, not corpus volume) and
+   * the probe is a bucketed equality join on the shingle — no cross join;
+   * with a small benchmark Spark broadcasts it. Corpus docs sharing nothing
+   * keep `n_hits = 0` via the left join.
+   *
+   * @return `docs`' id column + `n_hits` (distinct shared shingles) +
+   *         `contaminated` boolean
+   */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleN: Int = 8, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val corpusShingles = docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))).as("s"))
+    val benchShingles = benchmark.select(
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))).as("s"))
+      .distinct()
+    val hits = corpusShingles.join(benchShingles, "s")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minShared)
+  }
 }

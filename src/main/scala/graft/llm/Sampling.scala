@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data curation.
+ *
+ * `rand()`-based sampling is not reproducible across runs, partition
+ * layouts, or engines; curation pipelines need the opposite: re-running the
+ * sample over a GROWN corpus must keep every previously-selected row
+ * selected, and an auditor must be able to re-derive the exact sample in a
+ * different engine. Both hold when the keep-decision is a pure function of
+ * a row key: keep ⇔ `hash(key) mod B < fraction·B`.
+ *
+ * The hash is the first four hex nibbles of `md5(key)` — chosen (over
+ * xxhash64, which DuckDB lacks) so the decision is reproducible in plain
+ * SQL anywhere. One filter, no shuffle, fully codegen'd.
+ */
+object Sampling {
+
+  /** Bucket resolution: fractions are honored in steps of 1/10000. */
+  val Buckets = 10000
+
+  /** Deterministic per-row bucket in [0, Buckets). */
+  def bucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(Buckets.toLong))
+
+  /** Keep rows with `bucket(key) < fraction·Buckets` — a repeatable
+    * `fraction`-sample of the corpus. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    df.filter(bucket(col(keyCol)) < math.round(fraction * Buckets))
+  }
+
+  /**
+   * Stratified deterministic sample: per-stratum keep fractions (e.g.
+   * down-sample boilerplate-heavy domains, keep rare languages whole) with
+   * a default for unlisted strata. Still one filter — the per-stratum rate
+   * is a map literal lookup, so there is no join and no shuffle regardless
+   * of stratum cardinality in the map.
+   */
+  def stratifiedSample(
+      df: DataFrame, stratumCol: String, fractions: Map[String, Double],
+      keyCol: String, defaultFraction: Double = 1.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions out of [0,1]: $fractions / $defaultFraction")
+    val bp: Map[String, Long] =
+      fractions.map { case (k, f) => k -> math.round(f * Buckets) }
+    df.filter(bucket(col(keyCol)) <
+      coalesce(element_at(typedLit(bp), col(stratumCol)),
+        lit(math.round(defaultFraction * Buckets))))
+  }
+}

@@ -82,6 +82,34 @@ object TextPack extends QueryPack {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
+    "q_sample_stratified" -> { (s, dir) =>
+      // Deterministic stratified sampling: keep every long doc, 20% of the
+      // short ones. The keep-decision is a pure md5-derived function of
+      // doc_id (NOT rand()), so the oracle independently re-derives the
+      // EXACT sample — membership, not just approximate counts.
+      val docs = t(s, dir, "documents")
+        .withColumn("stratum",
+          when(TF.tokenCount(col("text")) >= 40, "long").otherwise("short"))
+      graft.llm.Sampling.stratifiedSample(docs, "stratum",
+          Map("long" -> 1.0, "short" -> 0.2), keyCol = "doc_id")
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("stratum"))
+    },
+    "q_decontaminate" -> { (s, dir) =>
+      // Benchmark decontamination: docs 0..9 form the held-out benchmark;
+      // the corpus is everything else PLUS planted verbatim copies of the
+      // benchmark under high ids — so a broken overlap join that flags
+      // nothing (or everything) fails the oracle. Natural corpus docs
+      // sharing an 8-gram with the benchmark are counted identically by
+      // both engines.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val benchmark = docs.filter(col("doc_id") < 10)
+      val corpus = docs.filter(col("doc_id") >= 10).unionByName(
+        benchmark.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      graft.llm.Pipelines.decontaminate(corpus, benchmark, shingleN = 8)
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .select(col("keep_id"), col("n_copies"))
@@ -179,6 +207,21 @@ object TextPack extends QueryPack {
        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
        |          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB mirror of `Sampling.bucket`: first four md5 hex nibbles of the
+    * stringified key, mod 10000. */
+  private def bucketSql(keyExpr: String): String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), $i, 1)) - 1)"
+    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 10000)"
+  }
+
+  /** DuckDB mirror of `TextFunctions.wordShingles(text, n)` over a token
+    * array column `w` (short doc ⇒ one whole-doc shingle, like the Spark
+    * side). */
+  private def shingleListSql(n: Int): String =
+    s"""CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+       |     ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END""".stripMargin
 
   /** DuckDB mirror of the 63-bit simhash as a doc_id→simhash CTE body. */
   private def simhashCte: String = {
@@ -301,6 +344,34 @@ object TextPack extends QueryPack {
         |FROM pairs p LEFT JOIN inter USING (doc_a, doc_b)
         |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
         |ORDER BY doc_a""".stripMargin,
+    // the sample is re-derived exactly: same md5-nibble bucket, same
+    // per-stratum thresholds (long=10000/10000, short=2000/10000)
+    "q_sample_stratified" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($W) >= 40 THEN 'long' ELSE 'short' END AS stratum,
+         |    ${bucketSql("doc_id")} AS bucket
+         |  FROM documents),
+         |kept AS (SELECT * FROM d
+         |         WHERE bucket < CASE stratum WHEN 'long' THEN 10000 ELSE 2000 END)
+         |SELECT stratum, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY stratum ORDER BY stratum""".stripMargin,
+    // independent 8-gram overlap recount against the same benchmark split
+    "q_decontaminate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+         |cw AS (SELECT doc_id, $W AS w FROM corpus),
+         |csh AS (SELECT DISTINCT doc_id, unnest(${shingleListSql(8)}) AS s FROM cw),
+         |bw AS (SELECT $W AS w FROM documents WHERE doc_id < 10),
+         |bsh AS (SELECT DISTINCT unnest(${shingleListSql(8)}) AS s FROM bw),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits
+         |         FROM csh c JOIN bsh b ON c.s = b.s GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  COALESCE(h.n_hits, 0) >= 1 AS contaminated
+         |FROM corpus d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_simhash" ->
       s"""WITH $simhashCte
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,

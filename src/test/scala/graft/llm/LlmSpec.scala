@@ -115,6 +115,51 @@ class LlmSpec extends SparkSpec {
     assert(sp.map(_._2).toSet == (1L until 500L).toSet)
   }
 
+  test("deterministic sampling: repeatable, nested fractions, exact stratified rates") {
+    import session.implicits._
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val s20 = Sampling.deterministicSample(rows, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20again = Sampling.deterministicSample(rows, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.deterministicSample(rows, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s20 == s20again, "sampling must be repeatable")
+    assert(s20.subsetOf(s50), "a smaller fraction must be nested in a larger one")
+    assert(s20.size > 200 && s20.size < 600, s"~20% expected, got ${s20.size}")
+
+    val strat = Sampling.stratifiedSample(rows, "stratum",
+      Map("a" -> 1.0, "b" -> 0.0), keyCol = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(strat.forall(_._2 == "a") && strat.length == 1000,
+      "rate 1.0 keeps everything, rate 0.0 keeps nothing")
+    // unlisted strata take the default fraction
+    val dflt = Sampling.stratifiedSample(rows, "stratum",
+      Map("a" -> 0.0), keyCol = "doc_id", defaultFraction = 1.0)
+      .collect().map(_.getString(1))
+    assert(dflt.forall(_ == "b") && dflt.length == 1000)
+  }
+
+  test("decontaminate: planted benchmark copy flagged, disjoint doc clean") {
+    import session.implicits._
+    val benchmark = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog every single day")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim copy → shares many 8-grams
+      (10L, "the quick brown fox jumps over the lazy dog every single day"),
+      // shares exactly one 8-gram window
+      (11L, "watch the quick brown fox jumps over the lazy cat instead"),
+      // disjoint
+      (12L, "completely unrelated words that never appear anywhere in benchmarks")
+    ).toDF("doc_id", "text")
+    val out = Pipelines.decontaminate(corpus, benchmark, shingleN = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(10L)._2 && out(10L)._1 >= 4, s"copy must be flagged: ${out(10L)}")
+    assert(out(11L) == ((1L, true)), s"one shared 8-gram: ${out(11L)}")
+    assert(out(12L) == ((0L, false)), s"clean doc: ${out(12L)}")
+  }
+
   test("cosine: identity is 1.0, orthogonal is 0.0") {
     import session.implicits._
     val v = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
