@@ -156,6 +156,33 @@ object TextFunctions {
   def langScores(text: Column): Seq[(String, Column)] =
     LangMarkers.map { case (lang, words) => lang -> markerCount(text, words) }
 
+  // -- PII scrubbing (C4-style pre-release redaction) ------------------------
+
+  /** RE2-safe patterns (no lookaround, no Java-only classes) — the SAME
+    * regex text runs in Spark (Java regex) and DuckDB (RE2), which agree on
+    * every construct used here. Deliberately high-recall/simple: redaction
+    * is a pre-release safety net, not an extraction task. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Count of pattern occurrences in the ORIGINAL text (counts are
+    * independent per category; redaction order does not affect them). */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(EmailRe)),
+    "n_ips" -> regexp_count(text, lit(Ipv4Re)),
+    "n_phones" -> regexp_count(text, lit(PhoneRe)))
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, phone numbers → `<PHONE>`,
+    * applied IN THAT ORDER (fixed order keeps the output deterministic when
+    * categories could overlap textually). Pure codegen'd Column tree. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Winning language (ties → first in [[LangMarkers]] order); "und"
     * (undetermined) when no marker hits at all. */
   def langId(text: Column): Column = {

@@ -110,6 +110,38 @@ object TextPack extends QueryPack {
       graft.llm.Pipelines.decontaminate(corpus, benchmark, shingleN = 8)
         .orderBy(col("doc_id"))
     },
+    "q_text_redact" -> { (s, dir) =>
+      // PII scrubbing: the corpus has no organic PII, so synthetic emails /
+      // IPs / phone numbers are appended to the first 50 docs (mirrored in
+      // the oracle) — a redactor that misses a category, or mangles clean
+      // text, fails the per-doc counts or the redacted-text fingerprint.
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"), when(col("doc_id") < 50,
+          concat(col("text"),
+            lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@example.com or 555-123-4567"),
+            lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit(".17")))
+          .otherwise(col("text")).as("text"))
+      planted.select(
+        Seq(col("doc_id")) ++
+          TF.piiCounts(col("text")).map { case (n, c) => c.cast("long").as(n) } :+
+          md5(TF.redactPii(col("text"))).as("redacted_fp"): _*)
+        .orderBy(col("doc_id"))
+    },
+    "q_pack_bins" -> { (s, dir) =>
+      // Greedy sequence packing: docs concatenated in id order within 4
+      // shards, cut into 2048-token bins; per (shard, bin) document counts
+      // and token sums are re-derived by the oracle's own window cumsum.
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(4L)).cast("int"))
+      graft.llm.Packing.packBins(docs, "shard", "doc_id",
+          TF.tokenCount(col("text")), maxTokens = 2048L)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("sum_tokens"))
+        .orderBy(col("shard"), col("bin"))
+    },
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
         .select(col("keep_id"), col("n_copies"))
@@ -344,6 +376,39 @@ object TextPack extends QueryPack {
         |FROM pairs p LEFT JOIN inter USING (doc_a, doc_b)
         |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
         |ORDER BY doc_a""".stripMargin,
+    // same planted PII, same RE2 regexes (DuckDB single-quoted strings pass
+    // backslashes through verbatim), same redaction order → identical
+    // counts and redacted-text fingerprints
+    "q_text_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < 50
+         |         THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) ||
+         |              '@example.com or 555-123-4567' || ' from 10.0.' ||
+         |              CAST(doc_id % 256 AS VARCHAR) || '.17'
+         |         ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TF.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TF.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${TF.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TF.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TF.Ipv4Re}', '<IP>', 'g'),
+         |    '${TF.PhoneRe}', '<PHONE>', 'g')) AS redacted_fp
+         |FROM planted ORDER BY doc_id""".stripMargin,
+    // the oracle re-runs the same per-shard window cumsum and bin cut
+    "q_pack_bins" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard, len($W) AS tokens
+         |  FROM documents),
+         |p AS (SELECT shard, tokens,
+         |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM d)
+         |SELECT shard, start_offset // 2048 AS bin, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS sum_tokens
+         |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     // the sample is re-derived exactly: same md5-nibble bucket, same
     // per-stratum thresholds (long=10000/10000, short=2000/10000)
     "q_sample_stratified" ->

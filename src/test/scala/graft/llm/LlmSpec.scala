@@ -160,6 +160,38 @@ class LlmSpec extends SparkSpec {
     assert(out(12L) == ((0L, false)), s"clean doc: ${out(12L)}")
   }
 
+  test("redactPii: every category replaced, clean text untouched, counts exact") {
+    import session.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c@test-site.org or call +1 555-123-4567 from 192.168.0.1 now"),
+      (2L, "no pii here, just words and numbers like 42 and 3.14")).toDF("doc_id", "text")
+    val out = rows.select(
+      Seq(col("doc_id"), TextFunctions.redactPii(col("text")).as("red")) ++
+        TextFunctions.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val red1 = out(1L).getString(1)
+    assert(red1.contains("<EMAIL>") && red1.contains("<PHONE>") && red1.contains("<IP>"), red1)
+    assert(!red1.contains("@") && !red1.contains("192.168"), red1)
+    assert(out(1L).getInt(2) == 1 && out(1L).getInt(3) == 1 && out(1L).getInt(4) == 1)
+    assert(out(2L).getString(1) == "no pii here, just words and numbers like 42 and 3.14")
+    assert(out(2L).getInt(2) == 0 && out(2L).getInt(3) == 0 && out(2L).getInt(4) == 0)
+  }
+
+  test("packBins: per-shard greedy bins respect the token budget boundaries") {
+    import session.implicits._
+    // shard 0: token counts 1000, 1500, 600, 2048 → starts 0,1000,2500,3100
+    // → bins 0,0,1,1 ; shard 1: 3000, 10 → bins 0,1
+    val rows = Seq(
+      (0L, 0, 1000L), (1L, 0, 1500L), (2L, 0, 600L), (3L, 0, 2048L),
+      (10L, 1, 3000L), (11L, 1, 10L)).toDF("doc_id", "shard", "tokens")
+    val out = Packing.packBins(rows, "shard", "doc_id", col("tokens"), 2048L)
+      .select("doc_id", "start_offset", "bin")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((0L, 0L)) && out(1L) == ((1000L, 0L)))
+    assert(out(2L) == ((2500L, 1L)) && out(3L) == ((3100L, 1L)))
+    assert(out(10L) == ((0L, 0L)) && out(11L) == ((3000L, 1L)))
+  }
+
   test("cosine: identity is 1.0, orthogonal is 0.0") {
     import session.implicits._
     val v = Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
