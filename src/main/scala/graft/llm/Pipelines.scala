@@ -75,10 +75,19 @@ object Pipelines {
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleN: Int = 8, minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
-    val corpusShingles = docs.select(col(idCol),
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))).as("s"))
-    val benchShingles = benchmark.select(
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), shingleN))).as("s"))
+    // Tokenize BEFORE an exchange so the shingle lambda reads a
+    // materialized array O(1) per element — wordShingles() inline would
+    // re-split the text once per element access (the interpreted-HOF
+    // O(tokens²) trap; see Dedup.nearDuplicates / shinglesFromTokens docs).
+    val corpusShingles = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+    val benchShingles = benchmark
+      .select(TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col("w")) // tiny side: the exchange materializes w
+      .select(explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
       .distinct()
     val hits = corpusShingles.join(benchShingles, "s")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))

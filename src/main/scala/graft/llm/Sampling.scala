@@ -15,17 +15,21 @@ import org.apache.spark.sql.functions._
  *
  * The hash is the first four hex nibbles of `md5(key)` — chosen (over
  * xxhash64, which DuckDB lacks) so the decision is reproducible in plain
- * SQL anywhere. One filter, no shuffle, fully codegen'd.
+ * SQL anywhere. One filter, no shuffle, fully codegen'd. Fractions are
+ * honored in steps of 1/65536 with no modulo bias.
  */
 object Sampling {
 
-  /** Bucket resolution: fractions are honored in steps of 1/10000. */
-  val Buckets = 10000
+  /** Bucket resolution: the full 16-bit hash domain. Using the domain size
+    * itself (not a mod by a smaller round number) keeps the bucket exactly
+    * uniform — `x % 10000` over 65536 preimages would give 5536 buckets 7
+    * preimages and the rest 6, a systematic ~7% relative over-sample. */
+  val Buckets = 65536
 
-  /** Deterministic per-row bucket in [0, Buckets). */
+  /** Deterministic per-row bucket in [0, Buckets) — exactly uniform over
+    * the md5 16-bit prefix. */
   def bucket(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long"),
-      lit(Buckets.toLong))
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
 
   /** Keep rows with `bucket(key) < fraction·Buckets` — a repeatable
     * `fraction`-sample of the corpus. */

@@ -231,9 +231,7 @@ object TextPack extends QueryPack {
     * and the pipeline oracle so the shingle semantics stay in lockstep. */
   private def jaccardCtes(rel: String): String =
     s"""dw AS (SELECT doc_id, $W AS w FROM $rel),
-       |shg AS (SELECT DISTINCT doc_id,
-       |         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-       |                ELSE [w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)] END) AS s
+       |shg AS (SELECT DISTINCT doc_id, unnest(${shingleListSql(3)}) AS s
        |        FROM dw),
        |cnt AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
@@ -241,11 +239,11 @@ object TextPack extends QueryPack {
        |          GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB mirror of `Sampling.bucket`: first four md5 hex nibbles of the
-    * stringified key, mod 10000. */
+    * stringified key as a 16-bit value (no mod — exactly uniform). */
   private def bucketSql(keyExpr: String): String = {
     val nib = (i: Int) =>
       s"(strpos('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), $i, 1)) - 1)"
-    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % 10000)"
+    s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"
   }
 
   /** DuckDB mirror of `TextFunctions.wordShingles(text, n)` over a token
@@ -410,7 +408,7 @@ object TextPack extends QueryPack {
          |  CAST(sum(tokens) AS BIGINT) AS sum_tokens
          |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     // the sample is re-derived exactly: same md5-nibble bucket, same
-    // per-stratum thresholds (long=10000/10000, short=2000/10000)
+    // per-stratum thresholds (long=65536/65536, short=round(0.2*65536))
     "q_sample_stratified" ->
       s"""WITH d AS (
          |  SELECT doc_id,
@@ -418,7 +416,7 @@ object TextPack extends QueryPack {
          |    ${bucketSql("doc_id")} AS bucket
          |  FROM documents),
          |kept AS (SELECT * FROM d
-         |         WHERE bucket < CASE stratum WHEN 'long' THEN 10000 ELSE 2000 END)
+         |         WHERE bucket < CASE stratum WHEN 'long' THEN 65536 ELSE 13107 END)
          |SELECT stratum, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM kept GROUP BY stratum ORDER BY stratum""".stripMargin,
     // independent 8-gram overlap recount against the same benchmark split
