@@ -107,6 +107,37 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toSet == (for (p <- 0 until 2; i <- 0L until 25L) yield (p, i)).toSet)
   }
 
+  test("streaming exact-dedup: dropDuplicates over the source keeps one row per content") {
+    // the streaming-ingest dedup shape: duplicates arriving across separate
+    // produces (and thus separate micro-batches) collapse to one survivor
+    // via Spark's stateful dropDuplicates — state carries across batches
+    val (_, topic, wh) = newTopic()
+    val producer = topic.producer()
+    (0 until 30).foreach(i => producer.push(s"""{"k":${i % 10}}""")) // 3 copies each
+    producer.flush()
+    (0 until 10).foreach(i => producer.push(s"""{"k":$i}"""))        // 4th copy
+    producer.flush()
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .option("maxEventsPerTrigger", "16") // force multiple micro-batches
+      .load()
+      .dropDuplicates("metadata")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.select("metadata").collect().map(_.getString(0))
+        seen.synchronized { seen ++= rows }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    assert(seen.size == 10, s"expected 10 distinct metadata values, got ${seen.size}")
+    assert(seen.toSet == (0 until 10).map(i => s"""{"k":$i}""").toSet)
+  }
+
   test("maxEventsPerTrigger bounds each micro-batch (admission control)") {
     val (_, topic, wh) = newTopic()
     produceRange(topic, 0, 40)
