@@ -63,7 +63,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     if (topicExists(name))
       throw new IllegalStateException("Topic already exists")
     fs.mkdirs(topicPath(name))
-    writeAtomic(new Path(topicPath(name), "_topic.json"), config.toJson)
+    writeTopicConfig(config)
     writeAtomic(new Path(topicPath(name), "_ids.json"),
       idsJson((0 until config.partitions).map(_ -> 0L).toMap))
   }
@@ -93,8 +93,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** (mtime, length) keys have millisecond granularity — a same-length
+    * rewrite within one ms (e.g. addPartition "2"→"3") would be invisible
+    * to the key alone, so every config write by THIS catalog instance also
+    * invalidates its entry explicitly (see writeAtomic callers). Cross-
+    * process rapid DDL remains covered by the single-writer contract. */
   private val configCache =
     new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), TopicConfig)]()
+
+  private def writeTopicConfig(config: TopicConfig): Unit = {
+    writeAtomic(new Path(topicPath(config.name), "_topic.json"), config.toJson)
+    configCache.remove(config.name): Unit
+  }
 
   /** C3 `listTopics`. */
   def listTopics(): Seq[String] = {
@@ -114,7 +124,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def addPartition(name: String): Int = {
     val config = openTopic(name)
     val grown = config.copy(partitions = config.partitions + 1)
-    writeAtomic(new Path(topicPath(name), "_topic.json"), grown.toJson)
+    writeTopicConfig(grown)
     val ids = nextIds(name)
     writeNextIds(name, ids + ((grown.partitions - 1) -> 0L))
     grown.partitions
@@ -124,8 +134,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * NoMoreEvents once drained (`MofkaConsumer.cpp:117-132`). */
   def markAsComplete(name: String): Unit = {
     val config = openTopic(name)
-    writeAtomic(new Path(topicPath(name), "_topic.json"),
-      config.copy(completed = true).toJson)
+    writeTopicConfig(config.copy(completed = true))
   }
 
   // -- producer commit state ------------------------------------------------
@@ -234,8 +243,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Option[TopicManifest])]()
 
-  private def writeManifest(name: String, m: TopicManifest): Unit =
+  private def writeManifest(name: String, m: TopicManifest): Unit = {
     writeAtomic(new Path(topicPath(name), "_manifest.json"), m.toJson)
+    // same ms-granularity insurance as writeTopicConfig: our own writes
+    // must never be served stale from the (mtime, length) parse cache
+    manifestCache.remove(name): Unit
+  }
 
   /**
    * Register a produce commit: diff each written partition directory against
