@@ -124,6 +124,28 @@ class DriverSpec extends SparkSpec {
     assert(viaDsv2.toSeq == (0L until 10L))
   }
 
+  test("base64 serializer round-trips arbitrary UTF-8 metadata exactly") {
+    import org.apache.spark.sql.functions._
+    val d = freshDriver()
+    d.createTopic("b64u", partitions = 2, serializer = Serializer.Base64)
+    val metas = Seq(
+      """{"s":"plain ascii"}""",
+      """{"s":"quotes \" and \\ backslashes"}""",
+      """{"s":"unicode: éü中文 😀"}""", // éü中文 😀
+      """{"s":"newline\nand\ttab"}""",
+      """{"s":""}""")
+    val producer = d.openTopic("b64u").producer()
+    metas.foreach(m => producer.push(m))
+    producer.flush()
+    val viaEngine = d.openTopic("b64u").events()
+      .select(col("metadata")).collect().map(_.getString(0)).toSet
+    assert(viaEngine == metas.toSet, viaEngine.mkString("; "))
+    val viaDsv2 = spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "b64u").load()
+      .select(col("metadata")).collect().map(_.getString(0)).toSet
+    assert(viaDsv2 == metas.toSet, viaDsv2.mkString("; "))
+  }
+
   test("multi-topic events() unions logs with a topic tag") {
     import org.apache.spark.sql.functions._
     val d = freshDriver()
