@@ -23,12 +23,18 @@ object Bench {
     try {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       val wh = java.nio.file.Files.createTempDirectory("graft-bench-warmup")
+      sys.addShutdownHook { // the warm-up topic must not accumulate per run
+        import scala.jdk.CollectionConverters._
+        try java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       val d = new graft.engine.GraftDriver(spark, wh.toString)
       d.createTopic("warmup", partitions = 1)
       import spark.implicits._
       d.openTopic("warmup").producer().produce(Seq("""{"w":1}""").toDF("metadata"))
       d.openTopic("warmup").events().count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () } // fatal errors propagate
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

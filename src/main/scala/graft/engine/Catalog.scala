@@ -75,10 +75,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * the entry. */
   def openTopic(name: String): TopicConfig = {
     val p = new Path(topicPath(name), "_topic.json")
-    val status =
-      try Some(fs.getFileStatus(p))
-      catch { case _: java.io.FileNotFoundException => None }
-    status match {
+    statResilient(p) match {
       case None => throw new NoSuchElementException(s"""Topic "$name" not found""")
       case Some(st) =>
         val key = (st.getModificationTime, st.getLen)
@@ -214,10 +211,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    */
   def readManifest(name: String): Option[TopicManifest] = {
     val p = new Path(topicPath(name), "_manifest.json")
-    val status =
-      try Some(fs.getFileStatus(p))
-      catch { case _: java.io.FileNotFoundException => None }
-    status match {
+    statResilient(p) match {
       case None => None
       case Some(st) =>
         // (mtime, length)-keyed parse cache: trigger planning calls this
@@ -281,6 +275,37 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     writeManifest(name, TopicManifest(prior.watermarks ++ newNext, files))
   }
 
+  /**
+   * Crash hygiene, run at produce start (BEFORE this produce writes
+   * anything): delete chunk files that are not in the manifest AND whose
+   * footer id range starts at or above the committed watermark. Such files
+   * can only be the output of a produce that died (or aborted on the
+   * compaction guard) between its parquet write and its id commit —
+   * leaving them would let this produce assign the same ids again, putting
+   * duplicate (partition, event_id) rows in the log. Must precede the
+   * write: afterwards this produce's own fresh files match the same
+   * signature. Pre-manifest topics skip (unknown-file set is undefined
+   * there); the listing cost mirrors what updateManifest already pays per
+   * produce.
+   */
+  def purgeUncommitted(name: String): Unit = readManifest(name).foreach { m =>
+    val next = nextIds(name)
+    val conf = hadoopConf
+    next.foreach { case (p, watermark) =>
+      val dir = new Path(logPath(name), s"partition=$p")
+      if (fs.exists(dir)) {
+        val known = m.files.getOrElse(p, Vector.empty).map(_.path).toSet
+        fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .filterNot(f => known.contains(s"partition=$p/${f.getPath.getName}"))
+          .foreach { f =>
+            val (lo, _) = Catalog.fileIdRange(f.getPath, conf)
+            if (lo != Long.MinValue && lo >= watermark) fs.delete(f.getPath, false): Unit
+          }
+      }
+    }
+  }
+
   /** Rebuild the manifest wholesale from the log (compaction replaced every
     * file; a fresh listing + footer pass is cheap relative to the rewrite). */
   def rebuildManifest(name: String): Unit = {
@@ -320,18 +345,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * atomic on every filesystem) — the single-writer contract remains the
    * real guarantee; the lock turns an operational mistake into an error.
    */
-  private[engine] def acquireCompactLock(name: String): Unit = {
+  /** Lock age in ms, None when absent. FNF between exists and stat means
+    * the lock was released that instant — treat as absent, never crash the
+    * caller on the race. */
+  private def compactLockAge(name: String): Option[Long] = {
     val p = compactLockPath(name)
-    if (fs.exists(p)) {
-      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
-      if (age < Catalog.CompactLockStaleMs)
+    try {
+      if (!fs.exists(p)) None
+      else Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  private[engine] def acquireCompactLock(name: String): Unit = {
+    compactLockAge(name) match {
+      case Some(age) if age < Catalog.CompactLockStaleMs =>
         throw new IllegalStateException(
-          s"topic '$name': a compaction is already in progress (lock $p, " +
-          s"age ${age / 1000}s) — retry after it finishes, or delete the lock " +
-          "if the compactor crashed")
-      fs.delete(p, false)
+          s"topic '$name': a compaction is already in progress (lock " +
+          s"${compactLockPath(name)}, age ${age / 1000}s) — retry after it " +
+          "finishes, or delete the lock if the compactor crashed")
+      case Some(_) => fs.delete(compactLockPath(name), false): Unit // stale
+      case None =>
     }
-    writeAtomic(p, JsonMethods.compact(JsonMethods.render(JObject(
+    writeAtomic(compactLockPath(name), JsonMethods.compact(JsonMethods.render(JObject(
       "owner" -> JString(java.lang.management.ManagementFactory.getRuntimeMXBean.getName),
       "start" -> JLong(System.currentTimeMillis())))))
   }
@@ -342,16 +377,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** Producer-side guard: refuse to append while a live compaction holds the
     * topic (a produce racing the swap window would land files in the
     * moved-aside log — silent data loss). */
-  private[engine] def failIfCompacting(name: String): Unit = {
-    val p = compactLockPath(name)
-    if (fs.exists(p)) {
-      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+  private[engine] def failIfCompacting(name: String): Unit =
+    compactLockAge(name).foreach { age =>
       if (age < Catalog.CompactLockStaleMs)
         throw new IllegalStateException(
           s"topic '$name': cannot produce while compaction is in progress " +
-          s"(lock $p, age ${age / 1000}s)")
+          s"(lock ${compactLockPath(name)}, age ${age / 1000}s)")
     }
-  }
 
   // -- log maintenance ------------------------------------------------------
 
@@ -480,16 +512,45 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /** Read a small metadata file, tolerating `writeAtomic`'s delete→rename
-    * window: a reader racing a concurrent rewrite retries briefly (renames
-    * complete in microseconds); a file that stays missing reads as None.
-    * Every per-trigger metadata read must come through here — an
-    * exists-then-open pair would crash a streaming query on the race. */
-  private def readStringResilient(p: Path): Option[String] = {
+    * window. Every per-trigger metadata read must come through here — an
+    * exists-then-open pair would crash a streaming query on the race.
+    *
+    * The mid-rewrite window is detected by the writer's temp file
+    * (`.name.tmp`): destination missing + temp present ⇒ a rename is in
+    * flight ⇒ retry briefly. Destination missing + no temp ⇒ genuinely
+    * absent ⇒ return None immediately — the common case (no cursor yet,
+    * pre-manifest topic) pays no retries and no sleeps. If the temp
+    * persists past the retries (writer crashed inside its window), the
+    * destination really is gone — None is the truthful answer. */
+  /** getFileStatus riding `writeAtomic`'s delete→rename window, same
+    * temp-file detection as [[readStringResilient]]: FNF with the writer's
+    * temp present ⇒ a rename is in flight ⇒ retry; FNF with no temp ⇒
+    * genuinely absent (fast path, no sleeps). */
+  private def statResilient(p: Path): Option[org.apache.hadoop.fs.FileStatus] = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     var attempt = 0
-    while (attempt < 3) {
-      if (!fs.exists(p)) return None
-      try return Some(readString(p))
-      catch { case _: java.io.FileNotFoundException => attempt += 1 }
+    while (attempt < 4) {
+      try return Some(fs.getFileStatus(p))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          if (!fs.exists(tmp)) return None
+      }
+      attempt += 1
+      Thread.sleep(2L * attempt)
+    }
+    None
+  }
+
+  private def readStringResilient(p: Path): Option[String] = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    var attempt = 0
+    while (attempt < 4) {
+      try {
+        if (fs.exists(p)) return Some(readString(p))
+        if (!fs.exists(tmp)) return None
+      } catch { case _: java.io.FileNotFoundException => () }
+      attempt += 1
+      Thread.sleep(2L * attempt)
     }
     None
   }

@@ -63,6 +63,10 @@ final class Producer(
     // refuse to append while a live compaction holds the topic — a produce
     // racing the swap window would land in the moved-aside log (data loss)
     catalog.failIfCompacting(config.name)
+    // crash hygiene: a previous produce that died between its parquet write
+    // and its id commit left files above the watermark — delete them before
+    // this produce re-assigns those ids (see Catalog.purgeUncommitted)
+    catalog.purgeUncommitted(config.name)
     val withData =
       if (df.columns.contains("data")) df
       else df.withColumn("data", lit(null).cast(BinaryType))

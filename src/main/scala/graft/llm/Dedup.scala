@@ -251,10 +251,11 @@ object Dedup {
           .bitwiseAND(lit((1L << math.min(bandBits, 62)) - 1))
       }: _*)))
       .toDF("id", "simhash", "band", "bandval")
+    // no second distinct: bandCandidates already returns distinct pairs, and
+    // hamming is a pure function of the carried simhash columns
     bandCandidates(banded, maxBucket, extra = Seq("simhash"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("x_simhash").bitwiseXOR(col("y_simhash"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -48,7 +48,10 @@ object Multimodal {
     * undecodable image payload fails loudly (a corrupt corpus should not
     * silently yield fake dimensions). */
   def decodeImage(r: MediaRecord): MediaMeta = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
+    // MemoryCacheImageInputStream directly: the payload is already fully in
+    // memory — ImageIO.createImageInputStream would default to a DISK-cached
+    // stream, creating+deleting a scratch temp file per record on executors
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(r.payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)

@@ -350,6 +350,40 @@ class ProducerConsumerSpec extends SparkSpec {
     }
   }
 
+  test("produce purges uncommitted chunks from a crashed predecessor (no duplicate ids)") {
+    val (d, topic) = newTopic(partitions = 2)
+    val fs = d.catalog.topicPath("mytopic")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapshot(name: String): Array[Byte] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(d.catalog.topicPath("mytopic"), name))
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    def restore(name: String, bytes: Array[Byte]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(d.catalog.topicPath("mytopic"), name), true)
+      try out.write(bytes) finally out.close()
+    }
+    // committed batch 1
+    val p1 = topic.producer()
+    (0 until 10).foreach(i => p1.push(s"""{"a":$i}""")); p1.flush()
+    val ids = snapshot("_ids.json"); val man = snapshot("_manifest.json")
+    // batch 2 "crashes" after its parquet write: roll the commit state back
+    val p2 = topic.producer()
+    (0 until 6).foreach(i => p2.push(s"""{"b":$i}""")); p2.flush()
+    restore("_ids.json", ids); restore("_manifest.json", man)
+    // batch 3 must purge batch 2's orphans, then reuse those ids cleanly
+    val p3 = topic.producer()
+    (0 until 4).foreach(i => p3.push(s"""{"c":$i}""")); p3.flush()
+    val rows = topic.events()
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"),
+        min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).sum == 14, s"10 committed + 4 new, orphans purged: ${rows.mkString}")
+    rows.foreach { case (p, n, nd, lo, hi) =>
+      assert(n == nd && lo == 0L && hi == n - 1, s"ids not dense on $p: ($n,$nd,$lo,$hi)")
+    }
+  }
+
   test("consumer batchSize bounds each feed; pull still drains everything") {
     val (_, topic) = newTopic()
     produce100(topic)
