@@ -98,6 +98,26 @@ final class TopicHandle(spark: SparkSession,
     new Consumer(spark, catalog, config, s"__scan_${name}", Nil, None)
       .eventsFrom(Map.empty)
 
+  /**
+   * Per-partition operational summary — the library analog of the
+   * reference's `mofkactl topic` inspection surface: committed event count
+   * (= the id watermark, ids are dense from 0), registered chunk-file count
+   * (from the manifest; -1 when the topic predates manifests), and the
+   * completion flag. Metadata-only — reads two small catalog files, never
+   * the log itself.
+   */
+  def describe(): DataFrame = {
+    import spark.implicits._
+    val cfg = config
+    val next = catalog.nextIds(name)
+    val files = catalog.readManifest(name).map(_.files)
+    (0 until cfg.partitions).map { p =>
+      (p, next.getOrElse(p, 0L),
+        files.map(_.getOrElse(p, Vector.empty).size.toLong).getOrElse(-1L),
+        cfg.completed)
+    }.toDF("partition", "n_events", "n_files", "completed")
+  }
+
   /** D5 `markAsComplete`. */
   def markAsComplete(): Unit = catalog.markAsComplete(name)
 

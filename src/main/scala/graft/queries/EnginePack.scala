@@ -236,6 +236,20 @@ object EnginePack extends QueryPack {
         .withColumn("dsv2_decoded", lit(dsv2Decoded))
         .orderBy(col("partition"))
     },
+    "q_describe" -> { (s, dir) =>
+      // ops surface: per-partition event counts / chunk-file counts /
+      // completion, assembled from catalog metadata only (no log scan) —
+      // the oracle recomputes the counts from the source table
+      val d = tempDriver(s)
+      d.createTopic("desc_demo", partitions = 4)
+      val topic = d.openTopic("desc_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      topic.markAsComplete()
+      d.openTopic("desc_demo").describe()
+        .withColumn("files_registered", col("n_files") >= 1)
+        .drop("n_files")
+        .orderBy(col("partition"))
+    },
     "q_config_checks" -> { (s, dir) =>
       // F6/C1/C2 error contracts as oracle-visible booleans: duplicate
       // create rejected, unknown topic rejected, invalid names rejected,
@@ -445,6 +459,11 @@ object EnginePack extends QueryPack {
         |SELECT partition, cnt, CAST(0 AS BIGINT) AS min_id, cnt - 1 AS max_id,
         |  3 AS n_partitions
         |FROM base ORDER BY partition""".stripMargin,
+    // metadata-only describe: watermark counts equal the produced counts
+    "q_describe" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS n_events,
+        | true AS completed, true AS files_registered
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // DDL/config error contracts: every rejection fired AND the engine
     // stayed usable afterwards
     "q_config_checks" ->
