@@ -115,6 +115,22 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Fraction (micro-scaled) of repeated word n-gram INSTANCES:
+    * `1 − distinct/total` over the document's own n-gram multiset — the
+    * Gopher-style within-document repetition signal (boilerplate, keyword
+    * stuffing, degenerate generations). Docs shorter than n tokens collapse
+    * to one whole-doc shingle → ratio 0. */
+  def dupShingleRatioMicro(text: Column, n: Int): Column =
+    dupShingleRatioFromTokens(tokens(text), n)
+
+  /** [[dupShingleRatioMicro]] over an already-materialized token array —
+    * prefer behind an exchange (see [[shinglesFromTokens]]'s HOF note). */
+  def dupShingleRatioFromTokens(w: Column, n: Int): Column = {
+    val sh = shinglesFromTokens(w, n)
+    round((lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)) * 1000000)
+      .cast("long")
+  }
+
   /**
    * N-gram shingles from an ALREADY-MATERIALIZED token-array column.
    *

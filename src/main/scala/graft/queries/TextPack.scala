@@ -110,6 +110,25 @@ object TextPack extends QueryPack {
       graft.llm.Pipelines.decontaminate(corpus, benchmark, shingleN = 8)
         .orderBy(col("doc_id"))
     },
+    "q_text_repetition" -> { (s, dir) =>
+      // Gopher-style within-document repetition: duplicate 2-gram/3-gram
+      // instance fractions, plus a planted degenerate doc (one phrase
+      // repeated 40×) that must score near-maximal — catching a vacuous
+      // ratio that returns 0 everywhere. Tokens materialize behind the
+      // exchange so the shingle lambdas stay O(tokens) per doc.
+      import s.implicits._
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(Seq(
+        (3000000L, Seq.fill(40)("buy cheap stuff now").mkString(" ")))
+        .toDF("doc_id", "text"))
+      corpus
+        .select(col("doc_id"), TF.tokens(col("text")).as("w"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          TF.dupShingleRatioFromTokens(col("w"), 2).as("dup2_micro"),
+          TF.dupShingleRatioFromTokens(col("w"), 3).as("dup3_micro"))
+        .orderBy(col("doc_id"))
+    },
     "q_text_redact" -> { (s, dir) =>
       // PII scrubbing: the corpus has no organic PII, so synthetic emails /
       // IPs / phone numbers are appended to the first 50 docs (mirrored in
@@ -374,6 +393,19 @@ object TextPack extends QueryPack {
         |FROM pairs p LEFT JOIN inter USING (doc_a, doc_b)
         |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
         |ORDER BY doc_a""".stripMargin,
+    // same planted degenerate doc; duplicate-instance fractions re-derived
+    // from the shared shingle-list fragment
+    "q_text_repetition" -> {
+      def ratio(n: Int) =
+        s"CAST(round((1.0 - len(list_distinct(${shingleListSql(n)})) * 1.0 / len(${shingleListSql(n)})) * 1000000) AS BIGINT)"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 3000000, trim(repeat('buy cheap stuff now ', 40))),
+         |dw AS (SELECT doc_id, $W AS w FROM corpus)
+         |SELECT doc_id, ${ratio(2)} AS dup2_micro, ${ratio(3)} AS dup3_micro
+         |FROM dw ORDER BY doc_id""".stripMargin
+    },
     // same planted PII, same RE2 regexes (DuckDB single-quoted strings pass
     // backslashes through verbatim), same redaction order → identical
     // counts and redacted-text fingerprints

@@ -160,6 +160,19 @@ class LlmSpec extends SparkSpec {
     assert(out(12L) == ((0L, false)), s"clean doc: ${out(12L)}")
   }
 
+  test("dupShingleRatio: degenerate repetition near-max, unique text zero, short doc zero") {
+    import session.implicits._
+    val rows = Seq(
+      (1L, Seq.fill(30)("spam phrase here").mkString(" ")), // degenerate
+      (2L, "every word in this sentence appears exactly once today"),
+      (3L, "hi")).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      TextFunctions.dupShingleRatioMicro(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) > 900000L, s"degenerate doc must be near 1.0: ${out(1L)}")
+    assert(out(2L) == 0L && out(3L) == 0L)
+  }
+
   test("redactPii: every category replaced, clean text untouched, counts exact") {
     import session.implicits._
     val rows = Seq(
