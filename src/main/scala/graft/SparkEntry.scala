@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered query packs. */
   private val packs: Seq[QueryPack] =
-    Seq(Relational, EventPack, EnginePack, TextPack, VectorPack, AdvancedPack)
+    Seq(Relational, EventPack, EnginePack, TextPack, VectorPack, AdvancedPack,
+      AnalyticsPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

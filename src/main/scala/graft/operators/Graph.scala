@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components — the clustering step a dedup pipeline
+ * needs after candidate-pair generation: LSH/simhash emit near-duplicate
+ * PAIRS, but "keep one document per duplicate group" requires the transitive
+ * closure of those pairs (A~B, B~C ⇒ {A,B,C} is one group even when A~C was
+ * never emitted).
+ *
+ * Reference behavior: mofka has no graph operator (dedup is the north-star
+ * extension surface); the algorithm is the standard min-label propagation
+ * with path halving (cf. Kiveris et al., "Connected Components in MapReduce
+ * and Beyond", SoCC'14 — the two-phase star operations there; path halving
+ * gives the same O(log d) round bound for the monotone-min variant used
+ * here).
+ *
+ * Scale shape (100 TB): every round is two key-equality shuffles (one join
+ * edges⋈labels on src, one min-aggregate on node) plus one self-join of the
+ * label table for the pointer jump — no cross join, no driver-side data.
+ * Labels only ever DECREASE toward the component minimum, so the pointer
+ * jump L(v) ← min(L(v), L(L(v))) is safe (every label value is itself a
+ * node id of the same component) and halves label-chain depth each round:
+ * convergence in O(log diameter) rounds rather than O(diameter). Each round
+ * is `localCheckpoint`ed so the plan stays O(1) deep instead of growing with
+ * the iteration count (lineage blowup is the classic iterative-DataFrame
+ * trap). The per-round convergence check is one cheap anti-join count.
+ */
+object Graph {
+
+  /**
+   * Connected components of the undirected graph given by `edges`.
+   *
+   * @param edges  two-column edge list (direction irrelevant; self-loops and
+   *               duplicates tolerated)
+   * @param src    source id column (castable to long)
+   * @param dst    destination id column
+   * @param nodes  optional single-column node universe: nodes with no edge
+   *               appear in the output as their own singleton component
+   * @param maxIter safety bound on rounds; with path halving a graph needs
+   *               ~log2(diameter)+2 rounds, so the default covers any
+   *               diameter up to ~2^20
+   * @return (node, cluster) where cluster = the minimum node id reachable
+   */
+  def connectedComponents(edges: DataFrame, src: String, dst: String,
+                          nodes: Option[DataFrame] = None,
+                          maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // propagate: every node offers its label to its neighbors
+      val offered = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("cluster"))
+      val prop = offered.union(labels)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      // path halving: follow the label one hop (labels are node ids, so
+      // L(L(v)) is defined whenever L(v) carries a label of its own)
+      val hop = prop.select(col("node").as("cluster"), col("cluster").as("hopped"))
+      val next = prop.join(hop, Seq("cluster"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("hopped"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "node")
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels.unpersist()
+      prop.unpersist()
+      labels = next
+      round += 1
+    }
+    require(converged || round < maxIter,
+      s"connectedComponents did not converge within $maxIter rounds")
+
+    sym.unpersist()
+    nodes match {
+      case None => labels
+      case Some(n) =>
+        val universe = n.select(col(n.columns.head).cast("long").as("node"))
+        universe.join(labels, Seq("node"), "left")
+          .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+    }
+  }
+}

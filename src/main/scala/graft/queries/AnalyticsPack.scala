@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Clustering, Dedup, Ranking}
+import graft.operators.Graph
+import Q._
+
+/**
+ * Corpus-analytics and statistics surface: duplicate-cluster connected
+ * components (the transitive-closure step after LSH pair generation), BM25
+ * keyword ranking, k-means assignment, top-terms vocabulary, pivot,
+ * histogram, moment statistics, z-score outliers, and the approx-quantile
+ * sketch contract.
+ *
+ * Oracle notes follow the house rules (exact integers, explicit unique-key
+ * ORDER BY both sides). The connected-components oracle is a DuckDB
+ * recursive CTE — a genuinely independent derivation (sequential transitive
+ * closure) of what the Spark side computes by distributed label propagation.
+ */
+object AnalyticsPack extends QueryPack {
+
+  /** BM25 demo query terms (fixed bag; mixed document frequencies). */
+  private val Bm25Terms = Seq("join", "spark", "vector", "slow")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      // Duplicate GROUPS, not pairs: corpus = documents ∪ planted exact
+      // copies (+1e6) ∪ planted near-copies (+2e6, three appended tokens);
+      // edges = exact-hash pairs ∪ verified LSH near-dup pairs (≥0.9) ∪ a
+      // synthetic diameter-9 chain over ids 100..149 (multi-hop propagation
+      // is exercised for real — path halving needs ~5 rounds there, and the
+      // oracle's recursive closure must agree on every component).
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = docs.filter($"doc_id" < 25)
+      val corpus = docs
+        .union(planted.select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+        .union(planted.select(($"doc_id" + 2000000).as("doc_id"),
+          concat($"text", lit(" zq zq zq")).as("text")))
+      val exact = corpus
+        .select($"doc_id",
+          min($"doc_id").over(Window.partitionBy(md5($"text"))).as("keep"))
+        .filter($"doc_id" =!= $"keep")
+        .select($"keep".as("a"), $"doc_id".as("b"))
+      val near = Dedup.nearDuplicates(corpus, "doc_id", "text",
+          shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
+        .select($"doc_a".as("a"), $"doc_b".as("b"))
+      val chain = corpus
+        .filter($"doc_id".between(100, 148) && $"doc_id" % 10 =!= 9)
+        .select($"doc_id".as("a"), ($"doc_id" + 1).as("b"))
+      Graph.connectedComponents(exact.union(near).union(chain), "a", "b",
+          nodes = Some(corpus.select($"doc_id")))
+        .select($"node".as("doc_id"), $"cluster",
+          count(lit(1)).over(Window.partitionBy($"cluster")).as("csize"))
+        .orderBy($"doc_id")
+    },
+    "q_text_bm25" -> { (s, dir) =>
+      import s.implicits._
+      Ranking.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Bm25Terms, k1 = Bm25K1, b = Bm25B)
+        .select($"doc_id", $"n_terms", micros($"score").as("score_micro"))
+        .orderBy($"doc_id")
+    },
+    "q_text_top_terms" -> { (s, dir) =>
+      import s.implicits._
+      Ranking.topTerms(t(s, dir, "documents"), "text", k = 25)
+        .orderBy($"n".desc, $"tok")
+    },
+    "q_kmeans_assign" -> { (s, dir) =>
+      import s.implicits._
+      // k-means assignment kernel (the per-round hot path of Clustering
+      // .lloyd, whose full iteration loop is spec-tested): deterministic
+      // seed = the 8 lowest-id vectors, squared-L2, ties → lowest centroid
+      val emb = t(s, dir, "embeddings")
+      val points = emb.select($"vec_id".as("id"), $"embedding".as("vec"))
+      val centroids = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      Clustering.assignNearest(points, centroids)
+        .select($"id".as("vec_id"), $"cluster", $"d2_micro")
+        .orderBy($"vec_id")
+    },
+    "q_pivot" -> { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    },
+    "q_agg_histogram" -> { (s, dir) =>
+      import s.implicits._
+      // equi-width $1000 price histogram — binning in exact integer cents
+      // (double division at bucket boundaries is not engine-portable)
+      t(s, dir, "lineitem")
+        .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
+        .groupBy(expr("cents div 100000").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_c"))
+        .orderBy($"bucket")
+    },
+    "q_agg_stats" -> { (s, dir) =>
+      import s.implicits._
+      // second-moment statistics: correlation, covariance, stddev, variance
+      // (micros over small-magnitude columns — quantity ≤ 50, discount ≤
+      // 0.1 — so cross-engine merge-order fp noise is far below rounding)
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          micros(corr($"l_quantity", $"l_extendedprice")).as("corr_qp_micro"),
+          micros(covar_samp($"l_quantity", $"l_discount")).as("cov_qd_micro"),
+          micros(stddev_samp($"l_quantity")).as("sd_q_micro"),
+          micros(var_samp($"l_discount")).as("var_d_micro"))
+        .orderBy($"l_returnflag")
+    },
+    "q_events_outliers" -> { (s, dir) =>
+      import s.implicits._
+      // z-score anomaly flagging per event type; the grouped moments come
+      // from an unbounded window (one pass, no second join)
+      val w = Window.partitionBy($"event_type")
+      t(s, dir, "events")
+        .withColumn("z", ($"value" - avg($"value").over(w)) / stddev_samp($"value").over(w))
+        .filter(abs($"z") > lit(2.5))
+        .select($"event_id", $"event_type", micros($"z").as("z_micro"))
+        .orderBy($"event_id")
+    },
+    "q_agg_approx_quantile" -> { (s, dir) =>
+      import s.implicits._
+      // sketch contract, like q_agg_approx_distinct: the oracle states the
+      // exact median (1e4 scale — integral, see q_agg_percentile) plus a
+      // Spark-computed boolean that the approx sketch landed within 1%
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_med"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+        .select($"l_returnflag",
+          round($"exact_med" * 10000).cast("long").as("exact_med_tc"),
+          (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.01).as("within_1pct"))
+        .orderBy($"l_returnflag")
+    },
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private val W = TextPack.W
+
+  override def oracles: Map[String, String] = Map(
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' zq zq zq' FROM documents WHERE doc_id < 25),
+         |${TextPack.jaccardCtes("corpus")},
+         |nd AS (SELECT da AS a, db AS b FROM inter
+         |       JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |       WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9),
+         |ex AS (SELECT keep AS a, doc_id AS b FROM (
+         |         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+         |         FROM corpus) x
+         |       WHERE doc_id != keep),
+         |ch AS (SELECT doc_id AS a, doc_id + 1 AS b FROM corpus
+         |       WHERE doc_id BETWEEN 100 AND 148 AND doc_id % 10 != 9),
+         |edges AS (SELECT a, b FROM nd UNION SELECT a, b FROM ex UNION SELECT a, b FROM ch),
+         |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+         |reach AS (SELECT doc_id AS node, doc_id AS r FROM corpus
+         |          UNION
+         |          SELECT s.b AS node, reach.r AS r FROM reach JOIN sym s ON s.a = reach.node)
+         |SELECT node AS doc_id, cluster,
+         |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize
+         |FROM (SELECT node, min(r) AS cluster FROM reach GROUP BY node) c
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dw AS (SELECT doc_id, $W AS w FROM documents),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM dw),
+         |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM dw) x
+         |       WHERE tok IN ($termList) GROUP BY 1, 2),
+         |idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(round(sum(
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |    * (tf * ${Bm25K1 + 1.0}) / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))
+         |  ) * 1000000) AS BIGINT) AS score_micro
+         |FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), g
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_text_top_terms" ->
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($W) AS tok FROM documents) x
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 25""".stripMargin,
+    "q_kmeans_assign" -> {
+      def dot(x: String, y: String) =
+        s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1,65)])"
+      val d2 = s"${dot("e.embedding", "e.embedding")} + ${dot("c.embedding", "c.embedding")}" +
+        s" - 2.0 * ${dot("e.embedding", "c.embedding")}"
+      s"""WITH scored AS (
+         |  SELECT e.vec_id, c.vec_id AS cid,
+         |    CAST(round(($d2) * 1000000) AS BIGINT) AS d2_micro
+         |  FROM embeddings e, embeddings c WHERE c.vec_id < 8)
+         |SELECT vec_id, cid AS cluster, d2_micro FROM (
+         |  SELECT vec_id, cid, d2_micro,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2_micro, cid) AS rk
+         |  FROM scored) r
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    },
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 100000 AS bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(corr(l_quantity, l_extendedprice) * 1000000) AS BIGINT) AS corr_qp_micro,
+        | CAST(round(covar_samp(l_quantity, l_discount) * 1000000) AS BIGINT) AS cov_qd_micro,
+        | CAST(round(stddev_samp(l_quantity) * 1000000) AS BIGINT) AS sd_q_micro,
+        | CAST(round(var_samp(l_discount) * 1000000) AS BIGINT) AS var_d_micro
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_events_outliers" ->
+      """SELECT event_id, event_type, CAST(round(z * 1000000) AS BIGINT) AS z_micro
+        |FROM (SELECT event_id, event_type,
+        |        (value - avg(value) OVER (PARTITION BY event_type))
+        |          / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+        |      FROM events) s
+        |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
+    "q_agg_approx_quantile" ->
+      """SELECT l_returnflag,
+        | CAST(round(quantile_cont(l_extendedprice, 0.5) * 10000) AS BIGINT) AS exact_med_tc,
+        | true AS within_1pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -225,7 +225,7 @@ object TextPack extends QueryPack {
 
   // whitespace class shared verbatim with the Spark side (TF.Ws): Java \s
   // and RE2 \s disagree on \x0B, an explicit class cannot
-  private val W = s"string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
+  private[queries] val W = s"string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
 
   // SQL mirrors of the TF quality signals — single definitions shared by
   // every oracle that states the quality gate, so the gate cannot drift
@@ -248,7 +248,7 @@ object TextPack extends QueryPack {
     * produces `shg` (distinct shingles), `cnt`, and `inter` (pair
     * intersections, doc_a < doc_b) — shared by the minhash-recall oracle
     * and the pipeline oracle so the shingle semantics stay in lockstep. */
-  private def jaccardCtes(rel: String): String =
+  private[queries] def jaccardCtes(rel: String): String =
     s"""dw AS (SELECT doc_id, $W AS w FROM $rel),
        |shg AS (SELECT DISTINCT doc_id, unnest(${shingleListSql(3)}) AS s
        |        FROM dw),
