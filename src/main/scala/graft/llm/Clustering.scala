@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -12,34 +11,46 @@ import org.apache.spark.sql.functions._
  * K-means with deterministic seeding (the k lowest-id points) so runs are
  * reproducible across engines and restarts — no RNG anywhere.
  *
- * Scale shape (100 TB): each Lloyd round is one broadcast of the k centroids
- * against the (never-shuffled) point table for assignment, then one
- * explode-by-dimension aggregate for the new means — shuffle volume is
- * O(k · dims), independent of corpus size. Rounds are `localCheckpoint`ed to
- * keep the plan depth constant across iterations.
+ * Scale shape (100 TB): assignment is a broadcast of the k centroids against
+ * the point table, reduced by a map-side-combined `min(struct(dist, cid))`
+ * aggregation — the n·k scored rows collapse to one row per point BEFORE the
+ * exchange, so shuffle volume is ~n rows (not n·k, as a ranking window would
+ * force). The centroid update explodes by dimension into a (cid, pos)
+ * aggregate whose partial combine leaves O(partitions · k · dims) rows on
+ * the wire. Assignment carries the vector through, so Lloyd never re-joins
+ * the corpus. Rounds are `localCheckpoint`ed to keep plan depth constant.
  */
 object Clustering {
+
+  /** Assignment with the point vector carried through (fuels [[lloyd]]'s
+    * centroid update without a second corpus shuffle). */
+  private def assignCarry(points: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = Similarity.dot(col("vec"), col("vec")) +
+      Similarity.dot(col("cvec"), col("cvec")) -
+      lit(2.0) * Similarity.dot(col("vec"), col("cvec"))
+    points.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"),
+        struct(round(d2 * 1000000).cast("long").as("d2_micro"),
+          col("cid").as("cluster")).as("cand"))
+      .groupBy(col("id"))
+      .agg(min(col("cand")).as("best"), first(col("vec")).as("vec"))
+      .select(col("id"), col("best.cluster").as("cluster"),
+        col("best.d2_micro").as("d2_micro"), col("vec"))
+  }
 
   /**
    * Nearest centroid per point by squared L2 distance, deterministic:
    * distances are compared at 1e-6 resolution with ties broken by centroid
-   * id, so the assignment is reproducible bit-for-bit across engines (the
-   * distance itself is a sequential fold — see [[Similarity.dot]]).
+   * id (lexicographic `min` over a (d2, cid) struct), so the assignment is
+   * reproducible bit-for-bit across engines (the distance itself is a
+   * sequential fold — see [[Similarity.dot]]).
    *
    * @param points    (id, vec)
    * @param centroids (cid, cvec) — small; broadcast
    * @return (id, cluster, d2_micro)
    */
-  def assignNearest(points: DataFrame, centroids: DataFrame): DataFrame = {
-    val d2 = Similarity.dot(col("vec"), col("vec")) +
-      Similarity.dot(col("cvec"), col("cvec")) -
-      lit(2.0) * Similarity.dot(col("vec"), col("cvec"))
-    val scored = points.crossJoin(broadcast(centroids))
-      .select(col("id"), col("cid"), round(d2 * 1000000).cast("long").as("d2_micro"))
-    val w = Window.partitionBy(col("id")).orderBy(col("d2_micro"), col("cid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("id"), col("cid").as("cluster"), col("d2_micro"))
-  }
+  def assignNearest(points: DataFrame, centroids: DataFrame): DataFrame =
+    assignCarry(points, centroids).drop("vec")
 
   /**
    * Lloyd's algorithm for `iters` rounds from the deterministic seed.
@@ -51,9 +62,9 @@ object Clustering {
     var centroids = points.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec"))
       .localCheckpoint(true)
-    var assigned = assignNearest(points, centroids)
+    var assigned = assignCarry(points, centroids)
     for (_ <- 1 to iters) {
-      val means = points.join(assigned, "id")
+      val means = assigned
         .select(col("cluster").as("cid"), posexplode(col("vec").cast("array<double>")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
         .groupBy(col("cid"))
@@ -65,8 +76,8 @@ object Clustering {
         .join(means.as("new"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("new.cvec"), col("old.cvec")).as("cvec"))
         .localCheckpoint(true)
-      assigned = assignNearest(points, centroids)
+      assigned = assignCarry(points, centroids)
     }
-    assigned
+    assigned.drop("vec")
   }
 }

@@ -53,7 +53,10 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = sym.select(col("src").as("node")).distinct()
+    // label table from the PRE-filter endpoints: a node whose only edge is a
+    // self-loop still owns a singleton component
+    var labels = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint(true)
 
@@ -82,7 +85,7 @@ object Graph {
       labels = next
       round += 1
     }
-    require(converged || round < maxIter,
+    require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
 
     sym.unpersist()

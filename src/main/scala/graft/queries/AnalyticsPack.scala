@@ -47,12 +47,20 @@ object AnalyticsPack extends QueryPack {
           min($"doc_id").over(Window.partitionBy(md5($"text"))).as("keep"))
         .filter($"doc_id" =!= $"keep")
         .select($"keep".as("a"), $"doc_id".as("b"))
+      // LSH recall stance mirrors q_dedup_minhash: the oracle derives edges
+      // from exhaustive all-pairs Jaccard, so banded-LSH recall itself is
+      // being graded (planted pairs sit at j ∈ {1.0} ∪ [0.9, 0.97]; miss
+      // probability ≤ 2e-4 per 0.90-pair, frozen corpus verified green)
       val near = Dedup.nearDuplicates(corpus, "doc_id", "text",
           shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.9)
         .select($"doc_a".as("a"), $"doc_b".as("b"))
+      // chain edges only between ids that BOTH exist in the corpus — the
+      // oracle's recursive closure would otherwise propagate to phantom
+      // endpoints the Spark universe join drops
       val chain = corpus
         .filter($"doc_id".between(100, 148) && $"doc_id" % 10 =!= 9)
         .select($"doc_id".as("a"), ($"doc_id" + 1).as("b"))
+        .join(corpus.select($"doc_id".as("b")), Seq("b"), "left_semi")
       Graph.connectedComponents(exact.union(near).union(chain), "a", "b",
           nodes = Some(corpus.select($"doc_id")))
         .select($"node".as("doc_id"), $"cluster",
@@ -101,7 +109,7 @@ object AnalyticsPack extends QueryPack {
       // equi-width $1000 price histogram — binning in exact integer cents
       // (double division at bucket boundaries is not engine-portable)
       t(s, dir, "lineitem")
-        .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
+        .withColumn("cents", cents($"l_extendedprice"))
         .groupBy(expr("cents div 100000").as("bucket"))
         .agg(count(lit(1)).as("n"), sum($"cents").as("sum_c"))
         .orderBy($"bucket")
@@ -110,14 +118,18 @@ object AnalyticsPack extends QueryPack {
       import s.implicits._
       // second-moment statistics: correlation, covariance, stddev, variance
       // (micros over small-magnitude columns — quantity ≤ 50, discount ≤
-      // 0.1 — so cross-engine merge-order fp noise is far below rounding)
+      // 0.1 — so cross-engine merge-order fp noise is far below rounding).
+      // Degenerate groups (single row / zero variance) are NaN in Spark but
+      // NULL in DuckDB — map NaN to NULL so the contract holds on any data.
+      def nanNull(c: org.apache.spark.sql.Column) =
+        when(isnan(c), lit(null)).otherwise(c)
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"),
-          micros(corr($"l_quantity", $"l_extendedprice")).as("corr_qp_micro"),
-          micros(covar_samp($"l_quantity", $"l_discount")).as("cov_qd_micro"),
-          micros(stddev_samp($"l_quantity")).as("sd_q_micro"),
-          micros(var_samp($"l_discount")).as("var_d_micro"))
+          micros(nanNull(corr($"l_quantity", $"l_extendedprice"))).as("corr_qp_micro"),
+          micros(nanNull(covar_samp($"l_quantity", $"l_discount"))).as("cov_qd_micro"),
+          micros(nanNull(stddev_samp($"l_quantity"))).as("sd_q_micro"),
+          micros(nanNull(var_samp($"l_discount"))).as("var_d_micro"))
         .orderBy($"l_returnflag")
     },
     "q_events_outliers" -> { (s, dir) =>
@@ -167,8 +179,9 @@ object AnalyticsPack extends QueryPack {
          |         SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
          |         FROM corpus) x
          |       WHERE doc_id != keep),
-         |ch AS (SELECT doc_id AS a, doc_id + 1 AS b FROM corpus
-         |       WHERE doc_id BETWEEN 100 AND 148 AND doc_id % 10 != 9),
+         |ch AS (SELECT ca.doc_id AS a, cb.doc_id AS b
+         |       FROM corpus ca JOIN corpus cb ON cb.doc_id = ca.doc_id + 1
+         |       WHERE ca.doc_id BETWEEN 100 AND 148 AND ca.doc_id % 10 != 9),
          |edges AS (SELECT a, b FROM nd UNION SELECT a, b FROM ex UNION SELECT a, b FROM ch),
          |sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
          |reach AS (SELECT doc_id AS node, doc_id AS r FROM corpus

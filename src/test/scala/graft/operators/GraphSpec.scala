@@ -35,6 +35,10 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
   }
 
+  test("a node whose only edge is a self-loop keeps a singleton component") {
+    assert(cc(Seq(7L -> 7L, 1L -> 2L)) == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("node universe adds singleton components; edge-only nodes unaffected") {
     val out = cc(Seq(1L -> 2L), nodes = Some(Seq(1L, 2L, 7L, 8L)))
     assert(out == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 8L))
