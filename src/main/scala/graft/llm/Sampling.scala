@@ -39,6 +39,45 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/validation/test split: each row is assigned the
+   * first split whose cumulative weight bound exceeds its bucket. A pure
+   * projection (no shuffle, no RNG) — membership is stable under corpus
+   * growth and re-derivable in any engine, which is exactly what dataset
+   * splits must guarantee (a row can never migrate between train and test
+   * when the corpus is re-snapshotted).
+   */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(w => math.round(w * Buckets))
+    val b = bucket(col(keyCol))
+    val assigned = splits.zip(bounds).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), bound)) => when(b < bound, name).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /**
+   * Per-group quota sampling — source balancing: keep at most `quota` rows
+   * per group (domain, language, …), chosen in deterministic hash order so
+   * the kept subset is an unbiased-but-reproducible sample of each group,
+   * not "whatever sorted first". One window shuffle on the group key; at
+   * scale the quota bounds per-group output, and the window never
+   * materializes more than a partition's run of one group.
+   */
+  def quotaSample(df: DataFrame, groupCol: String, keyCol: String,
+                  quota: Int): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(keyCol)), col(keyCol))
+    df.withColumn("__qrk", row_number().over(w))
+      .filter(col("__qrk") <= quota)
+      .drop("__qrk")
+  }
+
+  /**
    * Stratified deterministic sample: per-stratum keep fractions (e.g.
    * down-sample boilerplate-heavy domains, keep rare languages whole) with
    * a default for unlisted strata. Still one filter — the per-stratum rate

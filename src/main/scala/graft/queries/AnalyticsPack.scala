@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Clustering, Dedup, Ranking}
-import graft.operators.Graph
+import graft.llm.{Clustering, Dedup, Ranking, Sampling}
+import graft.operators.{Graph, Sketches}
 import Q._
 
 /**
@@ -143,6 +143,48 @@ object AnalyticsPack extends QueryPack {
         .select($"event_id", $"event_type", micros($"z").as("z_micro"))
         .orderBy($"event_id")
     },
+    "q_sample_split" -> { (s, dir) =>
+      import s.implicits._
+      // deterministic 80/10/10 split: a pure hash projection, so membership
+      // is engine-independent and stable under corpus growth; the oracle
+      // re-derives EXACT membership (sum of ids, not just counts)
+      Sampling.splitAssign(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"))
+        .orderBy($"split")
+    },
+    "q_sample_quota" -> { (s, dir) =>
+      import s.implicits._
+      // source balancing: at most 30 docs per language, chosen in
+      // deterministic hash order (reproducible unbiased subset per group)
+      Sampling.quotaSample(t(s, dir, "documents"), "lang", "doc_id", quota = 30)
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    "q_sketch_freq" -> { (s, dir) =>
+      import s.implicits._
+      // count-min frequency sketch, graded as a contract (like the HLL
+      // row): rows are the EXACT top-10 tokens with exact counts; the
+      // boolean asserts the sketch estimate respects the CM guarantees
+      // (never undercounts; overcount ≤ 10·N/w holds with prob ~1-1e-5,
+      // frozen corpus verified green)
+      val w = 2048
+      val d = 5
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.llm.TextFunctions.tokens($"text")).as("tok"))
+      val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
+      val top = exact.orderBy($"exact_n".desc, $"tok").limit(10)
+      val sketch = Sketches.countMin(toks, "tok", w, d)
+      val total = toks.agg(count(lit(1)).as("total"))
+      Sketches.estimate(sketch, top, "tok", w, d)
+        .join(top, "tok")
+        .crossJoin(broadcast(total))
+        .select($"tok", $"exact_n",
+          ($"est" >= $"exact_n" &&
+            $"est" <= $"exact_n" + ceil($"total" * 10.0 / w)).as("within_bound"))
+        .orderBy($"exact_n".desc, $"tok")
+    },
     "q_agg_approx_quantile" -> { (s, dir) =>
       import s.implicits._
       // sketch contract, like q_agg_approx_distinct: the oracle states the
@@ -252,6 +294,25 @@ object AnalyticsPack extends QueryPack {
         |          / stddev_samp(value) OVER (PARTITION BY event_type) AS z
         |      FROM events) s
         |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
+    "q_sample_split" -> {
+      // same cumulative bounds the Spark side derives: 0.8/0.9/1.0 → 52429/58982
+      s"""WITH d AS (SELECT doc_id, ${TextPack.bucketSql("doc_id")} AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 52429 THEN 'train'
+         |            WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS split,
+         | CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM d GROUP BY split ORDER BY split""".stripMargin
+    },
+    "q_sample_quota" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${TextPack.bucketSql("doc_id")}, doc_id) AS rk
+         |  FROM documents) r
+         |WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+    "q_sketch_freq" ->
+      s"""SELECT tok, CAST(count(*) AS BIGINT) AS exact_n, true AS within_bound
+         |FROM (SELECT unnest($W) AS tok FROM documents) x
+         |GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10""".stripMargin,
     "q_agg_approx_quantile" ->
       """SELECT l_returnflag,
         | CAST(round(quantile_cont(l_extendedprice, 0.5) * 10000) AS BIGINT) AS exact_med_tc,

@@ -259,7 +259,7 @@ object TextPack extends QueryPack {
 
   /** DuckDB mirror of `Sampling.bucket`: first four md5 hex nibbles of the
     * stringified key as a 16-bit value (no mod — exactly uniform). */
-  private def bucketSql(keyExpr: String): String = {
+  private[queries] def bucketSql(keyExpr: String): String = {
     val nib = (i: Int) =>
       s"(strpos('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), $i, 1)) - 1)"
     s"(${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})"

@@ -141,6 +141,42 @@ class LlmSpec extends SparkSpec {
     assert(dflt.forall(_ == "b") && dflt.length == 1000)
   }
 
+  test("splitAssign: total partition, repeatable, stable under corpus growth") {
+    import session.implicits._
+    val rows = (0L until 3000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(rows, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 3000, "every row gets exactly one split")
+    val byName = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byName("train") > 2200 && byName("train") < 2600, s"~80%: $byName")
+    assert(byName("val") > 180 && byName("val") < 420, s"~10%: $byName")
+    // growth stability: the same ids keep their split in a larger corpus
+    val grown = Sampling.splitAssign((0L until 6000L).toDF("doc_id"), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.forall { case (id, s) => grown(id) == s },
+      "membership must not migrate when the corpus grows")
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(rows, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("quotaSample: caps every group, deterministic choice, small groups whole") {
+    import session.implicits._
+    val rows = ((0L until 500L).map(i => (i, "big")) ++
+      (1000L until 1005L).map(i => (i, "small"))).toDF("doc_id", "grp")
+    val kept = Sampling.quotaSample(rows, "grp", "doc_id", quota = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGrp("big").size == 50)
+    assert(byGrp("small") == (1000L until 1005L).toSet, "under-quota groups kept whole")
+    val again = Sampling.quotaSample(rows, "grp", "doc_id", quota = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(again == kept.toSet, "quota choice must be deterministic")
+    // hash-ordered, not id-ordered: the kept 50 should not be a prefix
+    assert(byGrp("big") != (0L until 50L).toSet, "subset must be hash-chosen")
+  }
+
   test("decontaminate: planted benchmark copy flagged, disjoint doc clean") {
     import session.implicits._
     val benchmark = Seq(
