@@ -25,6 +25,43 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * Line/sentence-level exact dedup — boilerplate removal à la CCNet /
+   * RefinedWeb: split each document into units, keep every distinct unit
+   * text only at its FIRST occurrence in (doc id, position) order, and
+   * report per-document kept/total counts. One shuffle keyed by unit text;
+   * the first-occurrence rank is a window over that same key, so heavy
+   * boilerplate units concentrate on single reducers only up to the
+   * window's per-key run (bounded by the unit's global frequency — the
+   * quantity being deduplicated away).
+   */
+  def unitDedupCounts(df: DataFrame, idCol: String, units: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = df
+      .select(col(idCol).as("doc_id"), posexplode(units).as(Seq("pos", "unit")))
+      .filter(length(trim(col("unit"))) > 0)
+    val firstRank = row_number().over(
+      Window.partitionBy(col("unit")).orderBy(col("doc_id"), col("pos")))
+    u.withColumn("kept", firstRank === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
+  /** Regex-split convenience (newline- or sentence-delimited corpora). */
+  def unitDedupCounts(df: DataFrame, idCol: String, textCol: String,
+                      splitPattern: String): DataFrame =
+    unitDedupCounts(df, idCol, split(col(textCol), splitPattern))
+
+  /** Fixed-size token-chunk units (pseudo-sentences of `chunk` tokens) for
+    * corpora without natural line/sentence delimiters. */
+  def tokenChunks(text: Column, chunk: Int): Column = {
+    val w = TextFunctions.tokens(text)
+    transform(
+      sequence(lit(0), ceil(size(w) / lit(chunk.toDouble)).cast("int") - 1),
+      i => array_join(slice(w, i * chunk + 1, lit(chunk)), " "))
+  }
+
   // -- MinHash + LSH --------------------------------------------------------
 
   /**

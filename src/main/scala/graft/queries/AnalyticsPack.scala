@@ -143,6 +143,55 @@ object AnalyticsPack extends QueryPack {
         .select($"event_id", $"event_type", micros($"z").as("z_micro"))
         .orderBy($"event_id")
     },
+    "q_dedup_lines" -> { (s, dir) =>
+      import s.implicits._
+      // unit-level exact dedup (boilerplate removal): units are 10-token
+      // chunks (the fixture corpus has no sentence delimiters); verbatim
+      // copies of docs < 25 planted under high ids must come back with ALL
+      // units flagged as already-seen (n_kept = 0)
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val corpus = docs.union(
+        docs.filter($"doc_id" < 25).select($"doc_id" + 1000000, $"text"))
+      Dedup.unitDedupCounts(corpus, "doc_id", Dedup.tokenChunks($"text", 10))
+        .orderBy($"doc_id")
+    },
+    "q_events_moving" -> { (s, dir) =>
+      import s.implicits._
+      // bounded window FRAME (rows between 9 preceding and current) — the
+      // frame sum is exact in cents, so sliding-window implementation
+      // differences (recompute vs segment tree) cannot produce fp drift
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-9, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("vc", cents($"value"))
+        .select($"event_id", $"user_id",
+          sum($"vc").over(w).as("mov_sum_c"),
+          count(lit(1)).over(w).as("mov_n"))
+        .orderBy($"event_id")
+    },
+    "q_window_ntile" -> { (s, dir) =>
+      import s.implicits._
+      // decile assignment over a unique ordering, aggregated per decile
+      t(s, dir, "orders")
+        .withColumn("decile",
+          ntile(10).over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n"), cents(sum($"o_totalprice")).as("sum_c"))
+        .orderBy($"decile")
+    },
+    "q_text_edit_distance" -> { (s, dir) =>
+      import s.implicits._
+      // fuzzy matching: Levenshtein over consecutive doc pairs, inputs
+      // bounded to 80 chars so the O(len²) kernel stays constant-cost per
+      // pair at any corpus size
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", substring($"text", 1, 80).as("t80"))
+      docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.t80"), col("b.t80")).cast("long").as("dist"))
+        .orderBy($"doc_a")
+    },
     "q_sample_split" -> { (s, dir) =>
       import s.implicits._
       // deterministic 80/10/10 split: a pure hash projection, so membership
@@ -294,6 +343,43 @@ object AnalyticsPack extends QueryPack {
         |          / stddev_samp(value) OVER (PARTITION BY event_type) AS z
         |      FROM events) s
         |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
+    "q_dedup_lines" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+         |dw AS (SELECT doc_id, $W AS w FROM corpus),
+         |ch AS (SELECT doc_id,
+         |         [array_to_string(w[i:i+9], ' ') for i in range(1, len(w)+1, 10)] AS units
+         |       FROM dw),
+         |u AS (SELECT doc_id, generate_subscripts(units, 1) - 1 AS pos,
+         |             unnest(units) AS unit FROM ch),
+         |uf AS (SELECT doc_id, pos, unit,
+         |         row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rk
+         |       FROM u WHERE length(trim(unit)) > 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_units,
+         |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM uf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_events_moving" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS mov_sum_c,
+        | CAST(count(*) OVER w AS BIGINT) AS mov_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT decile, CAST(count(*) AS BIGINT) AS n,
+        | CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS sum_c
+        |FROM (SELECT o_totalprice,
+        |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |      FROM orders) d
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q_text_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
     "q_sample_split" -> {
       // same cumulative bounds the Spark side derives: 0.8/0.9/1.0 → 52429/58982
       s"""WITH d AS (SELECT doc_id, ${TextPack.bucketSql("doc_id")} AS bucket FROM documents)

@@ -219,6 +219,62 @@ class StreamingSpec extends SparkSpec {
     assert(results.toMap == Map(0L -> 30L, 30L -> 30L))
   }
 
+  test("stream-stream join: two graft topics join on key within a time bound") {
+    // clicks in topic A, purchases in topic B (separate warehouses); the
+    // inner event-time join must pair each purchase with the one click of
+    // the same key whose time window contains it — the Structured Streaming
+    // two-source state-store join running entirely over graft sources
+    val whA = Files.createTempDirectory("graft-ssj-a").toString
+    val whB = Files.createTempDirectory("graft-ssj-b").toString
+    val dA = new GraftDriver(spark, whA); dA.createTopic("t", partitions = 1)
+    val dB = new GraftDriver(spark, whB); dB.createTopic("t", partitions = 1)
+    // times sit 1h past the epoch: Spark's global watermark starts AT the
+    // epoch, and a row whose event time equals that initial watermark can
+    // be judged late by the join's state-eviction bound — a real pipeline
+    // never has epoch-0 event times, so keep the fixture off the boundary
+    val base = 3600L
+    val pA = dA.openTopic("t").producer()
+    // clicks: key i%5 at second base+i (keys recur every 5s)
+    (0 until 20).foreach(i => pA.push(s"""{"k":${i % 5},"sec":${base + i}}"""))
+    pA.flush()
+    val pB = dB.openTopic("t").producer()
+    // purchases: every even i, same key, 500ms after its click
+    (0 until 20 by 2).foreach(i =>
+      pB.push(s"""{"k":${i % 5},"ms":${(base + i) * 1000 + 500}}"""))
+    pB.flush()
+
+    def src(wh: String) = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "t").load()
+    val clicks = src(whA)
+      .select(get_json_object(col("metadata"), "$.k").cast("long").as("ck"),
+        timestamp_seconds(get_json_object(col("metadata"), "$.sec").cast("long")).as("ct"))
+      .withWatermark("ct", "1 minute")
+    val purchases = src(whB)
+      .select(get_json_object(col("metadata"), "$.k").cast("long").as("pk"),
+        timestamp_millis(get_json_object(col("metadata"), "$.ms").cast("long")).as("pt"))
+      .withWatermark("pt", "1 minute")
+
+    val ckpt = Files.createTempDirectory("graft-ssj-ckpt").toString
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = clicks.join(purchases,
+        expr("ck = pk AND pt >= ct AND pt <= ct + interval 2 seconds"))
+      .select(col("ck"), unix_timestamp(col("ct")).as("cs"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => pairs.synchronized {
+          pairs += (r.getLong(0) -> r.getLong(1))
+        }): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // each purchase (even i) pairs with exactly the click at base+i: the
+    // next click of the same key is 5s away, outside the 2s bound
+    val expected = (0 until 20 by 2).map(i => (i % 5).toLong -> (base + i)).toSet
+    assert(pairs.toSet == expected)
+  }
+
   test("custom state: mapGroupsWithState carries per-user counts across micro-batches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val (_, topic, wh) = newTopic(partitions = 2)
