@@ -34,6 +34,13 @@ object Bench {
       import spark.implicits._
       d.openTopic("warmup").producer().produce(Seq("""{"w":1}""").toDF("metadata"))
       d.openTopic("warmup").events().count()
+      // warm the text-dedup pipeline (tokenize/shingle/minhash/band-join
+      // codegen + JIT) — otherwise the alphabetically-first LSH query
+      // absorbs several seconds of one-time compilation cost
+      graft.llm.Dedup.nearDuplicates(
+        spark.read.parquet(s"$sfDir/documents.parquet").limit(120),
+        "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.9, cache = false).count()
     } catch { case scala.util.control.NonFatal(_) => () } // fatal errors propagate
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]

@@ -47,7 +47,11 @@ object Graph {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           nodes: Option[DataFrame] = None,
                           maxIter: Int = 25): DataFrame = {
+    // materialize the edge list once: it feeds both the symmetric closure
+    // and the initial label table, and upstream edge producers (LSH, exact
+    // hashing) are far too expensive to execute twice
     val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .localCheckpoint(true)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -63,26 +67,29 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
-      // propagate: every node offers its label to its neighbors
+      // propagate: every node offers its label to its neighbors; the node's
+      // own row rides along tagged, so the SAME aggregate also yields the
+      // previous label — convergence detection costs no extra join
       val offered = sym.join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("cluster"))
-      val prop = offered.union(labels)
-        .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
+        .select(col("dst").as("node"), col("cluster"), lit(false).as("own"))
+      val prop = offered
+        .union(labels.withColumn("own", lit(true)))
+        .groupBy("node")
+        .agg(min("cluster").as("cluster"),
+          max(when(col("own"), col("cluster"))).as("prev"))
       // path halving: follow the label one hop (labels are node ids, so
-      // L(L(v)) is defined whenever L(v) carries a label of its own)
+      // L(L(v)) is defined whenever L(v) carries a label of its own).
+      // prop appears on both sides; its shuffle is planned once (exchange
+      // reuse), so the round stays a single job up to the checkpoint.
       val hop = prop.select(col("node").as("cluster"), col("cluster").as("hopped"))
       val next = prop.join(hop, Seq("cluster"), "left")
         .select(col("node"),
-          least(col("cluster"), coalesce(col("hopped"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("hopped"), col("cluster"))).as("cluster"),
+          col("prev"))
         .localCheckpoint(true)
 
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "node")
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
-      labels.unpersist()
-      prop.unpersist()
-      labels = next
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.drop("prev")
       round += 1
     }
     require(converged,
