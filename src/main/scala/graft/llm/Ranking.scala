@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
  * BM25 with the Lucene/ATIRE idf form: idf(t) = ln((N - df + 0.5)/(df + 0.5)
  * + 1), contribution(t, d) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
  *
- * Scale shape (100 TB): one explode+groupBy for term frequencies (the only
- * wide shuffle, keyed by doc id), document-frequency and corpus stats are
- * tiny aggregates broadcast back — the corpus is touched exactly once and
- * never collected.
+ * Scale shape (100 TB): the corpus is tokenized ONCE into a single
+ * groupBy(doc) pass that yields both the document length and one tf column
+ * per query term (the query is small and static, so per-term columns beat
+ * per-term rows). Corpus statistics (N, avgdl, per-term df) aggregate the
+ * SAME exchange — Spark's exchange reuse executes the scan once — and come
+ * back as one broadcast row. Nothing is collected.
  */
 object Ranking {
 
@@ -26,27 +28,36 @@ object Ranking {
    */
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("w"))
-    val docLens = base.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
-    val global = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val qs = terms.distinct
+    def tfc(t: String) = s"tf_${qs.indexOf(t)}"
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("tok"))
+    // one shuffle keyed by doc: per-doc length + per-term counts
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("dl"),
+        qs.map(t => sum(when(col("tok") === t, 1L).otherwise(0L)).as(tfc(t))): _*)
+    // corpus stats over the same exchange, one broadcast row
+    val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      qs.map(t => sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(s"df_${tfc(t)}"))
+    val global = perDoc.agg(statCols.head, statCols.tail: _*)
 
-    val tf = base
-      .select(col("doc_id"), explode(col("w")).as("tok"))
-      .filter(col("tok").isin(terms: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-
-    tf.join(broadcast(df), "tok")
-      .join(docLens, "doc_id")
-      .crossJoin(broadcast(global))
-      .withColumn("idf",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * (k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score"))
+    def contrib(t: String) = {
+      val tf = col(tfc(t))
+      val df = col(s"df_${tfc(t)}")
+      val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+      when(tf > 0,
+        idf * (tf * (k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(global))
+      .select(col("doc_id"),
+        qs.map(t => when(col(tfc(t)) > 0, 1L).otherwise(0L)).reduce(_ + _).as("n_terms"),
+        qs.map(contrib).reduce(_ + _).as("score"))
+      .filter(col("n_terms") > 0)
   }
 
   /**

@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  /** Release the executor storage behind an eagerly `localCheckpoint`ed
+    * frame. `Dataset.unpersist` only clears CacheManager entries — a
+    * checkpoint's backing RDD is persisted at the RDD level and would
+    * otherwise sit in memory/disk until the ContextCleaner gets to it;
+    * an iterative operator holding one copy per round cannot wait. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false): Unit
+      case _ => ()
+    }
+
   /**
    * Connected components of the undirected graph given by `edges`.
    *
@@ -37,8 +48,12 @@ object Graph {
    *               duplicates tolerated)
    * @param src    source id column (castable to long)
    * @param dst    destination id column
-   * @param nodes  optional single-column node universe: nodes with no edge
-   *               appear in the output as their own singleton component
+   * @param nodes  optional single-column node universe. When given, the
+   *               OUTPUT IS EXACTLY THIS SET: universe nodes with no edge
+   *               become singleton components, and edge endpoints absent
+   *               from the universe are dropped from the result (their
+   *               labels still propagated through them during the rounds).
+   *               Pass the full id set when every endpoint must appear.
    * @param maxIter safety bound on rounds; with path halving a graph needs
    *               ~log2(diameter)+2 rounds, so the default covers any
    *               diameter up to ~2^20
@@ -63,6 +78,7 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint(true)
+    freeCheckpoint(e) // sym and labels are materialized; e's storage can go
 
     var converged = false
     var round = 0
@@ -89,13 +105,14 @@ object Graph {
         .localCheckpoint(true)
 
       converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      freeCheckpoint(labels) // next is materialized; last round's copy can go
       labels = next.drop("prev")
       round += 1
     }
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
 
-    sym.unpersist()
+    freeCheckpoint(sym)
     nodes match {
       case None => labels
       case Some(n) =>

@@ -135,12 +135,16 @@ object AnalyticsPack extends QueryPack {
     "q_events_outliers" -> { (s, dir) =>
       import s.implicits._
       // z-score anomaly flagging per event type; the grouped moments come
-      // from an unbounded window (one pass, no second join)
+      // from an unbounded window (one pass, no second join). The threshold
+      // compares the ROUNDED integer, not the raw double — row membership
+      // must not hinge on sub-ulp engine noise at |z| = 2.5 (same parity
+      // discipline as the cents-binned histogram)
       val w = Window.partitionBy($"event_type")
       t(s, dir, "events")
         .withColumn("z", ($"value" - avg($"value").over(w)) / stddev_samp($"value").over(w))
-        .filter(abs($"z") > lit(2.5))
-        .select($"event_id", $"event_type", micros($"z").as("z_micro"))
+        .withColumn("z_micro", micros($"z"))
+        .filter(abs($"z_micro") > lit(2500000L))
+        .select($"event_id", $"event_type", $"z_micro")
         .orderBy($"event_id")
     },
     "q_dedup_lines" -> { (s, dir) =>
@@ -225,7 +229,8 @@ object AnalyticsPack extends QueryPack {
       val exact = toks.groupBy($"tok").agg(count(lit(1)).as("exact_n"))
       val top = exact.orderBy($"exact_n".desc, $"tok").limit(10)
       val sketch = Sketches.countMin(toks, "tok", w, d)
-      val total = toks.agg(count(lit(1)).as("total"))
+      // N from the per-token counts — same exchange as `top`, no third scan
+      val total = exact.agg(sum($"exact_n").as("total"))
       Sketches.estimate(sketch, top, "tok", w, d)
         .join(top, "tok")
         .crossJoin(broadcast(total))
@@ -337,12 +342,12 @@ object AnalyticsPack extends QueryPack {
         | CAST(round(var_samp(l_discount) * 1000000) AS BIGINT) AS var_d_micro
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_events_outliers" ->
-      """SELECT event_id, event_type, CAST(round(z * 1000000) AS BIGINT) AS z_micro
+      """SELECT event_id, event_type, z_micro
         |FROM (SELECT event_id, event_type,
-        |        (value - avg(value) OVER (PARTITION BY event_type))
-        |          / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+        |        CAST(round((value - avg(value) OVER (PARTITION BY event_type))
+        |          / stddev_samp(value) OVER (PARTITION BY event_type) * 1000000) AS BIGINT) AS z_micro
         |      FROM events) s
-        |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin,
+        |WHERE abs(z_micro) > 2500000 ORDER BY event_id""".stripMargin,
     "q_dedup_lines" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
