@@ -121,4 +121,76 @@ object Graph {
           .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
     }
   }
+
+  /**
+   * Per-node triangle participation counts of the undirected graph (nodes
+   * in no triangle are absent). Classic two-join scheme: edges oriented
+   * low→high id so each triangle (a<b<c) forms exactly one wedge a→b→c,
+   * closed by one semi-join probe back into the edge set — no triple
+   * counting, no cross join. Wedge volume is Σ deg²; for skew-heavy graphs
+   * the standard refinement is orienting by (degree, id) instead of id,
+   * which bounds every wedge fan by the arboricity — worth switching to if
+   * a hub node dominates (id orientation keeps the oracle SQL mirrorable).
+   */
+  def triangleCounts(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).cast("long").as("a"),
+        greatest(col(src), col(dst)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tri = wedges.join(e,
+      col("x") === col("a") && col("z") === col("b"), "left_semi")
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /**
+   * PageRank for a FIXED number of iterations (deterministic, hence
+   * cross-engine checkable — convergence-threshold variants stop at
+   * engine-dependent fp noise). Dangling nodes (no out-edges) contribute
+   * no mass (the simplified formulation); feed a symmetric edge list for
+   * undirected graphs and the case never arises. Each round is one join
+   * edges⋈ranks plus one aggregate — O(E) shuffled per round — with ranks
+   * checkpointed so plan depth stays constant.
+   */
+  def pageRank(edges: DataFrame, src: String, dst: String, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    // out-degree is static — attach it to the edge list ONCE instead of
+    // re-joining it every round; per round only the small rank table moves
+    val eDeg = e.join(e.groupBy(col("a")).agg(count(lit(1)).as("od")), "a")
+      .select(col("a"), col("b"), col("od"))
+      .localCheckpoint(true)
+    freeCheckpoint(e)
+    // the initial ranks get their OWN checkpoint: freeCheckpoint walks the
+    // plan's LogicalRDDs, and a plan still referencing `nodes` would free
+    // the (lineage-truncated, hence unrecomputable) node table out from
+    // under the remaining rounds
+    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = eDeg
+        .join(ranks.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), (col("r") / col("od")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+      freeCheckpoint(ranks)
+      ranks = next
+    }
+    freeCheckpoint(eDeg)
+    freeCheckpoint(nodes)
+    ranks
+  }
 }

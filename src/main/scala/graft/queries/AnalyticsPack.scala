@@ -67,6 +67,61 @@ object AnalyticsPack extends QueryPack {
           count(lit(1)).over(Window.partitionBy($"cluster")).as("csize"))
         .orderBy($"doc_id")
     },
+    "q_graph_triangles" -> { (s, dir) =>
+      import s.implicits._
+      // part co-occurrence graph (parts bought together in one order);
+      // per-part triangle participation — community density in the
+      // co-purchase structure. Node set restricted to every third part:
+      // wedge volume grows with degree², and the unfiltered sf0.1 graph
+      // carries ~150M wedges — the filter keeps the demo O(5M) while the
+      // operator itself stays fully general
+      val li = t(s, dir, "lineitem")
+        .filter($"l_partkey" % 3 === 0)
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      Graph.triangleCounts(pairs, "pa", "pb")
+        .orderBy($"node")
+    },
+    "q_graph_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      // 3 fixed PageRank iterations over the symmetric co-purchase graph
+      // (micros: engine-side summation-order noise is ~1e-15, far below);
+      // same every-third-part node set as q_graph_triangles — the demo
+      // graph derivation (a lineitem self-join) would otherwise dwarf the
+      // operator being measured
+      val li = t(s, dir, "lineitem")
+        .filter($"l_partkey" % 3 === 0)
+        .select($"l_orderkey", $"l_partkey")
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") =!= col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      Graph.pageRank(pairs, "pa", "pb", iters = 3)
+        .select($"node", micros($"r").as("pr_micro"))
+        .orderBy($"node")
+    },
+    "q_events_funnel" -> { (s, dir) =>
+      import s.implicits._
+      // ordered-funnel analysis: first view, first click strictly after
+      // it, first purchase strictly after that — the staged conditional
+      // mins a funnel needs (a flat per-type min would accept out-of-order
+      // journeys); only completing users are emitted
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"tus").as("vt"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"tus" > $"vt")
+        .groupBy($"user_id").agg(min($"vt").as("vt"), min($"tus").as("ct"))
+      ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"tus" > $"ct")
+        .groupBy($"user_id")
+        .agg(min($"vt").as("vt"), min($"ct").as("ct"), min($"tus").as("pt"))
+        .orderBy($"user_id")
+    },
     "q_text_bm25" -> { (s, dir) =>
       import s.implicits._
       Ranking.bm25(t(s, dir, "documents"), "doc_id", "text",
@@ -287,6 +342,57 @@ object AnalyticsPack extends QueryPack {
          |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize
          |FROM (SELECT node, min(r) AS cluster FROM reach GROUP BY node) c
          |ORDER BY doc_id""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+        |                  greatest(x.l_partkey, y.l_partkey) AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_partkey % 3 = 0 AND y.l_partkey % 3 = 0),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |m AS (SELECT x AS node FROM tri UNION ALL
+        |      SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM m GROUP BY node ORDER BY node""".stripMargin,
+    "q_graph_pagerank" -> {
+      // 3 unrolled iterations of the same fixed-round recurrence
+      def iter(prev: String, out: String) =
+        s"""c_$out AS (SELECT e.b AS node, sum($prev.r / deg.od) AS s
+           |       FROM e JOIN deg ON deg.a = e.a JOIN $prev ON $prev.node = e.a
+           |       GROUP BY e.b),
+           |$out AS (SELECT nd.node,
+           |         CAST(0.15 AS DOUBLE) / g.n + CAST(0.85 AS DOUBLE) * coalesce(c_$out.s, 0) AS r
+           |       FROM nd CROSS JOIN g LEFT JOIN c_$out ON c_$out.node = nd.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x JOIN lineitem y
+         |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey != y.l_partkey
+         |  WHERE x.l_partkey % 3 = 0 AND y.l_partkey % 3 = 0),
+         |nd AS (SELECT DISTINCT a AS node FROM (SELECT a FROM e UNION ALL SELECT b FROM e) u(a)),
+         |g AS (SELECT count(*) AS n FROM nd),
+         |deg AS (SELECT a, count(*) AS od FROM e GROUP BY a),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / g.n AS r FROM nd CROSS JOIN g),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, CAST(round(r * 1000000) AS BIGINT) AS pr_micro
+         |FROM r3 ORDER BY node""".stripMargin
+    },
+    "q_events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
+        |v AS (SELECT user_id, min(tus) AS vt FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, min(v.vt) AS vt, min(ev.tus) AS ct
+        |      FROM ev JOIN v ON v.user_id = ev.user_id
+        |      WHERE ev.event_type = 'click' AND ev.tus > v.vt
+        |      GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, min(c.vt) AS vt, min(c.ct) AS ct, min(ev.tus) AS pt
+        |      FROM ev JOIN c ON c.user_id = ev.user_id
+        |      WHERE ev.event_type = 'purchase' AND ev.tus > c.ct
+        |      GROUP BY ev.user_id)
+        |SELECT user_id, vt, ct, pt FROM p ORDER BY user_id""".stripMargin,
     "q_text_bm25" -> {
       val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
       s"""WITH dw AS (SELECT doc_id, $W AS w FROM documents),

@@ -49,6 +49,39 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(3L -> 3L, 4L -> 4L))
   }
 
+  test("triangleCounts: K4 gives 3 per node, attached path contributes none") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant path 4-5-6
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    val edges = (k4 ++ Seq(4L -> 5L, 5L -> 6L)).toDF("a", "b")
+    val out = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: reversed/duplicate edges do not double-count") {
+    import spark.implicits._
+    val edges = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 1L -> 3L).toDF("a", "b")
+    val out = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("pageRank: symmetric star concentrates rank on the hub; mass conserved") {
+    import spark.implicits._
+    val spokes = (2L to 6L)
+    val edges = (spokes.map(1L -> _) ++ spokes.map(_ -> 1L)).toDF("a", "b")
+    val out = Graph.pageRank(edges, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 6)
+    val hub = out(1L)
+    spokes.foreach(sp => assert(hub > out(sp) * 2, s"hub $hub vs spoke ${out(sp)}"))
+    // symmetric graph has no dangling nodes → total mass stays 1
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // spokes are symmetric: identical rank
+    assert(spokes.map(out).distinct.size == 1)
+  }
+
   test("two long chains joined at the far end merge into one component") {
     // worst-ish case for label flow: the bridge is discovered only after
     // both chains have partially collapsed
