@@ -37,7 +37,9 @@ object Ranking {
         explode(col("w")).as("tok"))
     // one shuffle keyed by doc: per-doc length + per-term counts
     val perDoc = toks.groupBy(col("doc_id"))
-      .agg(first(col("dl")).as("dl"),
+      // dl is constant per doc; max (not first) keeps the aggregate
+      // deterministic so the stats branch can reuse this exchange
+      .agg(max(col("dl")).as("dl"),
         qs.map(t => sum(when(col("tok") === t, 1L).otherwise(0L)).as(tfc(t))): _*)
     // corpus stats over the same exchange, one broadcast row
     val statCols = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:

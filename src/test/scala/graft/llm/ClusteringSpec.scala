@@ -40,6 +40,21 @@ class ClusteringSpec extends SparkSpec {
     assert(Set(2L, 6L, 7L, 8L).map(out) == Set(2L))
   }
 
+  test("assignNearest broadcasts the centroids and partial-aggregates the scores") {
+    val points = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .selectExpr("vec_id AS id", "embedding AS vec")
+    val centroids = points.filter(col("id") < 8)
+      .selectExpr("id AS cid", "vec AS cvec")
+    val plan = Clustering.assignNearest(points, centroids)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$plan")
+    // the n*k scored rows must collapse via map-side partial aggregation
+    // (partial_min before the exchange), not a ranking window shuffle
+    assert(plan.contains("partial_min"), s"expected partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"no window shuffle expected:\n$plan")
+  }
+
   test("lloyd keeps empty clusters alive on their previous centroid") {
     // k=3 over two tight blobs: one centroid ends up owning nothing and
     // must survive the update without NaNs or dropped rows

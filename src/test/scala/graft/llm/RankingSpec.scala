@@ -48,6 +48,22 @@ class RankingSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("bm25 executes exactly one corpus scan (stats ride the reused exchange)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val df = Ranking.bm25(docs, "doc_id", "text", Seq("join", "spark"))
+    df.collect() // materialize THIS query execution so AQE settles its final plan
+    // the per-doc aggregate and the corpus-stats aggregate must share one
+    // FileScan via exchange reuse — a second scan would re-tokenize the
+    // corpus and break the documented single-pass shape
+    // the AQE dump appends the pre-reuse "Initial Plan" — assert on the
+    // final plan section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"corpus stats must reuse the per-doc exchange:\n$plan")
+  }
+
   test("topTerms orders by count desc then token, and bounds at k") {
     import spark.implicits._
     val docs = Seq((1L, "b a b c a b"), (2L, "c a d")).toDF("doc_id", "text")
