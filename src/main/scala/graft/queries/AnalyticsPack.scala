@@ -122,6 +122,21 @@ object AnalyticsPack extends QueryPack {
         .agg(min($"vt").as("vt"), min($"ct").as("ct"), min($"tus").as("pt"))
         .orderBy($"user_id")
     },
+    "q_events_retention" -> { (s, dir) =>
+      import s.implicits._
+      // cohort retention matrix: users grouped by first-active day, counted
+      // again at day offsets 0/1/7/14 — two aggregates and one join, the
+      // canonical cohort-analysis shape
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("ts div 86400000000000").as("day"))
+      val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort"))
+      ev.distinct().join(cohorts, "user_id")
+        .withColumn("k", $"day" - $"cohort")
+        .filter($"k".isin(0L, 1L, 7L, 14L))
+        .groupBy($"cohort", $"k")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"k")
+    },
     "q_text_bm25" -> { (s, dir) =>
       import s.implicits._
       Ranking.bm25(t(s, dir, "documents"), "doc_id", "text",
@@ -381,6 +396,14 @@ object AnalyticsPack extends QueryPack {
          |SELECT node, CAST(round(r * 1000000) AS BIGINT) AS pr_micro
          |FROM r3 ORDER BY node""".stripMargin
     },
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT cohort, day - cohort AS k, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |WHERE day - cohort IN (0, 1, 7, 14)
+        |GROUP BY cohort, k ORDER BY cohort, k""".stripMargin,
     "q_events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus FROM events),
         |v AS (SELECT user_id, min(tus) AS vt FROM ev WHERE event_type = 'view' GROUP BY user_id),

@@ -82,6 +82,35 @@ class GraphSpec extends SparkSpec {
     assert(spokes.map(out).distinct.size == 1)
   }
 
+  test("random graphs match a union-find model (seeded, 3 shapes)") {
+    val rng = new scala.util.Random(42)
+    // sparse (forest-ish), medium, and dense-enough-to-collapse regimes
+    for ((nodes, nEdges) <- Seq((120, 40), (200, 180), (80, 300))) {
+      val edges = Seq.fill(nEdges)(
+        (rng.nextInt(nodes).toLong, rng.nextInt(nodes).toLong))
+      // reference model: classic union-find with path compression
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // model cluster = min node of the component
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = touched.groupBy(n => find(n.toInt))
+      val model = byRoot.values.flatMap { ms =>
+        val m = ms.min; ms.map(_ -> m)
+      }.toMap
+      assert(cc(edges) == model, s"mismatch at ($nodes, $nEdges)")
+    }
+  }
+
   test("two long chains joined at the far end merge into one component") {
     // worst-ish case for label flow: the bridge is discovered only after
     // both chains have partially collapsed
