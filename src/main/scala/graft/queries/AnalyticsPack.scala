@@ -125,16 +125,18 @@ object AnalyticsPack extends QueryPack {
     "q_events_retention" -> { (s, dir) =>
       import s.implicits._
       // cohort retention matrix: users grouped by first-active day, counted
-      // again at day offsets 0/1/7/14 — two aggregates and one join, the
-      // canonical cohort-analysis shape
-      val ev = t(s, dir, "events")
+      // again at day offsets 0/1/7/14. Single scan: the cohort day is a
+      // min-window over the deduplicated activity rows, not a second
+      // aggregate branch; rows are (user, day)-distinct so a plain count
+      // suffices for the per-cell user count
+      t(s, dir, "events")
         .select($"user_id", expr("ts div 86400000000000").as("day"))
-      val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort"))
-      ev.distinct().join(cohorts, "user_id")
+        .distinct()
+        .withColumn("cohort", min($"day").over(Window.partitionBy($"user_id")))
         .withColumn("k", $"day" - $"cohort")
         .filter($"k".isin(0L, 1L, 7L, 14L))
         .groupBy($"cohort", $"k")
-        .agg(countDistinct($"user_id").as("n_users"))
+        .agg(count(lit(1)).as("n_users"))
         .orderBy($"cohort", $"k")
     },
     "q_text_bm25" -> { (s, dir) =>
