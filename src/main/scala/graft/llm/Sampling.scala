@@ -59,6 +59,27 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling without replacement (Efraimidis–Spirakis, IPL 2006),
+   * determinized: each row draws key = −ln(u)/weight with u its md5-bucket
+   * uniform (never 0 or 1: (bucket + 0.5)/65536), and the k SMALLEST keys
+   * win — inclusion probability proportional to weight, reproducible across
+   * runs and engines. Keys are compared at 1e-6 resolution with the row key
+   * as tiebreak, so the one-ulp spread between libm `ln` implementations
+   * cannot flip the chosen set. Rows with non-positive weight are excluded.
+   * Top-k by sort key = TakeOrderedAndProject — no global sort.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val u = (bucket(col(keyCol)) + 0.5) / Buckets
+    df.filter(col(weightCol) > 0)
+      .withColumn("key_micro",
+        round(-log(u) / col(weightCol) * 1000000).cast("long"))
+      .orderBy(col("key_micro"), col(keyCol))
+      .limit(k)
+  }
+
+  /**
    * Per-group quota sampling — source balancing: keep at most `quota` rows
    * per group (domain, language, …), chosen in deterministic hash order so
    * the kept subset is an unbiased-but-reproducible sample of each group,

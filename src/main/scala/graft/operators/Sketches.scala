@@ -38,6 +38,13 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge sketches built with the same (w, d): cell-wise counter sum.
+    * This linearity is what makes count-min fit partitioned and streaming
+    * pipelines — shards sketch independently, the union merges exactly
+    * (merged estimates equal the single-pass sketch's, cell for cell). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+
   /** Point-query the sketch for each key in `keys`: est = min over the d
     * rows of the addressed cell (0 when a cell was never touched). */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,

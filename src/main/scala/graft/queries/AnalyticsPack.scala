@@ -287,6 +287,14 @@ object AnalyticsPack extends QueryPack {
         .select($"doc_id", $"lang")
         .orderBy($"doc_id")
     },
+    "q_sample_weighted" -> { (s, dir) =>
+      import s.implicits._
+      // importance sampling: 50 docs chosen with probability ∝ length —
+      // the oracle re-derives EXACT membership from the same hash keys
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+        .select($"doc_id", $"key_micro", $"n_chars")
+        .orderBy($"key_micro", $"doc_id")
+    },
     "q_sketch_freq" -> { (s, dir) =>
       import s.implicits._
       // count-min frequency sketch, graded as a contract (like the HLL
@@ -531,6 +539,13 @@ object AnalyticsPack extends QueryPack {
          |      ORDER BY ${TextPack.bucketSql("doc_id")}, doc_id) AS rk
          |  FROM documents) r
          |WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, key_micro, n_chars FROM (
+         |  SELECT doc_id, n_chars,
+         |    CAST(round(-ln((${TextPack.bucketSql("doc_id")} + 0.5) / 65536.0)
+         |      / n_chars * 1000000) AS BIGINT) AS key_micro
+         |  FROM documents WHERE n_chars > 0) s
+         |ORDER BY key_micro, doc_id LIMIT 50""".stripMargin,
     "q_sketch_freq" ->
       s"""SELECT tok, CAST(count(*) AS BIGINT) AS exact_n, true AS within_bound
          |FROM (SELECT unnest($W) AS tok FROM documents) x

@@ -161,6 +161,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: heavier rows win more often, zero weights excluded, repeatable") {
+    import session.implicits._
+    // 500 light rows (w=1) vs 500 heavy rows (w=50): the heavy half should
+    // dominate a 100-row sample overwhelmingly (E[heavy] ≈ 98)
+    val rows = ((0L until 500L).map(i => (i, 1L)) ++
+      (1000L until 1500L).map(i => (i, 50L)) :+ (9999L, 0L)).toDF("doc_id", "w")
+    val picked = Sampling.weightedSample(rows, "doc_id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 100)
+    assert(!picked.contains(9999L), "zero-weight rows must be excluded")
+    val heavy = picked.count(_ >= 1000L)
+    assert(heavy > 80, s"heavy rows should dominate: $heavy/100")
+    val again = Sampling.weightedSample(rows, "doc_id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    assert(picked.toSeq == again.toSeq, "selection must be deterministic")
+  }
+
   test("quotaSample: caps every group, deterministic choice, small groups whole") {
     import session.implicits._
     val rows = ((0L until 500L).map(i => (i, "big")) ++

@@ -36,6 +36,18 @@ class SketchesSpec extends SparkSpec {
     assert(mass.forall(_ == 20000L))
   }
 
+  test("merged shard sketches equal the single-pass sketch cell for cell") {
+    val all = (1 to 5000).map(i => s"k${i % 97}").toDF("k")
+    val left = all.limit(2000)
+    val right = all.exceptAll(left)
+    val merged = Sketches.merge(
+      Sketches.countMin(left, "k", w = 128, d = 4),
+      Sketches.countMin(right, "k", w = 128, d = 4))
+    val whole = Sketches.countMin(all, "k", w = 128, d = 4)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "cell-wise merge must reproduce the single-pass sketch exactly")
+  }
+
   test("absent keys estimate to at most the collision noise, never negative") {
     val items = Seq.fill(100)("present").toDF("k")
     val sketch = Sketches.countMin(items, "k", w = 1024, d = 4)
