@@ -63,20 +63,34 @@ object Sampling {
    * determinized: each row draws key = −ln(u)/weight with u its md5-bucket
    * uniform (never 0 or 1: (bucket + 0.5)/65536), and the k SMALLEST keys
    * win — inclusion probability proportional to weight, reproducible across
-   * runs and engines. Keys are compared at 1e-6 resolution with the row key
-   * as tiebreak, so the one-ulp spread between libm `ln` implementations
-   * cannot flip the chosen set. Rows with non-positive weight are excluded.
-   * Top-k by sort key = TakeOrderedAndProject — no global sort.
+   * runs and engines. Cross-engine determinism is scale-INVARIANT: −ln(u)
+   * (range ≈ (1.5e-5, 11.8]) is quantized to an exact nano-integer — which
+   * absorbs the one-ulp spread between libm `ln` implementations — and the
+   * ranking key is that integer divided by the weight: identical operands,
+   * one IEEE division, bit-identical doubles in every engine at ANY weight
+   * magnitude (an absolute quantization of the ratio would collapse to 0
+   * under large weights and silently stop being weighted). Ties (identical
+   * doubles) break on the row key. Rows with non-positive weight are
+   * excluded. Top-k by sort key = TakeOrderedAndProject — no global sort.
+   *
+   * Output: the input columns plus `key_micro`, the selection key at 1e-6
+   * scale (display/audit; membership is decided by the full-precision
+   * ranking above). A pre-existing `key_micro` column would be overwritten.
    */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      k: Int): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
     val u = (bucket(col(keyCol)) + 0.5) / Buckets
+    val lnuNano = round(-log(u) * 1000000000L).cast("long")
+    val key = lnuNano.cast("double") / col(weightCol)
     df.filter(col(weightCol) > 0)
-      .withColumn("key_micro",
-        round(-log(u) / col(weightCol) * 1000000).cast("long"))
-      .orderBy(col("key_micro"), col(keyCol))
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey"), col(keyCol))
       .limit(k)
+      // same 1e-6 integer convention as the query layer's Q.micros —
+      // keep the rounding mode in sync with it
+      .withColumn("key_micro", round(col("__wkey") / 1000.0).cast("long"))
+      .drop("__wkey")
   }
 
   /**

@@ -41,9 +41,18 @@ object Sketches {
   /** Merge sketches built with the same (w, d): cell-wise counter sum.
     * This linearity is what makes count-min fit partitioned and streaming
     * pipelines — shards sketch independently, the union merges exactly
-    * (merged estimates equal the single-pass sketch's, cell for cell). */
-  def merge(a: DataFrame, b: DataFrame): DataFrame =
-    a.union(b).groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+    * (merged estimates equal the single-pass sketch's, cell for cell).
+    * Columns are matched by NAME (a reordered projection cannot silently
+    * misalign r/b/cnt). The (w, d) shape itself is not carried by the
+    * DataFrame and CANNOT be validated here — merging sketches built with
+    * different shapes silently produces garbage that may undercount; the
+    * caller owns that invariant. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame = {
+    require(a.columns.sorted.sameElements(Array("b", "cnt", "r")) &&
+      b.columns.sorted.sameElements(Array("b", "cnt", "r")),
+      s"not count-min sketches: ${a.columns.mkString(",")} / ${b.columns.mkString(",")}")
+    a.unionByName(b).groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Point-query the sketch for each key in `keys`: est = min over the d
     * rows of the addressed cell (0 when a cell was never touched). */

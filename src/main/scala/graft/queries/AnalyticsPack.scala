@@ -540,12 +540,15 @@ object AnalyticsPack extends QueryPack {
          |  FROM documents) r
          |WHERE rk <= 30 ORDER BY doc_id""".stripMargin,
     "q_sample_weighted" ->
-      s"""SELECT doc_id, key_micro, n_chars FROM (
-         |  SELECT doc_id, n_chars,
-         |    CAST(round(-ln((${TextPack.bucketSql("doc_id")} + 0.5) / 65536.0)
-         |      / n_chars * 1000000) AS BIGINT) AS key_micro
-         |  FROM documents WHERE n_chars > 0) s
-         |ORDER BY key_micro, doc_id LIMIT 50""".stripMargin,
+      s"""SELECT doc_id, CAST(round(wkey / 1000.0) AS BIGINT) AS key_micro, n_chars
+         |FROM (
+         |  SELECT doc_id, n_chars, wkey FROM (
+         |    SELECT doc_id, n_chars,
+         |      CAST(CAST(round(-ln((${TextPack.bucketSql("doc_id")} + 0.5) / 65536.0)
+         |        * 1000000000) AS BIGINT) AS DOUBLE) / n_chars AS wkey
+         |    FROM documents WHERE n_chars > 0) x
+         |  ORDER BY wkey, doc_id LIMIT 50) s
+         |ORDER BY key_micro, doc_id""".stripMargin,
     "q_sketch_freq" ->
       s"""SELECT tok, CAST(count(*) AS BIGINT) AS exact_n, true AS within_bound
          |FROM (SELECT unnest($W) AS tok FROM documents) x

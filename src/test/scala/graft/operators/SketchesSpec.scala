@@ -37,13 +37,14 @@ class SketchesSpec extends SparkSpec {
   }
 
   test("merged shard sketches equal the single-pass sketch cell for cell") {
-    val all = (1 to 5000).map(i => s"k${i % 97}").toDF("k")
-    val left = all.limit(2000)
-    val right = all.exceptAll(left)
+    // value-deterministic split (limit() without ordering is not)
+    val all = (1 to 5000).map(i => (i, s"k${i % 97}")).toDF("i", "k")
+    val left = all.filter(col("i") <= 2000).select("k")
+    val right = all.filter(col("i") > 2000).select("k")
     val merged = Sketches.merge(
       Sketches.countMin(left, "k", w = 128, d = 4),
       Sketches.countMin(right, "k", w = 128, d = 4))
-    val whole = Sketches.countMin(all, "k", w = 128, d = 4)
+    val whole = Sketches.countMin(all.select("k"), "k", w = 128, d = 4)
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
       "cell-wise merge must reproduce the single-pass sketch exactly")
   }
