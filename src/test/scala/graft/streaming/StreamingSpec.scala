@@ -219,6 +219,37 @@ class StreamingSpec extends SparkSpec {
     assert(results.toMap == Map(0L -> 30L, 30L -> 30L))
   }
 
+  test("stream-static join: graft stream enriched by a broadcast dimension table") {
+    import org.apache.spark.sql.functions.broadcast
+    val (_, topic, wh) = newTopic(partitions = 1)
+    val p = topic.producer()
+    (0 until 30).foreach(i => p.push(s"""{"uid":${i % 3},"v":$i}"""))
+    p.flush()
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = Seq((0L, "gold"), (1L, "silver"), (2L, "bronze")).toDF("uid", "tier")
+    val ckpt = Files.createTempDirectory("graft-ssd-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic").load()
+      .select(get_json_object(col("metadata"), "$.uid").cast("long").as("uid"))
+      .join(broadcast(dim), "uid")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => seen.synchronized {
+          seen += (r.getLong(0) -> r.getString(1))
+        }): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val byTier = seen.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byTier == Map("gold" -> 10, "silver" -> 10, "bronze" -> 10))
+    assert(seen.forall { case (uid, tier) =>
+      tier == Seq("gold", "silver", "bronze")(uid.toInt) })
+  }
+
   test("stream-stream join: two graft topics join on key within a time bound") {
     // clicks in topic A, purchases in topic B (separate warehouses); the
     // inner event-time join must pair each purchase with the one click of
