@@ -52,6 +52,21 @@ object VectorPack extends QueryPack {
         centroidsDf(s, dir), thresholdMicro = 400000L)
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    "q_knn_recall" -> { (s, dir) =>
+      // ANN quality audit: recall@3 of the IVF index against the exact
+      // brute-force baseline, per query — the self-measuring metric an ANN
+      // deployment needs; both engines re-derive both rankings
+      val ivf = Similarity.ivfTopK(queriesDf(s, dir), candidatesDf(s, dir),
+          centroidsDf(s, dir), k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"))
+      val exact = Similarity.bruteForceTopK(queriesDf(s, dir), candidatesDf(s, dir), k = 3)
+        .select(col("query_id"), col("cand_id"))
+      val iv = ivf.select(col("query_id").as("iq"), col("cand_id").as("hit"))
+      exact.join(iv, col("query_id") === col("iq") && col("cand_id") === col("hit"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_hits"))
+        .orderBy(col("query_id"))
+    },
     "q_embed_norm" -> { (s, dir) =>
       embeddings(s, dir).select(col("vec_id"),
         round(Similarity.norm(col("embedding")) * 1000000).cast("long").as("norm_micro"),
@@ -133,6 +148,39 @@ object VectorPack extends QueryPack {
          |    ${cosMicro("a.embedding", "b.embedding")} AS cos_micro
          |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id) p
          |WHERE cos_micro >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_knn_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |ex3 AS (
+         |  SELECT qid AS query_id, cid AS cand_id FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosMicro("qe", "ce")} DESC, cid) AS rank
+         |    FROM q, c) r WHERE rank <= 3),
+         |ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
+         |candcell AS (
+         |  SELECT cid, ce, cell FROM (
+         |    SELECT cid, ce, ctrid AS cell,
+         |      row_number() OVER (PARTITION BY cid
+         |        ORDER BY ${cosMicro("ce", "ctre")} DESC, ctrid) AS cr
+         |    FROM c, ctr) x WHERE cr <= 1),
+         |qcell AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT qid, qe, ctrid AS cell,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY ${cosMicro("qe", "ctre")} DESC, ctrid) AS cr
+         |    FROM q, ctr) x WHERE cr <= 2),
+         |ivf3 AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_micro DESC, cand_id) AS rank
+         |    FROM (SELECT DISTINCT qid AS query_id, cid AS cand_id,
+         |            ${cosMicro("qe", "ce")} AS cos_micro
+         |          FROM qcell JOIN candcell USING (cell)) s) r
+         |  WHERE rank <= 3)
+         |SELECT ex3.query_id, CAST(count(ivf3.cand_id) AS BIGINT) AS n_hits
+         |FROM ex3 LEFT JOIN ivf3
+         |  ON ivf3.query_id = ex3.query_id AND ivf3.cand_id = ex3.cand_id
+         |GROUP BY ex3.query_id ORDER BY ex3.query_id""".stripMargin,
     "q_embed_norm" ->
       s"""SELECT vec_id, ${normMicro("embedding")} AS norm_micro, label
          |FROM embeddings ORDER BY vec_id""".stripMargin,
