@@ -56,12 +56,11 @@ object VectorPack extends QueryPack {
       // ANN quality audit: recall@3 of the IVF index against the exact
       // brute-force baseline, per query — the self-measuring metric an ANN
       // deployment needs; both engines re-derive both rankings
-      val ivf = Similarity.ivfTopK(queriesDf(s, dir), candidatesDf(s, dir),
+      val iv = Similarity.ivfTopK(queriesDf(s, dir), candidatesDf(s, dir),
           centroidsDf(s, dir), k = 3, nprobe = 2)
-        .select(col("query_id"), col("cand_id"))
+        .select(col("query_id").as("iq"), col("cand_id").as("hit"))
       val exact = Similarity.bruteForceTopK(queriesDf(s, dir), candidatesDf(s, dir), k = 3)
         .select(col("query_id"), col("cand_id"))
-      val iv = ivf.select(col("query_id").as("iq"), col("cand_id").as("hit"))
       exact.join(iv, col("query_id") === col("iq") && col("cand_id") === col("hit"), "left")
         .groupBy(col("query_id"))
         .agg(count(col("hit")).as("n_hits"))
@@ -99,6 +98,29 @@ object VectorPack extends QueryPack {
     s"CAST(round(sqrt($dot) * 1000000) AS BIGINT)"
   }
 
+  /** CTE chain `ctr, candcell, qcell, scored` reproducing `ivfTopK`'s cell
+    * assignment + candidate scoring over CTEs `q`(qid, qe) / `c`(cid, ce) —
+    * shared by the IVF and recall oracles so index semantics cannot drift
+    * between them. */
+  private def ivfCtes(nprobe: Int): String =
+    s"""ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
+       |candcell AS (
+       |  SELECT cid, ce, cell FROM (
+       |    SELECT cid, ce, ctrid AS cell,
+       |      row_number() OVER (PARTITION BY cid
+       |        ORDER BY ${cosMicro("ce", "ctre")} DESC, ctrid) AS cr
+       |    FROM c, ctr) x WHERE cr <= 1),
+       |qcell AS (
+       |  SELECT qid, qe, cell FROM (
+       |    SELECT qid, qe, ctrid AS cell,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY ${cosMicro("qe", "ctre")} DESC, ctrid) AS cr
+       |    FROM q, ctr) x WHERE cr <= $nprobe),
+       |scored AS (
+       |  SELECT DISTINCT qid AS query_id, cid AS cand_id,
+       |    ${cosMicro("qe", "ce")} AS cos_micro
+       |  FROM qcell JOIN candcell USING (cell))""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -110,25 +132,9 @@ object VectorPack extends QueryPack {
          |  FROM pairs) r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_knn_ivf" ->
-      s"""WITH ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
-         |cand AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |candcell AS (
-         |  SELECT cid, ce, cell FROM (
-         |    SELECT cid, ce, ctrid AS cell,
-         |      row_number() OVER (PARTITION BY cid
-         |        ORDER BY ${cosMicro("ce", "ctre")} DESC, ctrid) AS cr
-         |    FROM cand, ctr) x WHERE cr <= 1),
-         |qcell AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT qid, qe, ctrid AS cell,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY ${cosMicro("qe", "ctre")} DESC, ctrid) AS cr
-         |    FROM q, ctr) x WHERE cr <= 2),
-         |scored AS (
-         |  SELECT DISTINCT qid AS query_id, cid AS cand_id,
-         |    ${cosMicro("qe", "ce")} AS cos_micro
-         |  FROM qcell JOIN candcell USING (cell))
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |${ivfCtes(nprobe = 2)}
          |SELECT query_id, rank, cand_id, cos_micro FROM (
          |  SELECT query_id, cand_id, cos_micro,
          |    row_number() OVER (PARTITION BY query_id
@@ -156,26 +162,12 @@ object VectorPack extends QueryPack {
          |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
          |      ORDER BY ${cosMicro("qe", "ce")} DESC, cid) AS rank
          |    FROM q, c) r WHERE rank <= 3),
-         |ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
-         |candcell AS (
-         |  SELECT cid, ce, cell FROM (
-         |    SELECT cid, ce, ctrid AS cell,
-         |      row_number() OVER (PARTITION BY cid
-         |        ORDER BY ${cosMicro("ce", "ctre")} DESC, ctrid) AS cr
-         |    FROM c, ctr) x WHERE cr <= 1),
-         |qcell AS (
-         |  SELECT qid, qe, cell FROM (
-         |    SELECT qid, qe, ctrid AS cell,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY ${cosMicro("qe", "ctre")} DESC, ctrid) AS cr
-         |    FROM q, ctr) x WHERE cr <= 2),
+         |${ivfCtes(nprobe = 2)},
          |ivf3 AS (
          |  SELECT query_id, cand_id FROM (
          |    SELECT query_id, cand_id, row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos_micro DESC, cand_id) AS rank
-         |    FROM (SELECT DISTINCT qid AS query_id, cid AS cand_id,
-         |            ${cosMicro("qe", "ce")} AS cos_micro
-         |          FROM qcell JOIN candcell USING (cell)) s) r
+         |    FROM scored) r
          |  WHERE rank <= 3)
          |SELECT ex3.query_id, CAST(count(ivf3.cand_id) AS BIGINT) AS n_hits
          |FROM ex3 LEFT JOIN ivf3
