@@ -82,6 +82,18 @@ class GraphSpec extends SparkSpec {
     assert(spokes.map(out).distinct.size == 1)
   }
 
+  test("pageRank: directed dangling node leaks mass, as documented") {
+    import spark.implicits._
+    // 1 → 2 with nothing out of 2: node 2 accumulates rank it never
+    // redistributes — total mass drops below 1 (the simplified
+    // formulation the scaladoc commits to) and the sink outranks the source
+    val out = Graph.pageRank(Seq(1L -> 2L).toDF("a", "b"), "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 2)
+    assert(out(2L) > out(1L))
+    assert(out.values.sum < 1.0 - 1e-6)
+  }
+
   test("random graphs match a union-find model (seeded, 3 shapes)") {
     val rng = new scala.util.Random(42)
     // sparse (forest-ish), medium, and dense-enough-to-collapse regimes
