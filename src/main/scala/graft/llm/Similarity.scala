@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
  *
  * Dot products run in DOUBLE via a sequential fold (`aggregate`), making the
  * arithmetic bit-reproducible across engines (same left-to-right order).
+ *
+ * Scale shapes: the quadratic scoring steps (corpus × centroids, pair × pair)
+ * evaluate ONE dot product per pair — operand norms are computed once per row
+ * before the join and carried through (the expression tree per norm is
+ * unchanged, so every published `cos_micro` integer is bit-identical to the
+ * naive 3-dots-per-pair form). Corpus cell assignment (n=1) collapses the
+ * n·k scored rows with a map-side-combined `min(struct(...))` aggregate
+ * before any exchange — shuffle volume is ~n rows, never n·k as a ranking
+ * window would force (same shape as [[Clustering.assignNearest]]).
  */
 object Similarity {
 
@@ -38,16 +47,26 @@ object Similarity {
   def cosineMicro(a: Column, b: Column): Column =
     round(cosine(a, b) * 1000000).cast("long")
 
+  /** Cosine-micro with pre-computed operand norms (hoisted out of a join so
+    * the per-pair work is one dot, not three). `an`/`bn` MUST be
+    * `norm(a)`/`norm(b)` values — then `dot/(an*bn)` is the exact expression
+    * tree of [[cosineMicro]] and the integers cannot drift. */
+  private def cosineMicroPre(a: Column, b: Column, an: Column, bn: Column): Column =
+    round(dot(a, b) / (an * bn) * 1000000).cast("long")
+
   /**
    * Exact top-k: for each query vector, the k nearest candidates by cosine
    * (ties broken by candidate id). `queries` is broadcast — the corpus side
-   * stays in place.
+   * stays in place; per-pair scoring is a single dot (norms hoisted).
    */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = candidates.as("c").join(broadcast(queries.as("q")))
+    val q = queries.select(col("id"), col("vec"), norm(col("vec")).as("qn"))
+    val c = candidates.select(col("id"), col("vec"), norm(col("vec")).as("cn"))
+    val joined = c.as("c").join(broadcast(q.as("q")))
       .select(col("q.id").as("query_id"), col("c.id").as("cand_id"),
-        cosineMicro(col("q.vec"), col("c.vec")).as("cos_micro"))
+        cosineMicroPre(col("q.vec"), col("c.vec"), col("q.qn"), col("c.cn"))
+          .as("cos_micro"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_micro").desc, col("cand_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -55,26 +74,43 @@ object Similarity {
         col("cand_id"), col("cos_micro"))
   }
 
-  /**
-   * IVF-style approximate top-k: assign every corpus vector to its nearest
-   * coarse centroid (broadcast), then for each query scan only the `nprobe`
-   * closest cells.
-   *
-   * Deterministic end to end: cell assignment and probe order tie-break on
-   * centroid id, result ranking on candidate id — so the (approximate)
-   * result is reproducible in any engine, and checkable against an oracle.
-   */
   /** Assign each vector to its `n` nearest coarse centroids (ties toward
-    * the smaller centroid id) — the IVF coarse quantizer. */
+    * the smaller centroid id) — the IVF coarse quantizer. Returns
+    * (id, vec, vn, cell) with the row's norm carried through so downstream
+    * pair scoring never recomputes it.
+    *
+    * n=1 (the corpus-side path) is a map-side-combined argmin aggregate —
+    * the corpus×centroids scored rows collapse BEFORE any exchange. n>1
+    * (query-side probing, a small relation) ranks through a window. */
   def nearestCells(df: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byCell = df.as("v").join(broadcast(centroids.as("ctr")))
-      .select(col("v.id").as("id"), col("v.vec").as("vec"),
-        col("ctr.id").as("cell"),
-        cosineMicro(col("v.vec"), col("ctr.vec")).as("cc"))
-    val w = Window.partitionBy(col("id")).orderBy(col("cc").desc, col("cell"))
-    byCell.withColumn("cr", row_number().over(w)).filter(col("cr") <= n)
-      .select(col("id"), col("vec"), col("cell"))
+    val v = df.select(col("id"), col("vec"), norm(col("vec")).as("vn"))
+    val c = centroids.select(col("id").as("cell"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"))
+    val cc = cosineMicroPre(col("vec"), col("cvec"), col("vn"), col("cn"))
+    if (n == 1) {
+      // argmin as min over ONE packed long — (1e6 - cosMicro) in the high
+      // bits (cosMicro is bounded to ±1e6, so the shifted value fits 21
+      // bits), centroid id in the low 40 (bound documented: centroid ids
+      // < 2^40). A long min is hash-aggregable: the corpus×centroids rows
+      // collapse in the partial aggregate BEFORE the exchange, and —
+      // unlike a `first(vec)` carry, which is non-deterministic and blocks
+      // exchange reuse — grouping by (id, vec, vn) keeps the whole subplan
+      // deterministic, so self-joins over assignments reuse one exchange.
+      val packed = (lit(1000000L) - cc) * lit(1L << 40) + col("cell")
+      v.join(broadcast(c))
+        .select(col("id"), col("vec"), col("vn"), packed.as("packed"))
+        .groupBy(col("id"), col("vec"), col("vn"))
+        .agg(min(col("packed")).as("best"))
+        .select(col("id"), col("vec"), col("vn"),
+          pmod(col("best"), lit(1L << 40)).as("cell"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val byCell = v.join(broadcast(c))
+        .select(col("id"), col("vec"), col("vn"), col("cell"), cc.as("cc"))
+      val w = Window.partitionBy(col("id")).orderBy(col("cc").desc, col("cell"))
+      byCell.withColumn("cr", row_number().over(w)).filter(col("cr") <= n)
+        .select(col("id"), col("vec"), col("vn"), col("cell"))
+    }
   }
 
   /**
@@ -90,7 +126,8 @@ object Similarity {
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        cosineMicro(col("a.vec"), col("b.vec")).as("cos_micro"))
+        cosineMicroPre(col("a.vec"), col("b.vec"), col("a.vn"), col("b.vn"))
+          .as("cos_micro"))
       .filter(col("cos_micro") >= thresholdMicro)
   }
 
@@ -105,7 +142,8 @@ object Similarity {
     // (query, candidate) pair can appear through at most one probed cell
     val scored = probed.as("p").join(assigned.as("a"), col("p.cell") === col("a.cell"))
       .select(col("p.id").as("query_id"), col("a.id").as("cand_id"),
-        cosineMicro(col("p.vec"), col("a.vec")).as("cos_micro"))
+        cosineMicroPre(col("p.vec"), col("a.vec"), col("p.vn"), col("a.vn"))
+          .as("cos_micro"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_micro").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
