@@ -42,11 +42,17 @@ object Pipelines {
                   cache: Boolean = true): DataFrame = {
     val text: Column = col(textCol)
     val quality = docs.filter(TextFunctions.qualityFlag(text))
-    val uniq = quality
+    val uniq0 = quality
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(text)).orderBy(col(idCol))))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // uniq feeds BOTH the LSH candidate generation and the final anti-join:
+    // without pinning it, the quality gate + dedup window re-run as a second
+    // full corpus pass for the join's left side.
+    val uniq = if (cache)
+      uniq0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else uniq0
     val dropped = Dedup.nearDuplicates(uniq, idCol, textCol,
       bands = bands, rowsPerBand = rowsPerBand, threshold = nearDupThreshold,
       cache = cache)
