@@ -295,4 +295,41 @@ object Dedup {
         bit_count(col("x_simhash").bitwiseXOR(col("y_simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Cross-document duplicated-passage detection — substring-level dedup at
+   * n-gram granularity (the Lee et al. "Deduplicating Training Data" shape
+   * reduced to fixed-width spans): a token position is *duplicated* when
+   * the `n`-token shingle starting there also occurs in at least one OTHER
+   * document. Per document: total shingle positions, duplicated positions,
+   * and their ratio — the removal decision (trim spans vs drop doc) stays
+   * with the caller.
+   *
+   * Within-document repetition deliberately does NOT count (that is
+   * [[TextFunctions.dupShingleRatioFromTokens]]'s job): the shingle→doc
+   * relation is DISTINCTed before the document-frequency count.
+   *
+   * Scale shape: explode positions (one row per token), one groupBy on the
+   * shingle for document frequency, one equality join back on the shingle
+   * (the df side is one row per distinct shingle — no fan-out beyond the
+   * position count), one groupBy on the doc. All bucketed; nothing
+   * quadratic.
+   */
+  def duplicatedPassages(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col("id"))
+    val pos = base.select(col("id"),
+      posexplode(TextFunctions.shinglesFromTokens(col("w"), n)).as(Seq("pos", "s")))
+    val docFreq = pos.select(col("s"), col("id")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("ndocs"))
+    pos.join(docFreq, "s")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup_pos"))
+      .withColumn("dup_ratio_micro",
+        round(col("n_dup_pos") * 1000000.0 / col("n_pos")).cast("long"))
+      .withColumnRenamed("id", idCol)
+  }
 }

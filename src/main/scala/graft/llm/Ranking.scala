@@ -72,4 +72,29 @@ object Ranking {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok"))
       .limit(k)
+
+  /**
+   * Reciprocal-rank fusion of ranked lists — the standard hybrid-retrieval
+   * combiner (keyword BM25 list ⊕ vector ANN list): score(id) =
+   * Σ_lists 1/(k + rank_list(id)), items missing from a list contribute 0.
+   *
+   * Exactness: each list's contribution is published as the integer
+   * `round(1e6/(k+rank))` and the integers are summed — no cross-engine
+   * double drift. (1e6/(k+rank) is a ratio of small exact integers; its
+   * double is identical in any IEEE engine, as is the round.)
+   *
+   * Scale shape: a union of the (already small, top-k) ranked lists and one
+   * groupBy on the id — the corpus itself is never touched here; ranking
+   * lists are the inputs.
+   *
+   * @param rankings each (id, rank) with rank ≥ 1
+   * @return (id, n_lists, rrf_micro)
+   */
+  def rrfFuse(rankings: Seq[DataFrame], kConst: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings.map(_.select(col("id"), col("rank"))).reduce(_ unionByName _)
+    u.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(round(lit(1000000.0) / (col("rank") + kConst)).cast("long")).as("rrf_micro"))
+  }
 }

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Chunking, Dedup, Ranking, Similarity}
+import graft.operators.{Bloom, Merge, TimeSeries}
+import Q._
+
+/**
+ * Round-4 curation / lakehouse operators: token-window chunking, duplicated-
+ * passage detection, hybrid (keyword ⊕ vector) retrieval with reciprocal-rank
+ * fusion, CDC changelog merge, time-series resampling with gap fill, and
+ * bloom-filter join pruning.
+ *
+ * Oracle discipline matches the other packs: every published number is an
+ * exact integer (micro/cents/counts) or an md5 hex string; every ranking is
+ * ordered by those integers with id tiebreaks; every hash family used by an
+ * operator (bloom positions) is md5-based so DuckDB re-derives it exactly —
+ * the oracle rebuilds the filter bit-for-bit, false positives included.
+ */
+object CurationPack extends QueryPack {
+
+  private val ChunkTokens = 32
+  private val OverlapTokens = 8
+  private val Stride = ChunkTokens - OverlapTokens
+
+  private val PassageN = 8
+
+  private val RrfTerms = Seq("join", "spark", "vector", "slow")
+  private val RrfK = 60
+  private val RrfDepth = 30
+  private val RrfTop = 20
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  private val BloomBits = 63 * 16 // 1008
+  private val BloomHashes = 3
+
+  private val HourNs = 3600000000000L
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_docs" -> { (s, dir) =>
+      // fixed-token windows with overlap; chunk text published as md5
+      Chunking.tokenChunks(t(s, dir, "documents"), "doc_id", "text",
+          ChunkTokens, OverlapTokens)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_tok"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    "q_dedup_passages" -> { (s, dir) =>
+      // corpus + verbatim copies of the first 25 docs under high ids: every
+      // copied doc must come back fully duplicated (ratio 1e6) — a vacuous
+      // detector that reports 0 everywhere fails the planted rows
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.duplicatedPassages(corpus, "doc_id", "text", PassageN)
+        .orderBy(col("doc_id"))
+    },
+    "q_hybrid_rrf" -> { (s, dir) =>
+      // hybrid retrieval: BM25 keyword list ⊕ cosine-kNN list (query =
+      // vector 0) over the docs that have embeddings, fused by RRF
+      val emb = t(s, dir, "embeddings")
+      val ids = emb.select(col("vec_id"))
+      val corpus = t(s, dir, "documents")
+        .join(ids, col("doc_id") === col("vec_id")).drop("vec_id")
+      // top-k FIRST (TakeOrderedAndProject — no global-window shuffle of
+      // every scored doc), then ranks assigned on the k surviving rows
+      val kw = Ranking.bm25(corpus, "doc_id", "text", RrfTerms,
+          k1 = Bm25K1, b = Bm25B)
+        .select(col("doc_id").as("id"), micros(col("score")).as("sm"))
+        .orderBy(col("sm").desc, col("id")).limit(RrfDepth)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("sm").desc, col("id"))))
+      val vec = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          emb.filter(col("vec_id") > 0)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          k = RrfDepth)
+        .select(col("cand_id").as("id"), col("rank"))
+      Ranking.rrfFuse(Seq(kw.select(col("id"), col("rank")), vec), RrfK)
+        .orderBy(col("rrf_micro").desc, col("id"))
+        .limit(RrfTop)
+    },
+    "q_merge_upsert" -> { (s, dir) =>
+      // CDC merge: +1000.00 price updates on keys %7, fresh inserts under
+      // high keys %13, deletes on keys %11 (so %77 keys see update-then-
+      // delete and the delete must win); graded as per-status counts + sums
+      val snap = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("price_c"))
+      val updates = snap.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("price_c") + 100000L).as("price_c"),
+          lit(1L).as("version"), lit("U").as("op"))
+      val inserts = snap.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("price_c"),
+          lit(2L).as("version"), lit("U").as("op"))
+      val deletes = snap.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price_c"),
+          lit(3L).as("version"), lit("D").as("op"))
+      val merged = Merge.applyChangelog(snap,
+        updates.unionByName(inserts).unionByName(deletes),
+        Seq("o_orderkey"), "version", "op")
+      merged.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+        .orderBy(col("o_orderstatus"))
+    },
+    "q_events_resample" -> { (s, dir) =>
+      // hourly grid per user (users < 20), last observation carried forward
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      TimeSeries.resampleCarryForward(ev, "user_id", "ts", "value",
+          "event_id", HourNs)
+        .select(col("key").as("user_id"), col("bucket_ts"),
+          cents(col("value")).as("value_c"), col("filled"))
+        .orderBy(col("user_id"), col("bucket_ts"))
+    },
+    "q_join_bloom" -> { (s, dir) =>
+      // bloom-filter join pruning: filter built over BUILDING customers,
+      // probed by orders BEFORE any join. Graded exactly: n_bloom counts
+      // filter passes (false positives included — the oracle rebuilds the
+      // same bits), n_true the actual matches; n_bloom ≥ n_true always
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bloom = Bloom.build(cust, "c_custkey", BloomBits, BloomHashes)
+      val truth = cust.distinct().withColumnRenamed("c_custkey", "tk")
+      t(s, dir, "orders")
+        .crossJoin(broadcast(bloom))
+        .withColumn("bloom_pass",
+          Bloom.mightContain(col("bloom_words"), col("o_custkey"),
+            BloomBits, BloomHashes))
+        .join(broadcast(truth), col("o_custkey") === col("tk"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom"),
+          sum(when(col("tk").isNotNull, 1L).otherwise(0L)).as("n_true"))
+        .orderBy(col("o_orderpriority"))
+    },
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private def W = TextPack.W
+
+  /** 64-dim cosine micro — mirrors Similarity.dot's sequential fold. */
+  private def cosMicro(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1,65)])"
+    s"CAST(round((${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))) * 1000000) AS BIGINT)"
+  }
+
+  /** DuckDB mirror of Bloom.position: 8 md5 nibbles of "j:key" mod m.
+    * `j` and `key` are SQL expressions; the md5 call is inlined per nibble
+    * (DuckDB CSEs the duplicates). */
+  private def bloomPosSql(j: String, key: String): String = {
+    val h = s"md5(CAST($j AS VARCHAR) || ':' || CAST($key AS VARCHAR))"
+    val nib = (i: Int) => s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    val v = (1 to 8).map(i => s"${nib(i)}::BIGINT * ${1L << (4 * (8 - i))}").mkString(" + ")
+    s"(($v) % $BloomBits)"
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "q_chunk_docs" ->
+      s"""WITH dw AS (SELECT doc_id, $W AS w FROM documents),
+         |c AS (SELECT doc_id, w, len(w) AS nt,
+         |        CASE WHEN len(w) <= $ChunkTokens THEN 1
+         |             ELSE CAST(ceil((len(w) - $ChunkTokens) / $Stride.0) AS BIGINT) + 1
+         |        END AS nc
+         |      FROM dw),
+         |x AS (SELECT doc_id, unnest(range(nc)) AS chunk_idx, w, nt FROM c)
+         |SELECT doc_id, chunk_idx, chunk_idx * $Stride AS start_tok,
+         |  least($ChunkTokens, nt - chunk_idx * $Stride) AS n_tok,
+         |  md5(array_to_string(w[chunk_idx * $Stride + 1 : chunk_idx * $Stride + $ChunkTokens], ' ')) AS chunk_md5
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_dedup_passages" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25),
+         |cw AS (SELECT doc_id, $W AS w FROM corpus),
+         |pos AS (SELECT doc_id, unnest(${TextPack.shingleListSql(PassageN)}) AS s FROM cw),
+         |docfreq AS (SELECT s, count(DISTINCT doc_id) AS nd FROM pos GROUP BY s)
+         |SELECT doc_id, count(*) AS n_pos,
+         |  CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_dup_pos,
+         |  CAST(round(count(*) FILTER (WHERE nd > 1) * 1000000.0 / count(*)) AS BIGINT)
+         |    AS dup_ratio_micro
+         |FROM pos JOIN docfreq USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_hybrid_rrf" -> {
+      val termList = RrfTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN embeddings e ON e.vec_id = d.doc_id),
+         |dw AS (SELECT doc_id, $W AS w FROM corpus),
+         |dl AS (SELECT doc_id, len(w) AS dl FROM dw),
+         |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM dw) x
+         |       WHERE tok IN ($termList) GROUP BY 1, 2),
+         |idf AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+         |bm AS (SELECT doc_id,
+         |         CAST(round(sum(
+         |           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |           * (tf * ${Bm25K1 + 1.0}) / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))
+         |         ) * 1000000) AS BIGINT) AS sm
+         |       FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), g
+         |       GROUP BY doc_id),
+         |kw AS (SELECT doc_id AS id, rank FROM (
+         |         SELECT doc_id, row_number() OVER (ORDER BY sm DESC, doc_id) AS rank
+         |         FROM bm) r WHERE rank <= $RrfDepth),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |vec AS (SELECT cid AS id, rank FROM (
+         |          SELECT c.vec_id AS cid,
+         |            row_number() OVER (ORDER BY ${cosMicro("qe", "c.embedding")} DESC, c.vec_id) AS rank
+         |          FROM embeddings c, q WHERE c.vec_id > 0) r
+         |        WHERE rank <= $RrfDepth),
+         |u AS (SELECT id, rank FROM kw UNION ALL SELECT id, rank FROM vec)
+         |SELECT id, count(*) AS n_lists,
+         |  CAST(sum(CAST(round(1000000.0 / ($RrfK + rank)) AS BIGINT)) AS BIGINT) AS rrf_micro
+         |FROM u GROUP BY id
+         |ORDER BY rrf_micro DESC, id LIMIT $RrfTop""".stripMargin
+    },
+    "q_merge_upsert" ->
+      s"""WITH snap AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+         |    CAST(-9223372036854775807 - 1 AS BIGINT) AS v, 'U' AS op FROM orders),
+         |chg AS (
+         |  SELECT k, st, pc + 100000 AS pc, 1::BIGINT AS v, 'U' AS op
+         |    FROM snap WHERE k % 7 = 0
+         |  UNION ALL
+         |  SELECT k + 10000000, 'N', pc, 2::BIGINT, 'U' FROM snap WHERE k % 13 = 0
+         |  UNION ALL
+         |  SELECT k, st, pc, 3::BIGINT, 'D' FROM snap WHERE k % 11 = 0),
+         |allrows AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+         |      FROM allrows)
+         |SELECT st AS o_orderstatus, count(*) AS n,
+         |  CAST(sum(pc) AS BIGINT) AS sum_price_c
+         |FROM r WHERE rn = 1 AND op <> 'D'
+         |GROUP BY st ORDER BY st""".stripMargin,
+    "q_events_resample" ->
+      s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tns, value, event_id
+         |            FROM events WHERE user_id < 20),
+         |obs AS (SELECT user_id, bucket_ts, value FROM (
+         |          SELECT user_id, tns - tns % $HourNs AS bucket_ts, value,
+         |            row_number() OVER (PARTITION BY user_id, tns - tns % $HourNs
+         |              ORDER BY tns DESC, event_id DESC, value DESC) AS rn
+         |          FROM ev) x WHERE rn = 1),
+         |spans AS (SELECT user_id, min(bucket_ts) AS b0, max(bucket_ts) AS b1
+         |          FROM obs GROUP BY user_id),
+         |grid AS (SELECT user_id, unnest(range(b0, b1 + 1, $HourNs)) AS bucket_ts
+         |         FROM spans)
+         |SELECT g.user_id, g.bucket_ts,
+         |  CAST(round(last_value(o.value IGNORE NULLS) OVER (
+         |    PARTITION BY g.user_id ORDER BY g.bucket_ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100) AS BIGINT)
+         |    AS value_c,
+         |  o.value IS NULL AS filled
+         |FROM grid g LEFT JOIN obs o
+         |  ON o.user_id = g.user_id AND o.bucket_ts = g.bucket_ts
+         |ORDER BY g.user_id, g.bucket_ts""".stripMargin,
+    "q_join_bloom" -> {
+      val buildPos = bloomPosSql("t.j", "c_custkey")
+      val probePos = bloomPosSql("t.j", "o_custkey")
+      s"""WITH bk AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         |bpos AS (SELECT DISTINCT $buildPos AS p
+         |         FROM bk, range($BloomHashes) t(j)),
+         |bits AS (SELECT p // 63 AS word, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS b
+         |         FROM bpos GROUP BY 1),
+         |op AS (SELECT o_orderkey, o_orderpriority, $probePos AS p
+         |       FROM orders, range($BloomHashes) t(j)),
+         |hits AS (SELECT op.o_orderkey, count(*) AS nh
+         |         FROM op JOIN bits ON op.p // 63 = bits.word
+         |           AND (bits.b & (1::BIGINT << CAST(op.p % 63 AS INT))) <> 0
+         |         GROUP BY 1),
+         |flags AS (SELECT o.o_orderkey, o.o_orderpriority,
+         |            coalesce(h.nh, 0) = $BloomHashes AS bloom_pass,
+         |            EXISTS (SELECT 1 FROM bk WHERE bk.c_custkey = o.o_custkey) AS is_true
+         |          FROM orders o LEFT JOIN hits h ON h.o_orderkey = o.o_orderkey)
+         |SELECT o_orderpriority,
+         |  CAST(count(*) FILTER (WHERE bloom_pass) AS BIGINT) AS n_bloom,
+         |  CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true
+         |FROM flags GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+  )
+}

@@ -268,7 +268,7 @@ object TextPack extends QueryPack {
   /** DuckDB mirror of `TextFunctions.wordShingles(text, n)` over a token
     * array column `w` (short doc ⇒ one whole-doc shingle, like the Spark
     * side). */
-  private def shingleListSql(n: Int): String =
+  private[queries] def shingleListSql(n: Int): String =
     s"""CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
        |     ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END""".stripMargin
 

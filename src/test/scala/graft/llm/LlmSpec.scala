@@ -479,4 +479,24 @@ class LlmSpec extends SparkSpec {
     // 97*257^2 + 98*257 + 99 (cross-checked against the DuckDB fold)
     assert(df(1).getLong(1) == 6432038L)
   }
+
+  test("duplicatedPassages counts cross-document shingle positions only") {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    // docs 0 and 3 are identical; doc 1 differs in the last token;
+    // doc 6 is pure within-doc repetition (unique corpus-wide)
+    val corpus = docs.unionByName(
+      Seq((6L, "rep rep rep rep rep rep rep")).toDF("doc_id", "text"))
+    val byId = Dedup.duplicatedPassages(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc0/doc3: 12 tokens → 8 positions, all duplicated (identical docs)
+    assert(byId(0L) === ((8L, 8L)))
+    assert(byId(3L) === ((8L, 8L)))
+    // doc1 shares every 5-gram except the one covering the final token
+    assert(byId(1L) === ((8L, 7L)))
+    // unrelated content: nothing duplicated
+    assert(byId(2L)._2 === 0L)
+    // within-doc repetition does NOT count as duplication
+    assert(byId(6L)._2 === 0L)
+  }
 }

@@ -72,4 +72,22 @@ class RankingSpec extends SparkSpec {
     // a=3 b=3 c=2 d=1 → ties a/b break on token text
     assert(out.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
+
+  test("rrfFuse sums per-list reciprocal ranks; missing lists contribute 0") {
+    import spark.implicits._
+    val listA = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val listB = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Ranking.rrfFuse(Seq(listA, listB), kConst = 60)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def c(rank: Long) = math.round(1000000.0 / (60 + rank))
+    assert(out === Array(
+      (10L, 1L, c(1)),
+      (20L, 2L, c(2) + c(1)), // in both lists — contributions add
+      (30L, 1L, c(3)),
+      (40L, 1L, c(2))))
+    // the item ranked highly in BOTH lists must out-score single-list items
+    val best = out.maxBy(_._3)
+    assert(best._1 === 20L)
+  }
 }
