@@ -39,4 +39,31 @@ object Skew {
         partials.tail.map { case (n, (_, f)) => f(col(s"__p_$n")).as(n) }: _*)
       .withColumnRenamed("__key", "key")
   }
+
+  /**
+   * Salted equality join for skewed keys: the left (large, skewed) side
+   * gets a salt in [0, saltBuckets); the right side is replicated once per
+   * salt value; the join runs on (key, salt) — a hot key's rows spread
+   * over `saltBuckets` reducers instead of funneling through one.
+   *
+   * The salt is invisible in the result: output = `left ⋈ right on key`,
+   * EXACTLY (inner join; the salt assignment — task-nondeterministic, like
+   * [[saltedAgg]]'s — cannot affect which pairs meet, because every right
+   * row exists under every salt). Cost: right side shuffles ×saltBuckets —
+   * use when the right side is too big to broadcast but ≪ left.
+   *
+   * (AQE's skew-join split covers sort-merge joins it can see at runtime;
+   * this is the explicit form — deterministic plan, works under any join
+   * strategy, and composable with pre-aggregated inputs.)
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    val l = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

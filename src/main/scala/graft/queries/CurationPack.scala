@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Chunking, Dedup, Ranking, Similarity}
-import graft.operators.{Bloom, Merge, TimeSeries}
+import graft.operators.{Bloom, Merge, Skew, TimeSeries}
 import Q._
 
 /**
@@ -139,6 +139,77 @@ object CurationPack extends QueryPack {
         .agg(sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_bloom"),
           sum(when(col("tk").isNotNull, 1L).otherwise(0L)).as("n_true"))
         .orderBy(col("o_orderpriority"))
+    },
+    "q_join_salted" -> { (s, dir) =>
+      // skew-salted join: the salt must be INVISIBLE in the result — the
+      // oracle is the plain (unsalted) join, so any leak of salt structure
+      // (dropped pairs, duplicated pairs) fails the exact compare
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      Skew.saltedJoin(li, ord, "l_orderkey", saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          cents(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_c"))
+        .orderBy(col("o_orderpriority"))
+    },
+    "q_agg_hll_merge" -> { (s, dir) =>
+      // distributed-sketch workflow: per-shard Datasketches-HLL sketches,
+      // merged with hll_union_agg, estimated once. Graded as a contract
+      // (like q_agg_approx_distinct): exact count + a Spark-computed
+      // within-5% bound the oracle states must be true. Union of same-lgK
+      // sketches is lossless, so the estimate is set-deterministic.
+      val orders = t(s, dir, "orders")
+      val shards = orders
+        .withColumn("shard", pmod(col("o_orderkey"), lit(8)))
+        .groupBy(col("shard"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val est = shards.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = orders.agg(countDistinct(col("o_custkey")).as("exact_cust"))
+      exact.crossJoin(est)
+        .select(col("exact_cust"),
+          (abs(col("est") - col("exact_cust")) / col("exact_cust") <= 0.05)
+            .as("within_5pct"))
+    },
+    "q_events_rolling1h" -> { (s, dir) =>
+      // time-RANGE window frame (vs q_events_moving's row frame): per
+      // event, activity in the trailing hour for the same user — interval
+      // frames over the long-nanos domain, exact in both engines
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-(HourNs - 1), 0)
+      t(s, dir, "events").filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          cents(sum(col("value")).over(w)).as("sum_1h_c"))
+        .orderBy(col("event_id"))
+    },
+    "q_agg_winsorize" -> { (s, dir) =>
+      // robust aggregation: clip each group's prices to its exact
+      // [p05, p95] percentiles, entirely in 1e4-integer space (price and
+      // interpolated percentile are both integral there — see
+      // q_agg_percentile), so the clip comparisons can never straddle a
+      // double ulp between engines
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 10000).cast("long").as("v_tc"))
+      val bounds = li.groupBy(col("l_returnflag"))
+        .agg(round(percentile(col("v_tc"), lit(0.05))).cast("long").as("lo_tc"),
+          round(percentile(col("v_tc"), lit(0.95))).cast("long").as("hi_tc"))
+      li.join(broadcast(bounds), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("lo_tc"), col("hi_tc"),
+          least(greatest(col("v_tc"), col("lo_tc")), col("hi_tc")).as("cv"),
+          (col("v_tc") < col("lo_tc")).as("lo"), (col("v_tc") > col("hi_tc")).as("hi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("sum_clip_tc"),
+          sum(when(col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          max(col("lo_tc")).as("p05_tc"), max(col("hi_tc")).as("p95_tc"))
+        .orderBy(col("l_returnflag"))
     },
   )
 
@@ -286,5 +357,37 @@ object CurationPack extends QueryPack {
          |  CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_true
          |FROM flags GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
     },
+    // the salt must be invisible: the oracle is the PLAIN join
+    "q_join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)
+        |   AS revenue_c
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_hll_merge" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_cust, true AS within_5pct
+        |FROM orders""".stripMargin,
+    "q_events_rolling1h" ->
+      s"""SELECT user_id, event_id, count(*) OVER w AS n_1h,
+         |  CAST(round(sum(value) OVER w * 100) AS BIGINT) AS sum_1h_c
+         |FROM (SELECT user_id, event_id, epoch_ns(ts) AS tns, value
+         |      FROM events WHERE user_id < 200) e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY tns
+         |  RANGE BETWEEN ${HourNs - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+    "q_agg_winsorize" ->
+      """WITH v AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 10000) AS BIGINT) AS v_tc FROM lineitem),
+        |b AS (SELECT l_returnflag,
+        |    CAST(round(quantile_cont(v_tc, 0.05)) AS BIGINT) AS lo_tc,
+        |    CAST(round(quantile_cont(v_tc, 0.95)) AS BIGINT) AS hi_tc
+        |  FROM v GROUP BY l_returnflag)
+        |SELECT v.l_returnflag, count(*) AS n,
+        |  CAST(sum(least(greatest(v_tc, lo_tc), hi_tc)) AS BIGINT) AS sum_clip_tc,
+        |  CAST(count(*) FILTER (WHERE v_tc < lo_tc) AS BIGINT) AS n_lo,
+        |  CAST(count(*) FILTER (WHERE v_tc > hi_tc) AS BIGINT) AS n_hi,
+        |  max(lo_tc) AS p05_tc, max(hi_tc) AS p95_tc
+        |FROM v JOIN b ON b.l_returnflag = v.l_returnflag
+        |GROUP BY v.l_returnflag ORDER BY v.l_returnflag""".stripMargin,
   )
 }

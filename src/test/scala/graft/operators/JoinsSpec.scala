@@ -69,6 +69,22 @@ class JoinsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin equals the plain join exactly, including dup/missing keys") {
+    import session.implicits._
+    // left has a hot key (1 ×6), a key missing on the right (3), and
+    // right has a key missing on the left (9) plus a DUPLICATE key (2 ×2,
+    // each left row must pair with both)
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"), (1L, "e"),
+      (1L, "f"), (2L, "g"), (3L, "h")).toDF("k", "lv")
+    val right = Seq((1L, 10L), (2L, 20L), (2L, 21L), (9L, 90L)).toDF("k", "rv")
+    val salted = Skew.saltedJoin(left, right, "k", saltBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val plain = left.join(right, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(salted === plain)
+    assert(salted.count(_._1 == 2L) === 2) // duplicate right rows both paired
+  }
+
   test("approx_count_distinct (rsd 1%) lands within 5% of exact on real data") {
     val r = session.read.parquet(sf("sf0.01") + "/orders.parquet")
       .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("a"),
