@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Chunking, Dedup, Ranking, Similarity}
+import graft.llm.{Chunking, Dedup, Perplexity, Quantization, Ranking, Similarity}
 import graft.operators.{Bloom, Merge, Skew, TimeSeries}
 import Q._
 
@@ -211,6 +211,29 @@ object CurationPack extends QueryPack {
           max(col("lo_tc")).as("p05_tc"), max(col("hi_tc")).as("p95_tc"))
         .orderBy(col("l_returnflag"))
     },
+    "q_text_unigram_ppl" -> { (s, dir) =>
+      // perplexity quality filter: unigram model trained on the English
+      // slice, every doc scored against it — non-en docs surface as the
+      // high-perplexity tail (the drop/reweight decision the filter feeds)
+      val docs = t(s, dir, "documents")
+      Perplexity.unigramScore(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    "q_knn_pq" -> { (s, dir) =>
+      // product-quantized ANN: 64 dims → 8 codes/vector (16-codeword
+      // deterministic codebooks), queries scored via the ADC table —
+      // integer-summed, so the oracle re-derives ranks exactly
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cands = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cb = Quantization.codebooks(cands, dims = 64, m = 8, ksub = 16)
+      val codes = Quantization.encode(cands, cb, dims = 64, m = 8)
+      Quantization.adcTopK(queriesDf, codes, cb, dims = 64, m = 8, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -389,5 +412,46 @@ object CurationPack extends QueryPack {
         |  max(lo_tc) AS p05_tc, max(hi_tc) AS p95_tc
         |FROM v JOIN b ON b.l_returnflag = v.l_returnflag
         |GROUP BY v.l_returnflag ORDER BY v.l_returnflag""".stripMargin,
+    "q_text_unigram_ppl" ->
+      s"""WITH ref AS (SELECT unnest($W) AS tok FROM documents WHERE lang = 'en'),
+         |vocab AS (SELECT tok, count(*) AS c FROM ref GROUP BY tok),
+         |st AS (SELECT CAST(sum(c) AS BIGINT) AS n_ref, count(*) AS v_ref FROM vocab),
+         |dt AS (SELECT doc_id, unnest($W) AS tok FROM documents)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c IS NULL) AS BIGINT) AS n_oov,
+         |  CAST(round(avg(-ln((coalesce(c, 0) + 1) * 1.0 / (n_ref + v_ref)))
+         |    * 1000000) AS BIGINT) AS mean_nll_micro
+         |FROM dt LEFT JOIN vocab USING (tok), st
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_knn_pq" -> {
+      def dot(x: String, y: String) =
+        s"list_sum([CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE) for i in range(1,9)])"
+      def d2(x: String, y: String) =
+        s"CAST(round((${dot(x, x)} + ${dot(y, y)} - 2.0 * ${dot(x, y)}) * 1000000) AS BIGINT)"
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |seeds AS (SELECT cid, ce, row_number() OVER (ORDER BY cid) - 1 AS code
+         |          FROM (SELECT * FROM c ORDER BY cid LIMIT 16) s),
+         |cb AS (SELECT code, sub, ce[sub*8+1 : sub*8+8] AS cvec
+         |       FROM seeds, range(8) t(sub)),
+         |csub AS (SELECT cid, sub, ce[sub*8+1 : sub*8+8] AS svec
+         |         FROM c, range(8) t(sub)),
+         |enc AS (SELECT cid, sub, code FROM (
+         |    SELECT cid, sub, code, row_number() OVER (PARTITION BY cid, sub
+         |      ORDER BY least(d2v, 4398046511103), code) AS rn
+         |    FROM (SELECT cid, sub, code, ${d2("svec", "cvec")} AS d2v
+         |          FROM csub JOIN cb USING (sub)) x) y WHERE rn = 1),
+         |qsub AS (SELECT qid, sub, qe[sub*8+1 : sub*8+8] AS qsvec
+         |         FROM q, range(8) t(sub)),
+         |tab AS (SELECT qid, sub, code, ${d2("qsvec", "cvec")} AS d2v
+         |        FROM qsub JOIN cb USING (sub)),
+         |sc AS (SELECT qid, cid, CAST(sum(d2v) AS BIGINT) AS adc_micro
+         |       FROM enc JOIN tab USING (sub, code) GROUP BY qid, cid)
+         |SELECT query_id, rank, cand_id, adc_micro FROM (
+         |  SELECT qid AS query_id, cid AS cand_id, adc_micro,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc_micro, cid) AS rank
+         |  FROM sc) r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
   )
 }
