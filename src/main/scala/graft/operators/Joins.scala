@@ -25,15 +25,22 @@ object Joins {
    * `rightOrder`). Right payload columns surface null when nothing precedes.
    *
    * @param rightPayload right columns to carry (renamed as given)
+   * @param tolerance    when set, a match older than `tolerance` time units
+   *                     (leftTime − rightTime > tolerance) is discarded —
+   *                     the row surfaces with null payload, exactly like
+   *                     "nothing precedes". The carry-forward window is
+   *                     unchanged; staleness is a per-row post-filter, so
+   *                     the one-shuffle shape is preserved.
    */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            rightPayload: Seq[(String, String)],
-           rightOrder: String): DataFrame = {
+           rightOrder: String,
+           tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns
     val payloadStruct = struct(
       (rightPayload.map { case (from, to) => col(from).as(to) } :+
-        col(rightOrder).as("__ord")): _*)
+        col(rightOrder).as("__ord") :+ col(rightTime).as("__mt")): _*)
 
     val l = left
       .withColumn("__t", col(leftTime))
@@ -60,9 +67,16 @@ object Joins {
       .orderBy(col("__t"), col("__side"), col("__r.__ord").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val fresh = tolerance match {
+      case None => col("__match")
+      case Some(tol) => when(
+        col("__t") - col("__match.__mt") <= tol, col("__match"))
+    }
+    matched
+      .withColumn("__match", fresh)
       .select(leftCols.map(col) ++
         rightPayload.map { case (_, to) => col(s"__match.$to").as(to) }: _*)
   }

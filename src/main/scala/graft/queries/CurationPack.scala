@@ -234,6 +234,49 @@ object CurationPack extends QueryPack {
       Quantization.adcTopK(queriesDf, codes, cb, dims = 64, m = 8, k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
+    "q_join_asof_tol" -> { (s, dir) =>
+      // as-of with staleness bound: purchases older than 1h before the
+      // click are discarded (null payload) — q_join_asof's semantics plus
+      // the tolerance post-filter; the one-shuffle shape is unchanged
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("p_event_id"), col("value"))
+      graft.operators.Joins.asOf(clicks, purchases, key = "user_id",
+          leftTime = "ts_us", rightTime = "ts_us",
+          rightPayload = Seq("p_event_id" -> "p_event_id", "value" -> "p_value"),
+          rightOrder = "p_event_id", tolerance = Some(3600000000L))
+        .select(col("event_id"), col("user_id"), col("p_event_id"),
+          cents(col("p_value")).as("p_value_c"))
+        .orderBy(col("event_id"))
+    },
+    "q_audit_gaps" -> { (s, dir) =>
+      // dense-sequence audit: l_linenumber should run 1..n per order; rows
+      // are knocked out deterministically so the auditor has real gaps to
+      // find — count(n) vs max(linenumber) disagreement flags the order
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey") + col("l_linenumber"), lit(13)) =!= 0)
+      li.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), max(col("l_linenumber")).as("mx"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("mx") =!= col("n"), 1L).otherwise(0L)).as("n_gapped"),
+          sum(col("mx") - col("n")).as("n_missing"))
+    },
+    "q_profile_skew" -> { (s, dir) =>
+      // group-size skew profiler: the distribution of per-key row counts —
+      // the diagnostic run before choosing salting/AQE-skew settings;
+      // percentiles ×1e4 are integral (integer counts, ≤2-decimal
+      // interpolation fraction — the q_agg_percentile argument)
+      def tc(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n")).as("n_rows"), max(col("n")).as("max_n"),
+          tc(percentile(col("n"), lit(0.5))).as("p50_tc"),
+          tc(percentile(col("n"), lit(0.99))).as("p99_tc"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -453,5 +496,44 @@ object CurationPack extends QueryPack {
          |  FROM sc) r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    "q_join_asof_tol" ->
+      """WITH clicks AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id
+        |               FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+        |            event_id AS p_event_id, value
+        |          FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, tus, event_id, 1 AS side,
+        |    NULL::BIGINT AS p_event_id, NULL::DOUBLE AS pv FROM clicks
+        |  UNION ALL
+        |  SELECT user_id, tus, NULL, 0, p_event_id, value FROM purch),
+        |m AS (SELECT user_id, tus, event_id, side,
+        |    last_value(CASE WHEN side = 0 THEN p_event_id END IGNORE NULLS) OVER w AS p_event_id,
+        |    last_value(CASE WHEN side = 0 THEN pv END IGNORE NULLS) OVER w AS p_value,
+        |    last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS) OVER w AS mt
+        |  FROM u WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tus, side, p_event_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN tus - mt <= 3600000000 THEN p_event_id END AS p_event_id,
+        |  CASE WHEN tus - mt <= 3600000000
+        |       THEN CAST(round(p_value * 100) AS BIGINT) END AS p_value_c
+        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "q_audit_gaps" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber FROM lineitem
+        |            WHERE (l_orderkey + l_linenumber) % 13 <> 0),
+        |g AS (SELECT l_orderkey, count(*) AS n, max(l_linenumber) AS mx
+        |      FROM li GROUP BY l_orderkey)
+        |SELECT count(*) AS n_orders,
+        |  CAST(count(*) FILTER (WHERE mx <> n) AS BIGINT) AS n_gapped,
+        |  CAST(sum(mx - n) AS BIGINT) AS n_missing
+        |FROM g""".stripMargin,
+    "q_profile_skew" ->
+      """WITH g AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+        |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  max(n) AS max_n,
+        |  CAST(round(quantile_cont(n, 0.5) * 10000) AS BIGINT) AS p50_tc,
+        |  CAST(round(quantile_cont(n, 0.99) * 10000) AS BIGINT) AS p99_tc
+        |FROM g""".stripMargin,
   )
 }

@@ -69,6 +69,22 @@ class JoinsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("asOf tolerance: stale matches null out, fresh ones survive") {
+    import session.implicits._
+    val left = Seq((1L, 100L, "x"), (1L, 500L, "y"), (2L, 50L, "z"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 90L, 7L), (2L, 10L, 8L)).toDF("k", "t", "rid")
+    val out = Joins.asOf(left, right, key = "k", leftTime = "t",
+        rightTime = "t", rightPayload = Seq("rid" -> "rid"),
+        rightOrder = "rid", tolerance = Some(50L))
+      .orderBy(col("t")).collect()
+      .map(r => (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // k=1 t=100: match at 90 (age 10 ≤ 50) → 7
+    // k=1 t=500: match at 90 (age 410 > 50) → null
+    // k=2 t=50:  match at 10 (age 40 ≤ 50)  → 8
+    assert(out === Array(("z", 8L), ("x", 7L), ("y", -1L)))
+  }
+
   test("saltedJoin equals the plain join exactly, including dup/missing keys") {
     import session.implicits._
     // left has a hot key (1 ×6), a key missing on the right (3), and
