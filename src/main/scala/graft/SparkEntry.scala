@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered query packs. */
   private val packs: Seq[QueryPack] =
     Seq(Relational, EventPack, EnginePack, TextPack, VectorPack, AdvancedPack,
-      AnalyticsPack, CurationPack)
+      AnalyticsPack, CurationPack, LakehousePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

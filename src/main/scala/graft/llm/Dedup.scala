@@ -296,6 +296,79 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // -- prefix-filter exact similarity self-join -----------------------------
+
+  /**
+   * EXACT Jaccard similarity self-join via prefix filtering (the AllPairs /
+   * PPJoin candidate scheme) — the deterministic complement to the LSH
+   * operators: 100% recall by construction, no probabilistic miss bound to
+   * budget for.
+   *
+   * The threshold is the rational `tNum/tDen` so every bound below is
+   * computed in exact integer arithmetic — a double `ceil(t*n)` can land one
+   * ulp high, shorten the prefix by a token, and silently lose recall.
+   *
+   * Candidate scheme: J(A,B) ≥ t implies |A∩B| ≥ ceil(t·|A|) (from
+   * i(1+t) ≥ t(|A|+|B|) ≥ t(|A|+i), since |B| ≥ i), and symmetrically for
+   * B. Under ANY global token order, two sets with overlap ≥ o share a
+   * token within their (size − o + 1)-prefixes, so candidates are generated
+   * by an equality join on prefix tokens only. The order used is
+   * rarest-first (document frequency, then token), which makes prefix
+   * tokens precisely the LOW-df ones: per-token join fan-out is df-bounded
+   * and hyper-frequent tokens — the quadratic blow-up risk — are pushed out
+   * of every prefix. Each doc sorts only its OWN token set (no global rank,
+   * nothing single-partitioned); every candidate is verified with the exact
+   * integer test `i·tDen ≥ tNum·(|A|+|B|−i)`.
+   *
+   * Scale shape: one df aggregate, one per-doc sort bounded by doc length,
+   * a prefix-token equality join, and the candidate-restricted verify join
+   * — all bucketed, nothing quadratic in the corpus.
+   */
+  /** @param shingleN set-element granularity: 1 = word sets; n>1 = n-gram
+    *        shingle sets ([[TextFunctions.shinglesFromTokens]] semantics).
+    *        Shingles are far more discriminative than words on self-similar
+    *        corpora — low document frequency everywhere — which keeps both
+    *        the prefix join's fan-out and the result size in check. */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        tNum: Int, tDen: Int, shingleN: Int = 1): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val base = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col("id"))
+    val units =
+      if (shingleN <= 1) col("w")
+      else TextFunctions.shinglesFromTokens(col("w"), shingleN)
+    // read by the prefix build, the size count, and both verify sides
+    val sh = base.select(col("id"), explode(array_distinct(units)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfq"))
+    val pref = sh.join(dfreq, "s")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("dfq"), col("s")))).as("ts"),
+        count(lit(1)).as("n"))
+      // prefix length n − ceil(t·n) + 1, all in integer arithmetic
+      .select(col("id"), explode(slice(col("ts"), lit(1),
+        (col("n") - expr(s"CAST((n * $tNum + ${tDen - 1}) DIV $tDen AS BIGINT)")
+          + 1).cast("int"))).as("p"))
+      .select(col("id"), col("p.s").as("s"))
+    val candidates = pref.as("a").join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.as("sa"), col("doc_a") === col("sa.id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    inter
+      .join(counts.as("ca"), col("doc_a") === col("ca.id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.id"))
+      .filter(col("i") * tDen >= (col("ca.n") + col("cb.n") - col("i")) * tNum)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") * 1000000.0 / (col("ca.n") + col("cb.n") - col("i")))
+          .cast("long").as("jac_micro"))
+  }
+
   /**
    * Cross-document duplicated-passage detection — substring-level dedup at
    * n-gram granularity (the Lee et al. "Deduplicating Training Data" shape

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Tokenizer}
+import graft.operators.{History, Layout, Profile}
+import Q._
+
+/**
+ * Lakehouse-maintenance + curation additions: SCD Type-2 history build,
+ * single-pass data-quality column profiling, Z-order layout (with the scan
+ * pruning it buys measured against a single-column layout), prefix-filter
+ * EXACT similarity self-join (the deterministic complement to LSH), and the
+ * BPE merge-candidate counting round of tokenizer training.
+ *
+ * Oracle discipline as elsewhere: exact integers (cents / micros / counts),
+ * string min/max only over types whose rendering is engine-independent,
+ * every result deterministically ordered in both engines.
+ */
+object LakehousePack extends QueryPack {
+
+  private val ZBits = 16
+  private val ZBuckets = 64
+  private val ProbeLo = 365L // day number of 1996-01-01
+  private val ProbeHi = 730L // day number of 1996-12-31 (leap year)
+
+  private val PfxNum = 4 // prefix-join Jaccard threshold 4/5
+  private val PfxDen = 5
+  private val PfxShingleN = 3
+
+  private val BpeTop = 30
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> { (s, dir) =>
+      // orders as a change stream over customer accounts: each order is a
+      // new version of its customer's (status, price) attributes; SCD2
+      // assigns every version its half-open validity interval
+      val chg = t(s, dir, "orders").filter(col("o_custkey") < 150)
+        .select(col("o_custkey"), col("o_orderkey").as("version"),
+          col("o_orderstatus"), cents(col("o_totalprice")).as("price_c"))
+      History.scd2(chg, Seq("o_custkey"), "version")
+        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+          col("is_current"), col("o_orderstatus"), col("price_c"))
+        .orderBy(col("o_custkey"), col("valid_from"))
+    },
+    "q_profile_columns" -> { (s, dir) =>
+      // Deequ-style single-pass profile; status_nonf injects nulls so the
+      // completeness column is exercised (orders itself has none)
+      Profile.profile(t(s, dir, "orders"), Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "price_c" -> cents(col("o_totalprice")),
+        "day_num" -> datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+          .cast("long"),
+        "status_nonf" -> expr("nullif(o_orderstatus, 'F')")))
+        .orderBy(col("column"))
+    },
+    "q_zorder" -> { (s, dir) =>
+      // the pruning experiment: bucket rows into ZBuckets equal files under
+      // (a) a Z-order key over (custkey, order day) and (b) a custkey-only
+      // sort, then probe year 1996 — files whose [min,max] day range misses
+      // the probe are skipped. rows_scanned quantifies what Z-ordering buys
+      // on the dimension the single-column layout ignores. ntile's global
+      // window is the demo-scale stand-in for repartitionByRange(zval) —
+      // the real placement mechanism at scale; tied sort keys carry
+      // identical (x, y), so bucket stats are deterministic either way.
+      val base = t(s, dir, "orders").select(
+        col("o_custkey").bitwiseAND(lit(0xFFFFL)).as("x"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
+          .bitwiseAND(lit(0xFFFFL)).as("y"))
+      def stats(key: Column, name: String): DataFrame =
+        base
+          .withColumn("bkt", ntile(ZBuckets).over(Window.orderBy(key)))
+          .groupBy(col("bkt"))
+          .agg(count(lit(1)).as("nr"), min(col("y")).as("mn"), max(col("y")).as("mx"),
+            sum(when(col("y").between(ProbeLo, ProbeHi), 1L).otherwise(0L)).as("nm"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("mn") <= ProbeHi && col("mx") >= ProbeLo, 1L)
+              .otherwise(0L)).as("n_files_scanned"),
+            sum(when(col("mn") <= ProbeHi && col("mx") >= ProbeLo, col("nr"))
+              .otherwise(0L)).as("rows_scanned"),
+            sum(col("nm")).as("rows_match"))
+          .select(lit(name).as("layout"), col("n_buckets"),
+            col("n_files_scanned"), col("rows_scanned"), col("rows_match"))
+      stats(Layout.zValue(col("x"), col("y"), ZBits), "zorder")
+        .unionByName(stats(col("x") * 65536L + col("y"), "custkey"))
+        .orderBy(col("layout"))
+    },
+    "q_dedup_prefix" -> { (s, dir) =>
+      // exact 3-shingle Jaccard ≥ 4/5 self-join; verbatim-plus-one-token
+      // copies of the first 20 docs are planted so the join provably finds
+      // pairs. The oracle is the full all-pairs Jaccard — prefix filtering
+      // must be recall-lossless. Shingle granularity (not words): the
+      // synthetic corpus is word-set self-similar, so word-level J ≥ 0.8
+      // holds for ~32k organic pairs — shingles keep the semantics of
+      // q_dedup_minhash's truth set instead.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zzqq")).as("text")))
+      Dedup.prefixFilterPairs(corpus, "doc_id", "text", PfxNum, PfxDen,
+          shingleN = PfxShingleN)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q_bpe_merges" -> { (s, dir) =>
+      Tokenizer.mergeCandidates(t(s, dir, "documents"), "text", BpeTop)
+        .orderBy(col("n").desc, col("a"), col("b"))
+    },
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  private def W = TextPack.W
+
+  /** One profile row — mirrors Profile.profile for a single field. */
+  private def profOracle(name: String, sqlExpr: String): String =
+    s"""SELECT '$name' AS "column", count(*) AS n_rows,
+       |  count(*) - count($sqlExpr) AS n_null,
+       |  count(DISTINCT $sqlExpr) AS n_distinct,
+       |  CAST(min($sqlExpr) AS VARCHAR) AS min_s,
+       |  CAST(max($sqlExpr) AS VARCHAR) AS max_s
+       |FROM orders""".stripMargin
+
+  /** DuckDB mirror of Layout.zValue over 16-bit x/y expressions. */
+  private def zSql(xe: String, ye: String): String =
+    (0 until ZBits).map { i =>
+      s"(((($xe >> $i) & 1) << ${2 * i + 1}) | ((($ye >> $i) & 1) << ${2 * i}))"
+    }.mkString(" | ")
+
+  /** Per-layout pruning stats over `rel`(x, y, bkt). */
+  private def layoutAgg(name: String, rel: String): String =
+    s"""SELECT '$name' AS layout, count(*) AS n_buckets,
+       |  CAST(count(*) FILTER (WHERE mn <= $ProbeHi AND mx >= $ProbeLo) AS BIGINT)
+       |    AS n_files_scanned,
+       |  CAST(coalesce(sum(nr) FILTER (WHERE mn <= $ProbeHi AND mx >= $ProbeLo), 0)
+       |    AS BIGINT) AS rows_scanned,
+       |  CAST(sum(nm) AS BIGINT) AS rows_match
+       |FROM (SELECT count(*) AS nr, min(y) AS mn, max(y) AS mx,
+       |        sum(CASE WHEN y BETWEEN $ProbeLo AND $ProbeHi THEN 1 ELSE 0 END) AS nm
+       |      FROM $rel GROUP BY bkt) g""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey AS valid_from,
+        |  lead(o_orderkey) OVER w AS valid_to,
+        |  lead(o_orderkey) OVER w IS NULL AS is_current,
+        |  o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders WHERE o_custkey < 150
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, valid_from""".stripMargin,
+    "q_profile_columns" -> Seq(
+      profOracle("o_orderkey", "o_orderkey"),
+      profOracle("o_custkey", "o_custkey"),
+      profOracle("o_orderstatus", "o_orderstatus"),
+      profOracle("o_orderpriority", "o_orderpriority"),
+      profOracle("price_c", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+      profOracle("day_num",
+        "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"),
+      profOracle("status_nonf", "nullif(o_orderstatus, 'F')"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+    "q_zorder" -> {
+      s"""WITH base AS (SELECT o_custkey & 65535 AS x,
+         |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) & 65535 AS y
+         |  FROM orders),
+         |zb AS (SELECT x, y, ntile($ZBuckets) OVER (ORDER BY ${zSql("x", "y")}) AS bkt
+         |       FROM base),
+         |cb AS (SELECT x, y, ntile($ZBuckets) OVER (ORDER BY x * 65536 + y) AS bkt
+         |       FROM base)
+         |${layoutAgg("custkey", "cb")}
+         |UNION ALL
+         |${layoutAgg("zorder", "zb")}
+         |ORDER BY layout""".stripMargin
+    },
+    "q_dedup_prefix" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text || ' zzqq' FROM documents WHERE doc_id < 20),
+         |dw AS (SELECT doc_id, $W AS w FROM corpus),
+         |tok AS (SELECT DISTINCT doc_id, unnest(${TextPack.shingleListSql(PfxShingleN)}) AS s
+         |        FROM dw),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |ins AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(round(i * 1000000.0 / (ca.n + cb.n - i)) AS BIGINT) AS jac_micro
+         |FROM ins JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |WHERE i * $PfxDen >= (ca.n + cb.n - i) * $PfxNum
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_bpe_merges" ->
+      s"""WITH tk AS (SELECT unnest($W) AS tok FROM documents),
+         |p AS (SELECT unnest([substr(tok, i, 2) for i in range(1, len(tok))]) AS ab
+         |      FROM tk WHERE len(tok) >= 2)
+         |SELECT substr(ab, 1, 1) AS a, substr(ab, 2, 1) AS b, count(*) AS n
+         |FROM p GROUP BY a, b
+         |ORDER BY n DESC, a, b LIMIT $BpeTop""".stripMargin,
+  )
+}

@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PrefixJoinSpec extends SparkSpec {
+
+  /** Brute-force word-set Jaccard ≥ tNum/tDen, computed driver-side. */
+  private def bruteForce(docs: Seq[(Long, String)], tNum: Int, tDen: Int)
+      : Set[(Long, Long)] = {
+    val sets = docs.map { case (id, text) =>
+      id -> text.trim.split("\\s+").filter(_.nonEmpty).toSet
+    }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = (sa & sb).size
+      if i.toLong * tDen >= (sa.size + sb.size - i).toLong * tNum
+    } yield (ia, ib)).toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], tNum: Int, tDen: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"), "doc_id", "text", tNum, tDen)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+  }
+
+  test("prefixFilterPairs matches brute-force exactly, boundary included") {
+    val docs = Seq[(Long, String)](
+      (1L, "a b c"),        // J(1,2) = 2/4 = 0.5 — exactly at threshold
+      (2L, "a b x"),
+      (3L, "a b c d e f"),  // J(1,3) = 3/6 = 0.5 — boundary via containment
+      (4L, "p q r s t"),
+      (5L, "p q r s t u"),  // J(4,5) = 5/6 > 0.5
+      (6L, "zz yy"),        // J(6,*) = 0
+      (7L, "a x y z w v"))  // shares common tokens but below threshold
+    val expected = bruteForce(docs, 1, 2)
+    assert(expected.contains((1L, 2L)) && expected.contains((1L, 3L)) &&
+      expected.contains((4L, 5L))) // the fixture really has boundary pairs
+    assert(run(docs, 1, 2) == expected)
+  }
+
+  test("prefixFilterPairs: hyper-frequent shared token alone creates no pair") {
+    // every doc shares 'the', but no pair reaches J >= 0.8 — candidates may
+    // exist, the verified result must be empty
+    val docs = (0L until 12L).map(i => i -> s"the u$i v$i w$i x$i y$i")
+    assert(run(docs, 4, 5) == Set.empty)
+    assert(bruteForce(docs, 4, 5) == Set.empty)
+  }
+
+  test("prefixFilterPairs randomized recall against brute force") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val base = (0L until 30L).map { i =>
+      i -> rnd.shuffle(vocab).take(6 + rnd.nextInt(8)).mkString(" ")
+    }
+    // plant near-dups: one-token-appended copies of the first 8 docs
+    val docs = base ++ (0L until 8L).map(i => (100L + i) -> (base(i.toInt)._2 + " extra"))
+    assert(run(docs, 7, 10) == bruteForce(docs, 7, 10))
+  }
+
+  test("prefixFilterPairs at shingle granularity matches shingle brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 25).map(i => s"t$i")
+    val base = (0L until 20L).map { i =>
+      i -> Seq.fill(10 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val docs = base ++ (0L until 6L).map(i => (100L + i) -> (base(i.toInt)._2 + " extra"))
+    def shingleSet(text: String): Set[String] = {
+      val w = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (w.length < 3) Set(w.mkString(" ")) else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      (sa, sb) = (shingleSet(ta), shingleSet(tb))
+      i = (sa & sb).size
+      if i.toLong * 2 >= (sa.size + sb.size - i).toLong * 1
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty)
+    val got = Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 1, 2, shingleN = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("mergeCandidates counts adjacent pairs; single-char words excluded") {
+    import spark.implicits._
+    val out = Tokenizer.mergeCandidates(
+        Seq("abab z ab", "bab").toDF("text"), "text", 10)
+      .as[(String, String, Long)].collect().toSeq
+    // pairs: abab -> ab, ba, ab; ab -> ab; bab -> ba, ab; z excluded
+    assert(out == Seq(("a", "b", 4L), ("b", "a", 2L)))
+  }
+}
