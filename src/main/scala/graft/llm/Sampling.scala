@@ -113,6 +113,52 @@ object Sampling {
   }
 
   /**
+   * Temperature-weighted source mixing — the multilingual/multi-source
+   * rebalancing step of LLM corpus assembly (sample sources proportionally
+   * to n^alpha, so small sources are up-weighted relative to their raw
+   * share as alpha → 0). Allocates a total `budget` of rows across groups
+   * with target t_g = floor(budget · w_g / Σw), w_g = n_g^alpha, then keeps
+   * each group's first min(t_g, n_g) rows in deterministic hash order.
+   * Unfilled budget from capped groups is NOT redistributed (documented
+   * contract — redistribution would make t_g data-order dependent).
+   *
+   * Cross-engine determinism: w_g is quantized to round(n^alpha · 1e6) —
+   * for alpha = 0.5 the power is computed with `sqrt`, which IEEE requires
+   * correctly rounded, so the quantized weight is bit-identical in any
+   * engine; Σw and the t_g division are exact integer arithmetic. (Other
+   * alphas use `pow`, which libm does NOT guarantee correctly rounded — an
+   * auditor re-deriving t_g may then be one ulp off at a rounding boundary.)
+   *
+   * Scale shape: one count aggregate (tiny — one row per source), broadcast
+   * back; one window shuffle on the group key for the hash-order rank.
+   */
+  def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
+                        budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha out of (0,1]: $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val nPow: Column => Column =
+      if (alpha == 0.5) sqrt(_)
+      else if (alpha == 1.0) _.cast("double")
+      else org.apache.spark.sql.functions.pow(_, alpha)
+    val weights = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wm", round(nPow(col("__n")) * 1000000L).cast("long"))
+    val total = weights.agg(sum(col("__wm")).as("__W"))
+    val targets = weights.crossJoin(broadcast(total))
+      // integral DIV, not double division + floor: a double quotient one ulp
+      // above an integer boundary would disagree with an engine's exact //
+      .select(col(groupCol),
+        expr(s"CAST((__wm * $budget) DIV __W AS BIGINT)").as("__t"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(keyCol)), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(targets), groupCol)
+      .filter(col("__rk") <= col("__t"))
+      .drop("__rk", "__t")
+  }
+
+  /**
    * Stratified deterministic sample: per-stratum keep fractions (e.g.
    * down-sample boilerplate-heavy domains, keep rare languages whole) with
    * a default for unlisted strata. Still one filter — the per-stratum rate

@@ -62,6 +62,23 @@ object TextFunctions {
   /** Content fingerprint: md5 of the normalized (lower/trim) document. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Normalization regexes, shared verbatim with the oracle (RE2-safe:
+    * explicit classes only — see [[Ws]]). Drop is applied AFTER lowercasing. */
+  val NormDropPattern = s"[^a-z0-9$Ws]"
+  val NormSpacePattern = s"[$Ws]+"
+
+  /**
+   * Canonical text normalization for dedup/matching keys: lowercase, strip
+   * everything outside [a-z0-9 whitespace], collapse whitespace runs to a
+   * single space, trim. Deliberately aggressive (non-Latin scripts are
+   * dropped entirely) — this is a MATCHING key, not a display form; pair it
+   * with language routing upstream. Pure codegen'd Column tree, no shuffle.
+   */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), NormDropPattern, ""),
+      NormSpacePattern, " "))
+
   /**
    * Rabin-style polynomial rolling fingerprint: a strict left fold
    * `h := (h*257 + codepoint) mod (2^31-1)` over the document's characters.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Tokenizer}
+import graft.llm.{Dedup, Sampling, TextFunctions, Tokenizer}
 import graft.operators.{History, Layout, Profile}
 import Q._
 
@@ -31,6 +31,10 @@ object LakehousePack extends QueryPack {
   private val PfxShingleN = 3
 
   private val BpeTop = 30
+
+  private val MixBudget = 300L
+
+  private val HourNs = 3600000000000L
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> { (s, dir) =>
@@ -110,6 +114,37 @@ object LakehousePack extends QueryPack {
     "q_bpe_merges" -> { (s, dir) =>
       Tokenizer.mergeCandidates(t(s, dir, "documents"), "text", BpeTop)
         .orderBy(col("n").desc, col("a"), col("b"))
+    },
+    "q_sample_temperature" -> { (s, dir) =>
+      // temperature (alpha=0.5) source mixing: a 300-row corpus rebalanced
+      // toward small sources; membership (not just counts) is graded — the
+      // oracle re-derives the integer weight/target arithmetic and the
+      // hash-order pick exactly
+      Sampling.temperatureSample(t(s, dir, "documents"), "source", "doc_id",
+          budget = MixBudget, alpha = 0.5)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    "q_events_debounce" -> { (s, dir) =>
+      // debounce: first event per (user, type) within each hour bucket —
+      // the batch mirror of streaming dropDuplicates-within-watermark
+      val w = Window.partitionBy(col("user_id"), col("event_type"),
+          expr(s"ts DIV $HourNs"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+    "q_text_normalize" -> { (s, dir) =>
+      // canonical matching-key normalization; the md5 of the normalized
+      // text is graded, so every regex step must match the oracle exactly
+      val norm = TextFunctions.normalize(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_md5"),
+          length(norm).cast("long").as("n_chars_norm"))
+        .orderBy(col("doc_id"))
     },
   )
 
@@ -200,5 +235,32 @@ object LakehousePack extends QueryPack {
          |SELECT substr(ab, 1, 1) AS a, substr(ab, 2, 1) AS b, count(*) AS n
          |FROM p GROUP BY a, b
          |ORDER BY n DESC, a, b LIMIT $BpeTop""".stripMargin,
+    "q_sample_temperature" ->
+      s"""WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, CAST(round(sqrt(n) * 1000000) AS BIGINT) AS wm FROM g),
+         |tot AS (SELECT CAST(sum(wm) AS BIGINT) AS tw FROM w),
+         |t AS (SELECT source, (wm * $MixBudget) // tw AS tg FROM w, tot),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY ${TextPack.bucketSql("doc_id")}, doc_id) AS rk
+         |      FROM documents)
+         |SELECT r.source, r.doc_id FROM r JOIN t USING (source)
+         |WHERE rk <= tg ORDER BY source, doc_id""".stripMargin,
+    "q_events_debounce" ->
+      s"""SELECT event_id, user_id, event_type FROM (
+         |  SELECT event_id, user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id, event_type,
+         |        epoch_ns(ts) // $HourNs
+         |      ORDER BY epoch_ns(ts), event_id) AS rk
+         |  FROM events) x
+         |WHERE rk = 1 ORDER BY event_id""".stripMargin,
+    "q_text_normalize" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+        s"'${TextFunctions.NormDropPattern}', '', 'g'), " +
+        s"'${TextFunctions.NormSpacePattern}', ' ', 'g'))"
+      s"""SELECT doc_id, md5($norm) AS norm_md5,
+         |  CAST(length($norm) AS BIGINT) AS n_chars_norm
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -480,6 +480,34 @@ class LlmSpec extends SparkSpec {
     assert(df(1).getLong(1) == 6432038L)
   }
 
+  test("temperatureSample: sqrt-weighted targets, caps, and determinism") {
+    import session.implicits._
+    // sizes 100/25/4 → sqrt weights 10/5/2 (×1e6), W=17e6
+    val corpus = ((0 until 100).map(i => ("big", s"b$i")) ++
+      (0 until 25).map(i => ("mid", s"m$i")) ++
+      (0 until 4).map(i => ("tiny", s"t$i"))).toDF("src", "k")
+    def kept(budget: Long) =
+      Sampling.temperatureSample(corpus, "src", "k", budget)
+        .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budget 17: exact integer targets 10/5/2 — tiny keeps 50%, big only 10%
+    assert(kept(17) == Map("big" -> 10L, "mid" -> 5L, "tiny" -> 2L))
+    // budget 100: mid (target 29) and tiny (target 11) cap at their sizes
+    assert(kept(100) == Map("big" -> 58L, "mid" -> 25L, "tiny" -> 4L))
+    // repeatable: identical membership across runs
+    val twice = (1 to 2).map { _ =>
+      Sampling.temperatureSample(corpus, "src", "k", 17)
+        .select($"k").as[String].collect().toSet
+    }
+    assert(twice(0) == twice(1))
+  }
+
+  test("normalize: lowercase, drop non-alnum, collapse whitespace, trim") {
+    import session.implicits._
+    val out = Seq("  Hello,\tWORLD!!  42 ", "Çafé ñ", "", "...")
+      .toDF("text").select(TextFunctions.normalize(col("text"))).as[String].collect()
+    assert(out.toSeq == Seq("hello world 42", "af", "", ""))
+  }
+
   test("duplicatedPassages counts cross-document shingle positions only") {
     import session.implicits._
     import org.apache.spark.sql.functions.col
