@@ -153,6 +153,49 @@ object Multimodal {
     }
   }
 
+  /**
+   * 63-bit average-hash (aHash) perceptual fingerprint. REAL pixel decode
+   * for image-typed payloads: full `javax.imageio` decode, 8×8
+   * nearest-neighbor grayscale downsample, mean threshold — the standard
+   * perceptual-dedup primitive (near-identical images differ in few bits
+   * even across re-encodes/minor edits). Non-image types fold payload bytes
+   * deterministically (stub, consistent with [[decodeStub]]). 63 bits (top
+   * bit dropped) so fingerprints feed [[Dedup.simhashPairs]]' pigeonhole
+   * banding directly — near-duplicate IMAGE detection with the same
+   * bucketed-join scale shape as text simhash.
+   */
+  def aHash(r: MediaRecord): Long =
+    if (r.media_type.startsWith("image/")) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"doc ${r.doc_id}: undecodable image payload of declared type ${r.media_type}")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val g = new Array[Long](64)
+      var i = 0
+      while (i < 64) {
+        val x = ((i % 8).toLong * w / 8).toInt
+        val y = ((i / 8).toLong * h / 8).toInt
+        val rgb = img.getRGB(x, y)
+        g(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+        i += 1
+      }
+      val mean = g.sum / 64
+      (0 until 63).foldLeft(0L)((acc, j) => if (g(j) > mean) acc | (1L << j) else acc)
+    } else {
+      r.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff)) & ((1L << 63) - 1)
+    }
+
+  /** Partition-wise perceptual hashing, shaped for [[Dedup.simhashPairs]]:
+    * columns (id, simhash). */
+  def perceptualHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map(r => (r.doc_id, aHash(r)))
+    }.toDF("id", "simhash")
+  }
+
   /** Documents → media records (payload = UTF-8 bytes stands in for real
     * media bytes in the test corpus). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {

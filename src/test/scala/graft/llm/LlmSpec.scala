@@ -395,6 +395,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("aHash: near-identical images collide, dissimilar ones diverge; feeds simhashPairs") {
+    import session.implicits._
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(x => (0 until 64).foreach(y => img.setRGB(x, y, f(x, y))))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out))
+      out.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val gradient = png((x, _) => gray(x * 4))              // left-dark → right-bright
+    val perturbed = png((x, y) =>                          // same + faint noise
+      gray(math.min(255, x * 4 + ((x * y) % 3))))
+    val inverted = png((x, _) => gray(255 - x * 4))        // opposite structure
+    val media = Seq(
+      MediaRecord(1L, "image/png", gradient),
+      MediaRecord(2L, "image/png", perturbed),
+      MediaRecord(3L, "image/png", inverted)).toDS()
+    val hashes = Multimodal.perceptualHashes(media)
+    val byId = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(byId(1L), byId(2L)) <= 3)   // perceptually same
+    assert(hamming(byId(1L), byId(3L)) > 10)   // structurally opposite
+    // composes with the text-simhash pairing machinery unchanged
+    val pairs = Dedup.simhashPairs(hashes, maxHamming = 3, cache = false)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("multimodal resize: output is exactly w*h bytes, schema-preserving") {
     import session.implicits._
     val media = Seq(
