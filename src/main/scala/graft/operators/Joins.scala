@@ -100,4 +100,32 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /**
+   * Interval-overlap join via the same bin bucketing as [[rangeBinned]],
+   * with BOTH sides carrying `[lo, hi]` intervals: pairs where
+   * `lLo <= rHi AND rLo <= lHi` (closed-interval overlap). Each side
+   * explodes to the bins it spans; the equality join on the bin replaces
+   * the nested-loop inequality join; the exact overlap predicate runs on
+   * bucketed pairs only. A pair sharing several bins is emitted ONCE — it
+   * is kept only in the first bin both sides occupy (`max` of their start
+   * bins), a filter instead of a distinct, so dedup costs no extra shuffle.
+   *
+   * Column names must be disjoint across the two inputs (standard join
+   * hygiene); all four columns share one numeric scale.
+   */
+  def intervalOverlapBinned(left: DataFrame, right: DataFrame,
+                            lLo: String, lHi: String, rLo: String, rHi: String,
+                            binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.withColumn("__bin", explode(sequence(
+      floor(col(lLo) / binWidth), floor(col(lHi) / binWidth))))
+    val r = right.withColumn("__bin", explode(sequence(
+      floor(col(rLo) / binWidth), floor(col(rHi) / binWidth))))
+    l.join(r, Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi))
+      .filter(col("__bin") ===
+        greatest(floor(col(lLo) / binWidth), floor(col(rLo) / binWidth)))
+      .drop("__bin")
+  }
 }

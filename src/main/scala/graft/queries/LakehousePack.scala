@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Sampling, TextFunctions, Tokenizer}
-import graft.operators.{History, Layout, Profile}
+import graft.operators.{History, Joins, Layout, Profile}
 import Q._
 
 /**
@@ -35,6 +35,7 @@ object LakehousePack extends QueryPack {
   private val MixBudget = 300L
 
   private val HourNs = 3600000000000L
+  private val DayNs = 86400000000000L
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2" -> { (s, dir) =>
@@ -145,6 +146,57 @@ object LakehousePack extends QueryPack {
         .select(col("doc_id"), md5(norm).as("norm_md5"),
           length(norm).cast("long").as("n_chars_norm"))
         .orderBy(col("doc_id"))
+    },
+    "q_join_overlap" -> { (s, dir) =>
+      // interval×interval overlap join (vs q_join_range's point-in-interval):
+      // 8-day order windows × 14-day promo windows, bin-bucketed — the
+      // oracle is the plain inequality join, so the bin machinery (including
+      // first-shared-bin dedup) must be pair-exact
+      val day = datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), day.as("d"))
+      val l = base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey").as("l_key"), col("o_orderpriority"),
+          col("d").as("l_lo"), (col("d") + 7).as("l_hi"))
+      val r = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey").as("r_key"),
+          col("d").as("r_lo"), (col("d") + 13).as("r_hi"))
+      Joins.intervalOverlapBinned(l, r, "l_lo", "l_hi", "r_lo", "r_hi",
+          binWidth = 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("l_key")).as("sum_l"),
+          sum(col("r_key")).as("sum_r"))
+        .orderBy(col("o_orderpriority"))
+    },
+    "q_agg_mode" -> { (s, dir) =>
+      // per-group mode with a deterministic tiebreak (count desc, value asc);
+      // two-level aggregate first — the ranking window runs over one row per
+      // distinct (group, value), never over the raw table
+      val c = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      c.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    "q_events_streaks" -> { (s, dir) =>
+      // longest consecutive-active-day streak per user — gaps-and-islands
+      // over distinct (user, day): day − dense_rank is constant within a run
+      val days = t(s, dir, "events")
+        .select(col("user_id"), expr(s"ts DIV $DayNs").as("d")).distinct()
+      val g = col("d") - dense_rank().over(
+        Window.partitionBy(col("user_id")).orderBy(col("d")))
+      days.withColumn("__g", g)
+        .groupBy(col("user_id"), col("__g"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy(col("user_id"))
     },
   )
 
@@ -262,5 +314,34 @@ object LakehousePack extends QueryPack {
          |  CAST(length($norm) AS BIGINT) AS n_chars_norm
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_join_overlap" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders),
+        |l AS (SELECT o_orderkey AS lk, o_orderpriority, d AS llo, d + 7 AS lhi
+        |      FROM b WHERE o_orderkey % 3 = 0),
+        |r AS (SELECT o_orderkey AS rk, d AS rlo, d + 13 AS rhi
+        |      FROM b WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderpriority, count(*) AS n_pairs,
+        |  CAST(sum(lk) AS BIGINT) AS sum_l, CAST(sum(rk) AS BIGINT) AS sum_r
+        |FROM l JOIN r ON llo <= rhi AND rlo <= lhi
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority) x
+        |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q_events_streaks" ->
+      s"""WITH days AS (SELECT DISTINCT user_id, epoch_ns(ts) // $DayNs AS d
+         |              FROM events),
+         |runs AS (SELECT user_id,
+         |    d - dense_rank() OVER (PARTITION BY user_id ORDER BY d) AS g
+         |  FROM days),
+         |lens AS (SELECT user_id, g, count(*) AS len FROM runs GROUP BY 1, 2)
+         |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks,
+         |  CAST(sum(len) AS BIGINT) AS n_active_days
+         |FROM lens GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

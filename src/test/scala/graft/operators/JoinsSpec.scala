@@ -34,6 +34,31 @@ class JoinsSpec extends SparkSpec {
     assert(out == 9L)
   }
 
+  test("intervalOverlapBinned: exact pairs, once each, across bin boundaries") {
+    import session.implicits._
+    val left = Seq((1L, 0L, 30L), (2L, 10L, 12L), (3L, 40L, 41L), (4L, 13L, 13L))
+      .toDF("lid", "l_lo", "l_hi")
+    val right = Seq((10L, 5L, 6L), (11L, 12L, 20L), (12L, 31L, 39L), (13L, 30L, 30L))
+      .toDF("rid", "r_lo", "r_hi")
+    val got = Joins.intervalOverlapBinned(left, right,
+        "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 7)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    // brute-force truth: closed-interval overlap
+    val l = Seq((1L, 0L, 30L), (2L, 10L, 12L), (3L, 40L, 41L), (4L, 13L, 13L))
+    val r = Seq((10L, 5L, 6L), (11L, 12L, 20L), (12L, 31L, 39L), (13L, 30L, 30L))
+    val expected = (for {
+      (li, llo, lhi) <- l; (ri, rlo, rhi) <- r if llo <= rhi && rlo <= lhi
+    } yield (li, ri)).toSet
+    // the fixture exercises: multi-bin pair (1,11), touching endpoints
+    // (1,13) and (2,11), and non-overlap despite shared bin (3,12)
+    assert(expected == Set((1L, 10L), (1L, 11L), (1L, 13L), (2L, 11L), (4L, 11L)))
+    assert(got == expected)
+    // once each — a multi-bin overlap must not duplicate
+    val n = Joins.intervalOverlapBinned(left, right,
+      "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 3).count()
+    assert(n == expected.size)
+  }
+
   test("rangeBinned: exact containment across bin boundaries") {
     import session.implicits._
     val points = Seq(0L, 5L, 7L, 10L, 15L, 21L).toDF("p")
