@@ -407,11 +407,32 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    */
   def compactTopic(name: String, chunkMaxRecords: Long = 1000000L): Unit = {
     acquireCompactLock(name)
-    try compactLocked(name, chunkMaxRecords)
+    try rewriteLocked(name, chunkMaxRecords, identity)
     finally releaseCompactLock(name)
   }
 
-  private def compactLocked(name: String, chunkMaxRecords: Long): Unit = {
+  /**
+   * Retention expiry: rewrite the log keeping only events with
+   * `event_id >= beforeId` (every partition; Kafka's delete-retention
+   * analog by offset rather than time). Retained events keep their ids —
+   * the id space simply starts later — and the produce watermark is
+   * untouched, so new produces continue the sequence. A consumer whose
+   * cursor points below the cutoff resumes at the earliest retained event
+   * (Kafka "earliest available" semantics). Same maintenance-window
+   * contract, lock, crash-safe swap, and manifest rebuild as
+   * [[compactTopic]].
+   */
+  def expireTopic(name: String, beforeId: Long,
+                  chunkMaxRecords: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    acquireCompactLock(name)
+    try rewriteLocked(name, chunkMaxRecords, _.filter(col("event_id") >= beforeId))
+    finally releaseCompactLock(name)
+  }
+
+  private def rewriteLocked(name: String, chunkMaxRecords: Long,
+                            transform: org.apache.spark.sql.DataFrame
+                              => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
     val log = new Path(logPath(name))
     val tmp = new Path(topicPath(name), "log.compact.tmp")
@@ -429,7 +450,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     fs.delete(old, true)
     if (!fs.exists(log)) return
     val n = openTopic(name).partitions
-    spark.read.schema(Catalog.EventSchema).parquet(log.toString)
+    transform(spark.read.schema(Catalog.EventSchema).parquet(log.toString))
       .repartition(n, col("partition"))
       .sortWithinPartitions(col("partition"), col("event_id"))
       .write

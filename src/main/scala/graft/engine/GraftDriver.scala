@@ -126,6 +126,11 @@ final class TopicHandle(spark: SparkSession,
   def compact(chunkMaxRecords: Long = 1000000L): Unit =
     catalog.compactTopic(name, chunkMaxRecords)
 
+  /** Retention expiry: drop events below `beforeId` in every partition —
+    * see [[Catalog.expireTopic]] for the contract. */
+  def expire(beforeId: Long, chunkMaxRecords: Long = 1000000L): Unit =
+    catalog.expireTopic(name, beforeId, chunkMaxRecords)
+
   /** The validator compiled from the topic's persisted descriptor. */
   def validator: Validator = Validator.fromDescriptor(config.validator)
 

@@ -317,6 +317,27 @@ object EnginePack extends QueryPack {
         .withColumn("collapsed", lit(collapsed))
         .orderBy(col("partition"))
     },
+    "q_expire" -> { (s, dir) =>
+      // retention expiry: ids below the cutoff vanish in every partition,
+      // retained ids keep their values, and the produce watermark is
+      // untouched (checked against the catalog's next-id map)
+      val d = tempDriver(s)
+      d.createTopic("expire_demo", partitions = 4)
+      val topic = d.openTopic("expire_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      val pre = topic.events().groupBy(col("partition")).count().collect()
+        .map(r => r.getAs[Int]("partition") -> r.getAs[Long]("count")).toMap
+      topic.expire(beforeId = 100L)
+      val next = d.catalog.nextIds("expire_demo")
+      val intact = (0 until 4).forall(p => next.get(p).contains(pre(p)))
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .withColumn("watermark_intact", lit(intact))
+        .orderBy(col("partition"))
+    },
     "q_multi_topic" -> { (s, dir) =>
       // multi-topic subscribe: union of two topic logs with a `topic` tag
       val d = tempDriver(s)
@@ -484,6 +505,13 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS collapsed
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // expiry drops exactly ids < 100 per partition; the id space above the
+    // cutoff and the watermark survive
+    "q_expire" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) - 100 AS cnt,
+        | CAST(100 AS BIGINT) AS min_id, count(*) - 1 AS max_id,
+        | count(*) - 100 AS n_distinct, true AS watermark_intact
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // per-topic counts equal the parity split of the source table
     "q_multi_topic" ->

@@ -317,6 +317,41 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(first.eventId == 0L)
   }
 
+  test("expire drops ids below the cutoff; watermark and later produces intact") {
+    val (d, topic) = newTopic(partitions = 2)
+    val producer = topic.producer()
+    (0 until 40).foreach(i => producer.push(s"""{"i":$i}""",
+      s"p-$i".getBytes(StandardCharsets.UTF_8)))
+    producer.flush()
+    // 40 pushes round-robin over 2 partitions → ids 0..19 in each
+    topic.expire(beforeId = 15L)
+    val rows = topic.events().select("partition", "event_id").collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("event_id")))
+    assert(rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ==
+      Map(0 -> (15L until 20L), 1 -> (15L until 20L)))
+    // payloads of retained events intact
+    val kept = topic.events().filter(col("event_id") === 17L)
+      .orderBy(col("partition")).collect()
+    assert(kept.forall(r => new String(
+      r.getAs[Array[Byte]]("data"), StandardCharsets.UTF_8).startsWith("p-")))
+    // watermark untouched: next produce continues the id sequence
+    val p2 = topic.producer()
+    val e = p2.push("""{"i":99}""")
+    p2.flush()
+    assert(e.eventId == 20L)
+    // a consumer whose cursor predates the cutoff resumes at earliest retained
+    val c = topic.consumer("late")
+    val Pull.Next(first) = c.pull(): @unchecked
+    assert(first.eventId == 15L)
+    // expiring everything leaves an empty-but-usable topic
+    topic.expire(beforeId = 1000L)
+    assert(topic.events().count() == 0L)
+    val p3 = topic.producer()
+    val e3 = p3.push("""{"i":100}""")
+    p3.flush()
+    assert(e3.eventId == 21L)
+  }
+
   test("produce during a live compaction fails loudly; stale locks are reclaimed") {
     val (d, topic) = newTopic(partitions = 2)
     val producer = topic.producer()
