@@ -430,6 +430,25 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     finally releaseCompactLock(name)
   }
 
+  /**
+   * Compliance delete (GDPR-style): rewrite the log dropping every event
+   * matching `cond` (a predicate over the event columns — metadata,
+   * data, event_id, partition). Unlike [[expireTopic]] this can leave GAPS
+   * in the id sequence — that is the point of deletion; readers and
+   * cursors tolerate gaps (consumption is `event_id >= cursor`, never
+   * rank-based). The produce watermark is untouched. CAVEAT: do not run
+   * while the id watermark file is lost — [[recoverIds]] rebuilds the
+   * watermark as max(id)+1 from the log, so purging the tail first would
+   * regress it and re-issue ids. Same lock/swap/manifest contract as
+   * [[compactTopic]].
+   */
+  def purgeTopic(name: String, cond: org.apache.spark.sql.Column,
+                 chunkMaxRecords: Long = 1000000L): Unit = {
+    acquireCompactLock(name)
+    try rewriteLocked(name, chunkMaxRecords, _.filter(!cond))
+    finally releaseCompactLock(name)
+  }
+
   private def rewriteLocked(name: String, chunkMaxRecords: Long,
                             transform: org.apache.spark.sql.DataFrame
                               => org.apache.spark.sql.DataFrame): Unit = {

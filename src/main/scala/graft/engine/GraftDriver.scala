@@ -131,6 +131,12 @@ final class TopicHandle(spark: SparkSession,
   def expire(beforeId: Long, chunkMaxRecords: Long = 1000000L): Unit =
     catalog.expireTopic(name, beforeId, chunkMaxRecords)
 
+  /** Compliance delete: drop every event matching `cond` (id gaps are the
+    * semantic) — see [[Catalog.purgeTopic]] for the contract. */
+  def deleteWhere(cond: org.apache.spark.sql.Column,
+                  chunkMaxRecords: Long = 1000000L): Unit =
+    catalog.purgeTopic(name, cond, chunkMaxRecords)
+
   /** The validator compiled from the topic's persisted descriptor. */
   def validator: Validator = Validator.fromDescriptor(config.validator)
 

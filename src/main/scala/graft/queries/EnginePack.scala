@@ -338,6 +338,23 @@ object EnginePack extends QueryPack {
         .withColumn("watermark_intact", lit(intact))
         .orderBy(col("partition"))
     },
+    "q_delete_where" -> { (s, dir) =>
+      // compliance delete: purge every event whose metadata eid % 7 == 0;
+      // the surviving (metadata-keyed) population must match the oracle's
+      // filter of the source table exactly — id gaps are the semantic
+      val d = tempDriver(s)
+      d.createTopic("purge_demo", partitions = 4)
+      val topic = d.openTopic("purge_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.deleteWhere(pmod(eid, lit(7)) === 0)
+      topic.events()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
     "q_multi_topic" -> { (s, dir) =>
       // multi-topic subscribe: union of two topic logs with a `topic` tag
       val d = tempDriver(s)
@@ -513,6 +530,13 @@ object EnginePack extends QueryPack {
         | CAST(100 AS BIGINT) AS min_id, count(*) - 1 AS max_id,
         | count(*) - 100 AS n_distinct, true AS watermark_intact
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // the purge survivors are exactly the source rows with eid % 7 <> 0
+    "q_delete_where" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id % 7 <> 0
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
     // per-topic counts equal the parity split of the source table
     "q_multi_topic" ->
       """SELECT topic, count(*) AS n, count(DISTINCT k) AS n_keys FROM (

@@ -352,6 +352,30 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(e3.eventId == 21L)
   }
 
+  test("deleteWhere purges matching events; gaps tolerated, watermark intact") {
+    val (_, topic) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    (0 until 20).foreach(i => producer.push(s"""{"u":${i % 4}}"""))
+    producer.flush()
+    // forget user 2: every 4th id vanishes (ids 2, 6, 10, ...)
+    topic.deleteWhere(get_json_object(col("metadata"), "$.u") === "2")
+    val ids = topic.events().orderBy(col("event_id"))
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(ids == (0L until 20L).filter(_ % 4 != 2))
+    // consumption walks the gapped sequence without stalling
+    val c = topic.consumer("post-purge")
+    val got = Iterator.continually(c.pull()).takeWhile {
+      case Pull.Next(_) => true
+      case _ => false
+    }.collect { case Pull.Next(e) => e.eventId }.toSeq
+    assert(got == ids)
+    // watermark untouched: next id continues past the purged tail
+    val p2 = topic.producer()
+    val e = p2.push("""{"u":9}""")
+    p2.flush()
+    assert(e.eventId == 20L)
+  }
+
   test("produce during a live compaction fails loudly; stale locks are reclaimed") {
     val (d, topic) = newTopic(partitions = 2)
     val producer = topic.producer()
