@@ -51,4 +51,41 @@ class LakehouseSpec extends SparkSpec {
       .as[Long].collect()
     assert(out.head == 2L)
   }
+
+  test("scd2 plan: exactly one exchange (the window shuffle)") {
+    import spark.implicits._
+    val chg = (1 to 100).map(i => (i % 10, i.toLong, s"v$i")).toDF("k", "v", "p")
+    val plan = History.scd2(chg, Seq("k"), "v").queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("profile plan: a single scan feeds all per-column aggregates") {
+    val df = spark.read.parquet(s"${sf()}/orders.parquet")
+    val plan = Profile.profile(df, Seq(
+      "o_orderkey" -> col("o_orderkey"), "o_custkey" -> col("o_custkey")))
+      .queryExecution.executedPlan.toString
+    // one parquet scan — multi-distinct rides Expand, not repeated reads
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("Expand"))
+  }
+
+  test("z-order layout scans fewer rows than a single-column sort on the probe dim") {
+    // the layout's reason to exist: on real orders data, probing the
+    // dimension the single-column sort ignores must touch fewer rows under
+    // the z-order bucketing
+    val day = datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
+    val base = spark.read.parquet(s"${sf()}/orders.parquet").select(
+      col("o_custkey").bitwiseAND(lit(0xFFFFL)).as("x"),
+      day.bitwiseAND(lit(0xFFFFL)).as("y"))
+    import org.apache.spark.sql.expressions.Window
+    def rowsScanned(key: org.apache.spark.sql.Column): Long = base
+      .withColumn("bkt", ntile(64).over(Window.orderBy(key)))
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("nr"), min(col("y")).as("mn"), max(col("y")).as("mx"))
+      .filter(col("mn") <= 730 && col("mx") >= 365)
+      .agg(sum(col("nr"))).collect()(0).getLong(0)
+    val z = rowsScanned(Layout.zValue(col("x"), col("y"), 16))
+    val linear = rowsScanned(col("x") * 65536L + col("y"))
+    assert(z < linear / 2, s"z-order scanned $z rows vs $linear under custkey sort")
+  }
 }
