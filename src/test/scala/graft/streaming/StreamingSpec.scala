@@ -51,6 +51,27 @@ class StreamingSpec extends SparkSpec {
     assert(viaSource.size == 40)
   }
 
+  test("SQL DDL surface: CREATE TABLE ... USING graft, queried via spark.sql") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 40)
+    spark.sql("DROP TABLE IF EXISTS graft_sql_events")
+    spark.sql(
+      s"""CREATE TABLE graft_sql_events USING graft
+         |OPTIONS (warehouse '$wh', topic 'stream_topic')""".stripMargin)
+    try {
+      val n = spark.sql("SELECT count(*) AS n FROM graft_sql_events")
+        .collect()(0).getLong(0)
+      assert(n == 40)
+      // predicate + projection through the SQL path, same pushdown plumbing
+      val agg = spark.sql(
+        """SELECT partition, count(*) AS c, max(event_id) AS mx
+          |FROM graft_sql_events WHERE event_id >= 10
+          |GROUP BY partition ORDER BY partition""".stripMargin).collect()
+      assert(agg.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq((0, 10L, 19L), (1, 10L, 19L)))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_events"): Unit
+  }
+
   test("payload bytes round-trip through the source") {
     val (_, topic, wh) = newTopic()
     produceRange(topic, 0, 4)
