@@ -198,6 +198,36 @@ object LakehousePack extends QueryPack {
           sum(col("len")).as("n_active_days"))
         .orderBy(col("user_id"))
     },
+    "q_text_lang_confusion" -> { (s, dir) =>
+      // model-audit crosstab: labeled language vs the detector's guess —
+      // the quality gate one runs BEFORE trusting a classifier at corpus
+      // scale; one aggregate over (label, guess)
+      t(s, dir, "documents")
+        .groupBy(col("lang"),
+          graft.llm.TextFunctions.langId(col("text")).as("detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("detected"))
+    },
+    "q_events_mad" -> { (s, dir) =>
+      // robust outliers: |v − median| > 5·MAD per event type, entirely in
+      // integer cents (median/MAD of integers interpolate to exact halves —
+      // the q_agg_percentile argument); medians broadcast back twice
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("v_c"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(percentile(col("v_c"), lit(0.5))).cast("long").as("med_c"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("ad", abs(col("v_c") - col("med_c")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(percentile(col("ad"), lit(0.5))).cast("long").as("mad_c"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("med_c")).as("med_c"),
+          max(col("mad_c")).as("mad_c"),
+          sum(when(col("ad") > col("mad_c") * 5, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -343,5 +373,25 @@ object LakehousePack extends QueryPack {
          |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks,
          |  CAST(sum(len) AS BIGINT) AS n_active_days
          |FROM lens GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_text_lang_confusion" ->
+      s"""SELECT lang, ${TextPack.langGuessSql} AS detected, count(*) AS n
+         |FROM (SELECT lang, ${TextPack.langScoreColsSql} FROM documents) s
+         |GROUP BY lang, detected ORDER BY lang, detected""".stripMargin,
+    "q_events_mad" ->
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+        |            FROM events),
+        |med AS (SELECT event_type,
+        |          CAST(round(quantile_cont(v_c, 0.5)) AS BIGINT) AS med_c
+        |        FROM ev GROUP BY event_type),
+        |dev AS (SELECT ev.event_type, abs(v_c - med_c) AS ad, med_c
+        |        FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |          CAST(round(quantile_cont(ad, 0.5)) AS BIGINT) AS mad_c
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n, max(d.med_c) AS med_c,
+        |  max(m.mad_c) AS mad_c,
+        |  CAST(count(*) FILTER (WHERE ad > 5 * mad_c) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
   )
 }

@@ -272,6 +272,22 @@ object TextPack extends QueryPack {
     s"""CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
        |     ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END""".stripMargin
 
+  /** Per-language marker-score columns (`s_<lang>`) — the langid oracle's
+    * scoring stage, shared with every oracle that re-derives the detector. */
+  private[queries] def langScoreColsSql: String =
+    TF.LangMarkers.map { case (lang, words) =>
+      s"len(list_filter($W, x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
+    }.mkString(", ")
+
+  /** Mirror of TF.langId over [[langScoreColsSql]]'s columns: highest score
+    * wins, earlier language wins ties, zero everywhere ⇒ 'und'. */
+  private[queries] def langGuessSql: String = {
+    val best = s"greatest(${TF.LangMarkers.map { case (l, _) => s"s_$l" }.mkString(",")})"
+    TF.LangMarkers.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
   /** DuckDB mirror of the 63-bit simhash as a doc_id→simhash CTE body. */
   private def simhashCte: String = {
     val votes = (0 until Dedup.SimHashBits).map { i =>
@@ -296,20 +312,10 @@ object TextPack extends QueryPack {
          | CAST(round(len(list_distinct($W)) * 1.0 / len($W) * 1000000) AS BIGINT) AS ttr_micro,
          | CAST(round(CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 1.0 / len($W) * 1000000) AS BIGINT) AS mtl_micro
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_text_langid" -> {
-      val markers = TF.LangMarkers
-      val scoreCols = markers.map { case (lang, words) =>
-        s"len(list_filter($W, x -> x IN (${words.map(w => s"'$w'").mkString(",")}))) AS s_$lang"
-      }.mkString(", ")
-      val best = s"greatest(${markers.map { case (l, _) => s"s_$l" }.mkString(",")})"
-      // mirror of TF.langId: highest score wins, earlier language wins ties
-      val guess = markers.map { case (l, _) =>
-        s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
-      s"""SELECT doc_id, s_en, s_de, s_fr, s_es, $guess AS guess
-         |FROM (SELECT doc_id, $scoreCols FROM documents) s
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_text_langid" ->
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es, $langGuessSql AS guess
+         |FROM (SELECT doc_id, $langScoreColsSql FROM documents) s
+         |ORDER BY doc_id""".stripMargin,
     "q_text_quality" -> {
       val punct = "CAST(round((length(trim(text)) - length(regexp_replace(trim(text), '[[:punct:]]', '', 'g'))) * 1.0 / length(trim(text)) * 1000000) AS BIGINT)"
       s"""SELECT doc_id,
