@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, typedLit}
 
 /**
  * The engine's driver/DDL facade — the Spark-native counterpart of
@@ -97,6 +98,23 @@ final class TopicHandle(spark: SparkSession,
   def events(): DataFrame =
     new Consumer(spark, catalog, config, s"__scan_${name}", Nil, None)
       .eventsFrom(Map.empty)
+
+  /** Pin the topic's current id watermark (partition → next id) — a
+    * SNAPSHOT handle for [[events(asOf:Map[Int,Long])*]]. Ids are dense and
+    * append-only, so the pinned map names an immutable prefix of the log:
+    * the reproducible-dataset primitive (training runs re-read exactly the
+    * corpus they saw, however much is produced afterwards). */
+  def snapshot(): Map[Int, Long] = catalog.nextIds(name)
+
+  /** Time-travel read: only events below the pinned watermark — the exact
+    * dataset visible when [[snapshot]] was taken. A pure per-row id filter
+    * on the scan (rides the same event_id row-group pruning as cursor
+    * reads); partitions created after the pin are excluded entirely. */
+  def events(asOf: Map[Int, Long]): DataFrame = {
+    val bound = typedLit(asOf)
+    events().filter(
+      col("event_id") < coalesce(element_at(bound, col("partition")), lit(0L)))
+  }
 
   /**
    * Per-partition operational summary — the library analog of the

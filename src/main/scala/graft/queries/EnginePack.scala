@@ -338,6 +338,26 @@ object EnginePack extends QueryPack {
         .withColumn("watermark_intact", lit(intact))
         .orderBy(col("partition"))
     },
+    "q_snapshot" -> { (s, dir) =>
+      // reproducible-dataset snapshot: pin the watermark after the first
+      // produce; the pinned read must see exactly that produce's rows no
+      // matter how much lands afterwards (graded via the metadata keys)
+      val d = tempDriver(s)
+      d.createTopic("snap_demo", partitions = 4)
+      val topic = d.openTopic("snap_demo")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = sourceByEid(s, dir)
+      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.producer().produce(src.filter(srcEid < 5000))
+      val snap = topic.snapshot()
+      topic.producer().produce(src.filter(srcEid >= 5000))
+      topic.events(snap)
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
     "q_delete_where" -> { (s, dir) =>
       // compliance delete: purge every event whose metadata eid % 7 == 0;
       // the surviving (metadata-keyed) population must match the oracle's
@@ -530,6 +550,12 @@ object EnginePack extends QueryPack {
         | CAST(100 AS BIGINT) AS min_id, count(*) - 1 AS max_id,
         | count(*) - 100 AS n_distinct, true AS watermark_intact
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // the pinned read sees exactly the first produce (source eid < 5000)
+    "q_snapshot" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id < 5000
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
     // the purge survivors are exactly the source rows with eid % 7 <> 0
     "q_delete_where" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,

@@ -352,6 +352,32 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(e3.eventId == 21L)
   }
 
+  test("snapshot pins an immutable prefix; events(asOf) re-reads it exactly") {
+    val (_, topic) = newTopic(partitions = 2)
+    val p1 = topic.producer()
+    (0 until 10).foreach(i => p1.push(s"""{"i":$i}"""))
+    p1.flush()
+    val snap = topic.snapshot()
+    assert(snap == Map(0 -> 5L, 1 -> 5L))
+    val before = topic.events(snap).select("partition", "event_id").collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("event_id"))).toSet
+    // later produces must not change what the snapshot sees
+    val p2 = topic.producer()
+    (10 until 30).foreach(i => p2.push(s"""{"i":$i}"""))
+    p2.flush()
+    val after = topic.events(snap).select("partition", "event_id").collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("event_id"))).toSet
+    assert(before == after)
+    assert(after == (for (p <- 0 to 1; i <- 0L until 5L) yield (p, i)).toSet)
+    assert(topic.events().count() == 30L)
+    // a partition added after the pin is invisible to the snapshot
+    topic.catalog.addPartition(topic.name)
+    val p3 = topic.producer()
+    (0 until 6).foreach(i => p3.push(s"""{"j":$i}""", partition = Some(2)))
+    p3.flush()
+    assert(topic.events(snap).count() == 10L)
+  }
+
   test("deleteWhere purges matching events; gaps tolerated, watermark intact") {
     val (_, topic) = newTopic(partitions = 1)
     val producer = topic.producer()
