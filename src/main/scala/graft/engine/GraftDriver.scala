@@ -136,6 +136,22 @@ final class TopicHandle(spark: SparkSession,
     }.toDF("partition", "n_events", "n_files", "completed")
   }
 
+  /** Consumer-group lag — the monitoring primitive of every log store:
+    * per partition, the id watermark, the named consumer's committed
+    * cursor (0 when it never acknowledged), and lag = watermark − cursor.
+    * Metadata-only, like [[describe]] — two small catalog files, never the
+    * log. */
+  def lag(consumer: String): DataFrame = {
+    import spark.implicits._
+    val next = catalog.nextIds(name)
+    val cur = catalog.cursor(name, consumer)
+    (0 until config.partitions).map { p =>
+      val n = next.getOrElse(p, 0L)
+      val c = cur.getOrElse(p, 0L)
+      (p, n, c, n - c)
+    }.toDF("partition", "n_events", "committed", "lag")
+  }
+
   /** D5 `markAsComplete`. */
   def markAsComplete(): Unit = catalog.markAsComplete(name)
 

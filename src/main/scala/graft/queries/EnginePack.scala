@@ -111,6 +111,18 @@ object EnginePack extends QueryPack {
           get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
         .orderBy(col("partition"), col("engine_id"))
     },
+    "q_consumer_lag" -> { (s, dir) =>
+      // monitoring surface: per-partition lag = watermark − committed
+      // cursor; partition p acknowledges up to id 10·(p+1)−1 → cursor
+      // 10·(p+1), so every row shows a different, provable lag
+      val d = tempDriver(s)
+      d.createTopic("lag_demo", partitions = 4)
+      val topic = d.openTopic("lag_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      (0 until 4).foreach(p =>
+        d.catalog.acknowledge("lag_demo", "lagger", p, 10L * (p + 1) - 1))
+      topic.lag("lagger").orderBy(col("partition"))
+    },
     "q_producer_validated" -> { (s, dir) =>
       // F2: schema-validated produce — a batch containing invalid rows
       // aborts atomically (nothing lands); the valid subset then lands whole.
@@ -550,6 +562,13 @@ object EnginePack extends QueryPack {
         | CAST(100 AS BIGINT) AS min_id, count(*) - 1 AS max_id,
         | count(*) - 100 AS n_distinct, true AS watermark_intact
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // lag = per-partition count − committed cursor (10·(p+1))
+    "q_consumer_lag" ->
+      """SELECT p AS partition, count(*) AS n_events,
+        | CAST((p + 1) * 10 AS BIGINT) AS committed,
+        | CAST(count(*) - (p + 1) * 10 AS BIGINT) AS lag
+        |FROM (SELECT CAST(event_id % 4 AS INT) AS p FROM events) x
+        |GROUP BY p ORDER BY partition""".stripMargin,
     // the pinned read sees exactly the first produce (source eid < 5000)
     "q_snapshot" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
