@@ -12,8 +12,11 @@ import Q._
  * Lakehouse-maintenance + curation additions: SCD Type-2 history build,
  * single-pass data-quality column profiling, Z-order layout (with the scan
  * pruning it buys measured against a single-column layout), prefix-filter
- * EXACT similarity self-join (the deterministic complement to LSH), and the
- * BPE merge-candidate counting round of tokenizer training.
+ * EXACT similarity self-join (the deterministic complement to LSH), the
+ * BPE merge-candidate counting round of tokenizer training, temperature
+ * source mixing, event debounce, text normalization, interval-overlap
+ * join, per-group mode, activity streaks, a language-ID confusion-matrix
+ * audit, and MAD robust outliers.
  *
  * Oracle discipline as elsewhere: exact integers (cents / micros / counts),
  * string min/max only over types whose rendering is engine-independent,
