@@ -370,6 +370,49 @@ object Dedup {
   }
 
   /**
+   * Asymmetric containment detection — quote/excerpt dedup: ordered pairs
+   * (contained, container) where containment(A in B) = |Sa∩Sb| / |Sa| ≥
+   * `cNum/cDen` over distinct `shingleN`-gram sets. Jaccard-based near-dup
+   * misses exactly this case (a short excerpt inside a long host has tiny
+   * Jaccard but containment ≈ 1), and it is the duplication mode quote-heavy
+   * web corpora are full of.
+   *
+   * Candidate generation is the shingle-equality self-join: pair volume is
+   * Σ df(shingle)² — df-bounded, and at n-gram granularity (n ≥ 5) natural
+   * text keeps df near 1. A boilerplate-flooded corpus (the same shingle in
+   * millions of docs) would need a band/bucket prefilter like
+   * [[nearDuplicates]]'s before this join; threshold semantics make that
+   * lossy for containment, so it is deliberately not silently applied.
+   * Both directions are evaluated from ONE (a < b) join pass.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, cNum: Int, cDen: Int): DataFrame = {
+    require(cNum > 0 && cDen > 0 && cNum <= cDen, "threshold must be in (0, 1]")
+    val base = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col("id"))
+    val sh = base.select(col("id"), explode(array_distinct(
+        TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("x"), col("b.id").as("y"))
+      .agg(count(lit(1)).as("i"))
+      .join(counts.as("cx"), col("x") === col("cx.id"))
+      .join(counts.as("cy"), col("y") === col("cy.id"))
+      .select(col("x"), col("y"), col("i"),
+        col("cx.n").as("nx"), col("cy.n").as("ny"))
+    val xInY = inter.filter(col("i") * cDen >= col("nx") * cNum)
+      .select(col("x").as("contained"), col("y").as("container"),
+        round(col("i") * 1000000.0 / col("nx")).cast("long").as("cont_micro"))
+    val yInX = inter.filter(col("i") * cDen >= col("ny") * cNum)
+      .select(col("y").as("contained"), col("x").as("container"),
+        round(col("i") * 1000000.0 / col("ny")).cast("long").as("cont_micro"))
+    xInY.unionByName(yInX)
+  }
+
+  /**
    * Cross-document duplicated-passage detection — substring-level dedup at
    * n-gram granularity (the Lee et al. "Deduplicating Training Data" shape
    * reduced to fixed-width spans): a token position is *duplicated* when

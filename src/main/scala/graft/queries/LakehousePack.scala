@@ -211,6 +211,54 @@ object LakehousePack extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("detected"))
     },
+    "q_dedup_containment" -> { (s, dir) =>
+      // asymmetric quote detection: 40-token excerpts of the first 15
+      // long-enough docs are planted as new docs — every excerpt must come
+      // back contained (≈1e6) in its host, while Jaccard would be tiny;
+      // the oracle re-derives the full ordered containment relation
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = graft.llm.TextFunctions.tokens(col("text"))
+      val excerpts = docs.filter(col("doc_id") < 15 && size(w) >= 50)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(slice(w, 6, 40), " ").as("text"))
+      Dedup.containmentPairs(docs.unionByName(excerpts), "doc_id", "text",
+          shingleN = 8, cNum = 9, cDen = 10)
+        .orderBy(col("contained"), col("container"))
+    },
+    "q_agg_equidepth" -> { (s, dir) =>
+      // equi-DEPTH histogram (vs q_agg_histogram's equi-width): exact
+      // quartile cut points per group in 1e4-integer space, then per-bucket
+      // counts — bounds broadcast back, two aggregate passes
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 10000).cast("long").as("v_tc"))
+      val cuts = li.groupBy(col("l_returnflag"))
+        .agg(round(percentile(col("v_tc"), lit(0.25))).cast("long").as("q1"),
+          round(percentile(col("v_tc"), lit(0.5))).cast("long").as("q2"),
+          round(percentile(col("v_tc"), lit(0.75))).cast("long").as("q3"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .withColumn("bucket",
+          when(col("v_tc") <= col("q1"), 0L)
+            .when(col("v_tc") <= col("q2"), 1L)
+            .when(col("v_tc") <= col("q3"), 2L).otherwise(3L))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v_tc")).as("lo_tc"),
+          max(col("v_tc")).as("hi_tc"))
+        .orderBy(col("l_returnflag"), col("bucket"))
+    },
+    "q_corpus_report" -> { (s, dir) =>
+      // per-(source, lang) corpus report card: volume, token mass, quality
+      // pass rate — the dashboard a curation run is judged by
+      val text = col("text")
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          graft.llm.TextFunctions.tokenCount(text).as("toks"),
+          graft.llm.TextFunctions.qualityFlag(text).cast("long").as("q"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("q")).as("n_quality"))
+        .orderBy(col("source"), col("lang"))
+    },
     "q_events_mad" -> { (s, dir) =>
       // robust outliers: |v − median| > 5·MAD per event type, entirely in
       // integer cents (median/MAD of integers interpolate to exact halves —
@@ -380,6 +428,52 @@ object LakehousePack extends QueryPack {
       s"""SELECT lang, ${TextPack.langGuessSql} AS detected, count(*) AS n
          |FROM (SELECT lang, ${TextPack.langScoreColsSql} FROM documents) s
          |GROUP BY lang, detected ORDER BY lang, detected""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH dw0 AS (SELECT doc_id, $W AS w FROM documents),
+         |exc AS (SELECT doc_id + 3000000 AS doc_id,
+         |          array_to_string(w[6:45], ' ') AS text
+         |        FROM dw0 WHERE doc_id < 15 AND len(w) >= 50),
+         |corpus AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id, text FROM exc),
+         |cw AS (SELECT doc_id, $W AS w FROM corpus),
+         |tok AS (SELECT DISTINCT doc_id, unnest(${TextPack.shingleListSql(8)}) AS s
+         |        FROM cw),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+         |ins AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS i
+         |        FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |j AS (SELECT x, y, i, cx.n AS nx, cy.n AS ny FROM ins
+         |      JOIN cnt cx ON cx.doc_id = x JOIN cnt cy ON cy.doc_id = y),
+         |pairs AS (
+         |  SELECT x AS contained, y AS container,
+         |    CAST(round(i * 1000000.0 / nx) AS BIGINT) AS cont_micro
+         |  FROM j WHERE i * 10 >= nx * 9
+         |  UNION ALL
+         |  SELECT y, x, CAST(round(i * 1000000.0 / ny) AS BIGINT)
+         |  FROM j WHERE i * 10 >= ny * 9)
+         |SELECT contained, container, cont_micro FROM pairs
+         |ORDER BY contained, container""".stripMargin,
+    "q_agg_equidepth" ->
+      """WITH v AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 10000) AS BIGINT) AS v_tc FROM lineitem),
+        |c AS (SELECT l_returnflag,
+        |    CAST(round(quantile_cont(v_tc, 0.25)) AS BIGINT) AS q1,
+        |    CAST(round(quantile_cont(v_tc, 0.5)) AS BIGINT) AS q2,
+        |    CAST(round(quantile_cont(v_tc, 0.75)) AS BIGINT) AS q3
+        |  FROM v GROUP BY l_returnflag)
+        |SELECT v.l_returnflag,
+        |  CAST(CASE WHEN v_tc <= q1 THEN 0 WHEN v_tc <= q2 THEN 1
+        |            WHEN v_tc <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+        |  count(*) AS n, min(v_tc) AS lo_tc, max(v_tc) AS hi_tc
+        |FROM v JOIN c ON c.l_returnflag = v.l_returnflag
+        |GROUP BY v.l_returnflag, bucket
+        |ORDER BY v.l_returnflag, bucket""".stripMargin,
+    "q_corpus_report" ->
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(len($W)) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE ${TextPack.qualityCond}) AS BIGINT)
+         |    AS n_quality
+         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q_events_mad" ->
       """WITH ev AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
         |            FROM events),

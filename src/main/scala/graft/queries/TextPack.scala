@@ -238,7 +238,7 @@ object TextPack extends QueryPack {
   private val stopSql =
     s"CAST(round(len(list_filter($W, x -> x IN ($stopListSql))) * 1.0 / len($W) * 1000000) AS BIGINT)"
   /** WHERE body of TF.qualityFlag with its default thresholds. */
-  private val qualityCond =
+  private[queries] val qualityCond =
     s"""len($W) BETWEEN 10 AND 100000
        |    AND $mtlSql BETWEEN 2000000 AND 12000000
        |    AND $ttrSql >= 100000

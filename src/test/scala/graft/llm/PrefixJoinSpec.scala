@@ -84,6 +84,20 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("containmentPairs: excerpt contained in host, not vice versa") {
+    import spark.implicits._
+    val host = (1 to 30).map(i => s"w$i").mkString(" ")
+    val excerpt = (8 to 19).map(i => s"w$i").mkString(" ") // 12 consecutive tokens
+    val other = (100 to 130).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, cNum = 9, cDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // excerpt: 10 3-gram shingles, all present in host → containment 1e6;
+    // host: 28 shingles, only 10 shared → 0.357, below 0.9
+    assert(got == Set((2L, 1L, 1000000L)))
+  }
+
   test("mergeCandidates counts adjacent pairs; single-char words excluded") {
     import spark.implicits._
     val out = Tokenizer.mergeCandidates(
