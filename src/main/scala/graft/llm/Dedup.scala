@@ -26,6 +26,32 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /**
+   * Incremental exact dedup — the growing-corpus workflow: dedup a NEW
+   * shard against the fingerprint store of everything already ingested,
+   * and emit the store's next state. `store` holds one row per known
+   * content hash (column `content_hash`); survivors are new-shard rows
+   * whose content is unseen in the store AND first (minimum id) within the
+   * shard itself. Scale shape: one map-side hash projection, one left-anti
+   * join against the store, one groupBy within the shard — the store is
+   * hash-partitioned and grows by exactly the survivor count per shard.
+   *
+   * @return (survivors, nextStore) — survivors carry `(keep_id,
+   *         content_hash, n_copies)` like [[exactGroups]]; `nextStore` is
+   *         `store` ∪ the survivors' hashes.
+   */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+                       store: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = newDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("content_hash"))
+    val unseen = hashed.join(store, Seq("content_hash"), "left_anti")
+    val survivors = unseen.groupBy(col("content_hash"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val nextStore = store.select(col("content_hash"))
+      .unionByName(survivors.select(col("content_hash")))
+    (survivors, nextStore)
+  }
+
+  /**
    * Line/sentence-level exact dedup — boilerplate removal à la CCNet /
    * RefinedWeb: split each document into units, keep every distinct unit
    * text only at its FIRST occurrence in (doc id, position) order, and

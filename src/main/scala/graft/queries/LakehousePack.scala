@@ -211,6 +211,26 @@ object LakehousePack extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("detected"))
     },
+    "q_dedup_incremental" -> { (s, dir) =>
+      // growing-corpus dedup: shard 1 = docs < 250 (ingested first, its
+      // uniques become the store), shard 2 = docs >= 250 PLUS verbatim
+      // copies of docs 0..19 (cross-shard dups — must be suppressed by the
+      // store) — survivors of shard 2 are graded
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val shard1 = docs.filter(col("doc_id") < 250)
+      val shard2 = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      val store0 = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("content_hash",
+            org.apache.spark.sql.types.StringType))))
+      val (_, store1) = Dedup.incrementalExact(shard1, "doc_id", "text", store0)
+      val (survivors2, _) = Dedup.incrementalExact(shard2, "doc_id", "text", store1)
+      survivors2.select(col("keep_id"), col("content_hash"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
     "q_dedup_containment" -> { (s, dir) =>
       // asymmetric quote detection: 40-token excerpts of the first 15
       // long-enough docs are planted as new docs — every excerpt must come
@@ -428,6 +448,16 @@ object LakehousePack extends QueryPack {
       s"""SELECT lang, ${TextPack.langGuessSql} AS detected, count(*) AS n
          |FROM (SELECT lang, ${TextPack.langScoreColsSql} FROM documents) s
          |GROUP BY lang, detected ORDER BY lang, detected""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH shard2 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id < 20),
+        |store AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+        |h2 AS (SELECT doc_id, md5(text) AS h FROM shard2)
+        |SELECT min(doc_id) AS keep_id, h AS content_hash, count(*) AS n_copies
+        |FROM h2 WHERE h NOT IN (SELECT h FROM store)
+        |GROUP BY h ORDER BY keep_id""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH dw0 AS (SELECT doc_id, $W AS w FROM documents),
          |exc AS (SELECT doc_id + 3000000 AS doc_id,
