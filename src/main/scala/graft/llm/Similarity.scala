@@ -133,13 +133,18 @@ object Similarity {
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
     val assigned = nearestCells(candidates, centroids, 1) // corpus: 1 cell each
-    val probed = nearestCells(queries, centroids, nprobe) // query: nprobe cells
+    probeAndRank(queries, assigned, centroids, k, nprobe)
+  }
 
-    // no dedup needed: each candidate lives in exactly ONE cell (n=1), so a
-    // (query, candidate) pair can appear through at most one probed cell
+  /** Probe `assigned` (id, vec, vn, cell) with the query set and rank —
+    * the shared tail of the direct and indexed IVF paths. No pair dedup
+    * needed: each candidate lives in exactly ONE cell (n=1), so a
+    * (query, candidate) pair can appear through at most one probed cell. */
+  private def probeAndRank(queries: DataFrame, assigned: DataFrame,
+                           centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probed = nearestCells(queries, centroids, nprobe)
     val scored = probed.as("p").join(assigned.as("a"), col("p.cell") === col("a.cell"))
       .select(col("p.id").as("query_id"), col("a.id").as("cand_id"),
         cosineMicroPre(col("p.vec"), col("a.vec"), col("p.vn"), col("a.vn"))
@@ -149,5 +154,39 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("cand_id"), col("cos_micro"))
+  }
+
+  // -- persisted IVF index ----------------------------------------------------
+
+  /**
+   * Persist an IVF index: centroids plus the corpus cell assignments,
+   * written PARTITIONED BY cell — the on-disk layout IS the index. A query
+   * batch probing `nprobe` cells reads only those cell directories
+   * (partition pruning), never the full corpus: the build cost (one
+   * corpus×centroids assignment pass) is paid once and amortized over
+   * every query batch that follows.
+   */
+  def saveIndex(candidates: DataFrame, centroids: DataFrame, path: String): Unit = {
+    centroids.select(col("id"), col("vec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    nearestCells(candidates, centroids, 1)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /**
+   * Query a persisted index: probed cell ids (a tiny set, ≤ |queries|·nprobe,
+   * collected driver-side) become an `isin` partition filter on the cells
+   * table, so the scan touches only the probed directories. Results are
+   * identical to [[ivfTopK]] over the same corpus/centroids.
+   */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probed = nearestCells(queries, centroids, nprobe)
+    val cellIds = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val assigned = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cellIds: _*))
+    probeAndRank(queries, assigned, centroids, k, nprobe)
   }
 }

@@ -43,6 +43,15 @@ object VectorPack extends QueryPack {
         centroidsDf(s, dir), k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
+    "q_knn_ivf_indexed" -> { (s, dir) =>
+      // index lifecycle: build once (cell-partitioned parquet — the layout
+      // IS the index), query through the pruned read path; results must be
+      // IDENTICAL to the direct q_knn_ivf, so they share one oracle
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+      Similarity.saveIndex(candidatesDf(s, dir), centroidsDf(s, dir), idx)
+      Similarity.ivfTopKIndexed(s, idx, queriesDf(s, dir), k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
     "q_dedup_embed" -> { (s, dir) =>
       // embedding-cosine near-dup: IVF-cell-blocked pairs over the whole
       // corpus, exact cosine threshold (0.40 — the fixture has no planted
@@ -121,6 +130,17 @@ object VectorPack extends QueryPack {
        |    ${cosMicro("qe", "ce")} AS cos_micro
        |  FROM qcell JOIN candcell USING (cell))""".stripMargin
 
+  private lazy val ivfOracleSql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+       |${ivfCtes(nprobe = 2)}
+       |SELECT query_id, rank, cand_id, cos_micro FROM (
+       |  SELECT query_id, cand_id, cos_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_micro DESC, cand_id) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "q_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
@@ -131,16 +151,9 @@ object VectorPack extends QueryPack {
          |    row_number() OVER (PARTITION BY qid ORDER BY cos_micro DESC, cid) AS rank
          |  FROM pairs) r
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    "q_knn_ivf" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
-         |${ivfCtes(nprobe = 2)}
-         |SELECT query_id, rank, cand_id, cos_micro FROM (
-         |  SELECT query_id, cand_id, cos_micro,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_micro DESC, cand_id) AS rank
-         |  FROM scored) r
-         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q_knn_ivf" -> ivfOracleSql,
+    // the indexed path must return exactly the direct path's results
+    "q_knn_ivf_indexed" -> ivfOracleSql,
     "q_dedup_embed" ->
       s"""WITH ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
          |cells AS (

@@ -510,6 +510,29 @@ class LlmSpec extends SparkSpec {
     assert(df(1).getLong(1) == 6432038L)
   }
 
+  test("persisted IVF index: cell-partitioned layout, identical results, pruned scan") {
+    import session.implicits._
+    val rnd = new scala.util.Random(3)
+    def vec() = Array.fill(8)(rnd.nextFloat())
+    val corpus = (10L until 90L).map(i => (i, vec())).toDF("id", "vec")
+    val queries = (0L until 3L).map(i => (i, vec())).toDF("id", "vec")
+    val centroids = (0L until 4L).map(i => (i, vec())).toDF("id", "vec")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idx-spec").toString
+    Similarity.saveIndex(corpus, centroids, idx)
+    // the layout IS the index: one directory per cell
+    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty)
+    val direct = Similarity.ivfTopK(queries, corpus, centroids, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaIndex = Similarity.ivfTopKIndexed(spark, idx, queries, k = 3, nprobe = 2)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val got = viaIndex.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == direct)
+  }
+
   test("temperatureSample: sqrt-weighted targets, caps, and determinism") {
     import session.implicits._
     // sizes 100/25/4 → sqrt weights 10/5/2 (×1e6), W=17e6
