@@ -502,6 +502,50 @@ class StreamingSpec extends SparkSpec {
     assert(firstBatch.getOrElse(0, 0L) == 5L, firstBatch)
   }
 
+  test("streaming ingestion with cross-batch dedup via incrementalExact") {
+    // the streaming-corpus curation composition: each micro-batch dedups
+    // against the persisted fingerprint store of everything already seen;
+    // duplicates planted across DIFFERENT micro-batches must be suppressed
+    val (_, topic, wh) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    // 12 events over >=3 micro-batches (budget 4): texts repeat mod 5, so
+    // every text after the first five is a cross- or in-batch duplicate
+    (0 until 12).foreach(i => producer.push(s"""{"text":"doc body ${i % 5}"}"""))
+    producer.flush()
+    val storeDir = Files.createTempDirectory("graft-dedup-store").toString
+    spark.emptyDataset[String](org.apache.spark.sql.Encoders.STRING)
+      .toDF("content_hash").write.mode("overwrite").parquet(storeDir)
+    val survivors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .option("maxEventsPerTrigger", "4")
+      .load()
+      .select(col("event_id").as("id"),
+        get_json_object(col("metadata"), "$.text").as("text"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val store = spark.read.parquet(storeDir)
+        val (surv, nextStore) = graft.llm.Dedup.incrementalExact(
+          batch.toDF(), "id", "text", store)
+        val texts = surv.join(batch.toDF().withColumnRenamed("id", "keep_id"), "keep_id")
+          .select("text").collect().map(_.getString(0))
+        survivors.synchronized { survivors ++= texts }: Unit
+        // store update: overwrite via a staged write (parquet can't
+        // self-overwrite its own input in one job)
+        val staged = nextStore.collect().map(_.getString(0)).toSeq
+        import spark.implicits._
+        staged.toDF("content_hash").write.mode("overwrite").parquet(storeDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // exactly the five distinct texts survive, each exactly once, despite
+    // duplicates arriving in later micro-batches
+    assert(survivors.sorted.toSeq == (0 until 5).map(i => s"doc body $i"))
+  }
+
   test("streaming sink: graft source -> foreachBatch produce keeps ids dense") {
     val (_, src, wh) = newTopic()
     produceRange(src, 0, 30)
