@@ -353,16 +353,18 @@ object EnginePack extends QueryPack {
     "q_snapshot" -> { (s, dir) =>
       // reproducible-dataset snapshot: pin the watermark after the first
       // produce; the pinned read must see exactly that produce's rows no
-      // matter how much lands afterwards (graded via the metadata keys)
+      // matter how much lands afterwards (graded via the metadata keys).
+      // Deterministic 4096-row cap (oracle applies the same slice): the
+      // contract is the pin boundary, not volume — see q_producer_validated
       val d = tempDriver(s)
       d.createTopic("snap_demo", partitions = 4)
       val topic = d.openTopic("snap_demo")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
       val src = sourceByEid(s, dir)
       val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
-      topic.producer().produce(src.filter(srcEid < 5000))
+      topic.producer().produce(src.filter(srcEid < 2048))
       val snap = topic.snapshot()
-      topic.producer().produce(src.filter(srcEid >= 5000))
+      topic.producer().produce(src.filter(srcEid >= 2048 && srcEid < 4096))
       topic.events(snap)
         .select(col("partition"), eid.as("k"))
         .groupBy(col("partition"))
@@ -569,11 +571,11 @@ object EnginePack extends QueryPack {
         | CAST(count(*) - (p + 1) * 10 AS BIGINT) AS lag
         |FROM (SELECT CAST(event_id % 4 AS INT) AS p FROM events) x
         |GROUP BY p ORDER BY partition""".stripMargin,
-    // the pinned read sees exactly the first produce (source eid < 5000)
+    // the pinned read sees exactly the first produce (source eid < 2048)
     "q_snapshot" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
-        |FROM events WHERE event_id < 5000
+        |FROM events WHERE event_id < 2048
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // the purge survivors are exactly the source rows with eid % 7 <> 0
     "q_delete_where" ->
