@@ -406,6 +406,47 @@ object EnginePack extends QueryPack {
           countDistinct(get_json_object(col("metadata"), "$.k").cast("long")).as("n_keys"))
         .orderBy(col("topic"))
     },
+    "q_stream_window" -> { (s, dir) =>
+      // event-time windowed aggregation through the MICRO-BATCH source (not
+      // the batch table): 10-minute tumbling windows over event time parsed
+      // from metadata, complete-mode memory sink, AvailableNow drain. Time
+      // arithmetic is integer micros end-to-end (timestamp_micros of
+      // ts DIV 1000) so window membership can never straddle a double ulp.
+      // Deterministic 4096-row cap — the contract is windowing through the
+      // stream, not volume.
+      val d = tempDriver(s)
+      d.createTopic("swin_demo", partitions = 2)
+      val topic = d.openTopic("swin_demo")
+      val src = t(s, dir, "events").filter(col("event_id") < 4096)
+        .select(to_json(struct(col("event_id").as("eid"), col("ts").as("tns"),
+          col("event_type").as("et"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      topic.producer().produce(src)
+      val qname = s"q_stream_window_${EnginePack.streamRun.incrementAndGet()}"
+      val query = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "swin_demo")
+        .option("maxEventsPerTrigger", "1024")
+        .load()
+        .select(get_json_object(col("metadata"), "$.et").as("event_type"),
+          expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+            .as("etime"))
+        .groupBy(window(col("etime"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-swin-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .select(unix_micros(col("window.start")).as("w_us"), col("event_type"),
+          col("n"))
+        .orderBy(col("w_us"), col("event_type"))
+    },
     "q_stream_drain" -> { (s, dir) =>
       // S8 through the oracle: the DSv2 MICRO-BATCH path (offset cursor walk,
       // admission control, AvailableNow drain — the `feedConsumer` analog of
@@ -592,6 +633,12 @@ object EnginePack extends QueryPack {
         |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events) s
         |GROUP BY topic ORDER BY topic""".stripMargin,
+    // 10-minute tumbling windows over the capped slice, in exact micros
+    "q_stream_window" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus
+        |           FROM events WHERE event_id < 4096)
+        |SELECT tus - tus % 600000000 AS w_us, event_type, count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY w_us, event_type""".stripMargin,
     // the micro-batch stream drains exactly the produced log: dense ids per
     // partition, across ≥2 admission-bounded batches
     "q_stream_drain" ->
