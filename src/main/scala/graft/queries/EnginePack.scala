@@ -447,6 +447,53 @@ object EnginePack extends QueryPack {
           col("n"))
         .orderBy(col("w_us"), col("event_type"))
     },
+    "q_stream_join" -> { (s, dir) =>
+      // stream-stream event-time join through the micro-batch source, under
+      // the oracle: clicks ⋈ purchases (same user, purchase within 1h after
+      // the click) from two watermarked readers over one topic. Safe to
+      // grade exactly: events arrive in event-time order (event_id is
+      // ts-ordered in the corpus — verified displacement 0), so the 4h
+      // watermark can never evict state a future match still needs, and an
+      // inner join emits pairs as they meet — AvailableNow drains them all.
+      val d = tempDriver(s)
+      d.createTopic("sjoin_demo", partitions = 2)
+      val topic = d.openTopic("sjoin_demo")
+      val src = t(s, dir, "events")
+        .filter(col("user_id") < 100 && col("event_id") < 4096 &&
+          col("event_type").isin("click", "purchase"))
+        .select(to_json(struct(col("event_id").as("eid"), col("ts").as("tns"),
+          col("event_type").as("et"), col("user_id").as("uid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      topic.producer().produce(src)
+      def side(et: String, p: String) = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "sjoin_demo")
+        .option("maxEventsPerTrigger", "1024")
+        .load()
+        .select(get_json_object(col("metadata"), "$.et").as("et"),
+          get_json_object(col("metadata"), "$.eid").cast("long").as(s"${p}_eid"),
+          get_json_object(col("metadata"), "$.uid").cast("long").as(s"${p}_uid"),
+          expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+            .as(s"${p}_t"))
+        .filter(col("et") === et).drop("et")
+        .withWatermark(s"${p}_t", "4 hours")
+      val qname = s"q_stream_join_${EnginePack.streamRun.incrementAndGet()}"
+      val query = side("click", "c").join(side("purchase", "p"),
+          col("c_uid") === col("p_uid") &&
+            col("p_t") >= col("c_t") &&
+            col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR"))
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-sjoin-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .select(col("c_eid"), col("p_eid"))
+        .orderBy(col("c_eid"), col("p_eid"))
+    },
     "q_stream_drain" -> { (s, dir) =>
       // S8 through the oracle: the DSv2 MICRO-BATCH path (offset cursor walk,
       // admission control, AvailableNow drain — the `feedConsumer` analog of
@@ -633,6 +680,21 @@ object EnginePack extends QueryPack {
         |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |  FROM events) s
         |GROUP BY topic ORDER BY topic""".stripMargin,
+    // every (click, purchase-within-1h) pair from the capped slice
+    "q_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_ns(ts) // 1000 AS tus
+        |           FROM events
+        |           WHERE user_id < 100 AND event_id < 4096
+        |             AND event_type IN ('click', 'purchase')),
+        |c AS (SELECT event_id AS c_eid, user_id AS uid, tus AS ct FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_eid, user_id AS uid, tus AS pt FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c_eid, p_eid
+        |FROM c JOIN p ON c.uid = p.uid
+        |  AND pt >= ct AND pt <= ct + 3600000000
+        |ORDER BY c_eid, p_eid""".stripMargin,
     // 10-minute tumbling windows over the capped slice, in exact micros
     "q_stream_window" ->
       """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000 AS tus
