@@ -98,6 +98,35 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got == Set((2L, 1L, 1000000L)))
   }
 
+  test("containmentPairs randomized against brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val vocab = (0 until 30).map(i => s"v$i")
+    val base = (0L until 18L).map { i =>
+      i -> Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // plant excerpts: middle slices of the first 5 docs
+    val docs = base ++ (0L until 5L).map { i =>
+      val toks = base(i.toInt)._2.split(" ")
+      (200L + i) -> toks.slice(2, 2 + math.max(4, toks.length - 4)).mkString(" ")
+    }
+    def shingles(text: String): Set[String] = {
+      val w = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (w.length < 3) Set(w.mkString(" ")) else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+      (sa, sb) = (shingles(ta), shingles(tb))
+      i = (sa & sb).size
+      if i.toLong * 10 >= sa.size.toLong * 9
+    } yield (ia, ib)).toSet
+    assert(expected.nonEmpty)
+    val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 3, cNum = 9, cDen = 10)
+      .select($"contained", $"container").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("mergeCandidates counts adjacent pairs; single-char words excluded") {
     import spark.implicits._
     val out = Tokenizer.mergeCandidates(

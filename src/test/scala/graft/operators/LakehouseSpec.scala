@@ -52,6 +52,31 @@ class LakehouseSpec extends SparkSpec {
     assert(out.head == 2L)
   }
 
+  test("scd2 property: random changelogs tile [first, inf) with no gaps or overlaps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val chg = (0 until 400).map { i =>
+      (rnd.nextInt(20), i.toLong * 7 + rnd.nextInt(7), s"p$i") // unique versions
+    }.distinct.toDF("k", "v", "payload")
+    val rows = History.scd2(chg, Seq("k"), "v")
+      .select($"k", $"valid_from", $"valid_to", $"is_current")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getBoolean(3)))
+      .groupBy(_._1)
+    rows.foreach { case (_, hist) =>
+      val sorted = hist.sortBy(_._2)
+      // seamless tiling: each valid_to equals the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2) && !a._4)
+        case _ =>
+      }
+      // exactly one current version: the last, open-ended
+      assert(sorted.last._3.isEmpty && sorted.last._4)
+      assert(sorted.count(_._4) == 1)
+    }
+  }
+
   test("scd2 plan: exactly one exchange (the window shuffle)") {
     import spark.implicits._
     val chg = (1 to 100).map(i => (i % 10, i.toLong, s"v$i")).toDF("k", "v", "p")
