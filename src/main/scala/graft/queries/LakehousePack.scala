@@ -201,6 +201,37 @@ object LakehousePack extends QueryPack {
           sum(col("len")).as("n_active_days"))
         .orderBy(col("user_id"))
     },
+    "q_text_bigrams" -> { (s, dir) =>
+      // corpus-wide top word bigrams — the boilerplate-phrase signal
+      // (complements char-level q_bpe_merges and unigram q_text_top_terms);
+      // map-side combined count + TakeOrderedAndProject
+      val w = graft.llm.TextFunctions.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(explode(graft.llm.TextFunctions.shinglesFromTokens(w, 2)).as("bg"))
+        .filter(size(split(col("bg"), " ")) === 2) // whole-doc shingle of 1-token docs
+        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg")).limit(30)
+        .orderBy(col("n").desc, col("bg"))
+    },
+    "q_events_dau" -> { (s, dir) =>
+      // DAU / trailing-7-day WAU / stickiness per day — the rolling
+      // DISTINCT-over-window computed the scale-correct way: each active
+      // (user, day) CONTRIBUTES to the 7 target days it falls in (explode),
+      // then a plain distinct count per target day — no distinct-over-
+      // window state, two aggregate passes, both map-side combinable
+      val active = t(s, dir, "events")
+        .select(col("user_id"), expr(s"ts DIV $DayNs").as("d")).distinct()
+      val maxDay = active.agg(max(col("d"))).collect()(0).getLong(0)
+      val dau = active.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val wau = active
+        .select(col("user_id"), explode(sequence(col("d"), col("d") + 6)).as("td"))
+        .filter(col("td") <= maxDay)
+        .groupBy(col("td")).agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, col("d") === col("td"))
+        .select(col("d"), col("dau"), col("wau"),
+          round(col("dau") * 1000000.0 / col("wau")).cast("long").as("stickiness_micro"))
+        .orderBy(col("d"))
+    },
     "q_text_lang_confusion" -> { (s, dir) =>
       // model-audit crosstab: labeled language vs the detector's guess —
       // the quality gate one runs BEFORE trusting a classifier at corpus
@@ -444,6 +475,23 @@ object LakehousePack extends QueryPack {
          |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks,
          |  CAST(sum(len) AS BIGINT) AS n_active_days
          |FROM lens GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_text_bigrams" ->
+      s"""WITH dw AS (SELECT doc_id, $W AS w FROM documents),
+         |bg AS (SELECT unnest(${TextPack.shingleListSql(2)}) AS bg FROM dw)
+         |SELECT bg, count(*) AS n FROM bg
+         |WHERE len(string_split(bg, ' ')) = 2
+         |GROUP BY bg ORDER BY n DESC, bg LIMIT 30""".stripMargin,
+    "q_events_dau" ->
+      s"""WITH active AS (SELECT DISTINCT user_id, epoch_ns(ts) // $DayNs AS d
+         |                FROM events),
+         |mx AS (SELECT max(d) AS md FROM active),
+         |da AS (SELECT d, count(*) AS dau FROM active GROUP BY d),
+         |contrib AS (SELECT user_id, unnest(range(d, d + 7)) AS td FROM active),
+         |wa AS (SELECT td, count(DISTINCT user_id) AS wau
+         |       FROM contrib, mx WHERE td <= md GROUP BY td)
+         |SELECT d, dau, wau,
+         |  CAST(round(dau * 1000000.0 / wau) AS BIGINT) AS stickiness_micro
+         |FROM da JOIN wa ON td = d ORDER BY d""".stripMargin,
     "q_text_lang_confusion" ->
       s"""SELECT lang, ${TextPack.langGuessSql} AS detected, count(*) AS n
          |FROM (SELECT lang, ${TextPack.langScoreColsSql} FROM documents) s
