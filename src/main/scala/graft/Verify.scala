@@ -19,6 +19,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // operators that persist() intermediates (LSH / prefix-filter /
+        // cleanCorpus) document caller-owned cache lifetime — drop them so
+        // 144 invocations in this one JVM don't accumulate pinned blocks
+        finally spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

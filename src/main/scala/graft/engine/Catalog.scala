@@ -23,9 +23,12 @@ import org.json4s.jackson.JsonMethods
  *   log/partition=<p>/     the event log, Parquet
  * }}}
  *
- * Small-file updates are atomic (write temp + rename). Single concurrent
- * writer per topic is assumed — the documented divergence of SURVEY §7.3
- * (the reference linearizes via a per-partition lock + single write loop).
+ * Small-file updates are atomic (write temp + rename). One producer per
+ * topic at a time — where the reference linearizes concurrent clients via a
+ * per-partition lock + single write loop (SURVEY §7.3), this catalog makes
+ * concurrency safe-by-rejection: a `_produce.lock` held for the span of each
+ * produce (see [[acquireProduceLock]]) makes a racing second producer fail
+ * loudly instead of corrupting the `_ids.json` watermark.
  */
 final class Catalog(spark: SparkSession, val warehouse: String) {
 
@@ -200,48 +203,125 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * the extra files are exactly this produce's output, and id-range pruning
    * bounds what readers surface.
    *
-   * Metadata scale bound: the manifest is one JSON document rewritten per
-   * produce commit (~100 bytes/file — the same single-snapshot shape Delta
-   * Lake uses for its checkpoint files). It stays small iff `compactTopic`
-   * runs periodically to bound live-file count; a topic that never compacts
-   * degrades the produce path to O(total files) metadata rewrite long after
-   * the read path stopped listing directories. (A snapshot+delta manifest
-   * log would lift that bound; not needed while compaction is in the
-   * maintenance loop.)
+   * Metadata scale bound (snapshot + delta log, the Delta-Lake shape): each
+   * produce commit APPENDS one `delta-<seq>.json` holding only that
+   * produce's new files and advanced watermarks — O(new files), never
+   * O(total live files). Every [[Catalog.ManifestSnapshotEvery]] commits the
+   * writer rolls a full `snap-<seq>.json` and deletes the folded-in entries,
+   * so the log directory stays bounded and a reader assembles the manifest
+   * from one snapshot plus at most `ManifestSnapshotEvery` deltas. A topic
+   * that never compacts now keeps an O(new files) produce path forever —
+   * only the periodic snapshot (amortized 1/ManifestSnapshotEvery per
+   * produce) scales with live-file count.
+   *
+   * Sequence numbers are strictly increasing per topic and NEVER reused
+   * (compaction's rebuild also advances the seq), so snapshot/delta files
+   * are immutable-by-name — the reader cache keys on names alone. Writers
+   * are serialized by the produce/compact locks; readers tolerate a
+   * snapshot roll's cleanup racing their listing by re-scanning once and
+   * falling back to the directory-listing path (None) rather than crashing
+   * a streaming trigger.
    */
-  def readManifest(name: String): Option[TopicManifest] = {
-    val p = new Path(topicPath(name), "_manifest.json")
+  def readManifest(name: String): Option[TopicManifest] = readManifest(name, retry = true)
+
+  private def readManifest(name: String, retry: Boolean): Option[TopicManifest] = {
+    val (snaps, deltas) = scanManifestLog(name)
+    if (snaps.isEmpty && deltas.isEmpty) return readLegacyManifest(name)
+    try {
+      val snapSeq = if (snaps.nonEmpty) snaps.last._1 else -1L
+      val cached = manifestCache.get(name)
+      // steady-state trigger (no new commits): one listStatus, zero reads
+      val (base, baseSeq) =
+        if (cached != null && cached.snapSeq == snapSeq) (cached.manifest, cached.lastSeq)
+        else if (snaps.nonEmpty)
+          (TopicManifest.fromJson(readString(snaps.last._2)), snapSeq)
+        else (TopicManifest(Map.empty, Map.empty), -1L)
+      val todo = deltas.filter(_._1 > math.max(baseSeq, snapSeq))
+      val assembled = todo.foldLeft(base) { case (m, (_, p)) =>
+        Catalog.applyManifestDelta(m, TopicManifest.fromJson(readString(p)))
+      }
+      val lastSeq = (Seq(baseSeq, snapSeq) ++ todo.map(_._1)).max
+      manifestCache.put(name, Catalog.ManifestCacheEntry(snapSeq, lastSeq, assembled))
+      Some(assembled)
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        // a snapshot roll deleted an entry under our listing: the fresh
+        // scan sees the rolled snapshot; a second miss means real trouble —
+        // fall back to the listing path rather than crash the trigger
+        if (retry) readManifest(name, retry = false) else None
+    }
+  }
+
+  /** Pre-log topics: a single `_manifest.json` written by earlier versions
+    * is served as the base manifest until the next commit folds it into the
+    * first snapshot and deletes it. */
+  private def readLegacyManifest(name: String): Option[TopicManifest] = {
+    val p = legacyManifestPath(name)
     statResilient(p) match {
       case None => None
       case Some(st) =>
-        // (mtime, length)-keyed parse cache: trigger planning calls this
-        // every micro-batch, and the manifest scales with live-file count —
-        // steady-state triggers must pay one getFileStatus, not a multi-MB
-        // JSON parse. A stale hit is impossible for correctness: manifests
-        // only grow watermarks, and an under-covering (older) manifest just
-        // routes plan() to the listing fallback.
         val key = (st.getModificationTime, st.getLen)
-        val cached = manifestCache.get(name)
+        val cached = legacyManifestCache.get(name)
         if (cached != null && cached._1 == key) cached._2
         else {
-          // tolerate writeAtomic's delete→rename window: a reader racing a
-          // produce commit falls back to None (= listing path) rather than
-          // crashing the streaming query on FileNotFoundException
           val parsed = readStringResilient(p).map(TopicManifest.fromJson)
-          manifestCache.put(name, (key, parsed))
+          legacyManifestCache.put(name, (key, parsed))
           parsed
         }
     }
   }
 
+  private def manifestDir(name: String): Path = new Path(topicPath(name), "_manifest")
+  private def legacyManifestPath(name: String): Path =
+    new Path(topicPath(name), "_manifest.json")
+
+  private def seqFileName(prefix: String, seq: Long): String = f"$prefix-$seq%020d.json"
+
+  /** (snapshots, deltas) in the manifest log, each (seq, path) seq-ascending.
+    * Missing dir → both empty. The listing is O(entries), bounded by
+    * ManifestSnapshotEvery + 1 via the snapshot-roll cleanup. */
+  private def scanManifestLog(name: String): (Vector[(Long, Path)], Vector[(Long, Path)]) = {
+    val entries =
+      try fs.listStatus(manifestDir(name)).toVector.filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException => Vector.empty }
+    def bySeq(prefix: String) = entries.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix + "-") && n.endsWith(".json"))
+        n.stripPrefix(prefix + "-").stripSuffix(".json").toLongOption.map(_ -> st.getPath)
+      else None
+    }.sortBy(_._1)
+    (bySeq("snap"), bySeq("delta"))
+  }
+
   private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Catalog.ManifestCacheEntry]()
+  private val legacyManifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, ((Long, Long), Option[TopicManifest])]()
 
-  private def writeManifest(name: String, m: TopicManifest): Unit = {
-    writeAtomic(new Path(topicPath(name), "_manifest.json"), m.toJson)
-    // same ms-granularity insurance as writeTopicConfig: our own writes
-    // must never be served stale from the (mtime, length) parse cache
+  /** Append `delta` to the manifest log (or roll a snapshot when due /
+    * bootstrapping / migrating off a legacy single-file manifest). Callers
+    * hold the produce or compact lock — writes are serialized, so
+    * `max(seq) + 1` is race-free. */
+  private def commitManifestDelta(name: String, delta: TopicManifest,
+                                  assembledPrior: TopicManifest): Unit = {
+    val (snaps, deltas) = scanManifestLog(name)
+    val legacy = fs.exists(legacyManifestPath(name))
+    val seq = ((snaps ++ deltas).map(_._1) :+ 0L).max + 1
+    val snapSeq = if (snaps.nonEmpty) snaps.last._1 else -1L
+    val due = deltas.count(_._1 > snapSeq) + 1 >= Catalog.ManifestSnapshotEvery
+    fs.mkdirs(manifestDir(name))
+    if (legacy || snaps.isEmpty || due) {
+      writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
+        Catalog.applyManifestDelta(assembledPrior, delta).toJson)
+      // folded in: the old snapshot, its deltas, and any legacy file go
+      if (legacy) fs.delete(legacyManifestPath(name), false): Unit
+      (snaps ++ deltas).foreach { case (_, p) => fs.delete(p, false): Unit }
+    } else {
+      writeAtomic(new Path(manifestDir(name), seqFileName("delta", seq)), delta.toJson)
+    }
+    // our own writes must never be served stale
     manifestCache.remove(name): Unit
+    legacyManifestCache.remove(name): Unit
   }
 
   /**
@@ -255,12 +335,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def updateManifest(name: String, newNext: Map[Int, Long]): Unit = {
     val prior = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
     val conf = hadoopConf
-    val files = newNext.keys.foldLeft(prior.files) { (acc, p) =>
+    val freshFiles: Map[Int, Vector[ManifestFile]] = newNext.keys.flatMap { p =>
       val dir = new Path(logPath(name), s"partition=$p")
-      if (!fs.exists(dir)) acc
+      if (!fs.exists(dir)) None
       else {
-        val known = acc.getOrElse(p, Vector.empty)
-        val knownNames = known.map(_.path).toSet
+        val knownNames = prior.files.getOrElse(p, Vector.empty).map(_.path).toSet
         val fresh = fs.listStatus(dir)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(f => s"partition=$p/${f.getPath.getName}")
@@ -269,10 +348,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             val (lo, hi) = Catalog.fileIdRange(new Path(logPath(name), rel), conf)
             ManifestFile(rel, lo, hi)
           }
-        if (fresh.isEmpty) acc else acc + (p -> (known ++ fresh))
+        if (fresh.isEmpty) None else Some(p -> fresh.toVector)
       }
-    }
-    writeManifest(name, TopicManifest(prior.watermarks ++ newNext, files))
+    }.toMap
+    // the delta carries ONLY this produce's files + watermarks — the
+    // produce-path write is O(new files) regardless of live-file count
+    commitManifestDelta(name, TopicManifest(newNext, freshFiles), prior)
   }
 
   /**
@@ -307,7 +388,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /** Rebuild the manifest wholesale from the log (compaction replaced every
-    * file; a fresh listing + footer pass is cheap relative to the rewrite). */
+    * file; a fresh listing + footer pass is cheap relative to the rewrite).
+    * Writes one fresh snapshot at a seq ABOVE everything prior — seqs are
+    * never reused, so reader caches keyed on names can't serve the
+    * pre-compaction file list — and clears the folded-in entries. */
   def rebuildManifest(name: String): Unit = {
     val log = new Path(logPath(name))
     val conf = hadoopConf
@@ -328,61 +412,120 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           case _ => None
         }
       }.toMap
-    writeManifest(name, TopicManifest(next, files))
+    val (snaps, deltas) = scanManifestLog(name)
+    val seq = ((snaps ++ deltas).map(_._1) :+ 0L).max + 1
+    fs.mkdirs(manifestDir(name))
+    writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
+      TopicManifest(next, files).toJson)
+    (snaps ++ deltas).foreach { case (_, p) => fs.delete(p, false): Unit }
+    fs.delete(legacyManifestPath(name), false): Unit
+    manifestCache.remove(name): Unit
+    legacyManifestCache.remove(name): Unit
   }
 
-  // -- compaction lock ------------------------------------------------------
+  // -- topic locks: compaction + produce mutual exclusion --------------------
 
   private def compactLockPath(name: String): Path =
     new Path(topicPath(name), "_compact.lock")
+  private def produceLockPath(name: String): Path =
+    new Path(topicPath(name), "_produce.lock")
 
-  /**
-   * Best-effort compaction/producer mutual exclusion. `compactTopic`
-   * documents "must not run concurrently with produces"; this marker makes a
-   * violation fail LOUDLY instead of corrupting the log. A lock older than
-   * [[Catalog.CompactLockStaleMs]] is treated as a crashed compactor's
-   * leftover and reclaimed. Best-effort by design (exists-then-create is not
-   * atomic on every filesystem) — the single-writer contract remains the
-   * real guarantee; the lock turns an operational mistake into an error.
-   */
   /** Lock age in ms, None when absent. FNF between exists and stat means
     * the lock was released that instant — treat as absent, never crash the
     * caller on the race. */
-  private def compactLockAge(name: String): Option[Long] = {
-    val p = compactLockPath(name)
+  private def lockAge(p: Path): Option[Long] = {
     try {
       if (!fs.exists(p)) None
       else Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
-  private[engine] def acquireCompactLock(name: String): Unit = {
-    compactLockAge(name) match {
-      case Some(age) if age < Catalog.CompactLockStaleMs =>
-        throw new IllegalStateException(
-          s"topic '$name': a compaction is already in progress (lock " +
-          s"${compactLockPath(name)}, age ${age / 1000}s) — retry after it " +
-          "finishes, or delete the lock if the compactor crashed")
-      case Some(_) => fs.delete(compactLockPath(name), false): Unit // stale
-      case None =>
+  private def lockIsLive(p: Path): Option[Long] =
+    lockAge(p).filter(_ < Catalog.CompactLockStaleMs)
+
+  /**
+   * Acquire a lock file via `create(overwrite = false)` — the filesystem
+   * arbitrates racing creates (atomic on HDFS via the namenode; the local FS
+   * check is inside one Hadoop call), so of two concurrent acquirers at most
+   * one wins; this is the write-queue linearization point the reference gets
+   * from its per-partition lock (`DefaultPartitionManager.cpp:398-409`),
+   * reduced to fail-loudly-by-rejection. Object stores without atomic
+   * create-exclusive keep a documented best-effort caveat. A lock older than
+   * [[Catalog.CompactLockStaleMs]] is a crashed owner's leftover: reclaimed
+   * and retried ONCE — losing the retry means a live contender took it.
+   */
+  private def acquireLock(p: Path, alreadyHeld: Long => String): Unit = {
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(JsonMethods.compact(JsonMethods.render(JObject(
+          "owner" -> JString(java.lang.management.ManagementFactory.getRuntimeMXBean.getName),
+          "start" -> JLong(System.currentTimeMillis()))))
+          .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    if (!tryCreate()) {
+      lockIsLive(p) match {
+        case Some(age) => throw new IllegalStateException(alreadyHeld(age))
+        case None => // stale (crashed owner) or released this instant: retry once
+          fs.delete(p, false): Unit
+          if (!tryCreate())
+            throw new IllegalStateException(alreadyHeld(0L))
+      }
     }
-    writeAtomic(compactLockPath(name), JsonMethods.compact(JsonMethods.render(JObject(
-      "owner" -> JString(java.lang.management.ManagementFactory.getRuntimeMXBean.getName),
-      "start" -> JLong(System.currentTimeMillis())))))
+  }
+
+  private[engine] def acquireCompactLock(name: String): Unit = {
+    // maintenance must not swap the log under an in-flight produce — its
+    // files would land in the moved-aside copy (silent loss on both sides)
+    lockIsLive(produceLockPath(name)).foreach { age =>
+      throw new IllegalStateException(
+        s"topic '$name': cannot compact while a produce is in flight (lock " +
+        s"${produceLockPath(name)}, age ${age / 1000}s)")
+    }
+    acquireLock(compactLockPath(name), age =>
+      s"topic '$name': a compaction is already in progress (lock " +
+      s"${compactLockPath(name)}, age ${age / 1000}s) — retry after it " +
+      "finishes, or delete the lock if the compactor crashed")
   }
 
   private[engine] def releaseCompactLock(name: String): Unit =
     fs.delete(compactLockPath(name), false): Unit
 
+  /**
+   * Cross-process produce mutual exclusion: the reference serves many client
+   * producers at once because a server-side write queue linearizes id
+   * assignment; this engine's producer commit is a read-modify-write of
+   * `_ids.json`, so a SECOND producer process racing it would re-issue ids
+   * (duplicate (partition, event_id) rows — corruption, not an error). The
+   * produce lock makes concurrent produce safe-by-rejection: one wins, the
+   * other throws. Held for the duration of purge→write→commit; released in
+   * the producer's `finally`. A crashed producer's lock is reclaimed after
+   * [[Catalog.CompactLockStaleMs]] (its orphan files are then purged by
+   * `purgeUncommitted`).
+   */
+  private[engine] def acquireProduceLock(name: String): Unit =
+    acquireLock(produceLockPath(name), age =>
+      s"topic '$name': another produce is already in progress (lock " +
+      s"${produceLockPath(name)}, age ${age / 1000}s) — concurrent producers " +
+      "on one topic must be serialized (single-writer contract); retry after " +
+      "it finishes, or delete the lock if the producer crashed")
+
+  private[engine] def releaseProduceLock(name: String): Unit =
+    fs.delete(produceLockPath(name), false): Unit
+
   /** Producer-side guard: refuse to append while a live compaction holds the
     * topic (a produce racing the swap window would land files in the
     * moved-aside log — silent data loss). */
   private[engine] def failIfCompacting(name: String): Unit =
-    compactLockAge(name).foreach { age =>
-      if (age < Catalog.CompactLockStaleMs)
-        throw new IllegalStateException(
-          s"topic '$name': cannot produce while compaction is in progress " +
-          s"(lock ${compactLockPath(name)}, age ${age / 1000}s)")
+    lockIsLive(compactLockPath(name)).foreach { age =>
+      throw new IllegalStateException(
+        s"topic '$name': cannot produce while compaction is in progress " +
+        s"(lock ${compactLockPath(name)}, age ${age / 1000}s)")
     }
 
   // -- log maintenance ------------------------------------------------------
@@ -444,8 +587,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    */
   def purgeTopic(name: String, cond: org.apache.spark.sql.Column,
                  chunkMaxRecords: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     acquireCompactLock(name)
-    try rewriteLocked(name, chunkMaxRecords, _.filter(!cond))
+    // keep = NOT(coalesce(cond, false)): under SQL three-valued logic a
+    // predicate that evaluates to NULL (e.g. get_json_object on events
+    // lacking the field) would make !cond NULL too and silently DELETE the
+    // row — only rows where cond is definitively TRUE may be purged.
+    try rewriteLocked(name, chunkMaxRecords, _.filter(!coalesce(cond, lit(false))))
     finally releaseCompactLock(name)
   }
 
@@ -479,7 +627,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // drop the manifest BEFORE touching the log: a crash anywhere in the
     // swap window then leaves no manifest (readers fall back to listing the
     // restored log) rather than a manifest pointing at replaced files
-    fs.delete(new Path(topicPath(name), "_manifest.json"), false)
+    fs.delete(manifestDir(name), true)
+    fs.delete(legacyManifestPath(name), false)
+    manifestCache.remove(name): Unit
+    legacyManifestCache.remove(name): Unit
     if (!fs.rename(log, old))
       throw new java.io.IOException(s"compact: cannot move live log aside: $log")
     if (!fs.rename(tmp, log)) {
@@ -613,6 +764,26 @@ object Catalog {
     * compress the window; production compactions running longer than this
     * must bump it. */
   @volatile var CompactLockStaleMs: Long = 30L * 60 * 1000
+
+  /** Snapshot cadence of the manifest log: a full snapshot is rolled (and
+    * folded-in entries deleted) every this-many delta commits, bounding both
+    * the reader's assembly work and the log directory size. Var so tests can
+    * compress it. */
+  @volatile var ManifestSnapshotEvery: Int = 64
+
+  /** Reader-side assembled view: the newest snapshot seq it was built from,
+    * the last delta seq applied, and the result. Keyed on seqs alone —
+    * sound because snapshot/delta files are immutable-by-name. */
+  private[engine] final case class ManifestCacheEntry(
+      snapSeq: Long, lastSeq: Long, manifest: TopicManifest)
+
+  /** Apply a manifest delta: watermarks advance (later wins), new files
+    * append per partition in commit order (= id order). */
+  def applyManifestDelta(base: TopicManifest, d: TopicManifest): TopicManifest =
+    TopicManifest(base.watermarks ++ d.watermarks,
+      d.files.foldLeft(base.files) { case (acc, (p, add)) =>
+        acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
+      })
 
   /** THE canonical event schema (SURVEY §1.3) — the single definition the
     * consumer view, the DSv2 table, and log maintenance all read with, so a

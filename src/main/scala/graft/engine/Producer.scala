@@ -60,6 +60,16 @@ final class Producer(
    */
   def produce(df: DataFrame): ProduceResult = {
     require(df.columns.contains("metadata"), "produce() input needs a 'metadata' column")
+    // cross-process mutual exclusion for the whole purge→write→commit span:
+    // a second producer process racing the _ids.json read-modify-write would
+    // re-issue ids (duplicate rows); with the lock, one produce wins and the
+    // other throws (see Catalog.acquireProduceLock)
+    catalog.acquireProduceLock(config.name)
+    try produceLocked(df)
+    finally catalog.releaseProduceLock(config.name)
+  }
+
+  private def produceLocked(df: DataFrame): ProduceResult = {
     // refuse to append while a live compaction holds the topic — a produce
     // racing the swap window would land in the moved-aside log (data loss)
     catalog.failIfCompacting(config.name)

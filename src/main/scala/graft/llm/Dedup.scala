@@ -225,6 +225,113 @@ object Dedup {
         round(col("jac") * 1000000).cast("long").as("jac_micro"))
   }
 
+  // -- incremental near-dup vs a persisted signature store -------------------
+
+  /**
+   * Build the signature-store representation of a corpus shard: one row per
+   * document with `(id, sig, sh)` — the MinHash signature (array of
+   * `bands*rowsPerBand` longs, for banding) and the distinct shingle set
+   * (for EXACT Jaccard verification of proposed candidates). This is the
+   * relation [[incrementalNear]] persists between shards: signatures make
+   * cross-shard candidate generation a bucketed band join (never a scan of
+   * old text), shingle sets make verification exact without re-tokenizing
+   * the old corpus. Write it as Parquet partitioned however the corpus is;
+   * it grows by exactly the survivor count per shard.
+   */
+  def signatureStore(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, bands: Int = 8,
+                     rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // tokenize before the exchange (materialized array — the shinglesFromTokens
+    // lambda must not re-split per element), same discipline as nearDuplicates
+    val withSh = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col("id"))
+      .select(col("id"), array_distinct(
+        TextFunctions.shinglesFromTokens(col("w"), shingleN)).as("sh"))
+    val sig = minhashSignatures(
+        withSh.select(col("id"), explode(col("sh")).as("s")), numHashes)
+      .select(col("id"),
+        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
+    // both sides are id-partitioned already — the join adds no exchange
+    withSh.join(sig, "id")
+  }
+
+  /** Band values from a stored signature array — the same
+    * `xxhash64(h_{b·r} … h_{b·r+r−1})` per band as [[nearDuplicates]]. */
+  private def bandValues(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64((0 until rowsPerBand).map(r =>
+        element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*)
+
+  /**
+   * Incremental NEAR-duplicate dedup — the growing-corpus workflow
+   * [[incrementalExact]] covers for verbatim copies, extended to MinHash
+   * similarity: dedup a new shard against the persisted signature store of
+   * everything already ingested, and emit the store's next state.
+   *
+   * A new document is dropped iff it has a verified near-duplicate
+   * (exact shingle Jaccard ≥ `threshold`) in the store, or a SMALLER-ID
+   * verified near-duplicate within the shard itself (one-pass semantics, the
+   * same rule as [[graft.llm.Pipelines.cleanCorpus]]: the higher id of every
+   * verified pair drops, whether or not the lower id itself survives).
+   *
+   * Scale shape: band generation on the store side reads ONLY `sig` (column
+   * pruning keeps `sh` out of the scan); candidates are a bucketed band
+   * equality join with [[bandCandidates]]'s skew guard; exact verification
+   * explodes shingle sets for CANDIDATE ids only (semi-join first). Nothing
+   * rescans or re-tokenizes the old corpus; the store grows by the survivor
+   * count. Ids must be unique across shard ∪ store (they order pair output).
+   *
+   * @param store prior [[signatureStore]] state (`id`, `sig`, `sh`), built
+   *        with THE SAME shingleN/bands/rowsPerBand
+   * @return (survivors — the surviving `newDocs` rows unchanged,
+   *         nextStore — `store` ∪ the survivors' signature rows)
+   */
+  def incrementalNear(newDocs: DataFrame, idCol: String, textCol: String,
+                      store: DataFrame, shingleN: Int = 3, bands: Int = 8,
+                      rowsPerBand: Int = 4, threshold: Double = 0.8,
+                      maxBucket: Int = 4096): (DataFrame, DataFrame) = {
+    val fresh = signatureStore(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
+    val all = store.select(col("id"), col("sig"), col("sh"), lit(0L).as("isnew"))
+      .unionByName(fresh.select(col("id"), col("sig"), col("sh"), lit(1L).as("isnew")))
+    val banded = all.select(col("id"), col("isnew"),
+      posexplode(bandValues(col("sig"), bands, rowsPerBand)).as(Seq("band", "bandval")))
+    // store-vs-store pairs are dead weight (the store is already deduped) —
+    // keep only pairs touching the new shard
+    val cand = bandCandidates(banded, maxBucket, extra = Seq("isnew"))
+      .filter(col("x_isnew") === 1L || col("y_isnew") === 1L)
+    // exact verify: shingle rows for candidate ids ONLY
+    val candIds = cand.select(col("doc_a").as("id"))
+      .union(cand.select(col("doc_b").as("id"))).distinct()
+    val shRows = all.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), explode(col("sh")).as("s"))
+    val counts = all.select(col("id"), size(col("sh")).cast("long").as("n"))
+    val verified = cand
+      .join(shRows.as("sa"), col("doc_a") === col("sa.id"))
+      .join(shRows.as("sb"), col("doc_b") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("x_isnew"), col("y_isnew"))
+      .agg(count(lit(1)).as("i"))
+      .join(counts.as("ca"), col("doc_a") === col("ca.id"))
+      .join(counts.as("cb"), col("doc_b") === col("cb.id"))
+      .filter(col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+        >= threshold)
+    // pairs carry doc_a < doc_b: a new doc_b drops against ANY partner
+    // (store or smaller-id new); a new doc_a drops only against the store
+    val dropped = verified
+      .filter(col("x_isnew") === 1L && col("y_isnew") === 0L)
+      .select(col("doc_a").as("id"))
+      .union(verified.filter(col("y_isnew") === 1L).select(col("doc_b").as("id")))
+      .distinct()
+    val survivors = newDocs.join(dropped.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti")
+    val nextStore = store.select(col("id"), col("sig"), col("sh"))
+      .unionByName(fresh.join(dropped, Seq("id"), "left_anti")
+        .select(col("id"), col("sig"), col("sh")))
+    (survivors, nextStore)
+  }
+
   /**
    * Exact n-gram Jaccard between explicitly paired rows (e.g. consecutive
    * ids, or an LSH candidate list) — the verification kernel exposed as its
@@ -354,9 +461,15 @@ object Dedup {
     *        shingle sets ([[TextFunctions.shinglesFromTokens]] semantics).
     *        Shingles are far more discriminative than words on self-similar
     *        corpora — low document frequency everywhere — which keeps both
-    *        the prefix join's fan-out and the result size in check. */
+    *        the prefix join's fan-out and the result size in check.
+    * @param cache persist the shingle relation (read by the prefix build,
+    *        the size count, and both verify sides). The caller owns the
+    *        cache lifetime — a long-lived driver running many invocations
+    *        should `spark.catalog.clearCache()` between them (Verify/Bench
+    *        do) or pass false, same contract as [[nearDuplicates]]. */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
-                        tNum: Int, tDen: Int, shingleN: Int = 1): DataFrame = {
+                        tNum: Int, tDen: Int, shingleN: Int = 1,
+                        cache: Boolean = true): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val base = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
@@ -365,8 +478,10 @@ object Dedup {
       if (shingleN <= 1) col("w")
       else TextFunctions.shinglesFromTokens(col("w"), shingleN)
     // read by the prefix build, the size count, and both verify sides
-    val sh = base.select(col("id"), explode(array_distinct(units)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh0 = base.select(col("id"), explode(array_distinct(units)).as("s"))
+    val sh = if (cache)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfq"))
     val pref = sh.join(dfreq, "s")
       .groupBy(col("id"))
@@ -412,14 +527,18 @@ object Dedup {
    * Both directions are evaluated from ONE (a < b) join pass.
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       shingleN: Int, cNum: Int, cDen: Int): DataFrame = {
+                       shingleN: Int, cNum: Int, cDen: Int,
+                       cache: Boolean = true): DataFrame = {
     require(cNum > 0 && cDen > 0 && cNum <= cDen, "threshold must be in (0, 1]")
     val base = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col("id"))
-    val sh = base.select(col("id"), explode(array_distinct(
+    // cache contract as in [[prefixFilterPairs]]: caller owns the lifetime
+    val sh0 = base.select(col("id"), explode(array_distinct(
         TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = if (cache)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

@@ -145,11 +145,20 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__wm", round(nPow(col("__n")) * 1000000L).cast("long"))
     val total = weights.agg(sum(col("__wm")).as("__W"))
+    // __wm * budget is computed in Long: __wm ≈ n^alpha·1e6, so a source of
+    // ~1e12 rows with a large budget can exceed Long range, and non-ANSI
+    // arithmetic would wrap silently to negative targets (= empty output).
+    // budget is a driver-side Long, so the safe bound is a plain constant;
+    // fail loudly per-row instead of corrupting the mix.
+    val maxSafeWm = Long.MaxValue / budget
     val targets = weights.crossJoin(broadcast(total))
       // integral DIV, not double division + floor: a double quotient one ulp
       // above an integer boundary would disagree with an engine's exact //
       .select(col(groupCol),
-        expr(s"CAST((__wm * $budget) DIV __W AS BIGINT)").as("__t"))
+        when(col("__wm") > maxSafeWm, raise_error(concat(
+          lit("temperatureSample: quantized weight "), col("__wm"),
+          lit(s" * budget $budget overflows Long; lower the budget or pre-split the source"))))
+          .otherwise(expr(s"CAST((__wm * $budget) DIV __W AS BIGINT)")).as("__t"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(bucket(col(keyCol)), col(keyCol))
     df.withColumn("__rk", row_number().over(w))

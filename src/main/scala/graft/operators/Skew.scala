@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /**
+   * Deterministic salt in [0, saltBuckets): a content hash over every
+   * column of the row. Salts derived from `spark_partition_id()` or
+   * `monotonically_increasing_id()` change when a fetch failure re-executes
+   * part of the map stage — re-run tasks would route rows to different
+   * shuffle partitions and silently duplicate or drop them (SPARK-23207).
+   * A content hash is stable across retries by construction. Rows identical
+   * in EVERY column share a salt — acceptable: salting targets hot *keys*
+   * whose rows differ in payload columns; full-row duplicates are a
+   * dedup problem, not a skew problem.
+   */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+
+  /**
    * Two-phase salted aggregation for algebraic aggregates.
    *
    * @param partials per-column (partialAgg, finalCombine) pairs keyed by
@@ -29,7 +43,7 @@ object Skew {
     require(!partials.exists(_._1 == "key"),
       "output name 'key' is reserved for the group key column")
     val salted = df
-      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .withColumn("__salt", contentSalt(df, saltBuckets))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head._2._1.as(s"__p_${partials.head._1}"),
         partials.tail.map { case (n, (p, _)) => p.as(s"__p_$n") }: _*)
@@ -47,8 +61,8 @@ object Skew {
    * over `saltBuckets` reducers instead of funneling through one.
    *
    * The salt is invisible in the result: output = `left ⋈ right on key`,
-   * EXACTLY (inner join; the salt assignment — task-nondeterministic, like
-   * [[saltedAgg]]'s — cannot affect which pairs meet, because every right
+   * EXACTLY (inner join; the salt — a deterministic content hash, see
+   * [[contentSalt]] — cannot affect which pairs meet, because every right
    * row exists under every salt). Cost: right side shuffles ×saltBuckets —
    * use when the right side is too big to broadcast but ≪ left.
    *
@@ -59,9 +73,7 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
-    val l = left.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets.toLong)))
+    val l = left.withColumn("__salt", contentSalt(left, saltBuckets))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Clustering, Dedup, Ranking, Sampling}
-import graft.operators.{Graph, Sketches}
+import graft.operators.{Graph, Ranks, Sketches}
 import Q._
 
 /**
@@ -247,10 +247,14 @@ object AnalyticsPack extends QueryPack {
     },
     "q_window_ntile" -> { (s, dir) =>
       import s.implicits._
-      // decile assignment over a unique ordering, aggregated per decile
-      t(s, dir, "orders")
-        .withColumn("decile",
-          ntile(10).over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long"))
+      // decile assignment over a unique ordering, aggregated per decile.
+      // NOT ntile().over(Window.orderBy(...)): that is a single-partition
+      // global window — the whole table through one task at any scale.
+      // Ranks.withNtile reproduces exact ntile semantics from a range
+      // shuffle + per-partition rank + broadcast offsets; the ordering key
+      // (o_totalprice, o_orderkey) is unique, so the result is identical.
+      Ranks.withNtile(t(s, dir, "orders"), "decile", 10,
+          Seq($"o_totalprice", $"o_orderkey"))
         .groupBy($"decile")
         .agg(count(lit(1)).as("n"), cents(sum($"o_totalprice")).as("sum_c"))
         .orderBy($"decile")

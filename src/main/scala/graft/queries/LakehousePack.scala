@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Dedup, Sampling, TextFunctions, Tokenizer}
-import graft.operators.{History, Joins, Layout, Profile}
+import graft.operators.{History, Joins, Layout, Profile, Ranks}
 import Q._
 
 /**
@@ -72,17 +72,16 @@ object LakehousePack extends QueryPack {
       // (a) a Z-order key over (custkey, order day) and (b) a custkey-only
       // sort, then probe year 1996 — files whose [min,max] day range misses
       // the probe are skipped. rows_scanned quantifies what Z-ordering buys
-      // on the dimension the single-column layout ignores. ntile's global
-      // window is the demo-scale stand-in for repartitionByRange(zval) —
-      // the real placement mechanism at scale; tied sort keys carry
-      // identical (x, y), so bucket stats are deterministic either way.
+      // on the dimension the single-column layout ignores. Bucketing is
+      // Ranks.withNtile — a range shuffle + per-partition rank, NOT a
+      // single-partition global window; tied sort keys carry identical
+      // (x, y), so bucket stats match the oracle's ntile exactly.
       val base = t(s, dir, "orders").select(
         col("o_custkey").bitwiseAND(lit(0xFFFFL)).as("x"),
         datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
           .bitwiseAND(lit(0xFFFFL)).as("y"))
       def stats(key: Column, name: String): DataFrame =
-        base
-          .withColumn("bkt", ntile(ZBuckets).over(Window.orderBy(key)))
+        Ranks.withNtile(base, "bkt", ZBuckets, Seq(key))
           .groupBy(col("bkt"))
           .agg(count(lit(1)).as("nr"), min(col("y")).as("mn"), max(col("y")).as("mx"),
             sum(when(col("y").between(ProbeLo, ProbeHi), 1L).otherwise(0L)).as("nm"))
@@ -221,11 +220,14 @@ object LakehousePack extends QueryPack {
       // window state, two aggregate passes, both map-side combinable
       val active = t(s, dir, "events")
         .select(col("user_id"), expr(s"ts DIV $DayNs").as("d")).distinct()
-      val maxDay = active.agg(max(col("d"))).collect()(0).getLong(0)
+      // the max-day scalar stays IN the plan (broadcast one-row aggregate,
+      // not collect()) — one job, no driver round-trip
+      val maxDay = active.agg(max(col("d")).as("__md"))
       val dau = active.groupBy(col("d")).agg(count(lit(1)).as("dau"))
       val wau = active
         .select(col("user_id"), explode(sequence(col("d"), col("d") + 6)).as("td"))
-        .filter(col("td") <= maxDay)
+        .crossJoin(broadcast(maxDay))
+        .filter(col("td") <= col("__md"))
         .groupBy(col("td")).agg(countDistinct(col("user_id")).as("wau"))
       dau.join(wau, col("d") === col("td"))
         .select(col("d"), col("dau"), col("wau"),

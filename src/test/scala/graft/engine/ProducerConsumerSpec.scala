@@ -402,6 +402,84 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(e.eventId == 20L)
   }
 
+  test("deleteWhere with a NULL-valued predicate keeps the NULL rows") {
+    val (_, topic) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    // ids 0-9 carry {"u":i}; ids 10-19 LACK the field entirely, so
+    // get_json_object returns NULL there — under three-valued logic
+    // !cond is NULL too, and a naive filter(!cond) would DELETE them
+    (0 until 10).foreach(i => producer.push(s"""{"u":$i}"""))
+    (0 until 10).foreach(i => producer.push(s"""{"v":$i}"""))
+    producer.flush()
+    topic.deleteWhere(get_json_object(col("metadata"), "$.u") === "3")
+    val ids = topic.events().orderBy(col("event_id"))
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    // only the definitively-matching row (id 3) is gone; every row where
+    // the predicate is NULL (10-19) survives
+    assert(ids == (0L until 20L).filterNot(_ == 3L))
+  }
+
+  test("a second producer process is rejected while a produce is in flight") {
+    val (d, topic) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    (0 until 5).foreach(i => producer.push(s"""{"i":$i}"""))
+    producer.flush()
+    // a second catalog over the SAME warehouse = another producer process;
+    // its held lock must reject this producer's produce, loudly
+    val d2 = new GraftDriver(spark, d.warehouse)
+    d2.catalog.acquireProduceLock("mytopic")
+    val e = intercept[IllegalStateException] {
+      (0 until 5).foreach(i => producer.push(s"""{"j":$i}"""))
+      producer.flush()
+    }
+    assert(e.getMessage.contains("another produce is already in progress"))
+    // compaction is refused under a live produce too
+    val e2 = intercept[IllegalStateException] { d.catalog.compactTopic("mytopic") }
+    assert(e2.getMessage.contains("cannot compact while a produce is in flight"))
+    d2.catalog.releaseProduceLock("mytopic")
+    // a failed flush keeps its buffer; after release the SAME batch goes
+    // through and ids continue densely
+    producer.flush()
+    assert(topic.events().count() == 10L)
+    val ids = topic.events().orderBy(col("event_id"))
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(ids == (0L until 10L))
+  }
+
+  test("two catalogs racing produce on one topic: log and watermark stay consistent") {
+    val (d, topic) = newTopic(partitions = 1)
+    val d2 = new GraftDriver(spark, d.warehouse)
+    val topic2 = d2.openTopic("mytopic")
+    import spark.implicits._
+    // two producer processes race 10 produces each; the lock serializes or
+    // rejects — either way the surviving log must have DENSE UNIQUE ids and
+    // a watermark equal to the number of committed events
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+    val threads = Seq(topic, topic2).zipWithIndex.map { case (t, ti) =>
+      new Thread(() => {
+        val pr = t.producer()
+        (0 until 10).foreach { i =>
+          try {
+            val r = pr.produce(Seq(s"""{"t":$ti,"i":$i}""").toDF("metadata"))
+            results.add(Right(r.values.map(_._2).sum))
+          } catch { case e: IllegalStateException => results.add(Left(e)) }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    val committed = results.asScala.collect { case Right(n) => n }.sum
+    val rejected = results.asScala.collect { case Left(e) => e }
+    // every rejection is the loud lock error, nothing else
+    rejected.foreach(e =>
+      assert(e.getMessage.contains("another produce is already in progress"), e.getMessage))
+    val ids = topic.events().orderBy(col("event_id"))
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(ids == (0L until committed), s"ids must be dense 0..$committed: $ids")
+    assert(d.catalog.nextIds("mytopic")(0) == committed)
+  }
+
   test("produce during a live compaction fails loudly; stale locks are reclaimed") {
     val (d, topic) = newTopic(partitions = 2)
     val producer = topic.producer()
@@ -437,28 +515,51 @@ class ProducerConsumerSpec extends SparkSpec {
 
   test("produce purges uncommitted chunks from a crashed predecessor (no duplicate ids)") {
     val (d, topic) = newTopic(partitions = 2)
-    val fs = d.catalog.topicPath("mytopic")
+    // all reads/writes through the Hadoop fs (the catalog's own view): raw
+    // java.nio writes would leave the local ChecksumFileSystem's .crc
+    // siblings stale and poison subsequent catalog reads
+    val hfs = d.catalog.topicPath("mytopic")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def snapshot(name: String): Array[Byte] = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(d.catalog.topicPath("mytopic"), name))
+    val topicPath = d.catalog.topicPath("mytopic")
+    val manDir = new org.apache.hadoop.fs.Path(topicPath, "_manifest")
+    def read(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = hfs.open(p)
       try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     }
-    def restore(name: String, bytes: Array[Byte]): Unit = {
-      val out = fs.create(new org.apache.hadoop.fs.Path(d.catalog.topicPath("mytopic"), name), true)
-      try out.write(bytes) finally out.close()
+    def snapshotState(): Map[String, Array[Byte]] = {
+      val ids = Map("_ids.json" ->
+        read(new org.apache.hadoop.fs.Path(topicPath, "_ids.json")))
+      val man =
+        if (!hfs.exists(manDir)) Map.empty[String, Array[Byte]]
+        else hfs.listStatus(manDir).filter(_.isFile)
+          .map(st => s"_manifest/${st.getPath.getName}" -> read(st.getPath)).toMap
+      ids ++ man
+    }
+    def restoreState(state: Map[String, Array[Byte]]): Unit = {
+      if (hfs.exists(manDir))
+        hfs.listStatus(manDir).filter(_.isFile)
+          .foreach(st => hfs.delete(st.getPath, false))
+      state.foreach { case (rel, bytes) =>
+        val out = hfs.create(new org.apache.hadoop.fs.Path(topicPath, rel), true)
+        try out.write(bytes) finally out.close()
+      }
     }
     // committed batch 1
     val p1 = topic.producer()
     (0 until 10).foreach(i => p1.push(s"""{"a":$i}""")); p1.flush()
-    val ids = snapshot("_ids.json"); val man = snapshot("_manifest.json")
+    val committed = snapshotState()
     // batch 2 "crashes" after its parquet write: roll the commit state back
     val p2 = topic.producer()
     (0 until 6).foreach(i => p2.push(s"""{"b":$i}""")); p2.flush()
-    restore("_ids.json", ids); restore("_manifest.json", man)
-    // batch 3 must purge batch 2's orphans, then reuse those ids cleanly
-    val p3 = topic.producer()
+    restoreState(committed)
+    // batch 3 runs from a RESTARTED driver (fresh catalog caches — the
+    // manifest cache keys on seqs, which a rollback rewinds): it must purge
+    // batch 2's orphans, then reuse those ids cleanly
+    val d3 = new GraftDriver(spark, d.warehouse)
+    val topic3 = d3.openTopic("mytopic")
+    val p3 = topic3.producer()
     (0 until 4).foreach(i => p3.push(s"""{"c":$i}""")); p3.flush()
-    val rows = topic.events()
+    val rows = topic3.events()
       .groupBy(col("partition"))
       .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"),
         min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
@@ -467,6 +568,47 @@ class ProducerConsumerSpec extends SparkSpec {
     rows.foreach { case (p, n, nd, lo, hi) =>
       assert(n == nd && lo == 0L && hi == n - 1, s"ids not dense on $p: ($n,$nd,$lo,$hi)")
     }
+  }
+
+  test("manifest log: produce-path metadata writes are O(new files); snapshots bound the dir") {
+    val prevEvery = Catalog.ManifestSnapshotEvery
+    Catalog.ManifestSnapshotEvery = 6
+    try {
+      val (d, topic) = newTopic(partitions = 1)
+      val producer = topic.producer()
+      import java.nio.file.{Files => JFiles, Paths => JPaths}
+      import scala.jdk.CollectionConverters._
+      val manDir = JPaths.get(d.warehouse, "mytopic", "_manifest")
+      var deltaSizes = Vector.empty[Long]
+      var dirCounts = Vector.empty[Int]
+      (0 until 25).foreach { i =>
+        producer.push(s"""{"i":$i}"""); producer.flush()
+        // count only manifest entries — the local ChecksumFileSystem also
+        // keeps hidden .crc siblings next to every file
+        val entries = JFiles.list(manDir).iterator().asScala
+          .filter(p => JFiles.isRegularFile(p) && p.getFileName.toString.endsWith(".json"))
+          .toSeq
+        dirCounts :+= entries.size
+        deltaSizes = deltaSizes ++ entries
+          .filter(_.getFileName.toString.startsWith("delta-")).map(JFiles.size(_))
+      }
+      // each produce appended ONE delta sized by ITS files (one chunk here) —
+      // never by the ~25 accumulated live files; a growing per-produce
+      // manifest rewrite is the O(total files) regression this log removes
+      assert(deltaSizes.nonEmpty && deltaSizes.max <= 400,
+        s"delta files must stay O(new files): max ${deltaSizes.max} bytes")
+      // the snapshot roll keeps the log directory bounded
+      assert(dirCounts.max <= Catalog.ManifestSnapshotEvery + 1,
+        s"manifest dir must stay bounded: ${dirCounts.max} entries")
+      // the assembled view is complete: every live chunk registered with its
+      // real id range, watermark at the produce count
+      val m = d.catalog.readManifest("mytopic").get
+      assert(m.watermarks == Map(0 -> 25L))
+      val diskFiles = JFiles.list(JPaths.get(d.warehouse, "mytopic", "log", "partition=0"))
+        .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      assert(m.files(0).size == diskFiles)
+      assert(m.files(0).map(_.lo).min == 0L && m.files(0).map(_.hi).max == 24L)
+    } finally Catalog.ManifestSnapshotEvery = prevEvery
   }
 
   test("consumer batchSize bounds each feed; pull still drains everything") {

@@ -420,9 +420,10 @@ class StreamingSpec extends SparkSpec {
     assert(tail.map(_.asInstanceOf[GraftInputPartition].files.size).sum < full)
 
     // lost manifest → listing fallback still plans; next produce heals it
-    val manifestFile = new org.apache.hadoop.fs.Path(
-      d.catalog.topicPath("stream_topic"), "_manifest.json")
-    fs.delete(manifestFile, false)
+    val manifestDir = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("stream_topic"), "_manifest")
+    fs.delete(manifestDir, true)
+    assert(d.catalog.readManifest("stream_topic").isEmpty)
     val fallback = GraftPartitions.plan(d.catalog, "stream_topic", None,
       from = _ => 0L, until = _ => 20L, Some(new FileStatsCache))
     assert(fallback.map(_.asInstanceOf[GraftInputPartition].files.toSet).toSet ==
