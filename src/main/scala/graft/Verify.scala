@@ -14,6 +14,8 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => prefixes.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
+        // name first: warnings in the log attribute to the query above them
+        System.err.println(s"[verify] running $name")
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

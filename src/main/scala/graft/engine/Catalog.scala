@@ -444,17 +444,33 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     lockAge(p).filter(_ < Catalog.CompactLockStaleMs)
 
   /**
-   * Acquire a lock file via `create(overwrite = false)` — the filesystem
-   * arbitrates racing creates (atomic on HDFS via the namenode; the local FS
-   * check is inside one Hadoop call), so of two concurrent acquirers at most
-   * one wins; this is the write-queue linearization point the reference gets
-   * from its per-partition lock (`DefaultPartitionManager.cpp:398-409`),
-   * reduced to fail-loudly-by-rejection. Object stores without atomic
-   * create-exclusive keep a documented best-effort caveat. A lock older than
-   * [[Catalog.CompactLockStaleMs]] is a crashed owner's leftover: reclaimed
-   * and retried ONCE — losing the retry means a live contender took it.
+   * Acquire a lock: same-JVM arbitration through [[Catalog.heldLocks]]
+   * (`putIfAbsent` — EXACT mutual exclusion for concurrent producers in one
+   * process, the common thread-pool case), then a lock file via
+   * `create(overwrite = false)` — the filesystem arbitrates racing creates
+   * from OTHER processes (atomic on HDFS via the namenode); together they
+   * are the write-queue linearization point the reference gets from its
+   * per-partition lock (`DefaultPartitionManager.cpp:398-409`), reduced to
+   * fail-loudly-by-rejection. Object stores without atomic create-exclusive
+   * keep a documented best-effort caveat on the cross-process half. A lock
+   * older than [[Catalog.CompactLockStaleMs]] is a crashed owner's
+   * leftover: reclaimed and retried ONCE — losing the retry means a live
+   * contender took it. An ABSENT file after a failed create (the owner
+   * released in between) is retried WITHOUT deleting: a delete there could
+   * destroy a lock a third contender created in the same instant.
    */
   private def acquireLock(p: Path, alreadyHeld: Long => String): Unit = {
+    val key = p.toString
+    val now = System.currentTimeMillis()
+    val prev = Catalog.heldLocks.putIfAbsent(key, now)
+    if (prev != null) {
+      if (now - prev < Catalog.CompactLockStaleMs)
+        throw new IllegalStateException(alreadyHeld(now - prev))
+      // leaked past the stale window (owner thread died without release):
+      // reclaim under the same rule as a crashed process's file below
+      if (!Catalog.heldLocks.replace(key, prev, now))
+        throw new IllegalStateException(alreadyHeld(0L))
+    }
     def tryCreate(): Boolean =
       try {
         val out = fs.create(p, false)
@@ -468,15 +484,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    if (!tryCreate()) {
-      lockIsLive(p) match {
-        case Some(age) => throw new IllegalStateException(alreadyHeld(age))
-        case None => // stale (crashed owner) or released this instant: retry once
-          fs.delete(p, false): Unit
-          if (!tryCreate())
-            throw new IllegalStateException(alreadyHeld(0L))
+    var ok = false
+    try {
+      if (!tryCreate()) {
+        lockAge(p) match {
+          case Some(age) if age < Catalog.CompactLockStaleMs =>
+            throw new IllegalStateException(alreadyHeld(age))
+          case Some(_) => // genuinely stale: a crashed process's leftover
+            fs.delete(p, false): Unit
+            if (!tryCreate())
+              throw new IllegalStateException(alreadyHeld(0L))
+          case None => // released this instant: path is free — plain retry
+            if (!tryCreate())
+              throw new IllegalStateException(alreadyHeld(0L))
+        }
       }
-    }
+      ok = true
+    } finally if (!ok) Catalog.heldLocks.remove(key): Unit
+  }
+
+  private def releaseLock(p: Path): Unit = {
+    fs.delete(p, false): Unit
+    Catalog.heldLocks.remove(p.toString): Unit
   }
 
   private[engine] def acquireCompactLock(name: String): Unit = {
@@ -494,7 +523,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   private[engine] def releaseCompactLock(name: String): Unit =
-    fs.delete(compactLockPath(name), false): Unit
+    releaseLock(compactLockPath(name))
 
   /**
    * Cross-process produce mutual exclusion: the reference serves many client
@@ -516,7 +545,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       "it finishes, or delete the lock if the producer crashed")
 
   private[engine] def releaseProduceLock(name: String): Unit =
-    fs.delete(produceLockPath(name), false): Unit
+    releaseLock(produceLockPath(name))
 
   /** Producer-side guard: refuse to append while a live compaction holds the
     * topic (a produce racing the swap window would land files in the
@@ -770,6 +799,14 @@ object Catalog {
     * the reader's assembly work and the log directory size. Var so tests can
     * compress it. */
   @volatile var ManifestSnapshotEvery: Int = 64
+
+  /** JVM-wide held-lock registry: lock-file path → acquisition time (ms).
+    * `putIfAbsent` gives concurrent acquirers IN ONE PROCESS exact mutual
+    * exclusion — `create(overwrite=false)` alone is check-then-act on the
+    * local filesystem, so two same-JVM threads could both win the file
+    * race. Cross-process arbitration stays with the lock file. */
+  private[engine] val heldLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Reader-side assembled view: the newest snapshot seq it was built from,
     * the last delta seq applied, and the result. Keyed on seqs alone —

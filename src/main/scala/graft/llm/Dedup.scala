@@ -518,18 +518,27 @@ object Dedup {
    * Jaccard but containment ≈ 1), and it is the duplication mode quote-heavy
    * web corpora are full of.
    *
-   * Candidate generation is the shingle-equality self-join: pair volume is
-   * Σ df(shingle)² — df-bounded, and at n-gram granularity (n ≥ 5) natural
-   * text keeps df near 1. A boilerplate-flooded corpus (the same shingle in
-   * millions of docs) would need a band/bucket prefilter like
-   * [[nearDuplicates]]'s before this join; threshold semantics make that
-   * lossy for containment, so it is deliberately not silently applied.
-   * Both directions are evaluated from ONE (a < b) join pass.
+   * Candidate generation is the shingle-equality self-join, with shingles
+   * of document frequency > `dfCap` EXCLUDED from the join: pair volume is
+   * bounded by Σ_{df ≤ cap} df² ≤ dfCap · (shingle rows) — a single
+   * boilerplate shingle shared by millions of docs can no longer produce a
+   * quadratic task. Verification then recounts the FULL intersection for
+   * every candidate (capped shingles included), so emitted `cont_micro`
+   * values are exact. The recall trade, stated like [[bandCandidates]]'s:
+   * a true pair is missed iff EVERY shared shingle has df > dfCap — at
+   * n-gram granularity (n ≥ 5) that is pure-boilerplate overlap, exactly
+   * the duplication the cap exists to bound; genuine excerpts share long
+   * runs of low-df shingles. (An LSH band prefilter would be the
+   * alternative, but banding bounds JACCARD recall and containment pairs
+   * have asymmetrically tiny Jaccard — the band route is semantically
+   * lossy here, the df-cap is not.) Both directions are evaluated from ONE
+   * (a < b) candidate pass.
    */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, cNum: Int, cDen: Int,
-                       cache: Boolean = true): DataFrame = {
+                       cache: Boolean = true, dfCap: Int = 4096): DataFrame = {
     require(cNum > 0 && cDen > 0 && cNum <= cDen, "threshold must be in (0, 1]")
+    require(dfCap > 0, "dfCap must be positive")
     val base = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col("id"))
@@ -540,9 +549,19 @@ object Dedup {
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val joinable = sh.join(
+      sh.groupBy(col("s")).agg(count(lit(1)).as("dfq"))
+        .filter(col("dfq") <= dfCap).select(col("s")), "s")
+    val candidates = joinable.as("a").join(joinable.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("x"), col("b.id").as("y"))
+      .select(col("a.id").as("x"), col("b.id").as("y"))
+      .distinct()
+    // exact verify over the candidates' FULL shingle sets — the cap bounds
+    // who gets compared, never what the comparison counts
+    val inter = candidates
+      .join(sh.as("sa"), col("x") === col("sa.id"))
+      .join(sh.as("sb"), col("y") === col("sb.id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("i"))
       .join(counts.as("cx"), col("x") === col("cx.id"))
       .join(counts.as("cy"), col("y") === col("cy.id"))

@@ -50,9 +50,12 @@ object Quantization {
   def codebooks(train: DataFrame, dims: Int, m: Int, ksub: Int): DataFrame = {
     require(dims % m == 0, s"dims must divide into m subspaces: $dims/$m")
     val subDim = dims / m
-    val seeds = train.orderBy(col("id")).limit(ksub)
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col("id"))) - 1).cast("long"))
+    // code = rank of the seed by ascending id, via the distributed ranker —
+    // the relation is only ksub rows, but row_number() over a global window
+    // would still plan the single-partition WindowExec this library bans
+    val seeds = graft.operators.Ranks.withGlobalRank(
+        train.orderBy(col("id")).limit(ksub), "__rk", Seq(col("id")))
+      .withColumn("code", (col("__rk") - 1).cast("long")).drop("__rk")
     seeds.select(col("code"), posexplode(array(
         (0 until m).map(s => subCol(col("vec"), s, subDim)): _*)))
       .toDF("code", "sub", "cvec")

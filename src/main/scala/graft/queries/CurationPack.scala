@@ -68,13 +68,15 @@ object CurationPack extends QueryPack {
         .join(ids, col("doc_id") === col("vec_id")).drop("vec_id")
       // top-k FIRST (TakeOrderedAndProject — no global-window shuffle of
       // every scored doc), then ranks assigned on the k surviving rows
-      val kw = Ranking.bm25(corpus, "doc_id", "text", RrfTerms,
-          k1 = Bm25K1, b = Bm25B)
-        .select(col("doc_id").as("id"), micros(col("score")).as("sm"))
-        .orderBy(col("sm").desc, col("id")).limit(RrfDepth)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("sm").desc, col("id"))))
+      // rank the k survivors with the distributed ranker — the relation is
+      // bounded by RrfDepth, but a row_number() global window would still
+      // plan the single-partition WindowExec this library bans
+      val kw = graft.operators.Ranks.withGlobalRank(
+        Ranking.bm25(corpus, "doc_id", "text", RrfTerms,
+            k1 = Bm25K1, b = Bm25B)
+          .select(col("doc_id").as("id"), micros(col("score")).as("sm"))
+          .orderBy(col("sm").desc, col("id")).limit(RrfDepth),
+        "rank", Seq(col("sm").desc, col("id")))
       val vec = Similarity.bruteForceTopK(
           emb.filter(col("vec_id") === 0)
             .select(col("vec_id").as("id"), col("embedding").as("vec")),

@@ -178,6 +178,28 @@ object TextPack extends QueryPack {
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    "q_dedup_incremental_near" -> { (s, dir) =>
+      // growing-corpus NEAR-dedup: the store is the MinHash signature
+      // relation of shard 1 (docs < 250); shard 2 = docs >= 250 PLUS
+      // planted near-duplicates — docs 0..9's text with the FIRST TOKEN
+      // dropped (ids +5000000). Not verbatim, so exact-hash incremental
+      // dedup would keep them; shingle Jaccard vs the host is (m-3)/(m-2)
+      // ≥ 0.94 at m ≥ 20 tokens, so the banded store join must kill them.
+      // Same LSH recall stance as q_dedup_minhash (16 bands × 4 rows: a
+      // 0.9-pair missed with p ≈ 1.2e-6; graded against the EXACT
+      // all-pairs Jaccard oracle, store scan never re-reads shard-1 text).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = TF.tokens(col("text"))
+      val planted = docs.filter(col("doc_id") < 10 && size(w) >= 20)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          array_join(slice(w, lit(2), size(w)), " ").as("text"))
+      val shard2 = docs.filter(col("doc_id") >= 250).unionByName(planted)
+      val store = Dedup.signatureStore(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4)
+      val (survivors, _) = Dedup.incrementalNear(shard2, "doc_id", "text",
+        store, shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      survivors.select(col("doc_id")).orderBy(col("doc_id"))
+    },
     "q_text_jaccard" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
@@ -381,6 +403,25 @@ object TextPack extends QueryPack {
          |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // EXACT all-pairs Jaccard across store ∪ shard, mirroring the drop
+    // rule: a shard-2 doc dies iff a ≥0.8 partner exists in the store or
+    // at a smaller shard-2 id (store ids < 250 < every shard-2 id, so
+    // "db ≥ 250" covers both arms of the pair relation)
+    "q_dedup_incremental_near" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, array_to_string(w[2:len(w)], ' ')
+         |  FROM (SELECT doc_id, $W AS w FROM documents)
+         |  WHERE doc_id < 10 AND len(w) >= 20),
+         |${jaccardCtes("corpus")},
+         |dup AS (SELECT da, db, i, ca.n AS na, cb.n AS nb FROM inter
+         |        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         |        WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id >= 250
+         |  AND doc_id NOT IN (SELECT db FROM dup WHERE db >= 250)
+         |ORDER BY doc_id""".stripMargin,
     "q_text_jaccard" ->
       """WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
         |shg AS (SELECT DISTINCT doc_id,

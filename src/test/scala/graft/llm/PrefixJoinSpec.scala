@@ -127,6 +127,47 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("containmentPairs df-cap: a boilerplate-flooded corpus yields no quadratic candidates") {
+    import spark.implicits._
+    // 400 docs all opening with the same 8-token boilerplate run (shingle
+    // df = 400) followed by per-doc unique tokens. Uncapped, the shingle
+    // self-join would build 400² ≈ 160k candidate rows from the boilerplate
+    // alone; with dfCap = 50 those shingles never enter the join. One
+    // genuine excerpt pair rides on LOW-df shingles and must still come
+    // back with its exact cont_micro.
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val flood = (0L until 400L).map { i =>
+      i -> s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e"
+    }
+    val host = (100 to 140).map(i => s"h$i").mkString(" ")
+    val excerpt = (110 to 125).map(i => s"h$i").mkString(" ") // 16 tokens, 14 3-shingles
+    val docs = (flood ++ Seq(1000L -> host, 1001L -> excerpt)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, cNum = 9, cDen = 10, cache = false, dfCap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // flood pairs share ONLY df>cap shingles → correctly absent under the
+    // documented recall bound; the excerpt pair is exact: 14/14 shingles
+    assert(got == Set((1001L, 1000L, 1000000L)))
+  }
+
+  test("incrementalNear: cross-shard near-dups (not verbatim) die against the store") {
+    import spark.implicits._
+    def doc(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shard1 = Seq(1L -> doc("a", 30), 2L -> doc("b", 30)).toDF("doc_id", "text")
+    val store = Dedup.signatureStore(shard1, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4)
+    val shard2 = Seq(
+      10L -> doc("a", 30).split(" ").drop(1).mkString(" "), // near-dup of 1 (J=27/28)
+      11L -> doc("c", 30),                                  // fresh — survives
+      12L -> doc("c", 30).split(" ").drop(1).mkString(" ")  // near-dup of 11 within shard
+    ).toDF("doc_id", "text")
+    val (survivors, nextStore) = Dedup.incrementalNear(shard2, "doc_id", "text",
+      store, shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+    assert(survivors.select($"doc_id").as[Long].collect().toSet == Set(11L))
+    // the store grows by exactly the survivors' signature rows
+    assert(nextStore.select($"id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+  }
+
   test("mergeCandidates counts adjacent pairs; single-char words excluded") {
     import spark.implicits._
     val out = Tokenizer.mergeCandidates(
