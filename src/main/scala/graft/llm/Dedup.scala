@@ -244,17 +244,23 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     // tokenize before the exchange (materialized array — the shinglesFromTokens
     // lambda must not re-split per element), same discipline as nearDuplicates
-    val withSh = df
+    val sh = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col("id"))
-      .select(col("id"), array_distinct(
-        TextFunctions.shinglesFromTokens(col("w"), shingleN)).as("sh"))
-    val sig = minhashSignatures(
-        withSh.select(col("id"), explode(col("sh")).as("s")), numHashes)
+      .select(col("id"), explode(array_distinct(
+        TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+    // ONE aggregate computes the signature AND re-collects the distinct
+    // shingle set (the exploded rows ARE the distinct set): a join of two
+    // branches off the shingle projection would re-run the interpreted
+    // shingle lambda once per branch — measured 2-3× the whole signature
+    // cost. `sh`'s element order is aggregation order (arbitrary); every
+    // consumer treats it as a set.
+    val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, (mins.tail :+ collect_list(col("s")).as("sh")): _*)
       .select(col("id"),
-        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"))
-    // both sides are id-partitioned already — the join adds no exchange
-    withSh.join(sig, "id")
+        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"),
+        col("sh"))
   }
 
   /** Band values from a stored signature array — the same
@@ -286,29 +292,47 @@ object Dedup {
    *
    * @param store prior [[signatureStore]] state (`id`, `sig`, `sh`), built
    *        with THE SAME shingleN/bands/rowsPerBand
+   * @param cache persist the store ∪ fresh signature relation — it feeds
+   *        band generation, verification's shingle explosion AND the size
+   *        counts; uncached, the full MinHash lineage re-executes per
+   *        branch. In the real workflow the store side is already a
+   *        persisted Parquet relation, so pass false and only `fresh` is
+   *        worth caller-side caching. The caller owns the cache lifetime
+   *        (Verify/Bench `clearCache()` between invocations), the same
+   *        contract as [[nearDuplicates]].
    * @return (survivors — the surviving `newDocs` rows unchanged,
    *         nextStore — `store` ∪ the survivors' signature rows)
    */
   def incrementalNear(newDocs: DataFrame, idCol: String, textCol: String,
                       store: DataFrame, shingleN: Int = 3, bands: Int = 8,
                       rowsPerBand: Int = 4, threshold: Double = 0.8,
-                      maxBucket: Int = 4096): (DataFrame, DataFrame) = {
+                      maxBucket: Int = 4096,
+                      cache: Boolean = true): (DataFrame, DataFrame) = {
     val fresh = signatureStore(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
-    val all = store.select(col("id"), col("sig"), col("sh"), lit(0L).as("isnew"))
+    val all0 = store.select(col("id"), col("sig"), col("sh"), lit(0L).as("isnew"))
       .unionByName(fresh.select(col("id"), col("sig"), col("sh"), lit(1L).as("isnew")))
+    val all = if (cache)
+      all0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else all0
     val banded = all.select(col("id"), col("isnew"),
       posexplode(bandValues(col("sig"), bands, rowsPerBand)).as(Seq("band", "bandval")))
     // store-vs-store pairs are dead weight (the store is already deduped) —
-    // keep only pairs touching the new shard
-    val cand = bandCandidates(banded, maxBucket, extra = Seq("isnew"))
+    // keep only pairs touching the new shard. Persisted like `all`: read by
+    // the candidate-id semi-join (twice) and the verify join.
+    val cand0 = bandCandidates(banded, maxBucket, extra = Seq("isnew"))
       .filter(col("x_isnew") === 1L || col("y_isnew") === 1L)
+    val cand = if (cache)
+      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else cand0
     // exact verify: shingle rows for candidate ids ONLY
     val candIds = cand.select(col("doc_a").as("id"))
       .union(cand.select(col("doc_b").as("id"))).distinct()
     val shRows = all.join(candIds, Seq("id"), "left_semi")
       .select(col("id"), explode(col("sh")).as("s"))
     val counts = all.select(col("id"), size(col("sh")).cast("long").as("n"))
-    val verified = cand
+    // persisted: both `dropped` arms read it, and its lineage is the whole
+    // verify join — few surviving rows, expensive recompute
+    val verified0 = cand
       .join(shRows.as("sa"), col("doc_a") === col("sa.id"))
       .join(shRows.as("sb"), col("doc_b") === col("sb.id") && col("sa.s") === col("sb.s"))
       .groupBy(col("doc_a"), col("doc_b"), col("x_isnew"), col("y_isnew"))
@@ -317,6 +341,9 @@ object Dedup {
       .join(counts.as("cb"), col("doc_b") === col("cb.id"))
       .filter(col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
         >= threshold)
+    val verified = if (cache)
+      verified0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else verified0
     // pairs carry doc_a < doc_b: a new doc_b drops against ANY partner
     // (store or smaller-id new); a new doc_a drops only against the store
     val dropped = verified

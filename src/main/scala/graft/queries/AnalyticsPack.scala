@@ -259,6 +259,16 @@ object AnalyticsPack extends QueryPack {
         .agg(count(lit(1)).as("n"), cents(sum($"o_totalprice")).as("sum_c"))
         .orderBy($"decile")
     },
+    "q_rank_global" -> { (s, dir) =>
+      import s.implicits._
+      // exact global row_number over a unique ordering, graded row-by-row —
+      // Ranks.withGlobalRank's range-shuffle + broadcast-offset plan
+      // directly against the oracle's single ROW_NUMBER() window
+      Ranks.withGlobalRank(t(s, dir, "orders"), "rnk",
+          Seq($"o_totalprice", $"o_orderkey"))
+        .select($"o_orderkey", $"rnk")
+        .orderBy($"o_orderkey")
+    },
     "q_text_edit_distance" -> { (s, dir) =>
       import s.implicits._
       // fuzzy matching: Levenshtein over consecutive doc pairs, inputs
@@ -523,6 +533,10 @@ object AnalyticsPack extends QueryPack {
         |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
         |      FROM orders) d
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q_rank_global" ->
+      """SELECT o_orderkey,
+        | CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_text_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS dist
