@@ -537,12 +537,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * [[Catalog.CompactLockStaleMs]] (its orphan files are then purged by
    * `purgeUncommitted`).
    */
-  private[engine] def acquireProduceLock(name: String): Unit =
-    acquireLock(produceLockPath(name), age =>
-      s"topic '$name': another produce is already in progress (lock " +
-      s"${produceLockPath(name)}, age ${age / 1000}s) — concurrent producers " +
-      "on one topic must be serialized (single-writer contract); retry after " +
-      "it finishes, or delete the lock if the producer crashed")
+  private[engine] def acquireProduceLock(name: String): Unit = {
+    // With ProduceLockWaitMs > 0, contention SERIALIZES (bounded wait +
+    // retry — the cooperative analog of the reference's write queue, where
+    // concurrent clients block until the queue drains) instead of failing
+    // fast. 0 keeps safe-by-rejection: one produce wins, the other throws.
+    val deadline = System.currentTimeMillis() + Catalog.ProduceLockWaitMs
+    while (true) {
+      try {
+        acquireLock(produceLockPath(name), age =>
+          s"topic '$name': another produce is already in progress (lock " +
+          s"${produceLockPath(name)}, age ${age / 1000}s) — concurrent producers " +
+          "on one topic must be serialized (single-writer contract); retry after " +
+          "it finishes, set Catalog.ProduceLockWaitMs to wait, or delete the " +
+          "lock if the producer crashed")
+        return
+      } catch {
+        case e: IllegalStateException =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(50L)
+      }
+    }
+  }
 
   private[engine] def releaseProduceLock(name: String): Unit =
     releaseLock(produceLockPath(name))
@@ -799,6 +815,12 @@ object Catalog {
     * the reader's assembly work and the log directory size. Var so tests can
     * compress it. */
   @volatile var ManifestSnapshotEvery: Int = 64
+
+  /** How long `Producer.produce` waits for a contended produce lock before
+    * throwing. 0 (default) = fail fast (safe-by-rejection); > 0 = bounded
+    * wait, which SERIALIZES well-behaved concurrent producers the way the
+    * reference's write queue does. Var so applications set it once. */
+  @volatile var ProduceLockWaitMs: Long = 0L
 
   /** JVM-wide held-lock registry: lock-file path → acquisition time (ms).
     * `putIfAbsent` gives concurrent acquirers IN ONE PROCESS exact mutual

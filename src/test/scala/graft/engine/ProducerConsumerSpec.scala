@@ -480,6 +480,37 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(d.catalog.nextIds("mytopic")(0) == committed)
   }
 
+  test("ProduceLockWaitMs > 0: racing producers serialize — every produce lands") {
+    val (d, topic) = newTopic(partitions = 1)
+    val d2 = new GraftDriver(spark, d.warehouse)
+    val topic2 = d2.openTopic("mytopic")
+    import spark.implicits._
+    val prev = Catalog.ProduceLockWaitMs
+    Catalog.ProduceLockWaitMs = 120000L
+    try {
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(topic, topic2).zipWithIndex.map { case (t, ti) =>
+        new Thread(() => {
+          val pr = t.producer()
+          (0 until 5).foreach { i =>
+            try pr.produce(Seq(s"""{"t":$ti,"i":$i}""").toDF("metadata")): Unit
+            catch { case e: Throwable => failures.add(e) }
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      import scala.jdk.CollectionConverters._
+      assert(failures.asScala.isEmpty, failures.asScala.map(_.getMessage))
+      // cooperative waiting = the reference's write-queue behavior: all 10
+      // produces commit, ids dense across both writers
+      val ids = topic.events().orderBy(col("event_id"))
+        .collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids == (0L until 10L), s"ids must be dense 0..10: $ids")
+      assert(d.catalog.nextIds("mytopic")(0) == 10L)
+    } finally Catalog.ProduceLockWaitMs = prev
+  }
+
   test("produce during a live compaction fails loudly; stale locks are reclaimed") {
     val (d, topic) = newTopic(partitions = 2)
     val producer = topic.producer()
