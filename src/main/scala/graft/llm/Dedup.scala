@@ -639,4 +639,56 @@ object Dedup {
         round(col("n_dup_pos") * 1000000.0 / col("n_pos")).cast("long"))
       .withColumnRenamed("id", idCol)
   }
+
+  /**
+   * Cross-document duplicated-span REMOVAL — the rewrite step
+   * [[duplicatedPassages]] only measures (Lee et al.'s "deduplicate by
+   * removing the repeated substring, keep the rest"): a token is removed
+   * when it is covered by any `n`-token shingle that also occurs in at
+   * least one OTHER document; the surviving tokens are rejoined in
+   * position order. Within-document repetition does not trigger removal
+   * (same DISTINCT-before-df rule as [[duplicatedPassages]]). A document
+   * shorter than `n` tokens carries one whole-text shingle — it is
+   * emptied only when its entire text recurs elsewhere.
+   *
+   * Output: (idCol, n_tokens, n_removed, trimmed). `trimmed` is the full
+   * rewritten text (join by single space — tokenization-normalized like
+   * every text operator here); hash it for compact grading.
+   *
+   * Scale shape: position explode (one row per token + one per shingle),
+   * one groupBy for document frequency, one equality join back on the
+   * shingle, an anti-join on (id, position), and one position-sorted
+   * re-aggregation per doc. All bucketed on id or shingle; nothing
+   * quadratic, no windows.
+   */
+  def trimDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col("id"))
+    val shPos = base.select(col("id"), size(col("w")).as("m"),
+      posexplode(TextFunctions.shinglesFromTokens(col("w"), n)).as(Seq("pos", "s")))
+    val docFreq = shPos.select(col("s"), col("id")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("ndocs"))
+    // token positions covered by a cross-doc duplicated shingle: pos ..
+    // pos+n-1, clamped to the doc end for the short-doc whole-text shingle
+    val covered = shPos.join(docFreq.filter(col("ndocs") > 1), "s")
+      .select(col("id"), explode(sequence(col("pos"),
+        least(col("pos") + lit(n - 1), col("m") - 1))).as("p"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("w")).as(Seq("p", "tok")))
+      .join(covered, Seq("id", "p"), "left_anti")
+    // rebuild in position order: array_sort on (p, tok) structs orders by
+    // the unique position — deterministic, no window
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("trimmed"))
+    base.select(col("id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("trimmed"), lit("")).as("trimmed"))
+  }
 }

@@ -178,6 +178,24 @@ object TextPack extends QueryPack {
         shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    "q_dedup_trim_spans" -> { (s, dir) =>
+      // duplicated-span REMOVAL (the rewrite duplicatedPassages only
+      // measures): a 30-token excerpt of each long-enough early doc is
+      // planted inside unique framing tokens — the span must be trimmed
+      // from host AND copy while the framing and everything else survives.
+      // Grading hashes the full rewritten text, so one misplaced token
+      // anywhere in 500 docs fails the row.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = TF.tokens(col("text"))
+      val planted = docs.filter(col("doc_id") < 10 && size(w) >= 60)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(lit("zq1 zq2 zq3 "), array_join(slice(w, lit(11), lit(30)), " "),
+            lit(" zq4 zq5")).as("text"))
+      Dedup.trimDuplicatedSpans(docs.unionByName(planted), "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("trimmed")).as("trimmed_md5"))
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_incremental_near" -> { (s, dir) =>
       // growing-corpus NEAR-dedup: the store is the MinHash signature
       // relation of shard 1 (docs < 250); shard 2 = docs >= 250 PLUS
@@ -403,6 +421,35 @@ object TextPack extends QueryPack {
          |FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
          |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // re-derives removal independently: positional shingles → cross-doc
+    // df → covered positions → list-comprehension rebuild of the kept text
+    "q_dedup_trim_spans" -> {
+      def shingleIdx(n: Int) =
+        s"""CASE WHEN len(w) < $n THEN [array_to_string(w, ' ')]
+           |     ELSE [array_to_string(w[i:i+${n - 1}], ' ') for i in range(1, len(w) - ${n - 2})] END""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 7000000,
+         |    'zq1 zq2 zq3 ' || array_to_string(w[11:40], ' ') || ' zq4 zq5'
+         |  FROM (SELECT doc_id, $W AS w FROM documents)
+         |  WHERE doc_id < 10 AND len(w) >= 60),
+         |dw AS (SELECT doc_id, $W AS w FROM corpus),
+         |shp0 AS (SELECT doc_id, len(w) AS m, ${shingleIdx(8)} AS sl FROM dw),
+         |shp AS (SELECT doc_id, m, unnest(sl) AS s,
+         |               unnest(range(1, len(sl) + 1)) AS i FROM shp0),
+         |dfq AS (SELECT s, count(*) AS ndocs
+         |        FROM (SELECT DISTINCT doc_id, s FROM shp) GROUP BY s),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(i, least(i + 7, m) + 1)) AS p
+         |        FROM shp JOIN dfq USING (s) WHERE ndocs > 1),
+         |covl AS (SELECT doc_id, list(p) AS cps FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id, len(w) AS n_tokens,
+         |  CAST(coalesce(len(cps), 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string([w[p] for p in range(1, len(w) + 1)
+         |    if NOT list_contains(coalesce(cps, []), p)], ' '), '')) AS trimmed_md5
+         |FROM dw d LEFT JOIN covl USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // EXACT all-pairs Jaccard across store ∪ shard, mirroring the drop
     // rule: a shard-2 doc dies iff a ≥0.8 partner exists in the store or
     // at a smaller shard-2 id (store ids < 250 < every shard-2 id, so

@@ -580,4 +580,25 @@ class LlmSpec extends SparkSpec {
     // within-doc repetition does NOT count as duplication
     assert(byId(6L)._2 === 0L)
   }
+
+  test("trimDuplicatedSpans removes the shared span, keeps framing, ignores within-doc repeats") {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"a1 a2 a3 $span a4 a5"),     // host
+      (1L, s"b1 $span b2 b3 b4"),        // copy with different framing
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8"),   // untouched
+      (3L, "rep rep rep rep rep rep rep rep rep") // within-doc repeat only
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimDuplicatedSpans(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the 10 shared tokens go from both docs; framing tokens survive in order
+    assert(out(0L) === ((15L, 10L, "a1 a2 a3 a4 a5")))
+    assert(out(1L) === ((14L, 10L, "b1 b2 b3 b4")))
+    assert(out(2L) === ((8L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8")))
+    // within-doc repetition is corpus-unique → untouched
+    assert(out(3L)._2 === 0L)
+  }
 }
