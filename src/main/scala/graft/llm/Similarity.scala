@@ -131,6 +131,50 @@ object Similarity {
       .filter(col("cos_micro") >= thresholdMicro)
   }
 
+  /**
+   * Incremental embedding near-dedup vs a persisted vector store — the
+   * embedding-modality analog of [[Dedup.incrementalNear]]: a new vector is
+   * dropped iff it has a cosine ≥ `thresholdMicro` partner in the store, or
+   * at a SMALLER id within its own shard (one-pass rule — the higher id of
+   * every qualifying pair drops). Candidates are cell-blocked exactly like
+   * [[cellBlockedNearDuplicates]] (cross-cell near-dups unseen, same
+   * documented recall shape); store-vs-store pairs are never generated.
+   *
+   * The store is `nearestCells` output (id, vec, vn, cell) persisted
+   * between shards — old vectors are never re-scored against centroids,
+   * and norms ride along so no pair recomputes them. The store grows by
+   * the shard's survivor count.
+   *
+   * @return (survivors — surviving `newVecs` rows unchanged,
+   *         nextStore — `store` ∪ the survivors' (id, vec, vn, cell) rows)
+   */
+  def incrementalEmbedDedup(newVecs: DataFrame, store: DataFrame,
+                            centroids: DataFrame, thresholdMicro: Long)
+      : (DataFrame, DataFrame) = {
+    val fresh = nearestCells(newVecs, centroids, 1)
+    val cols = Seq(col("id"), col("vec"), col("vn"), col("cell"))
+    val all = store.select(cols :+ lit(0L).as("isnew"): _*)
+      .unionByName(fresh.select(cols :+ lit(1L).as("isnew"): _*))
+    val pairs = all.as("a").join(all.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          (col("a.isnew") === 1L || col("b.isnew") === 1L))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.isnew").as("na"), col("b.isnew").as("nb"),
+        cosineMicroPre(col("a.vec"), col("b.vec"), col("a.vn"), col("b.vn"))
+          .as("cos_micro"))
+      .filter(col("cos_micro") >= thresholdMicro)
+    // pairs carry ida < idb: a new idb drops against ANY partner (store or
+    // smaller-id new); a new ida drops only against the store
+    val dropped = pairs.filter(col("na") === 1L && col("nb") === 0L)
+      .select(col("ida").as("id"))
+      .union(pairs.filter(col("nb") === 1L).select(col("idb").as("id")))
+      .distinct()
+    val survivors = newVecs.join(dropped, Seq("id"), "left_anti")
+    val nextStore = store.select(cols: _*)
+      .unionByName(fresh.join(dropped, Seq("id"), "left_anti").select(cols: _*))
+    (survivors, nextStore)
+  }
+
   def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int = 2): DataFrame = {
     val assigned = nearestCells(candidates, centroids, 1) // corpus: 1 cell each

@@ -61,6 +61,29 @@ object VectorPack extends QueryPack {
         centroidsDf(s, dir), thresholdMicro = 400000L)
         .orderBy(col("vec_a"), col("vec_b"))
     },
+    "q_dedup_embed_incremental" -> { (s, dir) =>
+      // growing-corpus embedding dedup: vectors < 300 form the persisted
+      // store (pre-assigned cells + norms); the new shard is vectors >= 300
+      // PLUS planted near-dups — vectors 0..4 scaled by 0.5 (ids +8000000).
+      // Cosine is scale-invariant, so the planted copies score 1e6 against
+      // their hosts while being bit-different vectors (exact-hash dedup
+      // would keep them); halving a float is exact, so both engines see
+      // identical doubles. Survivors of the shard are graded.
+      val emb = embeddings(s, dir)
+      val store = Similarity.nearestCells(
+        emb.filter(col("vec_id") < 300)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        centroidsDf(s, dir), n = 1)
+      val planted = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 8000000L).as("id"),
+          transform(col("embedding"), x => x * lit(0.5f)).as("vec"))
+      val shard = emb.filter(col("vec_id") >= 300)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .unionByName(planted)
+      val (survivors, _) = Similarity.incrementalEmbedDedup(shard, store,
+        centroidsDf(s, dir), thresholdMicro = 400000L)
+      survivors.select(col("id")).orderBy(col("id"))
+    },
     "q_knn_recall" -> { (s, dir) =>
       // ANN quality audit: recall@3 of the IVF index against the exact
       // brute-force baseline, per query — the self-measuring metric an ANN
@@ -167,6 +190,30 @@ object VectorPack extends QueryPack {
          |    ${cosMicro("a.embedding", "b.embedding")} AS cos_micro
          |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id) p
          |WHERE cos_micro >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
+    // mirrors the cell blocking + the asymmetric drop rule; store ids
+    // (< 300) are all below shard ids, so "db in the shard" covers both
+    // arms of the (da < db) pair relation
+    "q_dedup_embed_incremental" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 8000000, [x * 0.5 for x in embedding]::FLOAT[]
+         |  FROM embeddings WHERE vec_id < 5),
+         |ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
+         |cells AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT v.vec_id, v.embedding, ctrid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosMicro("v.embedding", "ctre")} DESC, ctrid) AS cr
+         |    FROM corpus v, ctr) x WHERE cr <= 1),
+         |dup AS (
+         |  SELECT a.vec_id AS da, b.vec_id AS db FROM cells a
+         |  JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosMicro("a.embedding", "b.embedding")} >= 400000)
+         |SELECT vec_id AS id FROM corpus
+         |WHERE vec_id >= 300
+         |  AND vec_id NOT IN (SELECT db FROM dup WHERE db >= 300)
+         |ORDER BY id""".stripMargin,
     "q_knn_recall" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),

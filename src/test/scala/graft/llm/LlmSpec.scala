@@ -581,6 +581,26 @@ class LlmSpec extends SparkSpec {
     assert(byId(6L)._2 === 0L)
   }
 
+  test("incrementalEmbedDedup: scaled copies die against the store, fresh vectors survive") {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Similarity
+    val e1 = Seq(1f, 0f, 0f, 0f); val e2 = Seq(0f, 1f, 0f, 0f)
+    val centroids = Seq((0L, e1), (1L, e2)).toDF("id", "vec")
+    val store = Similarity.nearestCells(
+      Seq((10L, Seq(0.9f, 0.1f, 0f, 0f)), (11L, Seq(0.1f, 0.9f, 0f, 0f)))
+        .toDF("id", "vec"), centroids, n = 1)
+    val shard = Seq(
+      (20L, Seq(0.45f, 0.05f, 0f, 0f)),  // 10 scaled by 0.5 → cos 1.0 → drops
+      (21L, Seq(0f, 0f, 1f, 0f)),        // orthogonal to everything → survives
+      (22L, Seq(0f, 0f, 0.5f, 0f))       // 21 scaled → drops within-shard
+    ).toDF("id", "vec")
+    val (survivors, nextStore) =
+      Similarity.incrementalEmbedDedup(shard, store, centroids, 900000L)
+    assert(survivors.select($"id").as[Long].collect().toSet == Set(21L))
+    assert(nextStore.select($"id").as[Long].collect().toSet == Set(10L, 11L, 21L))
+  }
+
   test("trimDuplicatedSpans removes the shared span, keeps framing, ignores within-doc repeats") {
     import session.implicits._
     import org.apache.spark.sql.functions.col
