@@ -581,6 +581,49 @@ class LlmSpec extends SparkSpec {
     assert(byId(6L)._2 === 0L)
   }
 
+  test("trimDuplicatedSpans randomized against brute force") {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 12).map(i => s"v$i")
+    val n = 4
+    val base = (0L until 12L).map { i =>
+      i -> Seq.fill(3 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // half the corpus embeds an excerpt of an earlier doc at a random spot —
+    // guaranteed cross-doc spans, with edges/clamping exercised by the
+    // random placement and the random base lengths (incl. len < n docs)
+    val docs = base ++ (0L until 12L).map { i =>
+      val host = base(i.toInt)._2.split(" ")
+      val take = math.max(1, rnd.nextInt(host.length))
+      val exc = host.slice(rnd.nextInt(host.length - take + 1), Int.MaxValue).take(take)
+      val own = Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val at = rnd.nextInt(own.length + 1)
+      (100L + i) -> (own.take(at) ++ exc ++ own.drop(at)).mkString(" ")
+    }
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def shingles(t: String): Seq[(Int, String)] = {
+      val w = toks(t)
+      if (w.length < n) Seq(0 -> w.mkString(" "))
+      else w.sliding(n).zipWithIndex.map { case (s, i) => i -> s.mkString(" ") }.toSeq
+    }
+    val docShingleSets = docs.map { case (id, t) => id -> shingles(t).map(_._2).toSet }.toMap
+    val expected = docs.map { case (id, t) =>
+      val w = toks(t)
+      val dup = shingles(t).filter { case (_, s) =>
+        docs.exists { case (oid, _) => oid != id && docShingleSets(oid).contains(s) }
+      }
+      val covered = dup.flatMap { case (p, _) => p to math.min(p + n - 1, w.length - 1) }.toSet
+      val kept = w.zipWithIndex.collect { case (tok, p) if !covered(p) => tok }
+      id -> ((w.length.toLong, covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+    assert(expected.values.exists(_._2 > 0L)) // the fixture must exercise removal
+    val got = Dedup.trimDuplicatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+  }
+
   test("incrementalEmbedDedup: scaled copies die against the store, fresh vectors survive") {
     import session.implicits._
     import org.apache.spark.sql.functions.col

@@ -64,6 +64,30 @@ class RanksSpec extends SparkSpec {
     assert(globalWindows(Ranks.withNtile(df, "t", 10, Seq($"k"))).isEmpty)
   }
 
+  test("randomized: rank and ntile match the window functions across sizes/ties/partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 6) {
+      val size = 1 + rnd.nextInt(2000)
+      val keySpace = 1 + rnd.nextInt(size) // guarantees ties for small spaces
+      val tiles = 1 + rnd.nextInt(16)
+      val parts = 1 + rnd.nextInt(9)
+      val df = (0 until size).map(i => (rnd.nextInt(keySpace), i)).toDF("k", "i")
+      // (k, i) is unique → both rank and ntile are fully determined
+      val wcols = Seq($"k", $"i")
+      val expR = df.withColumn("r", row_number().over(Window.orderBy(wcols: _*)).cast("long"))
+        .select($"i", $"r").as[(Int, Long)].collect().toSet
+      val gotR = Ranks.withGlobalRank(df, "r", wcols, numPartitions = parts)
+        .select($"i", $"r").as[(Int, Long)].collect().toSet
+      assert(gotR == expR, s"rank trial=$trial size=$size parts=$parts")
+      val expT = df.withColumn("t", ntile(tiles).over(Window.orderBy(wcols: _*)).cast("long"))
+        .select($"i", $"t").as[(Int, Long)].collect().toSet
+      val gotT = Ranks.withNtile(df, "t", tiles, wcols, numPartitions = parts)
+        .select($"i", $"t").as[(Int, Long)].collect().toSet
+      assert(gotT == expT, s"ntile trial=$trial size=$size tiles=$tiles parts=$parts")
+    }
+  }
+
   test("q_window_ntile and q_zorder plans contain no single-partition window") {
     for (name <- Seq("q_window_ntile", "q_zorder")) {
       val df = graft.SparkEntry.queries(name)(spark, sf())
