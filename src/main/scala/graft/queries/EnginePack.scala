@@ -447,6 +447,48 @@ object EnginePack extends QueryPack {
           col("n"))
         .orderBy(col("w_us"), col("event_type"))
     },
+    "q_stream_dedup" -> { (s, dir) =>
+      // ingest-time dedup through the MICRO-BATCH source: stateful
+      // dropDuplicatesWithinWatermark on (user_id, event_type) — the
+      // streaming curation op that suppresses re-sent events at the door.
+      // The 30-day delay exceeds the fixture's whole event-time span, so no
+      // state evicts and the emitted set is EXACTLY one row per key (WHICH
+      // physical row wins is arrival-order-dependent, so only the key set
+      // is emitted and graded); at scale the watermark bounds state to the
+      // keys seen per delay window — the documented trade.
+      val d = tempDriver(s)
+      d.createTopic("sdedup_demo", partitions = 2)
+      val topic = d.openTopic("sdedup_demo")
+      val src = t(s, dir, "events").filter(col("event_id") < 4096)
+        .select(to_json(struct(col("event_id").as("eid"), col("ts").as("tns"),
+          col("event_type").as("et"), col("user_id").as("uid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      topic.producer().produce(src)
+      val qname = s"q_stream_dedup_${EnginePack.streamRun.incrementAndGet()}"
+      val query = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "sdedup_demo")
+        .option("maxEventsPerTrigger", "1024")
+        .load()
+        .select(
+          expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+            .as("etime"),
+          get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"),
+          get_json_object(col("metadata"), "$.et").as("event_type"))
+        .withWatermark("etime", "30 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-sdedup-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname).orderBy(col("user_id"), col("event_type"))
+    },
     "q_stream_join" -> { (s, dir) =>
       // stream-stream event-time join through the micro-batch source, under
       // the oracle: clicks ⋈ purchases (same user, purchase within 1h after
@@ -701,6 +743,10 @@ object EnginePack extends QueryPack {
         |           FROM events WHERE event_id < 4096)
         |SELECT tus - tus % 600000000 AS w_us, event_type, count(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY w_us, event_type""".stripMargin,
+    // stateful streaming dedup emits exactly one row per key
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events WHERE event_id < 4096
+        |ORDER BY user_id, event_type""".stripMargin,
     // the micro-batch stream drains exactly the produced log: dense ids per
     // partition, across ≥2 admission-bounded batches
     "q_stream_drain" ->
