@@ -447,6 +447,43 @@ object EnginePack extends QueryPack {
           col("n"))
         .orderBy(col("w_us"), col("event_type"))
     },
+    "q_stream_multi" -> { (s, dir) =>
+      // multi-topic subscribe in STREAMING form (the batch analog is
+      // driver.events(Seq(...))): two topics' micro-batch sources unioned
+      // into ONE streaming aggregation and drained together — each source
+      // keeps its own offsets/admission in the shared checkpoint
+      val d = tempDriver(s)
+      Seq("smt_a", "smt_b").foreach(d.createTopic(_, partitions = 1))
+      val ev = t(s, dir, "events").filter(col("event_id") < 2048)
+        .select(col("event_id"),
+          to_json(struct(col("event_id").as("eid"),
+            col("event_type").as("et"))).as("metadata"))
+      d.openTopic("smt_a").producer()
+        .produce(ev.filter(col("event_id") % 2 === 0).select(col("metadata")))
+      d.openTopic("smt_b").producer()
+        .produce(ev.filter(col("event_id") % 2 === 1).select(col("metadata")))
+      def src(topic: String, tag: String) = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", topic)
+        .option("maxEventsPerTrigger", "512")
+        .load()
+        .select(lit(tag).as("topic"),
+          get_json_object(col("metadata"), "$.et").as("event_type"))
+      val qname = s"q_stream_multi_${EnginePack.streamRun.incrementAndGet()}"
+      val query = src("smt_a", "a").unionByName(src("smt_b", "b"))
+        .groupBy(col("topic"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-smulti-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname).orderBy(col("topic"), col("event_type"))
+    },
     "q_stream_dedup" -> { (s, dir) =>
       // ingest-time dedup through the MICRO-BATCH source: stateful
       // dropDuplicatesWithinWatermark on (user_id, event_type) — the
@@ -743,6 +780,12 @@ object EnginePack extends QueryPack {
         |           FROM events WHERE event_id < 4096)
         |SELECT tus - tus % 600000000 AS w_us, event_type, count(*) AS n
         |FROM e GROUP BY 1, 2 ORDER BY w_us, event_type""".stripMargin,
+    // the unioned drain sees BOTH topics' full logs, tagged
+    "q_stream_multi" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS topic,
+        | event_type, count(*) AS n
+        |FROM events WHERE event_id < 2048
+        |GROUP BY 1, 2 ORDER BY topic, event_type""".stripMargin,
     // stateful streaming dedup emits exactly one row per key
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events WHERE event_id < 4096
