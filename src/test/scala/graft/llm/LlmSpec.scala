@@ -581,6 +581,33 @@ class LlmSpec extends SparkSpec {
     assert(byId(6L)._2 === 0L)
   }
 
+  test("signatureStore plans one aggregation — no self-join of lambda branches") {
+    import session.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val docs = Seq((1L, "a b c d e"), (2L, "c d e f g")).toDF("doc_id", "text")
+    val plan = Dedup.signatureStore(docs, "doc_id", "text").queryExecution.optimizedPlan
+    // the signature and the collected shingle set must come from ONE
+    // aggregate over the exploded rows; a join here re-runs the interpreted
+    // shingle lambda once per branch (measured 2-3x the signature cost)
+    assert(plan.collect { case j: Join => j }.isEmpty, plan)
+  }
+
+  test("nearestCells n=1 plans the packed-argmin aggregate: broadcast centroids, no window") {
+    import session.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    import graft.llm.Similarity
+    val vecs = (0L until 50L).map(i => i -> Seq(i.toFloat, 1f)).toDF("id", "vec")
+    val ctrs = Seq((0L, Seq(0f, 1f)), (1L, Seq(40f, 1f))).toDF("id", "vec")
+    val qe = Similarity.nearestCells(vecs, ctrs, n = 1).queryExecution
+    // corpus-side assignment must collapse via the min aggregate BEFORE any
+    // exchange — a ranking window here would shuffle corpus×centroids rows
+    assert(qe.optimizedPlan.collect { case w: LWindow => w }.isEmpty, qe.optimizedPlan)
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty &&
+      qe.sparkPlan.toString.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast:\n${qe.sparkPlan}")
+  }
+
   test("trimDuplicatedSpans randomized against brute force") {
     import session.implicits._
     import org.apache.spark.sql.functions.col
