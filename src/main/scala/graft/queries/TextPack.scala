@@ -212,10 +212,18 @@ object TextPack extends QueryPack {
         .select((col("doc_id") + 5000000L).as("doc_id"),
           array_join(slice(w, lit(2), size(w)), " ").as("text"))
       val shard2 = docs.filter(col("doc_id") >= 250).unionByName(planted)
-      val store = Dedup.signatureStore(docs.filter(col("doc_id") < 250),
-        "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4)
+      // the store is a REAL persisted parquet relation (the cross-shard
+      // lifecycle, like q_knn_ivf_indexed's index): shard 1 is tokenized
+      // once at store-build time and never again — the dedup pass reads
+      // signatures and shingle sets back from disk
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-sigstore").toString
+      Dedup.signatureStore(docs.filter(col("doc_id") < 250),
+          "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 4)
+        .write.mode("overwrite").parquet(storeDir)
       val (survivors, _) = Dedup.incrementalNear(shard2, "doc_id", "text",
-        store, shingleN = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+        s.read.parquet(storeDir), shingleN = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.8)
       survivors.select(col("doc_id")).orderBy(col("doc_id"))
     },
     "q_text_jaccard" -> { (s, dir) =>
