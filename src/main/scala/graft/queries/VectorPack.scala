@@ -70,10 +70,16 @@ object VectorPack extends QueryPack {
       // would keep them); halving a float is exact, so both engines see
       // identical doubles. Survivors of the shard are graded.
       val emb = embeddings(s, dir)
-      val store = Similarity.nearestCells(
-        emb.filter(col("vec_id") < 300)
-          .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        centroidsDf(s, dir), n = 1)
+      // persisted-store lifecycle: cells + norms assigned ONCE at store
+      // build, written to parquet, read back for the dedup pass
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-vecstore").toString
+      Similarity.nearestCells(
+          emb.filter(col("vec_id") < 300)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          centroidsDf(s, dir), n = 1)
+        .write.mode("overwrite").parquet(storeDir)
+      val store = s.read.parquet(storeDir)
       val planted = emb.filter(col("vec_id") < 5)
         .select((col("vec_id") + 8000000L).as("id"),
           transform(col("embedding"), x => x * lit(0.5f)).as("vec"))
