@@ -509,17 +509,23 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   private[engine] def acquireCompactLock(name: String): Unit = {
-    // maintenance must not swap the log under an in-flight produce — its
-    // files would land in the moved-aside copy (silent loss on both sides)
-    lockIsLive(produceLockPath(name)).foreach { age =>
-      throw new IllegalStateException(
-        s"topic '$name': cannot compact while a produce is in flight (lock " +
-        s"${produceLockPath(name)}, age ${age / 1000}s)")
-    }
+    // ACQUIRE the compact lock first, THEN check for an in-flight produce
+    // (maintenance must not swap the log under one — its files would land
+    // in the moved-aside copy, silent loss on both sides). Both sides
+    // acquire-then-check — produce checks the compact lock only after
+    // holding the produce lock — so the interleaving where each checks
+    // before the other acquires cannot let both proceed: one of the two
+    // checks necessarily happens after the other side's acquire.
     acquireLock(compactLockPath(name), age =>
       s"topic '$name': a compaction is already in progress (lock " +
       s"${compactLockPath(name)}, age ${age / 1000}s) — retry after it " +
       "finishes, or delete the lock if the compactor crashed")
+    lockIsLive(produceLockPath(name)).foreach { age =>
+      releaseCompactLock(name)
+      throw new IllegalStateException(
+        s"topic '$name': cannot compact while a produce is in flight (lock " +
+        s"${produceLockPath(name)}, age ${age / 1000}s)")
+    }
   }
 
   private[engine] def releaseCompactLock(name: String): Unit =
