@@ -26,8 +26,23 @@ object Skew {
    * whose rows differ in payload columns; full-row duplicates are a
    * dedup problem, not a skew problem.
    */
-  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column = {
+    // xxhash64 rejects MapType (maps are unorderable, so their hash is
+    // undefined) — surface that contract here instead of as an opaque
+    // analysis error from inside the salted plan
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val maps = df.schema.fields.collect { case f if hasMap(f.dataType) => f.name }
+    require(maps.isEmpty,
+      s"content-hash salting cannot hash map-typed columns: ${maps.mkString(", ")} " +
+      "— drop or serialize them (e.g. to_json) before salting")
     pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+  }
 
   /**
    * Two-phase salted aggregation for algebraic aggregates.
