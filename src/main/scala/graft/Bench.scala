@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -77,10 +79,26 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def jnum(v: Double): String = f"$v%.3f"
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jstr(sfDir)}}""")
+
+    // Full per-query map → a file: the harness that captures this process's
+    // stdout keeps only a bounded tail, and ~150 query timings overflow it
+    // (every past round's bench artifact ended up unparseable for exactly
+    // this reason). The printed line stays under ~1.5 KB: totals, errors,
+    // and only the slowest queries inline; everything is in the file.
+    val full = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${timings.size},"queries":$full,"errors":$es,"sf":${jstr(sfDir)}}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullJson + "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
+
+    val slowest = timings.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${timings.size},"queries":$slowest,"errors":$es,"queries_file":"BENCH_FULL.json","sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -452,23 +452,37 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * are the write-queue linearization point the reference gets from its
    * per-partition lock (`DefaultPartitionManager.cpp:398-409`), reduced to
    * fail-loudly-by-rejection. Object stores without atomic create-exclusive
-   * keep a documented best-effort caveat on the cross-process half. A lock
-   * older than [[Catalog.CompactLockStaleMs]] is a crashed owner's
-   * leftover: reclaimed and retried ONCE — losing the retry means a live
-   * contender took it. An ABSENT file after a failed create (the owner
-   * released in between) is retried WITHOUT deleting: a delete there could
-   * destroy a lock a third contender created in the same instant.
+   * keep a documented best-effort caveat on the cross-process half.
+   *
+   * Same-JVM contention is decided by owner-thread LIVENESS, not age: a
+   * lock held by a live thread is held, full stop — an operation running
+   * longer than the staleness horizon keeps its exclusion (the heartbeat
+   * below keeps the file fresh for cross-process observers too). A dead
+   * owner thread can never release, so reclaiming its entry via CAS is
+   * exact — no interleaving can drop a LIVE owner's exclusion.
+   *
+   * A lock FILE older than [[Catalog.CompactLockStaleMs]] that is not
+   * being heartbeat-refreshed is a crashed process's leftover: reclaimed
+   * through [[reclaimStaleLock]]'s claim-file protocol (serialized — see
+   * its doc for why a bare delete would be a corruption window) and
+   * retried ONCE — losing the retry means a live contender took it. An
+   * ABSENT file after a failed create (the owner released in between) is
+   * retried WITHOUT reclaiming: a delete there could destroy a lock a
+   * third contender created in the same instant.
+   *
+   * While held, a daemon heartbeat refreshes the file's mtime every
+   * `CompactLockStaleMs / 3`, so a legitimately long produce/compaction is
+   * never mistaken for a crash by another process.
    */
   private def acquireLock(p: Path, alreadyHeld: Long => String): Unit = {
     val key = p.toString
-    val now = System.currentTimeMillis()
-    val prev = Catalog.heldLocks.putIfAbsent(key, now)
+    val mine = Catalog.LockOwner(Thread.currentThread(), System.currentTimeMillis())
+    val prev = Catalog.heldLocks.putIfAbsent(key, mine)
     if (prev != null) {
-      if (now - prev < Catalog.CompactLockStaleMs)
-        throw new IllegalStateException(alreadyHeld(now - prev))
-      // leaked past the stale window (owner thread died without release):
-      // reclaim under the same rule as a crashed process's file below
-      if (!Catalog.heldLocks.replace(key, prev, now))
+      if (prev.thread.isAlive)
+        throw new IllegalStateException(alreadyHeld(mine.since - prev.since))
+      // owner thread died without release: exact, race-free reclaim via CAS
+      if (!Catalog.heldLocks.replace(key, prev, mine))
         throw new IllegalStateException(alreadyHeld(0L))
     }
     def tryCreate(): Boolean =
@@ -491,7 +505,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           case Some(age) if age < Catalog.CompactLockStaleMs =>
             throw new IllegalStateException(alreadyHeld(age))
           case Some(_) => // genuinely stale: a crashed process's leftover
-            fs.delete(p, false): Unit
+            reclaimStaleLock(p, alreadyHeld)
             if (!tryCreate())
               throw new IllegalStateException(alreadyHeld(0L))
           case None => // released this instant: path is free — plain retry
@@ -499,13 +513,75 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
               throw new IllegalStateException(alreadyHeld(0L))
         }
       }
+      Catalog.startLockHeartbeat(fs, p)
       ok = true
-    } finally if (!ok) Catalog.heldLocks.remove(key): Unit
+    } finally if (!ok) Catalog.heldLocks.remove(key, mine): Unit
+  }
+
+  /**
+   * Serialized reclamation of a stale lock file. The naive form — every
+   * contender deletes the stale file and re-creates — has a corruption
+   * window: two contenders both classify the file stale, the faster one
+   * deletes and creates a FRESH lock, and the slower one's delete then
+   * removes that fresh lock — both proceed, and the mutual exclusion the
+   * lock exists for silently vanishes. Reclamation therefore goes through
+   * a claim file (`<lock>.reclaim`, create-exclusive): only the claim
+   * holder may delete the stale lock, and a fresh lock can only be created
+   * AFTER the stale file is gone — so under the claim, the delete provably
+   * only ever removes the stale file, never a live one. Contenders that
+   * lose the claim race fail loudly (the claim winner is about to take the
+   * lock). A crashed reclaimer's claim is itself aged out by the next
+   * contender; the read-back nonce check below narrows the double-claim
+   * window that reopens to a single stat-to-delete race REQUIRING a
+   * reclaimer crash plus a 30-minute-old claim — accepted and documented.
+   */
+  private[engine] def reclaimStaleLock(p: Path, alreadyHeld: Long => String): Unit = {
+    val claim = new Path(p.getParent, p.getName + ".reclaim")
+    val nonce = java.util.UUID.randomUUID().toString
+    val won =
+      try {
+        val out = fs.create(claim, false)
+        try out.write(nonce.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    if (!won) {
+      // another contender holds the claim and will take the lock — unless
+      // ITS owner crashed too: clear a stale claim so the NEXT attempt
+      // proceeds, but still fail this one loudly.
+      if (lockAge(claim).exists(_ >= Catalog.CompactLockStaleMs))
+        fs.delete(claim, false): Unit
+      throw new IllegalStateException(alreadyHeld(0L))
+    }
+    try {
+      val ours =
+        try readString(claim) == nonce
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!ours) throw new IllegalStateException(alreadyHeld(0L))
+      lockAge(p) match {
+        case Some(age) if age < Catalog.CompactLockStaleMs =>
+          // revived under us (owner heartbeat landed between the caller's
+          // staleness check and our claim) — the lock is live, back off
+          throw new IllegalStateException(alreadyHeld(age))
+        case Some(_) => fs.delete(p, false): Unit
+        case None => () // owner released meanwhile — path is free either way
+      }
+    } finally fs.delete(claim, false): Unit
   }
 
   private def releaseLock(p: Path): Unit = {
+    val key = p.toString
+    val o = Catalog.heldLocks.get(key)
+    // only the owning thread may release: a release from a non-owner
+    // (possible only through misuse, or after a dead-owner reclaim handed
+    // the lock to someone else) must not delete a live owner's file
+    if (o != null && (o.thread ne Thread.currentThread()) && o.thread.isAlive)
+      return
+    Catalog.stopLockHeartbeat(key)
     fs.delete(p, false): Unit
-    Catalog.heldLocks.remove(p.toString): Unit
+    if (o != null) Catalog.heldLocks.remove(key, o): Unit
   }
 
   private[engine] def acquireCompactLock(name: String): Unit = {
@@ -810,10 +886,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
 object Catalog {
 
-  /** Compact-lock staleness horizon: a lock older than this is presumed a
-    * crashed compactor's leftover and reclaimed. Var (not val) so tests can
-    * compress the window; production compactions running longer than this
-    * must bump it. */
+  /** Lock staleness horizon (produce AND compact locks): a lock file whose
+    * mtime is older than this is presumed a crashed owner's leftover and
+    * reclaimed. A LIVE owner is never at risk of aging past it: while a
+    * lock is held, a daemon heartbeat refreshes the file's mtime every
+    * third of this window, so only a crashed process's file ever goes
+    * stale. Var (not val) so tests can compress the window. */
   @volatile var CompactLockStaleMs: Long = 30L * 60 * 1000
 
   /** Snapshot cadence of the manifest log: a full snapshot is rolled (and
@@ -828,13 +906,59 @@ object Catalog {
     * reference's write queue does. Var so applications set it once. */
   @volatile var ProduceLockWaitMs: Long = 0L
 
-  /** JVM-wide held-lock registry: lock-file path → acquisition time (ms).
-    * `putIfAbsent` gives concurrent acquirers IN ONE PROCESS exact mutual
-    * exclusion — `create(overwrite=false)` alone is check-then-act on the
-    * local filesystem, so two same-JVM threads could both win the file
-    * race. Cross-process arbitration stays with the lock file. */
+  /** A held lock's owner: the acquiring thread (for liveness-based
+    * same-JVM arbitration — only a DEAD owner's entry is reclaimable, and
+    * only the owning thread may release) and the acquisition time (for
+    * error messages). */
+  private[engine] final case class LockOwner(thread: Thread, since: Long)
+
+  /** JVM-wide held-lock registry: lock-file path → owner. `putIfAbsent`
+    * gives concurrent acquirers IN ONE PROCESS exact mutual exclusion —
+    * `create(overwrite=false)` alone is check-then-act on the local
+    * filesystem, so two same-JVM threads could both win the file race.
+    * Cross-process arbitration stays with the lock file. */
   private[engine] val heldLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, LockOwner]()
+
+  /** Heartbeat tasks for locks held by this JVM, keyed like [[heldLocks]].
+    * Each task refreshes its lock file's mtime every `CompactLockStaleMs/3`
+    * while the owning thread is alive, so a produce or compaction running
+    * longer than the staleness horizon cannot be mistaken for a crash and
+    * reclaimed mid-run by another process. A dead owner's task cancels
+    * itself — its file then ages out normally, which is exactly the crash
+    * signal the horizon exists to detect. */
+  private val lockHeartbeats =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+
+  private lazy val heartbeatExec = {
+    val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-lock-heartbeat"); t.setDaemon(true); t
+    })
+    e.setRemoveOnCancelPolicy(true)
+    e
+  }
+
+  private[engine] def startLockHeartbeat(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val key = p.toString
+    val period = math.max(CompactLockStaleMs / 3, 1000L)
+    val task: Runnable = () => {
+      val o = heldLocks.get(key)
+      if (o == null || !o.thread.isAlive) stopLockHeartbeat(key)
+      else try fs.setTimes(p, System.currentTimeMillis(), -1)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val fut = heartbeatExec.scheduleWithFixedDelay(
+      task, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val prevTask = lockHeartbeats.put(key, fut)
+    if (prevTask != null) prevTask.cancel(false): Unit
+  }
+
+  private[engine] def stopLockHeartbeat(key: String): Unit = {
+    val f = lockHeartbeats.remove(key)
+    if (f != null) f.cancel(false): Unit
+  }
 
   /** Reader-side assembled view: the newest snapshot seq it was built from,
     * the last delta seq applied, and the result. Keyed on seqs alone —

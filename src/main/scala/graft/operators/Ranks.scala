@@ -18,12 +18,24 @@ import org.apache.spark.sql.functions._
  * back. Total cost: one range shuffle + one tiny aggregate; every stage is
  * parallel in the number of partitions.
  *
- * Determinism: `RangePartitioner` samples with a fixed per-partition seed,
- * so boundaries — and therefore partition ids — are stable for the same
- * input across retries; rows with EQUAL sort keys always land in the same
- * range partition (assignment is a binary search on the key), so ties never
- * straddle an offset boundary. Ranks over a non-unique ordering are a
+ * Determinism: the range-shuffled relation feeds TWO plan branches (the
+ * per-partition counts and the ranked join), and correct offsets require
+ * both to observe the SAME range boundaries. `RangePartitioner` seeds its
+ * boundary sample from the RDD id, so two independent instantiations of
+ * the exchange could sample different boundaries — exchange reuse happens
+ * to dedup them today, but that is optimizer behavior
+ * (`spark.sql.exchange.reuse`), not a contract. The shuffle is therefore
+ * materialized ONCE via an eager local checkpoint (the same pattern the
+ * producer uses for its nondeterministic partition assignment): boundaries
+ * and partition ids become a fact about stored blocks, not about planning.
+ * Within each frozen partition, rows with EQUAL sort keys always share a
+ * partition (assignment is a binary search on the key), so ties never
+ * straddle an offset boundary; ranks over a non-unique ordering are a
  * permutation within each tie group (exactly like the window function).
+ * Trade at scale: checkpoint blocks live on executor local storage for the
+ * lifetime of the returned plan (freed when the DataFrame is GC'd) and an
+ * executor loss invalidates them — the price of exact global ranks without
+ * a single-task sort.
  */
 object Ranks {
 
@@ -68,8 +80,11 @@ object Ranks {
                          numPartitions: Int): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint (eager): pin boundaries + partition ids before the
+    // plan forks — see the determinism note in the class doc
     val parts = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     // cumulative offset per pid via a triangular self-join of the ≤ n-row
     // count relation — NOT a global window (that would re-introduce the

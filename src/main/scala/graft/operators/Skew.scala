@@ -26,22 +26,27 @@ object Skew {
    * whose rows differ in payload columns; full-row duplicates are a
    * dedup problem, not a skew problem.
    */
-  private def contentSalt(df: DataFrame, saltBuckets: Int): Column = {
-    // xxhash64 rejects MapType (maps are unorderable, so their hash is
-    // undefined) — surface that contract here instead of as an opaque
-    // analysis error from inside the salted plan
-    import org.apache.spark.sql.types._
-    def hasMap(dt: DataType): Boolean = dt match {
-      case _: MapType => true
-      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
-      case a: ArrayType => hasMap(a.elementType)
-      case _ => false
+  private def contentSalt(df: DataFrame, saltBuckets: Int,
+                          saltOn: Seq[Column]): Column = {
+    val src = if (saltOn.nonEmpty) saltOn else {
+      // xxhash64 rejects MapType (maps are unorderable, so their hash is
+      // undefined) — surface that contract here instead of as an opaque
+      // analysis error from inside the salted plan. Callers passing an
+      // explicit saltOn own the choice (and can hash a map via to_json).
+      import org.apache.spark.sql.types._
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType => true
+        case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+        case a: ArrayType => hasMap(a.elementType)
+        case _ => false
+      }
+      val maps = df.schema.fields.collect { case f if hasMap(f.dataType) => f.name }
+      require(maps.isEmpty,
+        s"content-hash salting cannot hash map-typed columns: ${maps.mkString(", ")} " +
+        "— drop or serialize them (e.g. to_json) before salting, or pass saltOn")
+      df.columns.map(col).toIndexedSeq
     }
-    val maps = df.schema.fields.collect { case f if hasMap(f.dataType) => f.name }
-    require(maps.isEmpty,
-      s"content-hash salting cannot hash map-typed columns: ${maps.mkString(", ")} " +
-      "— drop or serialize them (e.g. to_json) before salting")
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets.toLong))
+    pmod(xxhash64(src: _*), lit(saltBuckets.toLong))
   }
 
   /**
@@ -50,15 +55,23 @@ object Skew {
    * @param partials per-column (partialAgg, finalCombine) pairs keyed by
    *                 output name, e.g. `"n" -> (count(lit(1)), sum)` or
    *                 `"s" -> (sum($"v"), sum)`
+   * @param saltOn   columns the salt is hashed from; default (empty) hashes
+   *                 EVERY column. Degenerate case to know about: a hot key
+   *                 whose rows are byte-identical across the hashed columns
+   *                 (count-style facts with no payload) collapses to ONE
+   *                 salt bucket and the mitigation silently disappears —
+   *                 pass a genuinely varying column subset (an id, a
+   *                 timestamp) when the full row may not vary.
    */
   def saltedAgg(df: DataFrame, key: Column, saltBuckets: Int,
-                partials: Seq[(String, (Column, Column => Column))]): DataFrame = {
+                partials: Seq[(String, (Column, Column => Column))],
+                saltOn: Seq[Column] = Nil): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
     require(partials.nonEmpty, "saltedAgg needs at least one aggregate")
     require(!partials.exists(_._1 == "key"),
       "output name 'key' is reserved for the group key column")
     val salted = df
-      .withColumn("__salt", contentSalt(df, saltBuckets))
+      .withColumn("__salt", contentSalt(df, saltBuckets, saltOn))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head._2._1.as(s"__p_${partials.head._1}"),
         partials.tail.map { case (n, (p, _)) => p.as(s"__p_$n") }: _*)
@@ -84,11 +97,16 @@ object Skew {
    * (AQE's skew-join split covers sort-merge joins it can see at runtime;
    * this is the explicit form — deterministic plan, works under any join
    * strategy, and composable with pre-aggregated inputs.)
+   *
+   * @param saltOn salt-source columns for the LEFT side; same default and
+   *               same degenerate-case caveat as [[saltedAgg]] — rows of a
+   *               hot key identical across the hashed columns all take one
+   *               salt and still funnel through one reducer.
    */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 saltBuckets: Int): DataFrame = {
+                 saltBuckets: Int, saltOn: Seq[Column] = Nil): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
-    val l = left.withColumn("__salt", contentSalt(left, saltBuckets))
+    val l = left.withColumn("__salt", contentSalt(left, saltBuckets, saltOn))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     l.join(r, Seq(key, "__salt")).drop("__salt")

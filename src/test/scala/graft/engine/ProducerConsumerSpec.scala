@@ -529,19 +529,98 @@ class ProducerConsumerSpec extends SparkSpec {
     // released → produce works again, ids continue densely
     producer.flush()
     assert(topic.events().count() == 15)
-    // stale lock (crashed compactor): reclaimed instead of blocking forever
+    // stale lock (crashed compactor): reclaimed instead of blocking forever.
+    // Same-JVM arbitration is owner-thread-LIVENESS based, so the "crash"
+    // is a thread that acquired and died without releasing; the file half
+    // is aged out by compressing the staleness horizon.
     val prev = Catalog.CompactLockStaleMs
     try {
-      d.catalog.acquireCompactLock("mytopic")
+      val crashed = new Thread(() => d.catalog.acquireCompactLock("mytopic"))
+      crashed.start(); crashed.join(60000)
+      assert(!crashed.isAlive)
+      // a LIVE same-JVM holder would reject a contender regardless of age;
+      // a dead one must not block the topic forever
       Catalog.CompactLockStaleMs = 0L
       (0 until 2).foreach(i => producer.push(s"""{"k":$i}"""))
       producer.flush() // stale lock ignored
-      topic.compact()  // stale lock reclaimed by a new compactor
+      topic.compact()  // dead owner's entry + stale file both reclaimed
       assert(topic.events().count() == 17)
     } finally {
       Catalog.CompactLockStaleMs = prev
       d.catalog.releaseCompactLock("mytopic")
     }
+  }
+
+  test("a live same-JVM lock holder is never reclaimed, no matter how old") {
+    val (d, topic) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    (0 until 3).foreach(i => producer.push(s"""{"i":$i}"""))
+    producer.flush()
+    // this (live) thread holds the compact lock; even with the staleness
+    // horizon at zero, a second compactor must NOT steal it — same-JVM
+    // contention is decided by owner liveness, not age
+    val prev = Catalog.CompactLockStaleMs
+    d.catalog.acquireCompactLock("mytopic")
+    try {
+      Catalog.CompactLockStaleMs = 0L
+      val contender = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() => {
+        try d.catalog.acquireCompactLock("mytopic")
+        catch { case e: Throwable => contender.set(e) }
+      })
+      t.start(); t.join(60000)
+      assert(contender.get() != null &&
+        contender.get().getMessage.contains("compaction is already in progress"))
+    } finally {
+      Catalog.CompactLockStaleMs = prev
+      d.catalog.releaseCompactLock("mytopic")
+    }
+  }
+
+  test("stale-lock reclamation is serialized through the claim file") {
+    val (d, _) = newTopic(partitions = 1)
+    val hfs = d.catalog.topicPath("mytopic")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("mytopic"), "_produce.lock")
+    val claim = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("mytopic"), "_produce.lock.reclaim")
+    def mkStale(p: org.apache.hadoop.fs.Path): Unit = {
+      val out = hfs.create(p, true)
+      try out.write("crashed".getBytes) finally out.close()
+      hfs.setTimes(p, System.currentTimeMillis() - 3600 * 1000L, -1)
+    }
+    val held = (_: Long) => "contended"
+    // (a) two contenders racing reclamation of one stale lock: the claim
+    // file arbitrates — exactly one proceeds, the loser throws. (The old
+    // delete-based reclaim let the loser delete the winner's FRESH lock.)
+    mkStale(lock)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val ts = (0 until 2).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try d.catalog.reclaimStaleLock(lock, held)
+        catch { case e: IllegalStateException => errs.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(errs.size <= 1, s"at most one loser: ${errs.size}")
+    assert(!hfs.exists(lock), "the stale lock must be gone")
+    assert(!hfs.exists(claim), "the claim must be cleaned up")
+    // (b) a crashed RECLAIMER's stale claim: the next contender clears it
+    // (failing loudly itself), and the attempt after that succeeds
+    mkStale(lock); mkStale(claim)
+    intercept[IllegalStateException] { d.catalog.reclaimStaleLock(lock, held) }
+    assert(!hfs.exists(claim), "stale claim cleared for the next attempt")
+    d.catalog.reclaimStaleLock(lock, held)
+    assert(!hfs.exists(lock) && !hfs.exists(claim))
+    // (c) a FRESH lock is never reclaimed: the under-claim re-check backs off
+    val out = hfs.create(lock, true)
+    try out.write("live".getBytes) finally out.close()
+    intercept[IllegalStateException] { d.catalog.reclaimStaleLock(lock, held) }
+    assert(hfs.exists(lock), "a live lock survives a reclamation attempt")
+    hfs.delete(lock, false)
   }
 
   test("produce purges uncommitted chunks from a crashed predecessor (no duplicate ids)") {
