@@ -724,6 +724,123 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     finally releaseCompactLock(name)
   }
 
+  /**
+   * Time-based retention (Kafka's `retention.ms` analog): per partition,
+   * find the earliest event whose `eventTime` is at or past `cutoff` and
+   * drop everything BEFORE it. Prefix semantics, deliberately — retention
+   * trims a contiguous head of each partition's id space, so an
+   * out-of-order old-timestamped event that arrived AFTER the boundary is
+   * retained rather than punched out of the middle (deleting from the
+   * middle is [[purgeTopic]]'s job; cursors and the dense-suffix reasoning
+   * of [[expireTopic]] both survive unchanged). The per-partition bound is
+   * a tiny aggregate broadcast back onto the log scan — no extra shuffle
+   * of the data itself. Same lock/swap/manifest contract as
+   * [[compactTopic]].
+   *
+   * @param eventTime column over the event schema (metadata/data/
+   *                  event_id/partition) giving each event's time; rows
+   *                  where it is NULL never extend the retained prefix
+   * @param cutoff    events strictly before the first `eventTime >= cutoff`
+   *                  event (per partition) are dropped; a partition with no
+   *                  such event is emptied entirely
+   */
+  def expireTopicOlderThan(name: String, eventTime: org.apache.spark.sql.Column,
+                           cutoff: org.apache.spark.sql.Column,
+                           chunkMaxRecords: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, min}
+    acquireCompactLock(name)
+    try rewriteLocked(name, chunkMaxRecords, { df =>
+      val bounds = df.filter(eventTime >= cutoff)
+        .groupBy(col("partition")).agg(min(col("event_id")).as("__keep_from"))
+      df.join(broadcast(bounds), Seq("partition"))
+        .filter(col("event_id") >= col("__keep_from"))
+        .drop("__keep_from")
+    })
+    finally releaseCompactLock(name)
+  }
+
+  /**
+   * Orphan-file GC: remove files in the topic directory that no committed
+   * state references — the debris crashed operations leave behind:
+   *
+   *  1. uncommitted chunk files (a produce that died between its parquet
+   *     write and its id commit — same signature `purgeUncommitted` uses
+   *     on the produce path: not in the manifest AND footer ids at/above
+   *     the committed watermark, so a committed file can never match);
+   *  2. `log.compact.tmp` (always garbage) and `log.compact.old` once the
+   *     live log exists (a crashed compactor's moved-aside copy — restored
+   *     first if it is the ONLY copy, mirroring `rewriteLocked`'s
+   *     recovery ordering);
+   *  3. `.*.tmp` leftovers of `writeAtomic`, only when older than
+   *     [[Catalog.CompactLockStaleMs]] — cursor acknowledgements write
+   *     outside the topic locks, so a FRESH tmp file may be an in-flight
+   *     write and is left alone.
+   *
+   * Runs under the compact lock (and refuses under a live produce), so it
+   * can never race the writers whose debris it collects. Safe to run on
+   * any cadence; a no-op on a clean topic.
+   */
+  def vacuumTopic(name: String): VacuumReport = {
+    acquireCompactLock(name)
+    try vacuumLocked(name)
+    finally releaseCompactLock(name)
+  }
+
+  private def vacuumLocked(name: String): VacuumReport = {
+    var chunks = 0; var swaps = 0; var tmps = 0; var bytes = 0L
+    def drop(p: Path, recursive: Boolean): Unit = {
+      bytes += (try fs.getContentSummary(p).getLength
+        catch { case _: java.io.FileNotFoundException => 0L })
+      fs.delete(p, recursive): Unit
+    }
+    // 0. crash recovery FIRST (same ordering rule as rewriteLocked): if a
+    // compactor died between its two renames, the moved-aside copy is the
+    // only copy — restore it before any listing or delete, so the chunk
+    // pass below scans the restored log
+    val log0 = new Path(logPath(name))
+    val old0 = new Path(topicPath(name), "log.compact.old")
+    if (fs.exists(old0) && !fs.exists(log0)) {
+      if (!fs.rename(old0, log0))
+        throw new java.io.IOException(
+          s"vacuum: cannot restore moved-aside log from crashed run: $old0")
+    }
+    // 1. uncommitted chunks — purgeUncommitted's signature, counted
+    readManifest(name).foreach { m =>
+      val conf = hadoopConf
+      nextIds(name).foreach { case (p, watermark) =>
+        val dir = new Path(logPath(name), s"partition=$p")
+        if (fs.exists(dir)) {
+          val known = m.files.getOrElse(p, Vector.empty).map(_.path).toSet
+          fs.listStatus(dir)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .filterNot(f => known.contains(s"partition=$p/${f.getPath.getName}"))
+            .foreach { f =>
+              val (lo, _) = Catalog.fileIdRange(f.getPath, conf)
+              if (lo != Long.MinValue && lo >= watermark) {
+                chunks += 1; drop(f.getPath, recursive = false)
+              }
+            }
+        }
+      }
+    }
+    // 2. crashed-compaction swap leftovers (restore already ran above, so
+    // anything still here sits ALONGSIDE a live log — safe garbage)
+    val tmp = new Path(topicPath(name), "log.compact.tmp")
+    Seq(tmp, old0).foreach { p =>
+      if (fs.exists(p)) { swaps += 1; drop(p, recursive = true) }
+    }
+    // 3. stale writeAtomic leftovers (".<name>.tmp"), topic root + manifest
+    val horizon = System.currentTimeMillis() - Catalog.CompactLockStaleMs
+    Seq(topicPath(name), manifestDir(name)).foreach { d =>
+      if (fs.exists(d)) fs.listStatus(d)
+        .filter(f => f.isFile && f.getPath.getName.startsWith(".") &&
+          f.getPath.getName.endsWith(".tmp") &&
+          f.getModificationTime < horizon)
+        .foreach { f => tmps += 1; drop(f.getPath, recursive = false) }
+    }
+    VacuumReport(chunks, swaps, tmps, bytes)
+  }
+
   private def rewriteLocked(name: String, chunkMaxRecords: Long,
                             transform: org.apache.spark.sql.DataFrame
                               => org.apache.spark.sql.DataFrame): Unit = {
@@ -1031,6 +1148,12 @@ object Catalog {
 
 /** One manifest-registered chunk file: path relative to the topic's log
   * directory plus its footer `event_id` range (closed interval). */
+/** What [[Catalog.vacuumTopic]] removed: crashed-produce chunk files,
+  * crashed-compaction swap leftovers, stale atomic-write temp files, and
+  * the total bytes reclaimed. */
+final case class VacuumReport(uncommittedChunks: Int, swapLeftovers: Int,
+                              tmpFiles: Int, bytesReclaimed: Long)
+
 final case class ManifestFile(path: String, lo: Long, hi: Long)
 
 /** See [[Catalog.readManifest]]. `watermarks(p)` = next EventID the file

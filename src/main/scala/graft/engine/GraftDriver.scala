@@ -171,6 +171,17 @@ final class TopicHandle(spark: SparkSession,
                   chunkMaxRecords: Long = 1000000L): Unit =
     catalog.purgeTopic(name, cond, chunkMaxRecords)
 
+  /** Time-based retention: drop each partition's prefix older than
+    * `cutoff` under `eventTime` — see [[Catalog.expireTopicOlderThan]]. */
+  def expireOlderThan(eventTime: org.apache.spark.sql.Column,
+                      cutoff: org.apache.spark.sql.Column,
+                      chunkMaxRecords: Long = 1000000L): Unit =
+    catalog.expireTopicOlderThan(name, eventTime, cutoff, chunkMaxRecords)
+
+  /** Orphan-file GC: remove crashed-operation debris (uncommitted chunks,
+    * swap leftovers, stale temp files) — see [[Catalog.vacuumTopic]]. */
+  def vacuum(): VacuumReport = catalog.vacuumTopic(name)
+
   /** The validator compiled from the topic's persisted descriptor. */
   def validator: Validator = Validator.fromDescriptor(config.validator)
 

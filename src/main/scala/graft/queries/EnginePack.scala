@@ -350,6 +350,85 @@ object EnginePack extends QueryPack {
         .withColumn("watermark_intact", lit(intact))
         .orderBy(col("partition"))
     },
+    "q_expire_time" -> { (s, dir) =>
+      // time-based retention (Kafka retention.ms analog): metadata carries
+      // the source event time (nanos); expire everything before the
+      // 60th-percentile timestamp. PREFIX semantics per partition — the
+      // oracle re-derives each partition's keep-from boundary independently
+      val d = tempDriver(s)
+      d.createTopic("expire_t_demo", partitions = 4)
+      val topic = d.openTopic("expire_t_demo")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"),
+            col("ts").as("tsn"))).as("metadata"),
+          pmod(col("event_id"), lit(4)).cast("int").as("partition"))
+      topic.producer().produce(src)
+      // the cutoff a human operator would pass to a retention job: the
+      // event time 60% into the stream — two bounded single-row lookups on
+      // the SETUP side of the maintenance call, not in any data plan
+      val ev = t(s, dir, "events")
+      val cutEid = ev.agg(floor(count(lit(1)) * 0.6).cast("long")).head.getLong(0)
+      val cutoff = ev.filter(col("event_id") === cutEid)
+        .select(col("ts").cast("long")).head.getLong(0)
+      topic.expireOlderThan(
+        get_json_object(col("metadata"), "$.tsn").cast("long"), lit(cutoff))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.events()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
+    "q_vacuum" -> { (s, dir) =>
+      // orphan-file GC: plant the three debris classes crashed operations
+      // leave (an uncommitted chunk past the watermark, a compaction swap
+      // dir, a stale atomic-write temp), vacuum, and grade that every
+      // orphan is gone, the committed log is untouched (metadata-keyed
+      // aggregate matches the source exactly), and the report counts match
+      val d = tempDriver(s)
+      d.createTopic("vac_demo", partitions = 4)
+      val topic = d.openTopic("vac_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      val topicPath = d.catalog.topicPath("vac_demo")
+      val fs = topicPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p0 = new org.apache.hadoop.fs.Path(
+        d.catalog.logPath("vac_demo"), "partition=0")
+      // (1) an uncommitted chunk: real parquet whose footer ids sit past
+      // the watermark — exactly what a produce that died pre-commit leaves
+      val committed = fs.listStatus(p0)
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      val scratch = Files.createTempDirectory("graft-vacuum-orphan")
+      cleanupOnExit(scratch)
+      s.read.parquet(committed.toString).limit(5)
+        .withColumn("event_id", col("event_id") + 1000000L)
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(scratch.toString))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      val orphan = new org.apache.hadoop.fs.Path(p0, "chunk-orphan.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, orphan, false, s.sparkContext.hadoopConfiguration): Unit
+      // (2) a crashed compactor's swap dir
+      val swapTmp = new org.apache.hadoop.fs.Path(topicPath, "log.compact.tmp")
+      fs.mkdirs(swapTmp)
+      // (3) a stale atomic-write leftover, aged past the staleness horizon
+      val staleTmp = new org.apache.hadoop.fs.Path(topicPath, "._ids.json.tmp")
+      val out = fs.create(staleTmp, true)
+      try out.write("{}".getBytes) finally out.close()
+      fs.setTimes(staleTmp, System.currentTimeMillis() - 24L * 3600 * 1000, -1)
+      val rep = topic.vacuum()
+      val gone = !fs.exists(orphan) && !fs.exists(swapTmp) && !fs.exists(staleTmp)
+      val reportOk = rep.uncommittedChunks == 1 && rep.swapLeftovers == 1 &&
+        rep.tmpFiles == 1 && rep.bytesReclaimed > 0
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.events()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"))
+        .withColumn("orphans_gone", lit(gone))
+        .withColumn("report_ok", lit(reportOk))
+        .orderBy(col("partition"))
+    },
     "q_snapshot" -> { (s, dir) =>
       // reproducible-dataset snapshot: pin the watermark after the first
       // produce; the pinned read must see exactly that produce's rows no
@@ -730,6 +809,27 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) - 100 AS cnt,
         | CAST(100 AS BIGINT) AS min_id, count(*) - 1 AS max_id,
         | count(*) - 100 AS n_distinct, true AS watermark_intact
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // time-based retention: per-partition keep-from = min id whose event
+    // time is at/past the 60th-percentile timestamp; the retained suffix
+    // is re-derived here from the source table independently
+    "q_expire_time" ->
+      """WITH src AS (SELECT event_id AS eid, CAST(event_id % 4 AS INT) AS p,
+        |                    epoch_ns(ts) AS tsn FROM events),
+        |cut AS (SELECT tsn AS c FROM src
+        |        WHERE eid = (SELECT CAST(floor(count(*) * 0.6) AS BIGINT) FROM src)),
+        |bounds AS (SELECT p, min(eid) AS keep_from
+        |           FROM src, cut WHERE tsn >= c GROUP BY p)
+        |SELECT s.p AS partition, count(*) AS cnt,
+        | CAST(sum(s.eid) AS BIGINT) AS sum_eid,
+        | min(s.eid) AS min_eid, max(s.eid) AS max_eid
+        |FROM src s JOIN bounds b ON s.p = b.p AND s.eid >= b.keep_from
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // vacuum removes ONLY orphans: the committed population is bit-intact
+    "q_vacuum" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | true AS orphans_gone, true AS report_ok
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // lag = per-partition count − committed cursor (10·(p+1))
     "q_consumer_lag" ->

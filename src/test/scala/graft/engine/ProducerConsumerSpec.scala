@@ -551,6 +551,54 @@ class ProducerConsumerSpec extends SparkSpec {
     }
   }
 
+  test("expireOlderThan keeps a contiguous suffix even with out-of-order timestamps") {
+    val (d, topic) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    // ts sequence 10,20,5,30,4,40: the first event at/past cutoff 25 is id
+    // 3 — ids 0-2 drop, ids 3-5 survive INCLUDING id 4 whose ts (4) is
+    // older than the cutoff: retention trims a PREFIX, it never punches
+    // holes in the retained suffix (that's deleteWhere's semantic)
+    Seq(10, 20, 5, 30, 4, 40).zipWithIndex.foreach { case (ts, i) =>
+      producer.push(s"""{"i":$i,"ts":$ts}""")
+    }
+    producer.flush()
+    topic.expireOlderThan(
+      get_json_object(col("metadata"), "$.ts").cast("long"), lit(25L))
+    val ids = topic.events().orderBy(col("event_id"))
+      .collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(ids == Seq(3L, 4L, 5L))
+    // a cutoff past every timestamp empties the partition — but the
+    // produce watermark survives, so new events continue the id sequence
+    topic.expireOlderThan(
+      get_json_object(col("metadata"), "$.ts").cast("long"), lit(1000L))
+    assert(topic.events().count() == 0L)
+    assert(d.catalog.nextIds("mytopic")(0) == 6L)
+    producer.push("""{"i":6,"ts":50}"""); producer.flush()
+    assert(topic.events().select("event_id").collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("vacuum restores a crashed compactor's moved-aside log before collecting") {
+    val (d, topic) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    (0 until 10).foreach(i => producer.push(s"""{"i":$i}"""))
+    producer.flush()
+    val hfs = d.catalog.topicPath("mytopic")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(d.catalog.logPath("mytopic"))
+    val old = new org.apache.hadoop.fs.Path(d.catalog.topicPath("mytopic"), "log.compact.old")
+    // simulate a compactor that died between its two renames: the
+    // moved-aside copy is the ONLY copy of the data
+    assert(hfs.rename(log, old))
+    val rep = topic.vacuum()
+    // the log is back, data intact — and the leftover `old` was collected
+    assert(topic.events().count() == 10L)
+    assert(!hfs.exists(old))
+    assert(rep.swapLeftovers == 0, "a restored-then-renamed old is not debris")
+    // a second vacuum on the now-clean topic is a no-op
+    val rep2 = topic.vacuum()
+    assert(rep2 == VacuumReport(0, 0, 0, 0L))
+  }
+
   test("a live same-JVM lock holder is never reclaimed, no matter how old") {
     val (d, topic) = newTopic(partitions = 1)
     val producer = topic.producer()
