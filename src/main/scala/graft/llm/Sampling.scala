@@ -185,4 +185,27 @@ object Sampling {
       coalesce(element_at(typedLit(bp), col(stratumCol)),
         lit(math.round(defaultFraction * Buckets))))
   }
+
+  /**
+   * Deterministic corpus shuffle for reproducible training runs: each row
+   * gets a `shard` in [0, shards) and a `shuffle_key` order key, both pure
+   * functions of (seed, row key) — a seeded permutation any engine can
+   * re-derive, stable across runs, partition layouts, and resumes (the
+   * property `rand()`-shuffled training order lacks; re-running a crashed
+   * epoch-0 export must produce bit-identical shards). Materializing the
+   * shuffled corpus is then `repartitionByRange($"shard", $"shuffle_key")`
+   * + `sortWithinPartitions` + a partitioned write — ONE range shuffle at
+   * any scale; the assignment itself is a codegen'd projection with no
+   * shuffle at all. Power-of-two shard counts divide the 16-bit bucket
+   * domain exactly (no modulo bias — same stance as [[bucket]]).
+   */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int,
+                    seed: String = "42"): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val k = md5(concat_ws("|", lit(seed), col(keyCol).cast("string")))
+    df.withColumn("shuffle_key", k)
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"),
+          lit(shards.toLong)))
+  }
 }

@@ -293,6 +293,19 @@ object AnalyticsPack extends QueryPack {
         .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"))
         .orderBy($"split")
     },
+    "q_shuffle_shards" -> { (s, dir) =>
+      import s.implicits._
+      // reproducible training-order shuffle: a seeded hash permutation
+      // assigns every doc a shard and a within-shard position; the oracle
+      // re-derives shard MEMBERSHIP (count + id checksum) and ORDER (the
+      // first/last doc of every shard under the order key) independently
+      Sampling.shuffleShards(t(s, dir, "documents"), "doc_id", shards = 8)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"),
+          min_by($"doc_id", $"shuffle_key").as("first_doc"),
+          max_by($"doc_id", $"shuffle_key").as("last_doc"))
+        .orderBy($"shard")
+    },
     "q_sample_quota" -> { (s, dir) =>
       import s.implicits._
       // source balancing: at most 30 docs per language, chosen in
@@ -549,6 +562,17 @@ object AnalyticsPack extends QueryPack {
          |            WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS split,
          | CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM d GROUP BY split ORDER BY split""".stripMargin
+    },
+    "q_shuffle_shards" -> {
+      // seeded key "42|<doc_id>" — same string both engines; shard = the
+      // 16-bit md5 bucket mod 8 (power of two: exact, unbiased)
+      val key = "concat('42', '|', CAST(doc_id AS VARCHAR))"
+      s"""WITH d AS (SELECT doc_id, md5($key) AS k,
+         |  ${TextPack.bucketSql(key)} % 8 AS shard FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+         | min_by(doc_id, k) AS first_doc, max_by(doc_id, k) AS last_doc
+         |FROM d GROUP BY shard ORDER BY shard""".stripMargin
     },
     "q_sample_quota" ->
       s"""SELECT doc_id, lang FROM (

@@ -94,6 +94,32 @@ class JoinsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedAgg with an explicit saltOn spreads byte-identical rows") {
+    import session.implicits._
+    // count-style facts: every row of the hot key is byte-identical, so
+    // the default full-row content salt degenerates to ONE bucket; an
+    // explicit varying salt source (here a synthetic uniform column an
+    // ingest pipeline would have, e.g. an id) restores the spread — and
+    // the aggregate stays exact either way
+    val df = (0 until 4096).map(i => ("hot", i.toLong)).toDF("k", "rid")
+    val spread = df.withColumn("__s",
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"rid"), lit(8L)))
+      .select($"__s").distinct().count()
+    assert(spread == 8L, "salt source must actually vary")
+    val salted = Skew.saltedAgg(df.select($"k", $"rid"), col("k"), saltBuckets = 8,
+      Seq("n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)))),
+      saltOn = Seq($"rid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == Map("hot" -> 4096L))
+    // degenerate default documented in the scaladoc: identical rows share
+    // one salt — result still exact, only the spread is lost
+    val dflt = Skew.saltedAgg(df.select($"k"), col("k"), saltBuckets = 8,
+      Seq("n" -> ((count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dflt == Map("hot" -> 4096L))
+  }
+
   test("asOf tolerance: stale matches null out, fresh ones survive") {
     import session.implicits._
     val left = Seq((1L, 100L, "x"), (1L, 500L, "y"), (2L, 50L, "z"))
