@@ -1103,6 +1103,15 @@ object Catalog {
       StructField("data", BinaryType)))
   }
 
+  /** Index names become path components under `<topic>/_index/`. */
+  private[engine] def validIndexName(s: String): String = {
+    if (s.isEmpty || !s.matches("[A-Za-z0-9_.-]+") || s == "." || s == ".." ||
+        s.endsWith(".tmp"))
+      throw new IllegalArgumentException(
+        s"Invalid index name '$s': only [A-Za-z0-9_.-]+ allowed (no .tmp suffix)")
+    s
+  }
+
   /** The shared `{ "partition": nextId }` map codec — used by the watermark
     * file, consumer cursors, and streaming offsets (one format, one place). */
   def idMapToJson(ids: Map[Int, Long]): String =

@@ -182,6 +182,24 @@ final class TopicHandle(spark: SparkSession,
     * swap leftovers, stale temp files) — see [[Catalog.vacuumTopic]]. */
   def vacuum(): VacuumReport = catalog.vacuumTopic(name)
 
+  /** Build or incrementally refresh a per-chunk-file zone-map index over a
+    * numeric metadata field — returns the number of files newly indexed.
+    * See [[MetadataIndex]] for the pruning and freshness contracts. */
+  def refreshIndex(indexName: String, jsonPath: String): Int =
+    MetadataIndex.refresh(spark, catalog, name, indexName, jsonPath)
+
+  /** Indexed read: only chunk files whose indexed-field range intersects
+    * `[lower, upper]` are opened (unindexed files conservatively included);
+    * the exact predicate is re-applied per row, so the rows equal filtering
+    * [[events()*]] — only the I/O differs. */
+  def eventsIndexed(indexName: String, lower: Double, upper: Double): DataFrame =
+    MetadataIndex.events(spark, catalog, name, indexName, lower, upper)
+
+  /** How many live files an indexed `[lower, upper]` read would open —
+    * the ops/assertion surface for pruning effectiveness. */
+  def indexScan(indexName: String, lower: Double, upper: Double): MetadataIndex.IndexScan =
+    MetadataIndex.scan(spark, catalog, name, indexName, lower, upper)
+
   /** The validator compiled from the topic's persisted descriptor. */
   def validator: Validator = Validator.fromDescriptor(config.validator)
 

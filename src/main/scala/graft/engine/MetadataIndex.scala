@@ -1,0 +1,192 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Persisted per-chunk-file zone maps over a NUMERIC metadata field — the
+ * engine's secondary index. Parquet's own row-group statistics cannot see
+ * INSIDE the metadata JSON document, so a consumer filtering on a metadata
+ * field (`get_json_object(metadata, '$.k') BETWEEN a AND b`) scans every
+ * chunk file of the topic. This index lifts min/max/null-count statistics
+ * of an extracted field to file granularity, so an indexed read opens only
+ * the files whose value range intersects the predicate.
+ *
+ * Shape and contracts:
+ *
+ *  - The index is a small parquet relation keyed by chunk-file path:
+ *    `(partition, path, json_path, lo, hi, n_nonnull, n_rows)` — O(files),
+ *    the same scale class as the manifest itself.
+ *  - `refresh` scans ONLY live files not yet indexed (the manifest names
+ *    the live set), one column of each — cost O(new data since the last
+ *    refresh), never O(topic). Entries for dead (compacted/expired) paths
+ *    are dropped on the same pass.
+ *  - Pruning is CONSERVATIVE, never lossy: a live file with no index entry
+ *    (produced since the last refresh) is always scanned; a file whose
+ *    entry says the field is all-NULL is skipped (a numeric range
+ *    predicate cannot match NULL). The residual predicate is re-applied
+ *    row-by-row on the pruned scan, so an indexed read returns EXACTLY
+ *    the rows the unindexed read would — the index can only skip work,
+ *    never change an answer.
+ *  - Runs under the compact lock so compaction cannot swap files out from
+ *    under a refresh; the index file itself is swapped atomically
+ *    (write-new + rename) like the catalog's other metadata.
+ *  - Stored-form topics (non-JSON serializers) are decoded through the
+ *    topic's serializer before extraction, same as the consumer view.
+ *
+ * At 100 TB: the refresh is a single narrow aggregation over new files
+ * only; the indexed read turns a full-log scan into an O(matching files)
+ * scan — the same order-of-magnitude win parquet row-group skipping gives
+ * WITHIN a file, applied across the file population.
+ */
+object MetadataIndex {
+
+  /** What an indexed read would open: `kept` of `total` live files. */
+  final case class IndexScan(total: Int, kept: Int)
+
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("partition", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("json_path", StringType, nullable = false),
+    StructField("lo", DoubleType),
+    StructField("hi", DoubleType),
+    StructField("n_nonnull", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+
+  private def indexDir(c: Catalog, topic: String): Path =
+    new Path(c.topicPath(topic), "_index")
+  private def indexPath(c: Catalog, topic: String, index: String): Path =
+    new Path(indexDir(c, topic), Catalog.validIndexName(index))
+
+  /** Live (partition, relativePath) pairs from the manifest. */
+  private def liveFiles(c: Catalog, topic: String): Seq[(Int, String)] =
+    c.readManifest(topic) match {
+      case Some(m) => m.files.toSeq.flatMap { case (p, fs) => fs.map(f => p -> f.path) }
+      case None => throw new IllegalStateException(
+        s"topic '$topic' has no manifest — produce at least once before indexing")
+    }
+
+  private def readIndex(spark: SparkSession, c: Catalog, topic: String,
+                        index: String): Seq[Row] = {
+    val dir = indexPath(c, topic, index)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else spark.read.schema(IndexSchema).parquet(dir.toString).collect().toSeq
+  }
+
+  /**
+   * Build or incrementally refresh the index: scans live files without an
+   * entry, folds out entries for dead files. Returns the number of files
+   * newly indexed. Idempotent; safe on any cadence (each produce adds at
+   * most one file per partition, so "refresh after every N produces" keeps
+   * the unindexed — conservatively scanned — tail bounded at N files).
+   */
+  def refresh(spark: SparkSession, c: Catalog, topic: String, index: String,
+              jsonPath: String): Int = {
+    require(jsonPath.startsWith("$."), s"jsonPath must be '$$.field': $jsonPath")
+    c.acquireCompactLock(topic)
+    try {
+      val live = liveFiles(c, topic)
+      val liveSet = live.map(_._2).toSet
+      val existing = readIndex(spark, c, topic, index)
+      existing.headOption.map(_.getAs[String]("json_path")).foreach { prior =>
+        require(prior == jsonPath,
+          s"index '$index' on topic '$topic' is over $prior, not $jsonPath — " +
+          "use a different index name per field")
+      }
+      val keptEntries = existing.filter(r => liveSet.contains(r.getAs[String]("path")))
+      val known = keptEntries.map(_.getAs[String]("path")).toSet
+      val newRel = live.filterNot { case (_, p) => known.contains(p) }
+      if (newRel.isEmpty && keptEntries.size == existing.size) return 0
+
+      val logRoot = c.logPath(topic)
+      val newEntries: Seq[Row] = if (newRel.isEmpty) Seq.empty else {
+        val abs = newRel.map { case (_, rel) => new Path(logRoot, rel).toString }
+        val ser = Serializer.fromDescriptor(c.openTopic(topic).serializer)
+        val metadata = ser match {
+          case Serializer.Json => col("metadata")
+          case s => s.deserialize(col("metadata")).cast(StringType)
+        }
+        val v = get_json_object(metadata, jsonPath).cast(DoubleType)
+        // input_file_name is a URI whose prefix varies by filesystem; the
+        // manifest-relative tail "partition=<p>/<file>" is scheme-invariant
+        val rel = regexp_extract(input_file_name(), "(partition=[^/]+/[^/]+)$", 1)
+        spark.read.option("basePath", logRoot).schema(Catalog.EventSchema)
+          .parquet(abs: _*)
+          .groupBy(col("partition"), rel.as("path"))
+          .agg(min(v).as("lo"), max(v).as("hi"),
+            count(v).as("n_nonnull"), count(lit(1)).as("n_rows"))
+          .withColumn("json_path", lit(jsonPath))
+          .select("partition", "path", "json_path", "lo", "hi", "n_nonnull", "n_rows")
+          .collect().toSeq
+      }
+      val all = keptEntries ++ newEntries
+      val dir = indexPath(c, topic, index)
+      val tmp = new Path(dir.getParent, dir.getName + ".tmp")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(tmp, true)
+      spark.createDataFrame(spark.sparkContext.parallelize(all.toList, 1), IndexSchema)
+        .write.parquet(tmp.toString)
+      fs.delete(dir, true)
+      if (!fs.rename(tmp, dir))
+        throw new java.io.IOException(s"index refresh: cannot install $tmp -> $dir")
+      newEntries.size
+    } finally c.releaseCompactLock(topic)
+  }
+
+  /** The files an indexed `[lower, upper]` read keeps, with totals —
+    * driver-side over the O(files) index relation, like every other
+    * manifest decision. */
+  private def plan(spark: SparkSession, c: Catalog, topic: String, index: String,
+                   lower: Double, upper: Double): (Seq[String], String, IndexScan) = {
+    val live = liveFiles(c, topic)
+    val entries = readIndex(spark, c, topic, index)
+    val jsonPath = entries.headOption.map(_.getAs[String]("json_path"))
+      .getOrElse(throw new IllegalStateException(
+        s"index '$index' on topic '$topic' does not exist — refresh it first"))
+    val byPath = entries.map(r => r.getAs[String]("path") -> r).toMap
+    val kept = live.filter { case (_, rel) =>
+      byPath.get(rel) match {
+        case None => true // produced since the last refresh: scan conservatively
+        case Some(r) =>
+          // all-NULL file: a numeric range predicate cannot match — skip
+          r.getAs[Long]("n_nonnull") > 0L &&
+            r.getAs[Double]("hi") >= lower && r.getAs[Double]("lo") <= upper
+      }
+    }
+    val logRoot = c.logPath(topic)
+    (kept.map { case (_, rel) => new Path(logRoot, rel).toString },
+      jsonPath, IndexScan(live.size, kept.size))
+  }
+
+  /** Pruning stats only (ops/assertion surface): how many live files an
+    * indexed read of `[lower, upper]` would open. */
+  def scan(spark: SparkSession, c: Catalog, topic: String, index: String,
+           lower: Double, upper: Double): IndexScan =
+    plan(spark, c, topic, index, lower, upper)._3
+
+  /**
+   * The indexed read: only files whose zone intersects `[lower, upper]`
+   * (plus unindexed ones, conservatively), with the exact predicate
+   * re-applied per row — result rows are identical to filtering the full
+   * consumer view, only the I/O differs.
+   */
+  def events(spark: SparkSession, c: Catalog, topic: String, index: String,
+             lower: Double, upper: Double): DataFrame = {
+    val (files, jsonPath, _) = plan(spark, c, topic, index, lower, upper)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Catalog.EventSchema)
+      else spark.read.option("basePath", c.logPath(topic))
+        .schema(Catalog.EventSchema).parquet(files: _*)
+    val ser = Serializer.fromDescriptor(c.openTopic(topic).serializer)
+    val decoded = ser match {
+      case Serializer.Json => base
+      case s => base.withColumn("metadata", s.deserialize(col("metadata")).cast(StringType))
+    }
+    decoded.filter(
+      get_json_object(col("metadata"), jsonPath).cast(DoubleType).between(lower, upper))
+  }
+}

@@ -429,6 +429,48 @@ object EnginePack extends QueryPack {
         .withColumn("report_ok", lit(reportOk))
         .orderBy(col("partition"))
     },
+    "q_meta_index" -> { (s, dir) =>
+      // zone-map metadata index: range-separated produces give every chunk
+      // file a disjoint $.eid zone; the indexed read of a middle window
+      // must OPEN fewer files than the log holds (pruned), stay exact for
+      // files produced AFTER the refresh (conservative), and the second
+      // refresh must index ONLY the new files (incremental). The oracle
+      // re-derives the surviving row set from the source table.
+      val d = tempDriver(s)
+      d.createTopic("idx_demo", partitions = 4)
+      val topic = d.openTopic("idx_demo")
+      val src = sourceByEid(s, dir)
+      val eidOf = get_json_object(col("metadata"), "$.eid").cast("long")
+      val n = t(s, dir, "events").count()
+      topic.producer().produce(src.filter(eidOf < n / 2))
+      topic.producer().produce(src.filter(eidOf >= n / 2 && eidOf < n * 3 / 4))
+      def liveFiles: Int =
+        d.catalog.readManifest("idx_demo").get.files.values.map(_.size).sum
+      val f12 = liveFiles
+      val r1 = topic.refreshIndex("eid_idx", "$.eid")
+      topic.producer().produce(src.filter(eidOf >= n * 3 / 4))
+      val f123 = liveFiles
+      val lo = (n * 3 / 10).toDouble; val hi = (n * 6 / 10).toDouble
+      // stale window: the tail produce is unindexed — scanned conservatively
+      val scanStale = topic.indexScan("eid_idx", lo, hi)
+      val staleCnt = topic.eventsIndexed("eid_idx", lo, hi).count()
+      val r2 = topic.refreshIndex("eid_idx", "$.eid")
+      val scanFresh = topic.indexScan("eid_idx", lo, hi)
+      // the window ends below the tail produce's range, so a fresh index
+      // must prune at least the tail's files
+      val pruned = scanFresh.kept < scanFresh.total && scanFresh.kept > 0
+      val incrementalOk = r1 == f12 && r2 == f123 - f12 && r2 > 0
+      val conservativeOk = scanStale.kept == scanStale.total &&
+        staleCnt == (n * 6 / 10) - (n * 3 / 10) + 1
+      topic.eventsIndexed("eid_idx", lo, hi)
+        .select(col("partition"), eidOf.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"))
+        .withColumn("pruned", lit(pruned))
+        .withColumn("incremental_ok", lit(incrementalOk))
+        .withColumn("conservative_ok", lit(conservativeOk))
+        .orderBy(col("partition"))
+    },
     "q_snapshot" -> { (s, dir) =>
       // reproducible-dataset snapshot: pin the watermark after the first
       // produce; the pinned read must see exactly that produce's rows no
@@ -824,6 +866,16 @@ object EnginePack extends QueryPack {
         | CAST(sum(s.eid) AS BIGINT) AS sum_eid,
         | min(s.eid) AS min_eid, max(s.eid) AS max_eid
         |FROM src s JOIN bounds b ON s.p = b.p AND s.eid >= b.keep_from
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // zone-map-indexed read of the [0.3n, 0.6n] eid window: file pruning
+    // may only skip I/O, never rows — the survivors equal the plain filter
+    "q_meta_index" ->
+      """WITH nn AS (SELECT count(*) AS c FROM events)
+        |SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | true AS pruned, true AS incremental_ok, true AS conservative_ok
+        |FROM events, nn
+        |WHERE event_id >= (c * 3) // 10 AND event_id <= (c * 6) // 10
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // vacuum removes ONLY orphans: the committed population is bit-intact
     "q_vacuum" ->

@@ -1,0 +1,113 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Zone-map metadata index: pruning must SKIP files provably, FRESHNESS
+ * must stay conservative (unindexed files always scanned), and the indexed
+ * read must return exactly the rows the full-scan filter would under every
+ * lifecycle event (new produces, compaction, all-NULL files).
+ */
+class MetadataIndexSpec extends SparkSpec {
+
+  private def newTopic(partitions: Int = 2): (GraftDriver, TopicHandle) = {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-idx-spec").toString)
+    d.createTopic("idx", partitions = partitions)
+    (d, d.openTopic("idx"))
+  }
+
+  /** Produce rows with metadata {"v": i} for i in [lo, hi). */
+  private def produceRange(topic: TopicHandle, lo: Int, hi: Int): Unit = {
+    import spark.implicits._
+    topic.producer().produce(
+      (lo until hi).map(i => s"""{"v":$i}""").toDF("metadata"))
+  }
+
+  private def vOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select(get_json_object(col("metadata"), "$.v").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+
+  test("indexed read prunes non-intersecting files and matches the full-scan filter") {
+    val (_, topic) = newTopic(partitions = 2)
+    // four produces with disjoint value ranges → per partition, four chunk
+    // files with disjoint zone maps
+    Seq((0, 100), (100, 200), (200, 300), (300, 400))
+      .foreach { case (lo, hi) => produceRange(topic, lo, hi) }
+    assert(topic.refreshIndex("v_idx", "$.v") == 8) // 4 produces × 2 partitions
+    // [120, 180] intersects exactly one produce's files
+    val s = topic.indexScan("v_idx", 120, 180)
+    assert(s.total == 8 && s.kept == 2, s"expected 2 of 8 files kept: $s")
+    val got = vOf(topic.eventsIndexed("v_idx", 120, 180))
+    val want = vOf(topic.events().filter(
+      get_json_object(col("metadata"), "$.v").cast("long").between(120, 180)))
+    assert(got == want && got == (120L to 180L).toSet)
+    // an empty window keeps nothing and returns nothing
+    assert(topic.indexScan("v_idx", 5000, 6000).kept == 0)
+    assert(topic.eventsIndexed("v_idx", 5000, 6000).count() == 0L)
+  }
+
+  test("freshness is conservative: files produced after a refresh are still scanned") {
+    val (_, topic) = newTopic(partitions = 2)
+    produceRange(topic, 0, 100)
+    assert(topic.refreshIndex("v_idx", "$.v") == 2)
+    // new data lands, index is stale — the indexed read must still see it
+    produceRange(topic, 100, 200)
+    val s = topic.indexScan("v_idx", 150, 160)
+    assert(s.total == 4 && s.kept == 2, // the 2 unindexed files, old 2 pruned
+      s"stale index must keep exactly the unindexed files: $s")
+    assert(vOf(topic.eventsIndexed("v_idx", 150, 160)) == (150L to 160L).toSet)
+    // the second refresh indexes ONLY the new files (incremental)
+    assert(topic.refreshIndex("v_idx", "$.v") == 2)
+    assert(topic.indexScan("v_idx", 150, 160).kept == 2)
+  }
+
+  test("compaction invalidates entries gracefully; refresh re-indexes the new files") {
+    val (_, topic) = newTopic(partitions = 2)
+    Seq((0, 100), (100, 200)).foreach { case (lo, hi) => produceRange(topic, lo, hi) }
+    assert(topic.refreshIndex("v_idx", "$.v") == 4)
+    topic.compact()
+    // every indexed path is dead → all live files are unindexed → full
+    // conservative scan, result still exact
+    val s = topic.indexScan("v_idx", 0, 50)
+    assert(s.kept == s.total, s"dead index must scan everything: $s")
+    assert(vOf(topic.eventsIndexed("v_idx", 0, 50)) == (0L to 50L).toSet)
+    val n = topic.refreshIndex("v_idx", "$.v")
+    assert(n == s.total, s"refresh must re-index all ${s.total} compacted files, got $n")
+    // each compacted file now spans the full value range, so the window
+    // intersects every zone — no pruning is possible, but the scan is
+    // indexed (not conservative) and the rows stay exact
+    assert(topic.indexScan("v_idx", 0, 50).kept == s.total)
+    assert(vOf(topic.eventsIndexed("v_idx", 0, 50)) == (0L to 50L).toSet)
+  }
+
+  test("all-NULL files are skipped; mixed files use non-null bounds") {
+    import spark.implicits._
+    val (_, topic) = newTopic(partitions = 1)
+    topic.producer().produce(
+      (0 until 50).map(i => s"""{"v":$i}""").toDF("metadata"))
+    topic.producer().produce( // no "v" at all → all-NULL zone
+      (0 until 50).map(i => s"""{"w":$i}""").toDF("metadata"))
+    assert(topic.refreshIndex("v_idx", "$.v") == 2)
+    val s = topic.indexScan("v_idx", 0, 100)
+    assert(s.total == 2 && s.kept == 1, s"the all-NULL file must be skipped: $s")
+    assert(topic.eventsIndexed("v_idx", 0, 100).count() == 50L)
+  }
+
+  test("index misuse fails loudly") {
+    val (_, topic) = newTopic(partitions = 1)
+    produceRange(topic, 0, 10)
+    topic.refreshIndex("v_idx", "$.v")
+    // one index = one field
+    val e = intercept[IllegalArgumentException] { topic.refreshIndex("v_idx", "$.w") }
+    assert(e.getMessage.contains("is over $.v"))
+    // reading an index that does not exist
+    val e2 = intercept[IllegalStateException] { topic.indexScan("nope", 0, 1) }
+    assert(e2.getMessage.contains("does not exist"))
+    // index names are path components
+    intercept[IllegalArgumentException] { topic.refreshIndex("a/b", "$.v") }
+  }
+}
