@@ -23,6 +23,22 @@ import Q._
  */
 object Relational extends QueryPack {
 
+  /** One temp-located database for the bucketed-join demo tables (cleaned
+    * at JVM exit); unique table names per run keep repeated in-JVM runs
+    * (bench best-of-2) writing fresh tables instead of colliding. */
+  private lazy val bucketDbDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket-db")
+    sys.addShutdownHook {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } catch { case _: Throwable => () }
+    }
+    dir.toString
+  }
+  private val bucketRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- aggregations --------------------------------------------------------
     "q_agg_pricing" -> { (s, dir) =>
@@ -95,6 +111,38 @@ object Relational extends QueryPack {
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), cents(sum($"o_totalprice")).as("rev_c"))
         .orderBy($"c_mktsegment")
+    },
+    "q_join_bucketed" -> { (s, dir) =>
+      import s.implicits._
+      // co-located fact-fact join via bucketing: both sides pre-bucketed on
+      // the join key into the SAME bucket count, so the sort-merge join
+      // plans with ZERO shuffle exchanges on either input — at 100 TB this
+      // is the difference between re-shuffling two fact tables on every
+      // join and reading already-co-located buckets. The shuffle-freeness
+      // is graded: the `colocated` boolean comes from inspecting the
+      // physical plan, and the row results are oracle-checked as usual.
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_buckets LOCATION '$bucketDbDir'")
+      val r = bucketRun.incrementAndGet()
+      val liT = s"graft_buckets.li_$r"; val ordT = s"graft_buckets.ord_$r"
+      t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liT)
+      t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordT)
+      // merge hint: grade the co-located SORT-MERGE path even where the
+      // small side would broadcast at demo scale (at fact×fact scale there
+      // is no broadcast option — SMJ is the plan that must be shuffle-free)
+      val joined = s.table(liT).hint("merge")
+        .join(s.table(ordT), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      val colocated = plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange hashpartitioning")
+      joined.groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          cents(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev_c"))
+        .withColumn("colocated", lit(colocated))
+        .orderBy($"o_orderpriority")
     },
     "q_join_revenue" -> { (s, dir) =>
       import s.implicits._
@@ -313,6 +361,14 @@ object Relational extends QueryPack {
         | CAST(round(sum(o_totalprice)*100) AS BIGINT) AS rev_c
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // bucketed co-located join: rows equal the plain join; `colocated`
+    // asserts the physical plan had no shuffle on either join input
+    "q_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(round(sum(l_extendedprice*(1.0-l_discount))*100) AS BIGINT) AS rev_c,
+        | true AS colocated
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_revenue" ->
       """SELECT n_name,
         | CAST(round(sum(l_extendedprice*(1.0-l_discount))*100) AS BIGINT) AS rev_c,
