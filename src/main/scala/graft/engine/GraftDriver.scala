@@ -183,10 +183,21 @@ final class TopicHandle(spark: SparkSession,
   def vacuum(): VacuumReport = catalog.vacuumTopic(name)
 
   /** Build or incrementally refresh a per-chunk-file zone-map index over a
-    * numeric metadata field — returns the number of files newly indexed.
-    * See [[MetadataIndex]] for the pruning and freshness contracts. */
-  def refreshIndex(indexName: String, jsonPath: String): Int =
-    MetadataIndex.refresh(spark, catalog, name, indexName, jsonPath)
+    * metadata field (`kind` = numeric for range pruning, string for
+    * equality pruning) — returns the number of files newly indexed. See
+    * [[MetadataIndex]] for the pruning and freshness contracts. */
+  def refreshIndex(indexName: String, jsonPath: String,
+                   kind: String = MetadataIndex.Numeric): Int =
+    MetadataIndex.refresh(spark, catalog, name, indexName, jsonPath, kind)
+
+  /** Indexed equality read over a string-kinded index — only chunk files
+    * whose zone can contain `value` are opened. */
+  def eventsIndexedEq(indexName: String, value: String): DataFrame =
+    MetadataIndex.eventsEq(spark, catalog, name, indexName, value)
+
+  /** [[indexScan]] for a string-equality read. */
+  def indexScanEq(indexName: String, value: String): MetadataIndex.IndexScan =
+    MetadataIndex.scanEq(spark, catalog, name, indexName, value)
 
   /** Indexed read: only chunk files whose indexed-field range intersects
     * `[lower, upper]` are opened (unindexed files conservatively included);

@@ -46,12 +46,21 @@ object MetadataIndex {
   /** What an indexed read would open: `kept` of `total` live files. */
   final case class IndexScan(total: Int, kept: Int)
 
+  /** Index kinds: numeric zones prune range predicates; string zones prune
+    * equality (and lexicographic-range) predicates — "10" < "9" as strings,
+    * so the two are never mixed in one index. */
+  val Numeric = "numeric"
+  val Str = "string"
+
   val IndexSchema: StructType = StructType(Seq(
     StructField("partition", IntegerType, nullable = false),
     StructField("path", StringType, nullable = false),
     StructField("json_path", StringType, nullable = false),
-    StructField("lo", DoubleType),
-    StructField("hi", DoubleType),
+    StructField("kind", StringType, nullable = false),
+    StructField("num_lo", DoubleType),
+    StructField("num_hi", DoubleType),
+    StructField("str_lo", StringType),
+    StructField("str_hi", StringType),
     StructField("n_nonnull", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = false)))
 
@@ -84,17 +93,19 @@ object MetadataIndex {
    * the unindexed — conservatively scanned — tail bounded at N files).
    */
   def refresh(spark: SparkSession, c: Catalog, topic: String, index: String,
-              jsonPath: String): Int = {
+              jsonPath: String, kind: String = Numeric): Int = {
     require(jsonPath.startsWith("$."), s"jsonPath must be '$$.field': $jsonPath")
+    require(kind == Numeric || kind == Str, s"kind must be numeric|string: $kind")
     c.acquireCompactLock(topic)
     try {
       val live = liveFiles(c, topic)
       val liveSet = live.map(_._2).toSet
       val existing = readIndex(spark, c, topic, index)
-      existing.headOption.map(_.getAs[String]("json_path")).foreach { prior =>
-        require(prior == jsonPath,
-          s"index '$index' on topic '$topic' is over $prior, not $jsonPath — " +
-          "use a different index name per field")
+      existing.headOption.foreach { r =>
+        val (pp, pk) = (r.getAs[String]("json_path"), r.getAs[String]("kind"))
+        require(pp == jsonPath && pk == kind,
+          s"index '$index' on topic '$topic' is over $pp ($pk), not $jsonPath " +
+          s"($kind) — use a different index name per field")
       }
       val keptEntries = existing.filter(r => liveSet.contains(r.getAs[String]("path")))
       val known = keptEntries.map(_.getAs[String]("path")).toSet
@@ -109,17 +120,24 @@ object MetadataIndex {
           case Serializer.Json => col("metadata")
           case s => s.deserialize(col("metadata")).cast(StringType)
         }
-        val v = get_json_object(metadata, jsonPath).cast(DoubleType)
+        val raw = get_json_object(metadata, jsonPath)
+        val (numV, strV) =
+          if (kind == Numeric) (raw.cast(DoubleType), lit(null).cast(StringType))
+          else (lit(null).cast(DoubleType), raw)
+        val nonNull = if (kind == Numeric) numV else strV
         // input_file_name is a URI whose prefix varies by filesystem; the
         // manifest-relative tail "partition=<p>/<file>" is scheme-invariant
         val rel = regexp_extract(input_file_name(), "(partition=[^/]+/[^/]+)$", 1)
         spark.read.option("basePath", logRoot).schema(Catalog.EventSchema)
           .parquet(abs: _*)
           .groupBy(col("partition"), rel.as("path"))
-          .agg(min(v).as("lo"), max(v).as("hi"),
-            count(v).as("n_nonnull"), count(lit(1)).as("n_rows"))
+          .agg(min(numV).as("num_lo"), max(numV).as("num_hi"),
+            min(strV).as("str_lo"), max(strV).as("str_hi"),
+            count(nonNull).as("n_nonnull"), count(lit(1)).as("n_rows"))
           .withColumn("json_path", lit(jsonPath))
-          .select("partition", "path", "json_path", "lo", "hi", "n_nonnull", "n_rows")
+          .withColumn("kind", lit(kind))
+          .select("partition", "path", "json_path", "kind",
+            "num_lo", "num_hi", "str_lo", "str_hi", "n_nonnull", "n_rows")
           .collect().toSeq
       }
       val all = keptEntries ++ newEntries
@@ -136,24 +154,27 @@ object MetadataIndex {
     } finally c.releaseCompactLock(topic)
   }
 
-  /** The files an indexed `[lower, upper]` read keeps, with totals —
-    * driver-side over the O(files) index relation, like every other
-    * manifest decision. */
+  /** The files a zone predicate keeps, with totals — driver-side over the
+    * O(files) index relation, like every other manifest decision.
+    * `keepEntry` decides an INDEXED file from its zone row; unindexed live
+    * files are always kept (conservative), all-NULL zones always skipped
+    * (no non-NULL predicate can match). */
   private def plan(spark: SparkSession, c: Catalog, topic: String, index: String,
-                   lower: Double, upper: Double): (Seq[String], String, IndexScan) = {
+                   wantKind: String, keepEntry: Row => Boolean)
+      : (Seq[String], String, IndexScan) = {
     val live = liveFiles(c, topic)
     val entries = readIndex(spark, c, topic, index)
-    val jsonPath = entries.headOption.map(_.getAs[String]("json_path"))
-      .getOrElse(throw new IllegalStateException(
-        s"index '$index' on topic '$topic' does not exist — refresh it first"))
+    val head = entries.headOption.getOrElse(throw new IllegalStateException(
+      s"index '$index' on topic '$topic' does not exist — refresh it first"))
+    require(head.getAs[String]("kind") == wantKind,
+      s"index '$index' is ${head.getAs[String]("kind")}-kinded; " +
+      s"this read needs a $wantKind index")
+    val jsonPath = head.getAs[String]("json_path")
     val byPath = entries.map(r => r.getAs[String]("path") -> r).toMap
     val kept = live.filter { case (_, rel) =>
       byPath.get(rel) match {
         case None => true // produced since the last refresh: scan conservatively
-        case Some(r) =>
-          // all-NULL file: a numeric range predicate cannot match — skip
-          r.getAs[Long]("n_nonnull") > 0L &&
-            r.getAs[Double]("hi") >= lower && r.getAs[Double]("lo") <= upper
+        case Some(r) => r.getAs[Long]("n_nonnull") > 0L && keepEntry(r)
       }
     }
     val logRoot = c.logPath(topic)
@@ -161,32 +182,60 @@ object MetadataIndex {
       jsonPath, IndexScan(live.size, kept.size))
   }
 
+  private def numPlan(spark: SparkSession, c: Catalog, topic: String,
+                      index: String, lower: Double, upper: Double) =
+    plan(spark, c, topic, index, Numeric, r =>
+      r.getAs[Double]("num_hi") >= lower && r.getAs[Double]("num_lo") <= upper)
+
+  private def strPlan(spark: SparkSession, c: Catalog, topic: String,
+                      index: String, value: String) =
+    plan(spark, c, topic, index, Str, r =>
+      r.getAs[String]("str_lo") <= value && value <= r.getAs[String]("str_hi"))
+
   /** Pruning stats only (ops/assertion surface): how many live files an
     * indexed read of `[lower, upper]` would open. */
   def scan(spark: SparkSession, c: Catalog, topic: String, index: String,
            lower: Double, upper: Double): IndexScan =
-    plan(spark, c, topic, index, lower, upper)._3
+    numPlan(spark, c, topic, index, lower, upper)._3
 
-  /**
-   * The indexed read: only files whose zone intersects `[lower, upper]`
-   * (plus unindexed ones, conservatively), with the exact predicate
-   * re-applied per row — result rows are identical to filtering the full
-   * consumer view, only the I/O differs.
-   */
-  def events(spark: SparkSession, c: Catalog, topic: String, index: String,
-             lower: Double, upper: Double): DataFrame = {
-    val (files, jsonPath, _) = plan(spark, c, topic, index, lower, upper)
+  /** [[scan]] for a string-equality read. */
+  def scanEq(spark: SparkSession, c: Catalog, topic: String, index: String,
+             value: String): IndexScan =
+    strPlan(spark, c, topic, index, value)._3
+
+  /** The pruned scan with the exact residual predicate re-applied — rows
+    * are identical to filtering the full consumer view, only I/O differs. */
+  private def prunedRead(spark: SparkSession, c: Catalog, topic: String,
+                         files: Seq[String]): DataFrame = {
     val base =
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Catalog.EventSchema)
       else spark.read.option("basePath", c.logPath(topic))
         .schema(Catalog.EventSchema).parquet(files: _*)
-    val ser = Serializer.fromDescriptor(c.openTopic(topic).serializer)
-    val decoded = ser match {
+    Serializer.fromDescriptor(c.openTopic(topic).serializer) match {
       case Serializer.Json => base
       case s => base.withColumn("metadata", s.deserialize(col("metadata")).cast(StringType))
     }
-    decoded.filter(
+  }
+
+  /**
+   * The indexed range read: only files whose numeric zone intersects
+   * `[lower, upper]` (plus unindexed ones, conservatively), with the exact
+   * predicate re-applied per row.
+   */
+  def events(spark: SparkSession, c: Catalog, topic: String, index: String,
+             lower: Double, upper: Double): DataFrame = {
+    val (files, jsonPath, _) = numPlan(spark, c, topic, index, lower, upper)
+    prunedRead(spark, c, topic, files).filter(
       get_json_object(col("metadata"), jsonPath).cast(DoubleType).between(lower, upper))
+  }
+
+  /** The indexed equality read over a string-kinded index (curation-style
+    * `lang = 'en'` / `source = 'srcN'` filters). */
+  def eventsEq(spark: SparkSession, c: Catalog, topic: String, index: String,
+               value: String): DataFrame = {
+    val (files, jsonPath, _) = strPlan(spark, c, topic, index, value)
+    prunedRead(spark, c, topic, files).filter(
+      get_json_object(col("metadata"), jsonPath) === value)
   }
 }

@@ -471,6 +471,32 @@ object EnginePack extends QueryPack {
         .withColumn("conservative_ok", lit(conservativeOk))
         .orderBy(col("partition"))
     },
+    "q_meta_index_lang" -> { (s, dir) =>
+      // string-kinded zone maps: ingest the documents corpus one language
+      // per produce (the natural per-source ingestion layout), index
+      // $.lang, and read one language back — the indexed read must open
+      // ONLY that language's files (pruned boolean); the surviving rows
+      // are oracle-checked against the source filter
+      val d = tempDriver(s)
+      d.createTopic("lang_demo", partitions = 2)
+      val topic = d.openTopic("lang_demo")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val langs = docs.select("lang").distinct().orderBy("lang")
+        .collect().map(_.getString(0)).toSeq
+      langs.foreach { lg =>
+        topic.producer().produce(
+          docs.filter(col("lang") === lg).orderBy(col("doc_id"))
+            .select(to_json(struct(col("doc_id").as("doc"), col("lang")))
+              .as("metadata")))
+      }
+      topic.refreshIndex("lang_idx", "$.lang", MetadataIndex.Str)
+      val scan = topic.indexScanEq("lang_idx", "en")
+      val pruned = scan.kept < scan.total && scan.kept > 0
+      topic.eventsIndexedEq("lang_idx", "en")
+        .select(get_json_object(col("metadata"), "$.doc").cast("long").as("doc"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc")).as("sum_doc"))
+        .withColumn("pruned", lit(pruned))
+    },
     "q_snapshot" -> { (s, dir) =>
       // reproducible-dataset snapshot: pin the watermark after the first
       // produce; the pinned read must see exactly that produce's rows no
@@ -877,6 +903,11 @@ object EnginePack extends QueryPack {
         |FROM events, nn
         |WHERE event_id >= (c * 3) // 10 AND event_id <= (c * 6) // 10
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // string-zone-indexed language read: survivors equal the source filter
+    "q_meta_index_lang" ->
+      """SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+        | true AS pruned
+        |FROM documents WHERE lang = 'en'""".stripMargin,
     // vacuum removes ONLY orphans: the committed population is bit-intact
     "q_vacuum" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,

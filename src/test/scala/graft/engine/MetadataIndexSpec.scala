@@ -97,6 +97,29 @@ class MetadataIndexSpec extends SparkSpec {
     assert(topic.eventsIndexed("v_idx", 0, 100).count() == 50L)
   }
 
+  test("string-kinded index prunes equality reads by lexicographic zones") {
+    import spark.implicits._
+    val (_, topic) = newTopic(partitions = 1)
+    // one produce per language → per-file zones are single values
+    Seq("de", "en", "fr").foreach { lang =>
+      topic.producer().produce(
+        (0 until 20).map(i => s"""{"lang":"$lang","i":$i}""").toDF("metadata"))
+    }
+    assert(topic.refreshIndex("lang_idx", "$.lang", MetadataIndex.Str) == 3)
+    val s = topic.indexScanEq("lang_idx", "en")
+    assert(s.total == 3 && s.kept == 1, s"expected 1 of 3 files: $s")
+    assert(topic.eventsIndexedEq("lang_idx", "en").count() == 20L)
+    assert(topic.indexScanEq("lang_idx", "zz").kept == 0)
+    assert(topic.eventsIndexedEq("lang_idx", "zz").count() == 0L)
+    // kind mismatch between write and read fails loudly
+    val e = intercept[IllegalArgumentException] { topic.indexScan("lang_idx", 0, 1) }
+    assert(e.getMessage.contains("string-kinded"))
+    val e2 = intercept[IllegalArgumentException] {
+      topic.refreshIndex("lang_idx", "$.lang", MetadataIndex.Numeric)
+    }
+    assert(e2.getMessage.contains("use a different index name"))
+  }
+
   test("index misuse fails loudly") {
     val (_, topic) = newTopic(partitions = 1)
     produceRange(topic, 0, 10)
