@@ -625,6 +625,28 @@ class ProducerConsumerSpec extends SparkSpec {
     }
   }
 
+  test("the heartbeat refreshes a held lock file's mtime while the owner runs") {
+    val prev = Catalog.CompactLockStaleMs
+    try {
+      Catalog.CompactLockStaleMs = 3000L // heartbeat period = max(1s, horizon/3)
+      val (d, _) = newTopic(partitions = 1)
+      d.catalog.acquireCompactLock("mytopic")
+      val lock = new org.apache.hadoop.fs.Path(
+        d.catalog.topicPath("mytopic"), "_compact.lock")
+      val hfs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val t0 = hfs.getFileStatus(lock).getModificationTime
+      Thread.sleep(2500) // ≥ 2 beats; without them the file would age out
+      val t1 = hfs.getFileStatus(lock).getModificationTime
+      assert(t1 > t0,
+        "a held lock's mtime must advance — long operations would otherwise " +
+        "be reclaimed as crashed by another process")
+      d.catalog.releaseCompactLock("mytopic")
+      assert(!hfs.exists(lock))
+      Thread.sleep(1500) // a released lock's heartbeat must not resurrect it
+      assert(!hfs.exists(lock))
+    } finally Catalog.CompactLockStaleMs = prev
+  }
+
   test("stale-lock reclamation is serialized through the claim file") {
     val (d, _) = newTopic(partitions = 1)
     val hfs = d.catalog.topicPath("mytopic")
