@@ -841,6 +841,41 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     VacuumReport(chunks, swaps, tmps, bytes)
   }
 
+  /**
+   * One-call maintenance policy for long-lived topics (the cron-job
+   * surface): compact WHEN NEEDED (any partition's live chunk-file count
+   * exceeds `maxFilesPerPartition` — streaming producers append at least
+   * one file per partition per micro-batch, so this is the knob that keeps
+   * listing/open overhead bounded), then vacuum crashed-operation debris,
+   * then refresh every existing zone-map index (compaction rewrites paths,
+   * so indexes go conservative until refreshed). Each step is the same
+   * lock-guarded operation callable individually; a clean topic is a
+   * cheap no-op (one manifest read + one listing).
+   *
+   * @return (compacted?, vacuum report, files newly indexed across indexes)
+   */
+  def maintainTopic(name: String, maxFilesPerPartition: Int = 16,
+                    chunkMaxRecords: Long = 1000000L): (Boolean, VacuumReport, Int) = {
+    require(maxFilesPerPartition > 0,
+      s"maxFilesPerPartition must be positive: $maxFilesPerPartition")
+    val needsCompact = readManifest(name).exists(
+      _.files.values.exists(_.size > maxFilesPerPartition))
+    if (needsCompact) compactTopic(name, chunkMaxRecords)
+    val vac = vacuumTopic(name)
+    val indexed = listIndexes(name).map { idx =>
+      MetadataIndex.refreshExisting(spark, this, name, idx)
+    }.sum
+    (needsCompact, vac, indexed)
+  }
+
+  /** Names of the topic's zone-map indexes (directories under `_index`). */
+  def listIndexes(name: String): Seq[String] = {
+    val dir = new Path(topicPath(name), "_index")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.endsWith(".tmp")).toSeq.sorted
+  }
+
   private def rewriteLocked(name: String, chunkMaxRecords: Long,
                             transform: org.apache.spark.sql.DataFrame
                               => org.apache.spark.sql.DataFrame): Unit = {

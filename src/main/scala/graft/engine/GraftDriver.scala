@@ -199,6 +199,13 @@ final class TopicHandle(spark: SparkSession,
   def indexScanEq(indexName: String, value: String): MetadataIndex.IndexScan =
     MetadataIndex.scanEq(spark, catalog, name, indexName, value)
 
+  /** One-call maintenance policy: compact when any partition exceeds
+    * `maxFilesPerPartition` live chunk files, vacuum debris, refresh every
+    * zone-map index — see [[Catalog.maintainTopic]]. */
+  def maintain(maxFilesPerPartition: Int = 16,
+               chunkMaxRecords: Long = 1000000L): (Boolean, VacuumReport, Int) =
+    catalog.maintainTopic(name, maxFilesPerPartition, chunkMaxRecords)
+
   /** Indexed read: only chunk files whose indexed-field range intersects
     * `[lower, upper]` are opened (unindexed files conservatively included);
     * the exact predicate is re-applied per row, so the rows equal filtering

@@ -111,6 +111,11 @@ object MetadataIndex {
       val known = keptEntries.map(_.getAs[String]("path")).toSet
       val newRel = live.filterNot { case (_, p) => known.contains(p) }
       if (newRel.isEmpty && keptEntries.size == existing.size) return 0
+      // every entry dead and nothing live to index (topic fully expired):
+      // keep the stale rows rather than writing an empty relation — they
+      // are harmless (pruning keys on the LIVE list) and they preserve the
+      // index's (json_path, kind) identity for refreshExisting
+      if (newRel.isEmpty && keptEntries.isEmpty && existing.nonEmpty) return 0
 
       val logRoot = c.logPath(topic)
       val newEntries: Seq[Row] = if (newRel.isEmpty) Seq.empty else {
@@ -153,6 +158,17 @@ object MetadataIndex {
       newEntries.size
     } finally c.releaseCompactLock(topic)
   }
+
+  /** Refresh an EXISTING index under its own stored (json_path, kind) —
+    * the maintenance-policy path, where the caller doesn't restate the
+    * field. Unknown index → 0 (nothing to refresh, not an error). */
+  def refreshExisting(spark: SparkSession, c: Catalog, topic: String,
+                      index: String): Int =
+    readIndex(spark, c, topic, index).headOption match {
+      case None => 0
+      case Some(h) => refresh(spark, c, topic, index,
+        h.getAs[String]("json_path"), h.getAs[String]("kind"))
+    }
 
   /** The files a zone predicate keeps, with totals — driver-side over the
     * O(files) index relation, like every other manifest decision.

@@ -120,6 +120,28 @@ class MetadataIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("use a different index name"))
   }
 
+  test("maintain(): compacts past the file threshold, vacuums, refreshes indexes") {
+    val (d, topic) = newTopic(partitions = 1)
+    // 5 produces → 5 chunk files in the single partition
+    (0 until 5).foreach(i => produceRange(topic, i * 10, i * 10 + 10))
+    topic.refreshIndex("v_idx", "$.v")
+    // plant vacuum debris: a crashed compactor's swap dir
+    val hfs = d.catalog.topicPath("idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(d.catalog.topicPath("idx"), "log.compact.tmp"))
+    // threshold 4 < 5 files → compacts; the index is re-derived in the
+    // same call, so pruning works immediately against the new layout
+    val (compacted, vac, indexed) = topic.maintain(maxFilesPerPartition = 4)
+    assert(compacted, "5 files > threshold 4 must trigger compaction")
+    assert(vac.swapLeftovers == 0, "the swap dir is consumed by compaction itself")
+    assert(indexed == 1, s"the compacted file must be re-indexed: $indexed")
+    assert(topic.indexScan("v_idx", 0, 100).kept == 1)
+    assert(vOf(topic.eventsIndexed("v_idx", 12, 17)) == (12L to 17L).toSet)
+    // a clean topic: maintain is a no-op on every axis
+    val (c2, v2, i2) = topic.maintain(maxFilesPerPartition = 4)
+    assert(!c2 && v2 == VacuumReport(0, 0, 0, 0L) && i2 == 0)
+  }
+
   test("index misuse fails loudly") {
     val (_, topic) = newTopic(partitions = 1)
     produceRange(topic, 0, 10)
