@@ -950,6 +950,35 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     writeAtomic(cursorPath(topic, consumer), idsJson(cur + (partition -> advanced)))
   }
 
+  /**
+   * Kafka `offsetsForTimes` + `seek` analog: position `consumer`'s cursor
+   * at the earliest event whose `eventTime` is at/past `cutoff`, per
+   * partition — replay-from-a-point-in-time. Partitions with no such event
+   * seek to their produce watermark (nothing to re-read until newer data
+   * lands). Unlike [[acknowledge]] (which only advances), seek moves the
+   * cursor in EITHER direction — repositioning is the point. One
+   * column-pruned pass over the log computes every partition's bound
+   * (a tiny aggregate, same shape as time-based retention's).
+   *
+   * @return the cursor written: partition → first id the consumer will see
+   */
+  def seekToTime(topic: String, consumer: String,
+                 eventTime: org.apache.spark.sql.Column,
+                 cutoff: org.apache.spark.sql.Column): Map[Int, Long] = {
+    import org.apache.spark.sql.functions.{col, min}
+    val log = new Path(logPath(topic))
+    val next = nextIds(topic)
+    val bounds: Map[Int, Long] =
+      if (!fs.exists(log)) Map.empty
+      else spark.read.schema(Catalog.EventSchema).parquet(log.toString)
+        .filter(eventTime >= cutoff)
+        .groupBy(col("partition")).agg(min(col("event_id")).as("lo"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val target = next.map { case (p, wm) => p -> bounds.getOrElse(p, wm) }
+    writeAtomic(cursorPath(topic, consumer), idsJson(target))
+    target
+  }
+
   // -- streaming-sink commit markers (replay idempotence) -------------------
 
   private def sinkPath(topic: String, sinkId: String): Path =

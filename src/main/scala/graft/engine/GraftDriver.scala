@@ -206,6 +206,13 @@ final class TopicHandle(spark: SparkSession,
                chunkMaxRecords: Long = 1000000L): (Boolean, VacuumReport, Int) =
     catalog.maintainTopic(name, maxFilesPerPartition, chunkMaxRecords)
 
+  /** Kafka `offsetsForTimes`+`seek` analog: reposition `consumerName`'s
+    * cursor at the earliest event at/past `cutoff` under `eventTime`, per
+    * partition — see [[Catalog.seekToTime]]. */
+  def seekToTime(consumerName: String, eventTime: org.apache.spark.sql.Column,
+                 cutoff: org.apache.spark.sql.Column): Map[Int, Long] =
+    catalog.seekToTime(name, consumerName, eventTime, cutoff)
+
   /** Indexed read: only chunk files whose indexed-field range intersects
     * `[lower, upper]` are opened (unindexed files conservatively included);
     * the exact predicate is re-applied per row, so the rows equal filtering

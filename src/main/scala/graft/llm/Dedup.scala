@@ -691,4 +691,34 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("trimmed"), lit("")).as("trimmed"))
   }
+
+  /**
+   * Cluster-representative selection: keep the BEST member of each
+   * duplicate cluster — max `quality`, ties broken by lowest id. Min-id
+   * selection (what a plain `groupBy(cluster).min(id)` gives) silently
+   * prefers whichever copy was ingested first; real curation wants the
+   * longest / highest-quality copy to survive and the truncated or
+   * degraded ones to drop. One window partitioned by cluster — cluster
+   * cardinality is high (most docs are singletons), so no straggler
+   * partition at scale.
+   *
+   * @param clusters `(node, cluster)` as produced by
+   *                 [[graft.operators.Graph.connectedComponents]]
+   * @param docs     the corpus; every node must resolve (inner join)
+   * @param quality  orderable quality column over `docs`' columns
+   * @return the kept docs — original columns plus `cluster` and `csize`
+   */
+  def keepBestPerCluster(clusters: DataFrame, docs: DataFrame, idCol: String,
+                         quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = docs.join(
+      clusters.withColumnRenamed("node", idCol), Seq(idCol))
+    val w = Window.partitionBy(col("cluster"))
+    joined
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(quality.desc, col(idCol).asc)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
 }

@@ -67,6 +67,28 @@ object AnalyticsPack extends QueryPack {
           count(lit(1)).over(Window.partitionBy($"cluster")).as("csize"))
         .orderBy($"doc_id")
     },
+    "q_dedup_keep_best" -> { (s, dir) =>
+      import s.implicits._
+      // cluster-REPRESENTATIVE selection policy: corpus = documents ∪
+      // verbatim re-ingested copies (+1e6) carrying a HIGHER completeness
+      // score. The kept member of each duplicate cluster must be the
+      // best-quality copy (max quality, ties → min id) — every planted
+      // copy must beat its lower-id host, so a min-id keep (whichever
+      // copy ingested first) fails all 25 planted rows. Clusters here are
+      // exact-hash groups (one window); the operator composes unchanged
+      // with connectedComponents output when pairs are fuzzy
+      // (GraphSpec covers that composition; q_dedup_clusters grades CC).
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val corpus = docs.withColumn("quality", lit(1L))
+        .unionByName(docs.filter($"doc_id" < 25)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+          .withColumn("quality", lit(2L)))
+      val clusters = corpus.select($"doc_id".as("node"),
+        min($"doc_id").over(Window.partitionBy(md5($"text"))).as("cluster"))
+      Dedup.keepBestPerCluster(clusters, corpus, "doc_id", $"quality")
+        .select($"doc_id", $"cluster", $"csize", $"quality")
+        .orderBy($"cluster")
+    },
     "q_graph_triangles" -> { (s, dir) =>
       import s.implicits._
       // part co-occurrence graph (parts bought together in one order);
@@ -394,6 +416,20 @@ object AnalyticsPack extends QueryPack {
          |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize
          |FROM (SELECT node, min(r) AS cluster FROM reach GROUP BY node) c
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, 1 AS quality FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 2 FROM documents WHERE doc_id < 25),
+        |cl AS (SELECT doc_id, quality,
+        |         min(doc_id) OVER (PARTITION BY md5(text)) AS cluster
+        |       FROM corpus)
+        |SELECT doc_id, cluster, csize, CAST(quality AS BIGINT) AS quality FROM (
+        |  SELECT doc_id, cluster, quality,
+        |    CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY quality DESC, doc_id) AS rk
+        |  FROM cl) x WHERE rk = 1 ORDER BY cluster""".stripMargin,
     "q_graph_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,

@@ -429,6 +429,36 @@ object EnginePack extends QueryPack {
         .withColumn("report_ok", lit(reportOk))
         .orderBy(col("partition"))
     },
+    "q_consumer_seek" -> { (s, dir) =>
+      // Kafka offsetsForTimes+seek analog: reposition a consumer at the
+      // event time 40% into the stream and read forward — the consumer's
+      // view must be exactly each partition's suffix from the first
+      // at/past-cutoff event (same prefix-boundary rule as q_expire_time,
+      // re-derived independently by the oracle)
+      val d = tempDriver(s)
+      d.createTopic("seek_demo", partitions = 4)
+      val topic = d.openTopic("seek_demo")
+      topic.producer().produce(t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"),
+            col("ts").as("tsn"))).as("metadata"),
+          pmod(col("event_id"), lit(4)).cast("int").as("partition")))
+      val ev = t(s, dir, "events")
+      val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head.getLong(0)
+      val cutoff = ev.filter(col("event_id") === cutEid)
+        .select(col("ts").cast("long")).head.getLong(0)
+      // a consumer that already read PAST the seek point: the seek must
+      // move its cursor BACKWARD (replay is the point of seeking)
+      (0 until 4).foreach(p => d.catalog.acknowledge("seek_demo", "replayer", p, 999999L))
+      topic.seekToTime("replayer",
+        get_json_object(col("metadata"), "$.tsn").cast("long"), lit(cutoff))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.consumer("replayer").events()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"))
+        .orderBy(col("partition"))
+    },
     "q_meta_index" -> { (s, dir) =>
       // zone-map metadata index: range-separated produces give every chunk
       // file a disjoint $.eid zone; the indexed read of a middle window
@@ -891,6 +921,19 @@ object EnginePack extends QueryPack {
         |SELECT s.p AS partition, count(*) AS cnt,
         | CAST(sum(s.eid) AS BIGINT) AS sum_eid,
         | min(s.eid) AS min_eid, max(s.eid) AS max_eid
+        |FROM src s JOIN bounds b ON s.p = b.p AND s.eid >= b.keep_from
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // seek-to-time: the repositioned consumer sees exactly each
+    // partition's suffix from the first event at/past the 40% timestamp
+    "q_consumer_seek" ->
+      """WITH src AS (SELECT event_id AS eid, CAST(event_id % 4 AS INT) AS p,
+        |                    epoch_ns(ts) AS tsn FROM events),
+        |cut AS (SELECT tsn AS c FROM src
+        |        WHERE eid = (SELECT CAST(floor(count(*) * 0.4) AS BIGINT) FROM src)),
+        |bounds AS (SELECT p, min(eid) AS keep_from
+        |           FROM src, cut WHERE tsn >= c GROUP BY p)
+        |SELECT s.p AS partition, count(*) AS cnt,
+        | CAST(sum(s.eid) AS BIGINT) AS sum_eid, min(s.eid) AS min_eid
         |FROM src s JOIN bounds b ON s.p = b.p AND s.eid >= b.keep_from
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // zone-map-indexed read of the [0.3n, 0.6n] eid window: file pruning

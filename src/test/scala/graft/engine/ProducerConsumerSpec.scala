@@ -625,6 +625,27 @@ class ProducerConsumerSpec extends SparkSpec {
     }
   }
 
+  test("seekToTime repositions cursors in both directions; empty partitions seek to the watermark") {
+    val (d, topic) = newTopic(partitions = 1)
+    val producer = topic.producer()
+    // ts 10,20,30,40,50 at ids 0-4
+    (0 until 5).foreach(i => producer.push(s"""{"i":$i,"ts":${(i + 1) * 10}}"""))
+    producer.flush()
+    val ts = get_json_object(col("metadata"), "$.ts").cast("long")
+    // a consumer acked to the end: seek must move it BACK to ts >= 30 (id 2)
+    d.catalog.acknowledge("mytopic", "c1", 0, 4L)
+    assert(topic.seekToTime("c1", ts, lit(30L)) == Map(0 -> 2L))
+    val seen = topic.consumer("c1").events()
+      .orderBy(col("event_id")).collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(seen == Seq(2L, 3L, 4L))
+    // cutoff past every event: seek to the watermark — nothing to re-read
+    assert(topic.seekToTime("c1", ts, lit(1000L)) == Map(0 -> 5L))
+    assert(topic.consumer("c1").events().count() == 0L)
+    // ...but a later produce IS visible from there (watermark, not +inf)
+    producer.push("""{"i":5,"ts":60}"""); producer.flush()
+    assert(topic.consumer("c1").events().count() == 1L)
+  }
+
   test("the heartbeat refreshes a held lock file's mtime while the owner runs") {
     val prev = Catalog.CompactLockStaleMs
     try {

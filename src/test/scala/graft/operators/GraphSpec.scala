@@ -123,6 +123,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("keepBestPerCluster composes with connectedComponents: max quality wins, ties by id") {
+    import spark.implicits._
+    // components {1,2,3} (a chain — 1~3 never paired directly), {4,5}, {6}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (4L, 1L), (5L, 1L), (6L, 3L))
+      .toDF("id", "quality")
+    val clusters = Graph.connectedComponents(edges, "a", "b",
+      nodes = Some(docs.select($"id")))
+    val kept = graft.llm.Dedup.keepBestPerCluster(clusters, docs, "id", $"quality")
+      .select($"cluster", $"id", $"csize").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // chain cluster: id 2 wins on quality though 1 is the min id;
+    // {4,5}: quality tie → min id 4; singleton keeps itself
+    assert(kept == Map(1L -> ((2L, 3L)), 4L -> ((4L, 2L)), 6L -> ((6L, 1L))))
+  }
+
   test("two long chains joined at the far end merge into one component") {
     // worst-ish case for label flow: the bridge is discovered only after
     // both chains have partially collapsed
