@@ -208,4 +208,20 @@ object Sampling {
         pmod(conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"),
           lit(shards.toLong)))
   }
+
+  /**
+   * Materialize the shuffled corpus as shard-partitioned parquet: ONE
+   * range shuffle on (shard, shuffle_key), rows sorted by the order key
+   * within every file — so a training job reading `shard=K` streams its
+   * rows in the seeded permutation order with no further sort, and two
+   * exports of the same corpus produce identical per-shard row sequences
+   * (the resumability/auditability property the seeded permutation
+   * exists for).
+   */
+  def writeShuffled(df: DataFrame, keyCol: String, shards: Int, path: String,
+                    seed: String = "42"): Unit =
+    shuffleShards(df, keyCol, shards, seed)
+      .repartitionByRange(shards, col("shard"), col("shuffle_key"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"))
+      .write.partitionBy("shard").parquet(path)
 }

@@ -142,6 +142,37 @@ class MetadataIndexSpec extends SparkSpec {
     assert(!c2 && v2 == VacuumReport(0, 0, 0, 0L) && i2 == 0)
   }
 
+  test("randomized: indexed reads equal the full-scan filter across lifecycles") {
+    import spark.implicits._
+    // the index's one contract — pruning may skip I/O, never rows — swept
+    // under random interleavings of produces (overlapping value ranges,
+    // field-less produces), refreshes at arbitrary points, and compaction
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 3) {
+      val (_, topic) = newTopic(partitions = 1 + rnd.nextInt(3))
+      val produces = 2 + rnd.nextInt(4)
+      for (_ <- 0 until produces) {
+        val lo = rnd.nextInt(500); val n = 20 + rnd.nextInt(60)
+        if (rnd.nextInt(4) == 0) // field-less produce: all-NULL zones
+          topic.producer().produce(
+            (0 until n).map(j => s"""{"w":$j}""").toDF("metadata"))
+        else produceRange(topic, lo, lo + n)
+        if (rnd.nextBoolean()) topic.refreshIndex("v_idx", "$.v"): Unit
+      }
+      topic.refreshIndex("v_idx", "$.v")
+      if (rnd.nextBoolean()) topic.compact()
+      if (rnd.nextBoolean()) produceRange(topic, rnd.nextInt(500), rnd.nextInt(500) + 520)
+      val a = rnd.nextInt(600); val b = rnd.nextInt(600)
+      val (wLo, wHi) = (math.min(a, b), math.max(a, b))
+      val got = vOf(topic.eventsIndexed("v_idx", wLo, wHi))
+      val want = vOf(topic.events().filter(
+        get_json_object(col("metadata"), "$.v").cast("long").between(wLo, wHi)))
+      assert(got == want, s"trial=$trial window=[$wLo,$wHi]")
+      val s = topic.indexScan("v_idx", wLo, wHi)
+      assert(s.kept <= s.total, s"trial=$trial scan=$s")
+    }
+  }
+
   test("index misuse fails loudly") {
     val (_, topic) = newTopic(partitions = 1)
     produceRange(topic, 0, 10)

@@ -115,6 +115,36 @@ class LlmSpec extends SparkSpec {
     assert(sp.map(_._2).toSet == (1L until 500L).toSet)
   }
 
+  test("writeShuffled: per-shard order is the seeded permutation, identical across exports") {
+    import session.implicits._
+    val corpus = (0 until 400).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    def export(): Map[Long, Seq[Long]] = {
+      val root = java.nio.file.Files.createTempDirectory("graft-shuffle-out")
+      val dir = s"$root/out" // the writer refuses a pre-existing path
+      Sampling.writeShuffled(corpus, "id", shards = 4, dir)
+      // parquet preserves within-file row order; single file per shard here
+      val out = (0L until 4L).map { sh =>
+        sh -> session.read.parquet(s"$dir/shard=$sh")
+          .select($"id").collect().map(_.getLong(0)).toSeq
+      }.toMap
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      out
+    }
+    val run1 = export(); val run2 = export()
+    assert(run1 == run2, "two exports must be bit-identical per shard")
+    assert(run1.values.map(_.size).sum == 400 &&
+      run1.values.flatten.toSet == (0L until 400L).toSet)
+    // the within-shard sequence IS the seeded hash order, not id order
+    val expected = Sampling.shuffleShards(corpus, "id", 4)
+      .orderBy($"shard", $"shuffle_key")
+      .select($"shard", $"id").collect()
+      .groupBy(_.getLong(0)).map { case (s, rs) => s -> rs.map(_.getLong(1)).toSeq }
+    assert(run1 == expected)
+    assert(run1.values.exists(seq => seq != seq.sorted), "order must be shuffled")
+  }
+
   test("deterministic sampling: repeatable, nested fractions, exact stratified rates") {
     import session.implicits._
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
