@@ -116,6 +116,17 @@ final class TopicHandle(spark: SparkSession,
       col("event_id") < coalesce(element_at(bound, col("partition")), lit(0L)))
   }
 
+  /** Incremental export: exactly the events produced AFTER the `from` pin
+    * and visible at the `to` pin — the "what's new since the last training
+    * snapshot" read. Both bounds name immutable id prefixes (ids are dense
+    * and append-only), so the diff is reproducible forever; partitions
+    * absent from `from` (created between the pins) are included whole. */
+  def events(from: Map[Int, Long], to: Map[Int, Long]): DataFrame = {
+    val lo = typedLit(from)
+    events(to).filter(
+      col("event_id") >= coalesce(element_at(lo, col("partition")), lit(0L)))
+  }
+
   /**
    * Per-partition operational summary — the library analog of the
    * reference's `mofkactl topic` inspection surface: committed event count

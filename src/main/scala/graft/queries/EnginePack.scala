@@ -549,6 +549,29 @@ object EnginePack extends QueryPack {
           max(col("k")).as("max_eid"))
         .orderBy(col("partition"))
     },
+    "q_snapshot_diff" -> { (s, dir) =>
+      // incremental export between two pins: three produces, pin after the
+      // first and second — the diff must be EXACTLY the middle produce (the
+      // "new data since the last training export" read), reproducible no
+      // matter how much lands afterwards
+      val d = tempDriver(s)
+      d.createTopic("diff_demo", partitions = 4)
+      val topic = d.openTopic("diff_demo")
+      val src = sourceByEid(s, dir)
+      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.producer().produce(src.filter(srcEid < 1024))
+      val snap1 = topic.snapshot()
+      topic.producer().produce(src.filter(srcEid >= 1024 && srcEid < 3072))
+      val snap2 = topic.snapshot()
+      topic.producer().produce(src.filter(srcEid >= 3072 && srcEid < 4096))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.events(snap1, snap2)
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
     "q_delete_where" -> { (s, dir) =>
       // compliance delete: purge every event whose metadata eid % 7 == 0;
       // the surviving (metadata-keyed) population must match the oracle's
@@ -969,6 +992,13 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
         |FROM events WHERE event_id < 2048
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // the pinned diff sees exactly the middle produce (eid in [1024, 3072))
+    "q_snapshot_diff" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id >= 1024 AND event_id < 3072
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // the purge survivors are exactly the source rows with eid % 7 <> 0
     "q_delete_where" ->
