@@ -376,6 +376,17 @@ class ProducerConsumerSpec extends SparkSpec {
     (0 until 6).foreach(i => p3.push(s"""{"j":$i}""", partition = Some(2)))
     p3.flush()
     assert(topic.events(snap).count() == 10L)
+    // incremental export: the diff between two pins is exactly what landed
+    // between them — including the whole post-pin partition — and the
+    // degenerate (empty, snap) diff equals the plain pinned read
+    val snap2 = topic.snapshot()
+    val diff = topic.events(snap, snap2)
+      .select("partition", "event_id").collect()
+      .map(r => (r.getAs[Int]("partition"), r.getAs[Long]("event_id"))).toSet
+    val expected = (for (p <- 0 to 1; i <- 5L until 15L) yield (p, i)).toSet ++
+      (0L until 6L).map(i => (2, i))
+    assert(diff == expected)
+    assert(topic.events(Map.empty[Int, Long], snap).count() == 10L)
   }
 
   test("deleteWhere purges matching events; gaps tolerated, watermark intact") {
