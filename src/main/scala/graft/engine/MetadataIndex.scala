@@ -91,6 +91,12 @@ object MetadataIndex {
    * newly indexed. Idempotent; safe on any cadence (each produce adds at
    * most one file per partition, so "refresh after every N produces" keeps
    * the unindexed — conservatively scanned — tail bounded at N files).
+   *
+   * Holds the COMPACT lock for its duration — compaction must not swap
+   * files out from under the scan — which also refuses produces while it
+   * runs (the producer's compaction guard). Refresh often: steady-state
+   * cost is O(files since the last refresh), so the produce-blocked window
+   * stays small; or fold it into `maintain()`'s maintenance window.
    */
   def refresh(spark: SparkSession, c: Catalog, topic: String, index: String,
               jsonPath: String, kind: String = Numeric): Int = {

@@ -37,4 +37,23 @@ class PlanSpec extends SparkSpec {
       s"expected a partial HashAggregate before the shuffle, plan:\n$plan")
     assert(plan.contains("HashAggregate"), s"expected HashAggregate:\n$plan")
   }
+
+  test("q_dedup_keep_best windows are all partitioned (no global funnel)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val df = graft.SparkEntry.queries("q_dedup_keep_best")(spark, sf())
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: LW if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "a window lost its partitioning — single-task sort at scale")
+  }
+
+  test("q_shuffle_shards assignment plans without joins or windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJ, Window => LW}
+    val df = graft.SparkEntry.queries("q_shuffle_shards")(spark, sf())
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case j: LJ => j }.isEmpty,
+      "the seeded permutation must stay a pure projection — no join crept in")
+    assert(plan.collect { case w: LW => w }.isEmpty,
+      "no window — per-shard order is a sort key, not a rank")
+  }
 }
