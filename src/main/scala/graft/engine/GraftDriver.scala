@@ -93,6 +93,31 @@ final class TopicHandle(spark: SparkSession,
       batchSize: Option[Int] = None): Consumer =
     new Consumer(spark, catalog, config, consumerName, targets, selector, batchSize)
 
+  /** Balanced consumer group: `size` members named `<group>-<i>`, member i
+    * targeting partitions p ≡ i (mod size) — Kafka's static round-robin
+    * assignment, minus dynamic rebalancing (membership here is explicit;
+    * re-create the group with a new size to rebalance — cursors are
+    * per-member-name, so resizing restarts members at their own cursors).
+    * Every partition belongs to exactly one member, so each event is
+    * delivered to exactly one member; lag stays per-member via
+    * [[lag]](`<group>-<i>`). `size` must not exceed the partition count:
+    * a surplus member would own no partitions, and empty `targets` means
+    * ALL partitions in the consumer API — refuse loudly rather than
+    * double-deliver. */
+  def consumerGroup(group: String, size: Int,
+                    selector: Option[DataSelector] = None,
+                    batchSize: Option[Int] = None): Seq[Consumer] = {
+    require(size > 0, s"group size must be positive: $size")
+    require(size <= config.partitions,
+      s"group size $size exceeds the topic's ${config.partitions} partitions " +
+      "— a member would own nothing (add partitions or shrink the group)")
+    (0 until size).map { i =>
+      consumer(s"$group-$i", selector = selector,
+        targets = (0 until config.partitions).filter(_ % size == i),
+        batchSize = batchSize)
+    }
+  }
+
   /** The full event log as a DataFrame — the engine-native analytics
     * surface (metadata/data split = Parquet column pruning). */
   def events(): DataFrame =

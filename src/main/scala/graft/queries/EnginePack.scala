@@ -429,6 +429,23 @@ object EnginePack extends QueryPack {
         .withColumn("report_ok", lit(reportOk))
         .orderBy(col("partition"))
     },
+    "q_consumer_group" -> { (s, dir) =>
+      // balanced consumer group: 3 members over 4 partitions (member 0
+      // owns two). Each event must land with exactly ONE member, the union
+      // must be the whole log, and per-member populations must equal the
+      // static assignment — all re-derived by the oracle from p mod 3
+      val d = tempDriver(s)
+      d.createTopic("grp_demo", partitions = 4)
+      val topic = d.openTopic("grp_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.consumerGroup("g", 3).zipWithIndex.map { case (c, i) =>
+        c.events().select(lit(i).as("member"), col("partition"), eid.as("k"))
+      }.reduce(_.unionByName(_))
+        .groupBy(col("member"), col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"))
+        .orderBy(col("member"), col("partition"))
+    },
     "q_consumer_seek" -> { (s, dir) =>
       // Kafka offsetsForTimes+seek analog: reposition a consumer at the
       // event time 40% into the stream and read forward — the consumer's
@@ -946,6 +963,13 @@ object EnginePack extends QueryPack {
         | min(s.eid) AS min_eid, max(s.eid) AS max_eid
         |FROM src s JOIN bounds b ON s.p = b.p AND s.eid >= b.keep_from
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // balanced group: member of partition p is p mod 3; the union of the
+    // members' disjoint views is exactly the log
+    "q_consumer_group" ->
+      """SELECT CAST(event_id % 4 AS INT) % 3 AS member,
+        | CAST(event_id % 4 AS INT) AS partition,
+        | count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid
+        |FROM events GROUP BY 1, 2 ORDER BY member, partition""".stripMargin,
     // seek-to-time: the repositioned consumer sees exactly each
     // partition's suffix from the first event at/past the 40% timestamp
     "q_consumer_seek" ->

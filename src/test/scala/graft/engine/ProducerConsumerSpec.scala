@@ -636,6 +636,29 @@ class ProducerConsumerSpec extends SparkSpec {
     }
   }
 
+  test("consumerGroup: disjoint ownership, exactly-once delivery across members") {
+    val (d, topic) = newTopic(partitions = 4)
+    val producer = topic.producer()
+    (0 until 40).foreach(i => producer.push(s"""{"i":$i}""", partition = Some(i % 4)))
+    producer.flush()
+    topic.markAsComplete()
+    val members = topic.consumerGroup("grp", 3)
+    // pull-drain every member: the multisets of (partition, id) must be
+    // disjoint and union to the full log
+    val seen = members.map { c =>
+      Iterator.continually(c.pull())
+        .takeWhile { case Pull.Next(_) => true; case _ => false }
+        .collect { case Pull.Next(e) => (e.partition, e.eventId) }.toSet
+    }
+    assert(seen(0).map(_._1).subsetOf(Set(0, 3)) &&
+      seen(1).map(_._1) == Set(1) && seen(2).map(_._1) == Set(2))
+    assert(seen.map(_.size).sum == 40 &&
+      seen.reduce(_ ++ _).size == 40, "exactly-once across the group")
+    // oversized groups are refused, not silently double-delivered
+    val e = intercept[IllegalArgumentException] { topic.consumerGroup("big", 5) }
+    assert(e.getMessage.contains("exceeds the topic's"))
+  }
+
   test("seekToTime repositions cursors in both directions; empty partitions seek to the watermark") {
     val (d, topic) = newTopic(partitions = 1)
     val producer = topic.producer()
