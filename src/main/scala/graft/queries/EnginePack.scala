@@ -476,6 +476,44 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"))
         .orderBy(col("partition"))
     },
+    "q_maintain" -> { (s, dir) =>
+      // the cron-job surface end-to-end: three produces fragment every
+      // partition, debris is planted, an index exists — ONE maintain()
+      // call must compact past the threshold, vacuum the debris, and
+      // re-index the compacted layout; the log itself must be untouched
+      // (metadata-keyed aggregate vs the source) and pruning must work
+      // immediately against the new files
+      val d = tempDriver(s)
+      d.createTopic("maint_demo", partitions = 4)
+      val topic = d.openTopic("maint_demo")
+      val src = sourceByEid(s, dir)
+      val eidOf = get_json_object(col("metadata"), "$.eid").cast("long")
+      (0 until 3).foreach { b =>
+        topic.producer().produce(
+          src.filter(pmod(eidOf.divide(4).cast("long"), lit(3)) === b))
+      }
+      topic.refreshIndex("eid_idx", "$.eid")
+      val topicPath = d.catalog.topicPath("maint_demo")
+      val fs = topicPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staleTmp = new org.apache.hadoop.fs.Path(topicPath, "._ids.json.tmp")
+      val out = fs.create(staleTmp, true)
+      try out.write("{}".getBytes) finally out.close()
+      fs.setTimes(staleTmp, System.currentTimeMillis() - 24L * 3600 * 1000, -1)
+      val (compacted, vac, indexed) = topic.maintain(maxFilesPerPartition = 2)
+      val filesPerPartition = d.catalog.readManifest("maint_demo").get
+        .files.values.map(_.size)
+      val maintained = compacted && vac.tmpFiles == 1 && !fs.exists(staleTmp) &&
+        indexed == filesPerPartition.sum && filesPerPartition.forall(_ == 1)
+      // pruning against the compacted layout: nothing above the watermark
+      val pruned = topic.indexScan("eid_idx", 1e12, 2e12).kept == 0
+      topic.events()
+        .select(col("partition"), eidOf.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"))
+        .withColumn("maintained", lit(maintained))
+        .withColumn("pruned", lit(pruned))
+        .orderBy(col("partition"))
+    },
     "q_meta_index" -> { (s, dir) =>
       // zone-map metadata index: range-separated produces give every chunk
       // file a disjoint $.eid zone; the indexed read of a middle window
@@ -983,6 +1021,12 @@ object EnginePack extends QueryPack {
         | CAST(sum(s.eid) AS BIGINT) AS sum_eid, min(s.eid) AS min_eid
         |FROM src s JOIN bounds b ON s.p = b.p AND s.eid >= b.keep_from
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // maintain() must leave the log byte-identical to the source population
+    "q_maintain" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | true AS maintained, true AS pruned
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // zone-map-indexed read of the [0.3n, 0.6n] eid window: file pruning
     // may only skip I/O, never rows — the survivors equal the plain filter
     "q_meta_index" ->
