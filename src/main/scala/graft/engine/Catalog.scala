@@ -965,6 +965,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def seekToTime(topic: String, consumer: String,
                  eventTime: org.apache.spark.sql.Column,
                  cutoff: org.apache.spark.sql.Column): Map[Int, Long] = {
+    val target = timeFloor(topic, eventTime, cutoff)
+    writeAtomic(cursorPath(topic, consumer), idsJson(target))
+    target
+  }
+
+  /** Per-partition floor for time-based positioning: the earliest event_id
+    * whose `eventTime` is at/past `cutoff`, or the produce watermark for
+    * partitions with no such event. One column-pruned pass over the log —
+    * shared by [[seekToTime]] and the streaming source's `startingTime*`
+    * options (Kafka's `startingTimestamp` analog). */
+  def timeFloor(topic: String, eventTime: org.apache.spark.sql.Column,
+                cutoff: org.apache.spark.sql.Column): Map[Int, Long] = {
     import org.apache.spark.sql.functions.{col, min}
     val log = new Path(logPath(topic))
     val next = nextIds(topic)
@@ -974,9 +986,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         .filter(eventTime >= cutoff)
         .groupBy(col("partition")).agg(min(col("event_id")).as("lo"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val target = next.map { case (p, wm) => p -> bounds.getOrElse(p, wm) }
-    writeAtomic(cursorPath(topic, consumer), idsJson(target))
-    target
+    next.map { case (p, wm) => p -> bounds.getOrElse(p, wm) }
   }
 
   // -- streaming-sink commit markers (replay idempotence) -------------------

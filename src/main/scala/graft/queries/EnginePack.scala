@@ -868,6 +868,46 @@ object EnginePack extends QueryPack {
         .withColumn("multi_batch", lit(batches >= 2))
         .orderBy(col("partition"))
     },
+    "q_stream_time" -> { (s, dir) =>
+      // Kafka startingTimestamp parity THROUGH the micro-batch source: a
+      // fresh stream pinned to the 40%-quantile event time must emit
+      // exactly each partition's suffix from the per-partition time floor
+      // — the same boundary rule q_consumer_seek grades on the batch side,
+      // here exercised through initialOffset + the offset walk
+      val d = tempDriver(s)
+      d.createTopic("stime_demo", partitions = 4)
+      val topic = d.openTopic("stime_demo")
+      topic.producer().produce(t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"),
+            col("ts").as("tsn"))).as("metadata"),
+          pmod(col("event_id"), lit(4)).cast("int").as("partition")))
+      val ev = t(s, dir, "events")
+      val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head.getLong(0)
+      val cutoff = ev.filter(col("event_id") === cutEid)
+        .select(col("ts").cast("long")).head.getLong(0)
+      val qname = s"q_stream_time_${EnginePack.streamRun.incrementAndGet()}"
+      val query = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "stime_demo")
+        .option("startingTimeField", "$.tsn")
+        .option("startingTimeCutoff", cutoff.toString)
+        .load()
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-stime-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      s.table(qname)
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"))
+        .orderBy(col("partition"))
+    },
     "q_drain" -> { (s, dir) =>
       // D5: after markAsComplete, the pull walk drains exactly the produced
       // events and then reports NoMoreEvents — repeatably.
@@ -999,6 +1039,20 @@ object EnginePack extends QueryPack {
         |SELECT s.p AS partition, count(*) AS cnt,
         | CAST(sum(s.eid) AS BIGINT) AS sum_eid,
         | min(s.eid) AS min_eid, max(s.eid) AS max_eid
+        |FROM src s JOIN bounds b ON s.p = b.p AND s.eid >= b.keep_from
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // startingTime stream = each partition's suffix from the first event
+    // at/past the 40% timestamp (same independent boundary derivation as
+    // q_consumer_seek, different cutoff quantile)
+    "q_stream_time" ->
+      """WITH src AS (SELECT event_id AS eid, CAST(event_id % 4 AS INT) AS p,
+        |                    epoch_ns(ts) AS tsn FROM events),
+        |cut AS (SELECT tsn AS c FROM src
+        |        WHERE eid = (SELECT CAST(floor(count(*) * 0.4) AS BIGINT) FROM src)),
+        |bounds AS (SELECT p, min(eid) AS keep_from
+        |           FROM src, cut WHERE tsn >= c GROUP BY p)
+        |SELECT s.p AS partition, count(*) AS cnt,
+        | CAST(sum(s.eid) AS BIGINT) AS sum_eid, min(s.eid) AS min_eid
         |FROM src s JOIN bounds b ON s.p = b.p AND s.eid >= b.keep_from
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // balanced group: member of partition p is p mod 3; the union of the

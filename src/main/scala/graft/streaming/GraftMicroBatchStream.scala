@@ -37,7 +37,8 @@ final class GraftMicroBatchStream(
     catalog: Catalog, topic: String, consumer: Option[String],
     targets: Option[Set[Int]], requiredSchema: StructType,
     maxEventsPerTrigger: Option[Long],
-    serializerJson: String = """{"type":"json"}""")
+    serializerJson: String = """{"type":"json"}""",
+    startingTime: Option[(String, Long)] = None)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private var availableNowTarget: Option[TopicOffset] = None
@@ -52,9 +53,26 @@ final class GraftMicroBatchStream(
     }
   }
 
+  /** Fresh-start position only — Spark consults the checkpoint first, so
+    * a restarted stream ignores `startingTime` exactly like Kafka's
+    * `startingTimestamp` (the pin is a one-time birth certificate, not a
+    * per-run filter). */
   override def initialOffset(): Offset = {
-    val acked = consumer.map(c => catalog.cursor(topic, c)).getOrElse(Map.empty)
-    TopicOffset(currentNext().keys.map(p => p -> acked.getOrElse(p, 0L)).toMap)
+    val start: Map[Int, Long] = startingTime match {
+      case Some((field, cutoff)) =>
+        import org.apache.spark.sql.functions.{col, get_json_object, lit}
+        // stored-form topics: decode through the serializer before the
+        // field extraction, same as the consumer view (Z1)
+        val md = graft.engine.Serializer.fromDescriptorJson(serializerJson) match {
+          case graft.engine.Serializer.Json => col("metadata")
+          case s => s.deserialize(col("metadata"))
+            .cast(org.apache.spark.sql.types.StringType)
+        }
+        catalog.timeFloor(topic,
+          get_json_object(md, field).cast("long"), lit(cutoff))
+      case None => consumer.map(c => catalog.cursor(topic, c)).getOrElse(Map.empty)
+    }
+    TopicOffset(currentNext().keys.map(p => p -> start.getOrElse(p, 0L)).toMap)
   }
 
   override def deserializeOffset(json: String): Offset = TopicOffset.fromJson(json)

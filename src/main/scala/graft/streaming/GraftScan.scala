@@ -22,7 +22,8 @@ import graft.engine.Catalog
  */
 final class GraftScanBuilder(
     catalog: Catalog, topic: String, consumer: Option[String],
-    targets: Option[Seq[Int]], maxEventsPerTrigger: Option[Long])
+    targets: Option[Seq[Int]], maxEventsPerTrigger: Option[Long],
+    startingTime: Option[(String, Long)] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType = GraftTopicTable.EventSchema
@@ -73,14 +74,15 @@ final class GraftScanBuilder(
       case (a, b) => a.orElse(b)
     }
     new GraftScan(catalog, topic, consumer, effective, requiredSchema,
-      idLo, idHi, maxEventsPerTrigger)
+      idLo, idHi, maxEventsPerTrigger, startingTime)
   }
 }
 
 final class GraftScan(
     catalog: Catalog, topic: String, consumer: Option[String],
     targets: Option[Set[Int]], requiredSchema: StructType,
-    idLo: Option[Long], idHi: Option[Long], maxEventsPerTrigger: Option[Long])
+    idLo: Option[Long], idHi: Option[Long], maxEventsPerTrigger: Option[Long],
+    startingTime: Option[(String, Long)] = None)
   extends Scan {
 
   override def readSchema(): StructType = requiredSchema
@@ -112,5 +114,5 @@ final class GraftScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(catalog, topic, consumer, targets, requiredSchema,
-      maxEventsPerTrigger, serializerJson)
+      maxEventsPerTrigger, serializerJson, startingTime)
 }

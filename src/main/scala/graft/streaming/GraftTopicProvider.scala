@@ -28,6 +28,13 @@ import graft.engine.{Catalog, GraftDriver}
  *  - `targets` (optional): comma-separated partition subset (F5 targeting)
  *  - `maxEventsPerTrigger` (optional): admission control — the micro-batch
  *    analog of the reference consumer's batch size
+ *  - `startingTimeField` + `startingTimeCutoff` (optional, together):
+ *    start the stream at the earliest event whose metadata field (a JSON
+ *    path like `$.ts`, compared as long) is at/past the cutoff — Kafka's
+ *    `startingTimestamp` analog. Applies on FRESH starts only; an
+ *    existing checkpoint's offsets take precedence, exactly like Kafka.
+ *    Mutually exclusive with `consumer` (two different notions of where
+ *    to begin)
  *    (`ActiveProducerBatchQueue.hpp` adaptive batching, S3)
  *
  * The streaming read is the Spark-native port of `feedConsumer`
@@ -79,10 +86,21 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
     val opts = new CaseInsensitiveStringMap(properties)
     val warehouse = require(opts, "warehouse")
     val topic = require(opts, "topic")
+    val startField = Option(opts.get("startingTimeField"))
+    val startCutoff = Option(opts.get("startingTimeCutoff")).map(_.toLong)
+    if (startField.isDefined != startCutoff.isDefined)
+      throw new IllegalArgumentException(
+        "startingTimeField and startingTimeCutoff must be set together")
+    val startingTime = startField.zip(startCutoff)
+    if (startingTime.isDefined && opts.get("consumer") != null)
+      throw new IllegalArgumentException(
+        "options 'consumer' and 'startingTime*' are mutually exclusive — " +
+        "a cursor and a timestamp are two different notions of where to begin")
     new GraftTopicTable(warehouse, topic,
       Option(opts.get("consumer")),
       Option(opts.get("targets")).map(_.split(',').map(_.trim.toInt).toSeq),
-      Option(opts.get("maxEventsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxEventsPerTrigger")).map(_.toLong),
+      startingTime)
   }
 
   private def require(opts: CaseInsensitiveStringMap, key: String): String = {
@@ -138,7 +156,8 @@ object GraftTopicTable {
 final class GraftTopicTable(
     warehouse: String, topic: String,
     consumer: Option[String], targets: Option[Seq[Int]],
-    maxEventsPerTrigger: Option[Long]) extends Table with SupportsRead {
+    maxEventsPerTrigger: Option[Long],
+    startingTime: Option[(String, Long)] = None) extends Table with SupportsRead {
 
   override def name(): String = s"graft:$topic"
   override def schema(): StructType = GraftTopicTable.EventSchema
@@ -147,6 +166,7 @@ final class GraftTopicTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val catalog = new Catalog(SparkSession.active, warehouse)
-    new GraftScanBuilder(catalog, topic, consumer, targets, maxEventsPerTrigger)
+    new GraftScanBuilder(catalog, topic, consumer, targets, maxEventsPerTrigger,
+      startingTime)
   }
 }

@@ -205,6 +205,60 @@ class StreamingSpec extends SparkSpec {
     assert(got == (for (p <- 0 until 2; i <- 5L until 10L) yield (p, i)).toSet)
   }
 
+  test("startingTime options begin a fresh stream at the time floor; checkpoints take precedence") {
+    val (_, topic, wh) = newTopic()
+    // metadata carries ts = 100·(i+1); per partition, ts >= 1100 first
+    // holds at the 6th event (local id 5)
+    val producer = topic.producer()
+    (0 until 20).foreach { i =>
+      producer.push(s"""{"i":$i,"ts":${(i + 1) * 100}}""", partition = Some(i % 2))
+    }
+    producer.flush()
+    val ckpt = Files.createTempDirectory("graft-ckpt-time").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "stream_topic")
+        .option("startingTimeField", "$.ts")
+        .option("startingTimeCutoff", "1100")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = batch.select("partition", "event_id").collect()
+            .map(r => (r.getInt(0), r.getLong(1)))
+          seen.synchronized { seen ++= rows }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000): Unit
+    }
+    run()
+    assert(seen.toSet == (for (p <- 0 until 2; i <- 5L until 10L) yield (p, i)).toSet)
+    // restart on the SAME checkpoint after more (old-timestamped!) data:
+    // the cutoff must NOT re-apply — the checkpoint's offsets win, so the
+    // new events arrive even though their ts is below the cutoff
+    (20 until 24).foreach { i =>
+      producer.push(s"""{"i":$i,"ts":1}""", partition = Some(i % 2))
+    }
+    producer.flush()
+    run()
+    assert(seen.toSet == (for (p <- 0 until 2; i <- 5L until 12L) yield (p, i)).toSet,
+      "a restart must continue from the checkpoint, not re-pin by time")
+    // misuse fails loudly
+    intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "stream_topic")
+        .option("startingTimeField", "$.ts").load()
+    }
+    intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "stream_topic")
+        .option("consumer", "c").option("startingTimeField", "$.ts")
+        .option("startingTimeCutoff", "5").load()
+    }
+  }
+
   test("event-time windows with watermark over the graft source (R7 extension)") {
     val (_, topic, wh) = newTopic(partitions = 1)
     val producer = topic.producer()
