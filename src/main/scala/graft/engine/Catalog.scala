@@ -760,6 +760,57 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /**
+   * Key compaction (Kafka's `cleanup.policy=compact` analog): per
+   * (partition, key), rewrite the log keeping only the LATEST event — the
+   * one with the highest `event_id` — so the topic converges to a
+   * changelog snapshot of one live value per key. Like the reference's
+   * append-only log, superseded versions simply stop being readable; ids
+   * of the survivors are preserved, so the id space gains GAPS exactly as
+   * [[purgeTopic]] documents (cursors are threshold-based and tolerate
+   * them) and the produce watermark is untouched.
+   *
+   * Scope is per partition, as in Kafka: a selector that routes the same
+   * key to different partitions leaves one survivor in EACH — key
+   * compaction presumes key-aligned partitioning (the engine's
+   * `MetadataHash`/`FieldMod` selectors provide it).
+   *
+   *  - events where `key` is NULL (the field is absent/malformed) are
+   *    retained unconditionally — compaction must never silently delete
+   *    data it cannot attribute to a key;
+   *  - with `dropTombstones=true`, a key whose latest event has an EMPTY
+   *    payload (`data` null or zero-length) is removed entirely — Kafka's
+   *    tombstone collection, the mechanism compacted topics use to delete
+   *    keys.
+   *
+   * One windowed shuffle keyed by (partition, key) — at scale this is the
+   * same shape as any latest-version CDC collapse; no driver-side state.
+   * Same maintenance-window lock/swap/manifest contract as
+   * [[compactTopic]].
+   */
+  def compactTopicByKey(name: String, key: org.apache.spark.sql.Column,
+                        dropTombstones: Boolean = false,
+                        chunkMaxRecords: Long = 1000000L): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit, max}
+    acquireCompactLock(name)
+    try rewriteLocked(name, chunkMaxRecords, { df =>
+      val keyed = df.withColumn("__ck", key)
+      val w = Window.partitionBy(col("partition"), col("__ck"))
+      val latest = keyed
+        .withColumn("__max_id", max(col("event_id")).over(w))
+        .filter(col("__ck").isNull || col("event_id") === col("__max_id"))
+      val kept =
+        if (!dropTombstones) latest
+        // survivors with a key and no payload are tombstones: the key is
+        // deleted once its latest version is empty
+        else latest.filter(col("__ck").isNull ||
+          coalesce(length(col("data")), lit(0)) > 0)
+      kept.drop("__ck", "__max_id")
+    })
+    finally releaseCompactLock(name)
+  }
+
+  /**
    * Orphan-file GC: remove files in the topic directory that no committed
    * state references — the debris crashed operations leave behind:
    *

@@ -196,6 +196,14 @@ final class TopicHandle(spark: SparkSession,
   def compact(chunkMaxRecords: Long = 1000000L): Unit =
     catalog.compactTopic(name, chunkMaxRecords)
 
+  /** Key compaction (Kafka `cleanup.policy=compact` analog): keep only the
+    * latest event per (partition, key); with `dropTombstones`, keys whose
+    * latest payload is empty are deleted — see [[Catalog.compactTopicByKey]]. */
+  def compactByKey(key: org.apache.spark.sql.Column,
+                   dropTombstones: Boolean = false,
+                   chunkMaxRecords: Long = 1000000L): Unit =
+    catalog.compactTopicByKey(name, key, dropTombstones, chunkMaxRecords)
+
   /** Retention expiry: drop events below `beforeId` in every partition —
     * see [[Catalog.expireTopic]] for the contract. */
   def expire(beforeId: Long, chunkMaxRecords: Long = 1000000L): Unit =

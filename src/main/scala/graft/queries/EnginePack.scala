@@ -329,6 +329,37 @@ object EnginePack extends QueryPack {
         .withColumn("collapsed", lit(collapsed))
         .orderBy(col("partition"))
     },
+    "q_compact_keys" -> { (s, dir) =>
+      // Kafka log compaction (cleanup.policy=compact): keys routed by the
+      // topic's own FieldMod selector, ~100 versions per key, then
+      // compactByKey keeps only each key's LATEST version and (with
+      // dropTombstones) deletes keys whose final version has an empty
+      // payload. The oracle re-derives the survivor set — latest source
+      // eid per key, tombstone keys excluded — independently.
+      val d = tempDriver(s)
+      d.createTopic("ckeys_demo", partitions = 4,
+        selector = PartitionSelector.FieldMod("$.k"))
+      val topic = d.openTopic("ckeys_demo")
+      val eid = col("event_id")
+      topic.producer().produce(
+        t(s, dir, "events").orderBy(eid).select(
+          to_json(struct(pmod(eid, lit(100)).as("k"), eid.as("eid"))).as("metadata"),
+          // an empty payload is a tombstone IF it ends up the key's latest
+          when(pmod(eid, lit(7)) === 0, lit(Array.empty[Byte]))
+            .otherwise(encode(concat(lit("v"), eid.cast("string")), "UTF-8"))
+            .as("data")))
+      topic.compactByKey(get_json_object(col("metadata"), "$.k").cast("long"),
+        dropTombstones = true)
+      val k = get_json_object(col("metadata"), "$.k").cast("long")
+      val meid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.events()
+        .select(col("partition"), k.as("k"), meid.as("eid"),
+          length(col("data")).as("len"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_keys"), countDistinct(col("k")).as("n_distinct_keys"),
+          sum(col("eid")).as("sum_eid"), sum(col("len")).as("sum_len"))
+        .orderBy(col("partition"))
+    },
     "q_expire" -> { (s, dir) =>
       // retention expiry: ids below the cutoff vanish in every partition,
       // retained ids keep their values, and the produce watermark is
@@ -1019,6 +1050,20 @@ object EnginePack extends QueryPack {
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS collapsed
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // key compaction: survivors = each key's latest version (max source
+    // eid per k), minus tombstone keys (latest eid % 7 = 0 → empty
+    // payload); partition = FieldMod k % 4; payload length of a survivor
+    // is 1 + digits('v'||eid)
+    "q_compact_keys" ->
+      """WITH latest AS (
+        |  SELECT event_id % 100 AS k, max(event_id) AS eid
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(k % 4 AS INT) AS partition, count(*) AS n_keys,
+        | count(DISTINCT k) AS n_distinct_keys,
+        | CAST(sum(eid) AS BIGINT) AS sum_eid,
+        | CAST(sum(1 + length(CAST(eid AS VARCHAR))) AS BIGINT) AS sum_len
+        |FROM latest WHERE eid % 7 <> 0
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
     // expiry drops exactly ids < 100 per partition; the id space above the
     // cutoff and the watermark survive
     "q_expire" ->

@@ -317,6 +317,51 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(first.eventId == 0L)
   }
 
+  test("compactByKey keeps each key's latest version; null keys kept; tombstones only when asked") {
+    val (d, topic) = newTopic()
+    val producer = topic.producer()
+    // 3 versions each of keys 0..4 (versions interleaved so "latest" is an
+    // id property, not a file property); key 2's FINAL version is a
+    // tombstone (empty payload); two keyless events must survive untouched
+    (0 until 3).foreach { v =>
+      (0 until 5).foreach { k =>
+        val data = if (k == 2 && v == 2) Array.empty[Byte]
+                   else s"k$k-v$v".getBytes(StandardCharsets.UTF_8)
+        producer.push(s"""{"k":$k,"v":$v}""", data)
+      }
+    }
+    producer.push("""{"unkeyed":1}""", "u1".getBytes(StandardCharsets.UTF_8))
+    producer.push("""{"unkeyed":2}""", "u2".getBytes(StandardCharsets.UTF_8))
+    producer.flush()
+    val key = get_json_object(col("metadata"), "$.k").cast("long")
+
+    // pass 1: no tombstone collection — 5 latest versions + 2 keyless rows;
+    // the tombstone (empty payload) survives as key 2's latest value
+    topic.compactByKey(key)
+    val afterIds = topic.events().select("event_id").collect().map(_.getLong(0)).sorted
+    assert(afterIds.toSeq == Seq(10L, 11L, 12L, 13L, 14L, 15L, 16L),
+      s"latest versions are ids 10..14 (v=2 round) plus keyless 15,16: ${afterIds.toSeq}")
+    val k2 = topic.events().filter(key === 2L).collect()
+    assert(k2.length == 1 && k2.head.getAs[Array[Byte]]("data").isEmpty)
+
+    // pass 2: tombstone collection deletes key 2 entirely; keyless rows stay
+    topic.compactByKey(key, dropTombstones = true)
+    val kept = topic.events()
+      .select(key.as("k"), col("event_id"), col("data")).collect()
+    assert(kept.count(_.isNullAt(0)) == 2, "keyless events must never be compacted away")
+    val keyRows = kept.filterNot(_.isNullAt(0)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keyRows == Map(0L -> 10L, 1L -> 11L, 3L -> 13L, 4L -> 14L),
+      s"key 2 tombstone-collected, others keep their latest-version ids: $keyRows")
+    // payloads are the v=2 values
+    val v4 = topic.events().filter(key === 4L).head.getAs[Array[Byte]]("data")
+    assert(new String(v4, StandardCharsets.UTF_8) == "k4-v2")
+    // watermark untouched: next produce continues the id sequence
+    val p2 = topic.producer()
+    val e = p2.push("""{"k":9}""")
+    p2.flush()
+    assert(e.eventId == 17L)
+  }
+
   test("expire drops ids below the cutoff; watermark and later produces intact") {
     val (d, topic) = newTopic(partitions = 2)
     val producer = topic.producer()
