@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, typedLit}
+import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, struct, to_json, typedLit}
 
 /**
  * The engine's driver/DDL facade — the Spark-native counterpart of
@@ -92,6 +92,48 @@ final class TopicHandle(spark: SparkSession,
       targets: Seq[Int] = Nil,
       batchSize: Option[Int] = None): Consumer =
     new Consumer(spark, catalog, config, consumerName, targets, selector, batchSize)
+
+  /** Dead-letter produce — the `errors.tolerance=all` alternative to
+    * [[producer]]().produce()'s batch-abort contract (which mirrors the
+    * reference's throw-on-invalid, `MofkaProducer.cpp:69`): rows the
+    * topic's validator REJECTS are routed to a dead-letter topic instead
+    * of failing the whole batch, so one poison message cannot stall a
+    * pipeline. The DLQ topic (`<name>.dlq` by default) is auto-created
+    * with the same partition count and the default (accept-all)
+    * validator; each dead event's metadata wraps the rejected document
+    * verbatim — `{"reason":"validator","original":<raw metadata string>}`
+    * — and carries the original payload, so rejects can be inspected,
+    * fixed, and replayed. A validator verdict of NULL (malformed JSON)
+    * counts as rejected, never silently valid.
+    *
+    * The input feeds two complementary filters, so it is checkpointed
+    * once up front: a non-deterministic source cannot send a row to both
+    * topics (or neither). Returns (main produce result, dlq produce
+    * result) as per-partition (firstId, count) maps.
+    */
+  def produceWithDlq(df: DataFrame, dlqName: String = "")
+      : (Map[Int, (Long, Long)], Map[Int, (Long, Long)]) = {
+    val dlq = if (dlqName.nonEmpty) dlqName else s"$name.dlq"
+    val cfg = config
+    val ok = coalesce(
+      Validator.fromDescriptor(cfg.validator).predicate(col("metadata")),
+      lit(false))
+    if (!catalog.topicExists(dlq))
+      catalog.createTopic(TopicConfig(dlq, cfg.partitions,
+        Validator.Default.descriptor, PartitionSelector.RoundRobin.descriptor,
+        Serializer.Json.descriptor, completed = false))
+    val staged = (if (df.columns.contains("data")) df
+      else df.withColumn("data",
+        lit(null).cast(org.apache.spark.sql.types.BinaryType)))
+      .localCheckpoint(true)
+    val mainRes = producer().produce(staged.filter(ok))
+    val dlqRes = new TopicHandle(spark, catalog, dlq).producer().produce(
+      staged.filter(!ok).select(
+        to_json(struct(lit("validator").as("reason"),
+          col("metadata").as("original"))).as("metadata"),
+        col("data")))
+    (mainRes, dlqRes)
+  }
 
   /** Balanced consumer group: `size` members named `<group>-<i>`, member i
     * targeting partitions p ≡ i (mod size) — Kafka's static round-robin

@@ -329,6 +329,35 @@ object EnginePack extends QueryPack {
         .withColumn("collapsed", lit(collapsed))
         .orderBy(col("partition"))
     },
+    "q_producer_dlq" -> { (s, dir) =>
+      // dead-letter produce: same schema-validated topic as
+      // q_producer_validated, but rejects are ROUTED (wrapped verbatim +
+      // reason-tagged) to the auto-created DLQ topic instead of aborting
+      // the batch. The oracle re-derives both sides' membership from the
+      // validity predicate; sum over the ORIGINAL k values proves the
+      // wrapped documents survive the round-trip intact.
+      val d = tempDriver(s)
+      d.createTopic("dlq_demo", partitions = 2, validator = Validator.SchemaValidator(
+        """{"type":"object","required":["k"],
+          | "properties":{"k":{"type":"integer","minimum":0,"maximum":69}}}""".stripMargin))
+      val topic = d.openTopic("dlq_demo")
+      topic.produceWithDlq(
+        t(s, dir, "events").orderBy(col("event_id")).limit(2048)
+          .select(col("props").as("metadata")))
+      val main = topic.events()
+        .select(get_json_object(col("metadata"), "$.k").cast("long").as("k"),
+          lit(true).as("tagged"))
+      val dlq = d.openTopic("dlq_demo.dlq").events()
+        .select(get_json_object(get_json_object(col("metadata"), "$.original"), "$.k")
+            .cast("long").as("k"),
+          (get_json_object(col("metadata"), "$.reason") === "validator").as("tagged"))
+      main.withColumn("side", lit("main"))
+        .unionByName(dlq.withColumn("side", lit("dlq")))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("tagged")).as("tagged"))
+        .orderBy(col("side"))
+    },
     "q_compact_keys" -> { (s, dir) =>
       // Kafka log compaction (cleanup.policy=compact): keys routed by the
       // topic's own FieldMod selector, ~100 versions per key, then
@@ -1050,6 +1079,20 @@ object EnginePack extends QueryPack {
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS collapsed
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // DLQ routing: the 2048-row slice splits on the schema-validity
+    // predicate (0 <= k <= 69); sums over the original k values grade that
+    // wrapped DLQ documents round-trip verbatim
+    "q_producer_dlq" ->
+      """WITH src AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM (SELECT * FROM events ORDER BY event_id LIMIT 2048))
+        |SELECT 'dlq' AS side, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  true AS tagged
+        |FROM src WHERE k < 0 OR k > 69
+        |UNION ALL
+        |SELECT 'main', count(*), CAST(sum(k) AS BIGINT), true
+        |FROM src WHERE k >= 0 AND k <= 69
+        |ORDER BY side""".stripMargin,
     // key compaction: survivors = each key's latest version (max source
     // eid per k), minus tombstone keys (latest eid % 7 = 0 → empty
     // payload); partition = FieldMod k % 4; payload length of a survivor

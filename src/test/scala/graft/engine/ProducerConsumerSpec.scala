@@ -317,6 +317,45 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(first.eventId == 0L)
   }
 
+  test("produceWithDlq routes rejects to the DLQ wrapped verbatim; valid rows land normally") {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
+    d.createTopic("strict", partitions = 1, validator = Validator.SchemaValidator(
+      """{"type":"object","required":["k"],"properties":{"k":{"type":"integer"}}}"""))
+    val topic = d.openTopic("strict")
+    import spark.implicits._
+    val batch = Seq(
+      ("""{"k":1}""", "good-1"),
+      ("""{"k":"oops"}""", "bad-string"),   // wrong type
+      ("""{"k":2}""", "good-2"),
+      ("""{"nokey":true}""", "bad-missing") // required field absent
+    ).toDF("metadata", "payload")
+      .select(col("metadata"), encode(col("payload"), "UTF-8").as("data"))
+    val (mainRes, dlqRes) = topic.produceWithDlq(batch)
+    assert(mainRes(0)._2 == 2L && dlqRes(0)._2 == 2L)
+
+    val mainRows = topic.events().orderBy("event_id").collect()
+    assert(mainRows.map(r => new String(r.getAs[Array[Byte]]("data"), StandardCharsets.UTF_8))
+      .toSeq == Seq("good-1", "good-2"))
+
+    val dlqRows = d.openTopic("strict.dlq").events().orderBy("event_id").collect()
+    assert(dlqRows.length == 2)
+    // the rejected document survives VERBATIM inside the wrapper, reason-tagged
+    val originals = d.openTopic("strict.dlq").events()
+      .select(get_json_object(col("metadata"), "$.original").as("o"),
+        get_json_object(col("metadata"), "$.reason").as("r"))
+      .orderBy("o").collect()
+    assert(originals.map(_.getString(0)).toSeq.sorted ==
+      Seq("""{"k":"oops"}""", """{"nokey":true}""").sorted)
+    assert(originals.forall(_.getString(1) == "validator"))
+    // payloads ride along for replay
+    assert(dlqRows.map(r => new String(r.getAs[Array[Byte]]("data"), StandardCharsets.UTF_8))
+      .toSet == Set("bad-string", "bad-missing"))
+    // a second DLQ produce APPENDS (the topic already exists)
+    topic.produceWithDlq(Seq(("""{"k":"again"}""", "bad-2")).toDF("metadata", "payload")
+      .select(col("metadata"), encode(col("payload"), "UTF-8").as("data")))
+    assert(d.openTopic("strict.dlq").events().count() == 3)
+  }
+
   test("compactByKey keeps each key's latest version; null keys kept; tombstones only when asked") {
     val (d, topic) = newTopic()
     val producer = topic.producer()
