@@ -51,6 +51,18 @@ object TextPack extends QueryPack {
         TF.qualityFlag(text).as("quality"))
         .orderBy(col("doc_id"))
     },
+    "q_text_classifier" -> { (s, dir) =>
+      // hashed bag-of-words linear classifier (fastText-style quality
+      // filter): md5-bucketed tokens, integer weights, instance-summed
+      // score, threshold verdict — the oracle re-derives every score
+      // bit-identically from the same hash/mix formulas
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          graft.llm.Classifier.score(TF.tokens(col("text"))).as("score"),
+          TF.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("keep", graft.llm.Classifier.keep(col("score")))
+        .orderBy(col("doc_id"))
+    },
     "q_text_fingerprint" -> { (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TF.fingerprint(col("text")).as("fp"),
@@ -373,6 +385,18 @@ object TextPack extends QueryPack {
          | $stopSql AS stop_micro,
          | $punct AS punct_micro,
          | ($qualityCond) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // classifier score re-derived per token: same md5-nibble bucket, same
+    // integer mix to a signed 6-bit weight, instance sum (bias 0)
+    "q_text_classifier" -> {
+      val weight = s"((${bucketSql("t")} * 2654435761 + 104729) % 64 - 32)"
+      s"""SELECT doc_id,
+         | CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+         |   list_transform($W, t -> $weight))) AS BIGINT) AS score,
+         | len($W) AS n_tokens,
+         | CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+         |   list_transform($W, t -> $weight))) AS BIGINT) >= 0 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "q_text_fingerprint" ->

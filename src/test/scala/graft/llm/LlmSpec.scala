@@ -527,6 +527,39 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("Classifier score matches a JVM hash/mix/sum model on random word docs") {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x1", "Y2", "zz",
+      "the", "of", "and", "qqq", "lorem", "ipsum")
+    val docs3 = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def model(text: String): Long =
+      text.trim.split("\\s+").foldLeft(0L) { (acc, t) =>
+        val b = java.lang.Long.parseLong(md5hex(t).take(4), 16)
+        acc + (math.floorMod(b * 2654435761L + 104729L, 64L) - 32L)
+      }
+    val got = docs3.toDF("id", "text")
+      .select($"id", Classifier.score(TextFunctions.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs3.foreach { case (id, text) =>
+      assert(got(id) == model(text), s"doc $id: ${text.take(40)}")
+    }
+    // verdict is a pure threshold on the score
+    val kept = docs3.toDF("id", "text")
+      .select($"id", Classifier.keep(
+        Classifier.score(TextFunctions.tokens(col("text")))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    docs3.foreach { case (id, text) => assert(kept(id) == (model(text) >= 0L)) }
+    // both verdicts occur — the operating point is not vacuous
+    assert(kept.values.exists(identity) && kept.values.exists(!_))
+  }
+
   test("bpe tokens and rolling fingerprint") {
     import session.implicits._
     import org.apache.spark.sql.functions.col
