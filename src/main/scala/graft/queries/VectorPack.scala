@@ -90,6 +90,25 @@ object VectorPack extends QueryPack {
         centroidsDf(s, dir), thresholdMicro = 400000L)
       survivors.select(col("id")).orderBy(col("id"))
     },
+    "q_dedup_srp" -> { (s, dir) =>
+      // signed-random-projection LSH (the cosine-family hash): 16-bit
+      // hyperplane-sign signatures over integer-quantized vectors, 4-bit
+      // band candidates, exact-cosine verification. Planted 0.25-scaled
+      // copies of vectors 0..4 (ids +9000000) are cosine-1e6 near-dups
+      // whose projection sums scale by ~0.25 (quartering a float is exact;
+      // only quantization rounding perturbs them), so their signatures
+      // nearly always match their hosts' and banding surfaces them; the
+      // oracle re-derives signatures, bands, candidates, and verdicts from
+      // the same integer formulas, so recall is graded as-computed.
+      val emb = embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val corpus = emb.unionByName(
+        emb.filter(col("id") < 5).select((col("id") + 9000000L).as("id"),
+          transform(col("vec"), x => x * lit(0.25f)).as("vec")))
+      graft.llm.SrpLsh.srpPairs(corpus, dims = 64,
+          nbits = 16, bands = 4, thresholdMicro = 900000L)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
     "q_knn_recall" -> { (s, dir) =>
       // ANN quality audit: recall@3 of the IVF index against the exact
       // brute-force baseline, per query — the self-measuring metric an ANN
@@ -220,6 +239,43 @@ object VectorPack extends QueryPack {
          |WHERE vec_id >= 300
          |  AND vec_id NOT IN (SELECT db FROM dup WHERE db >= 300)
          |ORDER BY id""".stripMargin,
+    // full SRP pipeline re-derived: integer quantization, hyperplane-sign
+    // signature (same (h*64+j) multiplicative mix), 4-bit bands, shared-band
+    // candidates (DISTINCT replaces the engine's first-shared-band filter),
+    // exact-cosine verdicts
+    "q_dedup_srp" -> {
+      val wgt = "(((h*64 + j) * 2654435761 + 104729) % 1001 - 500)"
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 9000000, [x * 0.25 for x in embedding]::FLOAT[]
+         |  FROM embeddings WHERE vec_id < 5),
+         |base AS (
+         |  SELECT vec_id, embedding,
+         |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+         |     for j in range(1, 65)] AS q
+         |  FROM corpus),
+         |sig AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(
+         |      [CASE WHEN list_sum([q[j] * $wgt for j in range(1, 65)]) >= 0
+         |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |       for h in range(0, 16)],
+         |      (a, b) -> a * 2 + b) AS sig
+         |  FROM base),
+         |bands AS (
+         |  SELECT vec_id, embedding, i, (sig >> CAST(i * 4 AS INT)) & 15 AS bv
+         |  FROM sig, range(0, 4) t(i)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS va, a.embedding AS ea,
+         |                  b.vec_id AS vb, b.embedding AS eb
+         |  FROM bands a JOIN bands b
+         |    ON a.i = b.i AND a.bv = b.bv AND a.vec_id < b.vec_id)
+         |SELECT va AS vec_a, vb AS vec_b, ${cosMicro("ea", "eb")} AS cos_micro
+         |FROM cand
+         |WHERE ${cosMicro("ea", "eb")} >= 900000
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
     "q_knn_recall" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),

@@ -527,6 +527,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("SRP-LSH surfaces scaled near-duplicates and emits each pair exactly once") {
+    import session.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    // 0.25-scaled copies: cosine exactly 1.0, signatures near-identical
+    val corpus = base ++ base.take(3).map { case (id, v) =>
+      (id + 1000L, v.map(_ * 0.25f)) }
+    val pairs = SrpLsh.srpPairs(corpus.toDF("id", "vec"),
+      dims = 8, nbits = 16, bands = 4, thresholdMicro = 990000L).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    (0 until 3).foreach { i =>
+      assert(found.exists(p => p._1 == i && p._2 == i + 1000L && p._3 == 1000000L),
+        s"planted pair $i missing: ${found.toSeq}")
+    }
+    // the first-shared-band filter must emit each candidate pair ONCE even
+    // when signatures share several bands (planted copies share all four)
+    assert(found.map(p => (p._1, p._2)).distinct.length == found.length,
+      s"duplicate pair rows: ${found.toSeq}")
+    // signatures are deterministic: a second run returns the identical set
+    val again = SrpLsh.srpPairs(corpus.toDF("id", "vec"),
+      dims = 8, nbits = 16, bands = 4, thresholdMicro = 990000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == found.toSet)
+  }
+
   test("Classifier score matches a JVM hash/mix/sum model on random word docs") {
     import session.implicits._
     import org.apache.spark.sql.functions.col
