@@ -77,6 +77,46 @@ object Pipelines {
    * @return `docs`' id column + `n_hits` (distinct shared shingles) +
    *         `contaminated` boolean
    */
+  /**
+   * N-gram novelty score — the inverse of [[decontaminate]]'s overlap
+   * count, per document: the fraction of a doc's DISTINCT word n-grams
+   * that do NOT appear anywhere in a reference corpus. The standard
+   * freshness/redundancy signal when growing a training set: novelty ~ 0
+   * means the doc restates what the reference already covers (candidates
+   * for dropping or down-weighting); novelty ~ 1e6 means new content.
+   *
+   * Same scale shape as [[decontaminate]]: shingles materialize behind a
+   * per-doc exchange, the reference side is collapsed to distinct
+   * shingles, and the overlap is a bucketed equality join — per-doc
+   * counts come from ONE aggregation over the joined frame (n_total from
+   * the left rows, n_hits from the match marker), never a second scan.
+   *
+   * @return one row per `docs` row: id, `n_total` (distinct shingles),
+   *         `n_hits` (of those, how many the reference contains),
+   *         `novelty_micro` = 1e6 * (n_total - n_hits) / n_total
+   */
+  def noveltyScore(docs: DataFrame, reference: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   shingleN: Int = 8): DataFrame = {
+    val corpusShingles = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+    val refShingles = reference
+      .select(TextFunctions.tokens(col(textCol)).as("w"))
+      .repartition(col("w"))
+      .select(explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    corpusShingles.join(refShingles, Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_total"), count(col("__hit")).as("n_hits"))
+      .withColumn("novelty_micro",
+        round((col("n_total") - col("n_hits")).cast("double")
+          / col("n_total") * 1000000).cast("long"))
+  }
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleN: Int = 8, minShared: Int = 1): DataFrame = {

@@ -122,6 +122,19 @@ object TextPack extends QueryPack {
       graft.llm.Pipelines.decontaminate(corpus, benchmark, shingleN = 8)
         .orderBy(col("doc_id"))
     },
+    "q_text_novelty" -> { (s, dir) =>
+      // n-gram novelty vs a reference corpus: docs 0..49 are the reference,
+      // the corpus is docs >= 50 PLUS planted verbatim copies of reference
+      // docs 0..4 (ids +3000000) that must score novelty 0 — catching a
+      // vacuous overlap join that reports everything fresh
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val reference = docs.filter(col("doc_id") < 50)
+      val corpus = docs.filter(col("doc_id") >= 50).unionByName(
+        docs.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      graft.llm.Pipelines.noveltyScore(corpus, reference, shingleN = 8)
+        .orderBy(col("doc_id"))
+    },
     "q_text_repetition" -> { (s, dir) =>
       // Gopher-style within-document repetition: duplicate 2-gram/3-gram
       // instance fractions, plus a planted degenerate doc (one phrase
@@ -577,6 +590,26 @@ object TextPack extends QueryPack {
          |         WHERE bucket < CASE stratum WHEN 'long' THEN 65536 ELSE 13107 END)
          |SELECT stratum, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM kept GROUP BY stratum ORDER BY stratum""".stripMargin,
+    // novelty re-derived: distinct 8-grams per corpus doc, overlap vs the
+    // reference's distinct 8-gram union, exact integer-ratio rounding
+    "q_text_novelty" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 50
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 5),
+         |cw AS (SELECT doc_id, $W AS w FROM corpus),
+         |csh AS (SELECT DISTINCT doc_id, unnest(${shingleListSql(8)}) AS s FROM cw),
+         |rw AS (SELECT $W AS w FROM documents WHERE doc_id < 50),
+         |rsh AS (SELECT DISTINCT unnest(${shingleListSql(8)}) AS s FROM rw),
+         |tot AS (SELECT doc_id, count(*) AS n_total FROM csh GROUP BY 1),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits
+         |         FROM csh c JOIN rsh r ON c.s = r.s GROUP BY 1)
+         |SELECT t.doc_id, t.n_total,
+         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(round((t.n_total - COALESCE(h.n_hits, 0)) * 1.0 / t.n_total
+         |    * 1000000) AS BIGINT) AS novelty_micro
+         |FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     // independent 8-gram overlap recount against the same benchmark split
     "q_decontaminate" ->
       s"""WITH corpus AS (
