@@ -46,6 +46,27 @@ object Sampling {
    * splits must guarantee (a row can never migrate between train and test
    * when the corpus is re-snapshotted).
    */
+  /**
+   * Leakage-safe split: like [[splitAssign]], but the hash key is each
+   * row's duplicate-cluster REPRESENTATIVE, so every member of a cluster
+   * lands in the SAME split — the guard against train/test contamination
+   * through near-copies (a verbatim or near-duplicate of a test document
+   * sitting in train defeats the held-out evaluation). `clusters` is a
+   * (node, cluster) mapping — exact-hash groups or
+   * [[Graph.connectedComponents]] output, both compose unchanged; rows
+   * absent from the mapping are singletons and split by their own key.
+   * One broadcast-or-shuffle join more than [[splitAssign]]; the
+   * assignment itself stays a pure projection.
+   */
+  def splitAssignClustered(df: DataFrame, keyCol: String, clusters: DataFrame,
+                           splits: Seq[(String, Double)]): DataFrame = {
+    val cl = clusters.select(col("node").as(keyCol), col("cluster").as("__cl"))
+    val withRep = df.join(cl, Seq(keyCol), "left")
+      .withColumn("__rep", coalesce(col("__cl"), col(keyCol)))
+    splitAssign(withRep, "__rep", splits)
+      .withColumn("rep", col("__rep")).drop("__rep", "__cl")
+  }
+
   def splitAssign(df: DataFrame, keyCol: String,
                   splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,

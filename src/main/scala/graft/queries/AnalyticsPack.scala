@@ -315,6 +315,23 @@ object AnalyticsPack extends QueryPack {
         .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"))
         .orderBy($"split")
     },
+    "q_sample_split_clustered" -> { (s, dir) =>
+      import s.implicits._
+      // leakage-safe split: planted verbatim copies (+1e6) of docs < 50
+      // must land in the SAME split as their host — a plain per-id split
+      // would scatter ~20% of the pairs across the train/test boundary.
+      // Clusters here are exact-hash groups (min id per md5(text)); the
+      // operator composes unchanged with connectedComponents output.
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val corpus = docs.unionByName(docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      val clusters = corpus.select($"doc_id".as("node"),
+        min($"doc_id").over(Window.partitionBy(md5($"text"))).as("cluster"))
+      Sampling.splitAssignClustered(corpus, "doc_id", clusters,
+          Seq("train" -> 0.8, "test" -> 0.2))
+        .select($"doc_id", $"rep", $"split")
+        .orderBy($"doc_id")
+    },
     "q_shuffle_shards" -> { (s, dir) =>
       import s.implicits._
       // reproducible training-order shuffle: a seeded hash permutation
@@ -599,6 +616,19 @@ object AnalyticsPack extends QueryPack {
          | CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM d GROUP BY split ORDER BY split""".stripMargin
     },
+    // split re-derived on the cluster REPRESENTATIVE (min id per exact-hash
+    // group), same 0.8 cumulative bound as q_sample_split's train bucket
+    "q_sample_split_clustered" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+         |r AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         |      FROM corpus)
+         |SELECT doc_id, rep,
+         |  CASE WHEN ${TextPack.bucketSql("rep")} < 52429
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_shuffle_shards" -> {
       // seeded key "42|<doc_id>" — same string both engines; shard = the
       // 16-bit md5 bucket mod 8 (power of two: exact, unbiased)

@@ -527,6 +527,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("splitAssignClustered keeps every duplicate cluster in one split") {
+    import session.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 100).map(i => (i.toLong, s"document body number $i"))
+    val corpus = (docs ++ docs.take(20).map { case (id, t) => (id + 1000L, t) })
+      .toDF("doc_id", "text")
+    val clusters = corpus.select($"doc_id".as("node"),
+      min($"doc_id").over(Window.partitionBy(md5($"text"))).as("cluster"))
+    val split = Sampling.splitAssignClustered(corpus, "doc_id", clusters,
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0 until 20).foreach { i =>
+      assert(split(i.toLong) == split(i + 1000L), s"cluster of doc $i straddles")
+    }
+    // non-vacuous: the per-id split WOULD have separated at least one pair
+    val plain = Sampling.splitAssign(corpus, "doc_id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .select($"doc_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((0 until 20).exists(i => plain(i.toLong) != plain(i + 1000L)))
+    // singletons (absent from any cluster pair) still split by their own key
+    assert((20 until 100).forall(i => split(i.toLong) == plain(i.toLong)))
+  }
+
   test("SRP-LSH surfaces scaled near-duplicates and emits each pair exactly once") {
     import session.implicits._
     val rnd = new scala.util.Random(5)
