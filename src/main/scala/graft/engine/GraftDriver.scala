@@ -195,6 +195,45 @@ final class TopicHandle(spark: SparkSession,
   }
 
   /**
+   * Incremental topic mirroring (the MirrorMaker / cluster-replication
+   * analog): copy this topic's events into `target`, resuming from where
+   * the previous mirror call stopped. Each call pins the source watermark
+   * FIRST, reads exactly the events between the mirror's cursor and the
+   * pin (so a produce racing the copy is never half-mirrored — it waits
+   * for the next call), re-produces them into `target` in source-id order
+   * with the source partition requested explicitly (honored modulo the
+   * target's partition count, like any explicit produce request), and
+   * only then advances the cursor. Like MirrorMaker, target ids are
+   * target-assigned — dense from the target's own watermark — while
+   * per-partition event ORDER is preserved; metadata and payload ride
+   * verbatim.
+   *
+   * Crash contract: the cursor advances only after the target produce
+   * commits, so a mirror that dies mid-copy re-copies that span on the
+   * next call (at-least-once, like MirrorMaker); the target's
+   * produce-path id linearization keeps its own log dense regardless.
+   *
+   * The global sort before produce makes the copy order deterministic
+   * (range shuffle); the produce itself re-shuffles by target partition —
+   * two bounded shuffles of only the NEW span per call.
+   *
+   * @return the target's per-partition (firstId, count) produce result
+   */
+  def mirrorTo(target: TopicHandle): Map[Int, (Long, Long)] = {
+    val cName = s"__mirror_to_${target.name}"
+    val from = catalog.cursor(name, cName)
+    val to = catalog.nextIds(name)
+    val batch = events(from, to)
+      .orderBy(col("partition"), col("event_id"))
+      .select(col("metadata"), col("data"), col("partition"))
+    val res = target.producer().produce(batch)
+    to.foreach { case (p, w) =>
+      if (w > from.getOrElse(p, 0L)) catalog.acknowledge(name, cName, p, w - 1)
+    }
+    res
+  }
+
+  /**
    * Per-partition operational summary — the library analog of the
    * reference's `mofkactl topic` inspection surface: committed event count
    * (= the id watermark, ids are dense from 0), registered chunk-file count

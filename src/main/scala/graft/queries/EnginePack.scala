@@ -329,6 +329,29 @@ object EnginePack extends QueryPack {
         .withColumn("collapsed", lit(collapsed))
         .orderBy(col("partition"))
     },
+    "q_mirror" -> { (s, dir) =>
+      // incremental topic mirroring (MirrorMaker analog): produce 60% of
+      // the stream, mirror, produce the rest, mirror again — the target
+      // must hold every event exactly once, per-partition order = (mirror
+      // round, source id), and a third idle mirror must copy nothing. The
+      // oracle re-derives the target's dense ids from the phase split.
+      val d = tempDriver(s)
+      d.createTopic("mir_src", partitions = 4)
+      d.createTopic("mir_dst", partitions = 4)
+      val src = d.openTopic("mir_src")
+      val dst = d.openTopic("mir_dst")
+      val all = sourceByEid(s, dir)
+      val eidM = get_json_object(col("metadata"), "$.eid").cast("long")
+      src.producer().produce(all.filter(pmod(eidM, lit(5)) < 3))
+      src.mirrorTo(dst)
+      src.producer().produce(all.filter(pmod(eidM, lit(5)) >= 3))
+      src.mirrorTo(dst)
+      val third = src.mirrorTo(dst)
+      dst.events()
+        .select(col("partition"), col("event_id").as("engine_id"), eidM.as("eid"))
+        .withColumn("idle_mirror_empty", lit(third.values.map(_._2).sum == 0L))
+        .orderBy(col("partition"), col("engine_id"))
+    },
     "q_producer_dlq" -> { (s, dir) =>
       // dead-letter produce: same schema-validated topic as
       // q_producer_validated, but rejects are ROUTED (wrapped verbatim +
@@ -1079,6 +1102,15 @@ object EnginePack extends QueryPack {
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS collapsed
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // mirrored target: dense per-partition ids ordered by (mirror round,
+    // source id) — phase 1 is eid % 5 in {0,1,2}
+    "q_mirror" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition,
+        | row_number() OVER (PARTITION BY event_id % 4
+        |   ORDER BY CASE WHEN event_id % 5 < 3 THEN 0 ELSE 1 END, event_id)
+        |   - 1 AS engine_id,
+        | event_id AS eid, true AS idle_mirror_empty
+        |FROM events ORDER BY partition, engine_id""".stripMargin,
     // DLQ routing: the 2048-row slice splits on the schema-validity
     // predicate (0 <= k <= 69); sums over the original k values grade that
     // wrapped DLQ documents round-trip verbatim

@@ -317,6 +317,37 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(first.eventId == 0L)
   }
 
+  test("mirrorTo copies incrementally, preserves order, and is idle-safe") {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
+    d.createTopic("src", partitions = 2)
+    d.createTopic("dst", partitions = 2)
+    val src = d.openTopic("src")
+    val dst = d.openTopic("dst")
+    val p1 = src.producer()
+    (0 until 20).foreach(i => p1.push(s"""{"i":$i}""",
+      s"d-$i".getBytes(StandardCharsets.UTF_8)))
+    p1.flush()
+    val r1 = src.mirrorTo(dst)
+    assert(r1.values.map(_._2).sum == 20L)
+    // second round: only the delta is copied
+    val p2 = src.producer()
+    (20 until 30).foreach(i => p2.push(s"""{"i":$i}"""))
+    p2.flush()
+    val r2 = src.mirrorTo(dst)
+    assert(r2.values.map(_._2).sum == 10L)
+    // target: same per-partition payload sequence as the source, ids dense
+    val key = get_json_object(col("metadata"), "$.i").cast("long")
+    def seqOf(t: TopicHandle) = t.events()
+      .select(col("partition"), col("event_id"), key.as("i"))
+      .orderBy(col("partition"), col("event_id")).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).toSeq).toMap
+    assert(seqOf(dst) == seqOf(src))
+    assert(dst.events().filter(col("event_id") === 3 && col("partition") === 0)
+      .head.getAs[Array[Byte]]("data") != null)
+    // idle mirror copies nothing
+    assert(src.mirrorTo(dst).values.map(_._2).sum == 0L)
+  }
+
   test("produceWithDlq routes rejects to the DLQ wrapped verbatim; valid rows land normally") {
     val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
     d.createTopic("strict", partitions = 1, validator = Validator.SchemaValidator(
