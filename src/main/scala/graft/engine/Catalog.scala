@@ -760,6 +760,44 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /**
+   * Validator evolution — the schema-registry compatibility gate: replace
+   * the topic's validator with `validator`, refusing (loudly, with the
+   * failing count) when `checkExisting` and any COMMITTED event fails the
+   * new rules. That is "full compatibility" in registry terms: consumers
+   * reading the whole log under the new schema must never meet an event
+   * that violates it — tightening is allowed only once the data already
+   * conforms; loosening always passes the check. `checkExisting = false`
+   * skips the scan for the forced-migration case (new events validate
+   * against the new rules; history stays as-is, like registry NONE mode).
+   *
+   * Runs under the produce lock: a produce validates against the config
+   * it opened with, so the swap must not land mid-produce (the lock
+   * serializes both). The check itself is one metadata-column scan —
+   * payload bytes are never read (Parquet column pruning).
+   */
+  def alterTopicValidator(name: String, validator: Validator,
+                          checkExisting: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cfg = openTopic(name)
+    Validator.fromDescriptor(validator.descriptor) // DDL-time plugin check
+    acquireProduceLock(name)
+    try {
+      val log = new Path(logPath(name))
+      if (checkExisting && fs.exists(log)) {
+        val decoded = Serializer.fromDescriptor(cfg.serializer)
+          .deserialize(col("metadata"))
+        val bad = spark.read.schema(Catalog.EventSchema).parquet(log.toString)
+          .filter(!coalesce(validator.predicate(decoded), lit(false)))
+          .count()
+        if (bad > 0) throw new IllegalStateException(
+          s"alterValidator rejected for topic '$name': $bad existing " +
+            "events fail the new validator (full-compatibility check)")
+      }
+      writeTopicConfig(cfg.copy(validator = validator.descriptor))
+    } finally releaseProduceLock(name)
+  }
+
+  /**
    * Key compaction (Kafka's `cleanup.policy=compact` analog): per
    * (partition, key), rewrite the log keeping only the LATEST event — the
    * one with the highest `event_id` — so the topic converges to a

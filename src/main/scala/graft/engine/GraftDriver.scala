@@ -277,6 +277,11 @@ final class TopicHandle(spark: SparkSession,
   def compact(chunkMaxRecords: Long = 1000000L): Unit =
     catalog.compactTopic(name, chunkMaxRecords)
 
+  /** Validator evolution with a full-compatibility gate — see
+    * [[Catalog.alterTopicValidator]]. */
+  def alterValidator(validator: Validator, checkExisting: Boolean = true): Unit =
+    catalog.alterTopicValidator(name, validator, checkExisting)
+
   /** Key compaction (Kafka `cleanup.policy=compact` analog): keep only the
     * latest event per (partition, key); with `dropTombstones`, keys whose
     * latest payload is empty are deleted — see [[Catalog.compactTopicByKey]]. */

@@ -329,6 +329,41 @@ object EnginePack extends QueryPack {
         .withColumn("collapsed", lit(collapsed))
         .orderBy(col("partition"))
     },
+    "q_alter_validator" -> { (s, dir) =>
+      // validator evolution: a topic with committed history (k in 0..99)
+      // REFUSES tightening to k <= 69 (full-compatibility check counts the
+      // violators), ACCEPTS tightening to k >= 0 (history conforms), and
+      // the accepted rules bind future produces (a keyless row aborts, a
+      // conforming one lands)
+      import s.implicits._
+      val d = tempDriver(s)
+      d.createTopic("alter_demo", partitions = 2)
+      val topic = d.openTopic("alter_demo")
+      topic.producer().produce(
+        t(s, dir, "events").orderBy(col("event_id")).limit(2048)
+          .select(col("props").as("metadata")))
+      val strict = Validator.SchemaValidator(
+        """{"type":"object","required":["k"],
+          | "properties":{"k":{"type":"integer","minimum":0,"maximum":69}}}""".stripMargin)
+      val loose = Validator.SchemaValidator(
+        """{"type":"object","required":["k"],
+          | "properties":{"k":{"type":"integer","minimum":0}}}""".stripMargin)
+      val strictRejected =
+        try { topic.alterValidator(strict); false }
+        catch { case _: IllegalStateException => true }
+      val looseAccepted =
+        try { topic.alterValidator(loose); true }
+        catch { case _: IllegalStateException => false }
+      val badAborted =
+        try { topic.producer().produce(Seq("""{"q":1}""").toDF("metadata")); false }
+        catch { case _: Throwable => true }
+      topic.producer().produce(Seq("""{"k":7}""").toDF("metadata"))
+      topic.events()
+        .agg(count(lit(1)).as("n_events"))
+        .select(lit(strictRejected).as("strict_rejected"),
+          lit(looseAccepted).as("loose_accepted"),
+          lit(badAborted).as("bad_aborted"), col("n_events"))
+    },
     "q_mirror" -> { (s, dir) =>
       // incremental topic mirroring (MirrorMaker analog): produce 60% of
       // the stream, mirror, produce the rest, mirror again — the target
@@ -1102,6 +1137,13 @@ object EnginePack extends QueryPack {
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS collapsed
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // validator evolution contracts: strict tighten refused (k reaches 99),
+    // conforming tighten accepted, new rules bind produces; the final
+    // count is the 2048-row history + the one conforming row
+    "q_alter_validator" ->
+      """SELECT true AS strict_rejected, true AS loose_accepted,
+        | true AS bad_aborted, count(*) + 1 AS n_events
+        |FROM (SELECT * FROM events ORDER BY event_id LIMIT 2048)""".stripMargin,
     // mirrored target: dense per-partition ids ordered by (mirror round,
     // source id) — phase 1 is eid % 5 in {0,1,2}
     "q_mirror" ->

@@ -146,6 +146,31 @@ class DriverSpec extends SparkSpec {
     assert(viaDsv2 == metas.toSet, viaDsv2.mkString("; "))
   }
 
+  test("alterValidator gates on history, decodes opaque storage, and allows forced migration") {
+    val d = freshDriver()
+    // base64 topic: the compatibility scan must decode the stored form
+    // through the topic's serializer, not read it raw
+    d.createTopic("evolve", partitions = 1, serializer = Serializer.Base64)
+    val t = d.openTopic("evolve")
+    val p = t.producer()
+    p.push("""{"k":1}"""); p.push("""{"k":200}"""); p.flush()
+    val strict = Validator.SchemaValidator(
+      """{"type":"object","required":["k"],
+        | "properties":{"k":{"type":"integer","minimum":0,"maximum":69}}}""".stripMargin)
+    val e = intercept[IllegalStateException](t.alterValidator(strict))
+    assert(e.getMessage.contains("1 existing"), e.getMessage)
+    // config unchanged after the refusal
+    assert(Validator.fromDescriptor(t.config.validator) == Validator.Default)
+    // forced migration (registry NONE mode): swap without the scan; the
+    // new rules bind only FUTURE produces
+    t.alterValidator(strict, checkExisting = false)
+    val p2 = t.producer()
+    intercept[Exception] { p2.push("""{"k":200}"""); p2.flush() }
+    val p3 = t.producer()
+    p3.push("""{"k":3}"""); p3.flush()
+    assert(t.events().count() == 3) // 2 history + 1 conforming
+  }
+
   test("multi-topic events() unions logs with a topic tag") {
     import org.apache.spark.sql.functions._
     val d = freshDriver()
