@@ -953,6 +953,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val vac = vacuumTopic(name)
     val indexed = listIndexes(name).map { idx =>
       MetadataIndex.refreshExisting(spark, this, name, idx)
+    }.sum + BloomIndex.list(spark, this, name).map { idx =>
+      BloomIndex.refreshExisting(spark, this, name, idx)
     }.sum
     (needsCompact, vac, indexed)
   }

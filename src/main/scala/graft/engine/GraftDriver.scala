@@ -312,6 +312,22 @@ final class TopicHandle(spark: SparkSession,
     * swap leftovers, stale temp files) — see [[Catalog.vacuumTopic]]. */
   def vacuum(): VacuumReport = catalog.vacuumTopic(name)
 
+  /** Build or incrementally refresh a per-chunk-file BLOOM index over a
+    * metadata field — point-lookup file pruning for high-cardinality keys
+    * whose values are spread hash-like across the log (where zone maps
+    * degenerate to full scans). See [[BloomIndex]] for the contracts. */
+  def refreshBloomIndex(index: String, jsonPath: String,
+                        numBits: Int = 4032, numHashes: Int = 4): Int =
+    BloomIndex.refresh(spark, catalog, name, index, jsonPath, numBits, numHashes)
+
+  /** Pruning stats for a bloom point lookup (ops/assertion surface). */
+  def bloomScanEq(index: String, value: String): MetadataIndex.IndexScan =
+    BloomIndex.scanEq(spark, catalog, name, index, value)
+
+  /** The bloom-pruned point lookup (exact equality re-applied per row). */
+  def eventsBloomEq(index: String, value: String): org.apache.spark.sql.DataFrame =
+    BloomIndex.eventsEq(spark, catalog, name, index, value)
+
   /** Build or incrementally refresh a per-chunk-file zone-map index over a
     * metadata field (`kind` = numeric for range pruning, string for
     * equality pruning) — returns the number of files newly indexed. See

@@ -22,14 +22,17 @@ object Bloom {
   /** Bits per word: 63 keeps `1L << (p mod 63)` positive everywhere. */
   val WordBits = 63
 
-  /** Hash j of a key: first 8 md5 nibbles (32 bits) of "j:key", mod m. */
-  private def position(key: Column, j: Int, numBits: Int): Column =
+  /** Hash j of a key: first 8 md5 nibbles (32 bits) of "j:key", mod m.
+    * (`private[graft]`: [[graft.engine.BloomIndex]] builds per-file filters
+    * with the same family, and its driver-side planner re-derives these
+    * positions in JVM code — BloomIndexSpec locks the two in step.) */
+  private[graft] def position(key: Column, j: Int, numBits: Int): Column =
     pmod(conv(substring(md5(concat(lit(j.toString), lit(":"),
       key.cast("string"))), 1, 8), 16, 10).cast("long"), lit(numBits.toLong))
 
-  private def wordOf(p: Column): Column = (p / WordBits).cast("long")
+  private[graft] def wordOf(p: Column): Column = (p / WordBits).cast("long")
 
-  private def maskOf(p: Column): Column =
+  private[graft] def maskOf(p: Column): Column =
     call_function("shiftleft", lit(1L), pmod(p, lit(WordBits.toLong)).cast("int"))
 
   /**

@@ -700,6 +700,40 @@ object EnginePack extends QueryPack {
         .agg(count(lit(1)).as("cnt"), sum(col("doc")).as("sum_doc"))
         .withColumn("pruned", lit(pruned))
     },
+    "q_meta_index_bloom" -> { (s, dir) =>
+      // bloom file index vs zone maps on an UNCLUSTERED key: events land
+      // in four produces split by user_id mod 4, so every chunk file's
+      // [min,max] zone spans nearly the whole id domain — a zone index on
+      // $.u must keep ALL files for a median-id lookup (zone_useless),
+      // while the bloom index must open only the files that can hold the
+      // id (bloom_pruned). Rows are graded against the source filter.
+      val d = tempDriver(s)
+      d.createTopic("bloom_demo", partitions = 4)
+      val topic = d.openTopic("bloom_demo")
+      val ev = t(s, dir, "events")
+      (0 until 4).foreach { r =>
+        topic.producer().produce(
+          ev.filter(pmod(col("user_id"), lit(4)) === r)
+            .orderBy(col("event_id"))
+            .select(to_json(struct(col("user_id").as("u"),
+              col("event_id").as("eid"))).as("metadata"),
+              pmod(col("event_id"), lit(4)).cast("int").as("partition")))
+      }
+      topic.refreshBloomIndex("u_bloom", "$.u")
+      topic.refreshIndex("u_zone", "$.u")
+      // lookup target: the median distinct user id — a demo-setup scalar
+      // (the id an operator would hand to a lookup job), 150 ids collected
+      val uids = ev.select(col("user_id")).distinct().orderBy(col("user_id"))
+        .collect().map(_.getLong(0))
+      val target = uids(uids.length / 2)
+      val bscan = topic.bloomScanEq("u_bloom", target.toString)
+      val zscan = topic.indexScan("u_zone", target.toDouble, target.toDouble)
+      topic.eventsBloomEq("u_bloom", target.toString)
+        .select(get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
+        .agg(count(lit(1)).as("cnt"), sum(col("eid")).as("sum_eid"))
+        .withColumn("bloom_pruned", lit(bscan.kept < bscan.total && bscan.kept > 0))
+        .withColumn("zone_useless", lit(zscan.kept == zscan.total))
+    },
     "q_snapshot" -> { (s, dir) =>
       // reproducible-dataset snapshot: pin the watermark after the first
       // produce; the pinned read must see exactly that produce's rows no
@@ -1137,6 +1171,15 @@ object EnginePack extends QueryPack {
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS collapsed
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // bloom point lookup: the median distinct user id's events, re-derived
+    // from the source; the pruning booleans are engine-side plan facts
+    "q_meta_index_bloom" ->
+      """WITH uids AS (SELECT DISTINCT user_id FROM events),
+        |tgt AS (SELECT user_id AS u FROM uids ORDER BY user_id
+        |        LIMIT 1 OFFSET (SELECT count(*) // 2 FROM uids))
+        |SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | true AS bloom_pruned, true AS zone_useless
+        |FROM events, tgt WHERE user_id = u""".stripMargin,
     // validator evolution contracts: strict tighten refused (k reaches 99),
     // conforming tighten accepted, new rules bind produces; the final
     // count is the 2048-row history + the one conforming row
