@@ -47,6 +47,30 @@ object Sampling {
    * when the corpus is re-snapshotted).
    */
   /**
+   * Token-budget corpus selection — "take the best documents until the
+   * budget is spent": rows are ordered by (`quality` descending, `idCol`
+   * as the deterministic tiebreak) and kept while the INCLUSIVE running
+   * token total fits `budget`. The greedy quality-first fill is the
+   * standard curation step when a training run affords N tokens, not N
+   * documents.
+   *
+   * Scale shape: the running total is [[graft.operators.Ranks
+   * .withRunningTotal]]'s distributed prefix sum (range shuffle +
+   * per-partition window + broadcast offsets) — never a global
+   * single-task window. `budget` is a Column so a computed bound (e.g.
+   * 40% of the corpus mass, cross-joined as a broadcast one-row
+   * aggregate) costs no driver round-trip.
+   *
+   * @return the kept rows plus `cum_tokens` (the running total at and
+   *         including each row)
+   */
+  def budgetSelect(docs: DataFrame, quality: Column, tokens: Column,
+                   idCol: String, budget: Column): DataFrame =
+    graft.operators.Ranks.withRunningTotal(docs, "cum_tokens", tokens,
+        Seq(quality.desc, col(idCol)))
+      .filter(col("cum_tokens") <= budget)
+
+  /**
    * Leakage-safe split: like [[splitAssign]], but the hash key is each
    * row's duplicate-cluster REPRESENTATIVE, so every member of a cluster
    * lands in the SAME split — the guard against train/test contamination

@@ -73,6 +73,38 @@ object Ranks {
       .drop("__grk", "__total")
   }
 
+  /**
+   * Adds `cumCol` = exact INCLUSIVE running total of `weight` under
+   * `sortCols` — `sum(weight) OVER (ORDER BY ... ROWS UNBOUNDED
+   * PRECEDING)` semantics without the single-task global window. Same
+   * checkpoint-frozen range shuffle as [[withGlobalRank]]; the offsets
+   * are per-partition WEIGHT sums instead of row counts (the distributed
+   * prefix-sum). `weight` must be non-null (a null would poison every
+   * later running total — pre-coalesce if the source can hold nulls);
+   * it is materialized into the checkpoint so both plan branches observe
+   * identical values.
+   */
+  def withRunningTotal(df: DataFrame, cumCol: String, weight: Column,
+                       sortCols: Seq[Column], numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = df.withColumn("__w", weight)
+      .repartitionByRange(n, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = parts.groupBy(col("__pid")).agg(sum(col("__w")).as("__psum"))
+    val offs = sums.as("a")
+      .join(sums.as("b"), col("b.__pid") <= col("a.__pid"))
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg((sum(col("b.__psum")) - first(col("a.__psum"))).as("__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.withColumn("__lc", sum(col("__w")).over(w))
+      .join(broadcast(offs), "__pid")
+      .withColumn(cumCol, col("__lc") + col("__off"))
+      .drop("__pid", "__lr", "__lc", "__off", "__w")
+  }
+
   /** Rank + `__total` (row count, for ntile sizing) in one pass: the count
     * rides the same per-partition aggregate as the offsets — no second scan
     * of `df` and no driver-side scalar. */

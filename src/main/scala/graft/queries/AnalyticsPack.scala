@@ -315,6 +315,24 @@ object AnalyticsPack extends QueryPack {
         .agg(count(lit(1)).as("n"), sum($"doc_id").as("sum_ids"))
         .orderBy($"split")
     },
+    "q_budget_select" -> { (s, dir) =>
+      import s.implicits._
+      // token-budget curation: best docs first (TTR desc, id tiebreak)
+      // until 40% of the corpus token mass is spent. The running total is
+      // the DISTRIBUTED prefix sum (range shuffle + broadcast offsets) —
+      // no single-task window; the budget bound is a broadcast one-row
+      // aggregate, no driver scalar. The oracle replays the greedy fill
+      // with a plain window cumsum.
+      val scored = t(s, dir, "documents").select($"doc_id",
+        graft.llm.TextFunctions.typeTokenRatioMicro($"text").as("ttr"),
+        graft.llm.TextFunctions.tokenCount($"text").as("n_tokens"))
+      val bound = scored.agg(
+        expr("(sum(n_tokens) * 2) DIV 5").as("budget"))
+      Sampling.budgetSelect(scored.crossJoin(broadcast(bound)),
+          $"ttr", $"n_tokens", "doc_id", $"budget")
+        .select($"doc_id", $"ttr", $"n_tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    },
     "q_sample_split_clustered" -> { (s, dir) =>
       import s.implicits._
       // leakage-safe split: planted verbatim copies (+1e6) of docs < 50
@@ -616,6 +634,18 @@ object AnalyticsPack extends QueryPack {
          | CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM d GROUP BY split ORDER BY split""".stripMargin
     },
+    // greedy fill replayed with a plain window cumsum over the same
+    // (ttr DESC, doc_id) order and the same integer budget bound
+    "q_budget_select" ->
+      s"""WITH d AS (SELECT doc_id, ${TextPack.ttrSql} AS ttr,
+         |                  len(${TextPack.W}) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, ttr, n_tokens,
+         |        sum(n_tokens) OVER (ORDER BY ttr DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |      FROM d)
+         |SELECT doc_id, ttr, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= (SELECT (sum(n_tokens) * 2) // 5 FROM d)
+         |ORDER BY doc_id""".stripMargin,
     // split re-derived on the cluster REPRESENTATIVE (min id per exact-hash
     // group), same 0.8 cumulative bound as q_sample_split's train bucket
     "q_sample_split_clustered" ->

@@ -306,7 +306,7 @@ object TextPack extends QueryPack {
   private val stopListSql = TF.LangMarkers.flatMap(_._2).map(w => s"'$w'").mkString(",")
   private val mtlSql =
     s"CAST(round(CAST(list_sum(list_transform($W, x -> length(x))) AS BIGINT) * 1.0 / len($W) * 1000000) AS BIGINT)"
-  private val ttrSql =
+  private[queries] val ttrSql =
     s"CAST(round(len(list_distinct($W)) * 1.0 / len($W) * 1000000) AS BIGINT)"
   private val stopSql =
     s"CAST(round(len(list_filter($W, x -> x IN ($stopListSql))) * 1.0 / len($W) * 1000000) AS BIGINT)"

@@ -62,6 +62,24 @@ class RanksSpec extends SparkSpec {
     val df = (1 to 100).map(i => (i * 13 % 101, i)).toDF("k", "i")
     assert(globalWindows(Ranks.withGlobalRank(df, "r", Seq($"k"))).isEmpty)
     assert(globalWindows(Ranks.withNtile(df, "t", 10, Seq($"k"))).isEmpty)
+    assert(globalWindows(
+      Ranks.withRunningTotal(df, "c", $"i", Seq($"k"))).isEmpty)
+  }
+
+  test("withRunningTotal equals the global running-sum window across sizes and weights") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for ((n, parts) <- Seq((1, 4), (37, 3), (500, 7), (997, 5))) {
+      // unique sort keys in scrambled order; weights include zeros
+      val df = (1 to n).map(i => ((i * 7919) % 1000003, rnd.nextInt(50).toLong))
+        .toDF("k", "w")
+      val expected = df.withColumn("c", sum($"w").over(
+          Window.orderBy($"k").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select($"k", $"c").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val got = Ranks.withRunningTotal(df, "c", $"w", Seq($"k"), numPartitions = parts)
+        .select($"k", $"c").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == expected, s"n=$n parts=$parts")
+    }
   }
 
   test("randomized: rank and ntile match the window functions across sizes/ties/partitions") {
