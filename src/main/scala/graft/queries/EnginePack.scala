@@ -980,6 +980,79 @@ object EnginePack extends QueryPack {
         .select(col("c_eid"), col("p_eid"))
         .orderBy(col("c_eid"), col("p_eid"))
     },
+    "q_stream_outer" -> { (s, dir) =>
+      // LEFT OUTER stream-stream join through the micro-batch source: every
+      // click pairs with its within-1h purchases, and clicks with NO such
+      // purchase must still emit (null-extended, published as p_eid = -1).
+      // Outer emission is watermark-driven — state for a click may only
+      // null-emit once the watermark passes its join window — and eviction
+      // happens in the batch AFTER the one whose stats advanced the clock,
+      // so a single trailing flush row is not enough (its batch is the
+      // last; AvailableNow stops before the eviction batch — empirically
+      // verified, the tail clicks' null rows never emit). The produce
+      // therefore ends with 2×(admission budget) far-future filler events:
+      // the first filler batch advances the watermark past every real
+      // window, and the REMAINING filler batches (forced by the admission
+      // budget) run the evictions — making the result exactly the batch
+      // left join. Fillers must SURVIVE the side filters to reach the
+      // event-time stats (Catalyst pushes a non-watermark-column filter
+      // BELOW the watermark node — empirically a det-filtered flush row
+      // never advances the clock), so each side gets its own filler type
+      // under sentinel uids (-1/-2) that can never join, and filler state
+      // rows are dropped from the published result by the c_eid < 4096
+      // guard. Same displacement-0 exactness argument as q_stream_join for
+      // the inner pairs.
+      val d = tempDriver(s)
+      d.createTopic("souter_demo", partitions = 2)
+      val topic = d.openTopic("souter_demo")
+      val ev = t(s, dir, "events")
+      val src = ev
+        .filter(col("user_id") < 100 && col("event_id") < 4096 &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+      val flushTs = ev.agg(max(col("ts"))).head.getLong(0) + 48L * 3600 * 1000000000L
+      val withFlush = src
+        .unionByName(s.range(1024).select(
+          (lit(9000000L) + col("id")).as("event_id"), lit(flushTs).as("ts"),
+          lit("click").as("event_type"), lit(-1L).as("user_id")))
+        .unionByName(s.range(1024).select(
+          (lit(9100000L) + col("id")).as("event_id"), lit(flushTs).as("ts"),
+          lit("purchase").as("event_type"), lit(-2L).as("user_id")))
+      topic.producer().produce(withFlush.orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"), col("ts").as("tns"),
+          col("event_type").as("et"), col("user_id").as("uid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition")))
+      def side(et: String, p: String) = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "souter_demo")
+        .option("maxEventsPerTrigger", "1024")
+        .load()
+        .select(get_json_object(col("metadata"), "$.et").as("et"),
+          get_json_object(col("metadata"), "$.eid").cast("long").as(s"${p}_eid"),
+          get_json_object(col("metadata"), "$.uid").cast("long").as(s"${p}_uid"),
+          expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+            .as(s"${p}_t"))
+        .withWatermark(s"${p}_t", "1 hour") // BEFORE the filter: flush advances the clock
+        .filter(col("et") === et).drop("et")
+      val qname = s"q_stream_outer_${EnginePack.streamRun.incrementAndGet()}"
+      val query = side("click", "c").join(side("purchase", "p"),
+          col("c_uid") === col("p_uid") &&
+            col("p_t") >= col("c_t") &&
+            col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-souter-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .filter(col("c_eid") < 4096) // drop filler-click state rows
+        .select(col("c_eid"), coalesce(col("p_eid"), lit(-1L)).as("p_eid"))
+        .orderBy(col("c_eid"), col("p_eid"))
+    },
     "q_stream_drain" -> { (s, dir) =>
       // S8 through the oracle: the DSv2 MICRO-BATCH path (offset cursor walk,
       // admission control, AvailableNow drain — the `feedConsumer` analog of
@@ -1343,6 +1416,22 @@ object EnginePack extends QueryPack {
         |  FROM events) s
         |GROUP BY topic ORDER BY topic""".stripMargin,
     // every (click, purchase-within-1h) pair from the capped slice
+    // the outer join equals the batch LEFT join once the flush event pushes
+    // the watermark past every real window; unmatched clicks carry -1
+    "q_stream_outer" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_ns(ts) // 1000 AS tus
+        |           FROM events
+        |           WHERE user_id < 100 AND event_id < 4096
+        |             AND event_type IN ('click', 'purchase')),
+        |c AS (SELECT event_id AS c_eid, user_id AS uid, tus AS ct FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_eid, user_id AS uid, tus AS pt FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c_eid, COALESCE(p_eid, -1) AS p_eid
+        |FROM c LEFT JOIN p ON c.uid = p.uid
+        |  AND pt >= ct AND pt <= ct + 3600000000
+        |ORDER BY c_eid, p_eid""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             epoch_ns(ts) // 1000 AS tus
