@@ -160,6 +160,33 @@ final class TopicHandle(spark: SparkSession,
     }
   }
 
+  /** Resize a balanced consumer group, migrating each partition's
+    * committed cursor from its old owner to its new owner — Kafka's
+    * rebalance offset continuity: consumption progress belongs to the
+    * (group, partition), not to the member that happened to hold it, so a
+    * partition that changes hands resumes where the OLD owner stopped
+    * instead of re-reading (or skipping) its history. A cursor already
+    * ahead under the new owner is kept (max wins — cursors are
+    * at-least-once floors, never regressed). Members are static like
+    * [[consumerGroup]]'s; this is the explicit-membership analog of a
+    * rebalance, not dynamic membership. Returns the new group's members.
+    */
+  def resizeConsumerGroup(group: String, oldSize: Int, newSize: Int,
+                          selector: Option[DataSelector] = None,
+                          batchSize: Option[Int] = None): Seq[Consumer] = {
+    require(oldSize > 0, s"old group size must be positive: $oldSize")
+    (0 until config.partitions).foreach { p =>
+      val oldOwner = s"$group-${p % oldSize}"
+      val newOwner = s"$group-${p % newSize}"
+      if (oldOwner != newOwner) {
+        val cur = catalog.cursor(name, oldOwner).getOrElse(p, 0L)
+        val existing = catalog.cursor(name, newOwner).getOrElse(p, 0L)
+        if (cur > existing) catalog.acknowledge(name, newOwner, p, cur - 1)
+      }
+    }
+    consumerGroup(group, newSize, selector, batchSize)
+  }
+
   /** The full event log as a DataFrame — the engine-native analytics
     * surface (metadata/data split = Parquet column pruning). */
   def events(): DataFrame =

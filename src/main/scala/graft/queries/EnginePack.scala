@@ -564,6 +564,28 @@ object EnginePack extends QueryPack {
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"))
         .orderBy(col("member"), col("partition"))
     },
+    "q_consumer_rebalance" -> { (s, dir) =>
+      // group resize with offset continuity: a 3-member group commits a
+      // distinct cursor per partition (ack through id 10*(p+1)-1), then
+      // resizes to 2 members — partitions 2 and 3 change hands and their
+      // NEW owners must resume exactly at the migrated cursors (partitions
+      // 0/1 keep their owners; the oracle re-derives every member view
+      // from the p mod arithmetic and the ack boundaries)
+      val d = tempDriver(s)
+      d.createTopic("rebal_demo", partitions = 4)
+      val topic = d.openTopic("rebal_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      (0 until 4).foreach(p =>
+        d.catalog.acknowledge("rebal_demo", s"g-${p % 3}", p, 10L * (p + 1) - 1))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.resizeConsumerGroup("g", oldSize = 3, newSize = 2)
+        .zipWithIndex.map { case (c, i) =>
+          c.events().select(lit(i).as("member"), col("partition"), eid.as("k"))
+        }.reduce(_.unionByName(_))
+        .groupBy(col("member"), col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"))
+        .orderBy(col("member"), col("partition"))
+    },
     "q_consumer_seek" -> { (s, dir) =>
       // Kafka offsetsForTimes+seek analog: reposition a consumer at the
       // event time 40% into the stream and read forward — the consumer's
@@ -1340,6 +1362,17 @@ object EnginePack extends QueryPack {
         | CAST(event_id % 4 AS INT) AS partition,
         | count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid
         |FROM events GROUP BY 1, 2 ORDER BY member, partition""".stripMargin,
+    // resized group: member of partition p is p mod 2, and each view
+    // starts at the MIGRATED cursor (rank >= 10*(p+1) within partition)
+    "q_consumer_rebalance" ->
+      """WITH src AS (SELECT event_id AS eid, CAST(event_id % 4 AS INT) AS p,
+        |  row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1
+        |    AS engine_id
+        |FROM events)
+        |SELECT p % 2 AS member, p AS partition, count(*) AS cnt,
+        | CAST(sum(eid) AS BIGINT) AS sum_eid
+        |FROM src WHERE engine_id >= (p + 1) * 10
+        |GROUP BY 1, 2 ORDER BY member, partition""".stripMargin,
     // seek-to-time: the repositioned consumer sees exactly each
     // partition's suffix from the first event at/past the 40% timestamp
     "q_consumer_seek" ->

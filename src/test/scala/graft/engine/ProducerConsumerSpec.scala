@@ -317,6 +317,34 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(first.eventId == 0L)
   }
 
+  test("resizeConsumerGroup migrates cursors to new owners; higher cursors never regress") {
+    val (d, topic) = newTopic(partitions = 4)
+    val p = topic.producer()
+    (0 until 80).foreach(i => p.push(s"""{"i":$i}""", null))
+    p.flush() // 20 events per partition (round-robin)
+    // 2-member group: member 0 owns partitions 0,2; member 1 owns 1,3.
+    // commit distinct progress per partition under the CURRENT owners
+    Seq(0 -> 5L, 1 -> 7L, 2 -> 9L, 3 -> 11L).foreach { case (part, id) =>
+      d.catalog.acknowledge("mytopic", s"g-${part % 2}", part, id)
+    }
+    // partition 3's FUTURE owner (g-0 under size 3) already holds a higher
+    // cursor there — the migration must keep it (max wins)
+    d.catalog.acknowledge("mytopic", "g-0", 3, 15L)
+    val members = topic.resizeConsumerGroup("g", oldSize = 2, newSize = 3)
+    // new ownership: p0→g-0, p1→g-1, p2→g-2, p3→g-0
+    val views = members.zipWithIndex.map { case (c, i) =>
+      i -> c.events().select("partition", "event_id").collect()
+        .groupBy(_.getInt(0)).view
+        .mapValues(_.map(_.getLong(1)).min).toMap
+    }.toMap
+    assert(views(0)(0) == 6L, "p0 stays with g-0 at its own cursor")
+    assert(views(1)(1) == 8L, "p1 stays with g-1 at its own cursor")
+    assert(views(2)(2) == 10L, "p2 migrated from g-0's cursor to g-2")
+    assert(views(0)(3) == 16L, "p3: g-0's own higher cursor wins over g-1's")
+    // disjoint ownership: nobody else sees p2/p3
+    assert(!views(1).contains(2) && !views(2).contains(3))
+  }
+
   test("mirrorTo copies incrementally, preserves order, and is idle-safe") {
     val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
     d.createTopic("src", partitions = 2)
