@@ -1002,6 +1002,59 @@ object EnginePack extends QueryPack {
         .select(col("c_eid"), col("p_eid"))
         .orderBy(col("c_eid"), col("p_eid"))
     },
+    "q_stream_state" -> { (s, dir) =>
+      // CUSTOM stateful operator through the micro-batch source:
+      // mapGroupsWithState keeps a per-user (count, cents-sum) state
+      // machine across micro-batches (the KeyValueGroupedDataset surface —
+      // arbitrary user state, not a built-in aggregation). Update-mode
+      // emissions land per batch; the LAST emission per user (max count —
+      // the count strictly grows) must equal the batch aggregate, which
+      // the oracle computes directly. Exact: counts are order-free and
+      // the cents sum is integer.
+      import s.implicits._
+      val d = tempDriver(s)
+      d.createTopic("sstate_demo", partitions = 2)
+      val topic = d.openTopic("sstate_demo")
+      topic.producer().produce(
+        t(s, dir, "events").orderBy(col("event_id"))
+          .select(to_json(struct(col("user_id").as("uid"),
+            Q.cents(col("value")).as("cents"))).as("metadata"),
+            pmod(col("event_id"), lit(2)).cast("int").as("partition")))
+      val stream = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "sstate_demo")
+        .option("maxEventsPerTrigger", "2048")
+        .load()
+        .select(get_json_object(col("metadata"), "$.uid").cast("long").as("uid"),
+          get_json_object(col("metadata"), "$.cents").cast("long").as("cents"))
+        .as[(Long, Long)]
+      val updates = stream.groupByKey(_._1)
+        .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          case (uid, rows, state) =>
+            var (n, sum) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { r => n += 1; sum += r._2 }
+            state.update((n, sum))
+            (uid, n, sum)
+        }
+      val qname = s"q_stream_state_${EnginePack.streamRun.incrementAndGet()}"
+      val query = updates.toDF("uid", "n", "sum_cents")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-sstate-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .groupBy(col("uid"))
+        .agg(max(struct(col("n"), col("sum_cents"))).as("last"))
+        .select(col("uid"), col("last.n").as("n"),
+          col("last.sum_cents").as("sum_cents"))
+        .orderBy(col("uid"))
+    },
     "q_stream_outer" -> { (s, dir) =>
       // LEFT OUTER stream-stream join through the micro-batch source: every
       // click pairs with its within-1h purchases, and clicks with NO such
@@ -1449,6 +1502,11 @@ object EnginePack extends QueryPack {
         |  FROM events) s
         |GROUP BY topic ORDER BY topic""".stripMargin,
     // every (click, purchase-within-1h) pair from the capped slice
+    // final per-user state = the plain batch aggregate
+    "q_stream_state" ->
+      """SELECT user_id AS uid, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY uid""".stripMargin,
     // the outer join equals the batch LEFT join once the flush event pushes
     // the watermark past every real window; unmatched clicks carry -1
     "q_stream_outer" ->
