@@ -1080,6 +1080,148 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     next.map { case (p, wm) => p -> bounds.getOrElse(p, wm) }
   }
 
+  // -- transactions + idempotent-producer state (see Transactions.scala) ----
+
+  private def txnDir(name: String): Path = new Path(topicPath(name), "_txns")
+  private def txnPath(name: String, txnId: String): Path =
+    new Path(txnDir(name), s"${validComponent("transaction id", txnId)}.json")
+
+  /** Open a new transaction (fails on any existing id — committed and
+    * aborted transaction ids are terminal, so a crashed application can
+    * never silently fold new produces into an old outcome). */
+  def beginTxn(name: String, txnId: String): Unit = {
+    acquireProduceLock(name)
+    try {
+      if (txnState(name, txnId).isDefined) throw new IllegalStateException(
+        s"transaction '$txnId' already exists on topic '$name'")
+      fs.mkdirs(txnDir(name))
+      writeAtomic(txnPath(name, txnId), TxnState("open", Vector.empty).toJson)
+    } finally releaseProduceLock(name)
+  }
+
+  def txnState(name: String, txnId: String): Option[TxnState] =
+    readStringResilient(txnPath(name, txnId)).map(TxnState.fromJson)
+
+  /** All transactions of a topic (small: one file per transaction). */
+  def listTxns(name: String): Map[String, TxnState] = {
+    val dir = txnDir(name)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName.stripSuffix(".json") ->
+        TxnState.fromJson(readString(s.getPath)))
+      .toMap
+  }
+
+  /** Record a produce's id ranges against an open transaction — called as
+    * the produce's pre-commit intent (caller holds the produce lock). */
+  private[engine] def appendTxnRanges(name: String, txnId: String,
+                                      ranges: Map[Int, (Long, Long)]): Unit = {
+    val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+      s"unknown transaction '$txnId' on topic '$name'"))
+    require(st.state == "open", s"transaction '$txnId' is ${st.state}")
+    writeAtomic(txnPath(name, txnId),
+      st.copy(ranges = st.ranges ++ TxnRange.toRanges(ranges)).toJson)
+  }
+
+  /** Commit: one atomic metadata write; reconciles first so a crashed
+    * produce's phantom intent can never be committed as data. */
+  def commitTxn(name: String, txnId: String): Unit = setTxnState(name, txnId, "committed")
+
+  def abortTxn(name: String, txnId: String): Unit = setTxnState(name, txnId, "aborted")
+
+  private def setTxnState(name: String, txnId: String, target: String): Unit = {
+    acquireProduceLock(name)
+    try {
+      reconcileProduceState(name)
+      val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+        s"unknown transaction '$txnId' on topic '$name'"))
+      if (st.state != "open") throw new IllegalStateException(
+        s"transaction '$txnId' on topic '$name' is ${st.state}, not open")
+      writeAtomic(txnPath(name, txnId), st.copy(state = target).toJson)
+    } finally releaseProduceLock(name)
+  }
+
+  /** Delete a terminal (committed/aborted) transaction's record. */
+  private[engine] def removeTxn(name: String, txnId: String): Unit = {
+    txnState(name, txnId).foreach { st =>
+      require(st.state != "open", s"cannot remove open transaction '$txnId'")
+      fs.delete(txnPath(name, txnId), false): Unit
+    }
+  }
+
+  /** Id ranges a read_committed reader must EXCLUDE: every range of every
+    * transaction that is not committed (open or aborted). Metadata-only —
+    * O(live transactions) in size; [[TopicHandle.purgeAborted]] keeps the
+    * aborted side bounded. */
+  def uncommittedTxnRanges(name: String): Seq[TxnRange] =
+    listTxns(name).values.toSeq
+      .filter(_.state != "committed").flatMap(_.ranges)
+      .filter(_.count > 0L)
+
+  private def pidDir(name: String): Path = new Path(topicPath(name), "_producers")
+  private def pidPath(name: String, pid: String): Path =
+    new Path(pidDir(name), s"${validComponent("producer id", pid)}.json")
+
+  def producerState(name: String, pid: String): Option[PidState] =
+    readStringResilient(pidPath(name, pid)).map(PidState.fromJson)
+
+  private[engine] def writeProducerState(name: String, pid: String, st: PidState): Unit = {
+    fs.mkdirs(pidDir(name))
+    writeAtomic(pidPath(name, pid), st.toJson)
+  }
+
+  private[engine] def listProducerStates(name: String): Map[String, PidState] = {
+    val dir = pidDir(name)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName.stripSuffix(".json") ->
+        PidState.fromJson(readString(s.getPath)))
+      .toMap
+  }
+
+  /**
+   * Decide every crash-window intent against the committed id watermark —
+   * MUST run (under the produce lock) before any path that can assign new
+   * ids, so a dead produce's intent is resolved before its ids become
+   * reusable (see the crash contract in [[TxnRange]]'s file Scaladoc):
+   *
+   *  - open transactions: a recorded range reaching past the watermark
+   *    belongs to a produce that died before its id commit — those ids were
+   *    never issued, so the range is truncated to the watermark (empty
+   *    ranges drop);
+   *  - idempotent producers: a pending sequence whose ranges all sit below
+   *    the watermark actually committed (the watermark write is atomic) and
+   *    is promoted; otherwise the produce died pre-commit and the pending
+   *    marker is discarded — BEFORE a later produce advances the watermark
+   *    over those ids and would falsely promote it.
+   */
+  private[engine] def reconcileProduceState(name: String): Unit = {
+    lazy val wm = nextIds(name) // lazy: both maps are usually empty
+    listTxns(name).foreach { case (id, st) =>
+      if (st.state == "open" && st.ranges.nonEmpty) {
+        val fixed = st.ranges.flatMap { r =>
+          val cap = math.max(0L, math.min(r.count, wm.getOrElse(r.partition, 0L) - r.first))
+          if (cap == 0L) None else Some(r.copy(count = cap))
+        }
+        if (fixed != st.ranges)
+          writeAtomic(txnPath(name, id), st.copy(ranges = fixed).toJson)
+      }
+    }
+    listProducerStates(name).foreach { case (pid, st) =>
+      st.pending.foreach { case (seq, ranges) =>
+        val committed = ranges.forall(r => wm.getOrElse(r.partition, 0L) >= r.first + r.count)
+        val next =
+          if (committed) st.copy(committedSeq = seq, committedRanges = ranges, pending = None)
+          else st.copy(pending = None)
+        writeAtomic(pidPath(name, pid), next.toJson)
+      }
+    }
+  }
+
   // -- streaming-sink commit markers (replay idempotence) -------------------
 
   private def sinkPath(topic: String, sinkId: String): Path =

@@ -188,10 +188,78 @@ final class TopicHandle(spark: SparkSession,
   }
 
   /** The full event log as a DataFrame — the engine-native analytics
-    * surface (metadata/data split = Parquet column pruning). */
+    * surface (metadata/data split = Parquet column pruning). Transaction-
+    * wise this is `read_uncommitted` (every event below the watermark,
+    * like the reference's log walk) — see
+    * [[events(isolation:String)* events(isolation)]] for read_committed. */
   def events(): DataFrame =
     new Consumer(spark, catalog, config, s"__scan_${name}", Nil, None)
       .eventsFrom(Map.empty)
+
+  /**
+   * Isolation-aware read (Kafka `isolation.level` analog):
+   * `"read_uncommitted"` is [[events()*]] verbatim; `"read_committed"`
+   * additionally excludes every id range recorded by a transaction that
+   * has not committed (open or aborted) — so a transaction's events appear
+   * atomically at commit and an aborted transaction's events never appear.
+   * The exclusion list is metadata-sized (O(live transactions), kept
+   * bounded by [[purgeAborted]]) and compiles to a pushdown-eligible
+   * filter over (partition, event_id) — no join, no extra pass.
+   */
+  def events(isolation: String): DataFrame = {
+    val base = events()
+    isolation match {
+      case "read_uncommitted" => base
+      case "read_committed" =>
+        val excl = catalog.uncommittedTxnRanges(name)
+        if (excl.isEmpty) base
+        else base.filter(!excl.map(r =>
+          col("partition") === r.partition &&
+            col("event_id") >= r.first &&
+            col("event_id") < r.first + r.count).reduce(_ || _))
+      case other => throw new IllegalArgumentException(
+        s"unknown isolation level '$other' " +
+          "(expected read_committed | read_uncommitted)")
+    }
+  }
+
+  /** Open a NEW transaction and return its producer — Kafka
+    * `initTransactions` + `beginTransaction` in one step (transaction ids
+    * are single-use here: committed/aborted ids are terminal). */
+  def beginTransaction(txnId: String): TransactionalProducer = {
+    catalog.beginTxn(name, txnId)
+    transaction(txnId)
+  }
+
+  /** Resume an existing open transaction (e.g. after a driver restart). */
+  def transaction(txnId: String): TransactionalProducer =
+    new TransactionalProducer(catalog, name, txnId, producer())
+
+  /** Idempotent producer handle — Kafka `enable.idempotence` analog; see
+    * [[IdempotentProducer]] for the retry/fencing contract. */
+  def idempotentProducer(producerId: String, epoch: Long = 0L): IdempotentProducer =
+    new IdempotentProducer(catalog, name, producerId, epoch, producer())
+
+  /**
+   * Physically reclaim aborted transactions' events (they stay in the log
+   * filtered-out otherwise, like Kafka's until log cleaning): one
+   * [[Catalog.purgeTopic]] rewrite dropping every row inside an aborted
+   * range, then the aborted transaction records themselves are removed
+   * (keeping the read_committed exclusion list bounded). Committed and
+   * open transactions are untouched. Returns the number of aborted
+   * transactions reclaimed.
+   */
+  def purgeAborted(chunkMaxRecords: Long = 1000000L): Int = {
+    val aborted = catalog.listTxns(name).filter(_._2.state == "aborted")
+    val ranges = aborted.values.flatMap(_.ranges).filter(_.count > 0L).toSeq
+    if (ranges.nonEmpty)
+      catalog.purgeTopic(name, ranges.map(r =>
+        col("partition") === r.partition &&
+          col("event_id") >= r.first &&
+          col("event_id") < r.first + r.count).reduce(_ || _), chunkMaxRecords)
+    aborted.keys.foreach(id => catalog.removeTxn(name, id))
+    aborted.size
+  }
 
   /** Pin the topic's current id watermark (partition → next id) — a
     * SNAPSHOT handle for [[events(asOf:Map[Int,Long])*]]. Ids are dense and

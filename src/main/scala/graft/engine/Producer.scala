@@ -59,17 +59,31 @@ final class Producer(
    * (`MofkaProducer.cpp:69`).
    */
   def produce(df: DataFrame): ProduceResult = {
-    require(df.columns.contains("metadata"), "produce() input needs a 'metadata' column")
     // cross-process mutual exclusion for the whole purge→write→commit span:
     // a second producer process racing the _ids.json read-modify-write would
     // re-issue ids (duplicate rows); with the lock, one produce wins and the
     // other throws (see Catalog.acquireProduceLock)
     catalog.acquireProduceLock(config.name)
-    try produceLocked(df)
-    finally catalog.releaseProduceLock(config.name)
+    try {
+      // decide any crashed transactional/idempotent intent before this
+      // produce can re-issue its ids (see Catalog.reconcileProduceState)
+      catalog.reconcileProduceState(config.name)
+      produceLocked(df, None)
+    } finally catalog.releaseProduceLock(config.name)
   }
 
-  private def produceLocked(df: DataFrame): ProduceResult = {
+  /** Produce while the CALLER holds the produce lock (and has already
+    * reconciled) — the transactional/idempotent surfaces' entry point.
+    * `preCommit` fires once this produce's id ranges are fixed but before
+    * any data or watermark write: the intent write of the exactly-once
+    * crash contract (see [[graft.engine.TxnRange]]'s file Scaladoc). */
+  private[engine] def produceHeld(df: DataFrame,
+                                  preCommit: ProduceResult => Unit): ProduceResult =
+    produceLocked(df, Some(preCommit))
+
+  private def produceLocked(df: DataFrame,
+                            preCommit: Option[ProduceResult => Unit]): ProduceResult = {
+    require(df.columns.contains("metadata"), "produce() input needs a 'metadata' column")
     // refuse to append while a live compaction holds the topic — a produce
     // racing the swap window would land in the moved-aside log (data loss)
     catalog.failIfCompacting(config.name)
@@ -115,6 +129,12 @@ final class Producer(
     val base = catalog.nextIds(config.name)
     val firstIds: Map[Int, Long] =
       counts.map { case (p, _) => p -> base.getOrElse(p, 0L) }
+    val ranges: ProduceResult = counts.map { case (p, c) => p -> (firstIds(p), c) }
+
+    // intent write for the exactly-once surfaces: ranges are fixed, nothing
+    // is committed yet — a crash from here on is decidable against the
+    // watermark (Catalog.reconcileProduceState)
+    preCommit.foreach(_(ranges))
 
     if (counts.nonEmpty) {
       // Pass 2: one shuffle by target partition; a single window task per
@@ -152,7 +172,7 @@ final class Producer(
     // (the checkpointed blocks are released by the ContextCleaner once this
     // frame goes out of scope — no explicit unpersist hook exists for
     // localCheckpoint, and batches are bounded anyway)
-    counts.map { case (p, c) => p -> (firstIds(p), c) }
+    ranges
   }
 
   // -- buffered push/flush (reference S1/S2 parity surface) -----------------

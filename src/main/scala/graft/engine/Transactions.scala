@@ -1,0 +1,221 @@
+package graft.engine
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/**
+ * Transactional + idempotent produce — the exactly-once write surface.
+ *
+ * The reference linearizes each client's appends server-side under the
+ * partition write-queue lock (`/root/reference/src/DefaultPartitionManager
+ * .cpp:398-409`) but offers no atomic multi-batch commit; this engine adds
+ * the log-store industry's two standard strengthenings on top of the same
+ * dense-id log:
+ *
+ *  - [[TransactionalProducer]] (Kafka transactions analog): a named
+ *    transaction groups any number of produces; its events become visible
+ *    to `read_committed` readers atomically at commit, or never (abort).
+ *    Events are NOT buffered — they land in the log immediately (dense ids,
+ *    interleaved with other producers' events, exactly like Kafka's log) and
+ *    visibility is a metadata-only filter over the transaction's recorded
+ *    id ranges.
+ *  - [[IdempotentProducer]] (Kafka `enable.idempotence` analog): a producer
+ *    identity + per-batch sequence number make produce retries safe — a
+ *    retried batch whose original actually committed is recognized and
+ *    skipped (its recorded ranges are returned), a sequence gap fails
+ *    loudly, and a stale epoch is fenced (zombie producers).
+ *
+ * == Crash contract (both surfaces) ==
+ *
+ * Membership/sequence state is written as an INTENT (under the produce
+ * lock) after this produce's id ranges are determined but BEFORE any data
+ * or watermark write. The watermark commit is atomic, so on recovery the
+ * intent is decidable against the watermark itself:
+ *
+ *  - intent ranges at/above the watermark ⇒ the produce died before its id
+ *    commit ⇒ those ids were never issued (its orphan files are purged by
+ *    the standard produce-start hygiene) and WILL be re-issued — the intent
+ *    is truncated/discarded;
+ *  - intent ranges fully below the watermark ⇒ the produce committed ⇒ the
+ *    intent is promoted (transaction keeps the ranges; idempotent pending
+ *    sequence becomes committed).
+ *
+ * Reconciliation runs at the start of EVERY produce-path entry (under the
+ * produce lock, before new ids can be assigned), so a stale intent can
+ * never survive past the moment its ids become reusable
+ * ([[Catalog.reconcileProduceState]]).
+ */
+final case class TxnRange(partition: Int, first: Long, count: Long)
+
+object TxnRange {
+  def toRanges(m: Map[Int, (Long, Long)]): Vector[TxnRange] =
+    m.toVector.sortBy(_._1).map { case (p, (f, c)) => TxnRange(p, f, c) }
+
+  def toMap(rs: Vector[TxnRange]): Map[Int, (Long, Long)] =
+    rs.map(r => r.partition -> (r.first, r.count)).toMap
+
+  private[engine] def toJValue(rs: Vector[TxnRange]): JValue =
+    JArray(rs.toList.map(r => JObject(
+      "p" -> JInt(r.partition), "first" -> JLong(r.first), "count" -> JLong(r.count))))
+
+  private[engine] def long(j: JValue, what: String): Long = j match {
+    case JInt(v) => v.toLong
+    case JLong(v) => v
+    case other => throw new IllegalStateException(
+      s"bad $what: ${JsonMethods.compact(other)}")
+  }
+
+  private[engine] def fromJValue(j: JValue): Vector[TxnRange] = j match {
+    case JArray(xs) => xs.map {
+      case o: JObject => TxnRange(long(o \ "p", "txn partition").toInt,
+        long(o \ "first", "txn first"), long(o \ "count", "txn count"))
+      case other => throw new IllegalStateException(
+        s"bad txn range: ${JsonMethods.compact(other)}")
+    }.toVector
+    case other => throw new IllegalStateException(
+      s"bad txn ranges: ${JsonMethods.compact(other)}")
+  }
+}
+
+/** A transaction's persisted state: `open` | `committed` | `aborted`, plus
+  * the per-produce id ranges recorded so far. */
+final case class TxnState(state: String, ranges: Vector[TxnRange]) {
+  def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
+    "state" -> JString(state), "ranges" -> TxnRange.toJValue(ranges))))
+}
+
+object TxnState {
+  def fromJson(json: String): TxnState = JsonMethods.parse(json) match {
+    case o: JObject =>
+      val state = o \ "state" match {
+        case JString(s) => s
+        case other => throw new IllegalStateException(
+          s"bad txn state: ${JsonMethods.compact(other)}")
+      }
+      TxnState(state, TxnRange.fromJValue(o \ "ranges"))
+    case other => throw new IllegalStateException(
+      s"txn state must be a JSON object: ${JsonMethods.compact(other)}")
+  }
+}
+
+/** An idempotent producer's persisted state: current epoch, last committed
+  * sequence (+ its ranges, for retry dedup), and the in-flight pending
+  * intent awaiting watermark confirmation. `committedSeq = -1` means no
+  * batch committed yet at this epoch. */
+final case class PidState(
+    epoch: Long, committedSeq: Long, committedRanges: Vector[TxnRange],
+    pending: Option[(Long, Vector[TxnRange])]) {
+  def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
+    "epoch" -> JLong(epoch),
+    "committedSeq" -> JLong(committedSeq),
+    "committedRanges" -> TxnRange.toJValue(committedRanges),
+    "pending" -> pending.map { case (seq, rs) => JObject(
+      "seq" -> JLong(seq), "ranges" -> TxnRange.toJValue(rs)): JValue
+    }.getOrElse(JNothing))))
+}
+
+object PidState {
+  def fromJson(json: String): PidState = JsonMethods.parse(json) match {
+    case o: JObject =>
+      val pending = o \ "pending" match {
+        case p: JObject =>
+          Some(TxnRange.long(p \ "seq", "pending seq") -> TxnRange.fromJValue(p \ "ranges"))
+        case _ => None
+      }
+      PidState(TxnRange.long(o \ "epoch", "pid epoch"),
+        TxnRange.long(o \ "committedSeq", "pid committedSeq"),
+        TxnRange.fromJValue(o \ "committedRanges"), pending)
+    case other => throw new IllegalStateException(
+      s"producer state must be a JSON object: ${JsonMethods.compact(other)}")
+  }
+}
+
+/**
+ * Kafka-transactions analog over the graft log — obtain via
+ * [[TopicHandle.beginTransaction]] (new) or [[TopicHandle.transaction]]
+ * (resume an open one). Every [[produce]] lands its events in the log
+ * immediately and records their id ranges against the transaction; commit
+ * and abort are one atomic metadata write. `read_committed` readers
+ * ([[TopicHandle.events(isolation:String)*]]) exclude the ranges of every
+ * transaction that is not committed; aborted events stay in the log
+ * (filtered, like Kafka's) until [[TopicHandle.purgeAborted]] reclaims them.
+ */
+final class TransactionalProducer private[engine] (
+    catalog: Catalog, topic: String, val txnId: String, inner: Producer) {
+
+  /** Produce under the transaction. Atomicity of the BATCH itself is the
+    * normal produce contract; atomicity of the transaction (all batches
+    * visible together or not at all) is the commit's. */
+  def produce(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] = {
+    catalog.acquireProduceLock(topic)
+    try {
+      catalog.reconcileProduceState(topic)
+      val st = catalog.txnState(topic, txnId).getOrElse(throw new IllegalStateException(
+        s"unknown transaction '$txnId' on topic '$topic'"))
+      if (st.state != "open") throw new IllegalStateException(
+        s"transaction '$txnId' on topic '$topic' is ${st.state}, not open")
+      inner.produceHeld(df, ranges => catalog.appendTxnRanges(topic, txnId, ranges))
+    } finally catalog.releaseProduceLock(topic)
+  }
+
+  /** Atomically make every produced event visible to read_committed. */
+  def commit(): Unit = catalog.commitTxn(topic, txnId)
+
+  /** Atomically discard the transaction: its events stay in the log but are
+    * never visible to read_committed ([[TopicHandle.purgeAborted]] reclaims
+    * the storage). */
+  def abort(): Unit = catalog.abortTxn(topic, txnId)
+
+  def state: TxnState = catalog.txnState(topic, txnId).getOrElse(
+    throw new IllegalStateException(s"unknown transaction '$txnId' on topic '$topic'"))
+}
+
+/**
+ * Kafka `enable.idempotence` analog — obtain via
+ * [[TopicHandle.idempotentProducer]]. Each batch carries a sequence number;
+ * the engine commits a given (producerId, epoch, sequence) at most once:
+ *
+ *  - retry of the LAST committed sequence → no-op, returns the original
+ *    ranges (the retried batch is assumed identical — same as Kafka, which
+ *    dedups by sequence number, not content);
+ *  - sequence ≤ an older committed one → duplicate error (loud, like
+ *    Kafka's DuplicateSequenceNumber);
+ *  - sequence gap → out-of-order error (OutOfOrderSequenceException);
+ *  - epoch below the persisted one → fenced (zombie producer); a HIGHER
+ *    epoch takes over and resets the sequence space (Kafka epoch bump).
+ */
+final class IdempotentProducer private[engine] (
+    catalog: Catalog, topic: String, val producerId: String, val epoch: Long,
+    inner: Producer) {
+
+  def produce(df: org.apache.spark.sql.DataFrame, sequence: Long): Map[Int, (Long, Long)] = {
+    require(sequence >= 0, s"sequence must be >= 0, got $sequence")
+    catalog.acquireProduceLock(topic)
+    try {
+      catalog.reconcileProduceState(topic)
+      val st = catalog.producerState(topic, producerId)
+        .getOrElse(PidState(epoch, -1L, Vector.empty, None))
+      if (epoch < st.epoch) throw new IllegalStateException(
+        s"producer '$producerId' fenced on topic '$topic': " +
+          s"epoch $epoch < current ${st.epoch}")
+      // an epoch bump takes over the id and resets the sequence space
+      val cur = if (epoch > st.epoch) PidState(epoch, -1L, Vector.empty, None) else st
+      if (sequence <= cur.committedSeq) {
+        if (sequence == cur.committedSeq) return TxnRange.toMap(cur.committedRanges)
+        throw new IllegalStateException(
+          s"duplicate sequence $sequence for producer '$producerId' " +
+            s"(last committed = ${cur.committedSeq})")
+      }
+      if (sequence != cur.committedSeq + 1) throw new IllegalStateException(
+        s"out-of-order sequence $sequence for producer '$producerId' " +
+          s"(expected ${cur.committedSeq + 1})")
+      val res = inner.produceHeld(df, ranges =>
+        catalog.writeProducerState(topic, producerId,
+          cur.copy(pending = Some(sequence -> TxnRange.toRanges(ranges)))))
+      catalog.writeProducerState(topic, producerId,
+        cur.copy(committedSeq = sequence,
+          committedRanges = TxnRange.toRanges(res), pending = None))
+      res
+    } finally catalog.releaseProduceLock(topic)
+  }
+}

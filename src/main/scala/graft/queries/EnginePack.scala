@@ -200,6 +200,73 @@ object EnginePack extends QueryPack {
         .withColumn("futures_resolved", lit(resolved))
         .orderBy(col("partition"))
     },
+    "q_txn_produce" -> { (s, dir) =>
+      // Kafka-transactions analog through the oracle: a plain producer, a
+      // committed transaction (two produces — commit must be atomic across
+      // both), and an aborted transaction share one log; read_committed
+      // must show exactly plain ∪ committed, and nothing before commit.
+      val d = tempDriver(s)
+      d.createTopic("txn_demo", partitions = 2)
+      val topic = d.openTopic("txn_demo")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
+      val ta = topic.beginTransaction("ta")
+      ta.produce(src.filter(pmod(eid, lit(6)) === 1))
+      ta.produce(src.filter(pmod(eid, lit(6)) === 4))
+      val tb = topic.beginTransaction("tb")
+      tb.produce(src.filter(pmod(eid, lit(3)) === 2))
+      // only the plain rows are visible while both transactions are open
+      val preCommit = topic.events("read_committed").count()
+      ta.commit(); tb.abort()
+      val logTotal = topic.events("read_uncommitted").count()
+      topic.events("read_committed")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(pmod(eid, lit(3)) === 0, 1)).as("n_plain"),
+          count(when(pmod(eid, lit(3)) === 1, 1)).as("n_committed_txn"),
+          count(when(pmod(eid, lit(3)) === 2, 1)).as("n_aborted_txn"))
+        .withColumn("visible_before_commit", lit(preCommit))
+        .withColumn("log_total", lit(logTotal))
+        .orderBy(col("partition"))
+    },
+    "q_producer_idempotent" -> { (s, dir) =>
+      // Kafka enable.idempotence analog through the oracle: a retried batch
+      // lands at most once (original ranges returned), a sequence gap and a
+      // zombie epoch fail loudly, and the log stays dense with exactly one
+      // copy of every row.
+      val d = tempDriver(s)
+      d.createTopic("idem_demo", partitions = 2)
+      val topic = d.openTopic("idem_demo")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      // (eid div 2) % 2 splits each partition's rows across both batches
+      val half = pmod(shiftright(eid, 1), lit(2))
+      val p = topic.idempotentProducer("app", epoch = 1L)
+      val s0 = src.filter(half === 0)
+      val r0 = p.produce(s0, 0L)
+      val deduped = p.produce(s0, 0L) == r0 // retry: same ranges, no new rows
+      p.produce(src.filter(half === 1), 1L)
+      val gapRejected =
+        try { p.produce(s0.limit(1), 5L); false }
+        catch { case _: IllegalStateException => true }
+      val fenced =
+        try { topic.idempotentProducer("app", epoch = 0L).produce(s0.limit(1), 2L); false }
+        catch { case _: IllegalStateException => true }
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .withColumn("retry_deduped", lit(deduped))
+        .withColumn("gap_rejected", lit(gapRejected))
+        .withColumn("zombie_fenced", lit(fenced))
+        .orderBy(col("partition"))
+    },
     "q_add_partition" -> { (s, dir) =>
       // C5 through the oracle: grow a 2-partition topic to 3, route new
       // events to the new partition, id spaces stay independent and dense
@@ -1305,6 +1372,23 @@ object EnginePack extends QueryPack {
         | true AS bad_name_rejected, true AS bad_selector_rejected,
         | true AS bad_serializer_rejected,
         | true AS list_ok, true AS exists_ok, true AS not_exists_ok""".stripMargin,
+    // read_committed = plain (eid%3=0) ∪ committed txn (eid%3=1); aborted
+    // (eid%3=2) excluded; before commit only plain rows were visible
+    "q_txn_produce" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | count(*) FILTER (WHERE event_id % 3 = 0) AS n_plain,
+        | count(*) FILTER (WHERE event_id % 3 = 1) AS n_committed_txn,
+        | CAST(0 AS BIGINT) AS n_aborted_txn,
+        | (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS visible_before_commit,
+        | (SELECT count(*) FROM events) AS log_total
+        |FROM events WHERE event_id % 3 < 2 GROUP BY 1 ORDER BY partition""".stripMargin,
+    // exactly one copy of every row despite the retry: dense ids per
+    // partition, every guard fired
+    "q_producer_idempotent" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
+        | true AS retry_deduped, true AS gap_rejected, true AS zombie_fenced
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // base64-serialized topic: same per-partition contract as q_producer_ids
     // (events decoded back losslessly), plus the stored-form/DSv2 booleans
     "q_serializer" ->
