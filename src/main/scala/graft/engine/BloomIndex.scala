@@ -228,6 +228,8 @@ object BloomIndex {
       case s => base.withColumn("metadata",
         s.deserialize(col("metadata")).cast(StringType))
     }
-    decoded.filter(get_json_object(col("metadata"), jsonPath) === value)
+    // cold-tier files union in unconditionally (see MetadataIndex.withCold)
+    MetadataIndex.withCold(c, topic, decoded)
+      .filter(get_json_object(col("metadata"), jsonPath) === value)
   }
 }

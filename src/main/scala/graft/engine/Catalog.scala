@@ -172,16 +172,20 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * write back a mid-append stale watermark.) Partitions with no data yet
     * map to 0 via the topic's partition count. */
   def recoverIds(name: String): Map[Int, Long] = {
-    val log = new Path(logPath(name))
     val known: Map[Int, Long] =
       if (topicExists(name)) (0 until openTopic(name).partitions).map(_ -> 0L).toMap
       else Map.empty
-    if (!fs.exists(log)) return known
-    import org.apache.spark.sql.functions.{col, max}
-    val recovered = spark.read.parquet(log.toString)
-      .groupBy(col("partition")).agg(max(col("event_id")).as("m"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
-    known ++ recovered
+    // hot ∪ cold: a partition whose files were ALL archived must still
+    // recover its real watermark, or ids would be re-issued
+    fullLogDF(name) match {
+      case None => known
+      case Some(df) =>
+        import org.apache.spark.sql.functions.{col, max}
+        val recovered = df
+          .groupBy(col("partition")).agg(max(col("event_id")).as("m"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+        known ++ recovered
+    }
   }
 
   // -- chunk-file manifest (scale: O(new files) trigger planning) -----------
@@ -782,11 +786,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     Validator.fromDescriptor(validator.descriptor) // DDL-time plugin check
     acquireProduceLock(name)
     try {
-      val log = new Path(logPath(name))
-      if (checkExisting && fs.exists(log)) {
+      val history = if (checkExisting) fullLogDF(name) else None
+      history.foreach { df =>
         val decoded = Serializer.fromDescriptor(cfg.serializer)
           .deserialize(col("metadata"))
-        val bad = spark.read.schema(Catalog.EventSchema).parquet(log.toString)
+        val bad = df
           .filter(!coalesce(validator.predicate(decoded), lit(false)))
           .count()
         if (bad > 0) throw new IllegalStateException(
@@ -947,7 +951,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                     chunkMaxRecords: Long = 1000000L): (Boolean, VacuumReport, Int) = {
     require(maxFilesPerPartition > 0,
       s"maxFilesPerPartition must be positive: $maxFilesPerPartition")
-    val needsCompact = readManifest(name).exists(
+    // tiered topics skip the compact step (rewrites refuse on them); the
+    // hot tail usually stays small precisely because the bulk is archived
+    val needsCompact = !isTiered(name) && readManifest(name).exists(
       _.files.values.exists(_.size > maxFilesPerPartition))
     if (needsCompact) compactTopic(name, chunkMaxRecords)
     val vac = vacuumTopic(name)
@@ -971,6 +977,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                             transform: org.apache.spark.sql.DataFrame
                               => org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
+    // a rewrite reads and swaps the HOT log only — running one with a cold
+    // tier present would strand cold rows out of the rewrite's semantics
+    // (compact would merely miss them, but expire/delete would silently NOT
+    // delete them) — refuse loudly instead
+    failIfTiered(name, "log rewrite (compact/expire/delete)")
     val log = new Path(logPath(name))
     val tmp = new Path(topicPath(name), "log.compact.tmp")
     val old = new Path(topicPath(name), "log.compact.old")
@@ -1069,15 +1080,162 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def timeFloor(topic: String, eventTime: org.apache.spark.sql.Column,
                 cutoff: org.apache.spark.sql.Column): Map[Int, Long] = {
     import org.apache.spark.sql.functions.{col, min}
-    val log = new Path(logPath(topic))
     val next = nextIds(topic)
-    val bounds: Map[Int, Long] =
-      if (!fs.exists(log)) Map.empty
-      else spark.read.schema(Catalog.EventSchema).parquet(log.toString)
+    val bounds: Map[Int, Long] = fullLogDF(topic) match {
+      case None => Map.empty
+      case Some(df) => df
         .filter(eventTime >= cutoff)
         .groupBy(col("partition")).agg(min(col("event_id")).as("lo"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
     next.map { case (p, wm) => p -> bounds.getOrElse(p, wm) }
+  }
+
+  // -- tiered storage (hot log + cold archive) ------------------------------
+
+  private def tierPath(name: String): Path = new Path(topicPath(name), "_tier.json")
+
+  /** The topic's cold-tier state, None when never archived (or restored). */
+  def tierState(name: String): Option[TierState] =
+    readStringResilient(tierPath(name)).map(TierState.fromJson)
+
+  def isTiered(name: String): Boolean = tierState(name).exists(_.files.nonEmpty)
+
+  /** Cold-tier events as one DataFrame (raw stored form — callers decode
+    * through the topic serializer like any log read), None when the topic
+    * has no cold tier. The cold root keeps the hive `partition=p` layout,
+    * so the partition column comes from directory discovery exactly like
+    * the hot log's. */
+  def coldEvents(name: String): Option[org.apache.spark.sql.DataFrame] =
+    tierState(name).filter(_.files.nonEmpty).map { t =>
+      spark.read.schema(Catalog.EventSchema).parquet(t.coldRoot)
+    }
+
+  /** The full log (hot ∪ cold) in raw stored form, None when no data was
+    * ever written. Single definition shared by every whole-log read
+    * (consumer view, time floors, id recovery, validator-evolution scan) —
+    * a tiered topic must never lose its cold rows in ANY of them. */
+  private[engine] def fullLogDF(name: String): Option[org.apache.spark.sql.DataFrame] = {
+    val log = new Path(logPath(name))
+    val hot =
+      if (fs.exists(log))
+        Some(spark.read.schema(Catalog.EventSchema).parquet(log.toString))
+      else None
+    (hot, coldEvents(name)) match {
+      case (Some(h), Some(c)) => Some(h.unionByName(c))
+      case (h, c) => h.orElse(c)
+    }
+  }
+
+  private[engine] def failIfTiered(name: String, op: String): Unit =
+    if (isTiered(name)) throw new IllegalStateException(
+      s"$op is not supported on tiered topic '$name' — restoreArchive() first " +
+        "(log rewrites would strand or duplicate the cold tier)")
+
+  /**
+   * Tiered storage (Kafka tiered-storage / Iceberg-to-cheap-bucket analog):
+   * move every committed chunk file whose footer id range sits entirely
+   * below `cutoffId` into `coldRoot` (default `<topic>/cold`; any Hadoop
+   * filesystem URI works — at 100 TB the point is an object-store root
+   * while the hot tail stays on fast storage). Ids, content, and ordering
+   * are untouched; every read surface (consumer view, streaming source,
+   * DSv2 batch scan, indexed reads, time floors, id recovery) transparently
+   * unions the two tiers. File moves are per-file renames (same fs) or
+   * copy+delete (cross fs) of IMMUTABLE chunk files — crash-safe: a file
+   * is recorded in `_tier.json` only after its move completes, and a
+   * half-copied destination is overwritten on retry.
+   *
+   * Maintenance rewrites (compact/expire/delete/key-compact) refuse while
+   * a cold tier exists — [[restoreArchive]] brings the files back first.
+   * Runs under the compact lock, so a produce racing the archive fails its
+   * commit loudly (same contract as [[compactTopic]]).
+   */
+  def archiveTopicBefore(name: String, cutoffId: Long,
+                         coldRoot: String = ""): TierReport = {
+    acquireCompactLock(name)
+    try {
+      val root =
+        tierState(name).map(_.coldRoot).getOrElse {
+          if (coldRoot.nonEmpty) coldRoot
+          else new Path(topicPath(name), "cold").toString
+        }
+      require(coldRoot.isEmpty || tierState(name).forall(_.coldRoot == coldRoot),
+        s"topic '$name' already has a cold tier at a different root")
+      require(!new Path(root).toString.startsWith(new Path(logPath(name)).toString),
+        "coldRoot must not be inside the hot log directory")
+      if (readManifest(name).isEmpty) rebuildManifest(name)
+      val m = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
+      val coldFs = new Path(root).getFileSystem(hadoopConf)
+      var moved = 0
+      var bytes = 0L
+      val newEntries = scala.collection.mutable.Map.empty[Int, Vector[ManifestFile]]
+      m.files.foreach { case (p, entries) =>
+        entries.foreach { f =>
+          // only files with real footer stats wholly below the cutoff move —
+          // a stats-less file (hi = MaxValue) can never prove it is cold
+          if (f.hi != Long.MaxValue && f.hi < cutoffId) {
+            val src = new Path(logPath(name), f.path)
+            val dstDir = new Path(root, s"partition=$p")
+            val dst = new Path(dstDir, src.getName)
+            coldFs.mkdirs(dstDir)
+            val len = fs.getFileStatus(src).getLen
+            val sameFs = fs.getUri == coldFs.getUri
+            val ok =
+              if (sameFs) { coldFs.delete(dst, false); fs.rename(src, dst) }
+              else org.apache.hadoop.fs.FileUtil.copy(fs, src, coldFs, dst, true,
+                true, hadoopConf)
+            if (!ok) throw new java.io.IOException(s"archive: cannot move $src -> $dst")
+            moved += 1
+            bytes += len
+            newEntries(p) = newEntries.getOrElse(p, Vector.empty) :+
+              ManifestFile(dst.toString, f.lo, f.hi)
+          }
+        }
+      }
+      if (moved > 0) {
+        val prior = tierState(name).getOrElse(TierState(root, Map.empty))
+        val merged = newEntries.foldLeft(prior.files) { case (acc, (p, add)) =>
+          acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
+        }
+        writeAtomic(tierPath(name), TierState(root, merged).toJson)
+        // the hot manifest must stop listing the moved files
+        rebuildManifest(name)
+      }
+      TierReport(moved, bytes)
+    } finally releaseCompactLock(name)
+  }
+
+  /** Undo [[archiveTopicBefore]]: move every cold file back into the hot
+    * log and drop the tier state — after this, maintenance rewrites are
+    * allowed again. Returns the number of files restored. */
+  def restoreArchive(name: String): Int = {
+    acquireCompactLock(name)
+    try tierState(name) match {
+      case None => 0
+      case Some(t) =>
+        val coldFs = new Path(t.coldRoot).getFileSystem(hadoopConf)
+        var moved = 0
+        t.files.foreach { case (p, entries) =>
+          entries.foreach { f =>
+            val src = new Path(f.path)
+            val dstDir = new Path(logPath(name), s"partition=$p")
+            val dst = new Path(dstDir, src.getName)
+            if (fs.exists(dst)) throw new java.io.IOException(
+              s"restore: hot file already exists: $dst")
+            fs.mkdirs(dstDir)
+            val sameFs = fs.getUri == coldFs.getUri
+            val ok =
+              if (sameFs) fs.rename(src, dst)
+              else org.apache.hadoop.fs.FileUtil.copy(coldFs, src, fs, dst, true,
+                true, hadoopConf)
+            if (!ok) throw new java.io.IOException(s"restore: cannot move $src -> $dst")
+            moved += 1
+          }
+        }
+        fs.delete(tierPath(name), false)
+        rebuildManifest(name)
+        moved
+    } finally releaseCompactLock(name)
   }
 
   // -- transactions + idempotent-producer state (see Transactions.scala) ----
@@ -1471,6 +1629,39 @@ final case class VacuumReport(uncommittedChunks: Int, swapLeftovers: Int,
                               tmpFiles: Int, bytesReclaimed: Long)
 
 final case class ManifestFile(path: String, lo: Long, hi: Long)
+
+/** What [[Catalog.archiveTopicBefore]] moved to the cold tier. */
+final case class TierReport(filesMoved: Int, bytesMoved: Long)
+
+/** Cold-tier state (see [[Catalog.archiveTopicBefore]]): the cold root and,
+  * per partition, the archived chunk files — ABSOLUTE paths (the cold root
+  * may be a different filesystem) with their footer id ranges, so readers
+  * prune cold files exactly like manifest entries. */
+final case class TierState(coldRoot: String, files: Map[Int, Vector[ManifestFile]]) {
+  def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
+    "coldRoot" -> JString(coldRoot),
+    "files" -> JObject(files.toSeq.sortBy(_._1).map { case (p, fsq) =>
+      p.toString -> (JArray(fsq.toList.map(f => JObject(
+        "f" -> JString(f.path), "lo" -> JLong(f.lo), "hi" -> JLong(f.hi)))): JValue)
+    }: _*))))
+}
+
+object TierState {
+  def fromJson(json: String): TierState = JsonMethods.parse(json) match {
+    case o: JObject =>
+      val root = o \ "coldRoot" match {
+        case JString(s) => s
+        case other => throw new IllegalStateException(
+          s"bad tier coldRoot: ${JsonMethods.compact(other)}")
+      }
+      // same wire shape as the manifest's files map — reuse its parser
+      val files = TopicManifest.fromJson(JsonMethods.compact(JsonMethods.render(
+        JObject("watermarks" -> JObject(), "files" -> o \ "files")))).files
+      TierState(root, files)
+    case other => throw new IllegalStateException(
+      s"tier state must be a JSON object: ${JsonMethods.compact(other)}")
+  }
+}
 
 /** See [[Catalog.readManifest]]. `watermarks(p)` = next EventID the file
   * list is complete up to; `files(p)` in filename order (= id order for

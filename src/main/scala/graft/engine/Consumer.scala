@@ -117,15 +117,11 @@ final class Consumer(
 
   private def eventSchema = Catalog.EventSchema
 
-  /** The raw log restricted to target partitions (no cursor filter). */
-  private def log(): DataFrame = {
-    val path = catalog.logPath(topic)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema)
-    else spark.read.schema(eventSchema).parquet(path)
-  }
+  /** The raw log restricted to target partitions (no cursor filter) —
+    * hot ∪ cold for tiered topics (one shared definition in the catalog). */
+  private def log(): DataFrame =
+    catalog.fullLogDF(topic).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema))
 
   /**
    * Un-pulled events from the given per-partition floor as one DataFrame,

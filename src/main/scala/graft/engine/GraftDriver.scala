@@ -364,6 +364,18 @@ final class TopicHandle(spark: SparkSession,
     }.toDF("partition", "n_events", "committed", "lag")
   }
 
+  /** Tiered storage: move committed chunk files wholly below `cutoffId`
+    * to the cold tier — see [[Catalog.archiveTopicBefore]]. */
+  def archiveBefore(cutoffId: Long, coldRoot: String = ""): TierReport =
+    catalog.archiveTopicBefore(name, cutoffId, coldRoot)
+
+  /** Bring every cold-tier file back into the hot log (re-enables
+    * maintenance rewrites) — see [[Catalog.restoreArchive]]. */
+  def restoreArchive(): Int = catalog.restoreArchive(name)
+
+  /** The topic's cold-tier state, None when not tiered. */
+  def tierState: Option[TierState] = catalog.tierState(name)
+
   /** D5 `markAsComplete`. */
   def markAsComplete(): Unit = catalog.markAsComplete(name)
 

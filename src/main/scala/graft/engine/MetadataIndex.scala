@@ -248,7 +248,7 @@ object MetadataIndex {
   def events(spark: SparkSession, c: Catalog, topic: String, index: String,
              lower: Double, upper: Double): DataFrame = {
     val (files, jsonPath, _) = numPlan(spark, c, topic, index, lower, upper)
-    prunedRead(spark, c, topic, files).filter(
+    withCold(c, topic, prunedRead(spark, c, topic, files)).filter(
       get_json_object(col("metadata"), jsonPath).cast(DoubleType).between(lower, upper))
   }
 
@@ -257,7 +257,23 @@ object MetadataIndex {
   def eventsEq(spark: SparkSession, c: Catalog, topic: String, index: String,
                value: String): DataFrame = {
     val (files, jsonPath, _) = strPlan(spark, c, topic, index, value)
-    prunedRead(spark, c, topic, files).filter(
+    withCold(c, topic, prunedRead(spark, c, topic, files)).filter(
       get_json_object(col("metadata"), jsonPath) === value)
   }
+
+  /** Indexes cover the HOT tier (their file universe is the manifest);
+    * cold-tier files are unioned in unconditionally — conservative, like
+    * any unindexed file, so an archived row can never vanish from an
+    * indexed read. Shared by the zone and bloom read paths. */
+  private[engine] def withCold(c: Catalog, topic: String, hot: DataFrame): DataFrame =
+    c.coldEvents(topic) match {
+      case None => hot
+      case Some(cold) =>
+        val decoded = Serializer.fromDescriptor(c.openTopic(topic).serializer) match {
+          case Serializer.Json => cold
+          case s => cold.withColumn("metadata",
+            s.deserialize(col("metadata")).cast(StringType))
+        }
+        hot.unionByName(decoded)
+    }
 }

@@ -267,6 +267,39 @@ object EnginePack extends QueryPack {
         .withColumn("zombie_fenced", lit(fenced))
         .orderBy(col("partition"))
     },
+    "q_tiered" -> { (s, dir) =>
+      // Tiered storage through the oracle: the first produce's chunk files
+      // move to the cold tier, production continues hot, and the union view
+      // (engine consumer AND the DSv2 source) must be indistinguishable
+      // from an un-tiered topic — dense ids, every row, both tiers.
+      val d = tempDriver(s)
+      d.createTopic("tier_demo", partitions = 2)
+      val topic = d.openTopic("tier_demo")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      val half = pmod(shiftright(eid, 1), lit(2))
+      topic.producer().produce(src.filter(half === 0))
+      val cutoff = d.catalog.nextIds("tier_demo").values.max
+      val report = topic.archiveBefore(cutoff)
+      topic.producer().produce(src.filter(half === 1))
+      val hotFiles = d.catalog.readManifest("tier_demo").get
+        .files.values.map(_.size).sum
+      val coldFiles = topic.tierState.map(_.files.values.map(_.size).sum).getOrElse(0)
+      val dsv2 = s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "tier_demo")
+        .load().count()
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .withColumn("cold_files_moved",
+          lit(report.filesMoved == 2 && coldFiles == 2 && hotFiles == 2))
+        .withColumn("dsv2_total", lit(dsv2))
+        .orderBy(col("partition"))
+    },
     "q_add_partition" -> { (s, dir) =>
       // C5 through the oracle: grow a 2-partition topic to 3, route new
       // events to the new partition, id spaces stay independent and dense
@@ -1388,6 +1421,14 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS retry_deduped, true AS gap_rejected, true AS zombie_fenced
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // the tiered union view is indistinguishable from an un-tiered topic:
+    // dense ids per partition, every row visible through both surfaces
+    "q_tiered" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
+        | true AS cold_files_moved,
+        | (SELECT count(*) FROM events) AS dsv2_total
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // base64-serialized topic: same per-partition contract as q_producer_ids
     // (events decoded back losslessly), plus the stored-form/DSv2 booleans

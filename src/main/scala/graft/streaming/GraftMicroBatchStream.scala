@@ -202,6 +202,18 @@ object GraftPartitions {
     val logPath = new Path(catalog.logPath(topic))
     val fs = logPath.getFileSystem(conf)
 
+    // Cold-tier files (tiered topics): absolute paths with footer ranges,
+    // pruned by the slice exactly like manifest entries. Both planning
+    // paths append them — archived history must stay readable through the
+    // source (a fresh stream replaying from id 0 reads mostly cold files).
+    val tier: Map[Int, Vector[graft.engine.ManifestFile]] =
+      catalog.tierState(topic).map(_.files).getOrElse(Map.empty)
+    def coldFiles(p: Int, lo: Long, hi: Long): Seq[String] =
+      tier.getOrElse(p, Vector.empty)
+        .filter(f => f.hi >= lo && f.lo < hi)
+        .map(f => new Path(f.path).getFileSystem(conf)
+          .makeQualified(new Path(f.path)).toString)
+
     // Manifest-first: when every partition with backlog is covered by the
     // produce-committed manifest (watermark ≥ the slice end), planning is
     // two small-file reads — NO directory listing, NO footer reads. This is
@@ -217,7 +229,7 @@ object GraftPartitions {
           return needed.flatMap { p =>
             val lo = math.max(from(p), 0L)
             val hi = until(p)
-            val files = m.files.getOrElse(p, Vector.empty)
+            val files = coldFiles(p, lo, hi) ++ m.files.getOrElse(p, Vector.empty)
               .filter(f => f.hi >= lo && f.lo < hi)
               // qualify like fs.listStatus would, so both planning paths
               // yield identical strings (FileStatsCache keys, dedup, tests)
@@ -231,7 +243,7 @@ object GraftPartitions {
         }
       case None =>
     }
-    if (!fs.exists(logPath)) {
+    if (!fs.exists(logPath) && tier.isEmpty) {
       // A missing log dir is only legitimate when the id watermark says no
       // events were ever committed. Otherwise fail LOUDLY: silently planning
       // zero slices would let a streaming checkpoint commit past events that
@@ -245,28 +257,34 @@ object GraftPartitions {
         s"events ($logPath) — log deleted, or read raced a compactTopic swap")
       return Array.empty
     }
-    val partDirs = fs.listStatus(logPath).filter(_.isDirectory)
-      .map(_.getPath)
-      .flatMap { dir =>
-        dir.getName.split('=') match {
-          case Array("partition", p) => Some(p.toInt -> dir)
-          case _ => None
-        }
-      }
-      .filter { case (p, _) => targets.forall(_.contains(p)) }
-    partDirs.flatMap { case (p, dir) =>
+    val partDirs: Map[Int, Path] =
+      (if (!fs.exists(logPath)) Array.empty[(Int, Path)]
+       else fs.listStatus(logPath).filter(_.isDirectory)
+        .map(_.getPath)
+        .flatMap { dir =>
+          dir.getName.split('=') match {
+            case Array("partition", p) => Some(p.toInt -> dir)
+            case _ => None
+          }
+        }).toMap
+    val allParts = (partDirs.keySet ++ tier.keySet).toSeq.sorted
+      .filter(p => targets.forall(_.contains(p)))
+    allParts.flatMap { p =>
       val lo = from(p); val hi = until(p)
       if (hi <= lo) None
       else {
-        val files = fs.listStatus(dir)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).sorted
-          .filter { f =>
-            stats.forall { cache =>
-              val (fLo, fHi) = cache.range(f, conf)
-              fHi >= lo && fLo < hi
+        val hot = partDirs.get(p).toSeq.flatMap { dir =>
+          fs.listStatus(dir)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).sorted
+            .filter { f =>
+              stats.forall { cache =>
+                val (fLo, fHi) = cache.range(f, conf)
+                fHi >= lo && fLo < hi
+              }
             }
-          }
+        }
+        val files = coldFiles(p, lo, hi) ++ hot
         if (files.isEmpty) None
         else Some(GraftInputPartition(p, lo, hi, files))
       }

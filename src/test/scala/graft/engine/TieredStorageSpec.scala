@@ -1,0 +1,124 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * Tiered storage (Kafka tiered-storage analog): archiveBefore moves
+ * committed cold chunk files out of the hot log; every read surface —
+ * consumer view, streaming micro-batch source, indexed reads, id
+ * recovery — must keep returning the exact same rows from hot ∪ cold.
+ */
+class TieredStorageSpec extends SparkSpec {
+
+  private def newTopic(): (GraftDriver, TopicHandle) = {
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-tier-spec").toString)
+    d.createTopic("t", partitions = 2)
+    (d, d.openTopic("t"))
+  }
+
+  private def batch(tag: String, n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (s"""{"tag":"$tag","i":$i,"k":${i % 4}}""", i % 2))
+      .toDF("metadata", "partition")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, String)] =
+    df.select(col("partition"), col("event_id"), col("metadata"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+
+  test("archive moves cold files; events() is unchanged; produce continues") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("old", 20))
+    val cutoff = d.catalog.nextIds("t").values.max // everything so far is cold
+    topic.producer().produce(batch("mid", 10))
+    val before = rows(topic.events())
+
+    val report = topic.archiveBefore(cutoff)
+    assert(report.filesMoved == 2 && report.bytesMoved > 0) // one chunk per partition
+    assert(topic.tierState.exists(_.files.values.map(_.size).sum == 2))
+    // the union view is byte-identical
+    assert(rows(topic.events()) == before)
+    // hot manifest no longer lists the moved files; cold files really moved
+    val hotFiles = d.catalog.readManifest("t").get.files.values.map(_.size).sum
+    assert(hotFiles == 2) // only the 'mid' produce's files remain hot
+    // produce keeps working after archiving; ids stay dense
+    topic.producer().produce(batch("new", 10))
+    val all = topic.events()
+    assert(all.count() == 40)
+    val perPart = all.groupBy(col("partition"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("event_id")).as("d"),
+        max(col("event_id")).as("m")).collect()
+    perPart.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == r.getLong(1) - 1)
+    }
+  }
+
+  test("archive is idempotent and incremental; restore un-tiers exactly") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("a", 12))
+    val c1 = d.catalog.nextIds("t").values.max
+    topic.producer().produce(batch("b", 12))
+    val c2 = d.catalog.nextIds("t").values.max
+    val before = rows(topic.events())
+
+    assert(topic.archiveBefore(c1).filesMoved == 2)
+    assert(topic.archiveBefore(c1).filesMoved == 0) // idempotent
+    assert(topic.archiveBefore(c2).filesMoved == 2) // incremental second wave
+    assert(rows(topic.events()) == before)
+
+    // maintenance rewrites refuse while tiered
+    intercept[IllegalStateException](topic.compact())
+    intercept[IllegalStateException](topic.expire(2L))
+
+    assert(topic.restoreArchive() == 4)
+    assert(topic.tierState.isEmpty)
+    assert(rows(topic.events()) == before)
+    topic.compact() // allowed again after restore
+    assert(rows(topic.events()) == before)
+    assert(topic.restoreArchive() == 0)
+  }
+
+  test("id recovery and streaming drain read through the cold tier") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("a", 20))
+    val wm = d.catalog.nextIds("t")
+    topic.archiveBefore(wm.values.max) // ALL files now cold
+    // lose the watermark file: recovery must see the cold rows or ids reuse
+    val ids = new org.apache.hadoop.fs.Path(d.catalog.topicPath("t"), "_ids.json")
+    ids.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(ids, false): Unit
+    assert(d.catalog.nextIds("t") == wm)
+    topic.producer().produce(batch("b", 10))
+    assert(topic.events().count() == 30)
+
+    // AvailableNow drain through the micro-batch source spans both tiers
+    topic.markAsComplete()
+    val out = Files.createTempDirectory("tier-sink").toString
+    val q = spark.readStream.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "t").load()
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(s"$out/data").count() == 30)
+  }
+
+  test("indexed reads union the cold tier conservatively") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("a", 24))
+    topic.refreshIndex("k_idx", "$.k", MetadataIndex.Numeric)
+    val expected = topic.events()
+      .filter(get_json_object(col("metadata"), "$.k").cast("long") === 2).count()
+    topic.archiveBefore(d.catalog.nextIds("t").values.max)
+    topic.producer().produce(batch("b", 8))
+    val expected2 = topic.events()
+      .filter(get_json_object(col("metadata"), "$.k").cast("long") === 2).count()
+    assert(expected2 > expected)
+    // the index was built pre-archive; the read must still see every row
+    assert(topic.eventsIndexed("k_idx", 2.0, 2.0).count() == expected2)
+  }
+}
