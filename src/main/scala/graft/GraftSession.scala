@@ -11,10 +11,9 @@ import org.apache.spark.sql.SparkSession
  *    down when partitions are small).
  *  - AQE on: runtime re-planning (skew-join splitting, partition coalescing)
  *    is part of the 100 TB story.
- *  - `spark.sql.legacy.parquet.nanosAsLong`: the events table stores
- *    TIMESTAMP(NANOS) which Spark cannot represent natively; we read it as a
- *    long (nanoseconds since epoch) and convert explicitly where needed.
- *  - UTC session time zone so timestamp arithmetic matches the DuckDB oracle.
+ *  - UTC session time zone so timestamp arithmetic matches the DuckDB oracle
+ *    (the events table's `ts` is normalized to long epoch-nanos at the read
+ *    boundary in [[graft.queries.Q.t]], whatever the parquet encoding).
  */
 object GraftSession {
   /** Local parallelism: SPARK_GRAFT_CPUS if set, else the machine's cores. */
@@ -34,7 +33,6 @@ object GraftSession {
       // exact min/max/count answered from parquet footers (free at scale)
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.mergeSchema", "false")
       .config("spark.ui.enabled", "false")
 
@@ -47,7 +45,6 @@ object GraftSession {
   /** Apply graft's required runtime confs to an externally-built session
     * (and register graft's native SQL functions). */
   def configure(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     graft.functions.GraftFunctions.register(spark)
     spark

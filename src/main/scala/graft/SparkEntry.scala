@@ -26,9 +26,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all = packs.flatMap(_.queries)
     require(all.map(_._1).distinct.size == all.size, "duplicate query names across packs")
-    // Every session that reaches a query needs the nanosAsLong + UTC confs
-    // (events.parquet is TIMESTAMP(NANOS)); wrap so externally-built sessions
-    // (the driver's) are configured too.
+    // Every session that reaches a query needs the UTC time zone conf and
+    // graft's SQL function registrations; wrap so externally-built sessions
+    // (the driver's) are configured too. (events.ts itself is normalized to
+    // long epoch-nanos at the read boundary, Q.t.)
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(GraftSession.configure(s), dir))
     }.toMap

@@ -25,9 +25,27 @@ trait QueryPack {
 
 /** Shared helpers for query packs. */
 object Q {
-  /** Read one testdata table. */
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+  /**
+   * Read one testdata table, normalizing `ts` to the engine's integer time
+   * domain: epoch NANOSECONDS as BIGINT. The testdata parquet has carried
+   * `ts` both as INT64(nanos) and as timestamp[us] across driver versions;
+   * every downstream query (and the DuckDB oracles, via `epoch_ns(ts)`) does
+   * exact integer arithmetic on long nanos, so the encoding is erased HERE,
+   * at the single read boundary. `unix_micros` after a cast to TIMESTAMP is
+   * exact (no sub-microsecond data exists in either encoding), and the
+   * session time zone is UTC, so TIMESTAMP_NTZ → TIMESTAMP is the identity
+   * reinterpretation that matches DuckDB's naive-timestamp `epoch_ns`.
+   */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
 
   /**
    * Exact-integer view of a monetary/double aggregate: `round(x*100)` as

@@ -287,7 +287,7 @@ object Relational extends QueryPack {
     },
     "q_events_hour" -> { (s, dir) =>
       import s.implicits._
-      // ts is TIMESTAMP(NANOS) read as a long (nanosAsLong); hour-of-day via
+      // ts arrives as long epoch-nanos (normalized in Q.t); hour-of-day via
       // integer division — exact on both engines.
       t(s, dir, "events")
         .withColumn("hour", expr("(ts div 3600000000000) % 24"))
@@ -299,7 +299,7 @@ object Relational extends QueryPack {
       import s.implicits._
       // R7 extension (beyond reference — mofka has no event time): tumbling
       // event-time windows via the real window() operator; ts arrives as
-      // TIMESTAMP(NANOS)-as-long, converted exactly through microseconds.
+      // long epoch-nanos (Q.t), converted exactly through microseconds.
       t(s, dir, "events")
         .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
         .groupBy(window($"event_time", "10 minutes"))
