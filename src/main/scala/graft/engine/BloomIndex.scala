@@ -180,31 +180,56 @@ object BloomIndex {
         h.getAs[Int]("num_hashes"))
     }
 
+  /** Pruning plan. Small topics decide driver-side over the collected
+    * index; topics past [[MetadataIndex.driverPlanMax]] decide through a
+    * left-outer join of the live list against the index RELATION, probing
+    * the same `numHashes` precomputed bit positions with `element_at` —
+    * only the kept paths reach the driver (see [[MetadataIndex.plan]]). */
   private def plan(spark: SparkSession, c: Catalog, topic: String,
                    index: String, value: String)
       : (Seq[String], String, MetadataIndex.IndexScan) = {
     val live = liveFiles(c, topic)
-    val entries = readIndex(spark, c, topic, index)
-    val head = entries.headOption.getOrElse(throw new IllegalStateException(
-      s"bloom index '$index' on topic '$topic' does not exist — refresh it first"))
+    val logRoot = c.logPath(topic)
+    val dir = indexPath(c, topic, index)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new IllegalStateException(
+      s"bloom index '$index' on topic '$topic' does not exist — refresh it first")
+    val idxDf = spark.read.schema(Schema).parquet(dir.toString)
+    val head = idxDf.limit(1).collect().headOption.getOrElse(
+      throw new IllegalStateException(
+        s"bloom index '$index' on topic '$topic' does not exist — refresh it first"))
     val (jsonPath, numBits, numHashes) = (head.getAs[String]("json_path"),
       head.getAs[Int]("num_bits"), head.getAs[Int]("num_hashes"))
     val pos = jvmPositions(value, numBits, numHashes)
-    val byPath = entries.map(r => r.getAs[String]("path") -> r).toMap
-    val kept = live.filter { case (_, rel) =>
-      byPath.get(rel) match {
-        case None => true // produced since the last refresh: scan conservatively
-        case Some(r) =>
-          r.getAs[Long]("n_nonnull") > 0L && {
-            val words = r.getAs[scala.collection.Seq[Long]]("words")
-            pos.forall(p => (words(p / Bloom.WordBits)
-              & (1L << (p % Bloom.WordBits))) != 0L)
+    val keptRel: Seq[String] =
+      if (live.size <= MetadataIndex.driverPlanMax(spark)) {
+        val byPath = readIndex(spark, c, topic, index)
+          .map(r => r.getAs[String]("path") -> r).toMap
+        live.filter { case (_, rel) =>
+          byPath.get(rel) match {
+            case None => true // produced since the last refresh: scan conservatively
+            case Some(r) =>
+              r.getAs[Long]("n_nonnull") > 0L && {
+                val words = r.getAs[scala.collection.Seq[Long]]("words")
+                pos.forall(p => (words(p / Bloom.WordBits)
+                  & (1L << (p % Bloom.WordBits))) != 0L)
+              }
           }
+        }.map(_._2)
+      } else {
+        import spark.implicits._
+        val liveDf = live.map(_._2).toDF("live_path")
+        val admits = pos.map { p =>
+          (element_at(col("words"), p / Bloom.WordBits + 1)
+            .bitwiseAND(lit(1L << (p % Bloom.WordBits)))) =!= 0L
+        }.reduce(_ && _)
+        liveDf.join(idxDf, col("live_path") === col("path"), "left_outer")
+          .filter(col("path").isNull || (col("n_nonnull") > 0L && admits))
+          .select(col("live_path"))
+          .collect().map(_.getString(0)).toSeq
       }
-    }
-    val logRoot = c.logPath(topic)
-    (kept.map { case (_, rel) => new Path(logRoot, rel).toString },
-      jsonPath, MetadataIndex.IndexScan(live.size, kept.size))
+    (keptRel.map(rel => new Path(logRoot, rel).toString),
+      jsonPath, MetadataIndex.IndexScan(live.size, keptRel.size))
   }
 
   /** Pruning stats only: how many live files a lookup of `value` opens. */

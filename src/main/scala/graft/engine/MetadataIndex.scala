@@ -176,43 +176,76 @@ object MetadataIndex {
         h.getAs[String]("json_path"), h.getAs[String]("kind"))
     }
 
-  /** The files a zone predicate keeps, with totals — driver-side over the
-    * O(files) index relation, like every other manifest decision.
-    * `keepEntry` decides an INDEXED file from its zone row; unindexed live
-    * files are always kept (conservative), all-NULL zones always skipped
-    * (no non-NULL predicate can match). */
+  /** Max live-file count the planner evaluates driver-side. Beyond it the
+    * pruning decision runs as a distributed join that collects only the
+    * KEPT paths — O(matching files) to the driver, not O(files). Tests
+    * set it to 0 to force the distributed path on small fixtures. */
+  private[engine] def driverPlanMax(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.index.driverPlanMaxEntries")
+      .map(_.toLong).getOrElse(65536L)
+
+  /** The files a zone predicate keeps, with totals. `keepEntry` decides an
+    * INDEXED file from its zone row; unindexed live files are always kept
+    * (conservative), all-NULL zones always skipped (no non-NULL predicate
+    * can match). Small topics decide driver-side over the collected index
+    * (no Spark job); topics past [[driverPlanMax]] decide through a
+    * left-outer join of the live list against the index RELATION — the
+    * index never materializes on the driver, only the kept paths do
+    * (`keepCol` is the same predicate as a Column, over the index's
+    * schema). The live list itself comes from the manifest, which is
+    * driver-resident by design — the index is the piece that outgrows it
+    * (one row per file per indexed field). */
   private def plan(spark: SparkSession, c: Catalog, topic: String, index: String,
-                   wantKind: String, keepEntry: Row => Boolean)
+                   wantKind: String, keepEntry: Row => Boolean,
+                   keepCol: org.apache.spark.sql.Column)
       : (Seq[String], String, IndexScan) = {
     val live = liveFiles(c, topic)
-    val entries = readIndex(spark, c, topic, index)
-    val head = entries.headOption.getOrElse(throw new IllegalStateException(
-      s"index '$index' on topic '$topic' does not exist — refresh it first"))
+    val logRoot = c.logPath(topic)
+    val dir = indexPath(c, topic, index)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new IllegalStateException(
+      s"index '$index' on topic '$topic' does not exist — refresh it first")
+    val idxDf = spark.read.schema(IndexSchema).parquet(dir.toString)
+    val head = idxDf.limit(1).collect().headOption.getOrElse(
+      throw new IllegalStateException(
+        s"index '$index' on topic '$topic' does not exist — refresh it first"))
     require(head.getAs[String]("kind") == wantKind,
       s"index '$index' is ${head.getAs[String]("kind")}-kinded; " +
       s"this read needs a $wantKind index")
     val jsonPath = head.getAs[String]("json_path")
-    val byPath = entries.map(r => r.getAs[String]("path") -> r).toMap
-    val kept = live.filter { case (_, rel) =>
-      byPath.get(rel) match {
-        case None => true // produced since the last refresh: scan conservatively
-        case Some(r) => r.getAs[Long]("n_nonnull") > 0L && keepEntry(r)
+    val keptRel: Seq[String] =
+      if (live.size <= driverPlanMax(spark)) {
+        val byPath = readIndex(spark, c, topic, index)
+          .map(r => r.getAs[String]("path") -> r).toMap
+        live.filter { case (_, rel) =>
+          byPath.get(rel) match {
+            case None => true // produced since the last refresh: scan conservatively
+            case Some(r) => r.getAs[Long]("n_nonnull") > 0L && keepEntry(r)
+          }
+        }.map(_._2)
+      } else {
+        import spark.implicits._
+        val liveDf = live.map(_._2).toDF("live_path")
+        liveDf.join(idxDf, col("live_path") === col("path"), "left_outer")
+          .filter(col("path").isNull || (col("n_nonnull") > 0L && keepCol))
+          .select(col("live_path"))
+          .collect().map(_.getString(0)).toSeq
       }
-    }
-    val logRoot = c.logPath(topic)
-    (kept.map { case (_, rel) => new Path(logRoot, rel).toString },
-      jsonPath, IndexScan(live.size, kept.size))
+    (keptRel.map(rel => new Path(logRoot, rel).toString),
+      jsonPath, IndexScan(live.size, keptRel.size))
   }
 
   private def numPlan(spark: SparkSession, c: Catalog, topic: String,
                       index: String, lower: Double, upper: Double) =
-    plan(spark, c, topic, index, Numeric, r =>
-      r.getAs[Double]("num_hi") >= lower && r.getAs[Double]("num_lo") <= upper)
+    plan(spark, c, topic, index, Numeric,
+      r => r.getAs[Double]("num_hi") >= lower && r.getAs[Double]("num_lo") <= upper,
+      col("num_hi") >= lower && col("num_lo") <= upper)
 
   private def strPlan(spark: SparkSession, c: Catalog, topic: String,
                       index: String, value: String) =
-    plan(spark, c, topic, index, Str, r =>
-      r.getAs[String]("str_lo") <= value && value <= r.getAs[String]("str_hi"))
+    plan(spark, c, topic, index, Str,
+      r => r.getAs[String]("str_lo") <= value && value <= r.getAs[String]("str_hi"),
+      col("str_lo") <= value && col("str_hi") >= value)
 
   /** Pruning stats only (ops/assertion surface): how many live files an
     * indexed read of `[lower, upper]` would open. */

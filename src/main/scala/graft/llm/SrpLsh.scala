@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape (100 TB): signatures are a pure projection; candidate
  * generation is a bucketed equality join on (band index, band value) —
- * never all-pairs; multi-band duplicates are suppressed by a
- * first-shared-band FILTER (no distinct shuffle); only candidate pairs
- * pay an exact dot product. Band width must grow with corpus size
- * (production: 64-256 bits, 8+ bits per band); the demo uses 16/4 so
- * sf-scale corpora produce gradable candidate volumes.
+ * never all-pairs — through [[Dedup.bandCandidates]], which also applies
+ * the oversized-bucket star guard (a degenerate corpus cannot produce an
+ * O(k²) bucket self-join); only candidate pairs pay an exact dot product.
+ * Band width must grow with corpus size: 8 bits per band gives 256 bucket
+ * values per band, the production default (the old 16/4 demo shape made
+ * 16-value bands whose candidate volume degenerated toward quadratic).
  */
 object SrpLsh {
 
@@ -46,8 +47,13 @@ object SrpLsh {
     * vector column (see [[TextFunctions.shinglesFromTokens]]'s HOF note —
     * materialize [[quantize]] first so element access is O(1)). Bit h
     * (h=0 is the most significant) is `sign(sum_j q[j] * w(h, j)) >= 0`.
-    * |sum| <= dims * 1e6 * 500 ~ 3e10 — integer-exact. */
+    * |sum| <= dims * 1e6 * 500 ~ 3e10 — integer-exact. Packing limit:
+    * nbits <= 63 (use [[bandValues]] for wider signatures — it never
+    * packs more than one band into a long, so it has no width limit and
+    * its arithmetic cannot overflow engines with CHECKED 64-bit ints,
+    * e.g. the DuckDB oracle). */
   def signature(qvec: Column, nbits: Int, dims: Int): Column = {
+    require(nbits <= 63, s"signature packs into one signed long; nbits=$nbits")
     val bits = transform(sequence(lit(0), lit(nbits - 1)), h => {
       val s = aggregate(sequence(lit(1), lit(dims)), lit(0L),
         (acc, j) => acc + element_at(qvec, j) * weight(h, j, dims))
@@ -56,39 +62,66 @@ object SrpLsh {
     aggregate(bits, lit(0L), (acc, b) => acc * lit(2L) + b)
   }
 
-  /**
-   * SRP near-duplicate pairs: band-bucketed candidate generation + exact
-   * cosine verification. Input needs (`id`, `vec`) columns; emits
-   * (vec_a, vec_b, cos_micro) with vec_a < vec_b, cos >= thresholdMicro.
-   */
-  def srpPairs(vectors: DataFrame, dims: Int, nbits: Int = 16,
-               bands: Int = 4, thresholdMicro: Long = 900000L): DataFrame = {
+  /** Per-band SRP values, computed WITHOUT packing a full-width signature:
+    * band i (of `bands`) covers hyperplanes [i*bpb, (i+1)*bpb) and packs
+    * only its own bpb bits (first hyperplane = most significant), so every
+    * value stays < 2^bpb no matter how wide the total signature — 64, 128,
+    * 256 bits all cost the same bounded integer arithmetic in any engine.
+    *
+    * Evaluates through the native fused-loop expression
+    * [[graft.functions.SrpBandValues]] (whole-stage codegen); the HOF
+    * formulation it is spec-locked against lives in [[bandValuesHof]].
+    * `dims` must equal the vector length (it parameterizes the hyperplane
+    * mix, which the native expression derives from the array itself). */
+  def bandValues(qvec: Column, nbits: Int, bands: Int, dims: Int): Column =
+    org.apache.spark.sql.graftshim.Shims.column(
+      graft.functions.SrpBandValues(
+        org.apache.spark.sql.graftshim.Shims.expression(qvec), nbits, bands))
+
+  /** Reference HOF formulation of [[bandValues]] — interpreted (a
+    * CodegenFallback lambda chain, ~100× slower), kept as the executable
+    * spec the native expression is locked against in LlmSpec. */
+  private[llm] def bandValuesHof(qvec: Column, nbits: Int, bands: Int,
+                                 dims: Int): Column = {
     require(nbits % bands == 0, s"bands must divide nbits: $nbits/$bands")
     val bpb = nbits / bands
-    val base = vectors
+    array((0 until bands).map { i =>
+      val bits = transform(sequence(lit(i * bpb), lit((i + 1) * bpb - 1)), h => {
+        val s = aggregate(sequence(lit(1), lit(dims)), lit(0L),
+          (acc, j) => acc + element_at(qvec, j) * weight(h, j, dims))
+        when(s >= 0L, lit(1L)).otherwise(lit(0L))
+      })
+      aggregate(bits, lit(0L), (acc, b) => acc * lit(2L) + b)
+    }: _*)
+  }
+
+  /**
+   * SRP near-duplicate pairs: band-bucketed candidate generation (with the
+   * shared oversized-bucket star guard, [[Dedup.bandCandidates]]) + exact
+   * cosine verification. Input needs (`id`, `vec`) columns; emits
+   * (vec_a, vec_b, cos_micro) with vec_a < vec_b, cos >= thresholdMicro.
+   *
+   * Defaults are the production shape: 64 hyperplanes in 8 bands of 8 bits
+   * — 256 bucket values per band keep candidate volume near-linear while
+   * P(candidate | cos=0.90) = 1-(1-(1-0.144)^8)^8 ≈ 0.93. Buckets larger
+   * than `maxBucket` degrade to star candidates (member × representative),
+   * so a degenerate corpus (mass-identical vectors) costs O(k), not O(k²).
+   */
+  def srpPairs(vectors: DataFrame, dims: Int, nbits: Int = 64,
+               bands: Int = 8, thresholdMicro: Long = 900000L,
+               maxBucket: Int = 4096): DataFrame = {
+    val banded = vectors
       .select(col("id"), col("vec"))
       .withColumn("qvec", quantize(col("vec")))
-      .withColumn("sig", signature(col("qvec"), nbits, dims))
-      // band-value array materialized once: band i = bits [i*bpb, (i+1)*bpb)
-      .withColumn("bvals", array((0 until bands).map(i =>
-        pmod(shiftrightunsigned(col("sig"), i * bpb), lit(1L << bpb))): _*))
+      .withColumn("bvals", bandValues(col("qvec"), nbits, bands, dims))
       .withColumn("vn", Similarity.norm(col("vec")))
-      .select(col("id"), col("vec"), col("vn"), col("bvals"))
-    val exploded = base.select(col("id"), col("vec"), col("vn"), col("bvals"),
-      posexplode(col("bvals")).as(Seq("band", "bv")))
-    val cand = exploded.as("a").join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.id") < col("b.id"))
-      // first-shared-band filter: keep the pair only in the LOWEST band the
-      // two signatures share, so multi-band matches need no distinct
-      // shuffle (slice of length band = all EARLIER bands; empty at band 0)
-      .filter(!exists(
-        zip_with(slice(col("a.bvals"), lit(1), col("a.band")),
-          slice(col("b.bvals"), lit(1), col("b.band")), (x, y) => x === y),
-        b => b))
-    cand.select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
-        round(Similarity.dot(col("a.vec"), col("b.vec"))
-          / (col("a.vn") * col("b.vn")) * 1000000).cast("long").as("cos_micro"))
+      .select(col("id"), col("vec"), col("vn"),
+        posexplode(col("bvals")).as(Seq("band", "bandval")))
+    // bandCandidates dedups multi-band pairs and star-guards skewed buckets
+    val cand = Dedup.bandCandidates(banded, maxBucket, extra = Seq("vec", "vn"))
+    cand.select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        round(Similarity.dot(col("x_vec"), col("y_vec"))
+          / (col("x_vn") * col("y_vn")) * 1000000).cast("long").as("cos_micro"))
       .filter(col("cos_micro") >= thresholdMicro)
   }
 }

@@ -1115,14 +1115,21 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("sstate_demo", partitions = 2)
       val topic = d.openTopic("sstate_demo")
+      val events = t(s, dir, "events")
+      // size the admission budget from the fixture: ceil(n/2) drains the
+      // whole table in EXACTLY two micro-batches at any scale factor — the
+      // minimum that still proves state survives a batch boundary. (A fixed
+      // budget is the wrong shape: at sf0.1 it meant 49 micro-batches, each
+      // paying state-store + checkpoint overhead for the same contract.)
+      val nEvents = events.count()
       topic.producer().produce(
-        t(s, dir, "events").orderBy(col("event_id"))
+        events.orderBy(col("event_id"))
           .select(to_json(struct(col("user_id").as("uid"),
             Q.cents(col("value")).as("cents"))).as("metadata"),
             pmod(col("event_id"), lit(2)).cast("int").as("partition")))
       val stream = s.readStream.format("graft")
         .option("warehouse", d.warehouse).option("topic", "sstate_demo")
-        .option("maxEventsPerTrigger", "2048")
+        .option("maxEventsPerTrigger", ((nEvents + 1) / 2).toString)
         .load()
         .select(get_json_object(col("metadata"), "$.uid").cast("long").as("uid"),
           get_json_object(col("metadata"), "$.cents").cast("long").as("cents"))

@@ -91,22 +91,24 @@ object VectorPack extends QueryPack {
       survivors.select(col("id")).orderBy(col("id"))
     },
     "q_dedup_srp" -> { (s, dir) =>
-      // signed-random-projection LSH (the cosine-family hash): 16-bit
-      // hyperplane-sign signatures over integer-quantized vectors, 4-bit
-      // band candidates, exact-cosine verification. Planted 0.25-scaled
-      // copies of vectors 0..4 (ids +9000000) are cosine-1e6 near-dups
-      // whose projection sums scale by ~0.25 (quartering a float is exact;
-      // only quantization rounding perturbs them), so their signatures
-      // nearly always match their hosts' and banding surfaces them; the
-      // oracle re-derives signatures, bands, candidates, and verdicts from
-      // the same integer formulas, so recall is graded as-computed.
+      // signed-random-projection LSH (the cosine-family hash) at the
+      // PRODUCTION band shape: 64 hyperplane-sign bits over integer-
+      // quantized vectors, 8 bands of 8 bits (256 bucket values per band —
+      // the 16/4 demo shape made 16-value bands whose candidate join
+      // degenerated toward all-pairs), exact-cosine verification. Planted
+      // 0.25-scaled copies of vectors 0..4 (ids +9000000) are cosine-1e6
+      // near-dups whose projection sums scale by ~0.25 (quartering a float
+      // is exact; only quantization rounding perturbs them), so their
+      // signatures nearly always match their hosts' and banding surfaces
+      // them; the oracle re-derives band values, candidates, and verdicts
+      // from the same integer formulas, so recall is graded as-computed.
       val emb = embeddings(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val corpus = emb.unionByName(
         emb.filter(col("id") < 5).select((col("id") + 9000000L).as("id"),
           transform(col("vec"), x => x * lit(0.25f)).as("vec")))
       graft.llm.SrpLsh.srpPairs(corpus, dims = 64,
-          nbits = 16, bands = 4, thresholdMicro = 900000L)
+          nbits = 64, bands = 8, thresholdMicro = 900000L)
         .orderBy(col("vec_a"), col("vec_b"))
     },
     "q_knn_recall" -> { (s, dir) =>
@@ -240,9 +242,13 @@ object VectorPack extends QueryPack {
          |  AND vec_id NOT IN (SELECT db FROM dup WHERE db >= 300)
          |ORDER BY id""".stripMargin,
     // full SRP pipeline re-derived: integer quantization, hyperplane-sign
-    // signature (same (h*64+j) multiplicative mix), 4-bit bands, shared-band
-    // candidates (DISTINCT replaces the engine's first-shared-band filter),
-    // exact-cosine verdicts
+    // bits (same (h*64+j) multiplicative mix), 8 bands of 8 bits — each
+    // band value packed independently (band i = hyperplanes [i*8, (i+1)*8),
+    // first hyperplane most significant), so no value exceeds 255 and
+    // DuckDB's overflow-CHECKED BIGINT arithmetic never packs a 64-bit
+    // signature — shared-band candidates (DISTINCT replaces the engine's
+    // in-bandCandidates dedup; the star guard never fires at fixture scale,
+    // every bucket is far below maxBucket), exact-cosine verdicts
     "q_dedup_srp" -> {
       val wgt = "(((h*64 + j) * 2654435761 + 104729) % 1001 - 500)"
       s"""WITH corpus AS (
@@ -255,17 +261,14 @@ object VectorPack extends QueryPack {
          |    [CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
          |     for j in range(1, 65)] AS q
          |  FROM corpus),
-         |sig AS (
-         |  SELECT vec_id, embedding,
+         |bands AS (
+         |  SELECT vec_id, embedding, i,
          |    list_reduce(
          |      [CASE WHEN list_sum([q[j] * $wgt for j in range(1, 65)]) >= 0
          |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
-         |       for h in range(0, 16)],
-         |      (a, b) -> a * 2 + b) AS sig
-         |  FROM base),
-         |bands AS (
-         |  SELECT vec_id, embedding, i, (sig >> CAST(i * 4 AS INT)) & 15 AS bv
-         |  FROM sig, range(0, 4) t(i)),
+         |       for h in range(CAST(i*8 AS BIGINT), CAST((i+1)*8 AS BIGINT))],
+         |      (a, b) -> a * 2 + b) AS bv
+         |  FROM base, range(0, 8) t(i)),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS va, a.embedding AS ea,
          |                  b.vec_id AS vb, b.embedding AS eb

@@ -64,6 +64,24 @@ class BloomIndexSpec extends SparkSpec {
     assert(topic.eventsBloomEq("u_bloom", "delta-99").count() == 0L)
   }
 
+  test("distributed plan path (large-topic mode) prunes identically to the driver path") {
+    val (_, topic) = newTopic(partitions = 2)
+    produceKeys(topic, (0 until 50).map(i => s"alpha-$i"))
+    produceKeys(topic, (0 until 50).map(i => s"beta-$i"))
+    assert(topic.refreshBloomIndex("u_bloom", "$.u") == 4)
+    produceKeys(topic, (0 until 50).map(i => s"late-$i")) // unindexed: kept on both paths
+    val driver = topic.bloomScanEq("u_bloom", "beta-7")
+    val driverRows = uOf(topic.eventsBloomEq("u_bloom", "beta-7"))
+    // force the pruning decision through the live⟕index join — word arrays
+    // are probed with element_at in the relation, never on the driver
+    spark.conf.set("spark.graft.index.driverPlanMaxEntries", "0")
+    try {
+      val dist = topic.bloomScanEq("u_bloom", "beta-7")
+      assert(dist == driver, s"distributed plan diverged: $dist vs $driver")
+      assert(uOf(topic.eventsBloomEq("u_bloom", "beta-7")) == driverRows)
+    } finally spark.conf.unset("spark.graft.index.driverPlanMaxEntries")
+  }
+
   test("freshness conservative + incremental refresh; no row ever lost") {
     val (_, topic) = newTopic(partitions = 2)
     produceKeys(topic, (0 until 40).map(i => s"old-$i"))

@@ -50,6 +50,26 @@ class MetadataIndexSpec extends SparkSpec {
     assert(topic.eventsIndexed("v_idx", 5000, 6000).count() == 0L)
   }
 
+  test("distributed plan path (large-topic mode) prunes identically to the driver path") {
+    val (_, topic) = newTopic(partitions = 2)
+    Seq((0, 100), (100, 200), (200, 300), (300, 400))
+      .foreach { case (lo, hi) => produceRange(topic, lo, hi) }
+    produceRange(topic, 400, 500) // left unindexed after the refresh below
+    assert(topic.refreshIndex("v_idx", "$.v") == 10)
+    produceRange(topic, 500, 600) // post-refresh: conservative keep on both paths
+    val driver = topic.indexScan("v_idx", 120, 180)
+    val driverRows = vOf(topic.eventsIndexed("v_idx", 120, 180))
+    // force the pruning decision through the live⟕index join — the index
+    // relation must never be collected on this path, only kept paths are
+    spark.conf.set("spark.graft.index.driverPlanMaxEntries", "0")
+    try {
+      val dist = topic.indexScan("v_idx", 120, 180)
+      assert(dist == driver, s"distributed plan diverged: $dist vs $driver")
+      assert(vOf(topic.eventsIndexed("v_idx", 120, 180)) == driverRows)
+      assert(topic.indexScan("v_idx", 5000, 6000).kept == 2) // only unindexed kept
+    } finally spark.conf.unset("spark.graft.index.driverPlanMaxEntries")
+  }
+
   test("freshness is conservative: files produced after a refresh are still scanned") {
     val (_, topic) = newTopic(partitions = 2)
     produceRange(topic, 0, 100)

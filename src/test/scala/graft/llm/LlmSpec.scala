@@ -579,6 +579,40 @@ class LlmSpec extends SparkSpec {
     assert(again.toSet == found.toSet)
   }
 
+  test("native SRP band values equal the HOF reference formulation exactly") {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("id", "vec")
+    val q = vecs.withColumn("qvec", SrpLsh.quantize(col("vec")))
+    for ((nbits, bands) <- Seq((16, 4), (64, 8), (24, 3))) {
+      val both = q.select(col("id"),
+          SrpLsh.bandValues(col("qvec"), nbits, bands, 16).as("native"),
+          SrpLsh.bandValuesHof(col("qvec"), nbits, bands, 16).as("hof"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"native/HOF divergence at id=${r.getLong(0)} nbits=$nbits bands=$bands")
+      }
+    }
+  }
+
+  test("SRP-LSH oversized buckets degrade to star candidates (O(k), not O(k²))") {
+    import session.implicits._
+    // 200 identical vectors: every band bucket holds all 200 — an unguarded
+    // self-join would emit C(200,2)=19900 pairs; the star guard caps the
+    // candidate set at k-1 pairs (everyone vs the min-id representative),
+    // and every non-representative member still reaches exact verification
+    val v = Array.fill(8)(0.5f)
+    val corpus = (0 until 200).map(i => (i.toLong, v)).toDF("id", "vec")
+    val pairs = SrpLsh.srpPairs(corpus, dims = 8, nbits = 16, bands = 4,
+      thresholdMicro = 990000L, maxBucket = 16).collect()
+    assert(pairs.length == 199, s"expected 199 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 0L), "representative must be the min id")
+    assert(pairs.map(_.getLong(1)).toSet == (1L until 200L).toSet)
+  }
+
   test("Classifier score matches a JVM hash/mix/sum model on random word docs") {
     import session.implicits._
     import org.apache.spark.sql.functions.col
