@@ -106,22 +106,41 @@ object SrpLsh {
    * P(candidate | cos=0.90) = 1-(1-(1-0.144)^8)^8 ≈ 0.93. Buckets larger
    * than `maxBucket` degrade to star candidates (member × representative),
    * so a degenerate corpus (mass-identical vectors) costs O(k), not O(k²).
+   *
+   * Scale shape: the candidate join and its dedup shuffle carry ID PAIRS
+   * only (16 bytes a row); vectors re-attach through two bucketed joins
+   * against the signed base afterward — at production dims a vector-
+   * carrying dedup would move ~30× the bytes through the shuffle for the
+   * same pair set.
+   *
+   * @param cache persist the (id, vec, norm, bands) base — it feeds the
+   *        banding AND both verification joins. Caller-owned lifetime,
+   *        same contract as [[Dedup.nearDuplicates]]: sweep-style callers
+   *        should `spark.catalog.clearCache()` between corpora or pass
+   *        false.
    */
   def srpPairs(vectors: DataFrame, dims: Int, nbits: Int = 64,
                bands: Int = 8, thresholdMicro: Long = 900000L,
-               maxBucket: Int = 4096): DataFrame = {
-    val banded = vectors
+               maxBucket: Int = 4096, cache: Boolean = true): DataFrame = {
+    val base0 = vectors
       .select(col("id"), col("vec"))
       .withColumn("qvec", quantize(col("vec")))
       .withColumn("bvals", bandValues(col("qvec"), nbits, bands, dims))
       .withColumn("vn", Similarity.norm(col("vec")))
-      .select(col("id"), col("vec"), col("vn"),
-        posexplode(col("bvals")).as(Seq("band", "bandval")))
+      .select(col("id"), col("vec"), col("vn"), col("bvals"))
+    val base = if (cache)
+      base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base0
+    val banded = base.select(col("id"),
+      posexplode(col("bvals")).as(Seq("band", "bandval")))
     // bandCandidates dedups multi-band pairs and star-guards skewed buckets
-    val cand = Dedup.bandCandidates(banded, maxBucket, extra = Seq("vec", "vn"))
-    cand.select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
-        round(Similarity.dot(col("x_vec"), col("y_vec"))
-          / (col("x_vn") * col("y_vn")) * 1000000).cast("long").as("cos_micro"))
+    val cand = Dedup.bandCandidates(banded, maxBucket, extra = Nil)
+    cand
+      .join(base.select(col("id").as("doc_a"), col("vec").as("va"), col("vn").as("na")), "doc_a")
+      .join(base.select(col("id").as("doc_b"), col("vec").as("vb"), col("vn").as("nb")), "doc_b")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+        round(Similarity.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")) * 1000000).cast("long").as("cos_micro"))
       .filter(col("cos_micro") >= thresholdMicro)
   }
 }

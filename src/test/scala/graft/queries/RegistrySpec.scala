@@ -15,18 +15,18 @@ import graft.SparkSpec
  *  - the registry size is pinned — a vanished or accidentally-dropped query
  *    fails the build, and adding a query forces the constant (and therefore
  *    this guard) to be updated consciously;
- *  - every query is BUILT against sf0.001 and its analyzed plan forced.
- *    For the lazy relational queries this is a cheap plan-time check (the
- *    round-6 failures were plan-time DATATYPE_MISMATCH); the engine and
- *    streaming queries execute eagerly while being built (topics produced,
- *    micro-batch streams drained to completion), so runtime-only breaks —
- *    STREAM_FAILED, mid-stream cast errors, ClassCastException in typed
- *    pipelines — surface here too, not just plan-time ones.
+ *  - every query is BUILT and EXECUTED against sf0.001. Building alone
+ *    would catch the round-6 plan-time DATATYPE_MISMATCH failures and the
+ *    eager engine/streaming queries' runtime breaks (they run while being
+ *    built: topics produced, micro-batch streams drained to completion) —
+ *    but 4 of round 6's 20 failures were runtime-only errors a plan check
+ *    cannot see (mid-stream CAST_INVALID_INPUT, ClassCastException in a
+ *    typed pipeline), so the lazy relational majority is counted too.
  *
  * Cost note: the eager engine/streaming queries dominate this suite's
- * runtime; the pure relational majority only pays analysis. That cost is
- * the price of the guarantee the driver's correctness gate assumes: every
- * registered query can actually run.
+ * runtime; the relational majority executes in fractions of a second at
+ * sf0.001. That cost is the price of the guarantee the driver's
+ * correctness gate assumes: every registered query can actually run.
  */
 class RegistrySpec extends SparkSpec {
 
@@ -45,10 +45,11 @@ class RegistrySpec extends SparkSpec {
   }
 
   for (name <- graft.SparkEntry.queries.keySet.toSeq.sorted) {
-    test(s"$name builds and analyzes against sf0.001") {
+    test(s"$name builds and executes against sf0.001") {
       try {
         val df = graft.SparkEntry.queries(name)(spark, sf())
         assert(df.queryExecution.analyzed != null)
+        df.count(): Unit // runtime-only breaks must fail here, not vanish
       } finally spark.catalog.clearCache()
     }
   }
