@@ -585,9 +585,9 @@ object EnginePack extends QueryPack {
       // event time 60% into the stream — two bounded single-row lookups on
       // the SETUP side of the maintenance call, not in any data plan
       val ev = t(s, dir, "events")
-      val cutEid = ev.agg(floor(count(lit(1)) * 0.6).cast("long")).head.getLong(0)
+      val cutEid = ev.agg(floor(count(lit(1)) * 0.6).cast("long")).head().getLong(0)
       val cutoff = ev.filter(col("event_id") === cutEid)
-        .select(col("ts").cast("long")).head.getLong(0)
+        .select(col("ts").cast("long")).head().getLong(0)
       topic.expireOlderThan(
         get_json_object(col("metadata"), "$.tsn").cast("long"), lit(cutoff))
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
@@ -700,9 +700,9 @@ object EnginePack extends QueryPack {
             col("ts").as("tsn"))).as("metadata"),
           pmod(col("event_id"), lit(4)).cast("int").as("partition")))
       val ev = t(s, dir, "events")
-      val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head.getLong(0)
+      val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head().getLong(0)
       val cutoff = ev.filter(col("event_id") === cutEid)
-        .select(col("ts").cast("long")).head.getLong(0)
+        .select(col("ts").cast("long")).head().getLong(0)
       // a consumer that already read PAST the seek point: the seek must
       // move its cursor BACKWARD (replay is the point of seeking)
       (0 until 4).foreach(p => d.catalog.acknowledge("seek_demo", "replayer", p, 999999L))
@@ -1192,7 +1192,7 @@ object EnginePack extends QueryPack {
         .filter(col("user_id") < 100 && col("event_id") < 4096 &&
           col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
-      val flushTs = ev.agg(max(col("ts"))).head.getLong(0) + 48L * 3600 * 1000000000L
+      val flushTs = ev.agg(max(col("ts"))).head().getLong(0) + 48L * 3600 * 1000000000L
       val withFlush = src
         .unionByName(s.range(1024).select(
           (lit(9000000L) + col("id")).as("event_id"), lit(flushTs).as("ts"),
@@ -1289,9 +1289,9 @@ object EnginePack extends QueryPack {
             col("ts").as("tsn"))).as("metadata"),
           pmod(col("event_id"), lit(4)).cast("int").as("partition")))
       val ev = t(s, dir, "events")
-      val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head.getLong(0)
+      val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head().getLong(0)
       val cutoff = ev.filter(col("event_id") === cutEid)
-        .select(col("ts").cast("long")).head.getLong(0)
+        .select(col("ts").cast("long")).head().getLong(0)
       val qname = s"q_stream_time_${EnginePack.streamRun.incrementAndGet()}"
       val query = s.readStream.format("graft")
         .option("warehouse", d.warehouse).option("topic", "stime_demo")

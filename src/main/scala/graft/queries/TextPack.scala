@@ -135,6 +135,30 @@ object TextPack extends QueryPack {
       graft.llm.Pipelines.noveltyScore(corpus, reference, shingleN = 8)
         .orderBy(col("doc_id"))
     },
+    "q_text_vocab_coverage" -> { (s, dir) =>
+      // tokenizer-fit diagnostic: coverage of each document by the corpus's
+      // own top-500 token vocabulary, and the per-doc OOV rate — the signal
+      // that decides whether a tokenizer/vocab suits a corpus before
+      // training. Scale shape: one corpus-level groupBy(token) with
+      // map-side combine, a bounded top-K (deterministic ties: count desc,
+      // token asc), the K-row vocab BROADCAST back against the exploded
+      // tokens (no shuffle of the corpus for the membership test), one
+      // groupBy(doc).
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(500)
+        .select(col("tok").as("vtok"))
+      toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), count(col("vtok")).as("n_covered"))
+        .withColumn("oov_micro",
+          round((col("n_tokens") - col("n_covered")).cast("double")
+            / col("n_tokens") * 1000000).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("n_covered"), col("oov_micro"))
+        .orderBy(col("doc_id"))
+    },
     "q_text_repetition" -> { (s, dir) =>
       // Gopher-style within-document repetition: duplicate 2-gram/3-gram
       // instance fractions, plus a planted degenerate doc (one phrase
@@ -532,6 +556,21 @@ object TextPack extends QueryPack {
         |FROM pairs p LEFT JOIN inter USING (doc_a, doc_b)
         |  JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b
         |ORDER BY doc_a""".stripMargin,
+    // vocab re-derived: same split, same deterministic top-500 tie-break;
+    // LEFT JOIN membership mirrors the broadcast join's count(vtok)
+    "q_text_vocab_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($W) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok),
+         |vocab AS (SELECT tok FROM tf ORDER BY cnt DESC, tok LIMIT 500),
+         |per AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens, count(v.tok) AS n_covered
+         |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |  WHERE t.tok <> ''
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, n_tokens, n_covered,
+         |  CAST(round((n_tokens - n_covered) * 1.0 / n_tokens * 1000000) AS BIGINT) AS oov_micro
+         |FROM per ORDER BY doc_id""".stripMargin,
     // same planted degenerate doc; duplicate-instance fractions re-derived
     // from the shared shingle-list fragment
     "q_text_repetition" -> {

@@ -598,6 +598,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("srpPairs candidate dedup aggregates id pairs only — no vector columns") {
+    import session.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, Array.fill(8)(0.1f * (i % 7)))).toDF("id", "vec")
+    val df = SrpLsh.srpPairs(corpus, dims = 8, nbits = 16, bands = 4, cache = false)
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "expected the distinct + bucket-stats aggregates")
+    // the dedup/stats shuffles must carry ids, never the 64-float vectors —
+    // at production dims a vector-carrying distinct moves ~30× the bytes
+    aggs.foreach { a =>
+      assert(!a.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"aggregate carries an array column: ${a.output.map(o => s"${o.name}:${o.dataType.simpleString}")}")
+    }
+  }
+
   test("SRP-LSH oversized buckets degrade to star candidates (O(k), not O(k²))") {
     import session.implicits._
     // 200 identical vectors: every band bucket holds all 200 — an unguarded
