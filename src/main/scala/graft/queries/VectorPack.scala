@@ -125,6 +125,29 @@ object VectorPack extends QueryPack {
         .agg(count(col("hit")).as("n_hits"))
         .orderBy(col("query_id"))
     },
+    "q_knn_vote" -> { (s, dir) =>
+      // kNN label classification — the ANN layer actually USED: each query
+      // vector takes the majority label of its exact top-5 cosine
+      // neighbours (ties: more votes win, then the smaller label —
+      // deterministic in both engines). One equality join attaches labels
+      // to the k·|queries| neighbour rows (never the full corpus), one
+      // bounded per-query window picks the winner.
+      val knn = Similarity.bruteForceTopK(queriesDf(s, dir), candidatesDf(s, dir), k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val labels = embeddings(s, dir)
+        .select(col("vec_id").as("cand_id"), col("label"))
+      val votes = knn.join(labels, "cand_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("label").cast("long").as("label"),
+          col("votes"))
+        .orderBy(col("query_id"))
+    },
     "q_embed_norm" -> { (s, dir) =>
       embeddings(s, dir).select(col("vec_id"),
         round(Similarity.norm(col("embedding")) * 1000000).cast("long").as("norm_micro"),
@@ -298,6 +321,25 @@ object VectorPack extends QueryPack {
          |FROM ex3 LEFT JOIN ivf3
          |  ON ivf3.query_id = ex3.query_id AND ivf3.cand_id = ex3.cand_id
          |GROUP BY ex3.query_id ORDER BY ex3.query_id""".stripMargin,
+    // exact top-5 re-derived like q_knn_brute, labels joined, majority by
+    // (votes DESC, label) — the same deterministic tie-break
+    "q_knn_vote" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |top5 AS (
+         |  SELECT qid AS query_id, cid AS cand_id FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ${cosMicro("qe", "ce")} DESC, cid) AS rank
+         |    FROM q, c) r WHERE rank <= 5),
+         |votes AS (
+         |  SELECT query_id, e.label, count(*) AS votes
+         |  FROM top5 JOIN embeddings e ON cand_id = e.vec_id
+         |  GROUP BY query_id, e.label)
+         |SELECT query_id, CAST(label AS BIGINT) AS label, votes FROM (
+         |  SELECT query_id, label, votes, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |  FROM votes) v
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "q_embed_norm" ->
       s"""SELECT vec_id, ${normMicro("embedding")} AS norm_micro, label
          |FROM embeddings ORDER BY vec_id""".stripMargin,
