@@ -222,6 +222,16 @@ object CurationPack extends QueryPack {
           "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    "q_text_bigram_ppl" -> { (s, dir) =>
+      // bigram tier of the perplexity filter: conditional add-one model
+      // p(w2|w1) trained on the English slice — sharper than unigram on
+      // word-order garbage (shuffled or template text keeps a plausible
+      // unigram profile but alien bigrams)
+      val docs = t(s, dir, "documents")
+      Perplexity.bigramScore(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     "q_knn_pq" -> { (s, dir) =>
       // product-quantized ANN: 64 dims → 8 codes/vector (16-codeword
       // deterministic codebooks), queries scored via the ADC table —
@@ -457,6 +467,27 @@ object CurationPack extends QueryPack {
         |  max(lo_tc) AS p05_tc, max(hi_tc) AS p95_tc
         |FROM v JOIN b ON b.l_returnflag = v.l_returnflag
         |GROUP BY v.l_returnflag ORDER BY v.l_returnflag""".stripMargin,
+    // bigram model re-derived: same shingle fragment, same conditional
+    // add-one form; w1 = first space-split field of the bigram
+    "q_text_bigram_ppl" ->
+      s"""WITH refw AS (SELECT $W AS w FROM documents WHERE lang = 'en'),
+         |refbg AS (SELECT unnest(${TextPack.shingleListSql(2)}) AS bg
+         |          FROM refw WHERE len(w) >= 2),
+         |bgc AS (SELECT bg, count(*) AS c2 FROM refbg GROUP BY bg),
+         |ctx AS (SELECT tok AS w1, count(*) AS c1
+         |        FROM (SELECT unnest(w) AS tok FROM refw) t
+         |        WHERE tok <> '' GROUP BY tok),
+         |vs AS (SELECT count(*) AS v_ref FROM ctx),
+         |dbg AS (SELECT doc_id, unnest(${TextPack.shingleListSql(2)}) AS bg
+         |        FROM (SELECT doc_id, $W AS w FROM documents) d
+         |        WHERE len(w) >= 2)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(count(*) FILTER (WHERE c2 IS NULL) AS BIGINT) AS n_unseen,
+         |  CAST(round(avg(-ln((coalesce(c2, 0) + 1) * 1.0
+         |    / (coalesce(c1, 0) + v_ref))) * 1000000) AS BIGINT) AS mean_nll_micro
+         |FROM (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM dbg) x
+         |LEFT JOIN bgc USING (bg) LEFT JOIN ctx USING (w1), vs
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_unigram_ppl" ->
       s"""WITH ref AS (SELECT unnest($W) AS tok FROM documents WHERE lang = 'en'),
          |vocab AS (SELECT tok, count(*) AS c FROM ref GROUP BY tok),
