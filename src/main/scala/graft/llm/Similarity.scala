@@ -218,6 +218,22 @@ object Similarity {
   }
 
   /**
+   * Incrementally extend a persisted index: the new vectors are assigned
+   * to the STORED centroids (never recomputed — cell identity must stay
+   * stable or every existing assignment silently invalidates) and appended
+   * into the cell-partitioned layout. Cost is O(new vectors); existing
+   * cells are never rewritten (parquet append adds files inside the cell
+   * directories). The growing-corpus maintenance path: build once, append
+   * per shard, rebuild only when drift calls for new centroids.
+   */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    newVectors: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    nearestCells(newVectors, centroids, 1)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /**
    * Query a persisted index: probed cell ids (a tiny set, ≤ |queries|·nprobe,
    * collected driver-side) become an `isin` partition filter on the cells
    * table, so the scan touches only the probed directories. Results are

@@ -52,6 +52,21 @@ object VectorPack extends QueryPack {
       Similarity.ivfTopKIndexed(s, idx, queriesDf(s, dir), k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
+    "q_knn_ivf_appended" -> { (s, dir) =>
+      // index MAINTENANCE lifecycle: build on a prefix of the corpus,
+      // append the rest as a shard (assigned to the STORED centroids, cell
+      // dirs extended in place — O(shard), no rebuild), query through the
+      // same pruned read path. The contract: results IDENTICAL to the
+      // direct q_knn_ivf over the full corpus — so all three index paths
+      // (direct, built-once, built+appended) share one oracle.
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+      Similarity.saveIndex(candidatesDf(s, dir).filter(col("id") < 300),
+        centroidsDf(s, dir), idx)
+      Similarity.appendToIndex(s, idx,
+        candidatesDf(s, dir).filter(col("id") >= 300))
+      Similarity.ivfTopKIndexed(s, idx, queriesDf(s, dir), k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
     "q_dedup_embed" -> { (s, dir) =>
       // embedding-cosine near-dup: IVF-cell-blocked pairs over the whole
       // corpus, exact cosine threshold (0.40 — the fixture has no planted
@@ -227,6 +242,8 @@ object VectorPack extends QueryPack {
     "q_knn_ivf" -> ivfOracleSql,
     // the indexed path must return exactly the direct path's results
     "q_knn_ivf_indexed" -> ivfOracleSql,
+    // ...and so must the built-then-appended index (same corpus, same cells)
+    "q_knn_ivf_appended" -> ivfOracleSql,
     "q_dedup_embed" ->
       s"""WITH ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
          |cells AS (
