@@ -1055,6 +1055,64 @@ object EnginePack extends QueryPack {
       query.awaitTermination()
       s.table(qname).orderBy(col("user_id"), col("event_type"))
     },
+    "q_stream_sessions" -> { (s, dir) =>
+      // streaming SESSIONIZATION through the micro-batch source: the native
+      // session_window operator (4h inactivity gap — same as the batch
+      // q_events_sessions) under a watermark in append mode, so sessions
+      // merge across micro-batches in the state store and emit only once
+      // the watermark passes their end. Exact because events arrive in
+      // event-time order (displacement 0, as q_stream_join), so no session
+      // can be reopened by a late row; the produce ends with 2×(admission
+      // budget) far-future filler events under sentinel uid -1 — the first
+      // filler batch advances the watermark past every real session, the
+      // second runs the eviction that emits them (same flush technique as
+      // q_stream_outer). Result contract: EXACTLY the batch sessionization
+      // of the same slice.
+      val d = tempDriver(s)
+      d.createTopic("ssess_demo", partitions = 2)
+      val topic = d.openTopic("ssess_demo")
+      val ev = t(s, dir, "events")
+      val src = ev.filter(col("user_id") < 100 && col("event_id") < 4096)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val flushTs = ev.agg(max(col("ts"))).head().getLong(0) + 48L * 3600 * 1000000000L
+      // 2048/trigger: the ≤4096 real events take TWO micro-batches (state
+      // must merge sessions across the boundary — the contract), and the
+      // 2×2048 fillers take two more (advance the clock, then evict)
+      val withFlush = src.unionByName(s.range(4096).select(
+        (lit(9000000L) + col("id")).as("event_id"), lit(flushTs).as("ts"),
+        lit(-1L).as("user_id")))
+      topic.producer().produce(withFlush.orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"), col("ts").as("tns"),
+          col("user_id").as("uid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition")))
+      val qname = s"q_stream_sessions_${EnginePack.streamRun.incrementAndGet()}"
+      val query = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "ssess_demo")
+        .option("maxEventsPerTrigger", "2048")
+        .load()
+        .select(
+          expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+            .as("etime"),
+          get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"))
+        .withWatermark("etime", "1 hour")
+        .groupBy(col("user_id"), session_window(col("etime"), "4 hours"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"), col("n"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-ssess-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .filter(col("user_id") >= 0) // drop the filler sessions
+        .orderBy(col("user_id"), col("start_us"))
+    },
     "q_stream_join" -> { (s, dir) =>
       // stream-stream event-time join through the micro-batch source, under
       // the oracle: clicks ⋈ purchases (same user, purchase within 1h after
@@ -1655,6 +1713,22 @@ object EnginePack extends QueryPack {
         |FROM c LEFT JOIN p ON c.uid = p.uid
         |  AND pt >= ct AND pt <= ct + 3600000000
         |ORDER BY c_eid, p_eid""".stripMargin,
+    // batch sessionization of the same slice (lag-gap derivation — the
+    // same CTE shape as q_events_sessions' oracle, 4h gap)
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us FROM events
+        |           WHERE user_id < 100 AND event_id < 4096),
+        |d AS (SELECT user_id, t_us,
+        |   CASE WHEN lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us) IS NULL
+        |          OR t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us) >= 14400000000
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (SELECT user_id, t_us,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY t_us
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d)
+        |SELECT user_id, min(t_us) AS start_us, count(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             epoch_ns(ts) // 1000 AS tus

@@ -37,6 +37,14 @@ object Q {
    * exact (no sub-microsecond data exists in either encoding), and the
    * session time zone is UTC, so TIMESTAMP_NTZ → TIMESTAMP is the identity
    * reinterpretation that matches DuckDB's naive-timestamp `epoch_ns`.
+   *
+   * Pushdown note: the rewrite makes `ts` a DERIVED column, so a ts-range
+   * predicate would no longer reach the parquet scan as a PushedFilter.
+   * No registered query range-filters raw `ts` at the scan (they bucket or
+   * window it — not pushable either way), so nothing is lost today; a
+   * future scan-selective time query should filter on the raw column
+   * BEFORE this rewrite (read the parquet directly, filter the native
+   * timestamp, then normalize).
    */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
