@@ -39,6 +39,39 @@ object Sampling {
   }
 
   /**
+   * Down-sample to a TARGET mixture: given per-group target shares (domain
+   * mixing — "the training set should be 20% per language"), keep the
+   * LARGEST corpus achievable without up-sampling any group: the binding
+   * group is the one most under-represented relative to its share, total
+   * T = min_g(n_g / share_g), and group g keeps share_g·T/n_g of its hash
+   * buckets. Groups absent from `shares` are dropped (they have no place
+   * in the target mixture). The keep decision is the same md5-bucket
+   * function as every other sampler here — deterministic, engine-
+   * re-derivable membership, stable under partition layout.
+   *
+   * Scale shape: one per-group count aggregate (map-side combined, rows =
+   * |groups|), a scalar min, and the |groups|-row threshold table
+   * broadcast back — the corpus itself is touched by exactly one filter
+   * pass, no shuffle.
+   */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: String,
+                    shares: Map[String, Double]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0.0),
+      s"shares must be positive: $shares")
+    val shareOf = element_at(typedLit(shares), col(groupCol))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_g"))
+      .filter(shareOf.isNotNull)
+      .withColumn("cap", col("n_g").cast("double") / shareOf)
+    val t = counts.agg(min(col("cap")).as("t"))
+    val thresholds = counts.crossJoin(broadcast(t))
+      .select(col(groupCol),
+        round(shareOf * col("t") / col("n_g") * Buckets).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(bucket(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
+  /**
    * Deterministic train/validation/test split: each row is assigned the
    * first split whose cumulative weight bound exceeds its bucket. A pure
    * projection (no shuffle, no RNG) — membership is stable under corpus

@@ -108,6 +108,19 @@ object TextPack extends QueryPack {
         .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
         .orderBy(col("stratum"))
     },
+    "q_sample_mixture" -> { (s, dir) =>
+      // domain-mixing balancer: down-sample to a uniform 20%-per-language
+      // target mixture — the binding group (smallest lang) stays whole,
+      // everything else down-samples to match; md5-deterministic
+      // membership graded exactly, not just counts
+      graft.llm.Sampling.mixtureSample(t(s, dir, "documents"),
+          groupCol = "lang", keyCol = "doc_id",
+          shares = Map("en" -> 0.2, "de" -> 0.2, "fr" -> 0.2,
+            "es" -> 0.2, "zh" -> 0.2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("lang"))
+    },
     "q_decontaminate" -> { (s, dir) =>
       // Benchmark decontamination: docs 0..9 form the held-out benchmark;
       // the corpus is everything else PLUS planted verbatim copies of the
@@ -617,6 +630,18 @@ object TextPack extends QueryPack {
          |SELECT shard, start_offset // 2048 AS bin, count(*) AS n_docs,
          |  CAST(sum(tokens) AS BIGINT) AS sum_tokens
          |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+    // mixture re-derived: per-lang counts, binding total T = min(n/share),
+    // per-lang threshold round(share*T/n*65536), same md5-nibble bucket
+    "q_sample_mixture" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+         |tt AS (SELECT min(n_g / 0.2) AS t FROM cnt),
+         |thr AS (SELECT lang, CAST(round(0.2 * t / n_g * 65536) AS BIGINT) AS thr
+         |        FROM cnt, tt),
+         |kept AS (
+         |  SELECT d.lang, d.doc_id FROM documents d JOIN thr USING (lang)
+         |  WHERE ${bucketSql("doc_id")} < thr)
+         |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     // the sample is re-derived exactly: same md5-nibble bucket, same
     // per-stratum thresholds (long=65536/65536, short=round(0.2*65536))
     "q_sample_stratified" ->

@@ -67,6 +67,22 @@ object VectorPack extends QueryPack {
       Similarity.ivfTopKIndexed(s, idx, queriesDf(s, dir), k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
+    "q_knn_index_stats" -> { (s, dir) =>
+      // index HEALTH: per-cell occupancy of the persisted layout after
+      // build + append — the skew/imbalance signal that schedules a
+      // rebuild (a cell holding a disproportionate share of the corpus
+      // degrades every probe that hits it). Metadata-scale read: one
+      // groupBy over the cell column of the cell-partitioned layout.
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-stats").toString
+      Similarity.saveIndex(candidatesDf(s, dir).filter(col("id") < 300),
+        centroidsDf(s, dir), idx)
+      Similarity.appendToIndex(s, idx,
+        candidatesDf(s, dir).filter(col("id") >= 300))
+      s.read.parquet(s"$idx/cells")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("cell"))
+    },
     "q_dedup_embed" -> { (s, dir) =>
       // embedding-cosine near-dup: IVF-cell-blocked pairs over the whole
       // corpus, exact cosine threshold (0.40 — the fixture has no planted
@@ -244,6 +260,19 @@ object VectorPack extends QueryPack {
     "q_knn_ivf_indexed" -> ivfOracleSql,
     // ...and so must the built-then-appended index (same corpus, same cells)
     "q_knn_ivf_appended" -> ivfOracleSql,
+    // cell occupancy re-derived from the same nearest-centroid assignment
+    // over the full candidate corpus (build prefix + appended shard)
+    "q_knn_index_stats" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+         |ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
+         |candcell AS (
+         |  SELECT cid, cell FROM (
+         |    SELECT cid, ctrid AS cell,
+         |      row_number() OVER (PARTITION BY cid
+         |        ORDER BY ${cosMicro("ce", "ctre")} DESC, ctrid) AS cr
+         |    FROM c, ctr) x WHERE cr <= 1)
+         |SELECT cell, count(*) AS n FROM candcell
+         |GROUP BY cell ORDER BY cell""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH ctr AS (SELECT vec_id AS ctrid, embedding AS ctre FROM embeddings WHERE vec_id % 50 = 0),
          |cells AS (
