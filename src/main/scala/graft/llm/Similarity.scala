@@ -225,6 +225,12 @@ object Similarity {
    * cells are never rewritten (parquet append adds files inside the cell
    * directories). The growing-corpus maintenance path: build once, append
    * per shard, rebuild only when drift calls for new centroids.
+   *
+   * Replay caveat: the append is NOT idempotent — re-running it for a
+   * shard that already landed duplicates those ids in their cells (and a
+   * duplicated candidate would occupy two ranks of a top-k). Drive it
+   * exactly-once (e.g. from the engine's idempotent sink, keyed per
+   * shard), or rebuild via [[saveIndex]] after a doubtful append.
    */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newVectors: DataFrame): Unit = {
