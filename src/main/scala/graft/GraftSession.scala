@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
  *  - UTC session time zone so timestamp arithmetic matches the DuckDB oracle
  *    (the events table's `ts` is normalized to long epoch-nanos at the read
  *    boundary in [[graft.queries.Q.t]], whatever the parquet encoding).
+ *  - `spark.sql.legacy.parquet.nanosAsLong`: the testdata has carried `ts`
+ *    as BOTH INT64(TIMESTAMP NANOS) and timestamp[us] across driver
+ *    versions. Spark REFUSES the nanos logical type outright ("Illegal
+ *    Parquet type") unless this conf is set — the scan would crash before
+ *    Q.t's normalization could run — while for the micros encoding the
+ *    conf is inert (it only rewrites INT64-nanos columns). Keeping it set
+ *    is what makes Q.t genuinely encoding-agnostic: nanos arrives as a
+ *    long (pass-through branch), micros as a timestamp (convert branch).
  */
 object GraftSession {
   /** Local parallelism: SPARK_GRAFT_CPUS if set, else the machine's cores. */
@@ -33,6 +41,7 @@ object GraftSession {
       // exact min/max/count answered from parquet footers (free at scale)
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.mergeSchema", "false")
       .config("spark.ui.enabled", "false")
 
@@ -46,6 +55,7 @@ object GraftSession {
     * (and register graft's native SQL functions). */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.functions.GraftFunctions.register(spark)
     spark
   }

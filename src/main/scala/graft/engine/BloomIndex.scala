@@ -195,16 +195,20 @@ object BloomIndex {
     if (!fs.exists(dir)) throw new IllegalStateException(
       s"bloom index '$index' on topic '$topic' does not exist — refresh it first")
     val idxDf = spark.read.schema(Schema).parquet(dir.toString)
-    val head = idxDf.limit(1).collect().headOption.getOrElse(
+    // small topics collect the index ONCE (head check + plan from the same
+    // read); large ones read only the head row and plan via join
+    val small = live.size <= MetadataIndex.driverPlanMax(spark)
+    val entries: Seq[Row] =
+      if (small) idxDf.collect().toSeq else idxDf.limit(1).collect().toSeq
+    val head = entries.headOption.getOrElse(
       throw new IllegalStateException(
         s"bloom index '$index' on topic '$topic' does not exist — refresh it first"))
     val (jsonPath, numBits, numHashes) = (head.getAs[String]("json_path"),
       head.getAs[Int]("num_bits"), head.getAs[Int]("num_hashes"))
     val pos = jvmPositions(value, numBits, numHashes)
     val keptRel: Seq[String] =
-      if (live.size <= MetadataIndex.driverPlanMax(spark)) {
-        val byPath = readIndex(spark, c, topic, index)
-          .map(r => r.getAs[String]("path") -> r).toMap
+      if (small) {
+        val byPath = entries.map(r => r.getAs[String]("path") -> r).toMap
         live.filter { case (_, rel) =>
           byPath.get(rel) match {
             case None => true // produced since the last refresh: scan conservatively

@@ -184,6 +184,31 @@ object MetadataIndex {
     spark.conf.getOption("spark.graft.index.driverPlanMaxEntries")
       .map(_.toLong).getOrElse(65536L)
 
+  /** UTF-8 BINARY `a <= b` — Spark's string ordering, which computed the
+    * zone bounds. Java's `String.compareTo` is UTF-16 code-unit order and
+    * DIVERGES for supplementary characters (U+FFFF sorts above an emoji in
+    * UTF-16 but below it in UTF-8), so the driver path must not use it:
+    * the two plan paths would prune differently, and the driver one could
+    * skip a file that contains the queried value. */
+  private[engine] def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  /** Double `a >= b` under Spark's total ordering (NaN greatest) — plain
+    * Java `>=` answers false for NaN operands, which would wrongly SKIP a
+    * file whose zone bound is NaN while the distributed path keeps it. */
+  private def sparkGeq(a: Double, b: Double): Boolean =
+    java.lang.Double.compare(a, b) >= 0
+
   /** The files a zone predicate keeps, with totals. `keepEntry` decides an
     * INDEXED file from its zone row; unindexed live files are always kept
     * (conservative), all-NULL zones always skipped (no non-NULL predicate
@@ -206,17 +231,20 @@ object MetadataIndex {
     if (!fs.exists(dir)) throw new IllegalStateException(
       s"index '$index' on topic '$topic' does not exist — refresh it first")
     val idxDf = spark.read.schema(IndexSchema).parquet(dir.toString)
-    val head = idxDf.limit(1).collect().headOption.getOrElse(
-      throw new IllegalStateException(
-        s"index '$index' on topic '$topic' does not exist — refresh it first"))
+    // small topics collect the index ONCE and decide driver-side; large
+    // ones read only the head row here (identity check) and plan via join
+    val small = live.size <= driverPlanMax(spark)
+    val entries: Seq[Row] =
+      if (small) idxDf.collect().toSeq else idxDf.limit(1).collect().toSeq
+    val head = entries.headOption.getOrElse(throw new IllegalStateException(
+      s"index '$index' on topic '$topic' does not exist — refresh it first"))
     require(head.getAs[String]("kind") == wantKind,
       s"index '$index' is ${head.getAs[String]("kind")}-kinded; " +
       s"this read needs a $wantKind index")
     val jsonPath = head.getAs[String]("json_path")
     val keptRel: Seq[String] =
-      if (live.size <= driverPlanMax(spark)) {
-        val byPath = readIndex(spark, c, topic, index)
-          .map(r => r.getAs[String]("path") -> r).toMap
+      if (small) {
+        val byPath = entries.map(r => r.getAs[String]("path") -> r).toMap
         live.filter { case (_, rel) =>
           byPath.get(rel) match {
             case None => true // produced since the last refresh: scan conservatively
@@ -235,16 +263,20 @@ object MetadataIndex {
       jsonPath, IndexScan(live.size, keptRel.size))
   }
 
+  // driver predicates use Spark's orderings (UTF-8 strings, NaN-greatest
+  // doubles) so the two plan paths can never prune differently
   private def numPlan(spark: SparkSession, c: Catalog, topic: String,
                       index: String, lower: Double, upper: Double) =
     plan(spark, c, topic, index, Numeric,
-      r => r.getAs[Double]("num_hi") >= lower && r.getAs[Double]("num_lo") <= upper,
+      r => sparkGeq(r.getAs[Double]("num_hi"), lower) &&
+        sparkGeq(upper, r.getAs[Double]("num_lo")),
       col("num_hi") >= lower && col("num_lo") <= upper)
 
   private def strPlan(spark: SparkSession, c: Catalog, topic: String,
                       index: String, value: String) =
     plan(spark, c, topic, index, Str,
-      r => r.getAs[String]("str_lo") <= value && value <= r.getAs[String]("str_hi"),
+      r => utf8Leq(r.getAs[String]("str_lo"), value) &&
+        utf8Leq(value, r.getAs[String]("str_hi")),
       col("str_lo") <= value && col("str_hi") >= value)
 
   /** Pruning stats only (ops/assertion surface): how many live files an

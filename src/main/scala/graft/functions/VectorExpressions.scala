@@ -101,6 +101,12 @@ final case class DotProduct(left: Expression, right: Expression)
  * is a CodegenFallback chain — nbits × dims interpreted lambda-tree walks
  * PER ROW (~4k expression evaluations for 64 bits over 64 dims), which
  * measured 100× slower than this fused loop at corpus scale.
+ *
+ * Null contract: array elements must be non-null (the [[graft.llm.SrpLsh
+ * .quantize]] output guarantees it); a null ELEMENT nulls the whole
+ * result here, whereas the HOF reference's null-poisoned sum emits a 0
+ * bit (`when(null >= 0, 1).otherwise(0)`) — an artifact, not a spec — so
+ * the lock test holds on null-free input only.
  */
 final case class SrpBandValues(child: Expression, nbits: Int, bands: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -13,8 +13,13 @@ import org.apache.spark.sql.types.DecimalType
  * `window($"t", "10 minutes")`, INTERVAL arithmetic, `date_trunc`,
  * watermarks. These converters bridge the two domains EXACTLY at
  * microsecond resolution (Spark timestamps are micros; sub-microsecond
- * nanos truncate toward negative infinity, i.e. floor — the same value
- * `epoch_ns(ts) // 1000` yields in DuckDB).
+ * nanos truncate toward negative infinity, i.e. FLOOR — the same value
+ * `epoch_ns(ts) // 1000` yields in DuckDB). Floor is the deliberate
+ * convention: it buckets pre-1970 instants into the correct earlier
+ * microsecond. Note SQL's integer `div` truncates toward ZERO instead, so
+ * `ts div 1000` agrees with [[nanosToMicros]] only for ts >= 0 — the whole
+ * testdata domain, where EventTimeSpec pins the equivalence; a negative
+ * epoch-nano with a sub-microsecond remainder lands one micro apart.
  *
  * Precision note: an epoch-nano value (~1.7e18) exceeds a double's 52-bit
  * mantissa, so `tsNanos / 1000` in double arithmetic would be LOSSY —

@@ -54,7 +54,7 @@ class MetadataIndexSpec extends SparkSpec {
     val (_, topic) = newTopic(partitions = 2)
     Seq((0, 100), (100, 200), (200, 300), (300, 400))
       .foreach { case (lo, hi) => produceRange(topic, lo, hi) }
-    produceRange(topic, 400, 500) // left unindexed after the refresh below
+    produceRange(topic, 400, 500) // indexed by the refresh (10 = 5 produces × 2 parts)
     assert(topic.refreshIndex("v_idx", "$.v") == 10)
     produceRange(topic, 500, 600) // post-refresh: conservative keep on both paths
     val driver = topic.indexScan("v_idx", 120, 180)
