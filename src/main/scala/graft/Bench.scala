@@ -45,31 +45,57 @@ object Bench {
         threshold = 0.9, cache = false).count()
     } catch { case scala.util.control.NonFatal(_) => () } // fatal errors propagate
 
-    // Best-of-2 per query: a transient load spike on a shared machine can
-    // inflate a single run 4-10× (observed in a past round) and masquerade
-    // as a code regression; the min of two runs is the standard noise guard.
-    // Each invocation rebuilds its own temp warehouses/checkpoints, so the
-    // second run measures the same work, not a cache hit of the first.
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Best-of-2 per query, with the two samples taken in SEPARATE full
+    // passes over the suite (A:q1..qn then B:q1..qn) rather than
+    // back-to-back. A transient load spike on a shared machine can inflate
+    // a run 4-10× (observed in past rounds), and a spike lasting tens of
+    // seconds defeats back-to-back repeats — both samples land inside it.
+    // With the passes minutes apart, a spike contaminates a contiguous span
+    // of ONE pass and every query's other sample stays clean. Queries whose
+    // two samples still disagree badly get a third, final-pass sample.
+    // Each invocation rebuilds its own temp warehouses/checkpoints, so
+    // later passes measure the same work, not a cache hit of an earlier one.
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      def once(): Either[String, Double] = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Right((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        } finally spark.catalog.clearCache() // drop caller-owned persists
+    def once(name: String): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      } finally {
+        spark.catalog.clearCache() // drop caller-owned persists
+        // localCheckpoint pins RDD-level storage that clearCache (a
+        // CacheManager call) cannot see; without this, 185 queries × 2
+        // passes accumulate pinned blocks and the tail of the run pays
+        // growing memory pressure that reads as a slowdown.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
-      once() match {
-        case Left(msg) => errors(name) = msg
-        case Right(t1) => once() match {
-          case Left(msg)  => errors(name) = msg // a flaky query is an error
-          case Right(t2)  => timings(name) = math.min(t1, t2)
+    }
+    def pass(run: Seq[String]): Map[String, Double] =
+      run.flatMap { name =>
+        once(name) match {
+          case Left(msg) => errors(name) = msg; None
+          case Right(t)  => Some(name -> t)
         }
-      }
+      }.toMap
+    val passA = pass(names)
+    val passB = pass(names.filterNot(errors.contains))
+    val best2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val unstable = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.filterNot(errors.contains).foreach { n =>
+      val (a, b) = (passA(n), passB(n))
+      best2(n) = math.min(a, b)
+      // both samples slow AND mutually inconsistent → neither is trustworthy
+      if (math.max(a, b) > 2.0 * math.min(a, b) && math.min(a, b) > 1.0)
+        unstable += n
+    }
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.filterNot(errors.contains).foreach(n => timings(n) = best2(n))
+    unstable.foreach { n =>
+      once(n).foreach(t => timings(n) = math.min(timings(n), t))
     }
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -90,8 +116,9 @@ object Bench {
     // and only the slowest queries inline; everything is in the file.
     val full = timings.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
       .mkString("{", ",", "}")
+    val unst = unstable.map(jstr).mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${timings.size},"queries":$full,"errors":$es,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${timings.size},"queries":$full,"errors":$es,"unstable":$unst,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(StandardCharsets.UTF_8)): Unit
     catch { case scala.util.control.NonFatal(_) => () }

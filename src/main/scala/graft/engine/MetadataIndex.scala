@@ -181,8 +181,12 @@ object MetadataIndex {
     * KEPT paths — O(matching files) to the driver, not O(files). Tests
     * set it to 0 to force the distributed path on small fixtures. */
   private[engine] def driverPlanMax(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.index.driverPlanMaxEntries")
-      .map(_.toLong).getOrElse(65536L)
+    spark.conf.getOption("spark.graft.index.driverPlanMaxEntries").map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.index.driverPlanMaxEntries must be a long, got '$v'")
+      }
+    }.getOrElse(65536L)
 
   /** UTF-8 BINARY `a <= b` — Spark's string ordering, which computed the
     * zone bounds. Java's `String.compareTo` is UTF-16 code-unit order and

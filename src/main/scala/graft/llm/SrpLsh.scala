@@ -71,9 +71,11 @@ object SrpLsh {
     * Evaluates through the native fused-loop expression
     * [[graft.functions.SrpBandValues]] (whole-stage codegen); the HOF
     * formulation it is spec-locked against lives in [[bandValuesHof]].
-    * `dims` must equal the vector length (it parameterizes the hyperplane
-    * mix, which the native expression derives from the array itself). */
-  def bandValues(qvec: Column, nbits: Int, bands: Int, dims: Int): Column =
+    * The hyperplane mix is parameterized by the vector length, which the
+    * native expression derives from the array itself — so there is no
+    * `dims` argument to get wrong (the HOF spec takes one and must be
+    * passed the true length). */
+  def bandValues(qvec: Column, nbits: Int, bands: Int): Column =
     org.apache.spark.sql.graftshim.Shims.column(
       graft.functions.SrpBandValues(
         org.apache.spark.sql.graftshim.Shims.expression(qvec), nbits, bands))
@@ -114,18 +116,28 @@ object SrpLsh {
    * same pair set.
    *
    * @param cache persist the (id, vec, norm, bands) base — it feeds the
-   *        banding AND both verification joins. Caller-owned lifetime,
-   *        same contract as [[Dedup.nearDuplicates]]: sweep-style callers
-   *        should `spark.catalog.clearCache()` between corpora or pass
-   *        false.
+   *        banding AND both verification joins. Caller-owned lifetime:
+   *        release it with [[srpPairsReleasable]]'s handle (preferred —
+   *        it frees only this call's persist), or pass false.
    */
-  def srpPairs(vectors: DataFrame, dims: Int, nbits: Int = 64,
+  def srpPairs(vectors: DataFrame, nbits: Int = 64,
                bands: Int = 8, thresholdMicro: Long = 900000L,
-               maxBucket: Int = 4096, cache: Boolean = true): DataFrame = {
+               maxBucket: Int = 4096, cache: Boolean = true): DataFrame =
+    srpPairsReleasable(vectors, nbits, bands, thresholdMicro, maxBucket,
+      cache)._1
+
+  /** [[srpPairs]] plus a release handle that unpersists THIS call's cached
+    * base (a no-op when `cache=false`) — so sweep-style callers can free
+    * the MEMORY_AND_DISK plan after the pairs materialize without the
+    * collateral eviction of a global `spark.catalog.clearCache()`. */
+  def srpPairsReleasable(vectors: DataFrame, nbits: Int = 64,
+               bands: Int = 8, thresholdMicro: Long = 900000L,
+               maxBucket: Int = 4096, cache: Boolean = true)
+      : (DataFrame, () => Unit) = {
     val base0 = vectors
       .select(col("id"), col("vec"))
       .withColumn("qvec", quantize(col("vec")))
-      .withColumn("bvals", bandValues(col("qvec"), nbits, bands, dims))
+      .withColumn("bvals", bandValues(col("qvec"), nbits, bands))
       .withColumn("vn", Similarity.norm(col("vec")))
       .select(col("id"), col("vec"), col("vn"), col("bvals"))
     val base = if (cache)
@@ -135,12 +147,13 @@ object SrpLsh {
       posexplode(col("bvals")).as(Seq("band", "bandval")))
     // bandCandidates dedups multi-band pairs and star-guards skewed buckets
     val cand = Dedup.bandCandidates(banded, maxBucket, extra = Nil)
-    cand
+    val pairs = cand
       .join(base.select(col("id").as("doc_a"), col("vec").as("va"), col("vn").as("na")), "doc_a")
       .join(base.select(col("id").as("doc_b"), col("vec").as("vb"), col("vn").as("nb")), "doc_b")
       .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         round(Similarity.dot(col("va"), col("vb"))
           / (col("na") * col("nb")) * 1000000).cast("long").as("cos_micro"))
       .filter(col("cos_micro") >= thresholdMicro)
+    (pairs, () => if (cache) { base.unpersist(false); () })
   }
 }

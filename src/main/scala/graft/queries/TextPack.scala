@@ -631,15 +631,21 @@ object TextPack extends QueryPack {
          |  CAST(sum(tokens) AS BIGINT) AS sum_tokens
          |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     // mixture re-derived: per-lang counts, binding total T = min(n/share),
-    // per-lang threshold round(share*T/n*65536), same md5-nibble bucket
+    // per-lang threshold round(share*T/n*65536), same md5-nibble bucket.
+    // Constrained to the 5 MAPPED langs throughout: the engine drops
+    // groups absent from the shares map (and excludes them from the
+    // binding min) — the oracle must mirror that, not assume the fixture
+    // happens to contain exactly these languages.
     "q_sample_mixture" ->
-      s"""WITH cnt AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+      s"""WITH cnt AS (SELECT lang, count(*) AS n_g FROM documents
+         |  WHERE lang IN ('en','de','fr','es','zh') GROUP BY lang),
          |tt AS (SELECT min(n_g / 0.2) AS t FROM cnt),
          |thr AS (SELECT lang, CAST(round(0.2 * t / n_g * 65536) AS BIGINT) AS thr
          |        FROM cnt, tt),
          |kept AS (
          |  SELECT d.lang, d.doc_id FROM documents d JOIN thr USING (lang)
-         |  WHERE ${bucketSql("doc_id")} < thr)
+         |  WHERE d.lang IN ('en','de','fr','es','zh')
+         |    AND ${bucketSql("doc_id")} < thr)
          |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     // the sample is re-derived exactly: same md5-nibble bucket, same

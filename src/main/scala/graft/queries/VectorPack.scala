@@ -138,7 +138,7 @@ object VectorPack extends QueryPack {
       val corpus = emb.unionByName(
         emb.filter(col("id") < 5).select((col("id") + 9000000L).as("id"),
           transform(col("vec"), x => x * lit(0.25f)).as("vec")))
-      graft.llm.SrpLsh.srpPairs(corpus, dims = 64,
+      graft.llm.SrpLsh.srpPairs(corpus,
           nbits = 64, bands = 8, thresholdMicro = 900000L)
         .orderBy(col("vec_a"), col("vec_b"))
     },

@@ -38,7 +38,8 @@ final class GraftMicroBatchStream(
     targets: Option[Set[Int]], requiredSchema: StructType,
     maxEventsPerTrigger: Option[Long],
     serializerJson: String = """{"type":"json"}""",
-    startingTime: Option[(String, Long)] = None)
+    startingTime: Option[(String, Long)] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private var availableNowTarget: Option[TopicOffset] = None
@@ -84,44 +85,114 @@ final class GraftMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxEventsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxEventsPerTrigger.map(ReadLimit.maxRows).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Fair row budget split: rounds of equal chunks over partitions that
+    * still have backlog, with the visit order ROTATED per batch (keyed
+    * off the advancing start offsets) — so even a budget smaller than
+    * the partition count cannot starve high-id partitions forever. */
+  private def capRows(from: Map[Int, Long], target: Map[Int, Long],
+                      maxRows: Long): Map[Int, Long] = {
+    var budget = maxRows
+    val parts = target.keys.toSeq.sorted
+    val rotation =
+      if (parts.isEmpty) 0
+      else math.floorMod(from.values.sum, parts.size.toLong).toInt
+    val visitOrder = parts.drop(rotation) ++ parts.take(rotation)
+    val backlog = scala.collection.mutable.Map(
+      target.toSeq.map { case (p, end) =>
+        p -> math.max(end - from.getOrElse(p, 0L), 0L)
+      }: _*)
+    val taken = scala.collection.mutable.Map(backlog.keys.map(_ -> 0L).toSeq: _*)
+    while (budget > 0 && backlog.values.exists(_ > 0)) {
+      val active = backlog.count(_._2 > 0)
+      val chunk = math.max(budget / active, 1L)
+      visitOrder.foreach { p =>
+        val rem = backlog(p)
+        if (rem > 0 && budget > 0) {
+          val take = math.min(math.min(rem, chunk), budget)
+          taken(p) += take
+          backlog(p) = rem - take
+          budget -= take
+        }
+      }
+    }
+    taken.map { case (p, t) => p -> (from.getOrElse(p, 0L) + t) }.toMap
+  }
+
+  /** Byte budget admission at whole-chunk-file granularity — the
+    * `maxBytesPerTrigger` analog of the reference producer's byte-shaped
+    * backpressure (`ActiveProducerBatchQueue.hpp:70-72` blocks on QUEUED
+    * batches, whose size is bytes, not rows — payloads are variable).
+    * Semantics match Spark's file source: admit pending files in id order,
+    * round-robin across partitions, until the budget is spent; always at
+    * least one file per trigger so an oversized chunk cannot stall the
+    * stream. A partially-consumed file (start cursor inside it) is counted
+    * at full size — conservative, and self-correcting next trigger. File
+    * lengths and id ranges come from the per-stream immutable-file cache,
+    * so a long-lived stream pays one stat+footer read per NEW chunk. */
+  private def capBytes(from: Map[Int, Long], target: Map[Int, Long],
+                       maxBytes: Long): Map[Int, Long] = {
+    val conf = catalog.hadoopConf
+    val slices = GraftPartitions.plan(catalog, topic, targets,
+      p => math.max(from.getOrElse(p, 0L), 0L),
+      p => target.getOrElse(p, 0L), Some(fileStats))
+    val pending: Map[Int, Vector[String]] =
+      slices.collect { case ip: GraftInputPartition =>
+        ip.partition -> ip.files.toVector
+      }.toMap
+    // start from the cursor; only admitted files advance a partition's end
+    val res = scala.collection.mutable.Map(target.toSeq.map { case (p, e) =>
+      p -> math.min(e, math.max(from.getOrElse(p, 0L), 0L)) }: _*)
+    var budget = maxBytes
+    var admitted = false
+    val parts = pending.keys.toSeq.sorted
+    val rotation =
+      if (parts.isEmpty) 0
+      else math.floorMod(from.values.sum, parts.size.toLong).toInt
+    val order = parts.drop(rotation) ++ parts.take(rotation)
+    val idx = scala.collection.mutable.Map(parts.map(_ -> 0): _*)
+    var progressed = true
+    while (progressed && budget > 0) {
+      progressed = false
+      order.foreach { p =>
+        val files = pending(p)
+        if (idx(p) < files.size && budget > 0) {
+          val f = files(idx(p))
+          val len = fileStats.length(f, conf)
+          if (len <= budget || !admitted) {
+            budget -= len
+            admitted = true
+            res(p) = math.min(target.getOrElse(p, 0L), fileStats.range(f, conf)._2 + 1)
+            idx(p) += 1
+            progressed = true
+          }
+        }
+      }
+    }
+    res.toMap
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = availableNowTarget.map(_.next).getOrElse(currentNext())
     val from = start.asInstanceOf[TopicOffset].next
-    val capped = limit match {
-      case rows: ReadMaxRows =>
-        // fair budget split: rounds of equal chunks over partitions that
-        // still have backlog, with the visit order ROTATED per batch (keyed
-        // off the advancing start offsets) — so even a budget smaller than
-        // the partition count cannot starve high-id partitions forever
-        var budget = rows.maxRows()
-        val parts = target.keys.toSeq.sorted
-        val rotation =
-          if (parts.isEmpty) 0
-          else math.floorMod(from.values.sum, parts.size.toLong).toInt
-        val visitOrder = parts.drop(rotation) ++ parts.take(rotation)
-        val backlog = scala.collection.mutable.Map(
-          target.toSeq.map { case (p, end) =>
-            p -> math.max(end - from.getOrElse(p, 0L), 0L)
-          }: _*)
-        val taken = scala.collection.mutable.Map(backlog.keys.map(_ -> 0L).toSeq: _*)
-        while (budget > 0 && backlog.values.exists(_ > 0)) {
-          val active = backlog.count(_._2 > 0)
-          val chunk = math.max(budget / active, 1L)
-          visitOrder.foreach { p =>
-            val rem = backlog(p)
-            if (rem > 0 && budget > 0) {
-              val take = math.min(math.min(rem, chunk), budget)
-              taken(p) += take
-              backlog(p) = rem - take
-              budget -= take
-            }
-          }
-        }
-        taken.map { case (p, t) => p -> (from.getOrElse(p, 0L) + t) }.toMap
-      case _ => target
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
+    }
+    // each cap only lowers per-partition ends, so composition is order-free
+    val capped = flatten(limit).foldLeft(target) {
+      case (tgt, rows: ReadMaxRows) => capRows(from, tgt, rows.maxRows())
+      case (tgt, bytes: ReadMaxBytes) => capBytes(from, tgt, bytes.maxBytes())
+      case (tgt, _) => tgt
     }
     TopicOffset(capped.map { case (p, v) => p -> math.max(v, from.getOrElse(p, 0L)) })
   }
@@ -167,6 +238,13 @@ final class FileStatsCache {
         size() > FileStatsCache.MaxEntries
     }
 
+  private val lengths =
+    new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > FileStatsCache.MaxEntries
+    }
+
   /** (min, max) event_id of the file, from its footer (files are immutable
     * once written, so a range read once is valid for the file's lifetime). */
   def range(path: String, conf: org.apache.hadoop.conf.Configuration): (Long, Long) =
@@ -177,6 +255,20 @@ final class FileStatsCache {
         val r = graft.engine.Catalog.fileIdRange(new Path(path), conf)
         ranges.put(path, r)
         r
+      }
+    }
+
+  /** Byte length of the file (same immutability argument — one stat per
+    * file per stream lifetime). Feeds `maxBytesPerTrigger` admission. */
+  def length(path: String, conf: org.apache.hadoop.conf.Configuration): Long =
+    synchronized {
+      val cached = lengths.get(path)
+      if (cached != null) cached.longValue()
+      else {
+        val p = new Path(path)
+        val len = p.getFileSystem(conf).getFileStatus(p).getLen
+        lengths.put(path, len)
+        len
       }
     }
 }

@@ -23,7 +23,8 @@ import graft.engine.Catalog
 final class GraftScanBuilder(
     catalog: Catalog, topic: String, consumer: Option[String],
     targets: Option[Seq[Int]], maxEventsPerTrigger: Option[Long],
-    startingTime: Option[(String, Long)] = None)
+    startingTime: Option[(String, Long)] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType = GraftTopicTable.EventSchema
@@ -74,7 +75,7 @@ final class GraftScanBuilder(
       case (a, b) => a.orElse(b)
     }
     new GraftScan(catalog, topic, consumer, effective, requiredSchema,
-      idLo, idHi, maxEventsPerTrigger, startingTime)
+      idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger)
   }
 }
 
@@ -82,7 +83,8 @@ final class GraftScan(
     catalog: Catalog, topic: String, consumer: Option[String],
     targets: Option[Set[Int]], requiredSchema: StructType,
     idLo: Option[Long], idHi: Option[Long], maxEventsPerTrigger: Option[Long],
-    startingTime: Option[(String, Long)] = None)
+    startingTime: Option[(String, Long)] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Scan {
 
   override def readSchema(): StructType = requiredSchema
@@ -114,5 +116,5 @@ final class GraftScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(catalog, topic, consumer, targets, requiredSchema,
-      maxEventsPerTrigger, serializerJson, startingTime)
+      maxEventsPerTrigger, serializerJson, startingTime, maxBytesPerTrigger)
 }

@@ -28,6 +28,11 @@ import graft.engine.{Catalog, GraftDriver}
  *  - `targets` (optional): comma-separated partition subset (F5 targeting)
  *  - `maxEventsPerTrigger` (optional): admission control — the micro-batch
  *    analog of the reference consumer's batch size
+ *  - `maxBytesPerTrigger` (optional): byte-shaped admission control at
+ *    whole-chunk-file granularity (at least one file per trigger) — the
+ *    consumer-side analog of the reference producer's byte-sized queue
+ *    backpressure (`ActiveProducerBatchQueue.hpp:70-72`); composable with
+ *    `maxEventsPerTrigger` (both caps apply)
  *  - `startingTimeField` + `startingTimeCutoff` (optional, together):
  *    start the stream at the earliest event whose metadata field (a JSON
  *    path like `$.ts`, compared as long) is at/past the cutoff — Kafka's
@@ -100,7 +105,8 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
       Option(opts.get("consumer")),
       Option(opts.get("targets")).map(_.split(',').map(_.trim.toInt).toSeq),
       Option(opts.get("maxEventsPerTrigger")).map(_.toLong),
-      startingTime)
+      startingTime,
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
   }
 
   private def require(opts: CaseInsensitiveStringMap, key: String): String = {
@@ -157,7 +163,8 @@ final class GraftTopicTable(
     warehouse: String, topic: String,
     consumer: Option[String], targets: Option[Seq[Int]],
     maxEventsPerTrigger: Option[Long],
-    startingTime: Option[(String, Long)] = None) extends Table with SupportsRead {
+    startingTime: Option[(String, Long)] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Table with SupportsRead {
 
   override def name(): String = s"graft:$topic"
   override def schema(): StructType = GraftTopicTable.EventSchema
@@ -167,6 +174,6 @@ final class GraftTopicTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val catalog = new Catalog(SparkSession.active, warehouse)
     new GraftScanBuilder(catalog, topic, consumer, targets, maxEventsPerTrigger,
-      startingTime)
+      startingTime, maxBytesPerTrigger)
   }
 }

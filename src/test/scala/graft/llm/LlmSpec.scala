@@ -562,7 +562,7 @@ class LlmSpec extends SparkSpec {
     val corpus = base ++ base.take(3).map { case (id, v) =>
       (id + 1000L, v.map(_ * 0.25f)) }
     val pairs = SrpLsh.srpPairs(corpus.toDF("id", "vec"),
-      dims = 8, nbits = 16, bands = 4, thresholdMicro = 990000L).collect()
+      nbits = 16, bands = 4, thresholdMicro = 990000L).collect()
     val found = pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     (0 until 3).foreach { i =>
       assert(found.exists(p => p._1 == i && p._2 == i + 1000L && p._3 == 1000000L),
@@ -574,7 +574,7 @@ class LlmSpec extends SparkSpec {
       s"duplicate pair rows: ${found.toSeq}")
     // signatures are deterministic: a second run returns the identical set
     val again = SrpLsh.srpPairs(corpus.toDF("id", "vec"),
-      dims = 8, nbits = 16, bands = 4, thresholdMicro = 990000L).collect()
+      nbits = 16, bands = 4, thresholdMicro = 990000L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSet == found.toSet)
   }
@@ -588,7 +588,7 @@ class LlmSpec extends SparkSpec {
     val q = vecs.withColumn("qvec", SrpLsh.quantize(col("vec")))
     for ((nbits, bands) <- Seq((16, 4), (64, 8), (24, 3))) {
       val both = q.select(col("id"),
-          SrpLsh.bandValues(col("qvec"), nbits, bands, 16).as("native"),
+          SrpLsh.bandValues(col("qvec"), nbits, bands).as("native"),
           SrpLsh.bandValuesHof(col("qvec"), nbits, bands, 16).as("hof"))
         .collect()
       both.foreach { r =>
@@ -604,7 +604,7 @@ class LlmSpec extends SparkSpec {
     import org.apache.spark.sql.types.ArrayType
     val corpus = (0 until 30).map(i =>
       (i.toLong, Array.fill(8)(0.1f * (i % 7)))).toDF("id", "vec")
-    val df = SrpLsh.srpPairs(corpus, dims = 8, nbits = 16, bands = 4, cache = false)
+    val df = SrpLsh.srpPairs(corpus, nbits = 16, bands = 4, cache = false)
     val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
     assert(aggs.nonEmpty, "expected the distinct + bucket-stats aggregates")
     // the dedup/stats shuffles must carry ids, never the 64-float vectors —
@@ -623,7 +623,7 @@ class LlmSpec extends SparkSpec {
     // and every non-representative member still reaches exact verification
     val v = Array.fill(8)(0.5f)
     val corpus = (0 until 200).map(i => (i.toLong, v)).toDF("id", "vec")
-    val pairs = SrpLsh.srpPairs(corpus, dims = 8, nbits = 16, bands = 4,
+    val pairs = SrpLsh.srpPairs(corpus, nbits = 16, bands = 4,
       thresholdMicro = 990000L, maxBucket = 16).collect()
     assert(pairs.length == 199, s"expected 199 star pairs, got ${pairs.length}")
     assert(pairs.forall(_.getLong(0) == 0L), "representative must be the min id")

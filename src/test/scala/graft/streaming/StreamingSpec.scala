@@ -182,6 +182,51 @@ class StreamingSpec extends SparkSpec {
     assert(batchSizes.size >= 3, batchSizes)
   }
 
+  test("maxBytesPerTrigger admits whole chunk files against a byte budget") {
+    val (_, topic, wh) = newTopic()
+    // 4 produces × 2 partitions → 8 immutable chunk files of 5 events each
+    (0 until 4).foreach(i => produceRange(topic, i * 10, (i + 1) * 10))
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // a 1-byte budget admits exactly one file per trigger (the at-least-one
+    // guarantee): every micro-batch is one 5-event chunk, 8 triggers total
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .option("maxBytesPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(batchSizes.sum == 40, batchSizes)
+    assert(batchSizes.filter(_ > 0).forall(_ <= 5), batchSizes)
+    assert(batchSizes.count(_ > 0) >= 8, batchSizes)
+
+    // composite: a byte budget large enough for everything defers to the
+    // row cap — both limits apply, the tighter one binds
+    val ckpt2 = Files.createTempDirectory("graft-ckpt").toString
+    val sizes2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "stream_topic")
+      .option("maxBytesPerTrigger", s"${64L * 1024 * 1024}")
+      .option("maxEventsPerTrigger", "15")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes2.synchronized { sizes2 += batch.count() }: Unit
+      }
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(sizes2.sum == 40, sizes2)
+    assert(sizes2.forall(_ <= 15), sizes2)
+  }
+
   test("consumer option starts the stream at the acknowledge cursor") {
     val (d, topic, wh) = newTopic()
     produceRange(topic, 0, 20)
