@@ -201,6 +201,67 @@ object Similarity {
   }
 
   // -- persisted IVF index ----------------------------------------------------
+  //
+  // Layout:
+  //   <path>/centroids/                      coarse quantizer (id, vec)
+  //   <path>/cells/shard=<sid>/cell=<c>/...  assignments, cell-partitioned
+  //   <path>/_committed/<sid>                empty marker per committed shard
+  //
+  // The shard dimension is the exactly-once append protocol (the same
+  // marker-before-visibility shape as the engine's streaming sink and
+  // manifest, [[graft.streaming.GraftSink]]): readers take ONLY shards with
+  // a commit marker, so a crashed half-written shard is invisible and a
+  // replayed append of a committed shard is a no-op — re-running a shard
+  // can never duplicate ids into a cell (a duplicated candidate would
+  // occupy two ranks of a top-k). `shard` and `cell` are both partition
+  // directories, so the committed-shard filter and the probed-cell filter
+  // are pure partition pruning — a query still touches only the probed
+  // cell directories of committed shards.
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Committed shard ids of a persisted index. */
+  def committedShards(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_committed")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** The index's live assignment relation (id, vec, vn, cell): committed
+    * shards only — uncommitted debris is pruned away at the partition
+    * level, never scanned. */
+  def readIndexCells(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val shards = committedShards(spark, path)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("shard").isin(shards: _*))
+      // partition-dir inference types `cell=<n>` as int; restore the long
+      // the assignment relation was written with
+      .select(col("id"), col("vec"), col("vn"), col("cell").cast("long").as("cell"))
+  }
+
+  private val BaseShard = "base"
+
+  private def writeShard(spark: org.apache.spark.sql.SparkSession, path: String,
+                         assigned: DataFrame, shardId: String): Unit = {
+    require(shardId.nonEmpty && !shardId.contains('/'),
+      s"shard id must be a plain name, got '$shardId'")
+    val (fs, _) = fsOf(spark, path)
+    // a leftover dir without a marker is a crashed earlier attempt of this
+    // same shard — readers never saw it; replace it wholesale
+    val shardDir = new org.apache.hadoop.fs.Path(s"$path/cells/shard=$shardId")
+    if (fs.exists(shardDir)) fs.delete(shardDir, true)
+    assigned.withColumn("shard", lit(shardId))
+      .write.mode("append").partitionBy("shard", "cell").parquet(s"$path/cells")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_committed/$shardId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close() // the commit point: shard becomes visible
+  }
 
   /**
    * Persist an IVF index: centroids plus the corpus cell assignments,
@@ -211,39 +272,94 @@ object Similarity {
    * every query batch that follows.
    */
   def saveIndex(candidates: DataFrame, centroids: DataFrame, path: String): Unit = {
+    val spark = candidates.sparkSession
+    val (fs, _) = fsOf(spark, path)
     centroids.select(col("id"), col("vec"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    nearestCells(candidates, centroids, 1)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_committed"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
+    writeShard(spark, path, nearestCells(candidates, centroids, 1), BaseShard)
   }
 
   /**
    * Incrementally extend a persisted index: the new vectors are assigned
    * to the STORED centroids (never recomputed — cell identity must stay
-   * stable or every existing assignment silently invalidates) and appended
-   * into the cell-partitioned layout. Cost is O(new vectors); existing
-   * cells are never rewritten (parquet append adds files inside the cell
-   * directories). The growing-corpus maintenance path: build once, append
-   * per shard, rebuild only when drift calls for new centroids.
+   * stable or every existing assignment silently invalidates) and landed
+   * as shard `shardId`. Cost is O(new vectors); existing shards are never
+   * rewritten. The growing-corpus maintenance path: build once, append per
+   * shard, [[rebalanceIndex]] only when occupancy drift calls for it.
    *
-   * Replay caveat: the append is NOT idempotent — re-running it for a
-   * shard that already landed duplicates those ids in their cells (and a
-   * duplicated candidate would occupy two ranks of a top-k). Drive it
-   * exactly-once (e.g. from the engine's idempotent sink, keyed per
-   * shard), or rebuild via [[saveIndex]] after a doubtful append.
+   * EXACTLY-ONCE per shard id: the shard becomes reader-visible only when
+   * its commit marker lands; a replayed append of a committed shard id
+   * returns false without touching storage, and a retry after a crash
+   * mid-write replaces the invisible partial shard. Callers name shards
+   * with a stable id (micro-batch id, ingest date, ...) — the same
+   * contract as the engine sink's `sinkId`/batch id.
+   *
+   * @return true if this call committed the shard, false if it was already
+   *         committed (replay no-op)
    */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                    newVectors: DataFrame): Unit = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    nearestCells(newVectors, centroids, 1)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+                    newVectors: DataFrame, shardId: String): Boolean = {
+    if (committedShards(spark, path).contains(shardId)) false
+    else {
+      val centroids = spark.read.parquet(s"$path/centroids")
+      writeShard(spark, path, nearestCells(newVectors, centroids, 1), shardId)
+      true
+    }
+  }
+
+  /** Per-cell occupancy of the committed index — the health signal that
+    * schedules a [[rebalanceIndex]] (a cell holding a disproportionate
+    * share of the corpus degrades every probe that hits it). */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readIndexCells(spark, path)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+
+  /**
+   * Occupancy-triggered rebuild — the maintenance policy that closes the
+   * loop on [[indexStats]], same condition/action shape as the engine's
+   * `maintainTopic` (compact when a bound is exceeded): when the fullest
+   * cell holds more than `maxCellShareMicro`/1e6 of the corpus, re-assign
+   * EVERY stored vector to `newCentroids` (typically a fresh k-means over
+   * the grown corpus, e.g. [[Clustering]]'s) and rewrite the index;
+   * otherwise do nothing. The rewrite is O(corpus) — paid only when
+   * triggered; appends stay O(shard) the rest of the time.
+   *
+   * The occupancy check reads one count per cell (≤ |centroids| rows to
+   * the driver). The rewrite collapses all shards into a fresh base shard;
+   * readers racing the swap fail loudly (missing files), never silently
+   * lose candidates — the same contract as topic compaction.
+   *
+   * @return true if the index was rebuilt
+   */
+  def rebalanceIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     newCentroids: DataFrame,
+                     maxCellShareMicro: Long = 250000L): Boolean = {
+    val occ = indexStats(spark, path).collect().map(_.getAs[Long]("n"))
+    val total = occ.sum
+    if (total == 0L || occ.max * 1000000L <= maxCellShareMicro * total) false
+    else {
+      // materialize the stored vectors BEFORE overwriting the layout they
+      // are read from (saveIndex deletes cells/ first)
+      val vectors = readIndexCells(spark, path).select(col("id"), col("vec"))
+        .localCheckpoint(true)
+      try saveIndex(vectors, newCentroids, path)
+      finally vectors.queryExecution.analyzed.foreach {
+        // checkpoint storage lives at the RDD level, out of unpersist's reach
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false): Unit
+        case _ => ()
+      }
+      true
+    }
   }
 
   /**
    * Query a persisted index: probed cell ids (a tiny set, ≤ |queries|·nprobe,
    * collected driver-side) become an `isin` partition filter on the cells
-   * table, so the scan touches only the probed directories. Results are
-   * identical to [[ivfTopK]] over the same corpus/centroids.
+   * table, so the scan touches only the probed directories (of committed
+   * shards). Results are identical to [[ivfTopK]] over the same
+   * corpus/centroids.
    */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
@@ -251,7 +367,7 @@ object Similarity {
     val probed = nearestCells(queries, centroids, nprobe)
     val cellIds = probed.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val assigned = spark.read.parquet(s"$path/cells")
+    val assigned = readIndexCells(spark, path)
       .filter(col("cell").isin(cellIds: _*))
     probeAndRank(queries, assigned, centroids, k, nprobe)
   }

@@ -54,16 +54,19 @@ object VectorPack extends QueryPack {
     },
     "q_knn_ivf_appended" -> { (s, dir) =>
       // index MAINTENANCE lifecycle: build on a prefix of the corpus,
-      // append the rest as a shard (assigned to the STORED centroids, cell
-      // dirs extended in place — O(shard), no rebuild), query through the
-      // same pruned read path. The contract: results IDENTICAL to the
-      // direct q_knn_ivf over the full corpus — so all three index paths
-      // (direct, built-once, built+appended) share one oracle.
+      // append the rest as a NAMED shard (assigned to the STORED centroids
+      // — O(shard), no rebuild), replay the same shard append (must be a
+      // committed no-op), query through the pruned read path. The
+      // contract: results IDENTICAL to the direct q_knn_ivf over the full
+      // corpus — so all three index paths (direct, built-once,
+      // built+appended) share one oracle, and a non-idempotent replay
+      // (duplicated candidates occupying two ranks) would fail it.
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
       Similarity.saveIndex(candidatesDf(s, dir).filter(col("id") < 300),
         centroidsDf(s, dir), idx)
-      Similarity.appendToIndex(s, idx,
-        candidatesDf(s, dir).filter(col("id") >= 300))
+      val tail = candidatesDf(s, dir).filter(col("id") >= 300)
+      Similarity.appendToIndex(s, idx, tail, shardId = "s1")
+      Similarity.appendToIndex(s, idx, tail, shardId = "s1") // replay: no-op
       Similarity.ivfTopKIndexed(s, idx, queriesDf(s, dir), k = 3, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     },
@@ -72,16 +75,35 @@ object VectorPack extends QueryPack {
       // build + append — the skew/imbalance signal that schedules a
       // rebuild (a cell holding a disproportionate share of the corpus
       // degrades every probe that hits it). Metadata-scale read: one
-      // groupBy over the cell column of the cell-partitioned layout.
+      // groupBy over the cell partition column, committed shards only.
       val idx = java.nio.file.Files.createTempDirectory("graft-ivf-stats").toString
       Similarity.saveIndex(candidatesDf(s, dir).filter(col("id") < 300),
         centroidsDf(s, dir), idx)
       Similarity.appendToIndex(s, idx,
-        candidatesDf(s, dir).filter(col("id") >= 300))
-      s.read.parquet(s"$idx/cells")
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("cell"))
+        candidatesDf(s, dir).filter(col("id") >= 300), shardId = "s1")
+      Similarity.indexStats(s, idx).orderBy(col("cell"))
+    },
+    "q_knn_rebalance" -> { (s, dir) =>
+      // index REBALANCE lifecycle, closing the loop on q_knn_index_stats:
+      // an index built over a DEGENERATE 2-centroid quantizer (every cell
+      // holds ~half the corpus — occupancy far past any share bound) is
+      // rebalanced against the production centroid set; the policy check
+      // reads only per-cell counts, the triggered rewrite re-assigns the
+      // stored vectors O(corpus). Contract: post-rebalance results are
+      // IDENTICAL to the direct q_knn_ivf (shares its oracle) — rebuild
+      // preserves the corpus exactly, only the quantizer changes — and a
+      // second rebalance against a now-balanced index is a no-op.
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-rebal").toString
+      Similarity.saveIndex(candidatesDf(s, dir),
+        centroidsDf(s, dir).filter(col("id") < 100), idx) // 2 centroids: skewed
+      val rebuilt = Similarity.rebalanceIndex(s, idx, centroidsDf(s, dir),
+        maxCellShareMicro = 250000L)
+      val again = Similarity.rebalanceIndex(s, idx, centroidsDf(s, dir),
+        maxCellShareMicro = 250000L)
+      require(rebuilt && !again,
+        s"rebalance policy: first=$rebuilt (want trigger), second=$again (want no-op)")
+      Similarity.ivfTopKIndexed(s, idx, queriesDf(s, dir), k = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
     },
     "q_dedup_embed" -> { (s, dir) =>
       // embedding-cosine near-dup: IVF-cell-blocked pairs over the whole
@@ -260,6 +282,9 @@ object VectorPack extends QueryPack {
     "q_knn_ivf_indexed" -> ivfOracleSql,
     // ...and so must the built-then-appended index (same corpus, same cells)
     "q_knn_ivf_appended" -> ivfOracleSql,
+    // ...and the skew-triggered rebuild: rebalancing onto the production
+    // centroids must land exactly where a direct build would have
+    "q_knn_rebalance" -> ivfOracleSql,
     // cell occupancy re-derived from the same nearest-centroid assignment
     // over the full candidate corpus (build prefix + appended shard)
     "q_knn_index_stats" ->

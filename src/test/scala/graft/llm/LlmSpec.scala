@@ -685,8 +685,8 @@ class LlmSpec extends SparkSpec {
     val centroids = (0L until 4L).map(i => (i, vec())).toDF("id", "vec")
     val idx = java.nio.file.Files.createTempDirectory("ivf-idx-spec").toString
     Similarity.saveIndex(corpus, centroids, idx)
-    // the layout IS the index: one directory per cell
-    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+    // the layout IS the index: one directory per cell (under the base shard)
+    val cellDirs = new java.io.File(s"$idx/cells/shard=base").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
     assert(cellDirs.nonEmpty)
     val direct = Similarity.ivfTopK(queries, corpus, centroids, k = 3, nprobe = 2)
@@ -856,5 +856,67 @@ class LlmSpec extends SparkSpec {
     assert(out(2L) === ((8L, 0L, "c1 c2 c3 c4 c5 c6 c7 c8")))
     // within-doc repetition is corpus-unique → untouched
     assert(out(3L)._2 === 0L)
+  }
+
+  private def randVecs(seed: Int, n: Int, offset: Long = 0L) = {
+    import session.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong + offset, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+  }
+
+  test("appendToIndex is exactly-once per shard id; uncommitted debris is invisible") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-eo").toString
+    val base = randVecs(7, 40)
+    val shard = randVecs(8, 20, offset = 1000L)
+    val centroids = randVecs(9, 4, offset = 9000L)
+    Similarity.saveIndex(base, centroids, idx)
+    assert(Similarity.appendToIndex(session, idx, shard, shardId = "day1"))
+    def cellsSnapshot() = Similarity.readIndexCells(session, idx)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    val after = cellsSnapshot()
+    assert(after.map(_._1).toSet == (0L until 40L).toSet ++ (1000L until 1020L))
+    // replay of a committed shard: no-op, relation byte-identical
+    assert(!Similarity.appendToIndex(session, idx, shard, shardId = "day1"))
+    assert(cellsSnapshot() == after)
+    // crash simulation: a shard directory WITHOUT its marker (write died
+    // before the commit point) must be invisible to readers...
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_committed/day1"), false)
+    assert(Similarity.readIndexCells(session, idx).select("id").collect()
+      .map(_.getLong(0)).toSet == (0L until 40L).toSet)
+    // ...and the retry replaces it wholesale: exactly one copy of every id
+    assert(Similarity.appendToIndex(session, idx, shard, shardId = "day1"))
+    assert(cellsSnapshot() == after)
+  }
+
+  test("rebalanceIndex rebuilds on occupancy skew, no-ops when balanced, preserves corpus") {
+    import session.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-rebal").toString
+    val corpus = randVecs(11, 60)
+    // a 1-centroid quantizer: one cell holds 100% of the corpus
+    val degenerate = randVecs(12, 1, offset = 9000L)
+    val balanced = randVecs(13, 6, offset = 9100L)
+    Similarity.saveIndex(corpus, degenerate, idx)
+    assert(Similarity.indexStats(session, idx).collect().map(_.getLong(1)).max == 60L)
+    assert(Similarity.rebalanceIndex(session, idx, balanced, maxCellShareMicro = 500000L))
+    // corpus preserved exactly; assignments equal a direct build's
+    val direct = Similarity.nearestCells(corpus, balanced, 1)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val stored = Similarity.readIndexCells(session, idx)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(stored == direct)
+    // skew gone → the same policy call is now a no-op (random 8-dim vectors
+    // spread far under a 50% share bound over 6 cells)
+    assert(!Similarity.rebalanceIndex(session, idx, balanced, maxCellShareMicro = 500000L))
+    // post-rebalance queries go through the new quantizer end-to-end
+    val qs = randVecs(14, 3, offset = 5000L)
+    val viaIndex = Similarity.ivfTopKIndexed(session, idx, qs, k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(identity).toSeq
+    val directTopK = Similarity.ivfTopK(qs, corpus, balanced, k = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(identity).toSeq
+    assert(viaIndex == directTopK)
   }
 }
