@@ -61,12 +61,9 @@ object BloomIndex {
       .map(_.getPath.getName).filterNot(_.endsWith(".tmp")).toSeq.sorted
   }
 
-  private def liveFiles(c: Catalog, topic: String): Seq[(Int, String)] =
-    c.readManifest(topic) match {
-      case Some(m) => m.files.toSeq.flatMap { case (p, fs) => fs.map(f => p -> f.path) }
-      case None => throw new IllegalStateException(
-        s"topic '$topic' has no manifest — produce at least once before indexing")
-    }
+  private def liveFiles(c: Catalog, topic: String)
+      : Either[Seq[(Int, String)], DataFrame] =
+    c.liveFilesUniverse(topic)
 
   private def readIndex(spark: SparkSession, c: Catalog, topic: String,
                         index: String): Seq[Row] = {
@@ -104,22 +101,46 @@ object BloomIndex {
     require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
     c.acquireCompactLock(topic)
     try {
-      val live = liveFiles(c, topic)
-      val liveSet = live.map(_._2).toSet
-      val existing = readIndex(spark, c, topic, index)
-      existing.headOption.foreach { r =>
+      def checkIdentity(r: Row): Unit =
         require(r.getAs[String]("json_path") == jsonPath &&
           r.getAs[Int]("num_bits") == numBits &&
           r.getAs[Int]("num_hashes") == numHashes,
           s"bloom index '$index' on topic '$topic' is over " +
             s"${r.getAs[String]("json_path")} with ${r.getAs[Int]("num_bits")}/" +
             s"${r.getAs[Int]("num_hashes")} — parameters cannot change in place")
-      }
-      val keptEntries = existing.filter(r => liveSet.contains(r.getAs[String]("path")))
-      val known = keptEntries.map(_.getAs[String]("path")).toSet
-      val newRel = live.filterNot { case (_, p) => known.contains(p) }
-      if (newRel.isEmpty && keptEntries.size == existing.size) return 0
-      if (newRel.isEmpty && keptEntries.isEmpty && existing.nonEmpty) return 0
+      // live universe: driver list for small manifests; for parquet-backed
+      // ones the kept/new sets are (anti-)joins over the relation — the
+      // full file list never materializes on the driver
+      val (newRel: Seq[(Int, String)], keptDf: DataFrame, skip: Boolean) =
+        liveFiles(c, topic) match {
+          case Left(live) =>
+            val liveSet = live.map(_._2).toSet
+            val existing = readIndex(spark, c, topic, index)
+            existing.headOption.foreach(checkIdentity)
+            val keptEntries = existing.filter(r => liveSet.contains(r.getAs[String]("path")))
+            val known = keptEntries.map(_.getAs[String]("path")).toSet
+            val fresh = live.filterNot { case (_, p) => known.contains(p) }
+            val skip = fresh.isEmpty && (keptEntries.size == existing.size ||
+              (keptEntries.isEmpty && existing.nonEmpty))
+            (fresh, spark.createDataFrame(
+              spark.sparkContext.parallelize(keptEntries.toList, 1), Schema), skip)
+          case Right(liveDf) =>
+            val dir = indexPath(c, topic, index)
+            val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val existingDf =
+              if (fsys.exists(dir)) spark.read.schema(Schema).parquet(dir.toString)
+              else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schema)
+            existingDf.limit(1).collect().headOption.foreach(checkIdentity)
+            val kept = existingDf.join(liveDf.select(col("path")), Seq("path"), "left_semi")
+            val fresh = liveDf.select(col("partition"), col("path"))
+              .join(existingDf.select(col("path")), Seq("path"), "left_anti")
+              .collect().map(r => (r.getAs[Int]("partition"), r.getAs[String]("path"))).toSeq
+            val (existingN, keptN) = (existingDf.count(), kept.count())
+            val skip = fresh.isEmpty && (keptN == existingN ||
+              (keptN == 0L && existingN > 0L))
+            (fresh, kept, skip)
+        }
+      if (skip) return 0
 
       val logRoot = c.logPath(topic)
       val newEntries: Seq[Row] = if (newRel.isEmpty) Seq.empty else {
@@ -155,13 +176,14 @@ object BloomIndex {
           Row(part, path, jsonPath, numBits, numHashes, dense, nn, nr)
         }
       }
-      val all = keptEntries ++ newEntries
+      val all = keptDf.select(Schema.fieldNames.map(col): _*).unionByName(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(newEntries.toList, 1), Schema))
       val dir = indexPath(c, topic, index)
       val tmp = new Path(dir.getParent, dir.getName + ".tmp")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(tmp, true)
-      spark.createDataFrame(spark.sparkContext.parallelize(all.toList, 1), Schema)
-        .write.parquet(tmp.toString)
+      all.coalesce(1).write.parquet(tmp.toString)
       fs.delete(dir, true)
       if (!fs.rename(tmp, dir))
         throw new java.io.IOException(s"bloom index refresh: cannot install $tmp -> $dir")
@@ -188,7 +210,7 @@ object BloomIndex {
   private def plan(spark: SparkSession, c: Catalog, topic: String,
                    index: String, value: String)
       : (Seq[String], String, MetadataIndex.IndexScan) = {
-    val live = liveFiles(c, topic)
+    val universe = liveFiles(c, topic)
     val logRoot = c.logPath(topic)
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -196,8 +218,9 @@ object BloomIndex {
       s"bloom index '$index' on topic '$topic' does not exist — refresh it first")
     val idxDf = spark.read.schema(Schema).parquet(dir.toString)
     // small topics collect the index ONCE (head check + plan from the same
-    // read); large ones read only the head row and plan via join
-    val small = live.size <= MetadataIndex.driverPlanMax(spark)
+    // read); large ones (incl. parquet-backed manifests, whose live list
+    // never materializes) read only the head row and plan via join
+    val small = universe.left.exists(_.size <= MetadataIndex.driverPlanMax(spark))
     val entries: Seq[Row] =
       if (small) idxDf.collect().toSeq else idxDf.limit(1).collect().toSeq
     val head = entries.headOption.getOrElse(
@@ -206,10 +229,20 @@ object BloomIndex {
     val (jsonPath, numBits, numHashes) = (head.getAs[String]("json_path"),
       head.getAs[Int]("num_bits"), head.getAs[Int]("num_hashes"))
     val pos = jvmPositions(value, numBits, numHashes)
-    val keptRel: Seq[String] =
-      if (small) {
+    def joinPlan(liveDf: DataFrame): Seq[String] = {
+      val admits = pos.map { p =>
+        (element_at(col("words"), p / Bloom.WordBits + 1)
+          .bitwiseAND(lit(1L << (p % Bloom.WordBits)))) =!= 0L
+      }.reduce(_ && _)
+      liveDf.join(idxDf, col("live_path") === col("path"), "left_outer")
+        .filter(col("path").isNull || (col("n_nonnull") > 0L && admits))
+        .select(col("live_path"))
+        .collect().map(_.getString(0)).toSeq
+    }
+    val (keptRel: Seq[String], total: Int) = universe match {
+      case Left(live) if small =>
         val byPath = entries.map(r => r.getAs[String]("path") -> r).toMap
-        live.filter { case (_, rel) =>
+        (live.filter { case (_, rel) =>
           byPath.get(rel) match {
             case None => true // produced since the last refresh: scan conservatively
             case Some(r) =>
@@ -219,21 +252,16 @@ object BloomIndex {
                   & (1L << (p % Bloom.WordBits))) != 0L)
               }
           }
-        }.map(_._2)
-      } else {
+        }.map(_._2), live.size)
+      case Left(live) =>
         import spark.implicits._
-        val liveDf = live.map(_._2).toDF("live_path")
-        val admits = pos.map { p =>
-          (element_at(col("words"), p / Bloom.WordBits + 1)
-            .bitwiseAND(lit(1L << (p % Bloom.WordBits)))) =!= 0L
-        }.reduce(_ && _)
-        liveDf.join(idxDf, col("live_path") === col("path"), "left_outer")
-          .filter(col("path").isNull || (col("n_nonnull") > 0L && admits))
-          .select(col("live_path"))
-          .collect().map(_.getString(0)).toSeq
-      }
+        (joinPlan(live.map(_._2).toDF("live_path")), live.size)
+      case Right(liveDf) =>
+        (joinPlan(liveDf.select(col("path").as("live_path"))),
+          liveDf.count().toInt)
+    }
     (keptRel.map(rel => new Path(logRoot, rel).toString),
-      jsonPath, MetadataIndex.IndexScan(live.size, keptRel.size))
+      jsonPath, MetadataIndex.IndexScan(total, keptRel.size))
   }
 
   /** Pruning stats only: how many live files a lookup of `value` opens. */

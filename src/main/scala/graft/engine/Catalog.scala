@@ -305,7 +305,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** Append `delta` to the manifest log (or roll a snapshot when due /
     * bootstrapping / migrating off a legacy single-file manifest). Callers
     * hold the produce or compact lock — writes are serialized, so
-    * `max(seq) + 1` is race-free. */
+    * `max(seq) + 1` is race-free.
+    *
+    * Snapshot rolls of topics past [[Catalog.manifestDriverMax]] write the
+    * file list as a PARQUET relation beside the JSON (which then carries
+    * only watermarks + the reference): the one manifest structure that
+    * grows with the file population never round-trips through driver JSON
+    * again. A parquet-backed roll is computed as a Spark union (prior
+    * relation ∪ the driver-held delta tail) — O(deltas) driver memory. */
   private def commitManifestDelta(name: String, delta: TopicManifest,
                                   assembledPrior: TopicManifest): Unit = {
     val (snaps, deltas) = scanManifestLog(name)
@@ -315,17 +322,101 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val due = deltas.count(_._1 > snapSeq) + 1 >= Catalog.ManifestSnapshotEvery
     fs.mkdirs(manifestDir(name))
     if (legacy || snaps.isEmpty || due) {
-      writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
-        Catalog.applyManifestDelta(assembledPrior, delta).toJson)
-      // folded in: the old snapshot, its deltas, and any legacy file go
+      val assembled = Catalog.applyManifestDelta(assembledPrior, delta)
+      val inMem = assembled.files.valuesIterator.map(_.size.toLong).sum
+      if (assembled.filesRef.isEmpty && inMem <= Catalog.manifestDriverMax(spark)) {
+        writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
+          assembled.toJson)
+      } else {
+        // parquet-backed snapshot: relation = prior parquet (if any) ∪ the
+        // driver-held tail; the JSON keeps watermarks + the reference only.
+        // Once a topic crosses the threshold it stays parquet-backed —
+        // shrinking back would re-materialize the list to find out.
+        val refName = s"${seqFileName("snap", seq).stripSuffix(".json")}-files.parquet"
+        val tail = assembled.files.toSeq.flatMap { case (p, fsq) =>
+          fsq.map(f => (p, f.path, f.lo, f.hi))
+        }
+        import spark.implicits._
+        val tailDf = tail.toDF("partition", "path", "lo", "hi")
+        val rel = manifestFilesRel(name, assembledPrior) match {
+          case Some(prior) => prior.unionByName(tailDf)
+          case None => tailDf
+        }
+        rel.coalesce(1).write.mode("overwrite")
+          .parquet(new Path(manifestDir(name), refName).toString)
+        writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
+          TopicManifest(assembled.watermarks, Map.empty, Some(refName)).toJson)
+      }
+      // folded in: the old snapshot, its deltas, any legacy file, and any
+      // superseded parquet relations go
       if (legacy) fs.delete(legacyManifestPath(name), false): Unit
       (snaps ++ deltas).foreach { case (_, p) => fs.delete(p, false): Unit }
+      purgeOldManifestRelations(name, keepSeq = seq)
     } else {
       writeAtomic(new Path(manifestDir(name), seqFileName("delta", seq)), delta.toJson)
     }
     // our own writes must never be served stale
     manifestCache.remove(name): Unit
     legacyManifestCache.remove(name): Unit
+  }
+
+  /** Delete every `snap-*-files.parquet` relation except `keepSeq`'s —
+    * snapshot rolls and rebuilds supersede all prior relations at once. */
+  private def purgeOldManifestRelations(name: String, keepSeq: Long): Unit = {
+    val keep = s"${seqFileName("snap", keepSeq).stripSuffix(".json")}-files.parquet"
+    try fs.listStatus(manifestDir(name))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("snap-") &&
+        st.getPath.getName.endsWith("-files.parquet") && st.getPath.getName != keep)
+      .foreach(st => fs.delete(st.getPath, true): Unit)
+    catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  /** The snapshot parquet relation `(partition, path, lo, hi)` of a
+    * parquet-backed manifest, None for driver-sized topics. NOTE: the live
+    * set is this relation PLUS `m.files` (the post-snapshot delta tail). */
+  def manifestFilesRel(name: String,
+                       m: TopicManifest): Option[org.apache.spark.sql.DataFrame] =
+    m.filesRef.map { r =>
+      spark.read.schema(Catalog.ManifestFilesSchema)
+        .parquet(new Path(manifestDir(name), r).toString)
+    }
+
+  /** The live-file universe for index planners: Left = driver-side list
+    * (driver-sized manifests, no Spark job), Right = relation
+    * `(partition, path, lo, hi)` including the post-snapshot delta tail
+    * (parquet-backed manifests — consumers prune it AS A RELATION and
+    * collect only kept paths). Throws when the topic has no manifest. */
+  def liveFilesUniverse(name: String)
+      : Either[Seq[(Int, String)], org.apache.spark.sql.DataFrame] =
+    readManifest(name) match {
+      case None => throw new IllegalStateException(
+        s"topic '$name' has no manifest — produce at least once before indexing")
+      case Some(m) => manifestFilesRel(name, m) match {
+        case None => Left(m.files.toSeq.flatMap { case (p, fsq) =>
+          fsq.map(f => p -> f.path) })
+        case Some(rel) =>
+          import spark.implicits._
+          val tail = m.files.toSeq.flatMap { case (p, fsq) =>
+            fsq.map(f => (p, f.path, f.lo, f.hi))
+          }
+          Right(if (tail.isEmpty) rel
+            else rel.unionByName(tail.toDF("partition", "path", "lo", "hi")))
+      }
+    }
+
+  /** Per-partition live-file counts without materializing entries: relation
+    * counts (one tiny aggregate job) + the driver-held delta tail. */
+  def manifestFileCounts(name: String, m: TopicManifest): Map[Int, Long] = {
+    val base: Map[Int, Long] = manifestFilesRel(name, m) match {
+      case None => Map.empty
+      case Some(rel) =>
+        import org.apache.spark.sql.functions.{col, count, lit}
+        rel.groupBy(col("partition")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    m.files.foldLeft(base) { case (acc, (p, fsq)) =>
+      acc + (p -> (acc.getOrElse(p, 0L) + fsq.size))
+    }
   }
 
   /**
@@ -339,22 +430,39 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def updateManifest(name: String, newNext: Map[Int, Long]): Unit = {
     val prior = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
     val conf = hadoopConf
-    val freshFiles: Map[Int, Vector[ManifestFile]] = newNext.keys.flatMap { p =>
+    val listed: Seq[(Int, String)] = newNext.keys.toSeq.sorted.flatMap { p =>
       val dir = new Path(logPath(name), s"partition=$p")
-      if (!fs.exists(dir)) None
-      else {
-        val knownNames = prior.files.getOrElse(p, Vector.empty).map(_.path).toSet
-        val fresh = fs.listStatus(dir)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"partition=$p/${f.getPath.getName}")
-          .filterNot(knownNames).sorted
-          .map { rel =>
-            val (lo, hi) = Catalog.fileIdRange(new Path(logPath(name), rel), conf)
-            ManifestFile(rel, lo, hi)
-          }
-        if (fresh.isEmpty) None else Some(p -> fresh.toVector)
-      }
-    }.toMap
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => p -> s"partition=$p/${f.getPath.getName}").toSeq
+    }
+    // unknown = listed ∖ manifest. Driver-sized manifests diff against the
+    // in-memory map; parquet-backed ones anti-join the relation in Spark,
+    // so only THIS produce's new names come back to the driver (the listing
+    // itself is transient and per-written-partition)
+    val unknown: Seq[(Int, String)] = manifestFilesRel(name, prior) match {
+      case None =>
+        listed.filterNot { case (p, rel) =>
+          prior.files.getOrElse(p, Vector.empty).exists(_.path == rel)
+        }
+      case Some(rel) =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val tailNames = prior.files.valuesIterator.flatten.map(_.path).toSet
+        val candidates = listed.filterNot { case (_, r) => tailNames.contains(r) }
+        if (candidates.isEmpty) Nil
+        else candidates.toDF("partition", "path")
+          .join(rel.select(col("path")), Seq("path"), "left_anti")
+          .collect().map(r => (r.getAs[Int]("partition"), r.getAs[String]("path"))).toSeq
+    }
+    val freshFiles: Map[Int, Vector[ManifestFile]] = unknown.groupBy(_._1)
+      .view.mapValues { xs =>
+        xs.map(_._2).sorted.map { rel =>
+          val (lo, hi) = Catalog.fileIdRange(new Path(logPath(name), rel), conf)
+          ManifestFile(rel, lo, hi)
+        }.toVector
+      }.toMap
     // the delta carries ONLY this produce's files + watermarks — the
     // produce-path write is O(new files) regardless of live-file count
     commitManifestDelta(name, TopicManifest(newNext, freshFiles), prior)
@@ -374,20 +482,44 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * produce.
    */
   def purgeUncommitted(name: String): Unit = readManifest(name).foreach { m =>
-    val next = nextIds(name)
     val conf = hadoopConf
-    next.foreach { case (p, watermark) =>
+    unknownChunkFiles(name, m, nextIds(name)).foreach { case (f, watermark) =>
+      val (lo, _) = Catalog.fileIdRange(f, conf)
+      if (lo != Long.MinValue && lo >= watermark) fs.delete(f, false): Unit
+    }
+  }
+
+  /** Listed-but-not-in-manifest chunk files, with their partition's
+    * watermark — the shared candidate set of [[purgeUncommitted]] and the
+    * vacuum chunk pass (callers apply the footer signature). Driver-sized
+    * manifests diff in memory; parquet-backed ones anti-join the relation,
+    * so only the (few) unknown paths are ever collected. */
+  private def unknownChunkFiles(name: String, m: TopicManifest,
+                                next: Map[Int, Long]): Seq[(Path, Long)] = {
+    val listed: Seq[(Int, String)] = next.keys.toSeq.sorted.flatMap { p =>
       val dir = new Path(logPath(name), s"partition=$p")
-      if (fs.exists(dir)) {
-        val known = m.files.getOrElse(p, Vector.empty).map(_.path).toSet
-        fs.listStatus(dir)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .filterNot(f => known.contains(s"partition=$p/${f.getPath.getName}"))
-          .foreach { f =>
-            val (lo, _) = Catalog.fileIdRange(f.getPath, conf)
-            if (lo != Long.MinValue && lo >= watermark) fs.delete(f.getPath, false): Unit
-          }
-      }
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => p -> s"partition=$p/${f.getPath.getName}").toSeq
+    }
+    val unknown: Seq[(Int, String)] = manifestFilesRel(name, m) match {
+      case None =>
+        listed.filterNot { case (p, rel) =>
+          m.files.getOrElse(p, Vector.empty).exists(_.path == rel)
+        }
+      case Some(rel) =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val tailNames = m.files.valuesIterator.flatten.map(_.path).toSet
+        val candidates = listed.filterNot { case (_, r) => tailNames.contains(r) }
+        if (candidates.isEmpty) Nil
+        else candidates.toDF("partition", "path")
+          .join(rel.select(col("path")), Seq("path"), "left_anti")
+          .collect().map(r => (r.getAs[Int]("partition"), r.getAs[String]("path"))).toSeq
+    }
+    unknown.map { case (p, rel) =>
+      (new Path(logPath(name), rel), next.getOrElse(p, 0L))
     }
   }
 
@@ -419,9 +551,25 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val (snaps, deltas) = scanManifestLog(name)
     val seq = ((snaps ++ deltas).map(_._1) :+ 0L).max + 1
     fs.mkdirs(manifestDir(name))
-    writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
-      TopicManifest(next, files).toJson)
+    val total = files.valuesIterator.map(_.size.toLong).sum
+    if (total <= Catalog.manifestDriverMax(spark)) {
+      writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
+        TopicManifest(next, files).toJson)
+    } else {
+      // past the driver threshold the rebuilt list goes straight to parquet
+      // (same shape commitManifestDelta rolls to); the listing above is
+      // transient — nothing O(files) survives in the JSON or the cache
+      val refName = s"${seqFileName("snap", seq).stripSuffix(".json")}-files.parquet"
+      import spark.implicits._
+      files.toSeq.flatMap { case (p, fsq) => fsq.map(f => (p, f.path, f.lo, f.hi)) }
+        .toDF("partition", "path", "lo", "hi")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(manifestDir(name), refName).toString)
+      writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
+        TopicManifest(next, Map.empty, Some(refName)).toJson)
+    }
     (snaps ++ deltas).foreach { case (_, p) => fs.delete(p, false): Unit }
+    purgeOldManifestRelations(name, keepSeq = seq)
     fs.delete(legacyManifestPath(name), false): Unit
     manifestCache.remove(name): Unit
     legacyManifestCache.remove(name): Unit
@@ -900,19 +1048,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // 1. uncommitted chunks — purgeUncommitted's signature, counted
     readManifest(name).foreach { m =>
       val conf = hadoopConf
-      nextIds(name).foreach { case (p, watermark) =>
-        val dir = new Path(logPath(name), s"partition=$p")
-        if (fs.exists(dir)) {
-          val known = m.files.getOrElse(p, Vector.empty).map(_.path).toSet
-          fs.listStatus(dir)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-            .filterNot(f => known.contains(s"partition=$p/${f.getPath.getName}"))
-            .foreach { f =>
-              val (lo, _) = Catalog.fileIdRange(f.getPath, conf)
-              if (lo != Long.MinValue && lo >= watermark) {
-                chunks += 1; drop(f.getPath, recursive = false)
-              }
-            }
+      unknownChunkFiles(name, m, nextIds(name)).foreach { case (f, watermark) =>
+        val (lo, _) = Catalog.fileIdRange(f, conf)
+        if (lo != Long.MinValue && lo >= watermark) {
+          chunks += 1; drop(f, recursive = false)
         }
       }
     }
@@ -953,8 +1092,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"maxFilesPerPartition must be positive: $maxFilesPerPartition")
     // tiered topics skip the compact step (rewrites refuse on them); the
     // hot tail usually stays small precisely because the bulk is archived
-    val needsCompact = !isTiered(name) && readManifest(name).exists(
-      _.files.values.exists(_.size > maxFilesPerPartition))
+    val needsCompact = !isTiered(name) && readManifest(name).exists(m =>
+      manifestFileCounts(name, m).values.exists(_ > maxFilesPerPartition))
     if (needsCompact) compactTopic(name, chunkMaxRecords)
     val vac = vacuumTopic(name)
     val indexed = listIndexes(name).map { idx =>
@@ -1169,7 +1308,23 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       var moved = 0
       var bytes = 0L
       val newEntries = scala.collection.mutable.Map.empty[Int, Vector[ManifestFile]]
-      m.files.foreach { case (p, entries) =>
+      // cold candidates: parquet-backed manifests push the cutoff predicate
+      // into the relation and collect only the files that will MOVE
+      val coldBySelect: Map[Int, Vector[ManifestFile]] = manifestFilesRel(name, m) match {
+        case None => m.files
+        case Some(rel) =>
+          import org.apache.spark.sql.functions.col
+          val fromRel = rel
+            .filter(col("hi") =!= Long.MaxValue && col("hi") < cutoffId)
+            .collect()
+            .map(r => (r.getAs[Int]("partition"),
+              ManifestFile(r.getAs[String]("path"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+          m.files.foldLeft(fromRel) { case (acc, (p, add)) =>
+            acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
+          }
+      }
+      coldBySelect.foreach { case (p, entries) =>
         entries.foreach { f =>
           // only files with real footer stats wholly below the cutoff move —
           // a stats-less file (hi = MaxValue) can never prove it is cold
@@ -1482,6 +1637,30 @@ object Catalog {
     * compress it. */
   @volatile var ManifestSnapshotEvery: Int = 64
 
+  /** Max manifest file entries kept as driver-side JSON. Past it, snapshot
+    * rolls move the file list into a parquet relation (the JSON keeps
+    * watermarks + a reference) and planners prune it AS A RELATION,
+    * collecting only kept paths — the same two-path threshold the index
+    * planners use (`spark.graft.index.driverPlanMaxEntries`). Tests set the
+    * conf to 0 to force the relation path on small fixtures. */
+  def manifestDriverMax(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.manifest.driverMaxEntries").map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.manifest.driverMaxEntries must be a long, got '$v'")
+      }
+    }.getOrElse(65536L)
+
+  /** Schema of a parquet-backed manifest's file relation. */
+  val ManifestFilesSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("partition", IntegerType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("lo", LongType, nullable = false),
+      StructField("hi", LongType, nullable = false)))
+  }
+
   /** How long `Producer.produce` waits for a contended produce lock before
     * throwing. 0 (default) = fail fast (safe-by-rejection); > 0 = bounded
     * wait, which SERIALIZES well-behaved concurrent producers the way the
@@ -1549,12 +1728,13 @@ object Catalog {
       snapSeq: Long, lastSeq: Long, manifest: TopicManifest)
 
   /** Apply a manifest delta: watermarks advance (later wins), new files
-    * append per partition in commit order (= id order). */
+    * append per partition in commit order (= id order). A parquet-backed
+    * base keeps its reference — deltas never carry one. */
   def applyManifestDelta(base: TopicManifest, d: TopicManifest): TopicManifest =
     TopicManifest(base.watermarks ++ d.watermarks,
       d.files.foldLeft(base.files) { case (acc, (p, add)) =>
         acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
-      })
+      }, base.filesRef)
 
   /** THE canonical event schema (SURVEY §1.3) — the single definition the
     * consumer view, the DSv2 table, and log maintenance all read with, so a
@@ -1665,17 +1845,27 @@ object TierState {
 
 /** See [[Catalog.readManifest]]. `watermarks(p)` = next EventID the file
   * list is complete up to; `files(p)` in filename order (= id order for
-  * produce output). */
+  * produce output).
+  *
+  * Large topics ([[Catalog.manifestDriverMax]]): `filesRef` names a parquet
+  * relation (relative to `_manifest/`) holding the SNAPSHOT's file entries
+  * — `files` then carries only the entries committed since that snapshot
+  * (the deltas), so assembling the manifest never materializes O(files) on
+  * the driver. The live set is `filesRef relation ∪ files`; consumers that
+  * need it query the relation ([[Catalog.manifestFilesRel]]) and collect
+  * only what their predicate keeps. */
 final case class TopicManifest(
-    watermarks: Map[Int, Long], files: Map[Int, Vector[ManifestFile]]) {
+    watermarks: Map[Int, Long], files: Map[Int, Vector[ManifestFile]],
+    filesRef: Option[String] = None) {
 
   def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
-    "watermarks" -> JObject(watermarks.toSeq.sortBy(_._1).map {
-      case (k, v) => k.toString -> (JLong(v): JValue) }: _*),
-    "files" -> JObject(files.toSeq.sortBy(_._1).map { case (p, fsq) =>
+    ("watermarks" -> (JObject(watermarks.toSeq.sortBy(_._1).map {
+      case (k, v) => k.toString -> (JLong(v): JValue) }: _*): JValue)) ::
+    ("files" -> (JObject(files.toSeq.sortBy(_._1).map { case (p, fsq) =>
       p.toString -> (JArray(fsq.toList.map(f => JObject(
         "f" -> JString(f.path), "lo" -> JLong(f.lo), "hi" -> JLong(f.hi)))): JValue)
-    }: _*))))
+    }: _*): JValue)) ::
+    filesRef.map(r => "filesRef" -> (JString(r): JValue)).toList)))
 }
 
 object TopicManifest {
@@ -1714,7 +1904,11 @@ object TopicManifest {
         case other => throw new IllegalStateException(
           s"bad manifest files: ${JsonMethods.compact(other)}")
       }
-      TopicManifest(watermarks, files)
+      val ref = o \ "filesRef" match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      TopicManifest(watermarks, files, ref)
     case other => throw new IllegalStateException(
       s"manifest must be a JSON object: ${JsonMethods.compact(other)}")
   }

@@ -340,10 +340,11 @@ final class TopicHandle(spark: SparkSession,
     import spark.implicits._
     val cfg = config
     val next = catalog.nextIds(name)
-    val files = catalog.readManifest(name).map(_.files)
+    val counts = catalog.readManifest(name)
+      .map(m => catalog.manifestFileCounts(name, m))
     (0 until cfg.partitions).map { p =>
       (p, next.getOrElse(p, 0L),
-        files.map(_.getOrElse(p, Vector.empty).size.toLong).getOrElse(-1L),
+        counts.map(_.getOrElse(p, 0L)).getOrElse(-1L),
         cfg.completed)
     }.toDF("partition", "n_events", "n_files", "completed")
   }

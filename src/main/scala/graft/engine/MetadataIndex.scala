@@ -69,13 +69,12 @@ object MetadataIndex {
   private def indexPath(c: Catalog, topic: String, index: String): Path =
     new Path(indexDir(c, topic), Catalog.validIndexName(index))
 
-  /** Live (partition, relativePath) pairs from the manifest. */
-  private def liveFiles(c: Catalog, topic: String): Seq[(Int, String)] =
-    c.readManifest(topic) match {
-      case Some(m) => m.files.toSeq.flatMap { case (p, fs) => fs.map(f => p -> f.path) }
-      case None => throw new IllegalStateException(
-        s"topic '$topic' has no manifest — produce at least once before indexing")
-    }
+  /** Live (partition, relativePath) universe — Left for driver-sized
+    * manifests, Right (a relation) for parquet-backed ones
+    * ([[Catalog.liveFilesUniverse]]). */
+  private def liveFiles(c: Catalog, topic: String)
+      : Either[Seq[(Int, String)], DataFrame] =
+    c.liveFilesUniverse(topic)
 
   private def readIndex(spark: SparkSession, c: Catalog, topic: String,
                         index: String): Seq[Row] = {
@@ -104,27 +103,49 @@ object MetadataIndex {
     require(kind == Numeric || kind == Str, s"kind must be numeric|string: $kind")
     c.acquireCompactLock(topic)
     try {
-      val live = liveFiles(c, topic)
-      val liveSet = live.map(_._2).toSet
-      val existing = readIndex(spark, c, topic, index)
-      existing.headOption.foreach { r =>
-        val (pp, pk) = (r.getAs[String]("json_path"), r.getAs[String]("kind"))
-        require(pp == jsonPath && pk == kind,
-          s"index '$index' on topic '$topic' is over $pp ($pk), not $jsonPath " +
-          s"($kind) — use a different index name per field")
-      }
-      val keptEntries = existing.filter(r => liveSet.contains(r.getAs[String]("path")))
-      val known = keptEntries.map(_.getAs[String]("path")).toSet
-      val newRel = live.filterNot { case (_, p) => known.contains(p) }
-      if (newRel.isEmpty && keptEntries.size == existing.size) return 0
-      // every entry dead and nothing live to index (topic fully expired):
-      // keep the stale rows rather than writing an empty relation — they
-      // are harmless (pruning keys on the LIVE list) and they preserve the
-      // index's (json_path, kind) identity for refreshExisting
-      if (newRel.isEmpty && keptEntries.isEmpty && existing.nonEmpty) return 0
+      // the live universe: driver list for small manifests, RELATION for
+      // parquet-backed ones — then kept/new are (anti-)joins and the full
+      // file list never materializes on the driver
+      val (newRel: Seq[(Int, String)], keptDf: Option[DataFrame], skip: Boolean) =
+        liveFiles(c, topic) match {
+          case Left(live) =>
+            val liveSet = live.map(_._2).toSet
+            val existing = readIndex(spark, c, topic, index)
+            existing.headOption.foreach(checkIdentity(_, topic, index, jsonPath, kind))
+            val keptEntries = existing.filter(r => liveSet.contains(r.getAs[String]("path")))
+            val known = keptEntries.map(_.getAs[String]("path")).toSet
+            val fresh = live.filterNot { case (_, p) => known.contains(p) }
+            val skip = fresh.isEmpty && (keptEntries.size == existing.size ||
+              (keptEntries.isEmpty && existing.nonEmpty))
+            (fresh, Some(spark.createDataFrame(
+              spark.sparkContext.parallelize(keptEntries.toList, 1), IndexSchema)), skip)
+          case Right(liveDf) =>
+            val dir = indexPath(c, topic, index)
+            val fsys = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val existingDf =
+              if (fsys.exists(dir)) spark.read.schema(IndexSchema).parquet(dir.toString)
+              else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], IndexSchema)
+            existingDf.limit(1).collect().headOption
+              .foreach(checkIdentity(_, topic, index, jsonPath, kind))
+            val kept = existingDf.join(
+              liveDf.select(col("path")), Seq("path"), "left_semi")
+            val fresh = liveDf.select(col("partition"), col("path"))
+              .join(existingDf.select(col("path")), Seq("path"), "left_anti")
+              .collect().map(r => (r.getAs[Int]("partition"), r.getAs[String]("path"))).toSeq
+            val (existingN, keptN) = (existingDf.count(), kept.count())
+            val skip = fresh.isEmpty && (keptN == existingN ||
+              (keptN == 0L && existingN > 0L))
+            (fresh, Some(kept), skip)
+        }
+      // nothing new and nothing dead (or the topic fully expired: keep the
+      // stale rows — pruning keys on the LIVE list and they preserve the
+      // index's (json_path, kind) identity for refreshExisting)
+      if (skip) return 0
 
       val logRoot = c.logPath(topic)
-      val newEntries: Seq[Row] = if (newRel.isEmpty) Seq.empty else {
+      val newEntriesDf: DataFrame = if (newRel.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], IndexSchema)
+      else {
         val abs = newRel.map { case (_, rel) => new Path(logRoot, rel).toString }
         val ser = Serializer.fromDescriptor(c.openTopic(topic).serializer)
         val metadata = ser match {
@@ -149,20 +170,27 @@ object MetadataIndex {
           .withColumn("kind", lit(kind))
           .select("partition", "path", "json_path", "kind",
             "num_lo", "num_hi", "str_lo", "str_hi", "n_nonnull", "n_rows")
-          .collect().toSeq
       }
-      val all = keptEntries ++ newEntries
+      val all = keptDf.get.select(IndexSchema.fieldNames.map(col): _*)
+        .unionByName(newEntriesDf)
       val dir = indexPath(c, topic, index)
       val tmp = new Path(dir.getParent, dir.getName + ".tmp")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(tmp, true)
-      spark.createDataFrame(spark.sparkContext.parallelize(all.toList, 1), IndexSchema)
-        .write.parquet(tmp.toString)
+      all.coalesce(1).write.parquet(tmp.toString)
       fs.delete(dir, true)
       if (!fs.rename(tmp, dir))
         throw new java.io.IOException(s"index refresh: cannot install $tmp -> $dir")
-      newEntries.size
+      newRel.size
     } finally c.releaseCompactLock(topic)
+  }
+
+  private def checkIdentity(r: Row, topic: String, index: String,
+                            jsonPath: String, kind: String): Unit = {
+    val (pp, pk) = (r.getAs[String]("json_path"), r.getAs[String]("kind"))
+    require(pp == jsonPath && pk == kind,
+      s"index '$index' on topic '$topic' is over $pp ($pk), not $jsonPath " +
+      s"($kind) — use a different index name per field")
   }
 
   /** Refresh an EXISTING index under its own stored (json_path, kind) —
@@ -228,7 +256,7 @@ object MetadataIndex {
                    wantKind: String, keepEntry: Row => Boolean,
                    keepCol: org.apache.spark.sql.Column)
       : (Seq[String], String, IndexScan) = {
-    val live = liveFiles(c, topic)
+    val universe = liveFiles(c, topic)
     val logRoot = c.logPath(topic)
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -236,8 +264,10 @@ object MetadataIndex {
       s"index '$index' on topic '$topic' does not exist — refresh it first")
     val idxDf = spark.read.schema(IndexSchema).parquet(dir.toString)
     // small topics collect the index ONCE and decide driver-side; large
-    // ones read only the head row here (identity check) and plan via join
-    val small = live.size <= driverPlanMax(spark)
+    // ones (driver list past the threshold, or a parquet-backed manifest —
+    // then the live list itself never materializes) read only the head row
+    // here (identity check) and plan via join
+    val small = universe.left.exists(_.size <= driverPlanMax(spark))
     val entries: Seq[Row] =
       if (small) idxDf.collect().toSeq else idxDf.limit(1).collect().toSeq
     val head = entries.headOption.getOrElse(throw new IllegalStateException(
@@ -246,25 +276,29 @@ object MetadataIndex {
       s"index '$index' is ${head.getAs[String]("kind")}-kinded; " +
       s"this read needs a $wantKind index")
     val jsonPath = head.getAs[String]("json_path")
-    val keptRel: Seq[String] =
-      if (small) {
+    def joinPlan(liveDf: org.apache.spark.sql.DataFrame): Seq[String] =
+      liveDf.join(idxDf, col("live_path") === col("path"), "left_outer")
+        .filter(col("path").isNull || (col("n_nonnull") > 0L && keepCol))
+        .select(col("live_path"))
+        .collect().map(_.getString(0)).toSeq
+    val (keptRel: Seq[String], total: Int) = universe match {
+      case Left(live) if small =>
         val byPath = entries.map(r => r.getAs[String]("path") -> r).toMap
-        live.filter { case (_, rel) =>
+        (live.filter { case (_, rel) =>
           byPath.get(rel) match {
             case None => true // produced since the last refresh: scan conservatively
             case Some(r) => r.getAs[Long]("n_nonnull") > 0L && keepEntry(r)
           }
-        }.map(_._2)
-      } else {
+        }.map(_._2), live.size)
+      case Left(live) =>
         import spark.implicits._
-        val liveDf = live.map(_._2).toDF("live_path")
-        liveDf.join(idxDf, col("live_path") === col("path"), "left_outer")
-          .filter(col("path").isNull || (col("n_nonnull") > 0L && keepCol))
-          .select(col("live_path"))
-          .collect().map(_.getString(0)).toSeq
-      }
+        (joinPlan(live.map(_._2).toDF("live_path")), live.size)
+      case Right(liveDf) =>
+        (joinPlan(liveDf.select(col("path").as("live_path"))),
+          liveDf.count().toInt)
+    }
     (keptRel.map(rel => new Path(logRoot, rel).toString),
-      jsonPath, IndexScan(live.size, keptRel.size))
+      jsonPath, IndexScan(total, keptRel.size))
   }
 
   // driver predicates use Spark's orderings (UTF-8 strings, NaN-greatest

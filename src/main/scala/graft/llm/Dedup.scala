@@ -179,7 +179,20 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.8, cache: Boolean = true,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096): DataFrame =
+    nearDuplicatesReleasable(df, idCol, textCol, shingleN, bands, rowsPerBand,
+      threshold, cache, maxBucket)._1
+
+  /** [[nearDuplicates]] plus a release handle that unpersists THIS call's
+    * cached shingle/signature frames (no-op when `cache=false`) — so
+    * sweep-style callers free the MEMORY_AND_DISK plans after the pairs
+    * materialize without a global `spark.catalog.clearCache()` (same
+    * contract as [[SrpLsh.srpPairsReleasable]]). */
+  def nearDuplicatesReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, cache: Boolean = true,
+      maxBucket: Int = 4096): (DataFrame, () => Unit) = {
     val numHashes = bands * rowsPerBand
 
     // Repartition by id up front: spreads shingle hashing across the cluster
@@ -200,6 +213,8 @@ object Dedup {
       explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s")))
 
     val sig = maybeCache(minhashSignatures(sh, numHashes))
+    val release = () =>
+      if (cache) { sh.unpersist(false); sig.unpersist(false); () }
 
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
@@ -216,13 +231,14 @@ object Dedup {
       .join(sh.as("sb"), col("doc_b") === col("sb.id") && col("sa.s") === col("sb.s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
 
-    inter
+    val pairs = inter
       .join(counts.as("ca"), col("doc_a") === col("ca.id"))
       .join(counts.as("cb"), col("doc_b") === col("cb.id"))
       .withColumn("jac", col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i")))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         round(col("jac") * 1000000).cast("long").as("jac_micro"))
+    (pairs, release)
   }
 
   // -- incremental near-dup vs a persisted signature store -------------------

@@ -311,18 +311,45 @@ object GraftPartitions {
     // two small-file reads — NO directory listing, NO footer reads. This is
     // the O(new files) shape a per-trigger walk needs at 100× scale; the
     // listing path below remains the fallback for pre-manifest topics or a
-    // deleted manifest.
-    catalog.readManifest(topic) match {
+    // deleted manifest. Parquet-backed manifests (past the driver
+    // threshold) never materialize their file list here: the slice's
+    // id-range predicate is pushed into the relation and only KEPT entries
+    // are collected — O(overlapping files), which for a streaming tail
+    // read is the trigger's new files, not the topic's history.
+    def manifestPlan(): Option[Array[InputPartition]] = catalog.readManifest(topic) match {
       case Some(m) =>
         val needed = (0 until catalog.openTopic(topic).partitions)
           .filter(p => targets.forall(_.contains(p)))
           .filter(p => until(p) > math.max(from(p), 0L))
-        if (needed.forall(p => m.watermarks.getOrElse(p, 0L) >= until(p))) {
-          return needed.flatMap { p =>
+        if (!needed.forall(p => m.watermarks.getOrElse(p, 0L) >= until(p))) None
+        else {
+          val keptFromRel: Map[Int, Vector[graft.engine.ManifestFile]] =
+            catalog.manifestFilesRel(topic, m) match {
+              case None => Map.empty
+              case Some(rel) =>
+                import org.apache.spark.sql.functions.{broadcast, col}
+                import spark.implicits._
+                val boundsDf = needed.map(p => (p, math.max(from(p), 0L), until(p)))
+                  .toDF("p", "plo", "phi")
+                rel.join(broadcast(boundsDf),
+                    col("partition") === col("p") &&
+                      col("hi") >= col("plo") && col("lo") < col("phi"))
+                  .select(col("partition"), col("path"), col("lo"), col("hi"))
+                  .collect()
+                  .map(r => (r.getAs[Int]("partition"), graft.engine.ManifestFile(
+                    r.getAs[String]("path"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))))
+                  .groupBy(_._1).view
+                  // filename order = id order (the manifest's invariant);
+                  // collected row order is not guaranteed, so restore it
+                  .mapValues(_.map(_._2).sortBy(f => (f.lo, f.path)).toVector).toMap
+            }
+          Some(needed.flatMap { p =>
             val lo = math.max(from(p), 0L)
             val hi = until(p)
-            val files = coldFiles(p, lo, hi) ++ m.files.getOrElse(p, Vector.empty)
-              .filter(f => f.hi >= lo && f.lo < hi)
+            val files = coldFiles(p, lo, hi) ++
+              (keptFromRel.getOrElse(p, Vector.empty) ++
+                m.files.getOrElse(p, Vector.empty)
+                  .filter(f => f.hi >= lo && f.lo < hi))
               // qualify like fs.listStatus would, so both planning paths
               // yield identical strings (FileStatsCache keys, dedup, tests)
               .map(f => fs.makeQualified(new Path(logPath, f.path)).toString)
@@ -331,8 +358,23 @@ object GraftPartitions {
               s"topic '$topic' partition $p: manifest covers ids [$lo, $hi) " +
               "but lists no overlapping chunk file — manifest/log divergence " +
               "(log deleted, or an unregistered writer touched the topic)")
-          }.toArray
+          }.toArray[InputPartition])
         }
+      case None => None
+    }
+    def rootIsFnf(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[java.io.FileNotFoundException])
+    val viaManifest =
+      try manifestPlan()
+      catch {
+        // a snapshot roll deleted the parquet relation under our read: the
+        // fresh manifest read sees the rolled snapshot — retry ONCE, and a
+        // second miss propagates (real trouble, not a race)
+        case e: Throwable if rootIsFnf(e) => manifestPlan()
+      }
+    viaManifest match {
+      case Some(planned) => return planned
       case None =>
     }
     if (!fs.exists(logPath) && tier.isEmpty) {
