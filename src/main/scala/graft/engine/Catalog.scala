@@ -1238,7 +1238,79 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def tierState(name: String): Option[TierState] =
     readStringResilient(tierPath(name)).map(TierState.fromJson)
 
-  def isTiered(name: String): Boolean = tierState(name).exists(_.files.nonEmpty)
+  private def hasColdFiles(t: TierState): Boolean =
+    t.files.nonEmpty || t.filesRef.isDefined
+
+  def isTiered(name: String): Boolean = tierState(name).exists(hasColdFiles)
+
+  /** The cold-tier file relation `(partition, path, lo, hi)` of a
+    * parquet-backed tier state, None for driver-sized ones. The live cold
+    * set is this relation PLUS `t.files` (entries archived since the roll). */
+  def tierFilesRel(name: String,
+                   t: TierState): Option[org.apache.spark.sql.DataFrame] =
+    t.filesRef.map { r =>
+      spark.read.schema(Catalog.ManifestFilesSchema)
+        .parquet(new Path(topicPath(name), r).toString)
+    }
+
+  /** ALL cold-tier entries materialized driver-side — maintenance surface
+    * only (restoreArchive moves every file anyway); planners must use
+    * [[tierFilesRel]] + slice pruning instead. */
+  private def tierFilesAll(name: String, t: TierState): Map[Int, Vector[ManifestFile]] =
+    tierFilesRel(name, t) match {
+      case None => t.files
+      case Some(rel) =>
+        val fromRel = rel.collect()
+          .map(r => (r.getAs[Int]("partition"),
+            ManifestFile(r.getAs[String]("path"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+        t.files.foldLeft(fromRel) { case (acc, (p, add)) =>
+          acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
+        }
+    }
+
+  /** Persist tier state after an archive pass appended `newEntries`,
+    * rolling the full file list into a parquet relation past
+    * [[Catalog.manifestDriverMax]] (the same threshold the manifest uses —
+    * at scale the cold tier is the BIGGER list). A parquet-backed roll is
+    * computed as a Spark union (prior relation ∪ the driver-held new
+    * entries) — nothing O(cold files) materializes. Seq-named relations
+    * are immutable; the superseded one is deleted after the JSON commit. */
+  private def writeTierState(name: String, root: String, prior: Option[TierState],
+                             newEntries: Map[Int, Vector[ManifestFile]]): Unit = {
+    val tail = prior.map(_.files).getOrElse(Map.empty)
+    val localMerged = newEntries.foldLeft(tail) { case (acc, (p, add)) =>
+      acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
+    }
+    val priorRef = prior.flatMap(_.filesRef)
+    val localTotal = localMerged.valuesIterator.map(_.size.toLong).sum
+    if (priorRef.isEmpty && localTotal <= Catalog.manifestDriverMax(spark)) {
+      writeAtomic(tierPath(name), TierState(root, localMerged).toJson)
+    } else {
+      val priorSeq = priorRef.flatMap(r =>
+        "_tier-files-(\\d+)\\.parquet".r.findFirstMatchIn(r).map(_.group(1).toLong))
+        .getOrElse(0L)
+      val refName = f"_tier-files-${priorSeq + 1}%020d.parquet"
+      import spark.implicits._
+      val localDf = localMerged.toSeq
+        .flatMap { case (p, fsq) => fsq.map(f => (p, f.path, f.lo, f.hi)) }
+        .toDF("partition", "path", "lo", "hi")
+      val rel = prior.flatMap(t => tierFilesRel(name, t)) match {
+        case Some(priorRel) => priorRel.unionByName(localDf)
+        case None => localDf
+      }
+      rel.coalesce(1).write.mode("overwrite")
+        .parquet(new Path(topicPath(name), refName).toString)
+      writeAtomic(tierPath(name), TierState(root, Map.empty, Some(refName)).toJson)
+      priorRef.foreach(r => fs.delete(new Path(topicPath(name), r), true): Unit)
+    }
+  }
+
+  private def deleteTierState(name: String): Unit = {
+    tierState(name).flatMap(_.filesRef)
+      .foreach(r => fs.delete(new Path(topicPath(name), r), true): Unit)
+    fs.delete(tierPath(name), false): Unit
+  }
 
   /** Cold-tier events as one DataFrame (raw stored form — callers decode
     * through the topic serializer like any log read), None when the topic
@@ -1246,7 +1318,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * so the partition column comes from directory discovery exactly like
     * the hot log's. */
   def coldEvents(name: String): Option[org.apache.spark.sql.DataFrame] =
-    tierState(name).filter(_.files.nonEmpty).map { t =>
+    tierState(name).filter(hasColdFiles).map { t =>
       spark.read.schema(Catalog.EventSchema).parquet(t.coldRoot)
     }
 
@@ -1348,11 +1420,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         }
       }
       if (moved > 0) {
-        val prior = tierState(name).getOrElse(TierState(root, Map.empty))
-        val merged = newEntries.foldLeft(prior.files) { case (acc, (p, add)) =>
-          acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
-        }
-        writeAtomic(tierPath(name), TierState(root, merged).toJson)
+        writeTierState(name, root, tierState(name), newEntries.toMap)
         // the hot manifest must stop listing the moved files
         rebuildManifest(name)
       }
@@ -1370,7 +1438,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       case Some(t) =>
         val coldFs = new Path(t.coldRoot).getFileSystem(hadoopConf)
         var moved = 0
-        t.files.foreach { case (p, entries) =>
+        // materializing here is proportional to the work: every entry is a
+        // file move (maintenance surface, not a planner)
+        tierFilesAll(name, t).foreach { case (p, entries) =>
           entries.foreach { f =>
             val src = new Path(f.path)
             val dstDir = new Path(logPath(name), s"partition=$p")
@@ -1387,7 +1457,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             moved += 1
           }
         }
-        fs.delete(tierPath(name), false)
+        deleteTierState(name)
         rebuildManifest(name)
         moved
     } finally releaseCompactLock(name)
@@ -1816,14 +1886,23 @@ final case class TierReport(filesMoved: Int, bytesMoved: Long)
 /** Cold-tier state (see [[Catalog.archiveTopicBefore]]): the cold root and,
   * per partition, the archived chunk files — ABSOLUTE paths (the cold root
   * may be a different filesystem) with their footer id ranges, so readers
-  * prune cold files exactly like manifest entries. */
-final case class TierState(coldRoot: String, files: Map[Int, Vector[ManifestFile]]) {
+  * prune cold files exactly like manifest entries.
+  *
+  * Past [[Catalog.manifestDriverMax]] total entries, `filesRef` names a
+  * parquet relation (relative to the topic directory) holding the file
+  * list and `files` is empty — at 100 TB the cold tier holds MOST of the
+  * topic, so its file list must no longer round-trip through driver JSON
+  * than the manifest's (planners prune the relation and collect only the
+  * slice-overlapping cold files). */
+final case class TierState(coldRoot: String, files: Map[Int, Vector[ManifestFile]],
+                           filesRef: Option[String] = None) {
   def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
-    "coldRoot" -> JString(coldRoot),
-    "files" -> JObject(files.toSeq.sortBy(_._1).map { case (p, fsq) =>
+    ("coldRoot" -> (JString(coldRoot): JValue)) ::
+    ("files" -> (JObject(files.toSeq.sortBy(_._1).map { case (p, fsq) =>
       p.toString -> (JArray(fsq.toList.map(f => JObject(
         "f" -> JString(f.path), "lo" -> JLong(f.lo), "hi" -> JLong(f.hi)))): JValue)
-    }: _*))))
+    }: _*): JValue)) ::
+    filesRef.map(r => "filesRef" -> (JString(r): JValue)).toList)))
 }
 
 object TierState {
@@ -1837,7 +1916,11 @@ object TierState {
       // same wire shape as the manifest's files map — reuse its parser
       val files = TopicManifest.fromJson(JsonMethods.compact(JsonMethods.render(
         JObject("watermarks" -> JObject(), "files" -> o \ "files")))).files
-      TierState(root, files)
+      val ref = o \ "filesRef" match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      TierState(root, files, ref)
     case other => throw new IllegalStateException(
       s"tier state must be a JSON object: ${JsonMethods.compact(other)}")
   }

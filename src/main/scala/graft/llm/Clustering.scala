@@ -58,7 +58,17 @@ object Clustering {
    * lose all points keep their previous centroid (never vanish), matching
    * the usual "empty cluster keeps centroid" convention.
    */
-  def lloyd(points: DataFrame, k: Int, iters: Int): DataFrame = {
+  def lloyd(points: DataFrame, k: Int, iters: Int): DataFrame =
+    lloydFull(points, k, iters)._1.drop("vec")
+
+  /** [[lloyd]] exposing the final CENTROIDS too — `(cid, cvec)`, the
+    * coarse-quantizer output an IVF rebuild consumes
+    * ([[Similarity.maintainIndex]]). */
+  def lloydCentroids(points: DataFrame, k: Int, iters: Int): DataFrame =
+    lloydFull(points, k, iters)._2
+
+  private def lloydFull(points: DataFrame, k: Int,
+                        iters: Int): (DataFrame, DataFrame) = {
     var centroids = points.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec"))
       .localCheckpoint(true)
@@ -78,6 +88,6 @@ object Clustering {
         .localCheckpoint(true)
       assigned = assignCarry(points, centroids)
     }
-    assigned.drop("vec")
+    (assigned, centroids)
   }
 }

@@ -335,22 +335,45 @@ object Similarity {
    */
   def rebalanceIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newCentroids: DataFrame,
-                     maxCellShareMicro: Long = 250000L): Boolean = {
+                     maxCellShareMicro: Long = 250000L): Boolean =
+    if (!isSkewed(spark, path, maxCellShareMicro)) false
+    else { rebuildWith(spark, path, _ => newCentroids); true }
+
+  /** [[rebalanceIndex]] with the re-clustering built in: when triggered,
+    * new centroids come from a deterministic k-means over the stored
+    * vectors ([[Clustering.lloydCentroids]] — seeded, no RNG, so the
+    * rebuilt index is reproducible). The zero-argument maintenance policy
+    * for a periodic `maintain()`-style cron: check occupancy (one count
+    * per cell), rebuild O(corpus) only when the bound is exceeded. */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    k: Int, iters: Int = 3,
+                    maxCellShareMicro: Long = 250000L): Boolean =
+    if (!isSkewed(spark, path, maxCellShareMicro)) false
+    else {
+      rebuildWith(spark, path, vectors =>
+        Clustering.lloydCentroids(vectors, k, iters)
+          .select(col("cid").as("id"), col("cvec").as("vec")))
+      true
+    }
+
+  private def isSkewed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       maxCellShareMicro: Long): Boolean = {
     val occ = indexStats(spark, path).collect().map(_.getAs[Long]("n"))
     val total = occ.sum
-    if (total == 0L || occ.max * 1000000L <= maxCellShareMicro * total) false
-    else {
-      // materialize the stored vectors BEFORE overwriting the layout they
-      // are read from (saveIndex deletes cells/ first)
-      val vectors = readIndexCells(spark, path).select(col("id"), col("vec"))
-        .localCheckpoint(true)
-      try saveIndex(vectors, newCentroids, path)
-      finally vectors.queryExecution.analyzed.foreach {
-        // checkpoint storage lives at the RDD level, out of unpersist's reach
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false): Unit
-        case _ => ()
-      }
-      true
+    total > 0L && occ.max * 1000000L > maxCellShareMicro * total
+  }
+
+  private def rebuildWith(spark: org.apache.spark.sql.SparkSession, path: String,
+                          centroidsOf: DataFrame => DataFrame): Unit = {
+    // materialize the stored vectors BEFORE overwriting the layout they
+    // are read from (saveIndex deletes cells/ first)
+    val vectors = readIndexCells(spark, path).select(col("id"), col("vec"))
+      .localCheckpoint(true)
+    try saveIndex(vectors, centroidsOf(vectors), path)
+    finally vectors.queryExecution.analyzed.foreach {
+      // checkpoint storage lives at the RDD level, out of unpersist's reach
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false): Unit
+      case _ => ()
     }
   }
 

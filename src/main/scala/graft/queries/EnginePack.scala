@@ -1333,6 +1333,48 @@ object EnginePack extends QueryPack {
         .withColumn("multi_batch", lit(batches >= 2))
         .orderBy(col("partition"))
     },
+    "q_stream_bytes" -> { (s, dir) =>
+      // S3 byte-shaped admission through the oracle: `maxBytesPerTrigger`
+      // bounds each micro-batch by chunk-file bytes (≥1 file per trigger —
+      // the consumer-side analog of the reference producer's byte-sized
+      // queue bound, `ActiveProducerBatchQueue.hpp:70-72`). A quarter-log
+      // budget forces a multi-trigger drain at ANY scale factor (byte
+      // budgets must not be row counts precisely because payload size per
+      // row varies); the drained rows must equal the source exactly —
+      // admission changes batching, never content.
+      val d = tempDriver(s)
+      d.createTopic("sbytes_demo", partitions = 4)
+      val topic = d.openTopic("sbytes_demo")
+      val src = sourceByEid(s, dir)
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      (0 until 3).foreach(b =>
+        topic.producer().produce(src.filter(pmod(eid, lit(3)) === b)))
+      val logDir = new org.apache.hadoop.fs.Path(d.catalog.logPath("sbytes_demo"))
+      val fsys = logDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val budget = math.max(1L, fsys.getContentSummary(logDir).getLength / 4)
+      val qname = s"q_stream_bytes_${EnginePack.streamRun.incrementAndGet()}"
+      val query = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "sbytes_demo")
+        .option("maxBytesPerTrigger", budget.toString)
+        .load()
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-sbytes-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val batches = query.recentProgress.count(_.numInputRows > 0)
+      s.table(qname)
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          countDistinct(col("event_id")).as("n_distinct"))
+        .withColumn("multi_batch", lit(batches >= 2))
+        .orderBy(col("partition"))
+    },
     "q_stream_time" -> { (s, dir) =>
       // Kafka startingTimestamp parity THROUGH the micro-batch source: a
       // fresh stream pinned to the 40%-quantile event time must emit
@@ -1762,6 +1804,12 @@ object EnginePack extends QueryPack {
     // the micro-batch stream drains exactly the produced log: dense ids per
     // partition, across ≥2 admission-bounded batches
     "q_stream_drain" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
+        | true AS multi_batch
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // byte admission changes batching, never content: same drain oracle
+    "q_stream_bytes" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id, count(*) AS n_distinct,
         | true AS multi_batch

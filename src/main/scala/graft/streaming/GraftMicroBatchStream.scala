@@ -298,10 +298,37 @@ object GraftPartitions {
     // pruned by the slice exactly like manifest entries. Both planning
     // paths append them — archived history must stay readable through the
     // source (a fresh stream replaying from id 0 reads mostly cold files).
-    val tier: Map[Int, Vector[graft.engine.ManifestFile]] =
-      catalog.tierState(topic).map(_.files).getOrElse(Map.empty)
+    // Parquet-backed tier states (past the driver threshold — at scale the
+    // cold tier is MOST of the topic) are pruned as a relation: one join
+    // against the slice bounds collects only the overlapping cold files.
+    val tierSt = catalog.tierState(topic)
+    val tierTail: Map[Int, Vector[graft.engine.ManifestFile]] =
+      tierSt.map(_.files).getOrElse(Map.empty)
+    val tierRel = tierSt.flatMap(t => catalog.tierFilesRel(topic, t))
+    val hasCold = tierTail.nonEmpty || tierRel.isDefined
+    val keptColdRel: Map[Int, Vector[graft.engine.ManifestFile]] = tierRel match {
+      case None => Map.empty
+      case Some(rel) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        import spark.implicits._
+        val bounds = (0 until catalog.openTopic(topic).partitions)
+          .filter(p => targets.forall(_.contains(p)))
+          .map(p => (p, math.max(from(p), 0L), until(p)))
+          .filter(b => b._3 > b._2)
+        if (bounds.isEmpty) Map.empty
+        else rel.join(broadcast(bounds.toDF("p", "plo", "phi")),
+            col("partition") === col("p") &&
+              col("hi") >= col("plo") && col("lo") < col("phi"))
+          .select(col("partition"), col("path"), col("lo"), col("hi"))
+          .collect()
+          .map(r => (r.getAs[Int]("partition"), graft.engine.ManifestFile(
+            r.getAs[String]("path"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))))
+          .groupBy(_._1).view
+          .mapValues(_.map(_._2).sortBy(f => (f.lo, f.path)).toVector).toMap
+    }
     def coldFiles(p: Int, lo: Long, hi: Long): Seq[String] =
-      tier.getOrElse(p, Vector.empty)
+      (keptColdRel.getOrElse(p, Vector.empty) ++
+        tierTail.getOrElse(p, Vector.empty))
         .filter(f => f.hi >= lo && f.lo < hi)
         .map(f => new Path(f.path).getFileSystem(conf)
           .makeQualified(new Path(f.path)).toString)
@@ -377,7 +404,7 @@ object GraftPartitions {
       case Some(planned) => return planned
       case None =>
     }
-    if (!fs.exists(logPath) && tier.isEmpty) {
+    if (!fs.exists(logPath) && !hasCold) {
       // A missing log dir is only legitimate when the id watermark says no
       // events were ever committed. Otherwise fail LOUDLY: silently planning
       // zero slices would let a streaming checkpoint commit past events that
@@ -401,7 +428,7 @@ object GraftPartitions {
             case _ => None
           }
         }).toMap
-    val allParts = (partDirs.keySet ++ tier.keySet).toSeq.sorted
+    val allParts = (partDirs.keySet ++ tierTail.keySet ++ keptColdRel.keySet).toSeq.sorted
       .filter(p => targets.forall(_.contains(p)))
     allParts.flatMap { p =>
       val lo = from(p); val hi = until(p)

@@ -107,6 +107,47 @@ class TieredStorageSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/data").count() == 30)
   }
 
+  test("parquet-backed tier state: planners prune the relation, restore still exact") {
+    // force the driver threshold to 0 so the small fixture takes the exact
+    // paths a cold tier holding most of a 100 TB topic would take
+    spark.conf.set("spark.graft.manifest.driverMaxEntries", "0")
+    try {
+      val (d, topic) = newTopic()
+      topic.producer().produce(batch("a", 12))
+      val c1 = d.catalog.nextIds("t").values.max
+      topic.producer().produce(batch("b", 12))
+      val c2 = d.catalog.nextIds("t").values.max
+      topic.producer().produce(batch("c", 12))
+      val before = rows(topic.events())
+
+      assert(topic.archiveBefore(c1).filesMoved == 2)
+      val t1 = topic.tierState.get
+      assert(t1.filesRef.isDefined, "tier file list must be parquet-backed")
+      assert(t1.files.isEmpty, "tier JSON must not hold the file list")
+      assert(d.catalog.tierFilesRel("t", t1).get.count() == 2)
+      // a second archive wave UNIONS into the relation (no entries lost)
+      assert(topic.archiveBefore(c2).filesMoved == 2)
+      val t2 = topic.tierState.get
+      assert(t2.filesRef.isDefined && t2.files.isEmpty)
+      assert(d.catalog.tierFilesRel("t", t2).get.count() == 4)
+      assert(t2.filesRef != t1.filesRef, "rolled relations are immutable-by-name")
+
+      // every read surface still exact: batch union view + streaming slice
+      assert(rows(topic.events()) == before)
+      val slice = graft.streaming.GraftPartitions.plan(
+        d.catalog, "t", targets = None, from = _ => 0L, until = _ => 6L)
+      // ids [0,6) per partition live wholly in the FIRST archived wave:
+      // relation pruning must keep 1 cold file per partition, not all 4
+      slice.foreach { s =>
+        val ip = s.asInstanceOf[graft.streaming.GraftInputPartition]
+        assert(ip.files.size == 1, s"expected 1 overlapping cold file: ${ip.files}")
+      }
+      assert(topic.restoreArchive() == 4)
+      assert(topic.tierState.isEmpty)
+      assert(rows(topic.events()) == before)
+    } finally spark.conf.unset("spark.graft.manifest.driverMaxEntries")
+  }
+
   test("indexed reads union the cold tier conservatively") {
     val (d, topic) = newTopic()
     topic.producer().produce(batch("a", 24))

@@ -919,4 +919,24 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(identity).toSeq
     assert(viaIndex == directTopK)
   }
+
+  test("maintainIndex re-clusters with deterministic k-means only when skewed") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-maint").toString
+    val corpus = randVecs(21, 60)
+    Similarity.saveIndex(corpus, randVecs(22, 1, offset = 9000L), idx) // 1 cell: 100%
+    assert(Similarity.maintainIndex(session, idx, k = 6, iters = 2,
+      maxCellShareMicro = 500000L))
+    // corpus preserved; assignments equal a direct k-means-built index's
+    val kc = Clustering.lloydCentroids(corpus, k = 6, iters = 2)
+      .select(org.apache.spark.sql.functions.col("cid").as("id"),
+        org.apache.spark.sql.functions.col("cvec").as("vec"))
+    val direct = Similarity.nearestCells(corpus, kc, 1)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val stored = Similarity.readIndexCells(session, idx)
+      .select("id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(stored == direct)
+    // skew gone under k-means centroids → second maintenance call no-ops
+    assert(!Similarity.maintainIndex(session, idx, k = 6, iters = 2,
+      maxCellShareMicro = 500000L))
+  }
 }
