@@ -45,16 +45,18 @@ object Bench {
         threshold = 0.9, cache = false).count()
     } catch { case scala.util.control.NonFatal(_) => () } // fatal errors propagate
 
-    // Best-of-2 per query, with the two samples taken in SEPARATE full
-    // passes over the suite (A:q1..qn then B:q1..qn) rather than
-    // back-to-back. A transient load spike on a shared machine can inflate
-    // a run 4-10× (observed in past rounds), and a spike lasting tens of
-    // seconds defeats back-to-back repeats — both samples land inside it.
-    // With the passes minutes apart, a spike contaminates a contiguous span
-    // of ONE pass and every query's other sample stays clean. Queries whose
-    // two samples still disagree badly get a third, final-pass sample.
-    // Each invocation rebuilds its own temp warehouses/checkpoints, so
-    // later passes measure the same work, not a cache hit of an earlier one.
+    // Min-of-3 per query: a back-to-back WARM pair in pass A (the second
+    // run measures the query with its code JIT-compiled and inputs
+    // page-cached — the steady-state number, and the methodology earlier
+    // rounds recorded), plus one sample in a SEPARATE full pass B minutes
+    // later. The separated sample is the sustained-load-spike guard: a
+    // spike lasting tens of seconds swallows both back-to-back runs
+    // (observed: 2-11× inflation on unchanged code in a past round's
+    // capture), but cannot also cover the same query's pass-B slot.
+    // Queries whose pass-A and pass-B samples still disagree badly get a
+    // final targeted re-run. Each invocation rebuilds its own temp
+    // warehouses/checkpoints, so repeats measure the same work, not a
+    // result-cache hit of an earlier run.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def once(name: String): Either[String, Double] = {
@@ -68,32 +70,36 @@ object Bench {
       } finally {
         spark.catalog.clearCache() // drop caller-owned persists
         // localCheckpoint pins RDD-level storage that clearCache (a
-        // CacheManager call) cannot see; without this, 185 queries × 2
-        // passes accumulate pinned blocks and the tail of the run pays
+        // CacheManager call) cannot see; without this, ~190 queries × 3
+        // runs accumulate pinned blocks and the tail of the run pays
         // growing memory pressure that reads as a slowdown.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
-    def pass(run: Seq[String]): Map[String, Double] =
-      run.flatMap { name =>
-        once(name) match {
-          case Left(msg) => errors(name) = msg; None
-          case Right(t)  => Some(name -> t)
-        }
-      }.toMap
-    val passA = pass(names)
-    val passB = pass(names.filterNot(errors.contains))
-    val best2 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // warm pair: min of two back-to-back runs (a flaky query is an error)
+    def warmPair(name: String): Either[String, Double] =
+      once(name).flatMap(t1 => once(name).map(t2 => math.min(t1, t2)))
+    val passA: Map[String, Double] = names.flatMap { name =>
+      warmPair(name) match {
+        case Left(msg) => errors(name) = msg; None
+        case Right(t)  => Some(name -> t)
+      }
+    }.toMap
+    val passB: Map[String, Double] = names.filterNot(errors.contains).flatMap { name =>
+      once(name) match {
+        case Left(msg) => errors(name) = msg; None
+        case Right(t)  => Some(name -> t)
+      }
+    }.toMap
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val unstable = scala.collection.mutable.ArrayBuffer.empty[String]
     names.filterNot(errors.contains).foreach { n =>
       val (a, b) = (passA(n), passB(n))
-      best2(n) = math.min(a, b)
+      timings(n) = math.min(a, b)
       // both samples slow AND mutually inconsistent → neither is trustworthy
       if (math.max(a, b) > 2.0 * math.min(a, b) && math.min(a, b) > 1.0)
         unstable += n
     }
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    names.filterNot(errors.contains).foreach(n => timings(n) = best2(n))
     unstable.foreach { n =>
       once(n).foreach(t => timings(n) = math.min(timings(n), t))
     }
