@@ -191,11 +191,22 @@ object BloomIndex {
     } finally c.releaseCompactLock(topic)
   }
 
+  /** One row of the index relation (its parameter header), without
+    * collecting the whole O(files) relation driver-side. */
+  private def indexHead(spark: SparkSession, c: Catalog, topic: String,
+                        index: String): Option[Row] = {
+    val dir = indexPath(c, topic, index)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else spark.read.schema(Schema).parquet(dir.toString)
+      .limit(1).collect().headOption
+  }
+
   /** Refresh an existing bloom index under its stored parameters (the
     * `maintain()` path). Unknown index → 0. */
   def refreshExisting(spark: SparkSession, c: Catalog, topic: String,
                       index: String): Int =
-    readIndex(spark, c, topic, index).headOption match {
+    indexHead(spark, c, topic, index) match {
       case None => 0
       case Some(h) => refresh(spark, c, topic, index,
         h.getAs[String]("json_path"), h.getAs[Int]("num_bits"),

@@ -193,12 +193,23 @@ object MetadataIndex {
       s"($kind) — use a different index name per field")
   }
 
+  /** One row of the index relation (its identity header), without
+    * collecting the whole O(files) relation driver-side. */
+  private def indexHead(spark: SparkSession, c: Catalog, topic: String,
+                        index: String): Option[Row] = {
+    val dir = indexPath(c, topic, index)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else spark.read.schema(IndexSchema).parquet(dir.toString)
+      .limit(1).collect().headOption
+  }
+
   /** Refresh an EXISTING index under its own stored (json_path, kind) —
     * the maintenance-policy path, where the caller doesn't restate the
     * field. Unknown index → 0 (nothing to refresh, not an error). */
   def refreshExisting(spark: SparkSession, c: Catalog, topic: String,
                       index: String): Int =
-    readIndex(spark, c, topic, index).headOption match {
+    indexHead(spark, c, topic, index) match {
       case None => 0
       case Some(h) => refresh(spark, c, topic, index,
         h.getAs[String]("json_path"), h.getAs[String]("kind"))

@@ -1,0 +1,177 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * `graft_minhash(array<string> tokens, n, k) → array<long>`: the MinHash
+ * signature of a document's token n-gram shingle set as ONE fused native
+ * pass — shingles are assembled in place and each updates k running minima.
+ *
+ * Bit-exact to the reference formulation it replaces (spec-locked in
+ * LlmSpec): shingle strings are
+ * [[graft.llm.TextFunctions.shinglesFromTokens]]'s (n consecutive tokens
+ * joined by `" "`; a document shorter than n tokens contributes ONE shingle
+ * = all its tokens), and hash j of shingle s is Spark's
+ * `xxhash64(lit(j), s)` — seed 42, int-hash of j chained into the UTF8
+ * hash of s, via the same `XXH64` kernels Spark's expression uses. Min
+ * over the shingle MULTISET equals min over the distinct set, so the
+ * `array_distinct` of the reference pipeline is free here.
+ *
+ * Why native: the reference shape is `explode(array_distinct(transform(...)))`
+ * + a k-column min aggregate — an interpreted HOF building one string per
+ * shingle per row, a row explosion of ~|tokens| per document, and a
+ * hash-aggregate carrying k longs per shingle row through partial
+ * aggregation. This expression is a projection: no explosion, no aggregate,
+ * no shuffle — the signature step of every MinHash operator
+ * (near-duplicates, signature stores, incremental dedup) becomes map-only.
+ *
+ * Null contract: null input array → null; null TOKENS are skipped inside a
+ * shingle (matching `concat_ws`, which drops nulls).
+ */
+final case class MinhashFromTokens(child: Expression, shingleN: Int, numHashes: Int)
+  extends UnaryExpression {
+
+  require(shingleN >= 1, s"shingle size must be >= 1: $shingleN")
+  require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash requires array<string> (tokens), got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashFromTokens.compute(a.asInstanceOf[ArrayData], shingleN, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // one static call keeps the whole-stage codegen span intact; the loop
+    // itself gains nothing from being inlined as generated Java
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.MinhashFromTokens.compute($w, $shingleN, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashFromTokens =
+    copy(child = newChild)
+}
+
+/**
+ * `graft_shingles(array<string> tokens, n) → array<string>`: the DISTINCT
+ * token n-gram shingle set, natively — bit-exact to
+ * `array_distinct(shinglesFromTokens(tokens, n))` including first-occurrence
+ * order (LlmSpec lock) and the short-document rule (fewer than n tokens →
+ * one shingle = the whole document). Why native: the HOF formulation
+ * re-evaluates its child per element access when no exchange materializes
+ * the token array first — a pure-projection pipeline (the signature-store
+ * shape) would pay O(tokens²) re-splitting per document.
+ */
+final case class DistinctShinglesFromTokens(child: Expression, shingleN: Int)
+  extends UnaryExpression {
+
+  require(shingleN >= 1, s"shingle size must be >= 1: $shingleN")
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles requires array<string> (tokens), got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    DistinctShinglesFromTokens.compute(a.asInstanceOf[ArrayData], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w =>
+      s"${ev.value} = graft.functions.DistinctShinglesFromTokens.compute($w, $shingleN);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctShinglesFromTokens =
+    copy(child = newChild)
+}
+
+object DistinctShinglesFromTokens {
+
+  private val Sep = UTF8String.fromString(" ")
+
+  /** Public static so generated code can call it by name. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    val count = m - (n - 1)
+    if (count <= 0) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(Sep, parts: _*)))
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < count) {
+        var j = 0
+        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(Sep, parts: _*)): Unit
+        i += 1
+      }
+      new GenericArrayData(seen.toArray)
+    }
+  }
+
+  /** Column-level constructor. */
+  def apply(tokens: Column, shingleN: Int): Column =
+    Shims.column(DistinctShinglesFromTokens(Shims.expression(tokens), shingleN))
+}
+
+object MinhashFromTokens {
+
+  private val Sep = UTF8String.fromString(" ")
+
+  /** Public static so generated code can call it by name. */
+  def compute(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val seeds = new Array[Long](k)
+    var j = 0
+    while (j < k) { seeds(j) = XXH64.hashInt(j, 42L); j += 1 }
+    val mins = Array.fill(k)(Long.MaxValue)
+    def hashShingle(s: UTF8String): Unit = {
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashUTF8String(s, seeds(j))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    val m = tokens.numElements()
+    val count = m - (n - 1)
+    if (count <= 0) {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      hashShingle(UTF8String.concatWs(Sep, parts: _*))
+    } else {
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < count) {
+        var j = 0
+        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        hashShingle(UTF8String.concatWs(Sep, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column-level constructor. */
+  def apply(tokens: Column, shingleN: Int, numHashes: Int): Column =
+    Shims.column(MinhashFromTokens(Shims.expression(tokens), shingleN, numHashes))
+}

@@ -107,6 +107,10 @@ object Dedup {
    * aggregate keeps everything inside whole-stage codegen and evaluates each
    * shingle exactly once.
    */
+  /** Reference formulation of the MinHash signature (aggregate over
+    * exploded shingle rows). The production path is the native fused
+    * [[graft.functions.MinhashFromTokens]] — LlmSpec locks the two
+    * bit-identical; this stays as the executable spec. */
   def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { j =>
       min(xxhash64(lit(j), col("s"))).as(s"h$j")
@@ -205,21 +209,22 @@ object Dedup {
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col("id"))
 
-    // sh feeds both the signature aggregate and the exact-verify join;
-    // sig sits on both sides of the band self-join
+    // sh feeds the exact-verify join; sig sits on both sides of the band
+    // self-join. Both are native per-row passes (no aggregate builds the
+    // signature any more — see MinhashFromTokens), so the only shuffles
+    // left are the candidate join and the verification aggregate.
     def maybeCache(d: DataFrame): DataFrame =
       if (cache) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else d
     val sh = maybeCache(base.select(col("id"),
-      explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s")))
+      explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s")))
 
-    val sig = maybeCache(minhashSignatures(sh, numHashes))
+    val sig = maybeCache(base.select(col("id"),
+      graft.functions.MinhashFromTokens(col("w"), shingleN, numHashes).as("sig")))
     val release = () =>
       if (cache) { sh.unpersist(false); sig.unpersist(false); () }
 
     val banded = sig.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-      }: _*)))
+      bandValues(col("sig"), bands, rowsPerBand)))
       .toDF("id", "band", "bandval")
 
     val candidates = bandCandidates(banded, maxBucket, extra = Nil)
@@ -258,25 +263,16 @@ object Dedup {
                      shingleN: Int = 3, bands: Int = 8,
                      rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // tokenize before the exchange (materialized array — the shinglesFromTokens
-    // lambda must not re-split per element), same discipline as nearDuplicates
-    val sh = df
-      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col("id"))
-      .select(col("id"), explode(array_distinct(
-        TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
-    // ONE aggregate computes the signature AND re-collects the distinct
-    // shingle set (the exploded rows ARE the distinct set): a join of two
-    // branches off the shingle projection would re-run the interpreted
-    // shingle lambda once per branch — measured 2-3× the whole signature
-    // cost. `sh`'s element order is aggregation order (arbitrary); every
-    // consumer treats it as a set.
-    val mins = (0 until numHashes).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
-    sh.groupBy(col("id"))
-      .agg(mins.head, (mins.tail :+ collect_list(col("s")).as("sh")): _*)
+    // a PURE PROJECTION since the native expressions landed: both the
+    // signature (fused shingle-and-k-minima pass, bit-identical to the
+    // explode + min(xxhash64) formulation it replaced — spec-locked) and
+    // the distinct shingle set are per-row map work. No explosion, no
+    // aggregate, no shuffle — building a store over a shard costs one
+    // narrow scan of the shard.
+    df.select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
       .select(col("id"),
-        array((0 until numHashes).map(j => col(s"h$j")): _*).as("sig"),
-        col("sh"))
+        graft.functions.MinhashFromTokens(col("w"), shingleN, numHashes).as("sig"),
+        graft.functions.DistinctShinglesFromTokens(col("w"), shingleN).as("sh"))
   }
 
   /** Band values from a stored signature array — the same

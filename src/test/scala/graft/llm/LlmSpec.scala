@@ -920,6 +920,45 @@ class LlmSpec extends SparkSpec {
     assert(viaIndex == directTopK)
   }
 
+  test("native graft_minhash equals the explode + min(xxhash64) reference exactly") {
+    import session.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "", "τσε", "a b")
+    // lengths 0..24 cover: empty, shorter-than-n (single whole-doc shingle),
+    // exact n, long docs with repeated shingles (multiset-vs-set min)
+    val docs = (0 until 120).map { i =>
+      (i.toLong, Vector.fill(rnd.nextInt(25))(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("id", "text")
+    for ((n, k) <- Seq((3, 8), (1, 4), (5, 64))) {
+      val w = TextFunctions.tokens(col("text"))
+      val native = docs.select(col("id"),
+          graft.functions.MinhashFromTokens(w, n, k).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val sh = docs.select(col("id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array_distinct(
+            TextFunctions.shinglesFromTokens(w, n))).as("s"))
+      val ref = Dedup.minhashSignatures(sh, k)
+        .collect().map(r => r.getLong(0) ->
+          (1 to k).map(j => r.getLong(j)).toVector).toMap
+      assert(native.keySet == ref.keySet)
+      native.foreach { case (id, sig) =>
+        assert(sig == ref(id), s"divergence at id=$id n=$n k=$k")
+      }
+      // the native distinct-shingle set matches the HOF formulation exactly
+      // (content AND first-occurrence order)
+      val nativeSh = docs.select(col("id"),
+          graft.functions.DistinctShinglesFromTokens(w, n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+      val refSh = docs.select(col("id"),
+          org.apache.spark.sql.functions.array_distinct(
+            TextFunctions.shinglesFromTokens(w, n)).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+      assert(nativeSh == refSh, s"shingle divergence at n=$n")
+    }
+  }
+
   test("maintainIndex re-clusters with deterministic k-means only when skewed") {
     val idx = java.nio.file.Files.createTempDirectory("llm-ivf-maint").toString
     val corpus = randVecs(21, 60)
