@@ -65,16 +65,20 @@ final case class MinhashFromTokens(child: Expression, shingleN: Int, numHashes: 
 }
 
 /**
- * `graft_shingles(array<string> tokens, n) → array<string>`: the DISTINCT
- * token n-gram shingle set, natively — bit-exact to
- * `array_distinct(shinglesFromTokens(tokens, n))` including first-occurrence
- * order (LlmSpec lock) and the short-document rule (fewer than n tokens →
- * one shingle = the whole document). Why native: the HOF formulation
- * re-evaluates its child per element access when no exchange materializes
- * the token array first — a pure-projection pipeline (the signature-store
- * shape) would pay O(tokens²) re-splitting per document.
+ * `graft_shingles(array<string> tokens, n, distinct) → array<string>`:
+ * token n-gram shingles, natively — bit-exact to
+ * `shinglesFromTokens(tokens, n)` (and, with `distinct`, to
+ * `array_distinct` of it including first-occurrence order — LlmSpec lock),
+ * with the short-document rule (fewer than n tokens → one shingle = the
+ * whole document). The non-distinct form keeps multiplicity and order —
+ * the n-gram LANGUAGE-MODEL shape (bigram counts need every occurrence).
+ * Why native: the HOF formulation re-evaluates its child per element
+ * access when no exchange materializes the token array first — a
+ * pure-projection pipeline (the signature-store shape) would pay
+ * O(tokens²) re-splitting per document.
  */
-final case class DistinctShinglesFromTokens(child: Expression, shingleN: Int)
+final case class ShinglesFromTokensExpr(child: Expression, shingleN: Int,
+                                        distinct: Boolean)
   extends UnaryExpression {
 
   require(shingleN >= 1, s"shingle size must be >= 1: $shingleN")
@@ -90,23 +94,23 @@ final case class DistinctShinglesFromTokens(child: Expression, shingleN: Int)
   override def prettyName: String = "graft_shingles"
 
   override def nullSafeEval(a: Any): Any =
-    DistinctShinglesFromTokens.compute(a.asInstanceOf[ArrayData], shingleN)
+    ShinglesFromTokensExpr.compute(a.asInstanceOf[ArrayData], shingleN, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, w =>
-      s"${ev.value} = graft.functions.DistinctShinglesFromTokens.compute($w, $shingleN);")
+      s"${ev.value} = graft.functions.ShinglesFromTokensExpr.compute($w, $shingleN, $distinct);")
 
   override protected def withNewChildInternal(
-      newChild: Expression): DistinctShinglesFromTokens =
+      newChild: Expression): ShinglesFromTokensExpr =
     copy(child = newChild)
 }
 
-object DistinctShinglesFromTokens {
+object ShinglesFromTokensExpr {
 
   private val Sep = UTF8String.fromString(" ")
 
   /** Public static so generated code can call it by name. */
-  def compute(tokens: ArrayData, n: Int): ArrayData = {
+  def compute(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = tokens.numElements()
     val count = m - (n - 1)
     if (count <= 0) {
@@ -114,7 +118,7 @@ object DistinctShinglesFromTokens {
       var i = 0
       while (i < m) { parts(i) = tokens.getUTF8String(i); i += 1 }
       new GenericArrayData(Array[Any](UTF8String.concatWs(Sep, parts: _*)))
-    } else {
+    } else if (distinct) {
       val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
       val parts = new Array[UTF8String](n)
       var i = 0
@@ -125,12 +129,32 @@ object DistinctShinglesFromTokens {
         i += 1
       }
       new GenericArrayData(seen.toArray)
+    } else {
+      val out = new Array[Any](count)
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < count) {
+        var j = 0
+        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Sep, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
   }
+}
 
-  /** Column-level constructor. */
+/** Column-level constructors for the shingle expression. */
+object DistinctShinglesFromTokens {
   def apply(tokens: Column, shingleN: Int): Column =
-    Shims.column(DistinctShinglesFromTokens(Shims.expression(tokens), shingleN))
+    Shims.column(ShinglesFromTokensExpr(Shims.expression(tokens), shingleN,
+      distinct = true))
+}
+
+object AllShinglesFromTokens {
+  def apply(tokens: Column, shingleN: Int): Column =
+    Shims.column(ShinglesFromTokensExpr(Shims.expression(tokens), shingleN,
+      distinct = false))
 }
 
 object MinhashFromTokens {

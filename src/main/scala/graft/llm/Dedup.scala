@@ -91,26 +91,19 @@ object Dedup {
   // -- MinHash + LSH --------------------------------------------------------
 
   /**
-   * MinHash signatures as `numHashes` INDEPENDENT min-order statistics over
-   * an exploded (id, shingle) relation. Hash family: `xxhash64(j, shingle)`
-   * — fully codegen'd 64-bit hashing. Independence is deliberate: the
+   * Reference formulation of the MinHash signature: `numHashes` INDEPENDENT
+   * min-order statistics over an exploded (id, shingle) relation, hash
+   * family `xxhash64(j, shingle)`. Independence is deliberate: the
    * documented LSH miss-probability margin (`queries/TextPack.scala`)
-   * assumes independent coordinates; a two-hash mixed family was measured
-   * at only ~15% query speedup (exact verification dominates) and was
-   * reverted as not worth weakening that analysis. Correctness never
-   * depends on the family regardless: the near-dup contract is checked
-   * against EXACT all-pairs Jaccard, which never touches these hashes.
+   * assumes independent coordinates. Correctness never depends on the
+   * family regardless: the near-dup contract is checked against EXACT
+   * all-pairs Jaccard, which never touches these hashes.
    *
-   * Shape matters: computing the signature as 64 `array_min(transform(...))`
-   * expressions over an array column would re-evaluate the (non-codegen)
-   * shingle construction once per hash function per row — explode + hash
-   * aggregate keeps everything inside whole-stage codegen and evaluates each
-   * shingle exactly once.
+   * The production path is the native fused
+   * [[graft.functions.MinhashFromTokens]] (one pass per document, no
+   * explode, no aggregate) — LlmSpec locks the two bit-identical; this
+   * stays as the executable spec.
    */
-  /** Reference formulation of the MinHash signature (aggregate over
-    * exploded shingle rows). The production path is the native fused
-    * [[graft.functions.MinhashFromTokens]] — LlmSpec locks the two
-    * bit-identical; this stays as the executable spec. */
   def minhashSignatures(shingleRows: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map { j =>
       min(xxhash64(lit(j), col("s"))).as(s"h$j")
@@ -582,8 +575,8 @@ object Dedup {
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col("id"))
     // cache contract as in [[prefixFilterPairs]]: caller owns the lifetime
-    val sh0 = base.select(col("id"), explode(array_distinct(
-        TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+    val sh0 = base.select(col("id"), explode(
+        graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
     val sh = if (cache)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0

@@ -75,7 +75,7 @@ object Perplexity {
                   idCol: String, textCol: String): DataFrame = {
     val refW = reference.select(TextFunctions.tokens(col(textCol)).as("w"))
     val refBg = refW.filter(size(col("w")) >= 2)
-      .select(explode(TextFunctions.shinglesFromTokens(col("w"), 2)).as("bg"))
+      .select(explode(graft.functions.AllShinglesFromTokens(col("w"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val refCtx = refW.select(explode(col("w")).as("w1"))
       .filter(col("w1") =!= "") // an empty doc tokenizes to [""]
@@ -85,7 +85,7 @@ object Perplexity {
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col(idCol),
-        explode(TextFunctions.shinglesFromTokens(col("w"), 2)).as("bg"))
+        explode(graft.functions.AllShinglesFromTokens(col("w"), 2)).as("bg"))
       // tokens are whitespace-split, so the first space splits the bigram
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     docBg

@@ -102,11 +102,11 @@ object Pipelines {
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col(idCol))
       .select(col(idCol),
-        explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+        explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
     val refShingles = reference
       .select(TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col("w"))
-      .select(explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+      .select(explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
       .distinct()
       .withColumn("__hit", lit(1))
     corpusShingles.join(refShingles, Seq("s"), "left")
@@ -129,11 +129,11 @@ object Pipelines {
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col(idCol))
       .select(col(idCol),
-        explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+        explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
     val benchShingles = benchmark
       .select(TextFunctions.tokens(col(textCol)).as("w"))
       .repartition(col("w")) // tiny side: the exchange materializes w
-      .select(explode(array_distinct(TextFunctions.shinglesFromTokens(col("w"), shingleN))).as("s"))
+      .select(explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
       .distinct()
     val hits = corpusShingles.join(benchShingles, "s")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))

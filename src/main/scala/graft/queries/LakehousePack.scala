@@ -206,7 +206,7 @@ object LakehousePack extends QueryPack {
       // map-side combined count + TakeOrderedAndProject
       val w = graft.llm.TextFunctions.tokens(col("text"))
       t(s, dir, "documents")
-        .select(explode(graft.llm.TextFunctions.shinglesFromTokens(w, 2)).as("bg"))
+        .select(explode(graft.functions.AllShinglesFromTokens(w, 2)).as("bg"))
         .filter(size(split(col("bg"), " ")) === 2) // whole-doc shingle of 1-token docs
         .groupBy(col("bg")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bg")).limit(30)
