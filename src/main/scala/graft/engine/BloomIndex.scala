@@ -100,7 +100,17 @@ object BloomIndex {
       s"numBits must be a positive multiple of ${Bloom.WordBits}: $numBits")
     require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
     c.acquireCompactLock(topic)
-    try {
+    // the compact lock does not exclude produces, whose snapshot rolls can
+    // delete the manifest relation mid-read — retry once on that race
+    try Catalog.retryOnRollRace(
+      refreshLocked(spark, c, topic, index, jsonPath, numBits, numHashes))
+    finally c.releaseCompactLock(topic)
+  }
+
+  private def refreshLocked(spark: SparkSession, c: Catalog, topic: String,
+                            index: String, jsonPath: String, numBits: Int,
+                            numHashes: Int): Int = {
+    {
       def checkIdentity(r: Row): Unit =
         require(r.getAs[String]("json_path") == jsonPath &&
           r.getAs[Int]("num_bits") == numBits &&
@@ -188,7 +198,7 @@ object BloomIndex {
       if (!fs.rename(tmp, dir))
         throw new java.io.IOException(s"bloom index refresh: cannot install $tmp -> $dir")
       newEntries.size
-    } finally c.releaseCompactLock(topic)
+    }
   }
 
   /** One row of the index relation (its parameter header), without
@@ -219,6 +229,13 @@ object BloomIndex {
     * the same `numHashes` precomputed bit positions with `element_at` —
     * only the kept paths reach the driver (see [[MetadataIndex.plan]]). */
   private def plan(spark: SparkSession, c: Catalog, topic: String,
+                   index: String, value: String)
+      : (Seq[String], String, MetadataIndex.IndexScan) =
+    // a produce's snapshot roll can delete the manifest relation under the
+    // live-universe read (these paths hold no lock against produces)
+    Catalog.retryOnRollRace(planOnce(spark, c, topic, index, value))
+
+  private def planOnce(spark: SparkSession, c: Catalog, topic: String,
                    index: String, value: String)
       : (Seq[String], String, MetadataIndex.IndexScan) = {
     val universe = liveFiles(c, topic)

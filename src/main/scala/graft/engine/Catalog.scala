@@ -443,8 +443,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // itself is transient and per-written-partition)
     val unknown: Seq[(Int, String)] = manifestFilesRel(name, prior) match {
       case None =>
+        val known = prior.files.view.mapValues(_.map(_.path).toSet).toMap
         listed.filterNot { case (p, rel) =>
-          prior.files.getOrElse(p, Vector.empty).exists(_.path == rel)
+          known.getOrElse(p, Set.empty).contains(rel)
         }
       case Some(rel) =>
         import spark.implicits._
@@ -505,8 +506,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
     val unknown: Seq[(Int, String)] = manifestFilesRel(name, m) match {
       case None =>
+        val known = m.files.view.mapValues(_.map(_.path).toSet).toMap
         listed.filterNot { case (p, rel) =>
-          m.files.getOrElse(p, Vector.empty).exists(_.path == rel)
+          known.getOrElse(p, Set.empty).contains(rel)
         }
       case Some(rel) =>
         import spark.implicits._
@@ -1720,6 +1722,19 @@ object Catalog {
           s"spark.graft.manifest.driverMaxEntries must be a long, got '$v'")
       }
     }.getOrElse(65536L)
+
+  /** Does a FileNotFoundException sit at the root of this failure? The
+    * signature of a reader racing a relation roll (manifest snapshot, tier
+    * archive, index swap) — retryable once, the fresh read sees the rolled
+    * state. */
+  def rootIsFnf(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.isInstanceOf[java.io.FileNotFoundException])
+
+  /** Run `body`, retrying ONCE if a relation-roll race (see [[rootIsFnf]])
+    * aborts it; a second miss propagates (real trouble, not a race). */
+  def retryOnRollRace[A](body: => A): A =
+    try body catch { case e: Throwable if rootIsFnf(e) => body }
 
   /** Schema of a parquet-backed manifest's file relation. */
   val ManifestFilesSchema: org.apache.spark.sql.types.StructType = {

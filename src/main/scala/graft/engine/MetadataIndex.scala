@@ -102,7 +102,16 @@ object MetadataIndex {
     require(jsonPath.startsWith("$."), s"jsonPath must be '$$.field': $jsonPath")
     require(kind == Numeric || kind == Str, s"kind must be numeric|string: $kind")
     c.acquireCompactLock(topic)
-    try {
+    // the compact lock does not exclude produces, whose snapshot rolls can
+    // delete the manifest relation mid-read — retry once on that race
+    try Catalog.retryOnRollRace(
+      refreshLocked(spark, c, topic, index, jsonPath, kind))
+    finally c.releaseCompactLock(topic)
+  }
+
+  private def refreshLocked(spark: SparkSession, c: Catalog, topic: String,
+                            index: String, jsonPath: String, kind: String): Int = {
+    {
       // the live universe: driver list for small manifests, RELATION for
       // parquet-backed ones — then kept/new are (anti-)joins and the full
       // file list never materializes on the driver
@@ -182,7 +191,7 @@ object MetadataIndex {
       if (!fs.rename(tmp, dir))
         throw new java.io.IOException(s"index refresh: cannot install $tmp -> $dir")
       newRel.size
-    } finally c.releaseCompactLock(topic)
+    }
   }
 
   private def checkIdentity(r: Row, topic: String, index: String,
@@ -264,6 +273,15 @@ object MetadataIndex {
     * driver-resident by design — the index is the piece that outgrows it
     * (one row per file per indexed field). */
   private def plan(spark: SparkSession, c: Catalog, topic: String, index: String,
+                   wantKind: String, keepEntry: Row => Boolean,
+                   keepCol: org.apache.spark.sql.Column)
+      : (Seq[String], String, IndexScan) =
+    // a produce's snapshot roll can delete the manifest relation under the
+    // live-universe read (these paths hold no lock against produces)
+    Catalog.retryOnRollRace(
+      planOnce(spark, c, topic, index, wantKind, keepEntry, keepCol))
+
+  private def planOnce(spark: SparkSession, c: Catalog, topic: String, index: String,
                    wantKind: String, keepEntry: Row => Boolean,
                    keepCol: org.apache.spark.sql.Column)
       : (Seq[String], String, IndexScan) = {

@@ -365,16 +365,27 @@ object Similarity {
 
   private def rebuildWith(spark: org.apache.spark.sql.SparkSession, path: String,
                           centroidsOf: DataFrame => DataFrame): Unit = {
-    // materialize the stored vectors BEFORE overwriting the layout they
-    // are read from (saveIndex deletes cells/ first)
+    // Stage the rebuilt index BESIDE the live one, then swap directories —
+    // the old index stays intact (and readable as the rebuild's input) until
+    // the new one is fully on disk. Never stage the corpus only in executor
+    // memory: a localCheckpoint is non-fault-tolerant, and losing it after
+    // deleting the live cells would destroy the index permanently. A crash
+    // mid-swap leaves every byte on disk (old or staged copy); readers
+    // racing the swap fail loudly, never silently lose candidates — the
+    // same contract as topic compaction.
+    val (fs, _) = fsOf(spark, path)
+    val tmp = s"$path.rebuild.tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     val vectors = readIndexCells(spark, path).select(col("id"), col("vec"))
-      .localCheckpoint(true)
-    try saveIndex(vectors, centroidsOf(vectors), path)
-    finally vectors.queryExecution.analyzed.foreach {
-      // checkpoint storage lives at the RDD level, out of unpersist's reach
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false): Unit
-      case _ => ()
+    saveIndex(vectors, centroidsOf(vectors), tmp)
+    Seq("centroids", "cells", "_committed").foreach { part =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$part")
+      fs.delete(live, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$part"), live))
+        throw new java.io.IOException(
+          s"index rebuild: cannot install $tmp/$part -> $live")
     }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
   }
 
   /**

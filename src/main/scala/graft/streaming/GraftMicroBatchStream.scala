@@ -154,12 +154,13 @@ final class GraftMicroBatchStream(
       p -> math.min(e, math.max(from.getOrElse(p, 0L), 0L)) }: _*)
     var budget = maxBytes
     var admitted = false
-    val parts = pending.keys.toSeq.sorted
-    val rotation =
-      if (parts.isEmpty) 0
-      else math.floorMod(from.values.sum, parts.size.toLong).toInt
-    val order = parts.drop(rotation) ++ parts.take(rotation)
-    val idx = scala.collection.mutable.Map(parts.map(_ -> 0): _*)
+    // starvation-free order WITHOUT cross-trigger state: lowest cursor
+    // first. A partition passed over keeps its offset while the favored
+    // one's grows, so it sorts ahead on a later trigger — a fixed or
+    // cursor-sum-keyed rotation can stay constant when admitted file sizes
+    // divide evenly and starve a partition forever.
+    val order = pending.keys.toSeq.sortBy(p => (from.getOrElse(p, 0L), p))
+    val idx = scala.collection.mutable.Map(order.map(_ -> 0): _*)
     var progressed = true
     while (progressed && budget > 0) {
       progressed = false
@@ -171,7 +172,12 @@ final class GraftMicroBatchStream(
           if (len <= budget || !admitted) {
             budget -= len
             admitted = true
-            res(p) = math.min(target.getOrElse(p, 0L), fileStats.range(f, conf)._2 + 1)
+            val hi = fileStats.range(f, conf)._2
+            // a stats-less file reports hi = Long.MaxValue (never-prunable):
+            // admit through the end of the backlog rather than wrapping
+            res(p) =
+              if (hi == Long.MaxValue) target.getOrElse(p, 0L)
+              else math.min(target.getOrElse(p, 0L), hi + 1)
             idx(p) += 1
             progressed = true
           }
@@ -288,7 +294,18 @@ object GraftPartitions {
     *        not free. The manifest path always prunes (ranges are free). */
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
-           stats: Option[FileStatsCache] = None): Array[InputPartition] = {
+           stats: Option[FileStatsCache] = None): Array[InputPartition] =
+    // a snapshot roll (manifest) or archive pass (tier) deletes its
+    // superseded parquet relation right after committing the new state; a
+    // plan racing that delete hits FileNotFound mid-collect. Retry ONCE
+    // from scratch — the fresh reads see the rolled state; a second miss
+    // propagates (real trouble, not a race).
+    Catalog.retryOnRollRace(
+      planAttempt(catalog, topic, targets, from, until, stats))
+
+  private def planAttempt(catalog: Catalog, topic: String, targets: Option[Set[Int]],
+           from: Int => Long, until: Int => Long,
+           stats: Option[FileStatsCache]): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
@@ -389,18 +406,7 @@ object GraftPartitions {
         }
       case None => None
     }
-    def rootIsFnf(e: Throwable): Boolean =
-      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
-        .exists(_.isInstanceOf[java.io.FileNotFoundException])
-    val viaManifest =
-      try manifestPlan()
-      catch {
-        // a snapshot roll deleted the parquet relation under our read: the
-        // fresh manifest read sees the rolled snapshot — retry ONCE, and a
-        // second miss propagates (real trouble, not a race)
-        case e: Throwable if rootIsFnf(e) => manifestPlan()
-      }
-    viaManifest match {
+    manifestPlan() match {
       case Some(planned) => return planned
       case None =>
     }
