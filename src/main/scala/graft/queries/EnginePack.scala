@@ -49,6 +49,24 @@ object EnginePack extends QueryPack {
   /** Unique memory-sink names across repeated in-JVM runs (bench iterations). */
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** State sizing at stream birth: a Structured Streaming query pins its
+    * state-store partition count to `spark.sql.shuffle.partitions` at the
+    * FIRST checkpoint and never re-scales it, so the width must be chosen
+    * for the stream's key cardinality — it is not a tunable the engine can
+    * fix later. A stream-stream join keeps four stores per state partition,
+    * each paying a commit (delta file + fsync) EVERY micro-batch whether or
+    * not the partition saw rows; inheriting the batch width (32) makes a
+    * ~100-key demo stream pay 128 store commits per trigger for nothing.
+    * Scope the width to the streaming section only — batch planning around
+    * it keeps the session's width. At 100 TB the same knob is sized UP at
+    * birth (state keys / target partition size), which this helper expresses
+    * directly. */
+  private def withStreamWidth[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** events table → (metadata `{"eid":<event_id>}`, partition eid%4), in
     * event_id push order — makes engine-assigned ids SQL-predictable. */
   private def sourceByEid(s: SparkSession, dir: String): DataFrame =
@@ -952,25 +970,27 @@ object EnginePack extends QueryPack {
           pmod(col("event_id"), lit(2)).cast("int").as("partition"))
       topic.producer().produce(src)
       val qname = s"q_stream_window_${EnginePack.streamRun.incrementAndGet()}"
-      val query = s.readStream.format("graft")
-        .option("warehouse", d.warehouse).option("topic", "swin_demo")
-        .option("maxEventsPerTrigger", "1024")
-        .load()
-        .select(get_json_object(col("metadata"), "$.et").as("event_type"),
-          expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
-            .as("etime"))
-        .groupBy(window(col("etime"), "10 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-swin-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      EnginePack.withStreamWidth(s, 4) {
+          val query = s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "swin_demo")
+          .option("maxEventsPerTrigger", "1024")
+          .load()
+          .select(get_json_object(col("metadata"), "$.et").as("event_type"),
+            expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+              .as("etime"))
+          .groupBy(window(col("etime"), "10 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-swin-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname)
         .select(unix_micros(col("window.start")).as("w_us"), col("event_type"),
           col("n"))
@@ -998,19 +1018,21 @@ object EnginePack extends QueryPack {
         .select(lit(tag).as("topic"),
           get_json_object(col("metadata"), "$.et").as("event_type"))
       val qname = s"q_stream_multi_${EnginePack.streamRun.incrementAndGet()}"
-      val query = src("smt_a", "a").unionByName(src("smt_b", "b"))
-        .groupBy(col("topic"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-smulti-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      EnginePack.withStreamWidth(s, 4) {
+          val query = src("smt_a", "a").unionByName(src("smt_b", "b"))
+          .groupBy(col("topic"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-smulti-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname).orderBy(col("topic"), col("event_type"))
     },
     "q_stream_dedup" -> { (s, dir) =>
@@ -1031,28 +1053,30 @@ object EnginePack extends QueryPack {
           pmod(col("event_id"), lit(2)).cast("int").as("partition"))
       topic.producer().produce(src)
       val qname = s"q_stream_dedup_${EnginePack.streamRun.incrementAndGet()}"
-      val query = s.readStream.format("graft")
-        .option("warehouse", d.warehouse).option("topic", "sdedup_demo")
-        .option("maxEventsPerTrigger", "1024")
-        .load()
-        .select(
-          expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
-            .as("etime"),
-          get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"),
-          get_json_object(col("metadata"), "$.et").as("event_type"))
-        .withWatermark("etime", "30 days")
-        .dropDuplicatesWithinWatermark("user_id", "event_type")
-        .select(col("user_id"), col("event_type"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-sdedup-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      EnginePack.withStreamWidth(s, 4) {
+          val query = s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "sdedup_demo")
+          .option("maxEventsPerTrigger", "1024")
+          .load()
+          .select(
+            expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+              .as("etime"),
+            get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"),
+            get_json_object(col("metadata"), "$.et").as("event_type"))
+          .withWatermark("etime", "30 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-sdedup-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname).orderBy(col("user_id"), col("event_type"))
     },
     "q_stream_sessions" -> { (s, dir) =>
@@ -1086,29 +1110,31 @@ object EnginePack extends QueryPack {
           col("user_id").as("uid"))).as("metadata"),
           pmod(col("event_id"), lit(2)).cast("int").as("partition")))
       val qname = s"q_stream_sessions_${EnginePack.streamRun.incrementAndGet()}"
-      val query = s.readStream.format("graft")
-        .option("warehouse", d.warehouse).option("topic", "ssess_demo")
-        .option("maxEventsPerTrigger", "2048")
-        .load()
-        .select(
-          expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
-            .as("etime"),
-          get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"))
-        .withWatermark("etime", "1 hour")
-        .groupBy(col("user_id"), session_window(col("etime"), "4 hours"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("user_id"),
-          unix_micros(col("session_window.start")).as("start_us"), col("n"))
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-ssess-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      EnginePack.withStreamWidth(s, 4) {
+          val query = s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "ssess_demo")
+          .option("maxEventsPerTrigger", "2048")
+          .load()
+          .select(
+            expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+              .as("etime"),
+            get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"))
+          .withWatermark("etime", "1 hour")
+          .groupBy(col("user_id"), session_window(col("etime"), "4 hours"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"), col("n"))
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-ssess-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname)
         .filter(col("user_id") >= 0) // drop the filler sessions
         .orderBy(col("user_id"), col("start_us"))
@@ -1143,19 +1169,21 @@ object EnginePack extends QueryPack {
         .filter(col("et") === et).drop("et")
         .withWatermark(s"${p}_t", "4 hours")
       val qname = s"q_stream_join_${EnginePack.streamRun.incrementAndGet()}"
-      val query = side("click", "c").join(side("purchase", "p"),
-          col("c_uid") === col("p_uid") &&
-            col("p_t") >= col("c_t") &&
-            col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR"))
-        .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-sjoin-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      EnginePack.withStreamWidth(s, 4) {
+        val query = side("click", "c").join(side("purchase", "p"),
+            col("c_uid") === col("p_uid") &&
+              col("p_t") >= col("c_t") &&
+              col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR"))
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-sjoin-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname)
         .select(col("c_eid"), col("p_eid"))
         .orderBy(col("c_eid"), col("p_eid"))
@@ -1202,17 +1230,19 @@ object EnginePack extends QueryPack {
             (uid, n, sum)
         }
       val qname = s"q_stream_state_${EnginePack.streamRun.incrementAndGet()}"
-      val query = updates.toDF("uid", "n", "sum_cents")
-        .writeStream.format("memory").queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-sstate-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      EnginePack.withStreamWidth(s, 4) {
+          val query = updates.toDF("uid", "n", "sum_cents")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("update")
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-sstate-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname)
         .groupBy(col("uid"))
         .agg(max(struct(col("n"), col("sum_cents"))).as("last"))
@@ -1274,20 +1304,22 @@ object EnginePack extends QueryPack {
         .withWatermark(s"${p}_t", "1 hour") // BEFORE the filter: flush advances the clock
         .filter(col("et") === et).drop("et")
       val qname = s"q_stream_outer_${EnginePack.streamRun.incrementAndGet()}"
-      val query = side("click", "c").join(side("purchase", "p"),
-          col("c_uid") === col("p_uid") &&
-            col("p_t") >= col("c_t") &&
-            col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR"),
-          "left_outer")
-        .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-souter-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      EnginePack.withStreamWidth(s, 4) {
+        val query = side("click", "c").join(side("purchase", "p"),
+            col("c_uid") === col("p_uid") &&
+              col("p_t") >= col("c_t") &&
+              col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .writeStream.format("memory").queryName(qname)
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-souter-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       s.table(qname)
         .filter(col("c_eid") < 4096) // drop filler-click state rows
         .select(col("c_eid"), coalesce(col("p_eid"), lit(-1L)).as("p_eid"))

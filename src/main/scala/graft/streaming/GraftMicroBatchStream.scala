@@ -294,14 +294,19 @@ object GraftPartitions {
     *        not free. The manifest path always prunes (ranges are free). */
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
-           stats: Option[FileStatsCache] = None): Array[InputPartition] =
+           stats: Option[FileStatsCache] = None): Array[InputPartition] = {
     // a snapshot roll (manifest) or archive pass (tier) deletes its
     // superseded parquet relation right after committing the new state; a
     // plan racing that delete hits FileNotFound mid-collect. Retry ONCE
     // from scratch — the fresh reads see the rolled state; a second miss
     // propagates (real trouble, not a race).
-    Catalog.retryOnRollRace(
+    val t0 = System.nanoTime()
+    val r = Catalog.retryOnRollRace(
       planAttempt(catalog, topic, targets, from, until, stats))
+    if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+      println(f"[plan] $topic ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    r
+  }
 
   private def planAttempt(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
