@@ -138,20 +138,65 @@ final class GraftMicroBatchStream(
     * stream. A partially-consumed file (start cursor inside it) is counted
     * at full size — conservative, and self-correcting next trigger. File
     * lengths and id ranges come from the per-stream immutable-file cache,
-    * so a long-lived stream pays one stat+footer read per NEW chunk. */
+    * so a long-lived stream pays one stat+footer read per NEW chunk.
+    *
+    * Planning is WINDOWED so admission work is O(admitted files) per
+    * trigger, never O(backlog files): only the id-range
+    * `[cursor, cursor + step)` is planned (pushed into the manifest
+    * relation as a pruning predicate past the driver threshold), and a
+    * partition's window grows — step doubling — only while the budget
+    * still has room. A fresh stream replaying a 100× backlog therefore
+    * touches the few files it admits each trigger, not the whole remaining
+    * history (which would be quadratic cumulative over the drain). */
   private def capBytes(from: Map[Int, Long], target: Map[Int, Long],
                        maxBytes: Long): Map[Int, Long] = {
     val conf = catalog.hadoopConf
-    val slices = GraftPartitions.plan(catalog, topic, targets,
-      p => math.max(from.getOrElse(p, 0L), 0L),
-      p => target.getOrElse(p, 0L), Some(fileStats))
-    val pending: Map[Int, Vector[String]] =
-      slices.collect { case ip: GraftInputPartition =>
-        ip.partition -> ip.files.toVector
+    val cursor: Map[Int, Long] =
+      target.keys.map(p => p -> math.max(from.getOrElse(p, 0L), 0L)).toMap
+    val window0 = math.max(1L, GraftMicroBatchStream.bytesPlanWindow(
+      org.apache.spark.sql.SparkSession.active))
+    val step = scala.collection.mutable.Map(
+      target.keys.map(_ -> window0).toSeq: _*)
+    val winEnd = scala.collection.mutable.Map(cursor.toSeq: _*)
+    val pending = scala.collection.mutable.Map(
+      target.keys.map(_ -> Vector.empty[String]).toSeq: _*)
+    val seen = scala.collection.mutable.Map(
+      target.keys.toSeq.map(_ -> scala.collection.mutable.Set.empty[String]): _*)
+
+    /** Grow the given partitions' windows by one (doubling) step and append
+      * the newly-visible files in id order. Windows re-plan from the cursor
+      * (entries are deduped by path), so total planned entries stay within
+      * 2× the final window — geometric, not quadratic. */
+    def extend(ps: Seq[Int]): Unit = {
+      val grow = ps.filter(p => winEnd(p) < target.getOrElse(p, 0L))
+      if (grow.isEmpty) return
+      val newEnd = grow.map { p =>
+        p -> math.min(target.getOrElse(p, 0L), winEnd(p) + step(p))
       }.toMap
+      GraftPartitions.plan(catalog, topic, Some(grow.toSet),
+          p => cursor.getOrElse(p, 0L), p => newEnd.getOrElse(p, 0L),
+          Some(fileStats), sparse = true)
+        .collect { case ip: GraftInputPartition => ip }
+        .foreach { ip =>
+          val fresh = ip.files.filterNot(seen(ip.partition).contains)
+          fresh.foreach(f => seen(ip.partition).add(f): Unit)
+          pending(ip.partition) = pending(ip.partition) ++ fresh
+        }
+      grow.foreach { p =>
+        winEnd(p) = newEnd(p)
+        step(p) = math.min(step(p) * 2, Long.MaxValue / 4)
+      }
+    }
+    /** Ensure partition p either has an unconsumed pending file or is
+      * provably exhausted — an id-gap (compliance delete) can make a whole
+      * window empty, so keep doubling through gaps. */
+    def fill(p: Int, idx: Int): Unit =
+      while (idx >= pending(p).size && winEnd(p) < target.getOrElse(p, 0L))
+        extend(Seq(p))
+
     // start from the cursor; only admitted files advance a partition's end
     val res = scala.collection.mutable.Map(target.toSeq.map { case (p, e) =>
-      p -> math.min(e, math.max(from.getOrElse(p, 0L), 0L)) }: _*)
+      p -> math.min(e, cursor.getOrElse(p, 0L)) }: _*)
     var budget = maxBytes
     var admitted = false
     // starvation-free order WITHOUT cross-trigger state: lowest cursor
@@ -159,27 +204,31 @@ final class GraftMicroBatchStream(
     // one's grows, so it sorts ahead on a later trigger — a fixed or
     // cursor-sum-keyed rotation can stay constant when admitted file sizes
     // divide evenly and starve a partition forever.
-    val order = pending.keys.toSeq.sortBy(p => (from.getOrElse(p, 0L), p))
+    val order = target.keys.toSeq.sortBy(p => (cursor.getOrElse(p, 0L), p))
+    extend(order) // first window for every partition in ONE plan call
     val idx = scala.collection.mutable.Map(order.map(_ -> 0): _*)
     var progressed = true
     while (progressed && budget > 0) {
       progressed = false
       order.foreach { p =>
-        val files = pending(p)
-        if (idx(p) < files.size && budget > 0) {
-          val f = files(idx(p))
-          val len = fileStats.length(f, conf)
-          if (len <= budget || !admitted) {
-            budget -= len
-            admitted = true
-            val hi = fileStats.range(f, conf)._2
-            // a stats-less file reports hi = Long.MaxValue (never-prunable):
-            // admit through the end of the backlog rather than wrapping
-            res(p) =
-              if (hi == Long.MaxValue) target.getOrElse(p, 0L)
-              else math.min(target.getOrElse(p, 0L), hi + 1)
-            idx(p) += 1
-            progressed = true
+        if (budget > 0) {
+          fill(p, idx(p))
+          val files = pending(p)
+          if (idx(p) < files.size) {
+            val f = files(idx(p))
+            val len = fileStats.length(f, conf)
+            if (len <= budget || !admitted) {
+              budget -= len
+              admitted = true
+              val hi = fileStats.range(f, conf)._2
+              // a stats-less file reports hi = Long.MaxValue (never-prunable):
+              // admit through the end of the backlog rather than wrapping
+              res(p) =
+                if (hi == Long.MaxValue) target.getOrElse(p, 0L)
+                else math.min(target.getOrElse(p, 0L), hi + 1)
+              idx(p) += 1
+              progressed = true
+            }
           }
         }
       }
@@ -222,6 +271,21 @@ final class GraftMicroBatchStream(
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+object GraftMicroBatchStream {
+  /** First windowed-planning id-range for byte admission (ids, not bytes —
+    * chunk rotation bounds ids per file, so a window of this size holds a
+    * handful of files); doubles per partition until the byte budget fills
+    * or the backlog ends. Conf-overridable so scale tests can force
+    * windows smaller than a tiny fixture's backlog. */
+  def bytesPlanWindow(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.stream.bytesPlanWindowIds").map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.stream.bytesPlanWindowIds must be a long, got '$v'")
+      }
+    }.getOrElse(65536L)
 }
 
 /**
@@ -292,9 +356,21 @@ object GraftPartitions {
     *        LISTING fallback path; pass None when nothing can be pruned
     *        (e.g. unbounded batch scans) — footer reads on the driver are
     *        not free. The manifest path always prunes (ranges are free). */
+  /** Byte-admission probe counter (cumulative file entries planned by
+    * sparse window probes in this JVM) — observability hook for scale
+    * tests: a byte-budgeted trigger over a large backlog must probe
+    * O(admitted) entries, not O(backlog). */
+  private[graft] val probePlannedEntries = new java.util.concurrent.atomic.AtomicLong
+
+  /** @param sparse tolerate windowed probe ranges that land entirely in an
+    *        id gap (compliance deletes): an empty manifest slice yields no
+    *        input partition instead of the manifest-divergence error. Only
+    *        byte-admission window probes set this — a full-range plan with
+    *        no files really IS log/manifest divergence. */
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
-           stats: Option[FileStatsCache] = None): Array[InputPartition] = {
+           stats: Option[FileStatsCache] = None,
+           sparse: Boolean = false): Array[InputPartition] = {
     // a snapshot roll (manifest) or archive pass (tier) deletes its
     // superseded parquet relation right after committing the new state; a
     // plan racing that delete hits FileNotFound mid-collect. Retry ONCE
@@ -302,7 +378,9 @@ object GraftPartitions {
     // propagates (real trouble, not a race).
     val t0 = System.nanoTime()
     val r = Catalog.retryOnRollRace(
-      planAttempt(catalog, topic, targets, from, until, stats))
+      planAttempt(catalog, topic, targets, from, until, stats, sparse))
+    if (sparse) probePlannedEntries.addAndGet(
+      r.collect { case ip: GraftInputPartition => ip.files.size.toLong }.sum): Unit
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
       println(f"[plan] $topic ${(System.nanoTime() - t0) / 1e6}%.1f ms")
     r
@@ -310,7 +388,8 @@ object GraftPartitions {
 
   private def planAttempt(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
-           stats: Option[FileStatsCache]): Array[InputPartition] = {
+           stats: Option[FileStatsCache],
+           sparse: Boolean = false): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
@@ -403,6 +482,7 @@ object GraftPartitions {
               // yield identical strings (FileStatsCache keys, dedup, tests)
               .map(f => fs.makeQualified(new Path(logPath, f.path)).toString)
             if (files.nonEmpty) Some(GraftInputPartition(p, lo, hi, files))
+            else if (sparse) None // windowed probe landed in an id gap
             else throw new java.io.IOException(
               s"topic '$topic' partition $p: manifest covers ids [$lo, $hi) " +
               "but lists no overlapping chunk file — manifest/log divergence " +

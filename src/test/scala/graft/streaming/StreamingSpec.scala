@@ -227,6 +227,50 @@ class StreamingSpec extends SparkSpec {
     assert(sizes2.forall(_ <= 15), sizes2)
   }
 
+  test("byte admission plans O(admitted) entries, not O(backlog)") {
+    // Parquet-backed manifest (threshold 0) + plan windows smaller than the
+    // backlog: a byte-budgeted drain over many chunk files must plan only
+    // the files near each trigger's cursor. An O(backlog) admission path
+    // (plan [cursor, target) every trigger) would count ~triggers x files/2
+    // entries; the windowed path stays near 3 entries per trigger.
+    spark.conf.set("spark.graft.manifest.driverMaxEntries", "0")
+    spark.conf.set("spark.graft.stream.bytesPlanWindowIds", "8")
+    try {
+      val (_, topic, wh) = newTopic()
+      // 20 produces x 2 partitions -> 40 chunk files of 5 events each
+      (0 until 20).foreach(i => produceRange(topic, i * 10, (i + 1) * 10))
+      val ckpt = Files.createTempDirectory("graft-ckpt").toString
+      val before = GraftPartitions.probePlannedEntries.get()
+      val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "stream_topic")
+        .option("maxBytesPerTrigger", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batchSizes.synchronized { batchSizes += batch.count() }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      assert(!q.isActive)
+      assert(batchSizes.sum == 200, batchSizes)
+      assert(batchSizes.filter(_ > 0).forall(_ <= 5), batchSizes)
+      val triggers = batchSizes.count(_ > 0)
+      assert(triggers >= 40, s"expected >=40 one-file triggers, got $triggers")
+      val probed = GraftPartitions.probePlannedEntries.get() - before
+      // O(backlog) admission (plan [cursor, target) each trigger) probes
+      // ~sum_{k=40..1} k ~ 860 entries over the drain (~21/trigger); the
+      // windowed path probes the few files near each cursor.
+      assert(probed <= triggers * 6L,
+        s"probed $probed file entries over $triggers triggers - admission is re-planning the backlog")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.driverMaxEntries")
+      spark.conf.unset("spark.graft.stream.bytesPlanWindowIds")
+    }
+  }
+
   test("consumer option starts the stream at the acknowledge cursor") {
     val (d, topic, wh) = newTopic()
     produceRange(topic, 0, 20)
