@@ -405,17 +405,27 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
 
   /** Per-partition live-file counts without materializing entries: relation
-    * counts (one tiny aggregate job) + the driver-held delta tail. */
+    * counts (one tiny aggregate job) + the driver-held delta tail. Like
+    * every relation consumer, retries once through a snapshot roll racing
+    * the aggregate (the superseded relation is deleted right after the new
+    * state commits), re-reading the manifest so the retry sees the rolled
+    * relation. */
   def manifestFileCounts(name: String, m: TopicManifest): Map[Int, Long] = {
-    val base: Map[Int, Long] = manifestFilesRel(name, m) match {
-      case None => Map.empty
-      case Some(rel) =>
-        import org.apache.spark.sql.functions.{col, count, lit}
-        rel.groupBy(col("partition")).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def attempt(man: TopicManifest): Map[Int, Long] = {
+      val base: Map[Int, Long] = manifestFilesRel(name, man) match {
+        case None => Map.empty
+        case Some(rel) =>
+          import org.apache.spark.sql.functions.{col, count, lit}
+          rel.groupBy(col("partition")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
+      man.files.foldLeft(base) { case (acc, (p, fsq)) =>
+        acc + (p -> (acc.getOrElse(p, 0L) + fsq.size))
+      }
     }
-    m.files.foldLeft(base) { case (acc, (p, fsq)) =>
-      acc + (p -> (acc.getOrElse(p, 0L) + fsq.size))
+    try attempt(m) catch {
+      case e: Throwable if Catalog.rootIsFnf(e) =>
+        attempt(readManifest(name).getOrElse(m))
     }
   }
 

@@ -202,10 +202,12 @@ object Similarity {
 
   // -- persisted IVF index ----------------------------------------------------
   //
-  // Layout:
-  //   <path>/centroids/                      coarse quantizer (id, vec)
-  //   <path>/cells/shard=<sid>/cell=<c>/...  assignments, cell-partitioned
-  //   <path>/_committed/<sid>                empty marker per committed shard
+  // Layout (versioned — maintenance installs atomically):
+  //   <path>/_current                         pointer file naming the live
+  //                                           version dir (e.g. "v-3")
+  //   <path>/v-N/centroids/                   coarse quantizer (id, vec)
+  //   <path>/v-N/cells/shard=<sid>/cell=<c>/  assignments, cell-partitioned
+  //   <path>/v-N/_committed/<sid>             empty marker per committed shard
   //
   // The shard dimension is the exactly-once append protocol (the same
   // marker-before-visibility shape as the engine's streaming sink and
@@ -213,54 +215,192 @@ object Similarity {
   // a commit marker, so a crashed half-written shard is invisible and a
   // replayed append of a committed shard is a no-op — re-running a shard
   // can never duplicate ids into a cell (a duplicated candidate would
-  // occupy two ranks of a top-k). `shard` and `cell` are both partition
-  // directories, so the committed-shard filter and the probed-cell filter
-  // are pure partition pruning — a query still touches only the probed
-  // cell directories of committed shards.
+  // occupy two ranks of a top-k). Reads open committed shard directories
+  // EXPLICITLY (and, when probing, explicit cell subdirectories), so both
+  // the committed filter and the probed-cell filter are directory-level
+  // pruning by construction — no reliance on post-hoc partition-filter
+  // pushdown, and uncommitted debris is never even listed.
+  //
+  // Version dirs make every O(corpus) maintenance rewrite (rebalance,
+  // shard folding) an ATOMIC install: the new version is staged beside the
+  // live one, `_current` flips in one rename, and the superseded version
+  // is deleted at the START of the NEXT maintenance operation — so a
+  // reader that resolved the old root keeps a readable index for a full
+  // maintenance cycle (grace window), and a crash at ANY step leaves
+  // `_current` pointing at a complete version. There is no window in
+  // which the index is empty or half-installed — the failure mode the old
+  // delete-then-rename swap had (a reader racing the swap saw ZERO
+  // committed shards and silently returned no candidates).
+  //
+  // Concurrency contract (same as topic compaction): maintenance ops
+  // (save/append/rebalance/fold) are caller-serialized — one maintainer at
+  // a time; readers are lock-free and never block maintenance.
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Committed shard ids of a persisted index. */
-  def committedShards(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Seq[String] = {
+  private val BaseShard = "base"
+  private val VersionRe = "v-(\\d+)".r
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String): Option[String] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_current"))
+      val v = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      v match {
+        case VersionRe(_) => Some(v)
+        case _ => throw new java.io.IOException(
+          s"corrupt index pointer $path/_current: '$v'")
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** The live version root of a persisted index (the `_current` pointer's
+    * target; the path itself for a pre-versioning legacy layout). Rides the
+    * pointer writer's delete→rename window with a short retry, then fails
+    * LOUDLY — a missing pointer must never read as an empty index. */
+  def currentRoot(spark: org.apache.spark.sql.SparkSession, path: String): String = {
     val (fs, _) = fsOf(spark, path)
-    val dir = new org.apache.hadoop.fs.Path(s"$path/_committed")
+    var attempt = 0
+    while (attempt < 4) {
+      readPointer(fs, path) match {
+        case Some(v) => return s"$path/$v"
+        case None =>
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
+            return path // legacy unversioned layout
+      }
+      attempt += 1
+      Thread.sleep(2L * attempt)
+    }
+    throw new java.io.FileNotFoundException(
+      s"no IVF index at $path: neither a _current version pointer nor a " +
+      "legacy centroids/ directory")
+  }
+
+  private def nextVersion(fs: org.apache.hadoop.fs.FileSystem, path: String): String =
+    readPointer(fs, path) match {
+      case Some(VersionRe(n)) => s"v-${n.toLong + 1}"
+      case _ => "v-1"
+    }
+
+  /** Point `_current` at `ver` — the install point of every maintenance
+    * write. One delete+rename on a tiny file; [[currentRoot]]'s retry rides
+    * the sub-ms window. The superseded version dir is left in place as the
+    * racing readers' grace copy; the NEXT maintenance op removes it. */
+  private def flipCurrent(spark: org.apache.spark.sql.SparkSession, path: String,
+                          ver: String): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/_current")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/._current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ver.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(cur)) fs.delete(cur, false)
+    if (!fs.rename(tmp, cur))
+      throw new java.io.IOException(s"index install: cannot rename $tmp -> $cur")
+  }
+
+  /** Drop superseded version dirs (and, once versioned, leftover legacy
+    * dirs) — run at the START of each maintenance op so the previous
+    * version survives one full maintenance cycle as the grace copy for
+    * readers that resolved it just before the flip. Also clears crashed
+    * staging attempts (a stage dir is just a version dir `_current` never
+    * pointed at). */
+  private def cleanupStale(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    if (!fs.exists(root)) return
+    val cur = readPointer(fs, path)
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath).foreach { d =>
+      val n = d.getName
+      val staleVersion = VersionRe.pattern.matcher(n).matches() && !cur.contains(n)
+      val staleLegacy = cur.isDefined &&
+        (n == "centroids" || n == "cells" || n == "_committed")
+      if (staleVersion || staleLegacy) fs.delete(d, true): Unit
+    }
+  }
+
+  /** Committed shard ids of the index's live version. */
+  def committedShards(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[String] =
+    committedShardsIn(spark, currentRoot(spark, path))
+
+  private def committedShardsIn(spark: org.apache.spark.sql.SparkSession,
+                                root: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_committed")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
   }
 
-  /** The index's live assignment relation (id, vec, vn, cell): committed
-    * shards only — uncommitted debris is pruned away at the partition
-    * level, never scanned. */
+  /** The index's live assignment relation (id, vec, vn, cell). Committed
+    * shard directories are opened EXPLICITLY (basePath keeps the partition
+    * columns), so uncommitted debris is never listed, let alone scanned;
+    * `probe` additionally narrows the read to explicit cell directories —
+    * guaranteed directory-level pruning, independent of partition-filter
+    * pushdown through casts. A resolvable index with ZERO committed shards
+    * is a loud error, never an empty relation — silently returning no
+    * candidates is the one failure mode an ANN index must not have. */
   def readIndexCells(spark: org.apache.spark.sql.SparkSession,
-                     path: String): DataFrame = {
-    val shards = committedShards(spark, path)
-    spark.read.parquet(s"$path/cells")
-      .filter(col("shard").isin(shards: _*))
-      // partition-dir inference types `cell=<n>` as int; restore the long
-      // the assignment relation was written with
-      .select(col("id"), col("vec"), col("vn"), col("cell").cast("long").as("cell"))
+                     path: String): DataFrame =
+    readCellsIn(spark, currentRoot(spark, path), None)
+
+  private def readCellsIn(spark: org.apache.spark.sql.SparkSession, root: String,
+                          probe: Option[Seq[Long]]): DataFrame = {
+    val (fs, _) = fsOf(spark, root)
+    val shards = committedShardsIn(spark, root)
+    if (shards.isEmpty) throw new IllegalStateException(
+      s"IVF index at $root has no committed shards — half-installed or " +
+      "corrupted index (refusing to serve an empty candidate set)")
+    val shardDirs = shards.map(sid => s"$root/cells/shard=$sid")
+    val dirs = probe match {
+      case None => shardDirs
+      case Some(cells) =>
+        for {
+          sd <- shardDirs; c <- cells.distinct.sorted
+          d = s"$sd/cell=$c"
+          if fs.exists(new org.apache.hadoop.fs.Path(d))
+        } yield d
+    }
+    val base = spark.read.option("basePath", s"$root/cells")
+    val raw =
+      if (dirs.nonEmpty) base.parquet(dirs: _*)
+      else // every probed cell is empty in every shard: preserve schema
+        base.parquet(shardDirs: _*).filter(lit(false))
+    // partition-dir inference types `cell=<n>` as int; restore the long
+    // the assignment relation was written with
+    raw.select(col("id"), col("vec"), col("vn"), col("cell").cast("long").as("cell"))
   }
 
-  private val BaseShard = "base"
-
-  private def writeShard(spark: org.apache.spark.sql.SparkSession, path: String,
+  private def writeShard(spark: org.apache.spark.sql.SparkSession, root: String,
                          assigned: DataFrame, shardId: String): Unit = {
     require(shardId.nonEmpty && !shardId.contains('/'),
       s"shard id must be a plain name, got '$shardId'")
-    val (fs, _) = fsOf(spark, path)
+    val (fs, _) = fsOf(spark, root)
     // a leftover dir without a marker is a crashed earlier attempt of this
     // same shard — readers never saw it; replace it wholesale
-    val shardDir = new org.apache.hadoop.fs.Path(s"$path/cells/shard=$shardId")
+    val shardDir = new org.apache.hadoop.fs.Path(s"$root/cells/shard=$shardId")
     if (fs.exists(shardDir)) fs.delete(shardDir, true)
     assigned.withColumn("shard", lit(shardId))
-      .write.mode("append").partitionBy("shard", "cell").parquet(s"$path/cells")
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_committed/$shardId")
+      .write.mode("append").partitionBy("shard", "cell").parquet(s"$root/cells")
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_committed/$shardId")
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close() // the commit point: shard becomes visible
+  }
+
+  /** Stage a complete version (centroids + one base shard) and install it. */
+  private def installVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                             centroids: DataFrame, assigned: DataFrame): Unit = {
+    val (fs, _) = fsOf(spark, path)
+    val ver = nextVersion(fs, path)
+    val stage = s"$path/$ver"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    centroids.select(col("id"), col("vec"))
+      .write.mode("overwrite").parquet(s"$stage/centroids")
+    writeShard(spark, stage, assigned, BaseShard)
+    flipCurrent(spark, path, ver)
   }
 
   /**
@@ -269,25 +409,23 @@ object Similarity {
    * batch probing `nprobe` cells reads only those cell directories
    * (partition pruning), never the full corpus: the build cost (one
    * corpus×centroids assignment pass) is paid once and amortized over
-   * every query batch that follows.
+   * every query batch that follows. Re-saving over a live index stages the
+   * new version beside it and installs atomically.
    */
   def saveIndex(candidates: DataFrame, centroids: DataFrame, path: String): Unit = {
     val spark = candidates.sparkSession
-    val (fs, _) = fsOf(spark, path)
-    centroids.select(col("id"), col("vec"))
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_committed"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/cells"), true)
-    writeShard(spark, path, nearestCells(candidates, centroids, 1), BaseShard)
+    cleanupStale(spark, path)
+    installVersion(spark, path, centroids, nearestCells(candidates, centroids, 1))
   }
 
   /**
    * Incrementally extend a persisted index: the new vectors are assigned
    * to the STORED centroids (never recomputed — cell identity must stay
    * stable or every existing assignment silently invalidates) and landed
-   * as shard `shardId`. Cost is O(new vectors); existing shards are never
-   * rewritten. The growing-corpus maintenance path: build once, append per
-   * shard, [[rebalanceIndex]] only when occupancy drift calls for it.
+   * as shard `shardId` of the LIVE version. Cost is O(new vectors);
+   * existing shards are never rewritten. The growing-corpus maintenance
+   * path: build once, append per shard, [[maintainIndex]] rebalances or
+   * folds only when its bounds call for it.
    *
    * EXACTLY-ONCE per shard id: the shard becomes reader-visible only when
    * its commit marker lands; a replayed append of a committed shard id
@@ -301,10 +439,12 @@ object Similarity {
    */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newVectors: DataFrame, shardId: String): Boolean = {
-    if (committedShards(spark, path).contains(shardId)) false
+    cleanupStale(spark, path)
+    val root = currentRoot(spark, path)
+    if (committedShardsIn(spark, root).contains(shardId)) false
     else {
-      val centroids = spark.read.parquet(s"$path/centroids")
-      writeShard(spark, path, nearestCells(newVectors, centroids, 1), shardId)
+      val centroids = spark.read.parquet(s"$root/centroids")
+      writeShard(spark, root, nearestCells(newVectors, centroids, 1), shardId)
       true
     }
   }
@@ -327,9 +467,9 @@ object Similarity {
    * triggered; appends stay O(shard) the rest of the time.
    *
    * The occupancy check reads one count per cell (≤ |centroids| rows to
-   * the driver). The rewrite collapses all shards into a fresh base shard;
-   * readers racing the swap fail loudly (missing files), never silently
-   * lose candidates — the same contract as topic compaction.
+   * the driver). The rewrite stages a fresh version and installs it with
+   * one pointer flip — readers see the old index or the new one, never an
+   * empty or partial state.
    *
    * @return true if the index was rebuilt
    */
@@ -339,70 +479,86 @@ object Similarity {
     if (!isSkewed(spark, path, maxCellShareMicro)) false
     else { rebuildWith(spark, path, _ => newCentroids); true }
 
-  /** [[rebalanceIndex]] with the re-clustering built in: when triggered,
-    * new centroids come from a deterministic k-means over the stored
-    * vectors ([[Clustering.lloydCentroids]] — seeded, no RNG, so the
-    * rebuilt index is reproducible). The zero-argument maintenance policy
-    * for a periodic `maintain()`-style cron: check occupancy (one count
-    * per cell), rebuild O(corpus) only when the bound is exceeded. */
+  /** [[rebalanceIndex]] with the re-clustering built in PLUS shard-growth
+    * folding: when occupancy skew passes the bound, re-cluster with a
+    * deterministic k-means over the stored vectors
+    * ([[Clustering.lloydCentroids]] — seeded, no RNG, so the rebuilt index
+    * is reproducible); otherwise, when committed shards exceed `maxShards`
+    * (months of micro-batch appends → thousands of shard directories and
+    * an ever-longer committed list), fold them into a single base shard
+    * WITHOUT re-assignment (centroids unchanged — cell identity stable).
+    * The zero-argument maintenance policy for a periodic `maintain()`-style
+    * cron: both checks are metadata-scale; the O(corpus) rewrite runs only
+    * when triggered, and installs via the same staged version + pointer
+    * flip. */
   def maintainIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     k: Int, iters: Int = 3,
-                    maxCellShareMicro: Long = 250000L): Boolean =
-    if (!isSkewed(spark, path, maxCellShareMicro)) false
-    else {
+                    maxCellShareMicro: Long = 250000L,
+                    maxShards: Int = 64): Boolean =
+    if (isSkewed(spark, path, maxCellShareMicro)) {
       rebuildWith(spark, path, vectors =>
         Clustering.lloydCentroids(vectors, k, iters)
           .select(col("cid").as("id"), col("cvec").as("vec")))
       true
-    }
+    } else if (committedShards(spark, path).size > maxShards) {
+      foldShards(spark, path)
+      true
+    } else false
+
+  /** Fold every committed shard into one fresh base shard, centroids and
+    * assignments UNCHANGED (a pure relayout — cell identity is stable, so
+    * stored (id, vec, vn, cell) rows are rewritten, never re-scored).
+    * Bounds the shard-directory count and the committed-marker list that
+    * every read resolves. O(corpus) rewrite, atomic install. */
+  def foldShards(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    cleanupStale(spark, path)
+    val root = currentRoot(spark, path)
+    installVersion(spark, path,
+      spark.read.parquet(s"$root/centroids"),
+      readCellsIn(spark, root, None))
+  }
 
   private def isSkewed(spark: org.apache.spark.sql.SparkSession, path: String,
-                       maxCellShareMicro: Long): Boolean = {
-    val occ = indexStats(spark, path).collect().map(_.getAs[Long]("n"))
-    val total = occ.sum
-    total > 0L && occ.max * 1000000L > maxCellShareMicro * total
-  }
+                       maxCellShareMicro: Long): Boolean =
+    graft.engine.Catalog.retryOnRollRace {
+      val occ = indexStats(spark, path).collect().map(_.getAs[Long]("n"))
+      val total = occ.sum
+      total > 0L && occ.max * 1000000L > maxCellShareMicro * total
+    }
 
   private def rebuildWith(spark: org.apache.spark.sql.SparkSession, path: String,
                           centroidsOf: DataFrame => DataFrame): Unit = {
-    // Stage the rebuilt index BESIDE the live one, then swap directories —
-    // the old index stays intact (and readable as the rebuild's input) until
-    // the new one is fully on disk. Never stage the corpus only in executor
-    // memory: a localCheckpoint is non-fault-tolerant, and losing it after
-    // deleting the live cells would destroy the index permanently. A crash
-    // mid-swap leaves every byte on disk (old or staged copy); readers
-    // racing the swap fail loudly, never silently lose candidates — the
-    // same contract as topic compaction.
-    val (fs, _) = fsOf(spark, path)
-    val tmp = s"$path.rebuild.tmp"
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val vectors = readIndexCells(spark, path).select(col("id"), col("vec"))
-    saveIndex(vectors, centroidsOf(vectors), tmp)
-    Seq("centroids", "cells", "_committed").foreach { part =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/$part")
-      fs.delete(live, true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$part"), live))
-        throw new java.io.IOException(
-          s"index rebuild: cannot install $tmp/$part -> $live")
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+    // Stage the rebuilt index as the NEXT VERSION beside the live one (the
+    // live version stays intact — and is the rebuild's input — until the
+    // pointer flips). Never stage the corpus only in executor memory: a
+    // localCheckpoint is non-fault-tolerant, and this rewrite must survive
+    // a crash at any step with a readable index on disk.
+    cleanupStale(spark, path)
+    val root = currentRoot(spark, path)
+    val vectors = readCellsIn(spark, root, None).select(col("id"), col("vec"))
+    val centroids = centroidsOf(vectors)
+    installVersion(spark, path, centroids, nearestCells(vectors, centroids, 1))
   }
 
   /**
    * Query a persisted index: probed cell ids (a tiny set, ≤ |queries|·nprobe,
-   * collected driver-side) become an `isin` partition filter on the cells
-   * table, so the scan touches only the probed directories (of committed
-   * shards). Results are identical to [[ivfTopK]] over the same
-   * corpus/centroids.
+   * collected driver-side) become EXPLICIT cell directory paths under the
+   * committed shards — guaranteed directory-level pruning; the scan cannot
+   * touch an unprobed cell or an uncommitted shard. Results are identical
+   * to [[ivfTopK]] over the same corpus/centroids. Rides a concurrent
+   * maintenance install via the roll-race retry (re-resolving the live
+   * version); the superseded version's grace window covers the returned
+   * plan's execution.
    */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-                     queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val probed = nearestCells(queries, centroids, nprobe)
-    val cellIds = probed.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val assigned = readIndexCells(spark, path)
-      .filter(col("cell").isin(cellIds: _*))
-    probeAndRank(queries, assigned, centroids, k, nprobe)
-  }
+                     queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
+    graft.engine.Catalog.retryOnRollRace {
+      val root = currentRoot(spark, path)
+      val centroids = spark.read.parquet(s"$root/centroids")
+      val probed = nearestCells(queries, centroids, nprobe)
+      val cellIds = probed.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val assigned = readCellsIn(spark, root, Some(cellIds))
+      probeAndRank(queries, assigned, centroids, k, nprobe)
+    }
 }

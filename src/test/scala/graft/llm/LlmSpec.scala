@@ -685,15 +685,23 @@ class LlmSpec extends SparkSpec {
     val centroids = (0L until 4L).map(i => (i, vec())).toDF("id", "vec")
     val idx = java.nio.file.Files.createTempDirectory("ivf-idx-spec").toString
     Similarity.saveIndex(corpus, centroids, idx)
-    // the layout IS the index: one directory per cell (under the base shard)
-    val cellDirs = new java.io.File(s"$idx/cells/shard=base").listFiles()
+    // the layout IS the index: one directory per cell (under the live
+    // version's base shard)
+    val root = Similarity.currentRoot(session, idx)
+    val cellDirs = new java.io.File(s"$root/cells/shard=base").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
     assert(cellDirs.nonEmpty)
     val direct = Similarity.ivfTopK(queries, corpus, centroids, k = 3, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val viaIndex = Similarity.ivfTopKIndexed(spark, idx, queries, k = 3, nprobe = 2)
-    val plan = viaIndex.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    // guaranteed directory-level pruning: the cells-side scan opens ONLY
+    // probed cell directories (explicit paths, not a post-hoc filter)
+    val probedCells = Similarity.nearestCells(queries, centroids, 2)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val cellFiles = viaIndex.inputFiles.filter(_.contains("/cells/"))
+    assert(cellFiles.nonEmpty)
+    assert(cellFiles.forall(f => probedCells.exists(c => f.contains(s"/cell=$c/"))),
+      cellFiles.mkString(","))
     val got = viaIndex.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == direct)
@@ -884,7 +892,8 @@ class LlmSpec extends SparkSpec {
     // before the commit point) must be invisible to readers...
     val fs = new org.apache.hadoop.fs.Path(idx)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_committed/day1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${Similarity.currentRoot(session, idx)}/_committed/day1"), false)
     assert(Similarity.readIndexCells(session, idx).select("id").collect()
       .map(_.getLong(0)).toSet == (0L until 40L).toSet)
     // ...and the retry replaces it wholesale: exactly one copy of every id
@@ -977,5 +986,72 @@ class LlmSpec extends SparkSpec {
     // skew gone under k-means centroids → second maintenance call no-ops
     assert(!Similarity.maintainIndex(session, idx, k = 6, iters = 2,
       maxCellShareMicro = 500000L))
+  }
+
+  test("index installs are atomic: concurrent readers never see an empty index") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-atomic").toString
+    Similarity.saveIndex(randVecs(31, 40), randVecs(32, 4, offset = 9000L), idx)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+    @volatile var stop = false
+    val reader = new Thread(() => while (!stop) {
+      try counts.add(graft.engine.Catalog.retryOnRollRace(
+        Similarity.readIndexCells(session, idx).count()))
+      catch { case t: Throwable => errors.add(t): Unit }
+    })
+    reader.start()
+    try (0 until 4).foreach(_ => Similarity.foldShards(session, idx))
+    finally { stop = true; reader.join(30000) }
+    assert(errors.isEmpty, s"reader errored during installs: ${errors.peek()}")
+    assert(!counts.isEmpty)
+    // old-or-new only: every observed count is the full corpus
+    counts.forEach(n => assert(n == 40L, s"reader saw a partial index: $n"))
+  }
+
+  test("crashed or half-installed versions never corrupt the live index") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-crash").toString
+    Similarity.saveIndex(randVecs(41, 30), randVecs(42, 3, offset = 9000L), idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids() = Similarity.readIndexCells(session, idx)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val live = ids()
+    assert(live == (0L until 30L).toSet)
+    // crash mid-stage: a version dir with cells but no markers, pointer
+    // untouched -> reads serve the live version; next maintenance sweeps it
+    val stage = new org.apache.hadoop.fs.Path(s"$idx/v-99/cells/shard=base/cell=0")
+    fs.mkdirs(stage)
+    assert(ids() == live)
+    Similarity.foldShards(session, idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/v-99")))
+    assert(ids() == live)
+    // a resolvable version whose markers are GONE is a loud error, never an
+    // empty candidate set
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${Similarity.currentRoot(session, idx)}/_committed"), true)
+    intercept[IllegalStateException](Similarity.readIndexCells(session, idx).count())
+  }
+
+  test("maintainIndex folds shards past the bound; appends survive the fold") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-fold").toString
+    Similarity.saveIndex(randVecs(51, 30), randVecs(52, 4, offset = 9000L), idx)
+    (0 until 6).foreach(i => assert(Similarity.appendToIndex(session, idx,
+      randVecs(60 + i, 10, offset = 1000L + i * 100), s"s$i")))
+    assert(Similarity.committedShards(session, idx).size == 7)
+    def ids() = Similarity.readIndexCells(session, idx)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val before = ids()
+    // share bound 100% -> never "skewed"; shard bound 4 -> fold triggers
+    assert(Similarity.maintainIndex(session, idx, k = 4,
+      maxCellShareMicro = 1000000L, maxShards = 4))
+    assert(Similarity.committedShards(session, idx) == Seq("base"))
+    assert(ids() == before) // pure relayout: corpus identical
+    // second pass: both bounds hold -> no-op
+    assert(!Similarity.maintainIndex(session, idx, k = 4,
+      maxCellShareMicro = 1000000L, maxShards = 4))
+    // appends keep working against the folded index
+    assert(Similarity.appendToIndex(session, idx,
+      randVecs(70, 5, offset = 5000L), "s9"))
+    assert(ids() == before ++ (5000L until 5005L))
   }
 }
