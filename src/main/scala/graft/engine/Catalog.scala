@@ -130,6 +130,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     grown.partitions
   }
 
+  /** Drop a topic: removes its directory tree (log, manifest, indexes,
+    * cursors) and this instance's caches for the name. Refuses while a
+    * live produce or compaction holds the topic — deleting under a writer
+    * would strand its files mid-commit. (The reference has no topic
+    * delete — `MofkaDriver.cpp:151-315` only creates/opens — but a SQL
+    * catalog surface needs DROP TABLE, and safe-by-rejection mirrors the
+    * produce-lock contract.) */
+  def dropTopic(name: String): Unit = {
+    if (!topicExists(name))
+      throw new NoSuchElementException(s"""Topic "$name" not found""")
+    failIfCompacting(name)
+    lockIsLive(produceLockPath(name)).foreach { age =>
+      throw new IllegalStateException(
+        s"topic '$name': cannot drop while a produce is in progress " +
+        s"(lock ${produceLockPath(name)}, age ${age / 1000}s)")
+    }
+    fs.delete(topicPath(name), true)
+    configCache.remove(name)
+    recoveredCache.remove(name)
+    manifestCache.remove(name): Unit
+  }
+
   /** D5 `markAsComplete` — persisted completion flag; consumers resolve
     * NoMoreEvents once drained (`MofkaConsumer.cpp:117-132`). */
   def markAsComplete(name: String): Unit = {

@@ -39,6 +39,10 @@ final class GraftDriver(val spark: SparkSession, val warehouse: String) {
   /** C5 `addPartition` — returns the new partition count. */
   def addPartition(name: String): Int = catalog.addPartition(name)
 
+  /** Drop a topic (SQL-catalog surface; refuses under live produce/compact
+    * locks — see [[Catalog.dropTopic]]). */
+  def dropTopic(name: String): Unit = catalog.dropTopic(name)
+
   /**
    * Multi-topic subscribe: the union of several topic logs as one
    * DataFrame, tagged with a `topic` column (SURVEY §2.7 — the reference

@@ -117,6 +117,25 @@ object EnginePack extends QueryPack {
           get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
         .orderBy(col("partition"), col("engine_id"))
     },
+    "q_sql_catalog" -> { (s, dir) =>
+      // C1/C3 through the SQL surface (SURVEY §2.2): the TableCatalog
+      // plugin makes topics SQL tables — CREATE TABLE is createTopic, the
+      // catalog-qualified SELECT runs the same DSv2 scan as
+      // format("graft"), so this shares q_source_scan's oracle verbatim.
+      // A unique catalog name per run: Spark caches catalog instances by
+      // name, and every bench iteration gets a fresh scratch warehouse.
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      s.sql(s"CREATE TABLE $cat.sqlcat_demo TBLPROPERTIES (partitions '4')")
+      d.openTopic("sqlcat_demo").producer().produce(sourceByEid(s, dir))
+      s.sql(
+        s"""SELECT partition, event_id AS engine_id,
+           |  CAST(get_json_object(metadata, '$$.eid') AS BIGINT) AS eid
+           |FROM $cat.sqlcat_demo WHERE event_id >= 10
+           |ORDER BY partition, engine_id""".stripMargin)
+    },
     "q_consumer_ack" -> { (s, dir) =>
       val d = tempDriver(s)
       d.createTopic("ack_demo", partitions = 4)
@@ -1485,6 +1504,13 @@ object EnginePack extends QueryPack {
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // same contract as q_consumer_ack but via the DSv2 reader
     "q_source_scan" ->
+      """SELECT partition, engine_id, eid
+        |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,
+        |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id,
+        |        event_id AS eid
+        |      FROM events) s
+        |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
+    "q_sql_catalog" ->
       """SELECT partition, engine_id, eid
         |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,
         |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id,

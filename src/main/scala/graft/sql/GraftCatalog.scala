@@ -1,0 +1,183 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.{Catalog, Serializer, TopicConfig, Validator, PartitionSelector}
+import graft.streaming.GraftTopicTable
+
+/**
+ * Topics as SQL tables — the Spark `TableCatalog` face of the engine's
+ * control plane (SURVEY §2.2: C1 `createTopic` ↔ `CREATE TABLE`, C3
+ * `listTopics` ↔ `SHOW TABLES`, mirroring `MofkaDriver.cpp:151-315,461-497`
+ * where topic DDL is the driver's metadata surface):
+ *
+ * {{{
+ * spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+ * spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/warehouse")
+ *
+ * spark.sql("CREATE TABLE graft.clicks TBLPROPERTIES (partitions '4')")
+ * spark.sql("SHOW TABLES IN graft")
+ * spark.table("graft.clicks")           // the DSv2 topic table (batch scan)
+ * spark.sql("SELECT count(*) FROM graft.clicks WHERE event_id >= 10")
+ * spark.sql("DROP TABLE graft.clicks")
+ * }}}
+ *
+ * Table properties at CREATE map to the topic descriptor triple (F1-F3,
+ * X1-X2, Z1): `partitions` (int, default 1), `validator`, `selector`,
+ * `serializer` (JSON descriptors, exactly the strings the engine API
+ * takes). Unknown descriptors are DDL-time errors, like `createTopic`.
+ *
+ * One flat namespace (`default`): topics have no hierarchy in the engine
+ * (the reference's names are flat too). Rename is unsupported (no engine
+ * analog); DROP refuses under live produce/compaction locks, like every
+ * destructive engine op.
+ */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def engine: Catalog = {
+    require(warehouse != null,
+      s"catalog '$catalogName' has no warehouse — set spark.sql.catalog.$catalogName.warehouse")
+    new Catalog(SparkSession.active, warehouse)
+  }
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    if (warehouse == null)
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  override def defaultNamespace(): Array[String] = Array(GraftCatalog.Namespace)
+
+  private def checkNamespace(ns: Array[String]): Unit =
+    if (!(ns.isEmpty || ns.sameElements(Array(GraftCatalog.Namespace))))
+      throw new NoSuchNamespaceException(ns)
+
+  // -- tables ---------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    checkNamespace(namespace)
+    engine.listTopics()
+      .map(t => Identifier.of(Array(GraftCatalog.Namespace), t)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    checkNamespace(ident.namespace())
+    if (!engine.topicExists(ident.name())) throw new NoSuchTableException(ident)
+    new GraftTopicTable(warehouse, ident.name(),
+      consumer = None, targets = None, maxEventsPerTrigger = None)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    (ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array(GraftCatalog.Namespace))) &&
+      engine.topicExists(ident.name())
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(), info.properties())
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    checkNamespace(ident.namespace())
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft topics are partitioned by the topic's partition count " +
+      "(TBLPROPERTIES partitions 'N'), not by column transforms")
+    // a column list, if given, must be the topic event schema — topics have
+    // one fixed shape (the reference's Metadata/Data event model)
+    if (schema.nonEmpty && schema != GraftTopicTable.EventSchema)
+      throw new IllegalArgumentException(
+        s"graft tables have the fixed event schema ${GraftTopicTable.EventSchema.simpleString}; " +
+        "omit the column list or match it exactly")
+    val props = properties.asScala
+    val nParts = props.get("partitions").map { v =>
+      try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"TBLPROPERTIES partitions must be an int, got '$v'")
+      }
+    }.getOrElse(1)
+    def descriptor(key: String, dflt: org.json4s.JObject): org.json4s.JObject =
+      props.get(key).map { json =>
+        org.json4s.jackson.JsonMethods.parse(json) match {
+          case o: org.json4s.JObject => o
+          case _ => throw new IllegalArgumentException(
+            s"TBLPROPERTIES $key must be a JSON object descriptor, got '$json'")
+        }
+      }.getOrElse(dflt)
+    val config = TopicConfig(ident.name(), nParts,
+      descriptor("validator", TopicConfig.DefaultValidator),
+      descriptor("selector", TopicConfig.DefaultSelector),
+      descriptor("serializer", TopicConfig.DefaultSerializer),
+      completed = false)
+    try engine.createTopic(config) catch {
+      case e: IllegalStateException if e.getMessage.contains("already exists") =>
+        throw new TableAlreadyExistsException(ident)
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported on graft topics — use the engine API " +
+      "(addPartition, alterValidator) for topic evolution")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && {
+      engine.dropTopic(ident.name())
+      true
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft topics cannot be renamed (chunk files and cursors key on the name)")
+
+  // -- namespaces (one flat namespace, like the reference's topic space) ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array(GraftCatalog.Namespace))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    checkNamespace(namespace)
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array(GraftCatalog.Namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    checkNamespace(namespace)
+    Map("location" -> warehouse).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    else throw new UnsupportedOperationException(
+      "graft has a single flat namespace; topics cannot be grouped")
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces are fixed")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("graft namespaces are fixed")
+}
+
+object GraftCatalog {
+  val Namespace = "default"
+}

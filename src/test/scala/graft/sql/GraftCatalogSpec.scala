@@ -1,0 +1,102 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.AnalysisException
+
+import graft.SparkSpec
+import graft.engine.GraftDriver
+
+/**
+ * The SQL TableCatalog surface: topic DDL through `spark.sql` (C1/C3 ↔
+ * CREATE TABLE / SHOW TABLES, SURVEY §2.2), reads through `spark.table`,
+ * and engine-error parity (dup create, live-lock drop refusal).
+ */
+class GraftCatalogSpec extends SparkSpec {
+
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Fresh catalog name + warehouse per test: Spark caches catalog
+    * instances by name for the session's lifetime. */
+  private def newCatalog(): (String, GraftDriver) = {
+    val wh = Files.createTempDirectory("graft-sqlcat-spec").toString
+    val cat = s"sqlcat_${n.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, new GraftDriver(spark, wh))
+  }
+
+  test("CREATE TABLE is createTopic; SHOW TABLES is listTopics") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.clicks TBLPROPERTIES (partitions '3')")
+    assert(d.topicExists("clicks"))
+    assert(d.openTopic("clicks").config.partitions == 3)
+    spark.sql(s"CREATE TABLE $cat.views")
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet == Set("clicks", "views"))
+    // the default-namespace form works too
+    assert(spark.sql(s"SHOW TABLES IN $cat.default").collect()
+      .map(_.getString(1)).toSet == Set("clicks", "views"))
+  }
+
+  test("duplicate CREATE throws through SQL; IF NOT EXISTS no-ops") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.dup TBLPROPERTIES (partitions '2')")
+    val e = intercept[AnalysisException](
+      spark.sql(s"CREATE TABLE $cat.dup"))
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.dup")
+    assert(d.openTopic("dup").config.partitions == 2) // original untouched
+  }
+
+  test("descriptor TBLPROPERTIES reach the topic config; bad ones fail at DDL") {
+    val (cat, d) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.validated TBLPROPERTIES (
+         |  partitions '2',
+         |  validator '{"type":"schema","schema":{"type":"object","required":["k"]}}',
+         |  selector '{"type":"metadata_field_mod","field":"k"}'
+         |)""".stripMargin)
+    val cfg = d.openTopic("validated").config
+    assert(org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(cfg.validator)).contains("schema"))
+    // unknown plugin type: DDL-time error, same as the engine API (F6)
+    intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.bad TBLPROPERTIES (validator '{"type":"nope"}')"""))
+    assert(!d.topicExists("bad"))
+  }
+
+  test("SELECT over the catalog table runs the DSv2 scan") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.evts TBLPROPERTIES (partitions '2')")
+    val producer = d.openTopic("evts").producer()
+    (0 until 20).foreach(i => producer.push(s"""{"i":$i}""",
+      s"p$i".getBytes("UTF-8"), partition = Some(i % 2)))
+    producer.flush()
+    assert(spark.table(s"$cat.evts").count() == 20)
+    val filtered = spark.sql(
+      s"SELECT partition, event_id FROM $cat.evts WHERE event_id >= 5")
+    assert(filtered.count() == 10) // 2 partitions x ids 5..9
+    // parity with the options-based source path
+    val viaFormat = spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "evts").load()
+      .select("partition", "event_id", "metadata")
+      .orderBy("partition", "event_id").collect().toSeq
+    val viaCatalog = spark.table(s"$cat.evts")
+      .select("partition", "event_id", "metadata")
+      .orderBy("partition", "event_id").collect().toSeq
+    assert(viaCatalog == viaFormat)
+  }
+
+  test("DROP TABLE drops the topic; missing tables and renames fail loudly") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.gone")
+    assert(d.topicExists("gone"))
+    spark.sql(s"DROP TABLE $cat.gone")
+    assert(!d.topicExists("gone"))
+    intercept[AnalysisException](spark.sql(s"DROP TABLE $cat.gone"))
+    spark.sql(s"DROP TABLE IF EXISTS $cat.gone") // no-op, no error
+    spark.sql(s"CREATE TABLE $cat.a")
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.a RENAME TO $cat.b"))
+  }
+}
