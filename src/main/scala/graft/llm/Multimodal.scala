@@ -19,6 +19,13 @@ final case class MediaFrame(doc_id: Long, frame_index: Long, frame: Array[Byte])
 /** Fixed-dimension feature vector extracted from a payload. */
 final case class MediaFeatures(doc_id: Long, media_type: String, features: Array[Float])
 
+/** Header-only container metadata (audio/video payloads): container kind,
+  * playback duration, and the container-specific fields that apply (WAV:
+  * rate/channels; MP4: track count). */
+final case class MediaProbe(doc_id: Long, container: String, duration_ms: Long,
+                            sample_rate: Option[Long], channels: Option[Long],
+                            tracks: Option[Long])
+
 /**
  * Multimodal column plumbing: image/audio/video payloads ride as `binary`
  * columns; decode / feature-extraction runs as a partition-wise typed map —
@@ -204,7 +211,166 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload")).as[MediaRecord]
   }
 
+  /** 64 deterministic gray values from a seed text — the synthetic image
+    * corpus generator: pixel i of an 8×8 grayscale image is byte i of
+    * `md5(text || chunk)` (4 chunks × 16 bytes). Chosen so [[aHash]] of the
+    * rendered image is re-derivable from md5 HEX in plain SQL: an 8×8
+    * source sampled by the 8×8 aHash grid hits every pixel exactly once,
+    * and grayscale PNG round-trips losslessly. */
+  def docGrays(text: String): Array[Int] =
+    Array.range(0, 4).flatMap(c =>
+      MessageDigest.getInstance("MD5")
+        .digest((text + c.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(_ & 0xff))
+
+  /** Render 64 gray values as a real 8×8 PNG (lossless; `aHash` recovers
+    * the exact values through the codec). */
+  def pngGray8x8(g: Array[Int]): Array[Byte] = {
+    require(g.length == 64, s"need 64 gray values, got ${g.length}")
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val v = g(i) & 0xff
+      img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
+
+  // -- container probing (audio/video) --------------------------------------
+  //
+  // Header-only probes beside the ImageIO path: WAV/RIFF chunk walking and
+  // MP4 box walking read O(header) bytes — the payload-lazy contract for
+  // non-image corpora (duration/rate/track metadata without a codec).
+
+  /** Walk a RIFF/WAVE container's chunks: sample rate + channels from
+    * `fmt `, sample count from `data` size / block align. Fails loudly on
+    * anything that is not a WAVE RIFF — a corrupt corpus must not probe as
+    * silence. */
+  def probeWav(id: Long, b: Array[Byte]): MediaProbe = {
+    def le16(o: Int) = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)).toLong
+    def le32(o: Int) = (0 until 4).map(i => (b(o + i) & 0xffL) << (8 * i)).sum
+    def tag(o: Int) = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"doc $id: not a RIFF/WAVE payload")
+    var off = 12
+    var rate, chans, blockAlign, dataLen = -1L
+    while (off + 8 <= b.length) {
+      val (id4, size) = (tag(off), le32(off + 4))
+      if (id4 == "fmt ") {
+        chans = le16(off + 10); rate = le32(off + 12); blockAlign = le16(off + 20)
+      } else if (id4 == "data") dataLen = size
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    require(rate > 0 && chans > 0 && blockAlign > 0 && dataLen >= 0,
+      s"doc $id: WAVE missing fmt/data chunks")
+    val nSamples = dataLen / blockAlign
+    MediaProbe(id, "wav", nSamples * 1000L / rate, Some(rate), Some(chans), None)
+  }
+
+  /** Walk MP4 top-level boxes to `moov`, read `mvhd` (v0/v1) for
+    * timescale+duration and count `trak` children — the standard ISO BMFF
+    * metadata probe, O(moov) bytes. */
+  def probeMp4(id: Long, b: Array[Byte]): MediaProbe = {
+    def be32(o: Int) = (0 until 4).map(i => (b(o + i) & 0xffL) << (8 * (3 - i))).sum
+    def be64(o: Int) = (0 until 8).map(i => (b(o + i) & 0xffL) << (8 * (7 - i))).sum
+    def tag(o: Int) = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var off = 0
+    var moov = -1
+    var moovEnd = -1L
+    while (off + 8 <= b.length && moov < 0) {
+      val size = be32(off)
+      if (tag(off + 4) == "moov") { moov = off + 8; moovEnd = off + size }
+      off += math.max(size, 8L).toInt
+    }
+    require(moov >= 0, s"doc $id: no moov box in MP4 payload")
+    var o = moov
+    var timescale, duration = -1L
+    var tracks = 0L
+    while (o + 8 <= moovEnd) {
+      val size = be32(o)
+      tag(o + 4) match {
+        case "mvhd" =>
+          val version = b(o + 8) & 0xff
+          if (version == 1) { timescale = be32(o + 28); duration = be64(o + 32) }
+          else { timescale = be32(o + 20); duration = be32(o + 24) }
+        case "trak" => tracks += 1
+        case _ =>
+      }
+      o += math.max(size, 8L).toInt
+    }
+    require(timescale > 0, s"doc $id: moov has no mvhd")
+    MediaProbe(id, "mp4", duration * 1000L / timescale, None, None, Some(tracks))
+  }
+
+  /** Sniff-dispatched container probe (bytes decide, not the declared
+    * type — a mislabeled payload fails loudly instead of mis-probing). */
+  def probeContainer(r: MediaRecord): MediaProbe = {
+    val b = r.payload
+    def tag(o: Int) =
+      if (b.length >= o + 4) new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (tag(0) == "RIFF" && tag(8) == "WAVE") probeWav(r.doc_id, b)
+    else if (tag(4) == "ftyp") probeMp4(r.doc_id, b)
+    else throw new IllegalArgumentException(
+      s"doc ${r.doc_id}: unrecognized container (declared ${r.media_type})")
+  }
+
+  /** Partition-wise container probing (same batch shape as [[decode]]). */
+  def probe(ds: Dataset[MediaRecord]): Dataset[MediaProbe] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition demuxer init would go here
+      it.map(probeContainer)
+    }
+  }
+
+  /** Real-encoder WAV generator for the synthetic corpus: the JDK's
+    * `javax.sound` writes the RIFF container, so [[probeWav]] is graded
+    * against an independent writer (16-bit little-endian PCM; deterministic
+    * byte pattern). */
+  def wavPcm(id: Long, sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nSamples * 2 * channels)
+    var i = 0
+    while (i < data.length) { data(i) = ((id * 31 + i) & 0x7f).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Minimal ISO BMFF generator (ftyp + moov[mvhd + trak×n]) — no MP4
+    * muxer exists in this environment, so the writer is synthetic; the
+    * box WALKER ([[probeMp4]]) is the production parser either way. */
+  def mp4Stub(timescale: Int, duration: Long, tracks: Int): Array[Byte] = {
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(payload.length + 8)
+        .putInt(payload.length + 8)
+        .put(t.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        .put(payload).array()
+    val ftyp = box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 0, 0, 1) ++
+        "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val mvhdPayload = java.nio.ByteBuffer.allocate(100)
+    mvhdPayload.putInt(0) // version 0 + flags
+    mvhdPayload.putInt(0).putInt(0) // creation/modification time
+    mvhdPayload.putInt(timescale)
+    mvhdPayload.putInt(duration.toInt)
+    val moov = box("moov",
+      box("mvhd", mvhdPayload.array()) ++
+        Array.fill(tracks)(box("trak", Array.empty[Byte])).flatten)
+    ftyp ++ moov
+  }
 }

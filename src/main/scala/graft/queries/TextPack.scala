@@ -305,6 +305,57 @@ object TextPack extends QueryPack {
         Dedup.simhash(t(s, dir, "documents"), "doc_id", "text"), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    "q_media_neardup" -> { (s, dir) =>
+      // Perceptual image near-dup: per document an 8×8 grayscale PNG is
+      // rendered (pixel i = byte i of md5(text||chunk) — [[Multimodal
+      // .docGrays]]), pushed through the REAL codec path (PNG encode →
+      // full ImageIO pixel decode → 63-bit aHash) on executors, and the
+      // hashes banded with the SAME pigeonhole machinery as text simhash
+      // (Dedup.simhashPairs — bucketed joins, star-guarded, nothing
+      // quadratic). Every 25th doc also plants a near-copy (first two
+      // pixels SWAPPED — sum-preserving, so the aHash mean is unchanged
+      // and only bits 0/1 can differ: hamming ≤ 2 by construction) under
+      // id+10,000,000. The oracle re-derives the 64 gray values from md5
+      // hex, the hash bits, and EVERY pair independently in SQL — the
+      // codec round-trip is graded bit-exact, not trusted.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val jobs = docs.select(col("doc_id"), col("text"), lit(0).as("perturb"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            lit(1).as("perturb")))
+      val media = jobs.as[(Long, String, Int)].map { case (id, text, perturb) =>
+        val g = Multimodal.docGrays(text)
+        if (perturb == 1) { val t0 = g(0); g(0) = g(1); g(1) = t0 }
+        graft.llm.MediaRecord(id, "image/png", Multimodal.pngGray8x8(g))
+      }
+      Dedup.simhashPairs(Multimodal.perceptualHashes(media), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q_media_probe" -> { (s, dir) =>
+      // Header-only container probing beside the image path (payload-lazy
+      // for non-image corpora): WAV payloads come from the JDK's REAL
+      // javax.sound encoder — the RIFF chunk walker is graded against an
+      // independent writer — and MP4 payloads from the box builder (no
+      // muxer in-env; the box WALKER is the production parser). Container
+      // parameters derive from document columns, so the oracle recomputes
+      // every probed value (duration/rate/channels/tracks) arithmetically.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("int").as("len"))
+      val media = docs.as[(Long, Int)].map { case (id, len) =>
+        if (id % 2 == 0) {
+          val sr = 8000 + (id % 4).toInt * 4000
+          val ch = 1 + ((id / 2) % 2).toInt
+          graft.llm.MediaRecord(id, "audio/wav",
+            Multimodal.wavPcm(id, sr, ch, (len + 1) * 3))
+        } else {
+          graft.llm.MediaRecord(id, "video/mp4",
+            Multimodal.mp4Stub(1000, (len + 1).toLong * 7, 1 + (id % 3).toInt))
+        }
+      }
+      Multimodal.probe(media).toDF().orderBy(col("doc_id"))
+    },
     "q_media_meta" -> { (s, dir) =>
       // Oracle note: the operator is BYTE-oriented (payload length, first
       // payload bytes); the SQL mirror uses length()/ascii() which are
@@ -706,6 +757,49 @@ object TextPack extends QueryPack {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // aHash oracle: gray g[i] = byte i of md5(text||chunk) (4 chunks × 16
+    // bytes, hex-parsed); planted copies swap g[1]/g[2] (1-based); bit j
+    // set iff g[j+1] > list_sum(g)//64; pairs = all-pairs hamming ≤ 3 —
+    // the whole codec+banding path graded against independent arithmetic
+    "q_media_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 0 AS perturb FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 1 FROM documents WHERE doc_id % 25 = 0
+        |), grays AS (
+        |  SELECT doc_id, perturb,
+        |    flatten(list_transform(range(4), c -> list_transform(range(16), j ->
+        |      16 * (strpos('0123456789abcdef', substr(md5(text || CAST(c AS VARCHAR)), 2*j + 1, 1)) - 1)
+        |         + (strpos('0123456789abcdef', substr(md5(text || CAST(c AS VARCHAR)), 2*j + 2, 1)) - 1)
+        |    ))) AS g0
+        |  FROM base
+        |), pg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN perturb = 1
+        |         THEN list_concat([g0[2], g0[1]], g0[3:]) ELSE g0 END AS g
+        |  FROM grays
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(63), j ->
+        |      CASE WHEN g[j + 1] > list_sum(g) // 64
+        |           THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS hash
+        |  FROM pg
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash, b.hash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_media_probe" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN ((length(text) + 1) * 3 * 1000) // (8000 + (doc_id % 4) * 4000)
+        |       ELSE (length(text) + 1) * 7 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 4) * 4000 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + ((doc_id // 2) % 2) END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + (doc_id % 3) END AS BIGINT) AS tracks
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS width,

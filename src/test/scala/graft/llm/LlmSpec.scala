@@ -1054,4 +1054,53 @@ class LlmSpec extends SparkSpec {
       randVecs(70, 5, offset = 5000L), "s9"))
     assert(ids() == before ++ (5000L until 5005L))
   }
+
+  test("perceptual image dedup survives a flood of identical images (star guard)") {
+    import session.implicits._
+    // 300 byte-identical PNGs + 2 distinct ones: every band bucket holds the
+    // whole flood, so an unguarded band join would emit ~45k pairs; the
+    // star guard caps candidates at O(flood) vs the bucket representative
+    // while still pairing EVERY member (hamming 0 to the representative).
+    val grays = Multimodal.docGrays("flood seed")
+    val other = Multimodal.docGrays("another image entirely")
+    val recs = ((0L until 300L).map(id =>
+        MediaRecord(id, "image/png", Multimodal.pngGray8x8(grays))) ++
+      Seq(MediaRecord(300L, "image/png", Multimodal.pngGray8x8(other))))
+      .toDS()
+    val hashes = Multimodal.perceptualHashes(recs)
+    val pairs = Dedup.simhashPairs(hashes, maxHamming = 3, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // star shape: every flood member pairs with the representative (id 0)
+    assert((1L until 300L).forall(j => pairs.contains((0L, j, 0L))),
+      s"missing star pairs; got ${pairs.length}")
+    // bounded: nothing quadratic leaked through the guard
+    assert(pairs.length < 1200, s"quadratic pair blow-up: ${pairs.length}")
+  }
+
+  test("container probes parse real WAV headers and MP4 boxes, fail loudly on junk") {
+    // WAV via the JDK's independent encoder
+    val wav = MediaRecord(1L, "audio/wav", Multimodal.wavPcm(1L, 16000, 2, 480))
+    val pw = Multimodal.probeContainer(wav)
+    assert(pw == MediaProbe(1L, "wav", 30L, Some(16000L), Some(2L), None))
+    // MP4 v0 mvhd + three traks
+    val mp4 = MediaRecord(2L, "video/mp4", Multimodal.mp4Stub(600, 1800L, 3))
+    val pm = Multimodal.probeContainer(mp4)
+    assert(pm == MediaProbe(2L, "mp4", 3000L, None, None, Some(3L)))
+    // v1 mvhd (64-bit times): hand-built to cover the version branch
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(payload.length + 8)
+        .putInt(payload.length + 8).put(t.getBytes("US-ASCII")).put(payload).array()
+    val mvhd1 = java.nio.ByteBuffer.allocate(112)
+    mvhd1.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+    mvhd1.putLong(0L).putLong(0L)                 // 64-bit ctime/mtime
+    mvhd1.putInt(90000)                           // timescale
+    mvhd1.putLong(450000L)                        // 64-bit duration
+    val v1 = box("ftyp", "isom".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", mvhd1.array()) ++ box("trak", Array.empty[Byte]))
+    assert(Multimodal.probeContainer(MediaRecord(3L, "video/mp4", v1)) ==
+      MediaProbe(3L, "mp4", 5000L, None, None, Some(1L)))
+    // junk: loud, never a fake probe
+    intercept[IllegalArgumentException](Multimodal.probeContainer(
+      MediaRecord(4L, "audio/wav", Array.fill[Byte](64)(7))))
+  }
 }
