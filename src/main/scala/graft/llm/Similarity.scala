@@ -358,11 +358,15 @@ object Similarity {
     val dirs = probe match {
       case None => shardDirs
       case Some(cells) =>
-        for {
-          sd <- shardDirs; c <- cells.distinct.sorted
-          d = s"$sd/cell=$c"
-          if fs.exists(new org.apache.hadoop.fs.Path(d))
-        } yield d
+        // one listStatus per committed shard (shard count is bounded by
+        // maintainIndex's fold), intersected with the probed cell set —
+        // cheaper than |shards|×|cells| existence checks on an object store
+        val want = cells.map(c => s"cell=$c").toSet
+        shardDirs.flatMap { sd =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(sd))
+            .filter(st => st.isDirectory && want.contains(st.getPath.getName))
+            .map(_.getPath.toString)
+        }
     }
     val base = spark.read.option("basePath", s"$root/cells")
     val raw =

@@ -136,6 +136,30 @@ object EnginePack extends QueryPack {
            |FROM $cat.sqlcat_demo WHERE event_id >= 10
            |ORDER BY partition, engine_id""".stripMargin)
     },
+    "q_sql_insert" -> { (s, dir) =>
+      // The SQL WRITE surface: INSERT INTO through the TableCatalog runs
+      // one produce() (driver-linearized ids, validator, selector — the
+      // identical commit path as the engine API). Inserted event_id values
+      // are engine-assigned, so the result is graded ORDER-FREE per
+      // partition: dense ids mean min=0, max=cnt-1, distinct=cnt, and the
+      // eid sum is assignment-order independent.
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      s.sql(s"CREATE TABLE $cat.sqlins_demo TBLPROPERTIES (partitions '4')")
+      val view = s"sqlins_src_${EnginePack.streamRun.incrementAndGet()}"
+      sourceByEid(s, dir).createOrReplaceTempView(view)
+      s.sql(
+        s"""INSERT INTO $cat.sqlins_demo
+           |SELECT partition, 0L AS event_id, metadata, CAST(NULL AS BINARY) AS data
+           |FROM $view""".stripMargin)
+      s.sql(
+        s"""SELECT partition, count(*) AS cnt, min(event_id) AS min_id,
+           |  max(event_id) AS max_id,
+           |  sum(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS eid_sum
+           |FROM $cat.sqlins_demo GROUP BY partition ORDER BY partition""".stripMargin)
+    },
     "q_consumer_ack" -> { (s, dir) =>
       val d = tempDriver(s)
       d.createTopic("ack_demo", partitions = 4)
@@ -1517,6 +1541,11 @@ object EnginePack extends QueryPack {
         |        event_id AS eid
         |      FROM events) s
         |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
+    "q_sql_insert" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, COUNT(*) AS cnt,
+        |  CAST(0 AS BIGINT) AS min_id, COUNT(*) - 1 AS max_id,
+        |  SUM(event_id) AS eid_sum
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // engine id = rank of the event within its partition (push order); the
     // acked prefix (< 10) must not reappear
     "q_consumer_ack" ->

@@ -254,14 +254,29 @@ final class GraftMicroBatchStream(
 
   override def reportLatestOffset(): Offset = TopicOffset(currentNext())
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[TopicOffset].next
-    val e = end.asInstanceOf[TopicOffset].next
-    GraftPartitions.plan(catalog, topic, targets,
-      from = p => s.getOrElse(p, 0L),
-      until = p => e.getOrElse(p, 0L),
-      Some(fileStats))
-  }
+  /** Memoized per (start, end): Spark's DSv2 machinery calls
+    * planInputPartitions several times per micro-batch (measured ~6× —
+    * stats, RDD creation, re-planning); the offsets pin immutable chunk
+    * files, so one plan per batch is correct and saves the repeated
+    * manifest/tier metadata reads (object-store round trips at scale). */
+  private var lastPlan: Option[((Map[Int, Long], Map[Int, Long]), Array[InputPartition])] =
+    None
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    synchronized {
+      val s = start.asInstanceOf[TopicOffset].next
+      val e = end.asInstanceOf[TopicOffset].next
+      lastPlan match {
+        case Some((key, planned)) if key == (s, e) => planned
+        case _ =>
+          val planned = GraftPartitions.plan(catalog, topic, targets,
+            from = p => s.getOrElse(p, 0L),
+            until = p => e.getOrElse(p, 0L),
+            Some(fileStats))
+          lastPlan = Some(((s, e), planned))
+          planned
+      }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,9 +63,37 @@ import graft.engine.{Catalog, GraftDriver}
  *    see `GraftSink`'s contract)
  */
 final class GraftTopicProvider extends TableProvider with DataSourceRegister
-  with StreamSinkProvider {
+  with StreamSinkProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").mode("append")` — batch append = one
+    * `produce()` (the same contract as the catalog table's INSERT path;
+    * DataFrameWriter.save routes path-less V1 writes here). Append is the
+    * ONLY mode: a topic is an append-only log, and ErrorIfExists/Ignore
+    * keyed on "table existence" have no meaning for a produce. */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    if (mode != org.apache.spark.sql.SaveMode.Append)
+      throw new UnsupportedOperationException(
+        s"""write.format("graft") supports mode("append") only (got $mode) — topics are append-only logs""")
+    def required(key: String): String = parameters.getOrElse(key,
+      throw new IllegalArgumentException(s"""write.format("graft") requires option '$key'"""))
+    val handle = new GraftDriver(data.sparkSession, required("warehouse"))
+      .openTopic(required("topic"))
+    import org.apache.spark.sql.functions.col
+    val cols = Seq("partition", "metadata", "data").filter(data.columns.contains)
+    Predef.require(cols.contains("metadata"),
+      "produce() input needs a 'metadata' column")
+    handle.producer().produce(data.select(cols.map(col): _*))
+    val ctx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = GraftTopicTable.EventSchema
+    }
+  }
 
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                           partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
@@ -164,16 +192,54 @@ final class GraftTopicTable(
     consumer: Option[String], targets: Option[Seq[Int]],
     maxEventsPerTrigger: Option[Long],
     startingTime: Option[(String, Long)] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Table with SupportsRead {
+    maxBytesPerTrigger: Option[Long] = None)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft:$topic"
   override def schema(): StructType = GraftTopicTable.EventSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val catalog = new Catalog(SparkSession.active, warehouse)
     new GraftScanBuilder(catalog, topic, consumer, targets, maxEventsPerTrigger,
       startingTime, maxBytesPerTrigger)
   }
+
+  /** Batch append = one `produce()` (`INSERT INTO` through the SQL catalog,
+    * or `df.write.format("graft").mode("append")`). The produce path is
+    * DRIVER-coordinated by design — dense id assignment, the produce lock,
+    * crash hygiene and the manifest commit are one linearized commit (the
+    * reference's write-queue, `DefaultPartitionManager.cpp:398-409`) — so
+    * the write plugs in via the V1 insert bridge rather than a distributed
+    * DataWriter commit protocol that produce() would have to fight.
+    *
+    * Contract: `event_id` values in the inserted rows are IGNORED — ids
+    * are engine-assigned, dense per partition (S6); `partition` is the
+    * REQUESTED partition, routed through the topic's selector policy (X1:
+    * honored mod N for round-robin topics); validation/serialization run
+    * exactly as in every other produce (F1-F3, Z1). No overwrite/truncate:
+    * a topic is an append-only log. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  s"graft topic '$topic' is an append-only log — INSERT OVERWRITE is not supported")
+                val handle = new GraftDriver(data.sparkSession, warehouse).openTopic(topic)
+                import org.apache.spark.sql.functions.col
+                handle.producer().produce(
+                  data.select(col("partition"), col("metadata"), col("data"))): Unit
+              }
+            }
+        }
+    }
 }

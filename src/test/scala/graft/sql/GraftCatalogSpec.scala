@@ -99,4 +99,45 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE $cat.a")
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.a RENAME TO $cat.b"))
   }
+
+  test("INSERT INTO produces; event_id is engine-assigned; OVERWRITE refused") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.sink TBLPROPERTIES (partitions '2')")
+    spark.sql(
+      s"""INSERT INTO $cat.sink VALUES
+         |  (0, 999, '{"k":0}', CAST(NULL AS BINARY)),
+         |  (1, 999, '{"k":1}', CAST(NULL AS BINARY)),
+         |  (0, 999, '{"k":2}', CAST(NULL AS BINARY))""".stripMargin)
+    val rows = spark.table(s"$cat.sink")
+      .select("partition", "event_id", "metadata")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._2))
+    // inserted event_id 999 ignored: ids dense per partition from 0
+    assert(rows.map(x => (x._1, x._2)).toSeq == Seq((0, 0L), (0, 1L), (1, 0L)))
+    assert(rows.map(_._3).toSet == Set("""{"k":0}""", """{"k":1}""", """{"k":2}"""))
+    // a second INSERT appends with the watermark carried forward
+    spark.sql(s"""INSERT INTO $cat.sink VALUES (1, 0, '{"k":3}', CAST(NULL AS BINARY))""")
+    assert(spark.table(s"$cat.sink").where("partition = 1").count() == 2)
+    // append-only log: overwrite forms are refused
+    intercept[Exception](spark.sql(
+      s"""INSERT OVERWRITE $cat.sink VALUES (0, 0, '{"k":9}', CAST(NULL AS BINARY))"""))
+    // the validator gates SQL inserts exactly like the engine API
+    spark.sql(s"""CREATE TABLE $cat.gated TBLPROPERTIES (
+      validator '{"type":"schema","schema":{"type":"object","required":["k"]}}')""")
+    intercept[Exception](spark.sql(
+      s"""INSERT INTO $cat.gated VALUES (0, 0, '{"wrong":1}', CAST(NULL AS BINARY))"""))
+    assert(spark.table(s"$cat.gated").count() == 0)
+  }
+
+  test("df.write.format(\"graft\") batch append shares the produce path") {
+    import spark.implicits._
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.wtopic TBLPROPERTIES (partitions '2')")
+    Seq((0, 0L, """{"w":1}"""), (1, 0L, """{"w":2}"""))
+      .toDF("partition", "event_id", "metadata")
+      .withColumn("data", org.apache.spark.sql.functions.lit(null).cast("binary"))
+      .write.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "wtopic")
+      .mode("append").save()
+    assert(spark.table(s"$cat.wtopic").count() == 2)
+  }
 }
