@@ -140,4 +140,43 @@ class GraftCatalogSpec extends SparkSpec {
       .mode("append").save()
     assert(spark.table(s"$cat.wtopic").count() == 2)
   }
+
+  test("readStream.table drains a catalog topic through the micro-batch source") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.streamed TBLPROPERTIES (partitions '2')")
+    val producer = d.openTopic("streamed").producer()
+    (0 until 12).foreach(i => producer.push(s"""{"i":$i}""",
+      Array.empty[Byte], partition = Some(i % 2)))
+    producer.flush()
+    val ckpt = Files.createTempDirectory("graft-sqlcat-ckpt").toString
+    val qname = s"sqlcat_stream_${n.incrementAndGet()}"
+    val q = spark.readStream.table(s"$cat.streamed")
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table(qname).count() == 12)
+  }
+
+  test("catalog scans keep id pushdown (pruned row groups, pushed filters)") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.pushed TBLPROPERTIES (partitions '2')")
+    val producer = d.openTopic("pushed").producer()
+    (0 until 40).foreach(i => producer.push(s"""{"i":$i}""",
+      Array.empty[Byte], partition = Some(i % 2)))
+    producer.flush()
+    val df = spark.sql(s"SELECT event_id FROM $cat.pushed WHERE event_id >= 15")
+    assert(df.count() == 10)
+    // the filter reaches the custom scan (not a post-scan-only Filter):
+    // GraftScan.description renders the PUSHED id range, and the pruned
+    // ReadSchema drops every unprojected column
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("idRange=[15,"), desc)
+    assert(desc.contains("cols=event_id") && !desc.contains("metadata"), desc)
+  }
 }
