@@ -140,13 +140,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def dropTopic(name: String): Unit = {
     if (!topicExists(name))
       throw new NoSuchElementException(s"""Topic "$name" not found""")
-    failIfCompacting(name)
-    lockIsLive(produceLockPath(name)).foreach { age =>
-      throw new IllegalStateException(
-        s"topic '$name': cannot drop while a produce is in progress " +
-        s"(lock ${produceLockPath(name)}, age ${age / 1000}s)")
+    // HOLD the produce lock for the whole delete (not just observe it):
+    // a produce starting after a liveness CHECK would have its topic tree
+    // deleted out from under its commit. With the lock held, a concurrent
+    // produce blocks/fails at acquisition; one that raced ahead of us
+    // fails acquisition here instead.
+    acquireProduceLock(name)
+    try {
+      failIfCompacting(name)
+      fs.delete(topicPath(name), true): Unit
+    } finally {
+      // the lock file went with the tree; release tolerates that
+      try releaseProduceLock(name) catch { case _: java.io.IOException => () }
     }
-    fs.delete(topicPath(name), true)
     configCache.remove(name)
     recoveredCache.remove(name)
     manifestCache.remove(name): Unit

@@ -264,6 +264,10 @@ object Multimodal {
     var rate, chans, blockAlign, dataLen = -1L
     while (off + 8 <= b.length) {
       val (id4, size) = (tag(off), le32(off + 4))
+      // a crafted/corrupt size must fail loudly, never loop or walk
+      // backwards (size is unsigned-32 on disk; the payload bounds it)
+      require(size >= 0 && size <= b.length.toLong,
+        s"doc $id: corrupt RIFF chunk '$id4' size $size")
       if (id4 == "fmt ") {
         chans = le16(off + 10); rate = le32(off + 12); blockAlign = le16(off + 20)
       } else if (id4 == "data") dataLen = size
@@ -287,8 +291,10 @@ object Multimodal {
     var moovEnd = -1L
     while (off + 8 <= b.length && moov < 0) {
       val size = be32(off)
+      require(size >= 8 && size <= b.length.toLong,
+        s"doc $id: corrupt MP4 box size $size at offset $off")
       if (tag(off + 4) == "moov") { moov = off + 8; moovEnd = off + size }
-      off += math.max(size, 8L).toInt
+      off += size.toInt
     }
     require(moov >= 0, s"doc $id: no moov box in MP4 payload")
     var o = moov
@@ -296,6 +302,8 @@ object Multimodal {
     var tracks = 0L
     while (o + 8 <= moovEnd) {
       val size = be32(o)
+      require(size >= 8 && o + size <= moovEnd,
+        s"doc $id: corrupt moov child box size $size at offset $o")
       tag(o + 4) match {
         case "mvhd" =>
           val version = b(o + 8) & 0xff
@@ -304,7 +312,7 @@ object Multimodal {
         case "trak" => tracks += 1
         case _ =>
       }
-      o += math.max(size, 8L).toInt
+      o += size.toInt
     }
     require(timescale > 0, s"doc $id: moov has no mvhd")
     MediaProbe(id, "mp4", duration * 1000L / timescale, None, None, Some(tracks))

@@ -257,10 +257,35 @@ object Similarity {
       }
     } catch { case _: java.io.FileNotFoundException => None }
 
+  /** Is `ver` a COMPLETE version (has at least one committed shard)? */
+  private def versionComplete(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                              ver: String): Boolean =
+    try fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$ver/_committed"))
+      .exists(_.isFile)
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** Complete version dirs under `path`, newest first — the READ-ONLY
+    * crash-recovery view: if the pointer writer died inside its
+    * delete→rename window, the highest complete version IS the live index
+    * (an incomplete dir can only be a crashed stage, never a version the
+    * pointer ever named). */
+  private def completeVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case v @ VersionRe(n) if versionComplete(fs, path, v) => (n.toLong, v) }
+      .sortBy(-_._1).map(_._2).toSeq
+  }
+
   /** The live version root of a persisted index (the `_current` pointer's
     * target; the path itself for a pre-versioning legacy layout). Rides the
-    * pointer writer's delete→rename window with a short retry, then fails
-    * LOUDLY — a missing pointer must never read as an empty index. */
+    * pointer writer's delete→rename window with a short retry, then falls
+    * back READ-ONLY to the highest complete version dir (a crash between
+    * the pointer delete and rename must not lose the index — the next
+    * maintenance op heals the pointer); fails LOUDLY only when nothing
+    * complete exists — a missing pointer must never read as an empty
+    * index. */
   def currentRoot(spark: org.apache.spark.sql.SparkSession, path: String): String = {
     val (fs, _) = fsOf(spark, path)
     var attempt = 0
@@ -274,16 +299,21 @@ object Similarity {
       attempt += 1
       Thread.sleep(2L * attempt)
     }
-    throw new java.io.FileNotFoundException(
-      s"no IVF index at $path: neither a _current version pointer nor a " +
-      "legacy centroids/ directory")
+    completeVersions(fs, path).headOption match {
+      case Some(v) => s"$path/$v"
+      case None => throw new java.io.FileNotFoundException(
+        s"no IVF index at $path: no _current pointer, no complete version " +
+        "dir, no legacy centroids/ directory")
+    }
   }
 
-  private def nextVersion(fs: org.apache.hadoop.fs.FileSystem, path: String): String =
-    readPointer(fs, path) match {
+  private def nextVersion(fs: org.apache.hadoop.fs.FileSystem, path: String): String = {
+    val cur = readPointer(fs, path).orElse(completeVersions(fs, path).headOption)
+    cur match {
       case Some(VersionRe(n)) => s"v-${n.toLong + 1}"
       case _ => "v-1"
     }
+  }
 
   /** Point `_current` at `ver` — the install point of every maintenance
     * write. One delete+rename on a tiny file; [[currentRoot]]'s retry rides
@@ -312,9 +342,21 @@ object Similarity {
                            path: String): Unit = {
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return
-    val cur = readPointer(fs, path)
+    // Heal a crashed pointer flip FIRST (maintenance ops are
+    // caller-serialized, so writing here cannot race another writer): the
+    // highest COMPLETE version becomes the pointer target. Without this, a
+    // missing pointer would make every complete version look "stale" and
+    // the sweep below would destroy the index.
+    val cur = readPointer(fs, path).orElse {
+      completeVersions(fs, path).headOption.map { v =>
+        flipCurrent(spark, path, v)
+        v
+      }
+    }
     fs.listStatus(root).filter(_.isDirectory).map(_.getPath).foreach { d =>
       val n = d.getName
+      // with cur == None (fresh/legacy target) any v-* dir is an
+      // INCOMPLETE crashed stage (a complete one would have become cur)
       val staleVersion = VersionRe.pattern.matcher(n).matches() && !cur.contains(n)
       val staleLegacy = cur.isDefined &&
         (n == "centroids" || n == "cells" || n == "_committed")
@@ -331,6 +373,20 @@ object Similarity {
                                 root: String): Seq[String] = {
     val (fs, _) = fsOf(spark, root)
     val dir = new org.apache.hadoop.fs.Path(s"$root/_committed")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Shard ids whose DATA was folded into the base shard by a rebuild or
+    * fold — kept as `_folded/<sid>` markers so a replayed
+    * [[appendToIndex]] of a long-gone shard id stays a no-op (the
+    * exactly-once contract must survive maintenance; without this, a fold
+    * would erase the commit evidence and a crash-recovery replay would
+    * land the same ids twice). */
+  private def foldedShardsIn(spark: org.apache.spark.sql.SparkSession,
+                             root: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_folded")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
   }
@@ -394,18 +450,33 @@ object Similarity {
     fs.create(marker, true).close() // the commit point: shard becomes visible
   }
 
-  /** Stage a complete version (centroids + one base shard) and install it. */
+  /** Stage a complete version (centroids + one base shard) and install it.
+    * `foldedIds` = shard ids whose data the base shard now carries (their
+    * append-replay no-op markers are preserved in the new version). */
   private def installVersion(spark: org.apache.spark.sql.SparkSession, path: String,
-                             centroids: DataFrame, assigned: DataFrame): Unit = {
+                             centroids: DataFrame, assigned: DataFrame,
+                             foldedIds: Seq[String] = Seq.empty): Unit = {
     val (fs, _) = fsOf(spark, path)
     val ver = nextVersion(fs, path)
     val stage = s"$path/$ver"
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     centroids.select(col("id"), col("vec"))
       .write.mode("overwrite").parquet(s"$stage/centroids")
+    foldedIds.foreach { sid =>
+      val marker = new org.apache.hadoop.fs.Path(s"$stage/_folded/$sid")
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
     writeShard(spark, stage, assigned, BaseShard)
     flipCurrent(spark, path, ver)
   }
+
+  /** Every shard id the given root has absorbed: live shards (minus the
+    * base) plus previously folded ones. */
+  private def absorbedShardIds(spark: org.apache.spark.sql.SparkSession,
+                               root: String): Seq[String] =
+    ((committedShardsIn(spark, root).toSet - BaseShard) ++
+      foldedShardsIn(spark, root)).toSeq.sorted
 
   /**
    * Persist an IVF index: centroids plus the corpus cell assignments,
@@ -445,7 +516,8 @@ object Similarity {
                     newVectors: DataFrame, shardId: String): Boolean = {
     cleanupStale(spark, path)
     val root = currentRoot(spark, path)
-    if (committedShardsIn(spark, root).contains(shardId)) false
+    if (committedShardsIn(spark, root).contains(shardId) ||
+        foldedShardsIn(spark, root).contains(shardId)) false
     else {
       val centroids = spark.read.parquet(s"$root/centroids")
       writeShard(spark, root, nearestCells(newVectors, centroids, 1), shardId)
@@ -519,7 +591,8 @@ object Similarity {
     val root = currentRoot(spark, path)
     installVersion(spark, path,
       spark.read.parquet(s"$root/centroids"),
-      readCellsIn(spark, root, None))
+      readCellsIn(spark, root, None),
+      foldedIds = absorbedShardIds(spark, root))
   }
 
   private def isSkewed(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -541,7 +614,8 @@ object Similarity {
     val root = currentRoot(spark, path)
     val vectors = readCellsIn(spark, root, None).select(col("id"), col("vec"))
     val centroids = centroidsOf(vectors)
-    installVersion(spark, path, centroids, nearestCells(vectors, centroids, 1))
+    installVersion(spark, path, centroids, nearestCells(vectors, centroids, 1),
+      foldedIds = absorbedShardIds(spark, root))
   }
 
   /**

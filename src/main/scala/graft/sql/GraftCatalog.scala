@@ -46,7 +46,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var warehouse: String = _
 
-  private def engine: Catalog = {
+  /** One engine Catalog for the (session-cached) catalog instance: its
+    * config/manifest caches are the point — a per-call Catalog would pay
+    * cold metadata reads on every SQL operation and make dropTopic's
+    * cache invalidation a no-op. */
+  private lazy val engine: Catalog = {
     require(warehouse != null,
       s"catalog '$catalogName' has no warehouse — set spark.sql.catalog.$catalogName.warehouse")
     new Catalog(SparkSession.active, warehouse)

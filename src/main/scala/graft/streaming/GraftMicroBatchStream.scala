@@ -254,26 +254,32 @@ final class GraftMicroBatchStream(
 
   override def reportLatestOffset(): Offset = TopicOffset(currentNext())
 
-  /** Memoized per (start, end): Spark's DSv2 machinery calls
+  /** Memoized per (start, end), briefly: Spark's DSv2 machinery calls
     * planInputPartitions several times per micro-batch (measured ~6× —
-    * stats, RDD creation, re-planning); the offsets pin immutable chunk
-    * files, so one plan per batch is correct and saves the repeated
-    * manifest/tier metadata reads (object-store round trips at scale). */
-  private var lastPlan: Option[((Map[Int, Long], Map[Int, Long]), Array[InputPartition])] =
+    * stats, RDD creation, re-planning), all within one batch's planning
+    * window, so one plan per batch saves the repeated manifest/tier
+    * metadata reads (object-store round trips at scale). The cache
+    * EXPIRES after a few seconds: a batch RETRY minutes later with the
+    * same offsets must re-plan, or a compaction that rewrote the chunk
+    * files in between would pin the retry to deleted paths forever
+    * (the roll-race recovery contract). */
+  private var lastPlan: Option[((Map[Int, Long], Map[Int, Long]), Long, Array[InputPartition])] =
     None
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
       val s = start.asInstanceOf[TopicOffset].next
       val e = end.asInstanceOf[TopicOffset].next
+      val now = System.nanoTime()
       lastPlan match {
-        case Some((key, planned)) if key == (s, e) => planned
+        case Some((key, at, planned))
+            if key == (s, e) && now - at < 10L * 1000 * 1000 * 1000 => planned
         case _ =>
           val planned = GraftPartitions.plan(catalog, topic, targets,
             from = p => s.getOrElse(p, 0L),
             until = p => e.getOrElse(p, 0L),
             Some(fileStats))
-          lastPlan = Some(((s, e), planned))
+          lastPlan = Some(((s, e), now, planned))
           planned
       }
     }

@@ -202,10 +202,26 @@ final class GraftTopicTable(
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE).asJava
 
+  /** Per-read options (spark.read/.readStream `.option(...)` on a
+    * catalog-loaded table) MERGE with the table's constructor values —
+    * option wins where given, so `readStream.option("maxEventsPerTrigger",
+    * ...).table("cat.topic")` behaves exactly like the format("graft")
+    * path instead of silently dropping admission/targeting knobs. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val catalog = new Catalog(SparkSession.active, warehouse)
-    new GraftScanBuilder(catalog, topic, consumer, targets, maxEventsPerTrigger,
-      startingTime, maxBytesPerTrigger)
+    def opt(key: String): Option[String] = Option(options.get(key))
+    val effStartingTime = (opt("startingTimeField"), opt("startingTimeCutoff")) match {
+      case (Some(f), Some(c)) => Some((f, c.toLong))
+      case (None, None) => startingTime
+      case _ => throw new IllegalArgumentException(
+        "startingTimeField and startingTimeCutoff must be set together")
+    }
+    new GraftScanBuilder(catalog, topic,
+      opt("consumer").orElse(consumer),
+      opt("targets").map(_.split(',').map(_.trim.toInt).toSeq).orElse(targets),
+      opt("maxEventsPerTrigger").map(_.toLong).orElse(maxEventsPerTrigger),
+      effStartingTime,
+      opt("maxBytesPerTrigger").map(_.toLong).orElse(maxBytesPerTrigger))
   }
 
   /** Batch append = one `produce()` (`INSERT INTO` through the SQL catalog,

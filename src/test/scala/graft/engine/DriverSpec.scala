@@ -194,4 +194,22 @@ class DriverSpec extends SparkSpec {
     intercept[IllegalArgumentException] { d.events(Nil) }
     intercept[Exception] { d.events(Seq("alpha", "missing")).count() }
   }
+
+  test("dropTopic removes the topic but refuses under a live produce lock") {
+    val d = freshDriver()
+    d.createTopic("droppable", partitions = 2)
+    val producer = d.openTopic("droppable").producer()
+    producer.push("""{"k":1}"""); producer.flush()
+    // a concurrent producer process holds the lock -> drop must refuse
+    // (it ACQUIRES the lock, not just observes it - no TOCTOU window)
+    val d2 = new GraftDriver(spark, d.warehouse)
+    d2.catalog.acquireProduceLock("droppable")
+    intercept[IllegalStateException](d.dropTopic("droppable"))
+    assert(d.topicExists("droppable"))
+    d2.catalog.releaseProduceLock("droppable")
+    d.dropTopic("droppable")
+    assert(!d.topicExists("droppable"))
+    assert(!d.listTopics().contains("droppable"))
+    intercept[NoSuchElementException](d.dropTopic("droppable"))
+  }
 }

@@ -1102,5 +1102,58 @@ class LlmSpec extends SparkSpec {
     // junk: loud, never a fake probe
     intercept[IllegalArgumentException](Multimodal.probeContainer(
       MediaRecord(4L, "audio/wav", Array.fill[Byte](64)(7))))
+    // crafted sizes: loud, never a hang (0xFFFFFFF8 chunk size would make
+    // an unguarded walker loop forever) or a negative-index crash
+    val evil = Multimodal.wavPcm(5L, 8000, 1, 8)
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // fmt chunk size -> huge
+    intercept[IllegalArgumentException](Multimodal.probeContainer(
+      MediaRecord(5L, "audio/wav", evil)))
+    val evilMp4 = Multimodal.mp4Stub(1000, 100L, 1)
+    evilMp4(0) = 0x80.toByte // ftyp box size -> 2^31
+    intercept[IllegalArgumentException](Multimodal.probeContainer(
+      MediaRecord(6L, "video/mp4", evilMp4)))
+  }
+
+  test("a crashed pointer flip never loses the index; maintenance heals it") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-ptr").toString
+    Similarity.saveIndex(randVecs(81, 30), randVecs(82, 3, offset = 9000L), idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ids() = Similarity.readIndexCells(session, idx)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val live = ids()
+    // simulate a crash inside flipCurrent's delete->rename window: the
+    // pointer is gone but the complete version dir remains
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_current"), false)
+    // readers fall back to the highest complete version (never "empty")
+    assert(ids() == live)
+    // the next maintenance op HEALS the pointer instead of sweeping the
+    // "unreferenced" complete version away
+    Similarity.foldShards(session, idx)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_current")))
+    assert(ids() == live)
+  }
+
+  test("appendToIndex replays stay no-ops after their shard was folded") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-foldeo").toString
+    Similarity.saveIndex(randVecs(91, 20), randVecs(92, 3, offset = 9000L), idx)
+    val shard = randVecs(93, 10, offset = 1000L)
+    assert(Similarity.appendToIndex(session, idx, shard, "day5"))
+    def ids() = Similarity.readIndexCells(session, idx)
+      .select("id").collect().map(_.getLong(0)).toList.sorted
+    val before = ids()
+    // fold absorbs day5's data into the base shard
+    Similarity.foldShards(session, idx)
+    assert(Similarity.committedShards(session, idx) == Seq("base"))
+    // a crash-recovery replay of the day5 append MUST stay a no-op: the
+    // fold carries the commit evidence forward (exactly-once survives
+    // maintenance)
+    assert(!Similarity.appendToIndex(session, idx, shard, "day5"))
+    assert(ids() == before, "replayed append after fold duplicated ids")
+    // and the folded evidence survives a SECOND fold too
+    Similarity.foldShards(session, idx)
+    assert(!Similarity.appendToIndex(session, idx, shard, "day5"))
+    assert(ids() == before)
   }
 }

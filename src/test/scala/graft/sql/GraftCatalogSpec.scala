@@ -179,4 +179,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(desc.contains("idRange=[15,"), desc)
     assert(desc.contains("cols=event_id") && !desc.contains("metadata"), desc)
   }
+
+  test("per-read options are honored on catalog tables (admission control)") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.opts TBLPROPERTIES (partitions '2')")
+    val producer = d.openTopic("opts").producer()
+    (0 until 40).foreach(i => producer.push(s"""{"i":$i}""",
+      Array.empty[Byte], partition = Some(i % 2)))
+    producer.flush()
+    val ckpt = Files.createTempDirectory("graft-sqlcat-ckpt").toString
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream
+      .option("maxEventsPerTrigger", "15")
+      .table(s"$cat.opts")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes.synchronized { sizes += b.count() }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(sizes.sum == 40, sizes)
+    assert(sizes.forall(_ <= 15), s"admission option silently dropped: $sizes")
+    assert(sizes.size >= 3, sizes)
+  }
 }
