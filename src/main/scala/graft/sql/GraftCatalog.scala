@@ -135,10 +135,53 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported on graft topics — use the engine API " +
-      "(addPartition, alterValidator) for topic evolution")
+  /** `ALTER TABLE ... SET TBLPROPERTIES` maps to the engine's evolution
+    * ops: `validator` runs the schema-registry compatibility gate
+    * (alterTopicValidator — tightening refused when committed history
+    * fails the new rules, add `'validatorCheckExisting' 'false'` for a
+    * forced migration), `partitions` grows the partition count via
+    * addPartition (growth only — ids are dense per partition and can
+    * never shrink away). Everything else (column changes, selector/
+    * serializer swaps that would reinterpret committed bytes) is
+    * refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    checkNamespace(ident.namespace())
+    if (!engine.topicExists(ident.name())) throw new NoSuchTableException(ident)
+    val props = changes.map {
+      case sp: TableChange.SetProperty => sp.property() -> sp.value()
+      case other => throw new UnsupportedOperationException(
+        s"graft topics only support ALTER TABLE SET TBLPROPERTIES " +
+        s"(validator / partitions); got $other")
+    }.toMap
+    val known = Set("validator", "partitions", "validatorCheckExisting")
+    val unknown = props.keySet -- known
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported graft table properties ${unknown.mkString(", ")} — " +
+      "only validator / partitions evolve after creation (selector/" +
+      "serializer would reinterpret committed bytes)")
+    props.get("validator").foreach { json =>
+      val v = Validator.fromDescriptor(
+        org.json4s.jackson.JsonMethods.parse(json) match {
+          case o: org.json4s.JObject => o
+          case _ => throw new IllegalArgumentException(
+            s"validator must be a JSON object descriptor, got '$json'")
+        })
+      val check = props.get("validatorCheckExisting").forall(_.trim.toBoolean)
+      engine.alterTopicValidator(ident.name(), v, checkExisting = check)
+    }
+    props.get("partitions").foreach { v =>
+      val target = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"partitions must be an int, got '$v'")
+      }
+      val current = engine.openTopic(ident.name()).partitions
+      if (target < current) throw new UnsupportedOperationException(
+        s"cannot shrink topic '${ident.name()}' from $current to $target " +
+        "partitions — per-partition id spaces are append-only")
+      (current until target).foreach(_ => engine.addPartition(ident.name()))
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && {

@@ -204,4 +204,31 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sizes.forall(_ <= 15), s"admission option silently dropped: $sizes")
     assert(sizes.size >= 3, sizes)
   }
+
+  test("ALTER TABLE SET TBLPROPERTIES evolves validator and partitions") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.evolving TBLPROPERTIES (partitions '2')")
+    val p = d.openTopic("evolving").producer()
+    p.push("""{"k":1}"""); p.flush()
+    // tightening against failing history: refused through SQL
+    intercept[Exception](spark.sql(
+      s"""ALTER TABLE $cat.evolving SET TBLPROPERTIES (
+         |  validator '{"type":"schema","schema":{"type":"object","properties":{"nope":{"type":"number"}},"required":["nope"]}}'
+         |)""".stripMargin))
+    // compatible tightening: accepted and persisted
+    spark.sql(
+      s"""ALTER TABLE $cat.evolving SET TBLPROPERTIES (
+         |  validator '{"type":"schema","schema":{"type":"object","properties":{"k":{"type":"number"}},"required":["k"]}}'
+         |)""".stripMargin)
+    assert(org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods
+      .render(d.openTopic("evolving").config.validator)).contains("required"))
+    // partition growth; shrink refused
+    spark.sql(s"ALTER TABLE $cat.evolving SET TBLPROPERTIES (partitions '4')")
+    assert(d.openTopic("evolving").config.partitions == 4)
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.evolving SET TBLPROPERTIES (partitions '1')"))
+    // serializer swap would reinterpret committed bytes: refused
+    intercept[Exception](spark.sql(
+      s"""ALTER TABLE $cat.evolving SET TBLPROPERTIES (serializer '{"type":"base64"}')"""))
+  }
 }
