@@ -378,17 +378,27 @@ object Similarity {
   }
 
   /** Shard ids whose DATA was folded into the base shard by a rebuild or
-    * fold — kept as `_folded/<sid>` markers so a replayed
+    * fold — kept as ONE `_folded.json` list per version so a replayed
     * [[appendToIndex]] of a long-gone shard id stays a no-op (the
     * exactly-once contract must survive maintenance; without this, a fold
     * would erase the commit evidence and a crash-recovery replay would
-    * land the same ids twice). */
+    * land the same ids twice). A single file, not a marker directory:
+    * years of micro-batch shards fold into thousands of ids, and every
+    * version rewrite would otherwise re-create that many empty files. */
   private def foldedShardsIn(spark: org.apache.spark.sql.SparkSession,
                              root: String): Seq[String] = {
     val (fs, _) = fsOf(spark, root)
-    val dir = new org.apache.hadoop.fs.Path(s"$root/_folded")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).filter(_.isFile).map(_.getPath.getName).toSeq.sorted
+    val f = new org.apache.hadoop.fs.Path(s"$root/_folded.json")
+    try {
+      val in = fs.open(f)
+      val json = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      org.json4s.jackson.JsonMethods.parse(json) match {
+        case org.json4s.JArray(vs) =>
+          vs.collect { case org.json4s.JString(sid) => sid }.sorted
+        case _ => throw new java.io.IOException(s"corrupt folded-shard list $f")
+      }
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
   /** The index's live assignment relation (id, vec, vn, cell). Committed
@@ -462,10 +472,14 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     centroids.select(col("id"), col("vec"))
       .write.mode("overwrite").parquet(s"$stage/centroids")
-    foldedIds.foreach { sid =>
-      val marker = new org.apache.hadoop.fs.Path(s"$stage/_folded/$sid")
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+    if (foldedIds.nonEmpty) {
+      val f = new org.apache.hadoop.fs.Path(s"$stage/_folded.json")
+      fs.mkdirs(f.getParent)
+      val out = fs.create(f, true)
+      try out.write(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.JArray(foldedIds.sorted.map(org.json4s.JString(_)).toList))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     writeShard(spark, stage, assigned, BaseShard)
     flipCurrent(spark, path, ver)
