@@ -58,7 +58,8 @@ object BloomIndex {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).filter(_.isDirectory)
-      .map(_.getPath.getName).filterNot(_.endsWith(".tmp")).toSeq.sorted
+      .map(_.getPath.getName)
+      .filterNot(n => n.endsWith(".tmp") || n.endsWith(".old")).toSeq.sorted
   }
 
   private def liveFiles(c: Catalog, topic: String)
@@ -111,6 +112,11 @@ object BloomIndex {
                             index: String, jsonPath: String, numBits: Int,
                             numHashes: Int): Int = {
     {
+      // repair a crashed earlier install before reading anything
+      {
+        val d = indexPath(c, topic, index)
+        IndexInstall.heal(d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
+      }
       def checkIdentity(r: Row): Unit =
         require(r.getAs[String]("json_path") == jsonPath &&
           r.getAs[Int]("num_bits") == numBits &&
@@ -156,10 +162,7 @@ object BloomIndex {
       val newEntries: Seq[Row] = if (newRel.isEmpty) Seq.empty else {
         val abs = newRel.map { case (_, rel) => new Path(logRoot, rel).toString }
         val ser = Serializer.fromDescriptor(c.openTopic(topic).serializer)
-        val metadata = ser match {
-          case Serializer.Json => col("metadata")
-          case s => s.deserialize(col("metadata")).cast(StringType)
-        }
+        val metadata = ser.decodedMetadataCol
         val raw = get_json_object(metadata, jsonPath)
         val rel = regexp_extract(input_file_name(), "(partition=[^/]+/[^/]+)$", 1)
         val base = spark.read.option("basePath", logRoot)
@@ -194,9 +197,7 @@ object BloomIndex {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(tmp, true)
       all.coalesce(1).write.parquet(tmp.toString)
-      fs.delete(dir, true)
-      if (!fs.rename(tmp, dir))
-        throw new java.io.IOException(s"bloom index refresh: cannot install $tmp -> $dir")
+      IndexInstall.install(fs, dir)
       newEntries.size
     }
   }
@@ -207,7 +208,7 @@ object BloomIndex {
                         index: String): Option[Row] = {
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
+    if (!IndexInstall.waitReadable(fs, dir)) None
     else spark.read.schema(Schema).parquet(dir.toString)
       .limit(1).collect().headOption
   }
@@ -215,13 +216,20 @@ object BloomIndex {
   /** Refresh an existing bloom index under its stored parameters (the
     * `maintain()` path). Unknown index → 0. */
   def refreshExisting(spark: SparkSession, c: Catalog, topic: String,
-                      index: String): Int =
-    indexHead(spark, c, topic, index) match {
-      case None => 0
-      case Some(h) => refresh(spark, c, topic, index,
-        h.getAs[String]("json_path"), h.getAs[Int]("num_bits"),
-        h.getAs[Int]("num_hashes"))
-    }
+                      index: String): Int = {
+    c.acquireCompactLock(topic)
+    try {
+      // heal a crashed install before deciding the index is absent
+      val d = indexPath(c, topic, index)
+      IndexInstall.heal(d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
+      indexHead(spark, c, topic, index) match {
+        case None => 0
+        case Some(h) => Catalog.retryOnRollRace(refreshLocked(spark, c, topic,
+          index, h.getAs[String]("json_path"), h.getAs[Int]("num_bits"),
+          h.getAs[Int]("num_hashes")))
+      }
+    } finally c.releaseCompactLock(topic)
+  }
 
   /** Pruning plan. Small topics decide driver-side over the collected
     * index; topics past [[MetadataIndex.driverPlanMax]] decide through a
@@ -242,7 +250,7 @@ object BloomIndex {
     val logRoot = c.logPath(topic)
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) throw new IllegalStateException(
+    if (!IndexInstall.waitReadable(fs, dir)) throw new IllegalStateException(
       s"bloom index '$index' on topic '$topic' does not exist — refresh it first")
     val idxDf = spark.read.schema(Schema).parquet(dir.toString)
     // small topics collect the index ONCE (head check + plan from the same
@@ -308,11 +316,8 @@ object BloomIndex {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Catalog.EventSchema)
       else spark.read.option("basePath", c.logPath(topic))
         .schema(Catalog.EventSchema).parquet(files: _*)
-    val decoded = Serializer.fromDescriptor(c.openTopic(topic).serializer) match {
-      case Serializer.Json => base
-      case s => base.withColumn("metadata",
-        s.deserialize(col("metadata")).cast(StringType))
-    }
+    val decoded =
+      Serializer.fromDescriptor(c.openTopic(topic).serializer).decodeMetadataDf(base)
     // cold-tier files union in unconditionally (see MetadataIndex.withCold)
     MetadataIndex.withCold(c, topic, decoded)
       .filter(get_json_object(col("metadata"), jsonPath) === value)

@@ -976,8 +976,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     try {
       val history = if (checkExisting) fullLogDF(name) else None
       history.foreach { df =>
-        val decoded = Serializer.fromDescriptor(cfg.serializer)
-          .deserialize(col("metadata"))
+        val decoded = Serializer.fromDescriptor(cfg.serializer).decodedMetadataCol
         val bad = df
           .filter(!coalesce(validator.predicate(decoded), lit(false)))
           .count()
@@ -1225,10 +1224,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   /** `acknowledge` stores event_id + 1
     * (`DefaultPartitionManager.cpp:506-514`). */
-  def acknowledge(topic: String, consumer: String, partition: Int, eventId: Long): Unit = {
+  def acknowledge(topic: String, consumer: String, partition: Int, eventId: Long): Unit =
+    acknowledgeFloors(topic, consumer, Map(partition -> eventId))
+
+  /** Batch form: raise `consumer`'s cursor to at least `eventId + 1` for
+    * every (partition -> eventId) floor in ONE read-modify-write — a
+    * group rebalance migrating many partitions costs one cursor-file
+    * round trip per member, not one per partition (cursors only advance:
+    * max wins, floors never regress). */
+  def acknowledgeFloors(topic: String, consumer: String,
+                        floors: Map[Int, Long]): Unit = {
+    if (floors.isEmpty) return
     val cur = cursor(topic, consumer)
-    val advanced = math.max(cur.getOrElse(partition, 0L), eventId + 1)
-    writeAtomic(cursorPath(topic, consumer), idsJson(cur + (partition -> advanced)))
+    val merged = floors.foldLeft(cur) { case (acc, (p, id)) =>
+      acc + (p -> math.max(acc.getOrElse(p, 0L), id + 1))
+    }
+    writeAtomic(cursorPath(topic, consumer), idsJson(merged))
   }
 
   /**
@@ -1414,6 +1425,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         s"topic '$name' already has a cold tier at a different root")
       require(!new Path(root).toString.startsWith(new Path(logPath(name)).toString),
         "coldRoot must not be inside the hot log directory")
+      // uncommitted orphans (a produce dead between manifest and id
+      // commit) must never reach the cold tier: purgeUncommitted is safe
+      // here because failIfCompacting excludes produces while we hold the
+      // compact lock, and the per-partition watermark cap below keeps any
+      // orphan that appears regardless out of the move set — an archived
+      // orphan's ids would be re-issued into the hot log and the cold
+      // copy would duplicate them forever.
+      purgeUncommitted(name)
+      val watermarks = nextIds(name)
       if (readManifest(name).isEmpty) rebuildManifest(name)
       val m = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
       val coldFs = new Path(root).getFileSystem(hadoopConf)
@@ -1437,25 +1457,39 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           }
       }
       coldBySelect.foreach { case (p, entries) =>
+        // committed data only: cap the cutoff at the partition's id
+        // watermark so an uncommitted orphan can never be archived
+        val eff = math.min(cutoffId, watermarks.getOrElse(p, 0L))
         entries.foreach { f =>
           // only files with real footer stats wholly below the cutoff move —
           // a stats-less file (hi = MaxValue) can never prove it is cold
-          if (f.hi != Long.MaxValue && f.hi < cutoffId) {
+          if (f.hi != Long.MaxValue && f.hi < eff) {
             val src = new Path(logPath(name), f.path)
             val dstDir = new Path(root, s"partition=$p")
             val dst = new Path(dstDir, src.getName)
             coldFs.mkdirs(dstDir)
-            val len = fs.getFileStatus(src).getLen
-            val sameFs = fs.getUri == coldFs.getUri
-            val ok =
-              if (sameFs) { coldFs.delete(dst, false); fs.rename(src, dst) }
-              else org.apache.hadoop.fs.FileUtil.copy(fs, src, coldFs, dst, true,
-                true, hadoopConf)
-            if (!ok) throw new java.io.IOException(s"archive: cannot move $src -> $dst")
-            moved += 1
-            bytes += len
-            newEntries(p) = newEntries.getOrElse(p, Vector.empty) :+
-              ManifestFile(dst.toString, f.lo, f.hi)
+            // CRASH-RESUMABLE: a prior archive attempt that died before its
+            // tier-state write left this file already at dst — record it
+            // and move on instead of throwing on the missing src (the
+            // retry is how a wedged half-archive heals)
+            if (!fs.exists(src) && coldFs.exists(dst)) {
+              moved += 1
+              bytes += coldFs.getFileStatus(dst).getLen
+              newEntries(p) = newEntries.getOrElse(p, Vector.empty) :+
+                ManifestFile(dst.toString, f.lo, f.hi)
+            } else {
+              val len = fs.getFileStatus(src).getLen
+              val sameFs = fs.getUri == coldFs.getUri
+              val ok =
+                if (sameFs) { coldFs.delete(dst, false); fs.rename(src, dst) }
+                else org.apache.hadoop.fs.FileUtil.copy(fs, src, coldFs, dst, true,
+                  true, hadoopConf)
+              if (!ok) throw new java.io.IOException(s"archive: cannot move $src -> $dst")
+              moved += 1
+              bytes += len
+              newEntries(p) = newEntries.getOrElse(p, Vector.empty) :+
+                ManifestFile(dst.toString, f.lo, f.hi)
+            }
           }
         }
       }
@@ -1485,16 +1519,25 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             val src = new Path(f.path)
             val dstDir = new Path(logPath(name), s"partition=$p")
             val dst = new Path(dstDir, src.getName)
-            if (fs.exists(dst)) throw new java.io.IOException(
-              s"restore: hot file already exists: $dst")
-            fs.mkdirs(dstDir)
-            val sameFs = fs.getUri == coldFs.getUri
-            val ok =
-              if (sameFs) fs.rename(src, dst)
-              else org.apache.hadoop.fs.FileUtil.copy(coldFs, src, fs, dst, true,
-                true, hadoopConf)
-            if (!ok) throw new java.io.IOException(s"restore: cannot move $src -> $dst")
-            moved += 1
+            // CRASH-RESUMABLE: a prior restore attempt that died before
+            // dropping the tier state already brought this file home —
+            // skip it; a dst that exists WHILE the cold copy also exists
+            // is a real conflict and stays loud
+            if (fs.exists(dst) && !coldFs.exists(src)) {
+              moved += 1
+            } else if (fs.exists(dst)) {
+              throw new java.io.IOException(
+                s"restore: hot file already exists: $dst")
+            } else {
+              fs.mkdirs(dstDir)
+              val sameFs = fs.getUri == coldFs.getUri
+              val ok =
+                if (sameFs) fs.rename(src, dst)
+                else org.apache.hadoop.fs.FileUtil.copy(coldFs, src, fs, dst, true,
+                  true, hadoopConf)
+              if (!ok) throw new java.io.IOException(s"restore: cannot move $src -> $dst")
+              moved += 1
+            }
           }
         }
         deleteTierState(name)
@@ -1532,8 +1575,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     else fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
         !s.getPath.getName.startsWith("."))
-      .map(s => s.getPath.getName.stripSuffix(".json") ->
-        TxnState.fromJson(readString(s.getPath)))
+      .flatMap(s => readStringResilient(s.getPath) // lock-free readers ride
+        .map(j => s.getPath.getName.stripSuffix(".json") -> TxnState.fromJson(j)))
       .toMap
   }
 
@@ -1601,8 +1644,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     else fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
         !s.getPath.getName.startsWith("."))
-      .map(s => s.getPath.getName.stripSuffix(".json") ->
-        PidState.fromJson(readString(s.getPath)))
+      .flatMap(s => readStringResilient(s.getPath)
+        .map(j => s.getPath.getName.stripSuffix(".json") -> PidState.fromJson(j)))
       .toMap
   }
 
@@ -1720,14 +1763,33 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     None
   }
 
+  /** FileContext of the warehouse fs when the scheme has an
+    * AbstractFileSystem binding (local, HDFS): its OVERWRITE rename is an
+    * atomic replace, closing `writeAtomic`'s delete→rename window — a
+    * crash can no longer leave the destination missing, which for txn
+    * state would have made an aborted transaction's events visible and
+    * for cursors would have reset consumers. Filesystems without a
+    * binding (some object stores) keep the delete+rename fallback plus
+    * the temp-file detection in the resilient readers. */
+  private lazy val atomicRenameCtx: Option[org.apache.hadoop.fs.FileContext] =
+    try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+      new Path(warehouse).toUri, hadoopConf))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+
   private def writeAtomic(p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"atomic write failed: rename $tmp -> $p")
+    atomicRenameCtx match {
+      case Some(fc) =>
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"atomic write failed: rename $tmp -> $p")
+    }
   }
 }
 

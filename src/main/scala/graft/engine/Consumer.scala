@@ -138,11 +138,7 @@ final class Consumer(
     // selector runs — predicates always see JSON text regardless of the
     // topic's serializer. Json is identity, so default topics keep metadata
     // pushdown untouched.
-    val decoded = serializer match {
-      case Serializer.Json => cursored
-      case ser => cursored.withColumn("metadata",
-        ser.deserialize(col("metadata")).cast(StringType))
-    }
+    val decoded = serializer.decodeMetadataDf(cursored)
     val withData = selector match {
       case None => decoded
       case Some(sel) => decoded.withColumn("data",

@@ -179,14 +179,23 @@ final class TopicHandle(spark: SparkSession,
                           selector: Option[DataSelector] = None,
                           batchSize: Option[Int] = None): Seq[Consumer] = {
     require(oldSize > 0, s"old group size must be positive: $oldSize")
-    (0 until config.partitions).foreach { p =>
+    // one cursor READ per involved member and one WRITE per new owner —
+    // not one read-modify-write per partition (a 1024-partition rebalance
+    // on an object store would otherwise be thousands of round trips)
+    val members = ((0 until oldSize) ++ (0 until newSize))
+      .map(i => s"$group-$i").distinct
+    val cursors = members.map(m => m -> catalog.cursor(name, m)).toMap
+    (0 until config.partitions).flatMap { p =>
       val oldOwner = s"$group-${p % oldSize}"
       val newOwner = s"$group-${p % newSize}"
-      if (oldOwner != newOwner) {
-        val cur = catalog.cursor(name, oldOwner).getOrElse(p, 0L)
-        val existing = catalog.cursor(name, newOwner).getOrElse(p, 0L)
-        if (cur > existing) catalog.acknowledge(name, newOwner, p, cur - 1)
+      if (oldOwner == newOwner) None
+      else {
+        val cur = cursors(oldOwner).getOrElse(p, 0L)
+        if (cur > cursors(newOwner).getOrElse(p, 0L)) Some(newOwner -> (p, cur - 1))
+        else None
       }
+    }.groupBy(_._1).foreach { case (m, moves) =>
+      catalog.acknowledgeFloors(name, m, moves.map(_._2).toMap)
     }
     consumerGroup(group, newSize, selector, batchSize)
   }

@@ -112,6 +112,11 @@ object MetadataIndex {
   private def refreshLocked(spark: SparkSession, c: Catalog, topic: String,
                             index: String, jsonPath: String, kind: String): Int = {
     {
+      // repair a crashed earlier install before reading anything
+      {
+        val d = indexPath(c, topic, index)
+        IndexInstall.heal(d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
+      }
       // the live universe: driver list for small manifests, RELATION for
       // parquet-backed ones — then kept/new are (anti-)joins and the full
       // file list never materializes on the driver
@@ -156,11 +161,8 @@ object MetadataIndex {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], IndexSchema)
       else {
         val abs = newRel.map { case (_, rel) => new Path(logRoot, rel).toString }
-        val ser = Serializer.fromDescriptor(c.openTopic(topic).serializer)
-        val metadata = ser match {
-          case Serializer.Json => col("metadata")
-          case s => s.deserialize(col("metadata")).cast(StringType)
-        }
+        val metadata =
+          Serializer.fromDescriptor(c.openTopic(topic).serializer).decodedMetadataCol
         val raw = get_json_object(metadata, jsonPath)
         val (numV, strV) =
           if (kind == Numeric) (raw.cast(DoubleType), lit(null).cast(StringType))
@@ -187,9 +189,7 @@ object MetadataIndex {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(tmp, true)
       all.coalesce(1).write.parquet(tmp.toString)
-      fs.delete(dir, true)
-      if (!fs.rename(tmp, dir))
-        throw new java.io.IOException(s"index refresh: cannot install $tmp -> $dir")
+      IndexInstall.install(fs, dir)
       newRel.size
     }
   }
@@ -208,7 +208,7 @@ object MetadataIndex {
                         index: String): Option[Row] = {
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
+    if (!IndexInstall.waitReadable(fs, dir)) None
     else spark.read.schema(IndexSchema).parquet(dir.toString)
       .limit(1).collect().headOption
   }
@@ -217,12 +217,20 @@ object MetadataIndex {
     * the maintenance-policy path, where the caller doesn't restate the
     * field. Unknown index → 0 (nothing to refresh, not an error). */
   def refreshExisting(spark: SparkSession, c: Catalog, topic: String,
-                      index: String): Int =
-    indexHead(spark, c, topic, index) match {
-      case None => 0
-      case Some(h) => refresh(spark, c, topic, index,
-        h.getAs[String]("json_path"), h.getAs[String]("kind"))
-    }
+                      index: String): Int = {
+    c.acquireCompactLock(topic)
+    try {
+      // a crashed install must be healed HERE, or maintain() would read
+      // the index as absent and silently stop refreshing it forever
+      val d = indexPath(c, topic, index)
+      IndexInstall.heal(d.getFileSystem(spark.sparkContext.hadoopConfiguration), d)
+      indexHead(spark, c, topic, index) match {
+        case None => 0
+        case Some(h) => Catalog.retryOnRollRace(refreshLocked(spark, c, topic,
+          index, h.getAs[String]("json_path"), h.getAs[String]("kind")))
+      }
+    } finally c.releaseCompactLock(topic)
+  }
 
   /** Max live-file count the planner evaluates driver-side. Beyond it the
     * pruning decision runs as a distributed join that collects only the
@@ -289,7 +297,7 @@ object MetadataIndex {
     val logRoot = c.logPath(topic)
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) throw new IllegalStateException(
+    if (!IndexInstall.waitReadable(fs, dir)) throw new IllegalStateException(
       s"index '$index' on topic '$topic' does not exist — refresh it first")
     val idxDf = spark.read.schema(IndexSchema).parquet(dir.toString)
     // small topics collect the index ONCE and decide driver-side; large
@@ -366,10 +374,7 @@ object MetadataIndex {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Catalog.EventSchema)
       else spark.read.option("basePath", c.logPath(topic))
         .schema(Catalog.EventSchema).parquet(files: _*)
-    Serializer.fromDescriptor(c.openTopic(topic).serializer) match {
-      case Serializer.Json => base
-      case s => base.withColumn("metadata", s.deserialize(col("metadata")).cast(StringType))
-    }
+    Serializer.fromDescriptor(c.openTopic(topic).serializer).decodeMetadataDf(base)
   }
 
   /**
@@ -401,11 +406,8 @@ object MetadataIndex {
     c.coldEvents(topic) match {
       case None => hot
       case Some(cold) =>
-        val decoded = Serializer.fromDescriptor(c.openTopic(topic).serializer) match {
-          case Serializer.Json => cold
-          case s => cold.withColumn("metadata",
-            s.deserialize(col("metadata")).cast(StringType))
-        }
-        hot.unionByName(decoded)
+        hot.unionByName(
+          Serializer.fromDescriptor(c.openTopic(topic).serializer)
+            .decodeMetadataDf(cold))
     }
 }

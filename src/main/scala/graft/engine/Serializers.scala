@@ -28,6 +28,23 @@ sealed trait Serializer {
     * bit-identical to the Column form (same decode family). */
   def decode(stored: UTF8String): UTF8String
   def descriptor: JObject
+
+  /** The stored `metadata` column decoded to JSON text — the single
+    * definition every read surface shares (no-op Column for the JSON
+    * serializer, so pushdown/pruning stay untouched). */
+  final def decodedMetadataCol: Column = this match {
+    case Serializer.Json => org.apache.spark.sql.functions.col("metadata")
+    case s => s.deserialize(org.apache.spark.sql.functions.col("metadata"))
+      .cast(org.apache.spark.sql.types.StringType)
+  }
+
+  /** DataFrame form of [[decodedMetadataCol]]: rewrite the `metadata`
+    * column in place (identity for the JSON serializer). */
+  final def decodeMetadataDf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = this match {
+    case Serializer.Json => df
+    case _ => df.withColumn("metadata", decodedMetadataCol)
+  }
 }
 
 object Serializer {

@@ -65,6 +65,12 @@ object Validator {
    */
   final case class SchemaValidator(schemaJson: String) extends Validator {
     private val parsed = JsonMethods.parse(schemaJson)
+    // DDL-time contract: constructing the validator IS the plugin check
+    // (createTopic/alterValidator build one), so a `required` name with no
+    // `properties` declaration must fail HERE with a readable message —
+    // otherwise every later produce dies in the Catalyst analyzer with an
+    // opaque "no such struct field" error.
+    SchemaValidator.checkRequiredDeclared(parsed, "$")
     val sparkType: DataType = SchemaValidator.toSparkType(parsed)
 
     override def predicate(metadata: Column): Column = {
@@ -92,6 +98,33 @@ object Validator {
       case JArray(xs) => xs.collect { case JString(s) => s }
       case _ => Nil
     }
+
+    /** Every `required` name (root and nested) must be DECLARED in its
+      * node's `properties`: the predicate extracts required fields from
+      * the derived struct, so an undeclared name has no type to extract
+      * by — reject at validator construction (DDL time), not produce
+      * time. */
+    private[engine] def checkRequiredDeclared(schema: JValue, path: String): Unit =
+      schema match {
+        case JNothing => ()
+        case _ => schema \ "type" match {
+          case JString("object") =>
+            val props: Seq[(String, JValue)] = schema \ "properties" match {
+              case JObject(fields) => fields
+              case _ => Nil
+            }
+            val declared = props.map(_._1).toSet
+            val missing = required(schema).filterNot(declared.contains)
+            if (missing.nonEmpty) throw new IllegalArgumentException(
+              s"schema validator: required field(s) ${missing.mkString(", ")} " +
+              s"at $path are not declared under 'properties' — a required " +
+              "field needs a declared type to be checked")
+            props.foreach { case (n, sub) => checkRequiredDeclared(sub, s"$path.$n") }
+          case JString("array") =>
+            checkRequiredDeclared(schema \ "items", s"$path[]")
+          case _ => ()
+        }
+      }
 
     /** JSON-path segment for a property name: dotted access for simple
       * identifiers, bracket-quoted otherwise ('a.b', 'x[0]' as literal key

@@ -64,11 +64,8 @@ final class GraftMicroBatchStream(
         import org.apache.spark.sql.functions.{col, get_json_object, lit}
         // stored-form topics: decode through the serializer before the
         // field extraction, same as the consumer view (Z1)
-        val md = graft.engine.Serializer.fromDescriptorJson(serializerJson) match {
-          case graft.engine.Serializer.Json => col("metadata")
-          case s => s.deserialize(col("metadata"))
-            .cast(org.apache.spark.sql.types.StringType)
-        }
+        val md =
+          graft.engine.Serializer.fromDescriptorJson(serializerJson).decodedMetadataCol
         catalog.timeFloor(topic,
           get_json_object(md, field).cast("long"), lit(cutoff))
       case None => consumer.map(c => catalog.cursor(topic, c)).getOrElse(Map.empty)

@@ -206,4 +206,29 @@ class MetadataIndexSpec extends SparkSpec {
     // index names are path components
     intercept[IllegalArgumentException] { topic.refreshIndex("a/b", "$.v") }
   }
+
+  test("a crashed index install heals; maintain never silently drops the index") {
+    val (d, topic) = newTopic(partitions = 2)
+    produceRange(topic, 0, 100)
+    assert(topic.refreshIndex("v_idx", "$.v") == 2)
+    val fs = new org.apache.hadoop.fs.Path(d.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(d.warehouse, "idx"), "_index/v_idx")
+    assert(fs.exists(dir), s"index layout moved? $dir")
+    // simulate a crash between the install's two renames: live dir moved
+    // aside, new copy not yet in place
+    val old = new org.apache.hadoop.fs.Path(dir.getParent, dir.getName + ".old")
+    assert(fs.rename(dir, old))
+    // refreshExisting HEALS instead of reporting "no index" (which would
+    // make maintain() silently stop refreshing it forever)
+    produceRange(topic, 100, 200)
+    assert(MetadataIndex.refreshExisting(spark, d.catalog, "idx", "v_idx") == 2)
+    assert(fs.exists(dir) && !fs.exists(old))
+    // the healed index still answers exactly
+    val got = vOf(topic.eventsIndexed("v_idx", 120, 180))
+    val want = vOf(topic.events().filter(
+      get_json_object(col("metadata"), "$.v").cast("long").between(120, 180)))
+    assert(got == want && got.nonEmpty)
+  }
 }

@@ -162,4 +162,79 @@ class TieredStorageSpec extends SparkSpec {
     // the index was built pre-archive; the read must still see every row
     assert(topic.eventsIndexed("k_idx", 2.0, 2.0).count() == expected2)
   }
+
+  test("archive and restore are crash-resumable (half-done moves heal)") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("old", 20))
+    val cutoff = d.catalog.nextIds("t").values.max
+    topic.producer().produce(batch("mid", 10))
+    val before = rows(topic.events())
+    val fs = new org.apache.hadoop.fs.Path(d.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // simulate an archive that died after moving ONE file but before its
+    // tier-state write: move a cold-eligible chunk by hand
+    val m = d.catalog.readManifest("t").get
+    val victim = m.files(0).minBy(_.lo) // partition 0's oldest chunk
+    val logRoot = new org.apache.hadoop.fs.Path(d.catalog.logPath("t"))
+    val src = new org.apache.hadoop.fs.Path(logRoot, victim.path)
+    val coldRoot = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(d.warehouse, "t"), "cold")
+    val dst = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(coldRoot, "partition=0"), src.getName)
+    fs.mkdirs(dst.getParent)
+    assert(fs.rename(src, dst))
+    // the retry RESUMES: records the already-moved file, moves the rest,
+    // and the read surface comes back byte-identical
+    val report = topic.archiveBefore(cutoff)
+    assert(report.filesMoved == 2, report)
+    assert(rows(topic.events()) == before)
+
+    // simulate a restore that died after bringing ONE file home
+    val t2 = d.catalog.tierState("t").get
+    val cold0 = t2.files(0).head
+    val coldSrc = new org.apache.hadoop.fs.Path(cold0.path)
+    val hotDst = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(logRoot, "partition=0"), coldSrc.getName)
+    assert(fs.rename(coldSrc, hotDst))
+    // the retry SKIPS the already-restored file instead of wedging
+    assert(topic.restoreArchive() == 2)
+    assert(d.catalog.tierState("t").isEmpty)
+    assert(rows(topic.events()) == before)
+    // fully un-tiered: maintenance rewrites allowed again
+    topic.producer().produce(batch("new", 4))
+    assert(topic.events().count() == 34)
+  }
+
+  test("archive never moves uncommitted orphans (watermark cap)") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("old", 20))
+    // plant an orphan: a chunk file with ids ABOVE the committed watermark
+    // (a produce dead between manifest and id commit), registered in the
+    // manifest like the crash window leaves it
+    val fs = new org.apache.hadoop.fs.Path(d.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logRoot = new org.apache.hadoop.fs.Path(d.catalog.logPath("t"))
+    val p0 = new org.apache.hadoop.fs.Path(logRoot, "partition=0")
+    val wm = d.catalog.nextIds("t")(0)
+    import spark.implicits._
+    Seq((0, wm, """{"tag":"orphan"}"""))
+      .toDF("partition", "event_id", "metadata")
+      .withColumn("data", lit(null).cast("binary"))
+      .coalesce(1).write.mode("append").parquet(p0.toString)
+    // archive EVERYTHING: the orphan must stay out of the cold tier (and
+    // be purged) - an archived orphan's ids would be re-issued hot and
+    // the cold copy would duplicate them forever
+    topic.archiveBefore(Long.MaxValue)
+    val coldPaths = d.catalog.tierState("t").toSeq
+      .flatMap(_.files.values.flatten).map(_.hi)
+    assert(coldPaths.forall(_ < wm), s"orphan archived: $coldPaths (wm $wm)")
+    // the orphan is gone from the hot log too (purged, not archived)
+    assert(topic.events().count() == 20)
+    // and the next produce re-issues its id exactly once
+    topic.producer().produce(batch("new", 2))
+    val ids = topic.events().groupBy(col("partition"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("event_id")).as("d")).collect()
+    ids.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
 }

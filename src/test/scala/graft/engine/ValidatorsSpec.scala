@@ -135,4 +135,20 @@ class ValidatorsSpec extends SparkSpec {
     intercept[Exception] { p.flush() }
     assert(topic.events().count() == 1)
   }
+
+  test("required fields must be declared in properties - rejected at DDL time") {
+    // an undeclared required name has no type to extract by: constructing
+    // the validator (createTopic's plugin check) must fail readably, not
+    // every later produce with an opaque analyzer error
+    val e = intercept[IllegalArgumentException](Validator.SchemaValidator(
+      """{"type":"object","required":["a"],"properties":{}}"""))
+    assert(e.getMessage.contains("required field(s) a"), e.getMessage)
+    // nested objects get the same check
+    val e2 = intercept[IllegalArgumentException](Validator.SchemaValidator(
+      """{"type":"object","properties":{"o":{"type":"object","required":["x"]}}}"""))
+    assert(e2.getMessage.contains("$.o"), e2.getMessage)
+    // declared required fields stay fine
+    Validator.SchemaValidator(
+      """{"type":"object","properties":{"a":{"type":"number"}},"required":["a"]}""")
+  }
 }

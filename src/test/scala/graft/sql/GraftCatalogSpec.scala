@@ -54,7 +54,7 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(
       s"""CREATE TABLE $cat.validated TBLPROPERTIES (
          |  partitions '2',
-         |  validator '{"type":"schema","schema":{"type":"object","required":["k"]}}',
+         |  validator '{"type":"schema","schema":{"type":"object","properties":{"k":{"type":"number"}},"required":["k"]}}',
          |  selector '{"type":"metadata_field_mod","field":"k"}'
          |)""".stripMargin)
     val cfg = d.openTopic("validated").config
@@ -122,7 +122,7 @@ class GraftCatalogSpec extends SparkSpec {
       s"""INSERT OVERWRITE $cat.sink VALUES (0, 0, '{"k":9}', CAST(NULL AS BINARY))"""))
     // the validator gates SQL inserts exactly like the engine API
     spark.sql(s"""CREATE TABLE $cat.gated TBLPROPERTIES (
-      validator '{"type":"schema","schema":{"type":"object","required":["k"]}}')""")
+      validator '{"type":"schema","schema":{"type":"object","properties":{"k":{"type":"number"}},"required":["k"]}}')""")
     intercept[Exception](spark.sql(
       s"""INSERT INTO $cat.gated VALUES (0, 0, '{"wrong":1}', CAST(NULL AS BINARY))"""))
     assert(spark.table(s"$cat.gated").count() == 0)
