@@ -468,33 +468,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def updateManifest(name: String, newNext: Map[Int, Long]): Unit = {
     val prior = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
     val conf = hadoopConf
-    val listed: Seq[(Int, String)] = newNext.keys.toSeq.sorted.flatMap { p =>
-      val dir = new Path(logPath(name), s"partition=$p")
-      if (!fs.exists(dir)) Nil
-      else fs.listStatus(dir)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => p -> s"partition=$p/${f.getPath.getName}").toSeq
-    }
-    // unknown = listed ∖ manifest. Driver-sized manifests diff against the
-    // in-memory map; parquet-backed ones anti-join the relation in Spark,
-    // so only THIS produce's new names come back to the driver (the listing
-    // itself is transient and per-written-partition)
-    val unknown: Seq[(Int, String)] = manifestFilesRel(name, prior) match {
-      case None =>
-        val known = prior.files.view.mapValues(_.map(_.path).toSet).toMap
-        listed.filterNot { case (p, rel) =>
-          known.getOrElse(p, Set.empty).contains(rel)
-        }
-      case Some(rel) =>
-        import spark.implicits._
-        import org.apache.spark.sql.functions.col
-        val tailNames = prior.files.valuesIterator.flatten.map(_.path).toSet
-        val candidates = listed.filterNot { case (_, r) => tailNames.contains(r) }
-        if (candidates.isEmpty) Nil
-        else candidates.toDF("partition", "path")
-          .join(rel.select(col("path")), Seq("path"), "left_anti")
-          .collect().map(r => (r.getAs[Int]("partition"), r.getAs[String]("path"))).toSeq
-    }
+    // unknown = listed ∖ manifest (normally exactly this produce's output)
+    val unknown: Seq[(Int, String)] = unlistedChunkFiles(name, prior, newNext.keys)
     val freshFiles: Map[Int, Vector[ManifestFile]] = unknown.groupBy(_._1)
       .view.mapValues { xs =>
         xs.map(_._2).sorted.map { rel =>
@@ -528,21 +503,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** Listed-but-not-in-manifest chunk files, with their partition's
-    * watermark — the shared candidate set of [[purgeUncommitted]] and the
-    * vacuum chunk pass (callers apply the footer signature). Driver-sized
-    * manifests diff in memory; parquet-backed ones anti-join the relation,
-    * so only the (few) unknown paths are ever collected. */
-  private def unknownChunkFiles(name: String, m: TopicManifest,
-                                next: Map[Int, Long]): Seq[(Path, Long)] = {
-    val listed: Seq[(Int, String)] = next.keys.toSeq.sorted.flatMap { p =>
+  /** Chunk files present on disk but absent from the manifest — the ONE
+    * "listed ∖ manifest" diff shared by [[updateManifest]] (this produce's
+    * fresh files), [[purgeUncommitted]] and the vacuum chunk pass. Driver-
+    * sized manifests diff against the in-memory map; parquet-backed ones
+    * anti-join the relation in Spark, so only the (few) unknown names come
+    * back to the driver — the listing itself is per-partition transient. */
+  private def unlistedChunkFiles(name: String, m: TopicManifest,
+                                 partitions: Iterable[Int]): Seq[(Int, String)] = {
+    val listed: Seq[(Int, String)] = partitions.toSeq.sorted.flatMap { p =>
       val dir = new Path(logPath(name), s"partition=$p")
       if (!fs.exists(dir)) Nil
       else fs.listStatus(dir)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(f => p -> s"partition=$p/${f.getPath.getName}").toSeq
     }
-    val unknown: Seq[(Int, String)] = manifestFilesRel(name, m) match {
+    manifestFilesRel(name, m) match {
       case None =>
         val known = m.files.view.mapValues(_.map(_.path).toSet).toMap
         listed.filterNot { case (p, rel) =>
@@ -558,10 +534,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           .join(rel.select(col("path")), Seq("path"), "left_anti")
           .collect().map(r => (r.getAs[Int]("partition"), r.getAs[String]("path"))).toSeq
     }
-    unknown.map { case (p, rel) =>
+  }
+
+  /** Listed-but-not-in-manifest chunk files, with their partition's
+    * watermark — the shared candidate set of [[purgeUncommitted]] and the
+    * vacuum chunk pass (callers apply the footer signature). Driver-sized
+    * manifests diff in memory; parquet-backed ones anti-join the relation,
+    * so only the (few) unknown paths are ever collected. */
+  /** Listed-but-not-in-manifest chunk files, with their partition's
+    * watermark — the shared candidate set of [[purgeUncommitted]] and the
+    * vacuum chunk pass (callers apply the footer signature). */
+  private def unknownChunkFiles(name: String, m: TopicManifest,
+                                next: Map[Int, Long]): Seq[(Path, Long)] =
+    unlistedChunkFiles(name, m, next.keys).map { case (p, rel) =>
       (new Path(logPath(name), rel), next.getOrElse(p, 0L))
     }
-  }
 
   /** Rebuild the manifest wholesale from the log (compaction replaced every
     * file; a fresh listing + footer pass is cheap relative to the rewrite).
