@@ -1044,4 +1044,30 @@ class ProducerConsumerSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(parts == Set(1, 3))
   }
+
+  test("a crashed metadata replace stays readable (tmp is authoritative)") {
+    val (d, topic) = newTopic()
+    val producer = topic.producer()
+    (0 until 10).foreach(i => producer.push(s"""{"i":$i}"""))
+    producer.flush()
+    d.catalog.acknowledge("mytopic", "crashy", 0, 7L)
+    assert(d.catalog.cursor("mytopic", "crashy") == Map(0 -> 8L))
+    // simulate a writer dead inside writeAtomic's delete->rename window:
+    // the destination is gone, the COMPLETE tmp remains
+    val fs = new org.apache.hadoop.fs.Path(d.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(d.warehouse, "mytopic"), "_cursors/crashy.json")
+    val tmp = new org.apache.hadoop.fs.Path(cur.getParent, ".crashy.json.tmp")
+    org.apache.hadoop.fs.FileUtil.copy(fs, cur, fs, tmp, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(cur, false))
+    // the resilient reader serves the tmp: the committed cursor holds -
+    // no re-delivery storm from a crash inside the window
+    assert(d.catalog.cursor("mytopic", "crashy") == Map(0 -> 8L))
+    // and the next acknowledge writes through cleanly
+    d.catalog.acknowledge("mytopic", "crashy", 0, 9L)
+    assert(fs.exists(cur))
+    assert(d.catalog.cursor("mytopic", "crashy") == Map(0 -> 10L))
+  }
 }
