@@ -303,6 +303,63 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** The topic's retained commit history, oldest first — the DESCRIBE
+    * HISTORY / time-travel axis. Every manifest-log entry IS a commit
+    * (produce, compaction rewrite, expire…), its seq the version number
+    * and its `watermarks` the id frontier visible at that commit, so the
+    * history is read straight off the log: the retained snapshot carries
+    * the full watermark map and each delta merges its changed partitions
+    * cumulatively. Retention follows the log's own bound — snapshot rolls
+    * fold prior entries, so at most [[Catalog.ManifestSnapshotEvery]]
+    * versions back are resolvable (the Delta-Lake retention semantic);
+    * asking for an older version fails loudly in [[watermarkAsOf]].
+    * Pre-log (legacy single-file) topics report no history until their
+    * first commit migrates them onto the log. O(retained entries) driver
+    * work, bounded by ManifestSnapshotEvery + 1. */
+  def versionHistory(name: String): Vector[TopicVersion] = Catalog.retryOnRollRace {
+    val (snaps, deltas) = scanManifestLog(name)
+    val entries = (snaps.map { case (s, p) => (s, p, "snapshot") } ++
+      deltas.map { case (s, p) => (s, p, "delta") }).sortBy(_._1)
+    var wm = Map.empty[Int, Long]
+    entries.map { case (seq, path, kind) =>
+      val mtime = fs.getFileStatus(path).getModificationTime
+      val m = TopicManifest.fromJson(readString(path))
+      wm = if (kind == "snapshot") m.watermarks else wm ++ m.watermarks
+      TopicVersion(seq, kind, mtime, wm)
+    }
+  }
+
+  /** The id watermark pinned by retained commit `version` — the map
+    * [[graft.engine.TopicHandle.events(asOf:Map[Int,Long])*]] takes. Loud
+    * on a folded-away or future version: silently serving the nearest
+    * retained one would hand a training run the wrong corpus. */
+  def watermarkAsOf(name: String, version: Long): Map[Int, Long] = {
+    val h = versionHistory(name)
+    h.find(_.version == version).map(_.watermarks).getOrElse {
+      val retained =
+        if (h.isEmpty) "none retained" else s"${h.head.version}..${h.last.version}"
+      throw new IllegalArgumentException(
+        s"topic '$name' has no retained version $version (retained: $retained) — " +
+        s"versions are manifest commits, folded into snapshots every " +
+        s"${Catalog.ManifestSnapshotEvery} commits")
+    }
+  }
+
+  /** The newest retained version committed at or before `tsMs` (epoch
+    * millis) — TIMESTAMP AS OF resolution. Commit times are the log
+    * entries' filesystem mtimes (writers are lock-serialized, so they are
+    * monotone per topic). Loud when `tsMs` predates the retained log. */
+  def versionAtTimestamp(name: String, tsMs: Long): Long = {
+    val h = versionHistory(name)
+    h.filter(_.commitTimeMs <= tsMs).lastOption.map(_.version).getOrElse {
+      val earliest =
+        if (h.isEmpty) "no retained commits"
+        else s"earliest retained commit is at ${h.head.commitTimeMs}"
+      throw new IllegalArgumentException(
+        s"topic '$name' has no commit at or before $tsMs ($earliest)")
+    }
+  }
+
   private def manifestDir(name: String): Path = new Path(topicPath(name), "_manifest")
   private def legacyManifestPath(name: String): Path =
     new Path(topicPath(name), "_manifest.json")
@@ -555,7 +612,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * Writes one fresh snapshot at a seq ABOVE everything prior — seqs are
     * never reused, so reader caches keyed on names can't serve the
     * pre-compaction file list — and clears the folded-in entries. */
-  def rebuildManifest(name: String): Unit = {
+  /** @param minSeq floor for the rebuilt snapshot's seq — callers that
+    *        deleted the manifest log before rebuilding (the compaction
+    *        swap) pass the pre-delete max so commit versions stay strictly
+    *        increasing across the rewrite: a version number handed out
+    *        before the compaction must fold away loudly, never silently
+    *        alias the rebuilt snapshot ([[watermarkAsOf]]). */
+  def rebuildManifest(name: String, minSeq: Long = 0L): Unit = {
     val log = new Path(logPath(name))
     val conf = hadoopConf
     val next = nextIds(name)
@@ -576,7 +639,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         }
       }.toMap
     val (snaps, deltas) = scanManifestLog(name)
-    val seq = ((snaps ++ deltas).map(_._1) :+ 0L).max + 1
+    val seq = ((snaps ++ deltas).map(_._1) :+ minSeq).max + 1
     fs.mkdirs(manifestDir(name))
     val total = files.valuesIterator.map(_.size.toLong).sum
     if (total <= Catalog.manifestDriverMax(spark)) {
@@ -1186,7 +1249,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .parquet(tmp.toString)
     // drop the manifest BEFORE touching the log: a crash anywhere in the
     // swap window then leaves no manifest (readers fall back to listing the
-    // restored log) rather than a manifest pointing at replaced files
+    // restored log) rather than a manifest pointing at replaced files.
+    // Remember the log's max seq first — the rebuilt snapshot must advance
+    // past it so commit versions are never reused across the rewrite.
+    val priorSeq = {
+      val (s0, d0) = scanManifestLog(name)
+      ((s0 ++ d0).map(_._1) :+ 0L).max
+    }
     fs.delete(manifestDir(name), true)
     fs.delete(legacyManifestPath(name), false)
     manifestCache.remove(name): Unit
@@ -1200,7 +1269,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     fs.delete(old, true): Unit
     // every chunk file was replaced — re-derive the manifest from the
     // compacted log so readers never plan against the dead files
-    rebuildManifest(name)
+    rebuildManifest(name, minSeq = priorSeq)
   }
 
   // -- consumer cursors (D4) ------------------------------------------------
@@ -2004,6 +2073,14 @@ final case class VacuumReport(uncommittedChunks: Int, swapLeftovers: Int,
                               tmpFiles: Int, bytesReclaimed: Long)
 
 final case class ManifestFile(path: String, lo: Long, hi: Long)
+
+/** One retained commit in a topic's manifest log (see
+  * [[Catalog.versionHistory]]): `version` is the log seq, `kind` is
+  * "snapshot" or "delta", `commitTimeMs` the entry's filesystem mtime, and
+  * `watermarks` the full per-partition id frontier visible at that commit
+  * (cumulatively assembled — not just the commit's own delta). */
+final case class TopicVersion(version: Long, kind: String, commitTimeMs: Long,
+                              watermarks: Map[Int, Long])
 
 /** What [[Catalog.archiveTopicBefore]] moved to the cold tier. */
 final case class TierReport(filesMoved: Int, bytesMoved: Long)

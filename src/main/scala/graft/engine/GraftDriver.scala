@@ -281,6 +281,28 @@ final class TopicHandle(spark: SparkSession,
     * corpus they saw, however much is produced afterwards). */
   def snapshot(): Map[Int, Long] = catalog.nextIds(name)
 
+  /** The topic's retained commit history as a DataFrame (the DESCRIBE
+    * HISTORY analog): one row per retained manifest commit — `version`
+    * (the `VERSION AS OF` axis), `kind` (snapshot/delta), `commit_time`,
+    * the full `watermarks` map visible at that commit, and `n_events`
+    * (its sum — the corpus size that version pins). Oldest first.
+    * Retention = the manifest log's own bound (see
+    * [[Catalog.versionHistory]]). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    catalog.versionHistory(name)
+      .map(v => (v.version, v.kind,
+        new java.sql.Timestamp(v.commitTimeMs), v.watermarks,
+        v.watermarks.valuesIterator.sum))
+      .toDF("version", "kind", "commit_time", "watermarks", "n_events")
+  }
+
+  /** Time-travel read by retained commit version — sugar for
+    * [[events(asOf:Map[Int,Long])*]] over [[Catalog.watermarkAsOf]]; the
+    * SQL `VERSION AS OF` path resolves through the same method. */
+  def events(version: Long): DataFrame =
+    events(catalog.watermarkAsOf(name, version))
+
   /** Time-travel read: only events below the pinned watermark — the exact
     * dataset visible when [[snapshot]] was taken. A pure per-row id filter
     * on the scan (rides the same event_id row-group pruning as cursor

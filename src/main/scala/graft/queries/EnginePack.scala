@@ -939,6 +939,33 @@ object EnginePack extends QueryPack {
           max(col("k")).as("max_eid"))
         .orderBy(col("partition"))
     },
+    "q_time_travel" -> { (s, dir) =>
+      // VERSION AS OF through the SQL catalog: versions are manifest
+      // commits — two produces, then the SQL time-travel read of the FIRST
+      // commit must see exactly that produce, however much landed after.
+      // The version number is read off history() (DESCRIBE HISTORY analog)
+      // rather than hardcoded; history row count and the pinned aggregate
+      // are both graded.
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      s.sql(s"CREATE TABLE $cat.tt_demo TBLPROPERTIES (partitions '4')")
+      val topic = d.openTopic("tt_demo")
+      val src = sourceByEid(s, dir)
+      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.producer().produce(src.filter(srcEid < 2048))
+      topic.producer().produce(src.filter(srcEid >= 2048 && srcEid < 4096))
+      val hist = topic.history().orderBy("version").collect()
+      val v1 = hist.head.getAs[Long]("version")
+      s.sql(
+        s"""SELECT partition, count(*) AS cnt,
+           |  CAST(sum(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS BIGINT) AS sum_eid,
+           |  max(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS max_eid,
+           |  CAST(${hist.length} AS BIGINT) AS n_versions
+           |FROM $cat.tt_demo VERSION AS OF '$v1'
+           |GROUP BY partition ORDER BY partition""".stripMargin)
+    },
     "q_snapshot_diff" -> { (s, dir) =>
       // incremental export between two pins: three produces, pin after the
       // first and second — the diff must be EXACTLY the middle produce (the
@@ -1796,6 +1823,14 @@ object EnginePack extends QueryPack {
     "q_snapshot" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id < 2048
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // SQL VERSION AS OF the first commit sees exactly the first produce
+    // (eid < 2048); two commits retained → n_versions = 2
+    "q_time_travel" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid,
+        | CAST(2 AS BIGINT) AS n_versions
         |FROM events WHERE event_id < 2048
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // the pinned diff sees exactly the middle produce (eid in [1024, 3072))

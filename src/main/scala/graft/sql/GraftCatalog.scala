@@ -87,6 +87,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       consumer = None, targets = None, maxEventsPerTrigger = None)
   }
 
+  /** `SELECT … FROM cat.topic VERSION AS OF <v>` — versions are the
+    * topic's retained manifest commits ([[Catalog.versionHistory]]; list
+    * them via `TopicHandle.history()`). The version resolves to its id
+    * watermark HERE, load time, so a bad version fails the query at
+    * analysis; the scan then plans only the pinned immutable prefix.
+    * Retention follows the manifest log (commits fold into snapshots every
+    * [[Catalog.ManifestSnapshotEvery]]) — older versions error loudly,
+    * the Delta-Lake semantic. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    checkNamespace(ident.namespace())
+    if (!engine.topicExists(ident.name())) throw new NoSuchTableException(ident)
+    val seq = try version.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"table ${ident.name()}: VERSION AS OF takes a commit version number " +
+        s"(see TopicHandle.history()), got '$version'")
+    }
+    new GraftTopicTable(warehouse, ident.name(),
+      consumer = None, targets = None, maxEventsPerTrigger = None,
+      asOfIds = Some(engine.watermarkAsOf(ident.name(), seq)))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands epoch MICROseconds; resolves to the
+    * newest retained commit at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    checkNamespace(ident.namespace())
+    if (!engine.topicExists(ident.name())) throw new NoSuchTableException(ident)
+    val version = engine.versionAtTimestamp(ident.name(),
+      math.floorDiv(timestamp, 1000L))
+    new GraftTopicTable(warehouse, ident.name(),
+      consumer = None, targets = None, maxEventsPerTrigger = None,
+      asOfIds = Some(engine.watermarkAsOf(ident.name(), version)))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     (ident.namespace().isEmpty ||
       ident.namespace().sameElements(Array(GraftCatalog.Namespace))) &&

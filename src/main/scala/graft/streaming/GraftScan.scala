@@ -24,7 +24,8 @@ final class GraftScanBuilder(
     catalog: Catalog, topic: String, consumer: Option[String],
     targets: Option[Seq[Int]], maxEventsPerTrigger: Option[Long],
     startingTime: Option[(String, Long)] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    asOfIds: Option[Map[Int, Long]] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType = GraftTopicTable.EventSchema
@@ -75,7 +76,8 @@ final class GraftScanBuilder(
       case (a, b) => a.orElse(b)
     }
     new GraftScan(catalog, topic, consumer, effective, requiredSchema,
-      idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger)
+      idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
+      asOfIds)
   }
 }
 
@@ -84,7 +86,8 @@ final class GraftScan(
     targets: Option[Set[Int]], requiredSchema: StructType,
     idLo: Option[Long], idHi: Option[Long], maxEventsPerTrigger: Option[Long],
     startingTime: Option[(String, Long)] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    asOfIds: Option[Map[Int, Long]] = None)
   extends Scan {
 
   override def readSchema(): StructType = requiredSchema
@@ -98,23 +101,36 @@ final class GraftScan(
     s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
       s"targets=$targets, idRange=[${idLo.getOrElse(0L)}, ${idHi.getOrElse("∞")}))"
 
-  /** Batch read: the whole log (within pushed ranges) as of planning time. */
+  /** Batch read: the whole log (within pushed ranges) as of planning time —
+    * or, with a pinned `asOfIds` watermark (VERSION/TIMESTAMP AS OF), the
+    * immutable prefix below the pin: file entries past the pin never plan
+    * (same id-range pruning as cursor reads), and partitions absent from
+    * the pin — created after that commit — are excluded entirely. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val next = catalog.nextIds(topic)
       // footer-based file pruning only pays off when an id bound was pushed;
       // an unbounded scan keeps every file, so skip the driver-side footer reads
       val stats = if (idLo.isDefined || idHi.isDefined) Some(new FileStatsCache) else None
+      def hi(p: Int): Long = {
+        val live = math.min(idHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L))
+        asOfIds.fold(live)(wm => math.min(live, wm.getOrElse(p, 0L)))
+      }
       GraftPartitions.plan(catalog, topic, targets,
         from = p => math.max(idLo.getOrElse(0L), 0L),
-        until = p => math.min(idHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L)),
+        until = hi,
         stats)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (asOfIds.isDefined) throw new IllegalArgumentException(
+      s"topic '$topic': time travel (VERSION/TIMESTAMP AS OF, asOfVersion) " +
+      "is a batch read — a stream follows the live log; use 'consumer' or " +
+      "startingTime* to choose where it begins")
     new GraftMicroBatchStream(catalog, topic, consumer, targets, requiredSchema,
       maxEventsPerTrigger, serializerJson, startingTime, maxBytesPerTrigger)
+  }
 }

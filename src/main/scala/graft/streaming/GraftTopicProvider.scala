@@ -134,7 +134,8 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
       Option(opts.get("targets")).map(_.split(',').map(_.trim.toInt).toSeq),
       Option(opts.get("maxEventsPerTrigger")).map(_.toLong),
       startingTime,
-      Option(opts.get("maxBytesPerTrigger")).map(_.toLong))
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
+      asOfVersion = Option(opts.get("asOfVersion")))
   }
 
   private def require(opts: CaseInsensitiveStringMap, key: String): String = {
@@ -192,7 +193,9 @@ final class GraftTopicTable(
     consumer: Option[String], targets: Option[Seq[Int]],
     maxEventsPerTrigger: Option[Long],
     startingTime: Option[(String, Long)] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    asOfIds: Option[Map[Int, Long]] = None,
+    asOfVersion: Option[String] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -216,12 +219,25 @@ final class GraftTopicTable(
       case _ => throw new IllegalArgumentException(
         "startingTimeField and startingTimeCutoff must be set together")
     }
+    // time travel: an `asOfVersion` read option (or the table's pinned
+    // version from the format path) resolves to a watermark HERE — scan
+    // build time — so `VERSION AS OF`-style reads through every surface
+    // share one resolution path; a catalog-resolved pin (GraftCatalog
+    // loadTable(ident, version)) arrives already as `asOfIds`
+    val effAsOf = opt("asOfVersion").orElse(asOfVersion).map { v =>
+      val seq = try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"asOfVersion must be a commit version number (see versionHistory), got '$v'")
+      }
+      catalog.watermarkAsOf(topic, seq)
+    }.orElse(asOfIds)
     new GraftScanBuilder(catalog, topic,
       opt("consumer").orElse(consumer),
       opt("targets").map(_.split(',').map(_.trim.toInt).toSeq).orElse(targets),
       opt("maxEventsPerTrigger").map(_.toLong).orElse(maxEventsPerTrigger),
       effStartingTime,
-      opt("maxBytesPerTrigger").map(_.toLong).orElse(maxBytesPerTrigger))
+      opt("maxBytesPerTrigger").map(_.toLong).orElse(maxBytesPerTrigger),
+      effAsOf)
   }
 
   /** Batch append = one `produce()` (`INSERT INTO` through the SQL catalog,
