@@ -1066,6 +1066,56 @@ object EnginePack extends QueryPack {
           col("n"))
         .orderBy(col("w_us"), col("event_type"))
     },
+    "q_stream_pipe" -> { (s, dir) =>
+      // topic → stream transform → topic, through BOTH native surfaces at
+      // once: the DSv2 micro-batch source feeds a filter/re-route into the
+      // graft STREAMING SINK (writeStream.format("graft")) — the
+      // MirrorMaker-style curation pipeline shape, exactly-once end to end.
+      // After the drain the last micro-batch is replayed verbatim through
+      // the sink body (a crash between the sink's produce and Spark's
+      // checkpoint commit IS a replay) and must be a no-op: the graded
+      // read of the destination topic would double-count otherwise.
+      val d = tempDriver(s)
+      d.createTopic("pipe_src", partitions = 4)
+      d.createTopic("pipe_dst", partitions = 2)
+      val eidOf = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = sourceByEid(s, dir)
+      d.openTopic("pipe_src").producer().produce(
+        src.filter(get_json_object(col("metadata"), "$.eid").cast("long") < 4096))
+      val sinkId = s"pipe_${EnginePack.streamRun.incrementAndGet()}"
+      EnginePack.withStreamWidth(s, 4) {
+        val query = s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "pipe_src")
+          .option("maxEventsPerTrigger", "1024")
+          .load()
+          .filter(pmod(eidOf, lit(3)) === 0)
+          .select(col("metadata"),
+            pmod(eidOf, lit(2)).cast("int").as("partition"))
+          .writeStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "pipe_dst")
+          .option("sinkId", sinkId)
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-pipe-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
+      val dst = d.openTopic("pipe_dst")
+      // replay the final committed batch id with a poison payload: the
+      // sink marker makes it a no-op — nothing lands, or the oracle fails
+      val lastBatch = d.catalog.sinkCommit("pipe_dst", sinkId).get
+      graft.streaming.GraftSink.produceBatch(dst, sinkId)(
+        src.filter(eidOf < 64), lastBatch)
+      dst.events()
+        .select(col("partition"), eidOf.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
     "q_stream_multi" -> { (s, dir) =>
       // multi-topic subscribe in STREAMING form (the batch analog is
       // driver.events(Seq(...))): two topics' micro-batch sources unioned
@@ -1824,6 +1874,13 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
         |FROM events WHERE event_id < 2048
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // the piped destination holds exactly the eid%3==0 slice, re-routed to
+    // partition eid%2 — the replayed final batch must not double-count
+    "q_stream_pipe" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id < 4096 AND event_id % 3 = 0
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // SQL VERSION AS OF the first commit sees exactly the first produce
     // (eid < 2048); two commits retained → n_versions = 2
