@@ -303,6 +303,15 @@ final class TopicHandle(spark: SparkSession,
   def events(version: Long): DataFrame =
     events(catalog.watermarkAsOf(name, version))
 
+  /** Version-diff read: exactly the events produced AFTER retained commit
+    * `fromVersion` and visible AT `toVersion` — the
+    * [[events(from:Map[Int,Long],to:Map[Int,Long])*]] incremental export,
+    * addressed by commit instead of watermark map. The format path spells
+    * it `option("startingVersion", v1).option("endingVersion", v2)`. */
+  def events(fromVersion: Long, toVersion: Long): DataFrame =
+    events(catalog.watermarkAsOf(name, fromVersion),
+      catalog.watermarkAsOf(name, toVersion))
+
   /** Time-travel read: only events below the pinned watermark — the exact
     * dataset visible when [[snapshot]] was taken. A pure per-row id filter
     * on the scan (rides the same event_id row-group pruning as cursor

@@ -989,6 +989,36 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
         .orderBy(col("partition"))
     },
+    "q_version_diff" -> { (s, dir) =>
+      // incremental export addressed BY COMMIT VERSION (the CDC read):
+      // three produces = three retained versions; startingVersion v1 +
+      // endingVersion v2 through the format options must be EXACTLY the
+      // middle produce — the "what's new since the last training export"
+      // read, spelled in commits instead of watermark maps
+      val d = tempDriver(s)
+      d.createTopic("vdiff_demo", partitions = 4)
+      val topic = d.openTopic("vdiff_demo")
+      val src = sourceByEid(s, dir)
+      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
+      // cuts sized to the SMALLEST fixture (sf0.001 has 1000 events): all
+      // three produces must be non-empty, or the commit count — and with
+      // it the version alignment — would differ by scale factor
+      topic.producer().produce(src.filter(srcEid < 256))
+      topic.producer().produce(src.filter(srcEid >= 256 && srcEid < 640))
+      topic.producer().produce(src.filter(srcEid >= 640 && srcEid < 896))
+      val hs = topic.history().orderBy("version").collect()
+        .map(_.getAs[Long]("version"))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "vdiff_demo")
+        .option("startingVersion", hs(0).toString)
+        .option("endingVersion", hs(1).toString).load()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
     "q_delete_where" -> { (s, dir) =>
       // compliance delete: purge every event whose metadata eid % 7 == 0;
       // the surviving (metadata-keyed) population must match the oracle's
@@ -1896,6 +1926,13 @@ object EnginePack extends QueryPack {
         | CAST(sum(event_id) AS BIGINT) AS sum_eid,
         | min(event_id) AS min_eid, max(event_id) AS max_eid
         |FROM events WHERE event_id >= 1024 AND event_id < 3072
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // the version-addressed diff sees exactly the middle produce
+    "q_version_diff" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id >= 256 AND event_id < 640
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // the purge survivors are exactly the source rows with eid % 7 <> 0
     "q_delete_where" ->

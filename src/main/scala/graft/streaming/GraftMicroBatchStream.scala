@@ -39,7 +39,8 @@ final class GraftMicroBatchStream(
     maxEventsPerTrigger: Option[Long],
     serializerJson: String = """{"type":"json"}""",
     startingTime: Option[(String, Long)] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    startingIds: Option[Map[Int, Long]] = None)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private var availableNowTarget: Option[TopicOffset] = None
@@ -68,7 +69,16 @@ final class GraftMicroBatchStream(
           graft.engine.Serializer.fromDescriptorJson(serializerJson).decodedMetadataCol
         catalog.timeFloor(topic,
           get_json_object(md, field).cast("long"), lit(cutoff))
-      case None => consumer.map(c => catalog.cursor(topic, c)).getOrElse(Map.empty)
+      case None =>
+        // `startingVersion`'s pre-resolved watermark: the stream is born
+        // just past that commit (events produced AFTER it — Delta's
+        // startingVersion shape, kept exclusive to match events(from, to)).
+        // Same birth-certificate contract as startingTime: a restart reads
+        // the checkpoint, never re-resolves. Mutually exclusive with
+        // `consumer`/startingTime*, enforced at option resolution.
+        startingIds
+          .orElse(consumer.map(c => catalog.cursor(topic, c)))
+          .getOrElse(Map.empty)
     }
     TopicOffset(currentNext().keys.map(p => p -> start.getOrElse(p, 0L)).toMap)
   }

@@ -25,7 +25,8 @@ final class GraftScanBuilder(
     targets: Option[Seq[Int]], maxEventsPerTrigger: Option[Long],
     startingTime: Option[(String, Long)] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    asOfIds: Option[Map[Int, Long]] = None)
+    asOfIds: Option[Map[Int, Long]] = None,
+    startingIds: Option[Map[Int, Long]] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var requiredSchema: StructType = GraftTopicTable.EventSchema
@@ -77,7 +78,7 @@ final class GraftScanBuilder(
     }
     new GraftScan(catalog, topic, consumer, effective, requiredSchema,
       idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
-      asOfIds)
+      asOfIds, startingIds)
   }
 }
 
@@ -87,7 +88,8 @@ final class GraftScan(
     idLo: Option[Long], idHi: Option[Long], maxEventsPerTrigger: Option[Long],
     startingTime: Option[(String, Long)] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    asOfIds: Option[Map[Int, Long]] = None)
+    asOfIds: Option[Map[Int, Long]] = None,
+    startingIds: Option[Map[Int, Long]] = None)
   extends Scan {
 
   override def readSchema(): StructType = requiredSchema
@@ -116,8 +118,15 @@ final class GraftScan(
         val live = math.min(idHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L))
         asOfIds.fold(live)(wm => math.min(live, wm.getOrElse(p, 0L)))
       }
+      // startingVersion is the EXCLUSIVE lower pin (events produced AFTER
+      // that commit — the incremental-export resume semantic of
+      // events(from, to)); partitions created after the pin start at 0
+      def lo(p: Int): Long = {
+        val base = math.max(idLo.getOrElse(0L), 0L)
+        startingIds.fold(base)(wm => math.max(base, wm.getOrElse(p, 0L)))
+      }
       GraftPartitions.plan(catalog, topic, targets,
-        from = p => math.max(idLo.getOrElse(0L), 0L),
+        from = lo,
         until = hi,
         stats)
     }
@@ -127,10 +136,12 @@ final class GraftScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (asOfIds.isDefined) throw new IllegalArgumentException(
-      s"topic '$topic': time travel (VERSION/TIMESTAMP AS OF, asOfVersion) " +
-      "is a batch read — a stream follows the live log; use 'consumer' or " +
-      "startingTime* to choose where it begins")
+      s"topic '$topic': an upper time-travel pin (VERSION/TIMESTAMP AS OF, " +
+      "asOfVersion, endingVersion) is a batch read — a stream follows the " +
+      "live log; use 'consumer', 'startingVersion' or startingTime* to " +
+      "choose where it begins")
     new GraftMicroBatchStream(catalog, topic, consumer, targets, requiredSchema,
-      maxEventsPerTrigger, serializerJson, startingTime, maxBytesPerTrigger)
+      maxEventsPerTrigger, serializerJson, startingTime, maxBytesPerTrigger,
+      startingIds)
   }
 }

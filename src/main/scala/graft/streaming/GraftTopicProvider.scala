@@ -219,25 +219,47 @@ final class GraftTopicTable(
       case _ => throw new IllegalArgumentException(
         "startingTimeField and startingTimeCutoff must be set together")
     }
-    // time travel: an `asOfVersion` read option (or the table's pinned
-    // version from the format path) resolves to a watermark HERE — scan
-    // build time — so `VERSION AS OF`-style reads through every surface
-    // share one resolution path; a catalog-resolved pin (GraftCatalog
-    // loadTable(ident, version)) arrives already as `asOfIds`
-    val effAsOf = opt("asOfVersion").orElse(asOfVersion).map { v =>
+    // time travel: version-valued read options resolve to watermarks HERE
+    // — scan build time — so version reads through every surface share one
+    // resolution path; a catalog-resolved pin (GraftCatalog
+    // loadTable(ident, version)) arrives already as `asOfIds`.
+    //  - asOfVersion / endingVersion: INCLUSIVE upper pin (events visible
+    //    AT that commit — VERSION AS OF);
+    //  - startingVersion: EXCLUSIVE lower pin (events produced AFTER that
+    //    commit — the incremental-export resume semantic of
+    //    events(from, to); on a stream, where the stream is born).
+    def resolveVersion(key: String, v: String): Map[Int, Long] = {
       val seq = try v.trim.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"asOfVersion must be a commit version number (see versionHistory), got '$v'")
+          s"$key must be a commit version number (see TopicHandle.history()), got '$v'")
       }
       catalog.watermarkAsOf(topic, seq)
-    }.orElse(asOfIds)
+    }
+    def versionOpt(key: String): Option[Map[Int, Long]] =
+      opt(key).map(resolveVersion(key, _))
+    if (opt("asOfVersion").isDefined && opt("endingVersion").isDefined)
+      throw new IllegalArgumentException(
+        "asOfVersion and endingVersion are the same pin — set one")
+    val effAsOf = versionOpt("asOfVersion").orElse(versionOpt("endingVersion"))
+      .orElse(asOfVersion.map(resolveVersion("asOfVersion", _)))
+      .orElse(asOfIds)
+    val effConsumer = opt("consumer").orElse(consumer)
+    val effStarting = versionOpt("startingVersion")
+    if (effStarting.isDefined && effConsumer.isDefined)
+      throw new IllegalArgumentException(
+        "options 'consumer' and 'startingVersion' are mutually exclusive — " +
+        "a cursor and a commit pin are two different notions of where to begin")
+    if (effStarting.isDefined && effStartingTime.isDefined)
+      throw new IllegalArgumentException(
+        "options 'startingVersion' and startingTime* are mutually exclusive")
     new GraftScanBuilder(catalog, topic,
-      opt("consumer").orElse(consumer),
+      effConsumer,
       opt("targets").map(_.split(',').map(_.trim.toInt).toSeq).orElse(targets),
       opt("maxEventsPerTrigger").map(_.toLong).orElse(maxEventsPerTrigger),
       effStartingTime,
       opt("maxBytesPerTrigger").map(_.toLong).orElse(maxBytesPerTrigger),
-      effAsOf)
+      effAsOf,
+      effStarting)
   }
 
   /** Batch append = one `produce()` (`INSERT INTO` through the SQL catalog,

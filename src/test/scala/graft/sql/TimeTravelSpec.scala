@@ -118,7 +118,70 @@ class TimeTravelSpec extends SparkSpec {
           Files.createTempDirectory("graft-tt-ck").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         .awaitTermination())
-    assert(stream.getMessage.contains("time travel"), stream.getMessage)
+    assert(stream.getMessage.contains("time-travel pin"), stream.getMessage)
+  }
+
+  test("version-diff reads: startingVersion/endingVersion pin the middle produce") {
+    val (_, d) = newCatalog()
+    d.createTopic("t", partitions = 2)
+    produceBatch(d, "t", 0, 10)
+    produceBatch(d, "t", 10, 30)
+    produceBatch(d, "t", 30, 60)
+    val t = d.openTopic("t")
+    val Seq(v1, v2, v3) = t.history().orderBy("version").collect()
+      .map(_.getAs[Long]("version")).toSeq
+    // handle API: events produced after v1, visible at v2 = the middle batch
+    val mid = t.events(v1, v2)
+    assert(mid.count() == 20)
+    val is = mid.select(get_json_object(col("metadata"), "$.i").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(is == (10 until 30).map(_.toLong).toSet)
+    // format path: same pins through options; composes with the full read
+    val viaOpts = spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "t")
+      .option("startingVersion", v1.toString)
+      .option("endingVersion", v2.toString).load()
+    assert(viaOpts.count() == 20)
+    // startingVersion alone = everything produced after that commit
+    val since = spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "t")
+      .option("startingVersion", v2.toString).load()
+    assert(since.count() == 30)
+    assert(v3 > v2)
+    // asOfVersion + endingVersion together: ambiguous, loud
+    val both = intercept[Exception](spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "t")
+      .option("asOfVersion", v1.toString)
+      .option("endingVersion", v2.toString).load().count())
+    assert(both.getMessage.contains("same pin"), both.getMessage)
+  }
+
+  test("a stream born at startingVersion drains only post-commit events") {
+    val (_, d) = newCatalog()
+    d.createTopic("t", partitions = 2)
+    produceBatch(d, "t", 0, 14)
+    produceBatch(d, "t", 14, 44)
+    val t = d.openTopic("t")
+    val v1 = t.history().agg(min("version")).collect()(0).getLong(0)
+    val qname = s"tt_sv_${n.incrementAndGet()}"
+    spark.readStream.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "t")
+      .option("startingVersion", v1.toString).load()
+      .select(get_json_object(col("metadata"), "$.i").cast("long").as("i"))
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-tt-sv-ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val seen = spark.table(qname).collect().map(_.getLong(0)).toSet
+    assert(seen == (14 until 44).map(_.toLong).toSet)
+    // consumer + startingVersion: two notions of where to begin, loud
+    // (the check lives in scan build, shared by batch and stream paths)
+    val e = intercept[Exception](spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "t")
+      .option("consumer", "g").option("startingVersion", v1.toString)
+      .load().count())
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
 
   test("a snapshot roll folds old versions; folded versions error loudly") {
