@@ -1822,8 +1822,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // report its status so content reads and cache keys stay coherent)
     try {
       if (fs.exists(p)) Some(fs.getFileStatus(p))
-      else if (fs.exists(tmp)) Some(fs.getFileStatus(tmp))
-      else None
+      else Option(fs.getFileStatus(tmp)).filter(Catalog.tmpSettled)
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
@@ -1843,10 +1842,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // window — the tmp is the COMPLETE intended content (the destination
     // is only deleted after the tmp's close), so serve it: a crashed txn
     // abort stays invisible, a crashed cursor advance holds, a crashed
-    // id-watermark write counts.
+    // id-watermark write counts. The settled-age gate filters the one case
+    // where "destination missing + tmp present" does NOT prove a complete
+    // tmp: a FIRST-EVER write (no destination to delete) caught mid-write.
     try {
       if (fs.exists(p)) Some(readString(p))
-      else if (fs.exists(tmp)) Some(readString(tmp))
+      else if (Option(fs.getFileStatus(tmp)).exists(Catalog.tmpSettled))
+        Some(readString(tmp))
       else None
     } catch { case _: java.io.FileNotFoundException => None }
   }
@@ -1887,6 +1889,16 @@ object Catalog {
     * the reader's assembly work and the log directory size. Var so tests can
     * compress it. */
   @volatile var ManifestSnapshotEvery: Int = 64
+
+  /** A writer's temp file counts as the authoritative crashed-in-window
+    * copy only once it has SETTLED — older than this. A topic's FIRST
+    * metadata write has no destination to delete, so "destination missing
+    * + temp present" also describes a LIVE writer mid-write there; the age
+    * gate (metadata writes finish in milliseconds) keeps the resilient
+    * readers from serving a half-written temp, at the cost of a reader
+    * seeing None for this long right after a genuine crash. */
+  private[engine] def tmpSettled(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    System.currentTimeMillis() - st.getModificationTime >= 500L
 
   /** Max manifest file entries kept as driver-side JSON. Past it, snapshot
     * rolls move the file list into a parquet relation (the JSON keeps

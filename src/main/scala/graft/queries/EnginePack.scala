@@ -989,6 +989,26 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
         .orderBy(col("partition"))
     },
+    "q_sql_delete" -> { (s, dir) =>
+      // compliance delete from PURE SQL: DELETE FROM through the
+      // TableCatalog maps to purgeTopic — the identical lock/rewrite/
+      // manifest path as the deleteWhere handle API (q_delete_where), with
+      // conservative predicate translation (id-space attributes always;
+      // metadata only on default-serializer topics). Survivors graded by
+      // (partition, engine id, source eid) — id gaps are the semantic.
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      s.sql(s"CREATE TABLE $cat.sqldel_demo TBLPROPERTIES (partitions '4')")
+      d.openTopic("sqldel_demo").producer().produce(sourceByEid(s, dir))
+      s.sql(s"DELETE FROM $cat.sqldel_demo WHERE event_id < 10 AND partition IN (1, 3)")
+      s.sql(
+        s"""SELECT partition, event_id AS engine_id,
+           |  CAST(get_json_object(metadata, '$$.eid') AS BIGINT) AS eid
+           |FROM $cat.sqldel_demo
+           |ORDER BY partition, engine_id""".stripMargin)
+    },
     "q_version_diff" -> { (s, dir) =>
       // incremental export addressed BY COMMIT VERSION (the CDC read):
       // three produces = three retained versions; startingVersion v1 +
@@ -1927,6 +1947,16 @@ object EnginePack extends QueryPack {
         | min(event_id) AS min_eid, max(event_id) AS max_eid
         |FROM events WHERE event_id >= 1024 AND event_id < 3072
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // SQL DELETE survivors: everything except engine ids < 10 in
+    // partitions 1 and 3 (engine id = rank of eid within its partition)
+    "q_sql_delete" ->
+      """SELECT partition, engine_id, eid
+        |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,
+        |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id,
+        |        event_id AS eid
+        |      FROM events) s
+        |WHERE NOT (engine_id < 10 AND partition IN (1, 3))
+        |ORDER BY partition, engine_id""".stripMargin,
     // the version-addressed diff sees exactly the middle produce
     "q_version_diff" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,

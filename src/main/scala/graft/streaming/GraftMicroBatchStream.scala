@@ -390,11 +390,12 @@ object GraftPartitions {
     * O(admitted) entries, not O(backlog). */
   private[graft] val probePlannedEntries = new java.util.concurrent.atomic.AtomicLong
 
-  /** @param sparse tolerate windowed probe ranges that land entirely in an
-    *        id gap (compliance deletes): an empty manifest slice yields no
-    *        input partition instead of the manifest-divergence error. Only
-    *        byte-admission window probes set this — a full-range plan with
-    *        no files really IS log/manifest divergence. */
+  /** @param sparse marks byte-admission window probes for the
+    *        [[probePlannedEntries]] observability counter. Id-gap ranges
+    *        (compliance deletes, emptied partitions) plan as empty slices
+    *        for EVERY caller — the manifest is the committed truth, and a
+    *        covering watermark with no overlapping file entry is the
+    *        legitimate post-purge state, not divergence. */
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
            stats: Option[FileStatsCache] = None,
@@ -406,7 +407,7 @@ object GraftPartitions {
     // propagates (real trouble, not a race).
     val t0 = System.nanoTime()
     val r = Catalog.retryOnRollRace(
-      planAttempt(catalog, topic, targets, from, until, stats, sparse))
+      planAttempt(catalog, topic, targets, from, until, stats))
     if (sparse) probePlannedEntries.addAndGet(
       r.collect { case ip: GraftInputPartition => ip.files.size.toLong }.sum): Unit
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
@@ -416,8 +417,7 @@ object GraftPartitions {
 
   private def planAttempt(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
-           stats: Option[FileStatsCache],
-           sparse: Boolean = false): Array[InputPartition] = {
+           stats: Option[FileStatsCache]): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
@@ -509,12 +509,18 @@ object GraftPartitions {
               // qualify like fs.listStatus would, so both planning paths
               // yield identical strings (FileStatsCache keys, dedup, tests)
               .map(f => fs.makeQualified(new Path(logPath, f.path)).toString)
+            // A covering watermark with NO overlapping file entry is a
+            // legitimate committed state, not divergence: a compliance
+            // delete / expire / full-table DELETE that emptied this id
+            // span rewrote the manifest atomically with the log (id gaps
+            // are the purge semantic; an emptied partition keeps its
+            // watermark). An empty slice is the truthful plan. The states
+            // this used to guard against surface loudly elsewhere:
+            // manually-deleted chunk files stay LISTED here and fail at
+            // read; a razed log dir with a live watermark is caught by the
+            // missing-log check on the no-manifest fallback path below.
             if (files.nonEmpty) Some(GraftInputPartition(p, lo, hi, files))
-            else if (sparse) None // windowed probe landed in an id gap
-            else throw new java.io.IOException(
-              s"topic '$topic' partition $p: manifest covers ids [$lo, $hi) " +
-              "but lists no overlapping chunk file — manifest/log divergence " +
-              "(log deleted, or an unregistered writer touched the topic)")
+            else None
           }.toArray[InputPartition])
         }
       case None => None

@@ -197,7 +197,8 @@ final class GraftTopicTable(
     asOfIds: Option[Map[Int, Long]] = None,
     asOfVersion: Option[String] = None)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft:$topic"
   override def schema(): StructType = GraftTopicTable.EventSchema
@@ -260,6 +261,66 @@ final class GraftTopicTable(
       opt("maxBytesPerTrigger").map(_.toLong).orElse(maxBytesPerTrigger),
       effAsOf,
       effStarting)
+  }
+
+  /** `DELETE FROM cat.topic WHERE …` = the engine's compliance delete
+    * ([[graft.engine.Catalog.purgeTopic]]): id gaps are the semantic, the
+    * rewrite runs under the compact lock, and `coalesce(cond, false)`
+    * three-valued-logic hygiene applies — exactly the `deleteWhere` handle
+    * API, reachable from pure SQL (the GDPR path for SQL-first users).
+    *
+    * Predicate translation is deliberately conservative: `partition` and
+    * `event_id` filters always translate; `metadata` filters only on
+    * default-serializer topics — the purge condition evaluates over the
+    * STORED form, and silently matching encoded bytes against a
+    * consumer-view literal would delete the wrong rows. Untranslatable
+    * predicates make `canDeleteWhere` return false, so Spark fails the
+    * DELETE loudly instead of this table guessing. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(deleteCond(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val handle = new GraftDriver(SparkSession.active, warehouse).openTopic(topic)
+    val cond = filters.flatMap(deleteCond(_))
+      .reduceOption(_ && _)
+      .getOrElse(lit(true)) // DELETE with no WHERE (or TRUNCATE): purge all
+    handle.deleteWhere(cond)
+  }
+
+  private def deleteCond(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    lazy val plainMetadata = {
+      val cfg = new Catalog(SparkSession.active, warehouse).openTopic(topic)
+      cfg.serializer == graft.engine.TopicConfig.DefaultSerializer
+    }
+    def attr(name: String): Option[Column] = name match {
+      case "partition" | "event_id" => Some(col(name))
+      case "metadata" if plainMetadata => Some(col(name))
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) => attr(a).map(_ === lit(v))
+      case GreaterThan(a, v) => attr(a).map(_ > lit(v))
+      case GreaterThanOrEqual(a, v) => attr(a).map(_ >= lit(v))
+      case LessThan(a, v) => attr(a).map(_ < lit(v))
+      case LessThanOrEqual(a, v) => attr(a).map(_ <= lit(v))
+      case In(a, vs) => attr(a).map(_.isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => attr(a).map(_.isNull)
+      case IsNotNull(a) => attr(a).map(_.isNotNull)
+      case StringStartsWith(a, v) => attr(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => attr(a).map(_.endsWith(v))
+      case StringContains(a, v) => attr(a).map(_.contains(v))
+      case And(l, r) => for (lc <- deleteCond(l); rc <- deleteCond(r)) yield lc && rc
+      case Or(l, r) => for (lc <- deleteCond(l); rc <- deleteCond(r)) yield lc || rc
+      case Not(c) => deleteCond(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
   }
 
   /** Batch append = one `produce()` (`INSERT INTO` through the SQL catalog,

@@ -1061,6 +1061,9 @@ class ProducerConsumerSpec extends SparkSpec {
     val tmp = new org.apache.hadoop.fs.Path(cur.getParent, ".crashy.json.tmp")
     org.apache.hadoop.fs.FileUtil.copy(fs, cur, fs, tmp, false, true,
       spark.sparkContext.hadoopConfiguration)
+    // age the tmp past the settled gate: a fresh tmp is treated as a LIVE
+    // writer mid-first-write, not a crash
+    fs.setTimes(tmp, System.currentTimeMillis() - 60000L, -1)
     assert(fs.delete(cur, false))
     // the resilient reader serves the tmp: the committed cursor holds -
     // no re-delivery storm from a crash inside the window

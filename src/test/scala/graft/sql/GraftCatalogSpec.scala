@@ -231,4 +231,49 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       s"""ALTER TABLE $cat.evolving SET TBLPROPERTIES (serializer '{"type":"base64"}')"""))
   }
+
+  test("DELETE FROM is the compliance delete; id gaps are the semantic") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.gdpr TBLPROPERTIES (partitions '2')")
+    val p = d.openTopic("gdpr").producer()
+    (0 until 20).foreach(i => p.push(s"""{"i":$i}"""))
+    p.flush()
+    // translatable predicate: event_id + partition
+    spark.sql(s"DELETE FROM $cat.gdpr WHERE event_id < 3 AND partition = 0")
+    val left = spark.table(s"$cat.gdpr")
+      .select("partition", "event_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(left == ((3 until 10).map((0, _)) ++ (0 until 10).map((1, _)))
+      .map { case (a, b) => (a, b.toLong) }.toSet)
+    // metadata predicates translate on default-serializer topics
+    spark.sql(s"""DELETE FROM $cat.gdpr WHERE metadata = '{"i":7}'""")
+    assert(spark.table(s"$cat.gdpr").count() == 16)
+    // DELETE with no WHERE purges everything (the log stays, emptied)
+    spark.sql(s"DELETE FROM $cat.gdpr")
+    assert(spark.table(s"$cat.gdpr").count() == 0)
+    // untranslatable predicate: loud, nothing deleted
+    spark.sql(s"""INSERT INTO $cat.gdpr VALUES (0, 0, '{"i":9}', CAST(NULL AS BINARY))""")
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM $cat.gdpr WHERE length(metadata) > 2"))
+    assert(spark.table(s"$cat.gdpr").count() == 1, e.getMessage)
+  }
+
+  test("DELETE metadata predicates are refused on stored-form topics") {
+    val (cat, d) = newCatalog()
+    spark.sql(
+      s"""CREATE TABLE $cat.enc TBLPROPERTIES (
+         |  partitions '1', serializer '{"type":"base64"}')""".stripMargin)
+    val p = d.openTopic("enc").producer()
+    (0 until 6).foreach(i => p.push(s"""{"i":$i}"""))
+    p.flush()
+    // the purge condition runs over the STORED form — matching a
+    // consumer-view literal against encoded bytes would delete the wrong
+    // rows, so the metadata attribute refuses to translate
+    intercept[Exception](spark.sql(
+      s"""DELETE FROM $cat.enc WHERE metadata = '{"i":2}'"""))
+    assert(spark.table(s"$cat.enc").count() == 6)
+    // id-space predicates are serializer-agnostic and still work
+    spark.sql(s"DELETE FROM $cat.enc WHERE event_id >= 4")
+    assert(spark.table(s"$cat.enc").count() == 4)
+  }
 }
