@@ -202,6 +202,24 @@ final class GraftTopicTable(
 
   override def name(): String = s"graft:$topic"
   override def schema(): StructType = GraftTopicTable.EventSchema
+
+  /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED surface: the persisted topic
+    * descriptor triple + partition count + completion flag, the same JSON
+    * strings CREATE TABLE takes — DDL round-trips. Read on demand (these
+    * paths are interactive, not per-scan). */
+  override def properties(): util.Map[String, String] = {
+    val cfg = new Catalog(SparkSession.active, warehouse).openTopic(topic)
+    def compact(o: org.json4s.JObject): String =
+      org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(o))
+    java.util.Map.of(
+      "partitions", cfg.partitions.toString,
+      "validator", compact(cfg.validator),
+      "selector", compact(cfg.selector),
+      "serializer", compact(cfg.serializer),
+      "completed", cfg.completed.toString,
+      "warehouse", warehouse)
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE).asJava

@@ -232,6 +232,27 @@ class GraftCatalogSpec extends SparkSpec {
       s"""ALTER TABLE $cat.evolving SET TBLPROPERTIES (serializer '{"type":"base64"}')"""))
   }
 
+  test("SHOW TBLPROPERTIES round-trips the topic descriptor triple") {
+    val (cat, d) = newCatalog()
+    val validator =
+      """{"type":"schema","schema":{"type":"object","properties":{"k":{"type":"number"}},"required":["k"]}}"""
+    spark.sql(
+      s"""CREATE TABLE $cat.propd TBLPROPERTIES (
+         |  partitions '3', validator '$validator')""".stripMargin)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.propd").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("partitions") == "3")
+    assert(props("completed") == "false")
+    assert(props("validator").contains("\"required\""))
+    assert(props("serializer").nonEmpty && props("selector").nonEmpty)
+    // the shown validator JSON is re-CREATE-able verbatim (DDL round-trip)
+    spark.sql(
+      s"""CREATE TABLE $cat.propd2 TBLPROPERTIES (
+         |  partitions '3', validator '${props("validator")}')""".stripMargin)
+    assert(d.openTopic("propd2").config.validator ==
+      d.openTopic("propd").config.validator)
+  }
+
   test("DELETE FROM is the compliance delete; id gaps are the semantic") {
     val (cat, d) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.gdpr TBLPROPERTIES (partitions '2')")
