@@ -285,7 +285,9 @@ final class TopicHandle(spark: SparkSession,
     * HISTORY analog): one row per retained manifest commit — `version`
     * (the `VERSION AS OF` axis), `kind` (snapshot/delta), `commit_time`,
     * the full `watermarks` map visible at that commit, and `n_events`
-    * (its sum — the corpus size that version pins). Oldest first.
+    * (its sum — the id frontier, which is the exact corpus size until a
+    * compliance delete punches gaps; count the pinned read for
+    * gap-exact sizes). Oldest first.
     * Retention = the manifest log's own bound (see
     * [[Catalog.versionHistory]]). */
   def history(): DataFrame = {
@@ -311,6 +313,23 @@ final class TopicHandle(spark: SparkSession,
   def events(fromVersion: Long, toVersion: Long): DataFrame =
     events(catalog.watermarkAsOf(name, fromVersion),
       catalog.watermarkAsOf(name, toVersion))
+
+  /** The RESTORE analog for an append-only log: purge every event
+    * produced AFTER retained commit `version`, leaving exactly the corpus
+    * that commit pinned (a bad-produce rollback). Honest to the log
+    * semantics — the tail is COMPLIANCE-DELETED (same lock/rewrite/
+    * manifest path as [[deleteWhere]]), while the id watermark stays where
+    * it was, so the restore never re-issues ids: later produces append
+    * after an id gap, and pre-restore consumer cursors stay valid. The
+    * restore itself commits a new version (versions only move forward —
+    * the history keeps the evidence, like Delta's RESTORE). */
+  def restoreTo(version: Long, chunkMaxRecords: Long = 1000000L): Unit = {
+    val wm = catalog.watermarkAsOf(name, version)
+    deleteWhere(
+      col("event_id") >= coalesce(
+        element_at(typedLit(wm), col("partition")), lit(0L)),
+      chunkMaxRecords)
+  }
 
   /** Time-travel read: only events below the pinned watermark — the exact
     * dataset visible when [[snapshot]] was taken. A pure per-row id filter

@@ -989,6 +989,44 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
         .orderBy(col("partition"))
     },
+    "q_history" -> { (s, dir) =>
+      // DESCRIBE HISTORY analog: one row per retained commit, graded on
+      // the deterministic columns (version numbers, snapshot/delta kinds,
+      // id-frontier sizes) — three produces = versions 1..3, the first
+      // rolled as the bootstrap snapshot
+      val d = tempDriver(s)
+      d.createTopic("hist_demo", partitions = 4)
+      val topic = d.openTopic("hist_demo")
+      val src = sourceByEid(s, dir)
+      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.producer().produce(src.filter(srcEid < 256))
+      topic.producer().produce(src.filter(srcEid >= 256 && srcEid < 640))
+      topic.producer().produce(src.filter(srcEid >= 640 && srcEid < 896))
+      topic.history()
+        .select(col("version"), col("kind"), col("n_events"))
+        .orderBy(col("version"))
+    },
+    "q_restore" -> { (s, dir) =>
+      // RESTORE to a prior commit: the post-v1 tail is compliance-deleted,
+      // leaving exactly the v1 corpus; graded like q_snapshot but through
+      // the rollback path (purge + manifest rewrite), not a pinned read
+      val d = tempDriver(s)
+      d.createTopic("restore_demo", partitions = 4)
+      val topic = d.openTopic("restore_demo")
+      val src = sourceByEid(s, dir)
+      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.producer().produce(src.filter(srcEid < 512))
+      topic.producer().produce(src.filter(srcEid >= 512 && srcEid < 896))
+      val v1 = topic.history().agg(min(col("version"))).collect()(0).getLong(0)
+      topic.restoreTo(v1)
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.events()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
     "q_sql_delete" -> { (s, dir) =>
       // compliance delete from PURE SQL: DELETE FROM through the
       // TableCatalog maps to purgeTopic — the identical lock/rewrite/
@@ -1946,6 +1984,20 @@ object EnginePack extends QueryPack {
         | CAST(sum(event_id) AS BIGINT) AS sum_eid,
         | min(event_id) AS min_eid, max(event_id) AS max_eid
         |FROM events WHERE event_id >= 1024 AND event_id < 3072
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // three produces = versions 1..3 (bootstrap snapshot, then deltas);
+    // n_events is the cumulative id frontier at each commit
+    "q_history" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), 'snapshot', CAST(256 AS BIGINT)),
+        | (CAST(2 AS BIGINT), 'delta',    CAST(640 AS BIGINT)),
+        | (CAST(3 AS BIGINT), 'delta',    CAST(896 AS BIGINT))
+        |) t(version, kind, n_events) ORDER BY version""".stripMargin,
+    // after restoreTo(v1) exactly the first produce survives
+    "q_restore" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id < 512
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // SQL DELETE survivors: everything except engine ids < 10 in
     // partitions 1 and 3 (engine id = rank of eid within its partition)

@@ -206,6 +206,31 @@ class TimeTravelSpec extends SparkSpec {
     } finally graft.engine.Catalog.ManifestSnapshotEvery = prev
   }
 
+  test("restoreTo purges the tail; ids never regress; history moves forward") {
+    val (_, d) = newCatalog()
+    d.createTopic("t", partitions = 2)
+    produceBatch(d, "t", 0, 16)
+    produceBatch(d, "t", 16, 48)
+    val t = d.openTopic("t")
+    val v1 = t.history().agg(min("version")).collect()(0).getLong(0)
+    val maxBefore = t.history().agg(max("version")).collect()(0).getLong(0)
+    t.restoreTo(v1)
+    // exactly the v1 corpus survives
+    val is = t.events().select(get_json_object(col("metadata"), "$.i").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert(is == (0 until 16).map(_.toLong).toSet)
+    // the restore itself is a new commit — versions only move forward
+    assert(t.history().agg(max("version")).collect()(0).getLong(0) > maxBefore)
+    // the id watermark did NOT regress: the next produce appends after a
+    // gap instead of re-issuing the purged ids
+    produceBatch(d, "t", 100, 104)
+    val ids = t.events().select(col("partition"), col("event_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val perPart = (0 until 16).map(i => (i % 2, (i / 2).toLong)) ++
+      (100 until 104).map(i => (i % 2, 24L + (i - 100) / 2))
+    assert(ids == perPart.toSet, s"got $ids")
+  }
+
   test("compaction folds version numbers but never reuses them; map pins survive") {
     val (_, d) = newCatalog()
     d.createTopic("t", partitions = 2)
