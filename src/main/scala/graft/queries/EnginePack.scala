@@ -75,6 +75,20 @@ object EnginePack extends QueryPack {
       .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
         pmod(col("event_id"), lit(4)).cast("int").as("partition"))
 
+  /** [[sourceByEid]] restricted to `lo <= event_id < hi` — same rows, same
+    * order, same engine-id assignment as filtering the full source, but
+    * the range lands on the RAW event_id column BEFORE the global sort and
+    * the to_json/re-parse round-trip, so a fixture producing a fixed slice
+    * sorts that slice, not the whole table (the multi-produce lifecycle
+    * fixtures pay this 2-3× per run). */
+  private def sourceByEidRange(s: SparkSession, dir: String,
+                               lo: Long, hi: Long): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .orderBy(col("event_id"))
+      .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+        pmod(col("event_id"), lit(4)).cast("int").as("partition"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_producer_ids" -> { (s, dir) =>
       val d = tempDriver(s)
@@ -825,16 +839,15 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("idx_demo", partitions = 4)
       val topic = d.openTopic("idx_demo")
-      val src = sourceByEid(s, dir)
       val eidOf = get_json_object(col("metadata"), "$.eid").cast("long")
       val n = t(s, dir, "events").count()
-      topic.producer().produce(src.filter(eidOf < n / 2))
-      topic.producer().produce(src.filter(eidOf >= n / 2 && eidOf < n * 3 / 4))
+      topic.producer().produce(sourceByEidRange(s, dir, 0, n / 2))
+      topic.producer().produce(sourceByEidRange(s, dir, n / 2, n * 3 / 4))
       def liveFiles: Int =
         d.catalog.readManifest("idx_demo").get.files.values.map(_.size).sum
       val f12 = liveFiles
       val r1 = topic.refreshIndex("eid_idx", "$.eid")
-      topic.producer().produce(src.filter(eidOf >= n * 3 / 4))
+      topic.producer().produce(sourceByEidRange(s, dir, n * 3 / 4, n))
       val f123 = liveFiles
       val lo = (n * 3 / 10).toDouble; val hi = (n * 6 / 10).toDouble
       // stale window: the tail produce is unindexed — scanned conservatively
@@ -927,11 +940,9 @@ object EnginePack extends QueryPack {
       d.createTopic("snap_demo", partitions = 4)
       val topic = d.openTopic("snap_demo")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = sourceByEid(s, dir)
-      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
-      topic.producer().produce(src.filter(srcEid < 2048))
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 2048))
       val snap = topic.snapshot()
-      topic.producer().produce(src.filter(srcEid >= 2048 && srcEid < 4096))
+      topic.producer().produce(sourceByEidRange(s, dir, 2048, 4096))
       topic.events(snap)
         .select(col("partition"), eid.as("k"))
         .groupBy(col("partition"))
@@ -952,10 +963,8 @@ object EnginePack extends QueryPack {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
       s.sql(s"CREATE TABLE $cat.tt_demo TBLPROPERTIES (partitions '4')")
       val topic = d.openTopic("tt_demo")
-      val src = sourceByEid(s, dir)
-      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
-      topic.producer().produce(src.filter(srcEid < 2048))
-      topic.producer().produce(src.filter(srcEid >= 2048 && srcEid < 4096))
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 2048))
+      topic.producer().produce(sourceByEidRange(s, dir, 2048, 4096))
       val hist = topic.history().orderBy("version").collect()
       val v1 = hist.head.getAs[Long]("version")
       s.sql(
@@ -974,13 +983,11 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("diff_demo", partitions = 4)
       val topic = d.openTopic("diff_demo")
-      val src = sourceByEid(s, dir)
-      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
-      topic.producer().produce(src.filter(srcEid < 1024))
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 1024))
       val snap1 = topic.snapshot()
-      topic.producer().produce(src.filter(srcEid >= 1024 && srcEid < 3072))
+      topic.producer().produce(sourceByEidRange(s, dir, 1024, 3072))
       val snap2 = topic.snapshot()
-      topic.producer().produce(src.filter(srcEid >= 3072 && srcEid < 4096))
+      topic.producer().produce(sourceByEidRange(s, dir, 3072, 4096))
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
       topic.events(snap1, snap2)
         .select(col("partition"), eid.as("k"))
@@ -997,11 +1004,9 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("hist_demo", partitions = 4)
       val topic = d.openTopic("hist_demo")
-      val src = sourceByEid(s, dir)
-      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
-      topic.producer().produce(src.filter(srcEid < 256))
-      topic.producer().produce(src.filter(srcEid >= 256 && srcEid < 640))
-      topic.producer().produce(src.filter(srcEid >= 640 && srcEid < 896))
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 256))
+      topic.producer().produce(sourceByEidRange(s, dir, 256, 640))
+      topic.producer().produce(sourceByEidRange(s, dir, 640, 896))
       topic.history()
         .select(col("version"), col("kind"), col("n_events"))
         .orderBy(col("version"))
@@ -1013,10 +1018,8 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("restore_demo", partitions = 4)
       val topic = d.openTopic("restore_demo")
-      val src = sourceByEid(s, dir)
-      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
-      topic.producer().produce(src.filter(srcEid < 512))
-      topic.producer().produce(src.filter(srcEid >= 512 && srcEid < 896))
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 512))
+      topic.producer().produce(sourceByEidRange(s, dir, 512, 896))
       val v1 = topic.history().agg(min(col("version"))).collect()(0).getLong(0)
       topic.restoreTo(v1)
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
@@ -1056,14 +1059,12 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("vdiff_demo", partitions = 4)
       val topic = d.openTopic("vdiff_demo")
-      val src = sourceByEid(s, dir)
-      val srcEid = get_json_object(col("metadata"), "$.eid").cast("long")
       // cuts sized to the SMALLEST fixture (sf0.001 has 1000 events): all
       // three produces must be non-empty, or the commit count — and with
       // it the version alignment — would differ by scale factor
-      topic.producer().produce(src.filter(srcEid < 256))
-      topic.producer().produce(src.filter(srcEid >= 256 && srcEid < 640))
-      topic.producer().produce(src.filter(srcEid >= 640 && srcEid < 896))
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 256))
+      topic.producer().produce(sourceByEidRange(s, dir, 256, 640))
+      topic.producer().produce(sourceByEidRange(s, dir, 640, 896))
       val hs = topic.history().orderBy("version").collect()
         .map(_.getAs[Long]("version"))
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
@@ -1167,9 +1168,8 @@ object EnginePack extends QueryPack {
       d.createTopic("pipe_src", partitions = 4)
       d.createTopic("pipe_dst", partitions = 2)
       val eidOf = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = sourceByEid(s, dir)
       d.openTopic("pipe_src").producer().produce(
-        src.filter(get_json_object(col("metadata"), "$.eid").cast("long") < 4096))
+        sourceByEidRange(s, dir, 0, 4096))
       val sinkId = s"pipe_${EnginePack.streamRun.incrementAndGet()}"
       EnginePack.withStreamWidth(s, 4) {
         val query = s.readStream.format("graft")
@@ -1196,7 +1196,7 @@ object EnginePack extends QueryPack {
       // sink marker makes it a no-op — nothing lands, or the oracle fails
       val lastBatch = d.catalog.sinkCommit("pipe_dst", sinkId).get
       graft.streaming.GraftSink.produceBatch(dst, sinkId)(
-        src.filter(eidOf < 64), lastBatch)
+        sourceByEidRange(s, dir, 0, 64), lastBatch)
       dst.events()
         .select(col("partition"), eidOf.as("k"))
         .groupBy(col("partition"))
