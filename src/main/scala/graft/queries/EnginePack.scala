@@ -1030,6 +1030,30 @@ object EnginePack extends QueryPack {
           max(col("k")).as("max_eid"))
         .orderBy(col("partition"))
     },
+    "q_sql_restore" -> { (s, dir) =>
+      // maintenance as SQL: CALL cat.system.restore rolls the topic back
+      // to its first commit through the stored-procedure surface (the
+      // Iceberg CALL shape) — identical engine path as q_restore, entered
+      // from pure SQL; the procedure's summary row is part of the grade
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      s.sql(s"CREATE TABLE $cat.sqlres_demo TBLPROPERTIES (partitions '4')")
+      val topic = d.openTopic("sqlres_demo")
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 512))
+      topic.producer().produce(sourceByEidRange(s, dir, 512, 896))
+      val v1 = topic.history().agg(min(col("version"))).collect()(0).getLong(0)
+      val res = s.sql(s"CALL $cat.system.restore(topic => 'sqlres_demo', version => $v1)")
+        .collect()(0)
+      s.sql(
+        s"""SELECT partition, count(*) AS cnt,
+           |  CAST(sum(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS BIGINT) AS sum_eid,
+           |  max(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS max_eid,
+           |  CAST(${res.getLong(1)} AS BIGINT) AS restored_to
+           |FROM $cat.sqlres_demo
+           |GROUP BY partition ORDER BY partition""".stripMargin)
+    },
     "q_sql_delete" -> { (s, dir) =>
       // compliance delete from PURE SQL: DELETE FROM through the
       // TableCatalog maps to purgeTopic — the identical lock/rewrite/
@@ -1997,6 +2021,14 @@ object EnginePack extends QueryPack {
     "q_restore" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id < 512
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // CALL system.restore back to version 1 leaves exactly the first
+    // produce (eid < 512); the procedure's summary row echoes the version
+    "q_sql_restore" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid,
+        | CAST(1 AS BIGINT) AS restored_to
         |FROM events WHERE event_id < 512
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // SQL DELETE survivors: everything except engine ids < 10 in

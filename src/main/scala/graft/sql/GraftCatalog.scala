@@ -41,7 +41,8 @@ import graft.streaming.GraftTopicTable
  * analog); DROP refuses under live produce/compaction locks, like every
  * destructive engine op.
  */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -225,6 +226,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft topics cannot be renamed (chunk files and cursors key on the name)")
+
+  // -- procedures: CALL cat.system.<op>(...) --------------------------------
+
+  /** Maintenance as SQL: `CALL cat.system.compact('t')`,
+    * `…vacuum/maintain/expire/restore/rebuild_manifest` — the Iceberg
+    * `CALL catalog.system.…` shape over the engine's lifecycle ops (see
+    * [[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array(GraftProcedures.Namespace)))
+      throw new RuntimeException(
+        s"unknown procedure namespace ${ident.namespace().mkString(".")} — " +
+        s"graft procedures live under '${GraftProcedures.Namespace}'")
+    GraftProcedures.load(engine, ident.name()).getOrElse(
+      throw new RuntimeException(
+        s"unknown procedure '${ident.name()}' — available: " +
+        GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array(GraftProcedures.Namespace)))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array(GraftProcedures.Namespace), n)).toArray
+    else Array.empty
 
   // -- namespaces (one flat namespace, like the reference's topic space) ----
 

@@ -1,0 +1,142 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.Catalog
+
+/**
+ * Maintenance ops as SQL stored procedures — `CALL cat.system.compact('t')`
+ * and friends, the Iceberg `CALL catalog.system.…` shape over the engine's
+ * lock-guarded lifecycle operations (each is the same op the handle API
+ * exposes; the procedure adds nothing but the SQL entry point and a
+ * summary result row):
+ *
+ *  - `compact(topic)`            → [[Catalog.compactTopic]]
+ *  - `vacuum(topic)`             → [[Catalog.vacuumTopic]] (report row)
+ *  - `maintain(topic, max_files_per_partition)` → [[Catalog.maintainTopic]]
+ *  - `expire(topic, before_id)`  → [[Catalog.expireTopic]]
+ *  - `restore(topic, version)`   → `TopicHandle.restoreTo` (rollback)
+ *  - `rebuild_manifest(topic)`   → [[Catalog.rebuildManifest]] (self-heal)
+ *
+ * All side-effecting (`isDeterministic = false`), all driver-coordinated
+ * by design — these are the operations that REWRITE the corpus, the one
+ * place O(corpus) work is inherent.
+ */
+private[sql] object GraftProcedures {
+
+  val Namespace = "system"
+
+  def names: Seq[String] =
+    Seq("compact", "expire", "maintain", "rebuild_manifest", "restore", "vacuum")
+
+  def load(engine: Catalog, name: String): Option[UnboundProcedure] = {
+    def topicOf(in: InternalRow): String = {
+      val t = in.getUTF8String(0).toString
+      if (!engine.topicExists(t))
+        throw new IllegalArgumentException(s"no such topic: '$t'")
+      t
+    }
+    def liveFiles(topic: String): Long =
+      engine.readManifest(topic)
+        .map(m => engine.manifestFileCounts(topic, m).values.sum).getOrElse(0L)
+    name match {
+      case "compact" => Some(procedure("compact",
+        "rewrite the hot log into few chunk files per partition",
+        Seq(ProcedureParameter.in("topic", StringType).build()),
+        StructType(Seq(StructField("topic", StringType, nullable = false),
+          StructField("live_files", LongType, nullable = false)))) { in =>
+        val t = topicOf(in)
+        engine.compactTopic(t)
+        Seq(t, liveFiles(t))
+      })
+      case "vacuum" => Some(procedure("vacuum",
+        "remove crashed-operation debris (uncommitted chunks, swap leftovers, temp files)",
+        Seq(ProcedureParameter.in("topic", StringType).build()),
+        StructType(Seq(StructField("uncommitted_chunks", LongType, nullable = false),
+          StructField("swap_leftovers", LongType, nullable = false),
+          StructField("tmp_files", LongType, nullable = false),
+          StructField("bytes_reclaimed", LongType, nullable = false)))) { in =>
+        val r = engine.vacuumTopic(topicOf(in))
+        Seq(r.uncommittedChunks.toLong, r.swapLeftovers.toLong,
+          r.tmpFiles.toLong, r.bytesReclaimed)
+      })
+      case "maintain" => Some(procedure("maintain",
+        "compact-if-needed, vacuum, refresh every index",
+        Seq(ProcedureParameter.in("topic", StringType).build(),
+          ProcedureParameter.in("max_files_per_partition", IntegerType)
+            .defaultValue("16").build()),
+        StructType(Seq(StructField("compacted", BooleanType, nullable = false),
+          StructField("bytes_reclaimed", LongType, nullable = false),
+          StructField("files_indexed", LongType, nullable = false)))) { in =>
+        val (compacted, vac, indexed) =
+          engine.maintainTopic(topicOf(in), in.getInt(1))
+        Seq(compacted, vac.bytesReclaimed, indexed.toLong)
+      })
+      case "expire" => Some(procedure("expire",
+        "drop whole chunk files below the id cutoff (retention by offset)",
+        Seq(ProcedureParameter.in("topic", StringType).build(),
+          ProcedureParameter.in("before_id", LongType).build()),
+        StructType(Seq(StructField("topic", StringType, nullable = false),
+          StructField("live_files", LongType, nullable = false)))) { in =>
+        val t = topicOf(in)
+        engine.expireTopic(t, in.getLong(1))
+        Seq(t, liveFiles(t))
+      })
+      case "restore" => Some(procedure("restore",
+        "roll the topic back to a retained commit (tail purge; ids never regress)",
+        Seq(ProcedureParameter.in("topic", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(StructField("topic", StringType, nullable = false),
+          StructField("restored_to", LongType, nullable = false)))) { in =>
+        val t = topicOf(in)
+        val v = in.getLong(1)
+        new graft.engine.GraftDriver(org.apache.spark.sql.SparkSession.active,
+          engine.warehouse).openTopic(t).restoreTo(v)
+        Seq(t, v)
+      })
+      case "rebuild_manifest" => Some(procedure("rebuild_manifest",
+        "re-derive the manifest from the log (self-heal after metadata loss)",
+        Seq(ProcedureParameter.in("topic", StringType).build()),
+        StructType(Seq(StructField("topic", StringType, nullable = false),
+          StructField("live_files", LongType, nullable = false)))) { in =>
+        val t = topicOf(in)
+        engine.rebuildManifest(t)
+        Seq(t, liveFiles(t))
+      })
+      case _ => None
+    }
+  }
+
+  /** One-row-result side-effecting procedure. `body` returns the output
+    * row's values in schema order (Strings converted to UTF8String here). */
+  private def procedure(procName: String, procDescription: String,
+                        params: Seq[ProcedureParameter], outSchema: StructType)(
+      body: InternalRow => Seq[Any]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = procDescription
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = procDescription
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val values = body(input).map {
+            case s: String => UTF8String.fromString(s)
+            case x => x
+          }
+          val row: InternalRow = new GenericInternalRow(values.toArray[Any])
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = outSchema
+            override def description(): String = s"graft.$procName result"
+          }).iterator()
+        }
+      }
+    }
+}

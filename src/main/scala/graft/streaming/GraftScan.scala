@@ -99,9 +99,12 @@ final class GraftScan(
   private val serializerJson = org.json4s.jackson.JsonMethods.compact(
     org.json4s.jackson.JsonMethods.render(catalog.openTopic(topic).serializer))
 
-  override def description(): String =
+  override def description(): String = {
+    val pins = (startingIds.map(w => s", after=$w") ++
+      asOfIds.map(w => s", asOf=$w")).mkString
     s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
-      s"targets=$targets, idRange=[${idLo.getOrElse(0L)}, ${idHi.getOrElse("∞")}))"
+      s"targets=$targets, idRange=[${idLo.getOrElse(0L)}, ${idHi.getOrElse("∞")})$pins)"
+  }
 
   /** Batch read: the whole log (within pushed ranges) as of planning time —
     * or, with a pinned `asOfIds` watermark (VERSION/TIMESTAMP AS OF), the

@@ -1,0 +1,107 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.GraftDriver
+
+/**
+ * Maintenance as SQL stored procedures: `CALL cat.system.<op>(...)` over
+ * the engine's lifecycle operations — the Iceberg CALL shape on the
+ * TableCatalog plugin.
+ */
+class ProcedureSpec extends SparkSpec {
+
+  private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def newCatalog(): (String, GraftDriver) = {
+    val wh = Files.createTempDirectory("graft-proc-spec").toString
+    val cat = s"proccat_${n.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, new GraftDriver(spark, wh))
+  }
+
+  private def produceBatch(d: GraftDriver, topic: String, lo: Int, hi: Int): Unit = {
+    val p = d.openTopic(topic).producer()
+    (lo until hi).foreach(i => p.push(s"""{"i":$i}"""))
+    p.flush()
+  }
+
+  test("CALL system.compact rewrites many small files into few") {
+    val (cat, d) = newCatalog()
+    d.createTopic("t", partitions = 1)
+    (0 until 6).foreach(b => produceBatch(d, "t", b * 4, b * 4 + 4))
+    def files: Long = d.catalog.readManifest("t")
+      .map(m => d.catalog.manifestFileCounts("t", m).values.sum).getOrElse(0L)
+    assert(files >= 6)
+    val out = spark.sql(s"CALL $cat.system.compact('t')").collect()
+    assert(out.length == 1 && out(0).getString(0) == "t")
+    assert(out(0).getLong(1) < 6 && out(0).getLong(1) == files)
+    assert(d.openTopic("t").events().count() == 24) // content preserved
+  }
+
+  test("CALL system.vacuum reports reclaimed debris; clean topic is zeros") {
+    val (cat, d) = newCatalog()
+    d.createTopic("t", partitions = 1)
+    produceBatch(d, "t", 0, 5)
+    val clean = spark.sql(s"CALL $cat.system.vacuum('t')").collect()(0)
+    assert((0 to 3).forall(clean.getLong(_) == 0L))
+    // plant crashed-produce debris: an unregistered chunk above the watermark
+    val fs = new org.apache.hadoop.fs.Path(d.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(d.warehouse, "t"), "log/partition=0")
+    import spark.implicits._
+    Seq((0, 999L, "{}", null: Array[Byte]))
+      .toDF("partition", "event_id", "metadata", "data")
+      .drop("partition").coalesce(1)
+      .write.mode("append").parquet(log.toString + ".stage")
+    val staged = fs.listStatus(new org.apache.hadoop.fs.Path(log.toString + ".stage"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(staged, new org.apache.hadoop.fs.Path(log, "part-99999-crashed.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(log.toString + ".stage"), true)
+    val dirty = spark.sql(s"CALL $cat.system.vacuum('t')").collect()(0)
+    assert(dirty.getLong(0) == 1L, dirty) // uncommitted chunk reclaimed
+    assert(dirty.getLong(3) > 0L)
+    assert(d.openTopic("t").events().count() == 5)
+  }
+
+  test("CALL system.restore rolls back; named args and defaults work") {
+    val (cat, d) = newCatalog()
+    d.createTopic("t", partitions = 2)
+    produceBatch(d, "t", 0, 10)
+    produceBatch(d, "t", 10, 30)
+    val t = d.openTopic("t")
+    val v1 = t.history().agg(min("version")).collect()(0).getLong(0)
+    val out = spark.sql(
+      s"CALL $cat.system.restore(topic => 't', version => $v1)").collect()(0)
+    assert(out.getString(0) == "t" && out.getLong(1) == v1)
+    assert(t.events().count() == 10)
+    // maintain with the default max_files_per_partition is a clean no-op
+    val m = spark.sql(s"CALL $cat.system.maintain('t')").collect()(0)
+    assert(!m.getBoolean(0) && m.getLong(1) == 0L)
+  }
+
+  test("CALL system.expire drops the prefix; unknown procedures fail loudly") {
+    val (cat, d) = newCatalog()
+    d.createTopic("t", partitions = 1)
+    (0 until 4).foreach(b => produceBatch(d, "t", b * 5, b * 5 + 5))
+    spark.sql(s"CALL $cat.system.expire('t', 10)")
+    val is = d.openTopic("t").events()
+      .select(get_json_object(col("metadata"), "$.i").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    // expire drops WHOLE chunk files below the cutoff — at least the first
+    // two produces (ids 0..9) are gone, and nothing at/above the cutoff is
+    assert(is.subsetOf((10 until 20).map(_.toLong).toSet), is.toString)
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.frobnicate('t')"))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("unknown procedure")),
+      chain(e).mkString(" | "))
+    val e2 = intercept[Exception](spark.sql(s"CALL $cat.system.compact('missing')"))
+    assert(e2.getMessage.contains("no such topic"), e2.getMessage)
+  }
+}
