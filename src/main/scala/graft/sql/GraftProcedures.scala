@@ -32,7 +32,8 @@ private[sql] object GraftProcedures {
   val Namespace = "system"
 
   def names: Seq[String] =
-    Seq("compact", "expire", "maintain", "rebuild_manifest", "restore", "vacuum")
+    Seq("compact", "expire", "history", "maintain", "rebuild_manifest",
+      "restore", "vacuum")
 
   def load(engine: Catalog, name: String): Option[UnboundProcedure] = {
     def topicOf(in: InternalRow): String = {
@@ -99,6 +100,17 @@ private[sql] object GraftProcedures {
           engine.warehouse).openTopic(t).restoreTo(v)
         Seq(t, v)
       })
+      case "history" => Some(procedureRows("history",
+        "the topic's retained commit history (DESCRIBE HISTORY analog), oldest first",
+        Seq(ProcedureParameter.in("topic", StringType).build()),
+        StructType(Seq(StructField("version", LongType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("commit_time", TimestampType, nullable = false),
+          StructField("n_events", LongType, nullable = false)))) { in =>
+        engine.versionHistory(topicOf(in)).map(v =>
+          Seq(v.version, v.kind, v.commitTimeMs * 1000L,
+            v.watermarks.valuesIterator.sum))
+      })
       case "rebuild_manifest" => Some(procedure("rebuild_manifest",
         "re-derive the manifest from the log (self-heal after metadata loss)",
         Seq(ProcedureParameter.in("topic", StringType).build()),
@@ -117,6 +129,13 @@ private[sql] object GraftProcedures {
   private def procedure(procName: String, procDescription: String,
                         params: Seq[ProcedureParameter], outSchema: StructType)(
       body: InternalRow => Seq[Any]): UnboundProcedure =
+    procedureRows(procName, procDescription, params, outSchema)(
+      in => Seq(body(in)))
+
+  /** Multi-row variant (read-only reports like `history`). */
+  private def procedureRows(procName: String, procDescription: String,
+                            params: Seq[ProcedureParameter], outSchema: StructType)(
+      body: InternalRow => Seq[Seq[Any]]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = procName
       override def description(): String = procDescription
@@ -126,13 +145,14 @@ private[sql] object GraftProcedures {
         override def parameters(): Array[ProcedureParameter] = params.toArray
         override def isDeterministic: Boolean = false
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          val values = body(input).map {
-            case s: String => UTF8String.fromString(s)
-            case x => x
-          }
-          val row: InternalRow = new GenericInternalRow(values.toArray[Any])
+          val out: Array[InternalRow] = body(input).map { values =>
+            new GenericInternalRow(values.map {
+              case s: String => UTF8String.fromString(s)
+              case x => x
+            }.toArray[Any]): InternalRow
+          }.toArray
           java.util.List.of[Scan](new LocalScan {
-            override def rows(): Array[InternalRow] = Array(row)
+            override def rows(): Array[InternalRow] = out
             override def readSchema(): StructType = outSchema
             override def description(): String = s"graft.$procName result"
           }).iterator()

@@ -85,6 +85,19 @@ class ProcedureSpec extends SparkSpec {
     assert(!m.getBoolean(0) && m.getLong(1) == 0L)
   }
 
+  test("CALL system.history returns the commit log, oldest first") {
+    val (cat, d) = newCatalog()
+    d.createTopic("t", partitions = 2)
+    produceBatch(d, "t", 0, 8)
+    produceBatch(d, "t", 8, 20)
+    val rows = spark.sql(s"CALL $cat.system.history('t')").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSeq == Seq("snapshot", "delta"))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(8L, 20L))
+    assert(rows(0).getLong(0) < rows(1).getLong(0))
+    assert(rows.forall(_.getTimestamp(2) != null))
+  }
+
   test("CALL system.expire drops the prefix; unknown procedures fail loudly") {
     val (cat, d) = newCatalog()
     d.createTopic("t", partitions = 1)
