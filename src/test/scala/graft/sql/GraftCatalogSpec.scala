@@ -159,6 +159,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(qname).count() == 12)
   }
 
+  test("readStream.table honors startingVersion (catalog-path parity)") {
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.vstream TBLPROPERTIES (partitions '2')")
+    def produce(lo: Int, hi: Int): Unit = {
+      val p = d.openTopic("vstream").producer()
+      (lo until hi).foreach(i => p.push(s"""{"i":$i}"""))
+      p.flush()
+    }
+    produce(0, 10)
+    produce(10, 26)
+    val v1 = d.openTopic("vstream").history()
+      .agg(org.apache.spark.sql.functions.min("version")).collect()(0).getLong(0)
+    val qname = s"sqlcat_vstream_${n.incrementAndGet()}"
+    spark.readStream.option("startingVersion", v1.toString).table(s"$cat.vstream")
+      .writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sqlcat-vck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(60000)
+    // the stream was born just past commit v1: only the second produce
+    assert(spark.table(qname).count() == 16)
+  }
+
   test("catalog scans keep id pushdown (pruned row groups, pushed filters)") {
     val (cat, d) = newCatalog()
     spark.sql(s"CREATE TABLE $cat.pushed TBLPROPERTIES (partitions '2')")
