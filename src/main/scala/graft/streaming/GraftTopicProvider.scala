@@ -306,15 +306,19 @@ final class GraftTopicTable(
     handle.deleteWhere(cond)
   }
 
+  /** Stored metadata equals the consumer view only under the default
+    * serializer — read once per table instance, only when a metadata
+    * predicate actually appears. */
+  private lazy val plainMetadata: Boolean = {
+    val cfg = new Catalog(SparkSession.active, warehouse).openTopic(topic)
+    cfg.serializer == graft.engine.TopicConfig.DefaultSerializer
+  }
+
   private def deleteCond(f: org.apache.spark.sql.sources.Filter)
       : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.sources._
-    lazy val plainMetadata = {
-      val cfg = new Catalog(SparkSession.active, warehouse).openTopic(topic)
-      cfg.serializer == graft.engine.TopicConfig.DefaultSerializer
-    }
     def attr(name: String): Option[Column] = name match {
       case "partition" | "event_id" => Some(col(name))
       case "metadata" if plainMetadata => Some(col(name))
