@@ -2074,6 +2074,34 @@ object Catalog {
       else (lo, hi)
     } finally reader.close()
   }
+
+  /** One chunk file's footer accounting for size estimation: total row
+    * count plus per-column compressed bytes (column-chunk sizes summed
+    * over row groups). One footer read — O(1) regardless of topic size —
+    * feeding [[graft.streaming.GraftScan]]'s `estimateStatistics`: a
+    * sampled bytes-per-row that respects column pruning, so a
+    * metadata-only projection of a payload-heavy topic reports the small
+    * size it will actually read. Chunk files are immutable once
+    * committed, so a sample read once is valid for the file's lifetime. */
+  final case class FileScanSample(rows: Long, columnBytes: Map[String, Long])
+
+  def fileScanSample(path: Path,
+                     conf: org.apache.hadoop.conf.Configuration): FileScanSample = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      var rows = 0L
+      val bytes = scala.collection.mutable.Map.empty[String, Long]
+      reader.getRowGroups.forEach { block =>
+        rows += block.getRowCount
+        block.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          bytes(name) = bytes.getOrElse(name, 0L) + c.getTotalSize
+        }
+      }
+      FileScanSample(rows, bytes.toMap)
+    } finally reader.close()
+  }
 }
 
 /** One manifest-registered chunk file: path relative to the topic's log

@@ -131,6 +131,31 @@ object EnginePack extends QueryPack {
           get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
         .orderBy(col("partition"), col("engine_id"))
     },
+    "q_topic_broadcast" -> { (s, dir) =>
+      // Reported scan statistics (SupportsReportStatistics): event ids are
+      // dense per partition, so the pushed slice's row count is EXACT
+      // watermark arithmetic and its byte size a footer-sampled estimate —
+      // Catalyst auto-broadcasts the topic side of this join with no hint
+      // anywhere (the decision that matters at 100 TB: a small slice of a
+      // huge topic still broadcasts). ScanStatsSpec asserts the plan shape;
+      // this grades the join RESULT through the stats-planned path.
+      val d = tempDriver(s)
+      d.createTopic("stats_demo", partitions = 4)
+      val topic = d.openTopic("stats_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      val slice = s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "stats_demo").load()
+        .filter(col("event_id") < 25)
+        .select(col("partition"),
+          get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
+      val ev = t(s, dir, "events")
+        .select(col("event_id").as("eid"), col("value"))
+      slice.join(ev, "eid")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("partition"))
+    },
     "q_sql_catalog" -> { (s, dir) =>
       // C1/C3 through the SQL surface (SURVEY §2.2): the TableCatalog
       // plugin makes topics SQL tables — CREATE TABLE is createTopic, the
@@ -1723,6 +1748,18 @@ object EnginePack extends QueryPack {
         |        event_id AS eid
         |      FROM events) s
         |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
+    // the engine-id slice joined back to the source table: per-partition
+    // count and exact cents sum over the first 25 engine ids
+    "q_topic_broadcast" ->
+      """SELECT partition, COUNT(*) AS cnt,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,
+        |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id,
+        |        event_id AS eid
+        |      FROM events) s
+        |JOIN events e ON s.eid = e.event_id
+        |WHERE s.engine_id < 25
+        |GROUP BY partition ORDER BY partition""".stripMargin,
     "q_sql_catalog" ->
       """SELECT partition, engine_id, eid
         |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,

@@ -90,9 +90,136 @@ final class GraftScan(
     maxBytesPerTrigger: Option[Long] = None,
     asOfIds: Option[Map[Int, Long]] = None,
     startingIds: Option[Map[Int, Long]] = None)
-  extends Scan {
+  extends Scan
+  with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // Narrowed further by runtime filters (SupportsRuntimeFiltering): Spark
+  // re-plans input partitions after `filter(...)`, so batch planning reads
+  // these instead of the constructor values. Planning-time pushdown and
+  // runtime narrowing share one representation — the runtime path can only
+  // shrink what static pushdown kept.
+  @volatile private var effTargets: Option[Set[Int]] = targets
+  @volatile private var effIdLo: Option[Long] = idLo
+  @volatile private var effIdHi: Option[Long] = idHi
+
+  /** Test/diagnostic hooks: the post-runtime-filter narrowed state. */
+  private[graft] def narrowedTargets: Option[Set[Int]] = effTargets
+  private[graft] def narrowedIdRange: (Option[Long], Option[Long]) = (effIdLo, effIdHi)
 
   override def readSchema(): StructType = requiredSchema
+
+  /**
+   * Join-driven pruning (the DSv2 analog of dynamic partition pruning):
+   * Spark's `PartitionPruning` rule plants a runtime subquery on scans
+   * that expose filterable attributes, and `BatchScanExec` delivers the
+   * realized values here before re-planning. A join on `partition` prunes
+   * whole topic-partition directories; a join on `event_id` (after a
+   * selective build side) narrows the id window so only overlapping chunk
+   * files plan. Filters are used for SKIPPING only — Spark re-evaluates
+   * every predicate on surfaced rows — so over-acceptance is impossible
+   * and unknown filter shapes are simply ignored.
+   */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns that survived pruning: Spark resolves these against the
+    // scan's OUTPUT and fails the query on a miss, not skips it
+    Array("partition", "event_id").filter(requiredSchema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case EqualTo("partition", v: Int) =>
+      effTargets = Some(effTargets.fold(Set(v))(_.intersect(Set(v))))
+    case In("partition", vs) if vs.forall(_.isInstanceOf[Int]) =>
+      val s = vs.map(_.asInstanceOf[Int]).toSet
+      effTargets = Some(effTargets.fold(s)(_.intersect(s)))
+    case In("event_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+      // realized id values from the build side: keep the covering range
+      // (file pruning is range-based; rows are re-filtered by Spark)
+      val ls = vs.map(_.asInstanceOf[Long])
+      val lo = ls.min; val hi = ls.max
+      effIdLo = Some(math.max(effIdLo.getOrElse(Long.MinValue), lo))
+      effIdHi = Some(math.min(effIdHi.getOrElse(Long.MaxValue),
+        if (hi == Long.MaxValue) hi else hi + 1))
+    case GreaterThanOrEqual("event_id", v: Long) =>
+      effIdLo = Some(math.max(effIdLo.getOrElse(Long.MinValue), v))
+    case LessThan("event_id", v: Long) =>
+      effIdHi = Some(math.min(effIdHi.getOrElse(Long.MaxValue), v))
+    case _ => // skipping-only contract: unknown shapes are safely ignored
+  }
+
+  /**
+   * Plan-time statistics (`SupportsReportStatistics`) — what lets Catalyst
+   * auto-broadcast a small topic (or a small pushed slice of a huge one)
+   * without user hints, the decision that matters most at 100 TB:
+   *
+   *  - `numRows` is EXACT, and free: event ids are dense per partition
+   *    (the engine's linearized-id invariant), so the row count of any id
+   *    window is watermark arithmetic — no file IO, no sampling error.
+   *  - `sizeInBytes` = rows × bytes-per-row from ONE sampled chunk footer
+   *    (column-chunk compressed sizes), restricted to the PRUNED columns —
+   *    a metadata-only projection of a payload-heavy topic reports the
+   *    small scan it will actually perform. O(1) footer read, cached by
+   *    immutable file path.
+   */
+  override def estimateStatistics(): Statistics = {
+    val next = catalog.nextIds(topic)
+    val parts = (0 until catalog.openTopic(topic).partitions)
+      .filter(p => effTargets.forall(_.contains(p)))
+    val rows = parts.map(p => math.max(0L, batchHi(p, next) - batchLo(p))).sum
+    val physicalCols = requiredSchema.fieldNames
+      .filter(n => n != "partition" && n != GraftTopicTable.FileColumn)
+    val bytes =
+      if (rows == 0L) 0L
+      else sampleBytesPerRow(physicalCols) match {
+        case Some(bpr) => math.max(1L, math.ceil(rows * bpr).toLong)
+        case None => // no committed file to sample: schema default widths
+          math.max(1L, rows * math.max(4, requiredSchema.defaultSize).toLong)
+      }
+    val (r, b) = (rows, bytes)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(r)
+    }
+  }
+
+  /** Compressed bytes/row over `cols` from one committed chunk file:
+    * manifest head first (no listing), directory-listing head otherwise.
+    * Samples are cached by path — chunk files are immutable. */
+  private def sampleBytesPerRow(cols: Array[String]): Option[Double] = {
+    if (cols.isEmpty) return Some(4.0) // virtual-only projection (partition/_file)
+    val conf = catalog.hadoopConf
+    val logPath = new org.apache.hadoop.fs.Path(catalog.logPath(topic))
+    val fromManifest: Option[org.apache.hadoop.fs.Path] =
+      catalog.readManifest(topic).flatMap(_.files.valuesIterator
+        .flatMap(_.headOption).toSeq.headOption)
+        .map(f => new org.apache.hadoop.fs.Path(logPath, f.path))
+    val sampled: Option[org.apache.hadoop.fs.Path] = fromManifest.orElse {
+      val fs = logPath.getFileSystem(conf)
+      if (!fs.exists(logPath)) None
+      else fs.listStatus(logPath).filter(_.isDirectory).sortBy(_.getPath.getName)
+        .iterator.flatMap { dir =>
+          fs.listStatus(dir.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).headOption
+        }.nextOption().map(_.getPath)
+    }
+    sampled.flatMap { p =>
+      val s = GraftScan.sampleCached(p.toString, conf)
+      if (s.rows <= 0) None
+      else Some(cols.map(c => s.columnBytes.getOrElse(c, 0L)).sum.toDouble / s.rows)
+    }
+  }
+
+  /** Shared per-partition batch window: pushed/runtime id bounds clamped
+    * by the live watermark and any version pins (see [[toBatch]] doc). */
+  private def batchHi(p: Int, next: Map[Int, Long]): Long = {
+    val live = math.min(effIdHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L))
+    asOfIds.fold(live)(wm => math.min(live, wm.getOrElse(p, 0L)))
+  }
+  private def batchLo(p: Int): Long = {
+    val base = math.max(effIdLo.getOrElse(0L), 0L)
+    startingIds.fold(base)(wm => math.max(base, wm.getOrElse(p, 0L)))
+  }
 
   /** The topic's persisted serializer descriptor (compact JSON) — shipped to
     * executor readers so they decode the stored metadata form (Z1). */
@@ -103,7 +230,7 @@ final class GraftScan(
     val pins = (startingIds.map(w => s", after=$w") ++
       asOfIds.map(w => s", asOf=$w")).mkString
     s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
-      s"targets=$targets, idRange=[${idLo.getOrElse(0L)}, ${idHi.getOrElse("∞")})$pins)"
+      s"targets=$effTargets, idRange=[${effIdLo.getOrElse(0L)}, ${effIdHi.getOrElse("∞")})$pins)"
   }
 
   /** Batch read: the whole log (within pushed ranges) as of planning time —
@@ -114,23 +241,16 @@ final class GraftScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val next = catalog.nextIds(topic)
-      // footer-based file pruning only pays off when an id bound was pushed;
-      // an unbounded scan keeps every file, so skip the driver-side footer reads
-      val stats = if (idLo.isDefined || idHi.isDefined) Some(new FileStatsCache) else None
-      def hi(p: Int): Long = {
-        val live = math.min(idHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L))
-        asOfIds.fold(live)(wm => math.min(live, wm.getOrElse(p, 0L)))
-      }
+      // footer-based file pruning only pays off when an id bound was pushed
+      // (statically or by a runtime filter); an unbounded scan keeps every
+      // file, so skip the driver-side footer reads
+      val stats = if (effIdLo.isDefined || effIdHi.isDefined) Some(new FileStatsCache) else None
       // startingVersion is the EXCLUSIVE lower pin (events produced AFTER
       // that commit — the incremental-export resume semantic of
       // events(from, to)); partitions created after the pin start at 0
-      def lo(p: Int): Long = {
-        val base = math.max(idLo.getOrElse(0L), 0L)
-        startingIds.fold(base)(wm => math.max(base, wm.getOrElse(p, 0L)))
-      }
-      GraftPartitions.plan(catalog, topic, targets,
-        from = lo,
-        until = hi,
+      GraftPartitions.plan(catalog, topic, effTargets,
+        from = batchLo,
+        until = batchHi(_, next),
         stats)
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -147,4 +267,28 @@ final class GraftScan(
       maxEventsPerTrigger, serializerJson, startingTime, maxBytesPerTrigger,
       startingIds)
   }
+}
+
+object GraftScan {
+  /** Footer size samples keyed by (immutable) chunk-file path — LRU-bounded
+    * like [[FileStatsCache]], shared across scans so repeated planning of
+    * one topic costs one footer read, not one per query. */
+  private val samples =
+    new java.util.LinkedHashMap[String, Catalog.FileScanSample](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Catalog.FileScanSample]): Boolean =
+        size() > 4096
+    }
+
+  private[streaming] def sampleCached(
+      path: String, conf: org.apache.hadoop.conf.Configuration): Catalog.FileScanSample =
+    samples.synchronized {
+      val cached = samples.get(path)
+      if (cached != null) cached
+      else {
+        val s = Catalog.fileScanSample(new org.apache.hadoop.fs.Path(path), conf)
+        samples.put(path, s)
+        s
+      }
+    }
 }

@@ -186,6 +186,11 @@ final class GraftStreamSink(warehouse: String, topic: String, sinkId: String)
 object GraftTopicTable {
   /** The canonical event schema (single definition: [[Catalog.EventSchema]]). */
   val EventSchema: StructType = Catalog.EventSchema
+
+  /** Metadata column (`SupportsMetadataColumns`): the chunk file a row was
+    * read from — the engine's `input_file_name` analog, surfaced per-file
+    * as a constant column by the reader (no per-row cost). */
+  val FileColumn: String = "_file"
 }
 
 final class GraftTopicTable(
