@@ -131,6 +131,29 @@ object EnginePack extends QueryPack {
           get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
         .orderBy(col("partition"), col("engine_id"))
     },
+    "q_meta_file" -> { (s, dir) =>
+      // `_file` metadata column (SupportsMetadataColumns): chunk-file
+      // lineage per event, emitted as a per-file CONSTANT by the reader.
+      // Chunk rotation is deterministic — a produce writes each partition's
+      // rows id-sorted in one task, rolling every chunkMaxRecords — so each
+      // file covers exactly one id block, and the oracle re-derives every
+      // per-file aggregate from id arithmetic alone. Grouping by the real
+      // file paths (then mapping min_id→chunk ordinal) grades that rows
+      // REALLY came from the files the rotation promised: a misaligned
+      // split or a row surfaced from the wrong file breaks the counts.
+      val d = tempDriver(s)
+      d.createTopic("filecol_demo", partitions = 4)
+      val topic = d.openTopic("filecol_demo")
+      topic.producer(chunkMaxRecords = 16).produce(sourceByEid(s, dir))
+      s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "filecol_demo").load()
+        .groupBy(col("partition"), col("_file"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .select(col("partition"), floor(col("min_id") / 16).as("chunk"),
+          col("cnt"), col("min_id"), col("max_id"))
+        .orderBy(col("partition"), col("chunk"))
+    },
     "q_topic_broadcast" -> { (s, dir) =>
       // Reported scan statistics (SupportsReportStatistics): event ids are
       // dense per partition, so the pushed slice's row count is EXACT
@@ -1748,6 +1771,16 @@ object EnginePack extends QueryPack {
         |        event_id AS eid
         |      FROM events) s
         |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
+    // chunk rotation at 16 records/file over dense per-partition ids:
+    // file j of a partition holds exactly ids [16j, min(16j+16, n)) — every
+    // per-file aggregate is id arithmetic
+    "q_meta_file" ->
+      """SELECT partition, CAST(FLOOR(engine_id / 16) AS BIGINT) AS chunk,
+        | COUNT(*) AS cnt, MIN(engine_id) AS min_id, MAX(engine_id) AS max_id
+        |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,
+        |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id
+        |      FROM events) s
+        |GROUP BY 1, 2 ORDER BY partition, chunk""".stripMargin,
     // the engine-id slice joined back to the source table: per-partition
     // count and exact cents sum over the first 25 engine ids
     "q_topic_broadcast" ->

@@ -56,12 +56,14 @@ final class GraftPartitionReader(
   extends PartitionReader[InternalRow] {
 
   /** Columns actually decoded from Parquet: the pruned schema minus the
-    * virtual `partition` column (a per-slice constant appended by the
-    * vectorized reader), plus `event_id` — always read, because the slice
-    * bounds ARE the commit watermark and must hold exactly even when the
-    * consumer projected the id away. */
+    * virtual columns — `partition` (a per-slice constant) and `_file` (a
+    * per-file constant), both appended by the vectorized reader — plus
+    * `event_id` — always read, because the slice bounds ARE the commit
+    * watermark and must hold exactly even when the consumer projected the
+    * id away. */
   private val readSchema: StructType = {
-    val dataCols = requiredSchema.filter(_.name != "partition")
+    val dataCols = requiredSchema.filter(f =>
+      f.name != "partition" && f.name != GraftTopicTable.FileColumn)
     if (dataCols.exists(_.name == "event_id")) StructType(dataCols)
     else StructType(dataCols :+ StructField("event_id", LongType, nullable = false))
   }
@@ -89,12 +91,14 @@ final class GraftPartitionReader(
     c
   }
 
-  /** The reader emits `readSchema ++ partition`; this maps it back to the
-    * pruned schema's column order. */
+  /** The reader emits `readSchema ++ (partition, _file)`; this maps it back
+    * to the pruned schema's column order. */
   private val projection = ProjectingInternalRow(
     requiredSchema,
     requiredSchema.map { f =>
-      if (f.name == "partition") readSchema.length else readSchema.fieldIndex(f.name)
+      if (f.name == "partition") readSchema.length
+      else if (f.name == GraftTopicTable.FileColumn) readSchema.length + 1
+      else readSchema.fieldIndex(f.name)
     }.toIndexedSeq)
 
   /** Z1: topics with a non-default serializer store metadata in its encoded
@@ -162,10 +166,13 @@ final class GraftPartitionReader(
     r.initialize(
       new FileSplit(p, 0, len, Array.empty[String]),
       new TaskAttemptContextImpl(conf, new TaskAttemptID()))
-    // append the directory-partition value as a constant column
+    // append the directory-partition value and the file path as constant
+    // columns (the `_file` metadata column costs nothing per row)
     r.initBatch(
-      StructType(Seq(StructField("partition", IntegerType, nullable = false))),
-      new GenericInternalRow(Array[Any](slice.partition)))
+      StructType(Seq(StructField("partition", IntegerType, nullable = false),
+        StructField(GraftTopicTable.FileColumn, StringType, nullable = false))),
+      new GenericInternalRow(Array[Any](slice.partition,
+        org.apache.spark.unsafe.types.UTF8String.fromString(path))))
     reader = r
   }
 }

@@ -38,8 +38,13 @@ final class GraftScanBuilder(
   private var idHi: Option[Long] = None // exclusive
 
   override def pruneColumns(required: StructType): Unit = {
+    // the event schema plus the `_file` metadata column (appended by Spark
+    // to `required` only when a query references it)
+    val selectable = GraftTopicTable.EventSchema :+
+      org.apache.spark.sql.types.StructField(
+        GraftTopicTable.FileColumn, org.apache.spark.sql.types.StringType, nullable = false)
     requiredSchema = StructType(
-      GraftTopicTable.EventSchema.filter(f => required.fieldNames.contains(f.name)))
+      selectable.filter(f => required.fieldNames.contains(f.name)))
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {

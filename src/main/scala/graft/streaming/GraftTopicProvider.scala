@@ -203,10 +203,24 @@ final class GraftTopicTable(
     asOfVersion: Option[String] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft:$topic"
   override def schema(): StructType = GraftTopicTable.EventSchema
+
+  /** `_file` (SELECT `_file` FROM cat.topic / df.select("_file")): the chunk
+    * file each event was read from — lineage/debug surface with zero
+    * per-row cost (the reader emits it as a per-file constant, exactly like
+    * the directory-derived `partition` column). Only read when requested:
+    * column pruning drops it like any data column. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTopicTable.FileColumn
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "chunk file this event was read from"
+    })
 
   /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED surface: the persisted topic
     * descriptor triple + partition count + completion flag, the same JSON
