@@ -358,6 +358,103 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // -- audio fingerprinting (near-duplicate detection) ----------------------
+
+  /** 256 deterministic 8-bit PCM samples from a seed text (16 md5 chunks ×
+    * 16 bytes) — the synthetic AUDIO corpus generator, the audio analog of
+    * [[docGrays]]: sample i is byte i of `md5(text || chunk)`. Chosen so
+    * [[audioHash]] of the encoded WAV is re-derivable from md5 HEX in plain
+    * SQL (unsigned 8-bit PCM WAV round-trips losslessly, and 256 samples
+    * split into the hash's 64 frames at exactly 4 samples each). */
+  def docSamples(text: String): Array[Int] =
+    Array.range(0, 16).flatMap(c =>
+      MessageDigest.getInstance("MD5")
+        .digest((text + c.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(_ & 0xff))
+
+  /** Encode unsigned 8-bit mono PCM through the JDK's REAL WAV writer
+    * (`javax.sound`) — the counterpart of [[pngGray8x8]] for audio: the
+    * fingerprint path decodes what an independent encoder wrote. */
+  def wavPcm8(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      sampleRate.toFloat, 8, 1, 1, sampleRate.toFloat, false)
+    val data = samples.map(v => (v & 0xff).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Decode a WAV payload through `javax.sound` (the REAL codec path, like
+   * [[aHash]]'s ImageIO decode) and fingerprint its amplitude envelope:
+   * the sample stream splits into 64 equal frames, and bit j (j < 63, the
+   * top bit dropped for sign safety) is set iff frame j's mean amplitude
+   * exceeds the global mean — integer-exact via cross-multiplication, so
+   * an oracle can re-derive every bit arithmetically. Amplitude scaling
+   * and time-local noise move few bits; [[Dedup.simhashPairs]]' pigeonhole
+   * banding then finds near-duplicate AUDIO with the same bucketed-join
+   * scale shape as text simhash. Fails loudly on undecodable payloads and
+   * unsupported sample layouts — a corrupt corpus must not hash as silence.
+   */
+  def audioHash(r: MediaRecord): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    val fmt = ais.getFormat
+    val bytes =
+      try ais.readAllBytes()
+      finally ais.close()
+    require(fmt.getChannels == 1,
+      s"doc ${r.doc_id}: mono PCM expected, got ${fmt.getChannels} channels")
+    val enc = fmt.getEncoding
+    val samples: Array[Long] = fmt.getSampleSizeInBits match {
+      case 8 if enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED =>
+        bytes.map(b => (b & 0xff).toLong)
+      case 16 if enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && !fmt.isBigEndian =>
+        // signed 16-bit little-endian: envelope = sample magnitude
+        val out = new Array[Long](bytes.length / 2)
+        var i = 0
+        while (i < out.length) {
+          val v = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort
+          out(i) = math.abs(v.toLong)
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(
+        s"doc ${r.doc_id}: unsupported PCM layout ($other-bit $enc)")
+    }
+    val n = samples.length
+    require(n >= 64, s"doc ${r.doc_id}: need ≥64 samples to fingerprint, got $n")
+    val total = samples.sum
+    var acc = 0L
+    var j = 0
+    while (j < 63) {
+      val from = j * n / 64
+      val until = (j + 1) * n / 64
+      var fs = 0L
+      var k = from
+      while (k < until) { fs += samples(k); k += 1 }
+      // frameMean > globalMean, exactly: fs/(until-from) > total/n
+      if (fs * n > total * (until - from)) acc |= (1L << j)
+      j += 1
+    }
+    acc
+  }
+
+  /** Partition-wise audio fingerprinting, shaped for
+    * [[Dedup.simhashPairs]]: columns (id, simhash). */
+  def audioHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map(r => (r.doc_id, audioHash(r)))
+    }.toDF("id", "simhash")
+  }
+
   /** Minimal ISO BMFF generator (ftyp + moov[mvhd + trak×n]) — no MP4
     * muxer exists in this environment, so the writer is synthetic; the
     * box WALKER ([[probeMp4]]) is the production parser either way. */

@@ -332,6 +332,37 @@ object TextPack extends QueryPack {
       Dedup.simhashPairs(Multimodal.perceptualHashes(media), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    "q_audio_neardup" -> { (s, dir) =>
+      // Perceptual AUDIO near-dup, completing the multimodal dedup story
+      // beside q_media_neardup's images: per document a 256-sample 8-bit
+      // PCM WAV is written by the JDK's REAL encoder (sample i = byte i of
+      // md5(text||chunk) — [[Multimodal.docSamples]]), decoded back through
+      // javax.sound, and fingerprinted as a 63-bit amplitude envelope
+      // ([[Multimodal.audioHash]]: frame mean vs global mean, 64 frames),
+      // then banded with the SAME star-guarded simhash pigeonhole machinery
+      // (bucketed joins, nothing quadratic). Every 25th doc also plants a
+      // near-copy with frames 0 and 1 SWAPPED — total-sum preserving, so
+      // the global mean is unchanged and only bits 0/1 can differ: hamming
+      // ≤ 2 by construction — under id+10,000,000. The oracle re-derives
+      // the 256 samples from md5 hex, every envelope bit, and EVERY pair
+      // independently in SQL — the codec round-trip is graded bit-exact.
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val jobs = docs.select(col("doc_id"), col("text"), lit(0).as("perturb"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+            lit(1).as("perturb")))
+      val media = jobs.as[(Long, String, Int)].map { case (id, text, perturb) =>
+        val smp = Multimodal.docSamples(text)
+        if (perturb == 1) {
+          var k = 0
+          while (k < 4) { val t0 = smp(k); smp(k) = smp(4 + k); smp(4 + k) = t0; k += 1 }
+        }
+        graft.llm.MediaRecord(id, "audio/wav", Multimodal.wavPcm8(smp, 8000))
+      }
+      Dedup.simhashPairs(Multimodal.audioHashes(media), maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     "q_media_probe" -> { (s, dir) =>
       // Header-only container probing beside the image path (payload-lazy
       // for non-image corpora): WAV payloads come from the JDK's REAL
@@ -788,6 +819,37 @@ object TextPack extends QueryPack {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash, b.hash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // 256 samples from md5 chains; perturbed copies swap frames 0/1
+    // (sum-preserving); envelope bit j: frame sum × 64 vs total sum
+    "q_audio_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, 0 AS perturb FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, 1 FROM documents WHERE doc_id % 25 = 0
+        |), smp AS (
+        |  SELECT doc_id, perturb,
+        |    flatten(list_transform(range(16), c -> list_transform(range(16), j ->
+        |      16 * (strpos('0123456789abcdef', substr(md5(text || CAST(c AS VARCHAR)), 2*j + 1, 1)) - 1)
+        |         + (strpos('0123456789abcdef', substr(md5(text || CAST(c AS VARCHAR)), 2*j + 2, 1)) - 1)
+        |    ))) AS s0
+        |  FROM base
+        |), ps AS (
+        |  SELECT doc_id,
+        |    CASE WHEN perturb = 1
+        |         THEN list_concat(s0[5:8], list_concat(s0[1:4], s0[9:])) ELSE s0 END AS s
+        |  FROM smp
+        |), fp AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(63), j ->
+        |      CASE WHEN (s[4*j + 1] + s[4*j + 2] + s[4*j + 3] + s[4*j + 4]) * 64 > list_sum(s)
+        |           THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS hash
+        |  FROM ps
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hash, b.hash)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hash, b.hash)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_media_probe" ->

@@ -1077,6 +1077,49 @@ class LlmSpec extends SparkSpec {
     assert(pairs.length < 1200, s"quadratic pair blow-up: ${pairs.length}")
   }
 
+  test("audioHash: envelope bits survive the real WAV codec round-trip") {
+    val smp = Multimodal.docSamples("audio seed")
+    assert(smp.length == 256)
+    // fingerprint computed from the raw samples, no codec involved
+    val total = smp.map(_.toLong).sum
+    val expected = (0 until 63).foldLeft(0L) { (acc, j) =>
+      val fs = (0 until 4).map(k => smp(4 * j + k).toLong).sum
+      if (fs * 64 > total) acc | (1L << j) else acc
+    }
+    // encode via javax.sound, decode via javax.sound — must be bit-exact
+    val rec = MediaRecord(7L, "audio/wav", Multimodal.wavPcm8(smp, 8000))
+    assert(Multimodal.audioHash(rec) == expected)
+    // frame-0/1 swap preserves the total sum → only bits 0/1 can differ
+    val sw = smp.clone()
+    (0 until 4).foreach { k => val t = sw(k); sw(k) = sw(4 + k); sw(4 + k) = t }
+    val swapped = Multimodal.audioHash(MediaRecord(8L, "audio/wav", Multimodal.wavPcm8(sw, 8000)))
+    assert(java.lang.Long.bitCount(swapped ^ expected) <= 2)
+    // 16-bit signed mono decodes through the magnitude branch
+    Multimodal.audioHash(MediaRecord(9L, "audio/wav", Multimodal.wavPcm(9L, 8000, 1, 256))): Unit
+    // loud on stereo (ambiguous envelope) and on junk bytes
+    intercept[IllegalArgumentException] {
+      Multimodal.audioHash(MediaRecord(10L, "audio/wav", Multimodal.wavPcm(10L, 8000, 2, 256)))
+    }
+    intercept[Exception] {
+      Multimodal.audioHash(MediaRecord(11L, "audio/wav", Array.fill[Byte](64)(42)))
+    }
+  }
+
+  test("audio near-dup survives a flood of identical clips (star guard)") {
+    import session.implicits._
+    val smp = Multimodal.docSamples("flood clip")
+    val other = Multimodal.docSamples("an entirely different clip")
+    val recs = ((0L until 300L).map(id =>
+        MediaRecord(id, "audio/wav", Multimodal.wavPcm8(smp, 8000))) ++
+      Seq(MediaRecord(300L, "audio/wav", Multimodal.wavPcm8(other, 8000))))
+      .toDS()
+    val pairs = Dedup.simhashPairs(Multimodal.audioHashes(recs), maxHamming = 3, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert((1L until 300L).forall(j => pairs.contains((0L, j, 0L))),
+      s"missing star pairs; got ${pairs.length}")
+    assert(pairs.length < 1200, s"quadratic pair blow-up: ${pairs.length}")
+  }
+
   test("container probes parse real WAV headers and MP4 boxes, fail loudly on junk") {
     // WAV via the JDK's independent encoder
     val wav = MediaRecord(1L, "audio/wav", Multimodal.wavPcm(1L, 16000, 2, 480))
