@@ -131,6 +131,37 @@ object EnginePack extends QueryPack {
           get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
         .orderBy(col("partition"), col("engine_id"))
     },
+    "q_colocated_join" -> { (s, dir) =>
+      // Reported layout (SupportsReportPartitioning): both topics share the
+      // engine's partition scheme, so the per-partition summaries AND the
+      // join on partition ride KeyGroupedPartitioning — zero data exchanges
+      // in the whole query (PartitioningSpec asserts the plan; this grades
+      // the values through that path). The confs scope to planning: the
+      // physical plan is pinned inside the scope, and the final orderBy is
+      // presentation.
+      val d = tempDriver(s)
+      for (t <- Seq("colo_a", "colo_b")) d.createTopic(t, partitions = 4)
+      d.openTopic("colo_a").producer().produce(sourceByEid(s, dir))
+      d.openTopic("colo_b").producer().produce(sourceByEidRange(s, dir, 0, 500))
+      def load(t: String) = s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", t).load()
+      val prev = (s.conf.get("spark.sql.sources.v2.bucketing.enabled", "false"),
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val a = load("colo_a").groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt_a"), sum(col("event_id")).as("sum_a"))
+        val b = load("colo_b").groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt_b"), max(col("event_id")).as("max_b"))
+        val out = a.join(b, Seq("partition")).orderBy(col("partition"))
+        out.queryExecution.executedPlan // pin the storage-partitioned plan
+        out
+      } finally {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", prev._1)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev._2)
+      }
+    },
     "q_meta_file" -> { (s, dir) =>
       // `_file` metadata column (SupportsMetadataColumns): chunk-file
       // lineage per event, emitted as a per-file CONSTANT by the reader.
@@ -1771,6 +1802,21 @@ object EnginePack extends QueryPack {
         |        event_id AS eid
         |      FROM events) s
         |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
+    // per-partition summaries of the full topic and its first-500 sibling,
+    // joined on the shared partition layout
+    "q_colocated_join" ->
+      """WITH a AS (SELECT CAST(event_id % 4 AS INT) AS partition,
+        |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS id
+        |      FROM events),
+        |     b AS (SELECT CAST(event_id % 4 AS INT) AS partition,
+        |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS id
+        |      FROM events WHERE event_id < 500),
+        |     ag AS (SELECT partition, COUNT(*) AS cnt_a,
+        |              CAST(SUM(id) AS BIGINT) AS sum_a FROM a GROUP BY 1),
+        |     bg AS (SELECT partition, COUNT(*) AS cnt_b, MAX(id) AS max_b
+        |            FROM b GROUP BY 1)
+        |SELECT partition, cnt_a, sum_a, cnt_b, max_b
+        |FROM ag JOIN bg USING (partition) ORDER BY partition""".stripMargin,
     // chunk rotation at 16 records/file over dense per-partition ids:
     // file j of a partition holds exactly ids [16j, min(16j+16, n)) — every
     // per-file aggregate is id arithmetic

@@ -581,3 +581,12 @@ object GraftPartitions {
 final case class GraftInputPartition(
     partition: Int, fromId: Long, untilId: Long, files: Seq[String])
   extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** One slice per topic partition, keyed by its partition id — what lets
+    * the scan report `KeyGroupedPartitioning(partition)` and Spark plan
+    * shuffle-free partition-keyed aggregations and storage-partitioned
+    * joins between co-partitioned topics. */
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](partition))
+}

@@ -97,7 +97,8 @@ final class GraftScan(
     startingIds: Option[Map[Int, Long]] = None)
   extends Scan
   with SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // Narrowed further by runtime filters (SupportsRuntimeFiltering): Spark
   // re-plans input partitions after `filter(...)`, so batch planning reads
@@ -150,6 +151,29 @@ final class GraftScan(
     case LessThan("event_id", v: Long) =>
       effIdHi = Some(math.min(effIdHi.getOrElse(Long.MaxValue), v))
     case _ => // skipping-only contract: unknown shapes are safely ignored
+  }
+
+  /**
+   * Physical layout (`SupportsReportPartitioning`): the scan plans exactly
+   * one input slice per topic partition, each keyed by its partition id
+   * ([[GraftInputPartition.partitionKey]]), so the output is
+   * `KeyGroupedPartitioning(partition)`. With
+   * `spark.sql.sources.v2.bucketing.enabled`, Spark then runs
+   * partition-keyed aggregations WITHOUT an exchange and joins two
+   * co-partitioned topics as a storage-partitioned join — at 100 TB the
+   * difference between a full shuffle of the log and none. Reported only
+   * when the `partition` column survived pruning (Spark resolves the key
+   * expression against the scan output).
+   */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val nParts = (0 until catalog.openTopic(topic).partitions)
+      .count(p => effTargets.forall(_.contains(p)))
+    if (requiredSchema.fieldNames.contains("partition") && nParts > 0)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("partition")),
+        nParts)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(nParts)
   }
 
   /**
