@@ -952,9 +952,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                   chunkMaxRecords: Long = 1000000L): Unit = {
     import org.apache.spark.sql.functions.col
     acquireCompactLock(name)
-    try rewriteLocked(name, chunkMaxRecords, _.filter(col("event_id") >= beforeId))
+    try { markIdGaps(name); rewriteLocked(name, chunkMaxRecords, _.filter(col("event_id") >= beforeId)) }
     finally releaseCompactLock(name)
   }
+
+  /** Conservative id-gap marker: every operation that can remove committed
+    * rows below the watermark (expire, compliance delete, key compaction,
+    * restore) sets it BEFORE rewriting and it is never cleared — so
+    * "marker absent" PROVES per-partition ids are dense `[0, watermark)`,
+    * the invariant that lets [[graft.streaming.GraftAggScan]] answer
+    * COUNT/MIN/MAX(event_id) as O(1) watermark arithmetic instead of a
+    * scan. Conservative by design: a delete that matched nothing still
+    * marks (the alternative — recounting the log to clear it — is exactly
+    * the scan the marker exists to avoid; a compaction could re-certify
+    * density, but none does today). */
+  private def gapsPath(name: String): Path = new Path(topicPath(name), "_gaps.json")
+
+  private[engine] def markIdGaps(name: String): Unit =
+    if (!fs.exists(gapsPath(name))) writeAtomic(gapsPath(name), """{"gaps":true}""")
+
+  /** False PROVES dense ids (see [[markIdGaps]]); true only means some
+    * row-dropping op ran at some point. */
+  def mayHaveIdGaps(name: String): Boolean = fs.exists(gapsPath(name))
 
   /**
    * Compliance delete (GDPR-style): rewrite the log dropping every event
@@ -976,7 +995,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // predicate that evaluates to NULL (e.g. get_json_object on events
     // lacking the field) would make !cond NULL too and silently DELETE the
     // row — only rows where cond is definitively TRUE may be purged.
-    try rewriteLocked(name, chunkMaxRecords, _.filter(!coalesce(cond, lit(false))))
+    try { markIdGaps(name); rewriteLocked(name, chunkMaxRecords, _.filter(!coalesce(cond, lit(false)))) }
     finally releaseCompactLock(name)
   }
 
@@ -1005,14 +1024,16 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                            chunkMaxRecords: Long = 1000000L): Unit = {
     import org.apache.spark.sql.functions.{broadcast, col, min}
     acquireCompactLock(name)
-    try rewriteLocked(name, chunkMaxRecords, { df =>
+    try {
+      markIdGaps(name)
+      rewriteLocked(name, chunkMaxRecords, { df =>
       val bounds = df.filter(eventTime >= cutoff)
         .groupBy(col("partition")).agg(min(col("event_id")).as("__keep_from"))
       df.join(broadcast(bounds), Seq("partition"))
         .filter(col("event_id") >= col("__keep_from"))
         .drop("__keep_from")
-    })
-    finally releaseCompactLock(name)
+      })
+    } finally releaseCompactLock(name)
   }
 
   /**
@@ -1087,6 +1108,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     import org.apache.spark.sql.functions.{coalesce, col, length, lit, max}
     acquireCompactLock(name)
     try rewriteLocked(name, chunkMaxRecords, { df =>
+      markIdGaps(name)
       val keyed = df.withColumn("__ck", key)
       val w = Window.partitionBy(col("partition"), col("__ck"))
       val latest = keyed

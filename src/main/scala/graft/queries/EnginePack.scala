@@ -131,6 +131,37 @@ object EnginePack extends QueryPack {
           get_json_object(col("metadata"), "$.eid").cast("long").as("eid"))
         .orderBy(col("partition"), col("engine_id"))
     },
+    "q_limit_pushdown" -> { (s, dir) =>
+      // Top-N pushdown (SupportsPushDownTopN): ORDER BY event_id LIMIT n
+      // caps every partition's planned id window at n — dense ids make the
+      // first n ids per partition a superset of the global top-n, so a
+      // LIMIT on a huge topic plans a handful of ids and one chunk file
+      // per partition (LimitPushdownSpec asserts the windows; this grades
+      // the values through the capped path).
+      val d = tempDriver(s)
+      d.createTopic("limit_demo", partitions = 4)
+      d.openTopic("limit_demo").producer().produce(sourceByEid(s, dir))
+      s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "limit_demo").load()
+        .orderBy(col("event_id")).limit(10)
+        .select(col("event_id"))
+    },
+    "q_agg_pushdown" -> { (s, dir) =>
+      // Complete aggregate pushdown (SupportsPushDownAggregates): ids are
+      // dense [0, watermark) per partition — no row-dropping op has run —
+      // so COUNT and MAX(event_id) grouped by partition are answered from
+      // watermark ARITHMETIC: two small metadata reads, zero file IO,
+      // O(1) at any topic size (AggPushdownSpec asserts the plan and the
+      // purge fallback; this grades the values through the pushed path).
+      val d = tempDriver(s)
+      d.createTopic("aggpd_demo", partitions = 4)
+      d.openTopic("aggpd_demo").producer().produce(sourceByEid(s, dir))
+      s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "aggpd_demo").load()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), max(col("event_id")).as("max_id"))
+        .orderBy(col("partition"))
+    },
     "q_colocated_join" -> { (s, dir) =>
       // Reported layout (SupportsReportPartitioning): both topics share the
       // engine's partition scheme, so the per-partition summaries AND the
@@ -150,10 +181,13 @@ object EnginePack extends QueryPack {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
+        // SUM on both sides keeps them un-pushable: a COUNT/MIN/MAX-only
+        // aggregate would answer from watermark arithmetic instead
+        // (q_agg_pushdown grades that path) and lose the reported layout
         val a = load("colo_a").groupBy(col("partition"))
           .agg(count(lit(1)).as("cnt_a"), sum(col("event_id")).as("sum_a"))
         val b = load("colo_b").groupBy(col("partition"))
-          .agg(count(lit(1)).as("cnt_b"), max(col("event_id")).as("max_b"))
+          .agg(count(lit(1)).as("cnt_b"), sum(col("event_id")).as("sum_b"))
         val out = a.join(b, Seq("partition")).orderBy(col("partition"))
         out.queryExecution.executedPlan // pin the storage-partitioned plan
         out
@@ -1802,6 +1836,17 @@ object EnginePack extends QueryPack {
         |        event_id AS eid
         |      FROM events) s
         |WHERE engine_id >= 10 ORDER BY partition, engine_id""".stripMargin,
+    // the 10 smallest engine ids across 4 partitions: 0×4, 1×4, 2×2
+    "q_limit_pushdown" ->
+      """SELECT engine_id AS event_id FROM (
+        |  SELECT row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id
+        |  FROM events) s
+        |ORDER BY event_id LIMIT 10""".stripMargin,
+    // dense engine ids per partition: count = group size, max id = count-1
+    "q_agg_pushdown" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, COUNT(*) AS cnt,
+        | COUNT(*) - 1 AS max_id
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // per-partition summaries of the full topic and its first-500 sibling,
     // joined on the shared partition layout
     "q_colocated_join" ->
@@ -1813,9 +1858,9 @@ object EnginePack extends QueryPack {
         |      FROM events WHERE event_id < 500),
         |     ag AS (SELECT partition, COUNT(*) AS cnt_a,
         |              CAST(SUM(id) AS BIGINT) AS sum_a FROM a GROUP BY 1),
-        |     bg AS (SELECT partition, COUNT(*) AS cnt_b, MAX(id) AS max_b
-        |            FROM b GROUP BY 1)
-        |SELECT partition, cnt_a, sum_a, cnt_b, max_b
+        |     bg AS (SELECT partition, COUNT(*) AS cnt_b,
+        |              CAST(SUM(id) AS BIGINT) AS sum_b FROM b GROUP BY 1)
+        |SELECT partition, cnt_a, sum_a, cnt_b, sum_b
         |FROM ag JOIN bg USING (partition) ORDER BY partition""".stripMargin,
     // chunk rotation at 16 records/file over dense per-partition ids:
     // file j of a partition holds exactly ids [16j, min(16j+16, n)) — every

@@ -27,7 +27,9 @@ final class GraftScanBuilder(
     maxBytesPerTrigger: Option[Long] = None,
     asOfIds: Option[Map[Int, Long]] = None,
     startingIds: Option[Map[Int, Long]] = None)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var requiredSchema: StructType = GraftTopicTable.EventSchema
   private var pushed: Array[Filter] = Array.empty
@@ -75,15 +77,113 @@ final class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  // -- limit / top-N pushdown -----------------------------------------------
+  //
+  // Dense per-partition ids make LIMIT a WINDOW, not a scan: capping each
+  // partition's id range at `limit` always leaves at least
+  // min(limit, total) rows, so a `LIMIT 10` on a 100 TB topic plans at
+  // most 10 ids per partition — file pruning does the rest. Always
+  // PARTIAL: Spark re-applies the exact limit (and the sort, for top-N)
+  // on the surfaced rows, so correctness never rides on the cap.
+
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
+  /** Top-N pushes only for `ORDER BY event_id ASC`: the reader surfaces
+    * each partition's rows in ascending id order by construction (files
+    * sorted by id range, rows id-sorted within), so the first `n` ids per
+    * partition are a superset of the global top-N. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val ascById = orders.length == 1 && (orders.head.expression match {
+      case f: NamedReference =>
+        f.fieldNames.sameElements(Array("event_id")) &&
+          orders.head.direction == SortDirection.ASCENDING
+      case _ => false
+    })
+    if (ascById) { limit = Some(n); true } else false
+  }
+
+  /** The cap is a pruning hint, never the final answer. */
+  override def isPartiallyPushed: Boolean = true
+
+  // -- aggregate pushdown (see GraftAggScan's Scaladoc for the contract) ----
+
+  private var pushedAgg: Option[(Boolean, Seq[GraftAggScan.Agg], StructType)] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translateAgg(agg) match {
+      case s @ Some(_) => pushedAgg = s; true
+      case None => false
+    }
+
+  /** COUNT(*)/COUNT(non-null col)/MIN/MAX(event_id), optionally grouped by
+    * `partition`, on a topic whose ids are PROVABLY dense (no gap marker,
+    * no pushed id window). Anything else falls back to a real scan. */
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(Boolean, Seq[GraftAggScan.Agg], StructType)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (idLo.isDefined || idHi.isDefined || partitionSubset.isDefined) return None
+    if (catalog.mayHaveIdGaps(topic)) return None
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference
+            if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+        case _ => None
+      }
+    val grouped = agg.groupByExpressions.toSeq match {
+      case Seq() => Some(false)
+      case Seq(g) if fieldOf(g).contains("partition") => Some(true)
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftAggScan.CountAgg)
+      case c: Count if !c.isDistinct &&
+          fieldOf(c.column).exists(Set("event_id", "partition")) =>
+        Some(GraftAggScan.CountAgg) // both columns are never null
+      case m: Min if fieldOf(m.column).contains("event_id") => Some(GraftAggScan.MinIdAgg)
+      case m: Max if fieldOf(m.column).contains("event_id") => Some(GraftAggScan.MaxIdAgg)
+      case _ => None
+    }
+    (grouped, specs) match {
+      case (Some(g), s) if s.nonEmpty && s.forall(_.isDefined) =>
+        import org.apache.spark.sql.types._
+        val aggFields = s.flatten.zipWithIndex.map {
+          case (GraftAggScan.CountAgg, i) => StructField(s"agg_$i", LongType, nullable = !g)
+          case (a, i) => StructField(s"agg_$i", LongType, nullable = true)
+        }
+        val fields =
+          if (g) StructField("partition", IntegerType, nullable = false) +: aggFields
+          else aggFields
+        Some((g, s.flatten, StructType(fields)))
+      case _ => None
+    }
+  }
+
   override def build(): Scan = {
     val explicitTargets = targets.map(_.toSet)
     val effective = (explicitTargets, partitionSubset) match {
       case (Some(a), Some(b)) => Some(a.intersect(b))
       case (a, b) => a.orElse(b)
     }
-    new GraftScan(catalog, topic, consumer, effective, requiredSchema,
-      idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
-      asOfIds, startingIds)
+    pushedAgg match {
+      case Some((grouped, specs, schema)) =>
+        new GraftAggScan(catalog, topic, schema, grouped, specs,
+          effective, asOfIds, startingIds)
+      case None =>
+        new GraftScan(catalog, topic, consumer, effective, requiredSchema,
+          idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
+          asOfIds, startingIds, perPartitionCap = limit)
+    }
   }
 }
 
@@ -94,7 +194,8 @@ final class GraftScan(
     startingTime: Option[(String, Long)] = None,
     maxBytesPerTrigger: Option[Long] = None,
     asOfIds: Option[Map[Int, Long]] = None,
-    startingIds: Option[Map[Int, Long]] = None)
+    startingIds: Option[Map[Int, Long]] = None,
+    perPartitionCap: Option[Int] = None)
   extends Scan
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -243,7 +344,10 @@ final class GraftScan(
     * by the live watermark and any version pins (see [[toBatch]] doc). */
   private def batchHi(p: Int, next: Map[Int, Long]): Long = {
     val live = math.min(effIdHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L))
-    asOfIds.fold(live)(wm => math.min(live, wm.getOrElse(p, 0L)))
+    val pinned = asOfIds.fold(live)(wm => math.min(live, wm.getOrElse(p, 0L)))
+    // pushed LIMIT/top-N: at most `cap` ids per partition plan (a partial
+    // pushdown — Spark re-applies the exact limit on the surfaced rows)
+    perPartitionCap.fold(pinned)(n => math.min(pinned, batchLo(p) + n))
   }
   private def batchLo(p: Int): Long = {
     val base = math.max(effIdLo.getOrElse(0L), 0L)
@@ -257,7 +361,8 @@ final class GraftScan(
 
   override def description(): String = {
     val pins = (startingIds.map(w => s", after=$w") ++
-      asOfIds.map(w => s", asOf=$w")).mkString
+      asOfIds.map(w => s", asOf=$w") ++
+      perPartitionCap.map(n => s", cap=$n")).mkString
     s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
       s"targets=$effTargets, idRange=[${effIdLo.getOrElse(0L)}, ${effIdHi.getOrElse("∞")})$pins)"
   }
@@ -271,9 +376,12 @@ final class GraftScan(
     override def planInputPartitions(): Array[InputPartition] = {
       val next = catalog.nextIds(topic)
       // footer-based file pruning only pays off when an id bound was pushed
-      // (statically or by a runtime filter); an unbounded scan keeps every
-      // file, so skip the driver-side footer reads
-      val stats = if (effIdLo.isDefined || effIdHi.isDefined) Some(new FileStatsCache) else None
+      // (statically, by a runtime filter, or by a limit cap); an unbounded
+      // scan keeps every file, so skip the driver-side footer reads
+      val stats =
+        if (effIdLo.isDefined || effIdHi.isDefined || perPartitionCap.isDefined)
+          Some(new FileStatsCache)
+        else None
       // startingVersion is the EXCLUSIVE lower pin (events produced AFTER
       // that commit — the incremental-export resume semantic of
       // events(from, to)); partitions created after the pin start at 0

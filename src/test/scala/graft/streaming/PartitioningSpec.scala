@@ -79,15 +79,19 @@ class PartitioningSpec extends SparkSpec {
     withBucketing {
       // per-partition summaries of both topics, joined on partition: both
       // aggregates AND the join ride the reported layout — no exchange
-      // anywhere in the query
+      // anywhere in the query. SUM keeps both sides un-pushable: a
+      // COUNT/MIN/MAX-only aggregate would push down to watermark
+      // arithmetic instead (strictly cheaper — zero file IO — but Spark
+      // builds pushed-aggregate relations without the layout, so the tiny
+      // summaries would then shuffle; see GraftAggScan).
       val aAgg = load(d, "a").groupBy(col("partition"))
         .agg(count(lit(1)).as("cnt_a"), sum(col("event_id")).as("sum_a"))
-      val bAgg = load(d, "b").groupBy(col("partition")).agg(count(lit(1)).as("cnt_b"))
+      val bAgg = load(d, "b").groupBy(col("partition")).agg(sum(col("event_id")).as("sum_b"))
       val j = aAgg.join(bAgg, Seq("partition"))
       val rows = j.collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
         .toMap
-      // 20 ids per partition in a (sum 0..19 = 190), 10 in b
-      assert(rows == (0 until 4).map(p => p -> ((20L, 190L, 10L))).toMap)
+      // 20 ids per partition in a (sum 0..19 = 190), 10 in b (sum 0..9 = 45)
+      assert(rows == (0 until 4).map(p => p -> ((20L, 190L, 45L))).toMap)
       val plan = j.queryExecution.executedPlan
       assert(shuffles(plan).isEmpty, s"expected a zero-exchange join:\n$plan")
       assert(flatten(plan).exists(_.isInstanceOf[SortMergeJoinExec]),
