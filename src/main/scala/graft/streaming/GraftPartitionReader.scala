@@ -1,12 +1,6 @@
 package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
-import org.apache.hadoop.mapred.FileSplit // extends the mapreduce one; Spark's base reader casts to it
-import org.apache.hadoop.mapreduce.TaskAttemptID
-import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
-import org.apache.parquet.filter2.predicate.FilterApi
-import org.apache.parquet.hadoop.ParquetInputFormat
 import org.apache.spark.sql.catalyst.{InternalRow, ProjectingInternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
@@ -27,12 +21,23 @@ import org.apache.spark.sql.types._
  */
 final class GraftReaderFactory(
     requiredSchema: StructType, confEntries: Array[(String, String)],
-    serializerJson: String)
+    serializerJson: String, columnar: Boolean = false)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
       partition.asInstanceOf[GraftInputPartition], requiredSchema, confEntries,
       serializerJson)
+
+  /** Columnar handoff (see [[GraftColumnarPartitionReader]]): enabled for
+    * batch scans of default-serializer topics — a non-default serializer
+    * decodes the stored metadata form per row, which is inherently a row
+    * path (Z1). Uniform across partitions, as `BatchScanExec` requires. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarPartitionReader(
+      partition.asInstanceOf[GraftInputPartition], requiredSchema, confEntries)
 }
 
 object GraftReaderFactory {
@@ -41,11 +46,12 @@ object GraftReaderFactory {
     * credentials/endpoints, HDFS nameservices, …) as driver-side planning —
     * a bare `new Configuration()` would only load the defaults. */
   def apply(requiredSchema: StructType, conf: Configuration,
-            serializerJson: String = """{"type":"json"}"""): GraftReaderFactory = {
+            serializerJson: String = """{"type":"json"}""",
+            columnar: Boolean = false): GraftReaderFactory = {
     val it = conf.iterator()
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (it.hasNext) { val e = it.next(); entries += e.getKey -> e.getValue }
-    new GraftReaderFactory(requiredSchema, entries.toArray, serializerJson)
+    new GraftReaderFactory(requiredSchema, entries.toArray, serializerJson, columnar)
   }
 }
 
@@ -61,35 +67,11 @@ final class GraftPartitionReader(
     * `event_id` — always read, because the slice bounds ARE the commit
     * watermark and must hold exactly even when the consumer projected the
     * id away. */
-  private val readSchema: StructType = {
-    val dataCols = requiredSchema.filter(f =>
-      f.name != "partition" && f.name != GraftTopicTable.FileColumn)
-    if (dataCols.exists(_.name == "event_id")) StructType(dataCols)
-    else StructType(dataCols :+ StructField("event_id", LongType, nullable = false))
-  }
+  private val readSchema: StructType = GraftReaderSupport.readSchemaOf(requiredSchema)
   private val idOrdinal = readSchema.fieldIndex("event_id")
 
-  private val conf = {
-    val c = new Configuration(false)
-    confEntries.foreach { case (k, v) => c.set(k, v) }
-    c.set("org.apache.spark.sql.parquet.row.requested_schema", readSchema.json)
-    c.set(ParquetInputFormat.READ_SUPPORT_CLASS,
-      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-    // the parquet→spark schema converter reads these five keys with a raw
-    // .toBoolean (normally injected by ParquetFileFormat); the event schema
-    // has no timestamp columns, so the timestamp-related values are inert
-    c.setBoolean("spark.sql.parquet.binaryAsString", false)
-    c.setBoolean("spark.sql.parquet.int96AsTimestamp", false)
-    c.setBoolean("spark.sql.caseSensitive", false)
-    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-    // row groups provably outside [fromId, untilId) are dropped from the
-    // footer before any page is read
-    ParquetInputFormat.setFilterPredicate(c, FilterApi.and(
-      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(slice.fromId)),
-      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(slice.untilId))))
-    c
-  }
+  private val conf = GraftReaderSupport.buildConf(
+    confEntries, readSchema, slice.fromId, slice.untilId)
 
   /** The reader emits `readSchema ++ (partition, _file)`; this maps it back
     * to the pruned schema's column order. */
@@ -156,23 +138,9 @@ final class GraftPartitionReader(
 
   override def close(): Unit = if (reader != null) { reader.close(); reader = null }
 
-  private def openFile(path: String): Unit = {
-    val p = new Path(path)
-    val len = p.getFileSystem(conf).getFileStatus(p).getLen
-    val r = new VectorizedParquetRecordReader(
-      null, // no timestamp columns in the event schema → no tz conversion
-      "CORRECTED", "UTC", "CORRECTED", "UTC",
-      false, 4096)
-    r.initialize(
-      new FileSplit(p, 0, len, Array.empty[String]),
-      new TaskAttemptContextImpl(conf, new TaskAttemptID()))
-    // append the directory-partition value and the file path as constant
-    // columns (the `_file` metadata column costs nothing per row)
-    r.initBatch(
-      StructType(Seq(StructField("partition", IntegerType, nullable = false),
-        StructField(GraftTopicTable.FileColumn, StringType, nullable = false))),
-      new GenericInternalRow(Array[Any](slice.partition,
-        org.apache.spark.unsafe.types.UTF8String.fromString(path))))
-    reader = r
-  }
+  private def openFile(path: String): Unit =
+    // the directory-partition value and file path ride as constant columns
+    // (the `_file` metadata column costs nothing per row)
+    reader = GraftReaderSupport.openVectorized(
+      path, conf, slice.partition, returningBatches = false)
 }

@@ -391,7 +391,14 @@ final class GraftScan(
         stats)
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson)
+      // columnar handoff for default-serializer topics: ColumnarBatches →
+      // ColumnarToRow codegen, the built-in parquet scan's path (the id
+      // window — watermark / cursor / version pin — is enforced per batch
+      // by the columnar reader, so eligibility is a serializer question
+      // only; see GraftColumnarPartitionReader)
+      GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson,
+        columnar = graft.engine.Serializer.fromDescriptorJson(serializerJson) ==
+          graft.engine.Serializer.Json)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
