@@ -206,10 +206,14 @@ object EnginePack extends QueryPack {
       // file paths (then mapping min_id→chunk ordinal) grades that rows
       // REALLY came from the files the rotation promised: a misaligned
       // split or a row surfaced from the wrong file breaks the counts.
+      // fixed 1024-event slice: the lineage semantics are granularity-,
+      // not volume-, sensitive, and an unbounded produce at 16 rows/chunk
+      // would mint O(source/16) tiny files — a fixture artifact, not a
+      // scan cost (sf0.1 = ~37k files, ~99s of file creation)
       val d = tempDriver(s)
       d.createTopic("filecol_demo", partitions = 4)
       val topic = d.openTopic("filecol_demo")
-      topic.producer(chunkMaxRecords = 16).produce(sourceByEid(s, dir))
+      topic.producer(chunkMaxRecords = 16).produce(sourceByEidRange(s, dir, 0, 1024))
       s.read.format("graft")
         .option("warehouse", d.warehouse).option("topic", "filecol_demo").load()
         .groupBy(col("partition"), col("_file"))
@@ -1870,7 +1874,7 @@ object EnginePack extends QueryPack {
         | COUNT(*) AS cnt, MIN(engine_id) AS min_id, MAX(engine_id) AS max_id
         |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,
         |        row_number() OVER (PARTITION BY event_id % 4 ORDER BY event_id) - 1 AS engine_id
-        |      FROM events) s
+        |      FROM events WHERE event_id < 1024) s
         |GROUP BY 1, 2 ORDER BY partition, chunk""".stripMargin,
     // the engine-id slice joined back to the source table: per-partition
     // count and exact cents sum over the first 25 engine ids

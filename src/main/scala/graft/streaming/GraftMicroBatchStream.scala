@@ -292,7 +292,13 @@ final class GraftMicroBatchStream(
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson)
+    // the same columnar handoff as the batch scan: micro-batch slices of
+    // default-serializer topics decode to ColumnarBatches (the trigger's
+    // [start, end) cursor window is enforced per batch by the columnar
+    // reader, exactly like the watermark on the batch path)
+    GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson,
+      columnar = graft.engine.Serializer.fromDescriptorJson(serializerJson) ==
+        graft.engine.Serializer.Json)
 
   /** Offsets are checkpoint-managed by Spark; the engine-level acknowledge
     * cursor stays an explicit consumer API call (at-least-once contract). */

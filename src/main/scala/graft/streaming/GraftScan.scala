@@ -85,10 +85,21 @@ final class GraftScanBuilder(
   // most 10 ids per partition — file pruning does the rest. Always
   // PARTIAL: Spark re-applies the exact limit (and the sort, for top-N)
   // on the surfaced rows, so correctness never rides on the cap.
+  //
+  // The window IS the rows only while ids are provably dense: after a
+  // row-dropping operation (expire, compliance delete, key compaction,
+  // restore — [[Catalog.mayHaveIdGaps]]) the first `n` ids of a partition
+  // may hold FEWER than n surviving rows, and a capped scan would
+  // under-deliver a LIMIT the full log could satisfy. Gap-marked topics
+  // refuse the pushdown (and the scan re-checks at plan time, like the
+  // aggregate path, so a purge landing between pushdown and execution
+  // can't resurrect the cap).
 
   private var limit: Option[Int] = None
 
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (catalog.mayHaveIdGaps(topic)) false
+    else { limit = Some(n); true }
 
   /** Top-N pushes only for `ORDER BY event_id ASC`: the reader surfaces
     * each partition's rows in ascending id order by construction (files
@@ -104,7 +115,7 @@ final class GraftScanBuilder(
           orders.head.direction == SortDirection.ASCENDING
       case _ => false
     })
-    if (ascById) { limit = Some(n); true } else false
+    if (ascById && !catalog.mayHaveIdGaps(topic)) { limit = Some(n); true } else false
   }
 
   /** The cap is a pruning hint, never the final answer. */
@@ -340,6 +351,15 @@ final class GraftScan(
     }
   }
 
+  /** The pushed LIMIT/top-N cap, re-validated at plan time: a row-dropping
+    * operation landing between pushdown and execution sets the permanent
+    * gap marker, and a capped id window over gapped ids could surface
+    * fewer rows than the limit — so the cap silently widens back to a full
+    * scan (unlike the aggregate shortcut, which must fail loudly, a wider
+    * window only surfaces MORE rows for Spark's re-applied limit). */
+  private lazy val effCap: Option[Int] =
+    perPartitionCap.filter(_ => !catalog.mayHaveIdGaps(topic))
+
   /** Shared per-partition batch window: pushed/runtime id bounds clamped
     * by the live watermark and any version pins (see [[toBatch]] doc). */
   private def batchHi(p: Int, next: Map[Int, Long]): Long = {
@@ -347,7 +367,7 @@ final class GraftScan(
     val pinned = asOfIds.fold(live)(wm => math.min(live, wm.getOrElse(p, 0L)))
     // pushed LIMIT/top-N: at most `cap` ids per partition plan (a partial
     // pushdown — Spark re-applies the exact limit on the surfaced rows)
-    perPartitionCap.fold(pinned)(n => math.min(pinned, batchLo(p) + n))
+    effCap.fold(pinned)(n => math.min(pinned, batchLo(p) + n))
   }
   private def batchLo(p: Int): Long = {
     val base = math.max(effIdLo.getOrElse(0L), 0L)
@@ -362,7 +382,7 @@ final class GraftScan(
   override def description(): String = {
     val pins = (startingIds.map(w => s", after=$w") ++
       asOfIds.map(w => s", asOf=$w") ++
-      perPartitionCap.map(n => s", cap=$n")).mkString
+      effCap.map(n => s", cap=$n")).mkString
     s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
       s"targets=$effTargets, idRange=[${effIdLo.getOrElse(0L)}, ${effIdHi.getOrElse("∞")})$pins)"
   }
@@ -379,7 +399,7 @@ final class GraftScan(
       // (statically, by a runtime filter, or by a limit cap); an unbounded
       // scan keeps every file, so skip the driver-side footer reads
       val stats =
-        if (effIdLo.isDefined || effIdHi.isDefined || perPartitionCap.isDefined)
+        if (effIdLo.isDefined || effIdHi.isDefined || effCap.isDefined)
           Some(new FileStatsCache)
         else None
       // startingVersion is the EXCLUSIVE lower pin (events produced AFTER

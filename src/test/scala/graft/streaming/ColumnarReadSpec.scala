@@ -132,4 +132,34 @@ class ColumnarReadSpec extends SparkSpec {
     val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(got == (for (p <- 0 to 1; id <- 5L until 9L) yield (p, id)).toSet)
   }
+
+  test("micro-batch reads take the columnar path too, trigger windows exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (_, w) = mkTopic()
+    // the stream's reader factory advertises columnar for a default-
+    // serializer topic…
+    val stream = new GraftTopicTable(w, "t", None, None, None)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+      .build().toMicroBatchStream(Files.createTempDirectory("col-ck").toString)
+    val f = stream.createReaderFactory()
+    assert(f.supportColumnarReads(GraftInputPartition(0, 0L, 1L, Nil)),
+      "micro-batch factory must advertise columnar on a default-serializer topic")
+    // …and a real drain through small triggers (mid-file cursor windows)
+    // surfaces every event exactly once
+    val q = spark.readStream.format("graft")
+      .option("warehouse", w).option("topic", "t")
+      .option("maxEventsPerTrigger", 6) // cursor windows cut mid-file (chunks of 8)
+      .load()
+      .writeStream.format("memory").queryName("col_stream")
+      .option("checkpointLocation", Files.createTempDirectory("col-ck2").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("col_stream")
+      .select("partition", "event_id", "metadata")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    val want = (0 until 40).map(i => (i % 2, (i / 2).toLong, s"""{"k":$i}""")).toSet
+    assert(got == want)
+  }
 }

@@ -73,4 +73,35 @@ class LimitPushdownSpec extends SparkSpec {
     val d = mkTopic()
     assert(load(d).limit(100000).count() == 200L)
   }
+
+  test("gap-marked topics refuse the cap: LIMIT never under-delivers") {
+    import spark.implicits._
+    val d = mkTopic()
+    // drop the first 30 ids of every partition — the first `n` ids of a
+    // partition now hold ZERO surviving rows, so a capped id window would
+    // surface nothing for a LIMIT the log can satisfy
+    d.openTopic("t").deleteWhere(col("event_id") < 30)
+    val df = load(d).limit(10)
+    assert(df.collect().length == 10, "LIMIT under-delivered on a gapped log")
+    assert(!df.queryExecution.executedPlan.toString.contains("cap="),
+      s"gap-marked topic must not cap the scan:\n${df.queryExecution.executedPlan}")
+    // top-N likewise falls back to a real scan and stays exact
+    val top = load(d).orderBy(col("event_id")).limit(4)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(30L, 30L, 30L, 30L))
+  }
+
+  test("a purge landing between pushdown and planning drops the cap at plan time") {
+    val d = mkTopic()
+    val b = new GraftTopicTable(d.warehouse, "t", None, None, None)
+      .newScanBuilder(new CaseInsensitiveStringMap(java.util.Map.of()))
+      .asInstanceOf[GraftScanBuilder]
+    assert(b.pushLimit(5)) // accepted: ids dense at pushdown time
+    d.openTopic("t").deleteWhere(col("event_id") < 30) // race: gaps appear
+    val planned = b.build().toBatch.planInputPartitions()
+    planned.foreach { ip =>
+      val g = ip.asInstanceOf[GraftInputPartition]
+      assert(g.untilId - g.fromId > 5, s"stale cap survived the purge: $g")
+    }
+  }
 }
