@@ -204,7 +204,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       if (topicExists(name)) (0 until openTopic(name).partitions).map(_ -> 0L).toMap
       else Map.empty
     // hot ∪ cold: a partition whose files were ALL archived must still
-    // recover its real watermark, or ids would be re-issued
+    // recover its real watermark, or ids would be re-issued. Deletion
+    // vectors deliberately NOT applied: the watermark is max(id)+1 over
+    // everything ever committed — dropping a vector-deleted tail here
+    // would regress it and re-issue ids (same caveat as purgeTopic's)
     fullLogDF(name) match {
       case None => known
       case Some(df) =>
@@ -999,6 +1002,102 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     finally releaseCompactLock(name)
   }
 
+  // -- deletion vectors (merge-on-read compliance delete) --------------------
+
+  private def deletesDir(name: String): Path = new Path(topicPath(name), "_deletes")
+
+  /** Committed delete-vector relations (parquet directories under
+    * `_deletes/`), sorted by name. Staged `.tmp` writes are never listed. */
+  def deleteVectorFiles(name: String): Seq[String] = {
+    val dir = deletesDir(name)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** The union of the topic's deletion vectors as a `(partition, event_id)`
+    * relation — None when the topic has none (the common case). */
+  def deletesRel(name: String): Option[org.apache.spark.sql.DataFrame] = {
+    val files = deleteVectorFiles(name)
+    if (files.isEmpty) None
+    else Some(spark.read.schema(Catalog.DeleteSchema).parquet(files: _*))
+  }
+
+  /** Drop vector-deleted rows from an event DataFrame. An anti-join on the
+    * (partition, event_id) key — Catalyst broadcasts the delete relation
+    * when its stats are small (the normal case: deletes are a sliver of
+    * the log), and AQE handles the rest. */
+  private[engine] def applyDeleteVectors(
+      name: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    deletesRel(name) match {
+      case None => df
+      case Some(del) => df.join(del, Seq("partition", "event_id"), "left_anti")
+    }
+
+  /**
+   * Merge-on-read compliance delete: record every event matching `cond` as
+   * a DELETION VECTOR — a small `(partition, event_id)` parquet relation
+   * beside the log — instead of rewriting the log. O(matched rows) written,
+   * ZERO chunk files touched: at scale this is the difference between a
+   * full-log rewrite and appending a few megabytes, and it is the only
+   * delete that works on a TIERED topic (rewrites refuse — the archived
+   * cold tier would be stranded; a vector simply applies to cold reads
+   * too, since hot and cold flow through the same readers).
+   *
+   * Semantics: logically immediate and RETROACTIVE — every read surface
+   * (batch, SQL, streaming, consumer pull, version-pinned time travel)
+   * drops vectored ids, including reads pinned BEFORE the delete. That is
+   * deliberate: this is a compliance primitive, and a historical version
+   * serving purged rows would defeat it (same reason [[purgeTopic]]
+   * rewrites history). The physical bytes live until the next log rewrite
+   * (compact / expire / keyed compaction) FOLDS the vectors: the rewrite
+   * reads the log with vectors applied, then clears `_deletes`.
+   *
+   * Same NULL rule as [[purgeTopic]]: only rows where `cond` is
+   * definitively TRUE are deleted. Already-vectored rows never re-record
+   * (the match runs against the vector-applied log), so repeated deletes
+   * stay O(newly matched). Sets the id-gap marker before the vector
+   * becomes visible, so the O(1) aggregate/limit shortcuts fall back to
+   * real scans ([[markIdGaps]]).
+   *
+   * @return the number of newly vectored (deleted) events
+   */
+  def deleteWhereVectored(name: String, cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    acquireCompactLock(name) // serialize against rewrites (folding clears _deletes)
+    try {
+      val matched = fullLogDF(name) match {
+        case None => return 0L
+        case Some(df) => applyDeleteVectors(name, df)
+          .filter(coalesce(cond, lit(false)))
+          .select(col("partition"), col("event_id"))
+      }
+      val dir = deletesDir(name)
+      fs.mkdirs(dir): Unit
+      // staged under a NON-hidden name (a dot prefix would make Spark's
+      // file index ignore the count read below) that readers still never
+      // list — deleteVectorFiles keeps only `d-*` entries
+      val staged = new Path(dir, s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      // partition-clustered, id-sorted: the per-slice loader prunes row
+      // groups by (partition, event_id) statistics exactly like chunk reads
+      matched.repartition(col("partition"))
+        .sortWithinPartitions(col("partition"), col("event_id"))
+        .write.parquet(staged.toString)
+      val n = spark.read.schema(Catalog.DeleteSchema).parquet(staged.toString).count()
+      if (n == 0L) { fs.delete(staged, true): Unit; return 0L }
+      // gap marker FIRST: the O(1) shortcuts must be disabled by the time
+      // any reader can observe the vector (a crash between the two leaves
+      // a benign marker, never a stale shortcut)
+      markIdGaps(name)
+      val committed = new Path(dir,
+        s"d-${System.currentTimeMillis()}-${staged.getName.stripPrefix("tmp-")}")
+      if (!fs.rename(staged, committed))
+        throw new java.io.IOException(s"deleteWhereVectored: cannot commit $staged")
+      n
+    } finally releaseCompactLock(name)
+  }
+
   /**
    * Time-based retention (Kafka's `retention.ms` analog): per partition,
    * find the earliest event whose `eventTime` is at or past `cutoff` and
@@ -1059,7 +1158,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     Validator.fromDescriptor(validator.descriptor) // DDL-time plugin check
     acquireProduceLock(name)
     try {
-      val history = if (checkExisting) fullLogDF(name) else None
+      // vector-deleted events are not part of the committed history any
+      // consumer can read — they must not block a tightening validator
+      val history =
+        if (checkExisting) fullLogDF(name).map(applyDeleteVectors(name, _)) else None
       history.foreach { df =>
         val decoded = Serializer.fromDescriptor(cfg.serializer).decodedMetadataCol
         val bad = df
@@ -1195,6 +1297,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           f.getModificationTime < horizon)
         .foreach { f => tmps += 1; drop(f.getPath, recursive = false) }
     }
+    // 4. staged deletion vectors from a crashed deleteWhereVectored (never
+    // listed by readers; committed `d-*` relations are live data, kept)
+    val delDir = deletesDir(name)
+    if (fs.exists(delDir)) fs.listStatus(delDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-") &&
+        s.getModificationTime < horizon)
+      .foreach { s => tmps += 1; drop(s.getPath, recursive = true) }
     VacuumReport(chunks, swaps, tmps, bytes)
   }
 
@@ -1262,7 +1371,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     fs.delete(old, true)
     if (!fs.exists(log)) return
     val n = openTopic(name).partitions
-    transform(spark.read.schema(Catalog.EventSchema).parquet(log.toString))
+    // FOLD deletion vectors: the rewrite's input is the vector-applied log,
+    // so vectored rows are physically purged by any rewrite — then the now-
+    // redundant vectors are cleared after the swap (a crash before the
+    // clear is safe: re-applying a vector whose ids no longer exist is a
+    // no-op anti-join)
+    transform(applyDeleteVectors(name,
+        spark.read.schema(Catalog.EventSchema).parquet(log.toString)))
       .repartition(n, col("partition"))
       .sortWithinPartitions(col("partition"), col("event_id"))
       .write
@@ -1292,6 +1407,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // every chunk file was replaced — re-derive the manifest from the
     // compacted log so readers never plan against the dead files
     rebuildManifest(name, minSeq = priorSeq)
+    // the rewrite's input had the vectors applied — they are folded now
+    fs.delete(deletesDir(name), true): Unit
   }
 
   // -- consumer cursors (D4) ------------------------------------------------
@@ -1365,7 +1482,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val next = nextIds(topic)
     val bounds: Map[Int, Long] = fullLogDF(topic) match {
       case None => Map.empty
-      case Some(df) => df
+      case Some(df) => applyDeleteVectors(topic, df)
+        // a vector-deleted event is unreadable — it must not become a
+        // seek floor (the next SURVIVING event at/past the cutoff is)
         .filter(eventTime >= cutoff)
         .groupBy(col("partition")).agg(min(col("event_id")).as("lo"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -2044,6 +2163,15 @@ object Catalog {
       StructField("event_id", LongType, nullable = false),
       StructField("metadata", StringType),
       StructField("data", BinaryType)))
+  }
+
+  /** Deletion-vector relation: the (partition, event_id) key of every
+    * vector-deleted event ([[Catalog.deleteWhereVectored]]). */
+  val DeleteSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("partition", IntegerType, nullable = false),
+      StructField("event_id", LongType, nullable = false)))
   }
 
   /** Index names become path components under `<topic>/_index/`. */

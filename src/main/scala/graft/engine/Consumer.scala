@@ -118,9 +118,10 @@ final class Consumer(
   private def eventSchema = Catalog.EventSchema
 
   /** The raw log restricted to target partitions (no cursor filter) —
-    * hot ∪ cold for tiered topics (one shared definition in the catalog). */
+    * hot ∪ cold for tiered topics (one shared definition in the catalog),
+    * minus vector-deleted rows (compliance deletes apply to every read). */
   private def log(): DataFrame =
-    catalog.fullLogDF(topic).getOrElse(
+    catalog.fullLogDF(topic).map(catalog.applyDeleteVectors(topic, _)).getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], eventSchema))
 
   /**

@@ -472,6 +472,16 @@ final class TopicHandle(spark: SparkSession,
                   chunkMaxRecords: Long = 1000000L): Unit =
     catalog.purgeTopic(name, cond, chunkMaxRecords)
 
+  /** Merge-on-read compliance delete: record matching events as a
+    * deletion vector instead of rewriting the log — O(matched) written,
+    * zero chunk files touched, works on tiered topics; every read surface
+    * (including version-pinned time travel) drops vectored rows, and the
+    * next log rewrite folds them physically. See
+    * [[Catalog.deleteWhereVectored]] for the full contract.
+    * @return the number of newly deleted events */
+  def deleteWhereVectored(cond: org.apache.spark.sql.Column): Long =
+    catalog.deleteWhereVectored(name, cond)
+
   /** Time-based retention: drop each partition's prefix older than
     * `cutoff` under `eventTime` — see [[Catalog.expireTopicOlderThan]]. */
   def expireOlderThan(eventTime: org.apache.spark.sql.Column,

@@ -1236,6 +1236,27 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
         .orderBy(col("partition"))
     },
+    "q_delete_vector" -> { (s, dir) =>
+      // MERGE-ON-READ compliance delete: two accumulating deletion vectors,
+      // zero chunk files rewritten — the DSv2 readers drop vectored ids via
+      // per-slice parquet-pruned loads (at 100 TB the delete writes
+      // O(matched) instead of rewriting the log, and works on tiered
+      // topics). Survivors must match the oracle's filter exactly.
+      val d = tempDriver(s)
+      d.createTopic("delvec_demo", partitions = 4)
+      val topic = d.openTopic("delvec_demo")
+      topic.producer().produce(sourceByEid(s, dir))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.deleteWhereVectored(pmod(eid, lit(7)) === 0): Unit
+      topic.deleteWhereVectored(pmod(eid, lit(11)) === 5): Unit // accumulates
+      s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "delvec_demo").load()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
     "q_multi_topic" -> { (s, dir) =>
       // multi-topic subscribe: union of two topic logs with a `topic` tag
       val d = tempDriver(s)
@@ -2219,6 +2240,13 @@ object EnginePack extends QueryPack {
         | CAST(sum(event_id) AS BIGINT) AS sum_eid,
         | min(event_id) AS min_eid, max(event_id) AS max_eid
         |FROM events WHERE event_id % 7 <> 0
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // merge-on-read survivors: both deletion vectors applied
+    "q_delete_vector" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events WHERE event_id % 7 <> 0 AND event_id % 11 <> 5
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // per-topic counts equal the parity split of the source table
     "q_multi_topic" ->

@@ -78,6 +78,72 @@ private[streaming] object GraftReaderSupport {
     if (returningBatches) r.enableReturningBatches()
     r
   }
+
+  /**
+   * The slice's deletion-vector ids, sorted: every `event_id` vector-
+   * deleted from `partition` within `[fromId, untilId)`, loaded once per
+   * slice through the same vectorized parquet machinery as chunk reads —
+   * the (partition, event_id) predicate prunes row groups by footer
+   * statistics, so a slice pays for the deletes that OVERLAP it, not the
+   * topic's whole delete history. Readers drop a row when
+   * `Arrays.binarySearch(deleted, id) >= 0`.
+   */
+  def loadDeletedIds(
+      deleteDirs: Seq[String], confEntries: Array[(String, String)],
+      partition: Int, fromId: Long, untilId: Long): Array[Long] = {
+    if (deleteDirs.isEmpty) return Array.emptyLongArray
+    val schema = StructType(Seq(
+      StructField("partition", IntegerType, nullable = false),
+      StructField("event_id", LongType, nullable = false)))
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c.set("org.apache.spark.sql.parquet.row.requested_schema", schema.json)
+    c.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", false)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    ParquetInputFormat.setFilterPredicate(c, FilterApi.and(
+      FilterApi.eq(FilterApi.intColumn("partition"), java.lang.Integer.valueOf(partition)),
+      FilterApi.and(
+        FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
+        FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId)))))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    deleteDirs.foreach { dirStr =>
+      val dir = new Path(dirStr)
+      val fs = dir.getFileSystem(c)
+      val parts =
+        if (!fs.exists(dir)) Array.empty[Path] // folded by a racing rewrite
+        else fs.listStatus(dir)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      parts.foreach { p =>
+        val len = fs.getFileStatus(p).getLen
+        val r = new VectorizedParquetRecordReader(
+          null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+        try {
+          r.initialize(
+            new FileSplit(p, 0, len, Array.empty[String]),
+            new TaskAttemptContextImpl(c, new TaskAttemptID()))
+          r.initBatch(new StructType(), new GenericInternalRow(Array.empty[Any]))
+          while (r.nextKeyValue()) {
+            val row = r.getCurrentValue.asInstanceOf[
+              org.apache.spark.sql.catalyst.InternalRow]
+            // row-group pruning is statistics-coarse — re-check per row
+            if (row.getInt(0) == partition) {
+              val id = row.getLong(1)
+              if (id >= fromId && id < untilId) out += id
+            }
+          }
+        } finally r.close()
+      }
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
 }
 
 /** Mutable selection shared by every [[SelectionColumnVector]] of one
@@ -158,6 +224,12 @@ final class GraftColumnarPartitionReader(
   private val idOrdinal = readSchema.fieldIndex("event_id")
   private val conf = GraftReaderSupport.buildConf(
     confEntries, readSchema, slice.fromId, slice.untilId)
+  /** Vector-deleted ids overlapping this slice (sorted; usually empty). */
+  private val deleted: Array[Long] = GraftReaderSupport.loadDeletedIds(
+    slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId)
+  @inline private def kept(id: Long): Boolean =
+    id >= slice.fromId && id < slice.untilId &&
+      (deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0)
 
   /** Output-column order: `requiredSchema`, drawn from the decoded batch's
     * `readSchema ++ (partition, _file)` layout. */
@@ -194,25 +266,23 @@ final class GraftColumnarPartitionReader(
     val n = b.numRows()
     if (n == 0) return false
     val ids = b.column(idOrdinal)
-    var kept = 0; var i = 0
+    var nKept = 0; var i = 0
     while (i < n) {
-      val id = ids.getLong(i)
-      if (id >= slice.fromId && id < slice.untilId) kept += 1
+      if (kept(ids.getLong(i))) nKept += 1
       i += 1
     }
-    if (kept == 0) return false
-    if (kept == n) {
+    if (nKept == 0) return false
+    if (nKept == n) {
       rawBatch.setNumRows(n)
       current = rawBatch
     } else {
-      if (selection.idx.length < kept) selection.idx = new Array[Int](n)
+      if (selection.idx.length < nKept) selection.idx = new Array[Int](n)
       var j = 0; i = 0
       while (i < n) {
-        val id = ids.getLong(i)
-        if (id >= slice.fromId && id < slice.untilId) { selection.idx(j) = i; j += 1 }
+        if (kept(ids.getLong(i))) { selection.idx(j) = i; j += 1 }
         i += 1
       }
-      selBatch.setNumRows(kept)
+      selBatch.setNumRows(nKept)
       current = selBatch
     }
     true

@@ -436,6 +436,10 @@ object GraftPartitions {
     // Parquet-backed tier states (past the driver threshold — at scale the
     // cold tier is MOST of the topic) are pruned as a relation: one join
     // against the slice bounds collects only the overlapping cold files.
+    // Deletion vectors ride on every slice (readers prune to their own
+    // partition + id window via parquet row-group statistics); one listing,
+    // empty for the overwhelming majority of topics
+    val deleteFiles: Seq[String] = catalog.deleteVectorFiles(topic)
     val tierSt = catalog.tierState(topic)
     val tierTail: Map[Int, Vector[graft.engine.ManifestFile]] =
       tierSt.map(_.files).getOrElse(Map.empty)
@@ -525,7 +529,7 @@ object GraftPartitions {
             // manually-deleted chunk files stay LISTED here and fail at
             // read; a razed log dir with a live watermark is caught by the
             // missing-log check on the no-manifest fallback path below.
-            if (files.nonEmpty) Some(GraftInputPartition(p, lo, hi, files))
+            if (files.nonEmpty) Some(GraftInputPartition(p, lo, hi, files, deleteFiles))
             else None
           }.toArray[InputPartition])
         }
@@ -578,14 +582,15 @@ object GraftPartitions {
         }
         val files = coldFiles(p, lo, hi) ++ hot
         if (files.isEmpty) None
-        else Some(GraftInputPartition(p, lo, hi, files))
+        else Some(GraftInputPartition(p, lo, hi, files, deleteFiles))
       }
     }.sortBy(_.partition).toArray
   }
 }
 
 final case class GraftInputPartition(
-    partition: Int, fromId: Long, untilId: Long, files: Seq[String])
+    partition: Int, fromId: Long, untilId: Long, files: Seq[String],
+    deleteFiles: Seq[String] = Nil)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** One slice per topic partition, keyed by its partition id — what lets

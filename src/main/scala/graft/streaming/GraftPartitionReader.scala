@@ -73,6 +73,10 @@ final class GraftPartitionReader(
   private val conf = GraftReaderSupport.buildConf(
     confEntries, readSchema, slice.fromId, slice.untilId)
 
+  /** Vector-deleted ids overlapping this slice (sorted; usually empty). */
+  private val deleted: Array[Long] = GraftReaderSupport.loadDeletedIds(
+    slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId)
+
   /** The reader emits `readSchema ++ (partition, _file)`; this maps it back
     * to the pruned schema's column order. */
   private val projection = ProjectingInternalRow(
@@ -116,7 +120,8 @@ final class GraftPartitionReader(
         if (reader.nextKeyValue()) {
           val r = reader.getCurrentValue.asInstanceOf[InternalRow]
           val id = r.getLong(idOrdinal)
-          if (id >= slice.fromId && id < slice.untilId) {
+          if (id >= slice.fromId && id < slice.untilId &&
+              (deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0)) {
             projection.project(r)
             if (decodeOrdinal >= 0) fillDecoded()
             return true

@@ -1,0 +1,151 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/**
+ * Merge-on-read compliance delete (deletion vectors): `deleteWhereVectored`
+ * records matching (partition, event_id) pairs beside the log instead of
+ * rewriting it — O(matched) written, zero chunk files touched, applied by
+ * every read surface, folded physically by the next log rewrite. The
+ * scale contract: at 100 TB a compliance delete touching a sliver of the
+ * log must not rewrite the log.
+ */
+class DeleteVectorSpec extends SparkSpec {
+
+  private def mkTopic(n: Int = 200, parts: Int = 4,
+                      serializer: Option[Serializer] = None): (GraftDriver, TopicHandle) = {
+    import spark.implicits._
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-delvec").toString)
+    serializer match {
+      case Some(ser) => d.createTopic("t", partitions = parts, serializer = ser)
+      case None => d.createTopic("t", partitions = parts)
+    }
+    val topic = d.openTopic("t")
+    topic.producer(chunkMaxRecords = 16).produce(
+      (0 until n).map(i => (s"""{"k":$i}""", i % parts)).toDF("metadata", "partition"))
+    (d, topic)
+  }
+
+  private def load(d: GraftDriver) =
+    spark.read.format("graft").option("warehouse", d.warehouse).option("topic", "t").load()
+
+  private def k(c: org.apache.spark.sql.Column = col("metadata")) =
+    get_json_object(c, "$.k").cast("long")
+
+  private def chunkFiles(d: GraftDriver): Set[String] = {
+    val log = new java.io.File(
+      new org.apache.hadoop.fs.Path(d.catalog.logPath("t")).toUri.getPath)
+    if (!log.exists()) Set.empty
+    else log.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+  }
+
+  test("vectored delete: rows gone from batch reads, chunk files untouched") {
+    val (d, topic) = mkTopic()
+    val before = chunkFiles(d)
+    assert(before.nonEmpty)
+    val n = topic.deleteWhereVectored(k() % 5 === 0)
+    assert(n == 40, s"expected 40 vectored ids, got $n")
+    assert(chunkFiles(d) == before, "a vectored delete must not touch chunk files")
+    val got = load(d).select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 200).filter(_ % 5 != 0).map(_.toLong).toSet)
+    // the O(1) aggregate shortcut is disabled — COUNT comes from a real scan
+    assert(load(d).count() == 160)
+    assert(d.catalog.mayHaveIdGaps("t"))
+  }
+
+  test("deletes accumulate; re-matching ids never re-record") {
+    val (d, topic) = mkTopic()
+    assert(topic.deleteWhereVectored(k() % 5 === 0) == 40)
+    // %10==0 ⊂ %5==0: all already vectored → zero NEW deletions
+    assert(topic.deleteWhereVectored(k() % 10 === 0) == 0)
+    assert(topic.deleteWhereVectored(k() % 7 === 3) > 0)
+    val got = load(d).select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 200).filter(i => i % 5 != 0 && i % 7 != 3).map(_.toLong).toSet)
+  }
+
+  test("consumer pull and streaming drain both drop vectored rows") {
+    val (d, topic) = mkTopic()
+    topic.deleteWhereVectored(k() % 4 === 1): Unit // partition 1 emptied entirely
+    // consumer surface
+    val pulled = topic.events().select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(pulled == (0 until 200).filter(_ % 4 != 1).map(_.toLong).toSet)
+    // streaming surface, mid-file trigger windows
+    val q = spark.readStream.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "t")
+      .option("maxEventsPerTrigger", 7)
+      .load()
+      .writeStream.format("memory").queryName("delvec_stream")
+      .option("checkpointLocation", Files.createTempDirectory("delvec-ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("delvec_stream")
+      .select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(streamed == pulled, "stream and consumer must agree on survivors")
+  }
+
+  test("version-pinned reads also drop vectored rows (compliance is retroactive)") {
+    val (d, topic) = mkTopic()
+    val v = topic.history().select(max(col("version"))).head().getLong(0)
+    topic.deleteWhereVectored(k() < 50): Unit
+    val pinned = topic.events(v).select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(pinned == (50 until 200).map(_.toLong).toSet,
+      "a version pinned BEFORE the delete must not resurrect purged rows")
+  }
+
+  test("log rewrite folds the vectors: physical purge, _deletes cleared") {
+    val (d, topic) = mkTopic()
+    topic.deleteWhereVectored(k() % 3 === 0): Unit
+    assert(d.catalog.deleteVectorFiles("t").nonEmpty)
+    topic.compact(chunkMaxRecords = 64)
+    assert(d.catalog.deleteVectorFiles("t").isEmpty, "compact must fold the vectors")
+    val got = load(d).select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 200).filter(_ % 3 != 0).map(_.toLong).toSet)
+    // physically gone: the raw log itself no longer holds the ids
+    val raw = spark.read.schema(Catalog.EventSchema)
+      .parquet(d.catalog.logPath("t"))
+      .select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(got == raw)
+  }
+
+  test("vectored delete works on tiered topics (rewrite delete refuses)") {
+    val (d, topic) = mkTopic()
+    assert(topic.archiveBefore(25).filesMoved > 0)
+    intercept[IllegalStateException] { topic.deleteWhere(k() % 2 === 0) }
+    val n = topic.deleteWhereVectored(k() % 2 === 0)
+    assert(n == 100)
+    val got = load(d).select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 200).filter(_ % 2 != 0).map(_.toLong).toSet,
+      "vectors must apply to cold-tier reads too")
+  }
+
+  test("NULL predicates delete nothing (three-valued logic guard)") {
+    val (_, topic) = mkTopic(n = 40)
+    // $.missing is NULL on every row → cond is NULL, never TRUE
+    assert(topic.deleteWhereVectored(
+      get_json_object(col("metadata"), "$.missing").cast("long") > 0) == 0L)
+    assert(topic.events().count() == 40)
+  }
+
+  test("non-default serializer topics filter on the row path too") {
+    val (d, topic) = mkTopic(n = 60, serializer = Some(Serializer.Base64))
+    assert(topic.deleteWhereVectored(k(Serializer.Base64.decodedMetadataCol) < 20) == 20)
+    val got = load(d).select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(got == (20 until 60).map(_.toLong).toSet)
+  }
+
+  test("vacuum keeps committed vectors, clears only stale staged tmps") {
+    val (d, topic) = mkTopic()
+    topic.deleteWhereVectored(k() % 5 === 0): Unit
+    val committed = d.catalog.deleteVectorFiles("t")
+    topic.vacuum(): Unit
+    assert(d.catalog.deleteVectorFiles("t") == committed)
+    assert(load(d).count() == 160)
+  }
+}
