@@ -1325,9 +1325,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     require(maxFilesPerPartition > 0,
       s"maxFilesPerPartition must be positive: $maxFilesPerPartition")
     // tiered topics skip the compact step (rewrites refuse on them); the
-    // hot tail usually stays small precisely because the bulk is archived
-    val needsCompact = !isTiered(name) && readManifest(name).exists(m =>
-      manifestFileCounts(name, m).values.exists(_ > maxFilesPerPartition))
+    // hot tail usually stays small precisely because the bulk is archived.
+    // Accumulated deletion vectors also trigger a fold: every reader pays
+    // one vector-relation load per slice, so the vector COUNT must stay
+    // bounded between maintenance runs (the rewrite folds them physically
+    // and clears _deletes)
+    val needsCompact = !isTiered(name) && (
+      readManifest(name).exists(m =>
+        manifestFileCounts(name, m).values.exists(_ > maxFilesPerPartition)) ||
+      deleteVectorFiles(name).size > 4)
     if (needsCompact) compactTopic(name, chunkMaxRecords)
     val vac = vacuumTopic(name)
     val indexed = listIndexes(name).map { idx =>

@@ -318,11 +318,20 @@ final class GraftTopicTable(
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
-    val handle = new GraftDriver(SparkSession.active, warehouse).openTopic(topic)
+    val spark = SparkSession.active
+    val handle = new GraftDriver(spark, warehouse).openTopic(topic)
     val cond = filters.flatMap(deleteCond(_))
       .reduceOption(_ && _)
       .getOrElse(lit(true)) // DELETE with no WHERE (or TRUNCATE): purge all
-    handle.deleteWhere(cond)
+    // `SET spark.graft.delete.mode=vector` routes SQL DELETE to the
+    // merge-on-read path (deletion vector, no log rewrite — the scale
+    // and tiered-topic option); the default stays the physical rewrite
+    spark.conf.get("spark.graft.delete.mode", "rewrite") match {
+      case "rewrite" => handle.deleteWhere(cond)
+      case "vector" => handle.deleteWhereVectored(cond): Unit
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.delete.mode must be rewrite|vector, got '$other'")
+    }
   }
 
   /** Stored metadata equals the consumer view only under the default

@@ -140,6 +140,34 @@ class DeleteVectorSpec extends SparkSpec {
     assert(got == (20 until 60).map(_.toLong).toSet)
   }
 
+  test("SQL DELETE routes to vectors under spark.graft.delete.mode=vector") {
+    val (d, _) = mkTopic()
+    spark.conf.set("spark.sql.catalog.dvcat", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.dvcat.warehouse", d.warehouse)
+    spark.conf.set("spark.graft.delete.mode", "vector")
+    try {
+      val before = chunkFiles(d)
+      spark.sql("DELETE FROM dvcat.t WHERE event_id < 10")
+      assert(chunkFiles(d) == before, "vector-mode SQL DELETE must not rewrite")
+      assert(d.catalog.deleteVectorFiles("t").nonEmpty)
+      assert(spark.sql("SELECT count(*) FROM dvcat.t").head().getLong(0) == 160)
+    } finally {
+      spark.conf.unset("spark.graft.delete.mode")
+      spark.conf.unset("spark.sql.catalog.dvcat")
+      spark.conf.unset("spark.sql.catalog.dvcat.warehouse")
+    }
+  }
+
+  test("maintain folds accumulated vectors") {
+    val (d, topic) = mkTopic()
+    (0 until 6).foreach(i => topic.deleteWhereVectored(k() === i): Unit)
+    assert(d.catalog.deleteVectorFiles("t").size == 6)
+    val (compacted, _, _) = d.catalog.maintainTopic("t", maxFilesPerPartition = 1000)
+    assert(compacted, "6 vectors must trigger the fold")
+    assert(d.catalog.deleteVectorFiles("t").isEmpty)
+    assert(load(d).count() == 194)
+  }
+
   test("vacuum keeps committed vectors, clears only stale staged tmps") {
     val (d, topic) = mkTopic()
     topic.deleteWhereVectored(k() % 5 === 0): Unit
