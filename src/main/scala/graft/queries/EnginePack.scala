@@ -267,6 +267,24 @@ object EnginePack extends QueryPack {
            |FROM $cat.sqlcat_demo WHERE event_id >= 10
            |ORDER BY partition, engine_id""".stripMargin)
     },
+    "q_sql_meta" -> { (s, dir) =>
+      // Iceberg-style metadata tables: `topic$partitions` is the
+      // describe() surface from pure SQL — per-partition watermark (event
+      // count) and registered chunk-file count, both DRIVER-BOUNDED
+      // relations at any log size (versions fold, partitions are config,
+      // vectors are maintained). The oracle re-derives the watermarks from
+      // the engine's dense-id contract; n_files is bench-stable because
+      // one produce writes exactly one chunk per partition here.
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      s.sql(s"CREATE TABLE $cat.meta_demo TBLPROPERTIES (partitions '4')")
+      d.openTopic("meta_demo").producer().produce(sourceByEid(s, dir))
+      s.sql(
+        s"""SELECT partition, n_events, n_files, completed
+           |FROM $cat.`meta_demo$$partitions` ORDER BY partition""".stripMargin)
+    },
     "q_sql_insert" -> { (s, dir) =>
       // The SQL WRITE surface: INSERT INTO through the TableCatalog runs
       // one produce() (driver-linearized ids, validator, selector — the
@@ -1913,6 +1931,13 @@ object EnginePack extends QueryPack {
         |JOIN events e ON s.eid = e.event_id
         |WHERE s.engine_id < 25
         |GROUP BY partition ORDER BY partition""".stripMargin,
+    // per-partition watermarks from the dense-id contract; one produce =
+    // one chunk file per partition; topics are created incomplete
+    "q_sql_meta" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition,
+        | count(*) AS n_events, CAST(1 AS BIGINT) AS n_files,
+        | CAST(0 AS BOOLEAN) AS completed
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     "q_sql_catalog" ->
       """SELECT partition, engine_id, eid
         |FROM (SELECT CAST(event_id % 4 AS INT) AS partition,

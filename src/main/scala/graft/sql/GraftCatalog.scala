@@ -83,6 +83,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     checkNamespace(ident.namespace())
+    // `topic$kind` = metadata table (Iceberg's shape): SELECT * FROM
+    // cat.`t$history` / `t$partitions` / `t$deletes`. '$' can never occur
+    // in a real topic name (createTopic validates [A-Za-z0-9_.-]+), so the
+    // split is unambiguous; unknown suffixes fail like any missing table.
+    ident.name().split('$') match {
+      case Array(base, kind) if GraftMetaTable.Kinds.contains(kind) =>
+        if (!engine.topicExists(base)) throw new NoSuchTableException(ident)
+        return new GraftMetaTable(warehouse, base, kind)
+      case _ =>
+    }
     if (!engine.topicExists(ident.name())) throw new NoSuchTableException(ident)
     new GraftTopicTable(warehouse, ident.name(),
       consumer = None, targets = None, maxEventsPerTrigger = None)

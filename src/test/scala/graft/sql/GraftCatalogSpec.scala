@@ -320,4 +320,45 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"DELETE FROM $cat.enc WHERE event_id >= 4")
     assert(spark.table(s"$cat.enc").count() == 4)
   }
+
+  test("metadata tables: t$history / t$partitions / t$deletes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.mt TBLPROPERTIES (partitions '2')")
+    val topic = d.openTopic("mt")
+    val p = topic.producer()
+    p.produce((0 until 20).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition"))
+    p.produce((20 until 30).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition"))
+
+    // partitions: the describe() surface from pure SQL
+    val parts = spark.sql(s"SELECT partition, n_events FROM $cat.`mt$$partitions` ORDER BY 1")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(parts == Seq((0, 15L), (1, 15L)))
+
+    // history: versions and cumulative counts match the handle API
+    val sqlHist = spark.sql(
+      s"SELECT version, kind, n_events FROM $cat.`mt$$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val apiHist = topic.history().orderBy(col("version"))
+      .select(col("version"), col("kind"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sqlHist == apiHist && sqlHist.map(_._3).max == 30L)
+
+    // deletes: empty → rows appear with exact vectored counts → fold clears
+    assert(spark.sql(s"SELECT * FROM $cat.`mt$$deletes`").count() == 0)
+    topic.deleteWhereVectored(get_json_object(col("metadata"), "$.k").cast("long") < 7): Unit
+    val dels = spark.sql(s"SELECT n_deleted FROM $cat.`mt$$deletes`")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dels == Seq(7L))
+    topic.compact()
+    assert(spark.sql(s"SELECT * FROM $cat.`mt$$deletes`").count() == 0)
+
+    // unknown suffix / missing base behave like missing tables;
+    // SHOW TABLES lists only real topics
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.`mt$$bogus`"))
+    intercept[AnalysisException](spark.sql(s"SELECT * FROM $cat.`nope$$history`"))
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet == Set("mt"))
+  }
 }
