@@ -147,8 +147,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft topics are partitioned by the topic's partition count " +
       "(TBLPROPERTIES partitions 'N'), not by column transforms")
     // a column list, if given, must be the topic event schema — topics have
-    // one fixed shape (the reference's Metadata/Data event model)
-    if (schema.nonEmpty && schema != GraftTopicTable.EventSchema)
+    // one fixed shape (the reference's Metadata/Data event model). Shape =
+    // names + types; nullability is NOT compared, so CTAS works (`CREATE
+    // TABLE g.t2 AS SELECT partition, 0L AS event_id, metadata, data FROM
+    // …` derives non-null columns where the event schema declares
+    // nullable, and vice versa — the write path re-selects by name and the
+    // producer assigns real ids regardless)
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (schema.nonEmpty && shape(schema) != shape(GraftTopicTable.EventSchema))
       throw new IllegalArgumentException(
         s"graft tables have the fixed event schema ${GraftTopicTable.EventSchema.simpleString}; " +
         "omit the column list or match it exactly")

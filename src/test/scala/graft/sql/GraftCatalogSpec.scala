@@ -321,6 +321,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.enc").count() == 4)
   }
 
+  test("CTAS: CREATE TABLE AS SELECT produces into a fresh topic") {
+    import spark.implicits._
+    val (cat, d) = newCatalog()
+    spark.sql(s"CREATE TABLE $cat.src TBLPROPERTIES (partitions '2')")
+    d.openTopic("src").producer().produce(
+      (0 until 30).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition"))
+    spark.sql(
+      s"""CREATE TABLE $cat.derived TBLPROPERTIES (partitions '2')
+         |AS SELECT partition, event_id, metadata, data
+         |FROM $cat.src WHERE event_id >= 5""".stripMargin)
+    // engine-assigned dense ids in the new topic; rows filtered as selected
+    val got = spark.table(s"$cat.derived")
+    assert(got.count() == 20)
+    assert(got.groupBy("partition").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet == Set((0, 10L), (1, 10L)))
+    assert(d.openTopic("derived").events()
+      .agg(org.apache.spark.sql.functions.max($"event_id")).head().getLong(0) == 9L)
+    // a non-event shape still fails loudly
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.bad AS SELECT metadata FROM $cat.src"))
+  }
+
   test("metadata tables: t$history / t$partitions / t$deletes") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
