@@ -1099,6 +1099,41 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /**
+   * Merge the topic's committed deletion vectors into ONE relation — the
+   * fold available on TIERED topics, where log rewrites refuse: every
+   * reader slice pays one load per vector file, so maintenance must bound
+   * the COUNT even when the physical purge (a log rewrite) is
+   * unavailable. Commit-then-delete ordering means a reader racing the
+   * swap sees the merged relation plus not-yet-deleted originals — a
+   * union with duplicate ids, never a loss (the sorted-array search and
+   * the anti-join both tolerate duplicates). Physical purge of a tiered
+   * topic's vectored bytes remains `restoreArchive()` + a rewrite.
+   *
+   * @return the number of vector files folded away (0 = nothing to do)
+   */
+  def compactDeleteVectors(name: String): Int = {
+    import org.apache.spark.sql.functions.col
+    acquireCompactLock(name)
+    try {
+      val files = deleteVectorFiles(name)
+      if (files.size <= 1) return 0
+      val dir = deletesDir(name)
+      val staged = new Path(dir, s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.read.schema(Catalog.DeleteSchema).parquet(files: _*)
+        .distinct()
+        .repartition(col("partition"))
+        .sortWithinPartitions(col("partition"), col("event_id"))
+        .write.parquet(staged.toString)
+      val committed = new Path(dir,
+        s"d-${System.currentTimeMillis()}-${staged.getName.stripPrefix("tmp-")}")
+      if (!fs.rename(staged, committed))
+        throw new java.io.IOException(s"compactDeleteVectors: cannot commit $staged")
+      files.foreach(f => fs.delete(new Path(f), true): Unit)
+      files.size
+    } finally releaseCompactLock(name)
+  }
+
+  /**
    * Time-based retention (Kafka's `retention.ms` analog): per partition,
    * find the earliest event whose `eventTime` is at or past `cutoff` and
    * drop everything BEFORE it. Prefix semantics, deliberately — retention
@@ -1335,6 +1370,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         manifestFileCounts(name, m).values.exists(_ > maxFilesPerPartition)) ||
       deleteVectorFiles(name).size > 4)
     if (needsCompact) compactTopic(name, chunkMaxRecords)
+    // tiered topics can't fold vectors through a rewrite — merge the
+    // vector FILES instead, so the per-slice load count stays bounded
+    if (isTiered(name) && deleteVectorFiles(name).size > 4)
+      compactDeleteVectors(name): Unit
     val vac = vacuumTopic(name)
     val indexed = listIndexes(name).map { idx =>
       MetadataIndex.refreshExisting(spark, this, name, idx)

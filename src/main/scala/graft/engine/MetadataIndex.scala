@@ -401,13 +401,17 @@ object MetadataIndex {
   /** Indexes cover the HOT tier (their file universe is the manifest);
     * cold-tier files are unioned in unconditionally — conservative, like
     * any unindexed file, so an archived row can never vanish from an
-    * indexed read. Shared by the zone and bloom read paths. */
+    * indexed read. Deletion vectors apply HERE, the shared tail of every
+    * indexed read — a compliance delete must hold on all read surfaces,
+    * and the index file universe knows nothing about vectored ids (the
+    * anti-join keys on (partition, event_id), unaffected by the metadata
+    * decode). Shared by the zone and bloom read paths. */
   private[engine] def withCold(c: Catalog, topic: String, hot: DataFrame): DataFrame =
-    c.coldEvents(topic) match {
+    c.applyDeleteVectors(topic, c.coldEvents(topic) match {
       case None => hot
       case Some(cold) =>
         hot.unionByName(
           Serializer.fromDescriptor(c.openTopic(topic).serializer)
             .decodeMetadataDf(cold))
-    }
+    })
 }

@@ -90,7 +90,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.name().split('$') match {
       case Array(base, kind) if GraftMetaTable.Kinds.contains(kind) =>
         if (!engine.topicExists(base)) throw new NoSuchTableException(ident)
-        return new GraftMetaTable(warehouse, base, kind)
+        return new GraftMetaTable(engine, base, kind)
       case _ =>
     }
     if (!engine.topicExists(ident.name())) throw new NoSuchTableException(ident)

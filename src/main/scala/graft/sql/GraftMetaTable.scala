@@ -5,7 +5,6 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
@@ -30,7 +29,7 @@ import graft.streaming.{GraftRowsPartition, GraftRowsReaderFactory}
  * reachable through the procedures / handle APIs that read them
  * distributed.
  */
-final class GraftMetaTable(warehouse: String, topic: String, kind: String)
+final class GraftMetaTable(catalog: Catalog, topic: String, kind: String)
   extends Table with SupportsRead {
 
   override def name(): String = s"$topic$$$kind"
@@ -45,8 +44,12 @@ final class GraftMetaTable(warehouse: String, topic: String, kind: String)
       override def readSchema(): StructType = schema()
       override def description(): String = s"GraftMetaTable($topic, $kind)"
       override def toBatch: Batch = new Batch {
+        // driver-only: rows are computed at plan time against the OWNING
+        // catalog's session-cached engine (its config/manifest caches are
+        // the point — see GraftCatalog's `engine` doc); only the computed
+        // row array ships to the executor task
         override def planInputPartitions(): Array[InputPartition] =
-          Array(GraftRowsPartition(GraftMetaTable.rows(warehouse, topic, kind)))
+          Array(GraftRowsPartition(GraftMetaTable.rows(catalog, topic, kind)))
         override def createReaderFactory(): PartitionReaderFactory =
           GraftRowsReaderFactory
       }
@@ -77,8 +80,7 @@ object GraftMetaTable {
 
   /** Rows in Catalyst-internal form (UTF8String for strings), computed
     * fresh at plan time so every query sees the current state. */
-  private[sql] def rows(warehouse: String, topic: String, kind: String): Array[Array[Any]] = {
-    val catalog = new Catalog(SparkSession.active, warehouse)
+  private[sql] def rows(catalog: Catalog, topic: String, kind: String): Array[Array[Any]] =
     kind match {
       case "history" =>
         catalog.versionHistory(topic).map { v =>
@@ -110,5 +112,4 @@ object GraftMetaTable {
         }.toArray
       case other => throw new IllegalArgumentException(s"unknown kind '$other'")
     }
-  }
 }

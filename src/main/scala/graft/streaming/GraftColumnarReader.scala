@@ -35,7 +35,16 @@ private[streaming] object GraftReaderSupport {
 
   def buildConf(
       confEntries: Array[(String, String)], readSchema: StructType,
-      fromId: Long, untilId: Long): Configuration = {
+      fromId: Long, untilId: Long): Configuration =
+    // row groups provably outside [fromId, untilId) are dropped from the
+    // footer before any page is read
+    buildConf(confEntries, readSchema, FilterApi.and(
+      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
+      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId))))
+
+  def buildConf(
+      confEntries: Array[(String, String)], readSchema: StructType,
+      predicate: org.apache.parquet.filter2.predicate.FilterPredicate): Configuration = {
     val c = new Configuration(false)
     confEntries.foreach { case (k, v) => c.set(k, v) }
     c.set("org.apache.spark.sql.parquet.row.requested_schema", readSchema.json)
@@ -49,11 +58,7 @@ private[streaming] object GraftReaderSupport {
     c.setBoolean("spark.sql.caseSensitive", false)
     c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
     c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-    // row groups provably outside [fromId, untilId) are dropped from the
-    // footer before any page is read
-    ParquetInputFormat.setFilterPredicate(c, FilterApi.and(
-      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
-      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId))))
+    ParquetInputFormat.setFilterPredicate(c, predicate)
     c
   }
 
@@ -95,17 +100,7 @@ private[streaming] object GraftReaderSupport {
     val schema = StructType(Seq(
       StructField("partition", IntegerType, nullable = false),
       StructField("event_id", LongType, nullable = false)))
-    val c = new Configuration(false)
-    confEntries.foreach { case (k, v) => c.set(k, v) }
-    c.set("org.apache.spark.sql.parquet.row.requested_schema", schema.json)
-    c.set(ParquetInputFormat.READ_SUPPORT_CLASS,
-      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-    c.setBoolean("spark.sql.parquet.binaryAsString", false)
-    c.setBoolean("spark.sql.parquet.int96AsTimestamp", false)
-    c.setBoolean("spark.sql.caseSensitive", false)
-    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", true)
-    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
-    ParquetInputFormat.setFilterPredicate(c, FilterApi.and(
+    val c = buildConf(confEntries, schema, FilterApi.and(
       FilterApi.eq(FilterApi.intColumn("partition"), java.lang.Integer.valueOf(partition)),
       FilterApi.and(
         FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),

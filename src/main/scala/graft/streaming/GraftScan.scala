@@ -306,7 +306,8 @@ final class GraftScan(
     val next = catalog.nextIds(topic)
     val parts = (0 until catalog.openTopic(topic).partitions)
       .filter(p => effTargets.forall(_.contains(p)))
-    val rows = parts.map(p => math.max(0L, batchHi(p, next) - batchLo(p))).sum
+    val cap = effCap
+    val rows = parts.map(p => math.max(0L, batchHi(p, next, cap) - batchLo(p))).sum
     val physicalCols = requiredSchema.fieldNames
       .filter(n => n != "partition" && n != GraftTopicTable.FileColumn)
     val bytes =
@@ -351,23 +352,26 @@ final class GraftScan(
     }
   }
 
-  /** The pushed LIMIT/top-N cap, re-validated at plan time: a row-dropping
-    * operation landing between pushdown and execution sets the permanent
-    * gap marker, and a capped id window over gapped ids could surface
-    * fewer rows than the limit — so the cap silently widens back to a full
-    * scan (unlike the aggregate shortcut, which must fail loudly, a wider
-    * window only surfaces MORE rows for Spark's re-applied limit). */
-  private lazy val effCap: Option[Int] =
+  /** The pushed LIMIT/top-N cap, re-validated at EVERY plan (a `def`, not
+    * a memoized val — runtime filtering re-plans the same scan instance,
+    * and a vectored delete landing between plans must drop the cap on the
+    * re-plan too): a row-dropping operation sets the permanent gap marker,
+    * and a capped id window over gapped ids could surface fewer rows than
+    * the limit — so the cap silently widens back to a full scan (unlike
+    * the aggregate shortcut, which must fail loudly, a wider window only
+    * surfaces MORE rows for Spark's re-applied limit). One marker probe
+    * per evaluation; callers evaluate once per plan, not per partition. */
+  private def effCap: Option[Int] =
     perPartitionCap.filter(_ => !catalog.mayHaveIdGaps(topic))
 
   /** Shared per-partition batch window: pushed/runtime id bounds clamped
     * by the live watermark and any version pins (see [[toBatch]] doc). */
-  private def batchHi(p: Int, next: Map[Int, Long]): Long = {
+  private def batchHi(p: Int, next: Map[Int, Long], cap: Option[Int]): Long = {
     val live = math.min(effIdHi.getOrElse(Long.MaxValue), next.getOrElse(p, 0L))
     val pinned = asOfIds.fold(live)(wm => math.min(live, wm.getOrElse(p, 0L)))
     // pushed LIMIT/top-N: at most `cap` ids per partition plan (a partial
     // pushdown — Spark re-applies the exact limit on the surfaced rows)
-    effCap.fold(pinned)(n => math.min(pinned, batchLo(p) + n))
+    cap.fold(pinned)(n => math.min(pinned, batchLo(p) + n))
   }
   private def batchLo(p: Int): Long = {
     val base = math.max(effIdLo.getOrElse(0L), 0L)
@@ -395,11 +399,12 @@ final class GraftScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val next = catalog.nextIds(topic)
+      val cap = effCap // fresh gap-marker probe per plan (see effCap doc)
       // footer-based file pruning only pays off when an id bound was pushed
       // (statically, by a runtime filter, or by a limit cap); an unbounded
       // scan keeps every file, so skip the driver-side footer reads
       val stats =
-        if (effIdLo.isDefined || effIdHi.isDefined || effCap.isDefined)
+        if (effIdLo.isDefined || effIdHi.isDefined || cap.isDefined)
           Some(new FileStatsCache)
         else None
       // startingVersion is the EXCLUSIVE lower pin (events produced AFTER
@@ -407,7 +412,7 @@ final class GraftScan(
       // events(from, to)); partitions created after the pin start at 0
       GraftPartitions.plan(catalog, topic, effTargets,
         from = batchLo,
-        until = batchHi(_, next),
+        until = batchHi(_, next, cap),
         stats)
     }
     override def createReaderFactory(): PartitionReaderFactory =

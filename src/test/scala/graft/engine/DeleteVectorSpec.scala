@@ -140,6 +140,36 @@ class DeleteVectorSpec extends SparkSpec {
     assert(got == (20 until 60).map(_.toLong).toSet)
   }
 
+  test("indexed reads drop vectored rows too (zone map + bloom)") {
+    val (_, topic) = mkTopic()
+    topic.refreshIndex("by_k", "$.k", MetadataIndex.Numeric): Unit
+    topic.refreshBloomIndex("bl_k", "$.k"): Unit
+    topic.deleteWhereVectored(k() >= 10 && k() < 20): Unit
+    // zone-map range read over exactly the vectored span: nothing surfaces
+    assert(topic.eventsIndexed("by_k", 10.0, 19.0).count() == 0,
+      "zone-indexed read resurrected vectored rows")
+    assert(topic.eventsIndexed("by_k", 0.0, 29.0)
+      .select(k().as("k")).collect().map(_.getLong(0)).toSet ==
+      ((0 until 10) ++ (20 until 30)).map(_.toLong).toSet)
+    // bloom point lookup on a vectored value: nothing surfaces
+    assert(topic.eventsBloomEq("bl_k", "15").count() == 0,
+      "bloom-indexed read resurrected vectored rows")
+    assert(topic.eventsBloomEq("bl_k", "25").count() == 1)
+  }
+
+  test("tiered topics fold by merging vector files (maintain bounds the count)") {
+    val (d, topic) = mkTopic()
+    assert(topic.archiveBefore(25).filesMoved > 0) // tiered: rewrites refuse
+    (0 until 6).foreach(i => topic.deleteWhereVectored(k() === i): Unit)
+    assert(d.catalog.deleteVectorFiles("t").size == 6)
+    d.catalog.maintainTopic("t", maxFilesPerPartition = 1000): Unit
+    assert(d.catalog.deleteVectorFiles("t").size == 1,
+      "maintain must merge a tiered topic's vectors into one relation")
+    val got = load(d).select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(got == (6 until 200).map(_.toLong).toSet,
+      "the merged vector must preserve every deleted id")
+  }
+
   test("SQL DELETE routes to vectors under spark.graft.delete.mode=vector") {
     val (d, _) = mkTopic()
     spark.conf.set("spark.sql.catalog.dvcat", "graft.sql.GraftCatalog")
