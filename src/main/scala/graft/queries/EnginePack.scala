@@ -494,9 +494,15 @@ object EnginePack extends QueryPack {
       val cutoff = d.catalog.nextIds("tier_demo").values.max
       val report = topic.archiveBefore(cutoff)
       topic.producer().produce(src.filter(half === 1))
-      val hotFiles = d.catalog.readManifest("tier_demo").get
-        .files.values.map(_.size).sum
-      val coldFiles = topic.tierState.map(_.files.values.map(_.size).sum).getOrElse(0)
+      // threshold-agnostic counts: past driverMaxEntries the manifest/tier
+      // entries live in parquet relations and the in-memory maps hold only
+      // deltas — count through the relation-aware helpers
+      val hotFiles = d.catalog.manifestFileCounts("tier_demo",
+        d.catalog.readManifest("tier_demo").get).values.sum.toInt
+      val coldFiles = topic.tierState.map { ts =>
+        d.catalog.tierFilesRel("tier_demo", ts).map(_.count().toInt).getOrElse(0) +
+          ts.files.values.map(_.size).sum
+      }.getOrElse(0)
       val dsv2 = s.read.format("graft")
         .option("warehouse", d.warehouse).option("topic", "tier_demo")
         .load().count()
@@ -950,8 +956,10 @@ object EnginePack extends QueryPack {
       try out.write("{}".getBytes) finally out.close()
       fs.setTimes(staleTmp, System.currentTimeMillis() - 24L * 3600 * 1000, -1)
       val (compacted, vac, indexed) = topic.maintain(maxFilesPerPartition = 2)
-      val filesPerPartition = d.catalog.readManifest("maint_demo").get
-        .files.values.map(_.size)
+      // relation-aware count: the in-memory files map is empty past the
+      // driver threshold (entries live in the manifest's parquet relation)
+      val filesPerPartition = d.catalog.manifestFileCounts("maint_demo",
+        d.catalog.readManifest("maint_demo").get).values
       val maintained = compacted && vac.tmpFiles == 1 && !fs.exists(staleTmp) &&
         indexed == filesPerPartition.sum && filesPerPartition.forall(_ == 1)
       // pruning against the compacted layout: nothing above the watermark
@@ -979,7 +987,8 @@ object EnginePack extends QueryPack {
       topic.producer().produce(sourceByEidRange(s, dir, 0, n / 2))
       topic.producer().produce(sourceByEidRange(s, dir, n / 2, n * 3 / 4))
       def liveFiles: Int =
-        d.catalog.readManifest("idx_demo").get.files.values.map(_.size).sum
+        d.catalog.manifestFileCounts("idx_demo",
+          d.catalog.readManifest("idx_demo").get).values.sum.toInt
       val f12 = liveFiles
       val r1 = topic.refreshIndex("eid_idx", "$.eid")
       topic.producer().produce(sourceByEidRange(s, dir, n * 3 / 4, n))
