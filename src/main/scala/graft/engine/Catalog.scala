@@ -1017,11 +1017,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /** The union of the topic's deletion vectors as a `(partition, event_id)`
-    * relation — None when the topic has none (the common case). */
+    * relation — None when the topic has none (the common case). Each
+    * vector root is directory-partitioned (`partition=p/`), so roots are
+    * read individually (multi-root partition discovery needs a shared
+    * basePath; a per-root read sidesteps it) and unioned. */
   def deletesRel(name: String): Option[org.apache.spark.sql.DataFrame] = {
     val files = deleteVectorFiles(name)
-    if (files.isEmpty) None
-    else Some(spark.read.schema(Catalog.DeleteSchema).parquet(files: _*))
+    files.map(f => spark.read.schema(Catalog.DeleteSchema).parquet(f))
+      .reduceOption(_.unionByName(_))
   }
 
   /** Drop vector-deleted rows from an event DataFrame. An anti-join on the
@@ -1079,11 +1082,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       // file index ignore the count read below) that readers still never
       // list — deleteVectorFiles keeps only `d-*` entries
       val staged = new Path(dir, s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      // partition-clustered, id-sorted: the per-slice loader prunes row
-      // groups by (partition, event_id) statistics exactly like chunk reads
+      // directory-partitioned like the log itself: a reader slice lists
+      // ONLY its own `partition=p` subdirectory (directory-level pruning,
+      // no foreign footer reads), ids sorted within for row-group skipping
       matched.repartition(col("partition"))
-        .sortWithinPartitions(col("partition"), col("event_id"))
-        .write.parquet(staged.toString)
+        .sortWithinPartitions(col("event_id"))
+        .write.partitionBy("partition").parquet(staged.toString)
       val n = spark.read.schema(Catalog.DeleteSchema).parquet(staged.toString).count()
       if (n == 0L) { fs.delete(staged, true): Unit; return 0L }
       // gap marker FIRST: the O(1) shortcuts must be disabled by the time
@@ -1119,11 +1123,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       if (files.size <= 1) return 0
       val dir = deletesDir(name)
       val staged = new Path(dir, s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      spark.read.schema(Catalog.DeleteSchema).parquet(files: _*)
+      files.map(f => spark.read.schema(Catalog.DeleteSchema).parquet(f))
+        .reduce(_.unionByName(_))
         .distinct()
         .repartition(col("partition"))
-        .sortWithinPartitions(col("partition"), col("event_id"))
-        .write.parquet(staged.toString)
+        .sortWithinPartitions(col("event_id"))
+        .write.partitionBy("partition").parquet(staged.toString)
       val committed = new Path(dir,
         s"d-${System.currentTimeMillis()}-${staged.getName.stripPrefix("tmp-")}")
       if (!fs.rename(staged, committed))
@@ -1131,6 +1136,43 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       files.foreach(f => fs.delete(new Path(f), true): Unit)
       files.size
     } finally releaseCompactLock(name)
+  }
+
+  /** Footer-derived per-partition row counts of ONE committed vector root
+    * — immutable by name, so cached forever (bounded by the maintenance
+    * fold). Metadata-only: parquet footers, no page reads. */
+  private val deleteCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
+  /** Per-partition vectored-delete counts across the topic's committed
+    * vectors. EXACT: deleteWhereVectored never re-records an already-
+    * vectored id and the merge distincts, so the roots are disjoint and
+    * the sum is the deleted-row count. */
+  def deletedCountsByPartition(name: String): Map[Int, Long] = {
+    val conf = hadoopConf
+    deleteVectorFiles(name).map { dirStr =>
+      deleteCountCache.computeIfAbsent(dirStr, { _ =>
+        val dir = new Path(dirStr)
+        val dfs = dir.getFileSystem(conf)
+        dfs.listStatus(dir).filter(_.isDirectory).flatMap { sub =>
+          sub.getPath.getName.split('=') match {
+            case Array("partition", p) =>
+              val n = dfs.listStatus(sub.getPath)
+                .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+                .map { f =>
+                  val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromPath(f.getPath, conf)
+                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                  try r.getRecordCount finally r.close()
+                }.sum
+              Some(p.toInt -> n)
+            case _ => None
+          }
+        }.toMap
+      })
+    }.foldLeft(Map.empty[Int, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (p, n)) => a + (p -> (a.getOrElse(p, 0L) + n)) }
+    }
   }
 
   /**

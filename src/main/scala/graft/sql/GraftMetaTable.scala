@@ -101,8 +101,10 @@ object GraftMetaTable {
         catalog.deleteVectorFiles(topic).map { dirStr =>
           val dir = new Path(dirStr)
           val fs = dir.getFileSystem(conf)
-          val parts = fs.listStatus(dir)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          // vector roots are directory-partitioned (partition=p/ subdirs)
+          val parts = fs.listStatus(dir).filter(_.isDirectory).flatMap(sub =>
+            fs.listStatus(sub.getPath)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
           val n = parts.map { s =>
             val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf)
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

@@ -86,10 +86,11 @@ private[streaming] object GraftReaderSupport {
 
   /**
    * The slice's deletion-vector ids, sorted: every `event_id` vector-
-   * deleted from `partition` within `[fromId, untilId)`, loaded once per
-   * slice through the same vectorized parquet machinery as chunk reads —
-   * the (partition, event_id) predicate prunes row groups by footer
-   * statistics, so a slice pays for the deletes that OVERLAP it, not the
+   * deleted from `partition` within `[fromId, untilId)`. Vector roots are
+   * directory-partitioned like the log itself, so the slice lists ONLY its
+   * own `partition=p/` subdirectory (directory-level pruning — no foreign
+   * footer reads), and the id-range predicate prunes row groups within it.
+   * A slice therefore pays for the deletes that OVERLAP it, not the
    * topic's whole delete history. Readers drop a row when
    * `Arrays.binarySearch(deleted, id) >= 0`.
    */
@@ -98,20 +99,19 @@ private[streaming] object GraftReaderSupport {
       partition: Int, fromId: Long, untilId: Long): Array[Long] = {
     if (deleteDirs.isEmpty) return Array.emptyLongArray
     val schema = StructType(Seq(
-      StructField("partition", IntegerType, nullable = false),
       StructField("event_id", LongType, nullable = false)))
     val c = buildConf(confEntries, schema, FilterApi.and(
-      FilterApi.eq(FilterApi.intColumn("partition"), java.lang.Integer.valueOf(partition)),
-      FilterApi.and(
-        FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
-        FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId)))))
+      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
+      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId))))
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     deleteDirs.foreach { dirStr =>
-      val dir = new Path(dirStr)
-      val fs = dir.getFileSystem(c)
+      val sub = new Path(dirStr, s"partition=$partition")
+      val fs = sub.getFileSystem(c)
       val parts =
-        if (!fs.exists(dir)) Array.empty[Path] // folded by a racing rewrite
-        else fs.listStatus(dir)
+        // absent subdir: no deletes for this partition (or the whole root
+        // was folded away by a racing rewrite — equally empty)
+        if (!fs.exists(sub)) Array.empty[Path]
+        else fs.listStatus(sub)
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(_.getPath)
       parts.foreach { p =>
@@ -127,10 +127,8 @@ private[streaming] object GraftReaderSupport {
             val row = r.getCurrentValue.asInstanceOf[
               org.apache.spark.sql.catalyst.InternalRow]
             // row-group pruning is statistics-coarse — re-check per row
-            if (row.getInt(0) == partition) {
-              val id = row.getLong(1)
-              if (id >= fromId && id < untilId) out += id
-            }
+            val id = row.getLong(0)
+            if (id >= fromId && id < untilId) out += id
           }
         } finally r.close()
       }

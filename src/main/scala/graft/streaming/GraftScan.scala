@@ -307,7 +307,20 @@ final class GraftScan(
     val parts = (0 until catalog.openTopic(topic).partitions)
       .filter(p => effTargets.forall(_.contains(p)))
     val cap = effCap
-    val rows = parts.map(p => math.max(0L, batchHi(p, next, cap) - batchLo(p))).sum
+    // vector-deleted rows: subtract EXACT per-partition counts (footer
+    // sums, cached by immutable vector path) when the scan covers each
+    // partition's full id space — every vectored id then lies inside the
+    // window. With a bounded window (pushed/runtime id filters, version
+    // pins, a limit cap) the overlap is unknown, so skip the subtraction:
+    // over-reporting rows is the conservative direction (it can only
+    // suppress an auto-broadcast, never cause one).
+    val deleted: Map[Int, Long] =
+      if (effIdLo.isEmpty && effIdHi.isEmpty && asOfIds.isEmpty &&
+          startingIds.isEmpty && cap.isEmpty)
+        catalog.deletedCountsByPartition(topic)
+      else Map.empty
+    val rows = parts.map(p => math.max(0L,
+      batchHi(p, next, cap) - batchLo(p) - deleted.getOrElse(p, 0L))).sum
     val physicalCols = requiredSchema.fieldNames
       .filter(n => n != "partition" && n != GraftTopicTable.FileColumn)
     val bytes =

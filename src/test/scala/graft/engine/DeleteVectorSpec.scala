@@ -198,6 +198,41 @@ class DeleteVectorSpec extends SparkSpec {
     assert(load(d).count() == 194)
   }
 
+  test("scan statistics stay EXACT on vector-deleted topics (full window)") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val (d, topic) = mkTopic()
+    topic.deleteWhereVectored(k() % 4 === 0): Unit // 50 of 200
+    val scan = new graft.streaming.GraftTopicTable(d.warehouse, "t", None, None, None)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of()))
+      .build().asInstanceOf[SupportsReportStatistics]
+    assert(scan.estimateStatistics().numRows().getAsLong == 150L,
+      "full-window numRows must subtract the vectored counts exactly")
+    // a bounded window skips the subtraction (conservative over-report)
+    val bounded = new graft.streaming.GraftTopicTable(d.warehouse, "t", None, None, None)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of())).asInstanceOf[graft.streaming.GraftScanBuilder]
+    bounded.pushFilters(Array(
+      org.apache.spark.sql.sources.LessThan("event_id", 10L))): Unit
+    val boundedRows = bounded.build().asInstanceOf[SupportsReportStatistics]
+      .estimateStatistics().numRows().getAsLong
+    assert(boundedRows == 40L, s"bounded window over-reports, never under: $boundedRows")
+  }
+
+  test("vectors apply on the zero-threshold (parquet-relation) planning path") {
+    val prev = spark.conf.getOption("spark.graft.manifest.driverMaxEntries")
+    spark.conf.set("spark.graft.manifest.driverMaxEntries", "0")
+    try {
+      val (d, topic) = mkTopic()
+      topic.deleteWhereVectored(k() % 5 === 0): Unit
+      assert(load(d).count() == 160)
+      assert(topic.events().count() == 160)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.manifest.driverMaxEntries", v)
+      case None => spark.conf.unset("spark.graft.manifest.driverMaxEntries")
+    }
+  }
+
   test("vacuum keeps committed vectors, clears only stale staged tmps") {
     val (d, topic) = mkTopic()
     topic.deleteWhereVectored(k() % 5 === 0): Unit
