@@ -1094,8 +1094,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       // any reader can observe the vector (a crash between the two leaves
       // a benign marker, never a stale shortcut)
       markIdGaps(name)
+      // the delete IS a commit (the Delta CDC shape): an empty-files
+      // manifest delta — safe here because acquireCompactLock's
+      // acquire-then-check excludes in-flight produces, the same exclusion
+      // rewrites rely on. The delta moves no watermark (vectored ids stay
+      // allocated). The committed seq is embedded in the root's name
+      // (`d-<ms>-v<seq>-…`) so the change-data-feed attributes the delete
+      // EXACTLY, with no timestamp tie-breaking. Commit precedes the
+      // rename: a crash between them aborts the delete cleanly (the
+      // staged tmp is never listed and vacuums later), leaving only a
+      // benign empty commit — the delete either fully happened or not at
+      // all.
+      updateManifest(name, nextIds(name))
+      val version = versionHistory(name).lastOption.map(_.version).getOrElse(0L)
       val committed = new Path(dir,
-        s"d-${System.currentTimeMillis()}-${staged.getName.stripPrefix("tmp-")}")
+        s"d-${System.currentTimeMillis()}-v$version-" +
+          staged.getName.stripPrefix("tmp-"))
       if (!fs.rename(staged, committed))
         throw new java.io.IOException(s"deleteWhereVectored: cannot commit $staged")
       n
@@ -1138,42 +1152,68 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     } finally releaseCompactLock(name)
   }
 
-  /** Footer-derived per-partition row counts of ONE committed vector root
-    * — immutable by name, so cached forever (bounded by the maintenance
+  /** Footer-derived per-partition stats of ONE committed vector root —
+    * immutable by name, so cached forever (bounded by the maintenance
     * fold). Metadata-only: parquet footers, no page reads. */
-  private val deleteCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+  private val deleteStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, VectorRootStats]]()
+
+  /** Per-partition (rows, min id, max id) of one committed vector root.
+    * The id bounds let the change-data-feed's delete-preimage scan plan
+    * ONLY the chunk files a root's ids can touch; missing statistics
+    * degrade to an unbounded-but-correct (MinValue, MaxValue) window. */
+  def deleteVectorRootStats(dirStr: String): Map[Int, VectorRootStats] = {
+    val conf = hadoopConf
+    deleteStatsCache.computeIfAbsent(dirStr, { _ =>
+      val dir = new Path(dirStr)
+      val dfs = dir.getFileSystem(conf)
+      dfs.listStatus(dir).filter(_.isDirectory).flatMap { sub =>
+        sub.getPath.getName.split('=') match {
+          case Array("partition", p) =>
+            var rows = 0L
+            var lo = Long.MaxValue
+            var hi = Long.MinValue
+            dfs.listStatus(sub.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(f.getPath, conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try {
+                  rows += r.getRecordCount
+                  r.getRowGroups.forEach { block =>
+                    block.getColumns.forEach { c =>
+                      if (c.getPath.toDotString == "event_id") c.getStatistics match {
+                        case ls: org.apache.parquet.column.statistics.LongStatistics
+                          if ls.hasNonNullValue =>
+                          lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
+                        case _ =>
+                      }
+                    }
+                  }
+                } finally r.close()
+              }
+            if (rows == 0L) None
+            else if (lo > hi) // rows without stats: never prune
+              Some(p.toInt -> VectorRootStats(rows, Long.MinValue, Long.MaxValue))
+            else Some(p.toInt -> VectorRootStats(rows, lo, hi))
+          case _ => None
+        }
+      }.toMap
+    })
+  }
 
   /** Per-partition vectored-delete counts across the topic's committed
     * vectors. EXACT: deleteWhereVectored never re-records an already-
     * vectored id and the merge distincts, so the roots are disjoint and
     * the sum is the deleted-row count. */
-  def deletedCountsByPartition(name: String): Map[Int, Long] = {
-    val conf = hadoopConf
-    deleteVectorFiles(name).map { dirStr =>
-      deleteCountCache.computeIfAbsent(dirStr, { _ =>
-        val dir = new Path(dirStr)
-        val dfs = dir.getFileSystem(conf)
-        dfs.listStatus(dir).filter(_.isDirectory).flatMap { sub =>
-          sub.getPath.getName.split('=') match {
-            case Array("partition", p) =>
-              val n = dfs.listStatus(sub.getPath)
-                .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-                .map { f =>
-                  val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                    .fromPath(f.getPath, conf)
-                  val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-                  try r.getRecordCount finally r.close()
-                }.sum
-              Some(p.toInt -> n)
-            case _ => None
-          }
-        }.toMap
-      })
-    }.foldLeft(Map.empty[Int, Long]) { (acc, m) =>
-      m.foldLeft(acc) { case (a, (p, n)) => a + (p -> (a.getOrElse(p, 0L) + n)) }
-    }
-  }
+  def deletedCountsByPartition(name: String): Map[Int, Long] =
+    deleteVectorFiles(name).map(deleteVectorRootStats)
+      .foldLeft(Map.empty[Int, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (p, s)) =>
+          a + (p -> (a.getOrElse(p, 0L) + s.rows))
+        }
+      }
 
   /**
    * Time-based retention (Kafka's `retention.ms` analog): per partition,
@@ -2291,6 +2331,30 @@ object Catalog {
     * with no usable stats maps to the never-prunable full range. Shared by
     * the manifest writer and the streaming [[graft.streaming.FileStatsCache]]
     * fallback — one definition of "a file's id range". */
+  /** Commit instant encoded in a deletion-vector root's name
+    * (`d-<millis>-<uuid>`) — the change-data-feed's attribution key: the
+    * root belongs to the first manifest commit at or after this instant
+    * (deleteWhereVectored renames the root, THEN commits). 0 on an
+    * unparseable name (treated as attributable to any version). */
+  def vectorRootMillis(dirStr: String): Long = {
+    val n = new Path(dirStr).getName
+    val parts = n.split('-')
+    if (parts.length >= 2 && parts(0) == "d")
+      try parts(1).toLong catch { case _: NumberFormatException => 0L }
+    else 0L
+  }
+
+  /** The commit version a vector root belongs to, embedded at delete time
+    * (`d-<ms>-v<seq>-…`). None on roots that predate the tag or were
+    * rewritten by a vector fold — those fall back to timestamp
+    * attribution in [[graft.engine.TopicHandle.changes]]. */
+  def vectorRootVersion(dirStr: String): Option[Long] = {
+    val parts = new Path(dirStr).getName.split('-')
+    if (parts.length >= 3 && parts(0) == "d" && parts(2).startsWith("v"))
+      try Some(parts(2).drop(1).toLong) catch { case _: NumberFormatException => None }
+    else None
+  }
+
   def fileIdRange(path: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
@@ -2358,6 +2422,10 @@ final case class ManifestFile(path: String, lo: Long, hi: Long)
   * (cumulatively assembled — not just the commit's own delta). */
 final case class TopicVersion(version: Long, kind: String, commitTimeMs: Long,
                               watermarks: Map[Int, Long])
+
+/** Footer stats of one partition of one deletion-vector root: vectored-row
+  * count and the (min, max) vectored event_id ([[Catalog.deleteVectorRootStats]]). */
+final case class VectorRootStats(rows: Long, minId: Long, maxId: Long)
 
 /** What [[Catalog.archiveTopicBefore]] moved to the cold tier. */
 final case class TierReport(filesMoved: Int, bytesMoved: Long)

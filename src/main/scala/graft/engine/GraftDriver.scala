@@ -353,6 +353,99 @@ final class TopicHandle(spark: SparkSession,
   }
 
   /**
+   * Change data feed between two retained commits — the Delta
+   * `table_changes` analog over the log's change mechanisms. Each output
+   * row is an event row plus `_change_type` ('insert' | 'delete'),
+   * `_commit_version` and `_commit_timestamp`:
+   *
+   *  - `insert`: events produced after `fromVersion` and visible at
+   *    `toVersion`, read RAW (a row inserted in the span is an insert even
+   *    if vector-deleted later). `_commit_version` is the first in-span
+   *    commit whose watermark covers the row's id — exact, because ids
+   *    are dense and watermarks monotone.
+   *  - `delete`: full preimages of rows vector-deleted in the span
+   *    (vectored rows stay physically present until a rewrite folds
+   *    them). Every vectored delete commits its own manifest version with
+   *    the seq embedded in the vector root's name
+   *    ([[Catalog.deleteWhereVectored]]), so attribution is exact;
+   *    fold-rewritten roots fall back to first-commit-at-or-after their
+   *    timestamp.
+   *
+   * Both sides are pure scans — no joins, no shuffles: the insert side is
+   * the version-diff id window, the delete side plans only the chunk
+   * files each root's footer id-bounds can touch, with the reader's
+   * vector filter INVERTED ([[graft.streaming.GraftDeleteMode]]).
+   *
+   * Honest limits, inherited from the underlying mechanisms: physically
+   * purged rows (deleteWhere / restoreTo / expire) do NOT replay — their
+   * preimages are destroyed, and a compliance purge that re-surfaced what
+   * it purged would defeat itself. A rewrite that folds vectors consumes
+   * the delete preimages with them: read the feed before maintenance
+   * folds it (Delta's CDF-before-VACUUM retention, in this engine's
+   * terms).
+   */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    require(fromVersion <= toVersion,
+      s"changes($fromVersion, $toVersion): fromVersion must be <= toVersion")
+    val history = catalog.versionHistory(name)
+    def entryOf(v: Long): TopicVersion =
+      history.find(_.version == v).getOrElse(throw new IllegalArgumentException(
+        s"topic '$name' has no retained version $v (retained: " +
+        (if (history.isEmpty) "none"
+         else s"${history.head.version}..${history.last.version}") + ")"))
+    entryOf(fromVersion): Unit
+    entryOf(toVersion): Unit
+    val span = history.filter(v => v.version > fromVersion && v.version <= toVersion)
+    def base = spark.read.format("graft")
+      .option("warehouse", catalog.warehouse).option("topic", name)
+
+    // insert attribution: first in-span commit covering the id — a
+    // coalesce over at most ManifestSnapshotEvery+1 literal watermarks
+    val verCol =
+      if (span.isEmpty) lit(null).cast("long")
+      else coalesce(span.map { v =>
+        when(col("event_id") <
+          coalesce(element_at(typedLit(v.watermarks), col("partition")), lit(0L)),
+          lit(v.version))
+      }: _*)
+    val tsByVer = typedLit(span.map(v =>
+      v.version -> new java.sql.Timestamp(v.commitTimeMs)).toMap)
+    val inserts = base
+      .option("applyDeletionVectors", "false")
+      .option("startingVersion", fromVersion.toString)
+      .option("endingVersion", toVersion.toString)
+      .load()
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", verCol)
+      .withColumn("_commit_timestamp",
+        if (span.isEmpty) lit(null).cast("timestamp")
+        else element_at(tsByVer, col("_commit_version")))
+
+    // delete preimages: one bounded scan per in-span vector root, each
+    // with its exact (or timestamp-attributed) commit version
+    val deletes = catalog.deleteVectorFiles(name).flatMap { root =>
+      val attributed: Option[TopicVersion] =
+        Catalog.vectorRootVersion(root) match {
+          case Some(v) => history.find(_.version == v)
+          case None =>
+            val ms = Catalog.vectorRootMillis(root)
+            history.find(_.commitTimeMs >= ms)
+        }
+      attributed
+        .filter(v => v.version > fromVersion && v.version <= toVersion)
+        .map { v =>
+          base.option("cdfDeleteRoot", root).load()
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v.version))
+            .withColumn("_commit_timestamp",
+              lit(new java.sql.Timestamp(v.commitTimeMs)))
+        }
+    }
+    deletes.foldLeft(inserts)(_.unionByName(_))
+  }
+
+  /**
    * Incremental topic mirroring (the MirrorMaker / cluster-replication
    * analog): copy this topic's events into `target`, resuming from where
    * the previous mirror call stopped. Each call pins the source watermark

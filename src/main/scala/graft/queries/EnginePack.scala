@@ -1288,6 +1288,32 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
         .orderBy(col("partition"))
     },
+    "q_table_changes" -> { (s, dir) =>
+      // CHANGE DATA FEED (the Delta table_changes analog): produce v1,
+      // produce v2, vector-delete (its own commit v3) — then
+      // changes(v1, v3) must surface the second produce as inserts (RAW:
+      // later-deleted rows still count) and the vectored rows as full
+      // delete preimages, each side a pure scan (insert = version-diff id
+      // window, delete = root-bounded inverted-filter scan; no joins).
+      // Graded per (change_type, partition) against the source table.
+      val d = tempDriver(s)
+      d.createTopic("cdf_demo", partitions = 4)
+      val topic = d.openTopic("cdf_demo")
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 256))
+      val v1 = topic.history().orderBy("version").collect()
+        .map(_.getAs[Long]("version")).last
+      topic.producer().produce(sourceByEidRange(s, dir, 256, 640))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.deleteWhereVectored(pmod(eid, lit(7)) === 0): Unit
+      val vEnd = topic.history().orderBy("version").collect()
+        .map(_.getAs[Long]("version")).last
+      topic.changes(v1, vEnd)
+        .select(col("_change_type").as("change_type"), col("partition"), eid.as("k"))
+        .groupBy(col("change_type"), col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
+        .orderBy(col("change_type"), col("partition"))
+    },
     "q_multi_topic" -> { (s, dir) =>
       // multi-topic subscribe: union of two topic logs with a `topic` tag
       val d = tempDriver(s)
@@ -2287,6 +2313,23 @@ object EnginePack extends QueryPack {
         |FROM events WHERE event_id < 131072
         |  AND event_id % 7 <> 0 AND event_id % 11 <> 5
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // inserts = the raw second-produce window (vector-deleted rows
+    // INCLUDED — they were inserted in the span); deletes = every
+    // vectored row's preimage across both produces
+    "q_table_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(event_id % 4 AS INT) AS partition,
+        |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM events WHERE event_id >= 256 AND event_id < 640
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, CAST(event_id % 4 AS INT) AS partition,
+        |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM events WHERE event_id < 640 AND event_id % 7 = 0
+        |  GROUP BY 2
+        |) ORDER BY change_type, partition""".stripMargin,
     // per-topic counts equal the parity split of the source table
     "q_multi_topic" ->
       """SELECT topic, count(*) AS n, count(DISTINCT k) AS n_keys FROM (

@@ -220,9 +220,16 @@ final class GraftColumnarPartitionReader(
   /** Vector-deleted ids overlapping this slice (sorted; usually empty). */
   private val deleted: Array[Long] = GraftReaderSupport.loadDeletedIds(
     slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId)
-  @inline private def kept(id: Long): Boolean =
-    id >= slice.fromId && id < slice.untilId &&
-      (deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0)
+  @inline private def kept(id: Long): Boolean = {
+    // deleteKeepOnly inverts the vector filter: surface ONLY the vectored
+    // rows (change-data-feed delete preimages)
+    val passesVectors =
+      if (slice.deleteKeepOnly)
+        deleted.length > 0 && java.util.Arrays.binarySearch(deleted, id) >= 0
+      else
+        deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0
+    id >= slice.fromId && id < slice.untilId && passesVectors
+  }
 
   /** Output-column order: `requiredSchema`, drawn from the decoded batch's
     * `readSchema ++ (partition, _file)` layout. */

@@ -385,6 +385,21 @@ object FileStatsCache {
   * the partition's OVERLAPPING chunk files (file-level pruning via the
   * produce-committed manifest, falling back to directory listing + the
   * footer-stats cache; the reader then prunes at row-group granularity). */
+/** How a batch scan treats the topic's deletion vectors. */
+sealed trait GraftDeleteMode
+object GraftDeleteMode {
+  /** Drop vectored rows — every normal read. */
+  case object Apply extends GraftDeleteMode
+  /** Ignore vectors entirely: the raw log as physically stored — the
+    * change-data-feed's INSERT side (a row inserted in a version span is
+    * an insert even if vectored afterwards). */
+  case object Ignore extends GraftDeleteMode
+  /** Keep ONLY the rows vectored by `root` — the change-data-feed's
+    * DELETE-preimage side (vectored rows stay physically present in the
+    * chunk files until a rewrite folds them). */
+  final case class Only(root: String) extends GraftDeleteMode
+}
+
 object GraftPartitions {
   /** @param stats when set, prune files by footer event_id ranges on the
     *        LISTING fallback path; pass None when nothing can be pruned
@@ -405,7 +420,8 @@ object GraftPartitions {
   def plan(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
            stats: Option[FileStatsCache] = None,
-           sparse: Boolean = false): Array[InputPartition] = {
+           sparse: Boolean = false,
+           deleteMode: GraftDeleteMode = GraftDeleteMode.Apply): Array[InputPartition] = {
     // a snapshot roll (manifest) or archive pass (tier) deletes its
     // superseded parquet relation right after committing the new state; a
     // plan racing that delete hits FileNotFound mid-collect. Retry ONCE
@@ -413,7 +429,7 @@ object GraftPartitions {
     // propagates (real trouble, not a race).
     val t0 = System.nanoTime()
     val r = Catalog.retryOnRollRace(
-      planAttempt(catalog, topic, targets, from, until, stats))
+      planAttempt(catalog, topic, targets, from, until, stats, deleteMode))
     if (sparse) probePlannedEntries.addAndGet(
       r.collect { case ip: GraftInputPartition => ip.files.size.toLong }.sum): Unit
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
@@ -423,7 +439,8 @@ object GraftPartitions {
 
   private def planAttempt(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
-           stats: Option[FileStatsCache]): Array[InputPartition] = {
+           stats: Option[FileStatsCache],
+           deleteMode: GraftDeleteMode): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
@@ -438,8 +455,15 @@ object GraftPartitions {
     // against the slice bounds collects only the overlapping cold files.
     // Deletion vectors ride on every slice (readers prune to their own
     // partition + id window via parquet row-group statistics); one listing,
-    // empty for the overwhelming majority of topics
-    val deleteFiles: Seq[String] = catalog.deleteVectorFiles(topic)
+    // empty for the overwhelming majority of topics. The change-data-feed
+    // overrides: Ignore reads the raw log, Only(root) inverts the reader
+    // filter to surface exactly that root's delete preimages.
+    val deleteFiles: Seq[String] = deleteMode match {
+      case GraftDeleteMode.Apply => catalog.deleteVectorFiles(topic)
+      case GraftDeleteMode.Ignore => Nil
+      case GraftDeleteMode.Only(root) => Seq(root)
+    }
+    val deleteKeepOnly = deleteMode.isInstanceOf[GraftDeleteMode.Only]
     val tierSt = catalog.tierState(topic)
     val tierTail: Map[Int, Vector[graft.engine.ManifestFile]] =
       tierSt.map(_.files).getOrElse(Map.empty)
@@ -529,7 +553,7 @@ object GraftPartitions {
             // manually-deleted chunk files stay LISTED here and fail at
             // read; a razed log dir with a live watermark is caught by the
             // missing-log check on the no-manifest fallback path below.
-            if (files.nonEmpty) Some(GraftInputPartition(p, lo, hi, files, deleteFiles))
+            if (files.nonEmpty) Some(GraftInputPartition(p, lo, hi, files, deleteFiles, deleteKeepOnly))
             else None
           }.toArray[InputPartition])
         }
@@ -582,7 +606,7 @@ object GraftPartitions {
         }
         val files = coldFiles(p, lo, hi) ++ hot
         if (files.isEmpty) None
-        else Some(GraftInputPartition(p, lo, hi, files, deleteFiles))
+        else Some(GraftInputPartition(p, lo, hi, files, deleteFiles, deleteKeepOnly))
       }
     }.sortBy(_.partition).toArray
   }
@@ -590,7 +614,7 @@ object GraftPartitions {
 
 final case class GraftInputPartition(
     partition: Int, fromId: Long, untilId: Long, files: Seq[String],
-    deleteFiles: Seq[String] = Nil)
+    deleteFiles: Seq[String] = Nil, deleteKeepOnly: Boolean = false)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** One slice per topic partition, keyed by its partition id — what lets

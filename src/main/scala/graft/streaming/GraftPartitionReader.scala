@@ -120,8 +120,14 @@ final class GraftPartitionReader(
         if (reader.nextKeyValue()) {
           val r = reader.getCurrentValue.asInstanceOf[InternalRow]
           val id = r.getLong(idOrdinal)
-          if (id >= slice.fromId && id < slice.untilId &&
-              (deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0)) {
+          // deleteKeepOnly inverts the vector filter: surface ONLY the
+          // vectored rows (change-data-feed delete preimages)
+          val passesVectors =
+            if (slice.deleteKeepOnly)
+              deleted.length > 0 && java.util.Arrays.binarySearch(deleted, id) >= 0
+            else
+              deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0
+          if (id >= slice.fromId && id < slice.untilId && passesVectors) {
             projection.project(r)
             if (decodeOrdinal >= 0) fillDecoded()
             return true

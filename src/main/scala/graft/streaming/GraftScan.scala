@@ -26,7 +26,8 @@ final class GraftScanBuilder(
     startingTime: Option[(String, Long)] = None,
     maxBytesPerTrigger: Option[Long] = None,
     asOfIds: Option[Map[Int, Long]] = None,
-    startingIds: Option[Map[Int, Long]] = None)
+    startingIds: Option[Map[Int, Long]] = None,
+    deleteMode: GraftDeleteMode = GraftDeleteMode.Apply)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
   with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -98,7 +99,7 @@ final class GraftScanBuilder(
   private var limit: Option[Int] = None
 
   override def pushLimit(n: Int): Boolean =
-    if (catalog.mayHaveIdGaps(topic)) false
+    if (catalog.mayHaveIdGaps(topic) || deleteMode != GraftDeleteMode.Apply) false
     else { limit = Some(n); true }
 
   /** Top-N pushes only for `ORDER BY event_id ASC`: the reader surfaces
@@ -115,7 +116,9 @@ final class GraftScanBuilder(
           orders.head.direction == SortDirection.ASCENDING
       case _ => false
     })
-    if (ascById && !catalog.mayHaveIdGaps(topic)) { limit = Some(n); true } else false
+    if (ascById && !catalog.mayHaveIdGaps(topic) &&
+        deleteMode == GraftDeleteMode.Apply) { limit = Some(n); true }
+    else false
   }
 
   /** The cap is a pruning hint, never the final answer. */
@@ -145,6 +148,9 @@ final class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (idLo.isDefined || idHi.isDefined || partitionSubset.isDefined) return None
     if (catalog.mayHaveIdGaps(topic)) return None
+    // watermark arithmetic counts LIVE rows under the normal read
+    // semantics only — a raw or delete-preimage scan must really scan
+    if (deleteMode != GraftDeleteMode.Apply) return None
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: org.apache.spark.sql.connector.expressions.NamedReference
@@ -193,7 +199,7 @@ final class GraftScanBuilder(
       case None =>
         new GraftScan(catalog, topic, consumer, effective, requiredSchema,
           idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
-          asOfIds, startingIds, perPartitionCap = limit)
+          asOfIds, startingIds, perPartitionCap = limit, deleteMode = deleteMode)
     }
   }
 }
@@ -206,7 +212,8 @@ final class GraftScan(
     maxBytesPerTrigger: Option[Long] = None,
     asOfIds: Option[Map[Int, Long]] = None,
     startingIds: Option[Map[Int, Long]] = None,
-    perPartitionCap: Option[Int] = None)
+    perPartitionCap: Option[Int] = None,
+    deleteMode: GraftDeleteMode = GraftDeleteMode.Apply)
   extends Scan
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -315,12 +322,21 @@ final class GraftScan(
     // over-reporting rows is the conservative direction (it can only
     // suppress an auto-broadcast, never cause one).
     val deleted: Map[Int, Long] =
-      if (effIdLo.isEmpty && effIdHi.isEmpty && asOfIds.isEmpty &&
+      if (deleteMode == GraftDeleteMode.Apply &&
+          effIdLo.isEmpty && effIdHi.isEmpty && asOfIds.isEmpty &&
           startingIds.isEmpty && cap.isEmpty)
         catalog.deletedCountsByPartition(topic)
       else Map.empty
-    val rows = parts.map(p => math.max(0L,
-      batchHi(p, next, cap) - batchLo(p) - deleted.getOrElse(p, 0L))).sum
+    val rows = deleteMode match {
+      case GraftDeleteMode.Only(root) =>
+        // a delete-preimage scan surfaces exactly the root's vectored rows
+        // — footer-exact, which lets Catalyst broadcast the (small) delete
+        // side of a change feed against a huge insert side
+        val stats = catalog.deleteVectorRootStats(root)
+        parts.map(p => stats.get(p).fold(0L)(_.rows)).sum
+      case _ => parts.map(p => math.max(0L,
+        batchHi(p, next, cap) - batchLo(p) - deleted.getOrElse(p, 0L))).sum
+    }
     val physicalCols = requiredSchema.fieldNames
       .filter(n => n != "partition" && n != GraftTopicTable.FileColumn)
     val bytes =
@@ -422,11 +438,33 @@ final class GraftScan(
         else None
       // startingVersion is the EXCLUSIVE lower pin (events produced AFTER
       // that commit — the incremental-export resume semantic of
-      // events(from, to)); partitions created after the pin start at 0
+      // events(from, to)); partitions created after the pin start at 0.
+      // A delete-preimage scan (deleteMode Only) additionally clamps each
+      // partition's window to the root's footer id bounds, so extracting a
+      // sliver of vectored rows from a huge log plans O(root id-span)
+      // chunk files, not the whole partition.
+      val rootBounds: Map[Int, (Long, Long)] = deleteMode match {
+        case GraftDeleteMode.Only(root) =>
+          catalog.deleteVectorRootStats(root).view.mapValues(s =>
+            (s.minId, if (s.maxId == Long.MaxValue) Long.MaxValue else s.maxId + 1L)).toMap
+        case _ => Map.empty
+      }
+      def clampLo(p: Int): Long = deleteMode match {
+        case GraftDeleteMode.Only(_) =>
+          rootBounds.get(p).fold(Long.MaxValue)(b => math.max(batchLo(p), b._1))
+        case _ => batchLo(p)
+      }
+      def clampHi(p: Int): Long = deleteMode match {
+        case GraftDeleteMode.Only(_) =>
+          rootBounds.get(p).fold(Long.MinValue)(b =>
+            math.min(batchHi(p, next, cap), b._2))
+        case _ => batchHi(p, next, cap)
+      }
       GraftPartitions.plan(catalog, topic, effTargets,
-        from = batchLo,
-        until = batchHi(_, next, cap),
-        stats)
+        from = clampLo,
+        until = clampHi,
+        stats,
+        deleteMode = deleteMode)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       // columnar handoff for default-serializer topics: ColumnarBatches →
@@ -440,6 +478,9 @@ final class GraftScan(
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (deleteMode != GraftDeleteMode.Apply) throw new IllegalArgumentException(
+      s"topic '$topic': change-data-feed delete modes are batch reads — " +
+      "a stream always applies the live deletion vectors")
     if (asOfIds.isDefined) throw new IllegalArgumentException(
       s"topic '$topic': an upper time-travel pin (VERSION/TIMESTAMP AS OF, " +
       "asOfVersion, endingVersion) is a batch read — a stream follows the " +

@@ -290,6 +290,19 @@ final class GraftTopicTable(
     if (effStarting.isDefined && effStartingTime.isDefined)
       throw new IllegalArgumentException(
         "options 'startingVersion' and startingTime* are mutually exclusive")
+    // change-data-feed internals (TopicHandle.changes composes these):
+    //  - applyDeletionVectors=false — the raw log (insert preimages);
+    //  - cdfDeleteRoot=<path>       — ONLY that vector root's delete
+    //    preimages (reader filter inverted, window clamped to the root)
+    val effDeleteMode: GraftDeleteMode =
+      (opt("applyDeletionVectors"), opt("cdfDeleteRoot")) match {
+        case (_, Some(root)) => GraftDeleteMode.Only(root)
+        case (Some(v), None) if v.equalsIgnoreCase("false") => GraftDeleteMode.Ignore
+        case (Some(v), None) if v.equalsIgnoreCase("true") => GraftDeleteMode.Apply
+        case (Some(v), None) => throw new IllegalArgumentException(
+          s"applyDeletionVectors must be true|false, got '$v'")
+        case (None, None) => GraftDeleteMode.Apply
+      }
     new GraftScanBuilder(catalog, topic,
       effConsumer,
       opt("targets").map(_.split(',').map(_.trim.toInt).toSeq).orElse(targets),
@@ -297,7 +310,8 @@ final class GraftTopicTable(
       effStartingTime,
       opt("maxBytesPerTrigger").map(_.toLong).orElse(maxBytesPerTrigger),
       effAsOf,
-      effStarting)
+      effStarting,
+      effDeleteMode)
   }
 
   /** `DELETE FROM cat.topic WHERE …` = the engine's compliance delete
