@@ -1314,6 +1314,47 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
         .orderBy(col("change_type"), col("partition"))
     },
+    "q_stream_changes" -> { (s, dir) =>
+      // STREAMING change data feed: readStream + readChangeFeed=true — the
+      // same change semantics as q_table_changes but through the DSv2
+      // source, whose offsets carry the emitted-deletes version frontier
+      // next to the id cursor. Born at startingVersion v1; an admission cap
+      // forces the insert window to drain across several micro-batches
+      // while the delete preimages (whose rows predate the id cursor)
+      // arrive via the version axis — per-row commit attribution must stay
+      // exact under any trigger slicing.
+      val d = tempDriver(s)
+      d.createTopic("scdf_demo", partitions = 4)
+      val topic = d.openTopic("scdf_demo")
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 256))
+      val v1 = topic.history().orderBy("version").collect()
+        .map(_.getAs[Long]("version")).last
+      topic.producer().produce(sourceByEidRange(s, dir, 256, 640))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.deleteWhereVectored(pmod(eid, lit(7)) === 0): Unit
+      val qname = s"q_stream_changes_${EnginePack.streamRun.incrementAndGet()}"
+      val query = s.readStream.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "scdf_demo")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", v1.toString)
+        .option("maxEventsPerTrigger", "128")
+        .load()
+        .writeStream.format("memory").queryName(qname)
+        .option("checkpointLocation", {
+          val ckpt = Files.createTempDirectory("graft-scdf-ckpt")
+          EnginePack.cleanupOnExit(ckpt)
+          ckpt.toString
+        })
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.table(qname)
+        .select(col("_change_type").as("change_type"), col("partition"), eid.as("k"))
+        .groupBy(col("change_type"), col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
+        .orderBy(col("change_type"), col("partition"))
+    },
     "q_multi_topic" -> { (s, dir) =>
       // multi-topic subscribe: union of two topic logs with a `topic` tag
       val d = tempDriver(s)
@@ -2317,6 +2358,21 @@ object EnginePack extends QueryPack {
     // INCLUDED — they were inserted in the span); deletes = every
     // vectored row's preimage across both produces
     "q_table_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(event_id % 4 AS INT) AS partition,
+        |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM events WHERE event_id >= 256 AND event_id < 640
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, CAST(event_id % 4 AS INT) AS partition,
+        |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM events WHERE event_id < 640 AND event_id % 7 = 0
+        |  GROUP BY 2
+        |) ORDER BY change_type, partition""".stripMargin,
+    // same change windows as q_table_changes, drained through the source
+    "q_stream_changes" ->
       """SELECT * FROM (
         |  SELECT 'insert' AS change_type, CAST(event_id % 4 AS INT) AS partition,
         |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,

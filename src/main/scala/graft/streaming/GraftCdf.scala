@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.connector.read.InputPartition
+
+import graft.engine.{Catalog, TopicVersion}
+
+/**
+ * Per-slice change-data-feed metadata, shipped to executor readers
+ * ([[GraftInputPartition.cdf]]). Exactly one of the two shapes:
+ *
+ *  - insert slice: `changeType = "insert"`, `span` holds this PARTITION's
+ *    in-span commits as (version, id-watermark, commitTimeMs) ascending by
+ *    version — the reader attributes each row to the FIRST commit whose
+ *    watermark covers its id (exact: ids are dense, watermarks monotone;
+ *    the same rule as [[graft.engine.TopicHandle.changes]]);
+ *  - delete slice: `changeType = "delete"`, `version`/`tsMillis` are the
+ *    vector root's commit — constants for every row the slice surfaces.
+ */
+final case class CdfSlice(
+    changeType: String, version: Long, tsMillis: Long,
+    span: Seq[(Long, Long, Long)] = Nil)
+
+/**
+ * Shared change-feed planning for the batch scan (`spark.read.format
+ * ("graft").option("readChangeFeed", "true")`) and the streaming source
+ * (`readStream` + the same option): the scan-level form of
+ * [[graft.engine.TopicHandle.changes]], emitting the topic schema plus
+ * `_change_type` / `_commit_version` / `_commit_timestamp`
+ * ([[GraftTopicTable.CdfSchema]]).
+ *
+ * The plan is the union of two pure scans, no joins:
+ *
+ *  - INSERT slices: the raw log ([[GraftDeleteMode.Ignore]] — a row
+ *    inserted in the span is an insert even if vector-deleted later) over
+ *    the id window `[from, until)` per partition; per-row commit
+ *    attribution rides as the slice's watermark span.
+ *  - DELETE slices: one [[GraftDeleteMode.Only]] scan per vector root
+ *    attributed to a version in `(fromVer, toVer]` — the root's footer id
+ *    bounds clamp each partition's window, so extracting a sliver of
+ *    preimages from a huge log plans O(root id-span) files.
+ *
+ * Honest limits are those of the underlying mechanisms (documented on
+ * `TopicHandle.changes`): physically purged rows do not replay, and a
+ * rewrite that folds vectors consumes the delete preimages with them —
+ * read the feed before maintenance folds it.
+ */
+object GraftCdf {
+  val ChangeTypeColumn = "_change_type"
+  val CommitVersionColumn = "_commit_version"
+  val CommitTimestampColumn = "_commit_timestamp"
+  val Columns: Set[String] =
+    Set(ChangeTypeColumn, CommitVersionColumn, CommitTimestampColumn)
+
+  /** The root's commit, by the same rule as `TopicHandle.changes`: the seq
+    * embedded in the root name when present (every vectored delete commits
+    * its own version), else the first retained commit at/after the root's
+    * timestamp (fold-rewritten roots). */
+  def attributeRoot(root: String, history: Vector[TopicVersion]): Option[TopicVersion] =
+    Catalog.vectorRootVersion(root) match {
+      case Some(v) => history.find(_.version == v)
+      case None =>
+        val ms = Catalog.vectorRootMillis(root)
+        history.find(_.commitTimeMs >= ms)
+    }
+
+  /** Plan the change feed for commits in `(fromVer, toVer]` with insert id
+    * windows `[from(p), until(p))`. `history` must be the topic's current
+    * retained history (one `versionHistory` read per plan, shared by both
+    * sides). */
+  def planChanges(catalog: Catalog, topic: String, targets: Option[Set[Int]],
+                  fromVer: Long, toVer: Long,
+                  from: Int => Long, until: Int => Long,
+                  stats: Option[FileStatsCache],
+                  history: Vector[TopicVersion]): Array[InputPartition] = {
+    // Insert attribution is per ROW by id (first commit whose watermark
+    // covers it), so the span is every retained version up to `toVer` —
+    // NOT just (fromVer, toVer]: the id window already excludes pre-span
+    // rows for a batch read, and a rate-capped STREAM legitimately drains
+    // ids belonging to versions at/below its already-advanced version
+    // frontier (deletes advance `ver` on the first trigger; inserts may
+    // lag triggers behind).
+    val insertSpan = history.filter(_.version <= toVer)
+    val span = history.filter(v => v.version > fromVer && v.version <= toVer)
+
+    val inserts = GraftPartitions.plan(catalog, topic, targets, from, until,
+        stats, deleteMode = GraftDeleteMode.Ignore)
+      .collect { case ip: GraftInputPartition =>
+        ip.copy(cdf = Some(CdfSlice("insert", -1L, -1L,
+          insertSpan.map(v =>
+            (v.version, v.watermarks.getOrElse(ip.partition, 0L), v.commitTimeMs)))))
+      }
+
+    val deletes = catalog.deleteVectorFiles(topic).flatMap { root =>
+      attributeRoot(root, history)
+        .filter(v => v.version > fromVer && v.version <= toVer)
+        .toSeq.flatMap { v =>
+          val bounds = catalog.deleteVectorRootStats(root)
+          GraftPartitions.plan(catalog, topic, targets,
+              from = p => bounds.get(p).fold(Long.MaxValue)(_.minId),
+              until = p => bounds.get(p).fold(Long.MinValue)(s =>
+                if (s.maxId == Long.MaxValue) Long.MaxValue else s.maxId + 1L),
+              stats, deleteMode = GraftDeleteMode.Only(root))
+            .collect { case ip: GraftInputPartition =>
+              ip.copy(cdf = Some(CdfSlice("delete", v.version, v.commitTimeMs)))
+            }
+        }
+    }
+    (inserts ++ deletes).toArray[InputPartition]
+  }
+}

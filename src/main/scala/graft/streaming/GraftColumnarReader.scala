@@ -28,7 +28,8 @@ private[streaming] object GraftReaderSupport {
     * id away. */
   def readSchemaOf(requiredSchema: StructType): StructType = {
     val dataCols = requiredSchema.filter(f =>
-      f.name != "partition" && f.name != GraftTopicTable.FileColumn)
+      f.name != "partition" && f.name != GraftTopicTable.FileColumn &&
+        !GraftCdf.Columns.contains(f.name))
     if (dataCols.exists(_.name == "event_id")) StructType(dataCols)
     else StructType(dataCols :+ StructField("event_id", LongType, nullable = false))
   }

@@ -11,13 +11,32 @@ import graft.engine.Catalog
  * Streaming offset: next-unread EventID per partition — exactly the
  * reference's per-consumer cursor state
  * (`/root/reference/src/DefaultPartitionManager.hpp:214-215`).
+ *
+ * A change-feed stream (`readChangeFeed`) additionally carries `ver`: the
+ * highest commit VERSION whose deletion-vector preimages have been
+ * emitted. Plain streams keep the legacy bare-map JSON, so existing
+ * checkpoints deserialize unchanged; CDF offsets wrap both fields.
  */
-final case class TopicOffset(next: Map[Int, Long]) extends Offset {
-  override def json(): String = Catalog.idMapToJson(next)
+final case class TopicOffset(next: Map[Int, Long], ver: Option[Long] = None)
+  extends Offset {
+  override def json(): String = ver match {
+    case None => Catalog.idMapToJson(next)
+    case Some(v) => s"""{"ver":$v,"next":${Catalog.idMapToJson(next)}}"""
+  }
 }
 
 object TopicOffset {
-  def fromJson(json: String): TopicOffset = TopicOffset(Catalog.idMapFromJson(json))
+  def fromJson(json: String): TopicOffset = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case o: JObject if (o \ "ver") != JNothing =>
+        val JInt(v) = (o \ "ver"): @unchecked
+        val next = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(o \ "next"))
+        TopicOffset(Catalog.idMapFromJson(next), Some(v.toLong))
+      case _ => TopicOffset(Catalog.idMapFromJson(json))
+    }
+  }
 }
 
 /**
@@ -40,12 +59,22 @@ final class GraftMicroBatchStream(
     serializerJson: String = """{"type":"json"}""",
     startingTime: Option[(String, Long)] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    startingIds: Option[Map[Int, Long]] = None)
+    startingIds: Option[Map[Int, Long]] = None,
+    cdf: Boolean = false,
+    startingVersionNum: Option[Long] = None)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private var availableNowTarget: Option[TopicOffset] = None
   /** chunk files are immutable — footer ranges cached for the stream's life */
   private val fileStats = new FileStatsCache
+
+  /** CDF streams track the emitted-deletes version frontier; the latest
+    * retained version is one manifest-log listing per trigger (the same
+    * order of work as the `currentNext` watermark read). */
+  private def currentVersion(): Long =
+    catalog.versionHistory(topic).lastOption.map(_.version).getOrElse(0L)
+
+  private def verOf(o: TopicOffset): Long = o.ver.getOrElse(0L)
 
   private def currentNext(): Map[Int, Long] = {
     val next = catalog.nextIds(topic)
@@ -80,13 +109,18 @@ final class GraftMicroBatchStream(
           .orElse(consumer.map(c => catalog.cursor(topic, c)))
           .getOrElse(Map.empty)
     }
-    TopicOffset(currentNext().keys.map(p => p -> start.getOrElse(p, 0L)).toMap)
+    TopicOffset(currentNext().keys.map(p => p -> start.getOrElse(p, 0L)).toMap,
+      // CDF: delete emission starts right past the birth version — the
+      // startingVersion pin when given, else the beginning of history
+      // (emit every retained in-span delete, mirroring changes(0, now))
+      if (cdf) Some(startingVersionNum.getOrElse(0L)) else None)
   }
 
   override def deserializeOffset(json: String): Offset = TopicOffset.fromJson(json)
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(TopicOffset(currentNext()))
+    availableNowTarget = Some(TopicOffset(currentNext(),
+      if (cdf) Some(currentVersion()) else None))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -245,7 +279,16 @@ final class GraftMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = availableNowTarget.map(_.next).getOrElse(currentNext())
-    val from = start.asInstanceOf[TopicOffset].next
+    val startOff = start.asInstanceOf[TopicOffset]
+    val from = startOff.next
+    // CDF version frontier: admission caps bound the INSERT id window only
+    // (delete preimages are maintenance-bounded — ≤4 roots before a fold);
+    // max() keeps the offset monotone across a restoreTo that dropped tail
+    // versions mid-stream.
+    val targetVer: Option[Long] =
+      if (!cdf) None
+      else Some(math.max(verOf(startOff),
+        availableNowTarget.flatMap(_.ver).getOrElse(currentVersion())))
     def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
       case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
       case other => Seq(other)
@@ -256,10 +299,12 @@ final class GraftMicroBatchStream(
       case (tgt, bytes: ReadMaxBytes) => capBytes(from, tgt, bytes.maxBytes())
       case (tgt, _) => tgt
     }
-    TopicOffset(capped.map { case (p, v) => p -> math.max(v, from.getOrElse(p, 0L)) })
+    TopicOffset(capped.map { case (p, v) => p -> math.max(v, from.getOrElse(p, 0L)) },
+      targetVer)
   }
 
-  override def reportLatestOffset(): Offset = TopicOffset(currentNext())
+  override def reportLatestOffset(): Offset =
+    TopicOffset(currentNext(), if (cdf) Some(currentVersion()) else None)
 
   /** Memoized per (start, end), briefly: Spark's DSv2 machinery calls
     * planInputPartitions several times per micro-batch (measured ~6× —
@@ -270,23 +315,32 @@ final class GraftMicroBatchStream(
     * same offsets must re-plan, or a compaction that rewrote the chunk
     * files in between would pin the retry to deleted paths forever
     * (the roll-race recovery contract). */
-  private var lastPlan: Option[((Map[Int, Long], Map[Int, Long]), Long, Array[InputPartition])] =
+  private var lastPlan: Option[((TopicOffset, TopicOffset), Long, Array[InputPartition])] =
     None
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {
-      val s = start.asInstanceOf[TopicOffset].next
-      val e = end.asInstanceOf[TopicOffset].next
+      val so = start.asInstanceOf[TopicOffset]
+      val eo = end.asInstanceOf[TopicOffset]
+      val s = so.next
+      val e = eo.next
       val now = System.nanoTime()
       lastPlan match {
         case Some((key, at, planned))
-            if key == (s, e) && now - at < 10L * 1000 * 1000 * 1000 => planned
+            if key == (so, eo) && now - at < 10L * 1000 * 1000 * 1000 => planned
         case _ =>
-          val planned = GraftPartitions.plan(catalog, topic, targets,
-            from = p => s.getOrElse(p, 0L),
-            until = p => e.getOrElse(p, 0L),
-            Some(fileStats))
-          lastPlan = Some(((s, e), now, planned))
+          val planned =
+            if (cdf)
+              GraftCdf.planChanges(catalog, topic, targets,
+                fromVer = verOf(so), toVer = verOf(eo),
+                from = p => s.getOrElse(p, 0L),
+                until = p => e.getOrElse(p, 0L),
+                Some(fileStats), catalog.versionHistory(topic))
+            else GraftPartitions.plan(catalog, topic, targets,
+              from = p => s.getOrElse(p, 0L),
+              until = p => e.getOrElse(p, 0L),
+              Some(fileStats))
+          lastPlan = Some(((so, eo), now, planned))
           planned
       }
     }
@@ -297,8 +351,10 @@ final class GraftMicroBatchStream(
     // [start, end) cursor window is enforced per batch by the columnar
     // reader, exactly like the watermark on the batch path)
     GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson,
-      columnar = graft.engine.Serializer.fromDescriptorJson(serializerJson) ==
-        graft.engine.Serializer.Json)
+      // CDF rows carry per-row commit attribution — a row path by design
+      columnar = !cdf &&
+        graft.engine.Serializer.fromDescriptorJson(serializerJson) ==
+          graft.engine.Serializer.Json)
 
   /** Offsets are checkpoint-managed by Spark; the engine-level acknowledge
     * cursor stays an explicit consumer API call (at-least-once contract). */
@@ -614,7 +670,8 @@ object GraftPartitions {
 
 final case class GraftInputPartition(
     partition: Int, fromId: Long, untilId: Long, files: Seq[String],
-    deleteFiles: Seq[String] = Nil, deleteKeepOnly: Boolean = false)
+    deleteFiles: Seq[String] = Nil, deleteKeepOnly: Boolean = false,
+    cdf: Option[CdfSlice] = None)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** One slice per topic partition, keyed by its partition id — what lets

@@ -61,13 +61,23 @@ final class GraftPartitionReader(
     serializerJson: String = """{"type":"json"}""")
   extends PartitionReader[InternalRow] {
 
+  /** Change-feed slice metadata: when set, the pruned schema may contain
+    * the virtual `_change_type` / `_commit_version` / `_commit_timestamp`
+    * columns, computed here (insert attribution per row, delete constants
+    * per slice) — never read from parquet. */
+  private val cdfSlice: Option[CdfSlice] = slice.cdf
+  /** The pruned schema minus the CDF virtuals — what the projection maps. */
+  private val baseSchema: StructType =
+    if (cdfSlice.isEmpty) requiredSchema
+    else StructType(requiredSchema.filterNot(f => GraftCdf.Columns.contains(f.name)))
+
   /** Columns actually decoded from Parquet: the pruned schema minus the
-    * virtual columns — `partition` (a per-slice constant) and `_file` (a
-    * per-file constant), both appended by the vectorized reader — plus
-    * `event_id` — always read, because the slice bounds ARE the commit
-    * watermark and must hold exactly even when the consumer projected the
-    * id away. */
-  private val readSchema: StructType = GraftReaderSupport.readSchemaOf(requiredSchema)
+    * virtual columns — `partition` (a per-slice constant), `_file` (a
+    * per-file constant), both appended by the vectorized reader, and the
+    * CDF columns (computed here) — plus `event_id` — always read, because
+    * the slice bounds ARE the commit watermark and must hold exactly even
+    * when the consumer projected the id away. */
+  private val readSchema: StructType = GraftReaderSupport.readSchemaOf(baseSchema)
   private val idOrdinal = readSchema.fieldIndex("event_id")
 
   private val conf = GraftReaderSupport.buildConf(
@@ -78,10 +88,11 @@ final class GraftPartitionReader(
     slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId)
 
   /** The reader emits `readSchema ++ (partition, _file)`; this maps it back
-    * to the pruned schema's column order. */
+    * to the pruned schema's column order (CDF virtuals excluded — filled
+    * into [[outRow]] directly). */
   private val projection = ProjectingInternalRow(
-    requiredSchema,
-    requiredSchema.map { f =>
+    baseSchema,
+    baseSchema.map { f =>
       if (f.name == "partition") readSchema.length
       else if (f.name == GraftTopicTable.FileColumn) readSchema.length + 1
       else readSchema.fieldIndex(f.name)
@@ -90,25 +101,63 @@ final class GraftPartitionReader(
   /** Z1: topics with a non-default serializer store metadata in its encoded
     * form — decode it through the SAME rehydrated plugin the consumer view
     * uses. Default-json topics keep the zero-copy projection path
-    * (`decodeOrdinal < 0` ⇒ no per-row allocation). */
+    * (`decodeOrdinal < 0` and no CDF ⇒ no per-row allocation). */
   private val serializer = graft.engine.Serializer.fromDescriptorJson(serializerJson)
   private val decodeOrdinal: Int =
     if (serializer == graft.engine.Serializer.Json) -1
-    else requiredSchema.fieldNames.indexOf("metadata")
-  private val decodedRow =
-    if (decodeOrdinal < 0) null else new GenericInternalRow(requiredSchema.length)
+    else baseSchema.fieldNames.indexOf("metadata")
 
-  private def fillDecoded(): Unit = {
+  /** Materialized output row — needed when metadata must be decoded (Z1) or
+    * CDF virtuals are appended; null on the zero-copy fast path. */
+  private val outRow: GenericInternalRow =
+    if (decodeOrdinal < 0 && cdfSlice.isEmpty) null
+    else new GenericInternalRow(requiredSchema.length)
+  /** baseSchema field i → its position in requiredSchema. */
+  private val basePos: Array[Int] =
+    baseSchema.fieldNames.map(requiredSchema.fieldIndex)
+
+  // CDF output ordinals (those that survived pruning) + insert-attribution
+  // span as flat arrays: per row, the commit is the FIRST span entry whose
+  // id watermark exceeds the row id (ids dense, watermarks monotone — the
+  // exact rule of TopicHandle.changes); span length is bounded by the
+  // manifest retention (ManifestSnapshotEvery + 1), so the scan is O(1).
+  private val ctOrd = requiredSchema.fieldNames.indexOf(GraftCdf.ChangeTypeColumn)
+  private val cvOrd = requiredSchema.fieldNames.indexOf(GraftCdf.CommitVersionColumn)
+  private val tsOrd = requiredSchema.fieldNames.indexOf(GraftCdf.CommitTimestampColumn)
+  private val changeTypeUtf =
+    cdfSlice.map(c => org.apache.spark.unsafe.types.UTF8String.fromString(
+      c.changeType)).orNull
+  private val isDeleteSlice = cdfSlice.exists(_.changeType == "delete")
+  private val spanVers: Array[Long] = cdfSlice.map(_.span.map(_._1).toArray).getOrElse(Array.empty)
+  private val spanWms: Array[Long] = cdfSlice.map(_.span.map(_._2).toArray).getOrElse(Array.empty)
+  private val spanTs: Array[Long] = cdfSlice.map(_.span.map(_._3).toArray).getOrElse(Array.empty)
+
+  private def fillCdf(c: CdfSlice, id: Long): Unit = {
+    if (ctOrd >= 0) outRow.update(ctOrd, changeTypeUtf)
+    if (isDeleteSlice) {
+      if (cvOrd >= 0) outRow.update(cvOrd, c.version)
+      if (tsOrd >= 0) outRow.update(tsOrd, c.tsMillis * 1000L)
+    } else {
+      var i = 0
+      while (i < spanWms.length && spanWms(i) <= id) i += 1
+      val found = i < spanWms.length
+      if (cvOrd >= 0) outRow.update(cvOrd, if (found) spanVers(i) else null)
+      if (tsOrd >= 0) outRow.update(tsOrd, if (found) spanTs(i) * 1000L else null)
+    }
+  }
+
+  private def fillOut(id: Long): Unit = {
     var i = 0
-    while (i < requiredSchema.length) {
-      decodedRow.update(i,
+    while (i < baseSchema.length) {
+      outRow.update(basePos(i),
         if (projection.isNullAt(i)) null
-        else projection.get(i, requiredSchema(i).dataType))
+        else projection.get(i, baseSchema(i).dataType))
       i += 1
     }
-    if (!projection.isNullAt(decodeOrdinal))
-      decodedRow.update(decodeOrdinal,
+    if (decodeOrdinal >= 0 && !projection.isNullAt(decodeOrdinal))
+      outRow.update(basePos(decodeOrdinal),
         serializer.decode(projection.getUTF8String(decodeOrdinal)))
+    cdfSlice.foreach(fillCdf(_, id))
   }
 
   private val fileQueue = scala.collection.mutable.Queue(slice.files: _*)
@@ -129,7 +178,7 @@ final class GraftPartitionReader(
               deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0
           if (id >= slice.fromId && id < slice.untilId && passesVectors) {
             projection.project(r)
-            if (decodeOrdinal >= 0) fillDecoded()
+            if (outRow != null) fillOut(id)
             return true
           }
         } else {
@@ -145,7 +194,7 @@ final class GraftPartitionReader(
   }
 
   override def get(): InternalRow =
-    if (decodeOrdinal >= 0) decodedRow else projection
+    if (outRow != null) outRow else projection
 
   override def close(): Unit = if (reader != null) { reader.close(); reader = null }
 

@@ -27,12 +27,16 @@ final class GraftScanBuilder(
     maxBytesPerTrigger: Option[Long] = None,
     asOfIds: Option[Map[Int, Long]] = None,
     startingIds: Option[Map[Int, Long]] = None,
-    deleteMode: GraftDeleteMode = GraftDeleteMode.Apply)
+    deleteMode: GraftDeleteMode = GraftDeleteMode.Apply,
+    cdf: Boolean = false,
+    startingVerNum: Option[Long] = None,
+    endingVerNum: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
   with SupportsPushDownLimit with SupportsPushDownTopN {
 
-  private var requiredSchema: StructType = GraftTopicTable.EventSchema
+  private var requiredSchema: StructType =
+    if (cdf) GraftTopicTable.CdfSchema else GraftTopicTable.EventSchema
   private var pushed: Array[Filter] = Array.empty
 
   // narrowed by pushed filters
@@ -41,9 +45,11 @@ final class GraftScanBuilder(
   private var idHi: Option[Long] = None // exclusive
 
   override def pruneColumns(required: StructType): Unit = {
-    // the event schema plus the `_file` metadata column (appended by Spark
-    // to `required` only when a query references it)
-    val selectable = GraftTopicTable.EventSchema :+
+    // the event schema (plus CDF virtuals on a change-feed read) plus the
+    // `_file` metadata column (appended by Spark to `required` only when a
+    // query references it)
+    val selectable = (if (cdf) GraftTopicTable.CdfSchema
+                      else GraftTopicTable.EventSchema) :+
       org.apache.spark.sql.types.StructField(
         GraftTopicTable.FileColumn, org.apache.spark.sql.types.StringType, nullable = false)
     requiredSchema = StructType(
@@ -99,7 +105,8 @@ final class GraftScanBuilder(
   private var limit: Option[Int] = None
 
   override def pushLimit(n: Int): Boolean =
-    if (catalog.mayHaveIdGaps(topic) || deleteMode != GraftDeleteMode.Apply) false
+    if (cdf || catalog.mayHaveIdGaps(topic) || deleteMode != GraftDeleteMode.Apply)
+      false
     else { limit = Some(n); true }
 
   /** Top-N pushes only for `ORDER BY event_id ASC`: the reader surfaces
@@ -116,7 +123,7 @@ final class GraftScanBuilder(
           orders.head.direction == SortDirection.ASCENDING
       case _ => false
     })
-    if (ascById && !catalog.mayHaveIdGaps(topic) &&
+    if (ascById && !cdf && !catalog.mayHaveIdGaps(topic) &&
         deleteMode == GraftDeleteMode.Apply) { limit = Some(n); true }
     else false
   }
@@ -148,6 +155,9 @@ final class GraftScanBuilder(
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (idLo.isDefined || idHi.isDefined || partitionSubset.isDefined) return None
     if (catalog.mayHaveIdGaps(topic)) return None
+    // a change feed surfaces raw inserts PLUS delete preimages — watermark
+    // arithmetic counts neither
+    if (cdf) return None
     // watermark arithmetic counts LIVE rows under the normal read
     // semantics only — a raw or delete-preimage scan must really scan
     if (deleteMode != GraftDeleteMode.Apply) return None
@@ -199,7 +209,8 @@ final class GraftScanBuilder(
       case None =>
         new GraftScan(catalog, topic, consumer, effective, requiredSchema,
           idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
-          asOfIds, startingIds, perPartitionCap = limit, deleteMode = deleteMode)
+          asOfIds, startingIds, perPartitionCap = limit, deleteMode = deleteMode,
+          cdf = cdf, startingVerNum = startingVerNum, endingVerNum = endingVerNum)
     }
   }
 }
@@ -213,7 +224,10 @@ final class GraftScan(
     asOfIds: Option[Map[Int, Long]] = None,
     startingIds: Option[Map[Int, Long]] = None,
     perPartitionCap: Option[Int] = None,
-    deleteMode: GraftDeleteMode = GraftDeleteMode.Apply)
+    deleteMode: GraftDeleteMode = GraftDeleteMode.Apply,
+    cdf: Boolean = false,
+    startingVerNum: Option[Long] = None,
+    endingVerNum: Option[Long] = None)
   extends Scan
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -287,7 +301,9 @@ final class GraftScan(
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val nParts = (0 until catalog.openTopic(topic).partitions)
       .count(p => effTargets.forall(_.contains(p)))
-    if (requiredSchema.fieldNames.contains("partition") && nParts > 0)
+    // a change feed plans several slices per topic partition (insert +
+    // one per in-span vector root) — not a key-grouped layout
+    if (!cdf && requiredSchema.fieldNames.contains("partition") && nParts > 0)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions.identity("partition")),
         nParts)
@@ -322,12 +338,28 @@ final class GraftScan(
     // over-reporting rows is the conservative direction (it can only
     // suppress an auto-broadcast, never cause one).
     val deleted: Map[Int, Long] =
-      if (deleteMode == GraftDeleteMode.Apply &&
+      if (!cdf && deleteMode == GraftDeleteMode.Apply &&
           effIdLo.isEmpty && effIdHi.isEmpty && asOfIds.isEmpty &&
           startingIds.isEmpty && cap.isEmpty)
         catalog.deletedCountsByPartition(topic)
       else Map.empty
-    val rows = deleteMode match {
+    // change feed: raw insert window (no vector subtraction) PLUS the
+    // in-span delete preimages (footer-exact per root)
+    val cdfDeleteRows: Long =
+      if (!cdf) 0L
+      else {
+        val history = catalog.versionHistory(topic)
+        val fromVer = startingVerNum.getOrElse(0L)
+        val toVer = endingVerNum.getOrElse(
+          history.lastOption.map(_.version).getOrElse(0L))
+        catalog.deleteVectorFiles(topic).flatMap(root =>
+          GraftCdf.attributeRoot(root, history)
+            .filter(v => v.version > fromVer && v.version <= toVer)
+            .map(_ => catalog.deleteVectorRootStats(root)
+              .filter { case (p, _) => parts.contains(p) }
+              .valuesIterator.map(_.rows).sum)).sum
+      }
+    val rows = cdfDeleteRows + (deleteMode match {
       case GraftDeleteMode.Only(root) =>
         // a delete-preimage scan surfaces exactly the root's vectored rows
         // — footer-exact, which lets Catalyst broadcast the (small) delete
@@ -336,9 +368,10 @@ final class GraftScan(
         parts.map(p => stats.get(p).fold(0L)(_.rows)).sum
       case _ => parts.map(p => math.max(0L,
         batchHi(p, next, cap) - batchLo(p) - deleted.getOrElse(p, 0L))).sum
-    }
+    })
     val physicalCols = requiredSchema.fieldNames
-      .filter(n => n != "partition" && n != GraftTopicTable.FileColumn)
+      .filter(n => n != "partition" && n != GraftTopicTable.FileColumn &&
+        !GraftCdf.Columns.contains(n))
     val bytes =
       if (rows == 0L) 0L
       else sampleBytesPerRow(physicalCols) match {
@@ -415,7 +448,8 @@ final class GraftScan(
   override def description(): String = {
     val pins = (startingIds.map(w => s", after=$w") ++
       asOfIds.map(w => s", asOf=$w") ++
-      effCap.map(n => s", cap=$n")).mkString
+      effCap.map(n => s", cap=$n") ++
+      (if (cdf) Seq(", changeFeed") else Nil)).mkString
     s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
       s"targets=$effTargets, idRange=[${effIdLo.getOrElse(0L)}, ${effIdHi.getOrElse("∞")})$pins)"
   }
@@ -460,7 +494,20 @@ final class GraftScan(
             math.min(batchHi(p, next, cap), b._2))
         case _ => batchHi(p, next, cap)
       }
-      GraftPartitions.plan(catalog, topic, effTargets,
+      if (cdf) {
+        // batch change feed (readChangeFeed=true): inserts over the
+        // version-diff id window (startingVersion watermarks → batchLo,
+        // endingVersion pin → batchHi via asOfIds) + one bounded
+        // delete-preimage scan per in-span vector root — the scan-level
+        // form of TopicHandle.changes (shared planner: GraftCdf)
+        val history = catalog.versionHistory(topic)
+        GraftCdf.planChanges(catalog, topic, effTargets,
+          fromVer = startingVerNum.getOrElse(0L),
+          toVer = endingVerNum.getOrElse(
+            history.lastOption.map(_.version).getOrElse(0L)),
+          from = clampLo, until = clampHi,
+          stats.orElse(Some(new FileStatsCache)), history)
+      } else GraftPartitions.plan(catalog, topic, effTargets,
         from = clampLo,
         until = clampHi,
         stats,
@@ -473,8 +520,10 @@ final class GraftScan(
       // by the columnar reader, so eligibility is a serializer question
       // only; see GraftColumnarPartitionReader)
       GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson,
-        columnar = graft.engine.Serializer.fromDescriptorJson(serializerJson) ==
-          graft.engine.Serializer.Json)
+        // CDF rows carry per-row commit attribution — a row path by design
+        columnar = !cdf &&
+          graft.engine.Serializer.fromDescriptorJson(serializerJson) ==
+            graft.engine.Serializer.Json)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
@@ -488,7 +537,7 @@ final class GraftScan(
       "choose where it begins")
     new GraftMicroBatchStream(catalog, topic, consumer, targets, requiredSchema,
       maxEventsPerTrigger, serializerJson, startingTime, maxBytesPerTrigger,
-      startingIds)
+      startingIds, cdf = cdf, startingVersionNum = startingVerNum)
   }
 }
 

@@ -112,7 +112,8 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTopicTable.EventSchema
+    if (options.getBoolean("readChangeFeed", false)) GraftTopicTable.CdfSchema
+    else GraftTopicTable.EventSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -135,7 +136,8 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
       Option(opts.get("maxEventsPerTrigger")).map(_.toLong),
       startingTime,
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
-      asOfVersion = Option(opts.get("asOfVersion")))
+      asOfVersion = Option(opts.get("asOfVersion")),
+      cdf = opts.getBoolean("readChangeFeed", false))
   }
 
   private def require(opts: CaseInsensitiveStringMap, key: String): String = {
@@ -187,6 +189,15 @@ object GraftTopicTable {
   /** The canonical event schema (single definition: [[Catalog.EventSchema]]). */
   val EventSchema: StructType = Catalog.EventSchema
 
+  /** Change-feed schema (`readChangeFeed=true`): events plus the CDF
+    * virtuals — `_change_type` ('insert' | 'delete'), `_commit_version`,
+    * `_commit_timestamp` — computed by the reader, never stored
+    * ([[GraftCdf]]; the Delta CDF column triple). */
+  val CdfSchema: StructType = StructType(EventSchema.fields ++ Seq(
+    StructField(GraftCdf.ChangeTypeColumn, StringType, nullable = false),
+    StructField(GraftCdf.CommitVersionColumn, LongType, nullable = true),
+    StructField(GraftCdf.CommitTimestampColumn, TimestampType, nullable = true)))
+
   /** Metadata column (`SupportsMetadataColumns`): the chunk file a row was
     * read from — the engine's `input_file_name` analog, surfaced per-file
     * as a constant column by the reader (no per-row cost). */
@@ -200,14 +211,16 @@ final class GraftTopicTable(
     startingTime: Option[(String, Long)] = None,
     maxBytesPerTrigger: Option[Long] = None,
     asOfIds: Option[Map[Int, Long]] = None,
-    asOfVersion: Option[String] = None)
+    asOfVersion: Option[String] = None,
+    cdf: Boolean = false)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft:$topic"
-  override def schema(): StructType = GraftTopicTable.EventSchema
+  override def schema(): StructType =
+    if (cdf) GraftTopicTable.CdfSchema else GraftTopicTable.EventSchema
 
   /** `_file` (SELECT `_file` FROM cat.topic / df.select("_file")): the chunk
     * file each event was read from — lineage/debug surface with zero
@@ -266,13 +279,13 @@ final class GraftTopicTable(
     //  - startingVersion: EXCLUSIVE lower pin (events produced AFTER that
     //    commit — the incremental-export resume semantic of
     //    events(from, to); on a stream, where the stream is born).
-    def resolveVersion(key: String, v: String): Map[Int, Long] = {
-      val seq = try v.trim.toLong catch {
+    def parseVersion(key: String, v: String): Long =
+      try v.trim.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"$key must be a commit version number (see TopicHandle.history()), got '$v'")
       }
-      catalog.watermarkAsOf(topic, seq)
-    }
+    def resolveVersion(key: String, v: String): Map[Int, Long] =
+      catalog.watermarkAsOf(topic, parseVersion(key, v))
     def versionOpt(key: String): Option[Map[Int, Long]] =
       opt(key).map(resolveVersion(key, _))
     if (opt("asOfVersion").isDefined && opt("endingVersion").isDefined)
@@ -303,6 +316,31 @@ final class GraftTopicTable(
           s"applyDeletionVectors must be true|false, got '$v'")
         case (None, None) => GraftDeleteMode.Apply
       }
+    // readChangeFeed=true: the scan-level change feed (GraftCdf) — events
+    // plus _change_type/_commit_version/_commit_timestamp, batch and
+    // streaming. The flag must arrive at LOAD time (format("graft") or
+    // getTable properties), because it widens the table SCHEMA; a read
+    // option on a catalog-resolved table can't grow resolved output.
+    val effCdf = options.getBoolean("readChangeFeed", cdf)
+    if (effCdf && !cdf) throw new IllegalArgumentException(
+      s"topic '$topic': readChangeFeed must be set when the table is " +
+      "loaded — spark.read/readStream.format(\"graft\")" +
+      ".option(\"readChangeFeed\", \"true\") — not as a per-scan option " +
+      "on a catalog table (the change columns are part of the schema); " +
+      "or use TopicHandle.changes(from, to)")
+    if (effCdf && effConsumer.isDefined) throw new IllegalArgumentException(
+      "options 'consumer' and 'readChangeFeed' are mutually exclusive — " +
+      "a change feed positions by commit version (startingVersion), not a cursor")
+    if (effCdf && effStartingTime.isDefined) throw new IllegalArgumentException(
+      "options 'readChangeFeed' and startingTime* are mutually exclusive — " +
+      "a change feed positions by commit version (startingVersion)")
+    if (effCdf && effDeleteMode != GraftDeleteMode.Apply)
+      throw new IllegalArgumentException(
+        "readChangeFeed already reads raw inserts and delete preimages — " +
+        "applyDeletionVectors/cdfDeleteRoot don't compose with it")
+    val startingVerNum = opt("startingVersion").map(parseVersion("startingVersion", _))
+    val endingVerNum = opt("endingVersion").orElse(opt("asOfVersion"))
+      .orElse(asOfVersion).map(parseVersion("endingVersion", _))
     new GraftScanBuilder(catalog, topic,
       effConsumer,
       opt("targets").map(_.split(',').map(_.trim.toInt).toSeq).orElse(targets),
@@ -311,7 +349,10 @@ final class GraftTopicTable(
       opt("maxBytesPerTrigger").map(_.toLong).orElse(maxBytesPerTrigger),
       effAsOf,
       effStarting,
-      effDeleteMode)
+      effDeleteMode,
+      cdf = effCdf,
+      startingVerNum = startingVerNum,
+      endingVerNum = endingVerNum)
   }
 
   /** `DELETE FROM cat.topic WHERE …` = the engine's compliance delete

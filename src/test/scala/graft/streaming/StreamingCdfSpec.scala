@@ -1,0 +1,202 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.engine.{GraftDriver, TopicHandle}
+
+/**
+ * Change data feed through the SOURCE (`readChangeFeed=true`): the
+ * scan-level form of `TopicHandle.changes` — batch
+ * (`spark.read.format("graft")`) and streaming (`readStream`, offsets
+ * carrying the emitted-deletes version frontier). Inserts are the RAW
+ * version-diff id window (a row inserted in the span counts even if
+ * vector-deleted later), deletes are full preimages of in-span vector
+ * roots, each side a pure scan.
+ */
+class StreamingCdfSpec extends SparkSpec {
+
+  private def k(c: org.apache.spark.sql.Column = col("metadata")) =
+    get_json_object(c, "$.k").cast("long")
+
+  private def newTopic(): (GraftDriver, TopicHandle, String) = {
+    val wh = Files.createTempDirectory("graft-scdf").toString
+    val d = new GraftDriver(spark, wh)
+    d.createTopic("t", partitions = 2)
+    (d, d.openTopic("t"), wh)
+  }
+
+  private def produceRange(topic: TopicHandle, from: Int, until: Int): Unit = {
+    import spark.implicits._
+    topic.producer().produce(
+      (from until until).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition")): Unit
+  }
+
+  private def lastVersion(topic: TopicHandle): Long =
+    topic.history().orderBy("version").collect().map(_.getAs[Long]("version")).last
+
+  private def readCdf(wh: String, extra: (String, String)*) = {
+    val base = spark.read.format("graft")
+      .option("warehouse", wh).option("topic", "t")
+      .option("readChangeFeed", "true")
+    extra.foldLeft(base) { case (r, (key, v)) => r.option(key, v) }.load()
+  }
+
+  /** Drain a CDF stream with AvailableNow into a buffer; resumable. */
+  private def drain(wh: String, ckpt: String, extra: (String, String)*)
+      : Seq[(String, Long, Long)] = {
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val base = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "t")
+      .option("readChangeFeed", "true")
+    val q = extra.foldLeft(base) { case (r, (key, v)) => r.option(key, v) }
+      .load()
+      .select(col("_change_type"), k().as("k"), col("_commit_version"),
+        col("_commit_timestamp"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect().map { r =>
+          assert(!r.isNullAt(3), "in-span changes carry a commit timestamp")
+          (r.getString(0), r.getLong(1), r.getLong(2))
+        }
+        acc.synchronized { acc ++= rows }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    acc.toSeq
+  }
+
+  test("batch readChangeFeed matches TopicHandle.changes") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 80)
+    val v1 = lastVersion(topic)
+    produceRange(topic, 80, 140)
+    topic.deleteWhereVectored(k() % 7 === 0): Unit
+    val v2 = lastVersion(topic)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_change_type"), k().as("k"), col("_commit_version"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+
+    val viaSource = canon(readCdf(wh,
+      "startingVersion" -> v1.toString, "endingVersion" -> v2.toString))
+    val viaHandle = canon(topic.changes(v1, v2))
+    assert(viaSource == viaHandle)
+    assert(viaSource.nonEmpty)
+    // raw inserts: vectored rows in the span still count as inserts
+    assert(viaSource.count(_._1 == "insert") == 60)
+    // preimages span BOTH produces (k % 7 == 0, k < 140)
+    assert(viaSource.count(_._1 == "delete") == 20)
+  }
+
+  test("fresh CDF stream emits the full history: raw inserts + delete preimages") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 60)
+    topic.deleteWhereVectored(k() % 10 === 0): Unit
+    val vDel = lastVersion(topic)
+
+    val got = drain(wh, Files.createTempDirectory("graft-scdf-ckpt").toString)
+    val inserts = got.filter(_._1 == "insert")
+    val deletes = got.filter(_._1 == "delete")
+    assert(inserts.map(_._2).sorted == (0L until 60L), "inserts are the raw log")
+    assert(deletes.map(_._2).sorted == (0L until 60L by 10L))
+    assert(deletes.forall(_._3 == vDel), "delete preimages carry the vector commit")
+  }
+
+  test("startingVersion births the stream past that commit, deletes included") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 50)
+    // pre-birth vector delete: must NOT replay
+    topic.deleteWhereVectored(k() < 5): Unit
+    val v1 = lastVersion(topic)
+    produceRange(topic, 50, 90)
+    topic.deleteWhereVectored(k() >= 40 && k() < 45): Unit // spans both produces
+
+    val got = drain(wh, Files.createTempDirectory("graft-scdf-ckpt").toString,
+      "startingVersion" -> v1.toString)
+    assert(got.filter(_._1 == "insert").map(_._2).sorted == (50L until 90L))
+    assert(got.filter(_._1 == "delete").map(_._2).sorted == (40L until 45L),
+      "only the post-birth vector root replays; its preimages may be OLD rows")
+  }
+
+  test("checkpoint resume: each change is emitted exactly once across drains") {
+    val (_, topic, wh) = newTopic()
+    val ckpt = Files.createTempDirectory("graft-scdf-ckpt").toString
+    produceRange(topic, 0, 40)
+    val first = drain(wh, ckpt)
+    assert(first.map(_._2).sorted == (0L until 40L))
+    assert(first.forall(_._1 == "insert"))
+
+    // new produce + a vector delete that hits FIRST-produce rows: the
+    // version frontier (not the id cursor) must surface it
+    produceRange(topic, 40, 70)
+    topic.deleteWhereVectored(k() < 10): Unit
+    val vDel = lastVersion(topic)
+    val second = drain(wh, ckpt)
+    assert(second.filter(_._1 == "insert").map(_._2).sorted == (40L until 70L))
+    assert(second.filter(_._1 == "delete").map(_._2).sorted == (0L until 10L))
+    assert(second.filter(_._1 == "delete").forall(_._3 == vDel))
+
+    // third drain with nothing new: empty
+    assert(drain(wh, ckpt).isEmpty)
+  }
+
+  test("admission-capped CDF stream splits inserts without losing attribution") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 30)
+    val v1 = lastVersion(topic)
+    produceRange(topic, 30, 60)
+    val v2 = lastVersion(topic)
+    topic.deleteWhereVectored(k() % 9 === 0): Unit
+    val vDel = lastVersion(topic)
+
+    val got = drain(wh, Files.createTempDirectory("graft-scdf-ckpt").toString,
+      "maxEventsPerTrigger" -> "16")
+    val inserts = got.filter(_._1 == "insert")
+    assert(inserts.map(_._2).sorted == (0L until 60L))
+    // attribution is per ROW, stable under any trigger slicing
+    assert(inserts.forall { case (_, key, ver) =>
+      ver == (if (key < 30) v1 else v2)
+    })
+    val deletes = got.filter(_._1 == "delete")
+    assert(deletes.map(_._2).sorted == (0L until 60L by 9L))
+    assert(deletes.forall(_._3 == vDel))
+  }
+
+  test("CDF offsets round-trip; legacy bare-map offsets still deserialize") {
+    val withVer = TopicOffset(Map(0 -> 5L, 1 -> 7L), Some(3L))
+    assert(TopicOffset.fromJson(withVer.json()) == withVer)
+    val legacy = TopicOffset(Map(0 -> 5L, 1 -> 7L))
+    assert(TopicOffset.fromJson(legacy.json()) == legacy)
+    assert(!legacy.json().contains("ver"), "plain streams keep the legacy JSON")
+  }
+
+  test("option conflicts fail loudly") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 4)
+    def bad(extra: (String, String)*): Unit = {
+      intercept[IllegalArgumentException] {
+        readCdf(wh, extra: _*).collect()
+      }: Unit
+    }
+    bad("consumer" -> "c1")
+    bad("applyDeletionVectors" -> "false")
+    bad("startingTimeField" -> "$.k", "startingTimeCutoff" -> "0")
+  }
+
+  test("column pruning composes: a change-type-only projection still plans") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 20)
+    topic.deleteWhereVectored(k() === 3): Unit
+    val counts = readCdf(wh).groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("insert" -> 20L, "delete" -> 1L))
+  }
+}
