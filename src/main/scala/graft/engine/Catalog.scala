@@ -318,16 +318,24 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * asking for an older version fails loudly in [[watermarkAsOf]].
     * Pre-log (legacy single-file) topics report no history until their
     * first commit migrates them onto the log. O(retained entries) driver
-    * work, bounded by ManifestSnapshotEvery + 1. */
+    * work, bounded by ManifestSnapshotEvery + 1 — and since log entries
+    * are IMMUTABLE BY NAME (seqs are never reused, even across rebuilds),
+    * each entry's content is read ONCE per JVM: steady-state calls cost
+    * one listing plus reads of new entries only, so the per-trigger
+    * history read of a change-feed stream stays O(1) catalog I/O. */
   def versionHistory(name: String): Vector[TopicVersion] = Catalog.retryOnRollRace {
-    val (snaps, deltas) = scanManifestLog(name)
+    val (snaps, deltas) = scanManifestLogStatuses(name)
     val entries = (snaps.map { case (s, p) => (s, p, "snapshot") } ++
       deltas.map { case (s, p) => (s, p, "delta") }).sortBy(_._1)
     var wm = Map.empty[Int, Long]
-    entries.map { case (seq, path, kind) =>
-      val mtime = fs.getFileStatus(path).getModificationTime
-      val m = TopicManifest.fromJson(readString(path))
-      wm = if (kind == "snapshot") m.watermarks else wm ++ m.watermarks
+    entries.map { case (seq, st, kind) =>
+      val mtime = st.getModificationTime
+      // mtime+len in the key: a drop+recreate at the SAME path restarts
+      // seqs, and a path-only key would serve the dead topic's entry
+      val delta = Catalog.versionEntryCached(
+        s"${st.getPath}@$mtime:${st.getLen}")(
+        TopicManifest.fromJson(readString(st.getPath)).watermarks)
+      wm = if (kind == "snapshot") delta else wm ++ delta
       TopicVersion(seq, kind, mtime, wm)
     }
   }
@@ -373,13 +381,24 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * Missing dir → both empty. The listing is O(entries), bounded by
     * ManifestSnapshotEvery + 1 via the snapshot-roll cleanup. */
   private def scanManifestLog(name: String): (Vector[(Long, Path)], Vector[(Long, Path)]) = {
+    val (snaps, deltas) = scanManifestLogStatuses(name)
+    (snaps.map { case (s, st) => (s, st.getPath) },
+      deltas.map { case (s, st) => (s, st.getPath) })
+  }
+
+  /** Same scan, keeping the listing's `FileStatus` — callers that need
+    * entry mtimes/lengths (e.g. [[versionHistory]]'s immutable-entry
+    * cache keys) get them from the ONE listing, no per-entry stat. */
+  private def scanManifestLogStatuses(name: String)
+      : (Vector[(Long, org.apache.hadoop.fs.FileStatus)],
+         Vector[(Long, org.apache.hadoop.fs.FileStatus)]) = {
     val entries =
       try fs.listStatus(manifestDir(name)).toVector.filter(_.isFile)
       catch { case _: java.io.FileNotFoundException => Vector.empty }
     def bySeq(prefix: String) = entries.flatMap { st =>
       val n = st.getPath.getName
       if (n.startsWith(prefix + "-") && n.endsWith(".json"))
-        n.stripPrefix(prefix + "-").stripSuffix(".json").toLongOption.map(_ -> st.getPath)
+        n.stripPrefix(prefix + "-").stripSuffix(".json").toLongOption.map(_ -> st)
       else None
     }.sortBy(_._1)
     (bySeq("snap"), bySeq("delta"))
@@ -2308,6 +2327,30 @@ object Catalog {
       throw new IllegalArgumentException(
         s"Invalid index name '$s': only [A-Za-z0-9_.-]+ allowed (no .tmp suffix)")
     s
+  }
+
+  /** Manifest-log entry contents keyed by (immutable) path: seqs are never
+    * reused — a rebuild advances them past the pre-delete max — so an
+    * entry read once is valid for the JVM's life. LRU-bounded like
+    * [[graft.streaming.FileStatsCache]]; folded-away entries simply stop
+    * being looked up. Serves [[Catalog.versionHistory]] (time travel, the
+    * change feed's per-trigger history read). */
+  private val versionEntries =
+    new java.util.LinkedHashMap[String, Map[Int, Long]](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[Int, Long]]): Boolean =
+        size() > 65536
+    }
+
+  private[engine] def versionEntryCached(key: String)(
+      load: => Map[Int, Long]): Map[Int, Long] = {
+    versionEntries.synchronized {
+      val hit = versionEntries.get(key)
+      if (hit != null) return hit
+    }
+    val v = load // outside the lock: entry reads are slow I/O
+    versionEntries.synchronized { versionEntries.put(key, v): Unit }
+    v
   }
 
   /** The shared `{ "partition": nextId }` map codec — used by the watermark

@@ -51,6 +51,25 @@ object GraftCdf {
   val Columns: Set[String] =
     Set(ChangeTypeColumn, CommitVersionColumn, CommitTimestampColumn)
 
+  /** Row tracking on NORMAL reads (`SELECT _commit_version, ...`): attach
+    * the insert-attribution span to already-planned slices — the reader
+    * fills the commit columns per row exactly as on a change feed, but the
+    * read semantics (deletion vectors, id windows) stay untouched: no
+    * `_change_type` is in the schema, so only attribution ordinals fill. */
+  def attachLineage(planned: Array[InputPartition],
+                    history: Vector[TopicVersion]): Array[InputPartition] =
+    planned.map {
+      case ip: GraftInputPartition => ip.copy(cdf = Some(CdfSlice("insert",
+        -1L, -1L, history.map(v =>
+          (v.version, v.watermarks.getOrElse(ip.partition, 0L), v.commitTimeMs)))))
+      case other => other
+    }
+
+  /** Did the pruned schema keep a row-tracking column? */
+  def wantsLineage(requiredSchema: org.apache.spark.sql.types.StructType): Boolean =
+    requiredSchema.fieldNames.exists(n =>
+      n == CommitVersionColumn || n == CommitTimestampColumn)
+
   /** The root's commit, by the same rule as `TopicHandle.changes`: the seq
     * embedded in the root name when present (every vectored delete commits
     * its own version), else the first retained commit at/after the root's

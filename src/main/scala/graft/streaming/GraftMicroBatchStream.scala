@@ -336,25 +336,35 @@ final class GraftMicroBatchStream(
                 from = p => s.getOrElse(p, 0L),
                 until = p => e.getOrElse(p, 0L),
                 Some(fileStats), catalog.versionHistory(topic))
-            else GraftPartitions.plan(catalog, topic, targets,
-              from = p => s.getOrElse(p, 0L),
-              until = p => e.getOrElse(p, 0L),
-              Some(fileStats))
+            else {
+              val base = GraftPartitions.plan(catalog, topic, targets,
+                from = p => s.getOrElse(p, 0L),
+                until = p => e.getOrElse(p, 0L),
+                Some(fileStats))
+              // row tracking on a plain stream: per-trigger history read,
+              // only when the commit columns were actually projected (the
+              // entry cache makes it one listing + new entries)
+              if (GraftCdf.wantsLineage(requiredSchema))
+                GraftCdf.attachLineage(base, catalog.versionHistory(topic))
+              else base
+            }
           lastPlan = Some(((so, eo), now, planned))
           planned
       }
     }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // the same columnar handoff as the batch scan: micro-batch slices of
     // default-serializer topics decode to ColumnarBatches (the trigger's
     // [start, end) cursor window is enforced per batch by the columnar
     // reader, exactly like the watermark on the batch path)
     GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson,
-      // CDF rows carry per-row commit attribution — a row path by design
-      columnar = !cdf &&
+      // CDF/row-tracking rows carry per-row commit attribution — a row
+      // path by design
+      columnar = !cdf && !GraftCdf.wantsLineage(requiredSchema) &&
         graft.engine.Serializer.fromDescriptorJson(serializerJson) ==
           graft.engine.Serializer.Json)
+  }
 
   /** Offsets are checkpoint-managed by Spark; the engine-level acknowledge
     * cursor stays an explicit consumer API call (at-least-once contract). */

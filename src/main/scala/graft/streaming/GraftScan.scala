@@ -45,13 +45,17 @@ final class GraftScanBuilder(
   private var idHi: Option[Long] = None // exclusive
 
   override def pruneColumns(required: StructType): Unit = {
-    // the event schema (plus CDF virtuals on a change-feed read) plus the
-    // `_file` metadata column (appended by Spark to `required` only when a
-    // query references it)
+    // the event schema (on a change-feed read: plus the CDF columns) plus
+    // the metadata columns — `_file`, and on normal reads the row-tracking
+    // commit pair (appended by Spark to `required` only when referenced)
+    import org.apache.spark.sql.types._
+    val metaCols =
+      StructField(GraftTopicTable.FileColumn, StringType, nullable = false) +:
+        (if (cdf) Seq.empty[StructField] else Seq(
+          StructField(GraftCdf.CommitVersionColumn, LongType, nullable = true),
+          StructField(GraftCdf.CommitTimestampColumn, TimestampType, nullable = true)))
     val selectable = (if (cdf) GraftTopicTable.CdfSchema
-                      else GraftTopicTable.EventSchema) :+
-      org.apache.spark.sql.types.StructField(
-        GraftTopicTable.FileColumn, org.apache.spark.sql.types.StringType, nullable = false)
+                      else GraftTopicTable.EventSchema) ++ metaCols
     requiredSchema = StructType(
       selectable.filter(f => required.fieldNames.contains(f.name)))
   }
@@ -507,11 +511,18 @@ final class GraftScan(
             history.lastOption.map(_.version).getOrElse(0L)),
           from = clampLo, until = clampHi,
           stats.orElse(Some(new FileStatsCache)), history)
-      } else GraftPartitions.plan(catalog, topic, effTargets,
-        from = clampLo,
-        until = clampHi,
-        stats,
-        deleteMode = deleteMode)
+      } else {
+        val planned = GraftPartitions.plan(catalog, topic, effTargets,
+          from = clampLo,
+          until = clampHi,
+          stats,
+          deleteMode = deleteMode)
+        // row tracking: _commit_version/_commit_timestamp were projected —
+        // ship the attribution span; the read semantics stay a normal read
+        if (GraftCdf.wantsLineage(requiredSchema))
+          GraftCdf.attachLineage(planned, catalog.versionHistory(topic))
+        else planned
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory =
       // columnar handoff for default-serializer topics: ColumnarBatches →
@@ -520,8 +531,9 @@ final class GraftScan(
       // by the columnar reader, so eligibility is a serializer question
       // only; see GraftColumnarPartitionReader)
       GraftReaderFactory(requiredSchema, catalog.hadoopConf, serializerJson,
-        // CDF rows carry per-row commit attribution — a row path by design
-        columnar = !cdf &&
+        // CDF/row-tracking rows carry per-row commit attribution — a row
+        // path by design
+        columnar = !cdf && !GraftCdf.wantsLineage(requiredSchema) &&
           graft.engine.Serializer.fromDescriptorJson(serializerJson) ==
             graft.engine.Serializer.Json)
   }

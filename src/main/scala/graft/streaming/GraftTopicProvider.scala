@@ -225,15 +225,35 @@ final class GraftTopicTable(
   /** `_file` (SELECT `_file` FROM cat.topic / df.select("_file")): the chunk
     * file each event was read from — lineage/debug surface with zero
     * per-row cost (the reader emits it as a per-file constant, exactly like
-    * the directory-derived `partition` column). Only read when requested:
-    * column pruning drops it like any data column. */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftTopicTable.FileColumn
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "chunk file this event was read from"
-    })
+    * the directory-derived `partition` column). `_commit_version` /
+    * `_commit_timestamp` (row tracking): the retained commit that produced
+    * each row, attributed by id against the version watermarks — the same
+    * per-row rule as the change feed, without switching the read to CDF
+    * semantics (deletion vectors still apply). All only read when
+    * requested: column pruning drops them like any data column. On a CDF
+    * read the commit columns are REGULAR schema columns, so only `_file`
+    * is offered as metadata there. BATCH reads only: Spark's DSv2
+    * streaming path resolves metadata columns in the plan but never
+    * re-prunes the stream's scan with them — streams read commit
+    * attribution via `readChangeFeed=true` instead. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def metaCol(colName: String, dt: org.apache.spark.sql.types.DataType,
+                nullable: Boolean, about: String) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = colName
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = nullable
+        override def comment(): String = about
+      }
+    val fileCol = metaCol(GraftTopicTable.FileColumn, StringType,
+      nullable = false, "chunk file this event was read from")
+    if (cdf) Array(fileCol)
+    else Array(fileCol,
+      metaCol(GraftCdf.CommitVersionColumn, LongType, nullable = true,
+        "retained commit that produced this row"),
+      metaCol(GraftCdf.CommitTimestampColumn, TimestampType, nullable = true,
+        "commit time of the retained commit that produced this row"))
+  }
 
   /** `SHOW TBLPROPERTIES` / DESCRIBE EXTENDED surface: the persisted topic
     * descriptor triple + partition count + completion flag, the same JSON
