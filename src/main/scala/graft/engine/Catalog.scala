@@ -1727,7 +1727,24 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * the hot log's. */
   def coldEvents(name: String): Option[org.apache.spark.sql.DataFrame] =
     tierState(name).filter(hasColdFiles).map { t =>
-      spark.read.schema(Catalog.EventSchema).parquet(t.coldRoot)
+      if (!t.shared)
+        spark.read.schema(Catalog.EventSchema).parquet(t.coldRoot)
+      else {
+        // SHARED inventory (shallow clone): the entries point into the
+        // SOURCE topic's directories, which keep growing — read exactly
+        // the LISTED files, never the root. Whole-log surface, so
+        // materializing the list is proportional to the read; one read
+        // per base dir (the dir holding partition=N) keeps directory
+        // partition inference working for entries under different roots
+        // (a clone of a tiered source references hot AND cold files).
+        val files = tierFilesAll(name, t).valuesIterator.flatten.map(_.path).toSeq
+        files.groupBy(p => new Path(p).getParent.getParent.toString)
+          .map { case (base, fsq) =>
+            spark.read.option("basePath", base)
+              .schema(Catalog.EventSchema).parquet(fsq.toSeq: _*)
+          }
+          .reduce(_ unionByName _)
+      }
     }
 
   /** The full log (hot ∪ cold) in raw stored form, None when no data was
@@ -1780,6 +1797,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         }
       require(coldRoot.isEmpty || tierState(name).forall(_.coldRoot == coldRoot),
         s"topic '$name' already has a cold tier at a different root")
+      // a shallow clone's cold inventory points INTO the source topic —
+      // archiving would move this topic's hot files next to files it does
+      // not own; materialize first (restoreArchive copies them home)
+      require(!tierState(name).exists(_.shared),
+        s"topic '$name' is a shallow clone — restoreArchive() (materialize) " +
+        "before archiving")
       require(!new Path(root).toString.startsWith(new Path(logPath(name)).toString),
         "coldRoot must not be inside the hot log directory")
       // uncommitted orphans (a produce dead between manifest and id
@@ -1879,8 +1902,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             // CRASH-RESUMABLE: a prior restore attempt that died before
             // dropping the tier state already brought this file home —
             // skip it; a dst that exists WHILE the cold copy also exists
-            // is a real conflict and stays loud
-            if (fs.exists(dst) && !coldFs.exists(src)) {
+            // is a real conflict and stays loud. SHARED inventories
+            // (shallow clones) COPY without touching the source, so there
+            // the source always still exists and dst-exists means resume.
+            if (fs.exists(dst) && (t.shared || !coldFs.exists(src))) {
               moved += 1
             } else if (fs.exists(dst)) {
               throw new java.io.IOException(
@@ -1889,9 +1914,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
               fs.mkdirs(dstDir)
               val sameFs = fs.getUri == coldFs.getUri
               val ok =
-                if (sameFs) fs.rename(src, dst)
-                else org.apache.hadoop.fs.FileUtil.copy(coldFs, src, fs, dst, true,
-                  true, hadoopConf)
+                if (sameFs && !t.shared) fs.rename(src, dst)
+                else org.apache.hadoop.fs.FileUtil.copy(coldFs, src, fs, dst,
+                  !t.shared, true, hadoopConf)
               if (!ok) throw new java.io.IOException(s"restore: cannot move $src -> $dst")
               moved += 1
             }
@@ -1901,6 +1926,105 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         rebuildManifest(name)
         moved
     } finally releaseCompactLock(name)
+  }
+
+  /**
+   * SHALLOW CLONE (the Delta `CREATE TABLE ... SHALLOW CLONE` analog): a
+   * new topic whose committed history IS the source's files, copied by
+   * REFERENCE — O(metadata) work and zero data bytes moved, so cloning a
+   * 100 TB topic for an experiment costs what one manifest write costs.
+   *
+   * Mechanics (all existing machinery):
+   *  - the clone's file inventory is a `shared` cold-tier state pointing
+   *    at the source's chunk files (absolute paths — the planner already
+   *    reads cold entries in place); past the driver threshold it rolls
+   *    into a parquet relation exactly like any big tier list, built as a
+   *    Spark union of the source's manifest/tier relations — nothing
+   *    O(files) materializes on the driver;
+   *  - watermark and manifest: the clone commits ONE snapshot carrying the
+   *    source's committed id frontier (its version-1 commit); ids continue
+   *    densely from there, so produces into the clone work immediately;
+   *  - deletion vectors: copied (they are O(deleted), not O(data)) — the
+   *    clone sees the source's deletes as of the clone, and later deletes
+   *    on either side stay isolated;
+   *  - the id-gap marker is inherited (gaps are a property of the data).
+   *
+   * Isolation and honest limits: produces/deletes/maintenance on either
+   * side never affect the other — EXCEPT physical file deletion on the
+   * source (compact/deleteWhere/expire/vacuum rewrite or remove chunk
+   * files the clone references), the same caveat as Delta's VACUUM vs
+   * shallow clones. `restoreArchive()` on the clone MATERIALIZES it
+   * (copies the shared files home without touching the source, then
+   * rebuilds the manifest) — the lazy path to a deep clone; archiving a
+   * still-shallow clone refuses. Runs under the SOURCE's compact lock so
+   * a concurrent rewrite cannot delete files between inventory read and
+   * commit; concurrent produces are safe (a committed manifest's files
+   * are immutable — the clone just pins that commit).
+   */
+  def cloneTopic(src: String, dst: String): Unit = {
+    val cfg = openTopic(src)
+    if (topicExists(dst)) throw new IllegalStateException("Topic already exists")
+    acquireCompactLock(src)
+    try {
+      createTopic(cfg.copy(name = dst))
+      val m = readManifest(src)
+      val wm: Map[Int, Long] = m.map(_.watermarks).getOrElse(
+        (0 until cfg.partitions).map(_ -> 0L).toMap)
+      val srcLogQ = fs.makeQualified(new Path(logPath(src))).toString
+      def absHot(f: ManifestFile): ManifestFile =
+        f.copy(path = new Path(srcLogQ, f.path).toString)
+      val tier = tierState(src)
+      // driver-held tails (bounded: post-snapshot deltas / post-roll adds)
+      val tails: Map[Int, Vector[ManifestFile]] = {
+        val hot = m.map(_.files).getOrElse(Map.empty).view
+          .mapValues(_.map(absHot)).toMap
+        tier.map(_.files).getOrElse(Map.empty).foldLeft(hot) {
+          case (acc, (p, add)) => acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
+        }
+      }
+      val rels: Seq[org.apache.spark.sql.DataFrame] =
+        m.flatMap(manifestFilesRel(src, _)).map { rel =>
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          rel.withColumn("path", concat(lit(srcLogQ + "/"), col("path")))
+        }.toSeq ++ tier.flatMap(tierFilesRel(src, _)).toSeq
+      val tailTotal = tails.valuesIterator.map(_.size.toLong).sum
+      if (rels.isEmpty && tailTotal <= Catalog.manifestDriverMax(spark)) {
+        writeAtomic(tierPath(dst),
+          TierState(topicPath(src).toString, tails, None, shared = true).toJson)
+      } else {
+        // big source: the clone's inventory is a parquet relation from day
+        // one — a Spark union of the source's relations plus the tails
+        import spark.implicits._
+        val tailDf = tails.toSeq
+          .flatMap { case (p, fsq) => fsq.map(f => (p, f.path, f.lo, f.hi)) }
+          .toDF("partition", "path", "lo", "hi")
+        val ref = "_tier-files-1.parquet"
+        rels.reduceOption(_ unionByName _).map(_.unionByName(tailDf))
+          .getOrElse(tailDf)
+          .write.mode("overwrite")
+          .parquet(new Path(topicPath(dst), ref).toString)
+        writeAtomic(tierPath(dst),
+          TierState(topicPath(src).toString, Map.empty, Some(ref),
+            shared = true).toJson)
+      }
+      writeNextIds(dst, wm)
+      fs.mkdirs(manifestDir(dst))
+      writeAtomic(new Path(manifestDir(dst), seqFileName("snap", 1L)),
+        TopicManifest(wm, Map.empty).toJson)
+      // deletion vectors: O(deleted) small parquet files — copy, don't share
+      // (each side's future deletes must stay its own)
+      val srcDel = deletesDir(src)
+      if (fs.exists(srcDel))
+        fs.listStatus(srcDel)
+          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("tmp-"))
+          .foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new Path(deletesDir(dst), st.getPath.getName), false, true,
+            hadoopConf): Unit
+        }
+      if (mayHaveIdGaps(src)) markIdGaps(dst)
+      manifestCache.remove(dst): Unit
+    } finally releaseCompactLock(src)
   }
 
   // -- transactions + idempotent-producer state (see Transactions.scala) ----
@@ -2485,14 +2609,16 @@ final case class TierReport(filesMoved: Int, bytesMoved: Long)
   * than the manifest's (planners prune the relation and collect only the
   * slice-overlapping cold files). */
 final case class TierState(coldRoot: String, files: Map[Int, Vector[ManifestFile]],
-                           filesRef: Option[String] = None) {
+                           filesRef: Option[String] = None,
+                           shared: Boolean = false) {
   def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
     ("coldRoot" -> (JString(coldRoot): JValue)) ::
     ("files" -> (JObject(files.toSeq.sortBy(_._1).map { case (p, fsq) =>
       p.toString -> (JArray(fsq.toList.map(f => JObject(
         "f" -> JString(f.path), "lo" -> JLong(f.lo), "hi" -> JLong(f.hi)))): JValue)
     }: _*): JValue)) ::
-    filesRef.map(r => "filesRef" -> (JString(r): JValue)).toList)))
+    (filesRef.map(r => "filesRef" -> (JString(r): JValue)).toList ++
+      (if (shared) List("shared" -> (JBool(true): JValue)) else Nil)))))
 }
 
 object TierState {
@@ -2510,7 +2636,11 @@ object TierState {
         case JString(s) => Some(s)
         case _ => None
       }
-      TierState(root, files, ref)
+      val shared = o \ "shared" match {
+        case JBool(b) => b
+        case _ => false
+      }
+      TierState(root, files, ref, shared)
     case other => throw new IllegalStateException(
       s"tier state must be a JSON object: ${JsonMethods.compact(other)}")
   }

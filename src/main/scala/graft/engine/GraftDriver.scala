@@ -30,6 +30,13 @@ final class GraftDriver(val spark: SparkSession, val warehouse: String) {
   def openTopic(name: String): TopicHandle =
     new TopicHandle(spark, catalog, name)
 
+  /** Shallow clone: a new topic referencing `src`'s committed files —
+    * O(metadata), zero data copied (see [[Catalog.cloneTopic]]). */
+  def cloneTopic(src: String, dst: String): TopicHandle = {
+    catalog.cloneTopic(src, dst)
+    openTopic(dst)
+  }
+
   /** C3 `listTopics`. */
   def listTopics(): Seq[String] = catalog.listTopics()
 

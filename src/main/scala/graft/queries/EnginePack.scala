@@ -1314,6 +1314,31 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
         .orderBy(col("change_type"), col("partition"))
     },
+    "q_clone" -> { (s, dir) =>
+      // SHALLOW CLONE: a new topic referencing the source's committed
+      // files — O(metadata), zero data copied (the clone's log dir holds
+      // no chunk files, asserted via the planner's inventory). Pre-clone
+      // vector deletes ride along (copied, O(deleted)); post-clone writes
+      // and deletes are isolated BOTH ways: the source gains rows and
+      // deletes the clone must not see, the clone gains rows the source
+      // must not see. Graded on the CLONE's view per partition.
+      val d = tempDriver(s)
+      d.createTopic("clone_src", partitions = 4)
+      val src = d.openTopic("clone_src")
+      src.producer().produce(sourceByEidRange(s, dir, 0, 512))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      src.deleteWhereVectored(pmod(eid, lit(5)) === 0): Unit   // pre-clone
+      val clone = d.cloneTopic("clone_src", "clone_dup")
+      src.producer().produce(sourceByEidRange(s, dir, 640, 768))    // src-only
+      src.deleteWhereVectored(pmod(eid, lit(7)) === 0): Unit        // src-only
+      clone.producer().produce(sourceByEidRange(s, dir, 512, 640))  // clone-only
+      clone.events()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
+          min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
+        .orderBy(col("partition"))
+    },
     "q_row_lineage" -> { (s, dir) =>
       // ROW TRACKING: _commit_version/_commit_timestamp as metadata columns
       // on a NORMAL read — each row attributed to the retained commit that
@@ -2399,6 +2424,16 @@ object EnginePack extends QueryPack {
         |  FROM events WHERE event_id < 640 AND event_id % 7 = 0
         |  GROUP BY 2
         |) ORDER BY change_type, partition""".stripMargin,
+    // the clone = pre-clone survivors (eid%5 vectored out) + its own
+    // produce; the source's post-clone rows/deletes are invisible to it
+    "q_clone" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events
+        |WHERE (event_id < 512 AND event_id % 5 <> 0)
+        |   OR (event_id >= 512 AND event_id < 640)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the three produce windows, ranked by commit order
     "q_row_lineage" ->
       """SELECT idx AS commit_idx, count(*) AS cnt,

@@ -32,8 +32,8 @@ private[sql] object GraftProcedures {
   val Namespace = "system"
 
   def names: Seq[String] =
-    Seq("compact", "expire", "history", "maintain", "rebuild_manifest",
-      "restore", "vacuum")
+    Seq("clone", "compact", "expire", "history", "maintain",
+      "rebuild_manifest", "restore", "vacuum")
 
   def load(engine: Catalog, name: String): Option[UnboundProcedure] = {
     def topicOf(in: InternalRow): String = {
@@ -54,6 +54,18 @@ private[sql] object GraftProcedures {
         val t = topicOf(in)
         engine.compactTopic(t)
         Seq(t, liveFiles(t))
+      })
+      case "clone" => Some(procedure("clone",
+        "shallow-clone a topic: new topic referencing the source's files (zero data copied)",
+        Seq(ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("target", StringType).build()),
+        StructType(Seq(StructField("source", StringType, nullable = false),
+          StructField("target", StringType, nullable = false),
+          StructField("events", LongType, nullable = false)))) { in =>
+        val srcT = topicOf(in)
+        val dstT = in.getUTF8String(1).toString
+        engine.cloneTopic(srcT, dstT)
+        Seq(srcT, dstT, engine.nextIds(dstT).values.sum)
       })
       case "vacuum" => Some(procedure("vacuum",
         "remove crashed-operation debris (uncommitted chunks, swap leftovers, temp files)",
