@@ -332,11 +332,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       val mtime = st.getModificationTime
       // mtime+len in the key: a drop+recreate at the SAME path restarts
       // seqs, and a path-only key would serve the dead topic's entry
-      val delta = Catalog.versionEntryCached(
-        s"${st.getPath}@$mtime:${st.getLen}")(
-        TopicManifest.fromJson(readString(st.getPath)).watermarks)
+      val (delta, note) = Catalog.versionEntryCached(
+        s"${st.getPath}@$mtime:${st.getLen}") {
+        val m = TopicManifest.fromJson(readString(st.getPath))
+        (m.watermarks, m.note)
+      }
       wm = if (kind == "snapshot") delta else wm ++ delta
-      TopicVersion(seq, kind, mtime, wm)
+      TopicVersion(seq, kind, mtime, wm, note)
     }
   }
 
@@ -452,7 +454,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         rel.coalesce(1).write.mode("overwrite")
           .parquet(new Path(manifestDir(name), refName).toString)
         writeAtomic(new Path(manifestDir(name), seqFileName("snap", seq)),
-          TopicManifest(assembled.watermarks, Map.empty, Some(refName)).toJson)
+          TopicManifest(assembled.watermarks, Map.empty, Some(refName),
+            assembled.note).toJson)
       }
       // folded in: the old snapshot, its deltas, any legacy file, and any
       // superseded parquet relations go
@@ -544,21 +547,31 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * fell behind the on-disk state (pre-manifest topics, lost manifest): any
    * unknown file is picked up with its real footer range.
    */
-  def updateManifest(name: String, newNext: Map[Int, Long]): Unit = {
+  def updateManifest(name: String, newNext: Map[Int, Long],
+                     note: Option[String] = None): Unit = {
     val prior = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
     val conf = hadoopConf
     // unknown = listed ∖ manifest (normally exactly this produce's output)
     val unknown: Seq[(Int, String)] = unlistedChunkFiles(name, prior, newNext.keys)
     val freshFiles: Map[Int, Vector[ManifestFile]] = unknown.groupBy(_._1)
-      .view.mapValues { xs =>
-        xs.map(_._2).sorted.map { rel =>
+      .view.map { case (p, xs) =>
+        p -> xs.map(_._2).sorted.map { rel =>
           val (lo, hi) = Catalog.fileIdRange(new Path(logPath(name), rel), conf)
           ManifestFile(rel, lo, hi)
-        }.toVector
-      }.toMap
+        // NEVER adopt a file whose ids start at/above the committed
+        // watermark: its ids were never allocated, so it can only be a
+        // crashed produce's orphan (purgeUncommitted's target). Adopting
+        // it would shield it from the purge and let the next produce
+        // re-issue its ids — duplicate (partition, event_id) rows. This
+        // matters for non-produce committers (deleteWhereVectored's
+        // version bump) where no purge precedes the commit; a produce's
+        // own files always lie below its newNext.
+        }.filterNot(f =>
+          f.lo != Long.MinValue && f.lo >= newNext.getOrElse(p, 0L)).toVector
+      }.filter(_._2.nonEmpty).toMap
     // the delta carries ONLY this produce's files + watermarks — the
     // produce-path write is O(new files) regardless of live-file count
-    commitManifestDelta(name, TopicManifest(newNext, freshFiles), prior)
+    commitManifestDelta(name, TopicManifest(newNext, freshFiles, None, note), prior)
   }
 
   /**
@@ -1113,18 +1126,24 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       // any reader can observe the vector (a crash between the two leaves
       // a benign marker, never a stale shortcut)
       markIdGaps(name)
-      // the delete IS a commit (the Delta CDC shape): an empty-files
-      // manifest delta — safe here because acquireCompactLock's
+      // the delete IS a commit (the Delta CDC shape): a manifest delta
+      // NOTED "delete-vector" — safe here because acquireCompactLock's
       // acquire-then-check excludes in-flight produces, the same exclusion
-      // rewrites rely on. The delta moves no watermark (vectored ids stay
+      // rewrites rely on (and updateManifest never adopts files whose ids
+      // sit at/above the watermark, so a crashed produce's orphans stay
+      // purgeable). The delta moves no watermark (vectored ids stay
       // allocated). The committed seq is embedded in the root's name
       // (`d-<ms>-v<seq>-…`) so the change-data-feed attributes the delete
       // EXACTLY, with no timestamp tie-breaking. Commit precedes the
       // rename: a crash between them aborts the delete cleanly (the
       // staged tmp is never listed and vacuums later), leaving only a
-      // benign empty commit — the delete either fully happened or not at
-      // all.
-      updateManifest(name, nextIds(name))
+      // benign noted commit whose root never appears — which is also why
+      // the commit is noted: a change-feed stream must not advance its
+      // delete frontier past a fresh delete commit whose root is not
+      // visible YET (the rename races the trigger), so the source holds
+      // the frontier back until the root appears or the commit ages past
+      // the in-flight horizon (see GraftMicroBatchStream.cdfFrontier).
+      updateManifest(name, nextIds(name), note = Some(Catalog.DeleteVectorNote))
       val version = versionHistory(name).lastOption.map(_.version).getOrElse(0L)
       val committed = new Path(dir,
         s"d-${System.currentTimeMillis()}-v$version-" +
@@ -1192,6 +1211,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             var rows = 0L
             var lo = Long.MaxValue
             var hi = Long.MinValue
+            // bounds are only usable when EVERY row-bearing row group has
+            // event_id statistics — a partial gap (one stats-less file
+            // among stat-bearing ones) must widen to never-prune, or the
+            // preimage scan window silently misses the stats-less rows
+            var statless = false
             dfs.listStatus(sub.getPath)
               .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
               .foreach { f =>
@@ -1201,19 +1225,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                 try {
                   rows += r.getRecordCount
                   r.getRowGroups.forEach { block =>
+                    var blockHasStats = false
                     block.getColumns.forEach { c =>
                       if (c.getPath.toDotString == "event_id") c.getStatistics match {
                         case ls: org.apache.parquet.column.statistics.LongStatistics
                           if ls.hasNonNullValue =>
                           lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
+                          blockHasStats = true
                         case _ =>
                       }
                     }
+                    if (!blockHasStats && block.getRowCount > 0) statless = true
                   }
                 } finally r.close()
               }
             if (rows == 0L) None
-            else if (lo > hi) // rows without stats: never prune
+            else if (statless || lo > hi) // any stats gap: never prune
               Some(p.toInt -> VectorRootStats(rows, Long.MinValue, Long.MaxValue))
             else Some(p.toInt -> VectorRootStats(rows, lo, hi))
           case _ => None
@@ -1904,7 +1931,16 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             // skip it; a dst that exists WHILE the cold copy also exists
             // is a real conflict and stays loud. SHARED inventories
             // (shallow clones) COPY without touching the source, so there
-            // the source always still exists and dst-exists means resume.
+            // the source always still exists and dst-exists means resume —
+            // but only a COMPLETE dst (length equal): a copy that died
+            // mid-file leaves a truncated parquet, and trusting it would
+            // commit corruption into the rebuilt manifest. Short ones are
+            // deleted and re-copied.
+            lazy val dstComplete =
+              fs.getFileStatus(dst).getLen == coldFs.getFileStatus(src).getLen
+            if (fs.exists(dst) && t.shared && !dstComplete) {
+              fs.delete(dst, false): Unit
+            }
             if (fs.exists(dst) && (t.shared || !coldFs.exists(src))) {
               moved += 1
             } else if (fs.exists(dst)) {
@@ -1966,8 +2002,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     if (topicExists(dst)) throw new IllegalStateException("Topic already exists")
     acquireCompactLock(src)
     try {
-      createTopic(cfg.copy(name = dst))
       val m = readManifest(src)
+      // a pre-log (legacy) source with data has no manifest to clone from —
+      // refusing beats silently committing an EMPTY clone at watermark 0
+      if (m.isEmpty && nextIds(src).values.exists(_ > 0L))
+        throw new IllegalStateException(
+          s"topic '$src' has data but no manifest log (legacy topic) — run " +
+          "rebuildManifest (or produce once) to migrate it before cloning")
+      createTopic(cfg.copy(name = dst))
       val wm: Map[Int, Long] = m.map(_.watermarks).getOrElse(
         (0 until cfg.partitions).map(_ -> 0L).toMap)
       val srcLogQ = fs.makeQualified(new Path(logPath(src))).toString
@@ -2012,14 +2054,29 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       writeAtomic(new Path(manifestDir(dst), seqFileName("snap", 1L)),
         TopicManifest(wm, Map.empty).toJson)
       // deletion vectors: O(deleted) small parquet files — copy, don't share
-      // (each side's future deletes must stay its own)
+      // (each side's future deletes must stay its own). Copied roots are
+      // RE-TAGGED to the clone's birth commit (`v1`): the source's embedded
+      // seq means nothing in the clone's history (it would silently drop
+      // or, worse, attribute these deletes to an unrelated future clone
+      // commit with the same number), while v1 says exactly what happened —
+      // the clone was born with these rows already deleted, so a change
+      // feed spanning its birth replays raw inserts AND these preimages,
+      // reproducing the cloned state.
       val srcDel = deletesDir(src)
       if (fs.exists(srcDel))
         fs.listStatus(srcDel)
           .filter(st => st.isDirectory && !st.getPath.getName.startsWith("tmp-"))
           .foreach { st =>
+          val n = st.getPath.getName
+          val parts = n.split('-')
+          val retagged =
+            if (parts.length >= 3 && parts(0) == "d" && parts(2).startsWith("v"))
+              (Seq(parts(0), parts(1), "v1") ++ parts.drop(3)).mkString("-")
+            else if (parts.length >= 2 && parts(0) == "d")
+              (Seq(parts(0), parts(1), "v1") ++ parts.drop(2)).mkString("-")
+            else n
           org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-            new Path(deletesDir(dst), st.getPath.getName), false, true,
+            new Path(deletesDir(dst), retagged), false, true,
             hadoopConf): Unit
         }
       if (mayHaveIdGaps(src)) markIdGaps(dst)
@@ -2421,7 +2478,10 @@ object Catalog {
     TopicManifest(base.watermarks ++ d.watermarks,
       d.files.foldLeft(base.files) { case (acc, (p, add)) =>
         acc + (p -> (acc.getOrElse(p, Vector.empty) ++ add))
-      }, base.filesRef)
+      }, base.filesRef,
+      // the note annotates the COMMIT (e.g. "delete-vector"), so a
+      // snapshot roll triggered by a noted delta keeps that delta's note
+      d.note)
 
   /** THE canonical event schema (SURVEY §1.3) — the single definition the
     * consumer view, the DSv2 table, and log maintenance all read with, so a
@@ -2459,15 +2519,20 @@ object Catalog {
     * [[graft.streaming.FileStatsCache]]; folded-away entries simply stop
     * being looked up. Serves [[Catalog.versionHistory]] (time travel, the
     * change feed's per-trigger history read). */
+  /** Commit-note marking a vectored compliance delete — what lets the
+    * change-feed frontier hold back for a root that is committed but not
+    * yet renamed visible ([[Catalog.deleteWhereVectored]]). */
+  val DeleteVectorNote = "delete-vector"
+
   private val versionEntries =
-    new java.util.LinkedHashMap[String, Map[Int, Long]](256, 0.75f, true) {
+    new java.util.LinkedHashMap[String, (Map[Int, Long], Option[String])](256, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[Int, Long]]): Boolean =
+          e: java.util.Map.Entry[String, (Map[Int, Long], Option[String])]): Boolean =
         size() > 65536
     }
 
   private[engine] def versionEntryCached(key: String)(
-      load: => Map[Int, Long]): Map[Int, Long] = {
+      load: => (Map[Int, Long], Option[String])): (Map[Int, Long], Option[String]) = {
     versionEntries.synchronized {
       val hit = versionEntries.get(key)
       if (hit != null) return hit
@@ -2588,7 +2653,8 @@ final case class ManifestFile(path: String, lo: Long, hi: Long)
   * `watermarks` the full per-partition id frontier visible at that commit
   * (cumulatively assembled — not just the commit's own delta). */
 final case class TopicVersion(version: Long, kind: String, commitTimeMs: Long,
-                              watermarks: Map[Int, Long])
+                              watermarks: Map[Int, Long],
+                              note: Option[String] = None)
 
 /** Footer stats of one partition of one deletion-vector root: vectored-row
   * count and the (min, max) vectored event_id ([[Catalog.deleteVectorRootStats]]). */
@@ -2659,7 +2725,8 @@ object TierState {
   * only what their predicate keeps. */
 final case class TopicManifest(
     watermarks: Map[Int, Long], files: Map[Int, Vector[ManifestFile]],
-    filesRef: Option[String] = None) {
+    filesRef: Option[String] = None,
+    note: Option[String] = None) {
 
   def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
     ("watermarks" -> (JObject(watermarks.toSeq.sortBy(_._1).map {
@@ -2668,7 +2735,8 @@ final case class TopicManifest(
       p.toString -> (JArray(fsq.toList.map(f => JObject(
         "f" -> JString(f.path), "lo" -> JLong(f.lo), "hi" -> JLong(f.hi)))): JValue)
     }: _*): JValue)) ::
-    filesRef.map(r => "filesRef" -> (JString(r): JValue)).toList)))
+    (filesRef.map(r => "filesRef" -> (JString(r): JValue)).toList ++
+      note.map(k => "note" -> (JString(k): JValue)).toList))))
 }
 
 object TopicManifest {
@@ -2711,7 +2779,11 @@ object TopicManifest {
         case JString(s) => Some(s)
         case _ => None
       }
-      TopicManifest(watermarks, files, ref)
+      val note = o \ "note" match {
+        case JString(s) => Some(s)
+        case _ => None
+      }
+      TopicManifest(watermarks, files, ref, note)
     case other => throw new IllegalStateException(
       s"manifest must be a JSON object: ${JsonMethods.compact(other)}")
   }

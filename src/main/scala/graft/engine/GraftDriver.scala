@@ -430,16 +430,10 @@ final class TopicHandle(spark: SparkSession,
         else element_at(tsByVer, col("_commit_version")))
 
     // delete preimages: one bounded scan per in-span vector root, each
-    // with its exact (or timestamp-attributed) commit version
+    // with its exact (or timestamp-attributed) commit version — ONE
+    // attribution rule, shared with the scan-level feed
     val deletes = catalog.deleteVectorFiles(name).flatMap { root =>
-      val attributed: Option[TopicVersion] =
-        Catalog.vectorRootVersion(root) match {
-          case Some(v) => history.find(_.version == v)
-          case None =>
-            val ms = Catalog.vectorRootMillis(root)
-            history.find(_.commitTimeMs >= ms)
-        }
-      attributed
+      graft.streaming.GraftCdf.attributeRoot(root, history)
         .filter(v => v.version > fromVersion && v.version <= toVersion)
         .map { v =>
           base.option("cdfDeleteRoot", root).load()

@@ -70,17 +70,27 @@ object GraftCdf {
     requiredSchema.fieldNames.exists(n =>
       n == CommitVersionColumn || n == CommitTimestampColumn)
 
-  /** The root's commit, by the same rule as `TopicHandle.changes`: the seq
-    * embedded in the root name when present (every vectored delete commits
-    * its own version), else the first retained commit at/after the root's
-    * timestamp (fold-rewritten roots). */
-  def attributeRoot(root: String, history: Vector[TopicVersion]): Option[TopicVersion] =
-    Catalog.vectorRootVersion(root) match {
-      case Some(v) => history.find(_.version == v)
-      case None =>
-        val ms = Catalog.vectorRootMillis(root)
-        history.find(_.commitTimeMs >= ms)
+  /** The root's commit (single rule, shared by `TopicHandle.changes` and
+    * the scan-level feed): the seq embedded in the root name when that
+    * version is still retained (every vectored delete commits its own
+    * version); otherwise — untagged legacy roots, fold-rewritten roots,
+    * or a tagged version that FELL OUT of manifest retention — the first
+    * retained commit at/after the root's timestamp. The retention
+    * fallback matters: a root whose exact version was folded away still
+    * applies to every read, so silently dropping it from the feed would
+    * desynchronize feed-replay from the table; attributing it to the
+    * oldest retained commit covering it keeps the feed conservative and
+    * complete. */
+  def attributeRoot(root: String, history: Vector[TopicVersion]): Option[TopicVersion] = {
+    def byTimestamp: Option[TopicVersion] = {
+      val ms = Catalog.vectorRootMillis(root)
+      history.find(_.commitTimeMs >= ms)
     }
+    Catalog.vectorRootVersion(root) match {
+      case Some(v) => history.find(_.version == v).orElse(byTimestamp)
+      case None => byTimestamp
+    }
+  }
 
   /** Plan the change feed for commits in `(fromVer, toVer]` with insert id
     * windows `[from(p), until(p))`. `history` must be the topic's current

@@ -26,6 +26,15 @@ private[streaming] object GraftReaderSupport {
     * `event_id` — always read, because the slice bounds ARE the commit
     * watermark and must hold exactly even when the consumer projected the
     * id away. */
+  /** The deletion-vector row filter shared by the row and columnar
+    * readers. `keepOnly` inverts it: surface ONLY the vectored rows — the
+    * change-data-feed's delete-preimage side. */
+  @inline def passesVectors(deleted: Array[Long], keepOnly: Boolean, id: Long): Boolean =
+    if (keepOnly)
+      deleted.length > 0 && java.util.Arrays.binarySearch(deleted, id) >= 0
+    else
+      deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0
+
   def readSchemaOf(requiredSchema: StructType): StructType = {
     val dataCols = requiredSchema.filter(f =>
       f.name != "partition" && f.name != GraftTopicTable.FileColumn &&
@@ -221,16 +230,9 @@ final class GraftColumnarPartitionReader(
   /** Vector-deleted ids overlapping this slice (sorted; usually empty). */
   private val deleted: Array[Long] = GraftReaderSupport.loadDeletedIds(
     slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId)
-  @inline private def kept(id: Long): Boolean = {
-    // deleteKeepOnly inverts the vector filter: surface ONLY the vectored
-    // rows (change-data-feed delete preimages)
-    val passesVectors =
-      if (slice.deleteKeepOnly)
-        deleted.length > 0 && java.util.Arrays.binarySearch(deleted, id) >= 0
-      else
-        deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0
-    id >= slice.fromId && id < slice.untilId && passesVectors
-  }
+  @inline private def kept(id: Long): Boolean =
+    id >= slice.fromId && id < slice.untilId &&
+      GraftReaderSupport.passesVectors(deleted, slice.deleteKeepOnly, id)
 
   /** Output-column order: `requiredSchema`, drawn from the decoded batch's
     * `readSchema ++ (partition, _file)` layout. */

@@ -74,6 +74,35 @@ final class GraftMicroBatchStream(
   private def currentVersion(): Long =
     catalog.versionHistory(topic).lastOption.map(_.version).getOrElse(0L)
 
+  /** The version frontier a CDF trigger may advance to. Normally the
+    * latest retained version — EXCEPT that a recent `delete-vector`-noted
+    * commit whose root is not yet visible holds the frontier just below
+    * it: the delete's manifest commit precedes its root rename
+    * ([[Catalog.deleteWhereVectored]]), and a trigger advancing past the
+    * commit inside that window would checkpoint `ver` beyond it and skip
+    * the preimages FOREVER (delete emission is gated by version). A noted
+    * commit older than the in-flight horizon with still no root is a
+    * crashed (aborted) delete — its vectors never apply either — and
+    * stops holding the frontier. */
+  private def cdfFrontier(fromVer: Long): Long = {
+    val history = catalog.versionHistory(topic)
+    if (history.isEmpty) return fromVer
+    val horizon = GraftMicroBatchStream.cdfHoldbackMs(
+      org.apache.spark.sql.SparkSession.active)
+    lazy val visibleRootVersions: Set[Long] =
+      catalog.deleteVectorFiles(topic).flatMap(Catalog.vectorRootVersion).toSet
+    val now = System.currentTimeMillis()
+    val blocked = history.find(v => v.version > fromVer &&
+      v.note.contains(Catalog.DeleteVectorNote) &&
+      now - v.commitTimeMs < horizon &&
+      !visibleRootVersions.contains(v.version))
+    blocked match {
+      case None => history.last.version
+      case Some(b) => history.filter(_.version < b.version).lastOption
+        .map(_.version).getOrElse(fromVer)
+    }
+  }
+
   private def verOf(o: TopicOffset): Long = o.ver.getOrElse(0L)
 
   private def currentNext(): Map[Int, Long] = {
@@ -120,7 +149,7 @@ final class GraftMicroBatchStream(
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(TopicOffset(currentNext(),
-      if (cdf) Some(currentVersion()) else None))
+      if (cdf) Some(cdfFrontier(startingVersionNum.getOrElse(0L))) else None))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -288,7 +317,8 @@ final class GraftMicroBatchStream(
     val targetVer: Option[Long] =
       if (!cdf) None
       else Some(math.max(verOf(startOff),
-        availableNowTarget.flatMap(_.ver).getOrElse(currentVersion())))
+        availableNowTarget.flatMap(_.ver)
+          .getOrElse(cdfFrontier(verOf(startOff)))))
     def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
       case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
       case other => Seq(other)
@@ -386,6 +416,19 @@ object GraftMicroBatchStream {
           s"spark.graft.stream.bytesPlanWindowIds must be a long, got '$v'")
       }
     }.getOrElse(65536L)
+
+  /** How long a `delete-vector`-noted commit with no visible root holds
+    * the CDF version frontier back (ms). In flight, the commit→rename gap
+    * is sub-second under the compact lock; past the horizon the commit is
+    * treated as a crashed (aborted) delete. Conf-overridable so tests can
+    * force both sides. */
+  def cdfHoldbackMs(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.stream.cdfDeleteHoldbackMs").map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.stream.cdfDeleteHoldbackMs must be a long, got '$v'")
+      }
+    }.getOrElse(600000L)
 }
 
 /**

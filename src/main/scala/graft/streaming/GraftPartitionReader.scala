@@ -169,14 +169,8 @@ final class GraftPartitionReader(
         if (reader.nextKeyValue()) {
           val r = reader.getCurrentValue.asInstanceOf[InternalRow]
           val id = r.getLong(idOrdinal)
-          // deleteKeepOnly inverts the vector filter: surface ONLY the
-          // vectored rows (change-data-feed delete preimages)
-          val passesVectors =
-            if (slice.deleteKeepOnly)
-              deleted.length > 0 && java.util.Arrays.binarySearch(deleted, id) >= 0
-            else
-              deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0
-          if (id >= slice.fromId && id < slice.untilId && passesVectors) {
+          if (id >= slice.fromId && id < slice.untilId &&
+              GraftReaderSupport.passesVectors(deleted, slice.deleteKeepOnly, id)) {
             projection.project(r)
             if (outRow != null) fillOut(id)
             return true

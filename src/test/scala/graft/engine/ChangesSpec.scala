@@ -165,4 +165,73 @@ class ChangesSpec extends SparkSpec {
     assert(topic.changes(vEnd, vEnd)
       .filter(col("_change_type") === "delete").count() == 0)
   }
+
+  test("a vectored delete's commit never adopts a crashed produce's orphans") {
+    import spark.implicits._
+    val (d, topic) = mkTopic() // 100 rows, 2 partitions, watermark 50 each
+    // fabricate a crashed produce: a chunk file with ids AT the watermark,
+    // unknown to the manifest (the state purgeUncommitted exists for)
+    val tmp = java.nio.file.Files.createTempDirectory("orphan").toString
+    (50L until 60L).map(i => (i, s"""{"k":${9000 + i}}""", Array[Byte](1)))
+      .toDF("event_id", "metadata", "data")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).listStatus(
+      new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val orphan = new org.apache.hadoop.fs.Path(
+      d.catalog.logPath("t") + "/partition=0", "orphan-" + part.getName)
+    fs.mkdirs(orphan.getParent)
+    fs.rename(part, orphan): Unit
+
+    // the delete commits a version; the orphan must stay UNKNOWN to the
+    // manifest (adopting it would shield it from the purge and let the
+    // next produce re-issue its ids — duplicate rows)
+    topic.deleteWhereVectored(k() === 1): Unit
+    val listed = d.catalog.readManifest("t").get.files
+      .valuesIterator.flatten.map(_.path).toSeq
+    assert(!listed.exists(_.contains("orphan-")),
+      "a watermark-or-above file is a crashed produce's output, never adopted")
+
+    // the next produce purges it and re-issues ids 50.. densely
+    topic.producer().produce(
+      (200 until 220).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition"))
+    assert(!fs.exists(orphan), "purged by produce crash hygiene")
+    val ids = topic.events().groupBy(col("partition"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"),
+        max(col("event_id")).as("mx")).collect()
+    assert(ids.forall(r => r.getLong(1) == r.getLong(2)), "no duplicate ids")
+    assert(topic.events().filter(k() >= 9000L).count() == 0,
+      "orphan rows never became visible")
+  }
+
+  test("a root whose exact version fell out of retention still feeds (fallback)") {
+    import spark.implicits._
+    val (d, topic) = mkTopic()
+    topic.deleteWhereVectored(k() < 7): Unit
+    val prior = Catalog.ManifestSnapshotEvery
+    Catalog.ManifestSnapshotEvery = 3
+    try {
+      // enough commits to roll snapshots past the delete's version
+      (0 until 8).foreach { b =>
+        topic.producer().produce(
+          (100 + b * 10 until 110 + b * 10)
+            .map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition"))
+      }
+      val h = versions(topic)
+      val root = d.catalog.deleteVectorFiles("t").head
+      assert(Catalog.vectorRootVersion(root)
+        .exists(v => !h.contains(v)), "the tagged version must have folded out")
+      // batch format feed over the whole retained range: the delete must
+      // still replay (timestamp fallback), not silently vanish
+      val dels = spark.read.format("graft").option("warehouse", d.warehouse)
+        .option("topic", "t").option("readChangeFeed", "true").load()
+        .filter(col("_change_type") === "delete")
+        .select(k()).as[Long].collect().sorted
+      assert(dels.toSeq == (0L until 7L),
+        "retention-folded attribution falls back to timestamp, never drops")
+    } finally Catalog.ManifestSnapshotEvery = prior
+  }
 }

@@ -142,6 +142,66 @@ class CloneSpec extends SparkSpec {
     intercept[IllegalStateException] { d.cloneTopic("src", "dup") }
   }
 
+  test("copied vector roots re-attribute to the clone's birth commit (v1)") {
+    val d = mkDriver()
+    d.createTopic("src", partitions = 2)
+    val src = d.openTopic("src")
+    produceRange(src, 0, 40)
+    produceRange(src, 40, 60) // several source commits, so the source seq > 1
+    src.deleteWhereVectored(k() < 6): Unit
+    val _ = d.cloneTopic("src", "dup")
+    val root = d.catalog.deleteVectorFiles("dup").head
+    assert(Catalog.vectorRootVersion(root).contains(1L),
+      "the source's embedded seq means nothing in the clone's history")
+    // feed-replay consistency: changes spanning the clone's birth replay
+    // raw inserts AND the copied preimages, reproducing the cloned state
+    val feed = spark.read.format("graft")
+      .option("warehouse", d.warehouse).option("topic", "dup")
+      .option("readChangeFeed", "true").load()
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select(k(), col("_commit_version")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dels.map(_._1).sorted.toSeq == (0L until 6L))
+    assert(dels.forall(_._2 == 1L), "attributed to the clone's birth commit")
+  }
+
+  test("materialize resumes past a truncated partial copy by re-copying it") {
+    val d = mkDriver()
+    d.createTopic("src", partitions = 2)
+    val src = d.openTopic("src")
+    produceRange(src, 0, 50)
+    val clone = d.cloneTopic("src", "dup")
+    // simulate a copy that crashed mid-file: a TRUNCATED destination
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val srcFile = new org.apache.hadoop.fs.Path(chunkFiles(d, "src").head)
+    val dstDir = new org.apache.hadoop.fs.Path(
+      d.catalog.logPath("dup") + "/" + srcFile.getParent.getName)
+    fs.mkdirs(dstDir)
+    val partial = new org.apache.hadoop.fs.Path(dstDir, srcFile.getName)
+    val out = fs.create(partial)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+
+    clone.restoreArchive(): Unit
+    assert(fs.getFileStatus(partial).getLen ==
+      fs.getFileStatus(srcFile).getLen, "the truncated partial was re-copied")
+    assert(keys(clone) == (0L until 50L))
+  }
+
+  test("cloning a legacy (no-manifest) topic with data refuses loudly") {
+    val d = mkDriver()
+    d.createTopic("src", partitions = 2)
+    val src = d.openTopic("src")
+    produceRange(src, 0, 20)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      d.warehouse + "/src/_manifest"), true): Unit
+    val ex = intercept[IllegalStateException] { d.cloneTopic("src", "dup2") }
+    assert(ex.getMessage.contains("rebuildManifest"))
+    assert(!d.topicExists("dup2"), "nothing half-created")
+  }
+
   test("relation-backed inventory: a clone past the driver threshold plans via parquet") {
     val d = mkDriver()
     spark.conf.set("spark.graft.manifest.driverMaxEntries", "0")

@@ -233,6 +233,32 @@ class StreamingCdfSpec extends SparkSpec {
     })
   }
 
+  test("the frontier holds back for a committed delete whose root is not visible yet") {
+    val (d, topic, wh) = newTopic()
+    produceRange(topic, 0, 30)
+    // simulate the commit→rename window: a delete-noted manifest commit
+    // exists but its root was never renamed visible (= a delete in flight,
+    // or one that crashed right after its commit)
+    d.catalog.updateManifest("t", d.catalog.nextIds("t"),
+      note = Some(graft.engine.Catalog.DeleteVectorNote))
+    // a real delete AFTER it — blocked behind the rootless commit
+    topic.deleteWhereVectored(k() < 5): Unit
+    val ckpt = Files.createTempDirectory("graft-holdback-ckpt").toString
+    spark.conf.set("spark.graft.stream.cdfDeleteHoldbackMs", "86400000")
+    try {
+      val first = drain(wh, ckpt)
+      assert(first.map(_._2).sorted == (0L until 30L), "inserts flow regardless")
+      assert(!first.exists(_._1 == "delete"),
+        "the frontier must not pass the rootless commit while it can still be in flight")
+      // past the horizon the rootless commit is an aborted delete: the
+      // frontier advances and the real delete arrives exactly once
+      spark.conf.set("spark.graft.stream.cdfDeleteHoldbackMs", "0")
+      val second = drain(wh, ckpt)
+      assert(second.filter(_._1 == "delete").map(_._2).sorted == (0L until 5L))
+      assert(second.forall(_._1 == "delete"))
+    } finally spark.conf.unset("spark.graft.stream.cdfDeleteHoldbackMs")
+  }
+
   test("column pruning composes: a change-type-only projection still plans") {
     val (_, topic, wh) = newTopic()
     produceRange(topic, 0, 20)
