@@ -260,23 +260,31 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def readManifest(name: String): Option[TopicManifest] = readManifest(name, retry = true)
 
   private def readManifest(name: String, retry: Boolean): Option[TopicManifest] = {
-    val (snaps, deltas) = scanManifestLog(name)
+    val (snaps, deltas) = scanManifestLogStatuses(name)
     if (snaps.isEmpty && deltas.isEmpty) return readLegacyManifest(name)
     try {
       val snapSeq = if (snaps.nonEmpty) snaps.last._1 else -1L
+      // entry keys come free from the ONE listing: they validate the cache
+      // against drop+recreate aliasing (same path, seqs restarted) — the
+      // cached lastSeq entry must still exist with the same (mtime, len)
+      val keyBySeq: Map[Long, (Long, Long)] = (snaps ++ deltas)
+        .map { case (s, st) => s -> (st.getModificationTime, st.getLen) }.toMap
       val cached = manifestCache.get(name)
       // steady-state trigger (no new commits): one listStatus, zero reads
       val (base, baseSeq) =
-        if (cached != null && cached.snapSeq == snapSeq) (cached.manifest, cached.lastSeq)
+        if (cached != null && cached.snapSeq == snapSeq &&
+            keyBySeq.get(cached.lastSeq).contains(cached.lastKey))
+          (cached.manifest, cached.lastSeq)
         else if (snaps.nonEmpty)
-          (TopicManifest.fromJson(readString(snaps.last._2)), snapSeq)
+          (TopicManifest.fromJson(readString(snaps.last._2.getPath)), snapSeq)
         else (TopicManifest(Map.empty, Map.empty), -1L)
       val todo = deltas.filter(_._1 > math.max(baseSeq, snapSeq))
-      val assembled = todo.foldLeft(base) { case (m, (_, p)) =>
-        Catalog.applyManifestDelta(m, TopicManifest.fromJson(readString(p)))
+      val assembled = todo.foldLeft(base) { case (m, (_, st)) =>
+        Catalog.applyManifestDelta(m, TopicManifest.fromJson(readString(st.getPath)))
       }
       val lastSeq = (Seq(baseSeq, snapSeq) ++ todo.map(_._1)).max
-      manifestCache.put(name, Catalog.ManifestCacheEntry(snapSeq, lastSeq, assembled))
+      manifestCache.put(name, Catalog.ManifestCacheEntry(snapSeq, lastSeq, assembled,
+        keyBySeq.getOrElse(lastSeq, (-1L, -1L))))
       Some(assembled)
     } catch {
       case _: java.io.FileNotFoundException =>
@@ -1041,6 +1049,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** Committed delete-vector relations (parquet directories under
     * `_deletes/`), sorted by name. Staged `.tmp` writes are never listed. */
   def deleteVectorFiles(name: String): Seq[String] = {
+    Catalog.deletesListings.incrementAndGet(): Unit
     val dir = deletesDir(name)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir)
@@ -1150,6 +1159,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           staged.getName.stripPrefix("tmp-"))
       if (!fs.rename(staged, committed))
         throw new java.io.IOException(s"deleteWhereVectored: cannot commit $staged")
+      // auto-fold: every reader slice pays one vector-relation load per
+      // root, so a delete-heavy topic that never runs maintenance must
+      // still keep the root count bounded. Safe for the change feed — the
+      // fold persists each source's (version, ms, bounds) attribution
+      // (sidecar + per-row columns), so folded preimages replay under
+      // their ORIGINAL commit. Still under this call's compact lock.
+      if (deleteVectorFiles(name).size > 4)
+        compactDeleteVectorsLocked(name): Unit
       n
     } finally releaseCompactLock(name)
   }
@@ -1168,27 +1185,101 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * @return the number of vector files folded away (0 = nothing to do)
    */
   def compactDeleteVectors(name: String): Int = {
-    import org.apache.spark.sql.functions.col
     acquireCompactLock(name)
-    try {
-      val files = deleteVectorFiles(name)
-      if (files.size <= 1) return 0
-      val dir = deletesDir(name)
-      val staged = new Path(dir, s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      files.map(f => spark.read.schema(Catalog.DeleteSchema).parquet(f))
-        .reduce(_.unionByName(_))
-        .distinct()
-        .repartition(col("partition"))
-        .sortWithinPartitions(col("event_id"))
-        .write.partitionBy("partition").parquet(staged.toString)
-      val committed = new Path(dir,
-        s"d-${System.currentTimeMillis()}-${staged.getName.stripPrefix("tmp-")}")
-      if (!fs.rename(staged, committed))
-        throw new java.io.IOException(s"compactDeleteVectors: cannot commit $staged")
-      files.foreach(f => fs.delete(new Path(f), true): Unit)
-      files.size
-    } finally releaseCompactLock(name)
+    try compactDeleteVectorsLocked(name)
+    finally releaseCompactLock(name)
   }
+
+  /** The fold body — callers must hold the topic's compact lock
+    * ([[deleteWhereVectored]] auto-folds while still holding it). */
+  private[engine] def compactDeleteVectorsLocked(name: String): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val files = deleteVectorFiles(name)
+    if (files.size <= 1) return 0
+    val dir = deletesDir(name)
+    // attribution gathered BEFORE the rewrite: each source keeps its
+    // original (version, ms, id bounds) through the fold — sidecar
+    // entries pass through for roots that are themselves folds
+    val perRoot: Seq[(String, Seq[VectorSource])] =
+      files.map(f => f -> vectorRootSources(f))
+    // merge entries that alias the same commit (a fold-of-fold replaying
+    // an already-folded source): widen bounds, sum rows
+    val sources: Seq[VectorSource] = perRoot.flatMap(_._2)
+      .groupBy(s => (s.version, s.ms)).toSeq.sortBy(_._1._2)
+      .map { case ((v, ms), group) =>
+        VectorSource(v, ms, group.flatMap(_.bounds.toSeq)
+          .groupBy(_._1).view.mapValues(bs => VectorRootStats(
+            bs.map(_._2.rows).sum,
+            bs.map(_._2.minId).min, bs.map(_._2.maxId).max)).toMap)
+      }
+    val staged = new Path(dir, s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    perRoot.map { case (f, srcs) =>
+      if (vectorRootSidecar(f).isDefined)
+        spark.read.schema(Catalog.DeleteSchemaWithSource).parquet(f)
+      else // plain root: one source, stamped from the name
+        spark.read.schema(Catalog.DeleteSchema).parquet(f)
+          .withColumn("_v", lit(srcs.head.version))
+          .withColumn("_ms", lit(srcs.head.ms))
+    }
+      .reduce(_.unionByName(_))
+      .distinct()
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("event_id"))
+      .write.partitionBy("partition").parquet(staged.toString)
+    // sidecar rides inside the root (underscore name: invisible to every
+    // parquet listing) and commits atomically with it via the rename —
+    // written pre-rename, so a plain create is safe
+    val sideOut = fs.create(new Path(staged, "_sources.json"), true)
+    try sideOut.write(
+      VectorSource.seqToJson(sources).getBytes(StandardCharsets.UTF_8))
+    finally sideOut.close()
+    // MIN source millis in the name keeps even legacy timestamp
+    // attribution conservative (never attributes folded deletes to a
+    // commit AFTER their original)
+    val committed = new Path(dir,
+      s"d-${sources.map(_.ms).min}-${staged.getName.stripPrefix("tmp-")}")
+    if (!fs.rename(staged, committed))
+      throw new java.io.IOException(s"compactDeleteVectors: cannot commit $staged")
+    files.foreach(f => fs.delete(new Path(f), true): Unit)
+    files.size
+  }
+
+  /** Parsed `_sources.json` of a fold root (None on plain roots) —
+    * cached by path: roots are immutable by name. */
+  private val sourcesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[VectorSource]]]()
+
+  def vectorRootSidecar(dirStr: String): Option[Seq[VectorSource]] =
+    sourcesCache.computeIfAbsent(dirStr, { _ =>
+      val p = new Path(new Path(dirStr), "_sources.json")
+      val dfs = p.getFileSystem(hadoopConf)
+      if (!dfs.exists(p)) None
+      else {
+        val in = dfs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(VectorSource.seqFromJson(text))
+      }
+    })
+
+  /** Every attributable delete commit in a vector root: the sidecar's
+    * entries on fold roots; a single name-derived source (bounds from
+    * the footers) on plain roots. */
+  def vectorRootSources(dirStr: String): Seq[VectorSource] =
+    vectorRootSidecar(dirStr).getOrElse(Seq(VectorSource(
+      Catalog.vectorRootVersion(dirStr).getOrElse(-1L),
+      Catalog.vectorRootMillis(dirStr),
+      deleteVectorRootStats(dirStr))))
+
+  /** The commit versions a root's sources are tagged with (cheap: sidecar
+    * or name only — no footer reads) — the streaming change feed's
+    * root-visibility probe must keep seeing a delete commit's version
+    * after a fold buries its root name. */
+  def vectorRootVersions(dirStr: String): Seq[Long] =
+    vectorRootSidecar(dirStr) match {
+      case Some(srcs) => srcs.map(_.version).filter(_ >= 0L)
+      case None => Catalog.vectorRootVersion(dirStr).toSeq
+    }
 
   /** Footer-derived per-partition stats of ONE committed vector root —
     * immutable by name, so cached forever (bounded by the maintenance
@@ -1493,14 +1584,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // one vector-relation load per slice, so the vector COUNT must stay
     // bounded between maintenance runs (the rewrite folds them physically
     // and clears _deletes)
-    val needsCompact = !isTiered(name) && (
+    // one `_deletes` listing serves both the hot-topic fold trigger and the
+    // tiered merge trigger (the branches are mutually exclusive on
+    // isTiered); the fold/merge operations re-list under their own locks
+    val vectorRoots = deleteVectorFiles(name)
+    val tiered = isTiered(name)
+    val needsCompact = !tiered && (
+      vectorRoots.size > 4 ||
       readManifest(name).exists(m =>
-        manifestFileCounts(name, m).values.exists(_ > maxFilesPerPartition)) ||
-      deleteVectorFiles(name).size > 4)
+        manifestFileCounts(name, m).values.exists(_ > maxFilesPerPartition)))
     if (needsCompact) compactTopic(name, chunkMaxRecords)
     // tiered topics can't fold vectors through a rewrite — merge the
     // vector FILES instead, so the per-slice load count stays bounded
-    if (isTiered(name) && deleteVectorFiles(name).size > 4)
+    if (tiered && vectorRoots.size > 4)
       compactDeleteVectors(name): Unit
     val vac = vacuumTopic(name)
     val indexed = listIndexes(name).map { idx =>
@@ -2253,8 +2349,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   private def readString(p: Path): String = {
     val in = fs.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+    val raw = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
     finally in.close()
+    // committed files carry the completeness trailer too — strip it;
+    // pre-trailer files (or foreign content) pass through untouched
+    Catalog.stripTrailer(raw).getOrElse(raw)
   }
 
   /** Read a small metadata file, tolerating `writeAtomic`'s delete→rename
@@ -2290,7 +2390,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // report its status so content reads and cache keys stay coherent)
     try {
       if (fs.exists(p)) Some(fs.getFileStatus(p))
-      else Option(fs.getFileStatus(tmp)).filter(Catalog.tmpSettled)
+      else Option(fs.getFileStatus(tmp))
+        .filter(_ => readTmpIfComplete(tmp).isDefined)
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
@@ -2310,16 +2411,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // window — the tmp is the COMPLETE intended content (the destination
     // is only deleted after the tmp's close), so serve it: a crashed txn
     // abort stays invisible, a crashed cursor advance holds, a crashed
-    // id-watermark write counts. The settled-age gate filters the one case
-    // where "destination missing + tmp present" does NOT prove a complete
-    // tmp: a FIRST-EVER write (no destination to delete) caught mid-write.
+    // id-watermark write counts. Completeness is proven STRUCTURALLY (the
+    // trailer's length stamp, written before close): "destination missing
+    // + tmp present" also describes a LIVE writer's first-ever write
+    // mid-flight — and on mtime-at-create filesystems a half-written temp
+    // can look arbitrarily old, so age is not proof.
     try {
       if (fs.exists(p)) Some(readString(p))
-      else if (Option(fs.getFileStatus(tmp)).exists(Catalog.tmpSettled))
-        Some(readString(tmp))
-      else None
+      else readTmpIfComplete(tmp)
     } catch { case _: java.io.FileNotFoundException => None }
   }
+
+  /** A crashed writer's temp, served only on a VALID completeness trailer
+    * — an unparseable or trailer-less temp is treated as not-yet-written
+    * (the crashed write never committed). */
+  private def readTmpIfComplete(tmp: Path): Option[String] =
+    try {
+      val in = fs.open(tmp)
+      val raw = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
+      finally in.close()
+      Catalog.stripTrailer(raw)
+    } catch { case _: java.io.FileNotFoundException => None }
 
   /** Replace `p`'s content via write-tmp → delete → rename. The
     * delete→rename window is CRASH-RECOVERABLE, not atomic: the
@@ -2334,7 +2447,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def writeAtomic(p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    // the trailer is the STRUCTURAL completeness proof: a reader serving
+    // a crashed writer's temp validates the trailer instead of trusting
+    // file age (mtime-at-create filesystems would otherwise serve a live
+    // writer's half-written temp as committed content)
+    try out.write(Catalog.withTrailer(content).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
@@ -2343,6 +2460,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 }
 
 object Catalog {
+
+  /** Observability counter: number of `_deletes/` directory listings
+    * ([[Catalog.deleteVectorFiles]] calls) since JVM start. Maintenance
+    * must stay O(1) listings per run — specs diff this across a
+    * `maintainTopic` call the way StreamingSpec diffs
+    * `probePlannedEntries`. */
+  private[graft] val deletesListings = new java.util.concurrent.atomic.AtomicLong
 
   /** Lock staleness horizon (produce AND compact locks): a lock file whose
     * mtime is older than this is presumed a crashed owner's leftover and
@@ -2367,6 +2491,31 @@ object Catalog {
     * seeing None for this long right after a genuine crash. */
   private[engine] def tmpSettled(st: org.apache.hadoop.fs.FileStatus): Boolean =
     System.currentTimeMillis() - st.getModificationTime >= 500L
+
+  /** Completeness trailer for [[Catalog.writeAtomic]] metadata files: the
+    * content followed by one line stamping the content's UTF-8 byte
+    * length. A reader that finds a crashed writer's temp proves the temp
+    * complete by validating the stamp — a truncated write can never
+    * produce a prefix whose trailing stamp matches its own length,
+    * because any prefix containing the full trailer IS the full file. */
+  private val TrailerMark = "\n#graft-eof:"
+
+  private[engine] def withTrailer(content: String): String =
+    content + TrailerMark + content.getBytes(StandardCharsets.UTF_8).length
+
+  /** Some(content) when `raw` ends in a valid trailer; None otherwise
+    * (truncated, trailer-less, or foreign content). */
+  private[engine] def stripTrailer(raw: String): Option[String] = {
+    val idx = raw.lastIndexOf(TrailerMark)
+    if (idx < 0) None
+    else {
+      val content = raw.substring(0, idx)
+      val stamp = raw.substring(idx + TrailerMark.length)
+      stamp.toLongOption
+        .filter(_ == content.getBytes(StandardCharsets.UTF_8).length.toLong)
+        .map(_ => content)
+    }
+  }
 
   /** Max manifest file entries kept as driver-side JSON. Past it, snapshot
     * rolls move the file list into a parquet relation (the JSON keeps
@@ -2468,8 +2617,15 @@ object Catalog {
   /** Reader-side assembled view: the newest snapshot seq it was built from,
     * the last delta seq applied, and the result. Keyed on seqs alone —
     * sound because snapshot/delta files are immutable-by-name. */
+  /** `lastKey` is the (mtime, len) of the log entry at `lastSeq` as seen
+    * when the cache was filled: manifest-log entries are immutable BY
+    * NAME within one topic's life, but a drop+recreate at the same path
+    * restarts seqs at 1 — the key catches the recreated entry aliasing
+    * the cached one, so a second Catalog instance that cached the dead
+    * topic can never serve its manifest. */
   private[engine] final case class ManifestCacheEntry(
-      snapSeq: Long, lastSeq: Long, manifest: TopicManifest)
+      snapSeq: Long, lastSeq: Long, manifest: TopicManifest,
+      lastKey: (Long, Long) = (-1L, -1L))
 
   /** Apply a manifest delta: watermarks advance (later wins), new files
     * append per partition in commit order (= id order). A parquet-backed
@@ -2502,6 +2658,18 @@ object Catalog {
     StructType(Seq(
       StructField("partition", IntegerType, nullable = false),
       StructField("event_id", LongType, nullable = false)))
+  }
+
+  /** [[DeleteSchema]] plus the per-row source-attribution columns a FOLD
+    * root carries (`_v` = source commit version, -1 unknown; `_ms` =
+    * source commit millis). Plain roots lack the columns; every normal
+    * read surface projects [[DeleteSchema]] only, so the columns cost
+    * nothing outside the change feed. */
+  val DeleteSchemaWithSource: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(DeleteSchema.fields.toSeq ++ Seq(
+      StructField("_v", LongType, nullable = false),
+      StructField("_ms", LongType, nullable = false)))
   }
 
   /** Index names become path components under `<topic>/_index/`. */
@@ -2659,6 +2827,59 @@ final case class TopicVersion(version: Long, kind: String, commitTimeMs: Long,
 /** Footer stats of one partition of one deletion-vector root: vectored-row
   * count and the (min, max) vectored event_id ([[Catalog.deleteVectorRootStats]]). */
 final case class VectorRootStats(rows: Long, minId: Long, maxId: Long)
+
+/** One attributable delete commit WITHIN a vector root. A plain root
+  * (one `deleteWhereVectored`) carries exactly one source, derived from
+  * its name (`d-<ms>-v<seq>-…`); a FOLD root
+  * ([[Catalog.compactDeleteVectors]]) carries one per folded commit,
+  * persisted through the fold in a `_sources.json` sidecar plus per-row
+  * `_v`/`_ms` columns — the change-data-feed attributes each folded
+  * preimage to its ORIGINAL commit, so folding never rewrites feed
+  * history. `version` is -1 when unknown (legacy untagged roots):
+  * attribution falls back to the first retained commit at/after `ms`.
+  * `bounds` are the source's per-partition footer stats, carried through
+  * the fold so preimage scans stay clamped to the source's id span. */
+final case class VectorSource(version: Long, ms: Long,
+                              bounds: Map[Int, VectorRootStats]) {
+  def toJValue: JValue = JObject(
+    "v" -> JLong(version), "ms" -> JLong(ms),
+    "bounds" -> JObject(bounds.toSeq.sortBy(_._1).map { case (p, s) =>
+      p.toString -> (JObject("rows" -> JLong(s.rows), "lo" -> JLong(s.minId),
+        "hi" -> JLong(s.maxId)): JValue)
+    }: _*))
+}
+
+object VectorSource {
+  def seqToJson(srcs: Seq[VectorSource]): String =
+    JsonMethods.compact(JsonMethods.render(JArray(srcs.map(_.toJValue).toList)))
+
+  def seqFromJson(json: String): Seq[VectorSource] =
+    JsonMethods.parse(json) match {
+      case JArray(items) => items.map {
+        case o: JObject =>
+          val fields = o.obj.toMap
+          def long(v: JValue): Long = v match {
+            case JLong(x) => x
+            case JInt(x) => x.toLong
+            case other => throw new IllegalArgumentException(
+              s"_sources.json: expected integer, got $other")
+          }
+          val bounds = fields("bounds") match {
+            case JObject(bs) => bs.map { case (p, bv) =>
+              val b = bv.asInstanceOf[JObject].obj.toMap
+              p.toInt -> VectorRootStats(long(b("rows")), long(b("lo")), long(b("hi")))
+            }.toMap
+            case other => throw new IllegalArgumentException(
+              s"_sources.json: expected bounds object, got $other")
+          }
+          VectorSource(long(fields("v")), long(fields("ms")), bounds)
+        case other => throw new IllegalArgumentException(
+          s"_sources.json: expected object entry, got $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"_sources.json: expected array, got $other")
+    }
+}
 
 /** What [[Catalog.archiveTopicBefore]] moved to the cold tier. */
 final case class TierReport(filesMoved: Int, bytesMoved: Long)

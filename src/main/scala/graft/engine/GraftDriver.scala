@@ -429,14 +429,20 @@ final class TopicHandle(spark: SparkSession,
         if (span.isEmpty) lit(null).cast("timestamp")
         else element_at(tsByVer, col("_commit_version")))
 
-    // delete preimages: one bounded scan per in-span vector root, each
-    // with its exact (or timestamp-attributed) commit version — ONE
-    // attribution rule, shared with the scan-level feed
+    // delete preimages: one bounded scan per in-span delete COMMIT (plain
+    // roots carry one; fold roots carry each folded commit's source,
+    // narrowed by its (_v, _ms) stamp), each with its exact (or
+    // timestamp-attributed) commit version — ONE attribution rule, shared
+    // with the scan-level feed
     val deletes = catalog.deleteVectorFiles(name).flatMap { root =>
-      graft.streaming.GraftCdf.attributeRoot(root, history)
-        .filter(v => v.version > fromVersion && v.version <= toVersion)
-        .map { v =>
-          base.option("cdfDeleteRoot", root).load()
+      graft.streaming.GraftCdf
+        .sourcesInSpan(catalog, root, history, fromVersion, toVersion)
+        .map { case (src, v, multi) =>
+          val scan = base.option("cdfDeleteRoot", root)
+          val narrowed =
+            if (multi) scan.option("cdfDeleteSource", s"${src.version}:${src.ms}")
+            else scan
+          narrowed.load()
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v.version))
             .withColumn("_commit_timestamp",

@@ -2077,7 +2077,7 @@ object EnginePack extends QueryPack {
     "q_sql_insert" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, COUNT(*) AS cnt,
         |  CAST(0 AS BIGINT) AS min_id, COUNT(*) - 1 AS max_id,
-        |  SUM(event_id) AS eid_sum
+        |  CAST(SUM(event_id) AS BIGINT) AS eid_sum
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
     // engine id = rank of the event within its partition (push order); the
     // acked prefix (< 10) must not reappear

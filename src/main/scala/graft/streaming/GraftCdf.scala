@@ -92,6 +92,35 @@ object GraftCdf {
     }
   }
 
+  /** Per-SOURCE form of [[attributeRoot]] — the same rule applied to one
+    * folded delete commit: exact when its version is tagged and retained,
+    * first retained commit at/after its millis otherwise. A fold merges
+    * roots but persists each source's (version, ms), so folded preimages
+    * keep replaying under their ORIGINAL commits. */
+  def attributeSource(src: graft.engine.VectorSource,
+                      history: Vector[TopicVersion]): Option[TopicVersion] = {
+    def byTimestamp: Option[TopicVersion] = history.find(_.commitTimeMs >= src.ms)
+    if (src.version >= 0L) history.find(_.version == src.version).orElse(byTimestamp)
+    else byTimestamp
+  }
+
+  /** Every (source, attributed commit) of `root`'s delete commits that
+    * lands in `(fromVer, toVer]` — one entry per plain root, one per
+    * folded commit on fold roots. The third element says whether the
+    * root needs reader-side source narrowing (it carries OTHER sources
+    * too). */
+  def sourcesInSpan(catalog: Catalog, root: String,
+                    history: Vector[TopicVersion], fromVer: Long, toVer: Long):
+      Seq[(graft.engine.VectorSource, TopicVersion, Boolean)] = {
+    val srcs = catalog.vectorRootSources(root)
+    val multi = srcs.size > 1
+    srcs.flatMap { src =>
+      attributeSource(src, history)
+        .filter(v => v.version > fromVer && v.version <= toVer)
+        .map(v => (src, v, multi))
+    }
+  }
+
   /** Plan the change feed for commits in `(fromVer, toVer]` with insert id
     * windows `[from(p), until(p))`. `history` must be the topic's current
     * retained history (one `versionHistory` read per plan, shared by both
@@ -119,16 +148,20 @@ object GraftCdf {
             (v.version, v.watermarks.getOrElse(ip.partition, 0L), v.commitTimeMs)))))
       }
 
+    // one bounded preimage scan per in-span delete COMMIT (plain roots
+    // carry one; fold roots carry each folded commit's source, narrowed
+    // in the reader by its (_v, _ms) stamp) — never more scans than the
+    // same deletes cost before a fold, each clamped to its own id bounds
     val deletes = catalog.deleteVectorFiles(topic).flatMap { root =>
-      attributeRoot(root, history)
-        .filter(v => v.version > fromVer && v.version <= toVer)
-        .toSeq.flatMap { v =>
-          val bounds = catalog.deleteVectorRootStats(root)
+      sourcesInSpan(catalog, root, history, fromVer, toVer)
+        .flatMap { case (src, v, multi) =>
+          val bounds = src.bounds
           GraftPartitions.plan(catalog, topic, targets,
               from = p => bounds.get(p).fold(Long.MaxValue)(_.minId),
               until = p => bounds.get(p).fold(Long.MinValue)(s =>
                 if (s.maxId == Long.MaxValue) Long.MaxValue else s.maxId + 1L),
-              stats, deleteMode = GraftDeleteMode.Only(root))
+              stats, deleteMode = GraftDeleteMode.Only(root,
+                if (multi) Some((src.version, src.ms)) else None))
             .collect { case ip: GraftInputPartition =>
               ip.copy(cdf = Some(CdfSlice("delete", v.version, v.commitTimeMs)))
             }

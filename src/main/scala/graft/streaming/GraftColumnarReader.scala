@@ -106,13 +106,30 @@ private[streaming] object GraftReaderSupport {
    */
   def loadDeletedIds(
       deleteDirs: Seq[String], confEntries: Array[(String, String)],
-      partition: Int, fromId: Long, untilId: Long): Array[Long] = {
+      partition: Int, fromId: Long, untilId: Long,
+      source: Option[(Long, Long)] = None): Array[Long] = {
     if (deleteDirs.isEmpty) return Array.emptyLongArray
-    val schema = StructType(Seq(
-      StructField("event_id", LongType, nullable = false)))
-    val c = buildConf(confEntries, schema, FilterApi.and(
+    // source narrowing (fold roots only — their files always carry the
+    // `_v`/`_ms` source-attribution columns): keep the one folded delete
+    // commit this preimage scan replays
+    val schema = source match {
+      case None => StructType(Seq(
+        StructField("event_id", LongType, nullable = false)))
+      case Some(_) => StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("_v", LongType, nullable = false),
+        StructField("_ms", LongType, nullable = false)))
+    }
+    val idRange = FilterApi.and(
       FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
-      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId))))
+      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId)))
+    val predicate = source match {
+      case None => idRange
+      case Some((v, ms)) => FilterApi.and(idRange, FilterApi.and(
+        FilterApi.eq(FilterApi.longColumn("_v"), java.lang.Long.valueOf(v)),
+        FilterApi.eq(FilterApi.longColumn("_ms"), java.lang.Long.valueOf(ms))))
+    }
+    val c = buildConf(confEntries, schema, predicate)
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     deleteDirs.foreach { dirStr =>
       val sub = new Path(dirStr, s"partition=$partition")
@@ -138,7 +155,10 @@ private[streaming] object GraftReaderSupport {
               org.apache.spark.sql.catalyst.InternalRow]
             // row-group pruning is statistics-coarse — re-check per row
             val id = row.getLong(0)
-            if (id >= fromId && id < untilId) out += id
+            val srcOk = source.forall { case (v, ms) =>
+              row.getLong(1) == v && row.getLong(2) == ms
+            }
+            if (srcOk && id >= fromId && id < untilId) out += id
           }
         } finally r.close()
       }
@@ -229,7 +249,8 @@ final class GraftColumnarPartitionReader(
     confEntries, readSchema, slice.fromId, slice.untilId)
   /** Vector-deleted ids overlapping this slice (sorted; usually empty). */
   private val deleted: Array[Long] = GraftReaderSupport.loadDeletedIds(
-    slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId)
+    slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId,
+    slice.deleteSource)
   @inline private def kept(id: Long): Boolean =
     id >= slice.fromId && id < slice.untilId &&
       GraftReaderSupport.passesVectors(deleted, slice.deleteKeepOnly, id)

@@ -89,8 +89,12 @@ final class GraftMicroBatchStream(
     if (history.isEmpty) return fromVer
     val horizon = GraftMicroBatchStream.cdfHoldbackMs(
       org.apache.spark.sql.SparkSession.active)
+    // sidecar-aware: a fold buries root-name version tags but persists
+    // them in `_sources.json` — the probe must keep seeing them, or a
+    // fresh delete commit folded before the stream observed it would
+    // hold the frontier for the whole in-flight horizon
     lazy val visibleRootVersions: Set[Long] =
-      catalog.deleteVectorFiles(topic).flatMap(Catalog.vectorRootVersion).toSet
+      catalog.deleteVectorFiles(topic).flatMap(catalog.vectorRootVersions).toSet
     val now = System.currentTimeMillis()
     val blocked = history.find(v => v.version > fromVer &&
       v.note.contains(Catalog.DeleteVectorNote) &&
@@ -505,8 +509,12 @@ object GraftDeleteMode {
   case object Ignore extends GraftDeleteMode
   /** Keep ONLY the rows vectored by `root` — the change-data-feed's
     * DELETE-preimage side (vectored rows stay physically present in the
-    * chunk files until a rewrite folds them). */
-  final case class Only(root: String) extends GraftDeleteMode
+    * chunk files until a rewrite folds them). `source` narrows a FOLD
+    * root (which carries several folded delete commits) to one of its
+    * `(_v, _ms)`-stamped sources — plain roots pass None (their files
+    * lack the columns). */
+  final case class Only(root: String,
+                        source: Option[(Long, Long)] = None) extends GraftDeleteMode
 }
 
 object GraftPartitions {
@@ -570,9 +578,13 @@ object GraftPartitions {
     val deleteFiles: Seq[String] = deleteMode match {
       case GraftDeleteMode.Apply => catalog.deleteVectorFiles(topic)
       case GraftDeleteMode.Ignore => Nil
-      case GraftDeleteMode.Only(root) => Seq(root)
+      case GraftDeleteMode.Only(root, _) => Seq(root)
     }
     val deleteKeepOnly = deleteMode.isInstanceOf[GraftDeleteMode.Only]
+    val deleteSource: Option[(Long, Long)] = deleteMode match {
+      case GraftDeleteMode.Only(_, src) => src
+      case _ => None
+    }
     val tierSt = catalog.tierState(topic)
     val tierTail: Map[Int, Vector[graft.engine.ManifestFile]] =
       tierSt.map(_.files).getOrElse(Map.empty)
@@ -652,18 +664,29 @@ object GraftPartitions {
               // qualify like fs.listStatus would, so both planning paths
               // yield identical strings (FileStatsCache keys, dedup, tests)
               .map(f => fs.makeQualified(new Path(logPath, f.path)).toString)
-            // A covering watermark with NO overlapping file entry is a
-            // legitimate committed state, not divergence: a compliance
+            // A covering watermark with NO overlapping file entry is the
+            // legitimate committed state AFTER a purge: a compliance
             // delete / expire / full-table DELETE that emptied this id
             // span rewrote the manifest atomically with the log (id gaps
             // are the purge semantic; an emptied partition keeps its
-            // watermark). An empty slice is the truthful plan. The states
-            // this used to guard against surface loudly elsewhere:
-            // manually-deleted chunk files stay LISTED here and fail at
-            // read; a razed log dir with a live watermark is caught by the
-            // missing-log check on the no-manifest fallback path below.
-            if (files.nonEmpty) Some(GraftInputPartition(p, lo, hi, files, deleteFiles, deleteKeepOnly))
-            else None
+            // watermark) — and every such purge sets the topic's id-gap
+            // marker BEFORE readers can observe the hole. On a GAP-FREE
+            // topic the same shape is provably divergence (manifest
+            // entries lost while the watermark survived, unregistered
+            // writer damage), so it fails loudly instead of silently
+            // dropping rows from every read surface. A delete-preimage
+            // scan (keepOnly) legitimately plans empty off-bounds windows
+            // regardless — its `from/until` are vector bounds, not the
+            // committed watermark.
+            if (files.nonEmpty)
+              Some(GraftInputPartition(p, lo, hi, files, deleteFiles,
+                deleteKeepOnly, deleteSource = deleteSource))
+            else if (deleteKeepOnly || catalog.mayHaveIdGaps(topic)) None
+            else throw new java.io.IOException(
+              s"topic '$topic' partition $p: manifest watermark covers ids " +
+              s"[$lo, $hi) but no chunk file overlaps the span, and the " +
+              "topic has no recorded id gaps — manifest entries were lost " +
+              "or chunk files were removed by an unregistered writer")
           }.toArray[InputPartition])
         }
       case None => None
@@ -715,7 +738,8 @@ object GraftPartitions {
         }
         val files = coldFiles(p, lo, hi) ++ hot
         if (files.isEmpty) None
-        else Some(GraftInputPartition(p, lo, hi, files, deleteFiles, deleteKeepOnly))
+        else Some(GraftInputPartition(p, lo, hi, files, deleteFiles,
+          deleteKeepOnly, deleteSource = deleteSource))
       }
     }.sortBy(_.partition).toArray
   }
@@ -724,6 +748,7 @@ object GraftPartitions {
 final case class GraftInputPartition(
     partition: Int, fromId: Long, untilId: Long, files: Seq[String],
     deleteFiles: Seq[String] = Nil, deleteKeepOnly: Boolean = false,
+    deleteSource: Option[(Long, Long)] = None,
     cdf: Option[CdfSlice] = None)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {

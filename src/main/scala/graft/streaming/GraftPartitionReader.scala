@@ -85,7 +85,8 @@ final class GraftPartitionReader(
 
   /** Vector-deleted ids overlapping this slice (sorted; usually empty). */
   private val deleted: Array[Long] = GraftReaderSupport.loadDeletedIds(
-    slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId)
+    slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId,
+    slice.deleteSource)
 
   /** The reader emits `readSchema ++ (partition, _file)`; this maps it back
     * to the pruned schema's column order (CDF virtuals excluded — filled

@@ -357,18 +357,21 @@ final class GraftScan(
         val toVer = endingVerNum.getOrElse(
           history.lastOption.map(_.version).getOrElse(0L))
         catalog.deleteVectorFiles(topic).flatMap(root =>
-          GraftCdf.attributeRoot(root, history)
-            .filter(v => v.version > fromVer && v.version <= toVer)
-            .map(_ => catalog.deleteVectorRootStats(root)
+          GraftCdf.sourcesInSpan(catalog, root, history, fromVer, toVer)
+            .map { case (src, _, _) => src.bounds
               .filter { case (p, _) => parts.contains(p) }
-              .valuesIterator.map(_.rows).sum)).sum
+              .valuesIterator.map(_.rows).sum }).sum
       }
     val rows = cdfDeleteRows + (deleteMode match {
-      case GraftDeleteMode.Only(root) =>
-        // a delete-preimage scan surfaces exactly the root's vectored rows
-        // — footer-exact, which lets Catalyst broadcast the (small) delete
-        // side of a change feed against a huge insert side
-        val stats = catalog.deleteVectorRootStats(root)
+      case GraftDeleteMode.Only(root, source) =>
+        // a delete-preimage scan surfaces exactly the root's (or, source-
+        // narrowed, the folded commit's) vectored rows — footer-exact,
+        // which lets Catalyst broadcast the (small) delete side of a
+        // change feed against a huge insert side
+        val stats = source.flatMap { case (v, ms) =>
+          catalog.vectorRootSources(root)
+            .find(s => s.version == v && s.ms == ms).map(_.bounds)
+        }.getOrElse(catalog.deleteVectorRootStats(root))
         parts.map(p => stats.get(p).fold(0L)(_.rows)).sum
       case _ => parts.map(p => math.max(0L,
         batchHi(p, next, cap) - batchLo(p) - deleted.getOrElse(p, 0L))).sum
@@ -482,18 +485,22 @@ final class GraftScan(
       // sliver of vectored rows from a huge log plans O(root id-span)
       // chunk files, not the whole partition.
       val rootBounds: Map[Int, (Long, Long)] = deleteMode match {
-        case GraftDeleteMode.Only(root) =>
-          catalog.deleteVectorRootStats(root).view.mapValues(s =>
+        case GraftDeleteMode.Only(root, source) =>
+          val stats = source.flatMap { case (v, ms) =>
+            catalog.vectorRootSources(root)
+              .find(s => s.version == v && s.ms == ms).map(_.bounds)
+          }.getOrElse(catalog.deleteVectorRootStats(root))
+          stats.view.mapValues(s =>
             (s.minId, if (s.maxId == Long.MaxValue) Long.MaxValue else s.maxId + 1L)).toMap
         case _ => Map.empty
       }
       def clampLo(p: Int): Long = deleteMode match {
-        case GraftDeleteMode.Only(_) =>
+        case GraftDeleteMode.Only(_, _) =>
           rootBounds.get(p).fold(Long.MaxValue)(b => math.max(batchLo(p), b._1))
         case _ => batchLo(p)
       }
       def clampHi(p: Int): Long = deleteMode match {
-        case GraftDeleteMode.Only(_) =>
+        case GraftDeleteMode.Only(_, _) =>
           rootBounds.get(p).fold(Long.MinValue)(b =>
             math.min(batchHi(p, next, cap), b._2))
         case _ => batchHi(p, next, cap)

@@ -326,10 +326,19 @@ final class GraftTopicTable(
     // change-data-feed internals (TopicHandle.changes composes these):
     //  - applyDeletionVectors=false — the raw log (insert preimages);
     //  - cdfDeleteRoot=<path>       — ONLY that vector root's delete
-    //    preimages (reader filter inverted, window clamped to the root)
+    //    preimages (reader filter inverted, window clamped to the root);
+    //  - cdfDeleteSource=<v>:<ms>   — narrow a FOLD root to one of its
+    //    folded delete commits (by its (_v, _ms) stamp)
+    val cdfSource: Option[(Long, Long)] = opt("cdfDeleteSource").map { s =>
+      s.split(':') match {
+        case Array(v, ms) => (v.toLong, ms.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"cdfDeleteSource must be '<version>:<millis>', got '$s'")
+      }
+    }
     val effDeleteMode: GraftDeleteMode =
       (opt("applyDeletionVectors"), opt("cdfDeleteRoot")) match {
-        case (_, Some(root)) => GraftDeleteMode.Only(root)
+        case (_, Some(root)) => GraftDeleteMode.Only(root, cdfSource)
         case (Some(v), None) if v.equalsIgnoreCase("false") => GraftDeleteMode.Ignore
         case (Some(v), None) if v.equalsIgnoreCase("true") => GraftDeleteMode.Apply
         case (Some(v), None) => throw new IllegalArgumentException(

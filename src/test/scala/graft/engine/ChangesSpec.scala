@@ -207,6 +207,37 @@ class ChangesSpec extends SparkSpec {
       "orphan rows never became visible")
   }
 
+  test("a vector fold preserves per-commit attribution (sidecar + row stamps)") {
+    import spark.implicits._
+    val (d, topic) = mkTopic()
+    // six vectored deletes, each its own commit (the 5th crosses the >4
+    // bound and auto-folds the roots)
+    val delVers = (0 until 6).map { i =>
+      topic.deleteWhereVectored(k() >= i * 10 && k() < i * 10 + 3): Unit
+      versions(topic).last
+    }
+    assert(d.catalog.deleteVectorFiles("t").size < 6,
+      "commit-time auto-fold must have bounded the root count")
+    // full-span feed: every folded delete replays under its ORIGINAL commit
+    val v0 = delVers.head - 1
+    val byVer = topic.changes(v0, delVers.last)
+      .filter(col("_change_type") === "delete")
+      .select(col("_commit_version"), k().as("k")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    delVers.zipWithIndex.foreach { case (v, i) =>
+      assert(byVer.get(v).contains((i * 10L until i * 10L + 3L).toSeq),
+        s"delete commit $v must replay exactly its own preimages, got ${byVer.get(v)}")
+    }
+    // an incremental consumer that already read through the 3rd delete:
+    // the fold must neither re-emit 1..3 under a newer version nor lose
+    // 4..6 behind the merged root
+    val tail = topic.changes(delVers(2), delVers.last)
+      .filter(col("_change_type") === "delete")
+      .select(k()).as[Long].collect().sorted.toSeq
+    assert(tail == ((30L until 33L) ++ (40L until 43L) ++ (50L until 53L)),
+      s"post-fold incremental span must hold exactly deletes 4..6, got $tail")
+  }
+
   test("a root whose exact version fell out of retention still feeds (fallback)") {
     import spark.implicits._
     val (d, topic) = mkTopic()

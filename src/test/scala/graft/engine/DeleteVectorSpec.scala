@@ -157,14 +157,18 @@ class DeleteVectorSpec extends SparkSpec {
     assert(topic.eventsBloomEq("bl_k", "25").count() == 1)
   }
 
-  test("tiered topics fold by merging vector files (maintain bounds the count)") {
+  test("tiered topics fold by merging vector files (commit-time auto-fold bounds the count)") {
     val (d, topic) = mkTopic()
     assert(topic.archiveBefore(25).filesMoved > 0) // tiered: rewrites refuse
     (0 until 6).foreach(i => topic.deleteWhereVectored(k() === i): Unit)
-    assert(d.catalog.deleteVectorFiles("t").size == 6)
-    d.catalog.maintainTopic("t", maxFilesPerPartition = 1000): Unit
+    // the 5th delete crossed the >4 bound and auto-folded to 1; the 6th
+    // added one more — a delete-heavy topic that never maintains still
+    // keeps the per-slice vector-load count bounded
+    assert(d.catalog.deleteVectorFiles("t").size == 2,
+      "commit-time auto-fold must bound the root count without maintenance")
+    d.catalog.compactDeleteVectors("t"): Unit
     assert(d.catalog.deleteVectorFiles("t").size == 1,
-      "maintain must merge a tiered topic's vectors into one relation")
+      "an explicit fold must merge a tiered topic's vectors into one relation")
     val got = load(d).select(k().as("k")).collect().map(_.getLong(0)).toSet
     assert(got == (6 until 200).map(_.toLong).toSet,
       "the merged vector must preserve every deleted id")
@@ -188,13 +192,29 @@ class DeleteVectorSpec extends SparkSpec {
     }
   }
 
-  test("maintain folds accumulated vectors") {
+  test("maintain reads the vector inventory once (fold pays one more under lock)") {
+    val (d, topic) = mkTopic()
+    // clean topic: the compact/merge trigger check is the ONLY listing
+    val c0 = Catalog.deletesListings.get()
+    d.catalog.maintainTopic("t", maxFilesPerPartition = 1000): Unit
+    assert(Catalog.deletesListings.get() - c0 == 1,
+      "a clean maintain must list _deletes exactly once")
+    // fold path: trigger check + the rewrite's own apply-vectors read
+    (0 until 6).foreach(i => topic.deleteWhereVectored(k() === i): Unit)
+    val c1 = Catalog.deletesListings.get()
+    d.catalog.maintainTopic("t", maxFilesPerPartition = 1000): Unit
+    val foldRuns = Catalog.deletesListings.get() - c1
+    assert(foldRuns <= 2, s"a folding maintain must list _deletes at most twice, did $foldRuns")
+  }
+
+  test("compaction folds vectors physically; auto-fold bounds them between runs") {
     val (d, topic) = mkTopic()
     (0 until 6).foreach(i => topic.deleteWhereVectored(k() === i): Unit)
-    assert(d.catalog.deleteVectorFiles("t").size == 6)
-    val (compacted, _, _) = d.catalog.maintainTopic("t", maxFilesPerPartition = 1000)
-    assert(compacted, "6 vectors must trigger the fold")
-    assert(d.catalog.deleteVectorFiles("t").isEmpty)
+    // commit-time auto-fold kept the count bounded (5th delete folded)
+    assert(d.catalog.deleteVectorFiles("t").size == 2)
+    d.catalog.compactTopic("t")
+    assert(d.catalog.deleteVectorFiles("t").isEmpty,
+      "a log rewrite must purge vectored rows and clear _deletes")
     assert(load(d).count() == 194)
   }
 

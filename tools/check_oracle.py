@@ -54,12 +54,14 @@ def main():
         if name not in oracle:
             continue
         try:
-            duck = con.sql(oracle[name]).fetchall()
-            duck_cols = [d[0] for d in con.sql(oracle[name]).description]
-            spark = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            spark_cols = [d[0] for d in con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").description]
+            duck_rel = con.sql(oracle[name])
+            duck = duck_rel.fetchall()
+            duck_cols = list(duck_rel.columns)
+            duck_types = [str(t) for t in duck_rel.types]
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            spark = spark_rel.fetchall()
+            spark_cols = list(spark_rel.columns)
+            spark_types = [str(t) for t in spark_rel.types]
         except Exception as e:
             print(f"FAIL {name}: query error: {e}")
             n_fail += 1
@@ -67,6 +69,17 @@ def main():
 
         if sorted(duck_cols) != sorted(spark_cols):
             print(f"FAIL {name}: columns differ: duck={sorted(duck_cols)} spark={sorted(spark_cols)}")
+            n_fail += 1
+            continue
+        # Type-strict: the driver hashes TYPED values, so a DuckDB HUGEINT
+        # (bare SUM over BIGINT) vs Spark BIGINT fails there even when the
+        # Python values compare equal. Mirror that here.
+        dtyp = {c: t for c, t in zip(duck_cols, duck_types)}
+        styp = {c: t for c, t in zip(spark_cols, spark_types)}
+        typ_bad = [(c, dtyp[c], styp[c]) for c in sorted(duck_cols)
+                   if dtyp[c] != styp[c]]
+        if typ_bad:
+            print(f"FAIL {name}: column types differ (duck vs spark): {typ_bad}")
             n_fail += 1
             continue
         # reorder both to sorted column order
