@@ -148,6 +148,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     acquireProduceLock(name)
     try {
       failIfCompacting(name)
+      // dropping a topic with live shallow clones deletes the chunk files
+      // they reference — same contract as the rewrite guard
+      failIfLiveClones(name, "dropTopic")
       fs.delete(topicPath(name), true): Unit
     } finally {
       // the lock file went with the tree; release tolerates that
@@ -1117,6 +1120,37 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           .filter(coalesce(cond, lit(false)))
           .select(col("partition"), col("event_id"))
       }
+      commitVectorsLocked(name, matched)
+    } finally releaseCompactLock(name)
+  }
+
+  /** Vector-delete an EXPLICIT `(partition, event_id)` relation — the SQL
+    * MERGE path (matched rows arrive as row ids from the rewrite plan, not
+    * as a predicate). Ids are re-validated against the current
+    * vector-applied log under the lock: already-vectored or nonexistent
+    * ids drop out, preserving the disjoint-roots invariant that keeps
+    * [[deletedCountsByPartition]] exact. */
+  def deleteIdsVectored(name: String, ids: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    acquireCompactLock(name)
+    try {
+      val matched = fullLogDF(name) match {
+        case None => return 0L
+        case Some(df) => applyDeleteVectors(name, df)
+          .select(col("partition"), col("event_id"))
+          .join(ids.select(col("partition"), col("event_id")).distinct(),
+            Seq("partition", "event_id"), "left_semi")
+      }
+      commitVectorsLocked(name, matched)
+    } finally releaseCompactLock(name)
+  }
+
+  /** The vector-commit body (stage → count → gap marker → noted manifest
+    * commit → rename → auto-fold) — callers hold the compact lock. */
+  private def commitVectorsLocked(
+      name: String, matched: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    {
       val dir = deletesDir(name)
       fs.mkdirs(dir): Unit
       // staged under a NON-hidden name (a dot prefix would make Spark's
@@ -1168,7 +1202,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       if (deleteVectorFiles(name).size > 4)
         compactDeleteVectorsLocked(name): Unit
       n
-    } finally releaseCompactLock(name)
+    }
   }
 
   /**
@@ -1589,7 +1623,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // isTiered); the fold/merge operations re-list under their own locks
     val vectorRoots = deleteVectorFiles(name)
     val tiered = isTiered(name)
-    val needsCompact = !tiered && (
+    // a source with live shallow clones skips the compact step (the
+    // rewrite would refuse loudly — same shape as the tiered skip); the
+    // rest of maintenance (vacuum, index refresh) never touches files a
+    // clone references
+    val needsCompact = !tiered && liveClones(name).isEmpty && (
       vectorRoots.size > 4 ||
       readManifest(name).exists(m =>
         manifestFileCounts(name, m).values.exists(_ > maxFilesPerPartition)))
@@ -1624,6 +1662,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // (compact would merely miss them, but expire/delete would silently NOT
     // delete them) — refuse loudly instead
     failIfTiered(name, "log rewrite (compact/expire/delete)")
+    // a rewrite replaces every chunk file — live shallow clones reference
+    // the ORIGINALS by absolute path and would start erroring later
+    failIfLiveClones(name, "log rewrite (compact/expire/delete)")
     val log = new Path(logPath(name))
     val tmp = new Path(topicPath(name), "log.compact.tmp")
     val old = new Path(topicPath(name), "log.compact.old")
@@ -1926,6 +1967,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       require(!tierState(name).exists(_.shared),
         s"topic '$name' is a shallow clone — restoreArchive() (materialize) " +
         "before archiving")
+      // archiving MOVES hot chunk files — a live shallow clone references
+      // them at their current absolute paths
+      failIfLiveClones(name, "archiveTopicBefore")
       require(!new Path(root).toString.startsWith(new Path(logPath(name)).toString),
         "coldRoot must not be inside the hot log directory")
       // uncommitted orphans (a produce dead between manifest and id
@@ -2013,6 +2057,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     try tierState(name) match {
       case None => 0
       case Some(t) =>
+        // restoring a NON-shared tier MOVES cold files home — live shallow
+        // clones reference them where they are. (A shared inventory — the
+        // clone-materialize path — only copies, so it stays allowed.)
+        if (!t.shared) failIfLiveClones(name, "restoreArchive")
         val coldFs = new Path(t.coldRoot).getFileSystem(hadoopConf)
         var moved = 0
         // materializing here is proportional to the work: every entry is a
@@ -2093,6 +2141,48 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * commit; concurrent produces are safe (a committed manifest's files
    * are immutable — the clone just pins that commit).
    */
+  // -- shallow-clone registry -------------------------------------------
+
+  private def clonesDir(name: String): Path = new Path(topicPath(name), "_clones")
+
+  /** Clones registered against `name` that are still LIVE (exist and are
+    * still shallow). Registrations of materialized or dropped clones are
+    * pruned here lazily — no cleanup hook needed on the clone side, and a
+    * stale entry can never block forever. Liveness deliberately does NOT
+    * match the clone's coldRoot back to `name`: a clone-of-a-clone
+    * references the ORIGINAL topic's chunk files while its tier state
+    * points at its immediate parent, and it registers on both. */
+  def liveClones(name: String): Seq[String] = {
+    val dir = clonesDir(name)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        val clone = st.getPath.getName.stripSuffix(".json")
+        if (topicExists(clone) && tierState(clone).exists(_.shared)) Some(clone)
+        else { fs.delete(st.getPath, false): Unit; None }
+      }.toSeq.sorted
+  }
+
+  /** Physical file deletion/moves on a topic with live shallow clones
+    * would break the clones LATER (missing-file read errors long after
+    * the operation) — refuse LOUDLY up front instead, naming the clones
+    * and the escape hatches. `spark.graft.clone.force=true` is the
+    * explicit break-my-clones override. (The reference has no sharing —
+    * topics own their chunk files exclusively,
+    * `DefaultPartitionManager.cpp:104-120`; sharing is this engine's
+    * extension, so this safety contract closes it.) */
+  private[engine] def failIfLiveClones(name: String, op: String): Unit = {
+    if (spark.conf.getOption("spark.graft.clone.force")
+          .exists(_.equalsIgnoreCase("true"))) return
+    val live = liveClones(name)
+    if (live.nonEmpty) throw new IllegalStateException(
+      s"$op on topic '$name' would delete or move chunk files still " +
+      s"referenced by live shallow clone(s) ${live.mkString("'", "', '", "'")} — " +
+      "materialize them first (restoreArchive() on each clone), drop them, " +
+      "or set spark.graft.clone.force=true to proceed and break them")
+  }
+
   def cloneTopic(src: String, dst: String): Unit = {
     val cfg = openTopic(src)
     if (topicExists(dst)) throw new IllegalStateException("Topic already exists")
@@ -2171,11 +2261,26 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             else if (parts.length >= 2 && parts(0) == "d")
               (Seq(parts(0), parts(1), "v1") ++ parts.drop(2)).mkString("-")
             else n
+          val dstRoot = new Path(deletesDir(dst), retagged)
           org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-            new Path(deletesDir(dst), retagged), false, true,
-            hadoopConf): Unit
+            dstRoot, false, true, hadoopConf): Unit
+          // a copied FOLD root's sidecar carries SOURCE-topic versions,
+          // which mean nothing in the clone's history — drop it, so the
+          // root attributes as a plain v1 root like every other copy
+          // (the per-row _v/_ms columns are inert without the sidecar)
+          fs.delete(new Path(dstRoot, "_sources.json"), false): Unit
         }
       if (mayHaveIdGaps(src)) markIdGaps(dst)
+      // register the clone with its source (and, for a clone-of-a-clone,
+      // with the ORIGINAL topic whose files it transitively references) so
+      // physical deletion there refuses while this clone lives
+      val reg = JsonMethods.compact(JsonMethods.render(JObject(
+        "path" -> JString(topicPath(dst).toString),
+        "ms" -> JLong(System.currentTimeMillis()))))
+      writeAtomic(new Path(clonesDir(src), s"$dst.json"), reg)
+      tier.filter(_.shared).foreach { t =>
+        writeAtomic(new Path(new Path(t.coldRoot), s"_clones/$dst.json"), reg)
+      }
       manifestCache.remove(dst): Unit
     } finally releaseCompactLock(src)
   }

@@ -309,6 +309,80 @@ object EnginePack extends QueryPack {
            |  sum(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS eid_sum
            |FROM $cat.sqlins_demo GROUP BY partition ORDER BY partition""".stripMargin)
     },
+    "q_producer_concurrent" -> { (s, dir) =>
+      // MULTI-WRITER produce serialization: two producers in two threads
+      // interleave four produce() commits each, arbitrated by the produce
+      // lock's bounded wait (the reference serializes writers server-side
+      // in the partition manager's write queue,
+      // DefaultPartitionManager.cpp:398-409). Graded on the outcome the
+      // lock guarantees: dense per-partition ids (min 0, max cnt-1,
+      // distinct = cnt) and ZERO lost or duplicated events regardless of
+      // commit interleaving (eid sums are assignment-order independent).
+      val d = tempDriver(s)
+      d.createTopic("conc_demo", partitions = 4)
+      val topic = d.openTopic("conc_demo")
+      val prior = graft.engine.Catalog.ProduceLockWaitMs
+      graft.engine.Catalog.ProduceLockWaitMs = 120000L
+      try {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val tasks = (0 until 2).map { writer =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try (0 until 4).foreach { b =>
+                val lo = (b * 2 + writer) * 64L
+                topic.producer().produce(sourceByEidRange(s, dir, lo, lo + 64)): Unit
+              } catch { case t: Throwable => failed.compareAndSet(null, t): Unit }
+          })
+        }
+        tasks.foreach(_.get(240, java.util.concurrent.TimeUnit.SECONDS))
+        pool.shutdown()
+        if (failed.get() != null) throw failed.get()
+      } finally graft.engine.Catalog.ProduceLockWaitMs = prior
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("event_id")).as("n_ids"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          sum(eid).as("eid_sum"))
+        .orderBy(col("partition"))
+    },
+    "q_sql_merge" -> { (s, dir) =>
+      // SQL MERGE INTO through the row-level-operation surface: matched
+      // rows are vector-tombstoned and re-produced (update) or tombstoned
+      // outright (delete action), unmatched source rows produce fresh
+      // events — one vector-delete commit + one produce commit, zero chunk
+      // files rewritten. Graded per partition on metadata-derived values
+      // (ids are engine-reassigned on re-produce, so id order is not part
+      // of the contract; the updated flag and eid sums are).
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      d.createTopic("merge_demo", partitions = 4)
+      d.openTopic("merge_demo").producer().produce(sourceByEidRange(s, dir, 0, 512))
+      val view = s"merge_src_${EnginePack.streamRun.incrementAndGet()}"
+      t(s, dir, "events")
+        .filter(col("event_id") >= 256 && col("event_id") < 640)
+        .select(col("event_id").as("eid"),
+          to_json(struct(col("event_id").as("eid"), lit(1L).as("u"))).as("md"),
+          to_json(struct(col("event_id").as("eid"))).as("md_ins"))
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""MERGE INTO $cat.merge_demo tgt
+           |USING $view c
+           |ON get_json_object(tgt.metadata, '$$.eid') = CAST(c.eid AS STRING)
+           |WHEN MATCHED AND c.eid % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET metadata = c.md
+           |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
+           |  VALUES (CAST(c.eid % 4 AS INT), -1L, c.md_ins, NULL)
+           |""".stripMargin)
+      s.sql(
+        s"""SELECT partition, count(*) AS cnt,
+           |  sum(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS eid_sum,
+           |  sum(CAST(coalesce(get_json_object(metadata, '$$.u'), '0') AS BIGINT)) AS n_upd
+           |FROM $cat.merge_demo GROUP BY partition ORDER BY partition""".stripMargin)
+    },
     "q_consumer_ack" -> { (s, dir) =>
       val d = tempDriver(s)
       d.createTopic("ack_demo", partitions = 4)
@@ -2079,6 +2153,27 @@ object EnginePack extends QueryPack {
         |  CAST(0 AS BIGINT) AS min_id, COUNT(*) - 1 AS max_id,
         |  CAST(SUM(event_id) AS BIGINT) AS eid_sum
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // dense ids per partition: min 0, max cnt-1, distinct = cnt; eid sums
+    // are commit-interleaving independent (512 events, 8 racing commits)
+    "q_producer_concurrent" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        |  count(*) AS n_ids, CAST(0 AS BIGINT) AS min_id,
+        |  count(*) - 1 AS max_id, CAST(sum(event_id) AS BIGINT) AS eid_sum
+        |FROM events WHERE event_id < 512
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // survivors: untouched 0..255, updated (u=1, eid%5<>0) 256..511,
+    // inserted 512..639; matched eid%5=0 rows tombstoned by the merge
+    "q_sql_merge" ->
+      """WITH final AS (
+        |  SELECT event_id AS eid, 0 AS u FROM events WHERE event_id < 256
+        |  UNION ALL
+        |  SELECT event_id, 1 FROM events
+        |  WHERE event_id >= 256 AND event_id < 512 AND event_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_id, 0 FROM events WHERE event_id >= 512 AND event_id < 640)
+        |SELECT CAST(eid % 4 AS INT) AS partition, count(*) AS cnt,
+        |  CAST(sum(eid) AS BIGINT) AS eid_sum, CAST(sum(u) AS BIGINT) AS n_upd
+        |FROM final GROUP BY 1 ORDER BY partition""".stripMargin,
     // engine id = rank of the event within its partition (push order); the
     // acked prefix (< 10) must not reappear
     "q_consumer_ack" ->

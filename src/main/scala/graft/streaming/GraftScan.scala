@@ -30,13 +30,18 @@ final class GraftScanBuilder(
     deleteMode: GraftDeleteMode = GraftDeleteMode.Apply,
     cdf: Boolean = false,
     startingVerNum: Option[Long] = None,
-    endingVerNum: Option[Long] = None)
+    endingVerNum: Option[Long] = None,
+    lineage: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
   with SupportsPushDownLimit with SupportsPushDownTopN {
 
+  // the initial value must be the TABLE's full schema: streaming plans
+  // execute without a pruneColumns pass (batch pushdown narrows it)
   private var requiredSchema: StructType =
-    if (cdf) GraftTopicTable.CdfSchema else GraftTopicTable.EventSchema
+    if (cdf) GraftTopicTable.CdfSchema
+    else if (lineage) GraftTopicTable.LineageSchema
+    else GraftTopicTable.EventSchema
   private var pushed: Array[Filter] = Array.empty
 
   // narrowed by pushed filters

@@ -113,6 +113,7 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.getBoolean("readChangeFeed", false)) GraftTopicTable.CdfSchema
+    else if (options.getBoolean("rowLineage", false)) GraftTopicTable.LineageSchema
     else GraftTopicTable.EventSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -137,7 +138,8 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
       startingTime,
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
       asOfVersion = Option(opts.get("asOfVersion")),
-      cdf = opts.getBoolean("readChangeFeed", false))
+      cdf = opts.getBoolean("readChangeFeed", false),
+      lineage = opts.getBoolean("rowLineage", false))
   }
 
   private def require(opts: CaseInsensitiveStringMap, key: String): String = {
@@ -198,6 +200,18 @@ object GraftTopicTable {
     StructField(GraftCdf.CommitVersionColumn, LongType, nullable = true),
     StructField(GraftCdf.CommitTimestampColumn, TimestampType, nullable = true)))
 
+  /** Row-lineage schema (`rowLineage=true`): a PLAIN read (vectors
+    * applied, inserts only) whose rows additionally carry the commit
+    * attribution pair. On batch reads the same columns are available as
+    * metadata columns; this load-time schema form exists for STREAMS,
+    * where DSv2 resolves metadata columns in the plan but never re-prunes
+    * the streaming scan with them (runtime array-index crash) — so commit
+    * lineage on a stream must be part of the table schema, the
+    * readChangeFeed pattern minus the change-type semantics. */
+  val LineageSchema: StructType = StructType(EventSchema.fields ++ Seq(
+    StructField(GraftCdf.CommitVersionColumn, LongType, nullable = true),
+    StructField(GraftCdf.CommitTimestampColumn, TimestampType, nullable = true)))
+
   /** Metadata column (`SupportsMetadataColumns`): the chunk file a row was
     * read from — the engine's `input_file_name` analog, surfaced per-file
     * as a constant column by the reader (no per-row cost). */
@@ -212,15 +226,34 @@ final class GraftTopicTable(
     maxBytesPerTrigger: Option[Long] = None,
     asOfIds: Option[Map[Int, Long]] = None,
     asOfVersion: Option[String] = None,
-    cdf: Boolean = false)
+    cdf: Boolean = false,
+    lineage: Boolean = false)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** SQL `MERGE INTO` / row-level `UPDATE` (delta-based: matched rows are
+    * vector-deleted, new rows produced — [[graft.sql.GraftRowLevelOperation]]).
+    * Simple `DELETE WHERE` keeps preferring the [[SupportsDelete]] filter
+    * path (no row-id join needed). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (cdf) throw new UnsupportedOperationException(
+      "MERGE/UPDATE target cannot be a change-feed read")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new graft.sql.GraftRowLevelOperation(warehouse, topic, info.command())
+    }
+  }
 
   override def name(): String = s"graft:$topic"
   override def schema(): StructType =
-    if (cdf) GraftTopicTable.CdfSchema else GraftTopicTable.EventSchema
+    if (cdf) GraftTopicTable.CdfSchema
+    else if (lineage) GraftTopicTable.LineageSchema
+    else GraftTopicTable.EventSchema
 
   /** `_file` (SELECT `_file` FROM cat.topic / df.select("_file")): the chunk
     * file each event was read from — lineage/debug surface with zero
@@ -247,7 +280,7 @@ final class GraftTopicTable(
       }
     val fileCol = metaCol(GraftTopicTable.FileColumn, StringType,
       nullable = false, "chunk file this event was read from")
-    if (cdf) Array(fileCol)
+    if (cdf || lineage) Array(fileCol)
     else Array(fileCol,
       metaCol(GraftCdf.CommitVersionColumn, LongType, nullable = true,
         "retained commit that produced this row"),
@@ -381,7 +414,8 @@ final class GraftTopicTable(
       effDeleteMode,
       cdf = effCdf,
       startingVerNum = startingVerNum,
-      endingVerNum = endingVerNum)
+      endingVerNum = endingVerNum,
+      lineage = lineage)
   }
 
   /** `DELETE FROM cat.topic WHERE …` = the engine's compliance delete

@@ -238,6 +238,33 @@ class ChangesSpec extends SparkSpec {
       s"post-fold incremental span must hold exactly deletes 4..6, got $tail")
   }
 
+  test("a delete-heavy topic that never maintains stays bounded AND feed-exact") {
+    import spark.implicits._
+    val (d, topic) = mkTopic()
+    val delVers = (0 until 20).map { i =>
+      topic.deleteWhereVectored(k() >= i * 5 && k() < i * 5 + 2): Unit
+      versions(topic).last
+    }
+    // commit-time auto-fold bounds the per-slice vector-load count with no
+    // maintenance run — the scale contract for readers
+    assert(d.catalog.deleteVectorFiles("t").size <= 5,
+      s"roots must stay bounded, got ${d.catalog.deleteVectorFiles("t").size}")
+    // the full-span feed still replays EVERY delete exactly once, each
+    // under its own commit
+    val dels = topic.changes(delVers.head - 1, delVers.last)
+      .filter(col("_change_type") === "delete")
+      .select(col("_commit_version"), k().as("k")).as[(Long, Long)].collect()
+    assert(dels.length == 40, s"40 preimages expected, got ${dels.length}")
+    assert(dels.map(_._2).sorted.toSeq ==
+      (0 until 20).flatMap(i => Seq(i * 5L, i * 5L + 1)).sorted)
+    dels.groupBy(_._1).foreach { case (v, rows) =>
+      val i = delVers.indexOf(v)
+      assert(i >= 0, s"version $v not a delete commit")
+      assert(rows.map(_._2).sorted.toSeq == Seq(i * 5L, i * 5L + 1),
+        s"commit $v must carry exactly its own two preimages")
+    }
+  }
+
   test("a root whose exact version fell out of retention still feeds (fallback)") {
     import spark.implicits._
     val (d, topic) = mkTopic()

@@ -118,6 +118,52 @@ class CloneSpec extends SparkSpec {
     assert(keys(src) == (0L until 30L), "source sees neither")
   }
 
+  test("physical deletion on the SOURCE refuses while a shallow clone lives") {
+    val d = mkDriver()
+    d.createTopic("src", partitions = 2)
+    val src = d.openTopic("src")
+    produceRange(src, 0, 60)
+    d.cloneTopic("src", "dup"): Unit
+    assert(d.catalog.liveClones("src") == Seq("dup"))
+    // every physical-deletion surface names the clone and refuses
+    val e = intercept[IllegalStateException] { src.compact() }
+    assert(e.getMessage.contains("dup"), s"must name the live clone: ${e.getMessage}")
+    intercept[IllegalStateException] { src.deleteWhere(k() < 5) }
+    intercept[IllegalStateException] { src.expire(10L) }
+    intercept[IllegalStateException] { src.archiveBefore(10L) }
+    intercept[IllegalStateException] { d.dropTopic("src") }
+    // the clone still reads cleanly — nothing was broken
+    assert(keys(d.openTopic("dup")) == (0L until 60L))
+    // vectored (merge-on-read) deletes stay allowed: no files move
+    src.deleteWhereVectored(k() === 0): Unit
+    // materializing the clone releases the source
+    d.openTopic("dup").restoreArchive(): Unit
+    assert(d.catalog.liveClones("src").isEmpty)
+    src.compact()
+    assert(keys(src) == (1L until 60L))
+    assert(keys(d.openTopic("dup")) == (0L until 60L), "materialized clone unaffected")
+  }
+
+  test("dropping a clone releases the source; force overrides the guard") {
+    val d = mkDriver()
+    d.createTopic("src", partitions = 2)
+    val src = d.openTopic("src")
+    produceRange(src, 0, 20)
+    d.cloneTopic("src", "dup"): Unit
+    intercept[IllegalStateException] { src.compact() }
+    d.dropTopic("dup")
+    src.compact() // registration pruned lazily: the dead clone never blocks
+    assert(keys(src) == (0L until 20L))
+    d.cloneTopic("src", "dup2"): Unit
+    // the cron surface SKIPS the compact step on a cloned source (the
+    // tiered-skip shape) instead of failing routine maintenance
+    val (compacted, _, _) = d.catalog.maintainTopic("src", maxFilesPerPartition = 1)
+    assert(!compacted, "maintain must skip compaction while a clone lives")
+    spark.conf.set("spark.graft.clone.force", "true")
+    try src.compact() // explicit break-my-clones override
+    finally spark.conf.unset("spark.graft.clone.force")
+  }
+
   test("cloning a TIERED source carries both its cold and hot files") {
     val d = mkDriver()
     d.createTopic("src", partitions = 2)

@@ -321,6 +321,68 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.enc").count() == 4)
   }
 
+  test("MERGE INTO: matched rows vector-tombstoned, new rows produced") {
+    import org.apache.spark.sql.functions._
+    val (cat, d) = newCatalog()
+    d.createTopic("tgt", partitions = 2)
+    d.openTopic("tgt").producer().produce {
+      import spark.implicits._
+      (0 until 20).map(i => (s"""{"k":$i,"v":"old"}""", i % 2))
+        .toDF("metadata", "partition")
+    }
+    // source: updates for even k < 10, inserts for k in 100..104
+    val changes = {
+      import spark.implicits._
+      ((0 until 10 by 2).map(k => (k.toLong, s"""{"k":$k,"v":"new"}""")) ++
+        (100 until 105).map(k => (k.toLong, s"""{"k":$k,"v":"ins"}""")))
+        .toDF("k", "md")
+    }
+    changes.createOrReplaceTempView("changes")
+    val before = d.catalog.deleteVectorFiles("tgt").size
+    spark.sql(
+      s"""MERGE INTO $cat.tgt t
+         |USING changes c
+         |ON get_json_object(t.metadata, '$$.k') = CAST(c.k AS STRING)
+         |WHEN MATCHED THEN UPDATE SET metadata = c.md
+         |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
+         |  VALUES (CAST(c.k % 2 AS INT), -1L, c.md, NULL)
+         |""".stripMargin)
+    val rows = spark.table(s"$cat.tgt")
+      .select(get_json_object(col("metadata"), "$.k").cast("long").as("k"),
+        get_json_object(col("metadata"), "$.v").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 25, s"20 originals - 5 updated + 5 re-produced + 5 inserted")
+    val byV = rows.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(byV("new") == (0L until 10L by 2L), s"updated rows: ${byV.get("new")}")
+    assert(byV("ins") == (100L until 105L), s"inserted rows: ${byV.get("ins")}")
+    assert(byV("old") == (0L until 20L).filterNot(k => k % 2 == 0 && k < 10),
+      "unmatched originals untouched")
+    assert(d.catalog.deleteVectorFiles("tgt").size > before,
+      "matched rows must be tombstoned by a deletion vector, not a rewrite")
+    // updated rows re-produced at the tail: ids stay dense per partition
+    val dense = spark.table(s"$cat.tgt")
+      .groupBy(col("partition")).agg(countDistinct(col("event_id")).as("n"),
+        max(col("event_id")).as("mx")).collect()
+      .forall(r => r.getLong(2) >= r.getLong(1) - 1)
+    assert(dense, "produced ids continue densely from the watermark")
+  }
+
+  test("row-level UPDATE composes from the same delta write") {
+    import org.apache.spark.sql.functions._
+    val (cat, d) = newCatalog()
+    d.createTopic("utgt", partitions = 2)
+    d.openTopic("utgt").producer().produce {
+      import spark.implicits._
+      (0 until 10).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition")
+    }
+    spark.sql(s"UPDATE $cat.utgt SET metadata = '{\"k\":-1}' " +
+      "WHERE get_json_object(metadata, '$.k') = '3'")
+    val ks = spark.table(s"$cat.utgt")
+      .select(get_json_object(col("metadata"), "$.k").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == (Seq(-1L) ++ (0L until 10L).filterNot(_ == 3L)), s"got $ks")
+  }
+
   test("CTAS: CREATE TABLE AS SELECT produces into a fresh topic") {
     import spark.implicits._
     val (cat, d) = newCatalog()

@@ -212,12 +212,42 @@ class StreamingCdfSpec extends SparkSpec {
     }, "per-row commit attribution on a plain scan")
   }
 
-  // NOTE: row tracking through a PLAIN stream is not offered: Spark's
-  // DSv2 streaming path resolves metadata columns in the plan but never
-  // re-prunes the scan with them (the stream's schema is fixed at load),
-  // so the scan cannot emit the extra column. Streams read commit
-  // attribution via readChangeFeed=true, where the commit columns are
-  // REAL schema columns (covered above).
+  // Row tracking through a PLAIN stream rides the rowLineage load option:
+  // Spark's DSv2 streaming path resolves metadata columns in the plan but
+  // never re-prunes the scan with them (the stream's schema is fixed at
+  // load), so the commit columns must be SCHEMA columns — the
+  // readChangeFeed pattern minus change-type semantics.
+  test("rowLineage=true: commit attribution on a PLAIN stream (vectors applied)") {
+    val (_, topic, wh) = newTopic()
+    produceRange(topic, 0, 30)
+    val v1 = lastVersion(topic)
+    produceRange(topic, 30, 50)
+    val v2 = lastVersion(topic)
+    topic.deleteWhereVectored(k() % 10 === 0): Unit // plain-read semantics
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "t")
+      .option("rowLineage", "true")
+      .option("maxEventsPerTrigger", "16")
+      .load()
+      .select(k().as("k"), col("_commit_version"), col("_commit_timestamp"))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rl-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // PLAIN semantics: deletion vectors apply (the change feed would keep them)
+    assert(buf.map(_._1).sorted.toSeq == (0L until 50L).filterNot(_ % 10 == 0),
+      s"got ${buf.map(_._1).sorted}")
+    assert(buf.forall { case (key, ver, tsNull) =>
+      !tsNull && ver == (if (key < 30) v1 else v2)
+    }, "per-row commit attribution must match the batch row-tracking rule")
+  }
+
   test("row tracking on a stream: use readChangeFeed (commit columns are schema there)") {
     val (_, topic, wh) = newTopic()
     produceRange(topic, 0, 30)
