@@ -1236,14 +1236,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // entries pass through for roots that are themselves folds
     val perRoot: Seq[(String, Seq[VectorSource])] =
       files.map(f => f -> vectorRootSources(f))
-    // merge entries that alias the same commit (a fold-of-fold replaying
-    // an already-folded source): widen bounds, sum rows
+    // merge entries that alias the same commit — REPLICAS of one source
+    // (a crashed fold's leftover input beside the merged root, or a
+    // fold-of-fold replaying an already-folded source): widen bounds,
+    // keep the max row count (replicas hold the same rows; the distinct()
+    // below dedupes the data itself)
     val sources: Seq[VectorSource] = perRoot.flatMap(_._2)
       .groupBy(s => (s.version, s.ms)).toSeq.sortBy(_._1._2)
       .map { case ((v, ms), group) =>
         VectorSource(v, ms, group.flatMap(_.bounds.toSeq)
           .groupBy(_._1).view.mapValues(bs => VectorRootStats(
-            bs.map(_._2.rows).sum,
+            bs.map(_._2.rows).max,
             bs.map(_._2.minId).min, bs.map(_._2.maxId).max)).toMap)
       }
     val staged = new Path(dir, s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1376,10 +1379,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   /** Per-partition vectored-delete counts across the topic's committed
     * vectors. EXACT: deleteWhereVectored never re-records an already-
-    * vectored id and the merge distincts, so the roots are disjoint and
-    * the sum is the deleted-row count. */
+    * vectored id, so SOURCES are disjoint; summing per unique source
+    * (version, ms) — not per root — stays exact even in the crashed-fold
+    * window where a source's rows sit in both the merged root and a
+    * not-yet-deleted input root. */
   def deletedCountsByPartition(name: String): Map[Int, Long] =
-    deleteVectorFiles(name).map(deleteVectorRootStats)
+    deleteVectorFiles(name)
+      .flatMap(root => vectorRootSources(root)
+        .map(s => ((s.version, s.ms), s.bounds)))
+      .toMap.values
       .foldLeft(Map.empty[Int, Long]) { (acc, m) =>
         m.foldLeft(acc) { case (a, (p, s)) =>
           a + (p -> (a.getOrElse(p, 0L) + s.rows))

@@ -434,21 +434,19 @@ final class TopicHandle(spark: SparkSession,
     // narrowed by its (_v, _ms) stamp), each with its exact (or
     // timestamp-attributed) commit version — ONE attribution rule, shared
     // with the scan-level feed
-    val deletes = catalog.deleteVectorFiles(name).flatMap { root =>
-      graft.streaming.GraftCdf
-        .sourcesInSpan(catalog, root, history, fromVersion, toVersion)
-        .map { case (src, v, multi) =>
-          val scan = base.option("cdfDeleteRoot", root)
-          val narrowed =
-            if (multi) scan.option("cdfDeleteSource", s"${src.version}:${src.ms}")
-            else scan
-          narrowed.load()
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v.version))
-            .withColumn("_commit_timestamp",
-              lit(new java.sql.Timestamp(v.commitTimeMs)))
-        }
-    }
+    val deletes = graft.streaming.GraftCdf
+      .attributedSources(catalog, name, history, fromVersion, toVersion)
+      .map { case (root, src, v, multi) =>
+        val scan = base.option("cdfDeleteRoot", root)
+        val narrowed =
+          if (multi) scan.option("cdfDeleteSource", s"${src.version}:${src.ms}")
+          else scan
+        narrowed.load()
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_version", lit(v.version))
+          .withColumn("_commit_timestamp",
+            lit(new java.sql.Timestamp(v.commitTimeMs)))
+      }
     deletes.foldLeft(inserts)(_.unionByName(_))
   }
 

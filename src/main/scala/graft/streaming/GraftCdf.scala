@@ -121,6 +121,27 @@ object GraftCdf {
     }
   }
 
+  /** [[sourcesInSpan]] across ALL of the topic's vector roots, deduped by
+    * source (version, ms): a fold that crashed between committing the
+    * merged root and deleting its inputs leaves the SAME delete commit in
+    * two roots, and planning it twice would double-emit its preimages.
+    * The replica in the fold root wins (folds carry full sidecar
+    * attribution); each surviving entry carries its root. */
+  def attributedSources(catalog: Catalog, topic: String,
+                        history: Vector[TopicVersion], fromVer: Long, toVer: Long):
+      Seq[(String, graft.engine.VectorSource, TopicVersion, Boolean)] = {
+    val all = catalog.deleteVectorFiles(topic).flatMap { root =>
+      sourcesInSpan(catalog, root, history, fromVer, toVer)
+        .map { case (src, v, multi) => (root, src, v, multi) }
+    }
+    all.groupBy { case (_, src, _, _) => (src.version, src.ms) }
+      .values.map { replicas =>
+        replicas.find(r => catalog.vectorRootSidecar(r._1).isDefined)
+          .getOrElse(replicas.head)
+      }
+      .toSeq.sortBy { case (root, src, _, _) => (src.ms, src.version, root) }
+  }
+
   /** Plan the change feed for commits in `(fromVer, toVer]` with insert id
     * windows `[from(p), until(p))`. `history` must be the topic's current
     * retained history (one `versionHistory` read per plan, shared by both
@@ -152,21 +173,19 @@ object GraftCdf {
     // carry one; fold roots carry each folded commit's source, narrowed
     // in the reader by its (_v, _ms) stamp) — never more scans than the
     // same deletes cost before a fold, each clamped to its own id bounds
-    val deletes = catalog.deleteVectorFiles(topic).flatMap { root =>
-      sourcesInSpan(catalog, root, history, fromVer, toVer)
-        .flatMap { case (src, v, multi) =>
-          val bounds = src.bounds
-          GraftPartitions.plan(catalog, topic, targets,
-              from = p => bounds.get(p).fold(Long.MaxValue)(_.minId),
-              until = p => bounds.get(p).fold(Long.MinValue)(s =>
-                if (s.maxId == Long.MaxValue) Long.MaxValue else s.maxId + 1L),
-              stats, deleteMode = GraftDeleteMode.Only(root,
-                if (multi) Some((src.version, src.ms)) else None))
-            .collect { case ip: GraftInputPartition =>
-              ip.copy(cdf = Some(CdfSlice("delete", v.version, v.commitTimeMs)))
-            }
-        }
-    }
+    val deletes = attributedSources(catalog, topic, history, fromVer, toVer)
+      .flatMap { case (root, src, v, multi) =>
+        val bounds = src.bounds
+        GraftPartitions.plan(catalog, topic, targets,
+            from = p => bounds.get(p).fold(Long.MaxValue)(_.minId),
+            until = p => bounds.get(p).fold(Long.MinValue)(s =>
+              if (s.maxId == Long.MaxValue) Long.MaxValue else s.maxId + 1L),
+            stats, deleteMode = GraftDeleteMode.Only(root,
+              if (multi) Some((src.version, src.ms)) else None))
+          .collect { case ip: GraftInputPartition =>
+            ip.copy(cdf = Some(CdfSlice("delete", v.version, v.commitTimeMs)))
+          }
+      }
     (inserts ++ deletes).toArray[InputPartition]
   }
 }

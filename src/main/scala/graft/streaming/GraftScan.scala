@@ -361,11 +361,10 @@ final class GraftScan(
         val fromVer = startingVerNum.getOrElse(0L)
         val toVer = endingVerNum.getOrElse(
           history.lastOption.map(_.version).getOrElse(0L))
-        catalog.deleteVectorFiles(topic).flatMap(root =>
-          GraftCdf.sourcesInSpan(catalog, root, history, fromVer, toVer)
-            .map { case (src, _, _) => src.bounds
-              .filter { case (p, _) => parts.contains(p) }
-              .valuesIterator.map(_.rows).sum }).sum
+        GraftCdf.attributedSources(catalog, topic, history, fromVer, toVer)
+          .map { case (_, src, _, _) => src.bounds
+            .filter { case (p, _) => parts.contains(p) }
+            .valuesIterator.map(_.rows).sum }.sum
       }
     val rows = cdfDeleteRows + (deleteMode match {
       case GraftDeleteMode.Only(root, source) =>

@@ -238,6 +238,47 @@ class ChangesSpec extends SparkSpec {
       s"post-fold incremental span must hold exactly deletes 4..6, got $tail")
   }
 
+  test("a crashed fold (merged root beside a leftover input) never double-emits") {
+    import spark.implicits._
+    val (d, topic) = mkTopic()
+    topic.deleteWhereVectored(k() < 3): Unit
+    val v1 = versions(topic).last
+    topic.deleteWhereVectored(k() >= 10 && k() < 13): Unit
+    val v2 = versions(topic).last
+    val roots = d.catalog.deleteVectorFiles("t")
+    assert(roots.size == 2)
+    // reproduce the crash window: fold commits its merged root, dies
+    // before deleting an input — restore one input beside the fold root
+    val fs = new org.apache.hadoop.fs.Path(roots.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val saved = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-foldcrash").toString, "r")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(roots.head), fs, saved, false, true,
+      spark.sparkContext.hadoopConfiguration): Unit
+    assert(d.catalog.compactDeleteVectors("t") == 2)
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs,
+      new org.apache.hadoop.fs.Path(roots.head), false, true,
+      spark.sparkContext.hadoopConfiguration): Unit
+    assert(d.catalog.deleteVectorFiles("t").size == 2, "fold root + leftover")
+    // the leftover's source is a REPLICA of a fold-root source: planned
+    // once, counted once
+    val dels = topic.changes(v1 - 1, v2)
+      .filter(col("_change_type") === "delete")
+      .select(col("_commit_version"), k().as("k")).as[(Long, Long)].collect()
+    assert(dels.length == 6, s"each preimage exactly once, got ${dels.length}")
+    assert(dels.filter(_._1 == v1).map(_._2).sorted.toSeq == (0L until 3L))
+    assert(dels.filter(_._1 == v2).map(_._2).sorted.toSeq == (10L until 13L))
+    assert(d.catalog.deletedCountsByPartition("t").values.sum == 6L,
+      "exact stats must not double-count the replica")
+    // normal reads tolerate the duplicate ids; the next fold heals the state
+    assert(spark.read.format("graft").option("warehouse", d.warehouse)
+      .option("topic", "t").load().count() == 94)
+    assert(d.catalog.compactDeleteVectors("t") == 2)
+    assert(d.catalog.deleteVectorFiles("t").size == 1)
+    assert(d.catalog.deletedCountsByPartition("t").values.sum == 6L)
+  }
+
   test("a delete-heavy topic that never maintains stays bounded AND feed-exact") {
     import spark.implicits._
     val (d, topic) = mkTopic()
