@@ -1050,13 +1050,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def deletesDir(name: String): Path = new Path(topicPath(name), "_deletes")
 
   /** Committed delete-vector relations (parquet directories under
-    * `_deletes/`), sorted by name. Staged `.tmp` writes are never listed. */
+    * `_deletes/`), sorted by name. Staged `tmp-` writes and roots a fold
+    * already superseded (`_folded` marker — kept on disk until vacuum so
+    * in-flight plans that referenced them by path stay readable) are
+    * never listed. */
   def deleteVectorFiles(name: String): Seq[String] = {
     Catalog.deletesListings.incrementAndGet(): Unit
     val dir = deletesDir(name)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-") &&
+        !fs.exists(new Path(s.getPath, Catalog.FoldedMarker)))
       .map(_.getPath.toString).sorted.toSeq
   }
 
@@ -1236,17 +1240,27 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // entries pass through for roots that are themselves folds
     val perRoot: Seq[(String, Seq[VectorSource])] =
       files.map(f => f -> vectorRootSources(f))
-    // merge entries that alias the same commit — REPLICAS of one source
-    // (a crashed fold's leftover input beside the merged root, or a
-    // fold-of-fold replaying an already-folded source): widen bounds,
-    // keep the max row count (replicas hold the same rows; the distinct()
-    // below dedupes the data itself)
-    val sources: Seq[VectorSource] = perRoot.flatMap(_._2)
-      .groupBy(s => (s.version, s.ms)).toSeq.sortBy(_._1._2)
+    // merge entries that alias the same commit: entries seen through a
+    // fold sidecar supersede same-key plain entries (a crashed fold's
+    // leftover input holds REPLICA rows — keep max; the distinct() below
+    // dedupes the data itself); plain-only same-key entries are distinct
+    // commits sharing a stamp — their rows sum
+    val sources: Seq[VectorSource] = perRoot
+      .flatMap { case (f, srcs) =>
+        val fromFold = vectorRootSidecar(f).isDefined
+        srcs.map(s => (fromFold, s))
+      }
+      .groupBy { case (_, s) => (s.version, s.ms) }.toSeq.sortBy(_._1._2)
       .map { case ((v, ms), group) =>
-        VectorSource(v, ms, group.flatMap(_.bounds.toSeq)
+        val kept = group.filter(_._1) match {
+          case folded if folded.nonEmpty => folded.map(_._2)
+          case _ => group.map(_._2)
+        }
+        val agg: Seq[VectorRootStats] => Long =
+          if (group.exists(_._1)) _.map(_.rows).max else _.map(_.rows).sum
+        VectorSource(v, ms, kept.flatMap(_.bounds.toSeq)
           .groupBy(_._1).view.mapValues(bs => VectorRootStats(
-            bs.map(_._2.rows).max,
+            agg(bs.map(_._2)),
             bs.map(_._2.minId).min, bs.map(_._2.maxId).max)).toMap)
       }
     val staged = new Path(dir, s"tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1277,7 +1291,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"d-${sources.map(_.ms).min}-${staged.getName.stripPrefix("tmp-")}")
     if (!fs.rename(staged, committed))
       throw new java.io.IOException(s"compactDeleteVectors: cannot commit $staged")
-    files.foreach(f => fs.delete(new Path(f), true): Unit)
+    // inputs are MARKED folded, not deleted: an in-flight change-feed plan
+    // (a micro-batch racing this fold) may hold a preimage slice that
+    // reads an input root by path — deleting it here would silently empty
+    // that slice and lose the deletes from the feed as offsets advance.
+    // Marked roots vanish from every NEW listing (deleteVectorFiles) and
+    // are physically reaped by vacuum once older than the lock-staleness
+    // horizon, far past any plan-to-execute window. A crash between the
+    // rename and a marker leaves a live replica — source-level dedupe in
+    // the planners keeps that exact too.
+    files.foreach { f =>
+      fs.create(new Path(new Path(f), Catalog.FoldedMarker), true).close()
+    }
     files.size
   }
 
@@ -1386,8 +1411,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def deletedCountsByPartition(name: String): Map[Int, Long] =
     deleteVectorFiles(name)
       .flatMap(root => vectorRootSources(root)
-        .map(s => ((s.version, s.ms), s.bounds)))
-      .toMap.values
+        .map(s => (vectorRootSidecar(root).isDefined, (s.version, s.ms), s.bounds)))
+      .groupBy(_._2).values
+      // a fold entry supersedes same-key plain entries (crash leftovers);
+      // same-key PLAIN entries with no fold are distinct commits — keep all
+      .flatMap(g => g.find(_._1).map(Seq(_)).getOrElse(g))
+      .map(_._3)
       .foldLeft(Map.empty[Int, Long]) { (acc, m) =>
         m.foldLeft(acc) { case (a, (p, s)) =>
           a + (p -> (a.getOrElse(p, 0L) + s.rows))
@@ -1594,10 +1623,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         .foreach { f => tmps += 1; drop(f.getPath, recursive = false) }
     }
     // 4. staged deletion vectors from a crashed deleteWhereVectored (never
-    // listed by readers; committed `d-*` relations are live data, kept)
+    // listed by readers; committed `d-*` relations are live data, kept) +
+    // fold-superseded roots whose marker aged past the horizon (kept on
+    // disk for in-flight plans that referenced them by path — see
+    // compactDeleteVectorsLocked)
     val delDir = deletesDir(name)
-    if (fs.exists(delDir)) fs.listStatus(delDir)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-") &&
+    if (fs.exists(delDir)) fs.listStatus(delDir).foreach { s =>
+      if (s.isDirectory && s.getPath.getName.startsWith("tmp-") &&
+          s.getModificationTime < horizon) {
+        tmps += 1; drop(s.getPath, recursive = true)
+      } else if (s.isDirectory && s.getPath.getName.startsWith("d-")) {
+        val marker = new Path(s.getPath, Catalog.FoldedMarker)
+        try {
+          if (fs.getFileStatus(marker).getModificationTime < horizon) {
+            tmps += 1; drop(s.getPath, recursive = true)
+          }
+        } catch { case _: java.io.FileNotFoundException => }
+      }
+    }
+    // 5. staged MERGE actions from a driver that died before its commit's
+    // cleanup (`tmp-merge-*` at topic level — never listed by readers)
+    fs.listStatus(topicPath(name))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-merge-") &&
         s.getModificationTime < horizon)
       .foreach { s => tmps += 1; drop(s.getPath, recursive = true) }
     VacuumReport(chunks, swaps, tmps, bytes)
@@ -2279,15 +2326,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           fs.delete(new Path(dstRoot, "_sources.json"), false): Unit
         }
       if (mayHaveIdGaps(src)) markIdGaps(dst)
-      // register the clone with its source (and, for a clone-of-a-clone,
-      // with the ORIGINAL topic whose files it transitively references) so
-      // physical deletion there refuses while this clone lives
+      // register the clone with its source AND every transitive ancestor
+      // up the shared-inventory chain — a clone-of-a-clone holds absolute
+      // paths into the ORIGINAL topic's log (inherited through each hop),
+      // and materializing the middle hops must not unguard the origin
       val reg = JsonMethods.compact(JsonMethods.render(JObject(
         "path" -> JString(topicPath(dst).toString),
         "ms" -> JLong(System.currentTimeMillis()))))
       writeAtomic(new Path(clonesDir(src), s"$dst.json"), reg)
-      tier.filter(_.shared).foreach { t =>
-        writeAtomic(new Path(new Path(t.coldRoot), s"_clones/$dst.json"), reg)
+      var ancestor = tier.filter(_.shared).map(_.coldRoot)
+      var depth = 0
+      while (ancestor.isDefined && depth < 64) {
+        val root = new Path(ancestor.get)
+        writeAtomic(new Path(root, s"_clones/$dst.json"), reg)
+        ancestor = readStringResilient(new Path(root, "_tier.json"))
+          .map(TierState.fromJson).filter(_.shared).map(_.coldRoot)
+        depth += 1
       }
       manifestCache.remove(dst): Unit
     } finally releaseCompactLock(src)
@@ -2535,16 +2589,24 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
-  /** A crashed writer's temp, served only on a VALID completeness trailer
-    * — an unparseable or trailer-less temp is treated as not-yet-written
-    * (the crashed write never committed). */
+  /** A crashed writer's temp, served only on STRUCTURAL proof of
+    * completeness: a valid trailer. A temp with a trailer mark whose
+    * stamp does not validate is a truncated write — never served. A temp
+    * with NO trailer mark at all predates the trailer format (written by
+    * an earlier binary); for those the old settled-age rule still
+    * applies, so a pre-upgrade crash's committed cursor/txn/watermark
+    * write is not silently un-served by the upgrade. */
   private def readTmpIfComplete(tmp: Path): Option[String] =
     try {
       val in = fs.open(tmp)
       val raw = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       finally in.close()
-      Catalog.stripTrailer(raw)
+      Catalog.stripTrailer(raw).orElse {
+        if (!raw.contains(Catalog.TrailerMark) &&
+            Option(fs.getFileStatus(tmp)).exists(Catalog.tmpSettled)) Some(raw)
+        else None
+      }
     } catch { case _: java.io.FileNotFoundException => None }
 
   /** Replace `p`'s content via write-tmp → delete → rename. The
@@ -2581,6 +2643,11 @@ object Catalog {
     * `probePlannedEntries`. */
   private[graft] val deletesListings = new java.util.concurrent.atomic.AtomicLong
 
+  /** Marker file a fold writes INTO each superseded input root: marked
+    * roots disappear from listings but stay physically readable for
+    * in-flight plans; vacuum reaps them past the staleness horizon. */
+  private[engine] val FoldedMarker = "_folded"
+
   /** Lock staleness horizon (produce AND compact locks): a lock file whose
     * mtime is older than this is presumed a crashed owner's leftover and
     * reclaimed. A LIVE owner is never at risk of aging past it: while a
@@ -2611,7 +2678,7 @@ object Catalog {
     * complete by validating the stamp — a truncated write can never
     * produce a prefix whose trailing stamp matches its own length,
     * because any prefix containing the full trailer IS the full file. */
-  private val TrailerMark = "\n#graft-eof:"
+  private[engine] val TrailerMark = "\n#graft-eof:"
 
   private[engine] def withTrailer(content: String): String =
     content + TrailerMark + content.getBytes(StandardCharsets.UTF_8).length

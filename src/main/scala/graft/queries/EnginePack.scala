@@ -309,6 +309,29 @@ object EnginePack extends QueryPack {
            |  sum(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS eid_sum
            |FROM $cat.sqlins_demo GROUP BY partition ORDER BY partition""".stripMargin)
     },
+    "q_sql_update" -> { (s, dir) =>
+      // Row-level SQL UPDATE (same delta write as MERGE): matched rows are
+      // vector-tombstoned and re-produced with the new metadata at the
+      // partition tail — O(matched), zero chunk files rewritten. Graded on
+      // metadata-derived values per partition (ids reassign on re-produce).
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      d.createTopic("upd_demo", partitions = 4)
+      d.openTopic("upd_demo").producer().produce(sourceByEidRange(s, dir, 0, 512))
+      s.sql(
+        s"""UPDATE $cat.upd_demo
+           |SET metadata = to_json(named_struct(
+           |  'eid', CAST(get_json_object(metadata, '$$.eid') AS BIGINT), 'u', 1L))
+           |WHERE CAST(get_json_object(metadata, '$$.eid') AS BIGINT) % 7 = 0
+           |""".stripMargin)
+      s.sql(
+        s"""SELECT partition, count(*) AS cnt,
+           |  sum(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS eid_sum,
+           |  sum(CAST(coalesce(get_json_object(metadata, '$$.u'), '0') AS BIGINT)) AS n_upd
+           |FROM $cat.upd_demo GROUP BY partition ORDER BY partition""".stripMargin)
+    },
     "q_producer_concurrent" -> { (s, dir) =>
       // MULTI-WRITER produce serialization: two producers in two threads
       // interleave four produce() commits each, arbitrated by the produce
@@ -323,8 +346,8 @@ object EnginePack extends QueryPack {
       val topic = d.openTopic("conc_demo")
       val prior = graft.engine.Catalog.ProduceLockWaitMs
       graft.engine.Catalog.ProduceLockWaitMs = 120000L
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       try {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
         val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
         val tasks = (0 until 2).map { writer =>
           pool.submit(new Runnable {
@@ -336,9 +359,13 @@ object EnginePack extends QueryPack {
           })
         }
         tasks.foreach(_.get(240, java.util.concurrent.TimeUnit.SECONDS))
-        pool.shutdown()
         if (failed.get() != null) throw failed.get()
-      } finally graft.engine.Catalog.ProduceLockWaitMs = prior
+      } finally {
+        // a wedged writer must not outlive the fixture holding the produce
+        // lock into later queries
+        pool.shutdownNow(): Unit
+        graft.engine.Catalog.ProduceLockWaitMs = prior
+      }
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
       topic.events()
         .groupBy(col("partition"))
@@ -2153,6 +2180,13 @@ object EnginePack extends QueryPack {
         |  CAST(0 AS BIGINT) AS min_id, COUNT(*) - 1 AS max_id,
         |  CAST(SUM(event_id) AS BIGINT) AS eid_sum
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // all 512 rows survive; eid%7==0 rows carry the updated flag
+    "q_sql_update" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS eid_sum,
+        |  CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+        |FROM events WHERE event_id < 512
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
     // dense ids per partition: min 0, max cnt-1, distinct = cnt; eid sums
     // are commit-interleaving independent (512 events, 8 racing commits)
     "q_producer_concurrent" ->

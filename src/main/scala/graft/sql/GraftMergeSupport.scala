@@ -107,9 +107,15 @@ private final class GraftDeltaBatchWrite(
     new Path(base,
       s"tmp-merge-${java.util.UUID.randomUUID().toString.take(12)}").toString
   }
+  /** Full driver Hadoop-conf snapshot (the GraftReaderFactory rule):
+    * executor-side staging writers need the same filesystem settings —
+    * s3a credentials/endpoints, HDFS nameservices — as driver planning. */
   private val confEntries: Array[(String, String)] = {
     val c = SparkSession.active.sparkContext.hadoopConfiguration
-    Array("fs.defaultFS" -> c.get("fs.defaultFS", "file:///"))
+    val it = c.iterator()
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); entries += e.getKey -> e.getValue }
+    entries.toArray
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =

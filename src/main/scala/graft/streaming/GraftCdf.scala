@@ -135,9 +135,15 @@ object GraftCdf {
         .map { case (src, v, multi) => (root, src, v, multi) }
     }
     all.groupBy { case (_, src, _, _) => (src.version, src.ms) }
-      .values.map { replicas =>
-        replicas.find(r => catalog.vectorRootSidecar(r._1).isDefined)
-          .getOrElse(replicas.head)
+      .values.flatMap { group =>
+        // a fold-root entry proves the key was FOLDED: same-key plain
+        // roots are its crash leftovers (replicas) — plan the fold entry
+        // only. With no fold entry, same-key plain roots are distinct
+        // commits that merely share a stamp: plan them all.
+        group.find(r => catalog.vectorRootSidecar(r._1).isDefined) match {
+          case Some(foldEntry) => Seq(foldEntry)
+          case None => group
+        }
       }
       .toSeq.sortBy { case (root, src, _, _) => (src.ms, src.version, root) }
   }

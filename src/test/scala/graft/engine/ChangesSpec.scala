@@ -248,18 +248,13 @@ class ChangesSpec extends SparkSpec {
     val roots = d.catalog.deleteVectorFiles("t")
     assert(roots.size == 2)
     // reproduce the crash window: fold commits its merged root, dies
-    // before deleting an input — restore one input beside the fold root
+    // before marking an input folded — strip one marker back off
     val fs = new org.apache.hadoop.fs.Path(roots.head)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val saved = new org.apache.hadoop.fs.Path(
-      java.nio.file.Files.createTempDirectory("graft-foldcrash").toString, "r")
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(roots.head), fs, saved, false, true,
-      spark.sparkContext.hadoopConfiguration): Unit
     assert(d.catalog.compactDeleteVectors("t") == 2)
-    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs,
-      new org.apache.hadoop.fs.Path(roots.head), false, true,
-      spark.sparkContext.hadoopConfiguration): Unit
+    assert(d.catalog.deleteVectorFiles("t").size == 1,
+      "marked inputs must vanish from listings while staying on disk")
+    fs.delete(new org.apache.hadoop.fs.Path(roots.head, "_folded"), false): Unit
     assert(d.catalog.deleteVectorFiles("t").size == 2, "fold root + leftover")
     // the leftover's source is a REPLICA of a fold-root source: planned
     // once, counted once

@@ -192,6 +192,35 @@ class DeleteVectorSpec extends SparkSpec {
     }
   }
 
+  test("a fold keeps superseded inputs readable for in-flight plans; vacuum reaps them") {
+    val (d, topic) = mkTopic()
+    topic.deleteWhereVectored(k() < 3): Unit
+    topic.deleteWhereVectored(k() >= 10 && k() < 13): Unit
+    val roots = d.catalog.deleteVectorFiles("t")
+    assert(roots.size == 2)
+    val pinned = roots.head // an in-flight change-feed plan holds this path
+    assert(d.catalog.compactDeleteVectors("t") == 2)
+    // delisted, but physically intact: the racing reader's slice still
+    // finds every row it planned against
+    assert(!d.catalog.deleteVectorFiles("t").contains(pinned))
+    assert(spark.read.schema(Catalog.DeleteSchema).parquet(pinned).count() == 3,
+      "superseded input must stay readable until vacuum")
+    // age the markers past the staleness horizon: vacuum reaps the bodies
+    val fs = new org.apache.hadoop.fs.Path(pinned)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    roots.foreach { r =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(r, "_folded"),
+        System.currentTimeMillis() - 24L * 3600 * 1000, -1)
+    }
+    topic.vacuum(): Unit
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pinned)),
+      "aged folded roots must be physically reaped")
+    assert(d.catalog.deleteVectorFiles("t").size == 1, "the fold root survives")
+    val got = load(d).select(k().as("k")).collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 200).map(_.toLong)
+      .filterNot(i => i < 3 || (i >= 10 && i < 13)).toSet)
+  }
+
   test("maintain reads the vector inventory once (fold pays one more under lock)") {
     val (d, topic) = mkTopic()
     // clean topic: the compact/merge trigger check is the ONLY listing

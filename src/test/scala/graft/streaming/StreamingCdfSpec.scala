@@ -148,6 +148,37 @@ class StreamingCdfSpec extends SparkSpec {
     assert(drain(wh, ckpt).isEmpty)
   }
 
+  test("a fold landing between drains: resumed stream replays folded deletes exactly") {
+    val (d, topic, wh) = newTopic()
+    val ckpt = Files.createTempDirectory("graft-scdf-fold-ckpt").toString
+    produceRange(topic, 0, 60)
+    // first drain: inserts plus ONE early delete the stream already emitted
+    topic.deleteWhereVectored(k() === 0): Unit
+    val vEarly = lastVersion(topic)
+    val first = drain(wh, ckpt)
+    assert(first.count(_._1 == "delete") == 1)
+    // six more delete commits — the 5th+ cross the auto-fold bound, so the
+    // EARLY root (already emitted) folds together with the new ones
+    val newVers = (1 to 6).map { i =>
+      topic.deleteWhereVectored(k() >= i * 5 && k() < i * 5 + 2): Unit
+      lastVersion(topic)
+    }
+    assert(d.catalog.deleteVectorFiles("t").size <= 5, "auto-fold ran mid-stream")
+    val second = drain(wh, ckpt)
+    val dels = second.filter(_._1 == "delete")
+    // the already-emitted early delete must NOT re-emit under a folded
+    // identity; the six new commits each replay exactly their own rows
+    assert(!dels.exists(_._3 == vEarly), "folded pre-frontier delete re-emitted")
+    assert(dels.map(_._2).sorted ==
+      (1 to 6).flatMap(i => Seq(i * 5L, i * 5L + 1)).sorted)
+    newVers.zipWithIndex.foreach { case (v, idx) =>
+      val i = idx + 1
+      assert(dels.filter(_._3 == v).map(_._2).sorted == Seq(i * 5L, i * 5L + 1),
+        s"commit $v must replay exactly its own preimages after the fold")
+    }
+    assert(drain(wh, ckpt).isEmpty, "third drain: nothing new")
+  }
+
   test("admission-capped CDF stream splits inserts without losing attribution") {
     val (_, topic, wh) = newTopic()
     produceRange(topic, 0, 30)
