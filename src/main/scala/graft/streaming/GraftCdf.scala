@@ -18,7 +18,15 @@ import graft.engine.{Catalog, TopicVersion}
  */
 final case class CdfSlice(
     changeType: String, version: Long, tsMillis: Long,
-    span: Seq[(Long, Long, Long)] = Nil)
+    span: Seq[(Long, Long, Long)] = Nil,
+    /** Delete slices over a FOLD root with SEVERAL in-span sources: one
+      * entry per source as (rawVersion, rawMs, attributedVersion,
+      * attributedTsMillis) — the reader loads per-id source ordinals and
+      * fills the commit columns per ROW, so the whole root costs ONE scan
+      * however many folded commits the span covers. Empty = constant
+      * attribution from `version`/`tsMillis` (plain roots, single-source
+      * folds). */
+    sources: Seq[(Long, Long, Long, Long)] = Nil)
 
 /**
  * Shared change-feed planning for the batch scan (`spark.read.format
@@ -175,21 +183,38 @@ object GraftCdf {
             (v.version, v.watermarks.getOrElse(ip.partition, 0L), v.commitTimeMs)))))
       }
 
-    // one bounded preimage scan per in-span delete COMMIT (plain roots
-    // carry one; fold roots carry each folded commit's source, narrowed
-    // in the reader by its (_v, _ms) stamp) — never more scans than the
-    // same deletes cost before a fold, each clamped to its own id bounds
+    // one bounded preimage scan per in-span vector ROOT: a plain root is
+    // one delete commit (constant attribution); a fold root with several
+    // in-span folded commits plans ONE scan whose reader attributes each
+    // preimage ROW by its (_v, _ms) stamp — the span never costs more
+    // scans than there are roots, and each scan clamps to the union of
+    // its in-span sources' id bounds
     val deletes = attributedSources(catalog, topic, history, fromVer, toVer)
-      .flatMap { case (root, src, v, multi) =>
-        val bounds = src.bounds
+      .groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (root, entries) =>
+        val bounds: Map[Int, (Long, Long)] = entries
+          .flatMap { case (_, src, _, _) => src.bounds.toSeq }
+          .groupBy(_._1).view.mapValues { bs =>
+            val lo = bs.map(_._2.minId).min
+            val hi = bs.map(_._2.maxId).max
+            (lo, if (hi == Long.MaxValue) Long.MaxValue else hi + 1L)
+          }.toMap
+        val (mode, cdfSlice) = entries match {
+          case Seq((_, src, v, multi)) =>
+            (GraftDeleteMode.Only(root,
+              if (multi) Some((src.version, src.ms)) else None),
+              CdfSlice("delete", v.version, v.commitTimeMs))
+          case many =>
+            (GraftDeleteMode.Only(root),
+              CdfSlice("delete", -1L, -1L, Nil,
+                sources = many.map { case (_, src, v, _) =>
+                  (src.version, src.ms, v.version, v.commitTimeMs) }))
+        }
         GraftPartitions.plan(catalog, topic, targets,
-            from = p => bounds.get(p).fold(Long.MaxValue)(_.minId),
-            until = p => bounds.get(p).fold(Long.MinValue)(s =>
-              if (s.maxId == Long.MaxValue) Long.MaxValue else s.maxId + 1L),
-            stats, deleteMode = GraftDeleteMode.Only(root,
-              if (multi) Some((src.version, src.ms)) else None))
+            from = p => bounds.get(p).fold(Long.MaxValue)(_._1),
+            until = p => bounds.get(p).fold(Long.MinValue)(_._2),
+            stats, deleteMode = mode)
           .collect { case ip: GraftInputPartition =>
-            ip.copy(cdf = Some(CdfSlice("delete", v.version, v.commitTimeMs)))
+            ip.copy(cdf = Some(cdfSlice))
           }
       }
     (inserts ++ deletes).toArray[InputPartition]

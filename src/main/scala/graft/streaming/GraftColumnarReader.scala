@@ -167,6 +167,59 @@ private[streaming] object GraftReaderSupport {
     java.util.Arrays.sort(arr)
     arr
   }
+
+  /** [[loadDeletedIds]] over a FOLD root, keeping per-id SOURCE ordinals:
+    * only rows stamped with one of `sources` (the slice's in-span folded
+    * commits, as (rawVersion, rawMs)) load, and each kept id carries the
+    * index of its source in that seq — the change-feed reader fills the
+    * commit columns per row from it. Returns (ids sorted ascending,
+    * parallel source ordinals). */
+  def loadDeletedIdsWithSources(
+      deleteDirs: Seq[String], confEntries: Array[(String, String)],
+      partition: Int, fromId: Long, untilId: Long,
+      sources: Seq[(Long, Long)]): (Array[Long], Array[Int]) = {
+    if (deleteDirs.isEmpty || sources.isEmpty)
+      return (Array.emptyLongArray, Array.emptyIntArray)
+    val ordinal: Map[(Long, Long), Int] = sources.zipWithIndex.toMap
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("_v", LongType, nullable = false),
+      StructField("_ms", LongType, nullable = false)))
+    val c = buildConf(confEntries, schema, FilterApi.and(
+      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
+      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId))))
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    deleteDirs.foreach { dirStr =>
+      val sub = new Path(dirStr, s"partition=$partition")
+      val fs = sub.getFileSystem(c)
+      val parts =
+        if (!fs.exists(sub)) Array.empty[Path]
+        else fs.listStatus(sub)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      parts.foreach { p =>
+        val len = fs.getFileStatus(p).getLen
+        val r = new VectorizedParquetRecordReader(
+          null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
+        try {
+          r.initialize(
+            new FileSplit(p, 0, len, Array.empty[String]),
+            new TaskAttemptContextImpl(c, new TaskAttemptID()))
+          r.initBatch(new StructType(), new GenericInternalRow(Array.empty[Any]))
+          while (r.nextKeyValue()) {
+            val row = r.getCurrentValue.asInstanceOf[
+              org.apache.spark.sql.catalyst.InternalRow]
+            val id = row.getLong(0)
+            if (id >= fromId && id < untilId)
+              ordinal.get((row.getLong(1), row.getLong(2)))
+                .foreach(ix => pairs += ((id, ix)))
+          }
+        } finally r.close()
+      }
+    }
+    val sorted = pairs.sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+  }
 }
 
 /** Mutable selection shared by every [[SelectionColumnVector]] of one

@@ -83,10 +83,22 @@ final class GraftPartitionReader(
   private val conf = GraftReaderSupport.buildConf(
     confEntries, readSchema, slice.fromId, slice.untilId)
 
-  /** Vector-deleted ids overlapping this slice (sorted; usually empty). */
-  private val deleted: Array[Long] = GraftReaderSupport.loadDeletedIds(
-    slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId,
-    slice.deleteSource)
+  /** Vector-deleted ids overlapping this slice (sorted; usually empty).
+    * On a multi-source fold-root preimage scan, `deletedSrc` carries each
+    * id's source ordinal in the slice's `cdf.sources` — per-row commit
+    * attribution at ONE scan of the root. */
+  private val (deleted: Array[Long], deletedSrc: Array[Int]) =
+    cdfSlice.map(_.sources) match {
+      case Some(srcs) if srcs.nonEmpty =>
+        GraftReaderSupport.loadDeletedIdsWithSources(
+          slice.deleteFiles, confEntries, slice.partition,
+          slice.fromId, slice.untilId, srcs.map(t => (t._1, t._2)))
+      case _ =>
+        (GraftReaderSupport.loadDeletedIds(
+          slice.deleteFiles, confEntries, slice.partition,
+          slice.fromId, slice.untilId, slice.deleteSource),
+          Array.emptyIntArray)
+    }
 
   /** The reader emits `readSchema ++ (partition, _file)`; this maps it back
     * to the pruned schema's column order (CDF virtuals excluded — filled
@@ -133,11 +145,24 @@ final class GraftPartitionReader(
   private val spanWms: Array[Long] = cdfSlice.map(_.span.map(_._2).toArray).getOrElse(Array.empty)
   private val spanTs: Array[Long] = cdfSlice.map(_.span.map(_._3).toArray).getOrElse(Array.empty)
 
+  private val srcEffVer: Array[Long] =
+    cdfSlice.map(_.sources.map(_._3).toArray).getOrElse(Array.empty)
+  private val srcEffTs: Array[Long] =
+    cdfSlice.map(_.sources.map(_._4).toArray).getOrElse(Array.empty)
+
   private def fillCdf(c: CdfSlice, id: Long): Unit = {
     if (ctOrd >= 0) outRow.update(ctOrd, changeTypeUtf)
     if (isDeleteSlice) {
-      if (cvOrd >= 0) outRow.update(cvOrd, c.version)
-      if (tsOrd >= 0) outRow.update(tsOrd, c.tsMillis * 1000L)
+      if (srcEffVer.nonEmpty) {
+        // multi-source fold root: the row's commit is its source's —
+        // the id passed the keepOnly filter, so the search always hits
+        val ix = deletedSrc(java.util.Arrays.binarySearch(deleted, id))
+        if (cvOrd >= 0) outRow.update(cvOrd, srcEffVer(ix))
+        if (tsOrd >= 0) outRow.update(tsOrd, srcEffTs(ix) * 1000L)
+      } else {
+        if (cvOrd >= 0) outRow.update(cvOrd, c.version)
+        if (tsOrd >= 0) outRow.update(tsOrd, c.tsMillis * 1000L)
+      }
     } else {
       var i = 0
       while (i < spanWms.length && spanWms(i) <= id) i += 1
