@@ -367,6 +367,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dense, "produced ids continue densely from the watermark")
   }
 
+  test("MERGE: WHEN NOT MATCHED BY SOURCE THEN DELETE (full-sync shape)") {
+    import org.apache.spark.sql.functions._
+    val (cat, d) = newCatalog()
+    d.createTopic("sync", partitions = 2)
+    d.openTopic("sync").producer().produce {
+      import spark.implicits._
+      (0 until 12).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition")
+    }
+    // source holds keys 0..7 → target rows 8..11 are "not matched by
+    // source" and must be tombstoned; matched rows keep their payload
+    val src = { import spark.implicits._; (0 until 8).map(_.toLong).toDF("k") }
+    src.createOrReplaceTempView("sync_src")
+    spark.sql(
+      s"""MERGE INTO $cat.sync t
+         |USING sync_src c
+         |ON get_json_object(t.metadata, '$$.k') = CAST(c.k AS STRING)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    val ks = spark.table(s"$cat.sync")
+      .select(get_json_object(col("metadata"), "$.k").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == (0L until 8L), s"got $ks")
+    assert(d.catalog.deleteVectorFiles("sync").nonEmpty,
+      "by-source deletes are vector tombstones")
+  }
+
   test("row-level UPDATE composes from the same delta write") {
     import org.apache.spark.sql.functions._
     val (cat, d) = newCatalog()
