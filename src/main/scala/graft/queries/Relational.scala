@@ -388,7 +388,7 @@ object Relational extends QueryPack {
       """SELECT count(*) AS n FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_window_topn" ->
-      """SELECT c_mktsegment, rn, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+      """SELECT c_mktsegment, CAST(rn AS INT) AS rn, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
         |FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
         |        row_number() OVER (PARTITION BY c_mktsegment
         |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -452,7 +452,7 @@ object Relational extends QueryPack {
         | CAST(round(sum(value)*100) AS BIGINT) AS sum_v_c
         |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
     "q_events_seq" ->
-      """SELECT user_id, rn, event_id
+      """SELECT user_id, CAST(rn AS INT) AS rn, event_id
         |FROM (SELECT user_id, event_id,
         |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |      FROM events) s
