@@ -367,6 +367,36 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dense, "produced ids continue densely from the watermark")
   }
 
+  test("MERGE INTO a TIERED topic: upserts land where rewrites refuse") {
+    import org.apache.spark.sql.functions._
+    val (cat, d) = newCatalog()
+    d.createTopic("cold", partitions = 2)
+    val topic = d.openTopic("cold")
+    topic.producer(chunkMaxRecords = 4).produce {
+      import spark.implicits._
+      (0 until 40).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition")
+    }
+    assert(topic.archiveBefore(15L).filesMoved > 0) // rewrites now refuse
+    val src = { import spark.implicits._
+      Seq((2L, """{"k":2,"u":1}"""), (100L, """{"k":100}"""))
+        .toDF("k", "md") }
+    src.createOrReplaceTempView("cold_chg")
+    // the matched row (k=2) lives in the COLD tier: merge-on-read updates
+    // it via a vector tombstone + hot re-produce, no rewrite needed
+    spark.sql(
+      s"""MERGE INTO $cat.cold t USING cold_chg c
+         |ON get_json_object(t.metadata, '$$.k') = CAST(c.k AS STRING)
+         |WHEN MATCHED THEN UPDATE SET metadata = c.md
+         |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
+         |  VALUES (CAST(c.k % 2 AS INT), -1L, c.md, NULL)""".stripMargin)
+    val rows = spark.table(s"$cat.cold")
+      .select(get_json_object(col("metadata"), "$.k").cast("long").as("k"),
+        get_json_object(col("metadata"), "$.u").as("u"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rows.map(_._1).sorted.toSeq == ((0L until 40L) :+ 100L))
+    assert(rows.count(_._2.contains("1")) == 1, "cold-tier row updated in place-of-read")
+  }
+
   test("MERGE: WHEN NOT MATCHED BY SOURCE THEN DELETE (full-sync shape)") {
     import org.apache.spark.sql.functions._
     val (cat, d) = newCatalog()
