@@ -1402,21 +1402,39 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     })
   }
 
+  /** THE crashed-fold supersession rule, in one place: enumerate every
+    * (root, source) of the topic's listed vector roots, dropping plain
+    * entries whose (version, ms) a FOLD root's sidecar also carries — a
+    * fold that crashed between committing its merged root and marking an
+    * input leaves that input listed as a REPLICA of the fold's source.
+    * Same-key PLAIN entries with no fold sidecar are distinct commits
+    * that merely share a stamp and are all kept. Every surface that
+    * enumerates delete sources (feed planning, exact statistics, clone
+    * copies) goes through here so they can never disagree on what a
+    * replica is. */
+  def dedupedVectorSources(name: String): Seq[(String, VectorSource)] =
+    dedupeVectorSources(deleteVectorFiles(name)
+      .flatMap(root => vectorRootSources(root).map(root -> _)))
+
+  /** [[dedupedVectorSources]] over an explicit (root, source) listing. */
+  private[graft] def dedupeVectorSources(
+      all: Seq[(String, VectorSource)]): Seq[(String, VectorSource)] =
+    all.groupBy { case (_, s) => (s.version, s.ms) }.values.flatMap { group =>
+      group.filter { case (root, _) => vectorRootSidecar(root).isDefined } match {
+        case folded if folded.nonEmpty => folded.take(1)
+        case _ => group
+      }
+    }.toSeq.sortBy { case (root, s) => (s.ms, s.version, root) }
+
   /** Per-partition vectored-delete counts across the topic's committed
     * vectors. EXACT: deleteWhereVectored never re-records an already-
-    * vectored id, so SOURCES are disjoint; summing per unique source
-    * (version, ms) — not per root — stays exact even in the crashed-fold
-    * window where a source's rows sit in both the merged root and a
-    * not-yet-deleted input root. */
+    * vectored id, so SOURCES are disjoint; summing per deduped source —
+    * not per root — stays exact even in the crashed-fold window where a
+    * source's rows sit in both the merged root and a not-yet-marked
+    * input root. */
   def deletedCountsByPartition(name: String): Map[Int, Long] =
-    deleteVectorFiles(name)
-      .flatMap(root => vectorRootSources(root)
-        .map(s => (vectorRootSidecar(root).isDefined, (s.version, s.ms), s.bounds)))
-      .groupBy(_._2).values
-      // a fold entry supersedes same-key plain entries (crash leftovers);
-      // same-key PLAIN entries with no fold are distinct commits — keep all
-      .flatMap(g => g.find(_._1).map(Seq(_)).getOrElse(g))
-      .map(_._3)
+    dedupedVectorSources(name)
+      .map(_._2.bounds)
       .foldLeft(Map.empty[Int, Long]) { (acc, m) =>
         m.foldLeft(acc) { case (a, (p, s)) =>
           a + (p -> (a.getOrElse(p, 0L) + s.rows))
@@ -1642,11 +1660,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       }
     }
     // 5. staged MERGE actions from a driver that died before its commit's
-    // cleanup (`tmp-merge-*` at topic level — never listed by readers)
+    // cleanup (`tmp-merge-*` at topic level — never listed by readers).
+    // Staging is written OUTSIDE the topic locks, so age alone can't
+    // prove abandonment (a straggler task can out-live the horizon): a
+    // live MERGE heartbeats its `_inprogress` marker, and only a STALE
+    // marker (dead driver) or a markerless aged dir is reaped.
     fs.listStatus(topicPath(name))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-merge-") &&
-        s.getModificationTime < horizon)
-      .foreach { s => tmps += 1; drop(s.getPath, recursive = true) }
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-merge-"))
+      .foreach { s =>
+        val live =
+          try fs.getFileStatus(new Path(s.getPath, "_inprogress"))
+            .getModificationTime >= horizon
+          catch { case _: java.io.FileNotFoundException =>
+            s.getModificationTime >= horizon }
+        if (!live) { tmps += 1; drop(s.getPath, recursive = true) }
+      }
     VacuumReport(chunks, swaps, tmps, bytes)
   }
 
@@ -2303,28 +2331,32 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       // the clone was born with these rows already deleted, so a change
       // feed spanning its birth replays raw inserts AND these preimages,
       // reproducing the cloned state.
-      val srcDel = deletesDir(src)
-      if (fs.exists(srcDel))
-        fs.listStatus(srcDel)
-          .filter(st => st.isDirectory && !st.getPath.getName.startsWith("tmp-"))
-          .foreach { st =>
-          val n = st.getPath.getName
-          val parts = n.split('-')
-          val retagged =
-            if (parts.length >= 3 && parts(0) == "d" && parts(2).startsWith("v"))
-              (Seq(parts(0), parts(1), "v1") ++ parts.drop(3)).mkString("-")
-            else if (parts.length >= 2 && parts(0) == "d")
-              (Seq(parts(0), parts(1), "v1") ++ parts.drop(2)).mkString("-")
-            else n
-          val dstRoot = new Path(deletesDir(dst), retagged)
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-            dstRoot, false, true, hadoopConf): Unit
-          // a copied FOLD root's sidecar carries SOURCE-topic versions,
-          // which mean nothing in the clone's history — drop it, so the
-          // root attributes as a plain v1 root like every other copy
-          // (the per-row _v/_ms columns are inert without the sidecar)
-          fs.delete(new Path(dstRoot, "_sources.json"), false): Unit
-        }
+      // copy the LIVE, replica-deduped roots only (the one supersession
+      // rule, dedupedVectorSources): fold-superseded marked inputs would
+      // be dead bytes in the clone, and a crashed fold's unmarked leftover
+      // must not ride along — the clone drops fold sidecars (source-topic
+      // versions mean nothing in its history), so a copied replica could
+      // never be re-recognized there and would double-emit forever
+      dedupedVectorSources(src).map(_._1).distinct.foreach { rootStr =>
+        val rootPath = new Path(rootStr)
+        val n = rootPath.getName
+        val parts = n.split('-')
+        val retagged =
+          if (parts.length >= 3 && parts(0) == "d" && parts(2).startsWith("v"))
+            (Seq(parts(0), parts(1), "v1") ++ parts.drop(3)).mkString("-")
+          else if (parts.length >= 2 && parts(0) == "d")
+            (Seq(parts(0), parts(1), "v1") ++ parts.drop(2)).mkString("-")
+          else n
+        val dstRoot = new Path(deletesDir(dst), retagged)
+        org.apache.hadoop.fs.FileUtil.copy(fs, rootPath, fs,
+          dstRoot, false, true, hadoopConf): Unit
+        // a copied FOLD root's sidecar carries SOURCE-topic versions —
+        // drop it, so the root attributes as a plain v1 root like every
+        // other copy (the per-row _v/_ms columns are inert without it)
+        fs.delete(new Path(dstRoot, "_sources.json"), false): Unit
+        // a copied marker would hide the root from the CLONE's listings
+        fs.delete(new Path(dstRoot, Catalog.FoldedMarker), false): Unit
+      }
       if (mayHaveIdGaps(src)) markIdGaps(dst)
       // register the clone with its source AND every transitive ancestor
       // up the shared-inventory chain — a clone-of-a-clone holds absolute
@@ -2589,24 +2621,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     } catch { case _: java.io.FileNotFoundException => None }
   }
 
-  /** A crashed writer's temp, served only on STRUCTURAL proof of
-    * completeness: a valid trailer. A temp with a trailer mark whose
-    * stamp does not validate is a truncated write — never served. A temp
-    * with NO trailer mark at all predates the trailer format (written by
-    * an earlier binary); for those the old settled-age rule still
-    * applies, so a pre-upgrade crash's committed cursor/txn/watermark
-    * write is not silently un-served by the upgrade. */
+  /** A crashed writer's temp, served ONLY on structural proof of
+    * completeness: a valid trailer (the close-time length stamp). A temp
+    * without one is truncated-or-in-flight and is treated as not-yet-
+    * written — age is never proof (on mtime-at-create filesystems a live
+    * or crashed writer's half-written temp can look arbitrarily old).
+    * One-time upgrade caveat, deliberate: a temp left by a PRE-trailer
+    * binary's crash is also refused, trading that vanishing window for
+    * never serving a truncated write as committed content. */
   private def readTmpIfComplete(tmp: Path): Option[String] =
     try {
       val in = fs.open(tmp)
       val raw = try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8)
       finally in.close()
-      Catalog.stripTrailer(raw).orElse {
-        if (!raw.contains(Catalog.TrailerMark) &&
-            Option(fs.getFileStatus(tmp)).exists(Catalog.tmpSettled)) Some(raw)
-        else None
-      }
+      Catalog.stripTrailer(raw)
     } catch { case _: java.io.FileNotFoundException => None }
 
   /** Replace `p`'s content via write-tmp → delete → rename. The
@@ -2661,16 +2690,6 @@ object Catalog {
     * the reader's assembly work and the log directory size. Var so tests can
     * compress it. */
   @volatile var ManifestSnapshotEvery: Int = 64
-
-  /** A writer's temp file counts as the authoritative crashed-in-window
-    * copy only once it has SETTLED — older than this. A topic's FIRST
-    * metadata write has no destination to delete, so "destination missing
-    * + temp present" also describes a LIVE writer mid-write there; the age
-    * gate (metadata writes finish in milliseconds) keeps the resilient
-    * readers from serving a half-written temp, at the cost of a reader
-    * seeing None for this long right after a genuine crash. */
-  private[engine] def tmpSettled(st: org.apache.hadoop.fs.FileStatus): Boolean =
-    System.currentTimeMillis() - st.getModificationTime >= 500L
 
   /** Completeness trailer for [[Catalog.writeAtomic]] metadata files: the
     * content followed by one line stamping the content's UTF-8 byte
@@ -2770,6 +2789,22 @@ object Catalog {
     })
     e.setRemoveOnCancelPolicy(true)
     e
+  }
+
+  /** Generic mtime heartbeat on one file — the lock heartbeat's mechanism
+    * for non-lock liveness markers (e.g. a long MERGE's staging dir):
+    * refreshed every third of the staleness horizon until the returned
+    * cancel thunk runs, so vacuum can tell a live slow job's staging from
+    * a dead driver's (whose marker simply ages out). */
+  private[graft] def startFileHeartbeat(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): () => Unit = {
+    val period = math.max(CompactLockStaleMs / 3, 1000L)
+    val fut = heartbeatExec.scheduleWithFixedDelay(
+      () => try fs.setTimes(p, System.currentTimeMillis(), -1)
+        catch { case scala.util.control.NonFatal(_) => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => { fut.cancel(false): Unit }
   }
 
   private[engine] def startLockHeartbeat(

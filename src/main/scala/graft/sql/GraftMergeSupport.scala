@@ -107,21 +107,30 @@ private final class GraftDeltaBatchWrite(
     new Path(base,
       s"tmp-merge-${java.util.UUID.randomUUID().toString.take(12)}").toString
   }
-  /** Full driver Hadoop-conf snapshot (the GraftReaderFactory rule):
-    * executor-side staging writers need the same filesystem settings —
-    * s3a credentials/endpoints, HDFS nameservices — as driver planning. */
-  private val confEntries: Array[(String, String)] = {
-    val c = SparkSession.active.sparkContext.hadoopConfiguration
-    val it = c.iterator()
-    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    while (it.hasNext) { val e = it.next(); entries += e.getKey -> e.getValue }
-    entries.toArray
+  /** Full driver Hadoop-conf snapshot: executor-side staging writers need
+    * the same filesystem settings — s3a credentials/endpoints, HDFS
+    * nameservices — as driver planning (one shared snapshot rule). */
+  private val confEntries: Array[(String, String)] =
+    graft.streaming.GraftReaderFactory.confSnapshot(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Liveness marker + heartbeat: vacuum reaps `tmp-merge-*` staging only
+    * once `_inprogress` ages past the staleness horizon — a live slow
+    * MERGE (straggler tasks past 30 min) keeps its staged files; a dead
+    * driver's heartbeat stops and the debris ages out. */
+  @volatile private var stopHeartbeat: () => Unit = () => ()
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(stagingDir, "_inprogress")
+    fs.create(marker, true).close()
+    stopHeartbeat = Catalog.startFileHeartbeat(fs, marker)
+    new GraftDeltaWriterFactory(stagingDir, rowSchema, confEntries)
   }
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftDeltaWriterFactory(stagingDir, rowSchema, confEntries)
-
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    stopHeartbeat()
     import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
     val catalog = new Catalog(spark, warehouse)
@@ -149,6 +158,7 @@ private final class GraftDeltaBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    stopHeartbeat()
     val spark = SparkSession.active
     val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(stagingDir), true): Unit

@@ -112,48 +112,25 @@ object GraftCdf {
     else byTimestamp
   }
 
-  /** Every (source, attributed commit) of `root`'s delete commits that
-    * lands in `(fromVer, toVer]` — one entry per plain root, one per
-    * folded commit on fold roots. The third element says whether the
-    * root needs reader-side source narrowing (it carries OTHER sources
-    * too). */
-  def sourcesInSpan(catalog: Catalog, root: String,
-                    history: Vector[TopicVersion], fromVer: Long, toVer: Long):
-      Seq[(graft.engine.VectorSource, TopicVersion, Boolean)] = {
-    val srcs = catalog.vectorRootSources(root)
-    val multi = srcs.size > 1
-    srcs.flatMap { src =>
-      attributeSource(src, history)
-        .filter(v => v.version > fromVer && v.version <= toVer)
-        .map(v => (src, v, multi))
-    }
-  }
-
-  /** [[sourcesInSpan]] across ALL of the topic's vector roots, deduped by
-    * source (version, ms): a fold that crashed between committing the
-    * merged root and deleting its inputs leaves the SAME delete commit in
-    * two roots, and planning it twice would double-emit its preimages.
-    * The replica in the fold root wins (folds carry full sidecar
-    * attribution); each surviving entry carries its root. */
+  /** Every (root, source, attributed commit) of the topic's delete
+    * commits that lands in `(fromVer, toVer]` — one entry per plain root,
+    * one per folded commit on fold roots, REPLICA-deduped by
+    * [[Catalog.dedupedVectorSources]] (the single crashed-fold
+    * supersession rule) so a fold that died between committing its merged
+    * root and marking an input can never double-emit. The fourth element
+    * says whether the root needs reader-side source narrowing (it carries
+    * OTHER sources too). */
   def attributedSources(catalog: Catalog, topic: String,
                         history: Vector[TopicVersion], fromVer: Long, toVer: Long):
       Seq[(String, graft.engine.VectorSource, TopicVersion, Boolean)] = {
-    val all = catalog.deleteVectorFiles(topic).flatMap { root =>
-      sourcesInSpan(catalog, root, history, fromVer, toVer)
-        .map { case (src, v, multi) => (root, src, v, multi) }
+    val multiByRoot = scala.collection.mutable.Map.empty[String, Boolean]
+    catalog.dedupedVectorSources(topic).flatMap { case (root, src) =>
+      val multi = multiByRoot.getOrElseUpdate(root,
+        catalog.vectorRootSources(root).size > 1)
+      attributeSource(src, history)
+        .filter(v => v.version > fromVer && v.version <= toVer)
+        .map(v => (root, src, v, multi))
     }
-    all.groupBy { case (_, src, _, _) => (src.version, src.ms) }
-      .values.flatMap { group =>
-        // a fold-root entry proves the key was FOLDED: same-key plain
-        // roots are its crash leftovers (replicas) — plan the fold entry
-        // only. With no fold entry, same-key plain roots are distinct
-        // commits that merely share a stamp: plan them all.
-        group.find(r => catalog.vectorRootSidecar(r._1).isDefined) match {
-          case Some(foldEntry) => Seq(foldEntry)
-          case None => group
-        }
-      }
-      .toSeq.sortBy { case (root, src, _, _) => (src.ms, src.version, root) }
   }
 
   /** Plan the change feed for commits in `(fromVer, toVer]` with insert id

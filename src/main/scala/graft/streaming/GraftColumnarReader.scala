@@ -111,57 +111,19 @@ private[streaming] object GraftReaderSupport {
     if (deleteDirs.isEmpty) return Array.emptyLongArray
     // source narrowing (fold roots only — their files always carry the
     // `_v`/`_ms` source-attribution columns): keep the one folded delete
-    // commit this preimage scan replays
-    val schema = source match {
-      case None => StructType(Seq(
-        StructField("event_id", LongType, nullable = false)))
-      case Some(_) => StructType(Seq(
-        StructField("event_id", LongType, nullable = false),
-        StructField("_v", LongType, nullable = false),
-        StructField("_ms", LongType, nullable = false)))
-    }
-    val idRange = FilterApi.and(
-      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
-      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId)))
-    val predicate = source match {
-      case None => idRange
-      case Some((v, ms)) => FilterApi.and(idRange, FilterApi.and(
-        FilterApi.eq(FilterApi.longColumn("_v"), java.lang.Long.valueOf(v)),
-        FilterApi.eq(FilterApi.longColumn("_ms"), java.lang.Long.valueOf(ms))))
-    }
-    val c = buildConf(confEntries, schema, predicate)
+    // commit this preimage scan replays; the pushed eq predicates prune
+    // row groups, the per-row re-check is exact
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    deleteDirs.foreach { dirStr =>
-      val sub = new Path(dirStr, s"partition=$partition")
-      val fs = sub.getFileSystem(c)
-      val parts =
-        // absent subdir: no deletes for this partition (or the whole root
-        // was folded away by a racing rewrite — equally empty)
-        if (!fs.exists(sub)) Array.empty[Path]
-        else fs.listStatus(sub)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath)
-      parts.foreach { p =>
-        val len = fs.getFileStatus(p).getLen
-        val r = new VectorizedParquetRecordReader(
-          null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, 4096)
-        try {
-          r.initialize(
-            new FileSplit(p, 0, len, Array.empty[String]),
-            new TaskAttemptContextImpl(c, new TaskAttemptID()))
-          r.initBatch(new StructType(), new GenericInternalRow(Array.empty[Any]))
-          while (r.nextKeyValue()) {
-            val row = r.getCurrentValue.asInstanceOf[
-              org.apache.spark.sql.catalyst.InternalRow]
-            // row-group pruning is statistics-coarse — re-check per row
-            val id = row.getLong(0)
-            val srcOk = source.forall { case (v, ms) =>
-              row.getLong(1) == v && row.getLong(2) == ms
-            }
-            if (srcOk && id >= fromId && id < untilId) out += id
-          }
-        } finally r.close()
-      }
+    walkVectorRows(deleteDirs, confEntries, partition, fromId, untilId,
+        withSourceCols = source.isDefined,
+        extraPredicate = source.map { case (v, ms) => FilterApi.and(
+          FilterApi.eq(FilterApi.longColumn("_v"), java.lang.Long.valueOf(v)),
+          FilterApi.eq(FilterApi.longColumn("_ms"), java.lang.Long.valueOf(ms))) }) {
+      row =>
+        val srcOk = source.forall { case (v, ms) =>
+          row.getLong(1) == v && row.getLong(2) == ms
+        }
+        if (srcOk) out += row.getLong(0)
     }
     val arr = out.toArray
     java.util.Arrays.sort(arr)
@@ -181,14 +143,41 @@ private[streaming] object GraftReaderSupport {
     if (deleteDirs.isEmpty || sources.isEmpty)
       return (Array.emptyLongArray, Array.emptyIntArray)
     val ordinal: Map[(Long, Long), Int] = sources.zipWithIndex.toMap
-    val schema = StructType(Seq(
-      StructField("event_id", LongType, nullable = false),
-      StructField("_v", LongType, nullable = false),
-      StructField("_ms", LongType, nullable = false)))
-    val c = buildConf(confEntries, schema, FilterApi.and(
-      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
-      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId))))
     val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    walkVectorRows(deleteDirs, confEntries, partition, fromId, untilId,
+        withSourceCols = true, extraPredicate = None) { row =>
+      ordinal.get((row.getLong(1), row.getLong(2)))
+        .foreach(ix => pairs += ((row.getLong(0), ix)))
+    }
+    val sorted = pairs.sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+  }
+
+  /** The ONE vector-root walker both loaders share: lists ONLY this
+    * partition's `partition=p/` subdirectory of each root (directory-
+    * level pruning — no foreign footer reads; an absent subdir means no
+    * deletes there, or the root was physically reaped after this slice
+    * planned — equally empty), pushes the id-range (plus any extra)
+    * predicate for row-group skipping, and hands each surviving IN-RANGE
+    * row to `f` (row-group pruning is statistics-coarse, so the id range
+    * is re-checked here; source stamps are the caller's to check). */
+  private def walkVectorRows(
+      deleteDirs: Seq[String], confEntries: Array[(String, String)],
+      partition: Int, fromId: Long, untilId: Long,
+      withSourceCols: Boolean,
+      extraPredicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate])(
+      f: org.apache.spark.sql.catalyst.InternalRow => Unit): Unit = {
+    val idCol = StructField("event_id", LongType, nullable = false)
+    val schema =
+      if (withSourceCols) StructType(Seq(idCol,
+        StructField("_v", LongType, nullable = false),
+        StructField("_ms", LongType, nullable = false)))
+      else StructType(Seq(idCol))
+    val idRange = FilterApi.and(
+      FilterApi.gtEq(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(fromId)),
+      FilterApi.lt(FilterApi.longColumn("event_id"), java.lang.Long.valueOf(untilId)))
+    val c = buildConf(confEntries, schema,
+      extraPredicate.fold(idRange)(FilterApi.and(idRange, _)))
     deleteDirs.foreach { dirStr =>
       val sub = new Path(dirStr, s"partition=$partition")
       val fs = sub.getFileSystem(c)
@@ -210,15 +199,11 @@ private[streaming] object GraftReaderSupport {
             val row = r.getCurrentValue.asInstanceOf[
               org.apache.spark.sql.catalyst.InternalRow]
             val id = row.getLong(0)
-            if (id >= fromId && id < untilId)
-              ordinal.get((row.getLong(1), row.getLong(2)))
-                .foreach(ix => pairs += ((id, ix)))
+            if (id >= fromId && id < untilId) f(row)
           }
         } finally r.close()
       }
     }
-    val sorted = pairs.sortBy(_._1)
-    (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
   }
 }
 

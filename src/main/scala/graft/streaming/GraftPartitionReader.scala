@@ -47,11 +47,16 @@ object GraftReaderFactory {
     * a bare `new Configuration()` would only load the defaults. */
   def apply(requiredSchema: StructType, conf: Configuration,
             serializerJson: String = """{"type":"json"}""",
-            columnar: Boolean = false): GraftReaderFactory = {
+            columnar: Boolean = false): GraftReaderFactory =
+    new GraftReaderFactory(requiredSchema, confSnapshot(conf), serializerJson, columnar)
+
+  /** The serializable driver-conf snapshot every executor-side writer and
+    * reader shares (the MERGE staging writers use it too). */
+  def confSnapshot(conf: Configuration): Array[(String, String)] = {
     val it = conf.iterator()
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (it.hasNext) { val e = it.next(); entries += e.getKey -> e.getValue }
-    new GraftReaderFactory(requiredSchema, entries.toArray, serializerJson, columnar)
+    entries.toArray
   }
 }
 
