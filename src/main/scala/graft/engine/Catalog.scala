@@ -1416,12 +1416,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     dedupeVectorSources(deleteVectorFiles(name)
       .flatMap(root => vectorRootSources(root).map(root -> _)))
 
-  /** [[dedupedVectorSources]] over an explicit (root, source) listing. */
+  /** [[dedupedVectorSources]] over an explicit (root, source) listing.
+    * When a key appears in SEVERAL fold roots (a fold-of-fold that
+    * crashed before marking its input fold), every shared key must
+    * resolve to the SAME surviving root — the widest sidecar wins (the
+    * newer fold's sources are a strict superset of the fold it merged),
+    * name as the deterministic tiebreak — or a clone's copy (which drops
+    * sidecars) could keep two roots that each carry some shared keys and
+    * duplicate their rows. */
   private[graft] def dedupeVectorSources(
       all: Seq[(String, VectorSource)]): Seq[(String, VectorSource)] =
     all.groupBy { case (_, s) => (s.version, s.ms) }.values.flatMap { group =>
       group.filter { case (root, _) => vectorRootSidecar(root).isDefined } match {
-        case folded if folded.nonEmpty => folded.take(1)
+        case folded if folded.nonEmpty =>
+          Seq(folded.minBy { case (root, _) =>
+            (-vectorRootSidecar(root).map(_.size).getOrElse(1), root) })
         case _ => group
       }
     }.toSeq.sortBy { case (root, s) => (s.ms, s.version, root) }
@@ -2791,17 +2800,19 @@ object Catalog {
     e
   }
 
-  /** Generic mtime heartbeat on one file — the lock heartbeat's mechanism
-    * for non-lock liveness markers (e.g. a long MERGE's staging dir):
-    * refreshed every third of the staleness horizon until the returned
-    * cancel thunk runs, so vacuum can tell a live slow job's staging from
-    * a dead driver's (whose marker simply ages out). */
+  /** Generic mtime heartbeat on one liveness-marker file (e.g. a long
+    * MERGE's staging dir): refreshed every third of the staleness horizon
+    * until the returned cancel thunk runs, so vacuum can tell a live slow
+    * job's staging from a dead driver's (whose marker simply ages out).
+    * The refresh RE-CREATES the (empty) marker rather than `setTimes` —
+    * object stores (s3a) silently no-op setTimes, and a heartbeat that
+    * silently stops beating is exactly the failure it exists to prevent. */
   private[graft] def startFileHeartbeat(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): () => Unit = {
     val period = math.max(CompactLockStaleMs / 3, 1000L)
     val fut = heartbeatExec.scheduleWithFixedDelay(
-      () => try fs.setTimes(p, System.currentTimeMillis(), -1)
+      () => try fs.create(p, true).close()
         catch { case scala.util.control.NonFatal(_) => () },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     () => { fut.cancel(false): Unit }

@@ -309,6 +309,39 @@ object EnginePack extends QueryPack {
            |  sum(CAST(get_json_object(metadata, '$$.eid') AS BIGINT)) AS eid_sum
            |FROM $cat.sqlins_demo GROUP BY partition ORDER BY partition""".stripMargin)
     },
+    "q_clone_guard" -> { (s, dir) =>
+      // Clone-aware physical deletion: while a shallow clone lives, every
+      // file-deleting surface on the SOURCE refuses loudly naming the
+      // clone; vectored (merge-on-read) deletes stay allowed; the guard
+      // releases the moment the clone materializes, and the then-legal
+      // compact physically folds the vectors. Graded on the source's
+      // final rows plus the observed guard transitions.
+      val d = tempDriver(s)
+      d.createTopic("guard_src", partitions = 4)
+      val src = d.openTopic("guard_src")
+      src.producer().produce(sourceByEidRange(s, dir, 0, 256))
+      d.cloneTopic("guard_src", "guard_dup")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val refused =
+        (try { src.compact(); false }
+         catch { case e: IllegalStateException => e.getMessage.contains("guard_dup") }) &&
+        (try { d.dropTopic("guard_src"); false }
+         catch { case e: IllegalStateException => e.getMessage.contains("guard_dup") })
+      src.deleteWhereVectored(pmod(eid, lit(8)) === 0): Unit // allowed: no files move
+      d.openTopic("guard_dup").restoreArchive(): Unit        // materialize
+      val released = d.catalog.liveClones("guard_src").isEmpty
+      src.compact() // now legal; physically folds the vectors
+      val cloneIntact =
+        d.openTopic("guard_dup").events().count() == 256L // clone unaffected
+      src.events()
+        .select(col("partition"), eid.as("k"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"))
+        .withColumn("refused", lit(refused))
+        .withColumn("released", lit(released))
+        .withColumn("clone_intact", lit(cloneIntact))
+        .orderBy(col("partition"))
+    },
     "q_sql_update" -> { (s, dir) =>
       // Row-level SQL UPDATE (same delta write as MERGE): matched rows are
       // vector-tombstoned and re-produced with the new metadata at the
@@ -2180,6 +2213,13 @@ object EnginePack extends QueryPack {
         |  CAST(0 AS BIGINT) AS min_id, COUNT(*) - 1 AS max_id,
         |  CAST(SUM(event_id) AS BIGINT) AS eid_sum
         |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    // source after the vectored delete (eid%8 gone) + the guard booleans
+    "q_clone_guard" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |  true AS refused, true AS released, true AS clone_intact
+        |FROM events WHERE event_id < 256 AND event_id % 8 <> 0
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
     // all 512 rows survive; eid%7==0 rows carry the updated flag
     "q_sql_update" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,

@@ -130,7 +130,6 @@ private final class GraftDeltaBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    stopHeartbeat()
     import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
     val catalog = new Catalog(spark, warehouse)
@@ -154,7 +153,13 @@ private final class GraftDeltaBatchWrite(
             staged.filter(col("op") === 1)
               .select(col("partition"), col("metadata"), col("data"))): Unit
       }
-    } finally fs.delete(new Path(stagingDir), true): Unit
+    } finally {
+      // the heartbeat must outlive commit's OWN reads of the staging (the
+      // tombstone and produce jobs can run long) — stop it only once the
+      // staging is gone and there is nothing left for vacuum to misjudge
+      stopHeartbeat()
+      fs.delete(new Path(stagingDir), true): Unit
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -274,6 +274,45 @@ class ChangesSpec extends SparkSpec {
     assert(d.catalog.deletedCountsByPartition("t").values.sum == 6L)
   }
 
+  test("a crashed fold-of-fold resolves every shared source to ONE root (clone-safe)") {
+    import spark.implicits._
+    val (d, topic) = mkTopic()
+    topic.deleteWhereVectored(k() < 2): Unit
+    val v1 = versions(topic).last
+    topic.deleteWhereVectored(k() >= 10 && k() < 12): Unit
+    val v2 = versions(topic).last
+    d.catalog.compactDeleteVectors("t"): Unit // fold root R1 = {v1, v2}
+    topic.deleteWhereVectored(k() >= 20 && k() < 22): Unit
+    val v3 = versions(topic).last
+    val r1 = d.catalog.deleteVectorFiles("t")
+      .find(r => d.catalog.vectorRootSidecar(r).isDefined).get
+    d.catalog.compactDeleteVectors("t"): Unit // fold root R2 = {v1, v2, v3}
+    // crash window: R2 committed, R1 left unmarked — two fold roots
+    // sharing sources v1, v2
+    val fs = new org.apache.hadoop.fs.Path(r1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(r1, "_folded"), false): Unit
+    assert(d.catalog.deleteVectorFiles("t")
+      .count(r => d.catalog.vectorRootSidecar(r).isDefined) == 2)
+    // every key resolves to the SAME (widest) root
+    val deduped = d.catalog.dedupedVectorSources("t")
+    assert(deduped.map(_._1).distinct.size == 1,
+      s"shared sources split across roots: ${deduped.map(_._1).distinct}")
+    // feed stays exact through the window
+    val dels = topic.changes(v1 - 1, v3)
+      .filter(col("_change_type") === "delete")
+      .select(col("_commit_version"), k().as("k")).as[(Long, Long)].collect()
+    assert(dels.length == 6, s"each preimage once, got ${dels.length}")
+    assert(dels.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap ==
+      Map(v1 -> Seq(0L, 1L), v2 -> Seq(10L, 11L), v3 -> Seq(20L, 21L)))
+    // a clone taken IN the window copies exactly one deduped root
+    d.cloneTopic("t", "tc")
+    assert(d.catalog.deleteVectorFiles("tc").size == 1,
+      "clone must copy the one surviving root, not the superseded replica")
+    assert(spark.read.format("graft").option("warehouse", d.warehouse)
+      .option("topic", "tc").load().count() == 94)
+  }
+
   test("a delete-heavy topic that never maintains stays bounded AND feed-exact") {
     import spark.implicits._
     val (d, topic) = mkTopic()
