@@ -899,10 +899,23 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"${compactLockPath(name)}, age ${age / 1000}s) — retry after it " +
       "finishes, or delete the lock if the compactor crashed")
     lockIsLive(produceLockPath(name)).foreach { age =>
-      releaseCompactLock(name)
-      throw new IllegalStateException(
-        s"topic '$name': cannot compact while a produce is in flight (lock " +
-        s"${produceLockPath(name)}, age ${age / 1000}s)")
+      // ONE deliberate composition is exempt: merge recovery rolls a
+      // crashed MERGE's vector delete forward while still holding the
+      // produce lock it reconciles under (reconcileMergeState sets the
+      // flag, and only around that call). The hazard this check guards —
+      // a maintenance swap under an in-flight produce — cannot apply to
+      // the thread that owns both sides on purpose; any OTHER same-thread
+      // nesting (e.g. compactTopic while a produce lock is held) stays a
+      // loud refusal.
+      val owner = Catalog.heldLocks.get(produceLockPath(name).toString)
+      val recoveryComposition = Catalog.mergeRecoveryInProgress.get() &&
+        owner != null && (owner.thread eq Thread.currentThread())
+      if (!recoveryComposition) {
+        releaseCompactLock(name)
+        throw new IllegalStateException(
+          s"topic '$name': cannot compact while a produce is in flight (lock " +
+          s"${produceLockPath(name)}, age ${age / 1000}s)")
+      }
     }
   }
 
@@ -1673,9 +1686,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // Staging is written OUTSIDE the topic locks, so age alone can't
     // prove abandonment (a straggler task can out-live the horizon): a
     // live MERGE heartbeats its `_inprogress` marker, and only a STALE
-    // marker (dead driver) or a markerless aged dir is reaped.
+    // marker (dead driver) or a markerless aged dir is reaped. Staging a
+    // MERGE INTENT still references is NEVER reaped, stale or not —
+    // recovery's roll-forward re-reads it (reconcileProduceState owns
+    // both the staging and the intent from there).
+    val intentStaging: Set[String] =
+      listMergeIntents(name).values.map(i => new Path(i.stagingDir).getName).toSet
     fs.listStatus(topicPath(name))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-merge-"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-merge-") &&
+        !intentStaging.contains(s.getPath.getName))
       .foreach { s =>
         val live =
           try fs.getFileStatus(new Path(s.getPath, "_inprogress"))
@@ -1704,6 +1723,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                     chunkMaxRecords: Long = 1000000L): (Boolean, VacuumReport, Int) = {
     require(maxFilesPerPartition > 0,
       s"maxFilesPerPartition must be positive: $maxFilesPerPartition")
+    // decide crashed produce/merge intents first — the cron surface is the
+    // recovery trigger for topics whose last-ever write was a torn MERGE
+    // (write-path entries reconcile themselves; reads never do)
+    acquireProduceLock(name)
+    try reconcileProduceState(name)
+    finally releaseProduceLock(name)
     // tiered topics skip the compact step (rewrites refuse on them); the
     // hot tail usually stays small precisely because the bulk is archived.
     // Accumulated deletion vectors also trigger a fold: every reader pays
@@ -2528,6 +2553,83 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         writeAtomic(pidPath(name, pid), next.toJson)
       }
     }
+    reconcileMergeState(name)
+  }
+
+  // -- SQL MERGE cross-commit intents (see MergeCommit) ----------------------
+
+  private def mergesDir(name: String): Path = new Path(topicPath(name), "_merges")
+  private def mergeIntentPath(name: String, mergeId: String): Path =
+    new Path(mergesDir(name), s"${validComponent("merge id", mergeId)}.json")
+
+  private[engine] def writeMergeIntent(name: String, mergeId: String,
+                                       intent: MergeIntent): Unit = {
+    fs.mkdirs(mergesDir(name))
+    writeAtomic(mergeIntentPath(name, mergeId), intent.toJson)
+  }
+
+  private[engine] def mergeIntent(name: String, mergeId: String): Option[MergeIntent] =
+    readStringResilient(mergeIntentPath(name, mergeId)).map(MergeIntent.fromJson)
+
+  private[engine] def removeMergeIntent(name: String, mergeId: String): Unit =
+    fs.delete(mergeIntentPath(name, mergeId), false): Unit
+
+  /** All merge intents of a topic (small: at most one live merge plus
+    * crashed leftovers awaiting reconciliation). */
+  private[graft] def listMergeIntents(name: String): Map[String, MergeIntent] = {
+    val dir = mergesDir(name)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .flatMap(s => readStringResilient(s.getPath)
+        .map(j => s.getPath.getName.stripSuffix(".json") -> MergeIntent.fromJson(j)))
+      .toMap
+  }
+
+  /**
+   * Decide crashed MERGE intents (see [[MergeCommit]]'s protocol) — caller
+   * holds the produce lock, so this runs before any new ids can be
+   * assigned, exactly like the txn/pid reconciliation above:
+   *
+   *  - produce ranges fully below the watermark ⇒ the merge's produce
+   *    committed ⇒ roll FORWARD: re-run its vector delete (idempotent —
+   *    already-vectored ids drop out) and clean up. Skipped while the
+   *    merge driver's staging heartbeat is fresh: a LIVE merge past its
+   *    produce commit is mid-delete-phase and finishes on its own (a dead
+   *    one's heartbeat goes stale within the horizon, and the next entry
+   *    rolls it forward);
+   *  - ranges absent or not covered ⇒ the produce died before its id
+   *    commit (that window runs entirely under the produce lock WE now
+   *    hold, so the merge is provably dead regardless of marker age — and
+   *    its ids were never issued) ⇒ roll BACK: nothing is visible; drop
+   *    the intent and its staging before this entry can re-issue the ids.
+   */
+  private def reconcileMergeState(name: String): Unit = {
+    val dir = mergesDir(name)
+    if (!fs.exists(dir)) return
+    listMergeIntents(name).foreach { case (mergeId, intent) =>
+      val marker = new Path(intent.stagingDir, "_inprogress")
+      def markerLive: Boolean =
+        try fs.getFileStatus(marker).getModificationTime >=
+          System.currentTimeMillis() - Catalog.CompactLockStaleMs
+        catch { case _: java.io.FileNotFoundException => false }
+      lazy val wm = nextIds(name)
+      val produceCommitted = intent.produceRanges.exists(rs =>
+        rs.forall(r => wm.getOrElse(r.partition, 0L) >= r.first + r.count))
+      if (!(produceCommitted && markerLive)) {
+        if (produceCommitted) {
+          // roll-forward runs under the produce lock the caller holds; the
+          // vector commit's compact lock allows exactly this composition
+          // (flag-scoped — see acquireCompactLock)
+          Catalog.mergeRecoveryInProgress.set(true)
+          try deleteIdsVectored(name, MergeCommit.deleteActions(spark, intent.files)): Unit
+          finally Catalog.mergeRecoveryInProgress.set(false)
+        }
+        fs.delete(new Path(intent.stagingDir), true): Unit
+        removeMergeIntent(name, mergeId)
+      }
+    }
   }
 
   // -- streaming-sink commit markers (replay idempotence) -------------------
@@ -2772,6 +2874,12 @@ object Catalog {
     * same-JVM arbitration — only a DEAD owner's entry is reclaimable, and
     * only the owning thread may release) and the acquisition time (for
     * error messages). */
+  /** Scopes [[Catalog.acquireCompactLock]]'s one sanctioned nesting: merge
+    * recovery committing a vector delete under the produce lock it
+    * reconciles under. Set ONLY around that call. */
+  private[engine] val mergeRecoveryInProgress: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
   private[engine] final case class LockOwner(thread: Thread, since: Long)
 
   /** JVM-wide held-lock registry: lock-file path → owner. `putIfAbsent`
@@ -2867,11 +2975,17 @@ object Catalog {
 
   /** THE canonical event schema (SURVEY §1.3) — the single definition the
     * consumer view, the DSv2 table, and log maintenance all read with, so a
-    * schema evolution can never silently drop a column in one of them. */
+    * schema evolution can never silently drop a column in one of them.
+    *
+    * `partition` is NULLABLE because it is optional on every INGEST path
+    * (a NULL routes through the topic's partition selector — SQL
+    * INSERT/MERGE must be able to assign NULL without tripping Spark's
+    * not-null store assignment); every READ surface still emits it
+    * non-null (the log stores the assigned partition). */
   val EventSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("partition", IntegerType, nullable = false),
+      StructField("partition", IntegerType, nullable = true),
       StructField("event_id", LongType, nullable = false),
       StructField("metadata", StringType),
       StructField("data", BinaryType)))

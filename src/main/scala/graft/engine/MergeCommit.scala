@@ -1,0 +1,152 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/**
+ * The engine side of SQL `MERGE INTO` / row-level `UPDATE` / row-level
+ * `DELETE` (see [[graft.sql.GraftRowLevelOperation]] for the Spark
+ * plumbing): turn the executors' staged per-task action files into the
+ * engine commits, CRASH-ATOMICALLY across the pair.
+ *
+ * == Commit protocol ==
+ *
+ * A merge with only one side (pure inserts, or pure deletes — e.g. a SQL
+ * DELETE whose predicate the metadata path could not translate) is a
+ * single engine commit and inherits that commit's own crash atomicity.
+ *
+ * A merge with BOTH sides commits produce-FIRST, under a persisted intent:
+ *
+ *  1. under the produce lock: write a merge intent (staged-file list),
+ *     then produce the insert actions, recording the produce's id ranges
+ *     into the intent as the pre-commit step ([[Producer.produceHeld]]);
+ *  2. after releasing the produce lock: vector-delete the delete actions
+ *     ([[Catalog.deleteIdsVectored]] — takes the compact lock, which
+ *     refuses while a produce lock is live, hence the ordering);
+ *  3. remove the intent; the caller deletes the staging.
+ *
+ * The produce side is WATERMARK-DECIDABLE (the [[PidState]] pattern: the
+ * ranges were fixed before any write, and the watermark commit is atomic)
+ * and the delete side is IDEMPOTENT ([[Catalog.deleteIdsVectored]]
+ * re-validates ids against the vector-applied log, so already-vectored
+ * ids drop out of a re-run). [[Catalog.reconcileProduceState]] therefore
+ * decides a crashed intent exactly, at the next produce-path entry:
+ * ranges fully below the watermark ⇒ the produce committed ⇒ re-run the
+ * delete (roll FORWARD — an interrupted UPDATE completes, never degrades
+ * to an insert-only); otherwise ⇒ nothing is visible ⇒ discard the intent
+ * (roll BACK — the merge never happened). Either way the pair converges;
+ * a reader in the in-between window sees the inserted rows alongside the
+ * not-yet-tombstoned matched rows (transient duplicates), never a state
+ * where matched rows vanished without their replacements.
+ *
+ * Reference analog: none — the reference's producers are append-only
+ * (`MofkaProducer.hpp` has no update surface); MERGE is part of this
+ * engine's lakehouse extension.
+ */
+object MergeCommit {
+
+  /** Staged action schema (`op` 0 = delete, 1 = insert), written by the
+    * executor-side task writers ([[graft.sql.GraftMergeSupport]]) with the
+    * group API. `partition` is OPTIONAL on inserts: a NULL stages through
+    * and [[Producer.produce]] routes it through the topic's partition
+    * selector (X1/X2 selection on every ingest path — an explicit request
+    * is honored mod N only when actually present,
+    * `/root/reference/src/DefaultPartitionSelector.hpp:17-50`). */
+  val StagingSchema: org.apache.parquet.schema.MessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_merge {
+        |  required int32 op;
+        |  optional int32 partition;
+        |  required int64 event_id;
+        |  optional binary metadata (STRING);
+        |  optional binary data;
+        |}""".stripMargin)
+
+  val ReadSchema: StructType = StructType(Seq(
+    StructField("op", IntegerType, nullable = false),
+    StructField("partition", IntegerType, nullable = true),
+    StructField("event_id", LongType, nullable = false),
+    StructField("metadata", StringType),
+    StructField("data", BinaryType)))
+
+  private def staged(spark: SparkSession, files: Seq[String]): DataFrame =
+    spark.read.schema(ReadSchema).parquet(files: _*)
+
+  /** The delete actions' row ids — also recovery's roll-forward input. */
+  private[engine] def deleteActions(spark: SparkSession, files: Seq[String]): DataFrame =
+    staged(spark, files).filter(col("op") === 0)
+      .select(col("partition"), col("event_id"))
+
+  private def insertActions(spark: SparkSession, files: Seq[String]): DataFrame =
+    staged(spark, files).filter(col("op") === 1)
+      .select(col("partition"), col("metadata"), col("data"))
+
+  /** True if a live merge intent references `stagingDirName` — the
+    * caller's staging must then survive for recovery's roll-forward. */
+  private[graft] def intentReferences(spark: SparkSession, warehouse: String,
+                                      topic: String, stagingDirName: String): Boolean =
+    new Catalog(spark, warehouse).listMergeIntents(topic).values
+      .exists(i => new org.apache.hadoop.fs.Path(i.stagingDir).getName == stagingDirName)
+
+  /** Commit a staged merge (see the protocol in the object Scaladoc).
+    * On return the engine state is final; the STAGING is the caller's to
+    * delete — unless this throws and an intent still references it, in
+    * which case recovery owns the staging. */
+  private[graft] def commit(spark: SparkSession, warehouse: String, topic: String,
+                            files: Seq[String], deletes: Long, inserts: Long,
+                            stagingDir: String): Unit = {
+    if (files.isEmpty || (deletes == 0L && inserts == 0L)) return
+    val catalog = new Catalog(spark, warehouse)
+    if (deletes == 0L) {
+      // single commit — produce's own crash contract covers it
+      new Producer(spark, catalog, catalog.openTopic(topic))
+        .produce(insertActions(spark, files)): Unit
+      return
+    }
+    if (inserts == 0L) {
+      // single commit — the vector delete's own protocol covers it
+      catalog.deleteIdsVectored(topic, deleteActions(spark, files)): Unit
+      return
+    }
+
+    val mergeId = java.util.UUID.randomUUID().toString.take(12)
+    def intent(ranges: Option[Vector[TxnRange]]) =
+      MergeIntent(stagingDir, files.toVector, deletes, inserts, ranges)
+
+    // phase 1: intent + produce, under the produce lock
+    catalog.acquireProduceLock(topic)
+    try {
+      catalog.reconcileProduceState(topic)
+      catalog.writeMergeIntent(topic, mergeId, intent(None))
+      try {
+        new Producer(spark, catalog, catalog.openTopic(topic))
+          .produceHeld(insertActions(spark, files), ranges =>
+            catalog.writeMergeIntent(topic, mergeId,
+              intent(Some(TxnRange.toRanges(ranges))))): Unit
+      } catch {
+        case e: Throwable =>
+          // produce failed. We still hold the lock, so unless its ranges
+          // are provably committed (they never are on the failure paths —
+          // nothing runs between the watermark write and produce's
+          // return), nothing is visible: roll the intent back so this
+          // failed MERGE leaves no trace. The provably-committed case
+          // keeps the intent — recovery rolls the delete forward.
+          val committed = catalog.mergeIntent(topic, mergeId)
+            .flatMap(_.produceRanges).exists { rs =>
+              val wm = catalog.nextIds(topic)
+              rs.forall(r => wm.getOrElse(r.partition, 0L) >= r.first + r.count)
+            }
+          if (!committed) catalog.removeMergeIntent(topic, mergeId)
+          throw e
+      }
+    } finally catalog.releaseProduceLock(topic)
+
+    // phase 2: the vector-delete commit (compact lock; the produce lock
+    // must be released first — acquireCompactLock refuses under a live
+    // produce). A crash/failure from here on is rolled FORWARD by
+    // reconcileProduceState: the delete re-run is idempotent.
+    catalog.deleteIdsVectored(topic, deleteActions(spark, files)): Unit
+    catalog.removeMergeIntent(topic, mergeId)
+  }
+}

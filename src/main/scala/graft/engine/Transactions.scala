@@ -131,6 +131,53 @@ object PidState {
 }
 
 /**
+ * A SQL MERGE's cross-commit crash intent (see [[MergeCommit]]): written
+ * under the produce lock before the merge's produce commit, removed after
+ * its vector-delete commit, and decided by
+ * [[Catalog.reconcileProduceState]] on recovery. `produceRanges` follows
+ * the same watermark-decidable contract as [[PidState.pending]]: ranges
+ * fully below the id watermark prove the produce committed (→ roll the
+ * delete forward); anything else proves it died pre-commit (→ roll back).
+ */
+final case class MergeIntent(
+    stagingDir: String, files: Vector[String],
+    deletes: Long, inserts: Long,
+    produceRanges: Option[Vector[TxnRange]]) {
+  def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
+    "stagingDir" -> JString(stagingDir),
+    "files" -> JArray(files.toList.map(JString(_))),
+    "deletes" -> JLong(deletes),
+    "inserts" -> JLong(inserts),
+    "produceRanges" -> produceRanges.map(TxnRange.toJValue)
+      .getOrElse(JNothing: JValue))))
+}
+
+object MergeIntent {
+  def fromJson(json: String): MergeIntent = JsonMethods.parse(json) match {
+    case o: JObject =>
+      val stagingDir = o \ "stagingDir" match {
+        case JString(s) => s
+        case other => throw new IllegalStateException(
+          s"bad merge stagingDir: ${JsonMethods.compact(other)}")
+      }
+      val files = o \ "files" match {
+        case JArray(xs) => xs.collect { case JString(f) => f }.toVector
+        case other => throw new IllegalStateException(
+          s"bad merge files: ${JsonMethods.compact(other)}")
+      }
+      val ranges = o \ "produceRanges" match {
+        case JNothing | JNull => None
+        case v => Some(TxnRange.fromJValue(v))
+      }
+      MergeIntent(stagingDir, files,
+        TxnRange.long(o \ "deletes", "merge deletes"),
+        TxnRange.long(o \ "inserts", "merge inserts"), ranges)
+    case other => throw new IllegalStateException(
+      s"merge intent must be a JSON object: ${JsonMethods.compact(other)}")
+  }
+}
+
+/**
  * Kafka-transactions analog over the graft log — obtain via
  * [[TopicHandle.beginTransaction]] (new) or [[TopicHandle.transaction]]
  * (resume an open one). Every [[produce]] lands its events in the log

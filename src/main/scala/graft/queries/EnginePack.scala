@@ -411,15 +411,21 @@ object EnginePack extends QueryPack {
       // SQL MERGE INTO through the row-level-operation surface: matched
       // rows are vector-tombstoned and re-produced (update) or tombstoned
       // outright (delete action), unmatched source rows produce fresh
-      // events — one vector-delete commit + one produce commit, zero chunk
-      // files rewritten. Graded per partition on metadata-derived values
-      // (ids are engine-reassigned on re-produce, so id order is not part
-      // of the contract; the updated flag and eid sums are).
+      // events — one produce commit + one vector-delete commit under a
+      // crash-atomic merge intent, zero chunk files rewritten. The INSERT
+      // action deliberately OMITS `partition`: the NULL stages through and
+      // the topic's metadata_field_mod selector assigns eid % 4 at produce
+      // time (X1/X2 selection on every ingest path — the oracle's eid % 4
+      // grouping grades the selector routing, not a literal). Graded per
+      // partition on metadata-derived values (ids are engine-reassigned on
+      // re-produce, so id order is not part of the contract; the updated
+      // flag and eid sums are).
       val d = tempDriver(s)
       val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
-      d.createTopic("merge_demo", partitions = 4)
+      d.createTopic("merge_demo", partitions = 4,
+        selector = PartitionSelector.FieldMod("$.eid"))
       d.openTopic("merge_demo").producer().produce(sourceByEidRange(s, dir, 0, 512))
       val view = s"merge_src_${EnginePack.streamRun.incrementAndGet()}"
       t(s, dir, "events")
@@ -435,7 +441,7 @@ object EnginePack extends QueryPack {
            |WHEN MATCHED AND c.eid % 5 = 0 THEN DELETE
            |WHEN MATCHED THEN UPDATE SET metadata = c.md
            |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
-           |  VALUES (CAST(c.eid % 4 AS INT), -1L, c.md_ins, NULL)
+           |  VALUES (CAST(NULL AS INT), -1L, c.md_ins, NULL)
            |""".stripMargin)
       s.sql(
         s"""SELECT partition, count(*) AS cnt,

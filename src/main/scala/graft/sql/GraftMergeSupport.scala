@@ -9,12 +9,12 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.engine.{Catalog, GraftDriver}
+import graft.engine.{Catalog, MergeCommit}
 import graft.streaming.GraftTopicTable
 
 /**
- * SQL `MERGE INTO` (and row-level `UPDATE`) for graft topics — the
- * merge-on-read composition the append-only log supports natively:
+ * SQL `MERGE INTO` (and row-level `UPDATE`/`DELETE`) for graft topics —
+ * the merge-on-read composition the append-only log supports natively:
  * matched rows are DELETION-VECTORED (tombstoned, zero chunk files
  * touched) and new/updated rows are PRODUCED as a fresh commit with
  * dense, engine-assigned ids. Plugged in through Spark's delta-based
@@ -24,16 +24,21 @@ import graft.streaming.GraftTopicTable
  *
  * Scale shape: executors stream their actions into per-task STAGED
  * parquet files under the topic (never through driver memory); the
- * commit turns them into one vector-delete commit + one produce commit.
- * An UPDATE therefore rewrites O(matched) rows, not the log, and the
- * updated rows move to the partition tail with NEW ids — the documented
- * semantics of an append-only log (ids are assigned by the engine;
- * `event_id` values in INSERT actions are accepted and ignored).
+ * commit turns them into one produce commit + one vector-delete commit,
+ * CRASH-ATOMIC across the pair via a persisted merge intent that
+ * [[graft.engine.Catalog.reconcileProduceState]] rolls forward or back
+ * (see [[graft.engine.MergeCommit]] for the protocol). An UPDATE
+ * therefore rewrites O(matched) rows, not the log, and the updated rows
+ * move to the partition tail with NEW ids — the documented semantics of
+ * an append-only log (ids are assigned by the engine; `event_id` values
+ * in INSERT actions are accepted and ignored). An INSERT with no (or
+ * NULL) `partition` routes through the topic's partition selector at
+ * produce time, exactly like every other ingest path.
  *
- * Honest limit: the pair (vector-delete commit, produce commit) is
- * crash-atomic per commit but not across the two — a crash between them
- * leaves the matched rows deleted and the new rows unwritten, visible as
- * two adjacent versions in DESCRIBE HISTORY rather than silent damage.
+ * A SQL `DELETE` whose predicate the metadata path cannot translate
+ * ([[graft.streaming.GraftTopicTable.canDeleteWhere]] rejects it) also
+ * plans through here — a pure-delete merge, executed as one vector-delete
+ * commit (merge-on-read, independent of `spark.graft.delete.mode`).
  *
  * Reference analog: none — the reference's producers are append-only
  * (`MofkaProducer.hpp` has no update surface); MERGE is part of this
@@ -53,9 +58,14 @@ final class GraftRowLevelOperation(
       consumer = None, targets = None, maxEventsPerTrigger = None)
       .newScanBuilder(options)
 
-  /** Row identity = the engine's primary key: (partition, event_id). */
+  /** Row identity = the engine's primary key: (partition, event_id) —
+    * expressed through the non-null `_row_partition` METADATA column
+    * (Spark's delta protocol refuses nullable row-id attributes; the
+    * `partition` DATA column is nullable because it is optional at
+    * ingest). The Iceberg position-delta shape: metadata-column row ids. */
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column("partition"), Expressions.column("event_id"))
+    Array(Expressions.column(GraftTopicTable.RowPartitionColumn),
+      Expressions.column("event_id"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -70,31 +80,6 @@ private final class GraftDeltaWrite(
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(warehouse, topic, rowSchema)
   override def description(): String = s"graft merge into $topic"
-}
-
-private object GraftMergeStaging {
-  /** Staged action schema: `op` 0 = delete, 1 = insert. Non-hidden
-    * `tmp-merge-` prefix at topic level — outside the log dir, invisible
-    * to every reader, vacuumable if a driver dies before cleanup. */
-  val Schema: org.apache.parquet.schema.MessageType =
-    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
-      """message graft_merge {
-        |  required int32 op;
-        |  required int32 partition;
-        |  required int64 event_id;
-        |  optional binary metadata (STRING);
-        |  optional binary data;
-        |}""".stripMargin)
-
-  val ReadSchema: StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("op", IntegerType, nullable = false),
-      StructField("partition", IntegerType, nullable = false),
-      StructField("event_id", LongType, nullable = false),
-      StructField("metadata", StringType),
-      StructField("data", BinaryType)))
-  }
 }
 
 private final class GraftDeltaBatchWrite(
@@ -117,7 +102,8 @@ private final class GraftDeltaBatchWrite(
   /** Liveness marker + heartbeat: vacuum reaps `tmp-merge-*` staging only
     * once `_inprogress` ages past the staleness horizon — a live slow
     * MERGE (straggler tasks past 30 min) keeps its staged files; a dead
-    * driver's heartbeat stops and the debris ages out. */
+    * driver's heartbeat stops and the debris ages out. The same marker
+    * tells merge recovery a live driver is still mid-commit. */
   @volatile private var stopHeartbeat: () => Unit = () => ()
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
@@ -130,43 +116,41 @@ private final class GraftDeltaBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
-    val catalog = new Catalog(spark, warehouse)
-    val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = messages.collect { case m: GraftMergeTaskResult => m }
     try {
-      val files = messages.collect { case m: GraftMergeTaskResult => m }
-      val deletes = files.map(_.deletes).sum
-      val inserts = files.map(_.inserts).sum
-      val paths = files.flatMap(_.file)
-      if (paths.nonEmpty) {
-        val staged = spark.read.schema(GraftMergeStaging.ReadSchema)
-          .parquet(paths.toSeq: _*)
-        // tombstones FIRST, then the produce — an UPDATE is delete +
-        // re-insert at the partition tail with a fresh dense id
-        if (deletes > 0L)
-          catalog.deleteIdsVectored(topic,
-            staged.filter(col("op") === 0)
-              .select(col("partition"), col("event_id"))): Unit
-        if (inserts > 0L)
-          new GraftDriver(spark, warehouse).openTopic(topic).producer().produce(
-            staged.filter(col("op") === 1)
-              .select(col("partition"), col("metadata"), col("data"))): Unit
-      }
-    } finally {
-      // the heartbeat must outlive commit's OWN reads of the staging (the
-      // tombstone and produce jobs can run long) — stop it only once the
-      // staging is gone and there is nothing left for vacuum to misjudge
+      MergeCommit.commit(spark, warehouse, topic,
+        files.flatMap(_.file).toSeq,
+        files.map(_.deletes).sum, files.map(_.inserts).sum, stagingDir)
+      // engine state is final — the staging is fully consumed
       stopHeartbeat()
-      fs.delete(new Path(stagingDir), true): Unit
+      dropStagingUnlessIntentOwned(spark, force = true)
+    } catch {
+      case e: Throwable =>
+        // the heartbeat must stop either way; with it stale, a failure
+        // that left a decided intent (produce committed, delete pending)
+        // is rolled forward by the next produce-path entry — which reads
+        // the staging, so it must survive here
+        stopHeartbeat()
+        dropStagingUnlessIntentOwned(spark, force = false)
+        throw e
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     stopHeartbeat()
-    val spark = SparkSession.active
-    val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(stagingDir), true): Unit
+    dropStagingUnlessIntentOwned(SparkSession.active, force = false)
+  }
+
+  /** Delete the staging — unless (`force=false`) a live merge intent still
+    * references it, in which case recovery owns the cleanup. */
+  private def dropStagingUnlessIntentOwned(spark: SparkSession, force: Boolean): Unit = {
+    val keep = !force && MergeCommit.intentReferences(
+      spark, warehouse, topic, new Path(stagingDir).getName)
+    if (!keep) {
+      val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(stagingDir), true): Unit
+    }
   }
 }
 
@@ -194,9 +178,13 @@ private final class GraftMergeTaskWriter(
     confEntries: Array[(String, String)], partitionId: Int, taskId: Long)
   extends DeltaWriter[InternalRow] {
 
-  private val partIdx = rowSchema.fieldIndex("partition")
-  private val metaIdx = rowSchema.fieldIndex("metadata")
-  private val dataIdx = rowSchema.fieldIndex("data")
+  // Resolved LAZILY: a delta-based pure DELETE (a SQL DELETE whose
+  // predicate the metadata path rejects) hands insert() nothing and its
+  // info.schema() carries only the row-id projection — eager fieldIndex
+  // lookups here would crash every executor on a missing field.
+  private lazy val partIdx = rowSchema.fieldIndex("partition")
+  private lazy val metaIdx = rowSchema.fieldIndex("metadata")
+  private lazy val dataIdx = rowSchema.fieldIndex("data")
 
   private var writer: org.apache.parquet.hadoop.ParquetWriter[
     org.apache.parquet.example.data.Group] = _
@@ -204,7 +192,7 @@ private final class GraftMergeTaskWriter(
   private var deletes = 0L
   private var inserts = 0L
   private val groups = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
-    GraftMergeStaging.Schema)
+    MergeCommit.StagingSchema)
 
   private def open(): Unit = if (writer == null) {
     val conf = new org.apache.hadoop.conf.Configuration(false)
@@ -213,7 +201,7 @@ private final class GraftMergeTaskWriter(
     path = Some(p.toString)
     writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(p, conf))
-      .withType(GraftMergeStaging.Schema)
+      .withType(MergeCommit.StagingSchema)
       .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
       .build()
   }
@@ -233,7 +221,11 @@ private final class GraftMergeTaskWriter(
     open()
     val g = groups.newGroup()
     g.add("op", 1)
-    g.add("partition", if (row.isNullAt(partIdx)) 0 else row.getInt(partIdx))
+    // a NULL partition STAGES THROUGH (the field is optional): produce()
+    // routes it through the topic's partition selector / round-robin
+    // fallback, the same X1/X2 assignment as every other ingest path —
+    // never a silent default partition
+    if (!row.isNullAt(partIdx)) g.add("partition", row.getInt(partIdx))
     g.add("event_id", -1L) // engine-assigned at produce
     if (!row.isNullAt(metaIdx))
       g.add("metadata", org.apache.parquet.io.api.Binary.fromConstantByteArray(

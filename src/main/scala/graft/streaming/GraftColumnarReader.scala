@@ -38,6 +38,7 @@ private[streaming] object GraftReaderSupport {
   def readSchemaOf(requiredSchema: StructType): StructType = {
     val dataCols = requiredSchema.filter(f =>
       f.name != "partition" && f.name != GraftTopicTable.FileColumn &&
+        f.name != GraftTopicTable.RowPartitionColumn &&
         !GraftCdf.Columns.contains(f.name))
     if (dataCols.exists(_.name == "event_id")) StructType(dataCols)
     else StructType(dataCols :+ StructField("event_id", LongType, nullable = false))
@@ -296,7 +297,8 @@ final class GraftColumnarPartitionReader(
   /** Output-column order: `requiredSchema`, drawn from the decoded batch's
     * `readSchema ++ (partition, _file)` layout. */
   private val outOrdinals: Array[Int] = requiredSchema.map { f =>
-    if (f.name == "partition") readSchema.length
+    if (f.name == "partition" ||
+      f.name == GraftTopicTable.RowPartitionColumn) readSchema.length
     else if (f.name == GraftTopicTable.FileColumn) readSchema.length + 1
     else readSchema.fieldIndex(f.name)
   }.toArray

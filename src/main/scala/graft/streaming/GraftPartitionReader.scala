@@ -111,7 +111,8 @@ final class GraftPartitionReader(
   private val projection = ProjectingInternalRow(
     baseSchema,
     baseSchema.map { f =>
-      if (f.name == "partition") readSchema.length
+      if (f.name == "partition" ||
+        f.name == GraftTopicTable.RowPartitionColumn) readSchema.length
       else if (f.name == GraftTopicTable.FileColumn) readSchema.length + 1
       else readSchema.fieldIndex(f.name)
     }.toIndexedSeq)

@@ -55,7 +55,8 @@ final class GraftScanBuilder(
     // commit pair (appended by Spark to `required` only when referenced)
     import org.apache.spark.sql.types._
     val metaCols =
-      StructField(GraftTopicTable.FileColumn, StringType, nullable = false) +:
+      Seq(StructField(GraftTopicTable.FileColumn, StringType, nullable = false),
+        StructField(GraftTopicTable.RowPartitionColumn, IntegerType, nullable = false)) ++
         (if (cdf) Seq.empty[StructField] else Seq(
           StructField(GraftCdf.CommitVersionColumn, LongType, nullable = true),
           StructField(GraftCdf.CommitTimestampColumn, TimestampType, nullable = true)))
@@ -382,6 +383,7 @@ final class GraftScan(
     })
     val physicalCols = requiredSchema.fieldNames
       .filter(n => n != "partition" && n != GraftTopicTable.FileColumn &&
+        n != GraftTopicTable.RowPartitionColumn &&
         !GraftCdf.Columns.contains(n))
     val bytes =
       if (rows == 0L) 0L

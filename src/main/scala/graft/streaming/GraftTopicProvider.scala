@@ -216,6 +216,16 @@ object GraftTopicTable {
     * read from — the engine's `input_file_name` analog, surfaced per-file
     * as a constant column by the reader (no per-row cost). */
   val FileColumn: String = "_file"
+
+  /** Metadata column: the row's STORED partition, always non-null — the
+    * row-identity twin of the (ingest-optional, hence nullable) `partition`
+    * data column. Spark's delta-based row-level protocol requires non-null
+    * row-id attributes, so MERGE/UPDATE/DELETE identify rows by
+    * `(_row_partition, event_id)` (the Iceberg position-delta shape: row
+    * ids drawn from metadata columns) while INSERT actions stay free to
+    * assign `partition = NULL` and let the topic's selector route the row.
+    * Emitted per-slice as a constant, exactly like `partition`. */
+  val RowPartitionColumn: String = "_row_partition"
 }
 
 final class GraftTopicTable(
@@ -280,8 +290,10 @@ final class GraftTopicTable(
       }
     val fileCol = metaCol(GraftTopicTable.FileColumn, StringType,
       nullable = false, "chunk file this event was read from")
-    if (cdf || lineage) Array(fileCol)
-    else Array(fileCol,
+    val rowPartCol = metaCol(GraftTopicTable.RowPartitionColumn, IntegerType,
+      nullable = false, "stored partition (non-null row-identity column)")
+    if (cdf || lineage) Array(fileCol, rowPartCol)
+    else Array(fileCol, rowPartCol,
       metaCol(GraftCdf.CommitVersionColumn, LongType, nullable = true,
         "retained commit that produced this row"),
       metaCol(GraftCdf.CommitTimestampColumn, TimestampType, nullable = true,

@@ -1,0 +1,145 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/**
+ * SQL MERGE cross-commit crash atomicity ([[MergeCommit]]): the pair
+ * (produce commit, vector-delete commit) is tied together by a persisted
+ * merge intent that [[Catalog.reconcileProduceState]] decides at the next
+ * produce-path entry — ranges below the watermark prove the produce
+ * committed (roll the delete FORWARD: an interrupted UPDATE completes),
+ * anything else proves it died pre-commit (roll BACK: the merge never
+ * happened). These specs construct the exact on-disk crash states the
+ * protocol's two windows leave behind and assert the final table BOTH
+ * ways.
+ */
+class MergeRecoverySpec extends SparkSpec {
+
+  private def mkTopic(): (GraftDriver, TopicHandle) = {
+    import spark.implicits._
+    val d = new GraftDriver(spark, Files.createTempDirectory("graft-mergerec").toString)
+    d.createTopic("t", partitions = 2)
+    val topic = d.openTopic("t")
+    topic.producer().produce(
+      (0 until 10).map(i => (s"""{"k":$i,"v":"old"}""", i % 2)).toDF("metadata", "partition"))
+    (d, topic)
+  }
+
+  /** Stage merge actions the way the executor-side task writers do:
+    * tombstone rows with k < 3, insert their replacements (an UPDATE of
+    * k ∈ {0,1,2} split into its delete+insert halves). Returns the
+    * staging dir and its file list. */
+  private def stageActions(d: GraftDriver): (String, Vector[String]) = {
+    import spark.implicits._
+    val stagingDir = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("t"), "tmp-merge-spec").toString
+    val dels = (0 until 3).map(k => (0, k % 2, (k / 2).toLong,
+      null.asInstanceOf[String], null.asInstanceOf[Array[Byte]]))
+    val ins = (0 until 3).map(k => (1, k % 2, -1L,
+      s"""{"k":$k,"v":"new"}""", null.asInstanceOf[Array[Byte]]))
+    (dels ++ ins).toDF("op", "partition", "event_id", "metadata", "data")
+      .coalesce(1).write.parquet(stagingDir)
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(stagingDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toVector
+    (stagingDir, files)
+  }
+
+  private def tableState(topic: TopicHandle): Seq[(Long, String)] =
+    topic.events()
+      .select(get_json_object(col("metadata"), "$.k").cast("long"),
+        get_json_object(col("metadata"), "$.v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  test("crash AFTER the produce commit rolls the delete FORWARD") {
+    val (d, topic) = mkTopic()
+    val (stagingDir, files) = stageActions(d)
+    // reproduce the crash state: intent written, produce committed with
+    // its ranges recorded, driver dead before the vector-delete commit
+    // (no staging heartbeat — the marker never existed, so it reads dead)
+    val cat = d.catalog
+    cat.acquireProduceLock("t")
+    try {
+      cat.reconcileProduceState("t")
+      cat.writeMergeIntent("t", "m1",
+        MergeIntent(stagingDir, files, deletes = 3L, inserts = 3L, None))
+      new Producer(spark, cat, cat.openTopic("t")).produceHeld(
+        spark.read.schema(MergeCommit.ReadSchema).parquet(files: _*)
+          .filter(col("op") === 1)
+          .select(col("partition"), col("metadata"), col("data")),
+        ranges => cat.writeMergeIntent("t", "m1",
+          MergeIntent(stagingDir, files, 3L, 3L,
+            Some(TxnRange.toRanges(ranges))))): Unit
+    } finally cat.releaseProduceLock("t")
+    // torn state visible: replacements produced, originals NOT tombstoned
+    assert(tableState(topic).count(_._2 == "new") == 3)
+    assert(tableState(topic).size == 13, "pre-recovery: transient duplicates")
+
+    // the next produce-path entry decides the intent → roll forward
+    import spark.implicits._
+    topic.producer().produce(Seq(("""{"k":99,"v":"old"}""", 1)).toDF("metadata", "partition"))
+
+    val after = tableState(topic)
+    assert(after.size == 11, s"10 - 3 updated + 3 new + 1 late = 11, got $after")
+    assert(after.filter(_._1 < 3).map(_._2).forall(_ == "new"),
+      "the interrupted UPDATE must COMPLETE, never degrade to insert-only")
+    assert(cat.listMergeIntents("t").isEmpty, "intent consumed")
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingDir)), "staging cleaned")
+    // re-running recovery is a no-op (the delete was idempotent anyway)
+    cat.acquireProduceLock("t")
+    try cat.reconcileProduceState("t") finally cat.releaseProduceLock("t")
+    assert(tableState(topic) == after)
+  }
+
+  test("crash BEFORE the produce commit rolls the merge BACK") {
+    val (d, topic) = mkTopic()
+    val (stagingDir, files) = stageActions(d)
+    val cat = d.catalog
+    val before = tableState(topic)
+    // crash state: intent written with ranges the watermark never covered
+    // (the produce died between fixing its ids and committing them)
+    val wm = cat.nextIds("t")
+    cat.writeMergeIntent("t", "m2",
+      MergeIntent(stagingDir, files, 3L, 3L,
+        Some(Vector(TxnRange(0, wm.getOrElse(0, 0L), 2L),
+          TxnRange(1, wm.getOrElse(1, 0L), 1L)))))
+
+    // vacuum must NOT reap intent-referenced staging, stale or not —
+    // age the dir past the horizon so the liveness rule alone WOULD reap it
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(stagingDir),
+      System.currentTimeMillis() - 2 * Catalog.CompactLockStaleMs, -1)
+    cat.vacuumTopic("t"): Unit
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stagingDir)),
+      "recovery owns intent-referenced staging; vacuum must leave it")
+
+    // next entry (maintain is the cron-surface trigger) → roll back
+    cat.maintainTopic("t"): Unit
+    assert(tableState(topic) == before, "a pre-commit crash leaves NO trace")
+    assert(cat.deleteVectorFiles("t").isEmpty, "no tombstones from a rolled-back merge")
+    assert(cat.listMergeIntents("t").isEmpty, "intent discarded")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingDir)), "staging cleaned")
+  }
+
+  test("intent with no recorded ranges (died before produce fixed ids) rolls back") {
+    val (d, topic) = mkTopic()
+    val (stagingDir, files) = stageActions(d)
+    val cat = d.catalog
+    val before = tableState(topic)
+    cat.writeMergeIntent("t", "m3", MergeIntent(stagingDir, files, 3L, 3L, None))
+    import spark.implicits._
+    topic.producer().produce(Seq(("""{"k":98,"v":"old"}""", 0)).toDF("metadata", "partition"))
+    assert(tableState(topic).size == before.size + 1)
+    assert(cat.deleteVectorFiles("t").isEmpty)
+    assert(cat.listMergeIntents("t").isEmpty)
+  }
+}

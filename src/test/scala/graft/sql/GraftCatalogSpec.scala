@@ -295,14 +295,17 @@ class GraftCatalogSpec extends SparkSpec {
     // DELETE with no WHERE purges everything (the log stays, emptied)
     spark.sql(s"DELETE FROM $cat.gdpr")
     assert(spark.table(s"$cat.gdpr").count() == 0)
-    // untranslatable predicate: loud, nothing deleted
+    // untranslatable predicate: falls through to the row-level plan —
+    // the predicate evaluates on the SCAN output (the consumer view) and
+    // the matched rows are vector-tombstoned (merge-on-read), exact
     spark.sql(s"""INSERT INTO $cat.gdpr VALUES (0, 0, '{"i":9}', CAST(NULL AS BINARY))""")
-    val e = intercept[Exception](spark.sql(
-      s"DELETE FROM $cat.gdpr WHERE length(metadata) > 2"))
-    assert(spark.table(s"$cat.gdpr").count() == 1, e.getMessage)
+    spark.sql(s"DELETE FROM $cat.gdpr WHERE length(metadata) > 2")
+    assert(spark.table(s"$cat.gdpr").count() == 0)
+    assert(d.catalog.deleteVectorFiles("gdpr").nonEmpty,
+      "the row-level DELETE path must tombstone, not rewrite")
   }
 
-  test("DELETE metadata predicates are refused on stored-form topics") {
+  test("DELETE metadata predicates on stored-form topics take the row-level path") {
     val (cat, d) = newCatalog()
     spark.sql(
       s"""CREATE TABLE $cat.enc TBLPROPERTIES (
@@ -310,15 +313,18 @@ class GraftCatalogSpec extends SparkSpec {
     val p = d.openTopic("enc").producer()
     (0 until 6).foreach(i => p.push(s"""{"i":$i}"""))
     p.flush()
-    // the purge condition runs over the STORED form — matching a
-    // consumer-view literal against encoded bytes would delete the wrong
-    // rows, so the metadata attribute refuses to translate
-    intercept[Exception](spark.sql(
-      s"""DELETE FROM $cat.enc WHERE metadata = '{"i":2}'"""))
-    assert(spark.table(s"$cat.enc").count() == 6)
-    // id-space predicates are serializer-agnostic and still work
+    // the metadata-path purge condition runs over the STORED form, so the
+    // metadata attribute refuses to translate there; the DELETE then plans
+    // through the row-level operation, whose target scan emits the DECODED
+    // consumer view — the predicate matches the right row and the delete
+    // lands as a vector tombstone (a pure-delete merge)
+    spark.sql(s"""DELETE FROM $cat.enc WHERE metadata = '{"i":2}'""")
+    assert(spark.table(s"$cat.enc").count() == 5)
+    assert(d.catalog.deleteVectorFiles("enc").nonEmpty,
+      "stored-form metadata DELETE must go merge-on-read, never a stored-byte match")
+    // id-space predicates are serializer-agnostic and keep the metadata path
     spark.sql(s"DELETE FROM $cat.enc WHERE event_id >= 4")
-    assert(spark.table(s"$cat.enc").count() == 4)
+    assert(spark.table(s"$cat.enc").count() == 3)
   }
 
   test("MERGE INTO: matched rows vector-tombstoned, new rows produced") {
@@ -421,6 +427,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ks == (0L until 8L), s"got $ks")
     assert(d.catalog.deleteVectorFiles("sync").nonEmpty,
       "by-source deletes are vector tombstones")
+  }
+
+  test("MERGE INSERT with NULL partition routes through the topic's selector") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.PartitionSelector
+    val (cat, d) = newCatalog()
+    // metadata-driven selector: partition = hash($.k) mod n — the topic's
+    // PLACEMENT CONTRACT, which every ingest path must honor
+    d.createTopic("seltgt", partitions = 4,
+      selector = PartitionSelector.MetadataHash("$.k"))
+    d.openTopic("seltgt").producer().produce {
+      import spark.implicits._
+      (0 until 8).map(i => s"""{"k":"key$i"}""").toDF("metadata")
+    }
+    val src = { import spark.implicits._
+      (8 until 24).map(i => (s"key$i", s"""{"k":"key$i"}""")).toDF("k", "md") }
+    src.createOrReplaceTempView("sel_src")
+    // INSERT action carries NO partition: the NULL must stage through and
+    // produce() must apply the SAME selector as any direct produce — never
+    // a silent default partition (the r10 partition-0 skew bug)
+    spark.sql(
+      s"""MERGE INTO $cat.seltgt t USING sel_src c
+         |ON get_json_object(t.metadata, '$$.k') = c.k
+         |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
+         |  VALUES (CAST(NULL AS INT), -1L, c.md, NULL)""".stripMargin)
+    val sel = PartitionSelector.MetadataHash("$.k")
+    val got = spark.table(s"$cat.seltgt")
+      .select(col("partition"), col("metadata"))
+      .collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(got.length == 24)
+    got.foreach { case (p, md) =>
+      assert(p == sel.partitionFor(md, 4),
+        s"row $md landed on $p, selector says ${sel.partitionFor(md, 4)}")
+    }
+    assert(got.map(_._1).distinct.length > 1,
+      "hash placement must actually spread rows (not all on one partition)")
   }
 
   test("row-level UPDATE composes from the same delta write") {
