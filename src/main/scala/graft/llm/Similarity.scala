@@ -264,17 +264,37 @@ object Similarity {
       .exists(_.isFile)
     catch { case _: java.io.FileNotFoundException => false }
 
-  /** Complete version dirs under `path`, newest first — the READ-ONLY
-    * crash-recovery view: if the pointer writer died inside its
-    * delete→rename window, the highest complete version IS the live index
-    * (an incomplete dir can only be a crashed stage, never a version the
-    * pointer ever named). */
+  /** Marker a maintenance install writes INTO each superseded version dir
+    * (the deletion-vector fold's `_folded` pattern): marked versions drop
+    * out of resolution but stay physically readable, so a reader whose
+    * plan resolved the old version just before the pointer flip executes
+    * against intact files; [[cleanupStale]] reaps them only past the
+    * staleness horizon. The marker's mtime IS the reap clock. */
+  private val SupersededMarker = "_superseded"
+
+  private def isSuperseded(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                           ver: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$path/$ver/$SupersededMarker"))
+
+  private def markSuperseded(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                             ver: String): Unit =
+    if (!isSuperseded(fs, path, ver))
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/$ver/$SupersededMarker"),
+        true).close()
+
+  /** Complete, NOT-superseded version dirs under `path`, newest first —
+    * the READ-ONLY crash-recovery view: if the pointer writer died inside
+    * its delete→rename window, the highest complete unmarked version IS
+    * the live index (an incomplete dir can only be a crashed stage, and a
+    * marked dir only a superseded grace copy — never a version the
+    * pointer should name again). */
   private def completeVersions(fs: org.apache.hadoop.fs.FileSystem,
                                path: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-      .collect { case v @ VersionRe(n) if versionComplete(fs, path, v) => (n.toLong, v) }
+      .collect { case v @ VersionRe(n)
+        if versionComplete(fs, path, v) && !isSuperseded(fs, path, v) => (n.toLong, v) }
       .sortBy(-_._1).map(_._2).toSeq
   }
 
@@ -317,8 +337,9 @@ object Similarity {
 
   /** Point `_current` at `ver` — the install point of every maintenance
     * write. One delete+rename on a tiny file; [[currentRoot]]'s retry rides
-    * the sub-ms window. The superseded version dir is left in place as the
-    * racing readers' grace copy; the NEXT maintenance op removes it. */
+    * the sub-ms window. The superseded version dir is left in place,
+    * MARKED, as the racing readers' grace copy; [[cleanupStale]] reaps it
+    * past the staleness horizon. */
   private def flipCurrent(spark: org.apache.spark.sql.SparkSession, path: String,
                           ver: String): Unit = {
     val (fs, _) = fsOf(spark, path)
@@ -332,35 +353,49 @@ object Similarity {
       throw new java.io.IOException(s"index install: cannot rename $tmp -> $cur")
   }
 
-  /** Drop superseded version dirs (and, once versioned, leftover legacy
-    * dirs) — run at the START of each maintenance op so the previous
-    * version survives one full maintenance cycle as the grace copy for
-    * readers that resolved it just before the flip. Also clears crashed
-    * staging attempts (a stage dir is just a version dir `_current` never
-    * pointed at). */
+  /** MARK superseded version dirs and reap them past the staleness
+    * horizon (the deletion-vector fold's mark-then-reap shape) — run at
+    * the START of each maintenance op. Deleting a superseded version at
+    * the next op's start (the old rule) silently raced long-running
+    * reader plans that resolved the version just before the flip; a
+    * marked version instead vanishes from resolution immediately but
+    * stays physically readable for the horizon. Crashed INCOMPLETE stages
+    * (no committed shard — readers can never have resolved them) and
+    * leftover legacy dirs still drop immediately. */
   private def cleanupStale(spark: org.apache.spark.sql.SparkSession,
                            path: String): Unit = {
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return
     // Heal a crashed pointer flip FIRST (maintenance ops are
     // caller-serialized, so writing here cannot race another writer): the
-    // highest COMPLETE version becomes the pointer target. Without this, a
-    // missing pointer would make every complete version look "stale" and
-    // the sweep below would destroy the index.
+    // highest COMPLETE unmarked version becomes the pointer target.
+    // Without this, a missing pointer would make every complete version
+    // look "stale" and the sweep below would destroy the index.
     val cur = readPointer(fs, path).orElse {
       completeVersions(fs, path).headOption.map { v =>
         flipCurrent(spark, path, v)
         v
       }
     }
-    fs.listStatus(root).filter(_.isDirectory).map(_.getPath).foreach { d =>
-      val n = d.getName
-      // with cur == None (fresh/legacy target) any v-* dir is an
-      // INCOMPLETE crashed stage (a complete one would have become cur)
-      val staleVersion = VersionRe.pattern.matcher(n).matches() && !cur.contains(n)
+    val horizon = System.currentTimeMillis() - graft.engine.Catalog.CompactLockStaleMs
+    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      val n = st.getPath.getName
       val staleLegacy = cur.isDefined &&
         (n == "centroids" || n == "cells" || n == "_committed")
-      if (staleVersion || staleLegacy) fs.delete(d, true): Unit
+      if (staleLegacy) fs.delete(st.getPath, true): Unit
+      else if (VersionRe.pattern.matcher(n).matches() && !cur.contains(n)) {
+        if (!versionComplete(fs, path, n)) {
+          // crashed stage: never resolvable, no grace window owed
+          fs.delete(st.getPath, true): Unit
+        } else if (!isSuperseded(fs, path, n)) {
+          // covers the crash window between the pointer flip and the
+          // install's own marking
+          markSuperseded(fs, path, n)
+        } else if (fs.getFileStatus(new org.apache.hadoop.fs.Path(
+            s"$path/$n/$SupersededMarker")).getModificationTime < horizon) {
+          fs.delete(st.getPath, true): Unit
+        }
+      }
     }
   }
 
@@ -411,7 +446,11 @@ object Similarity {
     * candidates is the one failure mode an ANN index must not have. */
   def readIndexCells(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame =
-    readCellsIn(spark, currentRoot(spark, path), None)
+    // the retry rides a concurrent install's pointer flip (re-resolving
+    // the live version); the superseded version's marked grace window
+    // covers the returned plan's execution
+    graft.engine.Catalog.retryOnRollRace(
+      readCellsIn(spark, currentRoot(spark, path), None))
 
   private def readCellsIn(spark: org.apache.spark.sql.SparkSession, root: String,
                           probe: Option[Seq[Long]]): DataFrame = {
@@ -482,7 +521,11 @@ object Similarity {
       finally out.close()
     }
     writeShard(spark, stage, assigned, BaseShard)
+    val prior = completeVersions(fs, path).filterNot(_ == ver)
     flipCurrent(spark, path, ver)
+    // mark the superseded version(s) right away — cleanupStale re-marks
+    // after a crash in this window, so the reap clock always starts
+    prior.foreach(markSuperseded(fs, path, _))
   }
 
   /** Every shard id the given root has absorbed: live shards (minus the

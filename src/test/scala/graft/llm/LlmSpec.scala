@@ -994,9 +994,11 @@ class LlmSpec extends SparkSpec {
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val counts = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
     @volatile var stop = false
+    // NO external retry wrapper: readIndexCells retries the pointer-flip
+    // resolution internally, and the superseded version's marked grace
+    // window keeps a resolved plan's files intact through the folds
     val reader = new Thread(() => while (!stop) {
-      try counts.add(graft.engine.Catalog.retryOnRollRace(
-        Similarity.readIndexCells(session, idx).count()))
+      try counts.add(Similarity.readIndexCells(session, idx).count())
       catch { case t: Throwable => errors.add(t): Unit }
     })
     reader.start()
@@ -1156,6 +1158,34 @@ class LlmSpec extends SparkSpec {
     evilMp4(0) = 0x80.toByte // ftyp box size -> 2^31
     intercept[IllegalArgumentException](Multimodal.probeContainer(
       MediaRecord(6L, "video/mp4", evilMp4)))
+  }
+
+  test("superseded index versions are MARKED, ride out in-flight plans, reap past the horizon") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-mark").toString
+    Similarity.saveIndex(randVecs(71, 25), randVecs(72, 3, offset = 9000L), idx)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    // resolve a plan against the LIVE version, then fold: the old rule
+    // (reap at next maintenance op) would delete its files mid-plan
+    val inflight = Similarity.readIndexCells(session, idx)
+    Similarity.foldShards(session, idx) // installs v-2, supersedes v-1
+    assert(exists(s"$idx/v-1/_superseded"), "superseded version must be marked")
+    assert(inflight.count() == 25L,
+      "an in-flight plan over the superseded version must still read its files")
+    // a FURTHER maintenance op must NOT reap a fresh-marked version
+    Similarity.foldShards(session, idx) // installs v-3, supersedes v-2
+    assert(exists(s"$idx/v-1") && exists(s"$idx/v-2"),
+      "fresh-marked versions survive subsequent ops (grace window)")
+    // marked versions are invisible to resolution (pointer heal ignores them)
+    assert(Similarity.currentRoot(session, idx).endsWith("v-3"))
+    // past the staleness horizon the reap happens
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$idx/v-1/_superseded"),
+      System.currentTimeMillis() - 2 * graft.engine.Catalog.CompactLockStaleMs, -1)
+    Similarity.foldShards(session, idx)
+    assert(!exists(s"$idx/v-1"), "aged-out superseded version must be reaped")
+    assert(exists(s"$idx/v-2"), "fresh-marked sibling stays")
+    assert(Similarity.readIndexCells(session, idx).count() == 25L)
   }
 
   test("a crashed pointer flip never loses the index; maintenance heals it") {
