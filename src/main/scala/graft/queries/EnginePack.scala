@@ -1608,6 +1608,78 @@ object EnginePack extends QueryPack {
           col("n"))
         .orderBy(col("w_us"), col("event_type"))
     },
+    "q_stream_upsert" -> { (s, dir) =>
+      // streaming UPSERT: topic → foreachBatch → SQL MERGE into a keyed
+      // target (last-writer-wins per key) — the Delta "streaming upsert"
+      // composition over the crash-atomic MERGE surface. Wave 2
+      // re-produces an overlapping key range, so matched keys update IN
+      // PLACE (vector tombstone + re-produce) while fresh keys INSERT with
+      // a NULL partition routed by the target's metadata_field_mod
+      // selector. Each batch first reduces to its last writer per key
+      // (max version — the canonical foreachBatch-MERGE dedup, also what
+      // makes MERGE's cardinality check pass), so the final table is
+      // identical under ANY admission cadence; per-partition id order
+      // additionally guarantees wave 1 never trails wave 2 across batches.
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      d.createTopic("ups_src", partitions = 2)
+      d.createTopic("ups_tgt", partitions = 4,
+        selector = PartitionSelector.FieldMod("$.k"))
+      def wave(lo: Long, hi: Long, v: Int) =
+        t(s, dir, "events")
+          .filter(col("event_id") >= lo && col("event_id") < hi)
+          .orderBy(col("event_id"))
+          .select(to_json(struct(col("event_id").as("k"), lit(v).as("v")))
+            .as("metadata"),
+            pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      val srcTopic = d.openTopic("ups_src")
+      srcTopic.producer().produce(wave(0, 64, 1))
+      srcTopic.producer().produce(wave(32, 96, 2))
+      val view = s"ups_batch_${EnginePack.streamRun.incrementAndGet()}"
+      EnginePack.withStreamWidth(s, 4) {
+        val q = s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "ups_src")
+          .option("maxEventsPerTrigger", "48")
+          .load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch
+              .select(get_json_object(col("metadata"), "$.k").cast("long").as("k"),
+                get_json_object(col("metadata"), "$.v").cast("long").as("v"),
+                col("metadata"))
+              .groupBy(col("k"))
+              .agg(max_by(col("metadata"), col("v")).as("md"))
+              .createOrReplaceTempView(view)
+            // foreachBatch hands a per-batch SESSION CLONE: the temp view
+            // lives in the clone's catalog, so the MERGE must run there
+            batch.sparkSession.sql(
+              s"""MERGE INTO $cat.ups_tgt t USING $view c
+                 |ON get_json_object(t.metadata, '$$.k') = CAST(c.k AS STRING)
+                 |WHEN MATCHED THEN UPDATE SET metadata = c.md
+                 |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
+                 |  VALUES (CAST(NULL AS INT), -1L, c.md, NULL)""".stripMargin)
+            ()
+          }
+          .option("checkpointLocation", {
+            val ckpt = Files.createTempDirectory("graft-ups-ckpt")
+            EnginePack.cleanupOnExit(ckpt)
+            ckpt.toString
+          })
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      d.openTopic("ups_tgt").events()
+        .select(col("partition"),
+          get_json_object(col("metadata"), "$.k").cast("long").as("k"),
+          get_json_object(col("metadata"), "$.v").cast("long").as("v"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+          sum(col("v")).as("v_sum"))
+        .orderBy(col("partition"))
+    },
     "q_stream_pipe" -> { (s, dir) =>
       // topic → stream transform → topic, through BOTH native surfaces at
       // once: the DSv2 micro-batch source feeds a filter/re-route into the
@@ -2508,6 +2580,14 @@ object EnginePack extends QueryPack {
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // the piped destination holds exactly the eid%3==0 slice, re-routed to
     // partition eid%2 — the replayed final batch must not double-count
+    // last-writer-wins per key: 0..31 keep wave 1 (v=1), 32..95 end at
+    // wave 2 (v=2); inserts selector-placed at k % 4
+    "q_stream_upsert" ->
+      """SELECT CAST(eid % 4 AS INT) AS partition, count(*) AS cnt,
+        |  CAST(sum(eid) AS BIGINT) AS k_sum,
+        |  CAST(sum(CASE WHEN eid >= 32 THEN 2 ELSE 1 END) AS BIGINT) AS v_sum
+        |FROM (SELECT DISTINCT event_id AS eid FROM events WHERE event_id < 96) s
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
     "q_stream_pipe" ->
       """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid
