@@ -1454,6 +1454,39 @@ object EnginePack extends QueryPack {
           min(col("k")).as("min_eid"), max(col("k")).as("max_eid"))
         .orderBy(col("change_type"), col("partition"))
     },
+    "q_sql_changes" -> { (s, dir) =>
+      // the change feed from PURE SQL: `SELECT … FROM cat.`t$changes``
+      // (Spark 4 CALL procedures are driver-local, so the distributed
+      // feed surfaces as a metadata-table read, Iceberg-style). The
+      // `_commit_version` WHERE bounds PUSH DOWN into the scan's version
+      // window — the plan is identical to readChangeFeed with
+      // startingVersion/endingVersion, files pruned by the version-diff
+      // id window. Same fixture and oracle as q_table_changes.
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      d.createTopic("cdf_sql", partitions = 4)
+      val topic = d.openTopic("cdf_sql")
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 256))
+      val v1 = topic.history().orderBy("version").collect()
+        .map(_.getAs[Long]("version")).last
+      topic.producer().produce(sourceByEidRange(s, dir, 256, 640))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.deleteWhereVectored(pmod(eid, lit(7)) === 0): Unit
+      val vEnd = topic.history().orderBy("version").collect()
+        .map(_.getAs[Long]("version")).last
+      s.sql(
+        s"""SELECT change_type, partition, count(*) AS cnt,
+           |  sum(k) AS sum_eid, min(k) AS min_eid, max(k) AS max_eid
+           |FROM (
+           |  SELECT _change_type AS change_type, partition,
+           |    CAST(get_json_object(metadata, '$$.eid') AS BIGINT) AS k
+           |  FROM $cat.`cdf_sql$$changes`
+           |  WHERE _commit_version > $v1 AND _commit_version <= $vEnd)
+           |GROUP BY change_type, partition
+           |ORDER BY change_type, partition""".stripMargin)
+    },
     "q_clone" -> { (s, dir) =>
       // SHALLOW CLONE: a new topic referencing the source's committed
       // files — O(metadata), zero data copied (the clone's log dir holds
@@ -2665,6 +2698,21 @@ object EnginePack extends QueryPack {
     // inserts = the raw second-produce window (vector-deleted rows
     // INCLUDED — they were inserted in the span); deletes = every
     // vectored row's preimage across both produces
+    // identical change set through the SQL `t$changes` metadata table
+    "q_sql_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(event_id % 4 AS INT) AS partition,
+        |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM events WHERE event_id >= 256 AND event_id < 640
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, CAST(event_id % 4 AS INT) AS partition,
+        |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM events WHERE event_id < 640 AND event_id % 7 = 0
+        |  GROUP BY 2
+        |) ORDER BY change_type, partition""".stripMargin,
     "q_table_changes" ->
       """SELECT * FROM (
         |  SELECT 'insert' AS change_type, CAST(event_id % 4 AS INT) AS partition,

@@ -91,6 +91,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Array(base, kind) if GraftMetaTable.Kinds.contains(kind) =>
         if (!engine.topicExists(base)) throw new NoSuchTableException(ident)
         return new GraftMetaTable(engine, base, kind)
+      case Array(base, "changes") =>
+        // `t$changes` = the change data feed as a TABLE (the SQL analog of
+        // Delta's table_changes TVF — Spark 4's CALL procedures can only
+        // return driver-local rows, so the DISTRIBUTED feed surfaces as a
+        // metadata-table read instead). Full retained span by default;
+        // `WHERE _commit_version > a AND _commit_version <= b` predicates
+        // PUSH DOWN into the scan's version window
+        // ([[graft.streaming.GraftScanBuilder.pushFilters]]), so a bounded
+        // span plans only the files its version diff touches — identical
+        // to readChangeFeed with startingVersion/endingVersion.
+        if (!engine.topicExists(base)) throw new NoSuchTableException(ident)
+        return new GraftTopicTable(warehouse, base,
+          consumer = None, targets = None, maxEventsPerTrigger = None,
+          cdf = true)
       case _ =>
     }
     if (!engine.topicExists(ident.name())) throw new NoSuchTableException(ident)

@@ -48,6 +48,14 @@ final class GraftScanBuilder(
   private var partitionSubset: Option[Set[Int]] = None
   private var idLo: Option[Long] = None // inclusive
   private var idHi: Option[Long] = None // exclusive
+  // narrowed by pushed `_commit_version` filters on a change-feed scan
+  // (the `t$changes` SQL surface): verLo EXCLUSIVE (the startingVersion
+  // semantic), verHi INCLUSIVE (endingVersion). Spark re-applies the
+  // predicates on surfaced rows, so the translation only needs to keep a
+  // SUPERSET of the matching span — and a bounded span plans only the
+  // files its version diff touches, identical to readChangeFeed options.
+  private var verLo: Option[Long] = startingVerNum
+  private var verHi: Option[Long] = endingVerNum
 
   override def pruneColumns(required: StructType): Unit = {
     // the event schema (on a change-feed read: plus the CDF columns) plus
@@ -78,6 +86,17 @@ final class GraftScanBuilder(
       case LessThanOrEqual("event_id", v: Long) => idHi = Some(min(idHi, satInc(v))); true
       case EqualTo("event_id", v: Long) =>
         idLo = Some(max(idLo, v)); idHi = Some(min(idHi, satInc(v))); true
+      case GreaterThan(a, v: Long) if cdf && a == GraftCdf.CommitVersionColumn =>
+        verLo = Some(max(verLo, v)); true
+      case GreaterThanOrEqual(a, v: Long) if cdf && a == GraftCdf.CommitVersionColumn =>
+        verLo = Some(max(verLo, if (v == Long.MinValue) v else v - 1)); true
+      case LessThanOrEqual(a, v: Long) if cdf && a == GraftCdf.CommitVersionColumn =>
+        verHi = Some(min(verHi, v)); true
+      case LessThan(a, v: Long) if cdf && a == GraftCdf.CommitVersionColumn =>
+        verHi = Some(min(verHi, if (v == Long.MinValue) v else v - 1)); true
+      case EqualTo(a, v: Long) if cdf && a == GraftCdf.CommitVersionColumn =>
+        verLo = Some(max(verLo, if (v == Long.MinValue) v else v - 1))
+        verHi = Some(min(verHi, v)); true
       case _ => false
     }
     pushed = accepted
@@ -217,10 +236,23 @@ final class GraftScanBuilder(
         new GraftAggScan(catalog, topic, schema, grouped, specs,
           effective, asOfIds, startingIds)
       case None =>
+        // a pushed _commit_version bound also clamps the INSERT side's id
+        // window to the bound's watermark — the same files-pruned plan as
+        // the equivalent startingVersion/endingVersion options. Lenient:
+        // an unresolvable pushed version (folded out of retention, beyond
+        // history) skips the clamp — Spark re-applies the predicate on
+        // surfaced rows, so only pruning is lost, never correctness.
+        def wmOf(v: Long): Option[Map[Int, Long]] =
+          try Some(catalog.watermarkAsOf(topic, v))
+          catch { case scala.util.control.NonFatal(_) => None }
+        val effStartingIds =
+          if (cdf && startingIds.isEmpty) verLo.flatMap(wmOf) else startingIds
+        val effAsOfIds =
+          if (cdf && asOfIds.isEmpty) verHi.flatMap(wmOf) else asOfIds
         new GraftScan(catalog, topic, consumer, effective, requiredSchema,
           idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
-          asOfIds, startingIds, perPartitionCap = limit, deleteMode = deleteMode,
-          cdf = cdf, startingVerNum = startingVerNum, endingVerNum = endingVerNum)
+          effAsOfIds, effStartingIds, perPartitionCap = limit, deleteMode = deleteMode,
+          cdf = cdf, startingVerNum = verLo, endingVerNum = verHi)
     }
   }
 }

@@ -481,6 +481,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ks == (Seq(-1L) ++ (0L until 10L).filterNot(_ == 3L)), s"got $ks")
   }
 
+  test("t$changes: the SQL change feed, with _commit_version pushdown") {
+    import org.apache.spark.sql.functions._
+    val (cat, d) = newCatalog()
+    d.createTopic("cdf", partitions = 2)
+    val topic = d.openTopic("cdf")
+    def produce(lo: Int, hi: Int): Unit = topic.producer().produce {
+      import spark.implicits._
+      (lo until hi).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition")
+    }
+    produce(0, 20)
+    val v1 = topic.history().orderBy("version").collect().map(_.getLong(0)).last
+    produce(20, 50)
+    topic.deleteWhereVectored(
+      get_json_object(col("metadata"), "$.k").cast("long") < 5): Unit
+    val vEnd = topic.history().orderBy("version").collect().map(_.getLong(0)).last
+
+    // SQL form ≡ the handle API over the same span
+    val sql = spark.sql(
+      s"""SELECT _change_type, partition, event_id, metadata
+         |FROM $cat.`cdf$$changes`
+         |WHERE _commit_version > $v1 AND _commit_version <= $vEnd""".stripMargin)
+    val api = topic.changes(v1, vEnd)
+      .select(col("_change_type"), col("partition"), col("event_id"), col("metadata"))
+    assert(sql.collect().map(_.toString).sorted.toSeq ==
+      api.collect().map(_.toString).sorted.toSeq)
+
+    // the version bounds reach the SCAN (not just a post-filter): the
+    // bounded span's planned row estimate must be strictly below the
+    // full feed's — proof the insert window was clamped to the span's
+    // watermark diff instead of scanning everything and re-filtering
+    def plannedRows(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(
+        df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.rowCount
+          .getOrElse(BigInt(Long.MaxValue))).sum)
+    val full = spark.sql(s"SELECT * FROM $cat.`cdf$$changes`")
+    assert(plannedRows(sql) < plannedRows(full),
+      s"bounded span must plan fewer rows: ${plannedRows(sql)} vs ${plannedRows(full)}")
+    // full feed (no bounds) replays everything retained
+    assert(full.filter(col("_change_type") === "insert").count() == 50L)
+  }
+
   test("CTAS: CREATE TABLE AS SELECT produces into a fresh topic") {
     import spark.implicits._
     val (cat, d) = newCatalog()
