@@ -2807,7 +2807,16 @@ object Catalog {
     * length. A reader that finds a crashed writer's temp proves the temp
     * complete by validating the stamp — a truncated write can never
     * produce a prefix whose trailing stamp matches its own length,
-    * because any prefix containing the full trailer IS the full file. */
+    * because any prefix containing the full trailer IS the full file.
+    *
+    * ON-DISK FORMAT NOTE (one-way change, introduced round 10): trailer
+    * binaries strip the stamp on read and pre-trailer files (no stamp)
+    * still parse, but the reverse does not hold — a PRE-trailer binary
+    * fails to parse a trailer file's trailing bytes as JSON, and a
+    * trailer binary refuses a pre-trailer binary's crashed temp (age is
+    * never proof). Upgrade ordering for a SHARED warehouse: upgrade every
+    * reader before any writer; never run mixed versions against one
+    * warehouse past the first post-upgrade metadata write. */
   private[engine] val TrailerMark = "\n#graft-eof:"
 
   private[engine] def withTrailer(content: String): String =
