@@ -1723,12 +1723,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                     chunkMaxRecords: Long = 1000000L): (Boolean, VacuumReport, Int) = {
     require(maxFilesPerPartition > 0,
       s"maxFilesPerPartition must be positive: $maxFilesPerPartition")
-    // decide crashed produce/merge intents first — the cron surface is the
+    // decide crashed MERGE intents first — the cron surface is the
     // recovery trigger for topics whose last-ever write was a torn MERGE
-    // (write-path entries reconcile themselves; reads never do)
-    acquireProduceLock(name)
-    try reconcileProduceState(name)
-    finally releaseProduceLock(name)
+    // (write-path entries reconcile themselves; reads never do).
+    // Best-effort: a busy topic (live produce) skips recovery but KEEPS
+    // maintaining — vacuum/fold/index refresh coexist with produces and
+    // must not fail on a lock the prologue alone wanted
+    recoverPendingMerges(name)
     // tiered topics skip the compact step (rewrites refuse on them); the
     // hot tail usually stays small precisely because the bulk is archived.
     // Accumulated deletion vectors also trigger a fold: every reader pays
@@ -2609,16 +2610,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val dir = mergesDir(name)
     if (!fs.exists(dir)) return
     listMergeIntents(name).foreach { case (mergeId, intent) =>
-      val marker = new Path(intent.stagingDir, "_inprogress")
-      def markerLive: Boolean =
-        try fs.getFileStatus(marker).getModificationTime >=
-          System.currentTimeMillis() - Catalog.CompactLockStaleMs
-        catch { case _: java.io.FileNotFoundException => false }
       lazy val wm = nextIds(name)
-      val produceCommitted = intent.produceRanges.exists(rs =>
-        rs.forall(r => wm.getOrElse(r.partition, 0L) >= r.first + r.count))
-      if (!(produceCommitted && markerLive)) {
-        if (produceCommitted) {
+      val committed = intent.produceCommitted(wm)
+      if (!(committed && mergeMarkerFresh(intent))) {
+        if (committed) {
           // roll-forward runs under the produce lock the caller holds; the
           // vector commit's compact lock allows exactly this composition
           // (flag-scoped — see acquireCompactLock)
@@ -2626,11 +2621,39 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           try deleteIdsVectored(name, MergeCommit.deleteActions(spark, intent.files)): Unit
           finally Catalog.mergeRecoveryInProgress.set(false)
         }
-        fs.delete(new Path(intent.stagingDir), true): Unit
+        // intent FIRST, staging second: a crash between the two leaves an
+        // orphan markerless staging dir (vacuum reaps it past the horizon)
+        // — the reverse order left an intent whose roll-forward input was
+        // gone, wedging every later produce-path entry on this topic
         removeMergeIntent(name, mergeId)
+        fs.delete(new Path(intent.stagingDir), true): Unit
       }
     }
   }
+
+  /** Best-effort merge recovery for paths that don't already hold the
+    * produce lock (cron maintenance, a MERGE's own plan-time target scan):
+    * decide pending intents NOW when the topic is free, skip quietly when
+    * it is busy — every produce-path ENTRY reconciles unconditionally, so
+    * the guarantee never rides on this helper. The empty-intents pre-check
+    * keeps the common case at one directory probe, no lock taken. */
+  private[graft] def recoverPendingMerges(name: String): Unit =
+    if (listMergeIntents(name).nonEmpty) {
+      try {
+        acquireProduceLock(name)
+        try reconcileProduceState(name) finally releaseProduceLock(name)
+      } catch { case _: IllegalStateException => () } // busy: writers recover
+    }
+
+  /** Is the merge's staging `_inprogress` heartbeat marker fresh (a LIVE
+    * driver mid-commit)? Missing marker = dead — the marker is created
+    * before any staged write and deleted the moment the driver abandons
+    * the merge ([[graft.sql]]'s failure path), precisely so recovery need
+    * not wait out the staleness horizon. */
+  private def mergeMarkerFresh(intent: MergeIntent): Boolean =
+    try fs.getFileStatus(new Path(intent.stagingDir, "_inprogress"))
+      .getModificationTime >= System.currentTimeMillis() - Catalog.CompactLockStaleMs
+    catch { case _: java.io.FileNotFoundException => false }
 
   // -- streaming-sink commit markers (replay idempotence) -------------------
 
@@ -2878,6 +2901,15 @@ object Catalog {
     * wait, which SERIALIZES well-behaved concurrent producers the way the
     * reference's write queue does. Var so applications set it once. */
   @volatile var ProduceLockWaitMs: Long = 0L
+
+  /** How long a MERGE's phase-2 vector-delete commit retries through
+    * ROUTINE lock conflicts (a concurrent producer's commit, a live
+    * compaction) before surfacing the error. The produce half is already
+    * committed by then, so giving up leaves the documented
+    * transient-duplicate state until recovery rolls forward — patience
+    * here is what keeps a mere lock conflict from looking like a torn
+    * statement. Var so tests can compress it. */
+  @volatile var MergeCommitWaitMs: Long = 60000L
 
   /** A held lock's owner: the acquiring thread (for liveness-based
     * same-JVM arbitration — only a DEAD owner's entry is reclaimable, and

@@ -133,10 +133,7 @@ object MergeCommit {
           // failed MERGE leaves no trace. The provably-committed case
           // keeps the intent — recovery rolls the delete forward.
           val committed = catalog.mergeIntent(topic, mergeId)
-            .flatMap(_.produceRanges).exists { rs =>
-              val wm = catalog.nextIds(topic)
-              rs.forall(r => wm.getOrElse(r.partition, 0L) >= r.first + r.count)
-            }
+            .exists(_.produceCommitted(catalog.nextIds(topic)))
           if (!committed) catalog.removeMergeIntent(topic, mergeId)
           throw e
       }
@@ -144,9 +141,29 @@ object MergeCommit {
 
     // phase 2: the vector-delete commit (compact lock; the produce lock
     // must be released first — acquireCompactLock refuses under a live
-    // produce). A crash/failure from here on is rolled FORWARD by
+    // produce). With the produce already committed, a ROUTINE lock
+    // conflict here (another producer's commit, a live compaction) must
+    // not surface a half-applied statement, so conflicts retry with
+    // backoff up to [[Catalog.MergeCommitWaitMs]] — the old delete-first
+    // ordering hit the same conflicts BEFORE anything was visible and
+    // could fail clean; this ordering owes the statement more patience.
+    // A crash or final failure is rolled FORWARD by
     // reconcileProduceState: the delete re-run is idempotent.
-    catalog.deleteIdsVectored(topic, deleteActions(spark, files)): Unit
+    val deadline = System.currentTimeMillis() + Catalog.MergeCommitWaitMs
+    var done = false
+    while (!done) {
+      try {
+        catalog.deleteIdsVectored(topic, deleteActions(spark, files)): Unit
+        done = true
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              (e.getMessage.contains("already in progress") ||
+                e.getMessage.contains("is in flight")) &&
+              System.currentTimeMillis() < deadline =>
+          Thread.sleep(250L)
+      }
+    }
     catalog.removeMergeIntent(topic, mergeId)
   }
 }

@@ -143,6 +143,15 @@ final case class MergeIntent(
     stagingDir: String, files: Vector[String],
     deletes: Long, inserts: Long,
     produceRanges: Option[Vector[TxnRange]]) {
+
+  /** THE decision predicate of the crash protocol — ranges fixed before
+    * any write + atomic watermark commit make this exact. One definition,
+    * shared by commit-time rollback and recovery-time roll-forward: the
+    * two sides must never disagree on whether the same intent committed. */
+  def produceCommitted(wm: Map[Int, Long]): Boolean =
+    produceRanges.exists(rs =>
+      rs.forall(r => wm.getOrElse(r.partition, 0L) >= r.first + r.count))
+
   def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
     "stagingDir" -> JString(stagingDir),
     "files" -> JArray(files.toList.map(JString(_))),

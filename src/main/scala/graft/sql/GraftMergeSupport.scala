@@ -52,11 +52,17 @@ final class GraftRowLevelOperation(
   override def command(): RowLevelOperation.Command = cmd
 
   /** The target-side read is a normal topic scan (vectors applied, so
-    * already-deleted rows can never re-match). */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    * already-deleted rows can never re-match). Pending merge intents are
+    * decided FIRST (best-effort): a MERGE retried inside a torn
+    * predecessor's transient-duplicate window would otherwise match BOTH
+    * the original and the replacement row per key and insert duplicates
+    * the pending roll-forward never removes. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    new Catalog(SparkSession.active, warehouse).recoverPendingMerges(topic)
     new GraftTopicTable(warehouse, topic,
       consumer = None, targets = None, maxEventsPerTrigger = None)
       .newScanBuilder(options)
+  }
 
   /** Row identity = the engine's primary key: (partition, event_id) —
     * expressed through the non-null `_row_partition` METADATA column
@@ -143,14 +149,17 @@ private final class GraftDeltaBatchWrite(
   }
 
   /** Delete the staging — unless (`force=false`) a live merge intent still
-    * references it, in which case recovery owns the cleanup. */
+    * references it, in which case recovery owns the cleanup. When keeping,
+    * the `_inprogress` marker is deleted: this driver has definitively
+    * abandoned the merge, and a missing marker makes the intent decidable
+    * at the very next produce-path entry instead of after the staleness
+    * horizon (30 min of the transient-duplicate window for no reason). */
   private def dropStagingUnlessIntentOwned(spark: SparkSession, force: Boolean): Unit = {
+    val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keep = !force && MergeCommit.intentReferences(
       spark, warehouse, topic, new Path(stagingDir).getName)
-    if (!keep) {
-      val fs = new Path(stagingDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new Path(stagingDir), true): Unit
-    }
+    if (keep) fs.delete(new Path(stagingDir, "_inprogress"), false): Unit
+    else fs.delete(new Path(stagingDir), true): Unit
   }
 }
 

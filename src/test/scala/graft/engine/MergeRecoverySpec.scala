@@ -130,6 +130,49 @@ class MergeRecoverySpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingDir)), "staging cleaned")
   }
 
+  test("a MERGE retried inside a torn predecessor's window heals first — no duplicates") {
+    val (d, topic) = mkTopic()
+    val (stagingDir, files) = stageActions(d)
+    val cat = d.catalog
+    // torn state: produce committed (replacements visible beside the
+    // originals), delete pending, driver dead (no marker)
+    cat.acquireProduceLock("t")
+    try {
+      cat.reconcileProduceState("t")
+      cat.writeMergeIntent("t", "m4",
+        MergeIntent(stagingDir, files, 3L, 3L, None))
+      new Producer(spark, cat, cat.openTopic("t")).produceHeld(
+        spark.read.schema(MergeCommit.ReadSchema).parquet(files: _*)
+          .filter(col("op") === 1)
+          .select(col("partition"), col("metadata"), col("data")),
+        ranges => cat.writeMergeIntent("t", "m4",
+          MergeIntent(stagingDir, files, 3L, 3L,
+            Some(TxnRange.toRanges(ranges))))): Unit
+    } finally cat.releaseProduceLock("t")
+    assert(tableState(topic).size == 13, "torn: originals + replacements")
+
+    // the user RETRIES the merge through SQL: its plan-time target scan
+    // must decide the pending intent first, or it matches BOTH copies of
+    // each k < 3 and inserts duplicates the roll-forward never removes
+    val sqlCat = "mergerec_retry"
+    spark.conf.set(s"spark.sql.catalog.$sqlCat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$sqlCat.warehouse", d.warehouse)
+    import spark.implicits._
+    (0 until 3).map(k => (k.toLong, s"""{"k":$k,"v":"new"}"""))
+      .toDF("k", "md").createOrReplaceTempView("retry_src")
+    spark.sql(
+      s"""MERGE INTO $sqlCat.t tgt USING retry_src c
+         |ON get_json_object(tgt.metadata, '$$.k') = CAST(c.k AS STRING)
+         |WHEN MATCHED THEN UPDATE SET metadata = c.md
+         |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
+         |  VALUES (CAST(NULL AS INT), -1L, c.md, NULL)""".stripMargin)
+    val after = tableState(topic)
+    assert(after.size == 10, s"exactly one row per key after the retry: $after")
+    assert(after.groupBy(_._1).forall(_._2.size == 1), s"duplicate keys: $after")
+    assert(after.filter(_._1 < 3).forall(_._2 == "new"))
+    assert(cat.listMergeIntents("t").isEmpty)
+  }
+
   test("intent with no recorded ranges (died before produce fixed ids) rolls back") {
     val (d, topic) = mkTopic()
     val (stagingDir, files) = stageActions(d)
