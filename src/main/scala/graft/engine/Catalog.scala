@@ -963,6 +963,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** Producer-side guard: refuse to append while a live compaction holds the
     * topic (a produce racing the swap window would land files in the
     * moved-aside log — silent data loss). */
+  /** Is another process's produce lock live on this topic? (A probe, not
+    * a guard — see [[MergeCommit]]'s phase-2 retry loop.) */
+  private[engine] def produceInFlight(name: String): Boolean =
+    lockIsLive(produceLockPath(name)).isDefined
+
   private[engine] def failIfCompacting(name: String): Unit =
     lockIsLive(compactLockPath(name)).foreach { age =>
       throw new IllegalStateException(
@@ -1696,11 +1701,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("tmp-merge-") &&
         !intentStaging.contains(s.getPath.getName))
       .foreach { s =>
-        val live =
-          try fs.getFileStatus(new Path(s.getPath, "_inprogress"))
-            .getModificationTime >= horizon
-          catch { case _: java.io.FileNotFoundException =>
-            s.getModificationTime >= horizon }
+        val live = stagingMarkerFresh(s.getPath, horizon,
+          fallback = s.getModificationTime >= horizon)
         if (!live) { tmps += 1; drop(s.getPath, recursive = true) }
       }
     VacuumReport(chunks, swaps, tmps, bytes)
@@ -1726,9 +1728,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // decide crashed MERGE intents first — the cron surface is the
     // recovery trigger for topics whose last-ever write was a torn MERGE
     // (write-path entries reconcile themselves; reads never do).
-    // Best-effort: a busy topic (live produce) skips recovery but KEEPS
-    // maintaining — vacuum/fold/index refresh coexist with produces and
-    // must not fail on a lock the prologue alone wanted
+    // Best-effort: a busy topic (live produce) skips the prologue quietly
+    // instead of ADDING a new failure mode; the maintenance steps below
+    // keep their own pre-existing lock semantics (compact/vacuum still
+    // refuse under a live produce, exactly as before this prologue)
     recoverPendingMerges(name)
     // tiered topics skip the compact step (rewrites refuse on them); the
     // hot tail usually stays small precisely because the bulk is archived.
@@ -2639,21 +2642,35 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * keeps the common case at one directory probe, no lock taken. */
   private[graft] def recoverPendingMerges(name: String): Unit =
     if (listMergeIntents(name).nonEmpty) {
-      try {
-        acquireProduceLock(name)
+      // ONLY the lock acquisition is allowed to no-op (busy topic: the
+      // lock holder reconciles at its own entry). A failure INSIDE the
+      // reconcile — e.g. the roll-forward's vector commit refused by a
+      // live compaction — must stay loud: swallowing it would let a
+      // retried MERGE plan over the torn duplicate view.
+      val acquired =
+        try { acquireProduceLock(name); true }
+        catch { case _: IllegalStateException => false }
+      if (acquired)
         try reconcileProduceState(name) finally releaseProduceLock(name)
-      } catch { case _: IllegalStateException => () } // busy: writers recover
     }
 
-  /** Is the merge's staging `_inprogress` heartbeat marker fresh (a LIVE
-    * driver mid-commit)? Missing marker = dead — the marker is created
-    * before any staged write and deleted the moment the driver abandons
-    * the merge ([[graft.sql]]'s failure path), precisely so recovery need
-    * not wait out the staleness horizon. */
+  /** THE merge-staging liveness rule (one definition — vacuum's reap and
+    * recovery's skip must never disagree): the `_inprogress` heartbeat
+    * marker's mtime against the staleness horizon. A missing marker reads
+    * as `fallback`: vacuum falls back to the dir's own mtime (a young
+    * markerless dir may predate marker creation), recovery reads it as
+    * DEAD — the marker is created before any staged write and deleted the
+    * moment a driver abandons its merge, precisely so recovery need not
+    * wait out the horizon. */
+  private def stagingMarkerFresh(dir: Path, horizonMs: Long,
+                                 fallback: => Boolean): Boolean =
+    try fs.getFileStatus(new Path(dir, "_inprogress"))
+      .getModificationTime >= horizonMs
+    catch { case _: java.io.FileNotFoundException => fallback }
+
   private def mergeMarkerFresh(intent: MergeIntent): Boolean =
-    try fs.getFileStatus(new Path(intent.stagingDir, "_inprogress"))
-      .getModificationTime >= System.currentTimeMillis() - Catalog.CompactLockStaleMs
-    catch { case _: java.io.FileNotFoundException => false }
+    stagingMarkerFresh(new Path(intent.stagingDir),
+      System.currentTimeMillis() - Catalog.CompactLockStaleMs, fallback = false)
 
   // -- streaming-sink commit markers (replay idempotence) -------------------
 
@@ -2960,11 +2977,25 @@ object Catalog {
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): () => Unit = {
     val period = math.max(CompactLockStaleMs / 3, 1000L)
+    // the cancel thunk QUIESCES: it takes the same monitor the beat holds
+    // while re-creating the marker, so once it returns no in-flight beat
+    // can land a fresh marker AFTER the caller deletes it (cancel(false)
+    // alone only prevents FUTURE runs — a beat already inside fs.create,
+    // slow on an object store, would otherwise resurrect the marker and
+    // make an abandoned merge look live for the whole staleness horizon)
+    val gate = new Object
+    @volatile var stopped = false
     val fut = heartbeatExec.scheduleWithFixedDelay(
-      () => try fs.create(p, true).close()
-        catch { case scala.util.control.NonFatal(_) => () },
+      () => gate.synchronized {
+        if (!stopped)
+          try fs.create(p, true).close()
+          catch { case scala.util.control.NonFatal(_) => () }
+      },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    () => { fut.cancel(false): Unit }
+    () => {
+      gate.synchronized { stopped = true }
+      fut.cancel(false): Unit
+    }
   }
 
   private[engine] def startLockHeartbeat(

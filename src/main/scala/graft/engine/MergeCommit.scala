@@ -150,18 +150,29 @@ object MergeCommit {
     // A crash or final failure is rolled FORWARD by
     // reconcileProduceState: the delete re-run is idempotent.
     val deadline = System.currentTimeMillis() + Catalog.MergeCommitWaitMs
+    val dels = deleteActions(spark, files) // lazy relation — built once
     var done = false
     while (!done) {
-      try {
-        catalog.deleteIdsVectored(topic, deleteActions(spark, files)): Unit
-        done = true
-      } catch {
-        case e: IllegalStateException
-            if e.getMessage != null &&
-              (e.getMessage.contains("already in progress") ||
-                e.getMessage.contains("is in flight")) &&
-              System.currentTimeMillis() < deadline =>
-          Thread.sleep(250L)
+      // probe the produce lock BEFORE touching the compact lock: each
+      // deleteIdsVectored attempt transiently HOLDS the compact lock
+      // while checking for produces, and a concurrent producer's
+      // failIfCompacting racing one of ~240 such windows would abort an
+      // innocent produce as "compaction in progress"
+      if (catalog.produceInFlight(topic) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
+      } else {
+        try {
+          catalog.deleteIdsVectored(topic, dels): Unit
+          done = true
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                (e.getMessage.contains("already in progress") ||
+                  e.getMessage.contains("is in flight")) &&
+                System.currentTimeMillis() < deadline =>
+            Thread.sleep(250L)
+        }
       }
     }
     catalog.removeMergeIntent(topic, mergeId)

@@ -53,12 +53,24 @@ final class GraftRowLevelOperation(
 
   /** The target-side read is a normal topic scan (vectors applied, so
     * already-deleted rows can never re-match). Pending merge intents are
-    * decided FIRST (best-effort): a MERGE retried inside a torn
-    * predecessor's transient-duplicate window would otherwise match BOTH
-    * the original and the replacement row per key and insert duplicates
-    * the pending roll-forward never removes. */
+    * decided FIRST: a MERGE retried inside a torn predecessor's
+    * transient-duplicate window would otherwise match BOTH the original
+    * and the replacement row per key and insert duplicates the pending
+    * roll-forward never removes. An intent that SURVIVES recovery — a
+    * live concurrent merge mid-commit, or a hard-crashed driver whose
+    * heartbeat marker has not yet gone stale — refuses this plan loudly:
+    * planning over an undecided commit pair is the one thing a row-level
+    * operation must never do. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    new Catalog(SparkSession.active, warehouse).recoverPendingMerges(topic)
+    val catalog = new Catalog(SparkSession.active, warehouse)
+    catalog.recoverPendingMerges(topic)
+    val pending = catalog.listMergeIntents(topic)
+    if (pending.nonEmpty) throw new IllegalStateException(
+      s"topic '$topic': a MERGE/UPDATE/DELETE commit pair is still " +
+      s"undecided (intents: ${pending.keys.mkString(", ")}) — another " +
+      "merge is in flight, or one crashed within the staleness horizon. " +
+      "Retry after it completes; a crashed one is recovered at the next " +
+      "write-path entry once its heartbeat goes stale.")
     new GraftTopicTable(warehouse, topic,
       consumer = None, targets = None, maxEventsPerTrigger = None)
       .newScanBuilder(options)

@@ -173,6 +173,58 @@ class MergeRecoverySpec extends SparkSpec {
     assert(cat.listMergeIntents("t").isEmpty)
   }
 
+  test("a retry against a HARD-crashed merge (fresh marker) refuses loudly, then heals") {
+    val (d, topic) = mkTopic()
+    val (stagingDir, files) = stageActions(d)
+    val cat = d.catalog
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // kill -9 shape: produce committed, intent kept, and the _inprogress
+    // marker EXISTS with a fresh mtime (the heartbeat died with the JVM,
+    // but the horizon hasn't passed — recovery cannot yet tell this from
+    // a live merge mid-delete-phase)
+    fs.create(new org.apache.hadoop.fs.Path(stagingDir, "_inprogress"), true).close()
+    cat.acquireProduceLock("t")
+    try {
+      cat.reconcileProduceState("t")
+      cat.writeMergeIntent("t", "m5",
+        MergeIntent(stagingDir, files, 3L, 3L, None))
+      new Producer(spark, cat, cat.openTopic("t")).produceHeld(
+        spark.read.schema(MergeCommit.ReadSchema).parquet(files: _*)
+          .filter(col("op") === 1)
+          .select(col("partition"), col("metadata"), col("data")),
+        ranges => cat.writeMergeIntent("t", "m5",
+          MergeIntent(stagingDir, files, 3L, 3L,
+            Some(TxnRange.toRanges(ranges))))): Unit
+    } finally cat.releaseProduceLock("t")
+
+    val sqlCat = "mergerec_hard"
+    spark.conf.set(s"spark.sql.catalog.$sqlCat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$sqlCat.warehouse", d.warehouse)
+    import spark.implicits._
+    (0 until 3).map(k => (k.toLong, s"""{"k":$k,"v":"new"}"""))
+      .toDF("k", "md").createOrReplaceTempView("hard_src")
+    def retry(): Unit = spark.sql(
+      s"""MERGE INTO $sqlCat.t tgt USING hard_src c
+         |ON get_json_object(tgt.metadata, '$$.k') = CAST(c.k AS STRING)
+         |WHEN MATCHED THEN UPDATE SET metadata = c.md
+         |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
+         |  VALUES (CAST(NULL AS INT), -1L, c.md, NULL)""".stripMargin): Unit
+    // undecidable window: the retry must REFUSE, never plan over the
+    // duplicate view (matching both copies would insert permanent dups)
+    val e = intercept[Exception](retry())
+    assert(e.getMessage.contains("undecided"), e.getMessage)
+    // the marker ages out (or a graceful failure path deletes it) → the
+    // same retry heals first and applies exactly once
+    fs.setTimes(new org.apache.hadoop.fs.Path(stagingDir, "_inprogress"),
+      System.currentTimeMillis() - 2 * Catalog.CompactLockStaleMs, -1)
+    retry()
+    val after = tableState(topic)
+    assert(after.size == 10 && after.groupBy(_._1).forall(_._2.size == 1),
+      s"exactly one row per key: $after")
+    assert(after.filter(_._1 < 3).forall(_._2 == "new"))
+  }
+
   test("intent with no recorded ranges (died before produce fixed ids) rolls back") {
     val (d, topic) = mkTopic()
     val (stagingDir, files) = stageActions(d)
