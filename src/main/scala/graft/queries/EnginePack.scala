@@ -1247,8 +1247,11 @@ object EnginePack extends QueryPack {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
       s.sql(s"CREATE TABLE $cat.tt_demo TBLPROPERTIES (partitions '4')")
       val topic = d.openTopic("tt_demo")
-      topic.producer().produce(sourceByEidRange(s, dir, 0, 2048))
-      topic.producer().produce(sourceByEidRange(s, dir, 2048, 4096))
+      // cuts sized to the SMALLEST fixture (sf0.001 = 1000 events): a cut
+      // past the table's id range would make the second produce EMPTY (no
+      // commit, no version) and break the oracle's version count
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 512))
+      topic.producer().produce(sourceByEidRange(s, dir, 512, 1024))
       val hist = topic.history().orderBy("version").collect()
       val v1 = hist.head.getAs[Long]("version")
       s.sql(
@@ -2632,7 +2635,7 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid,
         | CAST(2 AS BIGINT) AS n_versions
-        |FROM events WHERE event_id < 2048
+        |FROM events WHERE event_id < 512
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // the pinned diff sees exactly the middle produce (eid in [1024, 3072))
     "q_snapshot_diff" ->
