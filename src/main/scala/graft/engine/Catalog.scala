@@ -963,17 +963,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** Producer-side guard: refuse to append while a live compaction holds the
     * topic (a produce racing the swap window would land files in the
     * moved-aside log — silent data loss). */
-  /** Is another process's produce lock live on this topic? (A probe, not
-    * a guard — see [[MergeCommit]]'s phase-2 retry loop.) */
-  private[engine] def produceInFlight(name: String): Boolean =
-    lockIsLive(produceLockPath(name)).isDefined
-
   private[engine] def failIfCompacting(name: String): Unit =
     lockIsLive(compactLockPath(name)).foreach { age =>
       throw new IllegalStateException(
         s"topic '$name': cannot produce while compaction is in progress " +
         s"(lock ${compactLockPath(name)}, age ${age / 1000}s)")
     }
+
+  /** Is another process's produce lock live on this topic? (A probe, not
+    * a guard — see [[MergeCommit]]'s phase-2 retry loop.) */
+  private[engine] def produceInFlight(name: String): Boolean =
+    lockIsLive(produceLockPath(name)).isDefined
 
   // -- log maintenance ------------------------------------------------------
 
@@ -1727,12 +1727,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"maxFilesPerPartition must be positive: $maxFilesPerPartition")
     // decide crashed MERGE intents first — the cron surface is the
     // recovery trigger for topics whose last-ever write was a torn MERGE
-    // (write-path entries reconcile themselves; reads never do).
-    // Best-effort: a busy topic (live produce) skips the prologue quietly
-    // instead of ADDING a new failure mode; the maintenance steps below
-    // keep their own pre-existing lock semantics (compact/vacuum still
-    // refuse under a live produce, exactly as before this prologue)
-    recoverPendingMerges(name)
+    // (write-path entries reconcile themselves; reads never do). WHOLLY
+    // best-effort here: a busy topic (live produce blocking the lock, or
+    // a live compaction refusing the roll-forward's vector commit) skips
+    // the prologue and KEEPS maintaining — cron must not lose vacuum and
+    // index refresh to a recovery that the next write-path entry (which
+    // reconciles loudly, unconditionally) will perform anyway. The
+    // maintenance steps below keep their own pre-existing lock semantics.
+    try recoverPendingMerges(name)
+    catch { case _: IllegalStateException => () }
     // tiered topics skip the compact step (rewrites refuse on them); the
     // hot tail usually stays small precisely because the bulk is archived.
     // Accumulated deletion vectors also trigger a fold: every reader pays

@@ -2630,7 +2630,8 @@ object EnginePack extends QueryPack {
         |FROM events WHERE event_id < 4096 AND event_id % 3 = 0
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // SQL VERSION AS OF the first commit sees exactly the first produce
-    // (eid < 2048); two commits retained → n_versions = 2
+    // (eid < 512 — cuts sized to the smallest fixture, see the query);
+    // two commits retained → n_versions = 2
     "q_time_travel" ->
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid, max(event_id) AS max_eid,
