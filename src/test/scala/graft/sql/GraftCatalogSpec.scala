@@ -465,6 +465,66 @@ class GraftCatalogSpec extends SparkSpec {
       "hash placement must actually spread rows (not all on one partition)")
   }
 
+  test("INSERT INTO with NULL partition routes through the selector (V1 path)") {
+    import graft.engine.PartitionSelector
+    val (cat, d) = newCatalog()
+    d.createTopic("insnull", partitions = 4,
+      selector = PartitionSelector.FieldMod("$.k"))
+    (0 until 8).foreach(k => spark.sql(
+      s"""INSERT INTO $cat.insnull
+         |VALUES (CAST(NULL AS INT), -1L, '{"k":$k}', CAST(NULL AS BINARY))""".stripMargin))
+    val got = spark.table(s"$cat.insnull")
+      .selectExpr("partition", "CAST(get_json_object(metadata,'$.k') AS INT) AS k")
+      .collect().map(r => (r.getInt(1), r.getInt(0))).toMap
+    assert(got == (0 until 8).map(k => k -> k % 4).toMap,
+      s"selector must place k % 4: $got")
+  }
+
+  test("UPDATE SET partition = NULL re-routes the row through the selector") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.PartitionSelector
+    val (cat, d) = newCatalog()
+    d.createTopic("reroute", partitions = 4,
+      selector = PartitionSelector.FieldMod("$.k"))
+    // explicit requests are honored over the selector, so these rows land
+    // DELIBERATELY mis-placed (all on partition 0) — the repair primitive
+    // is an UPDATE that nulls the partition and lets the selector re-route
+    d.openTopic("reroute").producer().produce {
+      import spark.implicits._
+      (0 until 8).map(k => (s"""{"k":$k}""", 0)).toDF("metadata", "partition")
+    }
+    assert(spark.table(s"$cat.reroute").select("partition")
+      .collect().forall(_.getInt(0) == 0))
+    spark.sql(s"UPDATE $cat.reroute SET partition = CAST(NULL AS INT)")
+    val got = spark.table(s"$cat.reroute")
+      .select(col("partition"),
+        get_json_object(col("metadata"), "$.k").cast("int").as("k"))
+      .collect().map(r => (r.getInt(1), r.getInt(0))).toMap
+    assert(got == (0 until 8).map(k => k -> k % 4).toMap,
+      s"rows must MOVE to the selector's placement: $got")
+  }
+
+  test("readStream.table over t$changes streams the change feed") {
+    val (cat, d) = newCatalog()
+    d.createTopic("chg", partitions = 2)
+    val topic = d.openTopic("chg")
+    topic.producer().produce {
+      import spark.implicits._
+      (0 until 10).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition")
+    }
+    topic.deleteWhereVectored(
+      org.apache.spark.sql.functions.get_json_object(
+        org.apache.spark.sql.functions.col("metadata"), "$.k").cast("long") < 3): Unit
+    val name = s"chgmem_${n.incrementAndGet()}"
+    val q = spark.readStream.table(s"$cat.`chg$$changes`")
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val byType = spark.table(name).groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 10L, "delete" -> 3L), s"got $byType")
+  }
+
   test("row-level UPDATE composes from the same delta write") {
     import org.apache.spark.sql.functions._
     val (cat, d) = newCatalog()
