@@ -1151,11 +1151,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * as a predicate). Ids are re-validated against the current
     * vector-applied log under the lock: already-vectored or nonexistent
     * ids drop out, preserving the disjoint-roots invariant that keeps
-    * [[deletedCountsByPartition]] exact. */
-  def deleteIdsVectored(name: String, ids: org.apache.spark.sql.DataFrame): Long = {
+    * [[deletedCountsByPartition]] exact.
+    *
+    * @param plannedVersion when set, the snapshot version the caller's
+    *        plan read (OPTIMISTIC CONFLICT CHECK, the Delta
+    *        WriteSerializable shape): the commit aborts loudly, INSIDE
+    *        the lock and before anything is visible, if rows were removed
+    *        since — another vector delete landed, or the version folded
+    *        out through a log rewrite. Concurrent plain produces never
+    *        conflict (appends cannot invalidate a row-level plan). */
+  def deleteIdsVectored(name: String, ids: org.apache.spark.sql.DataFrame,
+                        plannedVersion: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.col
     acquireCompactLock(name)
     try {
+      plannedVersion.foreach(failOnRowRemovalSince(name, _))
       val matched = fullLogDF(name) match {
         case None => return 0L
         case Some(df) => applyDeleteVectors(name, df)
@@ -1165,6 +1175,27 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       }
       commitVectorsLocked(name, matched)
     } finally releaseCompactLock(name)
+  }
+
+  /** The optimistic-concurrency conflict rule for row-level operations
+    * (see [[deleteIdsVectored]]): rows were REMOVED after `plannedVersion`
+    * iff a later retained commit is a vector delete, or the planned
+    * version itself is no longer retained (log rewrites — compact, purge,
+    * expire, restore — rebuild the manifest, so a plan older than the
+    * rebuild cannot be proven safe). Plain produces commit unnoted delta
+    * entries and never match. `plannedVersion = -1` = planned against an
+    * empty topic (any later removal conflicts). */
+  private[engine] def failOnRowRemovalSince(name: String, plannedVersion: Long): Unit = {
+    val h = versionHistory(name)
+    val folded = plannedVersion >= 0 && !h.exists(_.version == plannedVersion)
+    val removals = h.filter(v => v.version > plannedVersion &&
+      v.note.contains(Catalog.DeleteVectorNote)).map(_.version)
+    if (folded || removals.nonEmpty) throw new IllegalStateException(
+      s"topic '$name': concurrent modification — this row-level operation " +
+      s"planned against version $plannedVersion, but " +
+      (if (folded) "that version was folded out by a log rewrite since"
+       else s"row-removing commit(s) ${removals.mkString(", ")} landed since") +
+      ". Re-run the statement against the current state.")
   }
 
   /** The vector-commit body (stage → count → gap marker → noted manifest

@@ -92,21 +92,39 @@ object MergeCommit {
   /** Commit a staged merge (see the protocol in the object Scaladoc).
     * On return the engine state is final; the STAGING is the caller's to
     * delete — unless this throws and an intent still references it, in
-    * which case recovery owns the staging. */
+    * which case recovery owns the staging.
+    *
+    * `plannedVersion` drives the OPTIMISTIC CONFLICT CHECK (the Delta
+    * WriteSerializable shape): the commit aborts — before anything is
+    * visible — when rows were removed since the plan's snapshot (another
+    * row-level operation's vector delete, or a log rewrite folding the
+    * snapshot out), because the staged actions would re-assert state
+    * matched against rows that no longer exist (a lost update / a
+    * resurrection of compliance-deleted rows). Concurrent plain produces
+    * never conflict: appends cannot invalidate a row-level plan. The
+    * check runs at phase 1 (and inside the pure-delete commit's lock);
+    * the phase-1→phase-2 gap is NOT re-checked — aborting there would
+    * tear the already-committed produce, and the delete half stays
+    * row-safe regardless (ids re-validate against the vector-applied
+    * log). */
   private[graft] def commit(spark: SparkSession, warehouse: String, topic: String,
                             files: Seq[String], deletes: Long, inserts: Long,
-                            stagingDir: String): Unit = {
+                            stagingDir: String,
+                            plannedVersion: Option[Long] = None): Unit = {
     if (files.isEmpty || (deletes == 0L && inserts == 0L)) return
     val catalog = new Catalog(spark, warehouse)
     if (deletes == 0L) {
-      // single commit — produce's own crash contract covers it
+      // single commit — produce's own crash contract covers it; pure
+      // inserts are appends and never conflict
       new Producer(spark, catalog, catalog.openTopic(topic))
         .produce(insertActions(spark, files)): Unit
       return
     }
     if (inserts == 0L) {
-      // single commit — the vector delete's own protocol covers it
-      catalog.deleteIdsVectored(topic, deleteActions(spark, files)): Unit
+      // single commit — the vector delete's own protocol covers it, and
+      // the conflict check runs inside ITS lock (fully serialized)
+      catalog.deleteIdsVectored(topic, deleteActions(spark, files),
+        plannedVersion): Unit
       return
     }
 
@@ -118,6 +136,7 @@ object MergeCommit {
     catalog.acquireProduceLock(topic)
     try {
       catalog.reconcileProduceState(topic)
+      plannedVersion.foreach(catalog.failOnRowRemovalSince(topic, _))
       catalog.writeMergeIntent(topic, mergeId, intent(None))
       try {
         new Producer(spark, catalog, catalog.openTopic(topic))

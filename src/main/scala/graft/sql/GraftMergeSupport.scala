@@ -40,6 +40,21 @@ import graft.streaming.GraftTopicTable
  * plans through here — a pure-delete merge, executed as one vector-delete
  * commit (merge-on-read, independent of `spark.graft.delete.mode`).
  *
+ * Concurrency: row-level operations are OPTIMISTICALLY conflict-checked
+ * (the Delta WriteSerializable shape) — the commit aborts, before
+ * anything is visible, if rows were removed since the plan's snapshot
+ * (another row-level operation's vector delete, or a log rewrite);
+ * concurrent plain appends never conflict. See
+ * [[graft.engine.MergeCommit.commit]].
+ *
+ * Scale shape of the match join: Catalyst plans
+ * `target RIGHT OUTER source` (delta rewrites only need matched targets
+ * plus all source rows). A right-outer join cannot broadcast its right
+ * side, so an ON clause over derived metadata keys sort-merge-joins the
+ * full target — the same cost Delta pays without file-pruning stats. ON
+ * clauses that constrain `partition` / `event_id` prune the target scan
+ * through the pushed filters like any other read.
+ *
  * Reference analog: none — the reference's producers are append-only
  * (`MofkaProducer.hpp` has no update surface); MERGE is part of this
  * engine's lakehouse extension.
@@ -61,6 +76,11 @@ final class GraftRowLevelOperation(
     * heartbeat marker has not yet gone stale — refuses this plan loudly:
     * planning over an undecided commit pair is the one thing a row-level
     * operation must never do. */
+  /** Snapshot version the target scan planned against — read at commit
+    * time for the optimistic conflict check ([[graft.engine.MergeCommit]]).
+    * -1 = planned against an empty topic (no commits yet). */
+  @volatile private var plannedVersion: Option[Long] = None
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val catalog = new Catalog(SparkSession.active, warehouse)
     catalog.recoverPendingMerges(topic)
@@ -71,6 +91,8 @@ final class GraftRowLevelOperation(
       "merge is in flight, or one crashed within the staleness horizon. " +
       "Retry after it completes; a crashed one is recovered at the next " +
       "write-path entry once its heartbeat goes stale.")
+    plannedVersion = Some(catalog.versionHistory(topic)
+      .lastOption.map(_.version).getOrElse(-1L))
     new GraftTopicTable(warehouse, topic,
       consumer = None, targets = None, maxEventsPerTrigger = None)
       .newScanBuilder(options)
@@ -88,20 +110,24 @@ final class GraftRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new GraftDeltaWrite(warehouse, topic, info.schema())
+        // thunk, not value: the scan builds during planning, the version
+        // is read at commit time
+        new GraftDeltaWrite(warehouse, topic, info.schema(), () => plannedVersion)
     }
 }
 
 private final class GraftDeltaWrite(
-    warehouse: String, topic: String, rowSchema: StructType)
+    warehouse: String, topic: String, rowSchema: StructType,
+    plannedVersion: () => Option[Long])
   extends DeltaWrite {
   override def toBatch: DeltaBatchWrite =
-    new GraftDeltaBatchWrite(warehouse, topic, rowSchema)
+    new GraftDeltaBatchWrite(warehouse, topic, rowSchema, plannedVersion)
   override def description(): String = s"graft merge into $topic"
 }
 
 private final class GraftDeltaBatchWrite(
-    warehouse: String, topic: String, rowSchema: StructType)
+    warehouse: String, topic: String, rowSchema: StructType,
+    plannedVersion: () => Option[Long])
   extends DeltaBatchWrite {
 
   private val stagingDir: String = {
@@ -139,7 +165,8 @@ private final class GraftDeltaBatchWrite(
     try {
       MergeCommit.commit(spark, warehouse, topic,
         files.flatMap(_.file).toSeq,
-        files.map(_.deletes).sum, files.map(_.inserts).sum, stagingDir)
+        files.map(_.deletes).sum, files.map(_.inserts).sum, stagingDir,
+        plannedVersion())
       // engine state is final — the staging is fully consumed
       stopHeartbeat()
       dropStagingUnlessIntentOwned(spark, force = true)

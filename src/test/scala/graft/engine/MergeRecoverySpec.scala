@@ -33,10 +33,12 @@ class MergeRecoverySpec extends SparkSpec {
     * tombstone rows with k < 3, insert their replacements (an UPDATE of
     * k ∈ {0,1,2} split into its delete+insert halves). Returns the
     * staging dir and its file list. */
+  private val stageN = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def stageActions(d: GraftDriver): (String, Vector[String]) = {
     import spark.implicits._
     val stagingDir = new org.apache.hadoop.fs.Path(
-      d.catalog.topicPath("t"), "tmp-merge-spec").toString
+      d.catalog.topicPath("t"), s"tmp-merge-spec${stageN.incrementAndGet()}").toString
     val dels = (0 until 3).map(k => (0, k % 2, (k / 2).toLong,
       null.asInstanceOf[String], null.asInstanceOf[Array[Byte]]))
     val ins = (0 until 3).map(k => (1, k % 2, -1L,
@@ -223,6 +225,45 @@ class MergeRecoverySpec extends SparkSpec {
     assert(after.size == 10 && after.groupBy(_._1).forall(_._2.size == 1),
       s"exactly one row per key: $after")
     assert(after.filter(_._1 < 3).forall(_._2 == "new"))
+  }
+
+  test("optimistic conflict check: removals since the plan abort, appends don't") {
+    val (d, topic) = mkTopic()
+    val (stagingDir, files) = stageActions(d)
+    val cat = d.catalog
+    val planned = cat.versionHistory("t").last.version
+
+    // a concurrent APPEND never conflicts — row-level plans match existing
+    // rows, and new rows were not in the match window by definition
+    import spark.implicits._
+    topic.producer().produce(Seq(("""{"k":50,"v":"old"}""", 0)).toDF("metadata", "partition"))
+    cat.failOnRowRemovalSince("t", planned) // must not throw
+
+    // a concurrent VECTOR DELETE conflicts: the staged actions were
+    // matched against rows that may no longer exist
+    topic.deleteWhereVectored(
+      get_json_object(col("metadata"), "$.k").cast("long") === 9L): Unit
+    val e = intercept[IllegalStateException](
+      MergeCommit.commit(spark, d.warehouse, "t", files, 3L, 3L, stagingDir,
+        plannedVersion = Some(planned)))
+    assert(e.getMessage.contains("concurrent modification"), e.getMessage)
+    // aborted BEFORE anything became visible: no replacements, no intent
+    assert(tableState(topic).count(_._2 == "new") == 0)
+    assert(cat.listMergeIntents("t").isEmpty)
+
+    // the same staged merge re-planned against the CURRENT version commits
+    val now = cat.versionHistory("t").last.version
+    MergeCommit.commit(spark, d.warehouse, "t", files, 3L, 3L, stagingDir,
+      plannedVersion = Some(now))
+    val after = tableState(topic)
+    assert(after.filter(_._1 < 3).map(_._2).forall(_ == "new"))
+    assert(cat.listMergeIntents("t").isEmpty)
+
+    // the pure-delete path checks INSIDE the vector commit's lock too
+    val (staging2, files2) = stageActions(d)
+    intercept[IllegalStateException](
+      MergeCommit.commit(spark, d.warehouse, "t", files2, 3L, 0L, staging2,
+        plannedVersion = Some(planned)))
   }
 
   test("intent with no recorded ranges (died before produce fixed ids) rolls back") {
