@@ -1179,22 +1179,36 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   /** The optimistic-concurrency conflict rule for row-level operations
     * (see [[deleteIdsVectored]]): rows were REMOVED after `plannedVersion`
-    * iff a later retained commit is a vector delete, or the planned
-    * version itself is no longer retained (log rewrites — compact, purge,
-    * expire, restore — rebuild the manifest, so a plan older than the
-    * rebuild cannot be proven safe). Plain produces commit unnoted delta
-    * entries and never match. `plannedVersion = -1` = planned against an
-    * empty topic (any later removal conflicts). */
+    * iff
+    *
+    *  - VECTOR-DELETE EVIDENCE exists past it — read from the `_deletes/`
+    *    inventory, NOT the manifest log: root names and fold sidecars
+    *    carry their commit versions and survive manifest snapshot rolls,
+    *    so this side never false-negatives when a roll folds the noted
+    *    entries away (a version-less legacy root is conservatively a
+    *    conflict — its age cannot be proven); or
+    *  - the planned version is NO LONGER RETAINED. A log rewrite
+    *    (compact, purge, expire, restore — each rebuilds the manifest)
+    *    always trips this; a pure snapshot ROLL (every
+    *    [[Catalog.ManifestSnapshotEvery]] commits) is indistinguishable
+    *    once the entries are gone, so a plan that outlived ~64 concurrent
+    *    commits conflicts too — loud and honest, never a silent
+    *    resurrection of rewritten rows.
+    *
+    * Plain produces never match either side. `plannedVersion = -1` =
+    * planned against an empty topic (any removal evidence conflicts). */
   private[engine] def failOnRowRemovalSince(name: String, plannedVersion: Long): Unit = {
-    val h = versionHistory(name)
-    val folded = plannedVersion >= 0 && !h.exists(_.version == plannedVersion)
-    val removals = h.filter(v => v.version > plannedVersion &&
-      v.note.contains(Catalog.DeleteVectorNote)).map(_.version)
-    if (folded || removals.nonEmpty) throw new IllegalStateException(
+    val removals = deleteVectorFiles(name).flatMap(vectorRootVersions)
+      .filter(v => v > plannedVersion || v < 0).distinct.sorted
+    lazy val folded =
+      plannedVersion >= 0 && !versionHistory(name).exists(_.version == plannedVersion)
+    if (removals.nonEmpty || folded) throw new IllegalStateException(
       s"topic '$name': concurrent modification — this row-level operation " +
       s"planned against version $plannedVersion, but " +
-      (if (folded) "that version was folded out by a log rewrite since"
-       else s"row-removing commit(s) ${removals.mkString(", ")} landed since") +
+      (if (removals.nonEmpty)
+        s"row-removing commit(s) ${removals.mkString(", ")} landed since"
+       else "that version is no longer retained (a log rewrite, or a " +
+         "manifest snapshot roll after ~64 concurrent commits, folded it)") +
       ". Re-run the statement against the current state.")
   }
 

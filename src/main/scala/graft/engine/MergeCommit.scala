@@ -136,6 +136,25 @@ object MergeCommit {
     catalog.acquireProduceLock(topic)
     try {
       catalog.reconcileProduceState(topic)
+      // serialize the conflict check (three gates, in order):
+      //  1. no FOREIGN intent may survive the reconcile — a LIVE merge
+      //     past its produce commit is an undetectable pending removal
+      //     (its delete-vector note lands only in ITS phase 2), so a
+      //     second merge committing beside it would re-assert stale
+      //     matched state (write skew); plan-time refusal cannot catch a
+      //     merge that planned before the other's intent existed;
+      //  2. no live compact-lock holder — a vector delete or rewrite
+      //     mid-commit could land its evidence between our check and our
+      //     produce; with the produce lock HELD, none can START after
+      //     this gate (acquireCompactLock refuses under a live produce),
+      //     so the check that follows is race-free;
+      //  3. the removal check itself.
+      val foreign = catalog.listMergeIntents(topic)
+      if (foreign.nonEmpty) throw new IllegalStateException(
+        s"topic '$topic': another MERGE/UPDATE/DELETE is mid-commit " +
+        s"(intents: ${foreign.keys.mkString(", ")}) — row-level " +
+        "operations serialize; retry after it completes.")
+      catalog.failIfCompacting(topic)
       plannedVersion.foreach(catalog.failOnRowRemovalSince(topic, _))
       catalog.writeMergeIntent(topic, mergeId, intent(None))
       try {

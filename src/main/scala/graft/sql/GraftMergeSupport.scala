@@ -76,11 +76,6 @@ final class GraftRowLevelOperation(
     * heartbeat marker has not yet gone stale — refuses this plan loudly:
     * planning over an undecided commit pair is the one thing a row-level
     * operation must never do. */
-  /** Snapshot version the target scan planned against — read at commit
-    * time for the optimistic conflict check ([[graft.engine.MergeCommit]]).
-    * -1 = planned against an empty topic (no commits yet). */
-  @volatile private var plannedVersion: Option[Long] = None
-
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val catalog = new Catalog(SparkSession.active, warehouse)
     catalog.recoverPendingMerges(topic)
@@ -97,6 +92,11 @@ final class GraftRowLevelOperation(
       consumer = None, targets = None, maxEventsPerTrigger = None)
       .newScanBuilder(options)
   }
+
+  /** Snapshot version the target scan planned against — read at commit
+    * time for the optimistic conflict check ([[graft.engine.MergeCommit]]).
+    * -1 = planned against an empty topic (no commits yet). */
+  @volatile private var plannedVersion: Option[Long] = None
 
   /** Row identity = the engine's primary key: (partition, event_id) —
     * expressed through the non-null `_row_partition` METADATA column

@@ -266,6 +266,44 @@ class MergeRecoverySpec extends SparkSpec {
         plannedVersion = Some(planned)))
   }
 
+  test("two-commit merges SERIALIZE: phase 1 refuses beside a live foreign intent") {
+    val (d, topic) = mkTopic()
+    val cat = d.catalog
+    // merge A: produce committed, delete pending, driver LIVE (fresh
+    // marker) — its row removal is invisible to any version/evidence
+    // check until its phase 2 lands
+    val (stagingA, filesA) = stageActions(d)
+    val fs = new org.apache.hadoop.fs.Path(stagingA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(stagingA, "_inprogress"), true).close()
+    cat.acquireProduceLock("t")
+    try {
+      cat.reconcileProduceState("t")
+      cat.writeMergeIntent("t", "mA",
+        MergeIntent(stagingA, filesA, 3L, 3L, None))
+      new Producer(spark, cat, cat.openTopic("t")).produceHeld(
+        spark.read.schema(MergeCommit.ReadSchema).parquet(filesA: _*)
+          .filter(col("op") === 1)
+          .select(col("partition"), col("metadata"), col("data")),
+        ranges => cat.writeMergeIntent("t", "mA",
+          MergeIntent(stagingA, filesA, 3L, 3L,
+            Some(TxnRange.toRanges(ranges))))): Unit
+    } finally cat.releaseProduceLock("t")
+
+    // merge B (planned BEFORE A's intent existed — plan-time refusal
+    // cannot have caught it) must refuse at COMMIT, pre-visibility:
+    // committing beside A would re-assert stale matched state once A's
+    // phase-2 delete lands (write skew)
+    val (stagingB, filesB) = stageActions(d)
+    val before = tableState(topic)
+    val e = intercept[IllegalStateException](
+      MergeCommit.commit(spark, d.warehouse, "t", filesB, 3L, 3L, stagingB,
+        plannedVersion = Some(0L)))
+    assert(e.getMessage.contains("serialize"), e.getMessage)
+    assert(tableState(topic) == before, "B must leave no trace")
+    assert(cat.listMergeIntents("t").keySet == Set("mA"), "A's intent untouched")
+  }
+
   test("intent with no recorded ranges (died before produce fixed ids) rolls back") {
     val (d, topic) = mkTopic()
     val (stagingDir, files) = stageActions(d)
