@@ -1198,7 +1198,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * Plain produces never match either side. `plannedVersion = -1` =
     * planned against an empty topic (any removal evidence conflicts). */
   private[engine] def failOnRowRemovalSince(name: String, plannedVersion: Long): Unit = {
-    val removals = deleteVectorFiles(name).flatMap(vectorRootVersions)
+    // vectorRootSources (not vectorRootVersions, which drops unknowns):
+    // a version-less legacy root reports -1 and must CONFLICT — its age
+    // cannot be proven against the plan
+    val removals = deleteVectorFiles(name)
+      .flatMap(vectorRootSources(_).map(_.version))
       .filter(v => v > plannedVersion || v < 0).distinct.sorted
     lazy val folded =
       plannedVersion >= 0 && !versionHistory(name).exists(_.version == plannedVersion)
@@ -1206,7 +1210,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"topic '$name': concurrent modification — this row-level operation " +
       s"planned against version $plannedVersion, but " +
       (if (removals.nonEmpty)
-        s"row-removing commit(s) ${removals.mkString(", ")} landed since"
+        "row-removing commit(s) " + removals.map(v =>
+          if (v < 0) "unknown-version(legacy root)" else v.toString)
+          .mkString(", ") + " landed since"
        else "that version is no longer retained (a log rewrite, or a " +
          "manifest snapshot roll after ~64 concurrent commits, folded it)") +
       ". Re-run the statement against the current state.")
@@ -2519,7 +2525,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def setTxnState(name: String, txnId: String, target: String): Unit = {
     acquireProduceLock(name)
     try {
-      reconcileProduceState(name)
+      reconcileProduceState(name): Unit
       val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
         s"unknown transaction '$txnId' on topic '$name'"))
       if (st.state != "open") throw new IllegalStateException(
@@ -2583,8 +2589,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    *    is promoted; otherwise the produce died pre-commit and the pending
    *    marker is discarded — BEFORE a later produce advances the watermark
    *    over those ids and would falsely promote it.
+   *
+   * @return the merge intents that SURVIVE reconciliation (live merges
+   *         mid-delete-phase) — most callers ignore it; MergeCommit's
+   *         serialization gate reuses the listing
    */
-  private[engine] def reconcileProduceState(name: String): Unit = {
+  private[engine] def reconcileProduceState(name: String): Map[String, MergeIntent] = {
     lazy val wm = nextIds(name) // lazy: both maps are usually empty
     listTxns(name).foreach { case (id, st) =>
       if (st.state == "open" && st.ranges.nonEmpty) {
@@ -2657,13 +2667,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    *    its ids were never issued) ⇒ roll BACK: nothing is visible; drop
    *    the intent and its staging before this entry can re-issue the ids.
    */
-  private def reconcileMergeState(name: String): Unit = {
+  private def reconcileMergeState(name: String): Map[String, MergeIntent] = {
     val dir = mergesDir(name)
-    if (!fs.exists(dir)) return
-    listMergeIntents(name).foreach { case (mergeId, intent) =>
+    if (!fs.exists(dir)) return Map.empty
+    listMergeIntents(name).flatMap { case (mergeId, intent) =>
       lazy val wm = nextIds(name)
       val committed = intent.produceCommitted(wm)
-      if (!(committed && mergeMarkerFresh(intent))) {
+      if (committed && mergeMarkerFresh(intent)) {
+        // a LIVE merge mid-delete-phase: survives — returned so callers
+        // (MergeCommit's serialization gate) reuse THIS listing instead
+        // of re-listing the directory inside the commit window
+        Some(mergeId -> intent)
+      } else {
         if (committed) {
           // roll-forward runs under the produce lock the caller holds; the
           // vector commit's compact lock allows exactly this composition
@@ -2678,6 +2693,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // gone, wedging every later produce-path entry on this topic
         removeMergeIntent(name, mergeId)
         fs.delete(new Path(intent.stagingDir), true): Unit
+        None
       }
     }
   }
@@ -2699,7 +2715,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         try { acquireProduceLock(name); true }
         catch { case _: IllegalStateException => false }
       if (acquired)
-        try reconcileProduceState(name) finally releaseProduceLock(name)
+        try reconcileProduceState(name): Unit
+        finally releaseProduceLock(name)
     }
 
   /** THE merge-staging liveness rule (one definition — vacuum's reap and

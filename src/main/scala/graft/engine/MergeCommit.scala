@@ -135,7 +135,7 @@ object MergeCommit {
     // phase 1: intent + produce, under the produce lock
     catalog.acquireProduceLock(topic)
     try {
-      catalog.reconcileProduceState(topic)
+      val survivors = catalog.reconcileProduceState(topic)
       // serialize the conflict check (three gates, in order):
       //  1. no FOREIGN intent may survive the reconcile — a LIVE merge
       //     past its produce commit is an undetectable pending removal
@@ -149,7 +149,7 @@ object MergeCommit {
       //     this gate (acquireCompactLock refuses under a live produce),
       //     so the check that follows is race-free;
       //  3. the removal check itself.
-      val foreign = catalog.listMergeIntents(topic)
+      val foreign = survivors
       if (foreign.nonEmpty) throw new IllegalStateException(
         s"topic '$topic': another MERGE/UPDATE/DELETE is mid-commit " +
         s"(intents: ${foreign.keys.mkString(", ")}) — row-level " +

@@ -67,7 +67,7 @@ final class Producer(
     try {
       // decide any crashed transactional/idempotent intent before this
       // produce can re-issue its ids (see Catalog.reconcileProduceState)
-      catalog.reconcileProduceState(config.name)
+      catalog.reconcileProduceState(config.name): Unit
       produceLocked(df, None)
     } finally catalog.releaseProduceLock(config.name)
   }

@@ -205,7 +205,7 @@ final class TransactionalProducer private[engine] (
   def produce(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] = {
     catalog.acquireProduceLock(topic)
     try {
-      catalog.reconcileProduceState(topic)
+      catalog.reconcileProduceState(topic): Unit
       val st = catalog.txnState(topic, txnId).getOrElse(throw new IllegalStateException(
         s"unknown transaction '$txnId' on topic '$topic'"))
       if (st.state != "open") throw new IllegalStateException(
@@ -248,7 +248,7 @@ final class IdempotentProducer private[engine] (
     require(sequence >= 0, s"sequence must be >= 0, got $sequence")
     catalog.acquireProduceLock(topic)
     try {
-      catalog.reconcileProduceState(topic)
+      catalog.reconcileProduceState(topic): Unit
       val st = catalog.producerState(topic, producerId)
         .getOrElse(PidState(epoch, -1L, Vector.empty, None))
       if (epoch < st.epoch) throw new IllegalStateException(
