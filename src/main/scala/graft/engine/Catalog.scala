@@ -1198,24 +1198,32 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * Plain produces never match either side. `plannedVersion = -1` =
     * planned against an empty topic (any removal evidence conflicts). */
   private[engine] def failOnRowRemovalSince(name: String, plannedVersion: Long): Unit = {
-    // vectorRootSources (not vectorRootVersions, which drops unknowns):
-    // a version-less legacy root reports -1 and must CONFLICT — its age
-    // cannot be proven against the plan
+    // version evidence only — sidecar entries or the root-name tag, NO
+    // footer reads (this runs inside the row-level commit's serialized
+    // window). A version-less legacy root (pre-tag name, or a -1 sidecar
+    // entry a fold carried forward) reports -1 and must CONFLICT: its age
+    // cannot be proven against the plan.
     val removals = deleteVectorFiles(name)
-      .flatMap(vectorRootSources(_).map(_.version))
+      .flatMap(f => vectorRootSidecar(f).map(_.map(_.version))
+        .getOrElse(Seq(Catalog.vectorRootVersion(f).getOrElse(-1L))))
       .filter(v => v > plannedVersion || v < 0).distinct.sorted
     lazy val folded =
       plannedVersion >= 0 && !versionHistory(name).exists(_.version == plannedVersion)
     if (removals.nonEmpty || folded) throw new IllegalStateException(
       s"topic '$name': concurrent modification — this row-level operation " +
       s"planned against version $plannedVersion, but " +
-      (if (removals.nonEmpty)
-        "row-removing commit(s) " + removals.map(v =>
-          if (v < 0) "unknown-version(legacy root)" else v.toString)
-          .mkString(", ") + " landed since"
+      (if (removals.contains(-1L))
+        "the topic holds deletion-vector root(s) with no version tag " +
+        "(written by a pre-versioning build) whose age cannot be proven " +
+        "against any plan. Re-running will NOT clear this: fold the " +
+        "vectors physically first — compact()/maintain() on a hot topic; " +
+        "restoreArchive() then compact() on a tiered one"
+       else if (removals.nonEmpty)
+        "row-removing commit(s) " + removals.mkString(", ") +
+          " landed since. Re-run the statement against the current state"
        else "that version is no longer retained (a log rewrite, or a " +
-         "manifest snapshot roll after ~64 concurrent commits, folded it)") +
-      ". Re-run the statement against the current state.")
+         "manifest snapshot roll after ~64 concurrent commits, folded it)" +
+         ". Re-run the statement against the current state") + ".")
   }
 
   /** The vector-commit body (stage → count → gap marker → noted manifest

@@ -266,6 +266,29 @@ class MergeRecoverySpec extends SparkSpec {
         plannedVersion = Some(planned)))
   }
 
+  test("a version-less LEGACY vector root conservatively conflicts, with the remedy named") {
+    val (d, topic) = mkTopic()
+    val cat = d.catalog
+    topic.deleteWhereVectored(
+      get_json_object(col("metadata"), "$.k").cast("long") === 4L): Unit
+    // strip the version tag off the committed root — the pre-versioning
+    // on-disk shape (d-<ms>-<uuid>, no 'v<seq>' segment, no sidecar)
+    val root = new org.apache.hadoop.fs.Path(cat.deleteVectorFiles("t").head)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = new org.apache.hadoop.fs.Path(root.getParent,
+      root.getName.replaceFirst("-v\\d+-", "-"))
+    assert(fs.rename(root, legacy), s"rename $root -> $legacy")
+    // even a plan against the CURRENT version cannot prove the root old
+    val now = cat.versionHistory("t").last.version
+    val e = intercept[IllegalStateException](cat.failOnRowRemovalSince("t", now))
+    assert(e.getMessage.contains("no version tag") &&
+      e.getMessage.contains("compact"), e.getMessage)
+    // the named remedy clears it: a physical fold consumes the vectors
+    topic.compact()
+    cat.failOnRowRemovalSince("t", cat.versionHistory("t").last.version)
+    assert(topic.events().count() == 9L, "the legacy root's delete still applied")
+  }
+
   test("two-commit merges SERIALIZE: phase 1 refuses beside a live foreign intent") {
     val (d, topic) = mkTopic()
     val cat = d.catalog
