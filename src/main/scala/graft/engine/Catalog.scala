@@ -768,10 +768,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val prev = Catalog.heldLocks.putIfAbsent(key, mine)
     if (prev != null) {
       if (prev.thread.isAlive)
-        throw new IllegalStateException(alreadyHeld(mine.since - prev.since))
+        throw new LockConflictException(alreadyHeld(mine.since - prev.since))
       // owner thread died without release: exact, race-free reclaim via CAS
       if (!Catalog.heldLocks.replace(key, prev, mine))
-        throw new IllegalStateException(alreadyHeld(0L))
+        throw new LockConflictException(alreadyHeld(0L))
     }
     def tryCreate(): Boolean =
       try {
@@ -791,14 +791,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       if (!tryCreate()) {
         lockAge(p) match {
           case Some(age) if age < Catalog.CompactLockStaleMs =>
-            throw new IllegalStateException(alreadyHeld(age))
+            throw new LockConflictException(alreadyHeld(age))
           case Some(_) => // genuinely stale: a crashed process's leftover
             reclaimStaleLock(p, alreadyHeld)
             if (!tryCreate())
-              throw new IllegalStateException(alreadyHeld(0L))
+              throw new LockConflictException(alreadyHeld(0L))
           case None => // released this instant: path is free — plain retry
             if (!tryCreate())
-              throw new IllegalStateException(alreadyHeld(0L))
+              throw new LockConflictException(alreadyHeld(0L))
         }
       }
       Catalog.startLockHeartbeat(fs, p)
@@ -855,18 +855,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       // proceeds, but still fail this one loudly.
       if (lockAge(claim).exists(_ >= Catalog.CompactLockStaleMs))
         fs.delete(claim, false): Unit
-      throw new IllegalStateException(alreadyHeld(0L))
+      throw new LockConflictException(alreadyHeld(0L))
     }
     try {
       val ours =
         try readString(claim) == nonce
         catch { case scala.util.control.NonFatal(_) => false }
-      if (!ours) throw new IllegalStateException(alreadyHeld(0L))
+      if (!ours) throw new LockConflictException(alreadyHeld(0L))
       lockAge(p) match {
         case Some(age) if age < Catalog.CompactLockStaleMs =>
           // revived under us (owner heartbeat landed between the caller's
           // staleness check and our claim) — the lock is live, back off
-          throw new IllegalStateException(alreadyHeld(age))
+          throw new LockConflictException(alreadyHeld(age))
         case Some(_) => fs.delete(p, false): Unit
         case None => () // owner released meanwhile — path is free either way
       }
@@ -912,7 +912,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         owner != null && (owner.thread eq Thread.currentThread())
       if (!recoveryComposition) {
         releaseCompactLock(name)
-        throw new IllegalStateException(
+        throw new LockConflictException(
           s"topic '$name': cannot compact while a produce is in flight (lock " +
           s"${produceLockPath(name)}, age ${age / 1000}s)")
       }
@@ -950,7 +950,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           "lock if the producer crashed")
         return
       } catch {
-        case e: IllegalStateException =>
+        case e: LockConflictException =>
           if (System.currentTimeMillis() >= deadline) throw e
           Thread.sleep(50L)
       }
@@ -965,7 +965,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * moved-aside log — silent data loss). */
   private[engine] def failIfCompacting(name: String): Unit =
     lockIsLive(compactLockPath(name)).foreach { age =>
-      throw new IllegalStateException(
+      throw new LockConflictException(
         s"topic '$name': cannot produce while compaction is in progress " +
         s"(lock ${compactLockPath(name)}, age ${age / 1000}s)")
     }
@@ -1786,15 +1786,25 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"maxFilesPerPartition must be positive: $maxFilesPerPartition")
     // decide crashed MERGE intents first — the cron surface is the
     // recovery trigger for topics whose last-ever write was a torn MERGE
-    // (write-path entries reconcile themselves; reads never do). WHOLLY
-    // best-effort here: a busy topic (live produce blocking the lock, or
-    // a live compaction refusing the roll-forward's vector commit) skips
-    // the prologue and KEEPS maintaining — cron must not lose vacuum and
-    // index refresh to a recovery that the next write-path entry (which
-    // reconciles loudly, unconditionally) will perform anyway. The
-    // maintenance steps below keep their own pre-existing lock semantics.
+    // (write-path entries reconcile themselves; reads never do). A BUSY
+    // topic (live produce blocking the lock, or a live compaction
+    // refusing the roll-forward's vector commit — both typed
+    // LockConflictException) skips the prologue quietly and KEEPS
+    // maintaining — cron must not lose vacuum and index refresh to a
+    // recovery that the next write-path entry (which reconciles loudly,
+    // unconditionally) will perform anyway. Any OTHER reconcile failure
+    // (e.g. a corrupt intent, an IO fault mid-roll-forward) also keeps
+    // maintaining but is LOGGED: correctness stays covered by write-path
+    // entries, but a repeatedly failing roll-forward must be visible
+    // from the cron surface, not silently dropped.
     try recoverPendingMerges(name)
-    catch { case _: IllegalStateException => () }
+    catch {
+      case _: LockConflictException => ()
+      case scala.util.control.NonFatal(e) =>
+        Catalog.log.warn(
+          s"maintainTopic('$name'): merge recovery failed (continuing " +
+          s"with maintenance; the next write-path entry retries it): $e")
+    }
     // tiered topics skip the compact step (rewrites refuse on them); the
     // hot tail usually stays small precisely because the bulk is archived.
     // Accumulated deletion vectors also trigger a fold: every reader pays
@@ -2721,7 +2731,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       // retried MERGE plan over the torn duplicate view.
       val acquired =
         try { acquireProduceLock(name); true }
-        catch { case _: IllegalStateException => false }
+        catch { case _: LockConflictException => false }
       if (acquired)
         try reconcileProduceState(name): Unit
         finally releaseProduceLock(name)
@@ -2985,6 +2995,12 @@ object Catalog {
       StructField("lo", LongType, nullable = false),
       StructField("hi", LongType, nullable = false)))
   }
+
+  /** Engine log (slf4j, same backend Spark's own logging rides). Used for
+    * conditions that are survivable but must not be silent — e.g. a cron
+    * maintenance pass whose merge-recovery prologue keeps failing. */
+  private[graft] val log: org.slf4j.Logger =
+    org.slf4j.LoggerFactory.getLogger("graft.engine.Catalog")
 
   /** How long `Producer.produce` waits for a contended produce lock before
     * throwing. 0 (default) = fail fast (safe-by-rejection); > 0 = bounded

@@ -107,24 +107,94 @@ object MergeCommit {
     * tear the already-committed produce, and the delete half stays
     * row-safe regardless (ids re-validate against the vector-applied
     * log). */
+  /** Wraps a produce failure that happened AFTER its ranges provably
+    * committed (intent kept; recovery owns the roll-forward): must never
+    * be retried by the statement-patience loop — a retry would produce
+    * the inserts a second time. Unwrapped before leaving [[commit]]. */
+  private final class ProduceCommittedFailure(cause: Throwable)
+    extends RuntimeException(cause)
+
   private[graft] def commit(spark: SparkSession, warehouse: String, topic: String,
                             files: Seq[String], deletes: Long, inserts: Long,
                             stagingDir: String,
                             plannedVersion: Option[Long] = None): Unit = {
     if (files.isEmpty || (deletes == 0L && inserts == 0L)) return
+    // PRECONDITION the two-sided protocol rides on: a fresh `_inprogress`
+    // heartbeat in the staging dir, so concurrent produce-path entries
+    // read this statement's intent as LIVE across the phase-1→phase-2 gap
+    // (a dead-reading intent would be rolled forward by a bystander, who
+    // then deletes the staging while phase 2 is still reading it). The
+    // SQL path's GraftDeltaBatchWrite creates and heartbeats the marker
+    // around the whole write; a DIRECT caller without one gets it created
+    // and heartbeated HERE, and removed on exit either way — on success
+    // the staging is consumed, on failure the missing marker is exactly
+    // what makes a kept intent decidable at the next entry instead of
+    // after the staleness horizon.
+    val fs = new org.apache.hadoop.fs.Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(stagingDir, "_inprogress")
+    val ownMarker = deletes > 0L && inserts > 0L && !fs.exists(marker)
+    val stopHeartbeat: () => Unit =
+      if (!ownMarker) () => ()
+      else {
+        fs.create(marker, true).close()
+        Catalog.startFileHeartbeat(fs, marker)
+      }
+    try commitInner(spark, warehouse, topic, files, deletes, inserts,
+      stagingDir, plannedVersion)
+    catch { case e: ProduceCommittedFailure => throw e.getCause }
+    finally {
+      stopHeartbeat()
+      if (ownMarker) fs.delete(marker, false): Unit
+    }
+  }
+
+  private def commitInner(spark: SparkSession, warehouse: String, topic: String,
+                          files: Seq[String], deletes: Long, inserts: Long,
+                          stagingDir: String,
+                          plannedVersion: Option[Long]): Unit = {
     val catalog = new Catalog(spark, warehouse)
+    // STATEMENT-LEVEL patience (the Delta-queueing UX): a refusal whose
+    // only cause is somebody ELSE mid-flight — a foreign live intent, a
+    // live compaction, a contended produce lock — retries the whole
+    // serialize-check-commit up to [[Catalog.MergeCommitWaitMs]] before
+    // surfacing. Semantics unchanged (row-level statements still fully
+    // serialize; every retry re-runs every gate from scratch against the
+    // then-current state); only the failure mode moves from "error the
+    // caller must loop on" to "bounded wait". Safe to re-run because each
+    // retried attempt provably committed NOTHING: conflicts are thrown
+    // before any write, and a produce failure that rolled its intent back
+    // left no trace — the one failure-after-commit shape rethrows as
+    // [[ProduceCommittedFailure]], which this loop never retries.
+    val stmtDeadline = System.currentTimeMillis() + Catalog.MergeCommitWaitMs
+    def withStatementPatience[A](body: => A): A = {
+      while (true) {
+        try return body
+        catch {
+          case _: LockConflictException
+              if System.currentTimeMillis() < stmtDeadline =>
+            Thread.sleep(250L)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
     if (deletes == 0L) {
       // single commit — produce's own crash contract covers it; pure
       // inserts are appends and never conflict
-      new Producer(spark, catalog, catalog.openTopic(topic))
-        .produce(insertActions(spark, files)): Unit
+      withStatementPatience {
+        new Producer(spark, catalog, catalog.openTopic(topic))
+          .produce(insertActions(spark, files)): Unit
+      }
       return
     }
     if (inserts == 0L) {
       // single commit — the vector delete's own protocol covers it, and
       // the conflict check runs inside ITS lock (fully serialized)
-      catalog.deleteIdsVectored(topic, deleteActions(spark, files),
-        plannedVersion): Unit
+      withStatementPatience {
+        catalog.deleteIdsVectored(topic, deleteActions(spark, files),
+          plannedVersion): Unit
+      }
       return
     }
 
@@ -133,49 +203,55 @@ object MergeCommit {
       MergeIntent(stagingDir, files.toVector, deletes, inserts, ranges)
 
     // phase 1: intent + produce, under the produce lock
-    catalog.acquireProduceLock(topic)
-    try {
-      val survivors = catalog.reconcileProduceState(topic)
-      // serialize the conflict check (three gates, in order):
-      //  1. no FOREIGN intent may survive the reconcile — a LIVE merge
-      //     past its produce commit is an undetectable pending removal
-      //     (its delete-vector note lands only in ITS phase 2), so a
-      //     second merge committing beside it would re-assert stale
-      //     matched state (write skew); plan-time refusal cannot catch a
-      //     merge that planned before the other's intent existed;
-      //  2. no live compact-lock holder — a vector delete or rewrite
-      //     mid-commit could land its evidence between our check and our
-      //     produce; with the produce lock HELD, none can START after
-      //     this gate (acquireCompactLock refuses under a live produce),
-      //     so the check that follows is race-free;
-      //  3. the removal check itself.
-      val foreign = survivors
-      if (foreign.nonEmpty) throw new IllegalStateException(
-        s"topic '$topic': another MERGE/UPDATE/DELETE is mid-commit " +
-        s"(intents: ${foreign.keys.mkString(", ")}) — row-level " +
-        "operations serialize; retry after it completes.")
-      catalog.failIfCompacting(topic)
-      plannedVersion.foreach(catalog.failOnRowRemovalSince(topic, _))
-      catalog.writeMergeIntent(topic, mergeId, intent(None))
+    withStatementPatience {
+      catalog.acquireProduceLock(topic)
       try {
-        new Producer(spark, catalog, catalog.openTopic(topic))
-          .produceHeld(insertActions(spark, files), ranges =>
-            catalog.writeMergeIntent(topic, mergeId,
-              intent(Some(TxnRange.toRanges(ranges))))): Unit
-      } catch {
-        case e: Throwable =>
-          // produce failed. We still hold the lock, so unless its ranges
-          // are provably committed (they never are on the failure paths —
-          // nothing runs between the watermark write and produce's
-          // return), nothing is visible: roll the intent back so this
-          // failed MERGE leaves no trace. The provably-committed case
-          // keeps the intent — recovery rolls the delete forward.
-          val committed = catalog.mergeIntent(topic, mergeId)
-            .exists(_.produceCommitted(catalog.nextIds(topic)))
-          if (!committed) catalog.removeMergeIntent(topic, mergeId)
-          throw e
-      }
-    } finally catalog.releaseProduceLock(topic)
+        val survivors = catalog.reconcileProduceState(topic)
+        // serialize the conflict check (three gates, in order):
+        //  1. no FOREIGN intent may survive the reconcile — a LIVE merge
+        //     past its produce commit is an undetectable pending removal
+        //     (its delete-vector note lands only in ITS phase 2), so a
+        //     second merge committing beside it would re-assert stale
+        //     matched state (write skew); plan-time refusal cannot catch a
+        //     merge that planned before the other's intent existed;
+        //  2. no live compact-lock holder — a vector delete or rewrite
+        //     mid-commit could land its evidence between our check and our
+        //     produce; with the produce lock HELD, none can START after
+        //     this gate (acquireCompactLock refuses under a live produce),
+        //     so the check that follows is race-free;
+        //  3. the removal check itself (NOT retryable: a real conflict
+        //     with committed state, not somebody mid-flight).
+        val foreign = survivors
+        if (foreign.nonEmpty) throw new ConcurrentMergeException(
+          s"topic '$topic': another MERGE/UPDATE/DELETE is mid-commit " +
+          s"(intents: ${foreign.keys.mkString(", ")}) — row-level " +
+          "operations serialize; retry after it completes.")
+        catalog.failIfCompacting(topic)
+        plannedVersion.foreach(catalog.failOnRowRemovalSince(topic, _))
+        catalog.writeMergeIntent(topic, mergeId, intent(None))
+        try {
+          new Producer(spark, catalog, catalog.openTopic(topic))
+            .produceHeld(insertActions(spark, files), ranges =>
+              catalog.writeMergeIntent(topic, mergeId,
+                intent(Some(TxnRange.toRanges(ranges))))): Unit
+        } catch {
+          case e: Throwable =>
+            // produce failed. We still hold the lock, so unless its ranges
+            // are provably committed (they never are on the failure paths —
+            // nothing runs between the watermark write and produce's
+            // return), nothing is visible: roll the intent back so this
+            // failed MERGE leaves no trace — including a mid-produce lock
+            // conflict (e.g. a racing compaction), which the patience loop
+            // may then re-attempt whole. The provably-committed case keeps
+            // the intent — recovery rolls the delete forward — and is
+            // wrapped non-retryable: a re-run would double the inserts.
+            val committed = catalog.mergeIntent(topic, mergeId)
+              .exists(_.produceCommitted(catalog.nextIds(topic)))
+            if (!committed) { catalog.removeMergeIntent(topic, mergeId); throw e }
+            else throw new ProduceCommittedFailure(e)
+        }
+      } finally catalog.releaseProduceLock(topic)
+    }
 
     // phase 2: the vector-delete commit (compact lock; the produce lock
     // must be released first — acquireCompactLock refuses under a live
@@ -204,11 +280,11 @@ object MergeCommit {
           catalog.deleteIdsVectored(topic, dels): Unit
           done = true
         } catch {
-          case e: IllegalStateException
-              if e.getMessage != null &&
-                (e.getMessage.contains("already in progress") ||
-                  e.getMessage.contains("is in flight")) &&
-                System.currentTimeMillis() < deadline =>
+          // matched by TYPE — a routine conflict is whatever the lock
+          // layer THROWS as one, never a message-substring guess (a
+          // reworded message must not silently disable this patience)
+          case _: LockConflictException
+              if System.currentTimeMillis() < deadline =>
             Thread.sleep(250L)
         }
       }

@@ -362,10 +362,48 @@ object Similarity {
     * stays physically readable for the horizon. Crashed INCOMPLETE stages
     * (no committed shard — readers can never have resolved them) and
     * leftover legacy dirs still drop immediately. */
+  /** Test observability ([[graft.engine.Catalog.deletesListings]]
+    * pattern): how many times the full mark-and-reap sweep actually ran,
+    * and how many version-root LISTs the gate + sweep issued. The append
+    * path's cost contract — one pointer read, one LIST, zero per-dir
+    * stats on a clean index — is pinned by a spec on these. */
+  private[graft] val staleSweeps = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val rootListings = new java.util.concurrent.atomic.AtomicLong
+
+  /** The HOT-PATH gate in front of [[cleanupStale]]: appends run per
+    * micro-batch, and an unconditional sweep is O(versions) LIST+stat
+    * calls per append that reap nothing 99% of the time — on an object
+    * store that is real latency and real request cost. One LIST of the
+    * version root decides whether anything could need sweeping (a
+    * non-current version dir or legacy debris); a clean index pays one
+    * pointer read + one LIST and NO per-directory marker stats. A missing
+    * pointer always sweeps: that is the crashed-flip heal, and skipping
+    * it would fail the append outright. */
+  private def cleanupStaleIfNeeded(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    if (!fs.exists(root)) return
+    readPointer(fs, path) match {
+      case None => cleanupStale(spark, path) // crashed pointer flip: heal
+      case cur @ Some(_) =>
+        rootListings.incrementAndGet(): Unit
+        val debris = fs.listStatus(root).exists { st =>
+          st.isDirectory && {
+            val n = st.getPath.getName
+            n == "centroids" || n == "cells" || n == "_committed" ||
+            (VersionRe.pattern.matcher(n).matches() && !cur.contains(n))
+          }
+        }
+        if (debris) cleanupStale(spark, path)
+    }
+  }
+
   private def cleanupStale(spark: org.apache.spark.sql.SparkSession,
                            path: String): Unit = {
     val (fs, root) = fsOf(spark, path)
     if (!fs.exists(root)) return
+    staleSweeps.incrementAndGet(): Unit
+    rootListings.incrementAndGet(): Unit
     // Heal a crashed pointer flip FIRST (maintenance ops are
     // caller-serialized, so writing here cannot race another writer): the
     // highest COMPLETE unmarked version becomes the pointer target.
@@ -571,7 +609,8 @@ object Similarity {
    */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     newVectors: DataFrame, shardId: String): Boolean = {
-    cleanupStale(spark, path)
+    // gated, not unconditional: appends are the per-micro-batch hot path
+    cleanupStaleIfNeeded(spark, path)
     val root = currentRoot(spark, path)
     if (committedShardsIn(spark, root).contains(shardId) ||
         foldedShardsIn(spark, root).contains(shardId)) false

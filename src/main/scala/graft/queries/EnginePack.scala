@@ -23,7 +23,7 @@ import Q._
  */
 object EnginePack extends QueryPack {
 
-  private def tempDriver(s: SparkSession): GraftDriver = {
+  private[queries] def tempDriver(s: SparkSession): GraftDriver = {
     val dir = Files.createTempDirectory("graft-engine-q")
     EnginePack.cleanupOnExit(dir)
     new GraftDriver(s, dir.toString)
@@ -1490,6 +1490,49 @@ object EnginePack extends QueryPack {
            |GROUP BY change_type, partition
            |ORDER BY change_type, partition""".stripMargin)
     },
+    "q_sql_changes_ts" -> { (s, dir) =>
+      // the change feed addressed by TIME (how Delta users overwhelmingly
+      // address CDF — `startingTimestamp`): `_commit_timestamp` WHERE
+      // bounds push down to the SAME clamped version window as
+      // `_commit_version` bounds (commit times are lock-serialized, hence
+      // monotone — Catalog.versionAtTimestamp), files pruned identically.
+      // Fixture = q_sql_changes with the bounds read from history()'s
+      // commit times; the sleeps guarantee distinct millisecond mtimes so
+      // the time window is exactly the version window. Shares
+      // q_sql_changes' oracle (same change set by construction).
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      d.createTopic("cdf_sql_ts", partitions = 4)
+      val topic = d.openTopic("cdf_sql_ts")
+      topic.producer().produce(sourceByEidRange(s, dir, 0, 256))
+      Thread.sleep(15L)
+      topic.producer().produce(sourceByEidRange(s, dir, 256, 640))
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.deleteWhereVectored(pmod(eid, lit(7)) === 0): Unit
+      Thread.sleep(15L)
+      val times = topic.history().orderBy("version").collect()
+        .map(_.getAs[java.sql.Timestamp]("commit_time"))
+      def fmt(t: java.sql.Timestamp): String =
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(t.getTime))
+      val ts1 = fmt(times.head)   // first produce's commit time
+      val tsEnd = fmt(times.last) // the vector delete's commit time
+      s.sql(
+        s"""SELECT change_type, partition, count(*) AS cnt,
+           |  sum(k) AS sum_eid, min(k) AS min_eid, max(k) AS max_eid
+           |FROM (
+           |  SELECT _change_type AS change_type, partition,
+           |    CAST(get_json_object(metadata, '$$.eid') AS BIGINT) AS k
+           |  FROM $cat.`cdf_sql_ts$$changes`
+           |  WHERE _commit_timestamp > TIMESTAMP '$ts1'
+           |    AND _commit_timestamp <= TIMESTAMP '$tsEnd')
+           |GROUP BY change_type, partition
+           |ORDER BY change_type, partition""".stripMargin)
+    },
     "q_clone" -> { (s, dir) =>
       // SHALLOW CLONE: a new topic referencing the source's committed
       // files — O(metadata), zero data copied (the clone's log dir holds
@@ -2704,6 +2747,21 @@ object EnginePack extends QueryPack {
     // vectored row's preimage across both produces
     // identical change set through the SQL `t$changes` metadata table
     "q_sql_changes" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(event_id % 4 AS INT) AS partition,
+        |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM events WHERE event_id >= 256 AND event_id < 640
+        |  GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, CAST(event_id % 4 AS INT) AS partition,
+        |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |    min(event_id) AS min_eid, max(event_id) AS max_eid
+        |  FROM events WHERE event_id < 640 AND event_id % 7 = 0
+        |  GROUP BY 2
+        |) ORDER BY change_type, partition""".stripMargin,
+    // time-addressed feed over the same fixture = the same change set
+    "q_sql_changes_ts" ->
       """SELECT * FROM (
         |  SELECT 'insert' AS change_type, CAST(event_id % 4 AS INT) AS partition,
         |    count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,

@@ -94,6 +94,55 @@ object TextPack extends QueryPack {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
+    "q_pipeline_full" -> { (s, dir) =>
+      // THE product use case, end-to-end as ONE composed DAG: ingest the
+      // raw corpus into a TOPIC (metadata = doc id JSON, payload = the
+      // document bytes), then curate straight off the topic read —
+      // quality gate → exact dedup → verified near-dup removal →
+      // benchmark decontamination → stratified sampling → greedy
+      // sequence packing — and publish the packed-bin manifest a
+      // training-export job would hand to the trainer. The oracle
+      // re-derives EVERY stage from the raw documents table (including
+      // the all-pairs Jaccard verify and the 8-gram contamination join),
+      // so the COMPOSITION is graded, not just the parts. Planted rows
+      // make each removal stage falsifiable: exact copies (ids +1e6)
+      // must die in dedup, verbatim benchmark copies (ids +2e6) in
+      // decontamination — a stage that silently passes everything (or
+      // drops everything) breaks the manifest counts.
+      val d = EnginePack.tempDriver(s)
+      d.createTopic("pipe_full", partitions = 4)
+      val topic = d.openTopic("pipe_full")
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      topic.producer().produce(corpus.select(
+        to_json(struct(col("doc_id"))).as("metadata"),
+        encode(col("text"), "UTF-8").as("data")))
+      val docs = topic.events().select(
+        get_json_object(col("metadata"), "$.doc_id").cast("long").as("doc_id"),
+        decode(col("data"), "UTF-8").as("text"))
+      val cleaned = graft.llm.Pipelines.cleanCorpus(docs, nearDupThreshold = 0.9)
+      val benchmark = base.filter(col("doc_id") < 10)
+      val decon = cleaned.join(
+        graft.llm.Pipelines.decontaminate(cleaned, benchmark, shingleN = 8)
+          .filter(col("contaminated")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val sampled = graft.llm.Sampling.stratifiedSample(
+        decon.withColumn("stratum",
+          when(TF.tokenCount(col("text")) >= 40, "long").otherwise("short")),
+        "stratum", Map("long" -> 1.0, "short" -> 0.2), keyCol = "doc_id")
+      graft.llm.Packing.packBins(
+          sampled.withColumn("shard", pmod(col("doc_id"), lit(4L)).cast("int")),
+          "shard", "doc_id", TF.tokenCount(col("text")), maxTokens = 2048L)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).as("sum_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"), col("bin"))
+    },
     "q_sample_stratified" -> { (s, dir) =>
       // Deterministic stratified sampling: keep every long doc, 20% of the
       // short ones. The keep-decision is a pure md5-derived function of
@@ -553,6 +602,48 @@ object TextPack extends QueryPack {
          |SELECT doc_id FROM uq
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+    // the full pipeline re-derived stage by stage: quality gate → md5
+    // exact-dedup survivors → all-pairs-Jaccard near-dup removal →
+    // 8-gram benchmark contamination join → md5-bucket stratified keep →
+    // per-shard window-cumsum bin cut — the packed manifest re-built
+    // from first principles (the topic round-trip is identity: payload
+    // bytes are the document text)
+    "q_pipeline_full" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10),
+         |q AS (
+         |  SELECT doc_id, text FROM corpus
+         |  WHERE $qualityCond),
+         |u AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |uq AS (SELECT q.doc_id, q.text FROM q JOIN u USING (doc_id)),
+         |${jaccardCtes("uq")},
+         |dropped AS (SELECT DISTINCT db AS doc_id
+         |            FROM inter JOIN cnt ca ON ca.doc_id = da
+         |                       JOIN cnt cb ON cb.doc_id = db
+         |            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.9),
+         |clean AS (SELECT doc_id, text FROM uq
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |clw AS (SELECT doc_id, $W AS w FROM clean),
+         |csh AS (SELECT DISTINCT doc_id, unnest(${shingleListSql(8)}) AS s FROM clw),
+         |bw AS (SELECT $W AS w FROM documents WHERE doc_id < 10),
+         |bsh AS (SELECT DISTINCT unnest(${shingleListSql(8)}) AS s FROM bw),
+         |contam AS (SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.s = b.s),
+         |decon AS (SELECT doc_id, len(w) AS tokens FROM clw
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |kept AS (SELECT doc_id, tokens FROM decon
+         |         WHERE tokens >= 40 OR ${bucketSql("doc_id")} < 13107),
+         |p AS (SELECT CAST(doc_id % 4 AS INT) AS shard, doc_id, tokens,
+         |  CAST(COALESCE(sum(tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM kept)
+         |SELECT shard, start_offset // 2048 AS bin, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM p GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     // 16-byte frames, every 2nd sampled: all sampled frames are full except
     // possibly the last frame (index nf-1), included only when nf-1 is even
     "q_media_frames" ->

@@ -78,9 +78,22 @@ final class GraftRowLevelOperation(
     * operation must never do. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val catalog = new Catalog(SparkSession.active, warehouse)
-    catalog.recoverPendingMerges(topic)
-    val pending = catalog.listMergeIntents(topic)
-    if (pending.nonEmpty) throw new IllegalStateException(
+    // Statement-level patience at PLAN time, matching the commit-time
+    // loop ([[graft.engine.MergeCommit]]): a concurrent statement that is
+    // merely mid-commit clears within moments, so this plan WAITS for the
+    // intents to decide (bounded by [[Catalog.MergeCommitWaitMs]]) instead
+    // of erroring — two upsert streams interleaving on one topic then
+    // queue like Delta's, no caller retry loops. The refusal on timeout
+    // stays loud and typed: planning over an undecided commit pair is the
+    // one thing a row-level operation must never do.
+    val deadline = System.currentTimeMillis() + Catalog.MergeCommitWaitMs
+    var pending = { catalog.recoverPendingMerges(topic); catalog.listMergeIntents(topic) }
+    while (pending.nonEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250L)
+      catalog.recoverPendingMerges(topic)
+      pending = catalog.listMergeIntents(topic)
+    }
+    if (pending.nonEmpty) throw new graft.engine.ConcurrentMergeException(
       s"topic '$topic': a MERGE/UPDATE/DELETE commit pair is still " +
       s"undecided (intents: ${pending.keys.mkString(", ")}) — another " +
       "merge is in flight, or one crashed within the staleness horizon. " +

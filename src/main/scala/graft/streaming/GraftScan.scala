@@ -56,6 +56,11 @@ final class GraftScanBuilder(
   // files its version diff touches, identical to readChangeFeed options.
   private var verLo: Option[Long] = startingVerNum
   private var verHi: Option[Long] = endingVerNum
+  // pushed `_commit_timestamp` bounds (epoch ms) — translated to the same
+  // version window as `_commit_version` bounds at build() (Delta users
+  // overwhelmingly address a change feed by time, not version number)
+  private var tsLoMs: Option[Long] = None // inclusive
+  private var tsHiMs: Option[Long] = None // inclusive
 
   override def pruneColumns(required: StructType): Unit = {
     // the event schema (on a change-feed read: plus the CDF columns) plus
@@ -97,10 +102,49 @@ final class GraftScanBuilder(
       case EqualTo(a, v: Long) if cdf && a == GraftCdf.CommitVersionColumn =>
         verLo = Some(max(verLo, if (v == Long.MinValue) v else v - 1))
         verHi = Some(min(verHi, v)); true
+      // `_commit_timestamp` bounds: > and >= collapse to one inclusive
+      // ms-floored lower bound, < and <= to one ms-ceiled upper bound —
+      // the window translation is a SUPERSET either way (Spark re-applies
+      // the exact predicate on surfaced rows), so boundary slack only
+      // costs pruning, never correctness.
+      case GreaterThan(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
+          tsFloorMs(v).isDefined =>
+        tsLoMs = Some(max(tsLoMs, tsFloorMs(v).get)); true
+      case GreaterThanOrEqual(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
+          tsFloorMs(v).isDefined =>
+        tsLoMs = Some(max(tsLoMs, tsFloorMs(v).get)); true
+      case LessThan(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
+          tsCeilMs(v).isDefined =>
+        tsHiMs = Some(min(tsHiMs, tsCeilMs(v).get)); true
+      case LessThanOrEqual(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
+          tsCeilMs(v).isDefined =>
+        tsHiMs = Some(min(tsHiMs, tsCeilMs(v).get)); true
+      case EqualTo(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
+          tsFloorMs(v).isDefined =>
+        tsLoMs = Some(max(tsLoMs, tsFloorMs(v).get))
+        tsHiMs = Some(min(tsHiMs, tsCeilMs(v).get)); true
       case _ => false
     }
     pushed = accepted
     filters // Spark re-evaluates everything; we only skip data
+  }
+
+  /** A pushed timestamp literal's epoch millis, floored / ceiled across
+    * the sub-millisecond tail (commit times are FS mtimes — millisecond
+    * resolution). Spark hands `java.sql.Timestamp` by default and
+    * `java.time.Instant` under the java8 datetime API; anything else is
+    * simply not pushed. */
+  private def tsFloorMs(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case _ => None
+  }
+  private def tsCeilMs(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime + (if (t.getNanos % 1000000 != 0) 1L else 0L))
+    case i: java.time.Instant =>
+      Some(i.toEpochMilli + (if (i.getNano % 1000000 != 0) 1L else 0L))
+    case _ => None
   }
 
   private def intersect(s: Set[Int]): Set[Int] =
@@ -245,14 +289,30 @@ final class GraftScanBuilder(
         def wmOf(v: Long): Option[Map[Int, Long]] =
           try Some(catalog.watermarkAsOf(topic, v))
           catch { case scala.util.control.NonFatal(_) => None }
+        // pushed `_commit_timestamp` bounds resolve to the SAME version
+        // window (commit times are lock-serialized, hence monotone per
+        // topic — Catalog.versionAtTimestamp): the exclusive lower bound
+        // is the newest version strictly BEFORE tsLo, the inclusive upper
+        // the newest version at-or-before tsHi. Same leniency as the
+        // version clamp: an unresolvable bound (predates the retained
+        // log) skips its side of the clamp — only pruning is lost.
+        def verBefore(tsMs: Long): Option[Long] =
+          try Some(catalog.versionAtTimestamp(topic, tsMs))
+          catch { case scala.util.control.NonFatal(_) => None }
+        val effVerLo =
+          (verLo.toSeq ++ (if (cdf) tsLoMs.flatMap(t => verBefore(t - 1)) else None))
+            .reduceOption(math.max)
+        val effVerHi =
+          (verHi.toSeq ++ (if (cdf) tsHiMs.flatMap(verBefore) else None))
+            .reduceOption(math.min)
         val effStartingIds =
-          if (cdf && startingIds.isEmpty) verLo.flatMap(wmOf) else startingIds
+          if (cdf && startingIds.isEmpty) effVerLo.flatMap(wmOf) else startingIds
         val effAsOfIds =
-          if (cdf && asOfIds.isEmpty) verHi.flatMap(wmOf) else asOfIds
+          if (cdf && asOfIds.isEmpty) effVerHi.flatMap(wmOf) else asOfIds
         new GraftScan(catalog, topic, consumer, effective, requiredSchema,
           idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
           effAsOfIds, effStartingIds, perPartitionCap = limit, deleteMode = deleteMode,
-          cdf = cdf, startingVerNum = verLo, endingVerNum = verHi)
+          cdf = cdf, startingVerNum = effVerLo, endingVerNum = effVerHi)
     }
   }
 }

@@ -212,9 +212,15 @@ class MergeRecoverySpec extends SparkSpec {
          |WHEN MATCHED THEN UPDATE SET metadata = c.md
          |WHEN NOT MATCHED THEN INSERT (partition, event_id, metadata, data)
          |  VALUES (CAST(NULL AS INT), -1L, c.md, NULL)""".stripMargin): Unit
-    // undecidable window: the retry must REFUSE, never plan over the
-    // duplicate view (matching both copies would insert permanent dups)
-    val e = intercept[Exception](retry())
+    // undecidable window: the retry must REFUSE (after the compressed
+    // plan-time patience window — the intent cannot resolve while the
+    // marker reads live), never plan over the duplicate view (matching
+    // both copies would insert permanent dups)
+    val saved = Catalog.MergeCommitWaitMs
+    Catalog.MergeCommitWaitMs = 400L
+    val e =
+      try intercept[Exception](retry())
+      finally Catalog.MergeCommitWaitMs = saved
     assert(e.getMessage.contains("undecided"), e.getMessage)
     // the marker ages out (or a graceful failure path deletes it) → the
     // same retry heals first and applies exactly once
@@ -316,15 +322,123 @@ class MergeRecoverySpec extends SparkSpec {
     // merge B (planned BEFORE A's intent existed — plan-time refusal
     // cannot have caught it) must refuse at COMMIT, pre-visibility:
     // committing beside A would re-assert stale matched state once A's
-    // phase-2 delete lands (write skew)
+    // phase-2 delete lands (write skew). A NEVER-resolving foreign
+    // intent exhausts the statement-patience window (compressed here)
+    // and still surfaces loud and typed.
     val (stagingB, filesB) = stageActions(d)
     val before = tableState(topic)
-    val e = intercept[IllegalStateException](
-      MergeCommit.commit(spark, d.warehouse, "t", filesB, 3L, 3L, stagingB,
-        plannedVersion = Some(0L)))
+    val saved = Catalog.MergeCommitWaitMs
+    Catalog.MergeCommitWaitMs = 400L
+    val e =
+      try intercept[ConcurrentMergeException](
+        MergeCommit.commit(spark, d.warehouse, "t", filesB, 3L, 3L, stagingB,
+          plannedVersion = Some(0L)))
+      finally Catalog.MergeCommitWaitMs = saved
     assert(e.getMessage.contains("serialize"), e.getMessage)
     assert(tableState(topic) == before, "B must leave no trace")
     assert(cat.listMergeIntents("t").keySet == Set("mA"), "A's intent untouched")
+  }
+
+  test("statement patience: a MERGE queues behind a resolving foreign intent — both land") {
+    val (d, topic) = mkTopic()
+    val cat = d.catalog
+    // merge A mid-commit: produce committed, delete pending, marker fresh
+    // (a live driver between its phase 1 and phase 2)
+    val (stagingA, filesA) = stageActions(d)
+    val fs = new org.apache.hadoop.fs.Path(stagingA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(stagingA, "_inprogress")
+    fs.create(marker, true).close()
+    cat.acquireProduceLock("t")
+    try {
+      cat.reconcileProduceState("t")
+      cat.writeMergeIntent("t", "mA",
+        MergeIntent(stagingA, filesA, 3L, 3L, None))
+      new Producer(spark, cat, cat.openTopic("t")).produceHeld(
+        spark.read.schema(MergeCommit.ReadSchema).parquet(filesA: _*)
+          .filter(col("op") === 1)
+          .select(col("partition"), col("metadata"), col("data")),
+        ranges => cat.writeMergeIntent("t", "mA",
+          MergeIntent(stagingA, filesA, 3L, 3L,
+            Some(TxnRange.toRanges(ranges))))): Unit
+    } finally cat.releaseProduceLock("t")
+
+    // A's driver "dies" 600ms in: the heartbeat marker goes stale, making
+    // the intent decidable — B's own plan-time patience loop then heals A
+    // (rolls the delete forward) and proceeds. No caller retry loop.
+    val ager = new Thread(() => {
+      Thread.sleep(600L)
+      fs.setTimes(marker,
+        System.currentTimeMillis() - 2 * Catalog.CompactLockStaleMs, -1)
+    })
+    ager.start()
+    val sqlCat = "mergerec_queue"
+    spark.conf.set(s"spark.sql.catalog.$sqlCat", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$sqlCat.warehouse", d.warehouse)
+    import spark.implicits._
+    (4 to 6).map(k => (k.toLong, s"""{"k":$k,"v":"new2"}"""))
+      .toDF("k", "md").createOrReplaceTempView("queue_src")
+    val saved = Catalog.MergeCommitWaitMs
+    Catalog.MergeCommitWaitMs = 20000L
+    try spark.sql(
+      s"""MERGE INTO $sqlCat.t tgt USING queue_src c
+         |ON get_json_object(tgt.metadata, '$$.k') = CAST(c.k AS STRING)
+         |WHEN MATCHED THEN UPDATE SET metadata = c.md""".stripMargin): Unit
+    finally { Catalog.MergeCommitWaitMs = saved; ager.join() }
+
+    val after = tableState(topic)
+    assert(after.size == 10 && after.map(_._1).distinct.size == 10,
+      s"exactly one row per key after both merges: $after")
+    assert(after.filter(_._1 < 3).forall(_._2 == "new"),
+      s"A's interrupted UPDATE must have completed: $after")
+    assert(after.filter(t => t._1 >= 4 && t._1 <= 6).forall(_._2 == "new2"),
+      s"B's queued UPDATE must have landed: $after")
+    assert(after.filter(t => t._1 == 3 || t._1 > 6).forall(_._2 == "old"))
+    assert(cat.listMergeIntents("t").isEmpty)
+  }
+
+  test("phase-1 patience rides TYPED conflicts: a transient compact lock is waited out") {
+    val (d, topic) = mkTopic()
+    val cat = d.catalog
+    val (stagingDir, files) = stageActions(d)
+    // a "compaction" holds the topic for 600ms on its own thread (locks
+    // are owner-released); the latch guarantees it is live before the
+    // merge starts. The merge must WAIT (typed LockConflictException —
+    // no message-substring matching anywhere), then land whole.
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val compactor = new Thread(() => {
+      cat.acquireCompactLock("t")
+      held.countDown()
+      Thread.sleep(600L)
+      cat.releaseCompactLock("t")
+    })
+    compactor.start()
+    held.await()
+    // DIRECT caller: no pre-existing staging heartbeat — commit() must
+    // create (and own) the `_inprogress` marker itself, so a concurrent
+    // produce-path entry cannot read the mid-commit intent as dead
+    val marker = new org.apache.hadoop.fs.Path(stagingDir, "_inprogress")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(marker))
+    @volatile var markerSeenLive = false
+    val observer = new Thread(() => {
+      val deadline = System.currentTimeMillis() + 5000L
+      while (!markerSeenLive && System.currentTimeMillis() < deadline) {
+        if (fs.exists(marker)) markerSeenLive = true else Thread.sleep(20L)
+      }
+    })
+    observer.start()
+    val saved = Catalog.MergeCommitWaitMs
+    Catalog.MergeCommitWaitMs = 20000L
+    try MergeCommit.commit(spark, d.warehouse, "t", files, 3L, 3L, stagingDir,
+      plannedVersion = Some(cat.versionHistory("t").last.version))
+    finally { Catalog.MergeCommitWaitMs = saved; compactor.join(); observer.join() }
+    val after = tableState(topic)
+    assert(after.size == 10 && after.filter(_._1 < 3).forall(_._2 == "new"),
+      s"the merge must have waited out the compaction and landed whole: $after")
+    assert(markerSeenLive, "commit() must create the staging heartbeat when absent")
+    assert(!fs.exists(marker), "commit() must remove a marker it created")
+    assert(cat.listMergeIntents("t").isEmpty)
   }
 
   test("intent with no recorded ranges (died before produce fixed ids) rolls back") {

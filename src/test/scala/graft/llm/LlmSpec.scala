@@ -1229,4 +1229,40 @@ class LlmSpec extends SparkSpec {
     assert(!Similarity.appendToIndex(session, idx, shard, "day5"))
     assert(ids() == before)
   }
+
+  test("append path is GATED: a clean index pays one LIST and never the reap sweep") {
+    val idx = java.nio.file.Files.createTempDirectory("llm-ivf-gate").toString
+    Similarity.saveIndex(randVecs(95, 20), randVecs(96, 3, offset = 9000L), idx)
+    // clean index (one live version, no debris): the per-micro-batch
+    // append must cost one pointer read + ONE version-root LIST and no
+    // per-directory marker stats — the mark-and-reap sweep stays gated
+    // off the hot path (object-store request cost at high append cadence)
+    val sweeps0 = Similarity.staleSweeps.get()
+    val lists0 = Similarity.rootListings.get()
+    assert(Similarity.appendToIndex(session, idx, randVecs(97, 5, offset = 2000L), "s1"))
+    assert(Similarity.staleSweeps.get() == sweeps0,
+      "a clean append must not run the reap sweep")
+    assert(Similarity.rootListings.get() - lists0 == 1,
+      "a clean append must cost exactly one version-root LIST")
+    // debris present (the fold superseded v-1): the gate opens and the
+    // append sweeps — reap correctness is not lost, only deferred to
+    // appends that actually have something to look at (or maintenance)
+    Similarity.foldShards(session, idx)
+    val sweeps1 = Similarity.staleSweeps.get()
+    assert(Similarity.appendToIndex(session, idx, randVecs(98, 5, offset = 3000L), "s2"))
+    assert(Similarity.staleSweeps.get() == sweeps1 + 1,
+      "debris must open the gate: the append sweeps")
+    // a missing pointer (crashed flip) always sweeps: that heal is what
+    // keeps the append from failing outright
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/_current"), false)
+    assert(Similarity.appendToIndex(session, idx, randVecs(99, 5, offset = 4000L), "s3"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_current")),
+      "an append over a crashed flip must heal the pointer")
+    assert(Similarity.readIndexCells(session, idx).select("id").collect()
+      .map(_.getLong(0)).toSet ==
+      ((0L until 20L) ++ (2000L until 2005L) ++ (3000L until 3005L)
+        ++ (4000L until 4005L)).toSet)
+  }
 }

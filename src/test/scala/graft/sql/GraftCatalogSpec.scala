@@ -582,6 +582,60 @@ class GraftCatalogSpec extends SparkSpec {
     assert(full.filter(col("_change_type") === "insert").count() == 50L)
   }
 
+  test("t$changes: _commit_timestamp bounds push down to the same version window") {
+    import org.apache.spark.sql.functions._
+    val (cat, d) = newCatalog()
+    d.createTopic("cdfts", partitions = 2)
+    val topic = d.openTopic("cdfts")
+    def produce(lo: Int, hi: Int): Unit = topic.producer().produce {
+      import spark.implicits._
+      (lo until hi).map(i => (s"""{"k":$i}""", i % 2)).toDF("metadata", "partition")
+    }
+    produce(0, 20)
+    Thread.sleep(15L) // commit mtimes are ms-resolution; force distinct ones
+    produce(20, 50)
+    topic.deleteWhereVectored(
+      get_json_object(col("metadata"), "$.k").cast("long") < 5): Unit
+    val hist = topic.history().orderBy("version").collect()
+    val v1 = hist.head.getLong(0)
+    val vEnd = hist.last.getLong(0)
+    def lit(t: java.sql.Timestamp): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(t.getTime))
+    val ts1 = lit(hist.head.getAs[java.sql.Timestamp]("commit_time"))
+    val tsEnd = lit(hist.last.getAs[java.sql.Timestamp]("commit_time"))
+
+    // time-addressed span ≡ the version-addressed span ≡ the handle API
+    val byTs = spark.sql(
+      s"""SELECT _change_type, partition, event_id, metadata
+         |FROM $cat.`cdfts$$changes`
+         |WHERE _commit_timestamp > TIMESTAMP '$ts1'
+         |  AND _commit_timestamp <= TIMESTAMP '$tsEnd'""".stripMargin)
+    val api = topic.changes(v1, vEnd)
+      .select(col("_change_type"), col("partition"), col("event_id"), col("metadata"))
+    assert(byTs.collect().map(_.toString).sorted.toSeq ==
+      api.collect().map(_.toString).sorted.toSeq)
+
+    // the timestamp bounds reach the SCAN: same planned-row proof as the
+    // version-bound test — the clamped span must plan strictly fewer rows
+    // than the full feed (files pruned by the version-diff id window)
+    def plannedRows(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.rowCount.getOrElse(
+        df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.rowCount
+          .getOrElse(BigInt(Long.MaxValue))).sum)
+    val full = spark.sql(s"SELECT * FROM $cat.`cdfts$$changes`")
+    assert(plannedRows(byTs) < plannedRows(full),
+      s"time-bounded span must plan fewer rows: ${plannedRows(byTs)} vs ${plannedRows(full)}")
+
+    // a lower bound that predates the retained log is LENIENT: no clamp,
+    // full correctness (Spark re-applies the predicate on surfaced rows)
+    val early = spark.sql(
+      s"""SELECT _change_type FROM $cat.`cdfts$$changes`
+         |WHERE _commit_timestamp >= TIMESTAMP '1999-01-01 00:00:00'""".stripMargin)
+    assert(early.filter(col("_change_type") === "insert").count() == 50L)
+  }
+
   test("CTAS: CREATE TABLE AS SELECT produces into a fresh topic") {
     import spark.implicits._
     val (cat, d) = newCatalog()
