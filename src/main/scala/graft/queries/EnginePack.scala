@@ -1533,6 +1533,49 @@ object EnginePack extends QueryPack {
            |GROUP BY change_type, partition
            |ORDER BY change_type, partition""".stripMargin)
     },
+    "q_cdf_ts_prune" -> { (s, dir) =>
+      // PRUNING-VISIBLE time-addressed change feed: 8 produces = 8
+      // versions over the WHOLE events table, then a `_commit_timestamp`
+      // window addressing ONLY the last produce. The pushed bounds
+      // resolve to the version-diff id window (strict `>` on the 7th
+      // commit's exact ms time — the bound shape that used to throw
+      // inside versionAtTimestamp and silently plan the full feed), so
+      // the scan plans ~1/8 of the topic's files; at 100 TB that is the
+      // difference between reading a version diff and scanning the
+      // topic. Graded per partition against the last slice of events.
+      val d = tempDriver(s)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      d.createTopic("cdf_ts_prune", partitions = 4)
+      val topic = d.openTopic("cdf_ts_prune")
+      val total = t(s, dir, "events").count()
+      (0 until 8).foreach { i =>
+        topic.producer().produce(
+          sourceByEidRange(s, dir, i * (total / 8), (i + 1) * (total / 8)))
+        Thread.sleep(15L) // distinct ms mtimes: time window == version window
+      }
+      val times = topic.history().orderBy("version").collect()
+        .map(_.getAs[java.sql.Timestamp]("commit_time"))
+      def fmt(ts: java.sql.Timestamp): String =
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(ts.getTime))
+      val t7 = fmt(times(times.length - 2)) // 7th produce — strict lower bound
+      val t8 = fmt(times.last)              // 8th (last) produce — inclusive upper
+      s.sql(
+        s"""SELECT partition, count(*) AS cnt, sum(k) AS sum_eid,
+           |  min(k) AS min_eid, max(k) AS max_eid
+           |FROM (
+           |  SELECT partition,
+           |    CAST(get_json_object(metadata, '$$.eid') AS BIGINT) AS k
+           |  FROM $cat.`cdf_ts_prune$$changes`
+           |  WHERE _commit_timestamp > TIMESTAMP '$t7'
+           |    AND _commit_timestamp <= TIMESTAMP '$t8')
+           |GROUP BY partition
+           |ORDER BY partition""".stripMargin)
+    },
     "q_clone" -> { (s, dir) =>
       // SHALLOW CLONE: a new topic referencing the source's committed
       // files — O(metadata), zero data copied (the clone's log dir holds
@@ -2789,6 +2832,15 @@ object EnginePack extends QueryPack {
         |  FROM events WHERE event_id < 640 AND event_id % 7 = 0
         |  GROUP BY 2
         |) ORDER BY change_type, partition""".stripMargin,
+    // the last of 8 equal produce slices over the dense 0..N-1 id space
+    "q_cdf_ts_prune" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events
+        |WHERE event_id >= 7 * ((SELECT count(*) FROM events) // 8)
+        |  AND event_id < 8 * ((SELECT count(*) FROM events) // 8)
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
     // the clone = pre-clone survivors (eid%5 vectored out) + its own
     // produce; the source's post-clone rows/deletes are invisible to it
     "q_clone" ->

@@ -105,10 +105,13 @@ object TextPack extends QueryPack {
       // re-derives EVERY stage from the raw documents table (including
       // the all-pairs Jaccard verify and the 8-gram contamination join),
       // so the COMPOSITION is graded, not just the parts. Planted rows
-      // make each removal stage falsifiable: exact copies (ids +1e6)
-      // must die in dedup, verbatim benchmark copies (ids +2e6) in
-      // decontamination — a stage that silently passes everything (or
-      // drops everything) breaks the manifest counts.
+      // make each removal stage falsifiable: BOTH planted sets (ids +1e6
+      // and +2e6) are exact text copies, so md5 dedup kills them and
+      // keeps the min-id originals — the benchmark members (doc_id < 10)
+      // thus reach decontamination as themselves and must die THERE (they
+      // are verbatim benchmark text). A dedup that passes everything
+      // leaks 35 copies into the manifest; a decontamination that flags
+      // nothing leaks the 10 originals — either breaks the graded counts.
       val d = EnginePack.tempDriver(s)
       d.createTopic("pipe_full", partitions = 4)
       val topic = d.openTopic("pipe_full")

@@ -87,11 +87,25 @@ final class GraftRowLevelOperation(
     // stays loud and typed: planning over an undecided commit pair is the
     // one thing a row-level operation must never do.
     val deadline = System.currentTimeMillis() + Catalog.MergeCommitWaitMs
-    var pending = { catalog.recoverPendingMerges(topic); catalog.listMergeIntents(topic) }
+    // recoverPendingMerges can itself hit transient typed contention (e.g.
+    // the roll-forward's vector commit refusing under a foreign live
+    // compaction) — that is exactly the condition this loop exists to
+    // outwait, so a conflict inside recovery retries under the same
+    // deadline instead of escaping and bypassing the bounded wait. The
+    // sentinel re-enters the loop with intents still listed, so the
+    // timeout refusal below stays loud either way.
+    def settle(): Map[String, graft.engine.MergeIntent] =
+      try { catalog.recoverPendingMerges(topic); catalog.listMergeIntents(topic) }
+      catch { case _: graft.engine.LockConflictException =>
+        catalog.listMergeIntents(topic) match {
+          case m if m.nonEmpty => m
+          case _ => Map("(recovery blocked by a live lock)" -> null)
+        }
+      }
+    var pending = settle()
     while (pending.nonEmpty && System.currentTimeMillis() < deadline) {
       Thread.sleep(250L)
-      catalog.recoverPendingMerges(topic)
-      pending = catalog.listMergeIntents(topic)
+      pending = settle()
     }
     if (pending.nonEmpty) throw new graft.engine.ConcurrentMergeException(
       s"topic '$topic': a MERGE/UPDATE/DELETE commit pair is still " +

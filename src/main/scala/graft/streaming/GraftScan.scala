@@ -59,8 +59,8 @@ final class GraftScanBuilder(
   // pushed `_commit_timestamp` bounds (epoch ms) — translated to the same
   // version window as `_commit_version` bounds at build() (Delta users
   // overwhelmingly address a change feed by time, not version number)
-  private var tsLoMs: Option[Long] = None // inclusive
-  private var tsHiMs: Option[Long] = None // inclusive
+  private var tsLoMs: Option[Long] = None // versionAtTimestamp arg: excl-lower version = verBefore(this)
+  private var tsHiMs: Option[Long] = None // versionAtTimestamp arg: incl-upper version = verBefore(this)
 
   override def pruneColumns(required: StructType): Unit = {
     // the event schema (on a change-feed read: plus the CDF columns) plus
@@ -102,27 +102,35 @@ final class GraftScanBuilder(
       case EqualTo(a, v: Long) if cdf && a == GraftCdf.CommitVersionColumn =>
         verLo = Some(max(verLo, if (v == Long.MinValue) v else v - 1))
         verHi = Some(min(verHi, v)); true
-      // `_commit_timestamp` bounds: > and >= collapse to one inclusive
-      // ms-floored lower bound, < and <= to one ms-ceiled upper bound —
-      // the window translation is a SUPERSET either way (Spark re-applies
-      // the exact predicate on surfaced rows), so boundary slack only
-      // costs pruning, never correctness.
+      // `_commit_timestamp` bounds translate, STRICTNESS PRESERVED, to
+      // the argument later handed to Catalog.versionAtTimestamp (commit
+      // times are ms-resolution FS mtimes, lock-serialized hence monotone
+      // per topic). Lower side (exclusive-lower version = verBefore(arg)):
+      // `> v` excludes times <= v, so arg = floor(v); `>= v` excludes
+      // times < v, i.e. <= ceil(v)-1, so arg = ceil(v)-1. Upper side
+      // (inclusive-upper version = verBefore(arg)): `< v` keeps times
+      // <= ceil(v)-1; `<= v` keeps times <= floor(v). The translation is
+      // a SUPERSET either way (Spark re-applies the exact predicate on
+      // surfaced rows), so any residual slack only costs pruning, never
+      // correctness — but at exact-ms bounds (the common case: values read
+      // from history()) the window is now TIGHT, where the former
+      // floor/ceil conflation planned the full feed.
       case GreaterThan(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
           tsFloorMs(v).isDefined =>
         tsLoMs = Some(max(tsLoMs, tsFloorMs(v).get)); true
       case GreaterThanOrEqual(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
-          tsFloorMs(v).isDefined =>
-        tsLoMs = Some(max(tsLoMs, tsFloorMs(v).get)); true
+          tsCeilMs(v).isDefined =>
+        tsLoMs = Some(max(tsLoMs, satDec(tsCeilMs(v).get))); true
       case LessThan(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
           tsCeilMs(v).isDefined =>
-        tsHiMs = Some(min(tsHiMs, tsCeilMs(v).get)); true
+        tsHiMs = Some(min(tsHiMs, satDec(tsCeilMs(v).get))); true
       case LessThanOrEqual(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
-          tsCeilMs(v).isDefined =>
-        tsHiMs = Some(min(tsHiMs, tsCeilMs(v).get)); true
+          tsFloorMs(v).isDefined =>
+        tsHiMs = Some(min(tsHiMs, tsFloorMs(v).get)); true
       case EqualTo(a, v) if cdf && a == GraftCdf.CommitTimestampColumn &&
           tsFloorMs(v).isDefined =>
-        tsLoMs = Some(max(tsLoMs, tsFloorMs(v).get))
-        tsHiMs = Some(min(tsHiMs, tsCeilMs(v).get)); true
+        tsLoMs = Some(max(tsLoMs, satDec(tsCeilMs(v).get)))
+        tsHiMs = Some(min(tsHiMs, tsFloorMs(v).get)); true
       case _ => false
     }
     pushed = accepted
@@ -154,6 +162,8 @@ final class GraftScanBuilder(
   /** Saturating +1: `event_id <= Long.MaxValue` must not wrap to MinValue
     * and skip-everything. */
   private def satInc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+  /** Saturating -1 for timestamp-bound translation at the MinValue edge. */
+  private def satDec(v: Long): Long = if (v == Long.MinValue) v else v - 1
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -291,20 +301,22 @@ final class GraftScanBuilder(
           catch { case scala.util.control.NonFatal(_) => None }
         // pushed `_commit_timestamp` bounds resolve to the SAME version
         // window (commit times are lock-serialized, hence monotone per
-        // topic — Catalog.versionAtTimestamp): the exclusive lower bound
-        // is the newest version strictly BEFORE tsLo, the inclusive upper
-        // the newest version at-or-before tsHi. Same leniency as the
-        // version clamp: an unresolvable bound (predates the retained
-        // log) skips its side of the clamp — only pruning is lost.
+        // topic — Catalog.versionAtTimestamp): pushFilters already
+        // translated each bound's strictness into the verBefore ARGUMENT
+        // (`> t` → t, `>= t` → t-1 at ms resolution), so both sides call
+        // verBefore directly. Same leniency as the version clamp: an
+        // unresolvable bound (predates the retained log) skips its side
+        // of the clamp — for the lower side that is also vacuous (every
+        // retained version already satisfies it), so no pruning is lost.
         def verBefore(tsMs: Long): Option[Long] =
           try Some(catalog.versionAtTimestamp(topic, tsMs))
           catch { case scala.util.control.NonFatal(_) => None }
         val effVerLo =
-          (verLo.toSeq ++ (if (cdf) tsLoMs.flatMap(t => verBefore(t - 1)) else None))
-            .reduceOption(math.max)
+          (verLo.toSeq ++ (if (cdf) tsLoMs.flatMap(verBefore) else None).toSeq)
+            .reduceOption(_ max _)
         val effVerHi =
-          (verHi.toSeq ++ (if (cdf) tsHiMs.flatMap(verBefore) else None))
-            .reduceOption(math.min)
+          (verHi.toSeq ++ (if (cdf) tsHiMs.flatMap(verBefore) else None).toSeq)
+            .reduceOption(_ min _)
         val effStartingIds =
           if (cdf && startingIds.isEmpty) effVerLo.flatMap(wmOf) else startingIds
         val effAsOfIds =
