@@ -1068,18 +1068,83 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def deletesDir(name: String): Path = new Path(topicPath(name), "_deletes")
 
   /** Committed delete-vector relations (parquet directories under
-    * `_deletes/`), sorted by name. Staged `tmp-` writes and roots a fold
-    * already superseded (`_folded` marker — kept on disk until vacuum so
-    * in-flight plans that referenced them by path stay readable) are
-    * never listed. */
-  def deleteVectorFiles(name: String): Seq[String] = {
+    * `_deletes/`), sorted by name. Staged `tmp-`/`txn-` writes, roots a
+    * fold already superseded (`_folded` marker — kept on disk until vacuum
+    * so in-flight plans that referenced them by path stay readable), and
+    * roots GATED behind an undecided transaction (`_txn` marker — see
+    * [[stageTxnDelete]]) are never listed. */
+  def deleteVectorFiles(name: String): Seq[String] =
+    vectorRootInventory(name)._1
+
+  /**
+   * One `_deletes/` listing serving every consumer: committed-VISIBLE
+   * roots (sorted — what [[deleteVectorFiles]] returns) plus the
+   * transaction-GATED roots with their gate states (what the CDF frontier
+   * holdback and the conflict check consult). The per-root sub-listing
+   * replaces the old per-root `_folded` exists() probe at the same IO
+   * cost (one call per root) and answers both markers at once.
+   *
+   * Gate resolution is the ATOMIC-VISIBILITY read side: a root whose
+   * `_txn` marker names a COMMITTED transaction is visible (its marker is
+   * then lazily removed so later listings skip the state read — safe, the
+   * state is terminal and Spark's file index ignores `_`-prefixed files);
+   * open or aborted keeps it invisible. A marker naming a MISSING
+   * transaction record is crash debris of a purged ABORT (committed
+   * records are never removed — see [[removeTxn]]) and stays invisible
+   * until vacuum reaps it.
+   */
+  private[engine] def vectorRootInventory(
+      name: String): (Seq[String], Seq[(String, Catalog.VectorGate)]) = {
     Catalog.deletesListings.incrementAndGet(): Unit
     val dir = deletesDir(name)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-") &&
-        !fs.exists(new Path(s.getPath, Catalog.FoldedMarker)))
-      .map(_.getPath.toString).sorted.toSeq
+    if (!fs.exists(dir)) return (Seq.empty, Seq.empty)
+    val visible = Vector.newBuilder[String]
+    val gated = Vector.newBuilder[(String, Catalog.VectorGate)]
+    fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
+      .foreach { s =>
+        val entries = fs.listStatus(s.getPath).map(_.getPath.getName).toSet
+        if (!entries.contains(Catalog.FoldedMarker)) {
+          if (!entries.contains(Catalog.TxnGateMarker))
+            visible += s.getPath.toString
+          else {
+            val marker = new Path(s.getPath, Catalog.TxnGateMarker)
+            readStringResilient(marker).map(_.trim) match {
+              case None => // marker vanished under us: un-gated concurrently
+                visible += s.getPath.toString
+              case Some(txnId) =>
+                // a corrupt marker (invalid id chars) must not break every
+                // reader's listing — fail closed, vacuum reaps it
+                val st = try txnState(name, txnId)
+                  catch { case _: IllegalArgumentException => None }
+                st match {
+                case Some(st) if st.state == "committed" =>
+                  fs.delete(marker, false): Unit // lazy un-gate
+                  visible += s.getPath.toString
+                case Some(st) =>
+                  gated += s.getPath.toString -> Catalog.VectorGate(txnId, st.state)
+                case None =>
+                  gated += s.getPath.toString -> Catalog.VectorGate(txnId, "missing")
+              }
+            }
+          }
+        }
+      }
+    (visible.result().sorted, gated.result())
+  }
+
+  /** One-listing probe for the CDF frontier holdback
+    * ([[graft.streaming]]): (versions of VISIBLE roots, versions of roots
+    * gated by an OPEN transaction — undecided, hold the frontier
+    * indefinitely, versions of roots whose gate is decided-DEAD — aborted
+    * or purged, never coming, stop holding). */
+  private[graft] def cdfVectorRootProbe(name: String): (Set[Long], Set[Long], Set[Long]) = {
+    val (visible, gated) = vectorRootInventory(name)
+    val open = gated.collect { case (p, g) if g.state == "open" => p }
+    val dead = gated.collect { case (p, g) if g.state != "open" => p }
+    (visible.flatMap(vectorRootVersions).toSet,
+      open.flatMap(vectorRootVersions).toSet,
+      dead.flatMap(vectorRootVersions).toSet)
   }
 
   /** The union of the topic's deletion vectors as a `(partition, event_id)`
@@ -1197,16 +1262,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     *
     * Plain produces never match either side. `plannedVersion = -1` =
     * planned against an empty topic (any removal evidence conflicts). */
-  private[engine] def failOnRowRemovalSince(name: String, plannedVersion: Long): Unit = {
+  private[engine] def failOnRowRemovalSince(name: String, plannedVersion: Long,
+                                            exemptTxn: Option[String] = None): Unit = {
     // version evidence only — sidecar entries or the root-name tag, NO
     // footer reads (this runs inside the row-level commit's serialized
     // window). A version-less legacy root (pre-tag name, or a -1 sidecar
     // entry a fold carried forward) reports -1 and must CONFLICT: its age
     // cannot be proven against the plan.
-    val removals = deleteVectorFiles(name)
+    val (visibleRoots, gatedRoots) = vectorRootInventory(name)
+    val removals = visibleRoots
       .flatMap(f => vectorRootSidecar(f).map(_.map(_.version))
         .getOrElse(Seq(Catalog.vectorRootVersion(f).getOrElse(-1L))))
       .filter(v => v > plannedVersion || v < 0).distinct.sorted
+    failOnUndecidedTxnGates(name, gatedRoots, exemptTxn)
     lazy val folded =
       plannedVersion >= 0 && !versionHistory(name).exists(_.version == plannedVersion)
     if (removals.nonEmpty || folded) throw new IllegalStateException(
@@ -1226,12 +1294,35 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
          ". Re-run the statement against the current state") + ".")
   }
 
+  /** A root gated by an OPEN transaction is an UNDECIDED removal no
+    * concurrent row-level commit can account for (its version tag may sit
+    * below any plan, yet its deletes flip visible retroactively at that
+    * transaction's commit, and an overlapping new vector would break the
+    * disjoint-roots invariant behind [[deletedCountsByPartition]]) —
+    * conservative loud refusal, the mirror of the version-less-root rule.
+    * Aborted/purged gates never apply and are ignored (vacuum reaps
+    * them). `exemptTxn` lets a transaction's OWN commit re-check without
+    * tripping over roots it promoted itself. */
+  private def failOnUndecidedTxnGates(
+      name: String, gated: Seq[(String, Catalog.VectorGate)],
+      exemptTxn: Option[String]): Unit = {
+    val undecided = gated.collect {
+      case (_, g) if g.state == "open" && !exemptTxn.contains(g.txnId) => g.txnId
+    }.distinct
+    if (undecided.nonEmpty) throw new IllegalStateException(
+      s"topic '$name': concurrent modification — open transaction(s) " +
+      s"${undecided.mkString(", ")} hold undecided delete vectors mid-" +
+      "commit. Retry after they commit or abort (a crashed one must be " +
+      "decided by its owner: resume and commit, or abort it).")
+  }
+
   /** The vector-commit body (stage → count → gap marker → noted manifest
     * commit → rename → auto-fold) — callers hold the compact lock. */
   private def commitVectorsLocked(
       name: String, matched: org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     {
+      failOnUndecidedTxnGates(name, vectorRootInventory(name)._2, exemptTxn = None)
       val dir = deletesDir(name)
       fs.mkdirs(dir): Unit
       // staged under a NON-hidden name (a dot prefix would make Spark's
@@ -1732,10 +1823,32 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // disk for in-flight plans that referenced them by path — see
     // compactDeleteVectorsLocked)
     val delDir = deletesDir(name)
+    // a `txn-` staging's / gated root's owning transaction, when readable
+    def gateState(p: Path): Option[String] =
+      readStringResilient(new Path(p, Catalog.TxnGateMarker)).map(_.trim)
+        .map(id => (try txnState(name, id)
+          catch { case _: IllegalArgumentException => None })
+          .map(_.state).getOrElse("missing"))
     if (fs.exists(delDir)) fs.listStatus(delDir).foreach { s =>
       if (s.isDirectory && s.getPath.getName.startsWith("tmp-") &&
           s.getModificationTime < horizon) {
         tmps += 1; drop(s.getPath, recursive = true)
+      } else if (s.isDirectory && s.getPath.getName.startsWith("txn-")) {
+        // multi-statement transaction stagings: an OPEN transaction's
+        // ADOPTED staging is live data whatever its age; everything else
+        // — decided (aborted reaps eagerly, committed renames), purged,
+        // markerless, or an unadopted staging past the staleness horizon
+        // (a crash between staging and the state append) — is debris
+        val st = gateState(s.getPath)
+        val adopted = st.contains("open") &&
+          readStringResilient(new Path(s.getPath, Catalog.TxnGateMarker))
+            .map(_.trim)
+            .flatMap(id => try txnState(name, id)
+              catch { case _: IllegalArgumentException => None })
+            .exists(_.deletes.exists(_.staged == s.getPath.toString))
+        val dead = st.forall(x => x == "aborted" || x == "missing") ||
+          (!adopted && s.getModificationTime < horizon)
+        if (dead) { tmps += 1; drop(s.getPath, recursive = true) }
       } else if (s.isDirectory && s.getPath.getName.startsWith("d-")) {
         val marker = new Path(s.getPath, Catalog.FoldedMarker)
         try {
@@ -1743,6 +1856,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             tmps += 1; drop(s.getPath, recursive = true)
           }
         } catch { case _: java.io.FileNotFoundException => }
+        // a root gated by a DECIDED-DEAD transaction (aborted, or its
+        // record purged — committed records are never removed) never
+        // becomes visible: reap it (the abort path's eager reap and
+        // purgeAborted usually get here first). `exists`, not `forall`:
+        // a marker that vanishes between the listing and the read is a
+        // commit's eager un-gate — the root is LIVE committed data
+        if (gateState(s.getPath).exists(x => x == "aborted" || x == "missing")) {
+          tmps += 1; drop(s.getPath, recursive = true)
+        }
       }
     }
     // 5. staged MERGE actions from a driver that died before its commit's
@@ -2534,11 +2656,207 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       st.copy(ranges = st.ranges ++ TxnRange.toRanges(ranges)).toJson)
   }
 
-  /** Commit: one atomic metadata write; reconciles first so a crashed
-    * produce's phantom intent can never be committed as data. */
-  def commitTxn(name: String, txnId: String): Unit = setTxnState(name, txnId, "committed")
+  /**
+   * Commit: one atomic metadata write; reconciles first so a crashed
+   * produce's phantom intent can never be committed as data.
+   *
+   * A transaction with staged DELETES ([[stageTxnDelete]]) first promotes
+   * each staging to a GATED `d-*` root under the compact lock
+   * ([[rootTxnDeletes]] — the roots carry a `_txn` marker and stay
+   * invisible to every listing), then flips the state: the flip is the
+   * ONE visibility point at which the produces' id ranges and the
+   * deletes' vector roots appear together. A crash between the two
+   * phases leaves the transaction open with rooted-but-gated vectors —
+   * retrying this commit resumes idempotently (already-rooted stagings
+   * are skipped), and the CDF frontier holds below the gated roots'
+   * noted commits until the transaction decides
+   * ([[GraftMicroBatchStream.cdfFrontier]] via [[cdfVectorRootProbe]]).
+   */
+  def commitTxn(name: String, txnId: String): Unit = {
+    val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+      s"unknown transaction '$txnId' on topic '$name'"))
+    val rooted =
+      if (st.state == "open" && st.deletes.nonEmpty)
+        rootTxnDeletes(name, txnId, st.deletes)
+      else Vector.empty[String]
+    setTxnState(name, txnId, "committed")
+    // eager un-gate (best effort — every listing also un-gates lazily):
+    // later reads skip the per-root transaction-state lookup
+    rooted.foreach { r =>
+      try { fs.delete(new Path(new Path(r), Catalog.TxnGateMarker), false): Unit }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 
-  def abortTxn(name: String, txnId: String): Unit = setTxnState(name, txnId, "aborted")
+  def abortTxn(name: String, txnId: String): Unit = {
+    setTxnState(name, txnId, "aborted")
+    // reclaim the transaction's staged/gated delete vectors. No lock
+    // needed: the gate fails closed, so no reader ever listed these, and
+    // folds skip gated roots; [[TopicHandle.purgeAborted]] and vacuum are
+    // the backstops if this best-effort pass dies
+    txnState(name, txnId).foreach(st => reapTxnDeletes(name, st))
+  }
+
+  /** Physically remove a decided-dead transaction's delete stagings and
+    * gated roots (abort cleanup; also purgeAborted's backstop). */
+  private[engine] def reapTxnDeletes(name: String, st: TxnState): Unit =
+    st.deletes.foreach { d =>
+      try {
+        fs.delete(new Path(d.staged), true): Unit
+        txnRootsBySuffix(name).get(d.suffix)
+          .foreach(p => fs.delete(new Path(p), true): Unit)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** `d-*` roots keyed by their trailing staging suffix — the commit
+    * retry's "already promoted?" lookup (root names are
+    * `d-<ms>-v<ver>-<suffix>`; suffixes are dash-free, so the last
+    * segment is the suffix). */
+  private def txnRootsBySuffix(name: String): Map[String, String] = {
+    val dir = deletesDir(name)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("d-"))
+      .map { s =>
+        val n = s.getPath.getName
+        n.substring(n.lastIndexOf('-') + 1) -> s.getPath.toString
+      }.toMap
+  }
+
+  /**
+   * Stage one in-transaction DELETE statement (see
+   * [[TransactionalProducer.deleteWhere]]): match `cond` NOW — against
+   * the vector-applied log minus every OTHER live transaction's rows
+   * (snapshot + own writes: this transaction's own produced rows ARE
+   * deletable, the upsert-txn shape) and minus rows this transaction
+   * already staged (keeps eventual roots disjoint, so
+   * [[deletedCountsByPartition]] stays exact) — write the matched ids as
+   * a never-listed `txn-<suffix>` staging under `_deletes/` with the
+   * `_txn` gate marker already inside (the commit's rename carries it
+   * along), and record the staging in the transaction's state.
+   *
+   * Nothing becomes visible here: no gap marker, no manifest note, no
+   * `d-*` root. The commit owns the entire publish ceremony
+   * ([[rootTxnDeletes]]), re-checking `plannedVersion` first.
+   */
+  private[engine] def stageTxnDelete(name: String, txnId: String,
+                                     cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (staged, n, planned) = {
+      acquireCompactLock(name) // stable log: serialize vs rewrites/folds
+      try {
+        val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+          s"unknown transaction '$txnId' on topic '$name'"))
+        if (st.state != "open") throw new IllegalStateException(
+          s"transaction '$txnId' on topic '$name' is ${st.state}, not open")
+        val base = fullLogDF(name) match {
+          case None => return 0L
+          case Some(df) => applyDeleteVectors(name, df)
+        }
+        // visibility of the match = committed rows + own produced rows
+        val foreign = listTxns(name)
+          .filter { case (id, t) => id != txnId && t.state != "committed" }
+          .values.flatMap(_.ranges).filter(_.count > 0L).toSeq
+        val visible =
+          if (foreign.isEmpty) base
+          else base.filter(!foreign.map(r =>
+            col("partition") === r.partition &&
+              col("event_id") >= r.first &&
+              col("event_id") < r.first + r.count).reduce(_ || _))
+        val own = st.deletes
+          .map(d => spark.read.schema(Catalog.DeleteSchema).parquet(d.staged))
+          .reduceOption(_.unionByName(_))
+        val dedup = own match {
+          case None => visible
+          case Some(o) => visible.join(o, Seq("partition", "event_id"), "left_anti")
+        }
+        val matched = dedup.filter(coalesce(cond, lit(false)))
+          .select(col("partition"), col("event_id"))
+        val dir = deletesDir(name)
+        fs.mkdirs(dir): Unit
+        // dash-free suffix: the root name's last segment must BE the
+        // suffix (see txnRootsBySuffix)
+        val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+        val stagedPath = new Path(dir, s"txn-$suffix")
+        // same layout as committed roots — the rename at commit is the
+        // entire promotion (directory-partitioned, ids sorted within)
+        matched.repartition(col("partition"))
+          .sortWithinPartitions(col("event_id"))
+          .write.partitionBy("partition").parquet(stagedPath.toString)
+        val count = spark.read.schema(Catalog.DeleteSchema)
+          .parquet(stagedPath.toString).count()
+        if (count == 0L) { fs.delete(stagedPath, true): Unit; return 0L }
+        writeAtomic(new Path(stagedPath, Catalog.TxnGateMarker), txnId)
+        val planned = versionHistory(name).lastOption.map(_.version).getOrElse(-1L)
+        (stagedPath, count, planned)
+      } finally releaseCompactLock(name)
+    }
+    // adopt the staging into the transaction's state under the produce
+    // lock (the lock every other writer of this file holds; the compact
+    // lock must be released first — the two never nest). A crash in
+    // between leaves an unadopted `txn-` staging: never read, reaped by
+    // vacuum once aged.
+    acquireProduceLock(name)
+    try {
+      val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+        s"unknown transaction '$txnId' on topic '$name'"))
+      if (st.state != "open") {
+        fs.delete(staged, true): Unit
+        throw new IllegalStateException(
+          s"transaction '$txnId' on topic '$name' is ${st.state}, not open")
+      }
+      writeAtomic(txnPath(name, txnId), st.copy(deletes = st.deletes :+
+        TxnDelete(staged.toString, staged.getName.stripPrefix("txn-"),
+          n, planned)).toJson)
+      n
+    } finally releaseProduceLock(name)
+  }
+
+  /**
+   * Phase A of a multi-statement commit: promote each staged transaction
+   * delete to a GATED `d-*` root under the compact lock — conflict check
+   * first (strictest planned version wins; own gated roots exempt), then
+   * per staging the standard vector publish ceremony (gap marker, noted
+   * manifest commit, rename) minus visibility: the `_txn` marker rides
+   * the rename, so the roots stay invisible until the caller's state
+   * flip. Idempotent — a commit retry after a crash skips stagings whose
+   * roots already exist. Returns every rooted path (new and pre-existing).
+   */
+  private[engine] def rootTxnDeletes(name: String, txnId: String,
+                                     deletes: Vector[TxnDelete]): Vector[String] = {
+    acquireCompactLock(name)
+    try {
+      val existing = txnRootsBySuffix(name)
+      val pending = deletes.filterNot(d => existing.contains(d.suffix))
+      val already = deletes.flatMap(d => existing.get(d.suffix))
+      if (pending.isEmpty) return already
+      pending.foreach { d =>
+        if (!fs.exists(new Path(d.staged))) throw new IllegalStateException(
+          s"topic '$name': transaction '$txnId' staged delete " +
+          s"'${d.suffix}' no longer exists — a log rewrite " +
+          "(compact/expire/purge) cleared the staging. Abort the " +
+          "transaction and re-run it against the current state.")
+      }
+      failOnRowRemovalSince(name, pending.map(_.plannedVersion).min,
+        exemptTxn = Some(txnId))
+      // gap marker before any root can ever become visible — same
+      // ordering contract as commitVectorsLocked
+      markIdGaps(name)
+      val rooted = Vector.newBuilder[String]
+      rooted ++= already
+      pending.foreach { d =>
+        updateManifest(name, nextIds(name), note = Some(Catalog.DeleteVectorNote))
+        val version = versionHistory(name).lastOption.map(_.version).getOrElse(0L)
+        val committed = new Path(deletesDir(name),
+          s"d-${System.currentTimeMillis()}-v$version-${d.suffix}")
+        if (!fs.rename(new Path(d.staged), committed))
+          throw new java.io.IOException(
+            s"commitTxn: cannot promote staged delete ${d.staged}")
+        rooted += committed.toString
+      }
+      rooted.result()
+    } finally releaseCompactLock(name)
+  }
 
   private def setTxnState(name: String, txnId: String, target: String): Unit = {
     acquireProduceLock(name)
@@ -2910,6 +3228,20 @@ object Catalog {
     * roots disappear from listings but stay physically readable for
     * in-flight plans; vacuum reaps them past the staleness horizon. */
   private[engine] val FoldedMarker = "_folded"
+
+  /** A delete-vector root's transaction gate, when present: (txnId, its
+    * state — `open` | `aborted` | `missing`; committed gates resolve to
+    * visibility inside [[Catalog.vectorRootInventory]] and are never
+    * returned). */
+  private[engine] final case class VectorGate(txnId: String, state: String)
+
+  /** Transaction gate inside a delete-vector root (or its `txn-` staging
+    * dir): a file holding the owning transaction id. While present, the
+    * root is visible ONLY once that transaction's state reads `committed`
+    * — the mechanism that makes a multi-statement transaction's deletes
+    * and produces flip visible in ONE atomic state write
+    * ([[Catalog.commitTxn]]). */
+  private[engine] val TxnGateMarker = "_txn"
 
   /** Lock staleness horizon (produce AND compact locks): a lock file whose
     * mtime is older than this is presumed a crashed owner's leftover and

@@ -277,6 +277,10 @@ final class TopicHandle(spark: SparkSession,
         col("partition") === r.partition &&
           col("event_id") >= r.first &&
           col("event_id") < r.first + r.count).reduce(_ || _), chunkMaxRecords)
+    // delete-vector debris BEFORE the record removal: a root gated by a
+    // MISSING record is only provably dead because records are removed
+    // strictly after their debris (abortTxn's eager reap is best-effort)
+    aborted.values.foreach(st => catalog.reapTxnDeletes(name, st))
     aborted.keys.foreach(id => catalog.removeTxn(name, id))
     aborted.size
   }

@@ -77,11 +77,48 @@ object TxnRange {
   }
 }
 
-/** A transaction's persisted state: `open` | `committed` | `aborted`, plus
-  * the per-produce id ranges recorded so far. */
-final case class TxnState(state: String, ranges: Vector[TxnRange]) {
+/**
+ * One in-transaction DELETE statement's staged deletion vector: the matched
+ * `(partition, event_id)` relation sits as a never-listed `txn-<suffix>`
+ * directory under `_deletes/` until the transaction commits
+ * ([[Catalog.stageTxnDelete]]), when it is promoted to a committed `d-*`
+ * root ([[Catalog.commitTxn]]). `plannedVersion` is the snapshot version
+ * the statement matched against — the commit re-runs the optimistic
+ * conflict check ([[Catalog.failOnRowRemovalSince]]) so rows removed by
+ * anyone else since the match refuse the commit loudly instead of
+ * double-deleting.
+ */
+final case class TxnDelete(staged: String, suffix: String, count: Long,
+                           plannedVersion: Long) {
+  private[engine] def toJValue: JValue = JObject(
+    "staged" -> JString(staged), "suffix" -> JString(suffix),
+    "count" -> JLong(count), "plannedVersion" -> JLong(plannedVersion))
+}
+
+object TxnDelete {
+  private[engine] def fromJValue(j: JValue): TxnDelete = j match {
+    case o: JObject =>
+      val str = (field: String) => o \ field match {
+        case JString(s) => s
+        case other => throw new IllegalStateException(
+          s"bad txn delete $field: ${JsonMethods.compact(other)}")
+      }
+      TxnDelete(str("staged"), str("suffix"),
+        TxnRange.long(o \ "count", "txn delete count"),
+        TxnRange.long(o \ "plannedVersion", "txn delete plannedVersion"))
+    case other => throw new IllegalStateException(
+      s"bad txn delete: ${JsonMethods.compact(other)}")
+  }
+}
+
+/** A transaction's persisted state: `open` | `committed` | `aborted`, the
+  * per-produce id ranges recorded so far, and the staged in-transaction
+  * deletes awaiting the commit's vector promotion ([[TxnDelete]]). */
+final case class TxnState(state: String, ranges: Vector[TxnRange],
+                          deletes: Vector[TxnDelete] = Vector.empty) {
   def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
-    "state" -> JString(state), "ranges" -> TxnRange.toJValue(ranges))))
+    "state" -> JString(state), "ranges" -> TxnRange.toJValue(ranges),
+    "deletes" -> JArray(deletes.toList.map(_.toJValue)))))
 }
 
 object TxnState {
@@ -92,7 +129,15 @@ object TxnState {
         case other => throw new IllegalStateException(
           s"bad txn state: ${JsonMethods.compact(other)}")
       }
-      TxnState(state, TxnRange.fromJValue(o \ "ranges"))
+      // absent `deletes` = a state file written before multi-statement
+      // transactions existed — an empty vector, not an error
+      val deletes = o \ "deletes" match {
+        case JArray(xs) => xs.map(TxnDelete.fromJValue).toVector
+        case JNothing | JNull => Vector.empty[TxnDelete]
+        case other => throw new IllegalStateException(
+          s"bad txn deletes: ${JsonMethods.compact(other)}")
+      }
+      TxnState(state, TxnRange.fromJValue(o \ "ranges"), deletes)
     case other => throw new IllegalStateException(
       s"txn state must be a JSON object: ${JsonMethods.compact(other)}")
   }
@@ -214,7 +259,31 @@ final class TransactionalProducer private[engine] (
     } finally catalog.releaseProduceLock(topic)
   }
 
-  /** Atomically make every produced event visible to read_committed. */
+  /**
+   * Delete under the transaction — the multi-statement surface (produce +
+   * delete under ONE visibility point): rows matching `cond` (evaluated
+   * NOW, against committed rows plus this transaction's own produced
+   * rows) are staged as a deletion vector that becomes visible atomically
+   * at [[commit]], together with every produced batch — the upsert-txn
+   * shape (produce the corrected rows, delete the stale ones, commit once).
+   * `cond` sees the decoded event columns (`partition`, `event_id`,
+   * `metadata`, `data`). Same NULL rule as [[Catalog.deleteWhereVectored]]:
+   * only rows where `cond` is definitively TRUE are deleted.
+   *
+   * Snapshot semantics: the match is point-in-time — rows produced (by
+   * anyone) AFTER this statement are not deleted. Rows removed by anyone
+   * ELSE between this statement and [[commit]] refuse the commit loudly
+   * (optimistic conflict check); abort and re-run the transaction.
+   *
+   * @return the number of rows staged for deletion (0 stages nothing)
+   */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long =
+    catalog.stageTxnDelete(topic, txnId, cond)
+
+  /** Atomically make every produced event AND every staged delete visible
+    * to read_committed — one visibility point for the whole transaction
+    * (staged deletes are promoted to gated vector roots first, then the
+    * state flip publishes produces and deletes together). */
   def commit(): Unit = catalog.commitTxn(topic, txnId)
 
   /** Atomically discard the transaction: its events stay in the log but are

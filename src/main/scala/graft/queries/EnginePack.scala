@@ -582,6 +582,46 @@ object EnginePack extends QueryPack {
         .withColumn("log_total", lit(logTotal))
         .orderBy(col("partition"))
     },
+    "q_txn_multi" -> { (s, dir) =>
+      // MULTI-STATEMENT transaction through the oracle (produce + delete
+      // under ONE visibility point — the upsert-txn shape): a committed
+      // transaction brings new rows in and deletes stale ones atomically,
+      // while an aborted transaction's produce AND staged delete leave no
+      // trace. Falsifiable on every edge: read_committed BEFORE the commit
+      // must show every plain row (staged deletes unapplied) and none of
+      // the produced; a leaked abort zeroes n_plain_kept; a non-atomic
+      // commit breaks visible_before_commit or n_deleted_visible.
+      val d = tempDriver(s)
+      d.createTopic("txn_multi", partitions = 2)
+      val topic = d.openTopic("txn_multi")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
+      val up = topic.beginTransaction("up")
+      up.produce(src.filter(pmod(eid, lit(3)) === 1))
+      val staged = up.deleteWhere(pmod(eid, lit(6)) === 0)
+      // plain rows only: produced rows invisible, staged deletes unapplied
+      val preCommit = topic.events("read_committed").count()
+      val no = topic.beginTransaction("no")
+      no.produce(src.filter(pmod(eid, lit(3)) === 2))
+      no.deleteWhere(pmod(eid, lit(6)) === 3): Unit // staged, then discarded
+      no.abort()
+      up.commit()
+      val deletedTotal = d.catalog.deletedCountsByPartition("txn_multi").values.sum
+      topic.events("read_committed")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(pmod(eid, lit(6)) === 3, 1)).as("n_plain_kept"),
+          count(when(pmod(eid, lit(3)) === 1, 1)).as("n_upserted"),
+          count(when(pmod(eid, lit(3)) === 2, 1)).as("n_aborted_txn"),
+          count(when(pmod(eid, lit(6)) === 0, 1)).as("n_deleted_visible"))
+        .withColumn("visible_before_commit", lit(preCommit))
+        .withColumn("staged_deletes", lit(staged))
+        .withColumn("deleted_total", lit(deletedTotal))
+        .orderBy(col("partition"))
+    },
     "q_producer_idempotent" -> { (s, dir) =>
       // Kafka enable.idempotence analog through the oracle: a retried batch
       // lands at most once (original ranges returned), a sequence gap and a
@@ -2511,6 +2551,21 @@ object EnginePack extends QueryPack {
         | (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS visible_before_commit,
         | (SELECT count(*) FROM events) AS log_total
         |FROM events WHERE event_id % 3 < 2 GROUP BY 1 ORDER BY partition""".stripMargin,
+    // upsert-txn: survivors = plain rows the committed delete spared
+    // (eid%6=3) ∪ the committed produce (eid%3=1); the aborted
+    // transaction's produce (eid%3=2) and staged delete (eid%6=3) leave
+    // no trace; before the commit exactly the plain rows were visible
+    "q_txn_multi" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | count(*) FILTER (WHERE event_id % 6 = 3) AS n_plain_kept,
+        | count(*) FILTER (WHERE event_id % 3 = 1) AS n_upserted,
+        | CAST(0 AS BIGINT) AS n_aborted_txn,
+        | CAST(0 AS BIGINT) AS n_deleted_visible,
+        | (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS visible_before_commit,
+        | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS staged_deletes,
+        | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS deleted_total
+        |FROM events WHERE event_id % 6 = 3 OR event_id % 3 = 1
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
     // exactly one copy of every row despite the retry: dense ids per
     // partition, every guard fired
     "q_producer_idempotent" ->

@@ -83,7 +83,14 @@ final class GraftMicroBatchStream(
     * the preimages FOREVER (delete emission is gated by version). A noted
     * commit older than the in-flight horizon with still no root is a
     * crashed (aborted) delete — its vectors never apply either — and
-    * stops holding the frontier. */
+    * stops holding the frontier.
+    *
+    * Multi-statement transactions refine both sides: a root GATED by an
+    * OPEN transaction ([[Catalog.stageTxnDelete]]) is genuinely undecided
+    * — it holds the frontier however old its noted commit is (advancing
+    * past it, then the transaction committing, would skip the preimages
+    * forever), while a root whose gate is decided-dead (aborted/purged)
+    * stops holding immediately instead of running out the horizon. */
   private def cdfFrontier(fromVer: Long): Long = {
     val history = catalog.versionHistory(topic)
     if (history.isEmpty) return fromVer
@@ -92,14 +99,19 @@ final class GraftMicroBatchStream(
     // sidecar-aware: a fold buries root-name version tags but persists
     // them in `_sources.json` — the probe must keep seeing them, or a
     // fresh delete commit folded before the stream observed it would
-    // hold the frontier for the whole in-flight horizon
-    lazy val visibleRootVersions: Set[Long] =
-      catalog.deleteVectorFiles(topic).flatMap(catalog.vectorRootVersions).toSet
+    // hold the frontier for the whole in-flight horizon. One `_deletes`
+    // listing feeds all three sets.
+    lazy val probe = catalog.cdfVectorRootProbe(topic)
+    lazy val visibleRootVersions: Set[Long] = probe._1
+    lazy val openGatedVersions: Set[Long] = probe._2
+    lazy val deadGatedVersions: Set[Long] = probe._3
     val now = System.currentTimeMillis()
     val blocked = history.find(v => v.version > fromVer &&
       v.note.contains(Catalog.DeleteVectorNote) &&
-      now - v.commitTimeMs < horizon &&
-      !visibleRootVersions.contains(v.version))
+      (openGatedVersions.contains(v.version) ||
+        (now - v.commitTimeMs < horizon &&
+          !visibleRootVersions.contains(v.version) &&
+          !deadGatedVersions.contains(v.version))))
     blocked match {
       case None => history.last.version
       case Some(b) => history.filter(_.version < b.version).lastOption

@@ -144,4 +144,121 @@ class TransactionsSpec extends SparkSpec {
     assert(st2.pending.isEmpty && st2.committedSeq == 2L) // promoted
     assert(tags(topic.events()) == Map("s0" -> 10L, "s1" -> 6L))
   }
+
+  // -- multi-statement transactions (produce + delete, one visibility point)
+
+  private def tag = get_json_object(col("metadata"), "$.tag")
+  private def idx = get_json_object(col("metadata"), "$.i").cast("long")
+
+  test("multi-statement txn: produces and deletes flip visible at ONE commit") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 10))
+    val vStart = topic.history().select(max(col("version"))).head().getLong(0)
+
+    val tx = topic.beginTransaction("up")
+    tx.produce(batch("fix", 4))
+    assert(tx.deleteWhere(tag === "plain" && idx < 4) == 4L)
+
+    // BEFORE commit: neither side visible — committed view keeps every
+    // plain row (deletes staged, not applied) and no produced row;
+    // read_uncommitted shows the produced rows but still no deletes
+    assert(tags(topic.events("read_committed")) == Map("plain" -> 10L))
+    assert(tags(topic.events("read_uncommitted")) ==
+      Map("plain" -> 10L, "fix" -> 4L))
+    assert(d.catalog.deleteVectorFiles("t").isEmpty)
+
+    tx.commit()
+    // AFTER commit: both sides, together
+    assert(tags(topic.events("read_committed")) ==
+      Map("plain" -> 6L, "fix" -> 4L))
+    assert(tags(topic.events("read_uncommitted")) ==
+      Map("plain" -> 6L, "fix" -> 4L))
+    // exact accounting: one visible root, 4 vectored rows
+    assert(d.catalog.deleteVectorFiles("t").size == 1)
+    assert(d.catalog.deletedCountsByPartition("t").values.sum == 4L)
+    // the change feed surfaces the transaction's deletes as preimages
+    val vEnd = topic.history().select(max(col("version"))).head().getLong(0)
+    val byType = topic.changes(vStart, vEnd)
+      .groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("delete", 0L) == 4L)
+    assert(byType.getOrElse("insert", 0L) == 4L)
+  }
+
+  test("in-txn delete sees own produced rows; statements stay disjoint") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("keep", 5))
+    val tx = topic.beginTransaction("own")
+    tx.produce(batch("a", 6))
+    // the upsert shape: a transaction can delete rows it just produced
+    assert(tx.deleteWhere(tag === "a" && idx < 2) == 2L)
+    // overlapping second statement: already-staged ids never re-match
+    // (roots stay disjoint → deletedCountsByPartition stays exact)
+    assert(tx.deleteWhere(tag === "a") == 4L)
+    // zero-match statements stage nothing
+    assert(tx.deleteWhere(tag === "nope") == 0L)
+    tx.commit()
+    assert(tags(topic.events("read_committed")) == Map("keep" -> 5L))
+    assert(d.catalog.deletedCountsByPartition("t").values.sum == 6L)
+  }
+
+  test("abort discards staged deletes — no debris, views unchanged") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 10))
+    val tx = topic.beginTransaction("nope")
+    tx.produce(batch("x", 3))
+    assert(tx.deleteWhere(tag === "plain") == 10L)
+    tx.abort()
+    assert(tags(topic.events("read_committed")) == Map("plain" -> 10L))
+    assert(d.catalog.deleteVectorFiles("t").isEmpty)
+    // the staging directory itself is reclaimed by the abort
+    val delDir = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("t"), "_deletes")
+    val fs = delDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers =
+      if (!fs.exists(delDir)) Seq.empty
+      else fs.listStatus(delDir).map(_.getPath.getName).toSeq
+    assert(leftovers.forall(n => !n.startsWith("txn-")),
+      s"aborted staging must be reclaimed, found: $leftovers")
+  }
+
+  test("foreign row removal between statement and commit refuses the commit") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 10))
+    val tx = topic.beginTransaction("slow")
+    assert(tx.deleteWhere(tag === "plain" && idx < 3) == 3L)
+    // a foreign vector delete lands after the statement's snapshot
+    assert(topic.deleteWhereVectored(tag === "plain" && idx >= 8) == 2L)
+    val e = intercept[IllegalStateException](tx.commit())
+    assert(e.getMessage.contains("concurrent modification"))
+    // the refusal left the transaction open and NOTHING of it visible
+    assert(d.catalog.listTxns("t")("slow").state == "open")
+    assert(tags(topic.events("read_committed")) == Map("plain" -> 8L))
+    tx.abort() // the documented remedy: abort and re-run
+    assert(tags(topic.events("read_committed")) == Map("plain" -> 8L))
+  }
+
+  test("crash between rooting and flip: gated roots invisible, commit retry resumes") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 10))
+    val tx = topic.beginTransaction("torn")
+    assert(tx.deleteWhere(tag === "plain" && idx < 5) == 5L)
+    // simulate the crash window: phase A ran (roots promoted, GATED),
+    // the state flip never happened
+    val st = d.catalog.listTxns("t")("torn")
+    val rooted = d.catalog.rootTxnDeletes("t", "torn", st.deletes)
+    assert(rooted.size == 1)
+    // invisible everywhere: listings skip the gated root, reads unchanged
+    assert(d.catalog.deleteVectorFiles("t").isEmpty)
+    assert(tags(topic.events("read_committed")) == Map("plain" -> 10L))
+    // other row-level operations refuse loudly while the txn is undecided
+    val e = intercept[IllegalStateException](
+      topic.deleteWhereVectored(tag === "plain" && idx >= 8))
+    assert(e.getMessage.contains("undecided"))
+    // retrying the commit resumes idempotently: no duplicate roots
+    d.catalog.commitTxn("t", "torn")
+    assert(d.catalog.deleteVectorFiles("t").size == 1)
+    assert(tags(topic.events("read_committed")) == Map("plain" -> 5L))
+    assert(d.catalog.deletedCountsByPartition("t").values.sum == 5L)
+  }
 }
