@@ -1840,12 +1840,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // markerless, or an unadopted staging past the staleness horizon
         // (a crash between staging and the state append) — is debris
         val st = gateState(s.getPath)
+        // adoption is matched by SUFFIX, not full path — listings return
+        // scheme-qualified URIs while the recorded staging path may not be
+        val sfx = s.getPath.getName.stripPrefix("txn-")
         val adopted = st.contains("open") &&
           readStringResilient(new Path(s.getPath, Catalog.TxnGateMarker))
             .map(_.trim)
             .flatMap(id => try txnState(name, id)
               catch { case _: IllegalArgumentException => None })
-            .exists(_.deletes.exists(_.staged == s.getPath.toString))
+            .exists(_.deletes.exists(_.suffix == sfx))
         val dead = st.forall(x => x == "aborted" || x == "missing") ||
           (!adopted && s.getModificationTime < horizon)
         if (dead) { tmps += 1; drop(s.getPath, recursive = true) }
@@ -1858,11 +1861,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         } catch { case _: java.io.FileNotFoundException => }
         // a root gated by a DECIDED-DEAD transaction (aborted, or its
         // record purged — committed records are never removed) never
-        // becomes visible: reap it (the abort path's eager reap and
-        // purgeAborted usually get here first). `exists`, not `forall`:
-        // a marker that vanishes between the listing and the read is a
-        // commit's eager un-gate — the root is LIVE committed data
-        if (gateState(s.getPath).exists(x => x == "aborted" || x == "missing")) {
+        // becomes visible — but it IS the evidence that lets the CDF
+        // frontier skip its noted commit instead of waiting out the
+        // in-flight horizon (see abortTxn), so reap only once aged past
+        // the staleness horizon. `exists`, not `forall`: a marker that
+        // vanishes between the listing and the read is a commit's eager
+        // un-gate — the root is LIVE committed data
+        if (s.getModificationTime < horizon &&
+            gateState(s.getPath).exists(x => x == "aborted" || x == "missing")) {
           tmps += 1; drop(s.getPath, recursive = true)
         }
       }
@@ -2690,20 +2696,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   def abortTxn(name: String, txnId: String): Unit = {
     setTxnState(name, txnId, "aborted")
-    // reclaim the transaction's staged/gated delete vectors. No lock
-    // needed: the gate fails closed, so no reader ever listed these, and
-    // folds skip gated roots; [[TopicHandle.purgeAborted]] and vacuum are
-    // the backstops if this best-effort pass dies
-    txnState(name, txnId).foreach(st => reapTxnDeletes(name, st))
+    // reclaim the transaction's STAGINGS. No lock needed: the gate fails
+    // closed, so no reader ever listed these, and folds skip gated roots.
+    // Already-ROOTED vectors (a commit that crashed mid-rooting, then
+    // aborted) are kept deliberately: the aborted gate is the EVIDENCE
+    // the CDF frontier needs to stop holding below their noted commits
+    // immediately (reaping it would stall every change stream for the
+    // full in-flight horizon) — vacuum reaps them once aged, and
+    // [[TopicHandle.purgeAborted]] reclaims eagerly (an explicit purge
+    // accepts the horizon wait).
+    txnState(name, txnId).foreach(st =>
+      reapTxnDeletes(name, st, includeRooted = false))
   }
 
-  /** Physically remove a decided-dead transaction's delete stagings and
-    * gated roots (abort cleanup; also purgeAborted's backstop). */
-  private[engine] def reapTxnDeletes(name: String, st: TxnState): Unit =
+  /** Physically remove a decided-dead transaction's delete stagings (and,
+    * with `includeRooted`, its gated roots — see [[abortTxn]] for why the
+    * abort path keeps them). */
+  private[engine] def reapTxnDeletes(name: String, st: TxnState,
+                                     includeRooted: Boolean = true): Unit =
     st.deletes.foreach { d =>
       try {
         fs.delete(new Path(d.staged), true): Unit
-        txnRootsBySuffix(name).get(d.suffix)
+        if (includeRooted) txnRootsBySuffix(name).get(d.suffix)
           .foreach(p => fs.delete(new Path(p), true): Unit)
       } catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -2822,8 +2836,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * flip. Idempotent — a commit retry after a crash skips stagings whose
    * roots already exist. Returns every rooted path (new and pre-existing).
    */
-  private[engine] def rootTxnDeletes(name: String, txnId: String,
-                                     deletes: Vector[TxnDelete]): Vector[String] = {
+  private[graft] def rootTxnDeletes(name: String, txnId: String,
+                                    deletes: Vector[TxnDelete]): Vector[String] = {
     acquireCompactLock(name)
     try {
       val existing = txnRootsBySuffix(name)

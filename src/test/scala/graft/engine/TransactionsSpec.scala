@@ -238,6 +238,66 @@ class TransactionsSpec extends SparkSpec {
     assert(tags(topic.events("read_committed")) == Map("plain" -> 8L))
   }
 
+  test("TxnState JSON: deletes round-trip; legacy states parse with none") {
+    val st = TxnState("open", Vector(TxnRange(0, 5L, 3L)),
+      Vector(TxnDelete("/x/txn-abc", "abc", 7L, 4L)))
+    assert(TxnState.fromJson(st.toJson) == st)
+    // a state file written before multi-statement transactions existed
+    val legacy = """{"state":"open","ranges":[]}"""
+    assert(TxnState.fromJson(legacy) == TxnState("open", Vector.empty))
+  }
+
+  test("vacuum keeps an open txn's adopted staging however old; reaps debris") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 10))
+    val tx = topic.beginTransaction("live")
+    assert(tx.deleteWhere(tag === "plain" && idx < 3) == 3L)
+    val staged = new org.apache.hadoop.fs.Path(
+      d.catalog.listTxns("t")("live").deletes.head.staged)
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age the ADOPTED staging far past the staleness horizon — liveness
+    // comes from the open transaction's adoption, never from mtime
+    fs.setTimes(staged, 1000L, 1000L)
+    // plant debris: an aged staging naming the same open txn that the
+    // state never adopted (= a statement that crashed mid-stage)
+    val orphan = new org.apache.hadoop.fs.Path(staged.getParent, "txn-orphan000000")
+    fs.mkdirs(orphan)
+    val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "_txn"))
+    out.write("live".getBytes); out.close()
+    fs.setTimes(orphan, 1000L, 1000L)
+    topic.vacuum(): Unit
+    assert(fs.exists(staged), "adopted staging of an OPEN txn is live data")
+    assert(!fs.exists(orphan), "aged unadopted staging is debris")
+    tx.commit() // still commits cleanly after the vacuum
+    assert(tags(topic.events("read_committed")) == Map("plain" -> 7L))
+  }
+
+  test("vacuum reaps a dead-gated root left by a crashed abort") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 10))
+    val tx = topic.beginTransaction("crashed")
+    assert(tx.deleteWhere(tag === "plain") == 10L)
+    val st = d.catalog.listTxns("t")("crashed")
+    val rooted = d.catalog.rootTxnDeletes("t", "crashed", st.deletes)
+    // crash-simulate an abort that died before its eager reap: flip the
+    // state file directly (the public abortTxn reaps)
+    val txnPath = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("t"), "_txns/crashed.json")
+    val fs = txnPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(txnPath, true)
+    o.write(st.copy(state = "aborted").toJson.getBytes); o.close()
+    assert(d.catalog.deleteVectorFiles("t").isEmpty) // gate fails closed
+    // FRESH dead-gated roots survive vacuum: they are the CDF frontier's
+    // decided-dead evidence (see abortTxn); only aged ones are debris
+    topic.vacuum(): Unit
+    val root = new org.apache.hadoop.fs.Path(rooted.head)
+    assert(fs.exists(root), "fresh dead-gated root is frontier evidence")
+    fs.setTimes(root, 1000L, 1000L)
+    topic.vacuum(): Unit
+    assert(!fs.exists(root), "an AGED root gated by an aborted txn is debris")
+    assert(tags(topic.events("read_committed")) == Map("plain" -> 10L))
+  }
+
   test("crash between rooting and flip: gated roots invisible, commit retry resumes") {
     val (d, topic) = newTopic()
     topic.producer().produce(batch("plain", 10))

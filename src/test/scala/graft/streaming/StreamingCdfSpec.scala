@@ -320,6 +320,54 @@ class StreamingCdfSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.stream.cdfDeleteHoldbackMs")
   }
 
+  test("a torn multi-statement commit holds the frontier until decided; abort releases") {
+    val (d, topic, wh) = newTopic()
+    produceRange(topic, 0, 30)
+    // transaction with a staged delete, crashed between rooting (phase A:
+    // gated root + delete-noted commit) and the state flip
+    topic.beginTransaction("torn").deleteWhere(k() < 5): Unit
+    d.catalog.rootTxnDeletes("t", "torn", d.catalog.listTxns("t")("torn").deletes): Unit
+    val ckpt = Files.createTempDirectory("graft-txn-holdback-ckpt").toString
+    // holdback horizon ZERO: only the open-gate rule may hold the frontier
+    // — an undecided transaction is evidence, not a timer
+    spark.conf.set("spark.graft.stream.cdfDeleteHoldbackMs", "0")
+    try {
+      val first = drain(wh, ckpt)
+      assert(first.map(_._2).sorted == (0L until 30L), "inserts flow regardless")
+      assert(!first.exists(_._1 == "delete"),
+        "the frontier must hold below an OPEN transaction's gated root " +
+          "even past the horizon")
+      // the decision releases it: commit → preimages arrive exactly once
+      d.catalog.commitTxn("t", "torn")
+      val second = drain(wh, ckpt)
+      assert(second.filter(_._1 == "delete").map(_._2).sorted == (0L until 5L))
+      assert(second.forall(_._1 == "delete"))
+      val third = drain(wh, ckpt)
+      assert(third.isEmpty, "exactly once across drains")
+    } finally spark.conf.unset("spark.graft.stream.cdfDeleteHoldbackMs")
+
+    // the ABORT side on a fresh topic: a decided-dead gate must NOT hold
+    // the frontier even INSIDE the horizon, and its deletes never arrive
+    val d2w = Files.createTempDirectory("graft-scdf2").toString
+    val d2 = new GraftDriver(spark, d2w)
+    d2.createTopic("t", partitions = 2)
+    val topic2 = d2.openTopic("t")
+    produceRange(topic2, 0, 20)
+    topic2.beginTransaction("dead").deleteWhere(k() < 5): Unit
+    d2.catalog.rootTxnDeletes("t", "dead",
+      d2.catalog.listTxns("t")("dead").deletes): Unit
+    d2.catalog.abortTxn("t", "dead")
+    topic2.deleteWhereVectored(k() === 10): Unit // a real delete AFTER it
+    spark.conf.set("spark.graft.stream.cdfDeleteHoldbackMs", "86400000")
+    try {
+      val ckpt2 = Files.createTempDirectory("graft-txn-abort-ckpt").toString
+      val got = drain(d2w, ckpt2)
+      assert(got.filter(_._1 == "delete").map(_._2) == Seq(10L),
+        "the aborted gate must not hold the real delete back, and its " +
+          s"own preimages must never arrive: $got")
+    } finally spark.conf.unset("spark.graft.stream.cdfDeleteHoldbackMs")
+  }
+
   test("column pruning composes: a change-type-only projection still plans") {
     val (_, topic, wh) = newTopic()
     produceRange(topic, 0, 20)
