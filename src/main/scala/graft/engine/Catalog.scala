@@ -2057,8 +2057,57 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     new Path(new Path(topicPath(topic), "_cursors"),
       s"${validComponent("consumer name", consumer)}.json")
 
-  /** Cursor = first un-acknowledged EventID per partition (0 when absent). */
-  def cursor(topic: String, consumer: String): Map[Int, Long] =
+  /** Transaction-pending cursor floors (see [[stageTxnOffsets]]): pointer
+    * files under the SOURCE topic's cursor dir, each naming the
+    * transaction whose state holds the floors. `_`-prefixed so it can
+    * never collide with a consumer name (dots are legal in those). */
+  private def cursorPendDir(topic: String): Path =
+    new Path(new Path(topicPath(topic), "_cursors"), "_txnpend")
+
+  /** Cursor = first un-acknowledged EventID per partition (0 when absent).
+    * Floors recorded by a COMMITTED transaction ([[stageTxnOffsets]])
+    * resolve here — merged into the result and folded into the cursor
+    * file (idempotent max-win), so the advance is visible from the
+    * moment the transaction's state flips, pointer cleanup lagging
+    * harmlessly. Open transactions' floors stay invisible; aborted ones
+    * clean up. */
+  def cursor(topic: String, consumer: String): Map[Int, Long] = {
+    val base = cursorRaw(topic, consumer)
+    val dir = cursorPendDir(topic)
+    if (!fs.exists(dir)) return base
+    var merged = base
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .foreach { s =>
+        readStringResilient(s.getPath).foreach { json =>
+          val (txnTopic, txnId) = Catalog.txnPointerFromJson(json)
+          val st = try txnState(txnTopic, txnId)
+            catch { case _: IllegalArgumentException => None }
+          st.map(_.state) match {
+            case Some("open") => () // undecided: not visible yet
+            case Some("committed") =>
+              st.get.offsets
+                .filter(o => o.topic == topic && o.consumer == consumer)
+                .foreach { o =>
+                  merged = o.floors.foldLeft(merged) { case (acc, (p, id)) =>
+                    acc + (p -> math.max(acc.getOrElse(p, 0L), id + 1))
+                  }
+                  // fold + clean: later reads skip the resolution
+                  acknowledgeFloors(topic, consumer, o.floors)
+                }
+              fs.delete(s.getPath, false): Unit
+            case _ => // aborted, or its record purged: never applies
+              fs.delete(s.getPath, false): Unit
+          }
+        }
+      }
+    merged
+  }
+
+  /** The cursor file alone, no transaction-pending resolution — the
+    * read-modify-write base for [[acknowledgeFloors]] (which [[cursor]]'s
+    * own fold calls: reading through `cursor` would recurse). */
+  private def cursorRaw(topic: String, consumer: String): Map[Int, Long] =
     readStringResilient(cursorPath(topic, consumer))
       .map(Catalog.idMapFromJson).getOrElse(Map.empty)
 
@@ -2075,11 +2124,54 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def acknowledgeFloors(topic: String, consumer: String,
                         floors: Map[Int, Long]): Unit = {
     if (floors.isEmpty) return
-    val cur = cursor(topic, consumer)
+    val cur = cursorRaw(topic, consumer)
     val merged = floors.foldLeft(cur) { case (acc, (p, id)) =>
       acc + (p -> math.max(acc.getOrElse(p, 0L), id + 1))
     }
     writeAtomic(cursorPath(topic, consumer), idsJson(merged))
+  }
+
+  /**
+   * Record consumer-cursor floors against an open transaction (see
+   * [[TransactionalProducer.sendOffsets]]): the floors land in the
+   * transaction's STATE (single source of truth, under the produce lock
+   * like every other state write) and a pointer file lands under the
+   * source topic's `_cursors/_txnpend/` so cursor reads can discover
+   * them. Ordering: state first — the commit's eager apply works from
+   * the state, so a crash between the two writes loses nothing (the
+   * pointer is only the lazy-resolution breadcrumb).
+   */
+  private[engine] def stageTxnOffsets(name: String, txnId: String,
+                                      sourceTopic: String, consumer: String,
+                                      floors: Map[Int, Long]): Unit = {
+    require(floors.nonEmpty, "sendOffsets: floors must be non-empty")
+    if (!topicExists(sourceTopic)) throw new IllegalArgumentException(
+      s"sendOffsets: unknown source topic '$sourceTopic'")
+    validComponent("consumer name", consumer): Unit
+    acquireProduceLock(name)
+    try {
+      val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+        s"unknown transaction '$txnId' on topic '$name'"))
+      if (st.state != "open") throw new IllegalStateException(
+        s"transaction '$txnId' on topic '$name' is ${st.state}, not open")
+      writeAtomic(txnPath(name, txnId), st.copy(offsets = st.offsets :+
+        TxnOffsets(sourceTopic, consumer, floors)).toJson)
+    } finally releaseProduceLock(name)
+    fs.mkdirs(cursorPendDir(sourceTopic)): Unit
+    writeAtomic(txnPointerPath(sourceTopic, name, txnId),
+      Catalog.txnPointerJson(name, txnId))
+  }
+
+  /** One pointer per (source topic, transaction) — repeated sendOffsets
+    * calls overwrite the same breadcrumb (the state holds the entries).
+    * Content-hashed name: deterministic for cleanup, collision-free
+    * whatever characters the topic/transaction names use. */
+  private def txnPointerPath(sourceTopic: String, txnTopic: String,
+                             txnId: String): Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest((txnTopic + " " + txnId).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    new Path(cursorPendDir(sourceTopic), s"$h.json")
   }
 
   /**
@@ -2692,6 +2784,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       try { fs.delete(new Path(new Path(r), Catalog.TxnGateMarker), false): Unit }
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // eager cursor-floor apply + pointer cleanup (best effort — cursor
+    // reads resolve and fold lazily from the committed state either way)
+    st.offsets.foreach { o =>
+      try {
+        acknowledgeFloors(o.topic, o.consumer, o.floors)
+        fs.delete(txnPointerPath(o.topic, name, txnId), false): Unit
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   def abortTxn(name: String, txnId: String): Unit = {
@@ -2705,8 +2805,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // full in-flight horizon) — vacuum reaps them once aged, and
     // [[TopicHandle.purgeAborted]] reclaims eagerly (an explicit purge
     // accepts the horizon wait).
-    txnState(name, txnId).foreach(st =>
-      reapTxnDeletes(name, st, includeRooted = false))
+    txnState(name, txnId).foreach { st =>
+      reapTxnDeletes(name, st, includeRooted = false)
+      // pending cursor pointers never apply — clean eagerly (cursor reads
+      // resolving a stale one see the aborted state and clean it too)
+      st.offsets.foreach { o =>
+        try { fs.delete(txnPointerPath(o.topic, name, txnId), false): Unit }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
   }
 
   /** Physically remove a decided-dead transaction's delete stagings (and,
@@ -3573,6 +3680,23 @@ object Catalog {
     case other => throw new IllegalStateException(
       s"bad id-map json: ${JsonMethods.compact(other)}")
   }
+
+  /** Transaction-pending cursor pointer codec (see
+    * [[Catalog.stageTxnOffsets]]): the breadcrumb only NAMES the
+    * transaction — the floors live in its state. */
+  private[engine] def txnPointerJson(txnTopic: String, txnId: String): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "txnTopic" -> JString(txnTopic), "txnId" -> JString(txnId))))
+
+  private[engine] def txnPointerFromJson(json: String): (String, String) =
+    JsonMethods.parse(json) match {
+      case o: JObject => (o \ "txnTopic", o \ "txnId") match {
+        case (JString(t), JString(id)) => (t, id)
+        case _ => throw new IllegalStateException(s"bad txn pointer: $json")
+      }
+      case other => throw new IllegalStateException(
+        s"bad txn pointer: ${JsonMethods.compact(other)}")
+    }
 
   /** (min, max) `event_id` from a chunk file's footer statistics; a file
     * with no usable stats maps to the never-prunable full range. Shared by

@@ -111,14 +111,57 @@ object TxnDelete {
   }
 }
 
+/**
+ * Consumer-cursor floors a transaction carries (the Kafka
+ * `sendOffsetsToTransaction` analog — the exactly-once
+ * consume-transform-produce loop): at commit, `consumer`'s cursor on
+ * `topic` advances to at least `floors` (last-PROCESSED event id per
+ * partition, same convention as [[Catalog.acknowledge]]) — atomically
+ * with the transaction's produces and deletes. The floors live HERE (the
+ * transaction state is the single source of truth); a small pointer file
+ * under the source topic's `_cursors/_txnpend/` makes them discoverable
+ * from the cursor-read side (see [[Catalog.cursor]]).
+ */
+final case class TxnOffsets(topic: String, consumer: String,
+                            floors: Map[Int, Long]) {
+  private[engine] def toJValue: JValue = JObject(
+    "topic" -> JString(topic), "consumer" -> JString(consumer),
+    "floors" -> JObject(floors.toList.sortBy(_._1).map {
+      case (p, id) => p.toString -> (JLong(id): JValue)
+    }))
+}
+
+object TxnOffsets {
+  private[engine] def fromJValue(j: JValue): TxnOffsets = j match {
+    case o: JObject =>
+      val str = (field: String) => o \ field match {
+        case JString(s) => s
+        case other => throw new IllegalStateException(
+          s"bad txn offsets $field: ${JsonMethods.compact(other)}")
+      }
+      val floors = o \ "floors" match {
+        case JObject(fs) => fs.map { case (k, v) =>
+          k.toInt -> TxnRange.long(v, s"txn offset floor $k") }.toMap
+        case other => throw new IllegalStateException(
+          s"bad txn offset floors: ${JsonMethods.compact(other)}")
+      }
+      TxnOffsets(str("topic"), str("consumer"), floors)
+    case other => throw new IllegalStateException(
+      s"bad txn offsets: ${JsonMethods.compact(other)}")
+  }
+}
+
 /** A transaction's persisted state: `open` | `committed` | `aborted`, the
-  * per-produce id ranges recorded so far, and the staged in-transaction
-  * deletes awaiting the commit's vector promotion ([[TxnDelete]]). */
+  * per-produce id ranges recorded so far, the staged in-transaction
+  * deletes awaiting the commit's vector promotion ([[TxnDelete]]), and
+  * the consumer-cursor floors committing with it ([[TxnOffsets]]). */
 final case class TxnState(state: String, ranges: Vector[TxnRange],
-                          deletes: Vector[TxnDelete] = Vector.empty) {
+                          deletes: Vector[TxnDelete] = Vector.empty,
+                          offsets: Vector[TxnOffsets] = Vector.empty) {
   def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
     "state" -> JString(state), "ranges" -> TxnRange.toJValue(ranges),
-    "deletes" -> JArray(deletes.toList.map(_.toJValue)))))
+    "deletes" -> JArray(deletes.toList.map(_.toJValue)),
+    "offsets" -> JArray(offsets.toList.map(_.toJValue)))))
 }
 
 object TxnState {
@@ -129,15 +172,21 @@ object TxnState {
         case other => throw new IllegalStateException(
           s"bad txn state: ${JsonMethods.compact(other)}")
       }
-      // absent `deletes` = a state file written before multi-statement
-      // transactions existed — an empty vector, not an error
+      // absent `deletes`/`offsets` = a state file written before
+      // multi-statement transactions existed — empty, not an error
       val deletes = o \ "deletes" match {
         case JArray(xs) => xs.map(TxnDelete.fromJValue).toVector
         case JNothing | JNull => Vector.empty[TxnDelete]
         case other => throw new IllegalStateException(
           s"bad txn deletes: ${JsonMethods.compact(other)}")
       }
-      TxnState(state, TxnRange.fromJValue(o \ "ranges"), deletes)
+      val offsets = o \ "offsets" match {
+        case JArray(xs) => xs.map(TxnOffsets.fromJValue).toVector
+        case JNothing | JNull => Vector.empty[TxnOffsets]
+        case other => throw new IllegalStateException(
+          s"bad txn offsets: ${JsonMethods.compact(other)}")
+      }
+      TxnState(state, TxnRange.fromJValue(o \ "ranges"), deletes, offsets)
     case other => throw new IllegalStateException(
       s"txn state must be a JSON object: ${JsonMethods.compact(other)}")
   }
@@ -280,10 +329,29 @@ final class TransactionalProducer private[engine] (
   def deleteWhere(cond: org.apache.spark.sql.Column): Long =
     catalog.stageTxnDelete(topic, txnId, cond)
 
-  /** Atomically make every produced event AND every staged delete visible
-    * to read_committed — one visibility point for the whole transaction
-    * (staged deletes are promoted to gated vector roots first, then the
-    * state flip publishes produces and deletes together). */
+  /**
+   * Commit consumer-cursor floors WITH the transaction — Kafka's
+   * `sendOffsetsToTransaction`, the exactly-once consume-transform-produce
+   * loop: pull from `sourceTopic` as `consumer`, transform, [[produce]]
+   * here, record the processed floors, [[commit]] once. The cursor
+   * advance becomes visible atomically with the transaction's produces
+   * and deletes (cursor reads resolve the pending floors against this
+   * transaction's state); an abort discards them, so a crashed loop
+   * re-reads exactly the rows whose outputs never became visible.
+   *
+   * `floors` = last PROCESSED event id per partition (the
+   * [[Catalog.acknowledge]] convention; the stored cursor is id+1).
+   * Repeated calls merge (floors only advance). The source topic must
+   * live in the same warehouse.
+   */
+  def sendOffsets(sourceTopic: String, consumer: String,
+                  floors: Map[Int, Long]): Unit =
+    catalog.stageTxnOffsets(topic, txnId, sourceTopic, consumer, floors)
+
+  /** Atomically make every produced event, every staged delete, AND every
+    * recorded cursor floor visible — one visibility point for the whole
+    * transaction (staged deletes are promoted to gated vector roots
+    * first, then the state flip publishes everything together). */
   def commit(): Unit = catalog.commitTxn(topic, txnId)
 
   /** Atomically discard the transaction: its events stay in the log but are

@@ -622,6 +622,44 @@ object EnginePack extends QueryPack {
         .withColumn("deleted_total", lit(deletedTotal))
         .orderBy(col("partition"))
     },
+    "q_txn_offsets" -> { (s, dir) =>
+      // THE exactly-once consume-transform-produce loop through the
+      // oracle (Kafka sendOffsetsToTransaction): pull the first 64 events
+      // per partition from the source topic, produce them to the output
+      // topic, and commit the consumer's cursor floors WITH the
+      // transaction — output visibility and cursor advance are ONE atomic
+      // flip. Falsifiable: a premature cursor breaks cursor_before, a
+      // non-atomic flip breaks visible_before, a lost floor breaks
+      // cursor_p0/p1, a duplicated or dropped row breaks cnt/sum_eid.
+      val d = tempDriver(s)
+      d.createTopic("src", partitions = 2)
+      d.createTopic("dst", partitions = 2)
+      val src = d.openTopic("src"); val dst = d.openTopic("dst")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      src.producer().produce(t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition")))
+      // the "processed batch": dense ids make event_id < 64 exactly the
+      // first 64 events of each partition (= the 64 smallest source eids
+      // of that parity, produce preserving input order)
+      val batch = src.events().filter(col("event_id") < 64)
+        .select(col("metadata"), col("partition"))
+      val tx = dst.beginTransaction("loop")
+      tx.produce(batch)
+      tx.sendOffsets("src", "g", Map(0 -> 63L, 1 -> 63L))
+      val cursorBefore = d.catalog.cursor("src", "g").values.sum
+      val visibleBefore = dst.events("read_committed").count()
+      tx.commit()
+      val cur = d.catalog.cursor("src", "g")
+      dst.events("read_committed")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(eid).as("sum_eid"))
+        .withColumn("cursor_before", lit(cursorBefore))
+        .withColumn("visible_before", lit(visibleBefore))
+        .withColumn("cursor_p0", lit(cur.getOrElse(0, 0L)))
+        .withColumn("cursor_p1", lit(cur.getOrElse(1, 0L)))
+        .orderBy(col("partition"))
+    },
     "q_producer_idempotent" -> { (s, dir) =>
       // Kafka enable.idempotence analog through the oracle: a retried batch
       // lands at most once (original ranges returned), a sequence gap and a
@@ -2566,6 +2604,19 @@ object EnginePack extends QueryPack {
         | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS deleted_total
         |FROM events WHERE event_id % 6 = 3 OR event_id % 3 = 1
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // exactly-once loop: the output holds the 64 smallest event_ids of
+    // each parity exactly once; before the commit nothing was visible and
+    // the cursor unmoved; after it the cursor sits at 64 on both
+    // partitions (floors are last-processed ids; the cursor stores id+1)
+    "q_txn_offsets" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(0 AS BIGINT) AS cursor_before, CAST(0 AS BIGINT) AS visible_before,
+        | CAST(64 AS BIGINT) AS cursor_p0, CAST(64 AS BIGINT) AS cursor_p1
+        |FROM (SELECT event_id,
+        |        row_number() OVER (PARTITION BY event_id % 2 ORDER BY event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 64 GROUP BY 1 ORDER BY partition""".stripMargin,
     // exactly one copy of every row despite the retry: dense ids per
     // partition, every guard fired
     "q_producer_idempotent" ->

@@ -238,13 +238,67 @@ class TransactionsSpec extends SparkSpec {
     assert(tags(topic.events("read_committed")) == Map("plain" -> 8L))
   }
 
-  test("TxnState JSON: deletes round-trip; legacy states parse with none") {
+  test("TxnState JSON: deletes/offsets round-trip; legacy states parse with none") {
     val st = TxnState("open", Vector(TxnRange(0, 5L, 3L)),
-      Vector(TxnDelete("/x/txn-abc", "abc", 7L, 4L)))
+      Vector(TxnDelete("/x/txn-abc", "abc", 7L, 4L)),
+      Vector(TxnOffsets("src", "g", Map(0 -> 9L, 1 -> 4L))))
     assert(TxnState.fromJson(st.toJson) == st)
     // a state file written before multi-statement transactions existed
     val legacy = """{"state":"open","ranges":[]}"""
     assert(TxnState.fromJson(legacy) == TxnState("open", Vector.empty))
+  }
+
+  test("sendOffsets: cursor advances atomically with the commit") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("in", 10)) // the source rows, topic 't'
+    d.createTopic("out", partitions = 2)
+    val out = d.openTopic("out")
+    val tx = out.beginTransaction("loop1")
+    tx.produce(batch("result", 4))
+    tx.sendOffsets("t", "g", Map(0 -> 4L, 1 -> 4L)) // last processed per partition
+    // BEFORE commit: cursor unmoved, produced rows invisible
+    assert(d.catalog.cursor("t", "g") == Map.empty)
+    assert(tags(out.events("read_committed")) == Map.empty)
+    tx.commit()
+    // ONE visibility point: outputs appear AND the cursor is past the inputs
+    assert(d.catalog.cursor("t", "g") == Map(0 -> 5L, 1 -> 5L))
+    assert(tags(out.events("read_committed")) == Map("result" -> 4L))
+    // floors only advance: a second loop's lower floor never regresses
+    val tx2 = out.beginTransaction("loop2")
+    tx2.sendOffsets("t", "g", Map(0 -> 2L))
+    tx2.commit()
+    assert(d.catalog.cursor("t", "g") == Map(0 -> 5L, 1 -> 5L))
+    // unknown source topic refuses at statement time
+    val tx3 = out.beginTransaction("loop3")
+    intercept[IllegalArgumentException](tx3.sendOffsets("nope", "g", Map(0 -> 1L)))
+  }
+
+  test("sendOffsets: abort discards; a crashed commit's floors resolve lazily") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("in", 10))
+    d.createTopic("out", partitions = 2)
+    val out = d.openTopic("out")
+    // abort: floors never apply
+    val bad = out.beginTransaction("bad")
+    bad.sendOffsets("t", "g", Map(0 -> 3L))
+    bad.abort()
+    assert(d.catalog.cursor("t", "g") == Map.empty)
+    // crashed commit: the state flipped but the eager apply never ran —
+    // the next cursor READ resolves the committed floors and folds them
+    val ok = out.beginTransaction("ok")
+    ok.sendOffsets("t", "g", Map(0 -> 4L, 1 -> 2L))
+    val st = d.catalog.listTxns("out")("ok")
+    val p = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("out"), "_txns/ok.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    o.write(st.copy(state = "committed").toJson.getBytes); o.close()
+    assert(d.catalog.cursor("t", "g") == Map(0 -> 5L, 1 -> 3L))
+    // folded into the cursor file; the pointer breadcrumb is gone
+    val pend = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("t"), "_cursors/_txnpend")
+    assert(!fs.exists(pend) || fs.listStatus(pend).isEmpty)
+    assert(d.catalog.cursor("t", "g") == Map(0 -> 5L, 1 -> 3L))
   }
 
   test("vacuum keeps an open txn's adopted staging however old; reaps debris") {
