@@ -3000,13 +3000,96 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /** Id ranges a read_committed reader must EXCLUDE: every range of every
-    * transaction that is not committed (open or aborted). Metadata-only —
-    * O(live transactions) in size; [[TopicHandle.purgeAborted]] keeps the
-    * aborted side bounded. */
-  def uncommittedTxnRanges(name: String): Seq[TxnRange] =
-    listTxns(name).values.toSeq
+    * LOCAL transaction that is not committed (open or aborted), plus every
+    * REMOTE share ([[RemoteTxn]] — rows produced here under another
+    * topic's transaction via [[TransactionalProducer.produceTo]]) whose
+    * coordinator has not committed. A remote record whose coordinator IS
+    * committed stops excluding and is lazily removed (terminal state —
+    * the record serves nothing further; purgeAborted needs only the
+    * not-committed ones). Metadata-only — O(live transactions) in size;
+    * [[TopicHandle.purgeAborted]] keeps the aborted side bounded. */
+  def uncommittedTxnRanges(name: String): Seq[TxnRange] = {
+    val local = listTxns(name).values.toSeq
       .filter(_.state != "committed").flatMap(_.ranges)
-      .filter(_.count > 0L)
+    val remote = listRemoteTxns(name).toSeq.flatMap { case (p, r) =>
+      coordState(r) match {
+        case Some("committed") =>
+          fs.delete(new Path(p), false): Unit // lazy fold: decided, visible
+          Nil
+        case _ => r.ranges // open, aborted, or purged: not visible
+      }
+    }
+    (local ++ remote).filter(_.count > 0L)
+  }
+
+  /** A remote share's coordinator state — None when the coordinator
+    * record is gone (committed records are never removed, so a missing
+    * one proves an aborted-and-purged transaction). */
+  private[engine] def coordState(r: RemoteTxn): Option[String] =
+    (try txnState(r.coordTopic, r.txnId)
+     catch { case _: IllegalArgumentException => None }).map(_.state)
+
+  private def remoteTxnDir(name: String): Path =
+    new Path(topicPath(name), "_txns_remote")
+
+  /** One record per (coordinator topic, transaction) — content-hashed
+    * name, repeated produceTo calls merge ranges into it. */
+  private def remoteTxnPath(name: String, coordTopic: String, txnId: String): Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest((coordTopic + " " + txnId).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    new Path(remoteTxnDir(name), s"$h.json")
+  }
+
+  /** Delete a decided remote share's record (purgeAborted's cleanup). */
+  private[engine] def removeRemoteTxn(path: String): Unit =
+    fs.delete(new Path(path), false): Unit
+
+  /** This topic's remote transaction shares, keyed by record path. */
+  private[engine] def listRemoteTxns(name: String): Map[String, RemoteTxn] = {
+    val dir = remoteTxnDir(name)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .flatMap(s => readStringResilient(s.getPath)
+        .map(j => s.getPath.toString -> RemoteTxn.fromJson(j)))
+      .toMap
+  }
+
+  /**
+   * Produce to `target` under a transaction coordinated on `coord` (see
+   * [[TransactionalProducer.produceTo]]): the standard held produce under
+   * the TARGET's lock, with the pre-commit intent writing the id ranges
+   * into the target's REMOTE record — watermark-decidable exactly like a
+   * local transactional produce ([[reconcileProduceState]] truncates a
+   * crashed produce's phantom tail while the coordinator is open, before
+   * those ids can be reissued). Coordinator openness is validated at
+   * entry; the commit racing the produce's tail is the application's
+   * fencing responsibility, as in Kafka.
+   */
+  private[engine] def produceRemote(coord: String, txnId: String,
+                                    target: String,
+                                    df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] = {
+    if (!topicExists(target)) throw new IllegalArgumentException(
+      s"produceTo: unknown target topic '$target'")
+    val st = txnState(coord, txnId).getOrElse(throw new IllegalStateException(
+      s"unknown transaction '$txnId' on topic '$coord'"))
+    if (st.state != "open") throw new IllegalStateException(
+      s"transaction '$txnId' on topic '$coord' is ${st.state}, not open")
+    acquireProduceLock(target)
+    try {
+      reconcileProduceState(target): Unit
+      new Producer(spark, this, openTopic(target)).produceHeld(df, ranges => {
+        val path = remoteTxnPath(target, coord, txnId)
+        val merged = readStringResilient(path).map(RemoteTxn.fromJson)
+          .map(r => r.copy(ranges = r.ranges ++ TxnRange.toRanges(ranges)))
+          .getOrElse(RemoteTxn(coord, txnId, TxnRange.toRanges(ranges)))
+        fs.mkdirs(remoteTxnDir(target)): Unit
+        writeAtomic(path, merged.toJson)
+      })
+    } finally releaseProduceLock(target)
+  }
 
   private def pidDir(name: String): Path = new Path(topicPath(name), "_producers")
   private def pidPath(name: String, pid: String): Path =
@@ -3070,6 +3153,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           if (committed) st.copy(committedSeq = seq, committedRanges = ranges, pending = None)
           else st.copy(pending = None)
         writeAtomic(pidPath(name, pid), next.toJson)
+      }
+    }
+    // remote transaction shares (produceTo): a crashed produce's phantom
+    // tail (ranges at/above the watermark) truncates the same way a local
+    // transaction's does — while the coordinator has NOT committed. A
+    // committed coordinator's ranges are final (its produce completed, or
+    // the tail is a harmless phantom that excludes nothing once committed).
+    listRemoteTxns(name).foreach { case (path, r) =>
+      if (!coordState(r).contains("committed")) {
+        val fixed = r.ranges.flatMap { rg =>
+          val cap = math.max(0L,
+            math.min(rg.count, wm.getOrElse(rg.partition, 0L) - rg.first))
+          if (cap == 0L) None else Some(rg.copy(count = cap))
+        }
+        if (fixed != r.ranges)
+          writeAtomic(new Path(path), r.copy(ranges = fixed).toJson)
       }
     }
     reconcileMergeState(name)

@@ -271,7 +271,15 @@ final class TopicHandle(spark: SparkSession,
    */
   def purgeAborted(chunkMaxRecords: Long = 1000000L): Int = {
     val aborted = catalog.listTxns(name).filter(_._2.state == "aborted")
-    val ranges = aborted.values.flatMap(_.ranges).filter(_.count > 0L).toSeq
+    // remote shares (produceTo) whose coordinator aborted — or whose
+    // coordinator record is gone (committed records are never removed, so
+    // missing proves an aborted-and-purged transaction). Committed shares
+    // fold away lazily in uncommittedTxnRanges; open ones are untouched.
+    val deadRemote = catalog.listRemoteTxns(name).filter { case (_, r) =>
+      catalog.coordState(r).forall(_ == "aborted")
+    }
+    val ranges = (aborted.values.flatMap(_.ranges) ++
+      deadRemote.values.flatMap(_.ranges)).filter(_.count > 0L).toSeq
     if (ranges.nonEmpty)
       catalog.purgeTopic(name, ranges.map(r =>
         col("partition") === r.partition &&
@@ -282,7 +290,8 @@ final class TopicHandle(spark: SparkSession,
     // strictly after their debris (abortTxn's eager reap is best-effort)
     aborted.values.foreach(st => catalog.reapTxnDeletes(name, st))
     aborted.keys.foreach(id => catalog.removeTxn(name, id))
-    aborted.size
+    deadRemote.keys.foreach(catalog.removeRemoteTxn)
+    aborted.size + deadRemote.size
   }
 
   /** Pin the topic's current id watermark (partition → next id) — a

@@ -151,6 +151,40 @@ object TxnOffsets {
   }
 }
 
+/**
+ * A FOREIGN topic's share of a transaction (the cross-topic produce —
+ * [[TransactionalProducer.produceTo]]): the id ranges this topic's log
+ * holds for a transaction whose record (and commit/abort decision) lives
+ * on `coordTopic`. Stored under THIS topic's `_txns_remote/`; readers
+ * resolve visibility against the coordinator's state
+ * ([[Catalog.uncommittedTxnRanges]]), so one state flip on the
+ * coordinator publishes every participating topic's rows together.
+ * Ranges are recorded pre-commit (the [[PidState.pending]] watermark
+ * contract), so a crashed produce's phantom tail truncates at the next
+ * write-path entry while the coordinator is still open.
+ */
+final case class RemoteTxn(coordTopic: String, txnId: String,
+                           ranges: Vector[TxnRange]) {
+  def toJson: String = JsonMethods.compact(JsonMethods.render(JObject(
+    "coordTopic" -> JString(coordTopic), "txnId" -> JString(txnId),
+    "ranges" -> TxnRange.toJValue(ranges))))
+}
+
+object RemoteTxn {
+  def fromJson(json: String): RemoteTxn = JsonMethods.parse(json) match {
+    case o: JObject =>
+      val str = (field: String) => o \ field match {
+        case JString(s) => s
+        case other => throw new IllegalStateException(
+          s"bad remote txn $field: ${JsonMethods.compact(other)}")
+      }
+      RemoteTxn(str("coordTopic"), str("txnId"),
+        TxnRange.fromJValue(o \ "ranges"))
+    case other => throw new IllegalStateException(
+      s"remote txn must be a JSON object: ${JsonMethods.compact(other)}")
+  }
+}
+
 /** A transaction's persisted state: `open` | `committed` | `aborted`, the
   * per-produce id ranges recorded so far, the staged in-transaction
   * deletes awaiting the commit's vector promotion ([[TxnDelete]]), and
@@ -328,6 +362,22 @@ final class TransactionalProducer private[engine] (
    */
   def deleteWhere(cond: org.apache.spark.sql.Column): Long =
     catalog.stageTxnDelete(topic, txnId, cond)
+
+  /**
+   * Produce to ANOTHER topic under this transaction — cross-topic
+   * atomicity (Kafka transactions span topics): the rows land in
+   * `target`'s log immediately (dense ids, `target`'s own validator and
+   * partition selector apply) but stay invisible to `target`'s
+   * read_committed readers until THIS transaction's one commit — the
+   * coordinator state flip publishes every participating topic's rows
+   * together, or an abort hides them everywhere (reclaim per topic via
+   * its [[TopicHandle.purgeAborted]]). The target must live in the same
+   * warehouse.
+   */
+  def produceTo(target: String,
+                df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] =
+    if (target == topic) produce(df)
+    else catalog.produceRemote(topic, txnId, target, df)
 
   /**
    * Commit consumer-cursor floors WITH the transaction — Kafka's

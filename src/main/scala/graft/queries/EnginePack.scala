@@ -622,6 +622,39 @@ object EnginePack extends QueryPack {
         .withColumn("deleted_total", lit(deletedTotal))
         .orderBy(col("partition"))
     },
+    "q_txn_cross" -> { (s, dir) =>
+      // CROSS-TOPIC transaction through the oracle (Kafka transactions
+      // span topics): one committed transaction produces to its own topic
+      // AND a foreign one — one coordinator flip publishes both logs'
+      // rows together — while an aborted transaction's foreign produce
+      // stays invisible forever. Falsifiable: a premature flip breaks
+      // visible_before_feed, a leaked abort adds eid%4==3 rows to the
+      // feed groups, a lost remote share drops the eid%4==2 rows.
+      val d = tempDriver(s)
+      d.createTopic("coord", partitions = 2)
+      d.createTopic("feed", partitions = 2)
+      val coord = d.openTopic("coord"); val feed = d.openTopic("feed")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(shiftright(col("event_id"), 2), lit(2)).cast("int").as("partition"))
+      feed.producer().produce(src.filter(pmod(eid, lit(4)) === 0))
+      val a = coord.beginTransaction("a")
+      a.produce(src.filter(pmod(eid, lit(4)) === 1))
+      a.produceTo("feed", src.filter(pmod(eid, lit(4)) === 2))
+      val b = coord.beginTransaction("b")
+      b.produceTo("feed", src.filter(pmod(eid, lit(4)) === 3))
+      val visibleBefore = feed.events("read_committed").count() // plain only
+      b.abort(); a.commit()
+      coord.events("read_committed")
+        .select(lit("coord").as("topic"), col("partition"), eid.as("k"))
+        .unionByName(feed.events("read_committed")
+          .select(lit("feed").as("topic"), col("partition"), eid.as("k")))
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"))
+        .withColumn("visible_before_feed", lit(visibleBefore))
+        .orderBy(col("topic"), col("partition"))
+    },
     "q_txn_offsets" -> { (s, dir) =>
       // THE exactly-once consume-transform-produce loop through the
       // oracle (Kafka sendOffsetsToTransaction): pull the first 64 events
@@ -2604,6 +2637,20 @@ object EnginePack extends QueryPack {
         | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS deleted_total
         |FROM events WHERE event_id % 6 = 3 OR event_id % 3 = 1
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // cross-topic commit: coord = the committed txn's local rows
+    // (eid%4=1); feed = plain (eid%4=0) ∪ the committed foreign share
+    // (eid%4=2); the aborted foreign share (eid%4=3) appears nowhere;
+    // before the flip only the plain rows were visible on the feed
+    "q_txn_cross" ->
+      """SELECT topic, CAST((event_id // 4) % 2 AS INT) AS partition,
+        | count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | (SELECT count(*) FROM events WHERE event_id % 4 = 0) AS visible_before_feed
+        |FROM (
+        |  SELECT 'coord' AS topic, event_id FROM events WHERE event_id % 4 = 1
+        |  UNION ALL
+        |  SELECT 'feed' AS topic, event_id FROM events WHERE event_id % 4 IN (0, 2)
+        |)
+        |GROUP BY 1, 2 ORDER BY topic, partition""".stripMargin,
     // exactly-once loop: the output holds the 64 smallest event_ids of
     // each parity exactly once; before the commit nothing was visible and
     // the cursor unmoved; after it the cursor sits at 64 on both

@@ -248,6 +248,73 @@ class TransactionsSpec extends SparkSpec {
     assert(TxnState.fromJson(legacy) == TxnState("open", Vector.empty))
   }
 
+  test("produceTo: one commit publishes rows across topics") {
+    val (d, topic) = newTopic() // topic "t" = the coordinator
+    d.createTopic("other", partitions = 2)
+    val other = d.openTopic("other")
+    topic.producer().produce(batch("base", 4))
+    other.producer().produce(batch("obase", 4))
+    val tx = topic.beginTransaction("span")
+    tx.produce(batch("local", 6))
+    tx.produceTo("other", batch("remote", 8))
+    tx.produceTo("other", batch("remote2", 2)) // merges into one record
+    // BEFORE: both topics' committed views unchanged; the rows are in
+    // the foreign log (read_uncommitted) exactly like local txn rows
+    assert(tags(topic.events("read_committed")) == Map("base" -> 4L))
+    assert(tags(other.events("read_committed")) == Map("obase" -> 4L))
+    assert(tags(other.events("read_uncommitted")) ==
+      Map("obase" -> 4L, "remote" -> 8L, "remote2" -> 2L))
+    tx.commit() // ONE flip on the coordinator publishes everywhere
+    assert(tags(topic.events("read_committed")) ==
+      Map("base" -> 4L, "local" -> 6L))
+    assert(tags(other.events("read_committed")) ==
+      Map("obase" -> 4L, "remote" -> 8L, "remote2" -> 2L))
+    // unknown target refuses at statement time
+    val tx2 = topic.beginTransaction("bad2")
+    intercept[IllegalArgumentException](tx2.produceTo("nope", batch("x", 1)))
+  }
+
+  test("produceTo: abort hides rows everywhere; purgeAborted reclaims per topic") {
+    val (d, topic) = newTopic()
+    d.createTopic("other", partitions = 2)
+    val other = d.openTopic("other")
+    other.producer().produce(batch("keep", 4))
+    val tx = topic.beginTransaction("gone")
+    tx.produce(batch("l", 2))
+    tx.produceTo("other", batch("r", 6))
+    tx.abort()
+    assert(tags(other.events("read_committed")) == Map("keep" -> 4L))
+    // each participating topic reclaims its own share
+    assert(other.purgeAborted() == 1)
+    assert(tags(other.events("read_uncommitted")) == Map("keep" -> 4L))
+    assert(topic.purgeAborted() == 1)
+    assert(tags(topic.events("read_uncommitted")) == Map.empty)
+    // idempotent: nothing left on either side
+    assert(other.purgeAborted() == 0 && topic.purgeAborted() == 0)
+  }
+
+  test("produceTo crash window: phantom remote ranges truncate before id reuse") {
+    val (d, topic) = newTopic()
+    d.createTopic("other", partitions = 2)
+    val other = d.openTopic("other")
+    topic.beginTransaction("ph"): Unit // open coordinator, produce "died"
+    // simulate the crash: a remote record claiming ranges at/above the
+    // target's watermark (the pre-commit intent landed, the id commit
+    // never did)
+    val wm0 = d.catalog.nextIds("other").getOrElse(0, 0L)
+    val dir = new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("other"), "_txns_remote")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val o = fs.create(new org.apache.hadoop.fs.Path(dir, "ph.json"))
+    o.write(RemoteTxn("t", "ph", Vector(TxnRange(0, wm0, 3L))).toJson.getBytes)
+    o.close()
+    // a later plain produce reconciles first — the phantom truncates, so
+    // the reissued ids are NOT hidden behind the open transaction
+    other.producer().produce(batch("later", 6))
+    assert(tags(other.events("read_committed")) == Map("later" -> 6L))
+  }
+
   test("sendOffsets: cursor advances atomically with the commit") {
     val (d, topic) = newTopic()
     topic.producer().produce(batch("in", 10)) // the source rows, topic 't'
