@@ -265,9 +265,11 @@ final class TopicHandle(spark: SparkSession,
    * filtered-out otherwise, like Kafka's until log cleaning): one
    * [[Catalog.purgeTopic]] rewrite dropping every row inside an aborted
    * range, then the aborted transaction records themselves are removed
-   * (keeping the read_committed exclusion list bounded). Committed and
-   * open transactions are untouched. Returns the number of aborted
-   * transactions reclaimed.
+   * (keeping the read_committed exclusion list bounded). Remote shares
+   * ([[TransactionalProducer.produceTo]]) whose coordinator aborted — or
+   * whose coordinator record is gone — are reclaimed the same way.
+   * Committed and open transactions are untouched. Returns the number of
+   * aborted transactions (local records + dead remote shares) reclaimed.
    */
   def purgeAborted(chunkMaxRecords: Long = 1000000L): Int = {
     val aborted = catalog.listTxns(name).filter(_._2.state == "aborted")

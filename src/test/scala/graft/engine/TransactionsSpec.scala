@@ -246,6 +246,8 @@ class TransactionsSpec extends SparkSpec {
     // a state file written before multi-statement transactions existed
     val legacy = """{"state":"open","ranges":[]}"""
     assert(TxnState.fromJson(legacy) == TxnState("open", Vector.empty))
+    val remote = RemoteTxn("coord", "tx1", Vector(TxnRange(1, 7L, 2L)))
+    assert(RemoteTxn.fromJson(remote.toJson) == remote)
   }
 
   test("produceTo: one commit publishes rows across topics") {
