@@ -622,6 +622,43 @@ object EnginePack extends QueryPack {
         .withColumn("deleted_total", lit(deletedTotal))
         .orderBy(col("partition"))
     },
+    "q_source_committed" -> { (s, dir) =>
+      // isolation=read_committed on the DSv2 scan (Kafka isolation.level)
+      // through the oracle: plain rows (eid%4=0) and a committed
+      // transaction's rows (eid%4=1) are visible; an aborted (eid%4=2)
+      // and a still-open (eid%4=3) transaction's rows are not. The
+      // groupBy count also exercises the disabled watermark-arithmetic
+      // shortcut — pushed aggregates must really scan under isolation
+      // (arithmetic would count all four classes).
+      val d = tempDriver(s)
+      d.createTopic("iso_demo", partitions = 2)
+      val topic = d.openTopic("iso_demo")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      topic.producer().produce(src.filter(pmod(eid, lit(4)) === 0))
+      val ok = topic.beginTransaction("ok")
+      ok.produce(src.filter(pmod(eid, lit(4)) === 1)); ok.commit()
+      val ab = topic.beginTransaction("ab")
+      ab.produce(src.filter(pmod(eid, lit(4)) === 2)); ab.abort()
+      topic.beginTransaction("open")
+        .produce(src.filter(pmod(eid, lit(4)) === 3)): Unit
+      val committed = s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "iso_demo")
+        .option("isolation", "read_committed").load()
+      val logTotal = s.read.format("graft")
+        .option("warehouse", d.warehouse).option("topic", "iso_demo")
+        .load().count() // default read_uncommitted: the raw log
+      committed
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(pmod(eid, lit(4)) === 0, 1)).as("n_plain"),
+          count(when(pmod(eid, lit(4)) === 1, 1)).as("n_committed"),
+          count(when(pmod(eid, lit(4)) >= 2, 1)).as("n_excluded"))
+        .withColumn("log_total", lit(logTotal))
+        .orderBy(col("partition"))
+    },
     "q_txn_cross" -> { (s, dir) =>
       // CROSS-TOPIC transaction through the oracle (Kafka transactions
       // span topics): one committed transaction produces to its own topic
@@ -2636,6 +2673,16 @@ object EnginePack extends QueryPack {
         | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS staged_deletes,
         | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS deleted_total
         |FROM events WHERE event_id % 6 = 3 OR event_id % 3 = 1
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // read_committed scan = plain (eid%4=0) ∪ committed txn (eid%4=1);
+    // aborted (2) and open (3) excluded; the raw log holds all four
+    "q_source_committed" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | count(*) FILTER (WHERE event_id % 4 = 0) AS n_plain,
+        | count(*) FILTER (WHERE event_id % 4 = 1) AS n_committed,
+        | CAST(0 AS BIGINT) AS n_excluded,
+        | (SELECT count(*) FROM events) AS log_total
+        |FROM events WHERE event_id % 4 < 2
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // cross-topic commit: coord = the committed txn's local rows
     // (eid%4=1); feed = plain (eid%4=0) ∪ the committed foreign share

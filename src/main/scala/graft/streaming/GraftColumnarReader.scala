@@ -35,6 +35,20 @@ private[streaming] object GraftReaderSupport {
     else
       deleted.length == 0 || java.util.Arrays.binarySearch(deleted, id) < 0
 
+  /** Transaction-exclusion row filter (read_committed): true when `id`
+    * lies in NONE of the slice's excluded `[lo, hi)` ranges — the id
+    * spans of transactions that have not committed. The range list is
+    * metadata-sized (O(live transactions), usually empty) and pre-sorted
+    * by `lo`, so a short forward walk with early exit is branch-cheap. */
+  @inline def outsideExcluded(exLo: Array[Long], exHi: Array[Long], id: Long): Boolean = {
+    var i = 0
+    while (i < exLo.length && exLo(i) <= id) {
+      if (id < exHi(i)) return false
+      i += 1
+    }
+    true
+  }
+
   def readSchemaOf(requiredSchema: StructType): StructType = {
     val dataCols = requiredSchema.filter(f =>
       f.name != "partition" && f.name != GraftTopicTable.FileColumn &&
@@ -290,9 +304,11 @@ final class GraftColumnarPartitionReader(
   private val deleted: Array[Long] = GraftReaderSupport.loadDeletedIds(
     slice.deleteFiles, confEntries, slice.partition, slice.fromId, slice.untilId,
     slice.deleteSource)
+  private val (exLo, exHi) = slice.excludeArrays
   @inline private def kept(id: Long): Boolean =
     id >= slice.fromId && id < slice.untilId &&
-      GraftReaderSupport.passesVectors(deleted, slice.deleteKeepOnly, id)
+      GraftReaderSupport.passesVectors(deleted, slice.deleteKeepOnly, id) &&
+      GraftReaderSupport.outsideExcluded(exLo, exHi, id)
 
   /** Output-column order: `requiredSchema`, drawn from the decoded batch's
     * `readSchema ++ (partition, _file)` layout. */

@@ -550,7 +550,8 @@ object GraftPartitions {
            from: Int => Long, until: Int => Long,
            stats: Option[FileStatsCache] = None,
            sparse: Boolean = false,
-           deleteMode: GraftDeleteMode = GraftDeleteMode.Apply): Array[InputPartition] = {
+           deleteMode: GraftDeleteMode = GraftDeleteMode.Apply,
+           exclude: Map[Int, Seq[(Long, Long)]] = Map.empty): Array[InputPartition] = {
     // a snapshot roll (manifest) or archive pass (tier) deletes its
     // superseded parquet relation right after committing the new state; a
     // plan racing that delete hits FileNotFound mid-collect. Retry ONCE
@@ -558,7 +559,7 @@ object GraftPartitions {
     // propagates (real trouble, not a race).
     val t0 = System.nanoTime()
     val r = Catalog.retryOnRollRace(
-      planAttempt(catalog, topic, targets, from, until, stats, deleteMode))
+      planAttempt(catalog, topic, targets, from, until, stats, deleteMode, exclude))
     if (sparse) probePlannedEntries.addAndGet(
       r.collect { case ip: GraftInputPartition => ip.files.size.toLong }.sum): Unit
     if (sys.env.contains("GRAFT_STREAM_DEBUG"))
@@ -569,7 +570,12 @@ object GraftPartitions {
   private def planAttempt(catalog: Catalog, topic: String, targets: Option[Set[Int]],
            from: Int => Long, until: Int => Long,
            stats: Option[FileStatsCache],
-           deleteMode: GraftDeleteMode): Array[InputPartition] = {
+           deleteMode: GraftDeleteMode,
+           exclude: Map[Int, Seq[(Long, Long)]] = Map.empty): Array[InputPartition] = {
+    // read_committed: this slice's share of the uncommitted-transaction id
+    // ranges — window-overlapping only, so the common case ships nothing
+    def excludedFor(p: Int, lo: Long, hi: Long): Seq[(Long, Long)] =
+      exclude.getOrElse(p, Nil).filter(r => r._2 > lo && r._1 < hi)
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val logPath = new Path(catalog.logPath(topic))
@@ -692,7 +698,8 @@ object GraftPartitions {
             // committed watermark.
             if (files.nonEmpty)
               Some(GraftInputPartition(p, lo, hi, files, deleteFiles,
-                deleteKeepOnly, deleteSource = deleteSource))
+                deleteKeepOnly, deleteSource = deleteSource,
+                excludeRanges = excludedFor(p, lo, hi)))
             else if (deleteKeepOnly || catalog.mayHaveIdGaps(topic)) None
             else throw new java.io.IOException(
               s"topic '$topic' partition $p: manifest watermark covers ids " +
@@ -751,7 +758,8 @@ object GraftPartitions {
         val files = coldFiles(p, lo, hi) ++ hot
         if (files.isEmpty) None
         else Some(GraftInputPartition(p, lo, hi, files, deleteFiles,
-          deleteKeepOnly, deleteSource = deleteSource))
+          deleteKeepOnly, deleteSource = deleteSource,
+          excludeRanges = excludedFor(p, lo, hi)))
       }
     }.sortBy(_.partition).toArray
   }
@@ -761,9 +769,18 @@ final case class GraftInputPartition(
     partition: Int, fromId: Long, untilId: Long, files: Seq[String],
     deleteFiles: Seq[String] = Nil, deleteKeepOnly: Boolean = false,
     deleteSource: Option[(Long, Long)] = None,
-    cdf: Option[CdfSlice] = None)
+    cdf: Option[CdfSlice] = None,
+    excludeRanges: Seq[(Long, Long)] = Nil)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
+
+  /** The read_committed exclusion ranges as parallel sorted arrays —
+    * what the readers' per-row check walks (see
+    * [[GraftReaderSupport.outsideExcluded]]). */
+  def excludeArrays: (Array[Long], Array[Long]) = {
+    val sorted = excludeRanges.sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+  }
   /** One slice per topic partition, keyed by its partition id — what lets
     * the scan report `KeyGroupedPartitioning(partition)` and Spark plan
     * shuffle-free partition-keyed aggregations and storage-partitioned

@@ -105,6 +105,8 @@ final class GraftPartitionReader(
           Array.emptyIntArray)
     }
 
+  private val (exLo, exHi) = slice.excludeArrays
+
   /** The reader emits `readSchema ++ (partition, _file)`; this maps it back
     * to the pruned schema's column order (CDF virtuals excluded — filled
     * into [[outRow]] directly). */
@@ -202,7 +204,8 @@ final class GraftPartitionReader(
           val r = reader.getCurrentValue.asInstanceOf[InternalRow]
           val id = r.getLong(idOrdinal)
           if (id >= slice.fromId && id < slice.untilId &&
-              GraftReaderSupport.passesVectors(deleted, slice.deleteKeepOnly, id)) {
+              GraftReaderSupport.passesVectors(deleted, slice.deleteKeepOnly, id) &&
+              GraftReaderSupport.outsideExcluded(exLo, exHi, id)) {
             projection.project(r)
             if (outRow != null) fillOut(id)
             return true

@@ -31,7 +31,8 @@ final class GraftScanBuilder(
     cdf: Boolean = false,
     startingVerNum: Option[Long] = None,
     endingVerNum: Option[Long] = None,
-    lineage: Boolean = false)
+    lineage: Boolean = false,
+    readCommitted: Boolean = false)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
   with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -188,7 +189,10 @@ final class GraftScanBuilder(
   private var limit: Option[Int] = None
 
   override def pushLimit(n: Int): Boolean =
-    if (cdf || catalog.mayHaveIdGaps(topic) || deleteMode != GraftDeleteMode.Apply)
+    // read_committed: excluded transaction rows inside the first n ids
+    // would make a capped window under-deliver — no cap, like id gaps
+    if (cdf || readCommitted || catalog.mayHaveIdGaps(topic) ||
+        deleteMode != GraftDeleteMode.Apply)
       false
     else { limit = Some(n); true }
 
@@ -206,7 +210,7 @@ final class GraftScanBuilder(
           orders.head.direction == SortDirection.ASCENDING
       case _ => false
     })
-    if (ascById && !cdf && !catalog.mayHaveIdGaps(topic) &&
+    if (ascById && !cdf && !readCommitted && !catalog.mayHaveIdGaps(topic) &&
         deleteMode == GraftDeleteMode.Apply) { limit = Some(n); true }
     else false
   }
@@ -241,6 +245,9 @@ final class GraftScanBuilder(
     // a change feed surfaces raw inserts PLUS delete preimages — watermark
     // arithmetic counts neither
     if (cdf) return None
+    // read_committed: watermark arithmetic counts rows the exclusion
+    // filter drops — the shortcut would over-count
+    if (readCommitted) return None
     // watermark arithmetic counts LIVE rows under the normal read
     // semantics only — a raw or delete-preimage scan must really scan
     if (deleteMode != GraftDeleteMode.Apply) return None
@@ -324,7 +331,8 @@ final class GraftScanBuilder(
         new GraftScan(catalog, topic, consumer, effective, requiredSchema,
           idLo, idHi, maxEventsPerTrigger, startingTime, maxBytesPerTrigger,
           effAsOfIds, effStartingIds, perPartitionCap = limit, deleteMode = deleteMode,
-          cdf = cdf, startingVerNum = effVerLo, endingVerNum = effVerHi)
+          cdf = cdf, startingVerNum = effVerLo, endingVerNum = effVerHi,
+          readCommitted = readCommitted)
     }
   }
 }
@@ -341,7 +349,8 @@ final class GraftScan(
     deleteMode: GraftDeleteMode = GraftDeleteMode.Apply,
     cdf: Boolean = false,
     startingVerNum: Option[Long] = None,
-    endingVerNum: Option[Long] = None)
+    endingVerNum: Option[Long] = None,
+    readCommitted: Boolean = false)
   extends Scan
   with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -451,6 +460,10 @@ final class GraftScan(
     // pins, a limit cap) the overlap is unknown, so skip the subtraction:
     // over-reporting rows is the conservative direction (it can only
     // suppress an auto-broadcast, never cause one).
+    // read_committed keeps the raw numbers: excluded transaction rows are
+    // an unknown-overlap subtraction, and over-reporting is the
+    // conservative direction (suppresses an auto-broadcast, never causes
+    // one — same rule as the bounded-window vector case below)
     val deleted: Map[Int, Long] =
       if (!cdf && deleteMode == GraftDeleteMode.Apply &&
           effIdLo.isEmpty && effIdHi.isEmpty && asOfIds.isEmpty &&
@@ -566,7 +579,8 @@ final class GraftScan(
     val pins = (startingIds.map(w => s", after=$w") ++
       asOfIds.map(w => s", asOf=$w") ++
       effCap.map(n => s", cap=$n") ++
-      (if (cdf) Seq(", changeFeed") else Nil)).mkString
+      (if (cdf) Seq(", changeFeed") else Nil) ++
+      (if (readCommitted) Seq(", readCommitted") else Nil)).mkString
     s"GraftScan(topic=$topic, cols=${requiredSchema.fieldNames.mkString(",")}, " +
       s"targets=$effTargets, idRange=[${effIdLo.getOrElse(0L)}, ${effIdHi.getOrElse("∞")})$pins)"
   }
@@ -629,11 +643,25 @@ final class GraftScan(
           from = clampLo, until = clampHi,
           stats.orElse(Some(new FileStatsCache)), history)
       } else {
+        // read_committed (Kafka isolation.level analog): resolve the
+        // uncommitted-transaction id ranges ONCE at plan time (metadata-
+        // sized — local txn records plus remote shares) and ship each
+        // slice its window-overlapping share; readers drop those rows
+        // exactly like vector-deleted ids. Resolution is current-state:
+        // a transaction committed by plan time is visible even under a
+        // version pin (same retroactivity rule as deletion vectors).
+        val exclude: Map[Int, Seq[(Long, Long)]] =
+          if (!readCommitted) Map.empty
+          else catalog.uncommittedTxnRanges(topic)
+            .groupBy(_.partition).view
+            .mapValues(_.map(r => (r.first, r.first + r.count))
+              .sortBy(_._1).toSeq).toMap
         val planned = GraftPartitions.plan(catalog, topic, effTargets,
           from = clampLo,
           until = clampHi,
           stats,
-          deleteMode = deleteMode)
+          deleteMode = deleteMode,
+          exclude = exclude)
         // row tracking: _commit_version/_commit_timestamp were projected —
         // ship the attribution span; the read semantics stay a normal read
         if (GraftCdf.wantsLineage(requiredSchema))
@@ -659,6 +687,12 @@ final class GraftScan(
     if (deleteMode != GraftDeleteMode.Apply) throw new IllegalArgumentException(
       s"topic '$topic': change-data-feed delete modes are batch reads — " +
       "a stream always applies the live deletion vectors")
+    if (readCommitted) throw new IllegalArgumentException(
+      s"topic '$topic': isolation=read_committed is a batch-read option — " +
+      "a stream's offsets advance past transaction ranges whose outcome " +
+      "is still undecided, which would drop or double-read them on the " +
+      "decision. Stream the committed view by filtering downstream, or " +
+      "use batch incremental reads (startingVersion/endingVersion)")
     if (asOfIds.isDefined) throw new IllegalArgumentException(
       s"topic '$topic': an upper time-travel pin (VERSION/TIMESTAMP AS OF, " +
       "asOfVersion, endingVersion) is a batch read — a stream follows the " +

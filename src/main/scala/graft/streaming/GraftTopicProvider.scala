@@ -139,7 +139,8 @@ final class GraftTopicProvider extends TableProvider with DataSourceRegister
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong),
       asOfVersion = Option(opts.get("asOfVersion")),
       cdf = opts.getBoolean("readChangeFeed", false),
-      lineage = opts.getBoolean("rowLineage", false))
+      lineage = opts.getBoolean("rowLineage", false),
+      isolation = Option(opts.get("isolation")))
   }
 
   private def require(opts: CaseInsensitiveStringMap, key: String): String = {
@@ -237,7 +238,8 @@ final class GraftTopicTable(
     asOfIds: Option[Map[Int, Long]] = None,
     asOfVersion: Option[String] = None,
     cdf: Boolean = false,
-    lineage: Boolean = false)
+    lineage: Boolean = false,
+    isolation: Option[String] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -412,6 +414,29 @@ final class GraftTopicTable(
       throw new IllegalArgumentException(
         "readChangeFeed already reads raw inserts and delete preimages — " +
         "applyDeletionVectors/cdfDeleteRoot don't compose with it")
+    // isolation (Kafka isolation.level analog, batch reads): per-scan
+    // option > load-time table option > session conf (the SQL surface:
+    // `SET spark.graft.read.isolation=read_committed` flips every catalog
+    // table read in the session). read_committed excludes every id range
+    // recorded by a transaction that has not committed — local records
+    // and cross-topic remote shares alike.
+    val effIsolation = opt("isolation").orElse(isolation)
+      .orElse(SparkSession.active.conf.getOption("spark.graft.read.isolation"))
+      .getOrElse("read_uncommitted")
+    val effReadCommitted = effIsolation match {
+      case "read_uncommitted" => false
+      case "read_committed" => true
+      case other => throw new IllegalArgumentException(
+        s"isolation must be read_committed | read_uncommitted, got '$other'")
+    }
+    if (effReadCommitted && effCdf) throw new IllegalArgumentException(
+      "options 'isolation=read_committed' and 'readChangeFeed' don't " +
+      "compose — a change feed surfaces raw history (inserts and delete " +
+      "preimages), not a committed point-in-time view")
+    if (effReadCommitted && effDeleteMode != GraftDeleteMode.Apply)
+      throw new IllegalArgumentException(
+        "isolation=read_committed doesn't compose with " +
+        "applyDeletionVectors=false/cdfDeleteRoot — those are raw-history reads")
     val startingVerNum = opt("startingVersion").map(parseVersion("startingVersion", _))
     val endingVerNum = opt("endingVersion").orElse(opt("asOfVersion"))
       .orElse(asOfVersion).map(parseVersion("endingVersion", _))
@@ -427,7 +452,8 @@ final class GraftTopicTable(
       cdf = effCdf,
       startingVerNum = startingVerNum,
       endingVerNum = endingVerNum,
-      lineage = lineage)
+      lineage = lineage,
+      readCommitted = effReadCommitted)
   }
 
   /** `DELETE FROM cat.topic WHERE …` = the engine's compliance delete
