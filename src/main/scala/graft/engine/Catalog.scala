@@ -1119,7 +1119,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                   catch { case _: IllegalArgumentException => None }
                 st match {
                 case Some(st) if st.state == "committed" =>
-                  fs.delete(marker, false): Unit // lazy un-gate
+                  // lazy un-gate, best-effort: listings run on READ paths
+                  // and must survive a read-only filesystem
+                  try { fs.delete(marker, false): Unit }
+                  catch { case scala.util.control.NonFatal(_) => () }
                   visible += s.getPath.toString
                 case Some(st) =>
                   gated += s.getPath.toString -> Catalog.VectorGate(txnId, st.state)
@@ -2086,18 +2089,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           st.map(_.state) match {
             case Some("open") => () // undecided: not visible yet
             case Some("committed") =>
-              st.get.offsets
+              val mine = st.get.offsets
                 .filter(o => o.topic == topic && o.consumer == consumer)
-                .foreach { o =>
-                  merged = o.floors.foldLeft(merged) { case (acc, (p, id)) =>
-                    acc + (p -> math.max(acc.getOrElse(p, 0L), id + 1))
-                  }
-                  // fold + clean: later reads skip the resolution
-                  acknowledgeFloors(topic, consumer, o.floors)
+              mine.foreach { o =>
+                merged = o.floors.foldLeft(merged) { case (acc, (p, id)) =>
+                  acc + (p -> math.max(acc.getOrElse(p, 0L), id + 1))
                 }
-              fs.delete(s.getPath, false): Unit
+              }
+              // fold + clean, best-effort: the MERGED result is this
+              // read's answer either way, and a cursor read must survive
+              // a read-only filesystem (later reads just re-resolve).
+              // EVERY consumer's floors for this topic fold before the
+              // breadcrumb goes — removing it after folding only the
+              // caller's would strand the others' (the commit's eager
+              // apply may have crashed; this path is their heal too).
+              try {
+                st.get.offsets.filter(_.topic == topic).foreach(o =>
+                  acknowledgeFloors(topic, o.consumer, o.floors))
+                fs.delete(s.getPath, false): Unit
+              } catch { case scala.util.control.NonFatal(_) => () }
             case _ => // aborted, or its record purged: never applies
-              fs.delete(s.getPath, false): Unit
+              try { fs.delete(s.getPath, false): Unit }
+              catch { case scala.util.control.NonFatal(_) => () }
           }
         }
       }
@@ -3014,7 +3027,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val remote = listRemoteTxns(name).toSeq.flatMap { case (p, r) =>
       coordState(r) match {
         case Some("committed") =>
-          fs.delete(new Path(p), false): Unit // lazy fold: decided, visible
+          // lazy fold: decided, visible. Best-effort — this runs on READ
+          // paths (plan time), which must survive a read-only filesystem
+          try { fs.delete(new Path(p), false): Unit }
+          catch { case scala.util.control.NonFatal(_) => () }
           Nil
         case _ => r.ranges // open, aborted, or purged: not visible
       }

@@ -354,8 +354,11 @@ class TransactionsSpec extends SparkSpec {
     assert(d.catalog.cursor("t", "g") == Map.empty)
     // crashed commit: the state flipped but the eager apply never ran —
     // the next cursor READ resolves the committed floors and folds them
+    // (including ANOTHER consumer's floors under the same breadcrumb:
+    // removing it after folding only the caller's would strand them)
     val ok = out.beginTransaction("ok")
     ok.sendOffsets("t", "g", Map(0 -> 4L, 1 -> 2L))
+    ok.sendOffsets("t", "h", Map(0 -> 7L))
     val st = d.catalog.listTxns("out")("ok")
     val p = new org.apache.hadoop.fs.Path(
       d.catalog.topicPath("out"), "_txns/ok.json")
@@ -368,6 +371,8 @@ class TransactionsSpec extends SparkSpec {
       d.catalog.topicPath("t"), "_cursors/_txnpend")
     assert(!fs.exists(pend) || fs.listStatus(pend).isEmpty)
     assert(d.catalog.cursor("t", "g") == Map(0 -> 5L, 1 -> 3L))
+    // the OTHER consumer's floors folded too (g's read was its heal)
+    assert(d.catalog.cursor("t", "h") == Map(0 -> 8L))
   }
 
   test("vacuum keeps an open txn's adopted staging however old; reaps debris") {
