@@ -3038,6 +3038,27 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     (local ++ remote).filter(_.count > 0L)
   }
 
+  /**
+   * The UNDECIDED (open) transaction ranges / the DECIDED-DEAD (aborted,
+   * or purged-record) ones, split — the streaming read_committed pair:
+   * a stream's offsets must HOLD below an open transaction's first id
+   * (its outcome is unknown — Kafka's last-stable-offset), while a
+   * decided-dead range is simply filtered from batches as the offsets
+   * advance past it (waiting on it would stall forever). Batch reads use
+   * the union ([[uncommittedTxnRanges]]).
+   */
+  private[graft] def splitTxnRanges(name: String): (Seq[TxnRange], Seq[TxnRange]) = {
+    val local = listTxns(name).values.toSeq
+    val remote = listRemoteTxns(name).values.toSeq
+      .map(r => (coordState(r), r.ranges))
+    val open = local.filter(_.state == "open").flatMap(_.ranges) ++
+      remote.collect { case (Some("open"), rs) => rs }.flatten
+    val dead = local.filter(_.state == "aborted").flatMap(_.ranges) ++
+      remote.collect { case (st, rs)
+        if !st.contains("open") && !st.contains("committed") => rs }.flatten
+    (open.filter(_.count > 0L), dead.filter(_.count > 0L))
+  }
+
   /** A remote share's coordinator state — None when the coordinator
     * record is gone (committed records are never removed, so a missing
     * one proves an aborted-and-purged transaction). */

@@ -61,7 +61,8 @@ final class GraftMicroBatchStream(
     maxBytesPerTrigger: Option[Long] = None,
     startingIds: Option[Map[Int, Long]] = None,
     cdf: Boolean = false,
-    startingVersionNum: Option[Long] = None)
+    startingVersionNum: Option[Long] = None,
+    readCommitted: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private var availableNowTarget: Option[TopicOffset] = None
@@ -123,9 +124,25 @@ final class GraftMicroBatchStream(
 
   private def currentNext(): Map[Int, Long] = {
     val next = catalog.nextIds(topic)
-    targets match {
+    val scoped = targets match {
       case Some(t) => next.view.filterKeys(t.contains).toMap
       case None => next
+    }
+    // read_committed: the last-stable-offset clamp (Kafka LSO) — offsets
+    // must not pass an OPEN transaction's first id, because its outcome
+    // is unknown: advancing then committing would skip its rows forever,
+    // advancing then aborting is fine but indistinguishable in advance.
+    // An abandoned open transaction stalls the committed stream at its
+    // LSO, exactly like Kafka's hung-transaction behavior — decide it
+    // (commit/abort) to release. Decided-dead (aborted) ranges never
+    // hold: they are filtered from batches as offsets pass them.
+    if (!readCommitted) scoped
+    else {
+      val open = catalog.splitTxnRanges(topic)._1
+      if (open.isEmpty) scoped
+      else scoped.map { case (p, n) =>
+        p -> open.filter(_.partition == p).map(_.first).foldLeft(n)(math.min)
+      }
     }
   }
 
@@ -383,10 +400,24 @@ final class GraftMicroBatchStream(
                 until = p => e.getOrElse(p, 0L),
                 Some(fileStats), catalog.versionHistory(topic))
             else {
+              // read_committed: decided-dead (aborted) transaction ranges
+              // are filtered from the batch — offsets advance past them
+              // (holding would stall forever; the rows never apply).
+              // Recomputed per plan: an abort landing between batches is
+              // excluded from the NEXT window; ranges already emitted
+              // were committed-or-plain at emission time because the LSO
+              // clamp never let an undecided range into a window.
+              val exclude: Map[Int, Seq[(Long, Long)]] =
+                if (!readCommitted) Map.empty
+                else catalog.splitTxnRanges(topic)._2
+                  .groupBy(_.partition).view
+                  .mapValues(_.map(r => (r.first, r.first + r.count))
+                    .sortBy(_._1).toSeq).toMap
               val base = GraftPartitions.plan(catalog, topic, targets,
                 from = p => s.getOrElse(p, 0L),
                 until = p => e.getOrElse(p, 0L),
-                Some(fileStats))
+                Some(fileStats),
+                exclude = exclude)
               // row tracking on a plain stream: per-trigger history read,
               // only when the commit columns were actually projected (the
               // entry cache makes it one listing + new entries)

@@ -687,12 +687,10 @@ final class GraftScan(
     if (deleteMode != GraftDeleteMode.Apply) throw new IllegalArgumentException(
       s"topic '$topic': change-data-feed delete modes are batch reads — " +
       "a stream always applies the live deletion vectors")
-    if (readCommitted) throw new IllegalArgumentException(
-      s"topic '$topic': isolation=read_committed is a batch-read option — " +
-      "a stream's offsets advance past transaction ranges whose outcome " +
-      "is still undecided, which would drop or double-read them on the " +
-      "decision. Stream the committed view by filtering downstream, or " +
-      "use batch incremental reads (startingVersion/endingVersion)")
+    // read_committed streams ride the last-stable-offset clamp (Kafka
+    // LSO): offsets never pass an OPEN transaction's first id, so a
+    // window only ever contains plain, committed, or decided-dead rows —
+    // the dead ones filtered per slice (see GraftMicroBatchStream)
     if (asOfIds.isDefined) throw new IllegalArgumentException(
       s"topic '$topic': an upper time-travel pin (VERSION/TIMESTAMP AS OF, " +
       "asOfVersion, endingVersion) is a batch read — a stream follows the " +
@@ -700,7 +698,8 @@ final class GraftScan(
       "choose where it begins")
     new GraftMicroBatchStream(catalog, topic, consumer, targets, requiredSchema,
       maxEventsPerTrigger, serializerJson, startingTime, maxBytesPerTrigger,
-      startingIds, cdf = cdf, startingVersionNum = startingVerNum)
+      startingIds, cdf = cdf, startingVersionNum = startingVerNum,
+      readCommitted = readCommitted)
   }
 }
 

@@ -93,24 +93,63 @@ class IsolationReadSpec extends SparkSpec {
       Map("plain" -> 10L, "open" -> 6L, "ok" -> 8L))
   }
 
-  test("streams refuse read_committed; change feeds refuse the combination") {
+  test("change feeds refuse the isolation combination") {
     val (_, wh) = fixture()
-    // the scan materializes inside the stream thread — the refusal
-    // surfaces through the query, not from start()
-    val q = spark.readStream.format("graft")
-      .option("warehouse", wh).option("topic", "t")
-      .option("isolation", "read_committed").load()
-      .writeStream.format("memory").queryName("iso_refuse")
-      .option("checkpointLocation",
-        Files.createTempDirectory("iso-ck").toString)
-      .start()
-    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
-      q.awaitTermination(60000))
-    assert(e1.getMessage.contains("batch-read option"))
-    val e2 = intercept[IllegalArgumentException](
+    val e = intercept[IllegalArgumentException](
       read(wh, "isolation" -> "read_committed",
         "readChangeFeed" -> "true").count())
-    assert(e2.getMessage.contains("don't compose") ||
-      e2.getMessage.contains("compose"))
+    assert(e.getMessage.contains("compose"))
+  }
+
+  /** Drain a read_committed stream with AvailableNow into tag counts. */
+  private def drainCommitted(wh: String, ckpt: String): Map[String, Long] = {
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    val q = spark.readStream.format("graft")
+      .option("warehouse", wh).option("topic", "t")
+      .option("isolation", "read_committed")
+      .option("maxEventsPerTrigger", "7") // mid-window triggers too
+      .load()
+      .select(tag.as("t"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.groupBy(col("t")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        acc.synchronized {
+          rows.foreach { case (k, n) => acc(k) = acc.getOrElse(k, 0L) + n }
+        }: Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    acc.toMap
+  }
+
+  test("read_committed stream: LSO holds at the first open txn; decisions release") {
+    val (d, wh) = fixture()
+    val topic = d.openTopic("t")
+    import spark.implicits._
+    // plain rows produced AFTER the open transaction: their ids sit past
+    // the open ranges, so the LSO must hold them back too (in-order
+    // delivery — Kafka's exactly the same)
+    topic.producer().produce((0 until 6)
+      .map(i => (s"""{"t":"late"}""", i % 2)).toDF("metadata", "partition"))
+    val ckpt = Files.createTempDirectory("iso-stream-ck").toString
+    val first = drainCommitted(wh, ckpt)
+    // visible: everything below the FIRST open-transaction id per
+    // partition — plain and the committed txn's rows (both produced
+    // before "open"); held: the open txn's rows AND everything after
+    // (aborted "ab", committed-later "ok", late plain rows)
+    assert(first == Map("plain" -> 10L),
+      s"LSO must hold at the first open range: $first")
+    // deciding the transaction releases the log in order: open commits →
+    // its rows AND everything stable behind it flow, aborted stays out
+    topic.transaction("open").commit()
+    val second = drainCommitted(wh, ckpt)
+    assert(second == Map("open" -> 6L, "ok" -> 8L, "late" -> 6L),
+      s"decision must release exactly the stable suffix, aborted filtered: $second")
+    // exactly once across drains
+    assert(drainCommitted(wh, ckpt).isEmpty)
   }
 }
