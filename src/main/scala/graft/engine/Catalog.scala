@@ -151,6 +151,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       // dropping a topic with live shallow clones deletes the chunk files
       // they reference — same contract as the rewrite guard
       failIfLiveClones(name, "dropTopic")
+      // Dropping a topic that COORDINATES cross-topic transactions would
+      // vanish its records — and a missing coordinator record reads as
+      // "aborted and purged" everywhere ([[coordState]]), so a COMMITTED
+      // transaction's remote rows would silently become purgeable dead
+      // data. Resolve every sibling topic's outstanding shares first:
+      // open → the transaction is live, refuse; committed → fold the
+      // share eagerly (its rows are permanently visible, the record
+      // serves nothing further); aborted/missing → the missing-record
+      // reading is already the correct one. O(topics) listings, paid
+      // only on the rare drop of a coordinator.
+      listTopics().filter(_ != name).foreach { other =>
+        listRemoteTxns(other).foreach { case (path, r) =>
+          if (r.coordTopic == name) coordState(r) match {
+            case Some("open") => throw new IllegalStateException(
+              s"cannot drop topic '$name': it coordinates open transaction " +
+              s"'${r.txnId}' with rows in topic '$other' — commit or abort " +
+              "it first")
+            case Some("committed") => removeRemoteTxn(path)
+            case _ => () // aborted, or record already purged
+          }
+        }
+      }
       fs.delete(topicPath(name), true): Unit
     } finally {
       // the lock file went with the tree; release tolerates that
@@ -1936,6 +1958,50 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           s"maintainTopic('$name'): merge recovery failed (continuing " +
           s"with maintenance; the next write-path entry retries it): $e")
     }
+    // Transaction janitor (the Kafka coordinator's background work):
+    // (1) auto-abort abandoned OPEN transactions past
+    //     spark.graft.txn.timeoutMs — releasing read_committed batch
+    //     readers and LSO-clamped committed streams wedged behind a
+    //     client that died without deciding (write-path entries do the
+    //     same at every produce; the cron surface covers topics nobody
+    //     writes to anymore). A busy topic skips quietly — the lock
+    //     holder's own entry reconciles.
+    // (2) once MORE THAN spark.graft.txn.maxAbortedRecords decided-dead
+    //     records have aged past spark.graft.txn.abortedRetainMs,
+    //     physically purge them (rows reclaimed, records removed) — the
+    //     read_committed exclusion set is bounded by construction, the
+    //     same shape as the >4-vector fold trigger below. Tiered topics
+    //     and clone sources skip (2): the purge is a log rewrite.
+    try {
+      val acquired =
+        try { acquireProduceLock(name); true }
+        catch { case _: LockConflictException => false }
+      if (acquired)
+        try abortExpiredTxnsLocked(name): Unit
+        finally releaseProduceLock(name)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Catalog.log.warn(s"maintainTopic('$name'): transaction expiry " +
+          s"failed (the next write-path entry retries it): $e")
+    }
+    val tiered = isTiered(name)
+    val noClones = liveClones(name).isEmpty
+    try {
+      val retainMs = spark.conf.get("spark.graft.txn.abortedRetainMs",
+        Catalog.TxnAbortedRetainMsDefault.toString).toLong
+      val maxDead = spark.conf.get("spark.graft.txn.maxAbortedRecords",
+        Catalog.TxnMaxAbortedRecordsDefault.toString).toInt
+      if (!tiered && noClones) {
+        val (aborted, deadRemote) = agedDeadTxnRecords(name, retainMs)
+        if (aborted.size + deadRemote.size > maxDead)
+          purgeAbortedTxns(name, chunkMaxRecords, minAgeMs = retainMs): Unit
+      }
+    } catch {
+      case _: LockConflictException => () // busy topic: next pass purges
+      case scala.util.control.NonFatal(e) =>
+        Catalog.log.warn(s"maintainTopic('$name'): aborted-transaction " +
+          s"purge failed (continuing with maintenance): $e")
+    }
     // tiered topics skip the compact step (rewrites refuse on them); the
     // hot tail usually stays small precisely because the bulk is archived.
     // Accumulated deletion vectors also trigger a fold: every reader pays
@@ -1946,12 +2012,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // tiered merge trigger (the branches are mutually exclusive on
     // isTiered); the fold/merge operations re-list under their own locks
     val vectorRoots = deleteVectorFiles(name)
-    val tiered = isTiered(name)
-    // a source with live shallow clones skips the compact step (the
-    // rewrite would refuse loudly — same shape as the tiered skip); the
-    // rest of maintenance (vacuum, index refresh) never touches files a
-    // clone references
-    val needsCompact = !tiered && liveClones(name).isEmpty && (
+    val needsCompact = !tiered && noClones && (
       vectorRoots.size > 4 ||
       readManifest(name).exists(m =>
         manifestFileCounts(name, m).values.exists(_ > maxFilesPerPartition)))
@@ -2103,10 +2164,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
               // breadcrumb goes — removing it after folding only the
               // caller's would strand the others' (the commit's eager
               // apply may have crashed; this path is their heal too).
+              // The delete is gated on RE-READING the cursor files and
+              // confirming the floors are durably subsumed: the fold is
+              // an unlocked read-modify-write, so a concurrent
+              // acknowledge can overwrite it (whole-map last-writer-
+              // wins) — with the pointer already gone that would lose a
+              // committed floor permanently; kept, it just re-resolves.
               try {
-                st.get.offsets.filter(_.topic == topic).foreach(o =>
-                  acknowledgeFloors(topic, o.consumer, o.floors))
-                fs.delete(s.getPath, false): Unit
+                val all = st.get.offsets.filter(_.topic == topic)
+                all.foreach(o => acknowledgeFloors(topic, o.consumer, o.floors))
+                if (floorsSubsumed(topic, all))
+                  fs.delete(s.getPath, false): Unit
               } catch { case scala.util.control.NonFatal(_) => () }
             case _ => // aborted, or its record purged: never applies
               try { fs.delete(s.getPath, false): Unit }
@@ -2116,6 +2184,26 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       }
     merged
   }
+
+  /** Are these transaction floors subsumed by the CURRENT cursor files?
+    * The pointer-delete gate shared by [[cursor]]'s lazy fold and
+    * [[commitTxn]]'s eager apply: [[acknowledgeFloors]] is an unlocked
+    * read-modify-write, so a concurrent plain acknowledge that read the
+    * pre-fold cursor can overwrite a just-applied fold. Deleting the
+    * pointer only after re-reading and confirming keeps the committed
+    * floors DISCOVERABLE until they are durably in the cursor file — a
+    * lost fold re-resolves on the next cursor read instead of vanishing.
+    * (Exact under the Kafka exactly-once model, where a transactional
+    * loop's sendOffsets is that consumer's only cursor writer; a rogue
+    * concurrent acknowledge can still land between this check and the
+    * delete, but then the regression is that writer's own lost-update
+    * race, which pre-exists pointers entirely.) */
+  private def floorsSubsumed(srcTopic: String, os: Seq[TxnOffsets]): Boolean =
+    os.groupBy(_.consumer).forall { case (c, group) =>
+      val cur = cursorRaw(srcTopic, c)
+      group.forall(_.floors.forall { case (p, id) =>
+        cur.getOrElse(p, 0L) >= id + 1 })
+    }
 
   /** The cursor file alone, no transaction-pending resolution — the
     * read-modify-write base for [[acknowledgeFloors]] (which [[cursor]]'s
@@ -2182,7 +2270,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def txnPointerPath(sourceTopic: String, txnTopic: String,
                              txnId: String): Path = {
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest((txnTopic + " " + txnId).getBytes("UTF-8"))
+      .digest((txnTopic + "\u0000" + txnId).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     new Path(cursorPendDir(sourceTopic), s"$h.json")
   }
@@ -2784,13 +2872,44 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * ([[GraftMicroBatchStream.cdfFrontier]] via [[cdfVectorRootProbe]]).
    */
   def commitTxn(name: String, txnId: String): Unit = {
-    val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
-      s"unknown transaction '$txnId' on topic '$name'"))
-    val rooted =
-      if (st.state == "open" && st.deletes.nonEmpty)
-        rootTxnDeletes(name, txnId, st.deletes)
-      else Vector.empty[String]
-    setTxnState(name, txnId, "committed")
+    // Root-then-verify-flip loop. The rooting (compact lock) and the flip
+    // (produce lock) can never nest, so a deleteWhere racing this commit
+    // can adopt a NEW staging between the snapshot we rooted and the
+    // flip; flipping anyway would commit a delete that was never promoted
+    // — deleteWhere returned a nonzero count but the deletion silently
+    // never happens (its staging reaped by vacuum past the horizon). The
+    // flip therefore verifies the CURRENT staged set equals the rooted
+    // snapshot and loops to root the extras otherwise (rootTxnDeletes is
+    // idempotent — re-rooting the already-promoted prefix is a lookup).
+    var flipped: Option[(TxnState, Vector[String])] = None
+    var attempts = 0
+    while (flipped.isEmpty) {
+      attempts += 1
+      val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+        s"unknown transaction '$txnId' on topic '$name'"))
+      if (st.state != "open") throw new IllegalStateException(
+        s"transaction '$txnId' on topic '$name' is ${st.state}, not open")
+      val rooted =
+        if (st.deletes.nonEmpty) rootTxnDeletes(name, txnId, st.deletes)
+        else Vector.empty[String]
+      acquireProduceLock(name)
+      try {
+        reconcileProduceState(name): Unit
+        val cur = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+          s"unknown transaction '$txnId' on topic '$name'"))
+        if (cur.state != "open") throw new IllegalStateException(
+          s"transaction '$txnId' on topic '$name' is ${cur.state}, not open")
+        if (cur.deletes.map(_.suffix) == st.deletes.map(_.suffix)) {
+          writeAtomic(txnPath(name, txnId), cur.copy(state = "committed").toJson)
+          flipped = Some((cur, rooted))
+        } else if (attempts >= 5) throw new IllegalStateException(
+          s"commitTxn('$name', '$txnId'): staged deletes kept changing " +
+          s"across $attempts rooting attempts — statements are racing this " +
+          "commit. A transaction handle is single-threaded (like a Kafka " +
+          "producer); serialize its statements and retry the commit.")
+      } finally releaseProduceLock(name)
+    }
+    val (committedSt, rooted) = flipped.get
     // eager un-gate (best effort — every listing also un-gates lazily):
     // later reads skip the per-root transaction-state lookup
     rooted.foreach { r =>
@@ -2798,11 +2917,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     // eager cursor-floor apply + pointer cleanup (best effort — cursor
-    // reads resolve and fold lazily from the committed state either way)
-    st.offsets.foreach { o =>
+    // reads resolve and fold lazily from the committed state either way).
+    // Grouped by source topic: the pointer is per (topic, transaction),
+    // so EVERY consumer's floors for that topic must apply — and re-read
+    // as subsumed — before the breadcrumb goes (see [[floorsSubsumed]]).
+    committedSt.offsets.groupBy(_.topic).foreach { case (srcTopic, os) =>
       try {
-        acknowledgeFloors(o.topic, o.consumer, o.floors)
-        fs.delete(txnPointerPath(o.topic, name, txnId), false): Unit
+        os.foreach(o => acknowledgeFloors(srcTopic, o.consumer, o.floors))
+        if (floorsSubsumed(srcTopic, os))
+          fs.delete(txnPointerPath(srcTopic, name, txnId), false): Unit
       } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
@@ -2887,18 +3010,44 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           case None => return 0L
           case Some(df) => applyDeleteVectors(name, df)
         }
-        // visibility of the match = committed rows + own produced rows
-        val foreign = listTxns(name)
+        // visibility of the match = committed rows + own produced rows.
+        // "Every OTHER live transaction" includes REMOTE shares (rows
+        // produced into this topic by another topic's transaction via
+        // produceTo): matching one while its coordinator is still open
+        // would stage a delete that surfaces already-vectored rows when
+        // that coordinator later commits — silent row loss, and produce
+        // commits never run the removal conflict check that would catch
+        // it. Aborted/purged-coordinator shares are excluded too (their
+        // rows are never visible; deleting them is purgeAborted's job).
+        val foreign = (listTxns(name)
           .filter { case (id, t) => id != txnId && t.state != "committed" }
-          .values.flatMap(_.ranges).filter(_.count > 0L).toSeq
+          .values.flatMap(_.ranges) ++
+          listRemoteTxns(name).values
+            .filter(r => !coordState(r).contains("committed"))
+            .flatMap(_.ranges)).filter(_.count > 0L).toSeq
         val visible =
           if (foreign.isEmpty) base
           else base.filter(!foreign.map(r =>
             col("partition") === r.partition &&
               col("event_id") >= r.first &&
               col("event_id") < r.first + r.count).reduce(_ || _))
+        // a commit that crashed between rooting and flip renamed a
+        // staging to its (gated) `d-*` root — the same relation lives at
+        // whichever path exists, so later statements keep deduping
+        // against it (the retry's verify-flip loop re-roots idempotently)
+        lazy val rootedBySuffix = txnRootsBySuffix(name)
         val own = st.deletes
-          .map(d => spark.read.schema(Catalog.DeleteSchema).parquet(d.staged))
+          .map { d =>
+            val path =
+              if (fs.exists(new Path(d.staged))) d.staged
+              else rootedBySuffix.getOrElse(d.suffix,
+                throw new IllegalStateException(
+                  s"topic '$name': transaction '$txnId' staged delete " +
+                  s"'${d.suffix}' no longer exists — a log rewrite " +
+                  "(compact/expire/purge) cleared the staging. Abort the " +
+                  "transaction and re-run it against the current state."))
+            spark.read.schema(Catalog.DeleteSchema).parquet(path)
+          }
           .reduceOption(_.unionByName(_))
         val dedup = own match {
           case None => visible
@@ -3004,12 +3153,142 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     } finally releaseProduceLock(name)
   }
 
-  /** Delete a terminal (committed/aborted) transaction's record. */
+  /** Delete an ABORTED transaction's record (purgeAborted's cleanup).
+    * Only aborted: the cross-topic design reads a MISSING coordinator
+    * record as "aborted and purged" ([[coordState]]), so removing a
+    * committed record would turn its remote rows elsewhere into
+    * purgeable dead data — committed coordinator records are permanent
+    * (and [[dropTopic]] folds outstanding shares before a coordinator
+    * topic can disappear). Open records are live by definition. */
   private[engine] def removeTxn(name: String, txnId: String): Unit = {
     txnState(name, txnId).foreach { st =>
-      require(st.state != "open", s"cannot remove open transaction '$txnId'")
+      require(st.state == "aborted",
+        s"cannot remove ${st.state} transaction '$txnId' — only aborted " +
+        "records are removable (a missing record reads as aborted)")
       fs.delete(txnPath(name, txnId), false): Unit
     }
+  }
+
+  /** The transaction liveness horizon (`spark.graft.txn.timeoutMs`, the
+    * Kafka `transaction.timeout.ms` analog) — see
+    * [[abortExpiredTxnsLocked]]. `<= 0` disables the gate. */
+  private[engine] def txnTimeoutMs: Long =
+    spark.conf.get("spark.graft.txn.timeoutMs",
+      Catalog.TxnTimeoutMsDefault.toString).toLong
+
+  /**
+   * Auto-abort every ABANDONED open transaction — state-file age beyond
+   * [[txnTimeoutMs]] (caller holds the produce lock). Without this, a
+   * client that crashed between `begin` and `commit`/`abort` wedges every
+   * `read_committed` reader forever: batch plans exclude its ranges and
+   * the streaming last-stable-offset clamp holds at its first id
+   * ([[graft.streaming.GraftMicroBatchStream]]), with manual intervention
+   * the only release. Kafka's coordinator proactively aborts on
+   * `transaction.timeout.ms`; this is the same lease, measured on the
+   * state file's mtime — every state write refreshes it (begin, each
+   * produce's range intent, `sendOffsets`, `deleteWhere` adoption,
+   * [[TransactionalProducer.heartbeat]]), so only a transaction nobody
+   * is driving can expire. Runs at every write-path entry
+   * ([[reconcileProduceState]]) and from [[maintainTopic]] (the cron
+   * surface covers topics nobody writes to anymore). The abort is the
+   * standard one — stagings reaped, cursor pointers cleaned, ranges
+   * decided-dead — so clamped streams release at their next trigger.
+   */
+  private[engine] def abortExpiredTxnsLocked(name: String): Seq[String] = {
+    val timeout = txnTimeoutMs
+    if (timeout <= 0L) return Nil
+    val dir = txnDir(name)
+    if (!fs.exists(dir)) return Nil
+    val now = System.currentTimeMillis()
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith(".") &&
+        now - s.getModificationTime > timeout)
+      .flatMap { s =>
+        val id = s.getPath.getName.stripSuffix(".json")
+        readStringResilient(s.getPath).map(TxnState.fromJson)
+          .filter(_.state == "open")
+          .map { st =>
+            writeAtomic(s.getPath, st.copy(state = "aborted").toJson)
+            Catalog.log.warn(s"topic '$name': open transaction '$id' idle " +
+              s"${now - s.getModificationTime}ms > " +
+              s"spark.graft.txn.timeoutMs=$timeout — auto-aborted " +
+              "(heartbeat() or any statement extends the lease)")
+            // same debris handling as abortTxn: stagings reaped eagerly,
+            // rooted-but-gated vectors left for vacuum/purge (the dead
+            // gate is the CDF frontier's release evidence)
+            reapTxnDeletes(name, st, includeRooted = false)
+            st.offsets.foreach { o =>
+              try { fs.delete(txnPointerPath(o.topic, name, id), false): Unit }
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            id
+          }
+      }
+  }
+
+  /** Extend an open transaction's liveness lease without changing it —
+    * [[TransactionalProducer.heartbeat]]: rewrites the state file so its
+    * mtime (the [[abortExpiredTxnsLocked]] age base) is fresh. Under the
+    * produce lock like every state write, so a concurrent reconcile's
+    * phantom-range truncation can never be resurrected by an unlocked
+    * copy of the pre-truncation state. */
+  private[engine] def touchTxn(name: String, txnId: String): Unit = {
+    acquireProduceLock(name)
+    try {
+      val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+        s"unknown transaction '$txnId' on topic '$name'"))
+      if (st.state != "open") throw new IllegalStateException(
+        s"transaction '$txnId' on topic '$name' is ${st.state}, not open")
+      writeAtomic(txnPath(name, txnId), st.toJson)
+    } finally releaseProduceLock(name)
+  }
+
+  /** Decided-dead transaction debris older than `minAgeMs`: local ABORTED
+    * records plus remote shares whose coordinator aborted or whose record
+    * is gone (missing reads as aborted — [[coordState]]). Age = record
+    * file mtime; younger records wait for the next pass (in-flight
+    * readers may have planned against them). */
+  private[engine] def agedDeadTxnRecords(name: String, minAgeMs: Long)
+      : (Map[String, TxnState], Map[String, RemoteTxn]) = {
+    val now = System.currentTimeMillis()
+    def aged(p: Path): Boolean =
+      try now - fs.getFileStatus(p).getModificationTime >= minAgeMs
+      catch { case _: java.io.IOException => false }
+    val aborted = listTxns(name).filter { case (id, st) =>
+      st.state == "aborted" && aged(txnPath(name, id)) }
+    val deadRemote = listRemoteTxns(name).filter { case (p, r) =>
+      coordState(r).forall(_ == "aborted") && aged(new Path(p)) }
+    (aborted, deadRemote)
+  }
+
+  /**
+   * Physically reclaim decided-dead transactions' events and records (the
+   * [[TopicHandle.purgeAborted]] core, age-gateable for
+   * [[maintainTopic]]): one [[purgeTopic]] rewrite dropping every row
+   * inside a dead range, then the records themselves go — keeping the
+   * `read_committed` exclusion set bounded. Ordering: delete-vector
+   * debris is reaped BEFORE the record removal, because a root gated by
+   * a MISSING record is only provably dead when records are removed
+   * strictly after their debris. Returns the number of records (local
+   * aborted + dead remote shares) reclaimed.
+   */
+  private[engine] def purgeAbortedTxns(name: String,
+                                       chunkMaxRecords: Long = 1000000L,
+                                       minAgeMs: Long = 0L): Int = {
+    import org.apache.spark.sql.functions.col
+    val (aborted, deadRemote) = agedDeadTxnRecords(name, minAgeMs)
+    val ranges = (aborted.values.flatMap(_.ranges) ++
+      deadRemote.values.flatMap(_.ranges)).filter(_.count > 0L).toSeq
+    if (ranges.nonEmpty)
+      purgeTopic(name, ranges.map(r =>
+        col("partition") === r.partition &&
+          col("event_id") >= r.first &&
+          col("event_id") < r.first + r.count).reduce(_ || _), chunkMaxRecords)
+    aborted.values.foreach(st => reapTxnDeletes(name, st))
+    aborted.keys.foreach(id => removeTxn(name, id))
+    deadRemote.keys.foreach(removeRemoteTxn)
+    aborted.size + deadRemote.size
   }
 
   /** Id ranges a read_committed reader must EXCLUDE: every range of every
@@ -3027,8 +3306,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val remote = listRemoteTxns(name).toSeq.flatMap { case (p, r) =>
       coordState(r) match {
         case Some("committed") =>
-          // lazy fold: decided, visible. Best-effort — this runs on READ
-          // paths (plan time), which must survive a read-only filesystem
+          // lazy fold: decided, visible. INVARIANT: what this deletes is
+          // the REMOTE SHARE record (this topic's pointer to the
+          // coordinator), never the coordinator's own committed record —
+          // "a missing COORDINATOR record proves aborted-and-purged"
+          // ([[coordState]]) stays sound because [[removeTxn]] refuses
+          // committed records and [[dropTopic]] folds outstanding shares
+          // first. A missing SHARE record is the terminal no-op state:
+          // the rows are simply visible, and shares are deleted only
+          // AFTER resolving to committed, so two planners racing a
+          // delete with a list at worst re-resolve. Best-effort — this
+          // runs on READ paths (plan time), which must survive a
+          // read-only filesystem
           try { fs.delete(new Path(p), false): Unit }
           catch { case scala.util.control.NonFatal(_) => () }
           Nil
@@ -3183,6 +3472,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           writeAtomic(txnPath(name, id), st.copy(ranges = fixed).toJson)
       }
     }
+    // AFTER the truncation pass: an expiring transaction must abort with
+    // its phantom tail already truncated, or its decided-dead ranges
+    // would exclude ids this very entry is about to re-issue (the
+    // expiry re-reads the state file, so it sees the truncated ranges;
+    // the truncation write also refreshes the lease — a one-time grace
+    // for a transaction that just survived a crashed produce).
+    abortExpiredTxnsLocked(name): Unit
     listProducerStates(name).foreach { case (pid, st) =>
       st.pending.foreach { case (seq, ranges) =>
         val committed = ranges.forall(r => wm.getOrElse(r.partition, 0L) >= r.first + r.count)
@@ -3507,6 +3803,28 @@ object Catalog {
     * third of this window, so only a crashed process's file ever goes
     * stale. Var (not val) so tests can compress the window. */
   @volatile var CompactLockStaleMs: Long = 30L * 60 * 1000
+
+  /** Default `spark.graft.txn.timeoutMs`: an OPEN transaction whose state
+    * file has not been written for longer than this is ABANDONED and
+    * auto-aborted by the next write-path entry or [[Catalog.maintainTopic]]
+    * pass (the Kafka `transaction.timeout.ms` analog — its broker-side
+    * ceiling defaults to 15 minutes too). Every state write is a
+    * heartbeat; `<= 0` disables the gate. */
+  private[graft] val TxnTimeoutMsDefault: Long = 15L * 60 * 1000
+
+  /** Default `spark.graft.txn.abortedRetainMs`: decided-dead transaction
+    * debris (aborted records, dead remote shares) younger than this is
+    * left alone by [[Catalog.maintainTopic]]'s purge — in-flight readers
+    * may still have planned against the records, and a just-aborted
+    * transaction's purge can wait for the next cron pass. */
+  private[graft] val TxnAbortedRetainMsDefault: Long = 10L * 60 * 1000
+
+  /** Default `spark.graft.txn.maxAbortedRecords`: [[Catalog.maintainTopic]]
+    * purges transaction debris once MORE THAN this many aged decided-dead
+    * records exist — the same bounded-by-construction shape as the
+    * >4-delete-vector fold trigger (each record costs every
+    * read_committed plan an exclusion range). */
+  private[graft] val TxnMaxAbortedRecordsDefault: Int = 4
 
   /** Snapshot cadence of the manifest log: a full snapshot is rolled (and
     * folded-in entries deleted) every this-many delta commits, bounding both

@@ -222,8 +222,11 @@ final class TopicHandle(spark: SparkSession,
    * additionally excludes every id range recorded by a transaction that
    * has not committed (open or aborted) — so a transaction's events appear
    * atomically at commit and an aborted transaction's events never appear.
-   * The exclusion list is metadata-sized (O(live transactions), kept
-   * bounded by [[purgeAborted]]) and compiles to a pushdown-eligible
+   * The exclusion list is metadata-sized (O(live transactions), bounded
+   * by construction: abandoned open transactions auto-abort past
+   * `spark.graft.txn.timeoutMs`, and [[Catalog.maintainTopic]] purges
+   * aged aborted debris — [[purgeAborted]] reclaims eagerly on demand)
+   * and compiles to a pushdown-eligible
    * filter over (partition, event_id) — no join, no extra pass.
    */
   def events(isolation: String): DataFrame = {
@@ -271,30 +274,8 @@ final class TopicHandle(spark: SparkSession,
    * Committed and open transactions are untouched. Returns the number of
    * aborted transactions (local records + dead remote shares) reclaimed.
    */
-  def purgeAborted(chunkMaxRecords: Long = 1000000L): Int = {
-    val aborted = catalog.listTxns(name).filter(_._2.state == "aborted")
-    // remote shares (produceTo) whose coordinator aborted — or whose
-    // coordinator record is gone (committed records are never removed, so
-    // missing proves an aborted-and-purged transaction). Committed shares
-    // fold away lazily in uncommittedTxnRanges; open ones are untouched.
-    val deadRemote = catalog.listRemoteTxns(name).filter { case (_, r) =>
-      catalog.coordState(r).forall(_ == "aborted")
-    }
-    val ranges = (aborted.values.flatMap(_.ranges) ++
-      deadRemote.values.flatMap(_.ranges)).filter(_.count > 0L).toSeq
-    if (ranges.nonEmpty)
-      catalog.purgeTopic(name, ranges.map(r =>
-        col("partition") === r.partition &&
-          col("event_id") >= r.first &&
-          col("event_id") < r.first + r.count).reduce(_ || _), chunkMaxRecords)
-    // delete-vector debris BEFORE the record removal: a root gated by a
-    // MISSING record is only provably dead because records are removed
-    // strictly after their debris (abortTxn's eager reap is best-effort)
-    aborted.values.foreach(st => catalog.reapTxnDeletes(name, st))
-    aborted.keys.foreach(id => catalog.removeTxn(name, id))
-    deadRemote.keys.foreach(catalog.removeRemoteTxn)
-    aborted.size + deadRemote.size
-  }
+  def purgeAborted(chunkMaxRecords: Long = 1000000L): Int =
+    catalog.purgeAbortedTxns(name, chunkMaxRecords)
 
   /** Pin the topic's current id watermark (partition → next id) — a
     * SNAPSHOT handle for [[events(asOf:Map[Int,Long])*]]. Ids are dense and

@@ -398,6 +398,18 @@ final class TransactionalProducer private[engine] (
                   floors: Map[Int, Long]): Unit =
     catalog.stageTxnOffsets(topic, txnId, sourceTopic, consumer, floors)
 
+  /**
+   * Extend the transaction's liveness lease. An OPEN transaction whose
+   * state has not been written for `spark.graft.txn.timeoutMs` (default
+   * 15 min) is ABANDONED and auto-aborted by the next write-path entry or
+   * `maintainTopic` pass — Kafka's `transaction.timeout.ms`, here
+   * measured on the state file's mtime. Every statement already extends
+   * the lease ([[produce]]'s range intent, [[deleteWhere]]'s adoption,
+   * [[sendOffsets]]); call this only when a long gap between statements
+   * (a slow upstream job) would otherwise outlive the horizon.
+   */
+  def heartbeat(): Unit = catalog.touchTxn(topic, txnId)
+
   /** Atomically make every produced event, every staged delete, AND every
     * recorded cursor floor visible — one visibility point for the whole
     * transaction (staged deletes are promoted to gated vector roots

@@ -622,6 +622,61 @@ object EnginePack extends QueryPack {
         .withColumn("deleted_total", lit(deletedTotal))
         .orderBy(col("partition"))
     },
+    "q_txn_timeout" -> { (s, dir) =>
+      // Transaction TIMEOUT + debris purge through the oracle (Kafka's
+      // transaction.timeout.ms + the coordinator's janitor work): an
+      // ABANDONED open transaction first wedges read_committed readers
+      // (wedged_count shows plain rows only), auto-aborts once idle past
+      // spark.graft.txn.timeoutMs at the next maintainTopic pass — no
+      // manual intervention — and a later maintain past the debris
+      // retention physically reclaims its rows and record, so the
+      // exclusion set is bounded by construction. Falsifiable on every
+      // edge: a missed auto-abort flips auto_aborted false (and a commit
+      // would still wedge released_count); a leaked abort shows in
+      // n_hung_visible; an over-eager purge of YOUNG debris flips
+      // debris_retained; a purge that misses rows breaks log_after_purge.
+      val d = tempDriver(s)
+      d.createTopic("txn_to", partitions = 2)
+      val topic = d.openTopic("txn_to")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
+      topic.beginTransaction("hung").produce(src.filter(pmod(eid, lit(3)) === 1)): Unit
+      val wedged = topic.events("read_committed").count() // plain only
+      s.conf.set("spark.graft.txn.timeoutMs", "1")
+      try {
+        Thread.sleep(50) // exceed the (compressed) liveness horizon
+        d.catalog.maintainTopic("txn_to"): Unit // janitor pass 1: auto-abort
+        val autoAborted = d.catalog.txnState("txn_to", "hung").exists(_.state == "aborted")
+        val released = topic.events("read_committed").count()
+        // young debris survives the pass (default retention horizon)
+        val debrisRetained = d.catalog.listTxns("txn_to").contains("hung")
+        val logBefore = topic.events("read_uncommitted").count()
+        s.conf.set("spark.graft.txn.abortedRetainMs", "0")
+        s.conf.set("spark.graft.txn.maxAbortedRecords", "0")
+        d.catalog.maintainTopic("txn_to"): Unit // janitor pass 2: purge
+        val logAfter = topic.events("read_uncommitted").count()
+        val recordGone = !d.catalog.listTxns("txn_to").contains("hung")
+        topic.events("read_committed")
+          .groupBy(col("partition"))
+          .agg(count(lit(1)).as("cnt"),
+            count(when(pmod(eid, lit(3)) === 1, 1)).as("n_hung_visible"))
+          .withColumn("wedged_count", lit(wedged))
+          .withColumn("released_count", lit(released))
+          .withColumn("log_before_purge", lit(logBefore))
+          .withColumn("log_after_purge", lit(logAfter))
+          .withColumn("auto_aborted", lit(autoAborted))
+          .withColumn("debris_retained", lit(debrisRetained))
+          .withColumn("record_purged", lit(recordGone))
+          .orderBy(col("partition"))
+      } finally {
+        s.conf.unset("spark.graft.txn.timeoutMs")
+        s.conf.unset("spark.graft.txn.abortedRetainMs")
+        s.conf.unset("spark.graft.txn.maxAbortedRecords")
+      }
+    },
     "q_source_committed" -> { (s, dir) =>
       // isolation=read_committed on the DSv2 scan (Kafka isolation.level)
       // through the oracle: plain rows (eid%4=0) and a committed
@@ -2673,6 +2728,20 @@ object EnginePack extends QueryPack {
         | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS staged_deletes,
         | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS deleted_total
         |FROM events WHERE event_id % 6 = 3 OR event_id % 3 = 1
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // timeout lifecycle: plain rows (eid%3=0) stay visible throughout;
+    // the hung transaction's rows (eid%3=1) are excluded while open AND
+    // after the auto-abort, then physically purged; every engine-side
+    // lifecycle fact resolved true
+    "q_txn_timeout" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | CAST(0 AS BIGINT) AS n_hung_visible,
+        | (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS wedged_count,
+        | (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS released_count,
+        | (SELECT count(*) FROM events WHERE event_id % 3 < 2) AS log_before_purge,
+        | (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS log_after_purge,
+        | true AS auto_aborted, true AS debris_retained, true AS record_purged
+        |FROM events WHERE event_id % 3 = 0
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // read_committed scan = plain (eid%4=0) ∪ committed txn (eid%4=1);
     // aborted (2) and open (3) excluded; the raw log holds all four

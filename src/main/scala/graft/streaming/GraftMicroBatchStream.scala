@@ -133,9 +133,19 @@ final class GraftMicroBatchStream(
     // is unknown: advancing then committing would skip its rows forever,
     // advancing then aborting is fine but indistinguishable in advance.
     // An abandoned open transaction stalls the committed stream at its
-    // LSO, exactly like Kafka's hung-transaction behavior — decide it
-    // (commit/abort) to release. Decided-dead (aborted) ranges never
-    // hold: they are filtered from batches as offsets pass them.
+    // LSO only until the transaction TIMEOUT (spark.graft.txn.timeoutMs,
+    // Kafka's transaction.timeout.ms) auto-aborts it at the next
+    // write-path entry or maintainTopic pass — or decide it explicitly
+    // (commit/abort) to release immediately. Decided-dead (aborted)
+    // ranges never hold: they are filtered from batches as offsets pass
+    // them. The clamp can sit BELOW a checkpoint's committed end offset
+    // (e.g. isolation switched to read_committed on a checkpoint written
+    // under read_uncommitted): latestOffset(start, limit) floors every
+    // per-partition end at `start`, so the window never inverts — the
+    // batch is simply empty until the transaction decides (already-
+    // delivered rows are never un-delivered; switching isolation on a
+    // live checkpoint changes semantics only forward, like changing
+    // isolation.level on an existing Kafka group).
     if (!readCommitted) scoped
     else {
       val open = catalog.splitTxnRanges(topic)._1

@@ -295,6 +295,123 @@ class TransactionsSpec extends SparkSpec {
     assert(other.purgeAborted() == 0 && topic.purgeAborted() == 0)
   }
 
+  test("transaction timeout: write-path entry auto-aborts an aged OPEN txn; heartbeat extends") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 10))
+    topic.beginTransaction("hung").produce(batch("hung", 6)): Unit
+    val live = topic.beginTransaction("live")
+    live.produce(batch("live", 4))
+    spark.conf.set("spark.graft.txn.timeoutMs", "60000")
+    try {
+      def backdate(id: String): Unit = {
+        val f = new java.io.File(new org.apache.hadoop.fs.Path(
+          d.catalog.topicPath("t"), s"_txns/$id.json").toUri.getPath)
+        assert(f.setLastModified(System.currentTimeMillis() - 120000L))
+      }
+      backdate("hung"); backdate("live")
+      live.heartbeat() // lease extended: mtime fresh again
+      // ANY write-path entry reconciles — a plain produce is enough
+      topic.producer().produce(batch("more", 2))
+      assert(d.catalog.listTxns("t")("hung").state == "aborted")
+      assert(d.catalog.listTxns("t")("live").state == "open")
+      // the auto-abort is the standard one: commit refuses, rows excluded
+      intercept[IllegalStateException](topic.transaction("hung").commit())
+      live.commit()
+      assert(tags(topic.events("read_committed")) ==
+        Map("plain" -> 10L, "more" -> 2L, "live" -> 4L))
+      // heartbeat on a decided transaction refuses
+      intercept[IllegalStateException](live.heartbeat())
+    } finally spark.conf.unset("spark.graft.txn.timeoutMs")
+  }
+
+  test("maintainTopic purges AGED aborted debris past the record threshold") {
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 6))
+    (0 until 6).foreach { i =>
+      val t = topic.beginTransaction(s"ab$i"); t.produce(batch(s"a$i", 2)); t.abort()
+    }
+    assert(d.catalog.uncommittedTxnRanges("t").nonEmpty)
+    // young debris survives a maintain pass (the retention horizon: an
+    // in-flight reader may have planned against the records)
+    d.catalog.maintainTopic("t"): Unit
+    assert(d.catalog.listTxns("t").count(_._2.state == "aborted") == 6)
+    spark.conf.set("spark.graft.txn.abortedRetainMs", "0")
+    try {
+      // aged past the horizon AND over the record threshold (6 > 4):
+      // rows physically reclaimed, records removed, exclusion set empty
+      // — bounded by construction, no user discipline required
+      d.catalog.maintainTopic("t"): Unit
+      assert(d.catalog.listTxns("t").count(_._2.state == "aborted") == 0)
+      assert(d.catalog.uncommittedTxnRanges("t").isEmpty)
+      assert(tags(topic.events("read_uncommitted")) == Map("plain" -> 6L))
+      // under the threshold, aged debris is left for purgeAborted/more
+      // accumulation — maintain stays a cheap no-op
+      (0 until 3).foreach { i =>
+        val t = topic.beginTransaction(s"few$i"); t.produce(batch(s"f$i", 2)); t.abort()
+      }
+      d.catalog.maintainTopic("t"): Unit
+      assert(d.catalog.listTxns("t").count(_._2.state == "aborted") == 3)
+    } finally spark.conf.unset("spark.graft.txn.abortedRetainMs")
+  }
+
+  test("commit retry roots statements adopted after a crashed rooting pass") {
+    // A commit that crashed between rooting and flip leaves gated roots;
+    // a deleteWhere can still adopt NEW stagings before the retry. The
+    // retry's verify-flip loop must root the extras too — flipping with
+    // an unrooted staged delete would return a count whose deletion
+    // silently never happens.
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("a", 6))
+    topic.producer().produce(batch("b", 6))
+    val tx = topic.beginTransaction("up")
+    assert(tx.deleteWhere(get_json_object(col("metadata"), "$.tag") === "a") == 6L)
+    // simulate the crash: root the CURRENT staged set, no flip
+    d.catalog.rootTxnDeletes("t", "up", d.catalog.txnState("t", "up").get.deletes): Unit
+    // a second statement lands before the commit retry
+    assert(tx.deleteWhere(get_json_object(col("metadata"), "$.tag") === "b") == 6L)
+    tx.commit() // re-roots the prefix (lookup), roots the extra, flips
+    assert(tags(topic.events("read_committed")).isEmpty)
+  }
+
+  test("dropping a coordinator topic: open share refuses, committed share folds") {
+    val (d, topic) = newTopic()
+    d.createTopic("other", partitions = 2)
+    val other = d.openTopic("other")
+    val tx = topic.beginTransaction("span")
+    tx.produceTo("other", batch("r", 4))
+    // a live cross-topic transaction pins its coordinator topic
+    val e = intercept[IllegalStateException](d.dropTopic("t"))
+    assert(e.getMessage.contains("span"))
+    tx.commit()
+    // a committed share folds eagerly at drop — the rows stay visible
+    // (a missing coordinator record must only ever mean "aborted")
+    d.dropTopic("t")
+    assert(d.catalog.listRemoteTxns("other").isEmpty) // folded BY the drop
+    assert(tags(other.events("read_committed")) == Map("r" -> 4L))
+    // committed records elsewhere are permanent: removeTxn refuses them
+    val ok = other.beginTransaction("ok"); ok.produce(batch("k", 2)); ok.commit()
+    intercept[IllegalArgumentException](d.catalog.removeTxn("other", "ok"))
+  }
+
+  test("in-txn delete never matches another coordinator's OPEN remote rows") {
+    // A deleteWhere on the TARGET topic must not see rows produced into it
+    // by another topic's still-open cross-topic transaction: staging them
+    // would surface the rows already-vectored when that coordinator later
+    // commits — silent row loss with no conflict check to catch it.
+    val (d, topic) = newTopic() // "t" = the foreign coordinator
+    d.createTopic("other", partitions = 2)
+    val other = d.openTopic("other")
+    other.producer().produce(batch("keep", 4))
+    val span = topic.beginTransaction("span")
+    span.produceTo("other", batch("r", 6)) // open remote share on "other"
+    val del = other.beginTransaction("del")
+    // match EVERYTHING visible: must be the 4 committed rows only
+    assert(del.deleteWhere(lit(true)) == 4L)
+    span.commit() // publishes the 6 remote rows
+    del.commit()  // deletes exactly the 4 it matched
+    assert(tags(other.events("read_committed")) == Map("r" -> 6L))
+  }
+
   test("produceTo crash window: phantom remote ranges truncate before id reuse") {
     val (d, topic) = newTopic()
     d.createTopic("other", partitions = 2)

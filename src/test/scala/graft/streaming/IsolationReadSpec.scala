@@ -152,4 +152,33 @@ class IsolationReadSpec extends SparkSpec {
     // exactly once across drains
     assert(drainCommitted(wh, ckpt).isEmpty)
   }
+
+  test("abandoned open txn: timeout auto-abort releases a stalled committed stream") {
+    val wh = Files.createTempDirectory("graft-iso-timeout").toString
+    val d = new GraftDriver(spark, wh)
+    d.createTopic("t", partitions = 2)
+    val topic = d.openTopic("t")
+    import spark.implicits._
+    def rows(t: String, n: Int) =
+      (0 until n).map(i => (s"""{"t":"$t","i":$i}""", i % 2)).toDF("metadata", "partition")
+    topic.producer().produce(rows("plain", 10))
+    topic.beginTransaction("hung").produce(rows("hung", 6)): Unit
+    topic.producer().produce(rows("late", 4))
+    val ckpt = Files.createTempDirectory("iso-timeout-ck").toString
+    // stalled: the LSO holds at the hung transaction's first ids
+    assert(drainCommitted(wh, ckpt) == Map("plain" -> 10L))
+    // the client died — nothing will ever decide "hung". Age it past the
+    // timeout and run the cron surface: the auto-abort releases the
+    // stream with NO manual intervention (the r13 liveness gap).
+    spark.conf.set("spark.graft.txn.timeoutMs", "60000")
+    try {
+      val state = new java.io.File(new org.apache.hadoop.fs.Path(
+        d.catalog.topicPath("t"), "_txns/hung.json").toUri.getPath)
+      assert(state.setLastModified(System.currentTimeMillis() - 120000L))
+      d.catalog.maintainTopic("t"): Unit
+      assert(d.catalog.listTxns("t")("hung").state == "aborted")
+      // released: the late rows flow; the aborted rows never appear
+      assert(drainCommitted(wh, ckpt) == Map("late" -> 4L))
+    } finally spark.conf.unset("spark.graft.txn.timeoutMs")
+  }
 }
