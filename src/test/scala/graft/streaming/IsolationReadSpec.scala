@@ -153,6 +153,57 @@ class IsolationReadSpec extends SparkSpec {
     assert(drainCommitted(wh, ckpt).isEmpty)
   }
 
+  test("isolation switch on a live checkpoint: LSO below the delivered offset never inverts") {
+    // A checkpoint written under read_uncommitted has delivered rows past
+    // an open transaction's first id. Restarting it with
+    // isolation=read_committed puts the LSO clamp BELOW the committed end
+    // offset — latestOffset must floor at the checkpointed start (empty
+    // batch, no inverted [start, end) window, no manifest-plan
+    // IOException), and already-delivered rows are never re-delivered.
+    val wh = Files.createTempDirectory("graft-iso-switch").toString
+    val d = new GraftDriver(spark, wh)
+    d.createTopic("t", partitions = 2)
+    val topic = d.openTopic("t")
+    import spark.implicits._
+    def rows(t: String, n: Int) =
+      (0 until n).map(i => (s"""{"t":"$t","i":$i}""", i % 2)).toDF("metadata", "partition")
+    topic.producer().produce(rows("plain", 10))
+    topic.beginTransaction("open").produce(rows("open", 6)): Unit
+    topic.producer().produce(rows("late", 4))
+    val ckpt = Files.createTempDirectory("iso-switch-ck").toString
+    def drain(iso: Option[String]): Map[String, Long] = {
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+      val base = spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "t")
+      val q = iso.foldLeft(base)((r, v) => r.option("isolation", v)).load()
+        .select(tag.as("t"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.groupBy(col("t")).count().collect()
+            .foreach(r => acc.synchronized {
+              acc(r.getString(0)) = acc.getOrElse(r.getString(0), 0L) + r.getLong(1)
+            }): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      acc.toMap
+    }
+    // uncommitted drain delivers EVERYTHING, including the open txn's rows
+    assert(drain(None) == Map("plain" -> 10L, "open" -> 6L, "late" -> 4L))
+    // switch to read_committed on the SAME checkpoint: the clamp sits
+    // below the delivered end — must complete cleanly with nothing new
+    assert(drain(Some("read_committed")).isEmpty)
+    // new rows past the checkpoint stay held while the txn is open...
+    topic.producer().produce(rows("fresh", 4))
+    assert(drain(Some("read_committed")).isEmpty)
+    // ...and flow once it decides
+    topic.transaction("open").commit()
+    assert(drain(Some("read_committed")) == Map("fresh" -> 4L))
+  }
+
   test("abandoned open txn: timeout auto-abort releases a stalled committed stream") {
     val wh = Files.createTempDirectory("graft-iso-timeout").toString
     val d = new GraftDriver(spark, wh)
