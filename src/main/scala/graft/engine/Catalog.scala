@@ -3235,13 +3235,23 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * copy of the pre-truncation state. */
   private[engine] def touchTxn(name: String, txnId: String): Unit = {
     acquireProduceLock(name)
-    try {
-      val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
-        s"unknown transaction '$txnId' on topic '$name'"))
-      if (st.state != "open") throw new IllegalStateException(
-        s"transaction '$txnId' on topic '$name' is ${st.state}, not open")
-      writeAtomic(txnPath(name, txnId), st.toJson)
-    } finally releaseProduceLock(name)
+    try touchTxnHeld(name, txnId)
+    finally releaseProduceLock(name)
+  }
+
+  /** [[touchTxn]] body for callers already holding the produce lock (the
+    * file lock is not reentrant). Called at the END of a transactional
+    * produce — the intent write happens BEFORE the data write, so without
+    * this a single produce whose Spark job outlives the timeout would
+    * leave a stale lease behind an ACTIVE client, and its very next
+    * statement or commit would be falsely expired. The lease must
+    * measure idle time between statements, not statement duration. */
+  private[engine] def touchTxnHeld(name: String, txnId: String): Unit = {
+    val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
+      s"unknown transaction '$txnId' on topic '$name'"))
+    if (st.state != "open") throw new IllegalStateException(
+      s"transaction '$txnId' on topic '$name' is ${st.state}, not open")
+    writeAtomic(txnPath(name, txnId), st.toJson)
   }
 
   /** Decided-dead transaction debris older than `minAgeMs`: local ABORTED
@@ -3399,10 +3409,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                                     df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] = {
     if (!topicExists(target)) throw new IllegalArgumentException(
       s"produceTo: unknown target topic '$target'")
-    val st = txnState(coord, txnId).getOrElse(throw new IllegalStateException(
-      s"unknown transaction '$txnId' on topic '$coord'"))
-    if (st.state != "open") throw new IllegalStateException(
-      s"transaction '$txnId' on topic '$coord' is ${st.state}, not open")
+    // openness check AND coordinator lease refresh in one locked write —
+    // produceTo never writes the coordinator's state otherwise, so a
+    // transaction driven only through foreign produces would idle its
+    // coordinator lease straight into the timeout. Taken BEFORE the
+    // target's produce lock (two topics' locks never nest). Like Kafka,
+    // a statement arriving before the expiry is DETECTED (write-path
+    // entry / maintain on the coordinator) extends the lease.
+    touchTxn(coord, txnId)
     acquireProduceLock(target)
     try {
       reconcileProduceState(target): Unit

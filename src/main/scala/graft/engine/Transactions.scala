@@ -338,7 +338,14 @@ final class TransactionalProducer private[engine] (
         s"unknown transaction '$txnId' on topic '$topic'"))
       if (st.state != "open") throw new IllegalStateException(
         s"transaction '$txnId' on topic '$topic' is ${st.state}, not open")
-      inner.produceHeld(df, ranges => catalog.appendTxnRanges(topic, txnId, ranges))
+      val res = inner.produceHeld(df, ranges =>
+        catalog.appendTxnRanges(topic, txnId, ranges))
+      // lease refresh AFTER the data write: the range intent above lands
+      // before it, so a produce whose Spark job outlives
+      // spark.graft.txn.timeoutMs must not leave a stale lease behind an
+      // active client (idle time is what expires, not statement duration)
+      catalog.touchTxnHeld(topic, txnId)
+      res
     } finally catalog.releaseProduceLock(topic)
   }
 

@@ -324,6 +324,37 @@ class TransactionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.txn.timeoutMs")
   }
 
+  test("produceTo heartbeats the coordinator lease; a DETECTED expiry fences") {
+    val (d, topic) = newTopic()
+    d.createTopic("other", partitions = 2)
+    spark.conf.set("spark.graft.txn.timeoutMs", "60000")
+    try {
+      def backdate(id: String): Unit = {
+        val f = new java.io.File(new org.apache.hadoop.fs.Path(
+          d.catalog.topicPath("t"), s"_txns/$id.json").toUri.getPath)
+        assert(f.setLastModified(System.currentTimeMillis() - 120000L))
+      }
+      val tx = topic.beginTransaction("span")
+      backdate("span")
+      // the statement arrives before any coordinator write-path entry
+      // detected the stale lease — it refreshes it (a Kafka send racing
+      // the coordinator's timer), so the commit's own reconcile keeps it
+      tx.produceTo("other", batch("r", 4))
+      tx.commit()
+      assert(tags(d.openTopic("other").events("read_committed")) == Map("r" -> 4L))
+      // but once a coordinator entry DETECTS the expiry, every later
+      // statement and the commit are fenced on the aborted state
+      val tx2 = topic.beginTransaction("span2")
+      tx2.produceTo("other", batch("r2", 2))
+      backdate("span2")
+      topic.producer().produce(batch("tick", 2)) // entry detects → aborts
+      assert(d.catalog.listTxns("t")("span2").state == "aborted")
+      intercept[IllegalStateException](tx2.produceTo("other", batch("r3", 2)))
+      intercept[IllegalStateException](tx2.commit())
+      assert(tags(d.openTopic("other").events("read_committed")) == Map("r" -> 4L))
+    } finally spark.conf.unset("spark.graft.txn.timeoutMs")
+  }
+
   test("maintainTopic purges AGED aborted debris past the record threshold") {
     val (d, topic) = newTopic()
     topic.producer().produce(batch("plain", 6))
