@@ -3194,37 +3194,53 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * standard one — stagings reaped, cursor pointers cleaned, ranges
    * decided-dead — so clamped streams release at their next trigger.
    */
-  private[engine] def abortExpiredTxnsLocked(name: String): Seq[String] = {
-    val timeout = txnTimeoutMs
-    if (timeout <= 0L) return Nil
+  private[engine] def abortExpiredTxnsLocked(name: String): Seq[String] =
+    abortExpiredFrom(name, listTxnFiles(name), Set.empty)
+
+  /** One `_txns` listing with paths and mtimes — shared by
+    * [[reconcileProduceState]]'s truncation and expiry passes, which the
+    * produce path pays on EVERY entry (at object-store scale a listing
+    * is a round trip; two per entry for one directory is one too many). */
+  private def listTxnFiles(name: String)
+      : Seq[(String, Path, Long, TxnState)] = {
     val dir = txnDir(name)
-    if (!fs.exists(dir)) return Nil
-    val now = System.currentTimeMillis()
-    fs.listStatus(dir).toSeq
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
-        !s.getPath.getName.startsWith(".") &&
-        now - s.getModificationTime > timeout)
-      .flatMap { s =>
-        val id = s.getPath.getName.stripSuffix(".json")
-        readStringResilient(s.getPath).map(TxnState.fromJson)
-          .filter(_.state == "open")
-          .map { st =>
-            writeAtomic(s.getPath, st.copy(state = "aborted").toJson)
-            Catalog.log.warn(s"topic '$name': open transaction '$id' idle " +
-              s"${now - s.getModificationTime}ms > " +
-              s"spark.graft.txn.timeoutMs=$timeout — auto-aborted " +
-              "(heartbeat() or any statement extends the lease)")
-            // same debris handling as abortTxn: stagings reaped eagerly,
-            // rooted-but-gated vectors left for vacuum/purge (the dead
-            // gate is the CDF frontier's release evidence)
-            reapTxnDeletes(name, st, includeRooted = false)
-            st.offsets.foreach { o =>
-              try { fs.delete(txnPointerPath(o.topic, name, id), false): Unit }
-              catch { case scala.util.control.NonFatal(_) => () }
-            }
-            id
-          }
-      }
+        !s.getPath.getName.startsWith("."))
+      .flatMap(s => readStringResilient(s.getPath).map(j => // lock-free readers ride
+        (s.getPath.getName.stripSuffix(".json"), s.getPath,
+          s.getModificationTime, TxnState.fromJson(j))))
+  }
+
+  /** The expiry pass over a pre-taken [[listTxnFiles]] listing.
+    * `freshlyWritten` names transactions THIS entry just rewrote (the
+    * truncation pass): their lease is fresh by construction and the
+    * listed state/mtime are stale — skip them this pass. */
+  private def abortExpiredFrom(name: String,
+      txns: Seq[(String, Path, Long, TxnState)],
+      freshlyWritten: Set[String]): Seq[String] = {
+    val timeout = txnTimeoutMs
+    if (timeout <= 0L || txns.isEmpty) return Nil
+    val now = System.currentTimeMillis()
+    txns.collect {
+      case (id, path, mtime, st)
+          if st.state == "open" && !freshlyWritten.contains(id) &&
+            now - mtime > timeout =>
+        writeAtomic(path, st.copy(state = "aborted").toJson)
+        Catalog.log.warn(s"topic '$name': open transaction '$id' idle " +
+          s"${now - mtime}ms > spark.graft.txn.timeoutMs=$timeout — " +
+          "auto-aborted (heartbeat() or any statement extends the lease)")
+        // same debris handling as abortTxn: stagings reaped eagerly,
+        // rooted-but-gated vectors left for vacuum/purge (the dead
+        // gate is the CDF frontier's release evidence)
+        reapTxnDeletes(name, st, includeRooted = false)
+        st.offsets.foreach { o =>
+          try { fs.delete(txnPointerPath(o.topic, name, id), false): Unit }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        id
+    }
   }
 
   /** Extend an open transaction's liveness lease without changing it —
@@ -3476,23 +3492,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    */
   private[engine] def reconcileProduceState(name: String): Map[String, MergeIntent] = {
     lazy val wm = nextIds(name) // lazy: both maps are usually empty
-    listTxns(name).foreach { case (id, st) =>
+    // ONE _txns listing feeds both passes below (every produce entry
+    // pays this path)
+    val txns = listTxnFiles(name)
+    val rewritten = txns.flatMap { case (id, path, _, st) =>
       if (st.state == "open" && st.ranges.nonEmpty) {
         val fixed = st.ranges.flatMap { r =>
           val cap = math.max(0L, math.min(r.count, wm.getOrElse(r.partition, 0L) - r.first))
           if (cap == 0L) None else Some(r.copy(count = cap))
         }
-        if (fixed != st.ranges)
-          writeAtomic(txnPath(name, id), st.copy(ranges = fixed).toJson)
-      }
-    }
+        if (fixed != st.ranges) {
+          writeAtomic(path, st.copy(ranges = fixed).toJson)
+          Some(id)
+        } else None
+      } else None
+    }.toSet
     // AFTER the truncation pass: an expiring transaction must abort with
     // its phantom tail already truncated, or its decided-dead ranges
-    // would exclude ids this very entry is about to re-issue (the
-    // expiry re-reads the state file, so it sees the truncated ranges;
-    // the truncation write also refreshes the lease — a one-time grace
+    // would exclude ids this very entry is about to re-issue. Just-
+    // truncated transactions are skipped — their listed state/mtime are
+    // stale and the rewrite refreshed the lease anyway (a one-time grace
     // for a transaction that just survived a crashed produce).
-    abortExpiredTxnsLocked(name): Unit
+    abortExpiredFrom(name, txns, rewritten): Unit
     listProducerStates(name).foreach { case (pid, st) =>
       st.pending.foreach { case (seq, ranges) =>
         val committed = ranges.forall(r => wm.getOrElse(r.partition, 0L) >= r.first + r.count)
