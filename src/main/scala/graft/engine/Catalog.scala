@@ -154,22 +154,46 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       // Dropping a topic that COORDINATES cross-topic transactions would
       // vanish its records — and a missing coordinator record reads as
       // "aborted and purged" everywhere ([[coordState]]), so a COMMITTED
-      // transaction's remote rows would silently become purgeable dead
-      // data. Resolve every sibling topic's outstanding shares first:
-      // open → the transaction is live, refuse; committed → fold the
-      // share eagerly (its rows are permanently visible, the record
-      // serves nothing further); aborted/missing → the missing-record
-      // reading is already the correct one. O(topics) listings, paid
-      // only on the rare drop of a coordinator.
-      listTopics().filter(_ != name).foreach { other =>
-        listRemoteTxns(other).foreach { case (path, r) =>
-          if (r.coordTopic == name) coordState(r) match {
-            case Some("open") => throw new IllegalStateException(
-              s"cannot drop topic '$name': it coordinates open transaction " +
-              s"'${r.txnId}' with rows in topic '$other' — commit or abort " +
-              "it first")
-            case Some("committed") => removeRemoteTxn(path)
-            case _ => () // aborted, or record already purged
+      // transaction's state must be fully resolved before the tree goes.
+      // Guarded by the topic's own record listing: no local transaction
+      // records ⇒ it never coordinated a live/committed transaction
+      // (committed records are permanent, [[removeTxn]]), so the common
+      // drop pays zero sibling listings.
+      val localTxns = listTxns(name)
+      if (localTxns.nonEmpty) {
+        // A COMMITTED transaction's cursor floors may still be pending on
+        // source topics (the commit's eager apply is best-effort): apply
+        // them NOW — after the drop a pointer resolves to "missing ⇒
+        // aborted" and would discard committed floors, re-delivering
+        // rows the exactly-once loop already processed. Open/aborted
+        // transactions' pointers correctly discard.
+        localTxns.foreach { case (id, st) =>
+          if (st.state == "committed") st.offsets.groupBy(_.topic).foreach {
+            case (srcTopic, os) if topicExists(srcTopic) =>
+              try {
+                os.foreach(o => acknowledgeFloors(srcTopic, o.consumer, o.floors))
+                if (floorsSubsumed(srcTopic, os))
+                  fs.delete(txnPointerPath(srcTopic, name, id), false): Unit
+              } catch { case scala.util.control.NonFatal(_) => () }
+            case _ => ()
+          }
+        }
+        // Resolve every sibling topic's outstanding row shares: open →
+        // the transaction is live, refuse; committed → fold the share
+        // eagerly (its rows are permanently visible, the record serves
+        // nothing further); aborted/missing → the missing-record reading
+        // is already the correct one. O(topics) listings, paid only on
+        // the rare drop of an actual coordinator.
+        listTopics().filter(_ != name).foreach { other =>
+          listRemoteTxns(other).foreach { case (path, r) =>
+            if (r.coordTopic == name) coordState(r) match {
+              case Some("open") => throw new IllegalStateException(
+                s"cannot drop topic '$name': it coordinates open transaction " +
+                s"'${r.txnId}' with rows in topic '$other' — commit or abort " +
+                "it first")
+              case Some("committed") => removeRemoteTxn(path)
+              case _ => () // aborted, or record already purged
+            }
           }
         }
       }
@@ -1977,7 +2001,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         try { acquireProduceLock(name); true }
         catch { case _: LockConflictException => false }
       if (acquired)
-        try abortExpiredTxnsLocked(name): Unit
+        // the FULL reconcile, not the bare expiry pass: an expiring
+        // transaction must abort with its phantom tail already truncated
+        // (reconcile's ordering guarantees it) — a bare expiry after a
+        // crashed produce would freeze never-issued ids as decided-dead,
+        // and a later produce re-issuing them would have its committed
+        // rows excluded forever and eventually purged as "dead". The
+        // extra passes (pid/remote/merge reconcile) are idempotent and
+        // cron-appropriate.
+        try reconcileProduceState(name): Unit
         finally releaseProduceLock(name)
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -1994,7 +2026,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       if (!tiered && noClones) {
         val (aborted, deadRemote) = agedDeadTxnRecords(name, retainMs)
         if (aborted.size + deadRemote.size > maxDead)
-          purgeAbortedTxns(name, chunkMaxRecords, minAgeMs = retainMs): Unit
+          purgeDeadTxnRecords(name, aborted, deadRemote, chunkMaxRecords): Unit
       }
     } catch {
       case _: LockConflictException => () // busy topic: next pass purges
@@ -2999,6 +3031,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private[engine] def stageTxnDelete(name: String, txnId: String,
                                      cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    // statement-entry lease touch, uniform with produce/produceTo: an
+    // already-expired lease fences here, a fresh one extends. Taken and
+    // released BEFORE the compact lock (the two never nest). The long
+    // match/write window below runs with the produce lock free, so a
+    // concurrent detector CAN expire the transaction mid-statement —
+    // then the adoption under the produce lock fails loudly and deletes
+    // the fresh staging: a loud statement failure, never corruption.
+    touchTxn(name, txnId)
     val (staged, n, planned) = {
       acquireCompactLock(name) // stable log: serialize vs rewrites/folds
       try {
@@ -3176,27 +3216,6 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     spark.conf.get("spark.graft.txn.timeoutMs",
       Catalog.TxnTimeoutMsDefault.toString).toLong
 
-  /**
-   * Auto-abort every ABANDONED open transaction — state-file age beyond
-   * [[txnTimeoutMs]] (caller holds the produce lock). Without this, a
-   * client that crashed between `begin` and `commit`/`abort` wedges every
-   * `read_committed` reader forever: batch plans exclude its ranges and
-   * the streaming last-stable-offset clamp holds at its first id
-   * ([[graft.streaming.GraftMicroBatchStream]]), with manual intervention
-   * the only release. Kafka's coordinator proactively aborts on
-   * `transaction.timeout.ms`; this is the same lease, measured on the
-   * state file's mtime — every state write refreshes it (begin, each
-   * produce's range intent, `sendOffsets`, `deleteWhere` adoption,
-   * [[TransactionalProducer.heartbeat]]), so only a transaction nobody
-   * is driving can expire. Runs at every write-path entry
-   * ([[reconcileProduceState]]) and from [[maintainTopic]] (the cron
-   * surface covers topics nobody writes to anymore). The abort is the
-   * standard one — stagings reaped, cursor pointers cleaned, ranges
-   * decided-dead — so clamped streams release at their next trigger.
-   */
-  private[engine] def abortExpiredTxnsLocked(name: String): Seq[String] =
-    abortExpiredFrom(name, listTxnFiles(name), Set.empty)
-
   /** One `_txns` listing with paths and mtimes — shared by
     * [[reconcileProduceState]]'s truncation and expiry passes, which the
     * produce path pays on EVERY entry (at object-store scale a listing
@@ -3213,10 +3232,30 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           s.getModificationTime, TxnState.fromJson(j))))
   }
 
-  /** The expiry pass over a pre-taken [[listTxnFiles]] listing.
-    * `freshlyWritten` names transactions THIS entry just rewrote (the
-    * truncation pass): their lease is fresh by construction and the
-    * listed state/mtime are stale — skip them this pass. */
+  /**
+   * The expiry pass: auto-abort every ABANDONED open transaction —
+   * state-file age beyond [[txnTimeoutMs]] (caller holds the produce
+   * lock). Without this, a client that crashed between `begin` and
+   * `commit`/`abort` wedges every `read_committed` reader forever: batch
+   * plans exclude its ranges and the streaming last-stable-offset clamp
+   * holds at its first id ([[graft.streaming.GraftMicroBatchStream]]),
+   * with manual intervention the only release. Kafka's coordinator
+   * proactively aborts on `transaction.timeout.ms`; this is the same
+   * lease, measured on the state file's mtime — every statement entry
+   * refreshes it (begin, each produce's range intent + end-of-statement
+   * touch, `sendOffsets`, `deleteWhere`,
+   * [[TransactionalProducer.heartbeat]]), so only a transaction nobody
+   * is driving can expire. Runs ONLY inside [[reconcileProduceState]]
+   * (every write-path entry, and [[maintainTopic]]'s janitor calls the
+   * full reconcile) — never bare: expiry must follow the phantom-tail
+   * truncation pass, or a crashed produce's never-issued ids would
+   * freeze as decided-dead and exclude their eventual re-issue. The
+   * abort is the standard one — stagings reaped, cursor pointers
+   * cleaned, ranges decided-dead — so clamped streams release at their
+   * next trigger. `freshlyWritten` names transactions THIS entry just
+   * rewrote (the truncation pass): their lease is fresh by construction
+   * and the listed state/mtime are stale — skip them this pass.
+   */
   private def abortExpiredFrom(name: String,
       txns: Seq[(String, Path, Long, TxnState)],
       freshlyWritten: Set[String]): Seq[String] = {
@@ -3227,19 +3266,27 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       case (id, path, mtime, st)
           if st.state == "open" && !freshlyWritten.contains(id) &&
             now - mtime > timeout =>
-        writeAtomic(path, st.copy(state = "aborted").toJson)
-        Catalog.log.warn(s"topic '$name': open transaction '$id' idle " +
-          s"${now - mtime}ms > spark.graft.txn.timeoutMs=$timeout — " +
-          "auto-aborted (heartbeat() or any statement extends the lease)")
-        // same debris handling as abortTxn: stagings reaped eagerly,
-        // rooted-but-gated vectors left for vacuum/purge (the dead
-        // gate is the CDF frontier's release evidence)
-        reapTxnDeletes(name, st, includeRooted = false)
-        st.offsets.foreach { o =>
-          try { fs.delete(txnPointerPath(o.topic, name, id), false): Unit }
-          catch { case scala.util.control.NonFatal(_) => () }
-        }
+        expireTxnLocked(name, id, path, now - mtime, timeout, st)
         id
+    }
+  }
+
+  /** Expire ONE open transaction (caller holds the produce lock): flip
+    * to aborted with the standard debris handling — stagings reaped
+    * eagerly, rooted-but-gated vectors left for vacuum/purge (the dead
+    * gate is the CDF frontier's release evidence), cursor pointers
+    * cleaned. */
+  private def expireTxnLocked(name: String, id: String, path: Path,
+                              idleMs: Long, timeout: Long,
+                              st: TxnState): Unit = {
+    writeAtomic(path, st.copy(state = "aborted").toJson)
+    Catalog.log.warn(s"topic '$name': open transaction '$id' idle " +
+      s"${idleMs}ms > spark.graft.txn.timeoutMs=$timeout — " +
+      "auto-aborted (heartbeat() or any statement extends the lease)")
+    reapTxnDeletes(name, st, includeRooted = false)
+    st.offsets.foreach { o =>
+      try { fs.delete(txnPointerPath(o.topic, name, id), false): Unit }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -3249,10 +3296,33 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * produce lock like every state write, so a concurrent reconcile's
     * phantom-range truncation can never be resurrected by an unlocked
     * copy of the pre-truncation state. */
-  private[engine] def touchTxn(name: String, txnId: String): Unit = {
+  /**
+   * Extend an open transaction's liveness lease — or FENCE it if the
+   * lease already expired. Uniform ENTRY semantics across statement
+   * types: any statement or heartbeat arriving AFTER the timeout horizon
+   * behaves exactly like the write-path detection it raced — the full
+   * reconcile runs (phantom-tail truncation first, then expiry), the
+   * transaction auto-aborts, and the call throws; one arriving BEFORE
+   * the horizon extends the lease, like a Kafka send beating the
+   * coordinator's timer. `fenceExpired = false` is the END-of-statement
+   * refresh: a produce/produceTo data write may legitimately outlive
+   * the horizon mid-statement, and the refresh must not re-judge it.
+   */
+  private[engine] def touchTxn(name: String, txnId: String,
+                               fenceExpired: Boolean = true): Unit = {
     acquireProduceLock(name)
-    try touchTxnHeld(name, txnId)
-    finally releaseProduceLock(name)
+    try {
+      if (fenceExpired) {
+        reconcileProduceState(name): Unit
+        txnState(name, txnId).filter(_.state == "aborted").foreach { _ =>
+          throw new IllegalStateException(
+            s"transaction '$txnId' on topic '$name' is aborted (leases " +
+            "idle past spark.graft.txn.timeoutMs auto-abort) — begin a " +
+            "new transaction")
+        }
+      }
+      touchTxnHeld(name, txnId)
+    } finally releaseProduceLock(name)
   }
 
   /** [[touchTxn]] body for callers already holding the produce lock (the
@@ -3302,8 +3372,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private[engine] def purgeAbortedTxns(name: String,
                                        chunkMaxRecords: Long = 1000000L,
                                        minAgeMs: Long = 0L): Int = {
-    import org.apache.spark.sql.functions.col
     val (aborted, deadRemote) = agedDeadTxnRecords(name, minAgeMs)
+    purgeDeadTxnRecords(name, aborted, deadRemote, chunkMaxRecords)
+  }
+
+  /** [[purgeAbortedTxns]] body over a pre-taken [[agedDeadTxnRecords]]
+    * result — [[maintainTopic]]'s gate already paid those listings. */
+  private def purgeDeadTxnRecords(name: String,
+                                  aborted: Map[String, TxnState],
+                                  deadRemote: Map[String, RemoteTxn],
+                                  chunkMaxRecords: Long): Int = {
+    import org.apache.spark.sql.functions.col
     val ranges = (aborted.values.flatMap(_.ranges) ++
       deadRemote.values.flatMap(_.ranges)).filter(_.count > 0L).toSeq
     if (ranges.nonEmpty)
@@ -3428,23 +3507,33 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // openness check AND coordinator lease refresh in one locked write —
     // produceTo never writes the coordinator's state otherwise, so a
     // transaction driven only through foreign produces would idle its
-    // coordinator lease straight into the timeout. Taken BEFORE the
-    // target's produce lock (two topics' locks never nest). Like Kafka,
-    // a statement arriving before the expiry is DETECTED (write-path
-    // entry / maintain on the coordinator) extends the lease.
+    // coordinator lease straight into the timeout. Fences uniformly if
+    // the lease ALREADY expired (see touchTxn). Taken BEFORE the
+    // target's produce lock (two topics' locks never nest).
     touchTxn(coord, txnId)
-    acquireProduceLock(target)
-    try {
-      reconcileProduceState(target): Unit
-      new Producer(spark, this, openTopic(target)).produceHeld(df, ranges => {
-        val path = remoteTxnPath(target, coord, txnId)
-        val merged = readStringResilient(path).map(RemoteTxn.fromJson)
-          .map(r => r.copy(ranges = r.ranges ++ TxnRange.toRanges(ranges)))
-          .getOrElse(RemoteTxn(coord, txnId, TxnRange.toRanges(ranges)))
-        fs.mkdirs(remoteTxnDir(target)): Unit
-        writeAtomic(path, merged.toJson)
-      })
-    } finally releaseProduceLock(target)
+    val res = {
+      acquireProduceLock(target)
+      try {
+        reconcileProduceState(target): Unit
+        new Producer(spark, this, openTopic(target)).produceHeld(df, ranges => {
+          val path = remoteTxnPath(target, coord, txnId)
+          val merged = readStringResilient(path).map(RemoteTxn.fromJson)
+            .map(r => r.copy(ranges = r.ranges ++ TxnRange.toRanges(ranges)))
+            .getOrElse(RemoteTxn(coord, txnId, TxnRange.toRanges(ranges)))
+          fs.mkdirs(remoteTxnDir(target)): Unit
+          writeAtomic(path, merged.toJson)
+        })
+      } finally releaseProduceLock(target)
+    }
+    // end-of-statement lease refresh (after the target lock is released —
+    // two topics' locks never nest): a foreign data write outliving the
+    // timeout must not leave a stale lease behind an active client. The
+    // coordinator lock is NOT held during the statement, so a concurrent
+    // detector may have expired the transaction mid-write — tolerated
+    // here (the refresh is best-effort); the commit fences loudly.
+    try touchTxn(coord, txnId, fenceExpired = false)
+    catch { case _: IllegalStateException => () }
+    res
   }
 
   private def pidDir(name: String): Path = new Path(topicPath(name), "_producers")

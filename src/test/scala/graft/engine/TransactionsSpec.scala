@@ -303,12 +303,12 @@ class TransactionsSpec extends SparkSpec {
     live.produce(batch("live", 4))
     spark.conf.set("spark.graft.txn.timeoutMs", "60000")
     try {
-      def backdate(id: String): Unit = {
+      def backdate(id: String, ageMs: Long = 120000L): Unit = {
         val f = new java.io.File(new org.apache.hadoop.fs.Path(
           d.catalog.topicPath("t"), s"_txns/$id.json").toUri.getPath)
-        assert(f.setLastModified(System.currentTimeMillis() - 120000L))
+        assert(f.setLastModified(System.currentTimeMillis() - ageMs))
       }
-      backdate("hung"); backdate("live")
+      backdate("hung"); backdate("live", 30000L) // live: idle, under horizon
       live.heartbeat() // lease extended: mtime fresh again
       // ANY write-path entry reconciles — a plain produce is enough
       topic.producer().produce(batch("more", 2))
@@ -324,35 +324,86 @@ class TransactionsSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.txn.timeoutMs")
   }
 
-  test("produceTo heartbeats the coordinator lease; a DETECTED expiry fences") {
+  test("produceTo extends a fresh coordinator lease; an expired one fences uniformly") {
     val (d, topic) = newTopic()
     d.createTopic("other", partitions = 2)
     spark.conf.set("spark.graft.txn.timeoutMs", "60000")
     try {
-      def backdate(id: String): Unit = {
+      def backdate(id: String, ageMs: Long = 120000L): Unit = {
         val f = new java.io.File(new org.apache.hadoop.fs.Path(
           d.catalog.topicPath("t"), s"_txns/$id.json").toUri.getPath)
-        assert(f.setLastModified(System.currentTimeMillis() - 120000L))
+        assert(f.setLastModified(System.currentTimeMillis() - ageMs))
       }
+      // a produceTo-only transaction outlives many sub-horizon idles:
+      // every statement touches the coordinator lease (produceTo writes
+      // nothing else on the coordinator)
       val tx = topic.beginTransaction("span")
-      backdate("span")
-      // the statement arrives before any coordinator write-path entry
-      // detected the stale lease — it refreshes it (a Kafka send racing
-      // the coordinator's timer), so the commit's own reconcile keeps it
-      tx.produceTo("other", batch("r", 4))
-      tx.commit()
+      backdate("span", 30000L)
+      tx.produceTo("other", batch("r", 4)) // extends
+      backdate("span", 30000L)
+      tx.commit() // commit's reconcile: 30s idle < 60s horizon
       assert(tags(d.openTopic("other").events("read_committed")) == Map("r" -> 4L))
-      // but once a coordinator entry DETECTS the expiry, every later
-      // statement and the commit are fenced on the aborted state
+      // an EXPIRED lease fences uniformly — produceTo, heartbeat, commit
+      // all behave like the write-path detection they raced
       val tx2 = topic.beginTransaction("span2")
       tx2.produceTo("other", batch("r2", 2))
       backdate("span2")
-      topic.producer().produce(batch("tick", 2)) // entry detects → aborts
-      assert(d.catalog.listTxns("t")("span2").state == "aborted")
       intercept[IllegalStateException](tx2.produceTo("other", batch("r3", 2)))
+      assert(d.catalog.listTxns("t")("span2").state == "aborted")
       intercept[IllegalStateException](tx2.commit())
+      val tx3 = topic.beginTransaction("span3")
+      backdate("span3")
+      intercept[IllegalStateException](tx3.heartbeat())
+      assert(d.catalog.listTxns("t")("span3").state == "aborted")
+      // no expired transaction's foreign rows ever became visible
       assert(tags(d.openTopic("other").events("read_committed")) == Map("r" -> 4L))
     } finally spark.conf.unset("spark.graft.txn.timeoutMs")
+  }
+
+  test("maintain-path expiry truncates a phantom tail before deciding it dead") {
+    // A transactional produce that crashed mid-data-write leaves a range
+    // intent at/above the watermark. If the CRON surface expired the
+    // transaction without the reconcile's truncation pass, those
+    // never-issued ids would freeze as decided-dead and a later produce
+    // re-issuing them would have its committed rows excluded forever
+    // (and eventually purged) — maintainTopic must run the full
+    // reconcile, truncation before expiry.
+    val (d, topic) = newTopic()
+    topic.producer().produce(batch("plain", 6))
+    d.catalog.beginTxn("t", "ph")
+    val wm = d.catalog.nextIds("t")
+    d.catalog.appendTxnRanges("t", "ph", Map(0 -> (wm(0), 3L), 1 -> (wm(1), 2L)))
+    spark.conf.set("spark.graft.txn.timeoutMs", "60000")
+    try {
+      val f = new java.io.File(new org.apache.hadoop.fs.Path(
+        d.catalog.topicPath("t"), "_txns/ph.json").toUri.getPath)
+      assert(f.setLastModified(System.currentTimeMillis() - 120000L))
+      d.catalog.maintainTopic("t"): Unit // cron pass 1: truncation
+      val mid = d.catalog.listTxns("t")("ph")
+      // the truncation rewrite grants a one-time grace (fresh lease) —
+      // the phantom tail is gone BEFORE any pass can decide it dead
+      assert(mid.state == "open" && mid.ranges.isEmpty,
+        s"truncation must precede expiry: $mid")
+      assert(f.setLastModified(System.currentTimeMillis() - 120000L))
+      d.catalog.maintainTopic("t"): Unit // cron pass 2: expiry
+      val st = d.catalog.listTxns("t")("ph")
+      assert(st.state == "aborted")
+      assert(st.ranges.isEmpty, s"phantom tail must truncate before the abort: ${st.ranges}")
+      // the re-issued ids belong to the new produce, fully visible
+      topic.producer().produce(batch("later", 6))
+      assert(tags(topic.events("read_committed")) ==
+        Map("plain" -> 6L, "later" -> 6L))
+      // and the janitor's purge reclaims NOTHING it shouldn't
+      spark.conf.set("spark.graft.txn.abortedRetainMs", "0")
+      spark.conf.set("spark.graft.txn.maxAbortedRecords", "0")
+      d.catalog.maintainTopic("t"): Unit
+      assert(tags(topic.events("read_uncommitted")) ==
+        Map("plain" -> 6L, "later" -> 6L))
+    } finally {
+      spark.conf.unset("spark.graft.txn.timeoutMs")
+      spark.conf.unset("spark.graft.txn.abortedRetainMs")
+      spark.conf.unset("spark.graft.txn.maxAbortedRecords")
+    }
   }
 
   test("maintainTopic purges AGED aborted debris past the record threshold") {
@@ -422,6 +473,36 @@ class TransactionsSpec extends SparkSpec {
     // committed records elsewhere are permanent: removeTxn refuses them
     val ok = other.beginTransaction("ok"); ok.produce(batch("k", 2)); ok.commit()
     intercept[IllegalArgumentException](d.catalog.removeTxn("other", "ok"))
+  }
+
+  test("dropTopic resolves a committed transaction's pending cursor floors") {
+    // A commit that crashed between the state flip and the eager floor
+    // apply leaves the sendOffsets pointer pending on the source topic.
+    // Dropping the coordinator then would make the pointer resolve to
+    // "missing ⇒ aborted" and DISCARD committed floors — the drop must
+    // apply them first.
+    val (d, topic) = newTopic()
+    d.createTopic("s", partitions = 2)
+    d.openTopic("s").producer().produce(batch("in", 10))
+    val tx = topic.beginTransaction("x")
+    tx.produce(batch("out", 2))
+    tx.sendOffsets("s", "g", Map(0 -> 3L, 1 -> 4L))
+    // simulate the crash: flip the state file to committed directly,
+    // leaving the pointer unapplied (trailer-less writes still parse)
+    val f = new java.io.File(new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("t"), "_txns/x.json").toUri.getPath)
+    val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val flipped = raw.split("\n#graft-eof:")(0)
+      .replace("\"state\":\"open\"", "\"state\":\"committed\"")
+    assert(flipped.contains("\"state\":\"committed\""))
+    java.nio.file.Files.write(f.toPath, flipped.getBytes("UTF-8")): Unit
+    // drop the local-fs checksum sidecar the raw write invalidated
+    new java.io.File(f.getParentFile, ".x.json.crc").delete(): Unit
+    // NO cursor read in between (it would lazily heal the pointer and
+    // mask the drop path): the drop itself must apply the floors
+    d.dropTopic("t")
+    // the floors survived the coordinator's disappearance
+    assert(d.catalog.cursor("s", "g") == Map(0 -> 4L, 1 -> 5L))
   }
 
   test("in-txn delete never matches another coordinator's OPEN remote rows") {
