@@ -3209,6 +3209,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** [[listTxns]] plus each record's state-file mtime (the lease-age
+    * base) — the [[TopicHandle.transactions]] admin listing. */
+  private[engine] def listTxnsWithMtime(name: String): Map[String, (TxnState, Long)] =
+    listTxnFiles(name).map { case (id, _, mtime, st) => id -> (st, mtime) }.toMap
+
   /** The transaction liveness horizon (`spark.graft.txn.timeoutMs`, the
     * Kafka `transaction.timeout.ms` analog) — see
     * [[abortExpiredTxnsLocked]]. `<= 0` disables the gate. */

@@ -264,6 +264,30 @@ final class TopicHandle(spark: SparkSession,
     new IdempotentProducer(catalog, name, producerId, epoch, producer())
 
   /**
+   * Transaction admin listing (the `kafka-transactions.sh list/describe`
+   * analog): one row per LOCAL transaction record — id, state
+   * (`open`/`committed`/`aborted`), total recorded events, recorded range
+   * count, staged-delete row count, cursor-floor entry count, and the
+   * lease idle time (`idle_ms`, the age [[Catalog.maintainTopic]]'s
+   * expiry judges against `spark.graft.txn.timeoutMs`). Metadata-only —
+   * O(transaction records), one directory listing; the operator's view
+   * for answering "what is wedging my read_committed stream" without
+   * touching the log.
+   */
+  def transactions(): DataFrame = {
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    catalog.listTxnsWithMtime(name).toSeq.sortBy(_._1)
+      .map { case (id, (st, mtime)) =>
+        (id, st.state, st.ranges.map(_.count).sum, st.ranges.size.toLong,
+          st.deletes.map(_.count).sum, st.offsets.size.toLong,
+          math.max(0L, now - mtime))
+      }
+      .toDF("txn_id", "state", "n_events", "n_ranges",
+        "n_staged_deletes", "n_offset_entries", "idle_ms")
+  }
+
+  /**
    * Physically reclaim aborted transactions' events (they stay in the log
    * filtered-out otherwise, like Kafka's until log cleaning): one
    * [[Catalog.purgeTopic]] rewrite dropping every row inside an aborted

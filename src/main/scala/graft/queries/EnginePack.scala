@@ -622,6 +622,36 @@ object EnginePack extends QueryPack {
         .withColumn("deleted_total", lit(deletedTotal))
         .orderBy(col("partition"))
     },
+    "q_txn_admin" -> { (s, dir) =>
+      // Transaction ADMIN listing through the oracle (the
+      // kafka-transactions.sh list/describe analog): one row per record
+      // with its state and recorded work — the operator's view for
+      // "what is wedging my read_committed stream". Falsifiable: a lost
+      // range breaks n_events/n_ranges, a lost staging breaks
+      // n_staged_deletes, a lost floor entry breaks n_offset_entries,
+      // any state drift breaks the state column. eid%4 classes land on
+      // one partition each (eid parity decides), so every produce
+      // records exactly one range.
+      val d = tempDriver(s)
+      d.createTopic("txadmin", partitions = 2)
+      val topic = d.openTopic("txadmin")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      val ok = topic.beginTransaction("ok")
+      ok.produce(src.filter(pmod(eid, lit(4)) === 0)); ok.commit()
+      val ab = topic.beginTransaction("ab")
+      ab.produce(src.filter(pmod(eid, lit(4)) === 1)); ab.abort()
+      val op = topic.beginTransaction("op")
+      op.produce(src.filter(pmod(eid, lit(4)) === 2))
+      op.deleteWhere(pmod(eid, lit(8)) === 2): Unit // matches own rows only
+      op.sendOffsets("txadmin", "g", Map(0 -> 7L))
+      topic.transactions()
+        .select(col("txn_id"), col("state"), col("n_events"), col("n_ranges"),
+          col("n_staged_deletes"), col("n_offset_entries"))
+        .orderBy(col("txn_id"))
+    },
     "q_txn_timeout" -> { (s, dir) =>
       // Transaction TIMEOUT + debris purge through the oracle (Kafka's
       // transaction.timeout.ms + the coordinator's janitor work): an
@@ -2729,6 +2759,24 @@ object EnginePack extends QueryPack {
         | (SELECT count(*) FROM events WHERE event_id % 6 = 0) AS deleted_total
         |FROM events WHERE event_id % 6 = 3 OR event_id % 3 = 1
         |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // admin listing: three records, each one produce = one range (the
+    // eid%4 class fixes the partition parity); the staged delete matches
+    // only the open transaction's own eid%8=2 rows; one floor entry
+    "q_txn_admin" ->
+      """SELECT 'ab' AS txn_id, 'aborted' AS state,
+        | (SELECT count(*) FROM events WHERE event_id % 4 = 1) AS n_events,
+        | CAST(1 AS BIGINT) AS n_ranges,
+        | CAST(0 AS BIGINT) AS n_staged_deletes,
+        | CAST(0 AS BIGINT) AS n_offset_entries
+        |UNION ALL SELECT 'ok', 'committed',
+        | (SELECT count(*) FROM events WHERE event_id % 4 = 0),
+        | CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'op', 'open',
+        | (SELECT count(*) FROM events WHERE event_id % 4 = 2),
+        | CAST(1 AS BIGINT),
+        | (SELECT count(*) FROM events WHERE event_id % 8 = 2),
+        | CAST(1 AS BIGINT)
+        |ORDER BY txn_id""".stripMargin,
     // timeout lifecycle: plain rows (eid%3=0) stay visible throughout;
     // the hung transaction's rows (eid%3=1) are excluded while open AND
     // after the auto-abort, then physically purged; every engine-side

@@ -475,6 +475,21 @@ class TransactionsSpec extends SparkSpec {
     intercept[IllegalArgumentException](d.catalog.removeTxn("other", "ok"))
   }
 
+  test("transactions() admin listing reports state, recorded work, lease age") {
+    val (_, topic) = newTopic()
+    val tx = topic.beginTransaction("a")
+    tx.produce(batch("x", 4)) // spans both partitions → 2 ranges
+    val rows = topic.transactions().collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getString(0) == "a" && r.getString(1) == "open")
+    assert(r.getLong(2) == 4L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
+    assert(r.getLong(6) >= 0L && r.getLong(6) < 60000L) // fresh lease
+    tx.commit()
+    assert(topic.transactions().collect()(0).getString(1) == "committed")
+  }
+
   test("dropTopic resolves a committed transaction's pending cursor floors") {
     // A commit that crashed between the state flip and the eager floor
     // apply leaves the sendOffsets pointer pending on the source topic.
