@@ -287,6 +287,24 @@ final class TopicHandle(spark: SparkSession,
         "n_staged_deletes", "n_offset_entries", "idle_ms")
   }
 
+  /** [[transactions]]'s cross-topic counterpart: one row per REMOTE
+    * share — rows produced into THIS topic under another topic's
+    * transaction ([[TransactionalProducer.produceTo]]) — with the
+    * coordinator's resolved state (`open`/`committed`/`aborted`;
+    * a missing coordinator record reads `aborted`). A
+    * `read_committed` wedge on this topic that [[transactions]] cannot
+    * explain is an open row here: decide (or let time out) the
+    * transaction on `coord_topic`. Metadata-only, O(share records). */
+  def remoteShares(): DataFrame = {
+    import spark.implicits._
+    catalog.listRemoteTxns(name).values.toSeq
+      .map(r => (r.coordTopic, r.txnId,
+        catalog.coordState(r).getOrElse("aborted"),
+        r.ranges.map(_.count).sum, r.ranges.size.toLong))
+      .sortBy(t => (t._1, t._2))
+      .toDF("coord_topic", "txn_id", "coord_state", "n_events", "n_ranges")
+  }
+
   /**
    * Physically reclaim aborted transactions' events (they stay in the log
    * filtered-out otherwise, like Kafka's until log cleaning): one

@@ -490,6 +490,24 @@ class TransactionsSpec extends SparkSpec {
     assert(topic.transactions().collect()(0).getString(1) == "committed")
   }
 
+  test("remoteShares() surfaces cross-topic wedges with resolved coordinator state") {
+    val (d, topic) = newTopic()
+    d.createTopic("other", partitions = 2)
+    val other = d.openTopic("other")
+    val tx = topic.beginTransaction("span")
+    tx.produceTo("other", batch("r", 4))
+    // the foreign topic's own transactions() is empty — the wedge shows
+    // in remoteShares, pointing at the coordinator to decide
+    assert(other.transactions().collect().isEmpty)
+    val open = other.remoteShares().collect()
+    assert(open.length == 1)
+    assert(open(0).getString(0) == "t" && open(0).getString(1) == "span")
+    assert(open(0).getString(2) == "open" && open(0).getLong(3) == 4L)
+    tx.commit()
+    // committed shares resolve (and fold away on the next committed read)
+    assert(other.remoteShares().collect()(0).getString(2) == "committed")
+  }
+
   test("dropTopic resolves a committed transaction's pending cursor floors") {
     // A commit that crashed between the state flip and the eager floor
     // apply leaves the sendOffsets pointer pending on the source topic.
