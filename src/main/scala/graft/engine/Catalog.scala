@@ -166,15 +166,34 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // them NOW — after the drop a pointer resolves to "missing ⇒
         // aborted" and would discard committed floors, re-delivering
         // rows the exactly-once loop already processed. Open/aborted
-        // transactions' pointers correctly discard.
+        // transactions' pointers correctly discard. REFUSE the drop
+        // (same shape as the open-share guard below) when the floors
+        // cannot be applied and re-read as subsumed: proceeding
+        // best-effort would delete the only durable copy of committed
+        // cursor state — the drop must not outrun its resolution.
         localTxns.foreach { case (id, st) =>
           if (st.state == "committed") st.offsets.groupBy(_.topic).foreach {
             case (srcTopic, os) if topicExists(srcTopic) =>
-              try {
-                os.foreach(o => acknowledgeFloors(srcTopic, o.consumer, o.floors))
-                if (floorsSubsumed(srcTopic, os))
-                  fs.delete(txnPointerPath(srcTopic, name, id), false): Unit
-              } catch { case scala.util.control.NonFatal(_) => () }
+              val subsumed =
+                try {
+                  os.foreach(o => acknowledgeFloors(srcTopic, o.consumer, o.floors))
+                  floorsSubsumed(srcTopic, os)
+                } catch {
+                  case scala.util.control.NonFatal(e) =>
+                    throw new IllegalStateException(
+                      s"cannot drop topic '$name': committed transaction " +
+                      s"'$id' has cursor floors on source topic '$srcTopic' " +
+                      s"that could not be applied ($e) — dropping now would " +
+                      "discard them and re-deliver already-processed rows; " +
+                      "fix the source topic's cursor store and retry", e)
+                }
+              if (!subsumed) throw new IllegalStateException(
+                s"cannot drop topic '$name': committed transaction '$id' " +
+                s"cursor floors on source topic '$srcTopic' did not read " +
+                "back as applied — dropping now would discard them and " +
+                "re-deliver already-processed rows; retry once the source " +
+                "topic's cursor store is writable")
+              fs.delete(txnPointerPath(srcTopic, name, id), false): Unit
             case _ => ()
           }
         }

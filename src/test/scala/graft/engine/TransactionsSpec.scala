@@ -538,6 +538,47 @@ class TransactionsSpec extends SparkSpec {
     assert(d.catalog.cursor("s", "g") == Map(0 -> 4L, 1 -> 5L))
   }
 
+  test("dropTopic REFUSES when committed floors cannot be applied") {
+    // Same scenario as above, but the source topic's cursor store is
+    // broken (the cursor path is occupied by a non-empty directory, so
+    // the floor apply's atomic write fails). Proceeding best-effort
+    // would delete the coordinator tree — the only durable copy of the
+    // committed floors — and the surviving pointer would resolve
+    // "missing ⇒ aborted", re-delivering already-processed rows. The
+    // drop must refuse loudly instead, like the open-share guard.
+    val (d, topic) = newTopic()
+    d.createTopic("s", partitions = 2)
+    d.openTopic("s").producer().produce(batch("in", 10))
+    val tx = topic.beginTransaction("x")
+    tx.produce(batch("out", 2))
+    tx.sendOffsets("s", "g", Map(0 -> 3L, 1 -> 4L))
+    val f = new java.io.File(new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("t"), "_txns/x.json").toUri.getPath)
+    val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val flipped = raw.split("\n#graft-eof:")(0)
+      .replace("\"state\":\"open\"", "\"state\":\"committed\"")
+    java.nio.file.Files.write(f.toPath, flipped.getBytes("UTF-8")): Unit
+    new java.io.File(f.getParentFile, ".x.json.crc").delete(): Unit
+    // break the source topic's cursor store: a non-empty DIRECTORY at the
+    // cursor path makes writeAtomic's replace fail (non-recursive delete)
+    val cursor = new java.io.File(new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("s"), "_cursors/g.json").toUri.getPath)
+    assert(cursor.mkdirs())
+    java.nio.file.Files.write(new java.io.File(cursor, "block").toPath,
+      "x".getBytes("UTF-8")): Unit
+    val e = intercept[IllegalStateException](d.dropTopic("t"))
+    assert(e.getMessage.contains("could not be applied"))
+    // nothing was deleted: the coordinator tree and its committed record
+    // survive, so the floors stay resolvable
+    assert(d.topicExists("t"))
+    assert(d.catalog.txnState("t", "x").exists(_.state == "committed"))
+    // heal the cursor store: the retried drop applies the floors and goes
+    java.nio.file.Files.delete(new java.io.File(cursor, "block").toPath)
+    java.nio.file.Files.delete(cursor.toPath)
+    d.dropTopic("t")
+    assert(d.catalog.cursor("s", "g") == Map(0 -> 4L, 1 -> 5L))
+  }
+
   test("in-txn delete never matches another coordinator's OPEN remote rows") {
     // A deleteWhere on the TARGET topic must not see rows produced into it
     // by another topic's still-open cross-topic transaction: staging them
