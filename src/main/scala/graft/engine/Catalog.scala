@@ -2011,10 +2011,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     //     holder's own entry reconciles.
     // (2) once MORE THAN spark.graft.txn.maxAbortedRecords decided-dead
     //     records have aged past spark.graft.txn.abortedRetainMs,
-    //     physically purge them (rows reclaimed, records removed) — the
-    //     read_committed exclusion set is bounded by construction, the
-    //     same shape as the >4-vector fold trigger below. Tiered topics
-    //     and clone sources skip (2): the purge is a log rewrite.
+    //     physically reclaim them — the read_committed exclusion set is
+    //     bounded by construction, the same shape as the >4-vector fold
+    //     trigger below. Hot topics purge (a log rewrite: rows gone,
+    //     records removed) and need no live clones; TIERED topics convert
+    //     the dead ranges to deletion vectors instead (rewrites refuse
+    //     there) and then remove the records — same bound, bytes
+    //     reclaimed at the next tier restore/rewrite
+    //     ([[vectorDeadTxnRecords]]).
     try {
       val acquired =
         try { acquireProduceLock(name); true }
@@ -2042,10 +2046,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         Catalog.TxnAbortedRetainMsDefault.toString).toLong
       val maxDead = spark.conf.get("spark.graft.txn.maxAbortedRecords",
         Catalog.TxnMaxAbortedRecordsDefault.toString).toInt
-      if (!tiered && noClones) {
+      if (tiered || noClones) {
         val (aborted, deadRemote) = agedDeadTxnRecords(name, retainMs)
-        if (aborted.size + deadRemote.size > maxDead)
-          purgeDeadTxnRecords(name, aborted, deadRemote, chunkMaxRecords): Unit
+        if (aborted.size + deadRemote.size > maxDead) {
+          if (tiered)
+            vectorDeadTxnRecords(name, aborted, deadRemote): Unit
+          else
+            purgeDeadTxnRecords(name, aborted, deadRemote, chunkMaxRecords): Unit
+        }
       }
     } catch {
       case _: LockConflictException => () // busy topic: next pass purges
@@ -3279,21 +3287,65 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * next trigger. `freshlyWritten` names transactions THIS entry just
    * rewrote (the truncation pass): their lease is fresh by construction
    * and the listed state/mtime are stale — skip them this pass.
+   *
+   * CLOCKS: the expiry judgment is store-clock vs store-clock — the
+   * state file's mtime against a just-written probe file's mtime
+   * ([[storeNowMs]]) — never local-vs-store, so object-store/NFS clock
+   * skew cannot falsely expire a live transaction. The local clock only
+   * pre-filters candidates (skew there delays detection, never forces it).
    */
   private def abortExpiredFrom(name: String,
       txns: Seq[(String, Path, Long, TxnState)],
       freshlyWritten: Set[String]): Seq[String] = {
     val timeout = txnTimeoutMs
     if (timeout <= 0L || txns.isEmpty) return Nil
-    val now = System.currentTimeMillis()
-    txns.collect {
-      case (id, path, mtime, st)
-          if st.state == "open" && !freshlyWritten.contains(id) &&
-            now - mtime > timeout =>
+    // Cheap LOCAL-clock pre-filter: only when a candidate LOOKS expired is
+    // the store's clock consulted (one probe write) — zero extra IO on the
+    // common nothing-expired entry. The FINAL judgment is store-clock vs
+    // store-clock ([[storeNowMs]] vs the state file's mtime), so a local
+    // clock running AHEAD of the store (the false-expiry direction) can
+    // never expire a live, heartbeating transaction; a local clock BEHIND
+    // the store merely delays detection by the skew (liveness, not
+    // safety — the abandoned transaction still expires, just later).
+    val localNow = localNowMs
+    val candidates = txns.filter { case (id, _, mtime, st) =>
+      st.state == "open" && !freshlyWritten.contains(id) &&
+        localNow - mtime > timeout
+    }
+    if (candidates.isEmpty) return Nil
+    val now = storeNowMs(txnDir(name))
+    candidates.collect {
+      case (id, path, mtime, st) if now - mtime > timeout =>
         expireTxnLocked(name, id, path, now - mtime, timeout, st)
         id
     }
   }
+
+  /** Store-clock "now": the mtime of a freshly rewritten probe file in
+    * `dir`. The lease judge compares a state file's mtime against the SAME
+    * clock that stamped it (the store's), never the local JVM's — on an
+    * object store/NFS, a local-vs-store skew comparable to
+    * `spark.graft.txn.timeoutMs` would otherwise falsely expire a live
+    * transaction whose statements are minutes apart. Falls back to the
+    * local clock if the probe cannot be written (every real caller holds
+    * the produce lock, so the store is writable there). The probe is
+    * dot-prefixed — invisible to [[listTxnFiles]] and Spark file indexes. */
+  private def storeNowMs(dir: Path): Long =
+    try {
+      val probe = new Path(dir, ".nowprobe")
+      val out = fs.create(probe, true)
+      try out.write('t': Int) finally out.close()
+      fs.getFileStatus(probe).getModificationTime
+    } catch { case scala.util.control.NonFatal(_) => localNowMs }
+
+  /** Local wall clock plus the TEST-ONLY skew knob
+    * `spark.graft.txn.testLocalSkewMs` — the seam that lets specs simulate
+    * a local clock running ahead of the store's without bending the
+    * filesystem's own mtimes (production leaves it unset; it shifts only
+    * the cheap pre-filter, never the store-clock judgment). */
+  private def localNowMs: Long =
+    System.currentTimeMillis() +
+      spark.conf.get("spark.graft.txn.testLocalSkewMs", "0").toLong
 
   /** Expire ONE open transaction (caller holds the produce lock): flip
     * to aborted with the standard debris handling — stagings reaped
@@ -3371,15 +3423,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * readers may have planned against them). */
   private[engine] def agedDeadTxnRecords(name: String, minAgeMs: Long)
       : (Map[String, TxnState], Map[String, RemoteTxn]) = {
-    val now = System.currentTimeMillis()
+    // store-clock "now" (same rationale as the lease judge): retention age
+    // must be measured on the clock that stamped the record mtimes, or a
+    // local clock ahead of the store would shorten the in-flight-reader
+    // grace window by the skew
+    val abortedAll = listTxns(name).filter(_._2.state == "aborted")
+    val deadRemoteAll = listRemoteTxns(name).filter { case (_, r) =>
+      coordState(r).forall(_ == "aborted") }
+    if (abortedAll.isEmpty && deadRemoteAll.isEmpty)
+      return (abortedAll, deadRemoteAll)
+    // minAge disabled ⇒ everything qualifies; otherwise probe once
+    val now = if (minAgeMs <= 0L) Long.MaxValue else storeNowMs(txnDir(name))
     def aged(p: Path): Boolean =
       try now - fs.getFileStatus(p).getModificationTime >= minAgeMs
       catch { case _: java.io.IOException => false }
-    val aborted = listTxns(name).filter { case (id, st) =>
-      st.state == "aborted" && aged(txnPath(name, id)) }
-    val deadRemote = listRemoteTxns(name).filter { case (p, r) =>
-      coordState(r).forall(_ == "aborted") && aged(new Path(p)) }
-    (aborted, deadRemote)
+    (abortedAll.filter { case (id, _) => aged(txnPath(name, id)) },
+      deadRemoteAll.filter { case (p, _) => aged(new Path(p)) })
   }
 
   /**
@@ -3397,7 +3456,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                                        chunkMaxRecords: Long = 1000000L,
                                        minAgeMs: Long = 0L): Int = {
     val (aborted, deadRemote) = agedDeadTxnRecords(name, minAgeMs)
-    purgeDeadTxnRecords(name, aborted, deadRemote, chunkMaxRecords)
+    if (isTiered(name)) vectorDeadTxnRecords(name, aborted, deadRemote)
+    else purgeDeadTxnRecords(name, aborted, deadRemote, chunkMaxRecords)
   }
 
   /** [[purgeAbortedTxns]] body over a pre-taken [[agedDeadTxnRecords]]
@@ -3414,6 +3474,44 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         col("partition") === r.partition &&
           col("event_id") >= r.first &&
           col("event_id") < r.first + r.count).reduce(_ || _), chunkMaxRecords)
+    aborted.values.foreach(st => reapTxnDeletes(name, st))
+    aborted.keys.foreach(id => removeTxn(name, id))
+    deadRemote.keys.foreach(removeRemoteTxn)
+    aborted.size + deadRemote.size
+  }
+
+  /**
+   * [[purgeDeadTxnRecords]]'s TIERED-topic counterpart: a log rewrite is
+   * refused on a tiered topic (the archived cold tier would be stranded —
+   * [[rewriteLocked]]'s `failIfTiered`), so decided-dead rows are
+   * converted to DELETION VECTORS instead ([[deleteWhereVectored]] — the
+   * one delete that works on tiered topics, since hot and cold reads both
+   * merge vectors), then the records themselves go. Same bound, different
+   * mechanism: record count and the `read_committed` exclusion set stay
+   * bounded by construction, rows become invisible to EVERY read surface
+   * immediately, and the physical bytes are reclaimed whenever the cold
+   * tier is next restored/rewritten (vector folding). The vector-FILE
+   * count is bounded by [[maintainTopic]]'s `compactDeleteVectors` merge
+   * trigger. Clone-safe without a guard: vectors touch no chunk files,
+   * and clones copy the source's vector roots at birth ([[cloneTopic]])
+   * so a later conversion never changes a clone's view. Crash-idempotent:
+   * a crash after the vector commit re-runs the conversion, whose
+   * vector-applied match then finds zero new rows, and the record
+   * removal completes. Returns records reclaimed, like the purge.
+   */
+  private def vectorDeadTxnRecords(name: String,
+                                   aborted: Map[String, TxnState],
+                                   deadRemote: Map[String, RemoteTxn]): Int = {
+    import org.apache.spark.sql.functions.col
+    val ranges = (aborted.values.flatMap(_.ranges) ++
+      deadRemote.values.flatMap(_.ranges)).filter(_.count > 0L).toSeq
+    if (ranges.nonEmpty)
+      deleteWhereVectored(name, ranges.map(r =>
+        col("partition") === r.partition &&
+          col("event_id") >= r.first &&
+          col("event_id") < r.first + r.count).reduce(_ || _)): Unit
+    // debris reaped BEFORE record removal, then records — same ordering
+    // proof as [[purgeDeadTxnRecords]]
     aborted.values.foreach(st => reapTxnDeletes(name, st))
     aborted.keys.foreach(id => removeTxn(name, id))
     deadRemote.keys.foreach(removeRemoteTxn)
