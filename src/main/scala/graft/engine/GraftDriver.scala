@@ -313,8 +313,12 @@ final class TopicHandle(spark: SparkSession,
    * (keeping the read_committed exclusion list bounded). Remote shares
    * ([[TransactionalProducer.produceTo]]) whose coordinator aborted — or
    * whose coordinator record is gone — are reclaimed the same way.
-   * Committed and open transactions are untouched. Returns the number of
-   * aborted transactions (local records + dead remote shares) reclaimed.
+   * Committed and open transactions are untouched. On a TIERED topic
+   * (rewrites refuse there) the dead ranges are converted to deletion
+   * vectors instead and the records removed — rows invisible everywhere
+   * immediately, bytes reclaimed at the next tier restore/rewrite.
+   * Returns the number of aborted transactions (local records + dead
+   * remote shares) reclaimed.
    */
   def purgeAborted(chunkMaxRecords: Long = 1000000L): Int =
     catalog.purgeAbortedTxns(name, chunkMaxRecords)

@@ -707,6 +707,59 @@ object EnginePack extends QueryPack {
         s.conf.unset("spark.graft.txn.maxAbortedRecords")
       }
     },
+    "q_txn_purge_tiered" -> { (s, dir) =>
+      // Tiered-topic transaction-debris reclaim through the oracle: log
+      // rewrites refuse on tiered topics, so the janitor converts aged
+      // decided-dead ranges to DELETION VECTORS (merge-on-read, zero
+      // chunk files touched) and then removes the records. Falsifiable
+      // on every edge: a conversion that misses rows shows in
+      // n_aborted_visible (the graded read is read_UNCOMMITTED — vectors,
+      // not exclusion, must hide the rows), a leaked record flips
+      // record_purged, an over-eager removal of the committed record
+      // flips committed_kept, any chunk-file rewrite flips cold_intact,
+      // and a purge that silently fell back to exclusion-only flips
+      // vectors_present.
+      val d = tempDriver(s)
+      d.createTopic("txn_tier", partitions = 2)
+      val topic = d.openTopic("txn_tier")
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      val src = t(s, dir, "events").orderBy(col("event_id"))
+        .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+      topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
+      // archive the plain prefix: the topic now has a real cold tier
+      topic.archiveBefore(d.catalog.nextIds("txn_tier").values.max): Unit
+      val ok = topic.beginTransaction("ok")
+      ok.produce(src.filter(pmod(eid, lit(3)) === 1)); ok.commit()
+      val ab = topic.beginTransaction("ab")
+      ab.produce(src.filter(pmod(eid, lit(3)) === 2)); ab.abort()
+      def coldFiles: Int = topic.tierState.map { ts =>
+        d.catalog.tierFilesRel("txn_tier", ts).map(_.count().toInt).getOrElse(0) +
+          ts.files.values.map(_.size).sum
+      }.getOrElse(0)
+      val coldBefore = coldFiles
+      s.conf.set("spark.graft.txn.abortedRetainMs", "0")
+      s.conf.set("spark.graft.txn.maxAbortedRecords", "0")
+      try d.catalog.maintainTopic("txn_tier"): Unit
+      finally {
+        s.conf.unset("spark.graft.txn.abortedRetainMs")
+        s.conf.unset("spark.graft.txn.maxAbortedRecords")
+      }
+      val recs = d.catalog.listTxns("txn_tier")
+      topic.events("read_uncommitted")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(pmod(eid, lit(3)) === 1, 1)).as("n_committed"),
+          count(when(pmod(eid, lit(3)) === 2, 1)).as("n_aborted_visible"))
+        .withColumn("record_purged", lit(!recs.contains("ab")))
+        .withColumn("committed_kept",
+          lit(recs.get("ok").exists(_.state == "committed")))
+        .withColumn("cold_intact",
+          lit(coldBefore > 0 && coldFiles == coldBefore))
+        .withColumn("vectors_present",
+          lit(d.catalog.deleteVectorFiles("txn_tier").nonEmpty))
+        .orderBy(col("partition"))
+    },
     "q_source_committed" -> { (s, dir) =>
       // isolation=read_committed on the DSv2 scan (Kafka isolation.level)
       // through the oracle: plain rows (eid%4=0) and a committed
@@ -2790,6 +2843,18 @@ object EnginePack extends QueryPack {
         | (SELECT count(*) FROM events WHERE event_id % 3 = 0) AS log_after_purge,
         | true AS auto_aborted, true AS debris_retained, true AS record_purged
         |FROM events WHERE event_id % 3 = 0
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // tiered-topic debris reclaim: plain (eid%3=0, archived cold) and the
+    // committed txn's rows (eid%3=1) survive; the aborted txn's rows
+    // (eid%3=2) are vector-hidden from even the UNCOMMITTED view, with
+    // every engine-side lifecycle fact resolved true
+    "q_txn_purge_tiered" ->
+      """SELECT CAST(event_id % 2 AS INT) AS partition, count(*) AS cnt,
+        | count(*) FILTER (WHERE event_id % 3 = 1) AS n_committed,
+        | CAST(0 AS BIGINT) AS n_aborted_visible,
+        | true AS record_purged, true AS committed_kept,
+        | true AS cold_intact, true AS vectors_present
+        |FROM events WHERE event_id % 3 < 2
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // read_committed scan = plain (eid%4=0) ∪ committed txn (eid%4=1);
     // aborted (2) and open (3) excluded; the raw log holds all four

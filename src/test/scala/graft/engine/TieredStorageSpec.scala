@@ -206,6 +206,58 @@ class TieredStorageSpec extends SparkSpec {
     assert(topic.events().count() == 34)
   }
 
+  test("tiered topic reclaims aborted-transaction debris via deletion vectors") {
+    // Rewrites refuse on tiered topics, so the dead-debris reclaim must
+    // not be a purgeTopic: aborted ranges convert to deletion vectors
+    // (rows invisible everywhere immediately, zero chunk files touched),
+    // then the records go — the read_committed exclusion set stays
+    // bounded on exactly the topology that accumulates the most history.
+    val (d, topic) = newTopic()
+    def tagCounts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy(get_json_object(col("metadata"), "$.tag").as("tag")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    topic.producer().produce(batch("plain", 8))
+    val cutoff = d.catalog.nextIds("t").values.max
+    assert(topic.archiveBefore(cutoff).filesMoved == 2)
+    assert(d.catalog.isTiered("t"))
+    val ok = topic.beginTransaction("ok"); ok.produce(batch("ok", 6)); ok.commit()
+    val ab = topic.beginTransaction("ab"); ab.produce(batch("ab", 6)); ab.abort()
+    val coldBefore = topic.tierState.map(_.files.values.map(_.size).sum).getOrElse(0)
+    val hotBefore = d.catalog.readManifest("t").get.files.values.map(_.size).sum
+    // the manual escape hatch WORKS on a tiered topic now (no failIfTiered)
+    assert(topic.purgeAborted() == 1)
+    // record gone (listing-counted); the committed record is permanent
+    assert(d.catalog.listTxns("t").keySet == Set("ok"))
+    // aborted rows invisible on EVERY surface — including read_uncommitted
+    assert(tagCounts(topic.events("read_uncommitted")) ==
+      Map("plain" -> 8L, "ok" -> 6L))
+    assert(tagCounts(topic.events("read_committed")) ==
+      Map("plain" -> 8L, "ok" -> 6L))
+    // zero chunk files touched: cold inventory and hot file count unchanged
+    assert(topic.tierState.map(_.files.values.map(_.size).sum)
+      .getOrElse(0) == coldBefore)
+    assert(d.catalog.readManifest("t").get.files.values
+      .map(_.size).sum == hotBefore)
+    // the reclaim is merge-on-read: vectors exist, exclusion set is empty
+    assert(d.catalog.deleteVectorFiles("t").nonEmpty)
+    assert(d.catalog.uncommittedTxnRanges("t").isEmpty)
+    // the CRON path does the same once debris crosses the age/count gate
+    val ab2 = topic.beginTransaction("ab2"); ab2.produce(batch("ab2", 4)); ab2.abort()
+    spark.conf.set("spark.graft.txn.abortedRetainMs", "0")
+    spark.conf.set("spark.graft.txn.maxAbortedRecords", "0")
+    try d.catalog.maintainTopic("t"): Unit
+    finally {
+      spark.conf.unset("spark.graft.txn.abortedRetainMs")
+      spark.conf.unset("spark.graft.txn.maxAbortedRecords")
+    }
+    assert(d.catalog.listTxns("t").keySet == Set("ok"))
+    assert(tagCounts(topic.events("read_uncommitted")) ==
+      Map("plain" -> 8L, "ok" -> 6L))
+    // ids keep flowing; the union view stays consistent after reclaim
+    topic.producer().produce(batch("new", 4))
+    assert(topic.events().count() == 18)
+  }
+
   test("archive never moves uncommitted orphans (watermark cap)") {
     val (d, topic) = newTopic()
     topic.producer().produce(batch("old", 20))
