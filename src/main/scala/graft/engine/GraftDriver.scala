@@ -276,6 +276,16 @@ final class TopicHandle(spark: SparkSession,
    */
   def transactions(): DataFrame = {
     import spark.implicits._
+    transactionRows()
+      .toDF("txn_id", "state", "n_events", "n_ranges",
+        "n_staged_deletes", "n_offset_entries", "idle_ms")
+  }
+
+  /** [[transactions]]'s driver-side row form — shared with the SQL
+    * procedure surface (`CALL cat.system.transactions('t')`), which
+    * needs the values without a DataFrame round trip. */
+  private[graft] def transactionRows()
+      : Seq[(String, String, Long, Long, Long, Long, Long)] = {
     val now = System.currentTimeMillis()
     catalog.listTxnsWithMtime(name).toSeq.sortBy(_._1)
       .map { case (id, (st, mtime)) =>
@@ -283,8 +293,6 @@ final class TopicHandle(spark: SparkSession,
           st.deletes.map(_.count).sum, st.offsets.size.toLong,
           math.max(0L, now - mtime))
       }
-      .toDF("txn_id", "state", "n_events", "n_ranges",
-        "n_staged_deletes", "n_offset_entries", "idle_ms")
   }
 
   /** [[transactions]]'s cross-topic counterpart: one row per REMOTE
@@ -297,13 +305,19 @@ final class TopicHandle(spark: SparkSession,
     * transaction on `coord_topic`. Metadata-only, O(share records). */
   def remoteShares(): DataFrame = {
     import spark.implicits._
+    remoteShareRows()
+      .toDF("coord_topic", "txn_id", "coord_state", "n_events", "n_ranges")
+  }
+
+  /** [[remoteShares]]'s driver-side row form — shared with the SQL
+    * procedure surface (`CALL cat.system.remote_shares('t')`). */
+  private[graft] def remoteShareRows()
+      : Seq[(String, String, String, Long, Long)] =
     catalog.listRemoteTxns(name).values.toSeq
       .map(r => (r.coordTopic, r.txnId,
         catalog.coordState(r).getOrElse("aborted"),
         r.ranges.map(_.count).sum, r.ranges.size.toLong))
       .sortBy(t => (t._1, t._2))
-      .toDF("coord_topic", "txn_id", "coord_state", "n_events", "n_ranges")
-  }
 
   /**
    * Physically reclaim aborted transactions' events (they stay in the log

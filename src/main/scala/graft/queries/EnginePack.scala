@@ -647,7 +647,13 @@ object EnginePack extends QueryPack {
       op.produce(src.filter(pmod(eid, lit(4)) === 2))
       op.deleteWhere(pmod(eid, lit(8)) === 2): Unit // matches own rows only
       op.sendOffsets("txadmin", "g", Map(0 -> 7L))
-      topic.transactions()
+      // graded through the SQL surface (CALL cat.system.transactions) so
+      // the oracle pins the SQL-only operator path, not just the handle
+      // API — both return the same rows (transactionRows is shared)
+      val cat = s"graftsql${EnginePack.streamRun.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", d.warehouse)
+      s.sql(s"CALL $cat.system.transactions('txadmin')")
         .select(col("txn_id"), col("state"), col("n_events"), col("n_ranges"),
           col("n_staged_deletes"), col("n_offset_entries"))
         .orderBy(col("txn_id"))

@@ -22,6 +22,8 @@ import graft.engine.Catalog
  *  - `expire(topic, before_id)`  → [[Catalog.expireTopic]]
  *  - `restore(topic, version)`   → `TopicHandle.restoreTo` (rollback)
  *  - `rebuild_manifest(topic)`   → [[Catalog.rebuildManifest]] (self-heal)
+ *  - `transactions(topic)`       → `TopicHandle.transactions` (admin listing)
+ *  - `remote_shares(topic)`      → `TopicHandle.remoteShares` (cross-topic)
  *
  * All side-effecting (`isDeterministic = false`), all driver-coordinated
  * by design — these are the operations that REWRITE the corpus, the one
@@ -33,7 +35,8 @@ private[sql] object GraftProcedures {
 
   def names: Seq[String] =
     Seq("clone", "compact", "expire", "history", "maintain",
-      "rebuild_manifest", "restore", "vacuum")
+      "rebuild_manifest", "remote_shares", "restore", "transactions",
+      "vacuum")
 
   def load(engine: Catalog, name: String): Option[UnboundProcedure] = {
     def topicOf(in: InternalRow): String = {
@@ -45,6 +48,9 @@ private[sql] object GraftProcedures {
     def liveFiles(topic: String): Long =
       engine.readManifest(topic)
         .map(m => engine.manifestFileCounts(topic, m).values.sum).getOrElse(0L)
+    def handle(topic: String): graft.engine.TopicHandle =
+      new graft.engine.GraftDriver(org.apache.spark.sql.SparkSession.active,
+        engine.warehouse).openTopic(topic)
     name match {
       case "compact" => Some(procedure("compact",
         "rewrite the hot log into few chunk files per partition",
@@ -122,6 +128,32 @@ private[sql] object GraftProcedures {
         engine.versionHistory(topicOf(in)).map(v =>
           Seq(v.version, v.kind, v.commitTimeMs * 1000L,
             v.watermarks.valuesIterator.sum))
+      })
+      case "transactions" => Some(procedureRows("transactions",
+        "transaction admin listing (kafka-transactions.sh list/describe analog)",
+        Seq(ProcedureParameter.in("topic", StringType).build()),
+        StructType(Seq(StructField("txn_id", StringType, nullable = false),
+          StructField("state", StringType, nullable = false),
+          StructField("n_events", LongType, nullable = false),
+          StructField("n_ranges", LongType, nullable = false),
+          StructField("n_staged_deletes", LongType, nullable = false),
+          StructField("n_offset_entries", LongType, nullable = false),
+          StructField("idle_ms", LongType, nullable = false)))) { in =>
+        // the SQL answer to "what is wedging my read_committed stream" —
+        // metadata-only, no Scala shell needed
+        handle(topicOf(in)).transactionRows().map(r =>
+          Seq(r._1, r._2, r._3, r._4, r._5, r._6, r._7))
+      })
+      case "remote_shares" => Some(procedureRows("remote_shares",
+        "cross-topic transaction shares with resolved coordinator state",
+        Seq(ProcedureParameter.in("topic", StringType).build()),
+        StructType(Seq(StructField("coord_topic", StringType, nullable = false),
+          StructField("txn_id", StringType, nullable = false),
+          StructField("coord_state", StringType, nullable = false),
+          StructField("n_events", LongType, nullable = false),
+          StructField("n_ranges", LongType, nullable = false)))) { in =>
+        handle(topicOf(in)).remoteShareRows().map(r =>
+          Seq(r._1, r._2, r._3, r._4, r._5))
       })
       case "rebuild_manifest" => Some(procedure("rebuild_manifest",
         "re-derive the manifest from the log (self-heal after metadata loss)",

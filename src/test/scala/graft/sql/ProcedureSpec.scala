@@ -98,6 +98,38 @@ class ProcedureSpec extends SparkSpec {
     assert(rows.forall(_.getTimestamp(2) != null))
   }
 
+  test("CALL system.transactions / remote_shares: SQL-only wedge diagnosis") {
+    // The operator's "what wedged my read_committed stream" answer must
+    // not require a Scala shell: both admin views are CALL-able, with the
+    // same rows the handle API returns.
+    val (cat, d) = newCatalog()
+    d.createTopic("t", partitions = 2)
+    d.createTopic("feed", partitions = 2)
+    import spark.implicits._
+    def batch(tag: String, n: Int) =
+      (0 until n).map(i => (s"""{"tag":"$tag"}""", i % 2)).toDF("metadata", "partition")
+    val topic = d.openTopic("t")
+    val ok = topic.beginTransaction("ok"); ok.produce(batch("ok", 4)); ok.commit()
+    val op = topic.beginTransaction("op")
+    op.produce(batch("op", 6))
+    op.produceTo("feed", batch("share", 4))
+    op.sendOffsets("t", "g", Map(0 -> 1L))
+    val rows = spark.sql(s"CALL $cat.system.transactions('t')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    assert(rows.toSeq == Seq(("ok", "committed", 4L, 0L), ("op", "open", 6L, 1L)))
+    // idle_ms is a live lease age — present and sane, not pinned
+    val idle = spark.sql(s"CALL $cat.system.transactions('t')")
+      .select("idle_ms").collect().map(_.getLong(0))
+    assert(idle.forall(_ >= 0L))
+    // the wedge on the FEED topic shows as an open remote share
+    val shares = spark.sql(s"CALL $cat.system.remote_shares('feed')").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(shares.toSeq == Seq(("t", "op", "open", 4L)))
+    op.abort()
+    assert(spark.sql(s"CALL $cat.system.remote_shares('feed')")
+      .collect()(0).getString(2) == "aborted")
+  }
+
   test("CALL system.expire drops the prefix; unknown procedures fail loudly") {
     val (cat, d) = newCatalog()
     d.createTopic("t", partitions = 1)
