@@ -301,10 +301,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * `watermarks(p)` is the next-EventID the file list is complete up to: a
    * reader may plan from the manifest iff `watermarks(p) >= until(p)`, and
    * must fall back to a directory listing otherwise (manifest lost, or the
-   * topic predates manifests). Written BEFORE the id watermark commit, so a
-   * crash between the two leaves a manifest that over-covers — harmless:
-   * the extra files are exactly this produce's output, and id-range pruning
-   * bounds what readers surface.
+   * topic predates manifests). Written BEFORE the id watermark commit —
+   * the manifest write is the COMMIT POINT: a crash between the two
+   * leaves the manifest watermark ahead of `_ids.json`, and the next
+   * write-path entry heals the id watermark forward to it
+   * ([[reconcileProduceState]]), so the committed files stay visible and
+   * their ids are never re-issued.
    *
    * Metadata scale bound (snapshot + delta log, the Delta-Lake shape): each
    * produce commit APPENDS one `delta-<seq>.json` holding only that
@@ -3702,7 +3704,29 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    *         serialization gate reuses the listing
    */
   private[engine] def reconcileProduceState(name: String): Map[String, MergeIntent] = {
-    lazy val wm = nextIds(name) // lazy: both maps are usually empty
+    // WATERMARK HEAL — the produce commit's crash window (updateManifest
+    // landed, writeNextIds did not) leaves the manifest watermark ahead of
+    // `_ids.json`. The manifest write IS the commit point (its files are
+    // visible), so the manifest watermark is authoritative: heal the id
+    // watermark forward BEFORE any judgment below, or (a) the next produce
+    // re-issues the already-committed ids — duplicate (partition,
+    // event_id) rows, silent corruption — and (b) the truncation pass
+    // would phantom-truncate transaction ranges the manifest already
+    // committed. Manifest-ahead arises ONLY from that window: every other
+    // manifest writer commits at the current watermark.
+    val wm: Map[Int, Long] = {
+      val ids = nextIds(name)
+      val mwm = readManifest(name).map(_.watermarks).getOrElse(Map.empty)
+      if (mwm.exists { case (p, v) => v > ids.getOrElse(p, 0L) }) {
+        val healed = ids ++ mwm.map { case (p, v) =>
+          p -> math.max(v, ids.getOrElse(p, 0L)) }
+        writeNextIds(name, healed)
+        Catalog.log.warn(s"topic '$name': id watermark healed forward to " +
+          "the manifest's (recovering a produce that crashed between its " +
+          "manifest and id-watermark writes)")
+        healed
+      } else ids
+    }
     // ONE _txns listing feeds both passes below (every produce entry
     // pays this path)
     val txns = listTxnFiles(name)

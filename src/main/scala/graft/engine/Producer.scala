@@ -162,8 +162,11 @@ final class Producer(
 
       // Manifest BEFORE the id-watermark commit: register this produce's new
       // chunk files (+footer ranges) so trigger planning is O(new files),
-      // never a full directory re-list. A crash between the two writes
-      // leaves an over-covering manifest — harmless (see Catalog Scaladoc).
+      // never a full directory re-list. The manifest write is the COMMIT
+      // POINT: a crash between the two writes leaves the manifest watermark
+      // ahead of _ids.json, and the next write-path entry heals the id
+      // watermark forward to it (reconcileProduceState) so the committed
+      // ids are never re-issued.
       val advanced = base ++ counts.map { case (p, c) => p -> (firstIds(p) + c) }
       catalog.updateManifest(config.name,
         counts.map { case (p, _) => p -> advanced(p) })

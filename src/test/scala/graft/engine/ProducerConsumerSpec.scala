@@ -1073,4 +1073,34 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(fs.exists(cur))
     assert(d.catalog.cursor("mytopic", "crashy") == Map(0 -> 10L))
   }
+
+  test("crash between manifest and id-watermark commit never re-issues ids") {
+    // The produce commit's two metadata writes (manifest first, _ids.json
+    // second) have a crash window. The manifest write is the COMMIT POINT:
+    // its files are visible, so the next write-path entry must heal the id
+    // watermark FORWARD to the manifest's — a produce basing ids on the
+    // stale _ids.json would re-issue the committed ids (duplicate rows).
+    import spark.implicits._
+    val (d, topic) = newTopic()
+    topic.producer().produce(
+      (0 until 10).map(i => (s"""{"i":$i}""", 0)).toDF("metadata", "partition"))
+    val idsFile = new java.io.File(new org.apache.hadoop.fs.Path(
+      d.catalog.topicPath("mytopic"), "_ids.json").toUri.getPath)
+    val preSecond = java.nio.file.Files.readAllBytes(idsFile.toPath)
+    topic.producer().produce(
+      (10 until 20).map(i => (s"""{"i":$i}""", 0)).toDF("metadata", "partition"))
+    // simulate the crash: rewind _ids.json to its pre-produce content
+    // (manifest keeps the second produce's files + advanced watermark)
+    java.nio.file.Files.write(idsFile.toPath, preSecond): Unit
+    new java.io.File(idsFile.getParentFile, "._ids.json.crc").delete(): Unit
+    assert(d.catalog.nextIds("mytopic") == Map(0 -> 10L)) // window is live
+    // the next produce heals the watermark forward and appends AFTER the
+    // committed rows — no duplicate ids, nothing lost
+    topic.producer().produce(
+      (20 until 30).map(i => (s"""{"i":$i}""", 0)).toDF("metadata", "partition"))
+    val ev = topic.events()
+    assert(ev.count() == 30)
+    assert(ev.groupBy(col("event_id")).count().filter(col("count") > 1).count() == 0)
+    assert(d.catalog.nextIds("mytopic") == Map(0 -> 30L))
+  }
 }
