@@ -1,0 +1,222 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.GraftDriver
+import graft.streaming.GraftPartitions
+
+/**
+ * Committed scale harness (VERDICT r14 #5): the empirical backing for the
+ * engine's 100-TB design claims. Two axes:
+ *
+ *  1. DATA-PLANE 10x: build the same topic shape at 1x (60k rows) and 10x
+ *     (600k rows) — 8 bulk commits, one FIXED 5k-row tail commit, one open
+ *     transaction — and measure every incremental surface. The contract:
+ *     version-diff reads, streaming tail drains, transaction-exclusion
+ *     planning, and maintenance cost O(new work), independent of topic
+ *     size; only the deliberately full-scan operations may grow.
+ *  2. METADATA-PLANE 100x: a topic whose manifest holds thousands of file
+ *     entries IN RELATION MODE (`spark.graft.manifest.driverMaxEntries=0`,
+ *     the posture a 100k-file topic is forced into) plus ~1k transaction
+ *     records, asserting the produce path stays O(new files) and
+ *     exclusion resolution O(records).
+ *
+ * Counter-based invariants are hard asserts (planned exclusion ranges,
+ * streaming probePlannedEntries, version-diff row counts); wall-clock
+ * numbers are REPORTED as a STATUS-ready markdown table (they vary with
+ * machine load — the counters are the scale proof, the times the color).
+ *
+ * Run: `sbt -batch "runMain graft.tools.ScaleCheck"` (~3 min, local[32]).
+ * `runMain graft.tools.ScaleCheck 1 10 data` runs the data axis only.
+ */
+object ScaleCheck {
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  final case class Row(surface: String, value: String, seconds: Double)
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.getOrCreate()
+    val scales = args.toSeq.filter(_.forall(_.isDigit)).map(_.toInt) match {
+      case Nil => Seq(1, 10)
+      case s => s
+    }
+    val axes = if (args.contains("data")) Seq("data")
+      else if (args.contains("meta")) Seq("meta")
+      else Seq("data", "meta")
+
+    // deep warm-up: JIT + codegen + parquet paths, outside every timing
+    spark.range(100000).selectExpr("sum(id)").collect(): Unit
+
+    if (axes.contains("data")) {
+      val results: Seq[(Int, Seq[Row])] = scales.map(s => s -> dataAxis(spark, s))
+      println("\n## ScaleCheck: data-plane " +
+        scales.map(s => s"${s}x").mkString(" vs "))
+      val surfaces = results.head._2.map(_.surface)
+      println("| surface | " + scales.map(s => s"${s}x").mkString(" | ") + " |")
+      println("|---|" + scales.map(_ => "---").mkString("|") + "|")
+      surfaces.foreach { sf =>
+        val cells = results.map { case (_, rows) =>
+          val r = rows.find(_.surface == sf).get
+          f"${r.seconds}%.2fs (${r.value})"
+        }
+        println(s"| $sf | " + cells.mkString(" | ") + " |")
+      }
+      // hard invariants: the incremental surfaces must be scale-FREE
+      def row(scale: Int, sf: String): Row =
+        results.find(_._1 == scale).get._2.find(_.surface == sf).get
+      for (s <- scales.drop(1); sf <- Seq("exclusion ranges planned",
+          "version-diff rows", "stream probed entries")) {
+        val (a, b) = (row(scales.head, sf), row(s, sf))
+        assert(a.value == b.value,
+          s"NOT FLAT at ${s}x: $sf was ${a.value} at ${scales.head}x, ${b.value} at ${s}x")
+      }
+      println("data-plane invariants hold: exclusion planning, version-diff " +
+        "rows, and streaming probe counts are identical across scales")
+    }
+
+    if (axes.contains("meta")) metaAxis(spark)
+    spark.stop()
+  }
+
+  /** One data-axis topic at `scale` (scale=1 → 60k bulk rows): returns the
+    * measured surfaces. */
+  private def dataAxis(spark: org.apache.spark.sql.SparkSession,
+                       scale: Int): Seq[Row] = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft-scale-$scale").toString
+    val d = new GraftDriver(spark, wh)
+    d.createTopic("scale", partitions = 2)
+    val topic = d.openTopic("scale")
+    def batch(n: Long, tag: String) = spark.range(n)
+      .select(to_json(struct(col("id").as("eid"), lit(tag).as("t"))).as("metadata"),
+        pmod(col("id"), lit(2)).cast("int").as("partition"))
+    (0 until 8).foreach(_ => topic.producer().produce(batch(7500L * scale, "bulk")): Unit)
+    val wmBefore = topic.snapshot()
+    val vBefore = d.catalog.versionHistory("scale").map(_.version).max
+    topic.producer().produce(batch(5000L, "tail")): Unit
+    val wmAfter = topic.snapshot()
+    // one OPEN transaction: read_committed planning must exclude its ranges
+    val open = topic.beginTransaction("open")
+    open.produce(batch(100L, "open")): Unit
+
+    val rows = Seq.newBuilder[Row]
+    val (n1, t1) = time(topic.events("read_committed").count())
+    rows += Row("full read_committed scan", s"n=$n1", t1)
+    val (ex, t2) = time(d.catalog.uncommittedTxnRanges("scale").size)
+    rows += Row("exclusion ranges planned", ex.toString, t2)
+    val (n3, t3) = time(topic.events(wmBefore, wmAfter).count())
+    rows += Row("version-diff rows", n3.toString, t3)
+
+    // streaming tail drain: start at the pre-tail version, AvailableNow —
+    // planning must touch the TAIL's manifest entries, not the backlog's
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scale-ckpt").toString
+    val before = GraftPartitions.probePlannedEntries.get()
+    val counted = new java.util.concurrent.atomic.AtomicLong
+    val (_, t4) = time {
+      val q = spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "scale")
+        .option("startingVersion", vBefore)
+        .load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) => counted.addAndGet(b.count()): Unit }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+    }
+    rows += Row("streaming tail drain", s"n=${counted.get()}", t4)
+    rows += Row("stream probed entries",
+      (GraftPartitions.probePlannedEntries.get() - before).toString, 0.0)
+
+    val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+    val (matched, t5) = time(topic.deleteWhereVectored(
+      eid < 1000L && get_json_object(col("metadata"), "$.t") === "bulk"))
+    rows += Row("deleteWhere fixed slice (full-scan match by design)",
+      s"matched=$matched", t5)
+    val (n6, t6) = time(topic.events("read_committed").count())
+    rows += Row("vectored re-read", s"n=$n6", t6)
+    val (_, t7) = time(d.catalog.maintainTopic("scale"))
+    rows += Row("maintainTopic no-op", "", t7)
+    open.abort()
+    rows.result()
+  }
+
+  /** Metadata-plane axis: relation-mode manifest with thousands of file
+    * entries + ~1k transaction records. The at-scale posture is forced
+    * (`driverMaxEntries=0`) so every planner runs the relation path a
+    * 100k-file topic would. */
+  private def metaAxis(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set("spark.graft.manifest.driverMaxEntries", "0")
+    try {
+      val wh = java.nio.file.Files.createTempDirectory("graft-scale-meta").toString
+      val d = new GraftDriver(spark, wh)
+      d.createTopic("meta", partitions = 2)
+      val topic = d.openTopic("meta")
+      def batch(n: Long) = spark.range(n)
+        .select(to_json(struct(col("id").as("eid"))).as("metadata"),
+          pmod(col("id"), lit(2)).cast("int").as("partition"))
+      // ~8k file entries: 4 commits x 16k rows at 8 rows/file
+      val (_, tBuild) = time(
+        (0 until 4).foreach(_ =>
+          topic.producer(chunkMaxRecords = 8).produce(batch(16000L)): Unit))
+      val files = d.catalog.readManifest("meta")
+        .map(m => d.catalog.manifestFileCounts("meta", m).values.sum).getOrElse(0L)
+      // ~1k transaction records: 500 aborted (the exclusion-set worst
+      // case), 8 open
+      val (_, tTxns) = time {
+        (0 until 500).foreach { i =>
+          val t = topic.beginTransaction(s"ab$i"); t.abort()
+        }
+        (0 until 8).foreach { i =>
+          topic.beginTransaction(s"op$i").produce(batch(16L)): Unit
+        }
+      }
+      val wmBefore = topic.snapshot()
+      // the O(new work) claims, measured against the big-metadata topic:
+      val (_, tTail) = time(topic.producer().produce(batch(5000L)))
+      val wmAfter = topic.snapshot()
+      val (nDiff, tDiff) = time(topic.events(wmBefore, wmAfter).count())
+      val (ex, tEx) = time(d.catalog.uncommittedTxnRanges("meta").size)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-meta-ckpt").toString
+      val before = GraftPartitions.probePlannedEntries.get()
+      val counted = new java.util.concurrent.atomic.AtomicLong
+      val (_, tDrain) = time {
+        val q = spark.readStream.format("graft")
+          .option("warehouse", wh).option("topic", "meta")
+          .option("startingVersion",
+            d.catalog.versionHistory("meta").map(_.version).sorted.takeRight(2).head)
+          .load()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                           _: Long) => counted.addAndGet(b.count()): Unit }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(300000)
+      }
+      val probed = GraftPartitions.probePlannedEntries.get() - before
+      println("\n## ScaleCheck: metadata-plane (relation-mode manifest)")
+      println("| metric | value |")
+      println("|---|---|")
+      println(f"| manifest file entries | $files (built in $tBuild%.1fs) |")
+      println(f"| transaction records | 508 (built in $tTxns%.1fs) |")
+      println(f"| tail produce (5k rows) | $tTail%.2fs |")
+      println(f"| version-diff read of the tail | $tDiff%.2fs (n=$nDiff) |")
+      println(f"| exclusion resolution | $tEx%.3fs ($ex ranges from 508 records) |")
+      println(f"| streaming tail drain | $tDrain%.2fs (n=${counted.get()}, probed=$probed) |")
+      assert(files >= 4000L, s"metadata axis built only $files file entries")
+      assert(nDiff == 5000L, s"version-diff read returned $nDiff rows, not 5000")
+      assert(ex == 16, s"expected 16 open-txn exclusion ranges (8 txns x 2 partitions), got $ex")
+      // O(new-files) plan proof: the drain probed the tail's entries, not
+      // the thousands of backlog entries
+      assert(probed < 200L,
+        s"streaming drain probed $probed manifest entries — O(backlog), not O(new)")
+    } finally spark.conf.unset("spark.graft.manifest.driverMaxEntries")
+  }
+}
