@@ -35,6 +35,23 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private val fs: FileSystem =
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Catalog-scoped conf overrides (highest precedence). Engine knobs read
+    * through [[conf]] so a fixture/test can pin a knob for ONE warehouse
+    * — a session-global `spark.conf.set` would leak into every other
+    * catalog evaluated from the same SparkSession (e.g. a janitor horizon
+    * of 1ms auto-aborting an unrelated topic's open transactions). */
+  private val confOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def setConfOverride(key: String, value: String): Unit =
+    confOverrides.put(key, value): Unit
+
+  def clearConfOverride(key: String): Unit =
+    confOverrides.remove(key): Unit
+
+  private def conf(key: String, default: => String): String =
+    Option(confOverrides.get(key)).getOrElse(spark.conf.get(key, default))
+
   /** The session's effective Hadoop configuration — snapshot this into any
     * executor-shipped reader so non-default filesystems (s3a, HDFS HA)
     * resolve identically on executors and driver. */
@@ -148,6 +165,16 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     acquireProduceLock(name)
     try {
       failIfCompacting(name)
+      // concurrent produces in flight (live reservation intents): their
+      // staging lives inside this tree — deleting it would fail their
+      // commits confusingly. Stale intents roll back; fresh ones refuse,
+      // the same contract as the live-produce-lock refusal above.
+      rollbackStaleIntentsLocked(name): Unit
+      val liveIntents = listProduceIntents(name)
+      if (liveIntents.nonEmpty) throw new IllegalStateException(
+        s"cannot drop topic '$name': concurrent produces are in flight " +
+        s"(intents: ${liveIntents.map(_._1).mkString(", ")}) — retry " +
+        "after they commit")
       // dropping a topic with live shallow clones deletes the chunk files
       // they reference — same contract as the rewrite guard
       failIfLiveClones(name, "dropTopic")
@@ -625,8 +652,16 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * fell behind the on-disk state (pre-manifest topics, lost manifest): any
    * unknown file is picked up with its real footer range.
    */
+  /** @param adoptLo per-partition LOWER adoption bound (a concurrent
+    *        produce's commit passes its reservation's firstIds): unknown
+    *        files below it are NOT adopted — they can only be another
+    *        (crashed) operation's debris inside a decided-dead gap, and
+    *        adopting them would resurrect rows a rollback discarded.
+    *        Empty (every legacy caller) keeps the heal behavior: any
+    *        unknown file below the watermark is picked up. */
   def updateManifest(name: String, newNext: Map[Int, Long],
-                     note: Option[String] = None): Unit = {
+                     note: Option[String] = None,
+                     adoptLo: Map[Int, Long] = Map.empty): Unit = {
     val prior = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
     val conf = hadoopConf
     // unknown = listed ∖ manifest (normally exactly this produce's output)
@@ -645,7 +680,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // version bump) where no purge precedes the commit; a produce's
         // own files always lie below its newNext.
         }.filterNot(f =>
-          f.lo != Long.MinValue && f.lo >= newNext.getOrElse(p, 0L)).toVector
+          f.lo != Long.MinValue && (f.lo >= newNext.getOrElse(p, 0L) ||
+            f.lo < adoptLo.getOrElse(p, Long.MinValue))).toVector
       }.filter(_._2.nonEmpty).toMap
     // the delta carries ONLY this produce's files + watermarks — the
     // produce-path write is O(new files) regardless of live-file count
@@ -965,18 +1001,38 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       s"topic '$name': a compaction is already in progress (lock " +
       s"${compactLockPath(name)}, age ${age / 1000}s) — retry after it " +
       "finishes, or delete the lock if the compactor crashed")
+    // ONE deliberate composition is exempt from both produce-side checks
+    // below: merge recovery rolls a crashed MERGE's vector delete forward
+    // while still holding the produce lock it reconciles under
+    // (reconcileMergeState sets the flag, and only around that call). The
+    // hazards these checks guard — a maintenance swap under an in-flight
+    // produce, or under in-flight concurrent commits — cannot apply to the
+    // thread that owns the produce lock on purpose (no intent commit can
+    // run while it is held); any OTHER same-thread nesting stays a loud
+    // refusal.
+    val produceOwner = Catalog.heldLocks.get(produceLockPath(name).toString)
+    val recoveryComposition = Catalog.mergeRecoveryInProgress.get() &&
+      produceOwner != null && (produceOwner.thread eq Thread.currentThread())
+    // a FRESH concurrent-produce intent (local-clock judged — conservative:
+    // a clock ahead of the store only under-protects, and the committer's
+    // failIfCompacting still refuses loudly) blocks maintenance the same
+    // way a held produce lock does: a rewrite mid-ingest would fail every
+    // in-flight commit, and a vector delete's manifest version bump could
+    // race an intent commit's delta. Stale intents don't block — they are
+    // debris whose staging lives outside the log.
+    if (!recoveryComposition) {
+      val timeout = produceIntentTimeoutMs
+      val localNow = localNowMs
+      val fresh = listProduceIntents(name)
+        .filter { case (_, _, m) => localNow - m <= timeout }
+      if (fresh.nonEmpty) {
+        releaseCompactLock(name)
+        throw new LockConflictException(
+          s"topic '$name': cannot compact while concurrent produces are " +
+          s"in flight (intents: ${fresh.map(_._1).mkString(", ")})")
+      }
+    }
     lockIsLive(produceLockPath(name)).foreach { age =>
-      // ONE deliberate composition is exempt: merge recovery rolls a
-      // crashed MERGE's vector delete forward while still holding the
-      // produce lock it reconciles under (reconcileMergeState sets the
-      // flag, and only around that call). The hazard this check guards —
-      // a maintenance swap under an in-flight produce — cannot apply to
-      // the thread that owns both sides on purpose; any OTHER same-thread
-      // nesting (e.g. compactTopic while a produce lock is held) stays a
-      // loud refusal.
-      val owner = Catalog.heldLocks.get(produceLockPath(name).toString)
-      val recoveryComposition = Catalog.mergeRecoveryInProgress.get() &&
-        owner != null && (owner.thread eq Thread.currentThread())
       if (!recoveryComposition) {
         releaseCompactLock(name)
         throw new LockConflictException(
@@ -1001,12 +1057,21 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * [[Catalog.CompactLockStaleMs]] (its orphan files are then purged by
    * `purgeUncommitted`).
    */
-  private[engine] def acquireProduceLock(name: String): Unit = {
+  private[engine] def acquireProduceLock(name: String): Unit =
+    acquireProduceLock(name, 0L)
+
+  /** @param minWaitMs patience floor — the BRIEF lock sections of the
+    *        concurrent-produce protocol (reservation, ordered commit)
+    *        pass one so routine contention with other brief sections
+    *        serializes out of the box even with `ProduceLockWaitMs = 0`
+    *        (whose rejection contract targets statement-length holds). */
+  private[engine] def acquireProduceLock(name: String, minWaitMs: Long): Unit = {
     // With ProduceLockWaitMs > 0, contention SERIALIZES (bounded wait +
     // retry — the cooperative analog of the reference's write queue, where
     // concurrent clients block until the queue drains) instead of failing
     // fast. 0 keeps safe-by-rejection: one produce wins, the other throws.
-    val deadline = System.currentTimeMillis() + Catalog.ProduceLockWaitMs
+    val deadline = System.currentTimeMillis() +
+      math.max(Catalog.ProduceLockWaitMs, minWaitMs)
     while (true) {
       try {
         acquireLock(produceLockPath(name), age =>
@@ -1878,6 +1943,23 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     Seq(tmp, old0).foreach { p =>
       if (fs.exists(p)) { swaps += 1; drop(p, recursive = true) }
     }
+    // 2b. orphan concurrent-produce staging dirs: a rollback deletes
+    // staging BEFORE the intent record, so a dir without a matching
+    // intent is debris (a zombie task's late re-creation, or a crash
+    // inside the rollback) — reaped past the staleness horizon. Dirs
+    // WITH an intent belong to a live or decided-elsewhere produce and
+    // are left to the intent machinery.
+    val stagingRoot = new Path(topicPath(name), "log.staging")
+    if (fs.exists(stagingRoot)) {
+      val intentIds = listProduceIntents(name).map(_._1).toSet
+      fs.listStatus(stagingRoot).foreach { s =>
+        if (s.isDirectory && !intentIds.contains(s.getPath.getName) &&
+            s.getModificationTime <
+              System.currentTimeMillis() - Catalog.CompactLockStaleMs) {
+          swaps += 1; drop(s.getPath, recursive = true)
+        }
+      }
+    }
     // 3. stale writeAtomic leftovers (".<name>.tmp"), topic root + manifest
     val horizon = System.currentTimeMillis() - Catalog.CompactLockStaleMs
     Seq(topicPath(name), manifestDir(name)).foreach { d =>
@@ -2044,9 +2126,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val tiered = isTiered(name)
     val noClones = liveClones(name).isEmpty
     try {
-      val retainMs = spark.conf.get("spark.graft.txn.abortedRetainMs",
+      val retainMs = conf("spark.graft.txn.abortedRetainMs",
         Catalog.TxnAbortedRetainMsDefault.toString).toLong
-      val maxDead = spark.conf.get("spark.graft.txn.maxAbortedRecords",
+      val maxDead = conf("spark.graft.txn.maxAbortedRecords",
         Catalog.TxnMaxAbortedRecordsDefault.toString).toInt
       if (tiered || noClones) {
         val (aborted, deadRemote) = agedDeadTxnRecords(name, retainMs)
@@ -2327,7 +2409,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** One pointer per (source topic, transaction) — repeated sendOffsets
     * calls overwrite the same breadcrumb (the state holds the entries).
     * Content-hashed name: deterministic for cleanup, collision-free
-    * whatever characters the topic/transaction names use. */
+    * whatever characters the topic/transaction names use.
+    *
+    * WAREHOUSE-FORMAT NOTE: the hash separator changed from ' ' to
+    * backslash-u0000 in r14 (pre-release format change). Pointers written
+    * by pre-change builds hash to a different name, so EAGER deletes
+    * (commit, dropTopic) miss them — they are still cleaned up lazily via
+    * the `_txnpend` directory listing, which deletes by LISTED path, so
+    * the impact on an old warehouse is a one-time orphan re-resolution,
+    * never data loss. */
   private def txnPointerPath(sourceTopic: String, txnTopic: String,
                              txnId: String): Path = {
     val h = java.security.MessageDigest.getInstance("MD5")
@@ -3247,7 +3337,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * Kafka `transaction.timeout.ms` analog) — see
     * [[abortExpiredTxnsLocked]]. `<= 0` disables the gate. */
   private[engine] def txnTimeoutMs: Long =
-    spark.conf.get("spark.graft.txn.timeoutMs",
+    conf("spark.graft.txn.timeoutMs",
       Catalog.TxnTimeoutMsDefault.toString).toLong
 
   /** One `_txns` listing with paths and mtimes — shared by
@@ -3347,7 +3437,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * the cheap pre-filter, never the store-clock judgment). */
   private def localNowMs: Long =
     System.currentTimeMillis() +
-      spark.conf.get("spark.graft.txn.testLocalSkewMs", "0").toLong
+      conf("spark.graft.txn.testLocalSkewMs", "0").toLong
 
   /** Expire ONE open transaction (caller holds the produce lock): flip
     * to aborted with the standard debris handling — stagings reaped
@@ -3636,7 +3726,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // target's produce lock (two topics' locks never nest).
     touchTxn(coord, txnId)
     val res = {
-      acquireProduceLock(target)
+      // draining acquisition on the TARGET: produceTo writes data under
+      // its lock and commits a watermark jump (see the intent protocol)
+      acquireProduceLockDraining(target)
       try {
         reconcileProduceState(target): Unit
         new Producer(spark, this, openTopic(target)).produceHeld(df, ranges => {
@@ -3714,19 +3806,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // would phantom-truncate transaction ranges the manifest already
     // committed. Manifest-ahead arises ONLY from that window: every other
     // manifest writer commits at the current watermark.
-    val wm: Map[Int, Long] = {
-      val ids = nextIds(name)
-      val mwm = readManifest(name).map(_.watermarks).getOrElse(Map.empty)
-      if (mwm.exists { case (p, v) => v > ids.getOrElse(p, 0L) }) {
-        val healed = ids ++ mwm.map { case (p, v) =>
-          p -> math.max(v, ids.getOrElse(p, 0L)) }
-        writeNextIds(name, healed)
-        Catalog.log.warn(s"topic '$name': id watermark healed forward to " +
-          "the manifest's (recovering a produce that crashed between its " +
-          "manifest and id-watermark writes)")
-        healed
-      } else ids
-    }
+    val wm: Map[Int, Long] = healWatermarkLocked(name)
+    // decide abandoned CONCURRENT-produce intents before anything judges
+    // against reservations (same entry-hygiene slot as purgeUncommitted)
+    rollbackStaleIntentsLocked(name): Unit
     // ONE _txns listing feeds both passes below (every produce entry
     // pays this path)
     val txns = listTxnFiles(name)
@@ -3775,6 +3858,322 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       }
     }
     reconcileMergeState(name)
+  }
+
+  // -- concurrent produce intents (multi-producer ingest) --------------------
+
+  /**
+   * CONCURRENT PLAIN PRODUCE — the reservation-intent protocol that lets N
+   * producers ingest one topic in parallel. The reference serves many
+   * concurrent clients per partition (ids assigned under a queue lock,
+   * appends linearized per partition — `ProviderImpl.hpp:137-160`,
+   * `DefaultPartitionManager.cpp:391-409`); here the produce lock is held
+   * only for id RESERVATION and the ordered COMMIT, never across the data
+   * write:
+   *
+   *  1. RESERVE (brief lock): ids are reserved at max(committed watermark,
+   *     every live intent's range end) and recorded in an intent file
+   *     under `_intents/` — reservations stack, so ranges never overlap
+   *     whatever the interleaving.
+   *  2. WRITE (no lock, the expensive phase): the batch lands in a private
+   *     staging directory `log.staging/<intentId>/` — never the log, so
+   *     readers, manifest diffs, purge passes, and other producers cannot
+   *     observe or adopt half-written files. A daemon heartbeat touches
+   *     the intent so a live writer never goes stale.
+   *  3. COMMIT (brief lock, ORDERED): a commit applies only once the
+   *     watermark has reached its reservation's start — predecessors
+   *     commit first (or are rolled back once stale), so the watermark
+   *     advances contiguously, manifest adoption windows never overlap,
+   *     and streams never see rows appear below an already-advanced
+   *     watermark. The staged files are renamed into the log, the
+   *     manifest delta commits (adoption bounded to exactly the reserved
+   *     range), the watermark advances, the intent is removed.
+   *
+   * Crash anatomy: an abandoned intent goes stale (mtime judged on the
+   * STORE clock, like the transaction lease) and is rolled back by the
+   * next entry's reconcile or by a blocked successor — staging deleted,
+   * intent removed; a successor then GAP-ADVANCES the watermark over the
+   * dead range (marking id gaps) so the chain never wedges. A rolled-back
+   * range is re-issued only when NO successor reserved above it
+   * (reservations floor at live intent ends), which is safe because the
+   * dead producer's files only ever existed under its own staging UUID —
+   * they can never be adopted into the log.
+   *
+   * Exclusive-statement writers (transactional/idempotent produce, SQL
+   * MERGE — they hold the lock across their data write and commit a
+   * watermark jump) enter through [[acquireProduceLockDraining]]: they
+   * wait for zero live intents, and their held lock blocks new
+   * reservations for the statement's span.
+   */
+  /** WATERMARK HEAL (caller holds the produce lock) — the produce commit's
+    * crash window (manifest delta landed, `_ids.json` write did not)
+    * leaves the manifest watermark ahead of the id watermark. The manifest
+    * write IS the commit point (its files are visible), so the manifest
+    * watermark is authoritative: heal `_ids.json` forward before any
+    * judgment, or the next produce would re-issue the already-committed
+    * ids (duplicate rows) and the truncation pass would phantom-truncate
+    * ranges the manifest already committed. Manifest-ahead arises ONLY
+    * from that window — every other manifest writer commits at the
+    * current watermark. Returns the healed (or unchanged) watermark. */
+  private[engine] def healWatermarkLocked(name: String): Map[Int, Long] = {
+    val ids = nextIds(name)
+    val mwm = readManifest(name).map(_.watermarks).getOrElse(Map.empty)
+    if (mwm.exists { case (p, v) => v > ids.getOrElse(p, 0L) }) {
+      val healed = ids ++ mwm.map { case (p, v) =>
+        p -> math.max(v, ids.getOrElse(p, 0L)) }
+      writeNextIds(name, healed)
+      Catalog.log.warn(s"topic '$name': id watermark healed forward to " +
+        "the manifest's (recovering a produce that crashed between its " +
+        "manifest and id-watermark writes)")
+      healed
+    } else ids
+  }
+
+  private def intentsDir(name: String): Path = new Path(topicPath(name), "_intents")
+  private def intentPath(name: String, id: String): Path =
+    new Path(intentsDir(name), s"${validComponent("intent id", id)}.json")
+
+  /** The private per-intent staging root — a SIBLING of `log/`, so no
+    * whole-log listing ([[fullLogDF]]) or manifest diff ever sees it. */
+  private[engine] def produceStagingDir(name: String, id: String): Path =
+    new Path(topicPath(name), s"log.staging/${validComponent("intent id", id)}")
+
+  /** Produce-intent lease horizon (the concurrent-produce analog of the
+    * transaction lease): an intent idle past it is presumed crashed and
+    * rolled back. The write-phase heartbeat refreshes at horizon/4, so
+    * only a dead producer can expire. */
+  private[engine] def produceIntentTimeoutMs: Long =
+    conf("spark.graft.produce.intentTimeoutMs",
+      Catalog.CompactLockStaleMs.toString).toLong
+
+  /** Every produce intent: (id, reserved ranges, lease mtime). One
+    * listing; a topic that never saw concurrent produce pays one
+    * exists() probe. */
+  private[graft] def listProduceIntents(name: String): Seq[(String, Vector[TxnRange], Long)] = {
+    val dir = intentsDir(name)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
+      .flatMap(s => readStringResilient(s.getPath).map { j =>
+        (s.getPath.getName.stripSuffix(".json"),
+          TxnRange.fromJValue(JsonMethods.parse(j) \ "ranges"),
+          s.getModificationTime)
+      })
+  }
+
+  /** Reserve dense id ranges for a concurrent produce (caller holds the
+    * produce lock): base = max(committed watermark, live intent ends) per
+    * partition, so reservations stack above everything committed OR in
+    * flight. Returns (intentId, firstIds). */
+  private[engine] def reserveProduce(name: String,
+                                     counts: Map[Int, Long]): (String, Map[Int, Long]) = {
+    val wm = nextIds(name)
+    val ends: Map[Int, Long] = listProduceIntents(name)
+      .flatMap(_._2).groupBy(_.partition)
+      .view.mapValues(_.map(r => r.first + r.count).max).toMap
+    val firstIds: Map[Int, Long] = counts.map { case (p, _) =>
+      p -> math.max(wm.getOrElse(p, 0L), ends.getOrElse(p, 0L)) }
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val ranges = TxnRange.toRanges(counts.map { case (p, c) => p -> (firstIds(p), c) })
+    fs.mkdirs(intentsDir(name))
+    writeAtomic(intentPath(name, id), JsonMethods.compact(JsonMethods.render(
+      JObject("ranges" -> TxnRange.toJValue(ranges)))))
+    (id, firstIds)
+  }
+
+  /** Heartbeat: refresh the intent's lease mtime (content unchanged). A
+    * touch racing a rollback's delete could transiently resurrect the
+    * file; safety holds regardless (the committer's watermark guard
+    * refuses a superseded reservation), the zombie merely re-expires. */
+  private[engine] def touchProduceIntent(name: String, id: String): Unit =
+    readStringResilient(intentPath(name, id))
+      .foreach(j => writeAtomic(intentPath(name, id), j))
+
+  /** Roll back ONE intent (caller holds the produce lock): staging
+    * deleted first, then the intent record. The watermark does NOT move
+    * here — a successor's commit gap-advances over the dead range. */
+  private[engine] def rollbackProduceIntentLocked(name: String, id: String): Unit = {
+    fs.delete(produceStagingDir(name, id), true): Unit
+    fs.delete(intentPath(name, id), false): Unit
+  }
+
+  /** Decide stale intents (caller holds the produce lock): every intent
+    * whose lease aged past [[produceIntentTimeoutMs]] — judged on the
+    * store clock, same two-step as [[abortExpiredFrom]] — rolls back.
+    * Runs at every write-path entry ([[reconcileProduceState]]), so
+    * abandoned intents never outlive the next produce or janitor pass. */
+  private[engine] def rollbackStaleIntentsLocked(name: String): Seq[String] = {
+    val intents = listProduceIntents(name)
+    if (intents.isEmpty) return Nil
+    val timeout = produceIntentTimeoutMs
+    val localNow = localNowMs
+    val candidates = intents.filter { case (_, _, m) => localNow - m > timeout }
+    if (candidates.isEmpty) return Nil
+    val now = storeNowMs(intentsDir(name))
+    candidates.collect {
+      case (id, _, m) if now - m > timeout =>
+        Catalog.log.warn(s"topic '$name': produce intent '$id' idle " +
+          s"${now - m}ms > spark.graft.produce.intentTimeoutMs=$timeout — " +
+          "rolled back (staging deleted; the producer, if somehow alive, " +
+          "fails loudly at its commit)")
+        rollbackProduceIntentLocked(name, id)
+        id
+    }
+  }
+
+  /** Best-effort self-rollback for a producer's own failure path (no lock
+    * requirement: both deletes are idempotent, and a racing janitor
+    * rollback deletes the same two paths in the same order). */
+  private[engine] def abandonProduceIntent(name: String, id: String): Unit = {
+    fs.delete(produceStagingDir(name, id), true): Unit
+    fs.delete(intentPath(name, id), false): Unit
+  }
+
+  /** Write-phase lease heartbeat (daemon; cancel() before the commit). */
+  private[engine] def startIntentHeartbeat(name: String, id: String): Thread = {
+    val interval = math.max(200L, produceIntentTimeoutMs / 4)
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(interval)
+          touchProduceIntent(name, id)
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case scala.util.control.NonFatal(_) => () // lease lapses; commit guard catches it
+      }
+    }, s"graft-intent-heartbeat-$name-$id")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /**
+   * The ORDERED commit of a concurrent produce (phase 3): loops with
+   * patience until the watermark reaches this reservation's start (every
+   * predecessor committed or rolled back), then — under the lock — renames
+   * the staged files into the log, commits the manifest delta (adoption
+   * bounded to exactly `[first, first+count)` per partition), advances the
+   * watermark, and removes the intent. Throws if the intent was rolled
+   * back (the produce must be retried whole), if its reservation was
+   * superseded (watermark advanced past it — only possible after a
+   * rollback), or on a compaction racing the commit (the same loud refusal
+   * a direct produce gives).
+   */
+  private[engine] def commitProduceIntent(name: String, intentId: String,
+      firstIds: Map[Int, Long], counts: Map[Int, Long]): Unit = {
+    val deadline = System.currentTimeMillis() + Catalog.ProduceCommitWaitMs
+    while (true) {
+      acquireProduceLock(name, Catalog.BriefLockWaitMs)
+      var committed = false
+      try {
+        if (!fs.exists(intentPath(name, intentId)))
+          throw new IllegalStateException(
+            s"topic '$name': produce intent '$intentId' was rolled back " +
+            "(lease idle past spark.graft.produce.intentTimeoutMs) — this " +
+            "produce did not commit; retry it")
+        failIfCompacting(name)
+        val wm = healWatermarkLocked(name)
+        firstIds.foreach { case (p, f) =>
+          if (wm.getOrElse(p, 0L) > f) throw new IllegalStateException(
+            s"topic '$name': produce intent '$intentId' reservation on " +
+            s"partition $p starts below the committed watermark — the " +
+            "intent was rolled back and superseded; this produce did not " +
+            "commit; retry it")
+        }
+        // predecessors: intents holding not-yet-committed ranges BELOW ours
+        // on any of our partitions
+        val blockers = listProduceIntents(name).filter { case (id, rs, _) =>
+          id != intentId && rs.exists(r =>
+            firstIds.contains(r.partition) &&
+              r.first < firstIds(r.partition) &&
+              r.first + r.count > wm.getOrElse(r.partition, 0L))
+        }
+        if (blockers.isEmpty) {
+          // a gap below our reservation is decided-dead: every intent that
+          // covered it rolled back, and nothing can re-reserve it while
+          // our intent floors new reservations above us
+          if (firstIds.exists { case (p, f) => f > wm.getOrElse(p, 0L) })
+            markIdGaps(name)
+          moveStagedFiles(name, intentId)
+          val newNext = wm ++ counts.map { case (p, c) => p -> (firstIds(p) + c) }
+          updateManifest(name, newNext, adoptLo = firstIds)
+          writeNextIds(name, newNext)
+          fs.delete(intentPath(name, intentId), false): Unit
+          fs.delete(produceStagingDir(name, intentId), true): Unit
+          committed = true
+        } else {
+          // roll back stale blockers NOW (store-clock judged); wait out
+          // fresh ones
+          val timeout = produceIntentTimeoutMs
+          lazy val now = storeNowMs(intentsDir(name))
+          val localNow = localNowMs
+          blockers.foreach { case (id, _, m) =>
+            if (localNow - m > timeout && now - m > timeout) {
+              Catalog.log.warn(s"topic '$name': rolling back stale produce " +
+                s"intent '$id' blocking commit of '$intentId'")
+              rollbackProduceIntentLocked(name, id)
+            }
+          }
+        }
+      } finally releaseProduceLock(name)
+      if (committed) return
+      if (System.currentTimeMillis() >= deadline)
+        throw new LockConflictException(
+          s"topic '$name': produce commit '$intentId' timed out waiting " +
+          "for earlier concurrent produces to commit — increase " +
+          "Catalog.ProduceCommitWaitMs, or investigate the blocked producer")
+      Thread.sleep(100L)
+    }
+  }
+
+  /** Rename a commit's staged chunk files into the log (lock held). */
+  private def moveStagedFiles(name: String, intentId: String): Unit = {
+    val staging = produceStagingDir(name, intentId)
+    if (!fs.exists(staging)) return
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("partition="))
+      .foreach { d =>
+        val dst = new Path(logPath(name), d.getPath.getName)
+        fs.mkdirs(dst): Unit
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            if (!fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+              throw new java.io.IOException(
+                s"produce commit: cannot move staged chunk ${f.getPath} into $dst")
+          }
+      }
+  }
+
+  /**
+   * Acquire the produce lock AND drain concurrent produce intents — the
+   * entry gate for exclusive-statement writers (transactional/idempotent
+   * produce, SQL MERGE) that hold the lock across their data write: their
+   * watermark commit would otherwise jump over a live reservation's
+   * un-committed range, breaking the ordered-commit invariant. Stale
+   * intents roll back immediately; fresh ones are waited out (bounded by
+   * [[Catalog.ProduceCommitWaitMs]]). Returns holding the lock.
+   */
+  private[engine] def acquireProduceLockDraining(name: String): Unit = {
+    val deadline = System.currentTimeMillis() + Catalog.ProduceCommitWaitMs
+    while (true) {
+      acquireProduceLock(name, Catalog.BriefLockWaitMs)
+      val live =
+        try {
+          rollbackStaleIntentsLocked(name): Unit
+          listProduceIntents(name)
+        } catch { case t: Throwable => releaseProduceLock(name); throw t }
+      if (live.isEmpty) return // lock HELD
+      releaseProduceLock(name)
+      if (System.currentTimeMillis() >= deadline)
+        throw new LockConflictException(
+          s"topic '$name': cannot start an exclusive produce statement " +
+          s"while concurrent produces are in flight (intents: " +
+          s"${live.map(_._1).mkString(", ")}) — retry after they commit")
+      Thread.sleep(100L)
+    }
   }
 
   // -- SQL MERGE cross-commit intents (see MergeCommit) ----------------------
@@ -4184,6 +4583,19 @@ object Catalog {
     * wait, which SERIALIZES well-behaved concurrent producers the way the
     * reference's write queue does. Var so applications set it once. */
   @volatile var ProduceLockWaitMs: Long = 0L
+
+  /** How long a concurrent produce's ORDERED commit waits for its
+    * predecessors (earlier reservations on shared partitions) to commit
+    * or go stale, and how long an exclusive-statement writer waits for
+    * live intents to drain ([[Catalog.acquireProduceLockDraining]]). The
+    * wait is the other producers' DATA-WRITE time, so the default is
+    * generous; tests compress it. */
+  @volatile var ProduceCommitWaitMs: Long = 10L * 60 * 1000
+
+  /** Patience floor for the protocol's BRIEF lock sections (reservation,
+    * ordered commit): millisecond-length holds contending with each other
+    * must serialize, not reject, whatever ProduceLockWaitMs says. */
+  @volatile var BriefLockWaitMs: Long = 30L * 1000
 
   /** How long a MERGE's phase-2 vector-delete commit retries through
     * ROUTINE lock conflicts (a concurrent producer's commit, a live

@@ -204,7 +204,9 @@ object MergeCommit {
 
     // phase 1: intent + produce, under the produce lock
     withStatementPatience {
-      catalog.acquireProduceLock(topic)
+      // draining acquisition: the merge's produce phase writes data under
+      // the held lock (see Catalog's concurrent-produce intent protocol)
+      catalog.acquireProduceLockDraining(topic)
       try {
         val survivors = catalog.reconcileProduceState(topic)
         // serialize the conflict check (three gates, in order):

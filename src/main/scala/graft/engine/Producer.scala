@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
  * under a queue lock, appends serialized by one write loop per partition):
  * here every event of a partition flows through ONE window task
  * (`row_number` over a hash-partitioned window), so ids are dense and
- * ordered by producer push order within the partition. Single concurrent
- * producer per topic is assumed (SURVEY §7.3 divergence note).
+ * ordered by producer push order within the partition. N CONCURRENT
+ * producers per topic are supported (the reference's many-clients shape,
+ * `ProviderImpl.hpp:137-160`): ids are reserved under a brief lock, data
+ * writes run unlocked into private staging, and commits apply in
+ * reservation order — see Catalog's "concurrent produce intents" section.
  *
  * Scale shape (100 TB): exactly one shuffle of the incoming batch (by target
  * partition — unavoidable: that IS the partitioning operator), plus a cheap
@@ -59,17 +62,48 @@ final class Producer(
    * (`MofkaProducer.cpp:69`).
    */
   def produce(df: DataFrame): ProduceResult = {
-    // cross-process mutual exclusion for the whole purge→write→commit span:
-    // a second producer process racing the _ids.json read-modify-write would
-    // re-issue ids (duplicate rows); with the lock, one produce wins and the
-    // other throws (see Catalog.acquireProduceLock)
-    catalog.acquireProduceLock(config.name)
-    try {
-      // decide any crashed transactional/idempotent intent before this
-      // produce can re-issue its ids (see Catalog.reconcileProduceState)
-      catalog.reconcileProduceState(config.name): Unit
-      produceLocked(df, None)
-    } finally catalog.releaseProduceLock(config.name)
+    // CONCURRENT-SAFE plain produce (the reservation-intent protocol —
+    // see Catalog's "concurrent produce intents" section): the produce
+    // lock is held only for the id reservation and the ordered commit;
+    // the expensive phases (validation/checkpoint/count, then the data
+    // write into a private staging dir) run unlocked, so N producers
+    // ingest one topic in parallel — the reference's many-clients-per-
+    // partition shape (ProviderImpl.hpp:137-160).
+    val (staged, counts) = stageAndCount(df)
+    // phase 1 (brief lock): entry hygiene + id reservation
+    catalog.acquireProduceLock(config.name, graft.engine.Catalog.BriefLockWaitMs)
+    val reserved: Option[(String, Map[Int, Long])] =
+      try {
+        // decide any crashed transactional/idempotent/concurrent intent
+        // before this produce can re-issue ids
+        catalog.reconcileProduceState(config.name): Unit
+        catalog.failIfCompacting(config.name)
+        catalog.purgeUncommitted(config.name)
+        if (counts.isEmpty) None else Some(catalog.reserveProduce(config.name, counts))
+      } finally catalog.releaseProduceLock(config.name)
+    reserved match {
+      case None => Map.empty
+      case Some((intentId, firstIds)) =>
+        try {
+          // phase 2 (no lock): the data write, into this intent's private
+          // staging dir; a heartbeat keeps the lease fresh however long
+          // the Spark job runs
+          val hb = catalog.startIntentHeartbeat(config.name, intentId)
+          try writeEvents(staged, firstIds,
+            catalog.produceStagingDir(config.name, intentId).toString)
+          finally { hb.interrupt(); hb.join(1000) }
+          // phase 3 (brief lock, ordered): rename into the log + commit
+          catalog.commitProduceIntent(config.name, intentId, firstIds, counts)
+          counts.map { case (p, c) => p -> (firstIds(p), c) }
+        } catch {
+          case t: Throwable =>
+            // leave nothing behind: staging + intent go (idempotent
+            // against a janitor rollback racing this)
+            try catalog.abandonProduceIntent(config.name, intentId)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw t
+        }
+    }
   }
 
   /** Produce while the CALLER holds the produce lock (and has already
@@ -81,16 +115,10 @@ final class Producer(
                                   preCommit: ProduceResult => Unit): ProduceResult =
     produceLocked(df, Some(preCommit))
 
-  private def produceLocked(df: DataFrame,
-                            preCommit: Option[ProduceResult => Unit]): ProduceResult = {
+  /** Phase shared by both produce paths (no lock needed): validate,
+    * assign partitions, checkpoint the assignment, count per partition. */
+  private def stageAndCount(df: DataFrame): (DataFrame, Map[Int, Long]) = {
     require(df.columns.contains("metadata"), "produce() input needs a 'metadata' column")
-    // refuse to append while a live compaction holds the topic — a produce
-    // racing the swap window would land in the moved-aside log (data loss)
-    catalog.failIfCompacting(config.name)
-    // crash hygiene: a previous produce that died between its parquet write
-    // and its id commit left files above the watermark — delete them before
-    // this produce re-assigns those ids (see Catalog.purgeUncommitted)
-    catalog.purgeUncommitted(config.name)
     val withData =
       if (df.columns.contains("data")) df
       else df.withColumn("data", lit(null).cast(BinaryType))
@@ -126,6 +154,39 @@ final class Producer(
     // checkpoint above is also the validation barrier: bad rows throw there.
     val counts: Map[Int, Long] = staged.groupBy(col("__p")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (staged, counts)
+  }
+
+  /** Pass 2: one shuffle by target partition; a single window task per
+    * partition linearizes id assignment (dense, push-order). `dest` is the
+    * live log (lock-held path) or a private staging dir (concurrent path). */
+  private def writeEvents(staged: DataFrame, firstIds: Map[Int, Long],
+                          dest: String): Unit = {
+    val baseMap = typedLit(firstIds)
+    val w = Window.partitionBy(col("__p")).orderBy(col("__ord"))
+    val events = staged
+      .withColumn("event_id",
+        element_at(baseMap, col("__p")) + row_number().over(w) - 1)
+      .select(col("__p").as("partition"), col("event_id"),
+        serializer.serialize(col("metadata")).cast(StringType).as("metadata"),
+        col("data").cast(BinaryType))
+    events.write
+      .mode("append")
+      .option("maxRecordsPerFile", chunkMaxRecords)
+      .partitionBy("partition")
+      .parquet(dest)
+  }
+
+  private def produceLocked(df: DataFrame,
+                            preCommit: Option[ProduceResult => Unit]): ProduceResult = {
+    // refuse to append while a live compaction holds the topic — a produce
+    // racing the swap window would land in the moved-aside log (data loss)
+    catalog.failIfCompacting(config.name)
+    // crash hygiene: a previous produce that died between its parquet write
+    // and its id commit left files above the watermark — delete them before
+    // this produce re-assigns those ids (see Catalog.purgeUncommitted)
+    catalog.purgeUncommitted(config.name)
+    val (staged, counts) = stageAndCount(df)
     val base = catalog.nextIds(config.name)
     val firstIds: Map[Int, Long] =
       counts.map { case (p, _) => p -> base.getOrElse(p, 0L) }
@@ -137,22 +198,7 @@ final class Producer(
     preCommit.foreach(_(ranges))
 
     if (counts.nonEmpty) {
-      // Pass 2: one shuffle by target partition; a single window task per
-      // partition linearizes id assignment (dense, push-order).
-      val baseMap = typedLit(firstIds)
-      val w = Window.partitionBy(col("__p")).orderBy(col("__ord"))
-      val events = staged
-        .withColumn("event_id",
-          element_at(baseMap, col("__p")) + row_number().over(w) - 1)
-        .select(col("__p").as("partition"), col("event_id"),
-          serializer.serialize(col("metadata")).cast(StringType).as("metadata"),
-          col("data").cast(BinaryType))
-
-      events.write
-        .mode("append")
-        .option("maxRecordsPerFile", chunkMaxRecords)
-        .partitionBy("partition")
-        .parquet(catalog.logPath(config.name))
+      writeEvents(staged, firstIds, catalog.logPath(config.name))
 
       // The write job above may have run for minutes — re-check the compact
       // lock before committing, so a compaction that started mid-produce

@@ -331,7 +331,10 @@ final class TransactionalProducer private[engine] (
     * normal produce contract; atomicity of the transaction (all batches
     * visible together or not at all) is the commit's. */
   def produce(df: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] = {
-    catalog.acquireProduceLock(topic)
+    // draining acquisition: this statement holds the lock across its data
+    // write and commits a watermark jump — concurrent plain-produce
+    // reservations must be empty first (see Catalog's intent protocol)
+    catalog.acquireProduceLockDraining(topic)
     try {
       catalog.reconcileProduceState(topic): Unit
       val st = catalog.txnState(topic, txnId).getOrElse(throw new IllegalStateException(
@@ -452,7 +455,9 @@ final class IdempotentProducer private[engine] (
 
   def produce(df: org.apache.spark.sql.DataFrame, sequence: Long): Map[Int, (Long, Long)] = {
     require(sequence >= 0, s"sequence must be >= 0, got $sequence")
-    catalog.acquireProduceLock(topic)
+    // draining acquisition: holds the lock across the data write and
+    // commits a watermark jump (see Catalog's intent protocol)
+    catalog.acquireProduceLockDraining(topic)
     try {
       catalog.reconcileProduceState(topic): Unit
       val st = catalog.producerState(topic, producerId)

@@ -407,6 +407,48 @@ object EnginePack extends QueryPack {
           sum(eid).as("eid_sum"))
         .orderBy(col("partition"))
     },
+    "q_producer_multi" -> { (s, dir) =>
+      // CONCURRENT multi-producer ingest through the oracle (the
+      // reference's many-clients-per-partition shape,
+      // ProviderImpl.hpp:137-160): two producers in two threads
+      // interleave produce() commits with NO lock-wait override — the
+      // reservation-intent protocol itself arbitrates (ids reserved
+      // under a brief lock, data written unlocked into per-intent
+      // staging, commits applied in reservation order), so the writers'
+      // data phases genuinely overlap instead of serializing on the
+      // topic lock. Graded on the invariants the protocol guarantees:
+      // dense per-partition ids, both writers' payload sets present
+      // exactly once (eid sums are interleaving-independent), zero
+      // leftover intents, and a gap-free id space.
+      val d = tempDriver(s)
+      d.createTopic("multi_demo", partitions = 4)
+      val topic = d.openTopic("multi_demo")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val tasks = (0 until 2).map { writer =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try (0 until 2).foreach { b =>
+                val lo = (b * 2 + writer) * 128L
+                topic.producer().produce(sourceByEidRange(s, dir, lo, lo + 128)): Unit
+              } catch { case t: Throwable => failed.compareAndSet(null, t): Unit }
+          })
+        }
+        tasks.foreach(_.get(240, java.util.concurrent.TimeUnit.SECONDS))
+        if (failed.get() != null) throw failed.get()
+      } finally pool.shutdownNow(): Unit
+      val eid = get_json_object(col("metadata"), "$.eid").cast("long")
+      topic.events()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("event_id")).as("n_ids"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          sum(eid).as("eid_sum"))
+        .withColumn("intents_clean",
+          lit(d.catalog.listProduceIntents("multi_demo").isEmpty))
+        .withColumn("gap_free", lit(!d.catalog.mayHaveIdGaps("multi_demo")))
+        .orderBy(col("partition"))
+    },
     "q_sql_merge" -> { (s, dir) =>
       // SQL MERGE INTO through the row-level-operation surface: matched
       // rows are vector-tombstoned and re-produced (update) or tombstoned
@@ -681,7 +723,10 @@ object EnginePack extends QueryPack {
       topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
       topic.beginTransaction("hung").produce(src.filter(pmod(eid, lit(3)) === 1)): Unit
       val wedged = topic.events("read_committed").count() // plain only
-      s.conf.set("spark.graft.txn.timeoutMs", "1")
+      // catalog-SCOPED override: a session-global spark.conf.set would
+      // leak a 1ms janitor horizon into every other catalog this session
+      // touches in the window (registry fixtures may share the session)
+      d.catalog.setConfOverride("spark.graft.txn.timeoutMs", "1")
       try {
         Thread.sleep(50) // exceed the (compressed) liveness horizon
         d.catalog.maintainTopic("txn_to"): Unit // janitor pass 1: auto-abort
@@ -690,8 +735,8 @@ object EnginePack extends QueryPack {
         // young debris survives the pass (default retention horizon)
         val debrisRetained = d.catalog.listTxns("txn_to").contains("hung")
         val logBefore = topic.events("read_uncommitted").count()
-        s.conf.set("spark.graft.txn.abortedRetainMs", "0")
-        s.conf.set("spark.graft.txn.maxAbortedRecords", "0")
+        d.catalog.setConfOverride("spark.graft.txn.abortedRetainMs", "0")
+        d.catalog.setConfOverride("spark.graft.txn.maxAbortedRecords", "0")
         d.catalog.maintainTopic("txn_to"): Unit // janitor pass 2: purge
         val logAfter = topic.events("read_uncommitted").count()
         val recordGone = !d.catalog.listTxns("txn_to").contains("hung")
@@ -744,12 +789,12 @@ object EnginePack extends QueryPack {
           ts.files.values.map(_.size).sum
       }.getOrElse(0)
       val coldBefore = coldFiles
-      s.conf.set("spark.graft.txn.abortedRetainMs", "0")
-      s.conf.set("spark.graft.txn.maxAbortedRecords", "0")
+      d.catalog.setConfOverride("spark.graft.txn.abortedRetainMs", "0")
+      d.catalog.setConfOverride("spark.graft.txn.maxAbortedRecords", "0")
       try d.catalog.maintainTopic("txn_tier"): Unit
       finally {
-        s.conf.unset("spark.graft.txn.abortedRetainMs")
-        s.conf.unset("spark.graft.txn.maxAbortedRecords")
+        d.catalog.clearConfOverride("spark.graft.txn.abortedRetainMs")
+        d.catalog.clearConfOverride("spark.graft.txn.maxAbortedRecords")
       }
       val recs = d.catalog.listTxns("txn_tier")
       topic.events("read_uncommitted")
@@ -2725,6 +2770,16 @@ object EnginePack extends QueryPack {
       """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
         |  count(*) AS n_ids, CAST(0 AS BIGINT) AS min_id,
         |  count(*) - 1 AS max_id, CAST(sum(event_id) AS BIGINT) AS eid_sum
+        |FROM events WHERE event_id < 512
+        |GROUP BY 1 ORDER BY partition""".stripMargin,
+    // truly-concurrent writers, same dense-id/no-loss contract as
+    // q_producer_concurrent (512 events, 4 overlapping commits) plus the
+    // protocol's own cleanliness facts
+    "q_producer_multi" ->
+      """SELECT CAST(event_id % 4 AS INT) AS partition, count(*) AS cnt,
+        |  count(*) AS n_ids, CAST(0 AS BIGINT) AS min_id,
+        |  count(*) - 1 AS max_id, CAST(sum(event_id) AS BIGINT) AS eid_sum,
+        |  true AS intents_clean, true AS gap_free
         |FROM events WHERE event_id < 512
         |GROUP BY 1 ORDER BY partition""".stripMargin,
     // survivors: untouched 0..255, updated (u=1, eid%5<>0) 256..511,
