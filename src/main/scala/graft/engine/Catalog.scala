@@ -652,16 +652,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * fell behind the on-disk state (pre-manifest topics, lost manifest): any
    * unknown file is picked up with its real footer range.
    */
-  /** @param adoptLo per-partition LOWER adoption bound (a concurrent
-    *        produce's commit passes its reservation's firstIds): unknown
-    *        files below it are NOT adopted — they can only be another
-    *        (crashed) operation's debris inside a decided-dead gap, and
-    *        adopting them would resurrect rows a rollback discarded.
-    *        Empty (every legacy caller) keeps the heal behavior: any
-    *        unknown file below the watermark is picked up. */
+  /** @param excludeGap per-partition `[lo, hi)` id interval whose unknown
+    *        files must NOT be adopted — a concurrent produce's commit
+    *        passes its decided-dead gap [pre-commit watermark,
+    *        reservation start): an unknown file there can only be a
+    *        rolled-back commit's debris (the same commit purges them —
+    *        this exclusion covers the purge-to-adoption race), never
+    *        committed data. Unknown files BELOW the watermark keep the
+    *        heal behavior (pre-manifest topics, lost manifests). */
   def updateManifest(name: String, newNext: Map[Int, Long],
                      note: Option[String] = None,
-                     adoptLo: Map[Int, Long] = Map.empty): Unit = {
+                     excludeGap: Map[Int, (Long, Long)] = Map.empty): Unit = {
     val prior = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
     val conf = hadoopConf
     // unknown = listed ∖ manifest (normally exactly this produce's output)
@@ -681,7 +682,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // own files always lie below its newNext.
         }.filterNot(f =>
           f.lo != Long.MinValue && (f.lo >= newNext.getOrElse(p, 0L) ||
-            f.lo < adoptLo.getOrElse(p, Long.MinValue))).toVector
+            excludeGap.get(p).exists { case (lo, hi) =>
+              f.lo >= lo && f.lo < hi })).toVector
       }.filter(_._2.nonEmpty).toMap
     // the delta carries ONLY this produce's files + watermarks — the
     // produce-path write is O(new files) regardless of live-file count
@@ -1811,7 +1813,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val cfg = openTopic(name)
     Validator.fromDescriptor(validator.descriptor) // DDL-time plugin check
-    acquireProduceLock(name)
+    // DRAINING acquisition: the conformance scan reads the committed log,
+    // so a concurrent produce mid-flight (validated against the OLD
+    // validator, invisible in its staging dir) must commit or roll back
+    // before a tightening swap can claim "existing data conforms"
+    acquireProduceLockDraining(name)
     try {
       // vector-deleted events are not part of the committed history any
       // consumer can read — they must not block a tightening validator
@@ -4091,19 +4097,48 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
               r.first + r.count > wm.getOrElse(r.partition, 0L))
         }
         if (blockers.isEmpty) {
+          // rolled-back-then-resurrected zombie guard: a rollback deletes
+          // staging BEFORE the intent, so "intent present, staging gone"
+          // on a non-empty produce proves a rollback raced the heartbeat's
+          // read-then-write — committing would advance the watermark over
+          // ZERO files (silent loss)
+          if (counts.valuesIterator.sum > 0 &&
+              !fs.exists(produceStagingDir(name, intentId)))
+            throw new IllegalStateException(
+              s"topic '$name': produce intent '$intentId' staging is gone " +
+              "(a rollback raced the lease heartbeat) — this produce did " +
+              "not commit; retry it")
           // a gap below our reservation is decided-dead: every intent that
           // covered it rolled back, and nothing can re-reserve it while
-          // our intent floors new reservations above us
-          if (firstIds.exists { case (p, f) => f > wm.getOrElse(p, 0L) })
+          // our intent floors new reservations above us. PURGE unknown
+          // files inside the gap now — a commit that crashed between its
+          // renames and its manifest write left them, and once the
+          // watermark advances past they would sit below every later
+          // purge's signature, adoptable by a legacy manifest heal
+          // (row resurrection).
+          val gaps: Map[Int, (Long, Long)] = firstIds.flatMap { case (p, f) =>
+            val w = wm.getOrElse(p, 0L)
+            if (f > w) Some(p -> (w, f)) else None
+          }
+          if (gaps.nonEmpty) {
             markIdGaps(name)
+            purgeGapOrphans(name, gaps)
+          }
           moveStagedFiles(name, intentId)
-          val newNext = wm ++ counts.map { case (p, c) => p -> (firstIds(p) + c) }
-          updateManifest(name, newNext, adoptLo = firstIds)
-          writeNextIds(name, newNext)
+          // manifest delta carries ONLY the written partitions (O(written)
+          // directory listings); the id watermark write needs the full map
+          val ends = counts.map { case (p, c) => p -> (firstIds(p) + c) }
+          updateManifest(name, ends, excludeGap = gaps)
+          writeNextIds(name, wm ++ ends)
           fs.delete(intentPath(name, intentId), false): Unit
           fs.delete(produceStagingDir(name, intentId), true): Unit
           committed = true
         } else {
+          // keep OUR lease fresh while queued (the write-phase heartbeat
+          // stopped before the commit): a commit blocked behind a slow
+          // predecessor longer than the intent horizon must not have its
+          // staged data janitored away mid-wait
+          touchProduceIntent(name, intentId)
           // roll back stale blockers NOW (store-clock judged); wait out
           // fresh ones
           val timeout = produceIntentTimeoutMs
@@ -4125,6 +4160,38 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           "for earlier concurrent produces to commit — increase " +
           "Catalog.ProduceCommitWaitMs, or investigate the blocked producer")
       Thread.sleep(100L)
+    }
+  }
+
+  /** Delete log chunk files whose footer ids START inside a decided-dead
+    * gap (lock held) — the debris of a commit that crashed between its
+    * staged-file renames and its manifest write. Must run BEFORE the
+    * gap-advance: afterwards the files sit below the watermark, outside
+    * every purge signature, VISIBLE to listing-based reads, and adoptable
+    * by a legacy manifest heal. The footer judgment alone is sufficient —
+    * every committed row lies below the pre-commit watermark, so a file
+    * whose ids start inside [watermark, reservation) cannot be committed
+    * data; the manifest (when present) merely narrows the candidates. */
+  private def purgeGapOrphans(name: String, gaps: Map[Int, (Long, Long)]): Unit = {
+    val conf = hadoopConf
+    val candidates: Seq[(Int, Path)] = readManifest(name) match {
+      case Some(m) =>
+        unlistedChunkFiles(name, m, gaps.keys)
+          .map { case (p, rel) => (p, new Path(logPath(name), rel)) }
+      case None =>
+        gaps.keys.toSeq.flatMap { p =>
+          val dir = new Path(logPath(name), s"partition=$p")
+          if (!fs.exists(dir)) Nil
+          else fs.listStatus(dir)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => p -> f.getPath).toSeq
+        }
+    }
+    candidates.foreach { case (p, f) =>
+      val (lo, _) = Catalog.fileIdRange(f, conf)
+      val (glo, ghi) = gaps(p)
+      if (lo != Long.MinValue && lo >= glo && lo < ghi)
+        fs.delete(f, false): Unit
     }
   }
 

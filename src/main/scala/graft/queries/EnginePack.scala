@@ -753,9 +753,9 @@ object EnginePack extends QueryPack {
           .withColumn("record_purged", lit(recordGone))
           .orderBy(col("partition"))
       } finally {
-        s.conf.unset("spark.graft.txn.timeoutMs")
-        s.conf.unset("spark.graft.txn.abortedRetainMs")
-        s.conf.unset("spark.graft.txn.maxAbortedRecords")
+        d.catalog.clearConfOverride("spark.graft.txn.timeoutMs")
+        d.catalog.clearConfOverride("spark.graft.txn.abortedRetainMs")
+        d.catalog.clearConfOverride("spark.graft.txn.maxAbortedRecords")
       }
     },
     "q_txn_purge_tiered" -> { (s, dir) =>

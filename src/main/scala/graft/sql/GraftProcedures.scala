@@ -114,8 +114,7 @@ private[sql] object GraftProcedures {
           StructField("restored_to", LongType, nullable = false)))) { in =>
         val t = topicOf(in)
         val v = in.getLong(1)
-        new graft.engine.GraftDriver(org.apache.spark.sql.SparkSession.active,
-          engine.warehouse).openTopic(t).restoreTo(v)
+        handle(t).restoreTo(v)
         Seq(t, v)
       })
       case "history" => Some(procedureRows("history",

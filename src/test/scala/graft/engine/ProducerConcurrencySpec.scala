@@ -146,6 +146,83 @@ class ProducerConcurrencySpec extends SparkSpec {
     assert(e2.getMessage.contains("concurrent produces"))
   }
 
+  test("a commit crashed after its renames never resurrects through a later heal") {
+    // Crash window: a committer renamed its staged files into the log,
+    // then died before its manifest write. Once a successor gap-advances
+    // past the rolled-back range, those files sit BELOW the watermark —
+    // outside every purge signature — so the successor must purge them
+    // inside its own commit, and the manifest adoption must exclude the
+    // gap interval; otherwise a later legacy manifest heal (transactional
+    // produce, rebuild) would adopt them and resurrect discarded rows.
+    val (d, topic) = newTopic()
+    val cat = d.catalog
+    cat.acquireProduceLock("t")
+    val (idA, _) = try cat.reserveProduce("t", Map(0 -> 5L))
+      finally cat.releaseProduceLock("t")
+    writeStaging(d, idA, 0L, 5, "dead")
+    // simulate the crash: renames done (files in the log), manifest not
+    // written, intent left behind
+    val fs = new org.apache.hadoop.fs.Path(d.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedP0 = new org.apache.hadoop.fs.Path(
+      cat.produceStagingDir("t", idA), "partition=0")
+    val logP0 = new org.apache.hadoop.fs.Path(cat.logPath("t"), "partition=0")
+    fs.mkdirs(logP0)
+    fs.listStatus(stagedP0).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        assert(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(logP0, f.getPath.getName)))
+      }
+    // successor commits over the now-stale predecessor
+    cat.acquireProduceLock("t")
+    val (idB, firstB) = try cat.reserveProduce("t", Map(0 -> 4L))
+      finally cat.releaseProduceLock("t")
+    writeStaging(d, idB, 5L, 4, "live")
+    cat.setConfOverride("spark.graft.produce.intentTimeoutMs", "1")
+    try {
+      Thread.sleep(50)
+      cat.commitProduceIntent("t", idB, firstB, Map(0 -> 4L))
+    } finally cat.clearConfOverride("spark.graft.produce.intentTimeoutMs")
+    assert(topic.events().count() == 4)
+    // a LEGACY manifest-heal path afterwards (transactional produce's
+    // commit calls updateManifest with no gap exclusion) must find
+    // nothing to adopt — the gap purge already deleted the orphans
+    val tx = topic.beginTransaction("after")
+    tx.produce(batch("after", 4)); tx.commit()
+    val ev = topic.events()
+    assert(ev.filter(col("event_id") < 5 && col("partition") === 0).count() == 0,
+      "a crashed commit's renamed files resurrected through a heal")
+    assert(ev.count() == 8)
+  }
+
+  test("an intent resurrected by a racing heartbeat cannot commit empty") {
+    // touchProduceIntent's read-then-write can race a rollback and
+    // re-create the intent file. A rollback deletes staging BEFORE the
+    // intent, so "intent present, staging gone" proves the rollback won —
+    // the commit must refuse loudly, never advance the watermark over
+    // zero files.
+    val (d, _) = newTopic()
+    val cat = d.catalog
+    cat.acquireProduceLock("t")
+    val (idA, firstA) = try cat.reserveProduce("t", Map(0 -> 5L))
+      finally cat.releaseProduceLock("t")
+    writeStaging(d, idA, 0L, 5, "z")
+    val intentFile = new java.io.File(new org.apache.hadoop.fs.Path(
+      cat.topicPath("t"), s"_intents/$idA.json").toUri.getPath)
+    val content = java.nio.file.Files.readAllBytes(intentFile.toPath)
+    // janitor rolls the intent back...
+    cat.acquireProduceLock("t")
+    try cat.rollbackProduceIntentLocked("t", idA)
+    finally cat.releaseProduceLock("t")
+    // ...and the zombie heartbeat re-creates the record (staging stays gone)
+    java.nio.file.Files.write(intentFile.toPath, content): Unit
+    new java.io.File(intentFile.getParentFile, s".$idA.json.crc").delete(): Unit
+    val e = intercept[IllegalStateException](
+      cat.commitProduceIntent("t", idA, firstA, Map(0 -> 5L)))
+    assert(e.getMessage.contains("staging is gone"))
+    assert(cat.nextIds("t").getOrElse(0, 0L) == 0L,
+      "an empty zombie commit advanced the watermark")
+  }
+
   test("two real producers ingest one topic concurrently, out of the box") {
     // No ProduceLockWaitMs override: the brief-section patience floor is
     // what makes plain produce contention serialize by itself. Outcome
