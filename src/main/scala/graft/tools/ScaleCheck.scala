@@ -81,7 +81,57 @@ object ScaleCheck {
     }
 
     if (axes.contains("meta")) metaAxis(spark)
+    if (axes.contains("data")) concurrentAxis(spark)
     spark.stop()
+  }
+
+  /** Two writers ≈ parallel, not 2× serial: the same two batches produced
+    * back-to-back by one writer vs concurrently by two threads (fresh
+    * topics, same shape). The data-write phase dominates at this batch
+    * size, so overlap shows directly in wall-clock. */
+  private def concurrentAxis(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val rows = 150000L
+    def batch(n: Long) = spark.range(n)
+      .select(to_json(struct(col("id").as("eid"))).as("metadata"),
+        pmod(col("id"), lit(2)).cast("int").as("partition"))
+    def topic() = {
+      val wh = java.nio.file.Files.createTempDirectory("graft-scale-conc").toString
+      val d = new GraftDriver(spark, wh)
+      d.createTopic("c", partitions = 2)
+      (d, d.openTopic("c"))
+    }
+    // warm both paths once (JIT/codegen outside the timings)
+    { val (_, t) = topic(); t.producer().produce(batch(rows)): Unit }
+    val (_, serialT) = {
+      val (_, t) = topic()
+      time { t.producer().produce(batch(rows)): Unit
+             t.producer().produce(batch(rows)): Unit }
+    }
+    val (dC, tC) = topic()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val (_, parallelT) = time {
+      (0 until 2).map { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try tC.producer().produce(batch(rows)): Unit
+            catch { case t: Throwable => failed.compareAndSet(null, t): Unit }
+        })
+      }.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+    }
+    pool.shutdown(): Unit
+    if (failed.get() != null) throw failed.get()
+    println("\n## ScaleCheck: concurrent ingest (two writers, same two batches)")
+    println("| mode | wall | rows |")
+    println("|---|---|---|")
+    println(f"| serial (one writer, back-to-back) | $serialT%.2fs | ${2 * rows} |")
+    println(f"| concurrent (two writers) | $parallelT%.2fs | ${2 * rows} |")
+    println(f"concurrent/serial ratio: ${parallelT / serialT}%.2f " +
+      "(≈1.0 would mean fully serialized; <1.0 means the data phases overlap)")
+    val n = dC.openTopic("c").events().count()
+    assert(n == 2 * rows, s"concurrent ingest lost rows: $n")
+    assert(parallelT < serialT,
+      f"two writers were no faster than serial ($parallelT%.2fs vs $serialT%.2fs)")
   }
 
   /** One data-axis topic at `scale` (scale=1 → 60k bulk rows): returns the
