@@ -139,12 +139,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   /** C5 `addPartition` — grows the partition count by one. */
   def addPartition(name: String): Int = {
-    val config = openTopic(name)
-    val grown = config.copy(partitions = config.partitions + 1)
-    writeTopicConfig(grown)
-    val ids = nextIds(name)
-    writeNextIds(name, ids + ((grown.partitions - 1) -> 0L))
-    grown.partitions
+    // brief lock: the `_ids.json` read-modify-write below must not race a
+    // produce commit's watermark write (a lost update in either direction
+    // drops the new partition's zero entry or regresses a commit)
+    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    try {
+      val config = openTopic(name)
+      val grown = config.copy(partitions = config.partitions + 1)
+      writeTopicConfig(grown)
+      val ids = nextIds(name)
+      writeNextIds(name, ids + ((grown.partitions - 1) -> 0L))
+      grown.partitions
+    } finally releaseProduceLock(name)
   }
 
   /** Drop a topic: removes its directory tree (log, manifest, indexes,
