@@ -262,8 +262,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   /** D5 `markAsComplete` — persisted completion flag; consumers resolve
     * NoMoreEvents once drained (`MofkaConsumer.cpp:117-132`). */
   def markAsComplete(name: String): Unit = {
-    val config = openTopic(name)
-    writeTopicConfig(config.copy(completed = true))
+    // brief lock: _topic.json is a read-modify-write shared with
+    // addPartition/alterValidator — an unlocked racing write could drop
+    // the completed flag or a partition bump (lost update)
+    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    try {
+      val config = openTopic(name)
+      writeTopicConfig(config.copy(completed = true))
+    } finally releaseProduceLock(name)
   }
 
   // -- producer commit state ------------------------------------------------
@@ -4076,6 +4082,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private[engine] def commitProduceIntent(name: String, intentId: String,
       firstIds: Map[Int, Long], counts: Map[Int, Long]): Unit = {
     val deadline = System.currentTimeMillis() + Catalog.ProduceCommitWaitMs
+    var lastTouch = System.currentTimeMillis()
     while (true) {
       acquireProduceLock(name, Catalog.BriefLockWaitMs)
       var committed = false
@@ -4143,8 +4150,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           // keep OUR lease fresh while queued (the write-phase heartbeat
           // stopped before the commit): a commit blocked behind a slow
           // predecessor longer than the intent horizon must not have its
-          // staged data janitored away mid-wait
-          touchProduceIntent(name, intentId)
+          // staged data janitored away mid-wait. Throttled — one refresh
+          // per horizon/4, not one per 100ms poll (metadata round trips)
+          if (System.currentTimeMillis() - lastTouch >
+              math.max(1L, produceIntentTimeoutMs / 4)) {
+            touchProduceIntent(name, intentId)
+            lastTouch = System.currentTimeMillis()
+          }
           // roll back stale blockers NOW (store-clock judged); wait out
           // fresh ones
           val timeout = produceIntentTimeoutMs
