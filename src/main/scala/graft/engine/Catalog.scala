@@ -168,7 +168,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // deleted out from under its commit. With the lock held, a concurrent
     // produce blocks/fails at acquisition; one that raced ahead of us
     // fails acquisition here instead.
-    acquireProduceLock(name)
+    // brief metadata hold: ride the patience floor so routine
+    // contention with concurrent-produce brief sections serializes
+    acquireProduceLock(name, Catalog.BriefLockWaitMs)
     try {
       failIfCompacting(name)
       // concurrent produces in flight (live reservation intents): their
@@ -1037,8 +1039,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     if (!recoveryComposition) {
       val timeout = produceIntentTimeoutMs
       val localNow = localNowMs
-      val fresh = listProduceIntents(name)
-        .filter { case (_, _, m) => localNow - m <= timeout }
+      val intents = listProduceIntents(name)
+      // same two-step store-clock judgment as every other lease: a local
+      // clock ahead of the store must not classify a live, heartbeating
+      // ingest fleet as stale and rewrite the log under it
+      lazy val storeNow = storeNowMs(intentsDir(name))
+      val fresh = intents.filter { case (_, _, m) =>
+        localNow - m <= timeout || storeNow - m <= timeout }
       if (fresh.nonEmpty) {
         releaseCompactLock(name)
         throw new LockConflictException(
@@ -2410,7 +2417,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     if (!topicExists(sourceTopic)) throw new IllegalArgumentException(
       s"sendOffsets: unknown source topic '$sourceTopic'")
     validComponent("consumer name", consumer): Unit
-    acquireProduceLock(name)
+    // brief metadata hold: ride the patience floor so routine
+    // contention with concurrent-produce brief sections serializes
+    acquireProduceLock(name, Catalog.BriefLockWaitMs)
     try {
       val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
         s"unknown transaction '$txnId' on topic '$name'"))
@@ -2989,7 +2998,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * aborted transaction ids are terminal, so a crashed application can
     * never silently fold new produces into an old outcome). */
   def beginTxn(name: String, txnId: String): Unit = {
-    acquireProduceLock(name)
+    // brief metadata hold: ride the patience floor so routine
+    // contention with concurrent-produce brief sections serializes
+    acquireProduceLock(name, Catalog.BriefLockWaitMs)
     try {
       if (txnState(name, txnId).isDefined) throw new IllegalStateException(
         s"transaction '$txnId' already exists on topic '$name'")
@@ -3061,7 +3072,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       val rooted =
         if (st.deletes.nonEmpty) rootTxnDeletes(name, txnId, st.deletes)
         else Vector.empty[String]
-      acquireProduceLock(name)
+      // brief metadata hold: ride the patience floor so routine
+      // contention with concurrent-produce brief sections serializes
+      acquireProduceLock(name, Catalog.BriefLockWaitMs)
       try {
         reconcileProduceState(name): Unit
         val cur = txnState(name, txnId).getOrElse(throw new IllegalStateException(
@@ -3256,7 +3269,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // lock must be released first — the two never nest). A crash in
     // between leaves an unadopted `txn-` staging: never read, reaped by
     // vacuum once aged.
-    acquireProduceLock(name)
+    // brief metadata hold: ride the patience floor so routine
+    // contention with concurrent-produce brief sections serializes
+    acquireProduceLock(name, Catalog.BriefLockWaitMs)
     try {
       val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
         s"unknown transaction '$txnId' on topic '$name'"))
@@ -3319,7 +3334,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   private def setTxnState(name: String, txnId: String, target: String): Unit = {
-    acquireProduceLock(name)
+    // brief metadata hold: ride the patience floor so routine
+    // contention with concurrent-produce brief sections serializes
+    acquireProduceLock(name, Catalog.BriefLockWaitMs)
     try {
       reconcileProduceState(name): Unit
       val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
@@ -3496,7 +3513,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    */
   private[engine] def touchTxn(name: String, txnId: String,
                                fenceExpired: Boolean = true): Unit = {
-    acquireProduceLock(name)
+    // brief metadata hold: ride the patience floor so routine
+    // contention with concurrent-produce brief sections serializes
+    acquireProduceLock(name, Catalog.BriefLockWaitMs)
     try {
       if (fenceExpired) {
         reconcileProduceState(name): Unit
@@ -3575,15 +3594,27 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def purgeDeadTxnRecords(name: String,
                                   aborted: Map[String, TxnState],
                                   deadRemote: Map[String, RemoteTxn],
-                                  chunkMaxRecords: Long): Int = {
+                                  chunkMaxRecords: Long): Int =
+    reclaimDeadTxnRecords(name, aborted, deadRemote, cond =>
+      purgeTopic(name, cond, chunkMaxRecords))
+
+  /** The shared dead-record reclaim body (hot-topic purge and tiered
+    * vector conversion differ ONLY in how the rows die): build the dead
+    * ranges' predicate, apply `deleteRows`, then reap debris BEFORE
+    * removing records — a root gated by a MISSING record is only provably
+    * dead when records are removed strictly after their debris. */
+  private def reclaimDeadTxnRecords(name: String,
+                                    aborted: Map[String, TxnState],
+                                    deadRemote: Map[String, RemoteTxn],
+                                    deleteRows: org.apache.spark.sql.Column => Unit): Int = {
     import org.apache.spark.sql.functions.col
     val ranges = (aborted.values.flatMap(_.ranges) ++
       deadRemote.values.flatMap(_.ranges)).filter(_.count > 0L).toSeq
     if (ranges.nonEmpty)
-      purgeTopic(name, ranges.map(r =>
+      deleteRows(ranges.map(r =>
         col("partition") === r.partition &&
           col("event_id") >= r.first &&
-          col("event_id") < r.first + r.count).reduce(_ || _), chunkMaxRecords)
+          col("event_id") < r.first + r.count).reduce(_ || _))
     aborted.values.foreach(st => reapTxnDeletes(name, st))
     aborted.keys.foreach(id => removeTxn(name, id))
     deadRemote.keys.foreach(removeRemoteTxn)
@@ -3611,22 +3642,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    */
   private def vectorDeadTxnRecords(name: String,
                                    aborted: Map[String, TxnState],
-                                   deadRemote: Map[String, RemoteTxn]): Int = {
-    import org.apache.spark.sql.functions.col
-    val ranges = (aborted.values.flatMap(_.ranges) ++
-      deadRemote.values.flatMap(_.ranges)).filter(_.count > 0L).toSeq
-    if (ranges.nonEmpty)
-      deleteWhereVectored(name, ranges.map(r =>
-        col("partition") === r.partition &&
-          col("event_id") >= r.first &&
-          col("event_id") < r.first + r.count).reduce(_ || _)): Unit
-    // debris reaped BEFORE record removal, then records — same ordering
-    // proof as [[purgeDeadTxnRecords]]
-    aborted.values.foreach(st => reapTxnDeletes(name, st))
-    aborted.keys.foreach(id => removeTxn(name, id))
-    deadRemote.keys.foreach(removeRemoteTxn)
-    aborted.size + deadRemote.size
-  }
+                                   deadRemote: Map[String, RemoteTxn]): Int =
+    reclaimDeadTxnRecords(name, aborted, deadRemote, cond =>
+      deleteWhereVectored(name, cond): Unit)
 
   /** Id ranges a read_committed reader must EXCLUDE: every range of every
     * LOCAL transaction that is not committed (open or aborted), plus every
@@ -4000,13 +4018,25 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     (id, firstIds)
   }
 
-  /** Heartbeat: refresh the intent's lease mtime (content unchanged). A
-    * touch racing a rollback's delete could transiently resurrect the
-    * file; safety holds regardless (the committer's watermark guard
-    * refuses a superseded reservation), the zombie merely re-expires. */
-  private[engine] def touchProduceIntent(name: String, id: String): Unit =
-    readStringResilient(intentPath(name, id))
-      .foreach(j => writeAtomic(intentPath(name, id), j))
+  /** Heartbeat: refresh the intent's lease mtime IN PLACE (`setTimes`) —
+    * never a delete-then-rename rewrite, for two load-bearing reasons:
+    * (1) a rewrite's delete window would make a LIVE intent invisible to
+    * every unlocked-at-write-time listing judgment (commit blockers, the
+    * draining gate, the compaction/drop guards, vacuum), and (2) a
+    * rewrite racing a rollback's delete could RESURRECT the file —
+    * `setTimes` on a deleted path just throws, so a rolled-back intent
+    * stays gone. Filesystems without `setTimes` (some object stores) fall
+    * back to the rewrite; there the committer's staging-gone and
+    * watermark guards still make a resurrected zombie refuse loudly. */
+  private[engine] def touchProduceIntent(name: String, id: String): Unit = {
+    val p = intentPath(name, id)
+    try fs.setTimes(p, System.currentTimeMillis(), -1L)
+    catch {
+      case _: java.io.FileNotFoundException => () // rolled back: stay gone
+      case _: UnsupportedOperationException =>
+        readStringResilient(p).foreach(j => writeAtomic(p, j))
+    }
+  }
 
   /** Roll back ONE intent (caller holds the produce lock): staging
     * deleted first, then the intent record. The watermark does NOT move
@@ -4042,11 +4072,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 
   /** Best-effort self-rollback for a producer's own failure path (no lock
     * requirement: both deletes are idempotent, and a racing janitor
-    * rollback deletes the same two paths in the same order). */
-  private[engine] def abandonProduceIntent(name: String, id: String): Unit = {
-    fs.delete(produceStagingDir(name, id), true): Unit
-    fs.delete(intentPath(name, id), false): Unit
-  }
+    * rollback deletes the same two paths in the same order — ONE body,
+    * [[rollbackProduceIntentLocked]], owns that ordering proof). */
+  private[engine] def abandonProduceIntent(name: String, id: String): Unit =
+    rollbackProduceIntentLocked(name, id)
 
   /** Write-phase lease heartbeat (daemon; cancel() before the commit). */
   private[engine] def startIntentHeartbeat(name: String, id: String): Thread = {
@@ -4083,6 +4112,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       firstIds: Map[Int, Long], counts: Map[Int, Long]): Unit = {
     val deadline = System.currentTimeMillis() + Catalog.ProduceCommitWaitMs
     var lastTouch = System.currentTimeMillis()
+    var backoffMs = 100L
     while (true) {
       acquireProduceLock(name, Catalog.BriefLockWaitMs)
       var committed = false
@@ -4177,7 +4207,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           s"topic '$name': produce commit '$intentId' timed out waiting " +
           "for earlier concurrent produces to commit — increase " +
           "Catalog.ProduceCommitWaitMs, or investigate the blocked producer")
-      Thread.sleep(100L)
+      // exponential backoff: each blocked iteration costs lock churn plus
+      // metadata reads, which an object store bills per request
+      Thread.sleep(backoffMs)
+      backoffMs = math.min(backoffMs * 2, 2000L)
     }
   }
 
@@ -4243,6 +4276,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    */
   private[engine] def acquireProduceLockDraining(name: String): Unit = {
     val deadline = System.currentTimeMillis() + Catalog.ProduceCommitWaitMs
+    var backoffMs = 100L
     while (true) {
       acquireProduceLock(name, Catalog.BriefLockWaitMs)
       val live =
@@ -4257,7 +4291,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           s"topic '$name': cannot start an exclusive produce statement " +
           s"while concurrent produces are in flight (intents: " +
           s"${live.map(_._1).mkString(", ")}) — retry after they commit")
-      Thread.sleep(100L)
+      Thread.sleep(backoffMs)
+      backoffMs = math.min(backoffMs * 2, 2000L)
     }
   }
 

@@ -223,6 +223,32 @@ class ProducerConcurrencySpec extends SparkSpec {
       "an empty zombie commit advanced the watermark")
   }
 
+  test("the lease heartbeat bumps mtime in place and cannot resurrect") {
+    val (d, _) = newTopic()
+    val cat = d.catalog
+    cat.acquireProduceLock("t")
+    val (id, _) = try cat.reserveProduce("t", Map(0 -> 3L))
+      finally cat.releaseProduceLock("t")
+    val f = new java.io.File(new org.apache.hadoop.fs.Path(
+      cat.topicPath("t"), s"_intents/$id.json").toUri.getPath)
+    // backdate, touch: the lease must refresh WITHOUT a rewrite (the file
+    // must never vanish from a concurrent listing mid-touch)
+    assert(f.setLastModified(System.currentTimeMillis() - 120000L))
+    val before = f.lastModified()
+    cat.touchProduceIntent("t", id)
+    assert(f.lastModified() > before, "touch did not refresh the lease")
+    val listed = cat.listProduceIntents("t")
+    assert(listed.map(_._1) == Seq(id) && listed.head._2.nonEmpty,
+      "intent unreadable after an in-place touch")
+    // touch after rollback must NOT bring the record back
+    cat.acquireProduceLock("t")
+    try cat.rollbackProduceIntentLocked("t", id)
+    finally cat.releaseProduceLock("t")
+    cat.touchProduceIntent("t", id)
+    assert(cat.listProduceIntents("t").isEmpty,
+      "a touch resurrected a rolled-back intent")
+  }
+
   test("two real producers ingest one topic concurrently, out of the box") {
     // No ProduceLockWaitMs override: the brief-section patience floor is
     // what makes plain produce contention serialize by itself. Outcome
