@@ -23,12 +23,21 @@ import org.json4s.jackson.JsonMethods
  *   log/partition=<p>/     the event log, Parquet
  * }}}
  *
- * Small-file updates are atomic (write temp + rename). One producer per
- * topic at a time — where the reference linearizes concurrent clients via a
- * per-partition lock + single write loop (SURVEY §7.3), this catalog makes
- * concurrency safe-by-rejection: a `_produce.lock` held for the span of each
- * produce (see [[acquireProduceLock]]) makes a racing second producer fail
- * loudly instead of corrupting the `_ids.json` watermark.
+ * Small-file updates are atomic (write temp + rename). N producers ingest
+ * one topic CONCURRENTLY — where the reference linearizes many clients via
+ * a per-partition lock + single write loop (SURVEY §7.3,
+ * `DefaultPartitionManager.cpp:391-409`), this catalog uses a
+ * reservation-intent protocol (see the "concurrent produce intents"
+ * section at [[reserveProduce]]): the `_produce.lock` is held only for the
+ * millisecond-length id reservation and the ordered commit, while each
+ * producer's data write runs unlocked into a private `log.staging/<id>`
+ * dir under a heartbeat-refreshed lease. Commits apply in reservation
+ * order (dense gap-free ids); a crashed producer's intent ages out and its
+ * range is gap-advanced over. EXCLUSIVE statements (transactional /
+ * idempotent produce, SQL MERGE) still hold the lock across their whole
+ * span — they enter via [[acquireProduceLockDraining]], which waits out
+ * live intents, and racing writers beyond that fail loudly instead of
+ * corrupting the `_ids.json` watermark.
  */
 final class Catalog(spark: SparkSession, val warehouse: String) {
 
@@ -142,7 +151,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // brief lock: the `_ids.json` read-modify-write below must not race a
     // produce commit's watermark write (a lost update in either direction
     // drops the new partition's zero entry or regresses a commit)
-    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    acquireProduceLock(name, briefLockWaitMs)
     try {
       val config = openTopic(name)
       val grown = config.copy(partitions = config.partitions + 1)
@@ -170,7 +179,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // fails acquisition here instead.
     // brief metadata hold: ride the patience floor so routine
     // contention with concurrent-produce brief sections serializes
-    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    acquireProduceLock(name, briefLockWaitMs)
     try {
       failIfCompacting(name)
       // concurrent produces in flight (live reservation intents): their
@@ -267,7 +276,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // brief lock: _topic.json is a read-modify-write shared with
     // addPartition/alterValidator — an unlocked racing write could drop
     // the completed flag or a partition bump (lost update)
-    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    acquireProduceLock(name, briefLockWaitMs)
     try {
       val config = openTopic(name)
       writeTopicConfig(config.copy(completed = true))
@@ -694,10 +703,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // matters for non-produce committers (deleteWhereVectored's
         // version bump) where no purge precedes the commit; a produce's
         // own files always lie below its newNext.
+        // An unknown file with an UNREADABLE footer (lo == MinValue) on a
+        // partition committing over a decided-dead gap is never adopted:
+        // it cannot be this produce's output (staged parquet always has a
+        // footer) and cannot be proven outside the gap — adopting would
+        // resurrect corrupt gap debris that [[purgeGapOrphans]]'s footer
+        // judgment necessarily skipped. Off gap-commits, footer-less
+        // unknowns keep the heal behavior (pre-manifest topics).
         }.filterNot(f =>
-          f.lo != Long.MinValue && (f.lo >= newNext.getOrElse(p, 0L) ||
+          (f.lo == Long.MinValue && excludeGap.contains(p)) ||
+          (f.lo != Long.MinValue && (f.lo >= newNext.getOrElse(p, 0L) ||
             excludeGap.get(p).exists { case (lo, hi) =>
-              f.lo >= lo && f.lo < hi })).toVector
+              f.lo >= lo && f.lo < hi }))).toVector
       }.filter(_._2.nonEmpty).toMap
     // the delta carries ONLY this produce's files + watermarks — the
     // produce-path write is O(new files) regardless of live-file count
@@ -1092,14 +1109,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // concurrent clients block until the queue drains) instead of failing
     // fast. 0 keeps safe-by-rejection: one produce wins, the other throws.
     val deadline = System.currentTimeMillis() +
-      math.max(Catalog.ProduceLockWaitMs, minWaitMs)
+      math.max(produceLockWaitMs, minWaitMs)
     while (true) {
       try {
         acquireLock(produceLockPath(name), age =>
           s"topic '$name': another produce is already in progress (lock " +
           s"${produceLockPath(name)}, age ${age / 1000}s) — concurrent producers " +
           "on one topic must be serialized (single-writer contract); retry after " +
-          "it finishes, set Catalog.ProduceLockWaitMs to wait, or delete the " +
+          "it finishes, set spark.graft.produce.lockWaitMs to wait, or delete the " +
           "lock if the producer crashed")
         return
       } catch {
@@ -1973,16 +1990,41 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // intent is debris (a zombie task's late re-creation, or a crash
     // inside the rollback) — reaped past the staleness horizon. Dirs
     // WITH an intent belong to a live or decided-elsewhere produce and
-    // are left to the intent machinery.
+    // are left to the intent machinery. Age is judged store-clock vs
+    // store-clock (the same two-step rule as the txn and intent leases:
+    // localNow as a cheap prefilter, [[storeNowMs]] for the decision) —
+    // a local JVM clock running ahead of the store must never reap a
+    // live slow produce's staging out from under it.
     val stagingRoot = new Path(topicPath(name), "log.staging")
+    val intentIds = listProduceIntents(name).map(_._1).toSet
     if (fs.exists(stagingRoot)) {
-      val intentIds = listProduceIntents(name).map(_._1).toSet
-      fs.listStatus(stagingRoot).foreach { s =>
-        if (s.isDirectory && !intentIds.contains(s.getPath.getName) &&
-            s.getModificationTime <
-              System.currentTimeMillis() - Catalog.CompactLockStaleMs) {
-          swaps += 1; drop(s.getPath, recursive = true)
+      val orphans = fs.listStatus(stagingRoot).filter(s =>
+        s.isDirectory && !intentIds.contains(s.getPath.getName))
+      val localNow = localNowMs
+      val candidates = orphans.filter(s =>
+        localNow - s.getModificationTime > Catalog.CompactLockStaleMs)
+      if (candidates.nonEmpty) {
+        val storeNow = storeNowMs(stagingRoot)
+        candidates.foreach { s =>
+          if (storeNow - s.getModificationTime > Catalog.CompactLockStaleMs) {
+            swaps += 1; drop(s.getPath, recursive = true)
+          }
         }
+      }
+    }
+    // 2c. orphan heartbeat lease markers (`.<id>.json.lease` without a
+    // record): debris of a lease create racing its intent's rollback or
+    // commit. Inert — a lease mtime only ever extends a LISTED record's
+    // lease — but must not accumulate. A lease is only ever created
+    // AFTER its record exists (and under the produce lock we hold, no new
+    // intent can appear between the two listings), so record-absent is
+    // already terminal: no age check needed.
+    val iDir = intentsDir(name)
+    if (fs.exists(iDir)) fs.listStatus(iDir).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && n.startsWith(".") && n.endsWith(".json.lease") &&
+          !intentIds.contains(n.stripPrefix(".").stripSuffix(".json.lease"))) {
+        tmps += 1; drop(s.getPath, recursive = false)
       }
     }
     // 3. stale writeAtomic leftovers (".<name>.tmp"), topic root + manifest
@@ -2419,7 +2461,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     validComponent("consumer name", consumer): Unit
     // brief metadata hold: ride the patience floor so routine
     // contention with concurrent-produce brief sections serializes
-    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    acquireProduceLock(name, briefLockWaitMs)
     try {
       val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
         s"unknown transaction '$txnId' on topic '$name'"))
@@ -3000,7 +3042,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def beginTxn(name: String, txnId: String): Unit = {
     // brief metadata hold: ride the patience floor so routine
     // contention with concurrent-produce brief sections serializes
-    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    acquireProduceLock(name, briefLockWaitMs)
     try {
       if (txnState(name, txnId).isDefined) throw new IllegalStateException(
         s"transaction '$txnId' already exists on topic '$name'")
@@ -3074,7 +3116,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         else Vector.empty[String]
       // brief metadata hold: ride the patience floor so routine
       // contention with concurrent-produce brief sections serializes
-      acquireProduceLock(name, Catalog.BriefLockWaitMs)
+      acquireProduceLock(name, briefLockWaitMs)
       try {
         reconcileProduceState(name): Unit
         val cur = txnState(name, txnId).getOrElse(throw new IllegalStateException(
@@ -3271,7 +3313,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // vacuum once aged.
     // brief metadata hold: ride the patience floor so routine
     // contention with concurrent-produce brief sections serializes
-    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    acquireProduceLock(name, briefLockWaitMs)
     try {
       val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
         s"unknown transaction '$txnId' on topic '$name'"))
@@ -3336,7 +3378,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def setTxnState(name: String, txnId: String, target: String): Unit = {
     // brief metadata hold: ride the patience floor so routine
     // contention with concurrent-produce brief sections serializes
-    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    acquireProduceLock(name, briefLockWaitMs)
     try {
       reconcileProduceState(name): Unit
       val st = txnState(name, txnId).getOrElse(throw new IllegalStateException(
@@ -3515,7 +3557,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
                                fenceExpired: Boolean = true): Unit = {
     // brief metadata hold: ride the patience floor so routine
     // contention with concurrent-produce brief sections serializes
-    acquireProduceLock(name, Catalog.BriefLockWaitMs)
+    acquireProduceLock(name, briefLockWaitMs)
     try {
       if (fenceExpired) {
         reconcileProduceState(name): Unit
@@ -3969,6 +4011,19 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private def intentPath(name: String, id: String): Path =
     new Path(intentsDir(name), s"${validComponent("intent id", id)}.json")
 
+  /** The intent's SIBLING lease marker — the heartbeat's write target on
+    * stores whose `setTimes` is a silent no-op (s3a posture, see
+    * [[Catalog.refreshMtimeVerified]]). Dot-prefixed: invisible to
+    * [[listProduceIntents]]'s record filter; its mtime only ever EXTENDS a
+    * listed record's lease (max of the two), so a lease without a record
+    * is inert debris (vacuum reaps it). Refreshing a sibling instead of
+    * rewriting the record keeps both of the record's load-bearing
+    * invariants for free: the record is never transiently missing to an
+    * unlocked listing, and a rollback's delete can never be raced into a
+    * resurrected record with a fresh lease. */
+  private[engine] def intentLeasePath(name: String, id: String): Path =
+    new Path(intentsDir(name), s".${validComponent("intent id", id)}.json.lease")
+
   /** The private per-intent staging root — a SIBLING of `log/`, so no
     * whole-log listing ([[fullLogDF]]) or manifest diff ever sees it. */
   private[engine] def produceStagingDir(name: String, id: String): Path =
@@ -3982,19 +4037,56 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     conf("spark.graft.produce.intentTimeoutMs",
       Catalog.CompactLockStaleMs.toString).toLong
 
+  /** The protocol's patience knobs, CATALOG-SCOPED: each reads its
+    * `spark.graft.*` key through [[conf]] — session conf plus this
+    * catalog's [[setConfOverride]] precedence, same as its sibling
+    * `intentTimeoutMs` — so two catalogs in one JVM (a test harness, a
+    * multi-tenant driver) can hold different patience settings without
+    * mutating global state. The legacy `object Catalog` vars remain as
+    * JVM-wide DEFAULTS only. */
+  private[graft] def produceLockWaitMs: Long =
+    conf("spark.graft.produce.lockWaitMs",
+      Catalog.ProduceLockWaitMs.toString).toLong
+
+  /** See [[produceLockWaitMs]]'s scoping note. */
+  private[graft] def produceCommitWaitMs: Long =
+    conf("spark.graft.produce.commitWaitMs",
+      Catalog.ProduceCommitWaitMs.toString).toLong
+
+  /** See [[produceLockWaitMs]]'s scoping note. */
+  private[graft] def briefLockWaitMs: Long =
+    conf("spark.graft.produce.briefLockWaitMs",
+      Catalog.BriefLockWaitMs.toString).toLong
+
+  /** See [[produceLockWaitMs]]'s scoping note. */
+  private[graft] def mergeCommitWaitMs: Long =
+    conf("spark.graft.merge.commitWaitMs",
+      Catalog.MergeCommitWaitMs.toString).toLong
+
   /** Every produce intent: (id, reserved ranges, lease mtime). One
     * listing; a topic that never saw concurrent produce pays one
-    * exists() probe. */
+    * exists() probe. The lease mtime is the max of the record's own mtime
+    * and its sibling lease marker's (when the heartbeat runs write-based,
+    * [[intentLeasePath]]) — both stamps come from the SAME listing, so the
+    * sibling costs zero extra round trips. */
   private[graft] def listProduceIntents(name: String): Seq[(String, Vector[TxnRange], Long)] = {
     val dir = intentsDir(name)
     if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+    val entries = fs.listStatus(dir).toSeq.filter(_.isFile)
+    val leaseMtimes: Map[String, Long] = entries.collect {
+      case s if s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".json.lease") =>
+        s.getPath.getName.stripPrefix(".").stripSuffix(".json.lease") ->
+          s.getModificationTime
+    }.toMap
+    entries
+      .filter(s => s.getPath.getName.endsWith(".json") &&
         !s.getPath.getName.startsWith("."))
       .flatMap(s => readStringResilient(s.getPath).map { j =>
-        (s.getPath.getName.stripSuffix(".json"),
+        val id = s.getPath.getName.stripSuffix(".json")
+        (id,
           TxnRange.fromJValue(JsonMethods.parse(j) \ "ranges"),
-          s.getModificationTime)
+          math.max(s.getModificationTime, leaseMtimes.getOrElse(id, 0L)))
       })
   }
 
@@ -4019,30 +4111,50 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   }
 
   /** Heartbeat: refresh the intent's lease mtime IN PLACE (`setTimes`) —
-    * never a delete-then-rename rewrite, for two load-bearing reasons:
-    * (1) a rewrite's delete window would make a LIVE intent invisible to
-    * every unlocked-at-write-time listing judgment (commit blockers, the
-    * draining gate, the compaction/drop guards, vacuum), and (2) a
-    * rewrite racing a rollback's delete could RESURRECT the file —
-    * `setTimes` on a deleted path just throws, so a rolled-back intent
-    * stays gone. Filesystems without `setTimes` (some object stores) fall
-    * back to the rewrite; there the committer's staging-gone and
-    * watermark guards still make a resurrected zombie refuse loudly. */
+    * never a delete-then-rename rewrite of the record, for two
+    * load-bearing reasons: (1) a rewrite's delete window would make a
+    * LIVE intent invisible to every unlocked-at-write-time listing
+    * judgment (commit blockers, the draining gate, the compaction/drop
+    * guards, vacuum), and (2) a rewrite racing a rollback's delete could
+    * RESURRECT the record — `setTimes` on a deleted path just throws, so
+    * a rolled-back intent stays gone.
+    *
+    * `setTimes` is VERIFIED effective once per store
+    * ([[Catalog.refreshMtimeVerified]]): Hadoop's default is a silent
+    * no-op and s3a keeps it, so an unverified heartbeat would silently
+    * stop beating there and a long data write would be janitored
+    * mid-flight. On a setTimes-deaf store the refresh lands on the
+    * SIBLING lease marker ([[intentLeasePath]], create-overwrite = one
+    * atomic PUT) instead — the record itself is never touched, which
+    * preserves both invariants above verbatim: the record is never
+    * missing to a listing, and a rollback racing the lease create leaves
+    * at worst an inert orphan marker (self-healed right here; vacuum
+    * catches the residual create-vs-delete window). */
   private[engine] def touchProduceIntent(name: String, id: String): Unit = {
     val p = intentPath(name, id)
-    try fs.setTimes(p, System.currentTimeMillis(), -1L)
-    catch {
+    try {
+      if (!Catalog.refreshMtimeVerified(fs, p)) {
+        val lease = intentLeasePath(name, id)
+        fs.create(lease, true).close()
+        // self-heal the create-vs-rollback race: a rollback deletes lease
+        // then record; a lease landing between those deletes (or after
+        // both) must not linger — re-check the record and retract
+        if (!fs.exists(p)) fs.delete(lease, false): Unit
+      }
+    } catch {
       case _: java.io.FileNotFoundException => () // rolled back: stay gone
-      case _: UnsupportedOperationException =>
-        readStringResilient(p).foreach(j => writeAtomic(p, j))
     }
   }
 
   /** Roll back ONE intent (caller holds the produce lock): staging
-    * deleted first, then the intent record. The watermark does NOT move
-    * here — a successor's commit gap-advances over the dead range. */
+    * deleted first, then the lease marker, then the intent record — the
+    * record goes LAST so its presence always implies the others may
+    * exist, and its absence is the terminal signal every observer keys
+    * on. The watermark does NOT move here — a successor's commit
+    * gap-advances over the dead range. */
   private[engine] def rollbackProduceIntentLocked(name: String, id: String): Unit = {
     fs.delete(produceStagingDir(name, id), true): Unit
+    fs.delete(intentLeasePath(name, id), false): Unit
     fs.delete(intentPath(name, id), false): Unit
   }
 
@@ -4084,11 +4196,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       try {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(interval)
-          touchProduceIntent(name, id)
+          // one transient metadata-store hiccup must not kill the lease
+          // heartbeat for the rest of a long write — swallow per BEAT and
+          // retry next interval; only interrupt ends the loop (a rolled-
+          // back intent is already a silent no-op inside the touch)
+          try touchProduceIntent(name, id)
+          catch { case scala.util.control.NonFatal(_) => () }
         }
       } catch {
         case _: InterruptedException => ()
-        case scala.util.control.NonFatal(_) => () // lease lapses; commit guard catches it
       }
     }, s"graft-intent-heartbeat-$name-$id")
     t.setDaemon(true)
@@ -4110,11 +4226,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    */
   private[engine] def commitProduceIntent(name: String, intentId: String,
       firstIds: Map[Int, Long], counts: Map[Int, Long]): Unit = {
-    val deadline = System.currentTimeMillis() + Catalog.ProduceCommitWaitMs
+    val deadline = System.currentTimeMillis() + produceCommitWaitMs
     var lastTouch = System.currentTimeMillis()
     var backoffMs = 100L
     while (true) {
-      acquireProduceLock(name, Catalog.BriefLockWaitMs)
+      acquireProduceLock(name, briefLockWaitMs)
       var committed = false
       try {
         if (!fs.exists(intentPath(name, intentId)))
@@ -4174,6 +4290,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           updateManifest(name, ends, excludeGap = gaps)
           writeNextIds(name, wm ++ ends)
           fs.delete(intentPath(name, intentId), false): Unit
+          fs.delete(intentLeasePath(name, intentId), false): Unit
           fs.delete(produceStagingDir(name, intentId), true): Unit
           committed = true
         } else {
@@ -4206,7 +4323,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         throw new LockConflictException(
           s"topic '$name': produce commit '$intentId' timed out waiting " +
           "for earlier concurrent produces to commit — increase " +
-          "Catalog.ProduceCommitWaitMs, or investigate the blocked producer")
+          "spark.graft.produce.commitWaitMs, or investigate the blocked producer")
       // exponential backoff: each blocked iteration costs lock churn plus
       // metadata reads, which an object store bills per request
       Thread.sleep(backoffMs)
@@ -4225,7 +4342,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * data; the manifest (when present) merely narrows the candidates. */
   private def purgeGapOrphans(name: String, gaps: Map[Int, (Long, Long)]): Unit = {
     val conf = hadoopConf
-    val candidates: Seq[(Int, Path)] = readManifest(name) match {
+    val manifest = readManifest(name)
+    val manifestBacked = manifest.isDefined
+    val candidates: Seq[(Int, Path)] = manifest match {
       case Some(m) =>
         unlistedChunkFiles(name, m, gaps.keys)
           .map { case (p, rel) => (p, new Path(logPath(name), rel)) }
@@ -4242,6 +4361,17 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       val (lo, _) = Catalog.fileIdRange(f, conf)
       val (glo, ghi) = gaps(p)
       if (lo != Long.MinValue && lo >= glo && lo < ghi)
+        fs.delete(f, false): Unit
+      // unreadable footer (corrupt/torn chunk): with a manifest, every
+      // candidate is UNLISTED = provably uncommitted (the manifest write
+      // is the commit point), so a footer-less candidate in a gap
+      // partition is debris that can neither be ranged-purged above nor
+      // excluded by footer downstream — delete it here, or it outlives
+      // every purge signature and a legacy manifest heal could adopt it.
+      // Without a manifest, candidates include committed files and a
+      // footer-less one is ambiguous — left alone (adoption of
+      // footer-less files is suppressed in [[updateManifest]]).
+      else if (lo == Long.MinValue && manifestBacked)
         fs.delete(f, false): Unit
     }
   }
@@ -4272,13 +4402,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * watermark commit would otherwise jump over a live reservation's
    * un-committed range, breaking the ordered-commit invariant. Stale
    * intents roll back immediately; fresh ones are waited out (bounded by
-   * [[Catalog.ProduceCommitWaitMs]]). Returns holding the lock.
+   * [[produceCommitWaitMs]], catalog-scoped). Returns holding the lock.
    */
   private[engine] def acquireProduceLockDraining(name: String): Unit = {
-    val deadline = System.currentTimeMillis() + Catalog.ProduceCommitWaitMs
+    val deadline = System.currentTimeMillis() + produceCommitWaitMs
     var backoffMs = 100L
     while (true) {
-      acquireProduceLock(name, Catalog.BriefLockWaitMs)
+      acquireProduceLock(name, briefLockWaitMs)
       val live =
         try {
           rollbackStaleIntentsLocked(name): Unit
@@ -4701,7 +4831,10 @@ object Catalog {
   /** How long `Producer.produce` waits for a contended produce lock before
     * throwing. 0 (default) = fail fast (safe-by-rejection); > 0 = bounded
     * wait, which SERIALIZES well-behaved concurrent producers the way the
-    * reference's write queue does. Var so applications set it once. */
+    * reference's write queue does. JVM-wide DEFAULT only — reads go
+    * through the catalog-scoped `spark.graft.produce.lockWaitMs` conf
+    * ([[Catalog.produceLockWaitMs]]), so per-catalog pins use
+    * `setConfOverride`, not this var. */
   @volatile var ProduceLockWaitMs: Long = 0L
 
   /** How long a concurrent produce's ORDERED commit waits for its
@@ -4709,12 +4842,18 @@ object Catalog {
     * or go stale, and how long an exclusive-statement writer waits for
     * live intents to drain ([[Catalog.acquireProduceLockDraining]]). The
     * wait is the other producers' DATA-WRITE time, so the default is
-    * generous; tests compress it. */
+    * generous. JVM-wide DEFAULT only — reads go through the catalog-scoped
+    * `spark.graft.produce.commitWaitMs` conf
+    * ([[Catalog.produceCommitWaitMs]]); tests compress via
+    * `setConfOverride`. */
   @volatile var ProduceCommitWaitMs: Long = 10L * 60 * 1000
 
   /** Patience floor for the protocol's BRIEF lock sections (reservation,
     * ordered commit): millisecond-length holds contending with each other
-    * must serialize, not reject, whatever ProduceLockWaitMs says. */
+    * must serialize, not reject, whatever ProduceLockWaitMs says.
+    * JVM-wide DEFAULT only — reads go through the catalog-scoped
+    * `spark.graft.produce.briefLockWaitMs` conf
+    * ([[Catalog.briefLockWaitMs]]). */
   @volatile var BriefLockWaitMs: Long = 30L * 1000
 
   /** How long a MERGE's phase-2 vector-delete commit retries through
@@ -4723,7 +4862,10 @@ object Catalog {
     * committed by then, so giving up leaves the documented
     * transient-duplicate state until recovery rolls forward — patience
     * here is what keeps a mere lock conflict from looking like a torn
-    * statement. Var so tests can compress it. */
+    * statement. JVM-wide DEFAULT only — reads go through the
+    * catalog-scoped `spark.graft.merge.commitWaitMs` conf
+    * ([[Catalog.mergeCommitWaitMs]]); tests compress via
+    * `setConfOverride`. */
   @volatile var MergeCommitWaitMs: Long = 60000L
 
   /** A held lock's owner: the acquiring thread (for liveness-based
@@ -4796,6 +4938,56 @@ object Catalog {
     }
   }
 
+  /** Per-filesystem memoized verdict of [[refreshMtimeVerified]], keyed by
+    * the fs URI: `true` = `setTimes` demonstrably advances mtimes on that
+    * store; `false` = it is a silent no-op there. Hadoop's
+    * `FileSystem.setTimes` DEFAULT is a silent no-op and s3a does not
+    * override it, so on the advertised object-store posture a bare
+    * `setTimes` heartbeat silently stops beating — exactly the failure a
+    * heartbeat exists to prevent. One verification probe per store per
+    * JVM, not one per beat. */
+  private val setTimesEffective =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Test-only seam: forget the memoized [[refreshMtimeVerified]] verdicts
+    * (a spec that swaps filesystem behavior under one URI needs a fresh
+    * probe). Production never calls this. */
+  private[graft] def resetSetTimesVerdicts(): Unit = setTimesEffective.clear()
+
+  /** Refresh `p`'s mtime via `setTimes`, VERIFYING effectiveness once per
+    * filesystem: on the first refresh the mtime is read back — if it did
+    * not advance past its prior value (the target is forced strictly above
+    * it, so "unchanged" is proof of a no-op, never a same-millisecond
+    * touch), the store is remembered as setTimes-deaf and every later call
+    * returns `false` immediately. Returns `true` iff the mtime refresh
+    * took effect in place; on `false` the caller MUST refresh through a
+    * real write (marker re-create / sibling lease). Throws
+    * `FileNotFoundException` if `p` is gone — deletion signals stay loud. */
+  private[engine] def refreshMtimeVerified(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val key = fs.getUri.toString
+    val known = setTimesEffective.get(key)
+    if (known != null) {
+      if (!known.booleanValue()) return false
+      fs.setTimes(p, System.currentTimeMillis(), -1L)
+      return true
+    }
+    val before = fs.getFileStatus(p).getModificationTime
+    val target = math.max(System.currentTimeMillis(), before + 1L)
+    val worked =
+      try {
+        fs.setTimes(p, target, -1L)
+        fs.getFileStatus(p).getModificationTime != before
+      } catch { case _: UnsupportedOperationException => false }
+    setTimesEffective.put(key, worked)
+    if (!worked)
+      log.warn(s"filesystem $key ignores setTimes (mtime unchanged after " +
+        "refresh) — lease/lock heartbeats on this store switch to " +
+        "write-based refresh permanently")
+    worked
+  }
+
   private[engine] def startLockHeartbeat(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {
@@ -4804,8 +4996,23 @@ object Catalog {
     val task: Runnable = () => {
       val o = heldLocks.get(key)
       if (o == null || !o.thread.isAlive) stopLockHeartbeat(key)
-      else try fs.setTimes(p, System.currentTimeMillis(), -1)
-      catch { case scala.util.control.NonFatal(_) => () }
+      else try {
+        if (!refreshMtimeVerified(fs, p)) {
+          // store ignores setTimes: refresh through a create-overwrite
+          // re-write (atomic PUT on object stores — the lock file is never
+          // MISSING mid-refresh, unlike a delete→rename rewrite, so a
+          // contender's staleness probe can never catch the lock absent
+          // and steal it). Content is owner info for error messages only;
+          // the mtime is the liveness signal ([[lockAge]] reads only it).
+          val out = fs.create(p, true)
+          try out.write(JsonMethods.compact(JsonMethods.render(JObject(
+            "owner" -> JString(
+              java.lang.management.ManagementFactory.getRuntimeMXBean.getName),
+            "start" -> JLong(o.since))))
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     val fut = heartbeatExec.scheduleWithFixedDelay(
       task, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -4983,8 +5190,16 @@ object Catalog {
   }
 
   def fileIdRange(path: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    // a torn/corrupt footer (crashed writer debris) reads as "no stats" —
+    // every caller already treats (MinValue, MaxValue) as the undecidable
+    // case (never prune, never ranged-purge; gap commits quarantine it via
+    // [[Catalog.purgeGapOrphans]]'s footer-less branch). Throwing here
+    // would instead wedge the whole maintenance pass on one bad file.
+    val reader =
+      try org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+      catch { case scala.util.control.NonFatal(_) =>
+        return (Long.MinValue, Long.MaxValue) }
     try {
       var lo = Long.MaxValue
       var hi = Long.MinValue

@@ -157,7 +157,7 @@ object MergeCommit {
     // STATEMENT-LEVEL patience (the Delta-queueing UX): a refusal whose
     // only cause is somebody ELSE mid-flight — a foreign live intent, a
     // live compaction, a contended produce lock — retries the whole
-    // serialize-check-commit up to [[Catalog.MergeCommitWaitMs]] before
+    // serialize-check-commit up to [[Catalog.mergeCommitWaitMs]] (catalog-scoped) before
     // surfacing. Semantics unchanged (row-level statements still fully
     // serialize; every retry re-runs every gate from scratch against the
     // then-current state); only the failure mode moves from "error the
@@ -166,7 +166,7 @@ object MergeCommit {
     // before any write, and a produce failure that rolled its intent back
     // left no trace — the one failure-after-commit shape rethrows as
     // [[ProduceCommittedFailure]], which this loop never retries.
-    val stmtDeadline = System.currentTimeMillis() + Catalog.MergeCommitWaitMs
+    val stmtDeadline = System.currentTimeMillis() + catalog.mergeCommitWaitMs
     def withStatementPatience[A](body: => A): A = {
       while (true) {
         try return body
@@ -260,12 +260,12 @@ object MergeCommit {
     // produce). With the produce already committed, a ROUTINE lock
     // conflict here (another producer's commit, a live compaction) must
     // not surface a half-applied statement, so conflicts retry with
-    // backoff up to [[Catalog.MergeCommitWaitMs]] — the old delete-first
+    // backoff up to [[Catalog.mergeCommitWaitMs]] (catalog-scoped) — the old delete-first
     // ordering hit the same conflicts BEFORE anything was visible and
     // could fail clean; this ordering owes the statement more patience.
     // A crash or final failure is rolled FORWARD by
     // reconcileProduceState: the delete re-run is idempotent.
-    val deadline = System.currentTimeMillis() + Catalog.MergeCommitWaitMs
+    val deadline = System.currentTimeMillis() + catalog.mergeCommitWaitMs
     val dels = deleteActions(spark, files) // lazy relation — built once
     var done = false
     while (!done) {

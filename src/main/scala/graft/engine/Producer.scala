@@ -71,7 +71,7 @@ final class Producer(
     // partition shape (ProviderImpl.hpp:137-160).
     val (staged, counts) = stageAndCount(df)
     // phase 1 (brief lock): entry hygiene + id reservation
-    catalog.acquireProduceLock(config.name, graft.engine.Catalog.BriefLockWaitMs)
+    catalog.acquireProduceLock(config.name, catalog.briefLockWaitMs)
     val reserved: Option[(String, Map[Int, Long])] =
       try {
         // decide any crashed transactional/idempotent/concurrent intent

@@ -377,8 +377,9 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("conc_demo", partitions = 4)
       val topic = d.openTopic("conc_demo")
-      val prior = graft.engine.Catalog.ProduceLockWaitMs
-      graft.engine.Catalog.ProduceLockWaitMs = 120000L
+      // catalog-scoped (NOT the JVM-global var): the patience pin must not
+      // leak into other fixtures' catalogs evaluated concurrently
+      d.catalog.setConfOverride("spark.graft.produce.lockWaitMs", "120000")
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       try {
         val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
@@ -397,7 +398,7 @@ object EnginePack extends QueryPack {
         // a wedged writer must not outlive the fixture holding the produce
         // lock into later queries
         pool.shutdownNow(): Unit
-        graft.engine.Catalog.ProduceLockWaitMs = prior
+        d.catalog.clearConfOverride("spark.graft.produce.lockWaitMs")
       }
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
       topic.events()

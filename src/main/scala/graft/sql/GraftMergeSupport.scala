@@ -81,12 +81,12 @@ final class GraftRowLevelOperation(
     // Statement-level patience at PLAN time, matching the commit-time
     // loop ([[graft.engine.MergeCommit]]): a concurrent statement that is
     // merely mid-commit clears within moments, so this plan WAITS for the
-    // intents to decide (bounded by [[Catalog.MergeCommitWaitMs]]) instead
+    // intents to decide (bounded by [[Catalog.mergeCommitWaitMs]], catalog-scoped) instead
     // of erroring — two upsert streams interleaving on one topic then
     // queue like Delta's, no caller retry loops. The refusal on timeout
     // stays loud and typed: planning over an undecided commit pair is the
     // one thing a row-level operation must never do.
-    val deadline = System.currentTimeMillis() + Catalog.MergeCommitWaitMs
+    val deadline = System.currentTimeMillis() + catalog.mergeCommitWaitMs
     // recoverPendingMerges can itself hit transient typed contention (e.g.
     // the roll-forward's vector commit refusing under a foreign live
     // compaction) — that is exactly the condition this loop exists to

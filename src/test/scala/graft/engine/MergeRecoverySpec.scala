@@ -216,11 +216,12 @@ class MergeRecoverySpec extends SparkSpec {
     // plan-time patience window — the intent cannot resolve while the
     // marker reads live), never plan over the duplicate view (matching
     // both copies would insert permanent dups)
-    val saved = Catalog.MergeCommitWaitMs
-    Catalog.MergeCommitWaitMs = 400L
+    // session conf (the merge path builds its own Catalog instances, so a
+    // per-instance override cannot reach it; the var default stays global)
+    spark.conf.set("spark.graft.merge.commitWaitMs", "400")
     val e =
       try intercept[Exception](retry())
-      finally Catalog.MergeCommitWaitMs = saved
+      finally spark.conf.unset("spark.graft.merge.commitWaitMs")
     assert(e.getMessage.contains("undecided"), e.getMessage)
     // the marker ages out (or a graceful failure path deletes it) → the
     // same retry heals first and applies exactly once
@@ -327,13 +328,12 @@ class MergeRecoverySpec extends SparkSpec {
     // and still surfaces loud and typed.
     val (stagingB, filesB) = stageActions(d)
     val before = tableState(topic)
-    val saved = Catalog.MergeCommitWaitMs
-    Catalog.MergeCommitWaitMs = 400L
+    spark.conf.set("spark.graft.merge.commitWaitMs", "400")
     val e =
       try intercept[ConcurrentMergeException](
         MergeCommit.commit(spark, d.warehouse, "t", filesB, 3L, 3L, stagingB,
           plannedVersion = Some(0L)))
-      finally Catalog.MergeCommitWaitMs = saved
+      finally spark.conf.unset("spark.graft.merge.commitWaitMs")
     assert(e.getMessage.contains("serialize"), e.getMessage)
     assert(tableState(topic) == before, "B must leave no trace")
     assert(cat.listMergeIntents("t").keySet == Set("mA"), "A's intent untouched")
@@ -378,13 +378,12 @@ class MergeRecoverySpec extends SparkSpec {
     import spark.implicits._
     (4 to 6).map(k => (k.toLong, s"""{"k":$k,"v":"new2"}"""))
       .toDF("k", "md").createOrReplaceTempView("queue_src")
-    val saved = Catalog.MergeCommitWaitMs
-    Catalog.MergeCommitWaitMs = 20000L
+    spark.conf.set("spark.graft.merge.commitWaitMs", "20000")
     try spark.sql(
       s"""MERGE INTO $sqlCat.t tgt USING queue_src c
          |ON get_json_object(tgt.metadata, '$$.k') = CAST(c.k AS STRING)
          |WHEN MATCHED THEN UPDATE SET metadata = c.md""".stripMargin): Unit
-    finally { Catalog.MergeCommitWaitMs = saved; ager.join() }
+    finally { spark.conf.unset("spark.graft.merge.commitWaitMs"); ager.join() }
 
     val after = tableState(topic)
     assert(after.size == 10 && after.map(_._1).distinct.size == 10,
@@ -428,11 +427,11 @@ class MergeRecoverySpec extends SparkSpec {
       }
     })
     observer.start()
-    val saved = Catalog.MergeCommitWaitMs
-    Catalog.MergeCommitWaitMs = 20000L
+    spark.conf.set("spark.graft.merge.commitWaitMs", "20000")
     try MergeCommit.commit(spark, d.warehouse, "t", files, 3L, 3L, stagingDir,
       plannedVersion = Some(cat.versionHistory("t").last.version))
-    finally { Catalog.MergeCommitWaitMs = saved; compactor.join(); observer.join() }
+    finally { spark.conf.unset("spark.graft.merge.commitWaitMs")
+      compactor.join(); observer.join() }
     val after = tableState(topic)
     assert(after.size == 10 && after.filter(_._1 < 3).forall(_._2 == "new"),
       s"the merge must have waited out the compaction and landed whole: $after")

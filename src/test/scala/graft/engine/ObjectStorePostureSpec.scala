@@ -1,0 +1,263 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** A local filesystem that swallows `setTimes` without error — the exact
+  * object-store posture (Hadoop's `FileSystem.setTimes` DEFAULT is a
+  * silent no-op and s3a does not override it). Registered under the
+  * `noopmtime:` scheme so its [[Catalog.refreshMtimeVerified]] verdict is
+  * memoized separately from the real local filesystem's. */
+class NoopSetTimesFileSystem extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("noopmtime:///")
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+}
+
+/**
+ * The engine's lease/lock heartbeats on an OBJECT-STORE posture (VERDICT
+ * r15 #1): `setTimes` silently no-ops there, so an unverified mtime
+ * heartbeat silently stops beating and a long concurrent produce gets
+ * janitored mid-write — a deterministic rollback-retry livelock for
+ * exactly the 100-TB batches the protocol exists for. These specs wrap
+ * the local filesystem in a silently-no-op-`setTimes` shim and prove the
+ * verified-refresh fallback ([[Catalog.refreshMtimeVerified]] → sibling
+ * lease marker / lock re-create) keeps long writes alive while dead
+ * intents still expire. Plus the round's sibling hygiene: catalog-scoped
+ * patience knobs (two catalogs, one JVM, different waits), the vacuum
+ * staging reap's store-clock judgment, and footer-less gap debris.
+ */
+class ObjectStorePostureSpec extends SparkSpec {
+
+  private def hc = spark.sparkContext.hadoopConfiguration
+
+  private def noopWarehouse(): String = {
+    hc.set("fs.noopmtime.impl", classOf[NoopSetTimesFileSystem].getName)
+    "noopmtime:" + Files.createTempDirectory("graft-noopfs").toString
+  }
+
+  private def newTopic(wh: String, partitions: Int = 1): (GraftDriver, TopicHandle) = {
+    val d = new GraftDriver(spark, wh)
+    d.createTopic("t", partitions = partitions)
+    (d, d.openTopic("t"))
+  }
+
+  private def fsOf(wh: String) =
+    new Path(wh).getFileSystem(hc)
+
+  /** Write `n` rows with explicit ids [first, first+n) on partition 0 into
+    * an intent's staging dir (deterministic stand-in for phase 2). */
+  private def writeStaging(d: GraftDriver, intentId: String,
+                           first: Long, n: Int): Unit = {
+    import spark.implicits._
+    (0 until n).map(i => (0, first + i, s"""{"i":${first + i}}""", null: Array[Byte]))
+      .toDF("partition", "event_id", "metadata", "data")
+      .coalesce(1).write.partitionBy("partition")
+      .parquet(d.catalog.produceStagingDir("t", intentId).toString)
+  }
+
+  test("setTimes-deaf store: a write outlasting the lease horizon survives the janitor and commits") {
+    val wh = noopWarehouse()
+    val (d, topic) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    cat.setConfOverride("spark.graft.produce.intentTimeoutMs", "2000")
+    try {
+      cat.acquireProduceLock("t")
+      val (id, first) = try cat.reserveProduce("t", Map(0 -> 3L))
+        finally cat.releaseProduceLock("t")
+      val hb = cat.startIntentHeartbeat("t", id) // beats every 500ms here
+      try {
+        // the "data write": 2.25x the lease horizon of wall time
+        Thread.sleep(4500)
+        // a janitor pass mid-write (any other producer's entry reconcile)
+        cat.acquireProduceLock("t")
+        try assert(cat.rollbackStaleIntentsLocked("t").isEmpty,
+          "a live, heartbeating intent must survive the janitor on a " +
+          "setTimes-deaf store")
+        finally cat.releaseProduceLock("t")
+        assert(cat.listProduceIntents("t").map(_._1) == Seq(id))
+        // the refresh demonstrably went through the SIBLING lease marker
+        // (setTimes is a silent no-op here, so an in-place refresh is
+        // impossible — presence of the marker proves the verified
+        // fallback engaged)
+        assert(fs.exists(cat.intentLeasePath("t", id)),
+          "the write-based lease marker must exist on a setTimes-deaf store")
+        writeStaging(d, id, 0L, 3)
+      } finally { hb.interrupt(); hb.join(2000) }
+      cat.commitProduceIntent("t", id, first, Map(0 -> 3L))
+      assert(topic.events().count() == 3)
+      assert(cat.listProduceIntents("t").isEmpty)
+      assert(!fs.exists(cat.intentLeasePath("t", id)),
+        "the commit must retire the lease marker with the record")
+    } finally cat.clearConfOverride("spark.graft.produce.intentTimeoutMs")
+  }
+
+  test("setTimes-deaf store: a genuinely dead intent still expires") {
+    val wh = noopWarehouse()
+    val (d, _) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    cat.setConfOverride("spark.graft.produce.intentTimeoutMs", "300")
+    try {
+      cat.acquireProduceLock("t")
+      val (id, _) = try cat.reserveProduce("t", Map(0 -> 2L))
+        finally cat.releaseProduceLock("t")
+      // one beat happened (lease marker written), then the producer died
+      cat.touchProduceIntent("t", id)
+      assert(fs.exists(cat.intentLeasePath("t", id)))
+      Thread.sleep(900)
+      cat.acquireProduceLock("t")
+      try assert(cat.rollbackStaleIntentsLocked("t") == Seq(id),
+        "an idle intent must expire even when its last beat was write-based")
+      finally cat.releaseProduceLock("t")
+      assert(cat.listProduceIntents("t").isEmpty)
+      assert(!fs.exists(cat.intentLeasePath("t", id)),
+        "rollback must reap the lease marker alongside the record")
+      assert(!fs.exists(cat.produceStagingDir("t", id)))
+    } finally cat.clearConfOverride("spark.graft.produce.intentTimeoutMs")
+  }
+
+  test("setTimes-deaf store: a beat racing the rollback self-heals — no zombie, no orphan lease") {
+    val wh = noopWarehouse()
+    val (d, _) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    cat.acquireProduceLock("t")
+    val (id, _) = try cat.reserveProduce("t", Map(0 -> 2L))
+      finally cat.releaseProduceLock("t")
+    cat.touchProduceIntent("t", id)
+    cat.acquireProduceLock("t")
+    try cat.rollbackProduceIntentLocked("t", id)
+    finally cat.releaseProduceLock("t")
+    // an in-flight beat lands AFTER the rollback's deletes: the record is
+    // never resurrected (it is never rewritten), and the lease marker the
+    // beat just created retracts itself on the record-gone re-check
+    cat.touchProduceIntent("t", id)
+    assert(cat.listProduceIntents("t").isEmpty)
+    assert(!fs.exists(cat.intentLeasePath("t", id)),
+      "a lease marker landing after rollback must self-delete")
+  }
+
+  test("setTimes-deaf store: the produce-lock heartbeat keeps a long hold visibly live") {
+    val wh = noopWarehouse()
+    val (d, _) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    val saved = Catalog.CompactLockStaleMs
+    Catalog.CompactLockStaleMs = 3000L // heartbeat period = 1000ms
+    try {
+      cat.acquireProduceLock("t")
+      try {
+        Thread.sleep(3500) // well past the compressed staleness horizon
+        val lock = new Path(cat.topicPath("t"), "_produce.lock")
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        assert(age < Catalog.CompactLockStaleMs,
+          s"the lock heartbeat must keep the file fresh on a setTimes-deaf " +
+          s"store (age ${age}ms >= horizon ${Catalog.CompactLockStaleMs}ms " +
+          "would read as a crashed producer and get reclaimed mid-run)")
+      } finally cat.releaseProduceLock("t")
+    } finally Catalog.CompactLockStaleMs = saved
+  }
+
+  test("patience knobs are catalog-scoped: two catalogs in one JVM hold different waits") {
+    val whA = Files.createTempDirectory("graft-knobs-a").toString
+    val whB = Files.createTempDirectory("graft-knobs-b").toString
+    val (dA, _) = newTopic(whA)
+    val (dB, _) = newTopic(whB)
+    dA.catalog.setConfOverride("spark.graft.produce.commitWaitMs", "200")
+    dB.catalog.setConfOverride("spark.graft.produce.commitWaitMs", "6000")
+    dB.catalog.setConfOverride("spark.graft.produce.intentTimeoutMs", "400")
+    try {
+      assert(dA.catalog.produceCommitWaitMs == 200L)
+      assert(dB.catalog.produceCommitWaitMs == 6000L,
+        "the second catalog must not see the first catalog's override")
+      // behavioral: both topics have one live intent. A's impatient gate
+      // gives up fast; B's patient gate outlives its (compressed) lease
+      // horizon, rolls the stale intent back, and proceeds.
+      Seq(dA, dB).foreach { d =>
+        d.catalog.acquireProduceLock("t")
+        try d.catalog.reserveProduce("t", Map(0 -> 2L)): Unit
+        finally d.catalog.releaseProduceLock("t")
+      }
+      intercept[LockConflictException](
+        dA.catalog.acquireProduceLockDraining("t"))
+      dB.catalog.acquireProduceLockDraining("t") // succeeds within 6000ms
+      dB.catalog.releaseProduceLock("t")
+    } finally {
+      dA.catalog.clearConfOverride("spark.graft.produce.commitWaitMs")
+      dB.catalog.clearConfOverride("spark.graft.produce.commitWaitMs")
+      dB.catalog.clearConfOverride("spark.graft.produce.intentTimeoutMs")
+    }
+  }
+
+  test("vacuum staging reap is skew-immune: local clock ahead never reaps live staging") {
+    val wh = Files.createTempDirectory("graft-vacskew").toString
+    val (d, topic) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    // an orphan staging dir (no matching intent), freshly store-stamped —
+    // the shape of a rollback interrupted between its two deletes with a
+    // zombie task still writing
+    val orphan = cat.produceStagingDir("t", "deadbeef0000")
+    fs.mkdirs(orphan)
+    // the local JVM clock runs 2x the staleness horizon AHEAD of the store
+    spark.conf.set("spark.graft.txn.testLocalSkewMs",
+      (2 * Catalog.CompactLockStaleMs).toString)
+    try {
+      topic.vacuum(): Unit
+      assert(fs.exists(orphan),
+        "a freshly store-stamped staging dir must survive a vacuum whose " +
+        "local clock runs ahead (store-clock judgment, not local-vs-store)")
+      // a GENUINELY old orphan is still reaped under the same skew
+      assert(new java.io.File(orphan.toUri.getPath).setLastModified(
+        System.currentTimeMillis() - 2 * Catalog.CompactLockStaleMs))
+      topic.vacuum(): Unit
+      assert(!fs.exists(orphan), "an aged orphan staging dir must be reaped")
+    } finally spark.conf.unset("spark.graft.txn.testLocalSkewMs")
+  }
+
+  test("footer-less debris inside a decided-dead gap is purged, never adopted") {
+    val wh = Files.createTempDirectory("graft-gapdebris").toString
+    val (d, topic) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    import spark.implicits._
+    // committed base: manifest exists, watermark = 4
+    topic.producer().produce(
+      (0 until 4).map(i => (s"""{"i":$i}""", 0)).toDF("metadata", "partition")): Unit
+    // A reserves [4,7) and dies; B reserves [7,9)
+    def reserve(n: Long) = {
+      cat.acquireProduceLock("t")
+      try cat.reserveProduce("t", Map(0 -> n)) finally cat.releaseProduceLock("t")
+    }
+    val (idA, _) = reserve(3)
+    val (idB, firstB) = reserve(2)
+    writeStaging(d, idB, 7L, 2)
+    // plant a FOOTER-LESS (corrupt/torn) chunk in the gap partition: the
+    // debris shape a crashed commit can leave that no id-range judgment
+    // can place — before this round it was neither purged (footer
+    // unreadable) nor excluded from adoption
+    val garbage = new Path(cat.logPath("t") + "/partition=0/part-torn.parquet")
+    val out = fs.create(garbage, true)
+    try out.write("not a parquet file".getBytes("UTF-8")) finally out.close()
+    // A's lease expires; B commits over the decided-dead gap [4,7)
+    cat.setConfOverride("spark.graft.produce.intentTimeoutMs", "1")
+    try {
+      Thread.sleep(50)
+      cat.commitProduceIntent("t", idB, firstB, Map(0 -> 2L))
+    } finally cat.clearConfOverride("spark.graft.produce.intentTimeoutMs")
+    assert(!fs.exists(garbage),
+      "footer-less debris in a decided-dead gap must be deleted at gap-advance")
+    assert(cat.listProduceIntents("t").isEmpty,
+      s"A ($idA) must have been rolled back at B's blocked commit")
+    val ev = topic.events()
+    assert(ev.count() === 6, "base 4 + B's 2, debris invisible")
+    assert(ev.agg(max(col("event_id"))).collect()(0).getLong(0) === 8L)
+  }
+}

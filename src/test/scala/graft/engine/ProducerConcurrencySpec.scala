@@ -114,13 +114,12 @@ class ProducerConcurrencySpec extends SparkSpec {
     val (_, _) = try cat.reserveProduce("t", Map(0 -> 5L))
       finally cat.releaseProduceLock("t")
     // a transactional statement cannot start while the intent is live
-    val prior = Catalog.ProduceCommitWaitMs
-    Catalog.ProduceCommitWaitMs = 300L
+    cat.setConfOverride("spark.graft.produce.commitWaitMs", "300")
     try {
       val tx = topic.beginTransaction("tx")
       val e = intercept[LockConflictException](tx.produce(batch("x", 4)))
       assert(e.getMessage.contains("concurrent produces are in flight"))
-    } finally Catalog.ProduceCommitWaitMs = prior
+    } finally cat.clearConfOverride("spark.graft.produce.commitWaitMs")
     // once the intent goes STALE, the draining gate rolls it back and the
     // statement proceeds
     cat.setConfOverride("spark.graft.produce.intentTimeoutMs", "1")

@@ -639,8 +639,10 @@ class ProducerConsumerSpec extends SparkSpec {
     val d2 = new GraftDriver(spark, d.warehouse)
     val topic2 = d2.openTopic("mytopic")
     import spark.implicits._
-    val prev = Catalog.ProduceLockWaitMs
-    Catalog.ProduceLockWaitMs = 120000L
+    // catalog-scoped on BOTH catalogs (two drivers, one warehouse) — the
+    // JVM-global var default stays untouched
+    d.catalog.setConfOverride("spark.graft.produce.lockWaitMs", "120000")
+    d2.catalog.setConfOverride("spark.graft.produce.lockWaitMs", "120000")
     try {
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = Seq(topic, topic2).zipWithIndex.map { case (t, ti) =>
@@ -662,7 +664,10 @@ class ProducerConsumerSpec extends SparkSpec {
         .collect().map(_.getAs[Long]("event_id")).toSeq
       assert(ids == (0L until 10L), s"ids must be dense 0..10: $ids")
       assert(d.catalog.nextIds("mytopic")(0) == 10L)
-    } finally Catalog.ProduceLockWaitMs = prev
+    } finally {
+      d.catalog.clearConfOverride("spark.graft.produce.lockWaitMs")
+      d2.catalog.clearConfOverride("spark.graft.produce.lockWaitMs")
+    }
   }
 
   test("produce during a live compaction fails loudly; stale locks are reclaimed") {
