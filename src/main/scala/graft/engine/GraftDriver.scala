@@ -309,6 +309,32 @@ final class TopicHandle(spark: SparkSession,
       .toDF("coord_topic", "txn_id", "coord_state", "n_events", "n_ranges")
   }
 
+  /**
+   * Concurrent-produce admin listing (the produce-side mirror of
+   * [[transactions]]): one row per LIVE reservation intent — id, total
+   * reserved events, reserved range count, staged files and bytes in its
+   * private staging dir, and the lease idle time (`idle_ms`, the age the
+   * janitor judges against `spark.graft.produce.intentTimeoutMs`).
+   * Metadata-only — one `_intents/` listing plus one content summary per
+   * intent. The operator's SQL-free answer to "which producer is blocking
+   * my exclusive statement or queued commit": a draining refusal or a
+   * blocked-commit timeout names intent ids; this view shows whether each
+   * is a live slow write (idle small, bytes growing) or a crashed
+   * producer waiting out its lease.
+   */
+  def produceIntents(): DataFrame = {
+    import spark.implicits._
+    produceIntentRows()
+      .toDF("intent_id", "n_events", "n_ranges", "staged_files",
+        "staged_bytes", "idle_ms")
+  }
+
+  /** [[produceIntents]]'s driver-side row form — shared with the SQL
+    * procedure surface (`CALL cat.system.produce_intents('t')`). */
+  private[graft] def produceIntentRows()
+      : Seq[(String, Long, Long, Long, Long, Long)] =
+    catalog.produceIntentRows(name)
+
   /** [[remoteShares]]'s driver-side row form — shared with the SQL
     * procedure surface (`CALL cat.system.remote_shares('t')`). */
   private[graft] def remoteShareRows()

@@ -143,6 +143,21 @@ private[sql] object GraftProcedures {
         handle(topicOf(in)).transactionRows().map(r =>
           Seq(r._1, r._2, r._3, r._4, r._5, r._6, r._7))
       })
+      case "produce_intents" => Some(procedureRows("produce_intents",
+        "live concurrent-produce reservation intents (the produce-side " +
+        "mirror of system.transactions)",
+        Seq(ProcedureParameter.in("topic", StringType).build()),
+        StructType(Seq(StructField("intent_id", StringType, nullable = false),
+          StructField("n_events", LongType, nullable = false),
+          StructField("n_ranges", LongType, nullable = false),
+          StructField("staged_files", LongType, nullable = false),
+          StructField("staged_bytes", LongType, nullable = false),
+          StructField("idle_ms", LongType, nullable = false)))) { in =>
+        // the SQL answer to "which producer is blocking my exclusive
+        // statement / queued commit" — metadata-only, no Scala shell needed
+        handle(topicOf(in)).produceIntentRows().map(r =>
+          Seq(r._1, r._2, r._3, r._4, r._5, r._6))
+      })
       case "remote_shares" => Some(procedureRows("remote_shares",
         "cross-topic transaction shares with resolved coordinator state",
         Seq(ProcedureParameter.in("topic", StringType).build()),

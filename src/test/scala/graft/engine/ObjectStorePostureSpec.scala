@@ -18,6 +18,24 @@ class NoopSetTimesFileSystem extends RawLocalFileSystem {
   override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
 }
 
+/** Test-only bridge for suites OUTSIDE `graft.engine` (e.g. the SQL
+  * procedure spec) that need to stage protocol states the public API
+  * reaches only through real slow writes: reserve an intent, locate its
+  * staging dir, poke the draining gate. Production visibility of the
+  * underlying members stays `private[engine]`. */
+object IntentTestOps {
+  def reserve(d: GraftDriver, topic: String,
+              counts: Map[Int, Long]): (String, Map[Int, Long]) = {
+    d.catalog.acquireProduceLock(topic)
+    try d.catalog.reserveProduce(topic, counts)
+    finally d.catalog.releaseProduceLock(topic)
+  }
+  def stagingDir(d: GraftDriver, topic: String, id: String): String =
+    d.catalog.produceStagingDir(topic, id).toString
+  def acquireDraining(d: GraftDriver, topic: String): Unit =
+    d.catalog.acquireProduceLockDraining(topic)
+}
+
 /**
  * The engine's lease/lock heartbeats on an OBJECT-STORE posture (VERDICT
  * r15 #1): `setTimes` silently no-ops there, so an unverified mtime

@@ -130,6 +130,49 @@ class ProcedureSpec extends SparkSpec {
       .collect()(0).getString(2) == "aborted")
   }
 
+  test("CALL system.produce_intents: SQL-only concurrent-ingest diagnosis") {
+    // The draining refusal and blocked-commit timeout name intent ids;
+    // this view is where the operator resolves them — live slow write vs
+    // crashed producer — without a Scala shell.
+    val (cat, d) = newCatalog()
+    d.createTopic("t", partitions = 2)
+    import graft.engine.IntentTestOps
+    assert(spark.sql(s"CALL $cat.system.produce_intents('t')").collect().isEmpty)
+    // one live intent with staged data, one bare reservation
+    val (idA, _) = IntentTestOps.reserve(d, "t", Map(0 -> 5L))
+    val (idB, _) = IntentTestOps.reserve(d, "t", Map(0 -> 3L))
+    import spark.implicits._
+    Seq((0, 0L, """{"tag":"a"}""", null: Array[Byte]))
+      .toDF("partition", "event_id", "metadata", "data")
+      .coalesce(1).write.partitionBy("partition")
+      .parquet(IntentTestOps.stagingDir(d, "t", idA))
+    val rows = spark.sql(s"CALL $cat.system.produce_intents('t')").collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet == Set(idA, idB))
+    val (aEvents, aRanges, aFiles, aBytes, aIdle) = rows(idA)
+    assert((aEvents, aRanges) == (5L, 1L))
+    assert(aFiles > 0L && aBytes > 0L, "A's staged footprint must be visible")
+    assert(aIdle >= 0L, "idle_ms present and sane")
+    val (bEvents, bRanges, bFiles, bBytes, _) = rows(idB)
+    assert((bEvents, bRanges, bFiles, bBytes) == (3L, 1L, 0L, 0L),
+      "B reserved but staged nothing yet")
+    // the draining refusal points the operator at this view
+    d.catalog.setConfOverride("spark.graft.produce.commitWaitMs", "200")
+    try {
+      val e = intercept[graft.engine.LockConflictException](
+        IntentTestOps.acquireDraining(d, "t"))
+      assert(e.getMessage.contains("produce_intents"), e.getMessage)
+      assert(e.getMessage.contains(idA) && e.getMessage.contains(idB))
+    } finally d.catalog.clearConfOverride("spark.graft.produce.commitWaitMs")
+    // the handle API returns the same rows
+    val api = d.openTopic("t").produceIntents()
+      .select("intent_id", "n_events").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(api.toSeq == Seq((idA, 5L), (idB, 3L)).sortBy(_._1))
+  }
+
   test("CALL system.expire drops the prefix; unknown procedures fail loudly") {
     val (cat, d) = newCatalog()
     d.createTopic("t", partitions = 1)
