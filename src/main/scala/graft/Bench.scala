@@ -90,9 +90,20 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
+    // The dedup/knn family is JIT-DEPTH sensitive: identical-code captures
+    // have swung its members 2.0-4.0x (STATUS r14/r15) because the first
+    // timed run decides how deeply the band-join/shingle codegen gets
+    // compiled. One UNTIMED warm-up execution before the measured pair
+    // pins the JIT state, so the pair samples the steady state both times
+    // — without paying +1 execution for the ~200 stable queries.
+    val deepWarmup: String => Boolean =
+      n => n.startsWith("q_dedup_") || n.startsWith("q_knn_") ||
+        n.endsWith("_neardup")
     // warm pair: min of two back-to-back runs (a flaky query is an error)
-    def warmPair(name: String): Either[String, Split] =
+    def warmPair(name: String): Either[String, Split] = {
+      if (deepWarmup(name)) once(name): Unit // discarded warm-up sample
       once(name).flatMap(t1 => once(name).map(t2 => t1.min(t2)))
+    }
     val passA: Map[String, Split] = names.flatMap { name =>
       warmPair(name) match {
         case Left(msg) => errors(name) = msg; None
@@ -139,13 +150,33 @@ object Bench {
         case _ => Map.empty
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val reran: Seq[String] = splits.toSeq.flatMap { case (name, sp) =>
+    // SYMMETRIC mover set (ADVICE r15): queries that moved >1.5x in EITHER
+    // direction get the extra sample, so the protocol is uniform — a
+    // regressed-looking query no longer gets chances an improved-looking
+    // one is denied (that asymmetry biased totals downward). Each re-run's
+    // pre/post totals are recorded in the 'reran' field so adjudication
+    // can see exactly what the guard adjusted (and that improved movers'
+    // mins were confirmed, not just kept).
+    final case class Rerun(name: String, prior: Double,
+                           before: Double, after: Double)
+    val movers: Seq[String] = splits.toSeq.flatMap { case (name, sp) =>
       prior.get(name)
-        .filter(p => p >= 0.2 && sp.total > 1.5 * p)
-        .map(p => (name, sp.total / p))
+        .filter(p => p >= 0.2 && sp.total >= 0.001 &&
+          math.max(sp.total / p, p / sp.total) > 1.5)
+        .map(p => (name, math.max(sp.total / p, p / sp.total)))
     }.sortBy(-_._2).take(15).map(_._1)
-    reran.foreach { n =>
-      once(n).foreach(t => splits(n) = splits(n).min(t))
+    val reran: Seq[Rerun] = movers.map { n =>
+      val before = splits(n).total
+      // 'after' is the RAW re-run sample (the reported value stays the
+      // min): a re-run slower than the capture min is a DISCONFIRMING
+      // observation adjudication must see — recording min-after would
+      // make confirmation and disconfirmation indistinguishable. An
+      // errored re-run records -1.
+      val sample = once(n) match {
+        case Right(t) => splits(n) = splits(n).min(t); t.total
+        case Left(_)  => -1.0
+      }
+      Rerun(n, prior(n), before, sample)
     }
     val timings: scala.collection.Map[String, Double] =
       splits.map { case (k, v) => k -> v.total }
@@ -174,7 +205,10 @@ object Bench {
       s"""${jstr(k)}:{"fixture_s":${jnum(v.fixture)},"query_s":${jnum(v.query)}}"""
     }.mkString("{", ",", "}")
     val unst = unstable.map(jstr).mkString("[", ",", "]")
-    val rer = reran.map(jstr).mkString("[", ",", "]")
+    val rer = reran.map(r =>
+      s"""{"q":${jstr(r.name)},"prior":${jnum(r.prior)},""" +
+      s""""before":${jnum(r.before)},"after":${jnum(r.after)}}""")
+      .mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${timings.size},"queries":$full,"split":$splitJson,"errors":$es,"unstable":$unst,"reran":$rer,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),

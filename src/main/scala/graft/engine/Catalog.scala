@@ -1019,8 +1019,15 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     if (o != null && (o.thread ne Thread.currentThread()) && o.thread.isAlive)
       return
     Catalog.stopLockHeartbeat(key)
-    fs.delete(p, false): Unit
+    // registry entry goes BEFORE the file delete: an in-flight write-based
+    // heartbeat beat (cancel(false) does not await it) re-checks the
+    // registry AFTER its re-create — with this ordering, "entry still
+    // present" proves this delete has not run yet (and will clean the
+    // beat's file), and "entry gone" makes the beat retract its own file,
+    // so a released lock can never be resurrected into a phantom that
+    // wedges the topic for the staleness horizon.
     if (o != null) Catalog.heldLocks.remove(key, o): Unit
+    fs.delete(p, false): Unit
   }
 
   private[engine] def acquireCompactLock(name: String): Unit = {
@@ -2016,16 +2023,28 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // 2c. orphan heartbeat lease markers (`.<id>.json.lease` without a
     // record): debris of a lease create racing its intent's rollback or
     // commit. Inert — a lease mtime only ever extends a LISTED record's
-    // lease — but must not accumulate. A lease is only ever created
-    // AFTER its record exists (and under the produce lock we hold, no new
-    // intent can appear between the two listings), so record-absent is
-    // already terminal: no age check needed.
+    // lease — but must not accumulate. Vacuum holds the COMPACT lock, not
+    // the produce lock, so a new intent CAN be reserved between the record
+    // listing above and this lease listing — its fresh lease would look
+    // orphaned. Reap only leases past the staleness horizon (store-clock
+    // two-step, like 2b): a LIVE intent's lease is refreshed every
+    // horizon/4, so an aged record-less lease is definitively dead.
     val iDir = intentsDir(name)
-    if (fs.exists(iDir)) fs.listStatus(iDir).foreach { s =>
-      val n = s.getPath.getName
-      if (s.isFile && n.startsWith(".") && n.endsWith(".json.lease") &&
-          !intentIds.contains(n.stripPrefix(".").stripSuffix(".json.lease"))) {
-        tmps += 1; drop(s.getPath, recursive = false)
+    if (fs.exists(iDir)) {
+      val localNow2 = localNowMs
+      val leaseOrphans = fs.listStatus(iDir).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.startsWith(".") && n.endsWith(".json.lease") &&
+          !intentIds.contains(n.stripPrefix(".").stripSuffix(".json.lease")) &&
+          localNow2 - s.getModificationTime > Catalog.CompactLockStaleMs
+      }
+      if (leaseOrphans.nonEmpty) {
+        val storeNow2 = storeNowMs(iDir)
+        leaseOrphans.foreach { s =>
+          if (storeNow2 - s.getModificationTime > Catalog.CompactLockStaleMs) {
+            tmps += 1; drop(s.getPath, recursive = false)
+          }
+        }
       }
     }
     // 3. stale writeAtomic leftovers (".<name>.tmp"), topic root + manifest
@@ -4103,8 +4122,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * — the produce-side mirror of the `transactions` admin listing. */
   private[graft] def produceIntentRows(name: String)
       : Seq[(String, Long, Long, Long, Long, Long)] = {
-    val now = System.currentTimeMillis()
-    listProduceIntents(name).sortBy(_._1).map { case (id, ranges, m) =>
+    val intents = listProduceIntents(name).sortBy(_._1)
+    if (intents.isEmpty) return Nil
+    // idle is judged store-clock vs store-clock (the same rule the janitor
+    // uses, [[rollbackStaleIntentsLocked]]): this view exists for the
+    // operator to decide "live slow write vs crashed producer", and a
+    // local-vs-store skew of minutes would flip exactly that verdict.
+    val now = storeNowMs(intentsDir(name))
+    intents.map { case (id, ranges, m) =>
       val (files, bytes) =
         try {
           val cs = fs.getContentSummary(produceStagingDir(name, id))
@@ -4389,17 +4414,26 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       val (glo, ghi) = gaps(p)
       if (lo != Long.MinValue && lo >= glo && lo < ghi)
         fs.delete(f, false): Unit
-      // unreadable footer (corrupt/torn chunk): with a manifest, every
-      // candidate is UNLISTED = provably uncommitted (the manifest write
-      // is the commit point), so a footer-less candidate in a gap
-      // partition is debris that can neither be ranged-purged above nor
-      // excluded by footer downstream — delete it here, or it outlives
-      // every purge signature and a legacy manifest heal could adopt it.
-      // Without a manifest, candidates include committed files and a
-      // footer-less one is ambiguous — left alone (adoption of
-      // footer-less files is suppressed in [[updateManifest]]).
-      else if (lo == Long.MinValue && manifestBacked)
-        fs.delete(f, false): Unit
+      // STRUCTURALLY corrupt footer ([[Catalog.fileIdRange]] returns the
+      // sentinel only for bad-magic/truncated files; transient store
+      // errors propagate and abort this commit loudly): with a manifest,
+      // a candidate is UNLISTED — normally provably uncommitted debris,
+      // but a heal-pending state (lost/rebuilt manifest) can also leave
+      // committed files unlisted, and a footer-less file cannot prove
+      // which it is. QUARANTINE it (dot-prefixed rename: invisible to
+      // listing-based reads, un-adoptable by any heal, outside every
+      // purge signature) instead of deleting — the conservative half of
+      // the ADVICE r15 "delete or quarantine". Without a manifest the
+      // ambiguity is worse (candidates include committed files), so
+      // footer-less files are left alone there; adoption of footer-less
+      // files on gap partitions is suppressed in [[updateManifest]].
+      else if (lo == Long.MinValue && manifestBacked) {
+        val q = new Path(f.getParent, s".${f.getName}.quarantined")
+        if (!fs.rename(f, q)) throw new java.io.IOException(
+          s"gap-advance: cannot quarantine footer-less debris $f")
+        Catalog.log.warn(s"topic '$name': quarantined footer-less chunk " +
+          s"$f found inside decided-dead gap [$glo,$ghi) on partition $p")
+      }
     }
   }
 
@@ -5040,6 +5074,13 @@ object Catalog {
             "start" -> JLong(o.since))))
             .getBytes(StandardCharsets.UTF_8))
           finally out.close()
+          // self-heal the create-vs-release race: releaseLock removes the
+          // registry entry BEFORE deleting the file, so "entry gone" here
+          // proves our re-create landed at/after a release — retract it,
+          // or the phantom lock wedges the topic for the whole staleness
+          // horizon. "Entry present" proves the release's delete is still
+          // ahead of us and will clean whichever file is there.
+          if (heldLocks.get(key) == null) fs.delete(p, false): Unit
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
@@ -5219,16 +5260,36 @@ object Catalog {
   }
 
   def fileIdRange(path: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
-    // a torn/corrupt footer (crashed writer debris) reads as "no stats" —
-    // every caller already treats (MinValue, MaxValue) as the undecidable
-    // case (never prune, never ranged-purge; gap commits quarantine it via
-    // [[Catalog.purgeGapOrphans]]'s footer-less branch). Throwing here
-    // would instead wedge the whole maintenance pass on one bad file.
-    val reader =
-      try org.apache.parquet.hadoop.ParquetFileReader.open(
+    // A STRUCTURALLY corrupt footer (bad magic, truncated file — crashed
+    // writer debris) reads as "no stats": every caller treats (MinValue,
+    // MaxValue) as the undecidable case (never prune, never ranged-purge;
+    // gap commits QUARANTINE such files, [[Catalog.purgeGapOrphans]]), so
+    // one torn file cannot wedge a whole maintenance pass. TRANSIENT store
+    // errors (IOException: throttling, connection reset) are retried and
+    // then PROPAGATED — they must abort the caller loudly and retryably,
+    // never masquerade as corruption: a gap commit that mistook a 503 for
+    // a torn footer would quarantine (or silently fail to adopt) committed
+    // or fresh data.
+    var attempt = 0
+    def openReader(): org.apache.parquet.hadoop.ParquetFileReader =
+      org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
-      catch { case scala.util.control.NonFatal(_) =>
-        return (Long.MinValue, Long.MaxValue) }
+    val reader: org.apache.parquet.hadoop.ParquetFileReader = {
+      var r: org.apache.parquet.hadoop.ParquetFileReader = null
+      while (r == null) {
+        try r = openReader()
+        catch {
+          case _: java.io.EOFException => // truncated footer: structural
+            return (Long.MinValue, Long.MaxValue)
+          case _: java.io.IOException if attempt < 2 => // transient: retry
+            attempt += 1; Thread.sleep(50L << attempt)
+          case e: java.io.IOException => throw e // persistent store error: loud
+          case scala.util.control.NonFatal(_) => // bad magic etc: structural
+            return (Long.MinValue, Long.MaxValue)
+        }
+      }
+      r
+    }
     try {
       var lo = Long.MaxValue
       var hi = Long.MinValue

@@ -85,56 +85,78 @@ object ScaleCheck {
     spark.stop()
   }
 
-  /** Two writers ≈ parallel, not 2× serial: the same two batches produced
-    * back-to-back by one writer vs concurrently by two threads (fresh
-    * topics, same shape). The data-write phase dominates at this batch
-    * size, so overlap shows directly in wall-clock. */
+  /** N writers ≈ parallel, not N× serial: the same N batches produced
+    * back-to-back by one writer vs concurrently by N threads (fresh
+    * topics, same shape), at N = 2 / 4 / 8 — the axis where head-of-line
+    * blocking in the ORDERED commit would first show (a slow predecessor
+    * stalls every later reservation's commit; the data phases must still
+    * overlap). Wall-clock is REPORTED (machine-load dependent); the HARD
+    * asserts are the q_producer_multi invariants at every N: exact row
+    * count, per-partition ids dense from 0 (distinct = count = max+1),
+    * zero duplicates, and no gap marker (every commit applied, none
+    * gap-advanced). */
   private def concurrentAxis(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val rows = 150000L
+    val rows = 75000L // per batch; each writer produces exactly one batch
+    val partitions = 4
     def batch(n: Long) = spark.range(n)
       .select(to_json(struct(col("id").as("eid"))).as("metadata"),
-        pmod(col("id"), lit(2)).cast("int").as("partition"))
+        pmod(col("id"), lit(partitions)).cast("int").as("partition"))
     def topic() = {
       val wh = java.nio.file.Files.createTempDirectory("graft-scale-conc").toString
       val d = new GraftDriver(spark, wh)
-      d.createTopic("c", partitions = 2)
+      d.createTopic("c", partitions = partitions)
       (d, d.openTopic("c"))
     }
     // warm both paths once (JIT/codegen outside the timings)
     { val (_, t) = topic(); t.producer().produce(batch(rows)): Unit }
-    val (_, serialT) = {
-      val (_, t) = topic()
-      time { t.producer().produce(batch(rows)): Unit
-             t.producer().produce(batch(rows)): Unit }
+    println("\n## ScaleCheck: concurrent ingest (N writers vs one writer, same N batches)")
+    println("| writers | serial wall | concurrent wall | ratio | rows |")
+    println("|---|---|---|---|---|")
+    Seq(2, 4, 8).foreach { n =>
+      val (_, tS) = topic()
+      val (_, serialT) = time {
+        (0 until n).foreach(_ => tS.producer().produce(batch(rows)): Unit)
+      }
+      val (dC, tC) = topic()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val (_, parallelT) = time {
+        (0 until n).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              try tC.producer().produce(batch(rows)): Unit
+              catch { case t: Throwable => failed.compareAndSet(null, t): Unit }
+          })
+        }.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+      }
+      pool.shutdown(): Unit
+      if (failed.get() != null) throw failed.get()
+      println(f"| $n | $serialT%.2fs | $parallelT%.2fs " +
+        f"| ${parallelT / serialT}%.2f | ${n * rows} |")
+      // dense gap-free ids — the protocol invariants, not just row count
+      val ev = dC.openTopic("c").events()
+      val total = n * rows
+      assert(ev.count() == total, s"$n writers lost rows")
+      val perPart = ev.groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("event_id")).as("lo"),
+          max(col("event_id")).as("hi"))
+        .collect()
+      assert(perPart.length == partitions)
+      perPart.foreach { r =>
+        val (cnt, ids, lo, hi) = (r.getAs[Long]("cnt"), r.getAs[Long]("n_ids"),
+          r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+        assert(cnt == total / partitions && ids == cnt && lo == 0L && hi == cnt - 1,
+          s"$n writers: partition ${r.get(0)} ids not dense " +
+          s"(cnt=$cnt ids=$ids lo=$lo hi=$hi)")
+      }
+      assert(!dC.catalog.mayHaveIdGaps("c"),
+        s"$n all-committed writers must leave no gap marker")
+      if (parallelT >= serialT)
+        println(f"WARNING: $n writers were no faster than serial " +
+          f"($parallelT%.2fs vs $serialT%.2fs) — machine load, or overlap broke")
     }
-    val (dC, tC) = topic()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-    val (_, parallelT) = time {
-      (0 until 2).map { _ =>
-        pool.submit(new Runnable {
-          override def run(): Unit =
-            try tC.producer().produce(batch(rows)): Unit
-            catch { case t: Throwable => failed.compareAndSet(null, t): Unit }
-        })
-      }.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
-    }
-    pool.shutdown(): Unit
-    if (failed.get() != null) throw failed.get()
-    println("\n## ScaleCheck: concurrent ingest (two writers, same two batches)")
-    println("| mode | wall | rows |")
-    println("|---|---|---|")
-    println(f"| serial (one writer, back-to-back) | $serialT%.2fs | ${2 * rows} |")
-    println(f"| concurrent (two writers) | $parallelT%.2fs | ${2 * rows} |")
-    println(f"concurrent/serial ratio: ${parallelT / serialT}%.2f " +
-      "(≈1.0 would mean fully serialized; <1.0 means the data phases overlap)")
-    // correctness is the hard assert; wall-clock is REPORTED (file doc:
-    // times vary with machine load — a loaded box must not fail the run)
-    val n = dC.openTopic("c").events().count()
-    assert(n == 2 * rows, s"concurrent ingest lost rows: $n")
-    if (parallelT >= serialT)
-      println(f"WARNING: two writers were no faster than serial " +
-        f"($parallelT%.2fs vs $serialT%.2fs) — machine load, or overlap broke")
   }
 
   /** One data-axis topic at `scale` (scale=1 → 60k bulk rows): returns the

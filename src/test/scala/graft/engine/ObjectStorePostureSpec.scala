@@ -240,7 +240,7 @@ class ObjectStorePostureSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.txn.testLocalSkewMs")
   }
 
-  test("footer-less debris inside a decided-dead gap is purged, never adopted") {
+  test("footer-less debris inside a decided-dead gap is quarantined, never adopted") {
     val wh = Files.createTempDirectory("graft-gapdebris").toString
     val (d, topic) = newTopic(wh)
     val cat = d.catalog
@@ -271,7 +271,9 @@ class ObjectStorePostureSpec extends SparkSpec {
       cat.commitProduceIntent("t", idB, firstB, Map(0 -> 2L))
     } finally cat.clearConfOverride("spark.graft.produce.intentTimeoutMs")
     assert(!fs.exists(garbage),
-      "footer-less debris in a decided-dead gap must be deleted at gap-advance")
+      "footer-less debris in a decided-dead gap must be quarantined at gap-advance")
+    assert(fs.exists(new Path(garbage.getParent, s".${garbage.getName}.quarantined")),
+      "quarantine preserves the bytes (dot-prefixed: invisible to reads/heals)")
     assert(cat.listProduceIntents("t").isEmpty,
       s"A ($idA) must have been rolled back at B's blocked commit")
     val ev = topic.events()
