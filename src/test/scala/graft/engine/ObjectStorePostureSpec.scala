@@ -18,6 +18,29 @@ class NoopSetTimesFileSystem extends RawLocalFileSystem {
   override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
 }
 
+/** Records, for every `_produce.lock` file delete, whether the JVM lock
+  * registry still held the entry at delete time — the probe for
+  * [[Catalog]]'s release ordering invariant (registry entry removed
+  * BEFORE the file delete), which is what lets an in-flight write-based
+  * heartbeat beat prove "entry gone ⇒ a release ran ⇒ retract my
+  * re-create" and never leave a phantom lock. */
+object LockDeleteProbe {
+  val registryHeldAtDelete =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Boolean]()
+}
+
+/** Local filesystem under the `lockcheck:` scheme that feeds
+  * [[LockDeleteProbe]] on lock-file deletes. */
+class LockOrderCheckFileSystem extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("lockcheck:///")
+  override def delete(p: Path, recursive: Boolean): Boolean = {
+    if (p.getName == "_produce.lock")
+      LockDeleteProbe.registryHeldAtDelete.add(
+        Catalog.heldLocks.containsKey(p.toString))
+    super.delete(p, recursive)
+  }
+}
+
 /** Test-only bridge for suites OUTSIDE `graft.engine` (e.g. the SQL
   * procedure spec) that need to stage protocol states the public API
   * reaches only through real slow writes: reserve an intent, locate its
@@ -181,6 +204,27 @@ class ObjectStorePostureSpec extends SparkSpec {
           "would read as a crashed producer and get reclaimed mid-run)")
       } finally cat.releaseProduceLock("t")
     } finally Catalog.CompactLockStaleMs = saved
+  }
+
+  test("releaseLock removes the registry entry before the lock file delete") {
+    // The ordering the phantom-lock self-heal rests on: a write-based
+    // heartbeat beat that re-created the file re-checks the registry —
+    // "entry gone" must PROVE the release's delete is at/behind it. If a
+    // release ever deleted the file while its entry was still registered,
+    // that proof (and the retraction) would be unsound.
+    hc.set("fs.lockcheck.impl", classOf[LockOrderCheckFileSystem].getName)
+    val wh = "lockcheck:" + Files.createTempDirectory("graft-lockorder").toString
+    val (d, _) = newTopic(wh)
+    LockDeleteProbe.registryHeldAtDelete.clear()
+    (0 until 3).foreach { _ =>
+      d.catalog.acquireProduceLock("t")
+      d.catalog.releaseProduceLock("t")
+    }
+    import scala.jdk.CollectionConverters._
+    val seen = LockDeleteProbe.registryHeldAtDelete.asScala.toSeq
+    assert(seen.nonEmpty, "the probe must have observed the lock deletes")
+    assert(seen.forall(_ == java.lang.Boolean.FALSE),
+      "every release must clear the registry entry BEFORE deleting the file")
   }
 
   test("patience knobs are catalog-scoped: two catalogs in one JVM hold different waits") {
