@@ -4351,7 +4351,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           // per horizon/4, not one per 100ms poll (metadata round trips)
           if (System.currentTimeMillis() - lastTouch >
               math.max(1L, produceIntentTimeoutMs / 4)) {
-            touchProduceIntent(name, intentId)
+            // transient store error here must not abort a commit that is
+            // merely queued — the touch retries at the next throttle tick,
+            // same per-beat tolerance as the write-phase heartbeat
+            try touchProduceIntent(name, intentId)
+            catch { case scala.util.control.NonFatal(_) => () }
             lastTouch = System.currentTimeMillis()
           }
           // roll back stale blockers NOW (store-clock judged); wait out
@@ -5025,7 +5029,17 @@ object Catalog {
     * returns `false` immediately. Returns `true` iff the mtime refresh
     * took effect in place; on `false` the caller MUST refresh through a
     * real write (marker re-create / sibling lease). Throws
-    * `FileNotFoundException` if `p` is gone — deletion signals stay loud. */
+    * `FileNotFoundException` if `p` is gone — deletion signals stay loud.
+    *
+    * Clock domains: `setTimes` stamps the LOCAL clock onto the store's
+    * mtime, while a write-based refresh gets the STORE's clock. Both are
+    * sound under the engine's two-step lease judgment because the cheap
+    * candidate PRE-FILTER compares against the local clock (the same
+    * domain as a setTimes stamp: a live beat always passes it) and the
+    * confirming judgment against [[storeNowMs]] (the same domain as a
+    * write stamp) — an intent must look stale to BOTH clocks to expire,
+    * so neither skew direction can expire a live heartbeating producer in
+    * either stamp mode. */
   private[engine] def refreshMtimeVerified(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean = {
