@@ -693,9 +693,6 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val unknown: Seq[(Int, String)] = unlistedChunkFiles(name, prior, newNext.keys)
     val freshFiles: Map[Int, Vector[ManifestFile]] = unknown.groupBy(_._1)
       .view.map { case (p, xs) =>
-        p -> xs.map(_._2).sorted.map { rel =>
-          val (lo, hi) = Catalog.fileIdRange(new Path(logPath(name), rel), conf)
-          ManifestFile(rel, lo, hi)
         // NEVER adopt a file whose ids start at/above the committed
         // watermark: its ids were never allocated, so it can only be a
         // crashed produce's orphan (purgeUncommitted's target). Adopting
@@ -704,18 +701,26 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // matters for non-produce committers (deleteWhereVectored's
         // version bump) where no purge precedes the commit; a produce's
         // own files always lie below its newNext.
-        // An unknown file with an UNREADABLE footer (lo == MinValue) on a
-        // partition committing over a decided-dead gap is never adopted:
-        // it cannot be this produce's output (staged parquet always has a
-        // footer) and cannot be proven outside the gap — adopting would
-        // resurrect corrupt gap debris that [[purgeGapOrphans]]'s footer
-        // judgment necessarily skipped. Off gap-commits, footer-less
-        // unknowns keep the heal behavior (pre-manifest topics).
-        }.filterNot(f =>
-          (f.lo == Long.MinValue && excludeGap.contains(p)) ||
-          (f.lo != Long.MinValue && (f.lo >= newNext.getOrElse(p, 0L) ||
-            excludeGap.get(p).exists { case (lo, hi) =>
-              f.lo >= lo && f.lo < hi }))).toVector
+        // An unknown file with a STRUCTURALLY corrupt footer (fileIdRangeOpt
+        // None — torn, not merely stats-less) on a partition committing
+        // over a decided-dead gap is never adopted: it cannot be this
+        // produce's output (staged parquet always has a readable footer)
+        // and cannot be proven outside the gap — adopting would resurrect
+        // torn gap debris that [[purgeGapOrphans]]'s quarantine raced. Off
+        // gap-commits, and for readable stats-less files everywhere, the
+        // heal behavior (pre-manifest topics) is preserved.
+        p -> xs.map(_._2).sorted.flatMap { rel =>
+          Catalog.fileIdRangeOpt(new Path(logPath(name), rel), conf) match {
+            case None =>
+              if (excludeGap.contains(p)) None
+              else Some(ManifestFile(rel, Long.MinValue, Long.MaxValue))
+            case Some((lo, hi)) =>
+              if (lo != Long.MinValue && (lo >= newNext.getOrElse(p, 0L) ||
+                  excludeGap.get(p).exists { case (glo, ghi) =>
+                    lo >= glo && lo < ghi })) None
+              else Some(ManifestFile(rel, lo, hi))
+          }
+        }.toVector
       }.filter(_._2.nonEmpty).toMap
     // the delta carries ONLY this produce's files + watermarks — the
     // produce-path write is O(new files) regardless of live-file count
@@ -1018,14 +1023,14 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // the lock to someone else) must not delete a live owner's file
     if (o != null && (o.thread ne Thread.currentThread()) && o.thread.isAlive)
       return
+    // stopLockHeartbeat QUIESCES (it takes the beat gate), so from here on
+    // no in-flight beat can re-create the file after our delete — a
+    // released lock can never be resurrected into a phantom that wedges
+    // the topic for the staleness horizon. Registry entry still goes
+    // BEFORE the file delete (probe-spec'd): same-JVM observers must
+    // never see "file gone, entry held", which would read as a live
+    // owner without a lock.
     Catalog.stopLockHeartbeat(key)
-    // registry entry goes BEFORE the file delete: an in-flight write-based
-    // heartbeat beat (cancel(false) does not await it) re-checks the
-    // registry AFTER its re-create — with this ordering, "entry still
-    // present" proves this delete has not run yet (and will clean the
-    // beat's file), and "entry gone" makes the beat retract its own file,
-    // so a released lock can never be resurrected into a phantom that
-    // wedges the topic for the staleness horizon.
     if (o != null) Catalog.heldLocks.remove(key, o): Unit
     fs.delete(p, false): Unit
   }
@@ -4078,7 +4083,12 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     conf("spark.graft.produce.briefLockWaitMs",
       Catalog.BriefLockWaitMs.toString).toLong
 
-  /** See [[produceLockWaitMs]]'s scoping note. */
+  /** See [[produceLockWaitMs]]'s scoping note — with one honest caveat:
+    * the MERGE paths construct their OWN Catalog instances
+    * ([[graft.engine.MergeCommit.commit]], the SQL row-level-operation
+    * planner), so a user catalog's `setConfOverride` cannot reach them;
+    * for MERGE patience the effective scopes are the SESSION conf
+    * (`spark.graft.merge.commitWaitMs`) and the JVM-default var. */
   private[graft] def mergeCommitWaitMs: Long =
     conf("spark.graft.merge.commitWaitMs",
       Catalog.MergeCommitWaitMs.toString).toLong
@@ -4124,11 +4134,16 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       : Seq[(String, Long, Long, Long, Long, Long)] = {
     val intents = listProduceIntents(name).sortBy(_._1)
     if (intents.isEmpty) return Nil
-    // idle is judged store-clock vs store-clock (the same rule the janitor
-    // uses, [[rollbackStaleIntentsLocked]]): this view exists for the
-    // operator to decide "live slow write vs crashed producer", and a
-    // local-vs-store skew of minutes would flip exactly that verdict.
-    val now = storeNowMs(intentsDir(name))
+    // idle mirrors the janitor's two-clock AND rule
+    // ([[rollbackStaleIntentsLocked]]): the lease stamp is local-clock on
+    // setTimes-capable stores and store-clock on write-refresh stores, so
+    // a single reference clock would read skew as idleness in one mode or
+    // the other. Reporting min(local age, store age) shows the smallest
+    // idleness BOTH clocks agree on — the same conservatism under which
+    // the janitor would (not) expire it, which is the verdict the
+    // operator is here to predict.
+    val storeNow = storeNowMs(intentsDir(name))
+    val localNow = localNowMs
     intents.map { case (id, ranges, m) =>
       val (files, bytes) =
         try {
@@ -4136,7 +4151,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           (cs.getFileCount, cs.getLength)
         } catch { case _: java.io.FileNotFoundException => (0L, 0L) }
       (id, ranges.map(_.count).sum, ranges.size.toLong, files, bytes,
-        math.max(0L, now - m))
+        math.max(0L, math.min(storeNow - m, localNow - m)))
     }
   }
 
@@ -4180,7 +4195,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * missing to a listing, and a rollback racing the lease create leaves
     * at worst an inert orphan marker (self-healed right here; vacuum
     * catches the residual create-vs-delete window). */
-  private[engine] def touchProduceIntent(name: String, id: String): Unit = {
+  /** @return true while the intent record is still live; false once it is
+    *         gone (committed or rolled back) — the heartbeat loop's
+    *         termination signal, so a beat thread whose cancel interrupt
+    *         was eaten by a store client cannot outlive the produce. */
+  private[engine] def touchProduceIntent(name: String, id: String): Boolean = {
     val p = intentPath(name, id)
     try {
       if (!Catalog.refreshMtimeVerified(fs, p)) {
@@ -4189,10 +4208,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // self-heal the create-vs-rollback race: a rollback deletes lease
         // then record; a lease landing between those deletes (or after
         // both) must not linger — re-check the record and retract
-        if (!fs.exists(p)) fs.delete(lease, false): Unit
-      }
+        if (!fs.exists(p)) { fs.delete(lease, false): Unit; false }
+        else true
+      } else true
     } catch {
-      case _: java.io.FileNotFoundException => () // rolled back: stay gone
+      case _: java.io.FileNotFoundException => false // rolled back: stay gone
     }
   }
 
@@ -4244,14 +4264,20 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val interval = math.max(200L, produceIntentTimeoutMs / 4)
     val t = new Thread(() => {
       try {
-        while (!Thread.currentThread().isInterrupted) {
+        var live = true
+        while (live && !Thread.currentThread().isInterrupted) {
           Thread.sleep(interval)
           // one transient metadata-store hiccup must not kill the lease
           // heartbeat for the rest of a long write — swallow per BEAT and
-          // retry next interval; only interrupt ends the loop (a rolled-
-          // back intent is already a silent no-op inside the touch)
-          try touchProduceIntent(name, id)
-          catch { case scala.util.control.NonFatal(_) => () }
+          // retry next interval. NOT swallowed into an endless loop: a
+          // beat that finds the intent RECORD gone (committed or rolled
+          // back) ends the thread, so even an interrupt that a store
+          // client ate mid-IO (Hadoop converts to InterruptedIOException,
+          // often with the flag cleared — and SocketTimeoutException is
+          // its subclass, so it cannot be treated as a cancel signal)
+          // leaks at most the beats until the produce decides.
+          live = try touchProduceIntent(name, id)
+            catch { case scala.util.control.NonFatal(_) => true }
         }
       } catch {
         case _: InterruptedException => ()
@@ -4354,7 +4380,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             // transient store error here must not abort a commit that is
             // merely queued — the touch retries at the next throttle tick,
             // same per-beat tolerance as the write-phase heartbeat
-            try touchProduceIntent(name, intentId)
+            try { touchProduceIntent(name, intentId): Unit }
             catch { case scala.util.control.NonFatal(_) => () }
             lastTouch = System.currentTimeMillis()
           }
@@ -4414,29 +4440,31 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         }
     }
     candidates.foreach { case (p, f) =>
-      val (lo, _) = Catalog.fileIdRange(f, conf)
       val (glo, ghi) = gaps(p)
-      if (lo != Long.MinValue && lo >= glo && lo < ghi)
-        fs.delete(f, false): Unit
-      // STRUCTURALLY corrupt footer ([[Catalog.fileIdRange]] returns the
-      // sentinel only for bad-magic/truncated files; transient store
-      // errors propagate and abort this commit loudly): with a manifest,
-      // a candidate is UNLISTED — normally provably uncommitted debris,
-      // but a heal-pending state (lost/rebuilt manifest) can also leave
-      // committed files unlisted, and a footer-less file cannot prove
-      // which it is. QUARANTINE it (dot-prefixed rename: invisible to
-      // listing-based reads, un-adoptable by any heal, outside every
-      // purge signature) instead of deleting — the conservative half of
-      // the ADVICE r15 "delete or quarantine". Without a manifest the
-      // ambiguity is worse (candidates include committed files), so
-      // footer-less files are left alone there; adoption of footer-less
-      // files on gap partitions is suppressed in [[updateManifest]].
-      else if (lo == Long.MinValue && manifestBacked) {
-        val q = new Path(f.getParent, s".${f.getName}.quarantined")
-        if (!fs.rename(f, q)) throw new java.io.IOException(
-          s"gap-advance: cannot quarantine footer-less debris $f")
-        Catalog.log.warn(s"topic '$name': quarantined footer-less chunk " +
-          s"$f found inside decided-dead gap [$glo,$ghi) on partition $p")
+      Catalog.fileIdRangeOpt(f, conf) match {
+        case Some((lo, _)) if lo != Long.MinValue && lo >= glo && lo < ghi =>
+          fs.delete(f, false): Unit
+        // STRUCTURALLY corrupt footer (None — bad magic/truncated only;
+        // a readable stats-less file is Some(sentinel) and NOT debris,
+        // and transient store errors propagate and abort this commit
+        // loudly): with a manifest, a candidate is UNLISTED — normally
+        // provably uncommitted debris, but a heal-pending state
+        // (lost/rebuilt manifest) can also leave committed files
+        // unlisted, and a torn file cannot prove which it is. QUARANTINE
+        // it (dot-prefixed rename: invisible to listing-based reads,
+        // un-adoptable by any heal, outside every purge signature)
+        // instead of deleting — the conservative half of the ADVICE r15
+        // "delete or quarantine". Without a manifest the ambiguity is
+        // worse (candidates include committed files), so torn files are
+        // left alone there; adoption of torn files on gap partitions is
+        // suppressed in [[updateManifest]].
+        case None if manifestBacked =>
+          val q = new Path(f.getParent, s".${f.getName}.quarantined")
+          if (!fs.rename(f, q)) throw new java.io.IOException(
+            s"gap-advance: cannot quarantine torn debris $f")
+          Catalog.log.warn(s"topic '$name': quarantined torn chunk " +
+            s"$f found inside decided-dead gap [$glo,$ghi) on partition $p")
+        case _ => () // readable outside the gap proof (or no-manifest): leave
       }
     }
   }
@@ -4962,8 +4990,19 @@ object Catalog {
     * reclaimed mid-run by another process. A dead owner's task cancels
     * itself — its file then ages out normally, which is exactly the crash
     * signal the horizon exists to detect. */
+  /** One lock heartbeat's handle: the scheduled task plus the QUIESCE
+    * gate ([[stopLockHeartbeat]] takes the same monitor a beat holds for
+    * its whole body, so once a stop returns no in-flight beat can still
+    * be mid-refresh — the same discipline as [[startFileHeartbeat]]'s
+    * cancel thunk, and what makes release-then-delete race-free against
+    * a write-based beat's re-create on setTimes-deaf stores). */
+  private final case class LockBeat(
+      fut: java.util.concurrent.ScheduledFuture[_],
+      gate: Object,
+      stopped: java.util.concurrent.atomic.AtomicBoolean)
+
   private val lockHeartbeats =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+    new java.util.concurrent.ConcurrentHashMap[String, LockBeat]()
 
   private lazy val heartbeatExec = {
     val e = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
@@ -5016,11 +5055,6 @@ object Catalog {
   private val setTimesEffective =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Test-only seam: forget the memoized [[refreshMtimeVerified]] verdicts
-    * (a spec that swaps filesystem behavior under one URI needs a fresh
-    * probe). Production never calls this. */
-  private[graft] def resetSetTimesVerdicts(): Unit = setTimesEffective.clear()
-
   /** Refresh `p`'s mtime via `setTimes`, VERIFYING effectiveness once per
     * filesystem: on the first refresh the mtime is read back — if it did
     * not advance past its prior value (the target is forced strictly above
@@ -5070,43 +5104,60 @@ object Catalog {
       p: org.apache.hadoop.fs.Path): Unit = {
     val key = p.toString
     val period = math.max(CompactLockStaleMs / 3, 1000L)
-    val task: Runnable = () => {
-      val o = heldLocks.get(key)
-      if (o == null || !o.thread.isAlive) stopLockHeartbeat(key)
-      else try {
-        if (!refreshMtimeVerified(fs, p)) {
-          // store ignores setTimes: refresh through a create-overwrite
-          // re-write (atomic PUT on object stores — the lock file is never
-          // MISSING mid-refresh, unlike a delete→rename rewrite, so a
-          // contender's staleness probe can never catch the lock absent
-          // and steal it). Content is owner info for error messages only;
-          // the mtime is the liveness signal ([[lockAge]] reads only it).
-          val out = fs.create(p, true)
-          try out.write(JsonMethods.compact(JsonMethods.render(JObject(
-            "owner" -> JString(
-              java.lang.management.ManagementFactory.getRuntimeMXBean.getName),
-            "start" -> JLong(o.since))))
-            .getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          // self-heal the create-vs-release race: releaseLock removes the
-          // registry entry BEFORE deleting the file, so "entry gone" here
-          // proves our re-create landed at/after a release — retract it,
-          // or the phantom lock wedges the topic for the whole staleness
-          // horizon. "Entry present" proves the release's delete is still
-          // ahead of us and will clean whichever file is there.
-          if (heldLocks.get(key) == null) fs.delete(p, false): Unit
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
+    val gate = new Object
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the whole beat body runs under the gate: [[stopLockHeartbeat]] (and
+    // through it [[Catalog]]'s releaseLock) blocks until an in-flight
+    // beat completes and every later beat sees `stopped` — so on a
+    // setTimes-deaf store the create-overwrite refresh can NEVER land
+    // after the release's file delete and resurrect a phantom lock. A
+    // retraction heuristic cannot replace this: at beat time "some
+    // registry entry exists" does not distinguish the released-then-
+    // re-acquiring contender (whose fresh lock must be kept) from a
+    // contender stuck behind our phantom (which must be removed).
+    val task: Runnable = () => gate.synchronized {
+      if (!stopped.get()) {
+        val o = heldLocks.get(key)
+        if (o == null || !o.thread.isAlive) stopLockHeartbeat(key)
+        else try {
+          if (!refreshMtimeVerified(fs, p)) {
+            // store ignores setTimes: refresh through a create-overwrite
+            // re-write (atomic PUT on object stores — the lock file is
+            // never MISSING mid-refresh, unlike a delete→rename rewrite,
+            // so a contender's staleness probe can never catch the lock
+            // absent and steal it). Content is owner info for error
+            // messages only; the mtime is the liveness signal
+            // ([[lockAge]] reads only it).
+            val out = fs.create(p, true)
+            try out.write(JsonMethods.compact(JsonMethods.render(JObject(
+              "owner" -> JString(
+                java.lang.management.ManagementFactory.getRuntimeMXBean.getName),
+              "start" -> JLong(o.since))))
+              .getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
     val fut = heartbeatExec.scheduleWithFixedDelay(
       task, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    val prevTask = lockHeartbeats.put(key, fut)
-    if (prevTask != null) prevTask.cancel(false): Unit
+    val prev = lockHeartbeats.put(key, LockBeat(fut, gate, stopped))
+    if (prev != null) {
+      prev.gate.synchronized { prev.stopped.set(true) }
+      prev.fut.cancel(false): Unit
+    }
   }
 
   private[engine] def stopLockHeartbeat(key: String): Unit = {
-    val f = lockHeartbeats.remove(key)
-    if (f != null) f.cancel(false): Unit
+    val b = lockHeartbeats.remove(key)
+    if (b != null) {
+      // quiesce: taking the gate waits out an in-flight beat; setting
+      // `stopped` under it kills every later one (cancel(false) alone
+      // only prevents FUTURE scheduling). Reentrant for the beat's own
+      // dead-owner self-stop (same thread already holds the gate).
+      b.gate.synchronized { b.stopped.set(true) }
+      b.fut.cancel(false): Unit
+    }
   }
 
   /** Reader-side assembled view: the newest snapshot seq it was built from,
@@ -5273,17 +5324,19 @@ object Catalog {
     else None
   }
 
-  def fileIdRange(path: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
-    // A STRUCTURALLY corrupt footer (bad magic, truncated file — crashed
-    // writer debris) reads as "no stats": every caller treats (MinValue,
-    // MaxValue) as the undecidable case (never prune, never ranged-purge;
-    // gap commits QUARANTINE such files, [[Catalog.purgeGapOrphans]]), so
-    // one torn file cannot wedge a whole maintenance pass. TRANSIENT store
-    // errors (IOException: throttling, connection reset) are retried and
-    // then PROPAGATED — they must abort the caller loudly and retryably,
-    // never masquerade as corruption: a gap commit that mistook a 503 for
-    // a torn footer would quarantine (or silently fail to adopt) committed
-    // or fresh data.
+  /** `path`'s event_id footer range with the three outcomes kept apart:
+    * `None` = STRUCTURALLY corrupt footer (bad magic, truncated — crashed
+    * writer debris; gap commits may quarantine on this proof);
+    * `Some((MinValue, MaxValue))` = footer reads fine but carries no
+    * event_id stats (a VALID file that must never be treated as debris —
+    * only never pruned/ranged-purged); `Some((lo, hi))` otherwise.
+    * TRANSIENT store errors (IOException: throttling, connection reset)
+    * are retried and then PROPAGATED — they must abort the caller loudly
+    * and retryably, never masquerade as corruption: a gap commit that
+    * mistook a 503 for a torn footer would quarantine (or silently fail
+    * to adopt) committed or fresh data. */
+  def fileIdRangeOpt(path: Path,
+                     conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
     var attempt = 0
     def openReader(): org.apache.parquet.hadoop.ParquetFileReader =
       org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -5294,12 +5347,12 @@ object Catalog {
         try r = openReader()
         catch {
           case _: java.io.EOFException => // truncated footer: structural
-            return (Long.MinValue, Long.MaxValue)
+            return None
           case _: java.io.IOException if attempt < 2 => // transient: retry
             attempt += 1; Thread.sleep(50L << attempt)
           case e: java.io.IOException => throw e // persistent store error: loud
           case scala.util.control.NonFatal(_) => // bad magic etc: structural
-            return (Long.MinValue, Long.MaxValue)
+            return None
         }
       }
       r
@@ -5317,10 +5370,17 @@ object Catalog {
           }
         }
       }
-      if (lo > hi) (Long.MinValue, Long.MaxValue) // no stats: never prune
-      else (lo, hi)
+      if (lo > hi) Some((Long.MinValue, Long.MaxValue)) // no stats: never prune
+      else Some((lo, hi))
     } finally reader.close()
   }
+
+  /** [[fileIdRangeOpt]] collapsed for callers that only prune/purge by
+    * range (structural corruption folds into the never-prune sentinel;
+    * debris judgments must use the Opt form — valid-but-stats-less files
+    * are NOT debris). */
+  def fileIdRange(path: Path, conf: org.apache.hadoop.conf.Configuration): (Long, Long) =
+    fileIdRangeOpt(path, conf).getOrElse((Long.MinValue, Long.MaxValue))
 
   /** One chunk file's footer accounting for size estimation: total row
     * count plus per-column compressed bytes (column-chunk sizes summed

@@ -284,6 +284,36 @@ class ObjectStorePostureSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.txn.testLocalSkewMs")
   }
 
+  test("fileIdRangeOpt keeps torn, stats-less, and ranged footers apart") {
+    // The quarantine proof rests on this three-way contract: None must
+    // mean STRUCTURAL corruption only — a readable foreign parquet with
+    // no event_id stats is valid data (Some(never-prune sentinel)), and
+    // treating it as debris would quarantine committed rows.
+    val dir = Files.createTempDirectory("graft-footer").toString
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq((0, 7L, "{}", null: Array[Byte]))
+      .toDF("partition", "event_id", "metadata", "data")
+      .coalesce(1).write.parquet(s"$dir/real")
+    val fs = new Path(dir).getFileSystem(conf)
+    val real = fs.listStatus(new Path(s"$dir/real"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(Catalog.fileIdRangeOpt(real, conf) == Some((7L, 7L)))
+    Seq(("alien", 1)).toDF("a", "b").coalesce(1).write.parquet(s"$dir/alien")
+    val alien = fs.listStatus(new Path(s"$dir/alien"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    assert(Catalog.fileIdRangeOpt(alien, conf) ==
+      Some((Long.MinValue, Long.MaxValue)),
+      "a readable parquet without event_id stats is valid, never debris")
+    val torn = new Path(dir, "torn.parquet")
+    val out = fs.create(torn, true)
+    try out.write("not a parquet file".getBytes("UTF-8")) finally out.close()
+    assert(Catalog.fileIdRangeOpt(torn, conf).isEmpty,
+      "structural corruption (bad magic) is the only None")
+    // the collapsed form folds both undecidable cases to the sentinel
+    assert(Catalog.fileIdRange(torn, conf) == (Long.MinValue, Long.MaxValue))
+  }
+
   test("footer-less debris inside a decided-dead gap is quarantined, never adopted") {
     val wh = Files.createTempDirectory("graft-gapdebris").toString
     val (d, topic) = newTopic(wh)
