@@ -167,13 +167,27 @@ object Bench {
     }.sortBy(-_._2).take(15).map(_._1)
     val reran: Seq[Rerun] = movers.map { n =>
       val before = splits(n).total
-      // 'after' is the RAW re-run sample (the reported value stays the
-      // min): a re-run slower than the capture min is a DISCONFIRMING
-      // observation adjudication must see — recording min-after would
-      // make confirmation and disconfirmation indistinguishable. An
+      // 'after' is the RAW re-run sample: a re-run slower than the capture
+      // min is a DISCONFIRMING observation adjudication must see. An
       // errored re-run records -1.
+      //
+      // What the guard REPORTS is direction-aware (ADVICE r16): a
+      // regressed-looking mover keeps the min (a faster re-run proves the
+      // slow samples were load noise; a slower one changes nothing). An
+      // improved-looking mover keeps its min ONLY when the re-run
+      // CONFIRMS it (within the same 1.5x band the mover set uses) —
+      // a disconfirming slower re-run replaces the min with the MEDIAN of
+      // the three independent samples (pass-A pair min, pass-B, re-run),
+      // so min-of-3-vs-min-of-2 sampling can no longer bias exactly the
+      // queries flagged as suspicious toward phantom improvements.
+      val improvedVsPrior = before < prior(n)
       val sample = once(n) match {
-        case Right(t) => splits(n) = splits(n).min(t); t.total
+        case Right(t) =>
+          if (!improvedVsPrior || t.total <= before * 1.5)
+            splits(n) = splits(n).min(t)
+          else
+            splits(n) = Seq(passA(n), passB(n), t).sortBy(_.total).apply(1)
+          t.total
         case Left(_)  => -1.0
       }
       Rerun(n, prior(n), before, sample)

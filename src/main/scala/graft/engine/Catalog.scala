@@ -687,7 +687,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   def updateManifest(name: String, newNext: Map[Int, Long],
                      note: Option[String] = None,
                      excludeGap: Map[Int, (Long, Long)] = Map.empty): Unit = {
-    val prior = readManifest(name).getOrElse(TopicManifest(Map.empty, Map.empty))
+    val priorOpt = readManifest(name)
+    val prior = priorOpt.getOrElse(TopicManifest(Map.empty, Map.empty))
     val conf = hadoopConf
     // unknown = listed ∖ manifest (normally exactly this produce's output)
     val unknown: Seq[(Int, String)] = unlistedChunkFiles(name, prior, newNext.keys)
@@ -702,18 +703,41 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // version bump) where no purge precedes the commit; a produce's
         // own files always lie below its newNext.
         // An unknown file with a STRUCTURALLY corrupt footer (fileIdRangeOpt
-        // None — torn, not merely stats-less) on a partition committing
-        // over a decided-dead gap is never adopted: it cannot be this
-        // produce's output (staged parquet always has a readable footer)
-        // and cannot be proven outside the gap — adopting would resurrect
-        // torn gap debris that [[purgeGapOrphans]]'s quarantine raced. Off
-        // gap-commits, and for readable stats-less files everywhere, the
-        // heal behavior (pre-manifest topics) is preserved.
+        // None — torn, not merely stats-less) is NEVER adopted: it cannot
+        // be this produce's output (staged parquet always has a readable
+        // footer). On a partition committing over a decided-dead gap,
+        // adopting would resurrect torn gap debris that
+        // [[purgeGapOrphans]]'s quarantine raced. OFF-gap (ADVICE r16) the
+        // same bytes are crashed-writer debris too — pre-r17 they were
+        // enshrined in the manifest under the never-prune sentinel,
+        // permanently shielded from every purge while still breaking topic
+        // scans (Spark errors on the bad magic). A manifest-backed topic
+        // quarantines them (dot-prefixed rename, purgeGapOrphans'
+        // discipline: invisible to listings, un-adoptable, bytes kept); a
+        // pre-manifest topic only warns and skips — its unknown set spans
+        // ALL files, so a torn one could be committed data mid-heal, the
+        // same ambiguity that makes purgeGapOrphans leave torn files alone
+        // there. Readable stats-less files keep the heal behavior
+        // everywhere (valid data, never debris).
         p -> xs.map(_._2).sorted.flatMap { rel =>
           Catalog.fileIdRangeOpt(new Path(logPath(name), rel), conf) match {
             case None =>
-              if (excludeGap.contains(p)) None
-              else Some(ManifestFile(rel, Long.MinValue, Long.MaxValue))
+              if (!excludeGap.contains(p)) {
+                val f = new Path(logPath(name), rel)
+                if (priorOpt.isDefined) {
+                  val q = new Path(f.getParent, s".${f.getName}.quarantined")
+                  if (fs.rename(f, q))
+                    Catalog.log.warn(s"topic '$name': quarantined torn chunk " +
+                      s"$f at manifest update (structurally corrupt footer — " +
+                      "crashed-writer debris, never adopted)")
+                  else
+                    Catalog.log.warn(s"topic '$name': torn chunk $f could " +
+                      "not be quarantined — left unlisted, not adopted")
+                } else
+                  Catalog.log.warn(s"topic '$name': torn chunk $rel on " +
+                    "pre-manifest topic — not adopted into the healed manifest")
+              }
+              None
             case Some((lo, hi)) =>
               if (lo != Long.MinValue && (lo >= newNext.getOrElse(p, 0L) ||
                   excludeGap.get(p).exists { case (glo, ghi) =>
@@ -5334,25 +5358,58 @@ object Catalog {
     * are retried and then PROPAGATED — they must abort the caller loudly
     * and retryably, never masquerade as corruption: a gap commit that
     * mistook a 503 for a torn footer would quarantine (or silently fail
-    * to adopt) committed or fresh data. */
+    * to adopt) committed or fresh data.
+    *
+    * EVERY failure gets the same bounded retry before it is classified
+    * (ADVICE r16): on object stores a transiently truncated/reset read can
+    * surface as `EOFException` or even parquet's bad-magic complaint (a
+    * tail read that returned wrong bytes), and a zero-retry structural
+    * verdict there would let a gap commit quarantine a healthy file. Only
+    * a failure that PERSISTS across the retries is judged, and the
+    * structural verdict (`None`) is narrowed to parquet's own corruption
+    * signatures — `EOFException` from the footer reads, and the
+    * `RuntimeException`s `ParquetFileReader.open` throws on bad magic /
+    * too-short files / an out-of-range footer index (probed: parquet
+    * 1.15 throws BARE RuntimeExceptions for these, there is no typed
+    * corruption exception to catch). Anything else — including the
+    * `IOException("can not read class org.apache.parquet.format...")` a
+    * torn thrift footer produces, which is indistinguishable by type from
+    * a mid-read connection reset — stays LOUD. */
   def fileIdRangeOpt(path: Path,
                      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
-    var attempt = 0
     def openReader(): org.apache.parquet.hadoop.ParquetFileReader =
       org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    // parquet-mr's structural-corruption complaints are bare
+    // RuntimeExceptions; match the stable message prefixes it has used
+    // across versions for the three no-footer shapes
+    def corruptionSignature(e: Throwable): Boolean = {
+      val m = Option(e.getMessage).getOrElse("")
+      m.contains("is not a Parquet file") ||
+        m.contains("Expected magic number") ||
+        m.contains("footer index is not within the file")
+    }
+    var attempt = 0
     val reader: org.apache.parquet.hadoop.ParquetFileReader = {
       var r: org.apache.parquet.hadoop.ParquetFileReader = null
       while (r == null) {
         try r = openReader()
         catch {
-          case _: java.io.EOFException => // truncated footer: structural
-            return None
+          case _: java.io.EOFException if attempt < 2 =>
+            attempt += 1; Thread.sleep(50L << attempt) // maybe transient: retry
+          case _: java.io.EOFException =>
+            return None // EOF persists: truncated footer, structural
+          case e: RuntimeException if corruptionSignature(e) =>
+            if (attempt >= 2) return None // bad magic persists: structural
+            attempt += 1; Thread.sleep(50L << attempt)
           case _: java.io.IOException if attempt < 2 => // transient: retry
             attempt += 1; Thread.sleep(50L << attempt)
           case e: java.io.IOException => throw e // persistent store error: loud
-          case scala.util.control.NonFatal(_) => // bad magic etc: structural
-            return None
+          // any other failure is NOT silently classified as debris —
+          // unknown reader errors propagate after the retries (narrowed
+          // from the pre-r17 blanket NonFatal → structural)
+          case scala.util.control.NonFatal(_) if attempt < 2 =>
+            attempt += 1; Thread.sleep(50L << attempt)
         }
       }
       r

@@ -18,6 +18,26 @@ class NoopSetTimesFileSystem extends RawLocalFileSystem {
   override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
 }
 
+/** Injects `EOFException` from `open()` for the first
+  * [[FlakyEofProbe.failuresPerPath]] opens of each path, then delegates —
+  * the object-store shape where a transiently truncated/reset read
+  * surfaces as EOF. Registered under `flakyeof:`. */
+object FlakyEofProbe {
+  val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @volatile var failuresPerPath: Int = 2
+}
+
+class FlakyEofFileSystem extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("flakyeof:///")
+  override def open(p: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    val n = FlakyEofProbe.counts.merge(p.toString, Integer.valueOf(1),
+      (a, b) => Integer.valueOf(a.intValue() + b.intValue()))
+    if (n.intValue() <= FlakyEofProbe.failuresPerPath)
+      throw new java.io.EOFException(s"injected transient EOF #$n")
+    super.open(p, bufferSize)
+  }
+}
+
 /** Records, for every `_produce.lock` file delete, whether the JVM lock
   * registry still held the entry at delete time — the probe for
   * [[Catalog]]'s release ordering invariant (registry entry removed
@@ -312,6 +332,63 @@ class ObjectStorePostureSpec extends SparkSpec {
       "structural corruption (bad magic) is the only None")
     // the collapsed form folds both undecidable cases to the sentinel
     assert(Catalog.fileIdRange(torn, conf) == (Long.MinValue, Long.MaxValue))
+  }
+
+  test("fileIdRangeOpt retries transient EOF before judging it structural") {
+    // ADVICE r16: on object stores a transiently truncated/reset read can
+    // surface as EOF; a zero-retry structural verdict would let a gap
+    // commit quarantine a healthy file. Transient EOF must heal through
+    // the bounded retry; only PERSISTENT EOF is a torn footer.
+    hc.set("fs.flakyeof.impl", classOf[FlakyEofFileSystem].getName)
+    val dir = Files.createTempDirectory("graft-flakyeof").toString
+    import spark.implicits._
+    Seq((0, 11L, "{}", null: Array[Byte]))
+      .toDF("partition", "event_id", "metadata", "data")
+      .coalesce(1).write.parquet(s"$dir/real")
+    val fs = new Path(dir).getFileSystem(hc)
+    val realLocal = fs.listStatus(new Path(s"$dir/real"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val viaFlaky = new Path("flakyeof:" + realLocal.toUri.getPath)
+    FlakyEofProbe.counts.clear()
+    FlakyEofProbe.failuresPerPath = 2 // first two opens EOF, third succeeds
+    assert(Catalog.fileIdRangeOpt(viaFlaky, hc) == Some((11L, 11L)),
+      "a transient EOF (heals within the bounded retry) must not be " +
+      "misread as a torn footer")
+    FlakyEofProbe.counts.clear()
+    FlakyEofProbe.failuresPerPath = Int.MaxValue // EOF persists
+    assert(Catalog.fileIdRangeOpt(viaFlaky, hc).isEmpty,
+      "EOF persisting across every retry is structural (torn footer)")
+    FlakyEofProbe.failuresPerPath = 2
+  }
+
+  test("torn debris OFF-gap is quarantined at manifest update, never adopted") {
+    // ADVICE r16 (medium): pre-r17, an unknown structurally-corrupt chunk
+    // on a NON-gap commit was adopted under the never-prune sentinel —
+    // crashed-writer debris enshrined as a permanent manifest entry,
+    // shielded from every purge while still breaking topic scans. It must
+    // be quarantined like its gap-path sibling.
+    val wh = Files.createTempDirectory("graft-offgapdebris").toString
+    val (d, topic) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    import spark.implicits._
+    topic.producer().produce(
+      (0 until 4).map(i => (s"""{"i":$i}""", 0)).toDF("metadata", "partition")): Unit
+    assert(cat.readManifest("t").isDefined)
+    val garbage = new Path(cat.logPath("t") + "/partition=0/part-torn.parquet")
+    val out = fs.create(garbage, true)
+    try out.write("not a parquet file".getBytes("UTF-8")) finally out.close()
+    // a plain sequential produce — no gap decided anywhere
+    topic.producer().produce(
+      (4 until 6).map(i => (s"""{"i":$i}""", 0)).toDF("metadata", "partition")): Unit
+    assert(!fs.exists(garbage),
+      "torn debris must be quarantined at the off-gap manifest update")
+    assert(fs.exists(new Path(garbage.getParent, s".${garbage.getName}.quarantined")),
+      "quarantine preserves the bytes (dot-prefixed rename)")
+    val listed = cat.readManifest("t").get.files.valuesIterator.flatten.map(_.path).toSet
+    assert(!listed.exists(_.contains("part-torn")),
+      "the manifest must never list the debris")
+    assert(topic.events().count() === 6, "real rows unaffected, debris invisible")
   }
 
   test("footer-less debris inside a decided-dead gap is quarantined, never adopted") {
