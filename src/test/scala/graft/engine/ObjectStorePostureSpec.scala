@@ -38,6 +38,49 @@ class FlakyEofFileSystem extends RawLocalFileSystem {
   }
 }
 
+/** Cross-process create race coordination for
+  * [[NonAtomicCreateFileSystem]]: when `checkBarrier` is set, a
+  * non-overwrite create blocks after its exists-CHECK until the other
+  * contender's check also passed — forcing the both-pass-the-check
+  * interleaving that breaks naive create-exclusive on object stores. */
+object RaceCreateProbe {
+  @volatile var checkBarrier: java.util.concurrent.CyclicBarrier = null
+  val putLock = new Object
+}
+
+/** Local filesystem under `racecreate:` whose `create(overwrite=false)`
+  * is deliberately CHECK-THEN-PUT (the s3a-without-conditional-create
+  * posture): the exists-check and the PUT are separate steps, the PUT is
+  * last-writer-wins, and — like a real object-store PUT — the content
+  * lands atomically at close (buffered, then swapped in under a lock). */
+class NonAtomicCreateFileSystem extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("racecreate:///")
+  private def putAtomic(f: Path, bytes: Array[Byte]): Unit =
+    RaceCreateProbe.putLock.synchronized {
+      val out = super.create(f, true)
+      try out.write(bytes) finally out.close()
+    }
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      if (exists(f)) // the CHECK
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+      val b = RaceCreateProbe.checkBarrier
+      if (b != null) b.await(10, java.util.concurrent.TimeUnit.SECONDS): Unit
+      val buf = new java.io.ByteArrayOutputStream() // the PUT (at close)
+      return new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FilterOutputStream(buf) {
+          override def close(): Unit = { super.close(); putAtomic(f, buf.toByteArray) }
+        }, null)
+    }
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+}
+
 /** Records, for every `_produce.lock` file delete, whether the JVM lock
   * registry still held the entry at delete time — the probe for
   * [[Catalog]]'s release ordering invariant (registry entry removed
@@ -226,6 +269,56 @@ class ObjectStorePostureSpec extends SparkSpec {
     } finally Catalog.CompactLockStaleMs = saved
   }
 
+  test("check-then-put store: at most one of two racing cross-process lock contenders proceeds") {
+    // VERDICT r16 top_next: fs.create(p, overwrite=false) is check-then-
+    // put on object stores, so two producers in DIFFERENT processes could
+    // both win the create and corrupt the _ids.json watermark. The nonce
+    // read-back must arbitrate: after both PUTs land (last-writer-wins),
+    // exactly one contender reads its own nonce back. The same-JVM
+    // registry is bypassed by driving the filesystem half directly — the
+    // registry wouldn't exist across two real processes.
+    hc.set("fs.racecreate.impl", classOf[NonAtomicCreateFileSystem].getName)
+    val dir = Files.createTempDirectory("graft-racecreate").toString
+    val lock = new Path("racecreate:" + dir + "/_produce.lock")
+    val fs = lock.getFileSystem(hc)
+    RaceCreateProbe.checkBarrier = new java.util.concurrent.CyclicBarrier(2)
+    try {
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Boolean]()
+      val ts = (1 to 2).map(i => new Thread(() =>
+        results.add(Catalog.createLockFileArbitrated(fs, lock, 400L)),
+        s"race-contender-$i"))
+      ts.foreach(_.start()); ts.foreach(_.join(15000))
+      assert(results.size == 2, "both contenders must have decided")
+      import scala.jdk.CollectionConverters._
+      val winners = results.asScala.count(_.booleanValue())
+      assert(winners <= 1,
+        "two cross-process contenders must never both win the lock")
+      assert(winners == 1,
+        "the last-writer-wins PUT schedule has a deterministic winner")
+      assert(fs.exists(lock), "the winner's lock file survives")
+    } finally RaceCreateProbe.checkBarrier = null
+  }
+
+  test("check-then-put store: non-racing acquire and reject still work; file: stays O_EXCL-exact") {
+    hc.set("fs.racecreate.impl", classOf[NonAtomicCreateFileSystem].getName)
+    val dir = Files.createTempDirectory("graft-racecreate2").toString
+    val lock = new Path("racecreate:" + dir + "/_produce.lock")
+    val fs = lock.getFileSystem(hc)
+    assert(Catalog.createLockFileArbitrated(fs, lock, 10L),
+      "an uncontended create on a check-then-put store must win")
+    assert(!Catalog.createLockFileArbitrated(fs, lock, 10L),
+      "a later contender must fail at the exists-check")
+    // file: scheme — kernel-arbitrated O_EXCL, no settle delay paid
+    val ldir = Files.createTempDirectory("graft-localexcl").toString
+    val llock = new Path("file:" + ldir + "/_produce.lock")
+    val lfs = llock.getFileSystem(hc)
+    val t0 = System.nanoTime()
+    assert(Catalog.createLockFileArbitrated(lfs, llock, 60000L))
+    assert((System.nanoTime() - t0) / 1e6 < 5000.0,
+      "file: must not pay the settle delay (O_EXCL is exact)")
+    assert(!Catalog.createLockFileArbitrated(lfs, llock, 60000L))
+  }
+
   test("releaseLock removes the registry entry before the lock file delete") {
     // The ordering the phantom-lock self-heal rests on: a write-based
     // heartbeat beat that re-created the file re-checks the registry —
@@ -276,6 +369,32 @@ class ObjectStorePostureSpec extends SparkSpec {
       dB.catalog.clearConfOverride("spark.graft.produce.commitWaitMs")
       dB.catalog.clearConfOverride("spark.graft.produce.intentTimeoutMs")
     }
+  }
+
+  test("forceWriteRefresh pins the write-based heartbeat even where setTimes works") {
+    // VERDICT r16: refreshMtimeVerified's per-store verdict is permanent
+    // for the JVM — a store whose setTimes is flaky-rather-than-deaf
+    // (works at probe time, degrades later) would strand the heartbeat on
+    // the in-place path. The catalog-scoped escape hatch must bypass the
+    // memo entirely: on the REAL local filesystem (where setTimes
+    // demonstrably works, so the memoized path would never write a
+    // sibling) the beat lands on the write-based lease marker.
+    val wh = Files.createTempDirectory("graft-forcewrite").toString
+    val (d, _) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    cat.setConfOverride("spark.graft.heartbeat.forceWriteRefresh", "true")
+    try {
+      cat.acquireProduceLock("t")
+      val (id, _) = try cat.reserveProduce("t", Map(0 -> 2L))
+        finally cat.releaseProduceLock("t")
+      assert(cat.touchProduceIntent("t", id))
+      assert(fs.exists(cat.intentLeasePath("t", id)),
+        "the forced beat must refresh through the sibling lease marker")
+      cat.acquireProduceLock("t")
+      try cat.rollbackProduceIntentLocked("t", id)
+      finally cat.releaseProduceLock("t")
+    } finally cat.clearConfOverride("spark.graft.heartbeat.forceWriteRefresh")
   }
 
   test("vacuum staging reap is skew-immune: local clock ahead never reaps live staging") {
