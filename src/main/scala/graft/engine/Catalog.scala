@@ -48,9 +48,22 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * through [[conf]] so a fixture/test can pin a knob for ONE warehouse
     * — a session-global `spark.conf.set` would leak into every other
     * catalog evaluated from the same SparkSession (e.g. a janitor horizon
-    * of 1ms auto-aborting an unrelated topic's open transactions). */
-  private val confOverrides =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * of 1ms auto-aborting an unrelated topic's open transactions).
+    *
+    * Keyed by the QUALIFIED WAREHOUSE PATH in a JVM-wide registry
+    * (VERDICT r16 #2), not by the Catalog object: the scope of an
+    * override is the TENANT (one warehouse), and the engine freely
+    * constructs private Catalog instances over the caller's warehouse —
+    * the MERGE commit path, the SQL row-level planner, DSv2 writers. Under
+    * per-object scoping those never saw a user catalog's
+    * `setConfOverride`, which made `mergeCommitWaitMs` the one knob
+    * exempt from catalog scoping; under warehouse keying every instance
+    * over the same warehouse reads the same override map, so two tenants
+    * in one JVM can hold different MERGE patience too. */
+  private lazy val confOverrides: java.util.concurrent.ConcurrentHashMap[String, String] =
+    Catalog.warehouseOverrides.computeIfAbsent(
+      fs.makeQualified(new Path(warehouse)).toString,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
 
   def setConfOverride(key: String, value: String): Unit =
     confOverrides.put(key, value): Unit
@@ -4115,12 +4128,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private[graft] def lockVerifyDelayMs: Long =
     conf("spark.graft.lock.verifyDelayMs", "100").toLong
 
-  /** See [[produceLockWaitMs]]'s scoping note — with one honest caveat:
-    * the MERGE paths construct their OWN Catalog instances
-    * ([[graft.engine.MergeCommit.commit]], the SQL row-level-operation
-    * planner), so a user catalog's `setConfOverride` cannot reach them;
-    * for MERGE patience the effective scopes are the SESSION conf
-    * (`spark.graft.merge.commitWaitMs`) and the JVM-default var. */
+  /** See [[produceLockWaitMs]]'s scoping note. The MERGE paths construct
+    * their own Catalog instances ([[graft.engine.MergeCommit.commit]],
+    * the SQL row-level-operation planner), but overrides are keyed by
+    * WAREHOUSE (r17), so a user catalog's `setConfOverride` reaches them
+    * like every other knob. */
   private[graft] def mergeCommitWaitMs: Long =
     conf("spark.graft.merge.commitWaitMs",
       Catalog.MergeCommitWaitMs.toString).toLong
@@ -5023,6 +5035,13 @@ object Catalog {
     * `create(overwrite=false)` alone is check-then-act on the local
     * filesystem, so two same-JVM threads could both win the file race.
     * Cross-process arbitration stays with the lock file. */
+  /** JVM-wide override registry backing every instance's `confOverrides`,
+    * keyed by qualified warehouse path — see the instance field's scoping
+    * note. Only warehouses that ever called `setConfOverride` hold an
+    * entry (plus one empty map per catalog that read a knob). */
+  private val warehouseOverrides = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, String]]()
+
   private[engine] val heldLocks =
     new java.util.concurrent.ConcurrentHashMap[String, LockOwner]()
 

@@ -371,6 +371,34 @@ class ObjectStorePostureSpec extends SparkSpec {
     }
   }
 
+  test("MERGE patience is catalog-scoped too: private Catalog instances see the caller's override") {
+    // VERDICT r16 #2: the MERGE paths (MergeCommit.commit, the SQL
+    // row-level planner, DSv2 writers) construct their OWN Catalog over
+    // the caller's warehouse — under per-object override scoping they
+    // never saw setConfOverride, making mergeCommitWaitMs the one knob
+    // exempt from catalog scoping. Overrides are now keyed by WAREHOUSE:
+    // a fresh instance over the same warehouse (exactly what the MERGE
+    // paths build) must read the user catalog's override, and the two
+    // tenants must stay isolated from each other.
+    val whA = Files.createTempDirectory("graft-mknobs-a").toString
+    val whB = Files.createTempDirectory("graft-mknobs-b").toString
+    val (dA, _) = newTopic(whA)
+    val (dB, _) = newTopic(whB)
+    dA.catalog.setConfOverride("spark.graft.merge.commitWaitMs", "250")
+    dB.catalog.setConfOverride("spark.graft.merge.commitWaitMs", "7000")
+    try {
+      assert(new Catalog(spark, whA).mergeCommitWaitMs == 250L,
+        "a private Catalog over warehouse A must see A's MERGE patience")
+      assert(new Catalog(spark, whB).mergeCommitWaitMs == 7000L,
+        "a private Catalog over warehouse B must see B's, not A's")
+    } finally {
+      dA.catalog.clearConfOverride("spark.graft.merge.commitWaitMs")
+      dB.catalog.clearConfOverride("spark.graft.merge.commitWaitMs")
+    }
+    // cleared: later instances revert to the JVM default
+    assert(new Catalog(spark, whA).mergeCommitWaitMs == Catalog.MergeCommitWaitMs)
+  }
+
   test("forceWriteRefresh pins the write-based heartbeat even where setTimes works") {
     // VERDICT r16: refreshMtimeVerified's per-store verdict is permanent
     // for the JVM — a store whose setTimes is flaky-rather-than-deaf
