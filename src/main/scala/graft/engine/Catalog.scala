@@ -1080,8 +1080,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     // checks necessarily happens after the other side's acquire.
     acquireLock(compactLockPath(name), age =>
       s"topic '$name': a compaction is already in progress (lock " +
-      s"${compactLockPath(name)}, age ${age / 1000}s) — retry after it " +
-      "finishes, or delete the lock if the compactor crashed")
+      s"${compactLockPath(name)}, age ${age / 1000}s) — inspect the holder " +
+      s"via CALL <catalog>.system.locks('$name') and retry after it " +
+      "finishes (a crashed compactor's lock is reclaimed automatically " +
+      "after the staleness horizon)")
     // ONE deliberate composition is exempt from both produce-side checks
     // below: merge recovery rolls a crashed MERGE's vector delete forward
     // while still holding the produce lock it reconciles under
@@ -1163,9 +1165,10 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         acquireLock(produceLockPath(name), age =>
           s"topic '$name': another produce is already in progress (lock " +
           s"${produceLockPath(name)}, age ${age / 1000}s) — concurrent producers " +
-          "on one topic must be serialized (single-writer contract); retry after " +
-          "it finishes, set spark.graft.produce.lockWaitMs to wait, or delete the " +
-          "lock if the producer crashed")
+          "on one topic must be serialized (single-writer contract); inspect the " +
+          s"holder via CALL <catalog>.system.locks('$name'), retry after it " +
+          "finishes, or set spark.graft.produce.lockWaitMs to wait (a crashed " +
+          "holder's lock is reclaimed automatically after the staleness horizon)")
         return
       } catch {
         case e: LockConflictException =>
@@ -1185,7 +1188,8 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     lockIsLive(compactLockPath(name)).foreach { age =>
       throw new LockConflictException(
         s"topic '$name': cannot produce while compaction is in progress " +
-        s"(lock ${compactLockPath(name)}, age ${age / 1000}s)")
+        s"(lock ${compactLockPath(name)}, age ${age / 1000}s) — inspect " +
+        s"the holder via CALL <catalog>.system.locks('$name')")
     }
 
   /** Is another process's produce lock live on this topic? (A probe, not
@@ -4199,6 +4203,48 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Admin listing of this topic's HELD lock files (VERDICT r16 #3) — the
+    * third thing an operator's exclusive statement can block on, alongside
+    * the `transactions` and `produce_intents` views: one row per existing
+    * `_produce.lock` / `_compact.lock` carrying the owner JSON the
+    * acquirer wrote into the file, the lock's idle age (the same
+    * min-of-two-clocks conservatism as [[produceIntentRows]]: the
+    * heartbeat stamps the local clock via `setTimes` where that works and
+    * the store clock via re-create where it doesn't), the heartbeat mode
+    * this catalog would run on the store, and whether a contender's
+    * reclaim claim is pending. Metadata-only: an exists probe, a stat and
+    * a small read per lock. An age under the staleness horizon with a
+    * live heartbeat is a working producer/compactor; an age past
+    * [[Catalog.CompactLockStaleMs]] is a crash leftover the next
+    * contender will reclaim. */
+  private[graft] def lockRows(name: String)
+      : Seq[(String, String, Long, String, Boolean)] = {
+    val locks = Seq("produce" -> produceLockPath(name),
+      "compact" -> compactLockPath(name))
+    val present = locks.filter { case (_, p) =>
+      try fs.exists(p)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (present.isEmpty) return Nil
+    val storeNow = storeNowMs(topicPath(name))
+    val localNow = localNowMs
+    val mode =
+      if (heartbeatForceWriteRefresh) "write-based (forced)"
+      else Catalog.setTimesEffectiveFor(fs) match {
+        case Some(true)  => "in-place (setTimes)"
+        case Some(false) => "write-based (setTimes-deaf store)"
+        case None        => "unprobed (decided at first beat)"
+      }
+    present.flatMap { case (kind, p) =>
+      try {
+        val m = fs.getFileStatus(p).getModificationTime
+        Some((kind, readStringResilient(p).getOrElse(""),
+          math.max(0L, math.min(storeNow - m, localNow - m)), mode,
+          fs.exists(new Path(p.getParent, p.getName + ".reclaim"))))
+      } catch { case _: java.io.FileNotFoundException => None } // released
+    }
+  }
+
   /** Reserve dense id ranges for a concurrent produce (caller holds the
     * produce lock): base = max(committed watermark, live intent ends) per
     * partition, so reservations stack above everything committed OR in
@@ -5187,6 +5233,14 @@ object Catalog {
       }
     }
   }
+
+  /** The memoized [[refreshMtimeVerified]] verdict for `fs`, if probed:
+    * `Some(true)` = setTimes works there (in-place heartbeats),
+    * `Some(false)` = setTimes-deaf (write-based), `None` = no beat has
+    * probed the store yet this JVM. Read by the `locks` admin view. */
+  private[engine] def setTimesEffectiveFor(
+      fs: org.apache.hadoop.fs.FileSystem): Option[Boolean] =
+    Option(setTimesEffective.get(fs.getUri.toString)).map(_.booleanValue())
 
   /** Per-filesystem memoized verdict of [[refreshMtimeVerified]], keyed by
     * the fs URI: `true` = `setTimes` demonstrably advances mtimes on that

@@ -335,6 +335,28 @@ final class TopicHandle(spark: SparkSession,
       : Seq[(String, Long, Long, Long, Long, Long)] =
     catalog.produceIntentRows(name)
 
+  /**
+   * Admin listing of this topic's held lock files (the `locks` analog of
+   * [[transactions]] / [[produceIntents]]): one row per existing
+   * `_produce.lock` / `_compact.lock` — the owner JSON the acquirer wrote
+   * (process name + acquire time), the lock's idle age in ms, the
+   * heartbeat mode on this store (in-place `setTimes` vs write-based
+   * re-create), and whether a contender's reclaim claim is pending.
+   * Metadata-only. The operator's answer to "what exactly is my exclusive
+   * statement / produce blocked on, and is its holder alive": an age well
+   * under the staleness horizon means a live heartbeating holder; one
+   * past it is a crash leftover the next contender reclaims.
+   */
+  def locks(): DataFrame = {
+    import spark.implicits._
+    lockRows().toDF("lock", "owner", "age_ms", "heartbeat", "reclaim_pending")
+  }
+
+  /** [[locks]]'s driver-side row form — shared with the SQL procedure
+    * surface (`CALL cat.system.locks('t')`). */
+  private[graft] def lockRows(): Seq[(String, String, Long, String, Boolean)] =
+    catalog.lockRows(name)
+
   /** [[remoteShares]]'s driver-side row form — shared with the SQL
     * procedure surface (`CALL cat.system.remote_shares('t')`). */
   private[graft] def remoteShareRows()

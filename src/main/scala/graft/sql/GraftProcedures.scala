@@ -34,9 +34,9 @@ private[sql] object GraftProcedures {
   val Namespace = "system"
 
   def names: Seq[String] =
-    Seq("clone", "compact", "expire", "history", "maintain",
-      "rebuild_manifest", "remote_shares", "restore", "transactions",
-      "vacuum")
+    Seq("clone", "compact", "expire", "history", "locks", "maintain",
+      "produce_intents", "rebuild_manifest", "remote_shares", "restore",
+      "transactions", "vacuum")
 
   def load(engine: Catalog, name: String): Option[UnboundProcedure] = {
     def topicOf(in: InternalRow): String = {
@@ -157,6 +157,21 @@ private[sql] object GraftProcedures {
         // statement / queued commit" — metadata-only, no Scala shell needed
         handle(topicOf(in)).produceIntentRows().map(r =>
           Seq(r._1, r._2, r._3, r._4, r._5, r._6))
+      })
+      case "locks" => Some(procedureRows("locks",
+        "held produce/compact lock files: owner, age, heartbeat mode, " +
+        "pending reclaim (the third blocker view, after transactions " +
+        "and produce_intents)",
+        Seq(ProcedureParameter.in("topic", StringType).build()),
+        StructType(Seq(StructField("lock", StringType, nullable = false),
+          StructField("owner", StringType, nullable = false),
+          StructField("age_ms", LongType, nullable = false),
+          StructField("heartbeat", StringType, nullable = false),
+          StructField("reclaim_pending", BooleanType, nullable = false)))) { in =>
+        // the SQL answer to "what is my statement blocked on and is its
+        // holder alive" — metadata-only, no Scala shell needed
+        handle(topicOf(in)).lockRows().map(r =>
+          Seq(r._1, r._2, r._3, r._4, r._5))
       })
       case "remote_shares" => Some(procedureRows("remote_shares",
         "cross-topic transaction shares with resolved coordinator state",

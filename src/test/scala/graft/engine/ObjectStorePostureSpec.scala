@@ -120,6 +120,10 @@ object IntentTestOps {
     d.catalog.produceStagingDir(topic, id).toString
   def acquireDraining(d: GraftDriver, topic: String): Unit =
     d.catalog.acquireProduceLockDraining(topic)
+  def acquireProduce(d: GraftDriver, topic: String): Unit =
+    d.catalog.acquireProduceLock(topic)
+  def releaseProduce(d: GraftDriver, topic: String): Unit =
+    d.catalog.releaseProduceLock(topic)
 }
 
 /**
@@ -245,6 +249,51 @@ class ObjectStorePostureSpec extends SparkSpec {
     assert(cat.listProduceIntents("t").isEmpty)
     assert(!fs.exists(cat.intentLeasePath("t", id)),
       "a lease marker landing after rollback must self-delete")
+  }
+
+  test("orphan lease: a create landing after BOTH rollback deletes stays inert and is vacuum-reaped") {
+    // VERDICT r16 pins the three-site orphan-lease proof so a future
+    // protocol edit cannot silently widen the window: a write-based beat
+    // whose lease CREATE lands after the rollback's two deletes and whose
+    // owner dies before the record-gone re-check leaves an orphan
+    // `.<id>.json.lease`. That orphan must (1) never surface as an intent
+    // (the listing only lets a lease extend a LISTED record), (2) never
+    // disturb later reservations, and (3) be age-reaped by vacuum 2c —
+    // while a YOUNG record-less lease survives (it could belong to a
+    // fresh reserve racing the vacuum's two listings).
+    val wh = noopWarehouse()
+    val (d, topic) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    cat.acquireProduceLock("t")
+    val (id, _) = try cat.reserveProduce("t", Map(0 -> 2L))
+      finally cat.releaseProduceLock("t")
+    cat.acquireProduceLock("t")
+    try cat.rollbackProduceIntentLocked("t", id)
+    finally cat.releaseProduceLock("t")
+    // the dead beat's create, AFTER both deletes, with no re-check ever
+    val lease = cat.intentLeasePath("t", id)
+    fs.create(lease, true).close()
+    assert(cat.listProduceIntents("t").isEmpty,
+      "a lease without a record must never surface as an intent")
+    // a later reservation on the same topic is unaffected
+    cat.acquireProduceLock("t")
+    val (id2, _) = try cat.reserveProduce("t", Map(0 -> 1L))
+      finally cat.releaseProduceLock("t")
+    assert(cat.listProduceIntents("t").map(_._1) == Seq(id2))
+    cat.acquireProduceLock("t")
+    try cat.rollbackProduceIntentLocked("t", id2)
+    finally cat.releaseProduceLock("t")
+    // young orphan survives a vacuum pass...
+    topic.vacuum(): Unit
+    assert(fs.exists(lease),
+      "a young record-less lease could be a racing fresh intent's — kept")
+    // ...an aged one is definitively dead and reaped
+    assert(new java.io.File(lease.toUri.getPath).setLastModified(
+      System.currentTimeMillis() - 2 * Catalog.CompactLockStaleMs))
+    topic.vacuum(): Unit
+    assert(!fs.exists(lease),
+      "an orphan lease past the staleness horizon must be vacuum-reaped")
   }
 
   test("setTimes-deaf store: the produce-lock heartbeat keeps a long hold visibly live") {

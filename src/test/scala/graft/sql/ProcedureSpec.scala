@@ -173,6 +173,49 @@ class ProcedureSpec extends SparkSpec {
     assert(api.toSeq == Seq((idA, 5L), (idB, 3L)).sortBy(_._1))
   }
 
+  test("CALL system.locks: held-lock diagnosis, and the refusal names the view") {
+    // VERDICT r16 #3: transactions and produce intents have admin views;
+    // the third thing an exclusive statement can block on — a held
+    // produce/compact lock — surfaced only through exception text. One
+    // row per held lock: owner JSON, age, heartbeat mode, pending reclaim.
+    val (cat, d) = newCatalog()
+    import graft.engine.IntentTestOps
+    d.createTopic("t", partitions = 1)
+    assert(spark.sql(s"CALL $cat.system.locks('t')").collect().isEmpty,
+      "no lock held, no rows")
+    IntentTestOps.acquireProduce(d, "t")
+    try {
+      val rows = spark.sql(s"CALL $cat.system.locks('t')").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getString(0) == "produce")
+      assert(r.getString(1).contains("\"owner\""),
+        s"owner JSON from the lock file expected, got: ${r.getString(1)}")
+      assert(r.getLong(2) >= 0L, "age_ms present and sane")
+      assert(r.getString(3).nonEmpty, "heartbeat mode reported")
+      assert(!r.getBoolean(4), "no reclaim claim pending")
+      // a competing produce's refusal points the operator at this view
+      val e = intercept[graft.engine.LockConflictException] {
+        val t2 = new Thread(() => IntentTestOps.acquireProduce(d, "t"))
+        val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        t2.setUncaughtExceptionHandler((_, ex) => err.set(ex))
+        t2.start(); t2.join(10000)
+        if (err.get() != null) throw err.get()
+      }
+      assert(e.getMessage.contains("system.locks"), e.getMessage)
+    } finally IntentTestOps.releaseProduce(d, "t")
+    assert(spark.sql(s"CALL $cat.system.locks('t')").collect().isEmpty,
+      "released lock leaves no rows")
+    // the handle API returns the same shape
+    IntentTestOps.acquireProduce(d, "t")
+    try {
+      val api = d.openTopic("t").locks()
+        .select("lock", "reclaim_pending").collect()
+      assert(api.map(r => (r.getString(0), r.getBoolean(1))).toSeq ==
+        Seq(("produce", false)))
+    } finally IntentTestOps.releaseProduce(d, "t")
+  }
+
   test("CALL system.expire drops the prefix; unknown procedures fail loudly") {
     val (cat, d) = newCatalog()
     d.createTopic("t", partitions = 1)
