@@ -82,7 +82,143 @@ object ScaleCheck {
 
     if (axes.contains("meta")) metaAxis(spark)
     if (axes.contains("data")) concurrentAxis(spark)
+    if (axes.contains("data") || args.contains("mixed")) mixedAxis(spark)
     spark.stop()
+  }
+
+  /** Mixed-workload protocol soak (VERDICT r16 #5): steady writers + ONE
+    * exclusive statement (transactional produce) + a continuous streaming
+    * reader, concurrently on one topic. The writers run WITHOUT PAUSE
+    * through the exclusive statement's whole attempt and stop only after
+    * it returns — so what the admission assert probes is draining-gate
+    * starvation against a steady intent stream, not merely contention
+    * that resolves when the writers happen to finish. Hard asserts:
+    *  - the exclusive statement is admitted within its (compressed)
+    *    patience while writers keep reserving;
+    *  - every mid-flight read_committed batch read is
+    *    watermark-consistent: per partition, count == distinct ids ==
+    *    max+1 (a dense committed prefix — never a torn commit, never a
+    *    half-visible reservation);
+    *  - the streaming reader delivers every committed row EXACTLY once
+    *    (no duplicates across micro-batches, final count exact);
+    *  - final ids are dense per partition and no gap marker is left. */
+  private def mixedAxis(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val partitions = 4
+    val wh = java.nio.file.Files.createTempDirectory("graft-scale-mixed").toString
+    val d = new GraftDriver(spark, wh)
+    d.createTopic("m", partitions = partitions)
+    val topic = d.openTopic("m")
+    def batch(n: Long, tag: String) = spark.range(n)
+      .select(to_json(struct(col("id").as("eid"), lit(tag).as("t"))).as("metadata"),
+        pmod(col("id"), lit(partitions)).cast("int").as("partition"))
+    topic.producer().produce(batch(1000L, "warm")): Unit // JIT/codegen warm
+    val exclusivePatienceMs = 45000L
+    d.catalog.setConfOverride("spark.graft.produce.commitWaitMs",
+      exclusivePatienceMs.toString)
+    try {
+      val stopWriters = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val writerBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writers = (0 until 3).map { w =>
+        val t = new Thread(() => {
+          try while (!stopWriters.get()) {
+            topic.producer().produce(batch(6000L, s"w$w")): Unit
+            writerBatches.incrementAndGet(): Unit
+          } catch { case t: Throwable => err.compareAndSet(null, t): Unit }
+        }, s"mixed-writer-$w")
+        t.setDaemon(true); t
+      }
+      // continuous streaming reader: exactly-once delivery across batches
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+      val dupes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-mixed-ckpt").toString
+      val q = spark.readStream.format("graft")
+        .option("warehouse", wh).option("topic", "m").load()
+        .select(col("partition"), col("event_id"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          b.collect().foreach { r =>
+            if (!seen.add((r.getInt(0), r.getLong(1))))
+              dupes.incrementAndGet(): Unit
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .start()
+      // watermark-consistency poller on the batch read path
+      val pollErr = new java.util.concurrent.atomic.AtomicReference[String]()
+      val polls = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stopPoll = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val poller = new Thread(() => {
+        try while (!stopPoll.get() && pollErr.get() == null) {
+          topic.events("read_committed").groupBy(col("partition"))
+            .agg(count(lit(1)).as("cnt"),
+              countDistinct(col("event_id")).as("ids"),
+              max(col("event_id")).as("hi"))
+            .collect().foreach { r =>
+              val (cnt, ids, hi) = (r.getAs[Long]("cnt"),
+                r.getAs[Long]("ids"), r.getAs[Long]("hi"))
+              if (!(cnt == ids && hi == cnt - 1))
+                pollErr.compareAndSet(null, s"partition ${r.get(0)}: torn " +
+                  s"committed read (cnt=$cnt ids=$ids hi=$hi)"): Unit
+            }
+          polls.incrementAndGet(): Unit
+          Thread.sleep(400)
+        } catch {
+          case _: InterruptedException => ()
+          case t: Throwable =>
+            pollErr.compareAndSet(null, s"poller died: ${t.getMessage}"): Unit
+        }
+      }, "mixed-poller")
+      poller.setDaemon(true)
+      writers.foreach(_.start()); poller.start()
+      Thread.sleep(2500) // writers provably mid-stream
+      val (_, exclusiveWall) = time {
+        val x = topic.beginTransaction("x")
+        x.produce(batch(4000L, "x")): Unit
+        x.commit()
+      }
+      Thread.sleep(1500) // writers keep going after the exclusive, too
+      stopWriters.set(true)
+      writers.foreach(_.join(120000))
+      if (err.get() != null) throw err.get()
+      val total = 1000L + writerBatches.get() * 6000L + 4000L
+      // let the stream drain to the final watermark, then stop everything
+      val drainDeadline = System.currentTimeMillis() + 120000L
+      while (seen.size() < total && System.currentTimeMillis() < drainDeadline)
+        Thread.sleep(250)
+      q.stop(); stopPoll.set(true); poller.join(30000)
+      if (pollErr.get() != null)
+        throw new AssertionError("mixed axis: " + pollErr.get())
+      println("\n## ScaleCheck: mixed workload (3 steady writers + exclusive txn + streaming reader)")
+      println("| metric | value |")
+      println("|---|---|")
+      println(f"| exclusive admission + commit under steady writers | $exclusiveWall%.2fs (patience ${exclusivePatienceMs / 1000}s) |")
+      println(s"| writer batches committed | ${writerBatches.get()} (x6000 rows) |")
+      println(s"| consistency polls, all dense | ${polls.get()} |")
+      println(s"| stream rows delivered | ${seen.size()} of $total (dupes=${dupes.get()}) |")
+      assert(exclusiveWall < exclusivePatienceMs / 1000.0,
+        f"exclusive statement starved: $exclusiveWall%.1fs under steady writers")
+      assert(polls.get() >= 5L, "the poller must have sampled mid-flight states")
+      assert(dupes.get() == 0L, s"stream delivered ${dupes.get()} duplicate rows")
+      assert(seen.size() == total,
+        s"stream delivered ${seen.size()} of $total committed rows")
+      val ev = topic.events()
+      assert(ev.count() == total, "final count")
+      val perPart = ev.groupBy(col("partition"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("event_id")).as("ids"),
+          max(col("event_id")).as("hi")).collect()
+      perPart.foreach { r =>
+        assert(r.getAs[Long]("cnt") == r.getAs[Long]("ids") &&
+          r.getAs[Long]("hi") == r.getAs[Long]("cnt") - 1,
+          s"final ids not dense on partition ${r.get(0)}")
+      }
+      assert(!d.catalog.mayHaveIdGaps("m"),
+        "all-committed mixed workload must leave no gap marker")
+      println("mixed-workload invariants hold: bounded exclusive admission, " +
+        "dense committed reads throughout, exactly-once stream delivery")
+    } finally d.catalog.clearConfOverride("spark.graft.produce.commitWaitMs")
   }
 
   /** N writers ≈ parallel, not N× serial: the same N batches produced
