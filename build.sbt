@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 227-query bench generates enough whole-stage-codegen classes to
+  // overflow the default 240m code cache (a 27-query subset already fills
+  // the profiled-nmethods heap to 65% — measured with -XX:+PrintCodeCache),
+  // and cache flushing deopts hot band-join loops mid-capture: the
+  // JIT-plateau bimodality r16's VERDICT flagged on the dedup/knn family.
+  "-XX:ReservedCodeCacheSize=640m",
 )

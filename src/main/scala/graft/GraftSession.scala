@@ -38,6 +38,18 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE re-plan INSIDE cached subtrees (default false pins a
+      // cached plan's output partitioning): the dedup/LSH pipelines
+      // persist their shingle/signature frames, and with the default
+      // every stage under the persist ran at the full static shuffle
+      // partition count — hundreds of near-empty tasks per graded query
+      // at small SF (measured: q_dedup_simhash_pairs 358 tasks → 16-19,
+      // total task time 20s → 3s, GC 10x down), and the per-task
+      // scheduling+GC noise behind the dedup family's capture-to-capture
+      // bimodality (r16 directive #4). At scale the same conf lets the
+      // band joins coalesce/split on REAL runtime sizes instead of
+      // freezing the pre-cache layout.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // exact min/max/count answered from parquet footers (free at scale)
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")

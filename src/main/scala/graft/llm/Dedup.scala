@@ -192,15 +192,19 @@ object Dedup {
       maxBucket: Int = 4096): (DataFrame, () => Unit) = {
     val numHashes = bands * rowsPerBand
 
-    // Repartition by id up front: spreads shingle hashing across the cluster
+    // REBALANCE by id up front: spreads shingle hashing across the cluster
     // even when the input is a handful of files, and pre-aligns the
     // partitioning with every downstream groupBy(id) (no second shuffle).
+    // The rebalance origin (vs a plain repartition) keeps the exchange
+    // fully AQE-optimizable: tiny inputs coalesce to a few real tasks,
+    // skewed ids split — the hash clustering survives either way, so the
+    // downstream alignment holds at every size.
     // Tokenizing BEFORE the exchange materializes the token array, so the
     // (interpreted) shingle lambda reads it O(1) per element instead of
     // re-splitting the text per access.
     val base = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col("id"))
+      .hint("rebalance", "id")
 
     // sh feeds the exact-verify join; sig sits on both sides of the band
     // self-join. Both are native per-row passes (no aggregate builds the
@@ -400,7 +404,7 @@ object Dedup {
    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .repartition(col("id"))
+      .hint("rebalance", "id")
       .select(col("id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
     val h = md5(col("tok"))
     // Parse the 16 leading hex nibbles ONCE into two 32-bit halves (char 1 =
@@ -505,7 +509,7 @@ object Dedup {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val base = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col("id"))
+      .hint("rebalance", "id")
     val units =
       if (shingleN <= 1) col("w")
       else TextFunctions.shinglesFromTokens(col("w"), shingleN)
@@ -573,7 +577,7 @@ object Dedup {
     require(dfCap > 0, "dfCap must be positive")
     val base = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col("id"))
+      .hint("rebalance", "id")
     // cache contract as in [[prefixFilterPairs]]: caller owns the lifetime
     val sh0 = base.select(col("id"), explode(
         graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
@@ -631,7 +635,7 @@ object Dedup {
                          n: Int): DataFrame = {
     val base = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col("id"))
+      .hint("rebalance", "id")
     val pos = base.select(col("id"),
       posexplode(TextFunctions.shinglesFromTokens(col("w"), n)).as(Seq("pos", "s")))
     val docFreq = pos.select(col("s"), col("id")).distinct()
@@ -670,7 +674,7 @@ object Dedup {
                           n: Int): DataFrame = {
     val base = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col("id"))
+      .hint("rebalance", "id")
     val shPos = base.select(col("id"), size(col("w")).as("m"),
       posexplode(TextFunctions.shinglesFromTokens(col("w"), n)).as(Seq("pos", "s")))
     val docFreq = shPos.select(col("s"), col("id")).distinct()
