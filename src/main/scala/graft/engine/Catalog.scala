@@ -59,20 +59,26 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * `setConfOverride`, which made `mergeCommitWaitMs` the one knob
     * exempt from catalog scoping; under warehouse keying every instance
     * over the same warehouse reads the same override map, so two tenants
-    * in one JVM can hold different MERGE patience too. */
-  private lazy val confOverrides: java.util.concurrent.ConcurrentHashMap[String, String] =
-    Catalog.warehouseOverrides.computeIfAbsent(
-      fs.makeQualified(new Path(warehouse)).toString,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    * in one JVM can hold different MERGE patience too. Reads never insert
+    * into the registry — only `setConfOverride` creates an entry. */
+  private lazy val overridesKey: String =
+    fs.makeQualified(new Path(warehouse)).toString
 
   def setConfOverride(key: String, value: String): Unit =
-    confOverrides.put(key, value): Unit
+    Catalog.warehouseOverrides.computeIfAbsent(overridesKey,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+      .put(key, value): Unit
 
-  def clearConfOverride(key: String): Unit =
-    confOverrides.remove(key): Unit
+  def clearConfOverride(key: String): Unit = {
+    val m = Catalog.warehouseOverrides.get(overridesKey)
+    if (m != null) m.remove(key): Unit
+  }
 
-  private def conf(key: String, default: => String): String =
-    Option(confOverrides.get(key)).getOrElse(spark.conf.get(key, default))
+  private def conf(key: String, default: => String): String = {
+    val m = Catalog.warehouseOverrides.get(overridesKey)
+    val o = if (m == null) null else m.get(key)
+    Option(o).getOrElse(spark.conf.get(key, default))
+  }
 
   /** The session's effective Hadoop configuration — snapshot this into any
     * executor-shipped reader so non-default filesystems (s3a, HDFS HA)
@@ -730,8 +736,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // pre-manifest topic only warns and skips — its unknown set spans
         // ALL files, so a torn one could be committed data mid-heal, the
         // same ambiguity that makes purgeGapOrphans leave torn files alone
-        // there. Readable stats-less files keep the heal behavior
-        // everywhere (valid data, never debris).
+        // there. Skipping is NOT silent omission on that path: batch reads
+        // are log-dir-listing based, and the skipped file stays in the
+        // listing, so scans keep failing loudly on its bad magic until an
+        // operator decides. Readable stats-less files keep the heal
+        // behavior everywhere (valid data, never debris).
         p -> xs.map(_._2).sorted.flatMap { rel =>
           Catalog.fileIdRangeOpt(new Path(logPath(name), rel), conf) match {
             case None =>
@@ -990,36 +999,23 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * only ever removes the stale file, never a live one. Contenders that
    * lose the claim race fail loudly (the claim winner is about to take the
    * lock). A crashed reclaimer's claim is itself aged out by the next
-   * contender; the read-back nonce check below narrows the double-claim
-   * window that reopens to a single stat-to-delete race REQUIRING a
-   * reclaimer crash plus a 30-minute-old claim — accepted and documented.
+   * contender.
+   *
+   * The claim create runs through [[Catalog.createLockFileArbitrated]] —
+   * ONE implementation of the store-posture dispatch (O_EXCL on `file:`,
+   * create-exclusive on HDFS, create-then-nonce-read-back on
+   * check-then-put stores) shared with the lock create itself, so `won`
+   * means the claim is provably OURS on every posture. That ownership
+   * proof is what makes the `finally` delete sound: a contender that
+   * LOST the read-back never deletes (pre-r17 its finally could remove
+   * the WINNER's claim on a check-then-put store, re-opening the
+   * double-reclaim window this protocol exists to close — a loser's
+   * orphaned payload, or a claim stranded by a crashed winner, instead
+   * ages out through the stale-claim branch below).
    */
   private[engine] def reclaimStaleLock(p: Path, alreadyHeld: Long => String): Unit = {
     val claim = new Path(p.getParent, p.getName + ".reclaim")
-    val nonce = java.util.UUID.randomUUID().toString
-    // The claim create must be EXCLUSIVE-atomic. fs.create(p, false) is
-    // atomic on HDFS (namenode arbitration) but on the local filesystem it
-    // is exists-check-then-create — two contenders released simultaneously
-    // both pass the check, both "win", and the at-most-one-loser contract
-    // breaks. For file: schemes use O_EXCL via nio (kernel-arbitrated).
-    val claimUri = fs.makeQualified(claim).toUri
-    val won =
-      try {
-        if (claimUri.getScheme == "file") {
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(claimUri.getPath),
-            nonce.getBytes(StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-        } else {
-          val out = fs.create(claim, false)
-          try out.write(nonce.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        }
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
+    val won = Catalog.createLockFileArbitrated(fs, claim, lockVerifyDelayMs)
     if (!won) {
       // another contender holds the claim and will take the lock — unless
       // ITS owner crashed too: clear a stale claim so the NEXT attempt
@@ -1029,16 +1025,6 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       throw new LockConflictException(alreadyHeld(0L))
     }
     try {
-      // on a check-then-put store the claim create itself is last-writer-
-      // wins — give a racing claimant's PUT the same settle window the
-      // lock create gets before trusting the read-back
-      if (claimUri.getScheme != "file" &&
-          !Catalog.AtomicExclusiveCreateSchemes.contains(claimUri.getScheme))
-        Thread.sleep(lockVerifyDelayMs)
-      val ours =
-        try readString(claim) == nonce
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (!ours) throw new LockConflictException(alreadyHeld(0L))
       lockAge(p) match {
         case Some(age) if age < Catalog.CompactLockStaleMs =>
           // revived under us (owner heartbeat landed between the caller's
@@ -1047,7 +1033,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         case Some(_) => fs.delete(p, false): Unit
         case None => () // owner released meanwhile — path is free either way
       }
-    } finally fs.delete(claim, false): Unit
+    } finally fs.delete(claim, false): Unit // ours by the proof above
   }
 
   private def releaseLock(p: Path): Unit = {
@@ -4212,8 +4198,11 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     * heartbeat stamps the local clock via `setTimes` where that works and
     * the store clock via re-create where it doesn't), the heartbeat mode
     * this catalog would run on the store, and whether a contender's
-    * reclaim claim is pending. Metadata-only: an exists probe, a stat and
-    * a small read per lock. An age under the staleness horizon with a
+    * reclaim claim is pending. Control-plane sized: an exists probe, a
+    * stat and a small read per lock, plus ONE store-clock probe write
+    * ([[storeNowMs]] rewrites the dot-prefixed `.nowprobe`) — on a store
+    * the caller cannot write, the probe falls back to the local clock and
+    * the age degrades to local-only. An age under the staleness horizon with a
     * live heartbeat is a working producer/compactor; an age past
     * [[Catalog.CompactLockStaleMs]] is a crash leftover the next
     * contender will reclaim. */
@@ -5081,15 +5070,16 @@ object Catalog {
     * `create(overwrite=false)` alone is check-then-act on the local
     * filesystem, so two same-JVM threads could both win the file race.
     * Cross-process arbitration stays with the lock file. */
-  /** JVM-wide override registry backing every instance's `confOverrides`,
-    * keyed by qualified warehouse path — see the instance field's scoping
-    * note. Only warehouses that ever called `setConfOverride` hold an
-    * entry (plus one empty map per catalog that read a knob). */
-  private val warehouseOverrides = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentHashMap[String, String]]()
-
   private[engine] val heldLocks =
     new java.util.concurrent.ConcurrentHashMap[String, LockOwner]()
+
+  /** JVM-wide override registry backing [[Catalog.setConfOverride]],
+    * keyed by qualified warehouse path — see the instance accessors'
+    * scoping note. ONLY warehouses that called `setConfOverride` hold an
+    * entry (reads never insert), so override-free catalogs — the vast
+    * majority in a long-lived service — leak nothing here. */
+  private[engine] val warehouseOverrides = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   /** Heartbeat tasks for locks held by this JVM, keyed like [[heldLocks]].
     * Each task refreshes its lock file's mtime every `CompactLockStaleMs/3`
@@ -5224,12 +5214,31 @@ object Catalog {
       else if (AtomicExclusiveCreateSchemes.contains(uri.getScheme)) true
       else {
         if (verifyDelayMs > 0) Thread.sleep(verifyDelayMs)
-        try {
-          val in = fs.open(p)
-          val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-            finally in.close()
-          body.contains(nonce)
-        } catch { case scala.util.control.NonFatal(_) => false }
+        // The read-back must not silently concede on a transient read
+        // error: OUR payload already landed, and returning false would
+        // leave an owner-less, un-heartbeated lock file wedging the path
+        // for the whole staleness horizon. Retry the read; a store that
+        // cannot serve it at all fails LOUDLY (retryable store error),
+        // never as a phantom "lost the race".
+        var attempt = 0
+        while (true) {
+          try {
+            val in = fs.open(p)
+            val body = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+              finally in.close()
+            return body.contains(nonce)
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              return false // a racing release/reclaim removed it: not ours
+            case scala.util.control.NonFatal(e) =>
+              if (attempt >= 2) throw new java.io.IOException(
+                s"cannot verify lock-create ownership of $p: the payload " +
+                "landed but every read-back failed — retry; an orphaned " +
+                "file ages out after the staleness horizon", e)
+              attempt += 1; Thread.sleep(50L << attempt)
+          }
+        }
+        false // unreachable
       }
     }
   }
@@ -5567,27 +5576,32 @@ object Catalog {
         m.contains("Expected magic number") ||
         m.contains("footer index is not within the file")
     }
-    var attempt = 0
+    // PER-CLASS retry budgets: a failure class first seen late must still
+    // get its own bounded retries before it is classified — with one
+    // shared counter, two generic IOExceptions followed by a single
+    // transient EOF would judge a healthy file structurally torn with
+    // zero EOF retries. Total attempts stay bounded (≤ 2 per class).
+    var eofA = 0; var magicA = 0; var ioA = 0; var otherA = 0
     val reader: org.apache.parquet.hadoop.ParquetFileReader = {
       var r: org.apache.parquet.hadoop.ParquetFileReader = null
       while (r == null) {
         try r = openReader()
         catch {
-          case _: java.io.EOFException if attempt < 2 =>
-            attempt += 1; Thread.sleep(50L << attempt) // maybe transient: retry
+          case _: java.io.EOFException if eofA < 2 =>
+            eofA += 1; Thread.sleep(50L << eofA) // maybe transient: retry
           case _: java.io.EOFException =>
             return None // EOF persists: truncated footer, structural
           case e: RuntimeException if corruptionSignature(e) =>
-            if (attempt >= 2) return None // bad magic persists: structural
-            attempt += 1; Thread.sleep(50L << attempt)
-          case _: java.io.IOException if attempt < 2 => // transient: retry
-            attempt += 1; Thread.sleep(50L << attempt)
+            if (magicA >= 2) return None // bad magic persists: structural
+            magicA += 1; Thread.sleep(50L << magicA)
+          case _: java.io.IOException if ioA < 2 => // transient: retry
+            ioA += 1; Thread.sleep(50L << ioA)
           case e: java.io.IOException => throw e // persistent store error: loud
           // any other failure is NOT silently classified as debris —
           // unknown reader errors propagate after the retries (narrowed
           // from the pre-r17 blanket NonFatal → structural)
-          case scala.util.control.NonFatal(_) if attempt < 2 =>
-            attempt += 1; Thread.sleep(50L << attempt)
+          case scala.util.control.NonFatal(_) if otherA < 2 =>
+            otherA += 1; Thread.sleep(50L << otherA)
         }
       }
       r

@@ -342,7 +342,8 @@ final class TopicHandle(spark: SparkSession,
    * (process name + acquire time), the lock's idle age in ms, the
    * heartbeat mode on this store (in-place `setTimes` vs write-based
    * re-create), and whether a contender's reclaim claim is pending.
-   * Metadata-only. The operator's answer to "what exactly is my exclusive
+   * Control-plane sized (a stat and a small read per lock, plus one
+   * store-clock probe write). The operator's answer to "what exactly is my exclusive
    * statement / produce blocked on, and is its holder alive": an age well
    * under the staleness horizon means a live heartbeating holder; one
    * past it is a crash leftover the next contender reclaims.

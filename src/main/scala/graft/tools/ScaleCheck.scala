@@ -27,8 +27,10 @@ import graft.streaming.GraftPartitions
  * numbers are REPORTED as a STATUS-ready markdown table (they vary with
  * machine load — the counters are the scale proof, the times the color).
  *
- * Run: `sbt -batch "runMain graft.tools.ScaleCheck"` (~3 min, local[32]).
- * `runMain graft.tools.ScaleCheck 1 10 data` runs the data axis only.
+ * Run: `sbt -batch "runMain graft.tools.ScaleCheck"` (~4 min, local[32]).
+ * Naming axes limits the run: `... 1 10 data` (data axis only, which also
+ * runs the concurrent-ingest axis), `... meta`, `... mixed` (the
+ * mixed-workload soak alone), or any combination.
  */
 object ScaleCheck {
 
@@ -46,9 +48,10 @@ object ScaleCheck {
       case Nil => Seq(1, 10)
       case s => s
     }
-    val axes = if (args.contains("data")) Seq("data")
-      else if (args.contains("meta")) Seq("meta")
-      else Seq("data", "meta")
+    val axes = {
+      val named = Seq("data", "meta", "mixed").filter(args.contains)
+      if (named.isEmpty) Seq("data", "meta", "mixed") else named
+    }
 
     // deep warm-up: JIT + codegen + parquet paths, outside every timing
     spark.range(100000).selectExpr("sum(id)").collect(): Unit
@@ -82,7 +85,7 @@ object ScaleCheck {
 
     if (axes.contains("meta")) metaAxis(spark)
     if (axes.contains("data")) concurrentAxis(spark)
-    if (axes.contains("data") || args.contains("mixed")) mixedAxis(spark)
+    if (axes.contains("mixed")) mixedAxis(spark)
     spark.stop()
   }
 
