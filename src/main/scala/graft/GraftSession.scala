@@ -68,6 +68,10 @@ object GraftSession {
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same rationale as builder(): without it, the LSH pipelines' cached
+    // subtrees pin the static shuffle layout and AQE cannot right-size them
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     graft.functions.GraftFunctions.register(spark)
     spark
   }

@@ -197,8 +197,11 @@ object Dedup {
     // partitioning with every downstream groupBy(id) (no second shuffle).
     // The rebalance origin (vs a plain repartition) keeps the exchange
     // fully AQE-optimizable: tiny inputs coalesce to a few real tasks,
-    // skewed ids split — the hash clustering survives either way, so the
-    // downstream alignment holds at every size.
+    // skewed ids may split. NOTE a skew-split does NOT preserve hash
+    // clustering — alignment holds here only because every consumer is a
+    // declarative groupBy/join whose distribution requirement Catalyst
+    // re-validates (and re-shuffles if AQE split); do not hang
+    // partition-local per-id logic (mapPartitions etc.) off this frame.
     // Tokenizing BEFORE the exchange materializes the token array, so the
     // (interpreted) shingle lambda reads it O(1) per element instead of
     // re-splitting the text per access.

@@ -100,12 +100,12 @@ object Pipelines {
                    shingleN: Int = 8): DataFrame = {
     val corpusShingles = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col(idCol))
+      .hint("rebalance", idCol)
       .select(col(idCol),
         explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
     val refShingles = reference
       .select(TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col("w"))
+      .hint("rebalance", "w")
       .select(explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
       .distinct()
       .withColumn("__hit", lit(1))
@@ -127,12 +127,12 @@ object Pipelines {
     // O(tokens²) trap; see Dedup.nearDuplicates / shinglesFromTokens docs).
     val corpusShingles = docs
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col(idCol))
+      .hint("rebalance", idCol)
       .select(col(idCol),
         explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
     val benchShingles = benchmark
       .select(TextFunctions.tokens(col(textCol)).as("w"))
-      .repartition(col("w")) // tiny side: the exchange materializes w
+      .hint("rebalance", "w") // tiny side: the exchange materializes w
       .select(explode(graft.functions.DistinctShinglesFromTokens(col("w"), shingleN)).as("s"))
       .distinct()
     val hits = corpusShingles.join(benchShingles, "s")
