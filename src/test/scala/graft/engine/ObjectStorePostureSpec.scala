@@ -368,6 +368,57 @@ class ObjectStorePostureSpec extends SparkSpec {
     assert(!Catalog.createLockFileArbitrated(lfs, llock, 60000L))
   }
 
+  test("check-then-put store: a transient read-back failure does not concede an owned lock") {
+    // Review finding r17: after OUR payload lands, a transient read error
+    // on the verify must not return "lost" — that would leave an
+    // owner-less, un-heartbeated lock wedging the path for the staleness
+    // horizon. The read-back retries through transient failures and only
+    // a persistent failure is (loudly) fatal.
+    hc.set("fs.flakyeof.impl", classOf[FlakyEofFileSystem].getName)
+    val dir = Files.createTempDirectory("graft-flakylock").toString
+    val lock = new Path("flakyeof:" + dir + "/_produce.lock")
+    val fs = lock.getFileSystem(hc)
+    FlakyEofProbe.counts.clear()
+    FlakyEofProbe.failuresPerPath = 2 // first two read-backs fail, third works
+    assert(Catalog.createLockFileArbitrated(fs, lock, 10L),
+      "a transient read-back failure must not read as 'lost the race'")
+    assert(fs.exists(lock))
+    // persistent read failure: loud store error, never a silent false
+    val lock2 = new Path("flakyeof:" + dir + "/_compact.lock")
+    FlakyEofProbe.counts.clear()
+    FlakyEofProbe.failuresPerPath = Int.MaxValue
+    intercept[java.io.IOException](
+      Catalog.createLockFileArbitrated(fs, lock2, 10L))
+    FlakyEofProbe.failuresPerPath = 2
+  }
+
+  test("reclaim: losing the claim race leaves the foreign claim intact") {
+    // Review finding r17 (severe): pre-fix, a contender that lost the
+    // claim's nonce read-back still deleted the claim in its finally —
+    // removing the WINNER's claim and re-opening the double-reclaim
+    // corruption window. A fresh foreign claim must survive our failed
+    // reclaim attempt untouched.
+    val wh = Files.createTempDirectory("graft-claimrace").toString
+    val (d, _) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    val lock = new Path(cat.topicPath("t"), "_produce.lock")
+    val claim = new Path(cat.topicPath("t"), "_produce.lock.reclaim")
+    // a stale lock (aged past the horizon) plus a LIVE foreign claim
+    val out = fs.create(lock, true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    assert(new java.io.File(lock.toUri.getPath).setLastModified(
+      System.currentTimeMillis() - 2 * Catalog.CompactLockStaleMs))
+    val c = fs.create(claim, true)
+    try c.write("foreign-nonce".getBytes("UTF-8")) finally c.close()
+    intercept[LockConflictException](
+      cat.reclaimStaleLock(lock, _ => "held"))
+    assert(fs.exists(claim),
+      "a losing contender must never delete another contender's claim")
+    assert(fs.exists(lock), "the stale lock is the claim winner's to delete")
+    fs.delete(claim, false); fs.delete(lock, false)
+  }
+
   test("releaseLock removes the registry entry before the lock file delete") {
     // The ordering the phantom-lock self-heal rests on: a write-based
     // heartbeat beat that re-created the file re-checks the registry —
