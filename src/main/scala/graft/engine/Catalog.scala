@@ -5151,6 +5151,36 @@ object Catalog {
     * alone cannot arbitrate. */
   private val AtomicExclusiveCreateSchemes = Set("hdfs", "viewfs")
 
+  /** Hadoop 3.4+ conditional-create option key
+    * (`Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE`,
+    * inlined so the engine compiles against older 3.x too): a store that
+    * advertises it as a path capability arbitrates the create ITSELF with
+    * an If-None-Match PUT — exact cross-process exclusion with no settle
+    * window and no read-back. s3a exposes this from Hadoop 3.4.1 when
+    * `fs.s3a.create.conditional.enabled` (default true) is on. */
+  private val ConditionalCreateCapability = "fs.option.create.conditional.overwrite"
+
+  /** Per-store memoized verdict: does the store advertise AND accept the
+    * conditional-create option? Downgraded to `false` permanently if the
+    * builder rejects the mandatory key despite the advertisement. */
+  private val conditionalCreateCapable =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def conditionalCreateSupported(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean = {
+    val key = fs.getUri.toString
+    val known = conditionalCreateCapable.get(key)
+    if (known != null) known.booleanValue()
+    else {
+      val cap =
+        try fs.hasPathCapability(p, ConditionalCreateCapability)
+        catch { case scala.util.control.NonFatal(_) => false }
+      conditionalCreateCapable.put(key, cap)
+      cap
+    }
+  }
+
   /** Create `p` as a lock file with cross-process arbitration matched to
     * the store's posture (VERDICT r16 top_next — pre-r17, two producers in
     * DIFFERENT processes racing one topic on an object store could both
@@ -5201,6 +5231,36 @@ object Catalog {
           fs.mkdirs(p.getParent); exclWrite()
       }
     } else {
+      // A store advertising conditional create arbitrates exactly by
+      // itself: the If-None-Match PUT fails AT CLOSE if the file exists,
+      // so there is no check-then-put window, no settle, no read-back.
+      // A builder that rejects the advertised mandatory key downgrades
+      // the store's memo and falls through to the verified path.
+      if (conditionalCreateSupported(fs, p)) {
+        try {
+          val out = fs.createFile(p)
+            .overwrite(true) // the PUT condition replaces the client check
+            .must(ConditionalCreateCapability, true)
+            .build()
+          try out.write(payload) finally out.close()
+          return true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            return false
+          case e: java.io.IOException
+              // s3a surfaces the failed precondition (HTTP 412) as
+              // RemoteFileChangedException — hadoop-aws is not on the
+              // engine's compile classpath, so match by name
+              if e.getClass.getSimpleName == "RemoteFileChangedException" =>
+            return false
+          case e @ (_: IllegalArgumentException |
+                    _: UnsupportedOperationException) =>
+            log.warn(s"store ${fs.getUri} advertises " +
+              s"$ConditionalCreateCapability but rejected it (${e.getMessage}) " +
+              "— lock creates fall back to nonce read-back verification")
+            conditionalCreateCapable.put(fs.getUri.toString, false)
+        }
+      }
       val created =
         try {
           val out = fs.create(p, false)

@@ -81,6 +81,56 @@ class NonAtomicCreateFileSystem extends RawLocalFileSystem {
   }
 }
 
+object ConditionalCreateProbe {
+  val conditionalBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Local filesystem under `condcreate:` that ADVERTISES and honors the
+  * Hadoop 3.4 conditional-create capability: `createFile(p).must(key,
+  * true).build()` buffers the payload and lands it atomically at close
+  * with create-exclusive semantics (the If-None-Match contract), while
+  * its plain `create(overwrite=false)` keeps RawLocal's check-then-act —
+  * so a silent fallback to the nonce path would be observable through
+  * [[ConditionalCreateProbe]]. */
+class ConditionalCreateFileSystem extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("condcreate:///")
+  override def hasPathCapability(p: Path, cap: String): Boolean =
+    cap == "fs.option.create.conditional.overwrite" ||
+      super.hasPathCapability(p, cap)
+
+  private class CondBuilder(owner: ConditionalCreateFileSystem, p: Path)
+    extends org.apache.hadoop.fs.FSDataOutputStreamBuilder[
+      org.apache.hadoop.fs.FSDataOutputStream, CondBuilder](owner, p) {
+    override def getThisBuilder: CondBuilder = this
+    override def build(): org.apache.hadoop.fs.FSDataOutputStream = {
+      if (!getOptions.getBoolean("fs.option.create.conditional.overwrite", false))
+        return owner.create(p, true)
+      ConditionalCreateProbe.conditionalBuilds.incrementAndGet(): Unit
+      val buf = new java.io.ByteArrayOutputStream()
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.FilterOutputStream(buf) {
+          override def close(): Unit = {
+            super.close()
+            val local = java.nio.file.Paths.get(
+              owner.makeQualified(p).toUri.getPath)
+            try java.nio.file.Files.write(local, buf.toByteArray,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE): Unit
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+                  s"condcreate: $p exists at close (If-None-Match failed)")
+            }
+          }
+        }, null)
+    }
+  }
+
+  override def createFile(p: Path): org.apache.hadoop.fs.FSDataOutputStreamBuilder[
+      _ <: org.apache.hadoop.fs.FSDataOutputStream, _] =
+    new CondBuilder(this, p)
+}
+
 /** Records, for every `_produce.lock` file delete, whether the JVM lock
   * registry still held the entry at delete time — the probe for
   * [[Catalog]]'s release ordering invariant (registry entry removed
@@ -366,6 +416,34 @@ class ObjectStorePostureSpec extends SparkSpec {
     assert((System.nanoTime() - t0) / 1e6 < 5000.0,
       "file: must not pay the settle delay (O_EXCL is exact)")
     assert(!Catalog.createLockFileArbitrated(lfs, llock, 60000L))
+  }
+
+  test("conditional-create store: the store arbitrates exactly — no settle, no read-back") {
+    // Hadoop 3.4+ stores advertising fs.option.create.conditional.overwrite
+    // (s3a with If-None-Match) upgrade lock creates to EXACT arbitration:
+    // the PUT itself fails at close when the file exists. The engine must
+    // take that path (probe observed), win uncontended, lose cleanly when
+    // the file exists, and pay no settle delay.
+    hc.set("fs.condcreate.impl", classOf[ConditionalCreateFileSystem].getName)
+    val dir = Files.createTempDirectory("graft-condcreate").toString
+    val lock = new Path("condcreate:" + dir + "/_produce.lock")
+    val fs = lock.getFileSystem(hc)
+    ConditionalCreateProbe.conditionalBuilds.set(0)
+    val t0 = System.nanoTime()
+    assert(Catalog.createLockFileArbitrated(fs, lock, 60000L),
+      "uncontended conditional create must win")
+    assert((System.nanoTime() - t0) / 1e6 < 5000.0,
+      "a conditional-create store must not pay the settle delay")
+    assert(ConditionalCreateProbe.conditionalBuilds.get() == 1,
+      "the create must have gone through the conditional builder")
+    assert(!Catalog.createLockFileArbitrated(fs, lock, 60000L),
+      "a second contender must lose at the If-None-Match close")
+    assert(ConditionalCreateProbe.conditionalBuilds.get() == 2)
+    val body = {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(body.contains("\"owner\""), "the winner's payload survives intact")
   }
 
   test("check-then-put store: a transient read-back failure does not concede an owned lock") {
