@@ -4578,6 +4578,49 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
       }
   }
 
+  /** The advisory drain-request marker ([[acquireProduceLockDraining]]'s
+    * writer-preference barrier). */
+  private[engine] def drainRequestPath(name: String): Path =
+    new Path(topicPath(name), "_drain.request")
+
+  /** How recently the drain request must have been refreshed to pause new
+    * reservations (catalog-scoped). Must exceed the draining gate's max
+    * loop backoff (2s) so a waiting drainer never looks momentarily
+    * absent; kept small so writers resume within seconds of the drain
+    * ending however it ends (crash included — staleness IS the release
+    * protocol; the explicit delete is just the fast path). */
+  private[graft] def drainRequestFreshMs: Long =
+    conf("spark.graft.produce.drainRequestFreshMs", "5000").toLong
+
+  /** Writer-side half of the drain barrier: pause BEFORE reserving a new
+    * intent while an exclusive statement is actively draining. LIVENESS
+    * ONLY, never safety — the ordered-commit invariant is enforced by the
+    * gate itself; this merely stops a steady writer stream from starving
+    * it (measured: 3 back-to-back writers held an exclusive statement out
+    * for 38s of a 45s budget before this barrier, ~1 batch-time after).
+    * Only NEW reservations pause — in-flight intents keep writing and
+    * COMMITTING (the commit path never calls this), which is exactly what
+    * lets the gate see an empty intent list one batch later. The age test
+    * compares a store-stamped mtime with the local clock: local-ahead
+    * skew ends a pause early (drain just takes longer — safe), and the
+    * deadline bounds the stall if a request file somehow keeps a fresh
+    * mtime forever. */
+  private[engine] def awaitDrainRequestClear(name: String): Unit = {
+    val p = drainRequestPath(name)
+    val freshMs = drainRequestFreshMs
+    def fresh: Boolean =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime < freshMs
+      catch {
+        case _: java.io.FileNotFoundException => false
+        case scala.util.control.NonFatal(_) => false
+      }
+    if (!fresh) return // common case: one stat on an absent marker
+    val deadline = System.currentTimeMillis() + produceCommitWaitMs + 2 * freshMs
+    while (fresh && System.currentTimeMillis() < deadline)
+      Thread.sleep(150L)
+  }
+
   /**
    * Acquire the produce lock AND drain concurrent produce intents — the
    * entry gate for exclusive-statement writers (transactional/idempotent
@@ -4586,28 +4629,49 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
    * un-committed range, breaking the ordered-commit invariant. Stale
    * intents roll back immediately; fresh ones are waited out (bounded by
    * [[produceCommitWaitMs]], catalog-scoped). Returns holding the lock.
+   *
+   * WRITER PREFERENCE: a gate that only waits for a spontaneous
+   * zero-intent instant starves under a steady writer stream (each new
+   * batch reserves before the last one commits). After the first failed
+   * check the gate plants and keeps refreshing `_drain.request`;
+   * [[awaitDrainRequestClear]] makes plain produces pause their NEXT
+   * reservation while the marker is fresh, so in-flight intents drain and
+   * the gate is admitted in roughly one batch time. The marker is
+   * advisory (liveness only): it is deleted on every exit and, for
+   * crashed drainers, goes stale within [[drainRequestFreshMs]] — several
+   * concurrent drainers keep it fresh jointly (a delete by one is
+   * re-created by the others' next loop within the freshness window).
    */
   private[engine] def acquireProduceLockDraining(name: String): Unit = {
     val deadline = System.currentTimeMillis() + produceCommitWaitMs
     var backoffMs = 100L
-    while (true) {
-      acquireProduceLock(name, briefLockWaitMs)
-      val live =
-        try {
-          rollbackStaleIntentsLocked(name): Unit
-          listProduceIntents(name)
-        } catch { case t: Throwable => releaseProduceLock(name); throw t }
-      if (live.isEmpty) return // lock HELD
-      releaseProduceLock(name)
-      if (System.currentTimeMillis() >= deadline)
-        throw new LockConflictException(
-          s"topic '$name': cannot start an exclusive produce statement " +
-          s"while concurrent produces are in flight (intents: " +
-          s"${live.map(_._1).mkString(", ")}) — retry after they commit; " +
-          "inspect them via CALL <catalog>.system.produce_intents" +
-          s"('$name') or TopicHandle.produceIntents()")
-      Thread.sleep(backoffMs)
-      backoffMs = math.min(backoffMs * 2, 2000L)
+    val request = drainRequestPath(name)
+    var requested = false
+    try {
+      while (true) {
+        acquireProduceLock(name, briefLockWaitMs)
+        val live =
+          try {
+            rollbackStaleIntentsLocked(name): Unit
+            listProduceIntents(name)
+          } catch { case t: Throwable => releaseProduceLock(name); throw t }
+        if (live.isEmpty) return // lock HELD (finally retires the request)
+        releaseProduceLock(name)
+        try { fs.create(request, true).close(); requested = true }
+        catch { case scala.util.control.NonFatal(_) => () } // advisory only
+        if (System.currentTimeMillis() >= deadline)
+          throw new LockConflictException(
+            s"topic '$name': cannot start an exclusive produce statement " +
+            s"while concurrent produces are in flight (intents: " +
+            s"${live.map(_._1).mkString(", ")}) — retry after they commit; " +
+            "inspect them via CALL <catalog>.system.produce_intents" +
+            s"('$name') or TopicHandle.produceIntents()")
+        Thread.sleep(backoffMs)
+        backoffMs = math.min(backoffMs * 2, 2000L)
+      }
+    } finally if (requested) {
+      try fs.delete(request, false): Unit
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

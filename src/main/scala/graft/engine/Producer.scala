@@ -70,6 +70,11 @@ final class Producer(
     // ingest one topic in parallel — the reference's many-clients-per-
     // partition shape (ProviderImpl.hpp:137-160).
     val (staged, counts) = stageAndCount(df)
+    // drain courtesy: an exclusive statement actively draining pauses
+    // this produce's NEW reservation (liveness only — see
+    // [[Catalog.awaitDrainRequestClear]]; commits never pause, so
+    // in-flight intents finish and the drain completes in ~1 batch)
+    catalog.awaitDrainRequestClear(config.name)
     // phase 1 (brief lock): entry hygiene + id reservation
     catalog.acquireProduceLock(config.name, catalog.briefLockWaitMs)
     val reserved: Option[(String, Map[Int, Long])] =

@@ -301,6 +301,72 @@ class ObjectStorePostureSpec extends SparkSpec {
       "a lease marker landing after rollback must self-delete")
   }
 
+  test("drain request pauses new reservations; staleness is the release protocol") {
+    // Writer-preference barrier: a steady writer stream otherwise starves
+    // the draining gate (measured 38s of a 45s budget in the mixed soak).
+    // A FRESH request must pause a plain produce's new reservation; the
+    // pause must end by deletion (fast path) or by the request going
+    // stale (crashed-drainer path) — never wedge.
+    val wh = Files.createTempDirectory("graft-drainreq").toString
+    val (d, topic) = newTopic(wh)
+    val cat = d.catalog
+    val fs = fsOf(wh)
+    import spark.implicits._
+    cat.setConfOverride("spark.graft.produce.drainRequestFreshMs", "900")
+    try {
+      val req = cat.drainRequestPath("t")
+      fs.create(req, true).close()
+      // crashed-drainer path: nobody refreshes or deletes — the writer
+      // pause must hold while the request is fresh and release once it
+      // goes stale (measured on the barrier itself, not a produce wall)
+      val t0 = System.nanoTime()
+      cat.awaitDrainRequestClear("t")
+      val heldMs = (System.nanoTime() - t0) / 1e6
+      assert(heldMs >= 600.0,
+        f"a fresh drain request must pause the reservation (paused $heldMs%.0fms)")
+      assert(heldMs < 30000.0, "the stale request must release the writer")
+      // a stale (or absent) request costs one stat, no pause
+      val t1 = System.nanoTime()
+      cat.awaitDrainRequestClear("t")
+      assert((System.nanoTime() - t1) / 1e6 < 300.0)
+      // ...and the produce path still lands normally through the barrier
+      topic.producer().produce(
+        Seq(("""{"i":0}""", 0)).toDF("metadata", "partition")): Unit
+      assert(topic.events().count() == 1)
+      // the gate itself plants the request only when it has to wait, and
+      // retires what it planted: after clearing the stale test marker, a
+      // successful draining acquisition leaves nothing behind
+      fs.delete(req, false)
+      IntentTestOps.acquireDraining(d, "t")
+      IntentTestOps.releaseProduce(d, "t")
+      assert(!fs.exists(req),
+        "a drain that never had to wait leaves no request marker")
+      // ...and a gate that DID wait retires its own marker on admission
+      val (id, _) = IntentTestOps.reserve(d, "t", Map(0 -> 1L))
+      val drainer = new Thread(() => IntentTestOps.acquireDraining(d, "t"))
+      drainer.start()
+      Thread.sleep(700) // the gate is looping; its request must be fresh
+      assert(fs.exists(req),
+        "a waiting drainer must plant the request marker")
+      // roll the blocking intent back (retry the brief lock — the looping
+      // drainer holds it for an instant each pass)
+      var rolled = false
+      val rbDeadline = System.currentTimeMillis() + 15000
+      while (!rolled && System.currentTimeMillis() < rbDeadline) {
+        try {
+          d.catalog.acquireProduceLock("t")
+          try { d.catalog.rollbackProduceIntentLocked("t", id); rolled = true }
+          finally d.catalog.releaseProduceLock("t")
+        } catch { case _: LockConflictException => Thread.sleep(50) }
+      }
+      assert(rolled)
+      drainer.join(15000)
+      assert(!drainer.isAlive, "the gate must be admitted once intents clear")
+      d.catalog.releaseProduceLock("t")
+      assert(!fs.exists(req), "the admitted gate must retire its marker")
+    } finally cat.clearConfOverride("spark.graft.produce.drainRequestFreshMs")
+  }
+
   test("orphan lease: a create landing after BOTH rollback deletes stays inert and is vacuum-reaped") {
     // VERDICT r16 pins the three-site orphan-lease proof so a future
     // protocol edit cannot silently widen the window: a write-based beat
