@@ -4608,17 +4608,32 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
   private[engine] def awaitDrainRequestClear(name: String): Unit = {
     val p = drainRequestPath(name)
     val freshMs = drainRequestFreshMs
+    def exists: Boolean =
+      try { fs.getFileStatus(p); true }
+      catch {
+        case _: java.io.FileNotFoundException => false
+        case scala.util.control.NonFatal(_) => false
+      }
+    if (!exists) return // common case: ONE stat on an absent marker
+    // freshness is judged STORE-clock vs store-clock (the marker's mtime
+    // is a store stamp): the store-vs-local offset is probed once per
+    // pause — store-ahead skew would otherwise make a crashed drainer's
+    // leaked marker read fresh for the whole skew, stalling every produce
+    // on the topic. One probe write, paid only when a marker exists.
+    val offset = storeNowMs(topicPath(name)) - System.currentTimeMillis()
     def fresh: Boolean =
-      try System.currentTimeMillis() -
+      try (System.currentTimeMillis() + offset) -
         fs.getFileStatus(p).getModificationTime < freshMs
       catch {
         case _: java.io.FileNotFoundException => false
         case scala.util.control.NonFatal(_) => false
       }
-    if (!fresh) return // common case: one stat on an absent marker
     val deadline = System.currentTimeMillis() + produceCommitWaitMs + 2 * freshMs
-    while (fresh && System.currentTimeMillis() < deadline)
-      Thread.sleep(150L)
+    var backoffMs = 150L
+    while (fresh && System.currentTimeMillis() < deadline) {
+      Thread.sleep(backoffMs)
+      backoffMs = math.min(backoffMs * 2, 1000L) // bound store HEAD traffic
+    }
   }
 
   /**
@@ -4646,7 +4661,30 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val deadline = System.currentTimeMillis() + produceCommitWaitMs
     var backoffMs = 100L
     val request = drainRequestPath(name)
-    var requested = false
+    // The marker is kept fresh by a DEDICATED daemon, not by the gate's
+    // own loop: a loop iteration includes a lock acquisition (patience up
+    // to briefLockWaitMs) plus intent-listing I/O, during which an
+    // in-loop refresh would stall and the marker could go stale mid-drain
+    // — re-admitting the writer stream against exactly the contended
+    // conditions the barrier targets. The keeper refreshes every
+    // freshMs/3 regardless of where the gate's loop is blocked; each
+    // concurrent drainer runs its own keeper, so an admitted sibling's
+    // delete is re-planted within one keeper period.
+    var keeper: Thread = null
+    def ensureKeeper(): Unit = if (keeper == null) {
+      try fs.create(request, true).close()
+      catch { case scala.util.control.NonFatal(_) => () } // advisory only
+      val period = math.max(200L, drainRequestFreshMs / 3)
+      val t = new Thread(() => {
+        try while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(period)
+          try fs.create(request, true).close()
+          catch { case scala.util.control.NonFatal(_) => () }
+        } catch { case _: InterruptedException => () }
+      }, s"graft-drain-request-$name")
+      t.setDaemon(true); t.start()
+      keeper = t
+    }
     try {
       while (true) {
         acquireProduceLock(name, briefLockWaitMs)
@@ -4657,8 +4695,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
           } catch { case t: Throwable => releaseProduceLock(name); throw t }
         if (live.isEmpty) return // lock HELD (finally retires the request)
         releaseProduceLock(name)
-        try { fs.create(request, true).close(); requested = true }
-        catch { case scala.util.control.NonFatal(_) => () } // advisory only
+        ensureKeeper()
         if (System.currentTimeMillis() >= deadline)
           throw new LockConflictException(
             s"topic '$name': cannot start an exclusive produce statement " +
@@ -4669,7 +4706,9 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         Thread.sleep(backoffMs)
         backoffMs = math.min(backoffMs * 2, 2000L)
       }
-    } finally if (requested) {
+    } finally if (keeper != null) {
+      keeper.interrupt()
+      keeper.join(2000) // a beat mid-create past this ages out harmlessly
       try fs.delete(request, false): Unit
       catch { case scala.util.control.NonFatal(_) => () }
     }

@@ -73,8 +73,10 @@ final class Producer(
     // drain courtesy: an exclusive statement actively draining pauses
     // this produce's NEW reservation (liveness only — see
     // [[Catalog.awaitDrainRequestClear]]; commits never pause, so
-    // in-flight intents finish and the drain completes in ~1 batch)
-    catalog.awaitDrainRequestClear(config.name)
+    // in-flight intents finish and the drain completes in ~1 batch).
+    // An empty batch reserves nothing and cannot starve the gate — no
+    // reason to make it wait out a drain.
+    if (counts.nonEmpty) catalog.awaitDrainRequestClear(config.name)
     // phase 1 (brief lock): entry hygiene + id reservation
     catalog.acquireProduceLock(config.name, catalog.briefLockWaitMs)
     val reserved: Option[(String, Map[Int, Long])] =

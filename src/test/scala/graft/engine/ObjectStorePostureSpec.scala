@@ -316,19 +316,21 @@ class ObjectStorePostureSpec extends SparkSpec {
     try {
       val req = cat.drainRequestPath("t")
       fs.create(req, true).close()
+      val plantedAt = fs.getFileStatus(req).getModificationTime
       // crashed-drainer path: nobody refreshes or deletes — the writer
       // pause must hold while the request is fresh and release once it
-      // goes stale (measured on the barrier itself, not a produce wall)
-      val t0 = System.nanoTime()
+      // goes stale. Judged against the marker's own mtime (GC pauses
+      // between the plant and the await only ADD, never subtract).
       cat.awaitDrainRequestClear("t")
-      val heldMs = (System.nanoTime() - t0) / 1e6
-      assert(heldMs >= 600.0,
-        f"a fresh drain request must pause the reservation (paused $heldMs%.0fms)")
-      assert(heldMs < 30000.0, "the stale request must release the writer")
+      val heldToMs = System.currentTimeMillis() - plantedAt
+      assert(heldToMs >= 800L,
+        s"the barrier must hold until the request is stale (released at " +
+        s"age ${heldToMs}ms of a 900ms freshness window)")
+      assert(heldToMs < 30000L, "the stale request must release the writer")
       // a stale (or absent) request costs one stat, no pause
       val t1 = System.nanoTime()
       cat.awaitDrainRequestClear("t")
-      assert((System.nanoTime() - t1) / 1e6 < 300.0)
+      assert((System.nanoTime() - t1) / 1e6 < 1000.0)
       // ...and the produce path still lands normally through the barrier
       topic.producer().produce(
         Seq(("""{"i":0}""", 0)).toDF("metadata", "partition")): Unit
@@ -343,9 +345,15 @@ class ObjectStorePostureSpec extends SparkSpec {
         "a drain that never had to wait leaves no request marker")
       // ...and a gate that DID wait retires its own marker on admission
       val (id, _) = IntentTestOps.reserve(d, "t", Map(0 -> 1L))
-      val drainer = new Thread(() => IntentTestOps.acquireDraining(d, "t"))
+      val derr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val drainer = new Thread(() =>
+        try IntentTestOps.acquireDraining(d, "t")
+        catch { case t: Throwable => derr.set(t) })
       drainer.start()
-      Thread.sleep(700) // the gate is looping; its request must be fresh
+      // poll (no fixed sleep): the first failed gate iteration plants it
+      val plantDeadline = System.currentTimeMillis() + 10000
+      while (!fs.exists(req) && System.currentTimeMillis() < plantDeadline)
+        Thread.sleep(50)
       assert(fs.exists(req),
         "a waiting drainer must plant the request marker")
       // roll the blocking intent back (retry the brief lock — the looping
@@ -362,6 +370,11 @@ class ObjectStorePostureSpec extends SparkSpec {
       assert(rolled)
       drainer.join(15000)
       assert(!drainer.isAlive, "the gate must be admitted once intents clear")
+      assert(derr.get() == null,
+        s"the drainer must have been ADMITTED, not failed: ${derr.get()}")
+      assert(Catalog.heldLocks.containsKey(
+        new Path(cat.topicPath("t"), "_produce.lock").toString),
+        "the admitted drainer must actually hold the produce lock")
       d.catalog.releaseProduceLock("t")
       assert(!fs.exists(req), "the admitted gate must retire its marker")
     } finally cat.clearConfOverride("spark.graft.produce.drainRequestFreshMs")
