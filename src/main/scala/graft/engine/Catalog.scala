@@ -4449,12 +4449,13 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
             markIdGaps(name)
             purgeGapOrphans(name, gaps)
           }
-          moveStagedFiles(name, intentId)
+          Catalog.profTimed("commit.move")(moveStagedFiles(name, intentId))
           // manifest delta carries ONLY the written partitions (O(written)
           // directory listings); the id watermark write needs the full map
           val ends = counts.map { case (p, c) => p -> (firstIds(p) + c) }
-          updateManifest(name, ends, excludeGap = gaps)
-          writeNextIds(name, wm ++ ends)
+          Catalog.profTimed("commit.manifest")(
+            updateManifest(name, ends, excludeGap = gaps))
+          Catalog.profTimed("commit.ids")(writeNextIds(name, wm ++ ends))
           fs.delete(intentPath(name, intentId), false): Unit
           fs.delete(intentLeasePath(name, intentId), false): Unit
           fs.delete(produceStagingDir(name, intentId), true): Unit
@@ -4976,6 +4977,18 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
 }
 
 object Catalog {
+
+  /** Phase wall-clock prints for the dev profiling loop (GRAFT_PROF=1) —
+    * mirrors Producer's timer so commit-side sub-phases show up too. */
+  private val profEnabled = sys.env.contains("GRAFT_PROF")
+  private[engine] def profTimed[T](what: String)(body: => T): T =
+    if (!profEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally Console.err.println(
+        f"[prof] $what ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
 
   /** Observability counter: number of `_deletes/` directory listings
     * ([[Catalog.deleteVectorFiles]] calls) since JVM start. Maintenance

@@ -44,6 +44,26 @@ final class Producer(
   require(ordering == "strict" || ordering == "loose",
     s"ordering must be 'strict' or 'loose', got '$ordering'")
 
+  /** Label the jobs an engine phase launches (guide §1.5) — thread-local,
+    * restored so caller descriptions are preserved. */
+  private def described[T](desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
+  /** Phase wall-clock prints for the dev profiling loop (GRAFT_PROF=1). */
+  private val prof = sys.env.contains("GRAFT_PROF")
+  private def timed[T](what: String)(body: => T): T =
+    if (!prof) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally Console.err.println(
+        f"[prof] produce.$what ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+    }
+
   private val validator = Validator.fromDescriptor(config.validator)
   private val selector = PartitionSelector.fromDescriptor(config.selector)
   private val serializer = Serializer.fromDescriptor(config.serializer)
@@ -69,7 +89,7 @@ final class Producer(
     // write into a private staging dir) run unlocked, so N producers
     // ingest one topic in parallel — the reference's many-clients-per-
     // partition shape (ProviderImpl.hpp:137-160).
-    val (staged, counts) = stageAndCount(df)
+    val (staged, counts) = timed("stageAndCount")(stageAndCount(df))
     // drain courtesy: an exclusive statement actively draining pauses
     // this produce's NEW reservation (liveness only — see
     // [[Catalog.awaitDrainRequestClear]]; commits never pause, so
@@ -78,8 +98,8 @@ final class Producer(
     // reason to make it wait out a drain.
     if (counts.nonEmpty) catalog.awaitDrainRequestClear(config.name)
     // phase 1 (brief lock): entry hygiene + id reservation
-    catalog.acquireProduceLock(config.name, catalog.briefLockWaitMs)
-    val reserved: Option[(String, Map[Int, Long])] =
+    val reserved: Option[(String, Map[Int, Long])] = timed("reserve") {
+      catalog.acquireProduceLock(config.name, catalog.briefLockWaitMs)
       try {
         // decide any crashed transactional/idempotent/concurrent intent
         // before this produce can re-issue ids
@@ -88,6 +108,7 @@ final class Producer(
         catalog.purgeUncommitted(config.name)
         if (counts.isEmpty) None else Some(catalog.reserveProduce(config.name, counts))
       } finally catalog.releaseProduceLock(config.name)
+    }
     reserved match {
       case None => Map.empty
       case Some((intentId, firstIds)) =>
@@ -96,11 +117,12 @@ final class Producer(
           // staging dir; a heartbeat keeps the lease fresh however long
           // the Spark job runs
           val hb = catalog.startIntentHeartbeat(config.name, intentId)
-          try writeEvents(staged, firstIds,
-            catalog.produceStagingDir(config.name, intentId).toString)
+          try timed("write")(writeEvents(staged, firstIds,
+            catalog.produceStagingDir(config.name, intentId).toString))
           finally { hb.interrupt(); hb.join(1000) }
           // phase 3 (brief lock, ordered): rename into the log + commit
-          catalog.commitProduceIntent(config.name, intentId, firstIds, counts)
+          timed("commit")(
+            catalog.commitProduceIntent(config.name, intentId, firstIds, counts))
           counts.map { case (p, c) => p -> (firstIds(p), c) }
         } catch {
           case t: Throwable =>
@@ -151,17 +173,66 @@ final class Producer(
     // task retry against a shuffled/sampled upstream) is impossible; a lost
     // cached block fails the job loudly instead of silently corrupting the
     // id space. Batches are micro-batch sized, so the cached copy is bounded.
-    val staged = withData
+    val pre = withData
       .withColumn("__ord", monotonically_increasing_id())
       .withColumn("__p", partitionExpr)
-      .localCheckpoint(true)
 
-    // Pass 1 (cheap, map-side combined over the checkpointed blocks):
-    // per-partition incoming counts → new id watermarks. The eager
-    // checkpoint above is also the validation barrier: bad rows throw there.
-    val counts: Map[Int, Long] = staged.groupBy(col("__p")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    (staged, counts)
+    // Pass 1 fused into the checkpoint (guide §1.2 "don't compute things
+    // twice" / §2.4 "remove passes outright"): the per-partition incoming
+    // counts ride the checkpoint materialization as OBSERVED metrics
+    // (`__p` is always in [0, n), so n conditional counts cover the space),
+    // instead of a second job over the checkpointed blocks. Observed
+    // metrics only aggregate successfully-completed tasks, so a task retry
+    // cannot double-count. The eager checkpoint stays the validation
+    // barrier: bad rows throw there. Topics wide enough that n conditional
+    // aggregates per row would outweigh a cheap map-side-combined second
+    // pass keep the two-job path.
+    // second-pass fallback (wide topics, or an observation the listener bus
+    // failed to deliver): the original map-side-combined count job
+    def countPass(staged: DataFrame): Map[Int, Long] =
+      described(s"graft produce ${config.name}: count") {
+        timed("stage.count") {
+          staged.groupBy(col("__p")).count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }
+      }
+    if (n <= Producer.FusedCountMaxPartitions) {
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = (0 until n).map(i =>
+        count(when(col("__p") === i, 1)).as(s"p$i"))
+      val staged = described(s"graft produce ${config.name}: stage+count (checkpoint)") {
+        timed("stage.checkpoint") {
+          pre.observe(obs, aggs.head, aggs.tail: _*).localCheckpoint(true)
+        }
+      }
+      // Bounded wait on the listener bus (it delivers the observed row
+      // asynchronously, normally within ms of the checkpoint action); an
+      // undelivered observation (bus overflow — never seen in practice)
+      // degrades to the second-pass count job rather than blocking the
+      // produce.
+      val m: Map[String, Any] = timed("stage.count") {
+        val rowOpt =
+          try {
+            scala.concurrent.Await.ready(obs.future,
+              scala.concurrent.duration.Duration(10, "s")): Unit
+            obs.future.value.flatMap(_.toOption)
+          } catch { case _: java.util.concurrent.TimeoutException => None }
+        rowOpt.map(r => r.schema.fieldNames.zip(r.toSeq).toMap)
+          .getOrElse(Map.empty)
+      }
+      val counts: Map[Int, Long] =
+        if (m.isEmpty) countPass(staged)
+        else (0 until n).flatMap { i =>
+          val c = m(s"p$i").asInstanceOf[Long]
+          if (c > 0) Some(i -> c) else None
+        }.toMap
+      (staged, counts)
+    } else {
+      val staged = described(s"graft produce ${config.name}: stage (checkpoint)") {
+        timed("stage.checkpoint")(pre.localCheckpoint(true))
+      }
+      (staged, countPass(staged))
+    }
   }
 
   /** Pass 2: one shuffle by target partition; a single window task per
@@ -177,11 +248,13 @@ final class Producer(
       .select(col("__p").as("partition"), col("event_id"),
         serializer.serialize(col("metadata")).cast(StringType).as("metadata"),
         col("data").cast(BinaryType))
-    events.write
-      .mode("append")
-      .option("maxRecordsPerFile", chunkMaxRecords)
-      .partitionBy("partition")
-      .parquet(dest)
+    described(s"graft produce ${config.name}: write") {
+      events.write
+        .mode("append")
+        .option("maxRecordsPerFile", chunkMaxRecords)
+        .partitionBy("partition")
+        .parquet(dest)
+    }
   }
 
   private def produceLocked(df: DataFrame,
@@ -246,6 +319,7 @@ final class Producer(
   }
 
   private val buffer = ArrayBuffer.empty[(String, Array[Byte], Int, PendingEvent)]
+
   private var rrCounter = 0L
   private val perPartitionSeq = scala.collection.mutable.Map.empty[Int, Long]
 
@@ -298,4 +372,14 @@ final class Producer(
     perPartitionSeq.clear()
   }
 
+}
+
+object Producer {
+  /** Widest topic for which the fused observed-metrics count pass is used:
+    * the fused path evaluates one conditional count per topic partition per
+    * row DURING the checkpoint, which beats a whole second job/pass over
+    * the staged blocks for any realistic partition count; far past this
+    * width the per-row branch chain would dominate and the map-side-
+    * combined second pass wins. */
+  private[engine] val FusedCountMaxPartitions = 256
 }

@@ -223,6 +223,10 @@ object GraftFunctions {
  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
  */
 final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotInfo)
+    // joins the operator-optimization fixed point, so the collapse composes
+    // with predicate pushdown (see SimplifyJsonRoundTrip's scaladoc)
+    ext.injectOptimizerRule(_ => SimplifyJsonRoundTrip)
+  }
 }

@@ -285,10 +285,18 @@ object LakehousePack extends QueryPack {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 10000).cast("long").as("v_tc"))
-      val cuts = li.groupBy(col("l_returnflag"))
-        .agg(round(percentile(col("v_tc"), lit(0.25))).cast("long").as("q1"),
-          round(percentile(col("v_tc"), lit(0.5))).cast("long").as("q2"),
-          round(percentile(col("v_tc"), lit(0.75))).cast("long").as("q3"))
+      // exact quartiles via the relational formulation (r17: the
+      // `percentile` ImperativeAggregate buffered the whole per-group
+      // value histogram — 2.6 s + 1.3 s of the query's 3.0 s at sf0.1;
+      // Quantiles.exactGrouped is bit-identical interpolation over a
+      // distinct-value count + cumulative window, all codegen)
+      val cuts = graft.operators.Quantiles.exactGrouped(li,
+          "l_returnflag", "v_tc",
+          Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+        .select(col("l_returnflag"),
+          round(col("q1")).cast("long").as("q1"),
+          round(col("q2")).cast("long").as("q2"),
+          round(col("q3")).cast("long").as("q3"))
       li.join(broadcast(cuts), "l_returnflag")
         .withColumn("bucket",
           when(col("v_tc") <= col("q1"), 0L)
@@ -318,12 +326,16 @@ object LakehousePack extends QueryPack {
       // the q_agg_percentile argument); medians broadcast back twice
       val ev = t(s, dir, "events")
         .select(col("event_type"), cents(col("value")).as("v_c"))
-      val med = ev.groupBy(col("event_type"))
-        .agg(round(percentile(col("v_c"), lit(0.5))).cast("long").as("med_c"))
+      // both medians via Quantiles.exactGrouped (r17 — same rationale and
+      // bit-identity as q_agg_equidepth's cuts)
+      val med = graft.operators.Quantiles
+        .exactGrouped(ev, "event_type", "v_c", Seq("med" -> 0.5))
+        .select(col("event_type"), round(col("med")).cast("long").as("med_c"))
       val dev = ev.join(broadcast(med), "event_type")
         .withColumn("ad", abs(col("v_c") - col("med_c")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(round(percentile(col("ad"), lit(0.5))).cast("long").as("mad_c"))
+      val mad = graft.operators.Quantiles
+        .exactGrouped(dev, "event_type", "ad", Seq("mad" -> 0.5))
+        .select(col("event_type"), round(col("mad")).cast("long").as("mad_c"))
       dev.join(broadcast(mad), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), max(col("med_c")).as("med_c"),

@@ -139,6 +139,31 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(d.catalog.nextIds("mytopic").values.sum == 200L)
   }
 
+  test("fused count pass: sparse-partition and empty batches reserve exactly the written ranges") {
+    // produce()'s per-partition counts ride the checkpoint materialization
+    // as observed metrics (r17 optimization) — this pins the edge shapes:
+    // a batch touching only SOME partitions must reserve nothing on the
+    // untouched ones, and an empty batch must reserve nothing at all.
+    val (d, topic) = newTopic(partitions = 4)
+    import spark.implicits._
+    val sparse = (0 until 30).map(i => (s"""{"i":$i}""", i % 2)) // partitions 0,1 only
+      .toDF("metadata", "partition")
+    val ranges = topic.producer().produce(sparse)
+    assert(ranges.keySet == Set(0, 1))
+    assert(ranges(0) == (0L, 15L) && ranges(1) == (0L, 15L))
+    assert(d.catalog.nextIds("mytopic").filter(_._2 > 0) == Map(0 -> 15L, 1 -> 15L))
+    val empty = topic.producer().produce(
+      Seq.empty[(String, Int)].toDF("metadata", "partition"))
+    assert(empty.isEmpty)
+    assert(d.catalog.nextIds("mytopic").filter(_._2 > 0) == Map(0 -> 15L, 1 -> 15L))
+    // a follow-up batch continues dense from the watermark on every partition
+    val next = (0 until 8).map(i => (s"""{"j":$i}""", i % 4)).toDF("metadata", "partition")
+    val r2 = topic.producer().produce(next)
+    assert(r2(0) == (15L, 2L) && r2(1) == (15L, 2L))
+    assert(r2(2) == (0L, 2L) && r2(3) == (0L, 2L))
+    assert(topic.events().count() == 38L)
+  }
+
   test("push() and produce() route the same metadata key to the same partition") {
     val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
     d.createTopic("colocated", partitions = 8,
