@@ -168,10 +168,12 @@ object TextFunctions {
   /** Character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column = {
     require(n >= 1, "shingle size must be >= 1")
-    val t = trim(text)
-    when(length(t) <= n, array(t))
-      .otherwise(transform(sequence(lit(1), length(t) - (n - 1)), i =>
-        t.substr(i, lit(n))))
+    // native one-pass shingler (r17): the HOF form
+    // `transform(sequence(1, len-(n-1)), i => trim(t).substr(i, n))`
+    // re-evaluated trim() per element and paid substr's from-the-start
+    // char scan per shingle — O(len²) per document, measured as the whole
+    // cost of q_text_jaccard's shingle job. Bit-equal (spec-locked).
+    graft.functions.CharShinglesExpr(text, n)
   }
 
   /**

@@ -968,6 +968,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("native charShingles is bit-equal to the HOF reference formulation") {
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    // covers: empty, whitespace-only, shorter-than-n, exactly-n, long,
+    // multi-byte unicode, leading/trailing spaces, embedded runs of spaces
+    val texts = Seq("", "   ", "ab", "abcd", "  abcd  ", "hello world, this is a doc",
+      "ττσσεεδδ unicode ω mix", "a" * 300, ("ab " * 100).trim, null)
+    val rnd = new scala.util.Random(31)
+    val fuzz = (0 until 60).map(_ => (0 until rnd.nextInt(40))
+      .map(_ => "aβc d".charAt(rnd.nextInt(5))).mkString)
+    val df = (texts ++ fuzz).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 4, 7)) {
+      val t = trim(col("text"))
+      val hof = when(length(t) <= n, array(t))
+        .otherwise(transform(sequence(lit(1), length(t) - (n - 1)), i =>
+          t.substr(i, lit(n))))
+      val rows = df.select(col("id"),
+          TextFunctions.charShingles(col("text"), n).as("nat"), hof.as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2), s"null divergence id=${r.getLong(0)} n=$n")
+        if (!r.isNullAt(1))
+          assert(r.getSeq[String](1) == r.getSeq[String](2),
+            s"charShingles divergence id=${r.getLong(0)} n=$n")
+      }
+    }
+  }
+
   test("maintainIndex re-clusters with deterministic k-means only when skewed") {
     val idx = java.nio.file.Files.createTempDirectory("llm-ivf-maint").toString
     val corpus = randVecs(21, 60)
