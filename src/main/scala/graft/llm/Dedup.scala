@@ -150,10 +150,20 @@ object Dedup {
    */
   private[llm] def bandCandidates(
       banded: DataFrame, maxBucket: Int, extra: Seq[String]): DataFrame = {
-    val stats = banded.groupBy(col("band"), col("bandval"))
-      .agg(count(lit(1)).as("bsz"),
-        min_by(struct(col("id") +: extra.map(col): _*), col("id")).as("rep"))
-    val tagged = banded.join(stats, Seq("band", "bandval"))
+    // bucket size + representative as WINDOW aggregates over the band key
+    // (r17): the former groupBy + join-back shuffled the banded frame
+    // twice more (once into the stats aggregate, once re-aligning for the
+    // join); one window computes both over a single (band, bandval)
+    // exchange, and the small-bucket self-join below then REUSES that
+    // exchange and sort on both sides. min(struct(id, extras…)) equals the
+    // former min_by(struct(…), id): within one bucket each doc appears at
+    // most once, so the lexicographic struct min is decided by the unique
+    // leading id.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bandval"))
+    val tagged = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(struct(col("id") +: extra.map(col): _*)).over(w))
     def out(a: Column, b: Column, ax: String => Column, bx: String => Column) = {
       val cols = Seq(a.as("doc_a"), b.as("doc_b")) ++
         extra.flatMap(e => Seq(ax(e).as(s"x_$e"), bx(e).as(s"y_$e")))
