@@ -531,8 +531,11 @@ object Dedup {
     val sh = if (cache)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("dfq"))
-    val pref = sh.join(dfreq, "s")
+    // shingle document frequency as a window over the shingle (r17): the
+    // former groupBy(s) + join-back shuffled sh twice more; one (s)-keyed
+    // exchange computes dfq in place (same rewrite as bandCandidates)
+    val dfreq = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val pref = sh.withColumn("dfq", count(lit(1)).over(dfreq))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("dfq"), col("s")))).as("ts"),
         count(lit(1)).as("n"))
@@ -598,9 +601,13 @@ object Dedup {
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val joinable = sh.join(
-      sh.groupBy(col("s")).agg(count(lit(1)).as("dfq"))
-        .filter(col("dfq") <= dfCap).select(col("s")), "s")
+    // df-cap tagging via a window over the shingle (r17): one (s)-keyed
+    // exchange instead of groupBy(s) + join-back, and the candidate
+    // self-join below reuses that exchange and sort on both sides
+    val joinable = sh.withColumn("dfq",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("dfq") <= dfCap).drop("dfq")
     val candidates = joinable.as("a").join(joinable.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("x"), col("b.id").as("y"))
