@@ -343,9 +343,16 @@ object Dedup {
     // the candidate-id semi-join (twice) and the verify join.
     val cand0 = bandCandidates(banded, maxBucket, extra = Seq("isnew"))
       .filter(col("x_isnew") === 1L || col("y_isnew") === 1L)
-    val cand = if (cache)
-      cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else cand0
+    // localCheckpoint, not persist (r17, guide §3.3): a persist here NESTS
+    // — every downstream task binary carries the cached candidate plan,
+    // which itself embeds the cached `all` plan (measured 4→6→8 MiB task
+    // binaries cascading through the verify stages). The checkpoint
+    // truncates the plan to a LogicalRDD: candidates are a small pair
+    // list, and the same MEMORY_AND_DISK blocks back it. Trade (stated):
+    // a lost block fails the job instead of recomputing — acceptable for
+    // a bounded mid-pipeline frame, and the pattern the engine already
+    // uses where truncation matters (produce staging, graph rounds).
+    val cand = if (cache) cand0.localCheckpoint(false) else cand0
     // exact verify: shingle rows for candidate ids ONLY
     val candIds = cand.select(col("doc_a").as("id"))
       .union(cand.select(col("doc_b").as("id"))).distinct()
@@ -363,9 +370,9 @@ object Dedup {
       .join(counts.as("cb"), col("doc_b") === col("cb.id"))
       .filter(col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
         >= threshold)
-    val verified = if (cache)
-      verified0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else verified0
+    // same truncation rationale as `cand` — verified pairs are few rows
+    // whose lineage is the whole verify join
+    val verified = if (cache) verified0.localCheckpoint(false) else verified0
     // pairs carry doc_a < doc_b: a new doc_b drops against ANY partner
     // (store or smaller-id new); a new doc_a drops only against the store
     val dropped = verified
