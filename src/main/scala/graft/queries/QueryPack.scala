@@ -47,13 +47,26 @@ object Q {
    * timestamp, then normalize).
    */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+    val path = s"$sfDir/$name.parquet"
+    // Schema memo (guide §6: repeated footer/metadata reads are driver-side
+    // cost): the testdata tables are immutable for the life of the process,
+    // so the parquet schema is inferred ONCE per path and provided to every
+    // subsequent read — exactly what a catalog table does. This caches
+    // METADATA only (a StructType), never rows or results; every query
+    // still computes from the parquet input.
+    val schema = Q.schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
+    schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampType) | Some(TimestampNTZType) =>
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case _ => df
     }
   }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
 
   /**
    * Exact-integer view of a monetary/double aggregate: `round(x*100)` as
