@@ -75,7 +75,11 @@ final class Producer(
   /**
    * Batch produce. `df` must have a `metadata` string column; optional
    * `data` binary column; optional `partition` int column (explicit request,
-   * honored modulo the partition count).
+   * honored modulo the partition count); optional `__order` long column —
+   * when present, per-partition id assignment follows it instead of input
+   * row order, so a caller with a natural order key can pass the batch
+   * UNSORTED and skip a global sort exchange (see stageAndCount). `__order`
+   * is consumed by the produce and never written to the log.
    *
    * Invalid metadata (validator predicate false) aborts the job via
    * `raise_error` — the Spark analog of `Producer.push` throwing
@@ -173,8 +177,23 @@ final class Producer(
     // task retry against a shuffled/sampled upstream) is impossible; a lost
     // cached block fails the job loudly instead of silently corrupting the
     // id space. Batches are micro-batch sized, so the cached copy is bounded.
+    //
+    // Explicit push order (r17, guide §2.4 "remove shuffles outright"): a
+    // caller column named `__order` (cast to long) REPLACES input row order
+    // as the id-assignment order. Without it, a caller that needs
+    // deterministic ids must globally SORT its batch — a range exchange
+    // (plus its sample pass) per produce whose only purpose is to define
+    // `__ord`; with it, the unsorted batch flows straight into staging and
+    // the per-partition write window orders by the column instead. Values
+    // should be unique per target partition for a well-defined order (ties
+    // fall back to the checkpointed block order, which the eager
+    // localCheckpoint pins — still deterministic for this produce's two
+    // passes). The column is consumed here: it never reaches the log.
+    val ordExpr =
+      if (withData.columns.contains("__order")) col("__order").cast("long")
+      else monotonically_increasing_id()
     val pre = withData
-      .withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__ord", ordExpr)
       .withColumn("__p", partitionExpr)
 
     // Pass 1 fused into the checkpoint (guide §1.2 "don't compute things

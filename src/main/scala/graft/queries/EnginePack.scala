@@ -68,26 +68,28 @@ object EnginePack extends QueryPack {
   }
 
   /** events table → (metadata `{"eid":<event_id>}`, partition eid%4), in
-    * event_id push order — makes engine-assigned ids SQL-predictable. */
+    * event_id push order — makes engine-assigned ids SQL-predictable.
+    * Push order rides the explicit `__order` column (r17): produce()'s
+    * per-partition write window orders by it directly, so the batch no
+    * longer needs the global SORT (a range exchange + sample pass per
+    * produce) the previous `.orderBy(event_id)` form paid just to pin
+    * `__ord` — identical id assignment, one less shuffle per produce. */
   private def sourceByEid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .orderBy(col("event_id"))
       .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-        pmod(col("event_id"), lit(4)).cast("int").as("partition"))
+        pmod(col("event_id"), lit(4)).cast("int").as("partition"),
+        col("event_id").as("__order"))
 
   /** [[sourceByEid]] restricted to `lo <= event_id < hi` — same rows, same
-    * order, same engine-id assignment as filtering the full source, but
-    * the range lands on the RAW event_id column BEFORE the global sort and
-    * the to_json/re-parse round-trip, so a fixture producing a fixed slice
-    * sorts that slice, not the whole table (the multi-produce lifecycle
-    * fixtures pay this 2-3× per run). */
+    * order, same engine-id assignment as filtering the full source (the
+    * range lands on the RAW event_id column, pushable to the scan). */
   private def sourceByEidRange(s: SparkSession, dir: String,
                                lo: Long, hi: Long): DataFrame =
     t(s, dir, "events")
       .filter(col("event_id") >= lo && col("event_id") < hi)
-      .orderBy(col("event_id"))
       .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-        pmod(col("event_id"), lit(4)).cast("int").as("partition"))
+        pmod(col("event_id"), lit(4)).cast("int").as("partition"),
+        col("event_id").as("__order"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_producer_ids" -> { (s, dir) =>
@@ -602,9 +604,10 @@ object EnginePack extends QueryPack {
       d.createTopic("txn_demo", partitions = 2)
       val topic = d.openTopic("txn_demo")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
       val ta = topic.beginTransaction("ta")
       ta.produce(src.filter(pmod(eid, lit(6)) === 1))
@@ -638,9 +641,10 @@ object EnginePack extends QueryPack {
       d.createTopic("txn_multi", partitions = 2)
       val topic = d.openTopic("txn_multi")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
       val up = topic.beginTransaction("up")
       up.produce(src.filter(pmod(eid, lit(3)) === 1))
@@ -679,9 +683,10 @@ object EnginePack extends QueryPack {
       d.createTopic("txadmin", partitions = 2)
       val topic = d.openTopic("txadmin")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       val ok = topic.beginTransaction("ok")
       ok.produce(src.filter(pmod(eid, lit(4)) === 0)); ok.commit()
       val ab = topic.beginTransaction("ab")
@@ -718,9 +723,10 @@ object EnginePack extends QueryPack {
       d.createTopic("txn_to", partitions = 2)
       val topic = d.openTopic("txn_to")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
       topic.beginTransaction("hung").produce(src.filter(pmod(eid, lit(3)) === 1)): Unit
       val wedged = topic.events("read_committed").count() // plain only
@@ -775,9 +781,10 @@ object EnginePack extends QueryPack {
       d.createTopic("txn_tier", partitions = 2)
       val topic = d.openTopic("txn_tier")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       topic.producer().produce(src.filter(pmod(eid, lit(3)) === 0))
       // archive the plain prefix: the topic now has a real cold tier
       topic.archiveBefore(d.catalog.nextIds("txn_tier").values.max): Unit
@@ -824,9 +831,10 @@ object EnginePack extends QueryPack {
       d.createTopic("iso_demo", partitions = 2)
       val topic = d.openTopic("iso_demo")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       topic.producer().produce(src.filter(pmod(eid, lit(4)) === 0))
       val ok = topic.beginTransaction("ok")
       ok.produce(src.filter(pmod(eid, lit(4)) === 1)); ok.commit()
@@ -862,9 +870,10 @@ object EnginePack extends QueryPack {
       d.createTopic("feed", partitions = 2)
       val coord = d.openTopic("coord"); val feed = d.openTopic("feed")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(shiftright(col("event_id"), 2), lit(2)).cast("int").as("partition"))
+          pmod(shiftright(col("event_id"), 2), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       feed.producer().produce(src.filter(pmod(eid, lit(4)) === 0))
       val a = coord.beginTransaction("a")
       a.produce(src.filter(pmod(eid, lit(4)) === 1))
@@ -896,9 +905,10 @@ object EnginePack extends QueryPack {
       d.createTopic("dst", partitions = 2)
       val src = d.openTopic("src"); val dst = d.openTopic("dst")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      src.producer().produce(t(s, dir, "events").orderBy(col("event_id"))
+      src.producer().produce(t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition")))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order")))
       // the "processed batch": dense ids make event_id < 64 exactly the
       // first 64 events of each partition (= the 64 smallest source eids
       // of that parity, produce preserving input order)
@@ -928,9 +938,10 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("idem_demo", partitions = 2)
       val topic = d.openTopic("idem_demo")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
       // (eid div 2) % 2 splits each partition's rows across both batches
       val half = pmod(shiftright(eid, 1), lit(2))
@@ -964,9 +975,10 @@ object EnginePack extends QueryPack {
       d.createTopic("tier_demo", partitions = 2)
       val topic = d.openTopic("tier_demo")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       val half = pmod(shiftright(eid, 1), lit(2))
       topic.producer().produce(src.filter(half === 0))
       val cutoff = d.catalog.nextIds("tier_demo").values.max
@@ -1270,10 +1282,11 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("expire_t_demo", partitions = 4)
       val topic = d.openTopic("expire_t_demo")
-      val src = t(s, dir, "events").orderBy(col("event_id"))
+      val src = t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"),
             col("ts").as("tsn"))).as("metadata"),
-          pmod(col("event_id"), lit(4)).cast("int").as("partition"))
+          pmod(col("event_id"), lit(4)).cast("int").as("partition"),
+          col("event_id").as("__order"))
       topic.producer().produce(src)
       // the cutoff a human operator would pass to a retention job: the
       // event time 60% into the stream — two bounded single-row lookups on
@@ -1389,10 +1402,11 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("seek_demo", partitions = 4)
       val topic = d.openTopic("seek_demo")
-      topic.producer().produce(t(s, dir, "events").orderBy(col("event_id"))
+      topic.producer().produce(t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"),
             col("ts").as("tsn"))).as("metadata"),
-          pmod(col("event_id"), lit(4)).cast("int").as("partition")))
+          pmod(col("event_id"), lit(4)).cast("int").as("partition"),
+          col("event_id").as("__order")))
       val ev = t(s, dir, "events")
       val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head().getLong(0)
       val cutoff = ev.filter(col("event_id") === cutEid)
@@ -1532,8 +1546,8 @@ object EnginePack extends QueryPack {
       (0 until 4).foreach { r =>
         topic.producer().produce(
           ev.filter(pmod(col("user_id"), lit(4)) === r)
-            .orderBy(col("event_id"))
-            .select(to_json(struct(col("user_id").as("u"),
+            .select(col("event_id").as("__order"),
+              to_json(struct(col("user_id").as("u"),
               col("event_id").as("eid"))).as("metadata"),
               pmod(col("event_id"), lit(4)).cast("int").as("partition")))
       }
@@ -2090,10 +2104,10 @@ object EnginePack extends QueryPack {
       def wave(lo: Long, hi: Long, v: Int) =
         t(s, dir, "events")
           .filter(col("event_id") >= lo && col("event_id") < hi)
-          .orderBy(col("event_id"))
           .select(to_json(struct(col("event_id").as("k"), lit(v).as("v")))
             .as("metadata"),
-            pmod(col("event_id"), lit(2)).cast("int").as("partition"))
+            pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+            col("event_id").as("__order"))
       val srcTopic = d.openTopic("ups_src")
       srcTopic.producer().produce(wave(0, 64, 1))
       srcTopic.producer().produce(wave(32, 96, 2))
@@ -2298,10 +2312,11 @@ object EnginePack extends QueryPack {
       val withFlush = src.unionByName(s.range(4096).select(
         (lit(9000000L) + col("id")).as("event_id"), lit(flushTs).as("ts"),
         lit(-1L).as("user_id")))
-      topic.producer().produce(withFlush.orderBy(col("event_id"))
+      topic.producer().produce(withFlush
         .select(to_json(struct(col("event_id").as("eid"), col("ts").as("tns"),
           col("user_id").as("uid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition")))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order")))
       val qname = s"q_stream_sessions_${EnginePack.streamRun.incrementAndGet()}"
       EnginePack.withStreamWidth(s, 4) {
           val query = s.readStream.format("graft")
@@ -2402,10 +2417,11 @@ object EnginePack extends QueryPack {
       // paying state-store + checkpoint overhead for the same contract.)
       val nEvents = events.count()
       topic.producer().produce(
-        events.orderBy(col("event_id"))
+        events
           .select(to_json(struct(col("user_id").as("uid"),
             Q.cents(col("value")).as("cents"))).as("metadata"),
-            pmod(col("event_id"), lit(2)).cast("int").as("partition")))
+            pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+            col("event_id").as("__order")))
       val stream = s.readStream.format("graft")
         .option("warehouse", d.warehouse).option("topic", "sstate_demo")
         .option("maxEventsPerTrigger", ((nEvents + 1) / 2).toString)
@@ -2481,10 +2497,11 @@ object EnginePack extends QueryPack {
         .unionByName(s.range(1024).select(
           (lit(9100000L) + col("id")).as("event_id"), lit(flushTs).as("ts"),
           lit("purchase").as("event_type"), lit(-2L).as("user_id")))
-      topic.producer().produce(withFlush.orderBy(col("event_id"))
+      topic.producer().produce(withFlush
         .select(to_json(struct(col("event_id").as("eid"), col("ts").as("tns"),
           col("event_type").as("et"), col("user_id").as("uid"))).as("metadata"),
-          pmod(col("event_id"), lit(2)).cast("int").as("partition")))
+          pmod(col("event_id"), lit(2)).cast("int").as("partition"),
+          col("event_id").as("__order")))
       def side(et: String, p: String) = s.readStream.format("graft")
         .option("warehouse", d.warehouse).option("topic", "souter_demo")
         .option("maxEventsPerTrigger", "1024")
@@ -2609,10 +2626,11 @@ object EnginePack extends QueryPack {
       val d = tempDriver(s)
       d.createTopic("stime_demo", partitions = 4)
       val topic = d.openTopic("stime_demo")
-      topic.producer().produce(t(s, dir, "events").orderBy(col("event_id"))
+      topic.producer().produce(t(s, dir, "events")
         .select(to_json(struct(col("event_id").as("eid"),
             col("ts").as("tsn"))).as("metadata"),
-          pmod(col("event_id"), lit(4)).cast("int").as("partition")))
+          pmod(col("event_id"), lit(4)).cast("int").as("partition"),
+          col("event_id").as("__order")))
       val ev = t(s, dir, "events")
       val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head().getLong(0)
       val cutoff = ev.filter(col("event_id") === cutEid)

@@ -164,6 +164,29 @@ class ProducerConsumerSpec extends SparkSpec {
     assert(topic.events().count() == 38L)
   }
 
+  test("explicit __order column assigns the same ids as a globally sorted batch") {
+    // r17 optimization: a caller with a natural order key passes the batch
+    // UNSORTED plus `__order`, and produce() orders the per-partition id
+    // window by it — the id↔row mapping must be IDENTICAL to sorting the
+    // batch and relying on input row order, and `__order` must never leak
+    // into the log.
+    import spark.implicits._
+    val rows = (0 until 120).map(i => (s"""{"k":$i}""", i % 3, i.toLong))
+    val (_, sortedTopic) = newTopic(partitions = 3)
+    sortedTopic.producer().produce(
+      rows.sortBy(_._3).toDF("metadata", "partition", "ignored")
+        .drop("ignored"))
+    val (_, unsortedTopic) = newTopic(partitions = 3)
+    unsortedTopic.producer().produce(
+      scala.util.Random.shuffle(rows).toDF("metadata", "partition", "__order"))
+    def snapshot(t: graft.engine.TopicHandle) = t.events()
+      .select(col("partition"), col("event_id"),
+        get_json_object(col("metadata"), "$.k").cast("long").as("k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(snapshot(sortedTopic) == snapshot(unsortedTopic))
+    assert(!unsortedTopic.events().columns.contains("__order"))
+  }
+
   test("push() and produce() route the same metadata key to the same partition") {
     val d = new GraftDriver(spark, Files.createTempDirectory("graft-pc-spec").toString)
     d.createTopic("colocated", partitions = 8,
