@@ -530,7 +530,15 @@ object Similarity {
     // same shard — readers never saw it; replace it wholesale
     val shardDir = new org.apache.hadoop.fs.Path(s"$root/cells/shard=$shardId")
     if (fs.exists(shardDir)) fs.delete(shardDir, true)
+    // Cluster by cell before the partitioned write (guide §6, the
+    // distribution-mode=hash shape): without it every upstream task writes
+    // up to n_cells files — at scale that is the many-small-files problem
+    // (tasks × cells tiny parquet files per shard), and the whole write
+    // serializes through however many tasks the assignment happened to
+    // have. One exchange of the shard (O(new vectors), bounded) buys one
+    // writer — and one right-sized file — per cell.
     assigned.withColumn("shard", lit(shardId))
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("shard", "cell").parquet(s"$root/cells")
     val marker = new org.apache.hadoop.fs.Path(s"$root/_committed/$shardId")
     fs.mkdirs(marker.getParent)
