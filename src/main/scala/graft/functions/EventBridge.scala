@@ -221,7 +221,9 @@ object EventBridge {
   private def structResolver(parsed: Column): FieldResolver =
     path => path.foldLeft(parsed)(_.getField(_))
 
-  private val NumericRe = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+  // shared with SimplifyJsonRoundTrip's finite-value rewrite, which fires
+  // on exactly this literal — keep the two from drifting apart
+  private val NumericRe = SimplifyJsonRoundTrip.NumericShapeRe
 
   /** ANSI-safe numeric view of a JSON scalar: null unless it looks numeric. */
   private def asNum(f: Column): Column =

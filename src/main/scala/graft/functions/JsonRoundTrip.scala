@@ -199,5 +199,35 @@ object SimplifyJsonRoundTrip extends Rule[LogicalPlan] {
         if (e.dataType == DoubleType && dt == DoubleType) ||
            (e.dataType == FloatType && dt == FloatType) =>
       e
+    // Numeric-shape guard over an already-numeric value (the EventBridge
+    // matcher's `asNum`/`numericRange` residue once the round-trip above
+    // collapses): `RLIKE(cast(d as string), <numeric shape>)` is exactly
+    // "d is finite" — Double.toString/Float.toString print every finite
+    // value as `-?ddd.ddd` or `-?d.dddE±dd` (both match the shape) and
+    // NaN/±Infinity as words (which do not) — so the per-row
+    // double→string materialization and the regex both fold away. The
+    // rewrite is gated on the matcher's EXACT regex literal and preserves
+    // three-valued logic (null in → null out).
+    case RLike(Cast(e, StringType, _, _), Literal(re: UTF8String, StringType))
+        if (e.dataType == DoubleType || e.dataType == FloatType) &&
+          re.toString == SimplifyJsonRoundTrip.NumericShapeRe =>
+      val (pos, neg) =
+        if (e.dataType == DoubleType)
+          (Literal(Double.PositiveInfinity), Literal(Double.NegativeInfinity))
+        else (Literal(Float.PositiveInfinity), Literal(Float.NegativeInfinity))
+      If(IsNull(e), Literal(null, BooleanType),
+        And(Not(IsNaN(e)),
+          And(Not(EqualTo(e, pos)), Not(EqualTo(e, neg)))))
+    // Integral flavor: every integral's decimal string matches the shape,
+    // so the guard is just the null check (null in → null out).
+    case RLike(Cast(e, StringType, _, _), Literal(re: UTF8String, StringType))
+        if isIntegral(e.dataType) &&
+          re.toString == SimplifyJsonRoundTrip.NumericShapeRe =>
+      If(IsNull(e), Literal(null, BooleanType), Literal(true))
   }
+
+  /** The numeric-shape regex [[graft.functions.EventBridge]] guards casts
+    * with — the only pattern the finite-value rewrite above fires on. */
+  private[functions] val NumericShapeRe =
+    "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
 }

@@ -127,6 +127,26 @@ class JsonRoundTripSpec extends SparkSpec {
       s"decimal field must not collapse:\n$opt")
   }
 
+  test("numeric-shape RLIKE over a double collapses to the finite test, 3VL intact") {
+    import spark.implicits._
+    val re = "^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+    val vals = Seq[java.lang.Double](0.0, -0.0, 1e-4, 1e20, math.Pi,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MAX_VALUE,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity, null)
+    // ground truth computed WITHOUT the rewrite: regex over a concat-built
+    // string (the rule only fires on a direct cast), vs the rewritten shape
+    val df = vals.toDF("v").select(
+      col("v").cast("string").rlike(re).as("rw"),
+      concat(col("v").cast("string"), lit("")).rlike(re).as("gt"))
+    df.collect().foreach(r => assert(r.get(0) == r.get(1), s"mismatch: $r"))
+    // plan-asserted: the regex is gone from the direct-cast form
+    val p = spark.range(2).select((col("id") + lit(0.5)).as("v"))
+      .filter(col("v").cast("string").rlike(re))
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("RLIKE") && !p.contains("rlike"),
+      s"finite-test rewrite must fire:\n$p")
+  }
+
   test("double/float same-width string detours collapse; cross-width do not") {
     import spark.implicits._
     val d = spark.range(2).select((col("id") + lit(0.5)).as("v"))
