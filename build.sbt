@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain's stdout/stderr through UNWRAPPED: sbt's default
+// LoggedOutput prefixes every stdout line with "[info] ", which is exactly
+// what made the bench's one-line JSON unparseable to the driver in rounds
+// 1-17 (PERF per-query/scaling blocks empty every round). StdoutOutput
+// changes delivery only — same forked JVM, same javaOptions, same timings.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -231,7 +231,19 @@ object Bench {
 
     val slowest = timings.toSeq.sortBy(-_._2).take(25)
       .map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${timings.size},"queries":$slowest,"errors":$es,"queries_file":"BENCH_FULL.json","sf":${jstr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${timings.size},"queries":$slowest,"errors":$es,"queries_file":"BENCH_FULL.json","sf":${jstr(sfDir)}}"""
+    println(line)
+    // Machine-recoverability (r18, additions-only): every past round's
+    // driver failed to parse the printed line because the harness's log
+    // pipeline wraps it (sbt "[info] " prefix) or truncates the tail — so
+    // round-over-round per-query diffs never populated. The IDENTICAL line
+    // also lands in a fixed sidecar file, where no log pipeline can touch
+    // it. (BENCH_FULL.json additionally carries the full per-query map and
+    // the fixture/graded-read split per query.)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

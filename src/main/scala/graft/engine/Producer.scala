@@ -190,8 +190,19 @@ final class Producer(
     // localCheckpoint pins — still deterministic for this produce's two
     // passes). The column is consumed here: it never reaches the log.
     val ordExpr =
-      if (withData.columns.contains("__order")) col("__order").cast("long")
-      else monotonically_increasing_id()
+      if (withData.columns.contains("__order")) {
+        // Fail fast on a misused `__order` (ADVICE r17): a non-numeric
+        // column would cast to null long and silently scramble id order
+        // (nulls-first, tie-arbitrary) — require a numeric type, and raise
+        // on a null value (a null has no defined position).
+        val dt = withData.schema("__order").dataType
+        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"produce() column '__order' must be numeric (it defines " +
+          s"id-assignment order); got ${dt.simpleString}")
+        coalesce(col("__order").cast("long"),
+          raise_error(lit("produce() column '__order' must not be null: " +
+            "it defines id-assignment order")).cast("long"))
+      } else monotonically_increasing_id()
     val pre = withData
       .withColumn("__ord", ordExpr)
       .withColumn("__p", partitionExpr)
@@ -256,12 +267,31 @@ final class Producer(
 
   /** Pass 2: one shuffle by target partition; a single window task per
     * partition linearizes id assignment (dense, push-order). `dest` is the
-    * live log (lock-held path) or a private staging dir (concurrent path). */
+    * live log (lock-held path) or a private staging dir (concurrent path).
+    *
+    * Single-job shape (r18, guide §1.2 — fewer driver plan/submit cycles):
+    * the write runs as ONE classic pipelined shuffle job on a cached
+    * AQE-free child session, with the exchange width pinned to the topic's
+    * partition count by an explicit `repartition(n, __p)`. Under AQE this
+    * exact query cost TWO jobs (exchange materialization, then the re-planned
+    * write) plus a re-optimization cycle per produce — pure per-produce
+    * overhead at any batch size, since AQE has nothing to decide here: the
+    * exchange is by `__p` and the linearization contract already fixes the
+    * layout at one writer task per topic partition (AQE skew-splitting
+    * cannot apply under a window partitioned by the same key, and coalescing
+    * tiny partitions only re-merges what `n` already bounds). The window
+    * reuses the explicit exchange (ClusteredDistribution(__p) is satisfied
+    * by hashpartitioning(__p, n)), so the whole query is map-stage →
+    * sorted-write-stage in a single job submission. */
   private def writeEvents(staged: DataFrame, firstIds: Map[Int, Long],
                           dest: String): Unit = {
     val baseMap = typedLit(firstIds)
     val w = Window.partitionBy(col("__p")).orderBy(col("__ord"))
-    val events = staged
+    // `staged` is an eagerly checkpointed LogicalRDD: re-wrapping its RDD in
+    // the write session triggers no job and no recompute, and the id
+    // assignment stays pinned to the checkpointed blocks either way.
+    val events = Producer.inWriteSession(spark, staged)
+      .repartition(n, col("__p"))
       .withColumn("event_id",
         element_at(baseMap, col("__p")) + row_number().over(w) - 1)
       .select(col("__p").as("partition"), col("event_id"),
@@ -394,6 +424,40 @@ final class Producer(
 }
 
 object Producer {
+  /**
+   * One AQE-free child session per engine session, for the produce WRITE
+   * query only (see writeEvents). `newSession()` shares the SparkContext,
+   * cached blocks and extensions; only the SQL conf is isolated — adaptive
+   * execution off so the bounded write query plans and submits exactly once.
+   * Cached weakly per parent session: the session-state build is paid once
+   * per engine session, not once per produce, and entries die with their
+   * parent. Thread-safe: concurrent produces run concurrent queries on the
+   * shared child, which Spark sessions support by design.
+   */
+  private val writeSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def writeSession(parent: SparkSession): SparkSession =
+    writeSessions.synchronized {
+      var ws = writeSessions.get(parent)
+      if (ws == null) {
+        ws = parent.newSession()
+        ws.conf.set("spark.sql.adaptive.enabled", "false")
+        // runtime conf set on the parent post-creation is not inherited;
+        // restate the one conf the engine requires everywhere (hygiene —
+        // the write plan itself is timezone-free)
+        ws.conf.set("spark.sql.session.timeZone", "UTC")
+        writeSessions.put(parent, ws)
+      }
+      ws
+    }
+
+  /** Re-bind a (checkpointed) frame to the write session — same RDD, same
+    * schema, no job. */
+  private[engine] def inWriteSession(parent: SparkSession,
+                                     df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftshim.Shims.asBatchDataFrame(
+      writeSession(parent), df)
+
   /** Widest topic for which the fused observed-metrics count pass is used:
     * the fused path evaluates one conditional count per topic partition per
     * row DURING the checkpoint, which beats a whole second job/pass over
