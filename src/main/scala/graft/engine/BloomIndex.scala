@@ -70,8 +70,8 @@ object BloomIndex {
                         index: String): Seq[Row] = {
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else spark.read.schema(Schema).parquet(dir.toString).collect().toSeq
+    // file-identity-keyed driver cache (r18) — see [[IndexCache]]
+    IndexCache.rows(spark, fs, dir, Schema)
   }
 
   /** JVM mirror of [[Bloom.position]] — the planner probes filters
@@ -209,8 +209,9 @@ object BloomIndex {
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!IndexInstall.waitReadable(fs, dir)) None
-    else spark.read.schema(Schema).parquet(dir.toString)
-      .limit(1).collect().headOption
+    else IndexCache.cachedHead(fs, dir).orElse(
+      spark.read.schema(Schema).parquet(dir.toString)
+        .limit(1).collect().headOption)
   }
 
   /** Refresh an existing bloom index under its stored parameters (the
@@ -258,7 +259,9 @@ object BloomIndex {
     // never materializes) read only the head row and plan via join
     val small = universe.left.exists(_.size <= MetadataIndex.driverPlanMax(spark))
     val entries: Seq[Row] =
-      if (small) idxDf.collect().toSeq else idxDf.limit(1).collect().toSeq
+      if (small) IndexCache.rows(spark, fs, dir, Schema)
+      else IndexCache.cachedHead(fs, dir).map(Seq(_))
+        .getOrElse(idxDf.limit(1).collect().toSeq)
     val head = entries.headOption.getOrElse(
       throw new IllegalStateException(
         s"bloom index '$index' on topic '$topic' does not exist — refresh it first"))

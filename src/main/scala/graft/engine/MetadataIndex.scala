@@ -80,8 +80,9 @@ object MetadataIndex {
                         index: String): Seq[Row] = {
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Seq.empty
-    else spark.read.schema(IndexSchema).parquet(dir.toString).collect().toSeq
+    // file-identity-keyed driver cache (r18): refresh + every pruning plan
+    // collected this few-KB relation via a full Spark job each time
+    IndexCache.rows(spark, fs, dir, IndexSchema)
   }
 
   /**
@@ -209,8 +210,9 @@ object MetadataIndex {
     val dir = indexPath(c, topic, index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!IndexInstall.waitReadable(fs, dir)) None
-    else spark.read.schema(IndexSchema).parquet(dir.toString)
-      .limit(1).collect().headOption
+    else IndexCache.cachedHead(fs, dir).orElse(
+      spark.read.schema(IndexSchema).parquet(dir.toString)
+        .limit(1).collect().headOption)
   }
 
   /** Refresh an EXISTING index under its own stored (json_path, kind) —
@@ -306,7 +308,9 @@ object MetadataIndex {
     // here (identity check) and plan via join
     val small = universe.left.exists(_.size <= driverPlanMax(spark))
     val entries: Seq[Row] =
-      if (small) idxDf.collect().toSeq else idxDf.limit(1).collect().toSeq
+      if (small) IndexCache.rows(spark, fs, dir, IndexSchema)
+      else IndexCache.cachedHead(fs, dir).map(Seq(_))
+        .getOrElse(idxDf.limit(1).collect().toSeq)
     val head = entries.headOption.getOrElse(throw new IllegalStateException(
       s"index '$index' on topic '$topic' does not exist — refresh it first"))
     require(head.getAs[String]("kind") == wantKind,
