@@ -408,10 +408,15 @@ object AnalyticsPack extends QueryPack {
       // sketch contract, like q_agg_approx_distinct: the oracle states the
       // exact median (1e4 scale — integral, see q_agg_percentile) plus a
       // Spark-computed boolean that the approx sketch landed within 1%
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_med"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+      // exact median via exactGrouped (r18, §4/§5 — bit-identical to
+      // `percentile`, no per-group histogram buffer); the approx sketch
+      // keeps its aggregate (it IS the operator under test)
+      val li = t(s, dir, "lineitem")
+      li.groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_med"))
+        .join(broadcast(graft.operators.Quantiles.exactGrouped(
+          li, "l_returnflag", "l_extendedprice", Seq("exact_med" -> 0.5))),
+          Seq("l_returnflag"))
         .select($"l_returnflag",
           round($"exact_med" * 10000).cast("long").as("exact_med_tc"),
           (abs($"approx_med" - $"exact_med") <= $"exact_med" * 0.01).as("within_1pct"))

@@ -199,9 +199,13 @@ object CurationPack extends QueryPack {
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 10000).cast("long").as("v_tc"))
-      val bounds = li.groupBy(col("l_returnflag"))
-        .agg(round(percentile(col("v_tc"), lit(0.05))).cast("long").as("lo_tc"),
-          round(percentile(col("v_tc"), lit(0.95))).cast("long").as("hi_tc"))
+      // exactGrouped == `percentile` bit-for-bit (spec-locked), minus the
+      // per-group value-histogram ObjectHashAggregate buffer (r18, §4/§5)
+      val bounds = graft.operators.Quantiles.exactGrouped(
+          li, "l_returnflag", "v_tc", Seq("lo" -> 0.05, "hi" -> 0.95))
+        .select(col("l_returnflag"),
+          round(col("lo")).cast("long").as("lo_tc"),
+          round(col("hi")).cast("long").as("hi_tc"))
       li.join(broadcast(bounds), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("lo_tc"), col("hi_tc"),
           least(greatest(col("v_tc"), col("lo_tc")), col("hi_tc")).as("cv"),
@@ -282,12 +286,19 @@ object CurationPack extends QueryPack {
       // percentiles ×1e4 are integral (integer counts, ≤2-decimal
       // interpolation fraction — the q_agg_percentile argument)
       def tc(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
-      t(s, dir, "lineitem")
+      // global percentiles via exactGrouped over a constant group (r18,
+      // §4/§5 — same IEEE result, no per-group histogram buffer); the
+      // 1-row × 1-row crossJoin is a broadcast
+      val perKey = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      val pct = graft.operators.Quantiles.exactGrouped(
+          perKey.withColumn("__g", lit(1)), "__g", "n",
+          Seq("p50" -> 0.5, "p99" -> 0.99))
+        .select(tc(col("p50")).as("p50_tc"), tc(col("p99")).as("p99_tc"))
+      perKey
         .agg(count(lit(1)).as("n_keys"),
-          sum(col("n")).as("n_rows"), max(col("n")).as("max_n"),
-          tc(percentile(col("n"), lit(0.5))).as("p50_tc"),
-          tc(percentile(col("n"), lit(0.99))).as("p99_tc"))
+          sum(col("n")).as("n_rows"), max(col("n")).as("max_n"))
+        .crossJoin(broadcast(pct))
     },
   )
 

@@ -77,14 +77,22 @@ object Relational extends QueryPack {
       // exact percentile×1e4 is integral — a rounding boundary can never sit
       // within ulp of the value, making the cross-engine compare categorical
       // rather than fixture-lucky (cents would tie at half-cent midpoints).
+      // Percentiles via Quantiles.exactGrouped (r18, guide §4/§5): same IEEE
+      // interpolation as Spark's `percentile` — bit-identical, spec-locked —
+      // but spillable codegen operators instead of a per-group value
+      // histogram buffered in ObjectHashAggregate (the §5 memory hazard at
+      // 100 TB cardinalities). min/max stay a plain hash aggregate; the
+      // 3-group join is a broadcast.
       def tc(c: org.apache.spark.sql.Column) = round(c * 10000).cast("long")
-      t(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          tc(percentile($"l_extendedprice", lit(0.5))).as("p50_tc"),
-          tc(percentile($"l_extendedprice", lit(0.95))).as("p95_tc"),
-          cents(min($"l_extendedprice")).as("min_c"),
+      val li = t(s, dir, "lineitem")
+      val pct = graft.operators.Quantiles.exactGrouped(
+        li, "l_returnflag", "l_extendedprice", Seq("p50" -> 0.5, "p95" -> 0.95))
+      li.groupBy($"l_returnflag")
+        .agg(cents(min($"l_extendedprice")).as("min_c"),
           cents(max($"l_extendedprice")).as("max_c"))
+        .join(broadcast(pct), Seq("l_returnflag"))
+        .select($"l_returnflag", tc($"p50").as("p50_tc"), tc($"p95").as("p95_tc"),
+          $"min_c", $"max_c")
         .orderBy($"l_returnflag")
     },
     "q_agg_rollup" -> { (s, dir) =>
