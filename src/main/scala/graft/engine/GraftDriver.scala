@@ -136,7 +136,7 @@ final class TopicHandle(spark: SparkSession,
     val staged = (if (df.columns.contains("data")) df
       else df.withColumn("data",
         lit(null).cast(org.apache.spark.sql.types.BinaryType)))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_, eager = true))
     val mainRes = producer().produce(staged.filter(ok))
     val dlqRes = new TopicHandle(spark, catalog, dlq).producer().produce(
       staged.filter(!ok).select(

@@ -232,7 +232,8 @@ final class Producer(
         count(when(col("__p") === i, 1)).as(s"p$i"))
       val staged = described(s"graft produce ${config.name}: stage+count (checkpoint)") {
         timed("stage.checkpoint") {
-          pre.observe(obs, aggs.head, aggs.tail: _*).localCheckpoint(true)
+          graft.Checkpoints.local(
+            pre.observe(obs, aggs.head, aggs.tail: _*), eager = true)
         }
       }
       // Bounded wait on the listener bus (it delivers the observed row
@@ -259,7 +260,7 @@ final class Producer(
       (staged, counts)
     } else {
       val staged = described(s"graft produce ${config.name}: stage (checkpoint)") {
-        timed("stage.checkpoint")(pre.localCheckpoint(true))
+        timed("stage.checkpoint")(graft.Checkpoints.local(pre, eager = true))
       }
       (staged, countPass(staged))
     }

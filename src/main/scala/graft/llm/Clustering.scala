@@ -71,7 +71,7 @@ object Clustering {
                         iters: Int): (DataFrame, DataFrame) = {
     var centroids = points.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("vec").cast("array<double>").as("cvec"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_))
     var assigned = assignCarry(points, centroids)
     for (_ <- 1 to iters) {
       val means = assigned
@@ -85,7 +85,7 @@ object Clustering {
       centroids = centroids.as("old")
         .join(means.as("new"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("new.cvec"), col("old.cvec")).as("cvec"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.local(_))
       assigned = assignCarry(points, centroids)
     }
     (assigned, centroids)

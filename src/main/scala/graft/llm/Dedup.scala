@@ -333,9 +333,16 @@ object Dedup {
     val fresh = signatureStore(newDocs, idCol, textCol, shingleN, bands, rowsPerBand)
     val all0 = store.select(col("id"), col("sig"), col("sh"), lit(0L).as("isnew"))
       .unionByName(fresh.select(col("id"), col("sig"), col("sh"), lit(1L).as("isnew")))
-    val all = if (cache)
-      all0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else all0
+    // localCheckpoint, not persist (r18, VERDICT item 6): the persisted
+    // plan — store scan ∪ the whole signatureStore lineage — rode inside
+    // EVERY downstream task binary (the residual ~4 MiB the r17 truncation
+    // of cand/verified left behind; ~10 broadcast jobs per query). The
+    // checkpoint stores the same MEMORY_AND_DISK blocks but downstream
+    // plans serialize a LogicalRDD reference instead. Reliability trade as
+    // documented on [[graft.Checkpoints]]: a lost block fails the job
+    // loudly (never recomputes differently); clusters with preemption set
+    // spark.graft.checkpoint.replicated.
+    val all = if (cache) graft.Checkpoints.local(all0, eager = false) else all0
     val banded = all.select(col("id"), col("isnew"),
       posexplode(bandValues(col("sig"), bands, rowsPerBand)).as(Seq("band", "bandval")))
     // store-vs-store pairs are dead weight (the store is already deduped) —
@@ -352,7 +359,7 @@ object Dedup {
     // a lost block fails the job instead of recomputing — acceptable for
     // a bounded mid-pipeline frame, and the pattern the engine already
     // uses where truncation matters (produce staging, graph rounds).
-    val cand = if (cache) cand0.localCheckpoint(false) else cand0
+    val cand = if (cache) graft.Checkpoints.local(cand0, eager = false) else cand0
     // exact verify: shingle rows for candidate ids ONLY
     val candIds = cand.select(col("doc_a").as("id"))
       .union(cand.select(col("doc_b").as("id"))).distinct()
@@ -372,7 +379,7 @@ object Dedup {
         >= threshold)
     // same truncation rationale as `cand` — verified pairs are few rows
     // whose lineage is the whole verify join
-    val verified = if (cache) verified0.localCheckpoint(false) else verified0
+    val verified = if (cache) graft.Checkpoints.local(verified0, eager = false) else verified0
     // pairs carry doc_a < doc_b: a new doc_b drops against ANY partner
     // (store or smaller-id new); a new doc_a drops only against the store
     val dropped = verified

@@ -66,18 +66,18 @@ object Graph {
     // and the initial label table, and upstream edge producers (LSH, exact
     // hashing) are far too expensive to execute twice
     val e = edges.select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_))
 
     // label table from the PRE-filter endpoints: a node whose only edge is a
     // self-loop still owns a singleton component
     var labels = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .withColumn("cluster", col("node"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_))
     freeCheckpoint(e) // sym and labels are materialized; e's storage can go
 
     var converged = false
@@ -102,7 +102,7 @@ object Graph {
         .select(col("node"),
           least(col("cluster"), coalesce(col("hopped"), col("cluster"))).as("cluster"),
           col("prev"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.local(_))
 
       converged = next.filter(col("cluster") =!= col("prev")).isEmpty
       freeCheckpoint(labels) // next is materialized; last round's copy can go
@@ -138,7 +138,7 @@ object Graph {
         greatest(col(src), col(dst)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_))
     val wedges = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val tri = wedges.join(e,
@@ -160,22 +160,22 @@ object Graph {
                damping: Double = 0.85): DataFrame = {
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_))
     val nodes = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_))
     val n = nodes.count()
     // out-degree is static — attach it to the edge list ONCE instead of
     // re-joining it every round; per round only the small rank table moves
     val eDeg = e.join(e.groupBy(col("a")).agg(count(lit(1)).as("od")), "a")
       .select(col("a"), col("b"), col("od"))
-      .localCheckpoint(true)
+      .transform(graft.Checkpoints.local(_))
     freeCheckpoint(e)
     // the initial ranks get their OWN checkpoint: freeCheckpoint walks the
     // plan's LogicalRDDs, and a plan still referencing `nodes` would free
     // the (lineage-truncated, hence unrecomputable) node table out from
     // under the remaining rounds
-    var ranks = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1.0 / n)).transform(graft.Checkpoints.local(_))
     for (_ <- 1 to iters) {
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "a"), "a")
@@ -185,7 +185,7 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+        .transform(graft.Checkpoints.local(_))
       freeCheckpoint(ranks)
       ranks = next
     }

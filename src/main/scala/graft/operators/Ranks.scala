@@ -91,7 +91,7 @@ object Ranks {
     val parts = df.withColumn("__w", weight)
       .repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.Checkpoints.local(_))
     val sums = parts.groupBy(col("__pid")).agg(sum(col("__w")).as("__psum"))
     val offs = sums.as("a")
       .join(sums.as("b"), col("b.__pid") <= col("a.__pid"))
@@ -116,7 +116,7 @@ object Ranks {
     // plan forks — see the determinism note in the class doc
     val parts = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.Checkpoints.local(_))
     val counts = parts.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     // cumulative offset per pid via a triangular self-join of the ≤ n-row
     // count relation — NOT a global window (that would re-introduce the
