@@ -49,6 +49,31 @@ object EnginePack extends QueryPack {
   /** Unique memory-sink names across repeated in-JVM runs (bench iterations). */
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Drain an append-mode stream through the exactly-once FILE sink and
+    * read the result back through its `_spark_metadata` manifest (r18,
+    * VERDICT item 4): the memory sink collects EVERY batch's rows to the
+    * driver — fine at demo scale, an unbounded driver hazard at 100 TB.
+    * The parquet stream sink writes per-trigger files and commits them to
+    * the sink manifest; a batch read over the same path lists exactly the
+    * committed files, so the graded rows are identical (the read applies
+    * the stream frame's own schema — a zero-row drain yields an empty
+    * frame, not a schema-inference error). Returns the read-back frame
+    * plus the drained query (for progress-derived assertions). */
+  private def drainToFiles(sdf: DataFrame, tag: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val out = Files.createTempDirectory(s"graft-$tag-out")
+    cleanupOnExit(out)
+    val ckpt = Files.createTempDirectory(s"graft-$tag-ckpt")
+    cleanupOnExit(ckpt)
+    val q = sdf.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (sdf.sparkSession.read.schema(sdf.schema).parquet(out.toString), q)
+  }
+
   /** State sizing at stream birth: a Structured Streaming query pins its
     * state-store partition count to `spark.sql.shuffle.partitions` at the
     * FIRST checkpoint and never re-scales it, so the width must be chosen
@@ -1999,23 +2024,15 @@ object EnginePack extends QueryPack {
       topic.producer().produce(sourceByEidRange(s, dir, 256, 640))
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
       topic.deleteWhereVectored(pmod(eid, lit(7)) === 0): Unit
-      val qname = s"q_stream_changes_${EnginePack.streamRun.incrementAndGet()}"
-      val query = s.readStream.format("graft")
-        .option("warehouse", d.warehouse).option("topic", "scdf_demo")
-        .option("readChangeFeed", "true")
-        .option("startingVersion", v1.toString)
-        .option("maxEventsPerTrigger", "128")
-        .load()
-        .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-scdf-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-      s.table(qname)
+      val (drained, _) = EnginePack.drainToFiles(
+        s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "scdf_demo")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", v1.toString)
+          .option("maxEventsPerTrigger", "128")
+          .load(),
+        "scdf")
+      drained
         .select(col("_change_type").as("change_type"), col("partition"), eid.as("k"))
         .groupBy(col("change_type"), col("partition"))
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
@@ -2259,32 +2276,23 @@ object EnginePack extends QueryPack {
           col("event_type").as("et"), col("user_id").as("uid"))).as("metadata"),
           pmod(col("event_id"), lit(2)).cast("int").as("partition"))
       topic.producer().produce(src)
-      val qname = s"q_stream_dedup_${EnginePack.streamRun.incrementAndGet()}"
       EnginePack.withStreamWidth(s, 4) {
-          val query = s.readStream.format("graft")
-          .option("warehouse", d.warehouse).option("topic", "sdedup_demo")
-          .option("maxEventsPerTrigger", "1024")
-          .load()
-          .select(
-            expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
-              .as("etime"),
-            get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"),
-            get_json_object(col("metadata"), "$.et").as("event_type"))
-          .withWatermark("etime", "30 days")
-          .dropDuplicatesWithinWatermark("user_id", "event_type")
-          .select(col("user_id"), col("event_type"))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .option("checkpointLocation", {
-            val ckpt = Files.createTempDirectory("graft-sdedup-ckpt")
-            EnginePack.cleanupOnExit(ckpt)
-            ckpt.toString
-          })
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        query.awaitTermination()
+        val (drained, _) = EnginePack.drainToFiles(
+          s.readStream.format("graft")
+            .option("warehouse", d.warehouse).option("topic", "sdedup_demo")
+            .option("maxEventsPerTrigger", "1024")
+            .load()
+            .select(
+              expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+                .as("etime"),
+              get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"),
+              get_json_object(col("metadata"), "$.et").as("event_type"))
+            .withWatermark("etime", "30 days")
+            .dropDuplicatesWithinWatermark("user_id", "event_type")
+            .select(col("user_id"), col("event_type")),
+          "sdedup")
+        drained.orderBy(col("user_id"), col("event_type"))
       }
-      s.table(qname).orderBy(col("user_id"), col("event_type"))
     },
     "q_stream_sessions" -> { (s, dir) =>
       // streaming SESSIONIZATION through the micro-batch source: the native
@@ -2317,35 +2325,26 @@ object EnginePack extends QueryPack {
           col("user_id").as("uid"))).as("metadata"),
           pmod(col("event_id"), lit(2)).cast("int").as("partition"),
           col("event_id").as("__order")))
-      val qname = s"q_stream_sessions_${EnginePack.streamRun.incrementAndGet()}"
       EnginePack.withStreamWidth(s, 4) {
-          val query = s.readStream.format("graft")
-          .option("warehouse", d.warehouse).option("topic", "ssess_demo")
-          .option("maxEventsPerTrigger", "2048")
-          .load()
-          .select(
-            expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
-              .as("etime"),
-            get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"))
-          .withWatermark("etime", "1 hour")
-          .groupBy(col("user_id"), session_window(col("etime"), "4 hours"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("user_id"),
-            unix_micros(col("session_window.start")).as("start_us"), col("n"))
-          .writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .option("checkpointLocation", {
-            val ckpt = Files.createTempDirectory("graft-ssess-ckpt")
-            EnginePack.cleanupOnExit(ckpt)
-            ckpt.toString
-          })
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        query.awaitTermination()
+        val (drained, _) = EnginePack.drainToFiles(
+          s.readStream.format("graft")
+            .option("warehouse", d.warehouse).option("topic", "ssess_demo")
+            .option("maxEventsPerTrigger", "2048")
+            .load()
+            .select(
+              expr("timestamp_micros(CAST(get_json_object(metadata, '$.tns') AS BIGINT) DIV 1000)")
+                .as("etime"),
+              get_json_object(col("metadata"), "$.uid").cast("long").as("user_id"))
+            .withWatermark("etime", "1 hour")
+            .groupBy(col("user_id"), session_window(col("etime"), "4 hours"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"), col("n")),
+          "ssess")
+        drained
+          .filter(col("user_id") >= 0) // drop the filler sessions
+          .orderBy(col("user_id"), col("start_us"))
       }
-      s.table(qname)
-        .filter(col("user_id") >= 0) // drop the filler sessions
-        .orderBy(col("user_id"), col("start_us"))
     },
     "q_stream_join" -> { (s, dir) =>
       // stream-stream event-time join through the micro-batch source, under
@@ -2376,25 +2375,17 @@ object EnginePack extends QueryPack {
             .as(s"${p}_t"))
         .filter(col("et") === et).drop("et")
         .withWatermark(s"${p}_t", "4 hours")
-      val qname = s"q_stream_join_${EnginePack.streamRun.incrementAndGet()}"
       EnginePack.withStreamWidth(s, 4) {
-        val query = side("click", "c").join(side("purchase", "p"),
+        val (drained, _) = EnginePack.drainToFiles(
+          side("click", "c").join(side("purchase", "p"),
             col("c_uid") === col("p_uid") &&
               col("p_t") >= col("c_t") &&
-              col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR"))
-          .writeStream.format("memory").queryName(qname)
-          .option("checkpointLocation", {
-            val ckpt = Files.createTempDirectory("graft-sjoin-ckpt")
-            EnginePack.cleanupOnExit(ckpt)
-            ckpt.toString
-          })
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        query.awaitTermination()
+              col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR")),
+          "sjoin")
+        drained
+          .select(col("c_eid"), col("p_eid"))
+          .orderBy(col("c_eid"), col("p_eid"))
       }
-      s.table(qname)
-        .select(col("c_eid"), col("p_eid"))
-        .orderBy(col("c_eid"), col("p_eid"))
     },
     "q_stream_state" -> { (s, dir) =>
       // CUSTOM stateful operator through the micro-batch source:
@@ -2438,10 +2429,21 @@ object EnginePack extends QueryPack {
             state.update((n, sum))
             (uid, n, sum)
         }
-      val qname = s"q_stream_state_${EnginePack.streamRun.incrementAndGet()}"
+      // update-mode emissions land per batch in parquet (foreachBatch: the
+      // file sink is append-only), keeping the driver out of the data path
+      // (r18, VERDICT item 4 — the memory sink held O(keys × batches) rows
+      // driver-side). A sink-side replay re-appends a batch's rows; the
+      // graded read's per-key max(struct) is idempotent to that, the same
+      // stance as the memory sink's batch truncation.
+      val outDir = Files.createTempDirectory("graft-sstate-out")
+      EnginePack.cleanupOnExit(outDir)
       EnginePack.withStreamWidth(s, 4) {
           val query = updates.toDF("uid", "n", "sum_cents")
-          .writeStream.format("memory").queryName(qname)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir.toString)
+            ()
+          }
           .outputMode("update")
           .option("checkpointLocation", {
             val ckpt = Files.createTempDirectory("graft-sstate-ckpt")
@@ -2452,7 +2454,8 @@ object EnginePack extends QueryPack {
           .start()
         query.awaitTermination()
       }
-      s.table(qname)
+      s.read.schema("uid BIGINT, n BIGINT, sum_cents BIGINT")
+        .parquet(outDir.toString)
         .groupBy(col("uid"))
         .agg(max(struct(col("n"), col("sum_cents"))).as("last"))
         .select(col("uid"), col("last.n").as("n"),
@@ -2513,27 +2516,19 @@ object EnginePack extends QueryPack {
             .as(s"${p}_t"))
         .withWatermark(s"${p}_t", "1 hour") // BEFORE the filter: flush advances the clock
         .filter(col("et") === et).drop("et")
-      val qname = s"q_stream_outer_${EnginePack.streamRun.incrementAndGet()}"
       EnginePack.withStreamWidth(s, 4) {
-        val query = side("click", "c").join(side("purchase", "p"),
+        val (drained, _) = EnginePack.drainToFiles(
+          side("click", "c").join(side("purchase", "p"),
             col("c_uid") === col("p_uid") &&
               col("p_t") >= col("c_t") &&
               col("p_t") <= col("c_t") + expr("INTERVAL 1 HOUR"),
-            "left_outer")
-          .writeStream.format("memory").queryName(qname)
-          .option("checkpointLocation", {
-            val ckpt = Files.createTempDirectory("graft-souter-ckpt")
-            EnginePack.cleanupOnExit(ckpt)
-            ckpt.toString
-          })
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        query.awaitTermination()
+            "left_outer"),
+          "souter")
+        drained
+          .filter(col("c_eid") < 4096) // drop filler-click state rows
+          .select(col("c_eid"), coalesce(col("p_eid"), lit(-1L)).as("p_eid"))
+          .orderBy(col("c_eid"), col("p_eid"))
       }
-      s.table(qname)
-        .filter(col("c_eid") < 4096) // drop filler-click state rows
-        .select(col("c_eid"), coalesce(col("p_eid"), lit(-1L)).as("p_eid"))
-        .orderBy(col("c_eid"), col("p_eid"))
     },
     "q_stream_drain" -> { (s, dir) =>
       // S8 through the oracle: the DSv2 MICRO-BATCH path (offset cursor walk,
@@ -2552,22 +2547,14 @@ object EnginePack extends QueryPack {
       val total = t(s, dir, "events").count()
       // admission budget sized so the drain takes ~4 micro-batches at any sf
       val perTrigger = math.max(256L, total / 4)
-      val qname = s"q_stream_drain_${EnginePack.streamRun.incrementAndGet()}"
-      val query = s.readStream.format("graft")
-        .option("warehouse", d.warehouse).option("topic", "sdrain_demo")
-        .option("maxEventsPerTrigger", perTrigger.toString)
-        .load()
-        .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-sdrain-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      val (drained, query) = EnginePack.drainToFiles(
+        s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "sdrain_demo")
+          .option("maxEventsPerTrigger", perTrigger.toString)
+          .load(),
+        "sdrain")
       val batches = query.recentProgress.count(_.numInputRows > 0)
-      s.table(qname)
+      drained
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
           max(col("event_id")).as("max_id"),
@@ -2594,22 +2581,14 @@ object EnginePack extends QueryPack {
       val logDir = new org.apache.hadoop.fs.Path(d.catalog.logPath("sbytes_demo"))
       val fsys = logDir.getFileSystem(s.sparkContext.hadoopConfiguration)
       val budget = math.max(1L, fsys.getContentSummary(logDir).getLength / 4)
-      val qname = s"q_stream_bytes_${EnginePack.streamRun.incrementAndGet()}"
-      val query = s.readStream.format("graft")
-        .option("warehouse", d.warehouse).option("topic", "sbytes_demo")
-        .option("maxBytesPerTrigger", budget.toString)
-        .load()
-        .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-sbytes-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      val (drained, query) = EnginePack.drainToFiles(
+        s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "sbytes_demo")
+          .option("maxBytesPerTrigger", budget.toString)
+          .load(),
+        "sbytes")
       val batches = query.recentProgress.count(_.numInputRows > 0)
-      s.table(qname)
+      drained
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("cnt"), min(col("event_id")).as("min_id"),
           max(col("event_id")).as("max_id"),
@@ -2635,23 +2614,15 @@ object EnginePack extends QueryPack {
       val cutEid = ev.agg(floor(count(lit(1)) * 0.4).cast("long")).head().getLong(0)
       val cutoff = ev.filter(col("event_id") === cutEid)
         .select(col("ts").cast("long")).head().getLong(0)
-      val qname = s"q_stream_time_${EnginePack.streamRun.incrementAndGet()}"
-      val query = s.readStream.format("graft")
-        .option("warehouse", d.warehouse).option("topic", "stime_demo")
-        .option("startingTimeField", "$.tsn")
-        .option("startingTimeCutoff", cutoff.toString)
-        .load()
-        .writeStream.format("memory").queryName(qname)
-        .option("checkpointLocation", {
-          val ckpt = Files.createTempDirectory("graft-stime-ckpt")
-          EnginePack.cleanupOnExit(ckpt)
-          ckpt.toString
-        })
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      val (drained, _) = EnginePack.drainToFiles(
+        s.readStream.format("graft")
+          .option("warehouse", d.warehouse).option("topic", "stime_demo")
+          .option("startingTimeField", "$.tsn")
+          .option("startingTimeCutoff", cutoff.toString)
+          .load(),
+        "stime")
       val eid = get_json_object(col("metadata"), "$.eid").cast("long")
-      s.table(qname)
+      drained
         .select(col("partition"), eid.as("k"))
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_eid"),
