@@ -188,6 +188,15 @@ object SimplifyJsonRoundTrip extends Rule[LogicalPlan] {
           }
         }
         .getOrElse(g)
+    // UPGRADE TRIPWIRE (ADVICE r17): this arm matches only the raw
+    // JsonToStructs node. In Spark 4.1 ReplaceExpressions rewrites ONLY the
+    // to_json side to its Invoke(evaluator) form (handled in toJsonOf);
+    // from_json reaches operator optimization unreplaced. If a future Spark
+    // gives JsonToStructs the same treatment, this rewrite silently stops
+    // firing — JsonRoundTripSpec's plan-shape assertions ("no from_json in
+    // the optimized plan") are the tripwire that catches it on upgrade; the
+    // fix is an Invoke(JsonToStructsEvaluator) arm mirroring toJsonOf,
+    // extracting schema/options from the evaluator literal.
     case g @ GetStructField(JsonToStructs(ps: StructType, opts, json, _), ord, _)
         if opts.isEmpty && ord >= 0 && ord < ps.length &&
           generatedStruct(json).isDefined =>

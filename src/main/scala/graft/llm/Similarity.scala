@@ -535,10 +535,15 @@ object Similarity {
     // up to n_cells files — at scale that is the many-small-files problem
     // (tasks × cells tiny parquet files per shard), and the whole write
     // serializes through however many tasks the assignment happened to
-    // have. One exchange of the shard (O(new vectors), bounded) buys one
-    // writer — and one right-sized file — per cell.
+    // have. REBALANCE rather than a plain repartition (ADVICE r17): a
+    // plain `repartition(cell)` hashes into the full static shuffle width,
+    // so a small incremental shard pays mostly-empty task launches and
+    // colliding cells serialize through one writer; the rebalance exchange
+    // lets AQE coalesce a tiny shard to a few real writer tasks and split
+    // an oversized cell into several right-sized files — writer
+    // parallelism tracks the shard's actual cell volume at any scale.
     assigned.withColumn("shard", lit(shardId))
-      .repartition(col("cell"))
+      .hint("rebalance", "cell")
       .write.mode("append").partitionBy("shard", "cell").parquet(s"$root/cells")
     val marker = new org.apache.hadoop.fs.Path(s"$root/_committed/$shardId")
     fs.mkdirs(marker.getParent)

@@ -49,13 +49,19 @@ object Q {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     // Schema memo (guide §6: repeated footer/metadata reads are driver-side
-    // cost): the testdata tables are immutable for the life of the process,
-    // so the parquet schema is inferred ONCE per path and provided to every
-    // subsequent read — exactly what a catalog table does. This caches
-    // METADATA only (a StructType), never rows or results; every query
-    // still computes from the parquet input.
-    val schema = Q.schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
+    // cost): the parquet schema is inferred ONCE per (path, file identity)
+    // and provided to every subsequent read — exactly what a catalog table
+    // does. Keyed by length+mtime (ADVICE r17): a testdata table
+    // regenerated in place within one JVM gets a fresh inference instead
+    // of a stale schema's silent nulls. This caches METADATA only (a
+    // StructType), never rows or results; every query still computes from
+    // the parquet input.
+    val key = {
+      val f = new java.io.File(path)
+      s"$path#${f.length}#${f.lastModified}"
+    }
+    val schema = Q.schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampType) | Some(TimestampNTZType) =>
