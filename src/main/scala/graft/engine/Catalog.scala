@@ -711,6 +711,25 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
     val conf = hadoopConf
     // unknown = listed ∖ manifest (normally exactly this produce's output)
     val unknown: Seq[(Int, String)] = unlistedChunkFiles(name, prior, newNext.keys)
+    // Footer reads fan out over a bounded pool (r18, guide §1.2 — driver
+    // metadata latency): each unknown file costs a parquet footer open
+    // (~5-10 ms); a produce adopts one file per written partition and paid
+    // them SEQUENTIALLY inside the commit's locked window. Values land in
+    // a map consumed by the unchanged decision logic below.
+    val footerRanges: Map[String, Option[(Long, Long)]] =
+      if (unknown.size <= 1)
+        unknown.map { case (_, rel) =>
+          rel -> Catalog.fileIdRangeOpt(new Path(logPath(name), rel), conf)
+        }.toMap
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        val par = unknown.map(_._2).par
+        par.tasksupport = new scala.collection.parallel.ExecutionContextTaskSupport(
+          scala.concurrent.ExecutionContext.global)
+        par.map(rel =>
+          rel -> Catalog.fileIdRangeOpt(new Path(logPath(name), rel), conf))
+          .seq.toMap
+      }
     val freshFiles: Map[Int, Vector[ManifestFile]] = unknown.groupBy(_._1)
       .view.map { case (p, xs) =>
         // NEVER adopt a file whose ids start at/above the committed
@@ -742,7 +761,7 @@ final class Catalog(spark: SparkSession, val warehouse: String) {
         // operator decides. Readable stats-less files keep the heal
         // behavior everywhere (valid data, never debris).
         p -> xs.map(_._2).sorted.flatMap { rel =>
-          Catalog.fileIdRangeOpt(new Path(logPath(name), rel), conf) match {
+          footerRanges(rel) match {
             case None =>
               if (!excludeGap.contains(p)) {
                 val f = new Path(logPath(name), rel)
